@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects; read nanos as long and convert to a microsecond timestamp.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+}
+
+/** Exact-arithmetic aggregation helpers.
+  *
+  * Double sums are order-dependent, so a Spark sum over 32 partitions and a
+  * single-threaded DuckDB oracle sum can disagree in the last ulps and break
+  * hash comparison. Casting each row to a fixed-scale decimal first makes the
+  * aggregation exact and order-independent in both engines; the final cast
+  * back to double is then deterministic.
+  */
+object Exact {
+  def dec(c: Column, scale: Int = 2): Column = c.cast(DecimalType(18, scale))
+
+  /** Order-independent sum of a double column, returned as double. */
+  def dsum(c: Column, scale: Int = 2): Column = sum(dec(c, scale)).cast("double")
+
+  /** Exact average (decimal sum / count), returned as double. */
+  def davg(c: Column, scale: Int = 2): Column =
+    (sum(dec(c, scale)) / count(c)).cast("double")
+
+  /** DuckDB-side rendering of the same computation, e.g. dsumSql("l_quantity"). */
+  def dsumSql(expr: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+  def davgSql(expr: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) / COUNT($expr) AS DOUBLE)"
+}

@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables.t
+import graft.Exact._
+
+/** Core relational operator surface (SURVEY.md §2.3-2.6): scans with
+  * pushdown, broadcast/shuffle joins, semi/anti joins (NOT EXISTS), left
+  * outer (OPTIONAL), VALUES inline tables, count-distinct subqueries,
+  * string-concat aggregation, windows, distinct, union.
+  *
+  * Every query here is paired with a DuckDB oracle in [[oracles]]; all
+  * double aggregates go through [[graft.Exact]] so results are
+  * order-independent and hash-compare cleanly against the oracle.
+  */
+object RelationalQueries {
+  private val one2 = lit(1).cast(DecimalType(18, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: partial (map-side) aggregation into 6
+    // groups; at 100 TB this stays one shuffle of a tiny aggregate state.
+    "q01_agg_pricing_summary" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= to_timestamp(lit("1999-01-01")))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          sum(dec($"l_extendedprice") * (one2 - dec($"l_discount")))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec($"l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // Selective filter + narrow projection — both must reach the parquet
+    // scan (PushedFilters / ReadSchema), so 100 TB reads only what it needs.
+    "q02_filter_project" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .filter($"o_totalprice" > 450000.0 && $"o_orderstatus" === "O")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    },
+
+    // Star join: tiny dims broadcast (no shuffle of the fact side except the
+    // final 5-group aggregation).
+    "q03_join_agg_regional_revenue" -> { (s, dir) =>
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter($"r_name" === "ASIA")
+      val o = t(s, dir, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy($"n_name")
+        .agg(dsum($"o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+    },
+
+    // NOT EXISTS (SURVEY.md P7) as a left-anti join.
+    "q04_anti_join_no_orders" -> { (s, dir) =>
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter($"o_orderstatus" === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select($"c_custkey", $"c_name")
+    },
+
+    // EXISTS as a left-semi join.
+    "q05_semi_join_open_orders" -> { (s, dir) =>
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter($"o_orderstatus" === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select($"c_custkey", $"c_mktsegment")
+    },
+
+    // OPTIONAL (SURVEY.md P8) as a left-outer join; count(col) skips nulls.
+    "q06_left_outer_order_counts" -> { (s, dir) =>
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"))
+    },
+
+    // VALUES inline table (SURVEY.md P9) broadcast-joined with a theta term.
+    "q07_values_join" -> { (s, dir) =>
+      import s.implicits._
+      val v = s.createDataFrame(Seq(
+        ("Brand#13", 10), ("Brand#20", 25), ("Brand#7", 40)))
+        .toDF("brand", "min_size")
+      t(s, dir, "part")
+        .join(broadcast(v), $"p_brand" === $"brand" && $"p_size" >= $"min_size")
+        .select($"p_partkey", $"p_brand", $"p_size", $"min_size")
+    },
+
+    // COUNT(DISTINCT) grouped subquery + filter on the aggregate (SURVEY.md A1).
+    "q08_count_distinct_having" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(countDistinct($"o_orderpriority").as("n_prio"),
+          count(lit(1)).as("n_orders"))
+        .filter($"n_prio" >= 5)
+    },
+
+    // String-concat aggregation (SURVEY.md A2): deterministic via sort.
+    "q09_concat_agg_nations" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "region")
+        .join(t(s, dir, "nation"), $"r_regionkey" === $"n_regionkey")
+        .groupBy($"r_name")
+        .agg(concat_ws(" ", array_sort(collect_list($"n_name"))).as("nations"))
+    },
+
+    // Per-key row_number window (SURVEY.md W1) with a deterministic tiebreak.
+    "q10_window_top_order" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    },
+
+    // DISTINCT projection (SURVEY.md P11).
+    "q11_distinct_segments" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "customer").select($"c_mktsegment".as("segment")).distinct()
+    },
+
+    // UNION with set semantics (SURVEY.md U1-U2).
+    "q12_union_big_accounts" -> { (s, dir) =>
+      import s.implicits._
+      val a = t(s, dir, "customer").filter($"c_acctbal" > 9900.0)
+        .select($"c_custkey".as("custkey"))
+      val b = t(s, dir, "orders").filter($"o_totalprice" > 490000.0)
+        .select($"o_custkey".as("custkey"))
+      a.union(b).distinct()
+    },
+
+    // Time-bucketed aggregation over the events table (batch form of the
+    // streaming windowed agg in graft.streaming).
+    "q13_events_hourly" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n_events"), dsum($"value", 4).as("sum_value"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1999-01-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 450000.0 AND o_orderstatus = 'O'""".stripMargin,
+    "q03_join_agg_regional_revenue" ->
+      s"""SELECT n_name, ${dsumSql("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name""".stripMargin,
+    "q04_anti_join_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin,
+    "q05_semi_join_open_orders" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "q06_left_outer_order_counts" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "q07_values_join" ->
+      """SELECT p_partkey, p_brand, p_size, min_size
+        |FROM part JOIN (VALUES ('Brand#13', 10), ('Brand#20', 25), ('Brand#7', 40)) AS v(brand, min_size)
+        |ON p_brand = v.brand AND p_size >= v.min_size""".stripMargin,
+    "q08_count_distinct_having" ->
+      """SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_prio, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |HAVING COUNT(DISTINCT o_orderpriority) >= 5""".stripMargin,
+    "q09_concat_agg_nations" ->
+      """SELECT r_name, string_agg(n_name, ' ' ORDER BY n_name) AS nations
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q10_window_top_order" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+    "q11_distinct_segments" ->
+      "SELECT DISTINCT c_mktsegment AS segment FROM customer",
+    "q12_union_big_accounts" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9900.0
+        |UNION
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 490000.0""".stripMargin,
+    "q13_events_hourly" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+         |  COUNT(*) AS n_events, ${dsumSql("value", 4)} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.RelationalQueries
+
+class RelationalQueriesSpec extends SparkSpec {
+
+  test("every query runs at sf0.001 and has a matching oracle entry") {
+    RelationalQueries.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      df.count() // materializes; throws on a broken plan
+      assert(RelationalQueries.oracles.contains(name), s"$name has no oracle")
+    }
+  }
+
+  test("oracle column aliases match the Spark result columns") {
+    // The driver sorts columns by name before hashing: mismatched aliases
+    // fail even when values agree. Cheap static check against the SQL text.
+    RelationalQueries.queries.foreach { case (name, fn) =>
+      val cols = fn(spark, sf).columns
+      val sql = RelationalQueries.oracles(name).toLowerCase
+      cols.foreach { c =>
+        assert(sql.contains(c.toLowerCase), s"$name: column $c not in oracle SQL")
+      }
+    }
+  }
+
+  test("q01 pricing summary aggregates exactly") {
+    val df = RelationalQueries.queries("q01_agg_pricing_summary")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length > 0 && rows.length <= 9) // |returnflag| x |linestatus|
+    val counts = rows.map(_.getAs[Long]("count_order")).sum
+    assert(counts > 0)
+  }
+
+  test("q03 star join keeps dimension joins broadcast") {
+    val df = RelationalQueries.queries("q03_join_agg_regional_revenue")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("q02 pushes filter and projection into the parquet scan") {
+    val df = RelationalQueries.queries("q02_filter_project")(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan"),
+      s"filter not pushed:\n$scan")
+  }
+}
