@@ -16,12 +16,17 @@ object Tables {
 
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
     * rejects; read nanos as long and convert to a microsecond timestamp.
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
+    * build (Verify / Bench / SparkSpec) — not here, to keep loaders free of
+    * session-level side effects.
+    *
+    * Nanos→micros must be integer division: epoch-nanos exceed double's
+    * 53-bit mantissa, so `col/1000` (double division) is off by 1 µs on a
+    * visible fraction of rows.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-  }
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 }
 
 /** Exact-arithmetic aggregation helpers.

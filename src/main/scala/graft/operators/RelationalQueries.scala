@@ -46,17 +46,21 @@ object RelationalQueries {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
     },
 
-    // Star join: tiny dims broadcast (no shuffle of the fact side except the
-    // final 5-group aggregation).
+    // Star join, dims-first: the selective region predicate prunes customer
+    // BEFORE the fact table joins, so at 100 TB only ~1/5 of customers (and
+    // through them orders) reach the big shuffle, instead of shuffling all
+    // of orders×customer and pruning last. nation⋈region_ASIA is broadcast
+    // into customer; the reduced customer set then joins orders.
     "q03_join_agg_regional_revenue" -> { (s, dir) =>
       import s.implicits._
-      val c = t(s, dir, "customer")
-      val n = t(s, dir, "nation")
       val r = t(s, dir, "region").filter($"r_name" === "ASIA")
+      val dims = t(s, dir, "nation")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      val cAsia = t(s, dir, "customer")
+        .join(broadcast(dims), $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"n_name")
       val o = t(s, dir, "orders")
-      o.join(c, o("o_custkey") === c("c_custkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      o.join(cAsia, o("o_custkey") === cAsia("c_custkey"))
         .groupBy($"n_name")
         .agg(dsum($"o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
     },
@@ -79,14 +83,17 @@ object RelationalQueries {
         .select($"c_custkey", $"c_mktsegment")
     },
 
-    // OPTIONAL (SURVEY.md P8) as a left-outer join; count(col) skips nulls.
+    // OPTIONAL (SURVEY.md P8) as a left-outer join. Scale-safe shape:
+    // pre-aggregate orders to one row per customer (map-side partial agg),
+    // THEN left-join — the join moves |customers| rows, not |orders|.
+    // count(o_orderkey) over a raw left join would shuffle every order row.
     "q06_left_outer_order_counts" -> { (s, dir) =>
       import s.implicits._
-      val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
-      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
-        .groupBy($"c_custkey")
-        .agg(count($"o_orderkey").as("n_orders"))
+      val perCust = t(s, dir, "orders")
+        .groupBy($"o_custkey").agg(count(lit(1)).as("cnt"))
+      t(s, dir, "customer")
+        .join(perCust, $"c_custkey" === $"o_custkey", "left_outer")
+        .select($"c_custkey", coalesce($"cnt", lit(0L)).as("n_orders"))
     },
 
     // VALUES inline table (SURVEY.md P9) broadcast-joined with a theta term.
@@ -146,8 +153,7 @@ object RelationalQueries {
       a.union(b).distinct()
     },
 
-    // Time-bucketed aggregation over the events table (batch form of the
-    // streaming windowed agg in graft.streaming).
+    // Time-bucketed aggregation over the events table.
     "q13_events_hourly" -> { (s, dir) =>
       import s.implicits._
       t(s, dir, "events")

@@ -20,7 +20,11 @@ class RelationalQueriesSpec extends SparkSpec {
       val cols = fn(spark, sf).columns
       val sql = RelationalQueries.oracles(name).toLowerCase
       cols.foreach { c =>
-        assert(sql.contains(c.toLowerCase), s"$name: column $c not in oracle SQL")
+        // Word-boundary match: a bare substring test passes spuriously
+        // (e.g. column `hour` matching `date_trunc('hour', …)`).
+        val re = ("(?i)\\b" + java.util.regex.Pattern.quote(c) + "\\b").r
+        assert(re.findFirstIn(sql).isDefined,
+          s"$name: column $c not in oracle SQL as a word")
       }
     }
   }
@@ -37,6 +41,26 @@ class RelationalQueriesSpec extends SparkSpec {
     val df = RelationalQueries.queries("q03_join_agg_regional_revenue")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("q03 prunes customer by region before the orders join") {
+    val df = RelationalQueries.queries("q03_join_agg_regional_revenue")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // The region predicate must sit under the fact join, not above it: the
+    // filter is pushed to the region scan and only broadcast joins touch it.
+    val factJoinIdx = plan.indexOf("o_custkey")
+    val regionFilterIdx = plan.indexOf("ASIA")
+    assert(factJoinIdx >= 0 && regionFilterIdx > factJoinIdx,
+      s"region filter not below the fact join:\n$plan")
+  }
+
+  test("q06 pre-aggregates orders below the left-outer join") {
+    val df = RelationalQueries.queries("q06_left_outer_order_counts")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val joinIdx = plan.indexOf("Join")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      s"expected orders aggregated below the join (agg after join line):\n$plan")
   }
 
   test("q02 pushes filter and projection into the parquet scan") {
