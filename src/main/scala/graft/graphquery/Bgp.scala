@@ -1,0 +1,137 @@
+package graft.graphquery
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Basic-graph-pattern combinators over the canonical triples DataFrame
+  * (s, p, o, oIsIri, oLang, oDatatype) — the SPARQL-subset "engine"
+  * (SURVEY.md §7.1 module 3), built as DataFrame combinators instead of a
+  * parser so Catalyst sees one declarative plan per query.
+  *
+  * Each combinator mirrors a SPARQL feature the reference embeds in its 34
+  * SELECT queries (SURVEY.md §2.3): triple patterns, property paths
+  * (DcatAp11ToCkanBatch.java:259), inverse paths (:372), LANGMATCHES
+  * filters (:254), FILTER NOT EXISTS (MultiAttributeDimension.java:56),
+  * VALUES with UNDEF (:38-43), and the singleResult scalar lookup with ""
+  * default (DcatAp11ToCkanBatch.java:627-641).
+  *
+  * Scale shape: `pattern` is a pushed-down filter on `p` (partition triples
+  * by predicate at 100 TB and these become partition-pruned scans); hop
+  * joins shuffle on the IRI join key; small graphs (codelists, descriptors)
+  * should be wrapped in `broadcast()` by the caller.
+  */
+object Bgp {
+
+  /** One triple pattern with a fixed predicate: SELECT ?s ?o WHERE {?s <p> ?o}.
+    * Returns columns (s, `as`).
+    */
+  def pattern(t: DataFrame, p: String, as: String): DataFrame =
+    t.filter(col("p") === p).select(col("s"), col("o").as(as))
+
+  /** Pattern keeping only lang-tagged literals matching `lang`
+    * (LANGMATCHES basic match — case-insensitive primary-tag compare, which
+    * is all the reference uses: it always passes a bare primary tag).
+    */
+  def patternLang(t: DataFrame, p: String, lang: String, as: String): DataFrame =
+    t.filter(col("p") === p && lower(col("oLang")) === lang.toLowerCase)
+      .select(col("s"), col("o").as(as))
+
+  /** Property path p1/p2 (two-hop): SELECT ?s ?o WHERE {?s <p1>/<p2> ?o}.
+    * The intermediate node is t1.o === t2.s.
+    */
+  def path(t: DataFrame, p1: String, p2: String, as: String,
+           broadcastHop: Boolean = false,
+           lang2: Option[String] = None): DataFrame = {
+    val h1 = t.filter(col("p") === p1).select(col("s"), col("o").as("_mid"))
+    val hop2Filter = lang2 match {
+      case Some(l) => col("p") === p2 && lower(col("oLang")) === l.toLowerCase
+      case None => col("p") === p2
+    }
+    val h2raw = t.filter(hop2Filter)
+      .select(col("s").as("_mid2"), col("o").as(as))
+    val h2 = if (broadcastHop) broadcast(h2raw) else h2raw
+    h1.join(h2, col("_mid") === col("_mid2")).select(col("s"), col(as))
+  }
+
+  /** Inverse path ^p: SELECT ?s ?o WHERE {?o <p> ?s} — rebinds the object
+    * position as the subject (DcatAp11ToCkanBatch.java:372).
+    */
+  def inverse(t: DataFrame, p: String, as: String): DataFrame =
+    t.filter(col("p") === p).select(col("o").as("s"), col("s").as(as))
+
+  /** FILTER NOT EXISTS {?s <p> ?anything} as a left-anti join. */
+  def notExists(left: DataFrame, t: DataFrame, p: String): DataFrame = {
+    val ex = t.filter(col("p") === p).select(col("s").as("_ex_s"))
+    left.join(ex, left("s") === col("_ex_s"), "left_anti")
+  }
+
+  /** OPTIONAL {?s <p> ?o}: left-outer join adding column `as` (null when
+    * absent). `bind` optionally adds a BIND(true AS flag) on the matched
+    * branch (FdpMeasure.java:55-56) — the flag is false when unmatched.
+    */
+  def optional(left: DataFrame, t: DataFrame, p: String, as: String,
+               bindFlag: Option[String] = None): DataFrame = {
+    val r = t.filter(col("p") === p).select(col("s").as("_opt_s"), col("o").as(as))
+    val joined = left.join(broadcast(r), left("s") === col("_opt_s"), "left_outer")
+      .drop("_opt_s")
+    bindFlag match {
+      case Some(f) => joined.withColumn(f, col(as).isNotNull)
+      case None => joined
+    }
+  }
+
+  /** VALUES inline table with UNDEF support (SURVEY.md P9, §7.4 risk 8).
+    *
+    * `rows` may contain nulls = UNDEF: a null cell constrains nothing. The
+    * naive single join would null-compare; instead rows are grouped by
+    * null-pattern, each group joins only on its non-null columns, and the
+    * groups union (MultiAttributeDimension.java:38-43 has a 4-row VALUES
+    * with UNDEF).
+    *
+    * `left` must contain all `cols`; output = left columns + all VALUES
+    * columns (null where the matching row left them UNDEF).
+    */
+  def values(spark: SparkSession, left: DataFrame, cols: Seq[String],
+             rows: Seq[Seq[String]]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(
+      cols.map(c => org.apache.spark.sql.types.StructField(s"_v_$c",
+        org.apache.spark.sql.types.StringType)))
+    val byPattern = rows.groupBy(_.map(_ == null))
+    val parts = byPattern.map { case (nullPattern, grpRows) =>
+      val vdf = spark.createDataFrame(
+        grpRows.map(r => org.apache.spark.sql.Row(r: _*)).asJava, schema)
+      val joinCols = cols.zip(nullPattern).collect { case (c, false) => c }
+      val cond = joinCols.map(c => left(c) === col(s"_v_$c"))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      left.join(broadcast(vdf), cond)
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  /** The S2/A4 "scalarOf" inversion: instead of the reference's N+1
+    * per-entity scalar SPARQL lookups (DcatAp11ToCkanBatch.java:627-641 run
+    * ~25× per dataset), one wide aggregation produces every property as a
+    * column in a single pass: groupBy(s).agg(first(when(p===X, o))).
+    *
+    * Missing properties default to "" exactly like QueryResults.singleResult
+    * → "" (DcatAp11ToCkanBatch.java:634-639).
+    */
+  def scalarOf(t: DataFrame, props: Map[String, String],
+               default: String = ""): DataFrame = {
+    // min(), not first(): deterministic under any partitioning/ordering, so
+    // results hash-compare cleanly; for single-valued properties (the
+    // reference's case) it IS the single result.
+    val aggs = props.toSeq.sortBy(_._2).map { case (p, as) =>
+      coalesce(min(when(col("p") === p, col("o"))), lit(default)).as(as)
+    }
+    t.groupBy(col("s")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Named-graph scoping (P12): tag each graph with its name and union;
+    * `fromGraph` is then an ordinary pushable filter.
+    */
+  def dataset(graphs: (String, DataFrame)*): DataFrame =
+    graphs.map { case (name, df) => df.withColumn("g", lit(name)) }
+      .reduce(_ unionByName _)
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.graphquery.Bgp
+import graft.rdf.{DerivedGraph => G, NTriples}
+
+/** RDF/BGP query surface (SURVEY.md §2.3-§2.4 features P2-P4, P9-P12,
+  * S2/A4, K2) over the derived graph — every query has a DuckDB oracle
+  * that reconstructs the identical triple set in SQL.
+  */
+object RdfQueries {
+
+  private def withTriples(body: String, views: (String, String)*): String =
+    views.map { case (n, sql) => s"$n AS ($sql)" }
+      .mkString("WITH ", ", ", s" $body")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // K2: byte-faithful N-Triples rendering — IRIs, @lang, ^^datatype, and
+    // literal escaping (quote, backslash, newline, tab) all exercised.
+    "q14_ntriples_render" -> { (s, dir) =>
+      val r = t(s, dir, "region")
+      val notes = r.select(
+        concat(lit("urn:g/region/"), col("r_regionkey")).as("s"),
+        lit("urn:p/note").as("p"),
+        concat(lit("say \""), col("r_name"), lit("\"\nback\\slash\ttab")).as("o"),
+        lit(false).as("oIsIri"),
+        lit(null).cast("string").as("oLang"),
+        lit(null).cast("string").as("oDatatype"))
+      G.geo(s, dir).unionByName(notes)
+        .select(NTriples.line(col("s"), col("p"), col("o"),
+          col("oIsIri"), col("oLang"), col("oDatatype")).as("line"))
+    },
+
+    // P2: LANGMATCHES language filter (DcatAp11ToCkanBatch.java:254).
+    "q15_lang_filter" -> { (s, dir) =>
+      Bgp.patternLang(G.geo(s, dir), "urn:p/name", "cs", "name_cs")
+    },
+
+    // P3: property path inNation/name@en (two-hop join,
+    // DcatAp11ToCkanBatch.java:259 DCTERMS.PUBLISHER/FOAF.NAME).
+    "q16_property_path" -> { (s, dir) =>
+      val all = G.customers(s, dir).unionByName(G.geo(s, dir))
+      Bgp.path(all, "urn:p/inNation", "urn:p/name", "nation_name",
+        broadcastHop = true, lang2 = Some("en"))
+    },
+
+    // P4: inverse path ^inRegion + aggregation
+    // (DcatAp11ToCkanBatch.java:372 ^foaf:primaryTopic/dct:source).
+    "q17_inverse_path_agg" -> { (s, dir) =>
+      val geo = G.geo(s, dir)
+      val nations = Bgp.inverse(geo, "urn:p/inRegion", "nat")
+      val names = Bgp.patternLang(geo, "urn:p/name", "en", "region_name")
+        .withColumnRenamed("s", "_ns")
+      nations.join(broadcast(names), col("s") === col("_ns"))
+        .groupBy(col("region_name"))
+        .agg(count(lit(1)).as("n_nations"))
+    },
+
+    // P9: VALUES with UNDEF — null-pattern split join
+    // (MultiAttributeDimension.java:38-43).
+    "q18_values_undef" -> { (s, dir) =>
+      val c = G.customers(s, dir)
+      val left = Bgp.patternLang(c, "urn:p/segment", "en", "segment")
+        .join(Bgp.pattern(c, "urn:p/inNation", "nation")
+          .withColumnRenamed("s", "_ns"), col("s") === col("_ns"))
+        .select(col("s"), col("segment"), col("nation"))
+      Bgp.values(s, left, Seq("segment", "nation"), Seq(
+        Seq("BUILDING", "urn:g/nation/1"),
+        Seq("MACHINERY", null),
+        Seq(null, "urn:g/nation/3")))
+        .withColumnRenamed("_v_segment", "matched_segment")
+        .withColumnRenamed("_v_nation", "matched_nation")
+    },
+
+    // P8+P10: OPTIONAL with BIND(true AS flag) on the matched branch
+    // (FdpMeasure.java:49-56).
+    "q19_optional_bind" -> { (s, dir) =>
+      val c = G.customers(s, dir)
+      Bgp.optional(Bgp.pattern(c, "urn:p/name", "name"), c, "urn:p/vip",
+        "vip", bindFlag = Some("has_vip"))
+    },
+
+    // S2/A4: N+1 scalar lookups inverted into ONE wide aggregation pass
+    // with "" default (DcatAp11ToCkanBatch.java:627-641) — the central
+    // set-based rearchitecture of the reference's per-dataset loops.
+    "q20_scalar_wide_default" -> { (s, dir) =>
+      Bgp.scalarOf(G.customers(s, dir), Map(
+        "urn:p/name" -> "name",
+        "urn:p/segment" -> "segment",
+        "urn:p/vip" -> "vip"))
+    },
+
+    // P12: named-graph scoping — graph membership as a pushable column.
+    "q21_named_graph_counts" -> { (s, dir) =>
+      Bgp.dataset("geo" -> G.geo(s, dir), "cust" -> G.customers(s, dir))
+        .groupBy(col("g"), col("p"))
+        .agg(count(lit(1)).as("n"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q14_ntriples_render" -> withTriples(
+      s"""SELECT ${NTriples.lineSql} AS line FROM (
+         |  SELECT * FROM t
+         |  UNION ALL
+         |  SELECT 'urn:g/region/' || r_regionkey AS s, 'urn:p/note' AS p,
+         |         'say "' || r_name || '"' || chr(10) || 'back\\slash' || chr(9) || 'tab' AS o,
+         |         false AS oIsIri, CAST(NULL AS VARCHAR) AS oLang,
+         |         CAST(NULL AS VARCHAR) AS oDatatype
+         |  FROM region)""".stripMargin,
+      "t" -> G.sql.geo),
+    "q15_lang_filter" -> withTriples(
+      "SELECT s, o AS name_cs FROM t WHERE p = 'urn:p/name' AND lower(oLang) = 'cs'",
+      "t" -> G.sql.geo),
+    "q16_property_path" -> withTriples(
+      """SELECT h1.s AS s, h2.o AS nation_name
+        |FROM t h1 JOIN t h2 ON h1.o = h2.s
+        |WHERE h1.p = 'urn:p/inNation' AND h2.p = 'urn:p/name'
+        |  AND lower(h2.oLang) = 'en'""".stripMargin,
+      "t" -> s"${G.sql.customers.drop(1).dropRight(1)} UNION ALL ${G.sql.geo.drop(1).dropRight(1)}"),
+    "q17_inverse_path_agg" -> withTriples(
+      """SELECT rn.o AS region_name, COUNT(*) AS n_nations
+        |FROM t e JOIN t rn ON e.o = rn.s
+        |WHERE e.p = 'urn:p/inRegion' AND rn.p = 'urn:p/name'
+        |  AND lower(rn.oLang) = 'en'
+        |GROUP BY rn.o""".stripMargin,
+      "t" -> G.sql.geo),
+    "q18_values_undef" -> withTriples(
+      """SELECT s, segment, nation, matched_segment, matched_nation FROM (
+        |  SELECT c.*, 'BUILDING' AS matched_segment,
+        |         'urn:g/nation/1' AS matched_nation
+        |  FROM cust c WHERE segment = 'BUILDING' AND nation = 'urn:g/nation/1'
+        |  UNION ALL
+        |  SELECT c.*, 'MACHINERY', CAST(NULL AS VARCHAR)
+        |  FROM cust c WHERE segment = 'MACHINERY'
+        |  UNION ALL
+        |  SELECT c.*, CAST(NULL AS VARCHAR), 'urn:g/nation/3'
+        |  FROM cust c WHERE nation = 'urn:g/nation/3')""".stripMargin,
+      "t" -> G.sql.customers,
+      "cust" -> ("""SELECT seg.s AS s, seg.o AS segment, nat.o AS nation
+        |FROM t seg JOIN t nat ON seg.s = nat.s
+        |WHERE seg.p = 'urn:p/segment' AND lower(seg.oLang) = 'en'
+        |  AND nat.p = 'urn:p/inNation'""".stripMargin)),
+    "q19_optional_bind" -> withTriples(
+      """SELECT n.s AS s, n.o AS name, v.o AS vip, v.o IS NOT NULL AS has_vip
+        |FROM t n LEFT JOIN (SELECT s, o FROM t WHERE p = 'urn:p/vip') v
+        |  ON n.s = v.s
+        |WHERE n.p = 'urn:p/name'""".stripMargin,
+      "t" -> G.sql.customers),
+    "q20_scalar_wide_default" -> withTriples(
+      """SELECT s,
+        |  coalesce(min(o) FILTER (WHERE p = 'urn:p/name'), '') AS name,
+        |  coalesce(min(o) FILTER (WHERE p = 'urn:p/segment'), '') AS segment,
+        |  coalesce(min(o) FILTER (WHERE p = 'urn:p/vip'), '') AS vip
+        |FROM t GROUP BY s""".stripMargin,
+      "t" -> G.sql.customers),
+    "q21_named_graph_counts" -> withTriples(
+      """SELECT g, p, COUNT(*) AS n FROM (
+        |  SELECT 'geo' AS g, * FROM geo
+        |  UNION ALL
+        |  SELECT 'cust' AS g, * FROM cust)
+        |GROUP BY g, p""".stripMargin,
+      "geo" -> G.sql.geo, "cust" -> G.sql.customers)
+  )
+}

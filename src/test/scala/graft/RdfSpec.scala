@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.graphquery.Bgp
+import graft.rdf.{DerivedGraph, NTriples}
+
+class RdfSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private val tripleSchema = StructType(Seq(
+    StructField("s", StringType), StructField("p", StringType),
+    StructField("o", StringType), StructField("oIsIri", BooleanType),
+    StructField("oLang", StringType), StructField("oDatatype", StringType)))
+
+  private def triples(rows: (String, String, String, Boolean, String, String)*) =
+    spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3, r._4, r._5, r._6)).asJava, tripleSchema)
+
+  private def render(df: org.apache.spark.sql.DataFrame, crlf: Boolean = false) = {
+    val f = if (crlf) NTriples.lineCrLf _ else NTriples.line _
+    df.select(f(col("s"), col("p"), col("o"), col("oIsIri"),
+      col("oLang"), col("oDatatype")).as("l")).collect().map(_.getString(0))
+  }
+
+  test("N-Triples renderer: IRI, plain, lang, datatype terms") {
+    val out = render(triples(
+      ("urn:s", "urn:p", "urn:o", true, null, null),
+      ("urn:s", "urn:p", "plain", false, null, null),
+      ("urn:s", "urn:p", "hello", false, "en", null),
+      ("urn:s", "urn:p", "42", false, null,
+        "http://www.w3.org/2001/XMLSchema#integer")))
+    assert(out(0) == "<urn:s> <urn:p> <urn:o> .")
+    assert(out(1) == "<urn:s> <urn:p> \"plain\" .")
+    assert(out(2) == "<urn:s> <urn:p> \"hello\"@en .")
+    assert(out(3) ==
+      "<urn:s> <urn:p> \"42\"^^<http://www.w3.org/2001/XMLSchema#integer> .")
+  }
+
+  test("N-Triples renderer: literal escaping, backslash first") {
+    val out = render(triples(
+      ("urn:s", "urn:p", "a\\b\"c\nd\re\tf", false, null, null)))
+    assert(out(0) == "<urn:s> <urn:p> \"a\\\\b\\\"c\\nd\\re\\tf\" .")
+  }
+
+  test("N-Triples CRLF terminator matches the reference sink") {
+    // PlainTextTripleWriter.java:38 terminates every line with " .\r\n".
+    val out = render(triples(("urn:s", "urn:p", "x", false, null, null)),
+      crlf = true)
+    assert(out(0).endsWith(" .\r\n"))
+  }
+
+  test("values with UNDEF: null cells constrain nothing") {
+    val left = spark.createDataFrame(Seq(
+      ("s1", "A", "n1"), ("s2", "B", "n1"), ("s3", "A", "n2")))
+      .toDF("s", "seg", "nat")
+    val out = Bgp.values(spark, left, Seq("seg", "nat"), Seq(
+      Seq("A", "n1"),      // exact match: s1 only
+      Seq("B", null),      // UNDEF nat: any B → s2
+      Seq(null, "n2")))    // UNDEF seg: any n2 → s3
+      .select("s").collect().map(_.getString(0)).sorted
+    assert(out.toSeq == Seq("s1", "s2", "s3"))
+  }
+
+  test("scalarOf defaults missing properties to empty string") {
+    val t = triples(
+      ("s1", "urn:p/name", "Alice", false, null, null),
+      ("s2", "urn:p/name", "Bob", false, null, null),
+      ("s1", "urn:p/vip", "true", false, null, null))
+    val out = Bgp.scalarOf(t, Map("urn:p/name" -> "name", "urn:p/vip" -> "vip"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(("s1", "Alice", "true"), ("s2", "Bob", "")))
+  }
+
+  test("notExists filters subjects with the property (anti-join)") {
+    val t = triples(
+      ("s1", "urn:p/x", "1", false, null, null),
+      ("s2", "urn:p/x", "2", false, null, null),
+      ("s2", "urn:p/flag", "true", false, null, null))
+    val left = Bgp.pattern(t, "urn:p/x", "x")
+    val out = Bgp.notExists(left, t, "urn:p/flag")
+      .select("s").collect().map(_.getString(0))
+    assert(out.toSeq == Seq("s1"))
+  }
+
+  test("derived graph has no crossJoin and broadcasts the geo side in q16") {
+    val q = graft.operators.RdfQueries.queries("q16_property_path")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+}
