@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{RdfQueries, RelationalQueries, ScalarQueries}
+import graft.operators.{LlmQueries, RdfQueries, RelationalQueries, ScalarQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,8 +20,10 @@ object SparkEntry {
       spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ RdfQueries.queries ++ ScalarQueries.queries
+    RelationalQueries.queries ++ RdfQueries.queries ++ ScalarQueries.queries ++
+      LlmQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ RdfQueries.oracles ++ ScalarQueries.oracles
+    RelationalQueries.oracles ++ RdfQueries.oracles ++ ScalarQueries.oracles ++
+      LlmQueries.oracles
 }

@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact (fingerprint group), MinHash+LSH banded
+  * near-dup, SimHash signatures, n-gram Jaccard verification.
+  *
+  * Scale design (the whole point): near-dup candidate generation NEVER
+  * all-pairs-joins the corpus. MinHash signatures band into
+  * (band_id, band_hash) buckets; only same-bucket docs pair up — the
+  * classic shingle→minhash→band→bucket-join shape. At 100 TB the band
+  * explode is 32 rows/doc (map-side), the bucket join shuffles on the
+  * band hash, and the exact-Jaccard verify touches only candidates.
+  * Skewed buckets (boilerplate docs) would be salted/AQE-handled; an
+  * explicit bucket-size cap is the standard guard.
+  */
+object Dedup {
+
+  /** Distinct word k-gram shingles. Documents shorter than k tokens yield
+    * their single sub-k shingle.
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
+  /** MinHash signature: `n` minimums of per-shingle seeded xxhash64. */
+  def minhash(shingleCol: Column, n: Int = 128): Column =
+    array((0 until n).map(i =>
+      array_min(transform(shingleCol, s => xxhash64(s, lit(i))))): _*)
+
+  /** LSH bands over a minhash signature: `bands` structs of
+    * (band, band_hash) where band_hash fuses `rowsPerBand` signature slots.
+    */
+  def lshBands(mh: Column, bands: Int = 32, rowsPerBand: Int = 4): Column =
+    array((0 until bands).map { b =>
+      val slots = (0 until rowsPerBand)
+        .map(r => element_at(mh, b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), xxhash64(slots: _*).as("bh"))
+    }: _*)
+
+  /** Exact n-gram Jaccard over two distinct-shingle arrays:
+    * |A∩B| / |A∪B| — integer sizes, so cross-engine deterministic.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      (size(a) + size(b) - size(array_intersect(a, b)))
+
+  /** Banded-LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * Returns (d1, d2, jaccard) with d1 < d2 and jaccard >= threshold.
+    * With 32 bands × 4 rows the per-pair miss probability at j=0.8 is
+    * (1-0.8⁴)³² ≈ 5e-8 — recall is effectively exact, which is what lets
+    * the DuckDB oracle verify this against all-pairs Jaccard.
+    */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.8): DataFrame = {
+    val withShingles = docs.select(col(idCol).as("_id"),
+      shingles(col(textCol)).as("_sh"))
+    val banded = withShingles
+      .select(col("_id"), explode(lshBands(minhash(col("_sh")))).as("_b"))
+      .select(col("_id"), col("_b.band").as("_band"), col("_b.bh").as("_bh"))
+    val candidates = banded.as("l")
+      .join(banded.as("r"),
+        col("l._band") === col("r._band") && col("l._bh") === col("r._bh") &&
+          col("l._id") < col("r._id"))
+      .select(col("l._id").as("d1"), col("r._id").as("d2"))
+      .distinct()
+    candidates
+      .join(withShingles.select(col("_id"), col("_sh").as("_sh1")),
+        col("d1") === col("_id")).drop("_id")
+      .join(withShingles.select(col("_id"), col("_sh").as("_sh2")),
+        col("d2") === col("_id")).drop("_id")
+      .select(col("d1"), col("d2"), jaccard(col("_sh1"), col("_sh2")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact-duplicate grouping on the normalized-text fingerprint: adds
+    * (fp, group_size, canonical_id) — canonical = min id per group. One
+    * shuffle (window on fp).
+    */
+  def exactDups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    docs.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+  }
+
+  /** 32-bit SimHash as a fully relational pipeline (explode tokens × bits,
+    * two aggregations) — identical shape in the DuckDB oracle. Token hash
+    * = first 8 hex digits of md5, so both engines agree bit-for-bit.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+      .withColumn("_h", conv(substring(md5(col("_t")), 1, 8), 16, 10).cast("long"))
+    val bits = tok.select(col("_id"), col("_h"),
+      explode(sequence(lit(0), lit(31))).as("_b"))
+      .withColumn("_bit", floor(col("_h") / pow(lit(2.0), col("_b"))).cast("long") % 2)
+    bits.groupBy(col("_id"), col("_b"))
+      .agg(sum(col("_bit") * 2 - 1).as("_vote"))
+      .groupBy(col("_id"))
+      .agg(sum(when(col("_vote") > 0, pow(lit(2.0), col("_b"))).otherwise(lit(0.0)))
+        .cast("long").as("simhash"))
+      .withColumnRenamed("_id", idCol)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths:
+  *  - [[bruteForceKnn]]: exact cosine top-k — the query side is broadcast,
+  *    so the "cross join" is a broadcast nested loop that streams the big
+  *    side once; correct when |queries| is small. This is the baseline.
+  *  - [[lshKnn]]: random-hyperplane LSH with OR-amplification (L tables ×
+  *    b bits) — candidates come from same-bucket joins only, then exact
+  *    rerank. This is the scale path: per-query work drops from |corpus|
+  *    to L × expected-bucket-size, and the bucket join partitions cleanly
+  *    across a cluster (IVF-style pruning).
+  */
+object Similarity {
+
+  /** Exact double-precision dot product via zip_with + aggregate
+    * (functions-only, no UDF).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector. Output:
+    * (qid, rank, neighbor_id, sim).
+    */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int = 10): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("_qv"))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
+      .join(broadcast(q), col("neighbor_id") =!= col("qid"))
+      .withColumn("sim", cosine(col("_qv"), col("_v")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Deterministic random hyperplanes: `tables * bitsPerTable` planes of
+    * dimension `dim`, fixed seed.
+    */
+  def planes(dim: Int, tables: Int, bitsPerTable: Int,
+             seed: Long = 42L): Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(tables)(Seq.fill(bitsPerTable)(Seq.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** Sign-bucket of a vector under one table's planes: an integer whose
+    * bit b is sign(v · plane_b).
+    */
+  private def bucket(v: Column, tablePlanes: Seq[Seq[Double]]): Column =
+    tablePlanes.zipWithIndex.map { case (p, b) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(v, planeLit) > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: same-bucket candidates from L tables, union,
+    * exact cosine rerank to top-k. Output: (qid, rank, neighbor_id, sim).
+    */
+  def lshKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int = 10, dim: Int = 64,
+             tables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
+    val ps = planes(dim, tables, bitsPerTable)
+    def withBuckets(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), bucket(col(vecCol), ps(t)).as("bk"))): _*))
+          .as("_tb"))
+        .select(col(id), col(vec), col("_tb.t").as(s"${id}_t"),
+          col("_tb.bk").as(s"${id}_bk"))
+
+    val c = withBuckets(corpus, "neighbor_id", "_v")
+    val q = withBuckets(queries, "qid", "_qv")
+    val candidates = c.join(broadcast(q),
+      col("neighbor_id_t") === col("qid_t") &&
+        col("neighbor_id_bk") === col("qid_bk") &&
+        col("neighbor_id") =!= col("qid"))
+      .select(col("qid"), col("_qv"), col("neighbor_id"), col("_v"))
+      .distinct()
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    candidates.withColumn("sim", cosine(col("_qv"), col("_v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+}

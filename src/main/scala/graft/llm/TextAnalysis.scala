@@ -1,0 +1,72 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, stopword-profile language ID,
+  * document fingerprinting. All pure `Column` combinators (codegen'd,
+  * map-only — no shuffle, so they scale linearly to 100 TB).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (the BPE-ish regex split). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Characters excluding whitespace. */
+  def charCount(c: Column): Column =
+    length(regexp_replace(trim(c), "\\s+", ""))
+
+  def avgTokenLen(c: Column): Column =
+    charCount(c).cast("double") / tokenCount(c)
+
+  /** Small per-language stopword profiles for the n-gram-heuristic
+    * language ID. Order of `langs` is the deterministic tie-break.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "on", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "auf", "nicht"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "que", "por", "como"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "du", "des", "dans", "pour", "avec"))
+  val langs: Seq[String] = Seq("en", "de", "es", "fr")
+
+  /** Count of tokens appearing in a stopword profile. */
+  def profileScore(toks: Column, lang: String): Column = {
+    val sw = array(stopwords(lang).map(lit): _*)
+    size(filter(toks, t => array_contains(sw, t)))
+  }
+
+  def stopwordRatio(c: Column): Column =
+    profileScore(tokens(c), "en").cast("double") / tokenCount(c)
+
+  /** Language ID: argmax of profile scores, first-in-`langs` tie-break. */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    val scores = langs.map(l => l -> profileScore(toks, l))
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldLeft(lit(null).cast("string")) { case (acc, (l, s)) =>
+      when(acc.isNotNull, acc).when(s === maxScore, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Composite quality score in [0,1]: stopword density + length prior +
+    * token-shape prior. Deterministic double arithmetic, mirrored verbatim
+    * in the DuckDB oracle.
+    */
+  def qualityScore(c: Column): Column =
+    least(lit(1.0),
+      lit(0.5) * stopwordRatio(c)
+        + lit(0.3) * least(tokenCount(c).cast("double") / 100.0, lit(1.0))
+        + lit(0.2) * least(avgTokenLen(c) / 10.0, lit(1.0)))
+
+  /** Whitespace/case-normalized form used for fingerprints + exact dedup. */
+  def normalize(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Document fingerprint: md5 of the normalized text (cross-engine
+    * deterministic; a rolling-hash variant lives in Dedup.simhash).
+    */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+}

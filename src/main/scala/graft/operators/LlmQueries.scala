@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.llm.{Dedup, Similarity, TextAnalysis => TA}
+
+/** LLM-training-data pipeline queries over `documents` / `embeddings`:
+  * text analysis, language ID, exact + MinHash-LSH dedup, SimHash,
+  * brute-force and LSH similarity search.
+  */
+object LlmQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tokenize + quality metrics (map-only at any scale).
+    "q30_text_stats" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        TA.charCount(col("text")).as("n_chars_nospace"),
+        TA.avgTokenLen(col("text")).as("avg_token_len"),
+        TA.stopwordRatio(col("text")).as("stopword_ratio"),
+        TA.qualityScore(col("text")).as("quality"))
+    },
+
+    // Stopword-profile language ID with deterministic tie-break.
+    "q31_lang_id" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val toks = TA.tokens(col("text"))
+      d.select(col("doc_id"),
+        TA.profileScore(toks, "en").as("s_en"),
+        TA.profileScore(toks, "de").as("s_de"),
+        TA.profileScore(toks, "es").as("s_es"),
+        TA.profileScore(toks, "fr").as("s_fr"),
+        TA.langId(col("text")).as("lang_pred"))
+    },
+
+    // Exact dedup on normalized-text fingerprint. The corpus has no exact
+    // dups, so a copy of every 20th doc (id+1000000) is unioned in — the
+    // dedup path then has real groups to find.
+    "q32_exact_dedup" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dups = d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      Dedup.exactDups(d.unionByName(dups), "doc_id", "text")
+        .select(col("doc_id"), col("fp"), col("group_size"), col("canonical_id"))
+    },
+
+    // MinHash-LSH near-dup pairs, exact-Jaccard verified at >= 0.8.
+    // NO crossJoin anywhere (asserted in LlmSpec); the oracle checks
+    // against all-pairs Jaccard — recall at 32x4 bands is ~1-5e-8.
+    "q33_minhash_neardup" -> { (s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // 32-bit SimHash signature per document (relational pipeline).
+    "q34_simhash" -> { (s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // Exact cosine top-10 for every 100th vector (broadcast query side —
+    // the brute-force baseline). Sim excluded from output: rank + id are
+    // discrete, so the compare is float-robust.
+    "q35_knn_bruteforce" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceKnn(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10)
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    },
+
+    // LSH-bucketed ANN (scale path; rows-only check — the hyperplane
+    // buckets aren't SQL-expressible. Recall vs brute force is asserted
+    // in LlmSpec).
+    "q36_ann_lsh" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.lshKnn(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10)
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    }
+  )
+
+  private val tokSql = "string_split_regex(trim(text), '\\s+')"
+  private def profileSql(listSql: String): String =
+    s"len(list_filter(tk, x -> list_contains($listSql, x)))"
+  private def swList(lang: String): String =
+    TA.stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
+
+  val oracles: Map[String, String] = Map(
+    "q30_text_stats" ->
+      s"""SELECT doc_id, n_tokens, n_chars_nospace,
+         |  CAST(n_chars_nospace AS DOUBLE) / n_tokens AS avg_token_len,
+         |  CAST(s_en AS DOUBLE) / n_tokens AS stopword_ratio,
+         |  least(1.0,
+         |    0.5 * (CAST(s_en AS DOUBLE) / n_tokens)
+         |    + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |    + 0.2 * least((CAST(n_chars_nospace AS DOUBLE) / n_tokens) / 10.0, 1.0)
+         |  ) AS quality
+         |FROM (
+         |  SELECT doc_id, len(tk) AS n_tokens,
+         |    length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_chars_nospace,
+         |    ${profileSql(swList("en"))} AS s_en
+         |  FROM (SELECT doc_id, text, $tokSql AS tk FROM documents))""".stripMargin,
+    "q31_lang_id" ->
+      s"""SELECT doc_id, s_en, s_de, s_es, s_fr,
+         |  CASE WHEN s_en = m THEN 'en' WHEN s_de = m THEN 'de'
+         |       WHEN s_es = m THEN 'es' ELSE 'fr' END AS lang_pred
+         |FROM (
+         |  SELECT doc_id, s_en, s_de, s_es, s_fr,
+         |    greatest(s_en, s_de, s_es, s_fr) AS m
+         |  FROM (
+         |    SELECT doc_id,
+         |      ${profileSql(swList("en"))} AS s_en,
+         |      ${profileSql(swList("de"))} AS s_de,
+         |      ${profileSql(swList("es"))} AS s_es,
+         |      ${profileSql(swList("fr"))} AS s_fr
+         |    FROM (SELECT doc_id, $tokSql AS tk FROM documents)))""".stripMargin,
+    "q32_exact_dedup" ->
+      """SELECT doc_id, fp,
+        |  count(*) OVER (PARTITION BY fp) AS group_size,
+        |  min(doc_id) OVER (PARTITION BY fp) AS canonical_id
+        |FROM (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM (
+        |    SELECT doc_id, text FROM documents
+        |    UNION ALL
+        |    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0))""".stripMargin,
+    "q33_minhash_neardup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(tk[i.g:i.g+2], ' ') AS s
+        |  FROM toks,
+        |    LATERAL UNNEST(generate_series(1, greatest(len(tk)-2, 1))) AS i(g)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, jaccard FROM (
+        |  SELECT d1, d2,
+        |    CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
+        |  FROM inter
+        |  JOIN sizes na ON d1 = na.doc_id
+        |  JOIN sizes nb ON d2 = nb.doc_id)
+        |WHERE jaccard >= 0.8""".stripMargin,
+    "q34_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_reduce(list_transform(
+        |    string_split(substr(md5(t), 1, 8), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS hv
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, g.b AS b,
+        |    CAST(floor(hv / power(2, g.b)) AS BIGINT) % 2 AS bit
+        |  FROM h, LATERAL UNNEST(generate_series(0, 31)) AS g(b)),
+        |votes AS (
+        |  SELECT doc_id, b, SUM(2 * bit - 1) AS vote
+        |  FROM bits GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN vote > 0 THEN power(2, b) ELSE 0 END) AS BIGINT)
+        |    AS simhash
+        |FROM votes GROUP BY 1""".stripMargin,
+    "q35_knn_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS neighbor_id,
+        |    list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))
+        |        * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))
+        |      AS sim
+        |  FROM q, embeddings e WHERE e.vec_id != q.qid)
+        |SELECT qid, rank, neighbor_id FROM (
+        |  SELECT qid, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC)
+        |      AS rank
+        |  FROM scored)
+        |WHERE rank <= 10""".stripMargin
+    // q36_ann_lsh: intentionally no oracle — rows-only check; recall vs
+    // brute force asserted in LlmSpec.
+  )
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Similarity}
+import graft.operators.LlmQueries
+
+class LlmSpec extends SparkSpec {
+
+  test("minhash near-dup plan contains no cartesian product") {
+    val df = LlmQueries.queries("q33_minhash_neardup")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in plan:\n$plan")
+  }
+
+  test("minhash near-dups finds the planted duplicate pairs at sf0.001") {
+    val pairs = LlmQueries.queries("q33_minhash_neardup")(spark, sf).collect()
+    // The driver's corpus plants near-identical docs; every reported pair
+    // must actually exceed the threshold.
+    pairs.foreach { r =>
+      assert(r.getAs[Double]("jaccard") >= 0.8)
+      assert(r.getAs[Long]("d1") < r.getAs[Long]("d2"))
+    }
+  }
+
+  test("exact dedup groups the synthesized copies") {
+    val out = LlmQueries.queries("q32_exact_dedup")(spark, sf)
+    val grouped = out.filter(col("group_size") > 1)
+    assert(grouped.count() > 0, "no duplicate groups found")
+    // Every synthesized copy (id >= 1000000) maps to its original.
+    val bad = out.filter(col("doc_id") >= 1000000 &&
+      col("canonical_id") =!= col("doc_id") - 1000000).count()
+    assert(bad == 0)
+  }
+
+  test("simhash: near-identical docs have close signatures") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "completely different content about spark query engines at scale"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(1L), sig(2L)) < hamming(sig(1L), sig(3L)),
+      s"signatures: $sig")
+    assert(sig.values.forall(v => v >= 0 && v < (1L << 32)))
+  }
+
+  test("LSH ANN recall vs brute force is substantial on sf0.001") {
+    val e = graft.Tables.t(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val bf = Similarity.bruteForceKnn(e, q, "vec_id", "embedding", k = 10)
+      .select("qid", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val lsh = Similarity.lshKnn(e, q, "vec_id", "embedding", k = 10)
+      .select("qid", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val recalls = bf.map { case (qid, truth) =>
+      lsh.getOrElse(qid, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.4, s"avg recall@10 = $avg — LSH candidates too sparse")
+    // And the brute-force top-1 with a duplicate-grade sim must be found:
+    // planted duplicate vectors share all sign buckets.
+  }
+
+  test("brute-force knn: query side is broadcast (no shuffle of corpus)") {
+    val e = graft.Tables.t(spark, sf, "embeddings")
+    val df = Similarity.bruteForceKnn(e, e.filter(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", k = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"query side not broadcast:\n$plan")
+  }
+}
