@@ -1,0 +1,61 @@
+package graft.cube
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.rdf.NTriples
+import Spec._
+
+/** End-to-end t-fdpToRdf pipeline (SURVEY.md §3.1): descriptor triples →
+  * spec → CSV with dialect → observation triples → N-Triples file.
+  */
+object CubePipeline {
+
+  /** CSV source with per-resource dialect (S4: Parser.java:32-65 +
+    * HeaderParser defaults), all columns strings, plus `_row` = 1-based
+    * file-order row number.
+    *
+    * W1 contract (SURVEY.md §7.4 risk 2): observation IRIs embed the row
+    * number in FILE ORDER. zipWithIndex preserves it — partitions of a
+    * single text file are ordered by byte offset and rows stay in order
+    * within each split; the reference enforces single-CSV input
+    * (FdpToRdf.java:297), which this inherits.
+    */
+  def readCsv(spark: SparkSession, path: String,
+              dialect: CsvDialect = CsvDialect()): DataFrame = {
+    val raw = spark.read
+      .option("header", "true")
+      .option("delimiter", dialect.delimiter)
+      .option("quote", dialect.quote)
+      .option("inferSchema", "false")
+      .csv(path)
+    val indexed = raw.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(indexed, raw.schema.add("_row", LongType))
+  }
+
+  /** descriptor + CSV → triples (canonical schema). */
+  def run(spark: SparkSession, descriptor: DataFrame, csvPath: String,
+          resourceName: Option[String] = None,
+          mode: Emitter.RoundingMode = Emitter.ExactBinary): DataFrame = {
+    val spec = SpecExtraction.extract(descriptor, resourceName)
+    Emitter.emit(readCsv(spark, csvPath, spec.dialect), spec, mode)
+  }
+
+  /** K2: N-Triples text sink with the reference's CRLF + " ." line shape
+    * (PlainTextTripleWriter.java:27-57). `singleFile` coalesces for
+    * byte-comparable single-file output like `<packageName>.nt`; leave
+    * false for distributed part files at scale.
+    */
+  def writeNt(triples: DataFrame, path: String,
+              singleFile: Boolean = false): Unit = {
+    val lines = triples.select(NTriples.line(col("s"), col("p"), col("o"),
+      col("oIsIri"), col("oLang"), col("oDatatype")).as("value"))
+    val out = if (singleFile) lines.coalesce(1) else lines
+    // Spark's text sink terminates lines with \n; CRLF parity comes from
+    // embedding the \r via lineSeparator.
+    out.write.option("lineSep", "\r\n").mode("overwrite").text(path)
+  }
+}
