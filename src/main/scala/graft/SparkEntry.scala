@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CubeQueries, LlmQueries, RdfQueries, RelationalQueries, ScalarQueries}
+import graft.operators.{CatalogQueries, CubeQueries, LlmQueries, RdfQueries, RelationalQueries, ScalarQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,9 +21,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ RdfQueries.queries ++ ScalarQueries.queries ++
-      LlmQueries.queries ++ CubeQueries.queries
+      LlmQueries.queries ++ CubeQueries.queries ++ CatalogQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ RdfQueries.oracles ++ ScalarQueries.oracles ++
-      LlmQueries.oracles ++ CubeQueries.oracles
+      LlmQueries.oracles ++ CubeQueries.oracles ++ CatalogQueries.oracles
 }

@@ -1,0 +1,44 @@
+package graft.catalog
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** J3: existing-resource reconciliation (the trickiest join semantics in
+  * the reference, DcatAp11ToCkanBatch.java:209-251, :455-463, :504-507).
+  *
+  * New distributions are matched against the catalog's existing resources
+  * by `distro_url` FIRST, else by `url`; matched resources keep their CKAN
+  * id; existing resources that no new distribution claimed are preserved
+  * and appended back into the package (preserve-unknown semantics).
+  *
+  * Set-based translation: two left joins + coalesce for the 2-key
+  * priority; a left-anti join for the preserved remainder. (The reference
+  * additionally removes a matched id from the pool so a second distribution
+  * cannot reuse it — with unique URLs, the set-based result is identical;
+  * duplicate-URL catalogs would need a row_number tie-break.)
+  */
+object Reconcile {
+
+  /** Attach existing ids to new distributions.
+    * `existing`: (id, url, distro_url). Adds `id` (nullable).
+    */
+  def attachIds(newRes: DataFrame, existing: DataFrame): DataFrame = {
+    val byDistro = existing.select(col("distro_url").as("_ed"),
+      col("id").as("_id_d"))
+    val byUrl = existing.select(col("url").as("_eu"), col("id").as("_id_u"))
+    newRes
+      .join(broadcast(byDistro), col("distro_url") === col("_ed"), "left_outer")
+      .join(broadcast(byUrl), col("url") === col("_eu"), "left_outer")
+      .withColumn("id", coalesce(col("_id_d"), col("_id_u")))
+      .drop("_ed", "_id_d", "_eu", "_id_u")
+  }
+
+  /** Existing resources claimed by no new distribution (these get appended
+    * back to the package's resources array).
+    */
+  def preserved(newRes: DataFrame, existing: DataFrame): DataFrame = {
+    val claimed = attachIds(newRes, existing)
+      .select(col("id")).filter(col("id").isNotNull).distinct()
+    existing.join(claimed, Seq("id"), "left_anti")
+  }
+}
