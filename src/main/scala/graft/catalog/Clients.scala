@@ -1,0 +1,114 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's HTTP edges (S8-S11 scans, K4-K8 sinks) behind traits so
+  * the engine stays testable offline (SURVEY.md §7.4 risk 9: the
+  * retry-until-responded loops aren't idempotent, so live HTTP is kept out
+  * of the engine; tests use [[RecordingClient]]).
+  *
+  * The API contracts are inherently row-at-a-time (one POST per package /
+  * node), so the drivers below iterate over collect()ed rows — catalog
+  * sizes are thousands, not billions; the heavy lifting (extraction,
+  * reconciliation) happened in the distributed plan upstream.
+  */
+trait CatalogClient {
+  /** S8: organization list (uri → name). */
+  def organizations(): Seq[(String, String)]
+  /** S10: existence probe → existing resources (id, url, distro_url). */
+  def packageShow(id: String): Option[Seq[(String, String, String)]]
+  /** K4 / K5 / K6 / K8. */
+  def createPackage(id: String, json: String): Either[String, Unit]
+  def updatePackage(id: String, json: String): Either[String, Unit]
+  def createOrganization(name: String, title: String, uri: String): Either[String, Unit]
+  def deleteDataset(id: String): Either[String, Unit]
+  /** S9-style paginated listing (DKAN node.json) — drained page by page
+    * until an empty page (pagesize 20, DcatAp11ToDkanBatch.java:67).
+    */
+  def listPage(page: Int): Seq[String]
+}
+
+/** In-memory fake that records every call — the test double for the
+  * loader/purger drivers.
+  */
+class RecordingClient(
+    var orgs: Seq[(String, String)] = Nil,
+    var existing: Map[String, Seq[(String, String, String)]] = Map.empty,
+    var pages: Seq[Seq[String]] = Nil,
+    var failOn: Set[String] = Set.empty) extends CatalogClient {
+  val calls = collection.mutable.ArrayBuffer[(String, String)]()
+  private def record(kind: String, id: String): Either[String, Unit] = {
+    calls += ((kind, id))
+    if (failOn.contains(id)) Left(s"simulated failure for $id") else Right(())
+  }
+  def organizations(): Seq[(String, String)] = { calls += (("orgs", "")); orgs }
+  def packageShow(id: String): Option[Seq[(String, String, String)]] = {
+    calls += (("show", id)); existing.get(id)
+  }
+  def createPackage(id: String, json: String): Either[String, Unit] = record("create", id)
+  def updatePackage(id: String, json: String): Either[String, Unit] = record("update", id)
+  def createOrganization(name: String, title: String, uri: String): Either[String, Unit] = record("createOrg", name)
+  def deleteDataset(id: String): Either[String, Unit] = record("delete", id)
+  def listPage(page: Int): Seq[String] = {
+    calls += (("page", page.toString))
+    if (page < pages.size) pages(page) else Nil
+  }
+}
+
+/** K4/K5 loader driver: create-or-update each package row against the
+  * catalog (DcatAp11ToCkanBatch.java:521-606 semantics: existence probe
+  * decides create vs update).
+  */
+object CkanLoad {
+  def run(packages: DataFrame, client: CatalogClient): Seq[(String, String)] = {
+    val rows = CkanExtract.toJsonl(packages).collect().map(_.getString(0))
+    val names = packages.select(col("name")).collect().map(_.getString(0))
+    names.zip(rows).map { case (name, json) =>
+      client.packageShow(name) match {
+        case Some(_) =>
+          client.updatePackage(name, json).fold(e => name -> s"error: $e",
+            _ => name -> "updated")
+        case None =>
+          client.createPackage(name, json).fold(e => name -> s"error: $e",
+            _ => name -> "created")
+      }
+    }.toSeq
+  }
+}
+
+/** x-ckanPurger / x-dkanPurger parity: id sources + delete driver. */
+object Purge {
+
+  /** S6: single-column CSV id scan — column 0, header skipped, fixed
+    * dialect (x-ckanPurger CsvReader.java:14-39); a directory input
+    * unions all files (U2, CkanPurger.java:76-82).
+    */
+  def idsFromCsv(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.option("header", "true").csv(path)
+    df.select(col(df.columns.head).as("id"))
+  }
+
+  /** S9+S11: drain a paginated listing until the first empty page
+    * (DkanPurger.java:98-139 — pagination is sequential by API contract).
+    */
+  def idsFromPages(client: CatalogClient): Seq[String] =
+    Iterator.from(0).map(client.listPage)
+      .takeWhile(_.nonEmpty).flatten.toSeq
+
+  /** K8: delete loop with the failOnError policy — failures accumulate
+    * and only throw at the end when failOnError is set
+    * (CkanPurger.java:103-140).
+    */
+  def purge(ids: Seq[String], client: CatalogClient,
+            failOnError: Boolean): Seq[(String, String)] = {
+    val results = ids.map { id =>
+      client.deleteDataset(id).fold(e => id -> s"error: $e", _ => id -> "deleted")
+    }
+    val failures = results.filter(_._2.startsWith("error"))
+    if (failOnError && failures.nonEmpty)
+      throw new RuntimeException(
+        s"${failures.size} deletes failed: ${failures.take(3).map(_._1).mkString(", ")}")
+    results
+  }
+}

@@ -100,6 +100,19 @@ object CatalogQueries {
           .as("resources_concat"))
     },
 
+    // DKAN form-field extraction (F14 fallbacks, A3 quoted tags, F6
+    // RÚIAN defaults), flattened to (entity, field, value).
+    "q40_dkan_fields" -> { (s, dir) =>
+      val t = catalogTriples(s, dir)
+      val ds = graft.catalog.DkanExtract.datasetFields(t)
+        .select(col("dataset").as("entity"), explode(col("fields")).as("f"))
+      val res = graft.catalog.DkanExtract.resourceFields(t)
+        .select(col("distro_url").as("entity"), explode(col("fields")).as("f"))
+      ds.unionByName(res)
+        .select(col("entity"), col("f.name").as("field"),
+          col("f.value").as("value"))
+    },
+
     // J3: 2-key priority reconciliation + preserve-unknown remainder.
     "q39_reconcile" -> { (s, dir) =>
       val o = t(s, dir, "orders")
@@ -158,6 +171,42 @@ object CatalogQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |LEFT JOIN agg ON agg.k = c_custkey
         |WHERE c_custkey % 50 = 0""".stripMargin,
+    "q40_dkan_fields" -> {
+      val dsFields = Seq(
+        "'type'" -> "'dataset'",
+        "'field_tags[und][value_field]'" ->
+          "'\"\"' || c_mktsegment || '\"\" \"\"k' || c_custkey || '\"\" '",
+        "'title'" -> "c_name",
+        "'body[und][0][value]'" ->
+          "CASE WHEN c_custkey % 100 = 0 THEN 'Desc ' || c_mktsegment ELSE c_name END",
+        "'field_maintainer_email[und][0][value]'" ->
+          "'mailto:c' || c_custkey || '@x.cz'",
+        "'field_publisher_uri[und][0][value]'" ->
+          "'urn:cat/org/' || c_nationkey",
+        "'field_publisher_name[und][0][value]'" -> "n_name",
+        "'field_frequency_ods[und][0][value]'" -> "'urn:freq/A'",
+        "'field_theme[und][0][value]'" -> "'urn:theme/T1 urn:theme/T2 '",
+        "'field_ruian_type[und][0][value]'" -> "'ST'",
+        "'field_ruian_code[und][0][value]'" -> "'1'")
+      val rsFields = Seq(
+        "'type'" -> "'resource'",
+        "'title'" -> "'Dist ' || o_orderkey",
+        "'field_link_remote_file[und][0][filemime]'" -> "'text/csv'",
+        "'field_link_remote_file[und][0][filefield_remotefile][url]'" ->
+          """CASE WHEN o_orderkey % 20 = 0 THEN 'http://dl/' || o_orderkey
+            |ELSE 'http://acc/' || o_orderkey END""".stripMargin,
+        "'field_licence[und][0][value]'" ->
+          "'http://joinup.ec.europa.eu/category/licence/unknown-licence'",
+        "'field_mimetype[und][0][value]'" -> "'text/csv'")
+      val dsSel = dsFields.map { case (f, v) =>
+        s"""SELECT 'urn:cat/ds/' || c_custkey AS entity, $f AS field, $v AS value
+           |FROM customer JOIN nation ON c_nationkey = n_nationkey
+           |WHERE c_custkey % 50 = 0""".stripMargin }
+      val rsSel = rsFields.map { case (f, v) =>
+        s"""SELECT 'urn:cat/dist/' || o_orderkey AS entity, $f AS field, $v AS value
+           |FROM orders WHERE o_custkey % 50 = 0 AND o_orderkey % 10 = 0""".stripMargin }
+      (dsSel ++ rsSel).mkString("\nUNION ALL\n")
+    },
     "q39_reconcile" ->
       """WITH newres AS (
         |  SELECT 'urn:dist/' || o_orderkey AS distro_url,
