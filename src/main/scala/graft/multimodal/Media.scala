@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * payloads + typed metadata, with feature extraction as a batched
+  * per-partition pipeline (the Scala analogue of `mapInPandas`: one
+  * Iterator-to-Iterator transform per partition, processing fixed-size
+  * batches so a real decoder could amortize model/codec setup per batch
+  * and bound memory).
+  *
+  * The DECODE STEP IS A DETERMINISTIC FAKE (this container has no
+  * image/audio libs): [[FakeDecoder.features]] derives features from raw
+  * bytes only. Swap [[Decoder]] for a real implementation to productionize
+  * — everything else (schema, batching, partition flow) is real and
+  * tested.
+  *
+  * Scale notes: feature extraction is map-only (no shuffle); payload
+  * columns should be read with a pushed projection so scans don't drag
+  * blobs through stages that only need metadata; batch size bounds
+  * per-task memory at 100 TB of media.
+  */
+object Media {
+
+  /** Canonical media schema: opaque payload + typed metadata. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("n_bytes", IntegerType),
+    StructField("first_byte", IntegerType),
+    StructField("last_byte", IntegerType),
+    StructField("checksum", LongType)))
+
+  /** A decoder turns one batch of payloads into one batch of feature
+    * rows. Real implementations (JPEG decode → CNN features, audio →
+    * spectrogram, video → frame sample) plug in here.
+    */
+  trait Decoder extends Serializable {
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row]
+  }
+
+  /** Deterministic stand-in for the decode step (STUB — see class doc). */
+  object FakeDecoder extends Decoder {
+    def features(b: Array[Byte]): Row = {
+      val checksum = ((b.length.toLong * 31 +
+        (if (b.nonEmpty) (b.head & 0xff) + (b.last & 0xff) else 0)) % 9973)
+      Row(b.length,
+        if (b.nonEmpty) b.head & 0xff else 0,
+        if (b.nonEmpty) b.last & 0xff else 0,
+        checksum)
+    }
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row] =
+      payloads.map(features)
+  }
+
+  /** Batched per-partition feature extraction. Input needs `payload`
+    * (binary); output appends a `features` struct. `batchSize` is the
+    * mapInPandas-style batch shape — decode work happens per batch, not
+    * per row.
+    */
+  def extractFeatures(df: DataFrame, decoder: Decoder = FakeDecoder,
+                      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", featureSchema))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val feats = decoder.decodeBatch(
+          batch.map(_.getAs[Array[Byte]](payloadIdx)))
+        batch.lazyZip(feats).map((r, f) => Row.fromSeq(r.toSeq :+ f))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic frame sampling stub: pick every `stride`-th byte
+    * window as a "frame" (the real thing would seek keyframes). Shows the
+    * explode-to-frames shape: one row per sampled frame.
+    */
+  def sampleFrames(df: DataFrame, frameBytes: Int = 16,
+                   stride: Int = 64): DataFrame = {
+    val nFrames = greatest(
+      ((length(col("payload")) - frameBytes) / stride).cast("int"), lit(0))
+    df.withColumn("frame_no", explode(sequence(lit(0), nFrames)))
+      .withColumn("frame", col("payload")
+        .substr(col("frame_no") * stride + 1, lit(frameBytes)))
+  }
+}

@@ -77,6 +77,20 @@ object LlmQueries {
       Similarity.lshKnn(e, e.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 10)
         .select(col("qid"), col("rank"), col("neighbor_id"))
+    },
+
+    // Multimodal plumbing: opaque binary payloads through the batched
+    // per-partition feature extractor (decode step is a deterministic
+    // fake — byte-level features the oracle can mirror).
+    "q41_multimodal_features" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      graft.multimodal.Media.extractFeatures(d)
+        .select(col("doc_id"),
+          col("features.n_bytes").as("n_bytes"),
+          col("features.first_byte").as("first_byte"),
+          col("features.last_byte").as("last_byte"),
+          col("features.checksum").as("checksum"))
     }
   )
 
@@ -184,8 +198,17 @@ object LlmQueries {
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC)
         |      AS rank
         |  FROM scored)
-        |WHERE rank <= 10""".stripMargin
+        |WHERE rank <= 10""".stripMargin,
     // q36_ann_lsh: intentionally no oracle — rows-only check; recall vs
     // brute force asserted in LlmSpec.
+    "q41_multimodal_features" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  ord(substr(text, 1, 1)) AS first_byte,
+        |  ord(substr(text, length(text), 1)) AS last_byte,
+        |  (CAST(octet_length(encode(text)) AS BIGINT) * 31
+        |    + ord(substr(text, 1, 1))
+        |    + ord(substr(text, length(text), 1))) % 9973 AS checksum
+        |FROM documents""".stripMargin
   )
 }
