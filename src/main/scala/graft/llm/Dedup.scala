@@ -33,13 +33,23 @@ object Dedup {
     array((0 until n).map(i =>
       array_min(transform(shingleCol, s => xxhash64(s, lit(i))))): _*)
 
-  /** LSH bands over a minhash signature: `bands` structs of
-    * (band, band_hash) where band_hash fuses `rowsPerBand` signature slots.
+  /** LSH band hashes computed DIRECTLY from the shingle column: band b's
+    * hash fuses `rowsPerBand` per-slot minhash expressions, each appearing
+    * exactly once in the plan.
+    *
+    * Deliberately NOT `element_at(minhash(sh), i)`: Catalyst inlines the
+    * shared 128-slot array expression into every element_at (projection
+    * collapse defeats subexpression reuse across higher-order functions),
+    * re-evaluating the whole signature per slot — a 128× blowup that took
+    * the sf0.1 bench from seconds to 20 minutes.
     */
-  def lshBands(mh: Column, bands: Int = 32, rowsPerBand: Int = 4): Column =
+  def lshBands(shingleCol: Column, bands: Int = 32,
+               rowsPerBand: Int = 4): Column =
     array((0 until bands).map { b =>
-      val slots = (0 until rowsPerBand)
-        .map(r => element_at(mh, b * rowsPerBand + r + 1))
+      val slots = (0 until rowsPerBand).map { r =>
+        array_min(transform(shingleCol,
+          s => xxhash64(s, lit(b * rowsPerBand + r))))
+      }
       struct(lit(b).as("band"), xxhash64(slots: _*).as("bh"))
     }: _*)
 
@@ -59,10 +69,13 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.8): DataFrame = {
+    // cache(): the shingle arrays feed 128 hash transforms plus the verify
+    // joins — without the materialization barrier, projection collapse
+    // would recompute the tokenize+slice+distinct pipeline inside each.
     val withShingles = docs.select(col(idCol).as("_id"),
-      shingles(col(textCol)).as("_sh"))
+      shingles(col(textCol)).as("_sh")).cache()
     val banded = withShingles
-      .select(col("_id"), explode(lshBands(minhash(col("_sh")))).as("_b"))
+      .select(col("_id"), explode(lshBands(col("_sh"))).as("_b"))
       .select(col("_id"), col("_b.band").as("_band"), col("_b.bh").as("_bh"))
     val candidates = banded.as("l")
       .join(banded.as("r"),
