@@ -34,10 +34,15 @@ object Similarity {
     */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int = 10): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("_qv"))
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
+    // Norms precomputed once per VECTOR, not per pair — at |q|×|corpus|
+    // pairs the per-pair norm aggregates dominate otherwise.
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("_qv"),
+      norm(col(vecCol)).as("_qn"))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"),
+        norm(col(vecCol)).as("_cn"))
       .join(broadcast(q), col("neighbor_id") =!= col("qid"))
-      .withColumn("sim", cosine(col("_qv"), col("_v")))
+      .withColumn("sim", dot(col("_qv"), col("_v")) / (col("_qn") * col("_cn")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -70,25 +75,31 @@ object Similarity {
              vecCol: String, k: Int = 10, dim: Int = 64,
              tables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
     val ps = planes(dim, tables, bitsPerTable)
-    def withBuckets(df: DataFrame, id: String, vec: String) =
+    def withBuckets(df: DataFrame, id: String, vec: String, nrm: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
+        norm(col(vecCol)).as(nrm),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("t"), bucket(col(vecCol), ps(t)).as("bk"))): _*))
           .as("_tb"))
-        .select(col(id), col(vec), col("_tb.t").as(s"${id}_t"),
+        .select(col(id), col(vec), col(nrm), col("_tb.t").as(s"${id}_t"),
           col("_tb.bk").as(s"${id}_bk"))
 
-    val c = withBuckets(corpus, "neighbor_id", "_v")
-    val q = withBuckets(queries, "qid", "_qv")
+    val c = withBuckets(corpus, "neighbor_id", "_v", "_cn")
+    val q = withBuckets(queries, "qid", "_qv", "_qn")
+    // Dedupe multi-table collisions on the ID PAIR (first() carries the
+    // vectors) — a distinct over the raw float arrays would shuffle and
+    // compare the full payloads.
     val candidates = c.join(broadcast(q),
       col("neighbor_id_t") === col("qid_t") &&
         col("neighbor_id_bk") === col("qid_bk") &&
         col("neighbor_id") =!= col("qid"))
-      .select(col("qid"), col("_qv"), col("neighbor_id"), col("_v"))
-      .distinct()
+      .groupBy(col("qid"), col("neighbor_id"))
+      .agg(first(col("_qv")).as("_qv"), first(col("_v")).as("_v"),
+        first(col("_qn")).as("_qn"), first(col("_cn")).as("_cn"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    candidates.withColumn("sim", cosine(col("_qv"), col("_v")))
+    candidates
+      .withColumn("sim", dot(col("_qv"), col("_v")) / (col("_qn") * col("_cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("neighbor_id"), col("sim"))
