@@ -61,6 +61,31 @@ class RecordingClient(
   * decides create vs update).
   */
 object CkanLoad {
+
+  /** K6 + J2 + F3: auto-create missing publisher organizations
+    * (DcatAp11ToCkanBatch.java:264-319) — the org list from the API (S8)
+    * is probed by publisher_uri; missing publishers are created with the
+    * NFD-slugged publisher name and the uri recorded as an extra.
+    * Returns (publisher_uri → org name) including the new ones.
+    */
+  def ensureOrganizations(packages: DataFrame,
+                          client: CatalogClient): Map[String, String] = {
+    val known = client.organizations().toMap // uri → name
+    val publishers = packages
+      .filter(col("publisher_uri").isNotNull)
+      .select(col("publisher_uri"),
+        graft.functions.Scalars.nfdSlug(col("publisher_name")).as("slug"),
+        col("publisher_name"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    publishers.foldLeft(known) { case (acc, (uri, slug, name)) =>
+      if (acc.contains(uri)) acc
+      else {
+        client.createOrganization(slug, Option(name).getOrElse(uri), uri)
+        acc + (uri -> slug)
+      }
+    }
+  }
   def run(packages: DataFrame, client: CatalogClient): Seq[(String, String)] = {
     val rows = CkanExtract.toJsonl(packages).collect().map(_.getString(0))
     val names = packages.select(col("name")).collect().map(_.getString(0))

@@ -44,18 +44,36 @@ object CubePipeline {
     Emitter.emit(readCsv(spark, csvPath, spec.dialect), spec, mode)
   }
 
+  /** Triples → rendered N-Triples lines (column `value`). */
+  def renderLines(triples: DataFrame): DataFrame =
+    triples.select(NTriples.line(col("s"), col("p"), col("o"),
+      col("oIsIri"), col("oLang"), col("oDatatype")).as("value"))
+
+  /** S7: N-Triples passthrough (FdpToRdf.java:302-311) — `.nt` input
+    * files are copied verbatim into the output alongside freshly emitted
+    * lines.
+    */
+  def withPassthrough(spark: SparkSession, lines: DataFrame,
+                      ntPaths: Seq[String]): DataFrame =
+    ntPaths.foldLeft(lines) { (acc, p) =>
+      acc.unionByName(spark.read.text(p))
+    }
+
   /** K2: N-Triples text sink with the reference's CRLF + " ." line shape
     * (PlainTextTripleWriter.java:27-57). `singleFile` coalesces for
     * byte-comparable single-file output like `<packageName>.nt`; leave
     * false for distributed part files at scale.
     */
   def writeNt(triples: DataFrame, path: String,
-              singleFile: Boolean = false): Unit = {
-    val lines = triples.select(NTriples.line(col("s"), col("p"), col("o"),
-      col("oIsIri"), col("oLang"), col("oDatatype")).as("value"))
+              singleFile: Boolean = false): Unit =
+    writeLines(renderLines(triples), path, singleFile)
+
+  /** Line-level text sink (used directly when passthrough `.nt` lines are
+    * unioned in). CRLF parity via lineSep.
+    */
+  def writeLines(lines: DataFrame, path: String,
+                 singleFile: Boolean = false): Unit = {
     val out = if (singleFile) lines.coalesce(1) else lines
-    // Spark's text sink terminates lines with \n; CRLF parity comes from
-    // embedding the \r via lineSeparator.
     out.write.option("lineSep", "\r\n").mode("overwrite").text(path)
   }
 }

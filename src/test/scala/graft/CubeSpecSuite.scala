@@ -202,6 +202,32 @@ class CubeSpecSuite extends SparkSpec {
       s"<$obs1> <${Vocab.OBEU_AMOUNT}> \"1302.46\"^^<${Vocab.XSD_DECIMAL}> .\r\n"))
   }
 
+  test("S5: UTF-8 BOM in the CSV header is stripped by the reader") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bom").toFile
+    val csv = new java.io.File(dir, "bom.csv")
+    java.nio.file.Files.write(csv.toPath,
+      ("\ufeff" + "col_a,col_b\nv1,v2\n").getBytes("UTF-8"))
+    val df = CubePipeline.readCsv(spark, csv.getPath)
+    assert(df.columns.take(2).toSeq == Seq("col_a", "col_b"),
+      s"BOM leaked into header: ${df.columns.mkString(",")}")
+    assert(df.collect().head.getString(0) == "v1")
+  }
+
+  test("S7: .nt passthrough lines are unioned into the output verbatim") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-passthru").toFile
+    val nt = new java.io.File(dir, "extra.nt")
+    java.nio.file.Files.writeString(nt.toPath,
+      "<urn:x> <urn:p> \"keep\" .\n<urn:y> <urn:p> <urn:z> .\n")
+    import spark.implicits._
+    val fresh = Seq("<urn:new> <urn:p> \"emitted\" .").toDF("value")
+    val all = CubePipeline.withPassthrough(spark, fresh, Seq(nt.getPath))
+      .collect().map(_.getString(0)).toSet
+    assert(all == Set(
+      "<urn:new> <urn:p> \"emitted\" .",
+      "<urn:x> <urn:p> \"keep\" .",
+      "<urn:y> <urn:p> <urn:z> ."))
+  }
+
   test("emitter: row numbers follow file order (W1)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-w1").toFile
     val csv = new java.io.File(dir, "rows.csv")

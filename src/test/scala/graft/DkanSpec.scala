@@ -98,6 +98,23 @@ class DkanSpec extends SparkSpec {
     assert(client.calls.size == before + 3)
   }
 
+  test("K6: missing publisher orgs are auto-created with NFD-slugged names") {
+    val catalog = Turtle.read(spark,
+      "/root/reference/l-dcatAp11ToCkanBatch/src/test/resources/input.ttl")
+    // loadLanguage=cs so publisher_name resolves ("ČSSZ"@cs).
+    val pkgs = CkanExtract.packages(catalog,
+      cfg = CkanExtract.Config(loadLanguage = "cs"))
+    val client = new RecordingClient(orgs = Seq())
+    val orgs = CkanLoad.ensureOrganizations(pkgs, client)
+    // NFD slug of "ČSSZ" → "cssz" (DcatAp11ToCkanBatch.java:273-277).
+    assert(orgs == Map("https://cssz.cz" -> "cssz"))
+    assert(client.calls.contains(("createOrg", "cssz")))
+    // Known orgs are not re-created.
+    val client2 = new RecordingClient(orgs = Seq("https://cssz.cz" -> "existing"))
+    CkanLoad.ensureOrganizations(pkgs, client2)
+    assert(!client2.calls.exists(_._1 == "createOrg"))
+  }
+
   test("S6: CSV id-list source reads column 0 across a directory (U2)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-purge").toFile
     java.nio.file.Files.writeString(
