@@ -283,6 +283,22 @@ object SpecExtraction {
     }.getOrElse(CsvDialect())
   }
 
+  /** A6: recompute each component's attribute count from the graph and
+    * compare with the declared fdprdf:attributeCount — descriptor-
+    * validation counterpart of the reference's trust-the-descriptor reads.
+    * Returns (component, declared, actual) rows for mismatches only.
+    */
+  def validateAttributeCounts(t: DataFrame): DataFrame = {
+    val declared = prop(t, F + "attributeCount", "component", "declared")
+      .withColumn("declared", col("declared").cast("long"))
+    val actual = prop(t, F + "attribute", "component", "attribute")
+      .groupBy("component")
+      .agg(countDistinct(col("attribute")).as("actual"))
+    declared.join(actual, Seq("component"), "left_outer")
+      .withColumn("actual", coalesce(col("actual"), lit(0L)))
+      .filter(col("declared") =!= col("actual"))
+  }
+
   /** Full extraction, in the reference's fixed kind order. */
   def extract(triples: DataFrame, resourceName: Option[String] = None): CubeSpec = {
     val t = triples.cache()

@@ -36,27 +36,32 @@ object EventsStream {
 
   /** Gap-based sessionization via keyed state
     * (KeyValueGroupedDataset.flatMapGroupsWithState): a session per
-    * event_type closes after `gapMs` of silence (processing-time timeout
-    * keeps the example driver-testable).
+    * event_type closes after `gapMs` of event-time silence. EVENT-time
+    * timeouts keyed to the watermark — deterministic under replay (a
+    * processing-time timeout would couple session boundaries to wall
+    * clock), and the watermark bounds state size at scale.
+    *
+    * Callers must `withWatermark("ts", …)` on the input before the typed
+    * conversion.
     */
   def sessionize(events: Dataset[Event], gapMs: Long = 60000): Dataset[Session] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
     events.groupByKey(_.event_type)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key, rows, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
             Iterator(Session(key, s.count, s.lastTs))
           } else {
-            val events = rows.toSeq
+            val batch = rows.toSeq
             val prev = state.getOption.getOrElse(SessionState(0L, 0L))
-            val next = SessionState(prev.count + events.size,
-              events.map(_.ts.getTime).max)
+            val next = SessionState(prev.count + batch.size,
+              math.max(prev.lastTs, batch.map(_.ts.getTime).max))
             state.update(next)
-            state.setTimeoutDuration(gapMs)
+            state.setTimeoutTimestamp(next.lastTs + gapMs)
             Iterator.empty
           }
       }

@@ -202,6 +202,21 @@ class CubeSpecSuite extends SparkSpec {
       s"<$obs1> <${Vocab.OBEU_AMOUNT}> \"1302.46\"^^<${Vocab.XSD_DECIMAL}> .\r\n"))
   }
 
+  test("A6: attributeCount validation flags mismatched components only") {
+    val ok = SpecExtraction.validateAttributeCounts(descriptor)
+    assert(ok.count() == 0, ok.collect().mkString(", "))
+    // Corrupt one declared count → exactly that component is flagged.
+    val bad = descriptor.withColumn("o",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("s") === "urn:c2" &&
+          org.apache.spark.sql.functions.col("p") === F + "attributeCount",
+        "5").otherwise(org.apache.spark.sql.functions.col("o")))
+    val flagged = SpecExtraction.validateAttributeCounts(bad).collect()
+    assert(flagged.length == 1 && flagged.head.getAs[String]("component") == "urn:c2")
+    assert(flagged.head.getAs[Long]("declared") == 5L &&
+      flagged.head.getAs[Long]("actual") == 2L)
+  }
+
   test("S5: UTF-8 BOM in the CSV header is stripped by the reader") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bom").toFile
     val csv = new java.io.File(dir, "bom.csv")

@@ -60,6 +60,31 @@ class MediaStreamSpec extends SparkSpec {
       r.getAs[Double]("sum_value") == 3.0), out.mkString("\n"))
   }
 
+  test("streaming: event-time sessionization closes on watermark passage") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val typed = mem.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "0 seconds")
+      .as[EventsStream.Event]
+    val q = EventsStream.sessionize(typed, gapMs = 60000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    def ts(m: Int, s: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:$s%02d")
+    mem.addData((ts(0, 0), "click", 1.0), (ts(0, 30), "click", 1.0))
+    q.processAllAvailable()
+    // Watermark jumps past 10:01:30 (last click + 60s gap) → the click
+    // session times out and closes with 2 events.
+    mem.addData((ts(5, 0), "view", 1.0))
+    q.processAllAvailable()
+    mem.addData((ts(9, 0), "view", 1.0)) // extra batch to fire timeouts
+    q.processAllAvailable()
+    val out = spark.table("sessions").as[EventsStream.Session].collect()
+    q.stop()
+    assert(out.exists(s => s.event_type == "click" && s.n_events == 2 &&
+      s.closedAtMs == ts(0, 30).getTime), out.mkString("\n"))
+  }
+
   test("streaming: batch form of hourlyStats matches q13's aggregation shape") {
     val e = Tables.t(spark, sf, "events")
     val out = EventsStream.hourlyStats(e)
