@@ -50,12 +50,49 @@ object Emitter {
   /** Merged primary key of a dimension: `-`-joined url-encoded key
     * attribute values in spec order (FdpDimension.java:89-102).
     */
-  private def mergedKey(dim: DimensionSpec): Column =
+  private def mergedKeyExpr(dim: DimensionSpec): Column =
     concat_ws("-", dim.attributes.filter(_.isKey)
       .map(a => Scalars.urlEncode(col(a.sourceColumn))): _*)
 
+  // Shared per-row subexpressions (value IRIs, merged keys, hierarchy
+  // level IRIs, classified dates) are PRECOMPUTED as hidden helper columns
+  // by [[withHelpers]] and only referenced by name inside the triple
+  // structs: a value IRI appears in up to 8 triples, and inlining the
+  // urlEncode/regex work into each struct would multiply it 8× (Catalyst
+  // does not collapse a Project into a Generate, so the helper projection
+  // survives as a single evaluation).
+  private def mergedKey(dim: DimensionSpec): Column = col(s"_mk_${dim.name}")
   private def valueIri(spec: CubeSpec, dim: DimensionSpec): Column =
-    concat(lit(spec.datasetIri + "/" + dim.name + "/"), mergedKey(dim))
+    col(s"_vi_${dim.name}")
+  private def hierIri(dim: DimensionSpec, i: Int): Column =
+    col(s"_hi_${dim.name}_$i")
+  private def dateIri(dim: DimensionSpec, i: Int): Column =
+    col(s"_di_${dim.name}_$i")
+
+  /** Helper columns for one spec, added to the rows before emission. */
+  def withHelpers(rows: DataFrame, spec: CubeSpec): DataFrame =
+    spec.dimensions.foldLeft(rows) { (df, dim) =>
+      dim.kind match {
+        case Kind.MultiAttribute | Kind.SingleAttributeObject |
+             Kind.Skos | Kind.SingleAttributeSkos =>
+          df.withColumn(s"_mk_${dim.name}", mergedKeyExpr(dim))
+            .withColumn(s"_vi_${dim.name}",
+              concat(lit(spec.datasetIri + "/" + dim.name + "/"),
+                col(s"_mk_${dim.name}")))
+        case Kind.Hierarchical =>
+          dim.orderedAttributes.zipWithIndex.foldLeft(df) { case (d, (a, i)) =>
+            d.withColumn(s"_hi_${dim.name}_$i",
+              concat(lit(spec.datasetIri + "/" + a.name.getOrElse("") + "/"),
+                coalesce(Scalars.urlEncode(col(a.sourceColumn)), lit("null"))))
+          }
+        case Kind.Date =>
+          dim.attributes.zipWithIndex.foldLeft(df) { case (d, (a, i)) =>
+            d.withColumn(s"_di_${dim.name}_$i",
+              Scalars.dateIriStrict(col(a.sourceColumn)))
+          }
+        case Kind.SingleAttributeLiteral => df
+      }
+    }
 
   private def codelistIri(spec: CubeSpec, dim: DimensionSpec): Column =
     lit("http://data.openbudgets.eu/resource/" + spec.packageName +
@@ -128,20 +165,15 @@ object Emitter {
       // non-null level links the observation; broader points at the next
       // level (even when its value is null — Java string-concats "null").
       val attrs = dim.orderedAttributes
-      def levelIri(a: AttributeSpec, value: Column): Column =
-        concat(lit(spec.datasetIri + "/" + a.name.getOrElse("") + "/"),
-          coalesce(Scalars.urlEncode(value), lit("null")))
       val firstNonNull: Seq[Column] = attrs
         .scanLeft(lit(false): Column)((acc, a) => acc || col(a.sourceColumn).isNotNull)
       attrs.zipWithIndex.flatMap { case (a, i) =>
         val v = col(a.sourceColumn)
         val cond = v.isNotNull
-        val iri = levelIri(a, v)
+        val iri = hierIri(dim, i)
         val isFirst = cond && !firstNonNull(i) // no earlier non-null level
         val broader = if (i < attrs.size - 1) {
-          val next = attrs(i + 1)
-          Seq(opt(cond, iriT(iri, Vocab.SKOS_BROADER,
-            levelIri(next, col(next.sourceColumn)))))
+          Seq(opt(cond, iriT(iri, Vocab.SKOS_BROADER, hierIri(dim, i + 1))))
         } else Nil
         val top = if (i == attrs.size - 1)
           Seq(opt(cond, iriT(codelistIri(spec, dim), Vocab.SKOS_HASTOPCONCEPT, iri)))
@@ -172,9 +204,9 @@ object Emitter {
     case Kind.Date =>
       // DateDimension.java:64-78: classify → IRI + time:Interval type;
       // unclassifiable non-null values fail the job.
-      dim.attributes.flatMap { a =>
+      dim.attributes.zipWithIndex.flatMap { case (a, i) =>
         val v = col(a.sourceColumn)
-        val iri = Scalars.dateIriStrict(v)
+        val iri = dateIri(dim, i)
         Seq(opt(v.isNotNull, iriT(obs, dim.valueProperty, iri)),
           opt(v.isNotNull, iriT(iri, Vocab.A, lit(Vocab.TIME_INTERVAL))))
       }
@@ -243,6 +275,7 @@ object Emitter {
   def emit(rows: DataFrame, spec: CubeSpec,
            mode: RoundingMode = ExactBinary): DataFrame = {
     val arr = array(rowTriples(spec, mode): _*)
-    rows.select(explode(filter(arr, t => t.isNotNull)).as("t")).select("t.*")
+    withHelpers(rows, spec)
+      .select(explode(filter(arr, t => t.isNotNull)).as("t")).select("t.*")
   }
 }

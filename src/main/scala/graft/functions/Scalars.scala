@@ -42,13 +42,20 @@ object Scalars {
   /** F4: IRI segment encoding (FdpDimension.java:104-115): space → `-`
     * first, then java.net.URLEncoder (UTF-8). Exact parity matters because
     * these strings become minted IRIs that are hash-compared — URLEncoder's
-    * `+`/`%XX` choices differ from RFC-3986 encoders, so this is a UDF
-    * around the identical JDK call.
+    * `+`/`%XX` choices differ from RFC-3986 encoders, so the encoding
+    * itself is a UDF around the identical JDK call.
     */
-  val urlEncode = udf { (s: String) =>
+  private val urlEncodeUdf = udf { (s: String) =>
     if (s == null) null
     else java.net.URLEncoder.encode(s.replace(' ', '-'), "UTF-8")
   }
+
+  /** Codegen fast path: URLEncoder leaves `[A-Za-z0-9.*_-]` unchanged, so
+    * strings made only of those (the overwhelmingly common key shape) skip
+    * the UDF entirely; everything else takes the exact-parity UDF.
+    */
+  def urlEncode(c: Column): Column =
+    when(c.rlike("^[A-Za-z0-9.*_-]*$"), c).otherwise(urlEncodeUdf(c))
 
   /** F5: mimetype tail extraction (DcatAp11ToCkanBatch.java:495-498):
     * `.*&#47;([^/]+/[^/]+)` → `$1`; non-matching strings pass through.
