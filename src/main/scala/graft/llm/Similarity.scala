@@ -68,6 +68,37 @@ object Similarity {
       when(dot(v, planeLit) > 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket
+    * candidates (corpus self-join on (table, bucket), id1 < id2) verified
+    * with exact double cosine ≥ threshold. Near-identical vectors agree
+    * on (almost) every plane sign, so with enough OR-tables recall at
+    * duplicate-grade similarity is effectively exact — the same argument
+    * that lets MinHash near-dup be oracle-checked against all-pairs.
+    * No all-pairs join: candidates come only from shared buckets.
+    */
+  def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double = 0.95, dim: Int = 64,
+                     tables: Int = 16, bitsPerTable: Int = 4): DataFrame = {
+    val ps = planes(dim, tables, bitsPerTable)
+    val b = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      norm(col(vecCol)).as("_n"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), bucket(col(vecCol), ps(t)).as("bk"))): _*))
+        .as("_tb"))
+      .select(col("_id"), col("_v"), col("_n"),
+        col("_tb.t").as("_t"), col("_tb.bk").as("_bk"))
+    b.as("l").join(b.as("r"),
+      col("l._t") === col("r._t") && col("l._bk") === col("r._bk") &&
+        col("l._id") < col("r._id"))
+      .groupBy(col("l._id").as("d1"), col("r._id").as("d2"))
+      .agg(first(col("l._v")).as("_v1"), first(col("r._v")).as("_v2"),
+        first(col("l._n")).as("_n1"), first(col("r._n")).as("_n2"))
+      .withColumn("cosine",
+        dot(col("_v1"), col("_v2")) / (col("_n1") * col("_n2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("d1"), col("d2"), col("cosine"))
+  }
+
   /** LSH-bucketed ANN: same-bucket candidates from L tables, union,
     * exact cosine rerank to top-k. Output: (qid, rank, neighbor_id, sim).
     */

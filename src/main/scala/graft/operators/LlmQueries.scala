@@ -79,6 +79,18 @@ object LlmQueries {
         .select(col("qid"), col("rank"), col("neighbor_id"))
     },
 
+    // Embedding-cosine near-dup: the corpus has no near-identical vectors,
+    // so copies of every 25th vector (id+1000000) are unioned in; LSH
+    // buckets generate candidates (no all-pairs join), exact cosine >= 0.95
+    // verifies. Oracle: all-pairs cosine in DuckDB — identical vectors sit
+    // at 1.0, every true pair far below 0.8, so recall is exact.
+    "q42_embedding_neardup" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val dups = e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Similarity.cosineNearDups(e.unionByName(dups), "vec_id", "embedding")
+    },
+
     // Multimodal plumbing: opaque binary payloads through the batched
     // per-partition feature extractor (decode step is a deterministic
     // fake — byte-level features the oracle can mirror).
@@ -201,6 +213,20 @@ object LlmQueries {
         |WHERE rank <= 10""".stripMargin,
     // q36_ann_lsh: intentionally no oracle — rows-only check; recall vs
     // brute force asserted in LlmSpec.
+    "q42_embedding_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings
+        |  WHERE vec_id % 25 = 0)
+        |SELECT d1, d2, cosine FROM (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+        |      AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.95""".stripMargin,
     "q41_multimodal_features" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,

@@ -68,6 +68,17 @@ class LlmSpec extends SparkSpec {
     // planted duplicate vectors share all sign buckets.
   }
 
+  test("embedding near-dup: bucket-join candidates, no all-pairs join") {
+    val df = LlmQueries.queries("q42_embedding_neardup")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+    // Planted identical-vector pairs are found at cosine 1.0.
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("cosine") >= 0.95))
+  }
+
   test("brute-force knn: query side is broadcast (no shuffle of corpus)") {
     val e = graft.Tables.t(spark, sf, "embeddings")
     val df = Similarity.bruteForceKnn(e, e.filter(col("vec_id") % 100 === 0),
