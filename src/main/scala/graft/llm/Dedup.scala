@@ -68,15 +68,32 @@ object Dedup {
     * the DuckDB oracle verify this against all-pairs Jaccard.
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8,
+                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     // cache(): the shingle arrays feed 128 hash transforms plus the verify
     // joins — without the materialization barrier, projection collapse
     // would recompute the tokenize+slice+distinct pipeline inside each.
     val withShingles = docs.select(col(idCol).as("_id"),
       shingles(col(textCol)).as("_sh")).cache()
-    val banded = withShingles
+    val bandedAll = withShingles
       .select(col("_id"), explode(lshBands(col("_sh"))).as("_b"))
       .select(col("_id"), col("_b.band").as("_band"), col("_b.bh").as("_bh"))
+    // OPT-IN skew guard: a bucket of n docs yields n² candidate pairs, so
+    // one boilerplate mega-bucket can dominate the job at corpus scale.
+    // NOTE the trade-off: identical shingle sets share the SAME bucket in
+    // EVERY band, so an over-cap group of exact duplicates loses ALL its
+    // pairs, not just some — run [[exactDups]] first and near-dup only the
+    // canonical representatives (the standard pipeline order), or leave
+    // the default no-op cap to keep all-pairs-equivalent recall.
+    // Window count, not agg+join: one shuffle, no re-evaluation of the
+    // expensive band explode (same pattern as exactDups below).
+    val banded =
+      if (maxBucketSize == Int.MaxValue) bandedAll
+      else bandedAll
+        .withColumn("_bn", count(lit(1))
+          .over(Window.partitionBy(col("_band"), col("_bh"))))
+        .filter(col("_bn") <= maxBucketSize)
+        .drop("_bn")
     val candidates = banded.as("l")
       .join(banded.as("r"),
         col("l._band") === col("r._band") && col("l._bh") === col("r._bh") &&
