@@ -70,15 +70,21 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket
     * candidates (corpus self-join on (table, bucket), id1 < id2) verified
-    * with exact double cosine ≥ threshold. Near-identical vectors agree
-    * on (almost) every plane sign, so with enough OR-tables recall at
-    * duplicate-grade similarity is effectively exact — the same argument
-    * that lets MinHash near-dup be oracle-checked against all-pairs.
-    * No all-pairs join: candidates come only from shared buckets.
+    * with exact double cosine ≥ threshold. No all-pairs join: candidates
+    * come only from shared buckets.
+    *
+    * Bucket depth is the selectivity lever: random 64-dim pairs collide
+    * on one plane with p≈0.5, so 12-bit buckets admit ~0.02% of random
+    * pairs per table — shallow buckets (4 bits) degenerate to near-all-
+    * pairs once the corpus outgrows 2⁴ buckets. Recall: IDENTICAL vectors
+    * share every sign, so exact-duplicate recall is 1.0 at any depth;
+    * near-threshold pairs (cos≈0.95 ⇒ per-plane agreement ≈0.9) see
+    * per-table recall 0.9^bits — raise `tables` when hunting borderline
+    * near-dups rather than duplicates.
     */
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, dim: Int = 64,
-                     tables: Int = 16, bitsPerTable: Int = 4): DataFrame = {
+                     tables: Int = 8, bitsPerTable: Int = 12): DataFrame = {
     val ps = planes(dim, tables, bitsPerTable)
     val b = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       norm(col(vecCol)).as("_n"),

@@ -71,8 +71,10 @@ object CatalogQueries {
         tr(dist, P.DCAT + "downloadURL",
           concat(lit("http://dl/"), col("o_orderkey")), isIri = false)))
         .as("t")).select("t.*")
+    // cache(): the extraction wide-aggregates + path-joins scan the triple
+    // set ~15 times; at scale this would be a materialized triples table.
     dsTriples.unionByName(orgTriples).unionByName(distTriples)
-      .unionByName(dlTriples)
+      .unionByName(dlTriples).cache()
   }
 
   private def codelistTriples(s: SparkSession): DataFrame = {

@@ -243,6 +243,27 @@ class CubeSpecSuite extends SparkSpec {
       "<urn:y> <urn:p> <urn:z> ."))
   }
 
+  test("W1 holds across multiple input splits of one CSV") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-w1multi").toFile
+    val csv = new java.io.File(dir, "big.csv")
+    // ~3 MB file; with 256 KB splits the read fans out to >10 partitions.
+    val n = 100000
+    val body = new StringBuilder("c\n")
+    (1 to n).foreach(i => body.append("value_").append(i).append('\n'))
+    java.nio.file.Files.writeString(csv.toPath, body.toString)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", 256 * 1024)
+      val df = CubePipeline.readCsv(spark, csv.getPath)
+      assert(df.rdd.getNumPartitions > 4, "file did not split")
+      val sample = df.filter(org.apache.spark.sql.functions.col("c")
+        .isin("value_1", "value_33333", "value_66666", "value_100000"))
+        .collect().map(r => r.getAs[String]("c") -> r.getAs[Long]("_row")).toMap
+      assert(sample == Map("value_1" -> 1L, "value_33333" -> 33333L,
+        "value_66666" -> 66666L, "value_100000" -> 100000L), sample.toString)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("emitter: row numbers follow file order (W1)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-w1").toFile
     val csv = new java.io.File(dir, "rows.csv")
