@@ -98,13 +98,17 @@ object ScalarQueries {
     },
 
     // F3: NFD org-name slug (accented Latin → ASCII, space/dot → '-',
-    // lowercase). Oracle uses DuckDB strip_accents — equivalent on
-    // accented-Latin input; the exotic-codepoint tail is ScalaCheck'd.
+    // lowercase) via the NATIVE codegen expression (graft.functions.
+    // NativeExpressions) rather than the UDF. Oracle uses DuckDB
+    // strip_accents — equivalent on accented-Latin input; the
+    // exotic-codepoint tail is ScalaCheck'd.
     "q28_nfd_slug" -> { (s, dir) =>
+      graft.functions.NativeExpressions.register(s)
       val c = t(s, dir, "customer")
       val in = concat(lit("Úřad Vlády ČR č."), col("c_custkey"),
         lit(" "), col("c_name"))
-      c.select(col("c_custkey").as("k"), Scalars.nfdSlug(in).as("slug"))
+      c.select(col("c_custkey").as("k"),
+        call_function("nfd_slug", in).as("slug"))
     },
 
     // F4: URLEncoder-parity IRI segment encoding on a controlled alphabet.

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.functions.{NativeExpressions, Scalars}
+
+class NativeExpressionsSpec extends SparkSpec {
+
+  test("native nfd_slug agrees with the UDF on generated inputs") {
+    NativeExpressions.register(spark)
+    import spark.implicits._
+    val gen = Gen.listOfN(30, Gen.frequency(
+      5 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '.', '-'),
+      3 -> Gen.oneOf('á', 'č', 'ř', 'Ú', 'Ž', '§', '€', '北')))
+      .map(_.mkString)
+    val inputs = Gen.listOfN(200, gen).sample.get :+ "" :+ "Úřad Vlády ČR"
+    val out = inputs.toDF("v")
+      .select(call_function("nfd_slug", col("v")).as("native"),
+        Scalars.nfdSlug(col("v")).as("viaUdf"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("native round_half_up_exact agrees with the UDF incl. near-ties") {
+    NativeExpressions.register(spark)
+    import spark.implicits._
+    val inputs = Gen.listOfN(200, Gen.chooseNum(-1e9, 1e9)).sample.get ++
+      Seq(2.675, 1.005, -2.675, 0.0)
+    val out = inputs.toDF("v")
+      .select(call_function("round_half_up_exact", col("v")).as("native"),
+        Scalars.roundHalfUpExact(col("v")).as("viaUdf"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // Null flows through.
+    val n = Seq[Option[Double]](None).toDF("v")
+      .select(call_function("round_half_up_exact", col("v"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    NativeExpressions.register(spark)
+    // Parquet-backed input so a real codegen stage exists (a local Seq
+    // collapses to LocalTableScan with plan-time constant evaluation).
+    val df = Tables.t(spark, sf, "customer")
+      .select(call_function("nfd_slug", col("c_name")).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen stages in the plan string;
+    // the native expression sits inside stage 1 with the scan.
+    assert(plan.contains("*(1) Project [nfd_slug("), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    // And it executes through the generated path.
+    assert(df.collect().nonEmpty)
+  }
+}
