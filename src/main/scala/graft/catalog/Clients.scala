@@ -56,6 +56,24 @@ class RecordingClient(
   }
 }
 
+object Clients {
+  /** K7: the reference's `do { … } while(!responded)` retry loop
+    * (DcatAp11ToDkanBatch.java:269-294, :538-573) as a bounded helper.
+    * NOT idempotent against a live API (SURVEY.md §7.4 risk 9): a POST
+    * that succeeded server-side but failed to respond is re-sent — same
+    * behavior as the reference, made explicit by the attempt cap.
+    */
+  def withRetry[A](attempts: Int)(f: => Either[String, A]): Either[String, A] = {
+    var last: Either[String, A] = Left("no attempts made")
+    var i = 0
+    while (i < attempts && (i == 0 || last.isLeft)) {
+      last = try f catch { case e: Exception => Left(e.getMessage) }
+      i += 1
+    }
+    last
+  }
+}
+
 /** K4/K5 loader driver: create-or-update each package row against the
   * catalog (DcatAp11ToCkanBatch.java:521-606 semantics: existence probe
   * decides create vs update).

@@ -115,6 +115,21 @@ class DkanSpec extends SparkSpec {
     assert(!client2.calls.exists(_._1 == "createOrg"))
   }
 
+  test("K7: retry-until-responded loop retries failures, stops on success") {
+    var calls = 0
+    val out = graft.catalog.Clients.withRetry(5) {
+      calls += 1
+      if (calls < 3) Left("no response") else Right("nid-42")
+    }
+    assert(out == Right("nid-42") && calls == 3)
+    // Bounded: persistent failure gives the last error after max attempts.
+    var calls2 = 0
+    val fail = graft.catalog.Clients.withRetry(4) {
+      calls2 += 1; Left(s"down $calls2"): Either[String, String]
+    }
+    assert(fail == Left("down 4") && calls2 == 4)
+  }
+
   test("S6: CSV id-list source reads column 0 across a directory (U2)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-purge").toFile
     java.nio.file.Files.writeString(
