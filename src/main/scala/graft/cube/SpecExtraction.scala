@@ -180,15 +180,21 @@ object SpecExtraction {
         attrs = nonHierarchical(t, attrs)
           .withColumn("parentName", lit(null).cast("string"))
     }
-    attrs.select("sourceColumn", "iskey", "valueProperty", "attributeName",
-      "parentName")
-      .collect().map { r =>
+    // Sorted by attribute IRI: DataFrame collect order is nondeterministic
+    // and attribute order is load-bearing — mergedPrimaryKey concatenates
+    // KEY attributes in list order (FdpDimension.java:91-102), so minted
+    // IRIs must not vary run-to-run. (The reference inherits RDF4J's
+    // unspecified result order; a stable sort is the deterministic
+    // re-expression.)
+    attrs.select("attribute", "sourceColumn", "iskey", "valueProperty",
+      "attributeName", "parentName")
+      .collect().sortBy(_.getString(0)).map { r =>
         AttributeSpec(
-          sourceColumn = r.getString(0),
-          isKey = r.getString(1) == "true",
-          valueProperty = r.getString(2),
-          name = Option(r.getString(3)),
-          parentName = Option(r.getString(4)))
+          sourceColumn = r.getString(1),
+          isKey = r.getString(2) == "true",
+          valueProperty = r.getString(3),
+          name = Option(r.getString(4)),
+          parentName = Option(r.getString(5)))
       }.toSeq
   }
 
@@ -205,7 +211,7 @@ object SpecExtraction {
       .join(prop(t, F + "sourceColumn", "attribute", "sourceColumn"), "attribute")
       .join(prop(t, F + "labelfor", "attribute", "labelForName"), "attribute")
       .select("labelForName", "sourceColumn")
-      .collect().map(r => r.getString(0) -> r.getString(1))
+      .collect().map(r => r.getString(0) -> r.getString(1)).sortBy(_._1)
     labels.foldLeft(attrs) { case (acc, (forName, labelCol)) =>
       acc.filterNot(_.sourceColumn == labelCol)
         .map(a => if (a.name.contains(forName)) a.copy(labelColumn = Some(labelCol)) else a)
@@ -310,7 +316,7 @@ object SpecExtraction {
     val dims = kinds.flatMap { kind =>
       discover(t, base, kind)
         .select("dimensionProp", "dimensionName", "rdfType").distinct()
-        .collect().map { r =>
+        .collect().sortBy(_.getString(0)).map { r =>
           val dp = r.getString(0)
           val attrs = applyLabels(t, dp, attributesOf(t, dp, kind))
           DimensionSpec(kind, r.getString(1), dp, Option(r.getString(2)), attrs)
