@@ -212,7 +212,11 @@ object CkanExtract {
         max(col("distro_spatial")).as("_distSpatial"))
       .withColumn("resources", transform(col("_rs"), x => x("r")))
       .drop("_rs")
-    val out = ds.join(res, Seq("dataset"), "left_outer")
+    val out = ds
+      // Datasets without a ckan:datasetID are skipped entirely
+      // (DcatAp11ToCkanBatch.java:201-205: "has missing CKAN ID").
+      .filter(col("name").isNotNull)
+      .join(res, Seq("dataset"), "left_outer")
       .withColumn("spatial_uri",
         coalesce(col("_distSpatial"), col("spatial_uri")))
       .drop("_distSpatial")

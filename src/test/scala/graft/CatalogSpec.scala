@@ -98,6 +98,21 @@ class CatalogSpec extends SparkSpec {
     assert(line.contains("\"tags\":[{\"name\":\"data\"},{\"name\":\"open\"}]"))
   }
 
+  test("datasets without ckan:datasetID are skipped entirely") {
+    import scala.jdk.CollectionConverters._
+    // input.ttl triples + one extra dataset with no datasetID.
+    val extra = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row("http://no.id.dataset",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "http://www.w3.org/ns/dcat#Dataset", true, null, null),
+      org.apache.spark.sql.Row("http://no.id.dataset",
+        "http://purl.org/dc/terms/title", "Orphan", false, "en", null)
+    ).asJava, Turtle.schema)
+    val out = CkanExtract.packages(catalog.unionByName(extra), Some(codelist))
+      .select("dataset").collect().map(_.getString(0)).toSet
+    assert(out == Set("http://real.dataset.iri", "http://real.dataset.iri/2"))
+  }
+
   test("CKAN (non-NKOD) profile drops the NKOD field group (F15)") {
     val cols = CkanExtract.packages(catalog, Some(codelist),
       cfg = CkanExtract.Config(nkodProfile = false)).columns.toSet
