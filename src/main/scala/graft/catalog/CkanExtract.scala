@@ -195,8 +195,20 @@ object CkanExtract {
     */
   def packages(t: DataFrame, codelist: Option[DataFrame] = None,
                existing: Option[DataFrame] = None,
+               organizations: Option[DataFrame] = None,
                cfg: Config = Config()): DataFrame = {
-    val ds = datasets(t, cfg)
+    // owner_org: the API-derived organizations map (publisher_uri →
+    // org name) wins; the dataset's ckan:organizationID is the fallback
+    // (DcatAp11ToCkanBatch.java:511-519).
+    val ds0 = datasets(t, cfg)
+    val ds = organizations match {
+      case Some(orgs) => ds0
+        .join(broadcast(orgs.select(col("publisher_uri"),
+          col("org_name").as("_orgName"))), Seq("publisher_uri"), "left_outer")
+        .withColumn("owner_org", coalesce(col("_orgName"), col("org_id")))
+        .drop("_orgName", "org_id")
+      case None => ds0.withColumnRenamed("org_id", "owner_org")
+    }
     val distRaw = distributions(t, codelist, cfg)
     val dist = existing match {
       case Some(ex) => Reconcile.attachIds(distRaw, ex)

@@ -98,6 +98,22 @@ class CatalogSpec extends SparkSpec {
     assert(line.contains("\"tags\":[{\"name\":\"data\"},{\"name\":\"open\"}]"))
   }
 
+  test("owner_org: organizations map wins, ckan:organizationID is fallback") {
+    import spark.implicits._
+    // Without a map: dataset 2 falls back to its ckan:organizationID.
+    assert(pkgs("http://real.dataset.iri/2").getAs[String]("owner_org") == "ooo2")
+    assert(pkgs("http://real.dataset.iri").getAs[String]("owner_org") == null)
+    // With a map keyed by publisher_uri, the mapped name wins.
+    val orgs = Seq(("https://cssz.cz", "cssz-org"))
+      .toDF("publisher_uri", "org_name")
+    val withMap = CkanExtract.packages(catalog, Some(codelist),
+      organizations = Some(orgs))
+      .collect().map(r => r.getAs[String]("dataset") -> r.getAs[String]("owner_org"))
+      .toMap
+    assert(withMap("http://real.dataset.iri") == "cssz-org")
+    assert(withMap("http://real.dataset.iri/2") == "cssz-org")
+  }
+
   test("datasets without ckan:datasetID are skipped entirely") {
     import scala.jdk.CollectionConverters._
     // input.ttl triples + one extra dataset with no datasetID.
