@@ -111,8 +111,11 @@ object CkanExtract {
       .drop("_pds")
 
     // Publisher name: publisher/foaf:name@lang (J2 as broadcast join).
+    // min() per subject: a multi-valued foaf:name must not fan datasets
+    // out (the reference's singleResult takes one value).
     val orgNames = t.filter(col("p") === P.FOAF + "name" && langMatches(lang))
-      .select(col("s").as("_org"), col("o").as("publisher_name"))
+      .groupBy(col("s").as("_org"))
+      .agg(min(col("o")).as("publisher_name"))
     out = out.join(broadcast(orgNames), col("_publisher") === col("_org"),
       "left_outer").drop("_org")
       .withColumnRenamed("_publisher", "publisher_uri")
@@ -164,9 +167,12 @@ object CkanExtract {
     // Codelist label join (broadcast — the codelist graph is tiny).
     val labeled = codelist match {
       case Some(cl) =>
+        // min() per concept: duplicate prefLabels must not fan
+        // distributions out.
         val labels = cl.filter(col("p") === P.SKOS + "prefLabel" &&
           langMatches("en"))
-          .select(col("s").as("_fmt"), col("o").as("format"))
+          .groupBy(col("s").as("_fmt"))
+          .agg(min(col("o")).as("format"))
         withTemporal.join(broadcast(labels), col("_format") === col("_fmt"),
           "left_outer").drop("_fmt")
       case None => withTemporal.withColumn("format", lit(null).cast("string"))
@@ -197,15 +203,16 @@ object CkanExtract {
                existing: Option[DataFrame] = None,
                organizations: Option[DataFrame] = None,
                cfg: Config = Config()): DataFrame = {
-    // owner_org: the API-derived organizations map (publisher_uri →
-    // org name) wins; the dataset's ckan:organizationID is the fallback
-    // (DcatAp11ToCkanBatch.java:511-519).
+    // owner_org: the dataset's ckan:organizationID OVERRIDES; the
+    // API-derived organizations map (publisher_uri → org name) is the
+    // fallback (DcatAp11ToCkanBatch.java:513-518 — "//Overriden" branch
+    // is the organizationID).
     val ds0 = datasets(t, cfg)
     val ds = organizations match {
       case Some(orgs) => ds0
         .join(broadcast(orgs.select(col("publisher_uri"),
           col("org_name").as("_orgName"))), Seq("publisher_uri"), "left_outer")
-        .withColumn("owner_org", coalesce(col("_orgName"), col("org_id")))
+        .withColumn("owner_org", coalesce(col("org_id"), col("_orgName")))
         .drop("_orgName", "org_id")
       case None => ds0.withColumnRenamed("org_id", "owner_org")
     }

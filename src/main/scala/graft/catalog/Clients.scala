@@ -98,16 +98,25 @@ object CkanLoad {
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
     publishers.foldLeft(known) { case (acc, (uri, slug, name)) =>
       if (acc.contains(uri)) acc
-      else {
-        client.createOrganization(slug, Option(name).getOrElse(uri), uri)
-        acc + (uri -> slug)
+      else client.createOrganization(slug, Option(name).getOrElse(uri), uri) match {
+        case Right(_) => acc + (uri -> slug)
+        // The reference fails the job on an org-create error
+        // (DcatAp11ToCkanBatch.java:264-319) — packages must not reference
+        // an organization that was never created.
+        case Left(err) => throw new RuntimeException(
+          s"organization_create failed for $uri: $err")
       }
     }
   }
   def run(packages: DataFrame, client: CatalogClient): Seq[(String, String)] = {
-    val rows = CkanExtract.toJsonl(packages).collect().map(_.getString(0))
-    val names = packages.select(col("name")).collect().map(_.getString(0))
-    names.zip(rows).map { case (name, json) =>
+    // ONE collect for (name, json): two separate actions on a shuffled
+    // DataFrame have no consistent row order, so zipping their results
+    // could pair a name with another package's payload.
+    val pairs = packages.select(col("name"),
+      to_json(struct(packages.columns.filter(_ != "dataset").map(col): _*))
+        .as("_json"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    pairs.map { case (name, json) =>
       client.packageShow(name) match {
         case Some(_) =>
           client.updatePackage(name, json).fold(e => name -> s"error: $e",

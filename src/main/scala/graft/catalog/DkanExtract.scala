@@ -21,8 +21,6 @@ object DkanExtract {
     "http://publications.europa.eu/resource/authority/frequency/UNKNOWN"
   val UNKNOWN_LICENCE =
     "http://joinup.ec.europa.eu/category/licence/unknown-licence"
-  val OCTET_STREAM =
-    "http://www.iana.org/assignments/media-types/application/octet-stream"
 
   private def fld(name: String, value: Column): Column =
     when(value.isNotNull, struct(lit(name).as("name"), value.as("value")))

@@ -305,9 +305,17 @@ object SpecExtraction {
       .filter(col("declared") =!= col("actual"))
   }
 
-  /** Full extraction, in the reference's fixed kind order. */
+  /** Full extraction, in the reference's fixed kind order. The descriptor
+    * is cached for the ~15 discovery plans and released before returning.
+    */
   def extract(triples: DataFrame, resourceName: Option[String] = None): CubeSpec = {
     val t = triples.cache()
+    try extractCached(t, resourceName)
+    finally t.unpersist()
+  }
+
+  private def extractCached(t: DataFrame,
+                            resourceName: Option[String]): CubeSpec = {
     val base = componentBase(t)
     val (datasetIri, packageName, _, measureSpecs) = measures(t)
     val kinds = Seq(Kind.MultiAttribute, Kind.Skos, Kind.Hierarchical,

@@ -145,13 +145,6 @@ object Scalars {
     (value.cast(DecimalType(18, 2)) * factor.cast(DecimalType(10, 4)))
       .cast(DecimalType(18, 2))
 
-  /** F9 fallback semantics (FdpMeasure.java:96-100): unparseable measure
-    * values emit the raw string literal instead of a number.
-    */
-  def measureLiteral(raw: Column, parsed: Column, factor: Column): Column =
-    when(parsed.isNotNull,
-      roundHalfUpExact(parsed * factor)).otherwise(raw)
-
   /** F10: IRI minting (Mapper.java:65-67, FdpDimension.java:54-104). */
   def observationIri(datasetIri: Column, rowNumber: Column,
                      measureName: Column): Column =

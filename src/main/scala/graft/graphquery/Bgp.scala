@@ -70,9 +70,13 @@ object Bgp {
     * branch (FdpMeasure.java:55-56) — the flag is false when unmatched.
     */
   def optional(left: DataFrame, t: DataFrame, p: String, as: String,
-               bindFlag: Option[String] = None): DataFrame = {
-    val r = t.filter(col("p") === p).select(col("s").as("_opt_s"), col("o").as(as))
-    val joined = left.join(broadcast(r), left("s") === col("_opt_s"), "left_outer")
+               bindFlag: Option[String] = None,
+               broadcastRight: Boolean = false): DataFrame = {
+    // broadcastRight is caller-opt-in (like path's broadcastHop): the
+    // predicate slice of a 100 TB triples table can itself be huge.
+    val r0 = t.filter(col("p") === p).select(col("s").as("_opt_s"), col("o").as(as))
+    val r = if (broadcastRight) broadcast(r0) else r0
+    val joined = left.join(r, left("s") === col("_opt_s"), "left_outer")
       .drop("_opt_s")
     bindFlag match {
       case Some(f) => joined.withColumn(f, col(as).isNotNull)
@@ -97,6 +101,12 @@ object Bgp {
     val schema = org.apache.spark.sql.types.StructType(
       cols.map(c => org.apache.spark.sql.types.StructField(s"_v_$c",
         org.apache.spark.sql.types.StringType)))
+    // SPARQL semantics of an empty VALUES block: no solutions.
+    if (rows.isEmpty) {
+      return cols.foldLeft(left.limit(0)) { (df, c) =>
+        df.withColumn(s"_v_$c", lit(null).cast("string"))
+      }
+    }
     val byPattern = rows.groupBy(_.map(_ == null))
     val parts = byPattern.map { case (nullPattern, grpRows) =>
       val vdf = spark.createDataFrame(

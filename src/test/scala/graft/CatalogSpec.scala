@@ -98,12 +98,14 @@ class CatalogSpec extends SparkSpec {
     assert(line.contains("\"tags\":[{\"name\":\"data\"},{\"name\":\"open\"}]"))
   }
 
-  test("owner_org: organizations map wins, ckan:organizationID is fallback") {
+  test("owner_org: ckan:organizationID overrides, organizations map is fallback") {
     import spark.implicits._
-    // Without a map: dataset 2 falls back to its ckan:organizationID.
+    // Without a map: dataset 2 uses its ckan:organizationID.
     assert(pkgs("http://real.dataset.iri/2").getAs[String]("owner_org") == "ooo2")
     assert(pkgs("http://real.dataset.iri").getAs[String]("owner_org") == null)
-    // With a map keyed by publisher_uri, the mapped name wins.
+    // With a map: the declared organizationID still wins (the reference's
+    // "Overriden" branch, DcatAp11ToCkanBatch.java:513-518); datasets
+    // without one fall back to the map.
     val orgs = Seq(("https://cssz.cz", "cssz-org"))
       .toDF("publisher_uri", "org_name")
     val withMap = CkanExtract.packages(catalog, Some(codelist),
@@ -111,7 +113,7 @@ class CatalogSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("dataset") -> r.getAs[String]("owner_org"))
       .toMap
     assert(withMap("http://real.dataset.iri") == "cssz-org")
-    assert(withMap("http://real.dataset.iri/2") == "cssz-org")
+    assert(withMap("http://real.dataset.iri/2") == "ooo2")
   }
 
   test("datasets without ckan:datasetID are skipped entirely") {

@@ -25,6 +25,18 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("minhash signatures: fixed length, identical inputs, distinct content") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "q r s t u v w x")).toDF("id", "text")
+    val sigs = df.select(col("id"),
+      Dedup.minhash(Dedup.shingles(col("text"))).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).size == 128)
+    assert(sigs(1L) == sigs(2L)) // identical shingle sets → identical sig
+    assert(sigs(1L) != sigs(3L))
+  }
+
   test("exact dedup groups the synthesized copies") {
     val out = LlmQueries.queries("q32_exact_dedup")(spark, sf)
     val grouped = out.filter(col("group_size") > 1)
