@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * Set-based translation: two left joins + coalesce for the 2-key
   * priority; a left-anti join for the preserved remainder. (The reference
   * additionally removes a matched id from the pool so a second distribution
-  * cannot reuse it — with unique URLs, the set-based result is identical;
-  * duplicate-URL catalogs would need a row_number tie-break.)
+  * cannot reuse it — with unique URLs, the set-based result is identical.)
+  * Existing resources are deduplicated per key (min id wins) before the
+  * join, so a catalog with duplicate urls cannot fan a new distribution
+  * out into multiple rows.
   */
 object Reconcile {
 
@@ -23,9 +25,12 @@ object Reconcile {
     * `existing`: (id, url, distro_url). Adds `id` (nullable).
     */
   def attachIds(newRes: DataFrame, existing: DataFrame): DataFrame = {
-    val byDistro = existing.select(col("distro_url").as("_ed"),
-      col("id").as("_id_d"))
-    val byUrl = existing.select(col("url").as("_eu"), col("id").as("_id_u"))
+    val byDistro = existing.filter(col("distro_url").isNotNull)
+      .groupBy(col("distro_url")).agg(min(col("id")).as("_id_d"))
+      .withColumnRenamed("distro_url", "_ed")
+    val byUrl = existing.filter(col("url").isNotNull)
+      .groupBy(col("url")).agg(min(col("id")).as("_id_u"))
+      .withColumnRenamed("url", "_eu")
     newRes
       .join(broadcast(byDistro), col("distro_url") === col("_ed"), "left_outer")
       .join(broadcast(byUrl), col("url") === col("_eu"), "left_outer")

@@ -48,11 +48,15 @@ object Emitter {
   private def opt(cond: Column, t: Column): Column = when(cond, t)
 
   /** Merged primary key of a dimension: `-`-joined url-encoded key
-    * attribute values in spec order (FdpDimension.java:89-102).
+    * attribute values in spec order (FdpDimension.java:89-102). A null key
+    * cell mints a literal "null" segment — urlEncode(null) is null and the
+    * reference's Java string-concat stringifies it (FdpDimension.java:91-115)
+    * — whereas concat_ws would silently drop it, diverging both the
+    * dimension-value IRI and the Skos prefLabel merged-key fallback.
     */
   private def mergedKeyExpr(dim: DimensionSpec): Column =
     concat_ws("-", dim.attributes.filter(_.isKey)
-      .map(a => Scalars.urlEncode(col(a.sourceColumn))): _*)
+      .map(a => coalesce(Scalars.urlEncode(col(a.sourceColumn)), lit("null"))): _*)
 
   // Shared per-row subexpressions (value IRIs, merged keys, hierarchy
   // level IRIs, classified dates) are PRECOMPUTED as hidden helper columns

@@ -75,6 +75,26 @@ object Dedup {
     // would recompute the tokenize+slice+distinct pipeline inside each.
     val withShingles = docs.select(col(idCol).as("_id"),
       shingles(col(textCol)).as("_sh")).cache()
+    val verified = nearDupPairs(withShingles, threshold, maxBucketSize)
+    // Materialize the (small) pair set eagerly so the shingle cache can be
+    // released before returning — in a long-lived session the per-call
+    // cached shingle blocks would otherwise accumulate in storage memory.
+    // localCheckpoint blocks are ContextCleaner-GC'd with the DataFrame.
+    try verified.localCheckpoint(true) finally withShingles.unpersist(false)
+  }
+
+  /** Lazy variant for plan inspection (tests assert the candidate stage
+    * never degenerates to an all-pairs join): full lineage, no cache or
+    * checkpoint barrier, so do not execute it — use [[minhashNearDups]].
+    */
+  private[graft] def minhashNearDupsPlan(docs: DataFrame, idCol: String,
+                                         textCol: String,
+                                         threshold: Double = 0.8): DataFrame =
+    nearDupPairs(docs.select(col(idCol).as("_id"),
+      shingles(col(textCol)).as("_sh")), threshold, Int.MaxValue)
+
+  private def nearDupPairs(withShingles: DataFrame, threshold: Double,
+                           maxBucketSize: Int): DataFrame = {
     val bandedAll = withShingles
       .select(col("_id"), explode(lshBands(col("_sh"))).as("_b"))
       .select(col("_id"), col("_b.band").as("_band"), col("_b.bh").as("_bh"))

@@ -71,10 +71,15 @@ object CatalogQueries {
         tr(dist, P.DCAT + "downloadURL",
           concat(lit("http://dl/"), col("o_orderkey")), isIri = false)))
         .as("t")).select("t.*")
-    // cache(): the extraction wide-aggregates + path-joins scan the triple
-    // set ~15 times; at scale this would be a materialized triples table.
+    // localCheckpoint, not cache(): the extraction wide-aggregates +
+    // path-joins scan the (small) triple set ~15 times, so it needs a
+    // materialization barrier — but CacheManager holds cache() blocks until
+    // an unpersist nobody here can sequence after the caller's action,
+    // leaking across a long session. Checkpoint blocks are ContextCleaner-
+    // GC'd with the DataFrame. At scale this would be a materialized
+    // triples table.
     dsTriples.unionByName(orgTriples).unionByName(distTriples)
-      .unionByName(dlTriples).cache()
+      .unionByName(dlTriples).localCheckpoint()
   }
 
   private def codelistTriples(s: SparkSession): DataFrame = {

@@ -131,6 +131,21 @@ class CatalogSpec extends SparkSpec {
     assert(out == Set("http://real.dataset.iri", "http://real.dataset.iri/2"))
   }
 
+  test("J3: duplicate existing urls do not fan out new distributions") {
+    import spark.implicits._
+    val newRes = Seq(("http://d/1", "http://u/1")).toDF("distro_url", "url")
+    val existing = Seq(
+      ("idA", "http://u/1", "http://d/1"),
+      ("idB", "http://u/1", "http://d/1")).toDF("id", "url", "distro_url")
+    val out = graft.catalog.Reconcile.attachIds(newRes, existing).collect()
+    assert(out.length == 1, "duplicate-url catalog fanned out the join")
+    assert(out.head.getAs[String]("id") == "idA") // min id wins
+    // The duplicate the match didn't claim is preserved for re-append.
+    val kept = graft.catalog.Reconcile.preserved(newRes, existing)
+      .collect().map(_.getAs[String]("id")).toSeq
+    assert(kept == Seq("idB"))
+  }
+
   test("CKAN (non-NKOD) profile drops the NKOD field group (F15)") {
     val cols = CkanExtract.packages(catalog, Some(codelist),
       cfg = CkanExtract.Config(nkodProfile = false)).columns.toSet

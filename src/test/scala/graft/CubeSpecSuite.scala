@@ -264,6 +264,30 @@ class CubeSpecSuite extends SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("merged key: null key cell mints a literal 'null' segment") {
+    // FdpDimension.java:91-115: urlEncode(null) is null and Java string-
+    // concat stringifies it, so the IRI and the prefLabel fallback both
+    // carry a "null" segment — concat_ws alone would silently drop it.
+    import spark.implicits._
+    val rows = Seq((1L, Option.empty[String], "x", "7"))
+      .toDF("_row", "k1", "k2", "amt")
+    val spec = CubeSpec(
+      datasetIri = "urn:ds", packageName = "p",
+      dimensions = Seq(DimensionSpec(Kind.MultiAttribute, "d", F + "dProp",
+        None, Seq(
+          AttributeSpec("k1", isKey = true, valueProperty = F + "k1",
+            name = Some("k1")),
+          AttributeSpec("k2", isKey = true, valueProperty = F + "k2",
+            name = Some("k2"))))),
+      measures = Seq(MeasureSpec(name = "amt", sourceColumn = "amt",
+        factor = 1.0, decimalSep = ".", groupSep = " ")))
+    val dimLinks = Emitter.emit(rows, spec, Emitter.ExactDecimal)
+      .filter(org.apache.spark.sql.functions.col("p") === (F + "dProp"))
+      .collect()
+    assert(dimLinks.nonEmpty)
+    dimLinks.foreach(r => assert(r.getAs[String]("o") == "urn:ds/d/null-x"))
+  }
+
   test("emitter: row numbers follow file order (W1)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-w1").toFile
     val csv = new java.io.File(dir, "rows.csv")

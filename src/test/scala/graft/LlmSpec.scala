@@ -8,7 +8,11 @@ import graft.operators.LlmQueries
 class LlmSpec extends SparkSpec {
 
   test("minhash near-dup plan contains no cartesian product") {
-    val df = LlmQueries.queries("q33_minhash_neardup")(spark, sf)
+    // Plan-shape variant: q33 itself returns an eagerly-materialized
+    // checkpoint (so its plan is just a scan); the lazy builder exposes
+    // the full candidate-generation lineage this test audits.
+    val df = Dedup.minhashNearDupsPlan(
+      graft.Tables.t(spark, sf, "documents"), "doc_id", "text")
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
