@@ -33,7 +33,11 @@ object Bench {
     // Warmup: touches every table-read path + codegen once, unrecorded.
     run("q03_join_agg_regional_revenue")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
+    // Optional name filter (local iteration only — the driver passes no
+    // args and gets the full suite).
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => args.isEmpty || args.exists(n.contains))
+    val results = names.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -33,22 +33,35 @@ object Dedup {
     array((0 until n).map(i =>
       array_min(transform(shingleCol, s => xxhash64(s, lit(i))))): _*)
 
-  /** LSH band hashes computed DIRECTLY from the shingle column: band b's
-    * hash fuses `rowsPerBand` per-slot minhash expressions, each appearing
-    * exactly once in the plan.
+  /** Per-shingle base hash array, masked to 32 bits: the two independent
+    * hash families h1/h2 from which every minhash slot derives as
+    * h_i = h1 + i·h2 (the standard affine combination — one permutation
+    * family per slot without re-hashing the string per slot). The 32-bit
+    * mask keeps h1 + 127·h2 < 2⁴⁰, safely inside ANSI long arithmetic.
+    */
+  def shingleHashes(shingleCol: Column, seed: Int): Column =
+    transform(shingleCol, s => xxhash64(s, lit(seed))
+      .bitwiseAND(lit(0xFFFFFFFFL)))
+
+  /** LSH band hashes from the PRECOMPUTED h1/h2 base-hash arrays: band b's
+    * hash fuses `rowsPerBand` slot minimums, each an arithmetic-only
+    * zip_with over the base hashes — the per-shingle string hashing happens
+    * exactly twice per document (in [[shingleHashes]], materialized by the
+    * caller's cache), not once per slot.
     *
     * Deliberately NOT `element_at(minhash(sh), i)`: Catalyst inlines the
     * shared 128-slot array expression into every element_at (projection
     * collapse defeats subexpression reuse across higher-order functions),
     * re-evaluating the whole signature per slot — a 128× blowup that took
-    * the sf0.1 bench from seconds to 20 minutes.
+    * the sf0.1 bench from seconds to 20 minutes. The same hazard is why
+    * h1/h2 must come from a materialized column, not be inlined here.
     */
-  def lshBands(shingleCol: Column, bands: Int = 32,
+  def lshBands(h1: Column, h2: Column, bands: Int = 32,
                rowsPerBand: Int = 4): Column =
     array((0 until bands).map { b =>
       val slots = (0 until rowsPerBand).map { r =>
-        array_min(transform(shingleCol,
-          s => xxhash64(s, lit(b * rowsPerBand + r))))
+        val i = b * rowsPerBand + r
+        array_min(zip_with(h1, h2, (a, c) => a + lit(i.toLong) * c))
       }
       struct(lit(b).as("band"), xxhash64(slots: _*).as("bh"))
     }: _*)
@@ -70,11 +83,15 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.8,
                       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    // cache(): the shingle arrays feed 128 hash transforms plus the verify
-    // joins — without the materialization barrier, projection collapse
-    // would recompute the tokenize+slice+distinct pipeline inside each.
+    // cache(): the base-hash arrays feed 128 slot expressions plus the
+    // verify joins read the shingles — without the materialization barrier,
+    // projection collapse would recompute the tokenize+hash pipeline inside
+    // each slot.
     val withShingles = docs.select(col(idCol).as("_id"),
-      shingles(col(textCol)).as("_sh")).cache()
+      shingles(col(textCol)).as("_sh"))
+      .withColumn("_h1", shingleHashes(col("_sh"), 0))
+      .withColumn("_h2", shingleHashes(col("_sh"), 1))
+      .cache()
     val verified = nearDupPairs(withShingles, threshold, maxBucketSize)
     // Materialize the (small) pair set eagerly so the shingle cache can be
     // released before returning — in a long-lived session the per-call
@@ -91,12 +108,15 @@ object Dedup {
                                          textCol: String,
                                          threshold: Double = 0.8): DataFrame =
     nearDupPairs(docs.select(col(idCol).as("_id"),
-      shingles(col(textCol)).as("_sh")), threshold, Int.MaxValue)
+      shingles(col(textCol)).as("_sh"))
+      .withColumn("_h1", shingleHashes(col("_sh"), 0))
+      .withColumn("_h2", shingleHashes(col("_sh"), 1)),
+      threshold, Int.MaxValue)
 
   private def nearDupPairs(withShingles: DataFrame, threshold: Double,
                            maxBucketSize: Int): DataFrame = {
     val bandedAll = withShingles
-      .select(col("_id"), explode(lshBands(col("_sh"))).as("_b"))
+      .select(col("_id"), explode(lshBands(col("_h1"), col("_h2"))).as("_b"))
       .select(col("_id"), col("_b.band").as("_band"), col("_b.bh").as("_bh"))
     // OPT-IN skew guard: a bucket of n docs yields n² candidate pairs, so
     // one boilerplate mega-bucket can dominate the job at corpus scale.
