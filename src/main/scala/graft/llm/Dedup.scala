@@ -21,11 +21,27 @@ object Dedup {
   /** Distinct word k-gram shingles. Documents shorter than k tokens yield
     * their single sub-k shingle.
     */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(k)))))
+  def shingles(text: Column, k: Int = 3): Column =
+    shinglesOf(TextAnalysis.tokens(text), k)
+
+  /** k-gram shingles from a token array, built by zipping k-1 shifted
+    * slices of the array — NOT by `transform(sequence(...), i =>
+    * slice(toks, i, k))`: a lambda body re-evaluates its captured subtrees
+    * per element, so the sequence form re-tokenizes the whole document
+    * once per shingle (measured as the dominant cost of the near-dup
+    * pipeline). Here `toks` is evaluated a constant k+1 times per row and
+    * every lambda touches only its own elements. zip_with pads the shorter
+    * (shifted) side with nulls, which concat_ws skips, so the final slice
+    * keeps exactly the max(n-k+1, 1) windows the sequence form produced —
+    * including the single sub-k shingle of a short document.
+    */
+  def shinglesOf(toks: Column, k: Int = 3): Column = {
+    val n = size(toks)
+    val joined = (2 to k).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), greatest(n, lit(1))),
+        (a, b) => concat_ws(" ", a, b))
+    }
+    array_distinct(slice(joined, lit(1), greatest(n - (k - 1), lit(1))))
   }
 
   /** MinHash signature: `n` minimums of per-shingle seeded xxhash64. */
@@ -33,38 +49,43 @@ object Dedup {
     array((0 until n).map(i =>
       array_min(transform(shingleCol, s => xxhash64(s, lit(i))))): _*)
 
-  /** Per-shingle base hash array, masked to 32 bits: the two independent
-    * hash families h1/h2 from which every minhash slot derives as
-    * h_i = h1 + i·h2 (the standard affine combination — one permutation
-    * family per slot without re-hashing the string per slot). The 32-bit
-    * mask keeps h1 + 127·h2 < 2⁴⁰, safely inside ANSI long arithmetic.
-    */
-  def shingleHashes(shingleCol: Column, seed: Int): Column =
-    transform(shingleCol, s => xxhash64(s, lit(seed))
-      .bitwiseAND(lit(0xFFFFFFFFL)))
-
-  /** LSH band hashes from the PRECOMPUTED h1/h2 base-hash arrays: band b's
-    * hash fuses `rowsPerBand` slot minimums, each an arithmetic-only
-    * zip_with over the base hashes — the per-shingle string hashing happens
-    * exactly twice per document (in [[shingleHashes]], materialized by the
-    * caller's cache), not once per slot.
+  /** LSH band table (_id, _band, _bh), fully relational: explode the
+    * shingle set, hash each shingle TWICE (xxhash64 seeds 0/1, masked to
+    * 32 bits so h1 + 127·h2 < 2⁴⁰ stays inside ANSI long arithmetic), and
+    * take the 128 slot minimums h_i = h1 + i·h2 (the standard affine
+    * combination — one permutation family per slot without re-hashing the
+    * string per slot) in ONE 128-column codegen'd aggregate with map-side
+    * partial combine. Band b's hash then fuses its `rowsPerBand`
+    * consecutive slots.
     *
-    * Deliberately NOT `element_at(minhash(sh), i)`: Catalyst inlines the
-    * shared 128-slot array expression into every element_at (projection
-    * collapse defeats subexpression reuse across higher-order functions),
-    * re-evaluating the whole signature per slot — a 128× blowup that took
-    * the sf0.1 bench from seconds to 20 minutes. The same hazard is why
-    * h1/h2 must come from a materialized column, not be inlined here.
+    * Deliberately NOT a per-row array pipeline (`element_at(minhash(sh),
+    * i)` or 128 `zip_with` slots over cached hash arrays): higher-order
+    * functions are codegen fallbacks, so every variant of that shape pays
+    * interpreted lambda evaluation per (slot × shingle) — measured 128×
+    * (20 minutes at sf0.1) for the element_at form and still ~4 s for the
+    * cached-array form, vs sub-second for this aggregate. At cluster scale
+    * the shuffle is the size of the partial-agg output (one 128-long row
+    * per doc per mapper), not the shingle explosion.
     */
-  def lshBands(h1: Column, h2: Column, bands: Int = 32,
-               rowsPerBand: Int = 4): Column =
-    array((0 until bands).map { b =>
-      val slots = (0 until rowsPerBand).map { r =>
-        val i = b * rowsPerBand + r
-        array_min(zip_with(h1, h2, (a, c) => a + lit(i.toLong) * c))
-      }
-      struct(lit(b).as("band"), xxhash64(slots: _*).as("bh"))
-    }: _*)
+  def bandTable(withShingles: DataFrame, bands: Int = 32,
+                rowsPerBand: Int = 4): DataFrame = {
+    val slots = bands * rowsPerBand
+    val mask = lit(0xFFFFFFFFL)
+    val hashed = withShingles
+      .select(col("_id"), explode(col("_sh")).as("_s"))
+      .select(col("_id"),
+        xxhash64(col("_s"), lit(0)).bitwiseAND(mask).as("_x1"),
+        xxhash64(col("_s"), lit(1)).bitwiseAND(mask).as("_x2"))
+    val mins = (0 until slots).map(i =>
+      min(col("_x1") + lit(i.toLong) * col("_x2")).as(s"_m$i"))
+    val sigs = hashed.groupBy(col("_id")).agg(mins.head, mins.tail: _*)
+    sigs.select(col("_id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((0 until rowsPerBand).map(r =>
+            col(s"_m${b * rowsPerBand + r}")): _*).as("bh"))
+      }: _*)).as("_b"))
+      .select(col("_id"), col("_b.band").as("_band"), col("_b.bh").as("_bh"))
+  }
 
   /** Exact n-gram Jaccard over two distinct-shingle arrays:
     * |A∩B| / |A∪B| — integer sizes, so cross-engine deterministic.
@@ -83,16 +104,13 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.8,
                       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    // cache(): the base-hash arrays feed 128 slot expressions plus the
-    // verify joins read the shingles — without the materialization barrier,
-    // projection collapse would recompute the tokenize+hash pipeline inside
-    // each slot.
+    // cache(): the shingle sets feed both the band derivation and the
+    // verify joins — without the materialization barrier, projection
+    // collapse would recompute the tokenize+shingle pipeline inside each.
     val withShingles = docs.select(col(idCol).as("_id"),
-      shingles(col(textCol)).as("_sh"))
-      .withColumn("_h1", shingleHashes(col("_sh"), 0))
-      .withColumn("_h2", shingleHashes(col("_sh"), 1))
-      .cache()
-    val verified = nearDupPairs(withShingles, threshold, maxBucketSize)
+      shingles(col(textCol)).as("_sh")).cache()
+    val verified = nearDupPairs(withShingles, threshold, maxBucketSize,
+      materializeBands = true)
     // Materialize the (small) pair set eagerly so the shingle cache can be
     // released before returning — in a long-lived session the per-call
     // cached shingle blocks would otherwise accumulate in storage memory.
@@ -108,16 +126,20 @@ object Dedup {
                                          textCol: String,
                                          threshold: Double = 0.8): DataFrame =
     nearDupPairs(docs.select(col(idCol).as("_id"),
-      shingles(col(textCol)).as("_sh"))
-      .withColumn("_h1", shingleHashes(col("_sh"), 0))
-      .withColumn("_h2", shingleHashes(col("_sh"), 1)),
-      threshold, Int.MaxValue)
+      shingles(col(textCol)).as("_sh")),
+      threshold, Int.MaxValue, materializeBands = false)
 
   private def nearDupPairs(withShingles: DataFrame, threshold: Double,
-                           maxBucketSize: Int): DataFrame = {
-    val bandedAll = withShingles
-      .select(col("_id"), explode(lshBands(col("_h1"), col("_h2"))).as("_b"))
-      .select(col("_id"), col("_b.band").as("_band"), col("_b.bh").as("_bh"))
+                           maxBucketSize: Int,
+                           materializeBands: Boolean): DataFrame = {
+    val bandedLazy = bandTable(withShingles)
+    // Materialize the (small: 32 rows/doc of (id, band, hash)) band table
+    // before the self-join: both join sides would otherwise re-run the
+    // 128-slot band derivation — measured at 3x the banding cost inside
+    // one q33 run. Skipped in the plan-inspection path, which must not
+    // execute anything.
+    val bandedAll =
+      if (materializeBands) bandedLazy.localCheckpoint(true) else bandedLazy
     // OPT-IN skew guard: a bucket of n docs yields n² candidate pairs, so
     // one boilerplate mega-bucket can dominate the job at corpus scale.
     // NOTE the trade-off: identical shingle sets share the SAME bucket in
