@@ -211,8 +211,46 @@ object LlmQueries {
         |      AS rank
         |  FROM scored)
         |WHERE rank <= 10""".stripMargin,
-    // q36_ann_lsh: intentionally no oracle — rows-only check; recall vs
-    // brute force asserted in LlmSpec.
+    // q36_ann_lsh: the hyperplanes are deterministic (fixed-seed Gaussian),
+    // so they embed as SQL literals and DuckDB replicates the exact
+    // bucketing (sign of the same left-to-right double dot product),
+    // candidate join, and rerank. Shortest-round-trip double formatting
+    // (Double.toString) parses back to the identical IEEE value.
+    "q36_ann_lsh" -> {
+      val ps = Similarity.planes(dim = 64, tables = 8, bitsPerTable = 4)
+      def planeLit(p: Seq[Double]): String = p.mkString("[", ",", "]")
+      def bucketSql(tp: Seq[Seq[Double]]): String =
+        tp.zipWithIndex.map { case (p, b) =>
+          s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeLit(p)}) > 0 THEN ${1 << b} ELSE 0 END)"
+        }.mkString(" + ")
+      val bucketCols = ps.zipWithIndex
+        .map { case (tp, t) => s"${bucketSql(tp)} AS bk$t" }.mkString(",\n    ")
+      val sameBucket = ps.indices.map(t => s"q.bk$t = c.bk$t").mkString(" OR ")
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |    $bucketCols
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS neighbor_id
+         |  FROM b q, b c
+         |  WHERE q.vec_id % 100 = 0 AND c.vec_id != q.vec_id
+         |    AND ($sameBucket)),
+         |scored AS (
+         |  SELECT cand.qid, cand.neighbor_id,
+         |    list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[]))
+         |      / (sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])))
+         |        * sqrt(list_dot_product(CAST(ce.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[]))))
+         |      AS sim
+         |  FROM cand
+         |  JOIN embeddings qe ON qe.vec_id = cand.qid
+         |  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+         |SELECT qid, rank, neighbor_id FROM (
+         |  SELECT qid, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC)
+         |      AS rank
+         |  FROM scored)
+         |WHERE rank <= 10""".stripMargin
+    },
     "q42_embedding_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, embedding FROM embeddings
