@@ -105,6 +105,65 @@ object Similarity {
       .select(col("d1"), col("d2"), col("cosine"))
   }
 
+  /** IVF-style ANN: coarse-quantize the corpus into inverted lists keyed
+    * by the nearest of ~|corpus|/`centroidEvery` sampled centroids, probe
+    * the `nprobe` nearest lists per query, exact-cosine rerank within the
+    * probed lists. Output: (qid, rank, neighbor_id, sim).
+    *
+    * The coarse quantizer uses deterministic id-sampled centroids (every
+    * `centroidEvery`-th id) rather than k-means: sampling is the standard
+    * cheap quantizer variant, is reproducible under any partitioning
+    * (k-means' float summation order is not), and keeps the whole operator
+    * oracle-verifiable. Assignment and probing are broadcast nested-loop
+    * joins against the tiny centroid set; nearest-centroid choice
+    * tie-breaks on the smaller centroid id via max(struct(sim, -cid)).
+    *
+    * Scale: the corpus streams ONCE against broadcast centroids (map-only
+    * assignment), the candidate join shuffles on centroid id, and rerank
+    * touches only the probed lists — per query ~nprobe/|centroids| of the
+    * corpus instead of all of it. At 100 TB the assignment output would be
+    * written bucketed by `_cid` so repeated query batches skip the
+    * assignment pass entirely.
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int = 10, centroidEvery: Int = 64,
+             nprobe: Int = 4): DataFrame = {
+    val centroids = corpus.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cv"),
+        norm(col(vecCol)).as("_cn"))
+    def nearest(df: DataFrame, id: String, vec: String, nrm: String,
+                keep: Int): DataFrame = {
+      val scored = df
+        .select(col(idCol).as(id), col(vecCol).as(vec),
+          norm(col(vecCol)).as(nrm))
+        .join(broadcast(centroids))
+        .withColumn("_csim", dot(col(vec), col("_cv")) / (col(nrm) * col("_cn")))
+      if (keep == 1)
+        // argmax with deterministic smaller-cid tie-break, one agg pass.
+        scored.groupBy(col(id))
+          .agg(first(col(vec)).as(vec), first(col(nrm)).as(nrm),
+            (-max(struct(col("_csim"), -col("_cid"))).getField("col2"))
+              .as("_cid"))
+      else {
+        val w = Window.partitionBy(col(id))
+          .orderBy(col("_csim").desc, col("_cid").asc)
+        scored.withColumn("_cr", row_number().over(w))
+          .filter(col("_cr") <= keep)
+          .select(col(id), col(vec), col(nrm), col("_cid"))
+      }
+    }
+    val assigned = nearest(corpus, "neighbor_id", "_v", "_cn2", keep = 1)
+    val probed = nearest(queries, "qid", "_qv", "_qn", keep = nprobe)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    probed.join(assigned, Seq("_cid"))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .withColumn("sim", dot(col("_qv"), col("_v")) / (col("_qn") * col("_cn2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** LSH-bucketed ANN: same-bucket candidates from L tables, union,
     * exact cosine rerank to top-k. Output: (qid, rank, neighbor_id, sim).
     */

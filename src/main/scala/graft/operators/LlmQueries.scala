@@ -79,6 +79,16 @@ object LlmQueries {
         .select(col("qid"), col("rank"), col("neighbor_id"))
     },
 
+    // IVF-style ANN (the second scale path besides LSH): id-sampled coarse
+    // centroids, nprobe=4 probed lists, exact rerank. Deterministic by
+    // construction, so fully oracle-verified.
+    "q44_ivf_knn" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfKnn(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10)
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    },
+
     // Embedding-cosine near-dup: the corpus has no near-identical vectors,
     // so copies of every 25th vector (id+1000000) are unioned in; LSH
     // buckets generate candidates (no all-pairs join), exact cosine >= 0.95
@@ -241,6 +251,45 @@ object LlmQueries {
          |      / (sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])))
          |        * sqrt(list_dot_product(CAST(ce.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[]))))
          |      AS sim
+         |  FROM cand
+         |  JOIN embeddings qe ON qe.vec_id = cand.qid
+         |  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+         |SELECT qid, rank, neighbor_id FROM (
+         |  SELECT qid, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC)
+         |      AS rank
+         |  FROM scored)
+         |WHERE rank <= 10""".stripMargin
+    },
+    "q44_ivf_knn" -> {
+      def cos(a: String, b: String): String =
+        s"""list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
+           |      / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))
+           |        * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))""".stripMargin
+      s"""WITH c AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |  WHERE vec_id % 64 = 0),
+         |csim AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ${cos("e.embedding", "c.cv")} AS sim
+         |  FROM embeddings e, c),
+         |assigned AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM csim) WHERE rn = 1),
+         |probed AS (
+         |  SELECT vec_id AS qid, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM csim WHERE vec_id % 100 = 0) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id AS neighbor_id
+         |  FROM probed p JOIN assigned a USING (cid)
+         |  WHERE a.vec_id != p.qid),
+         |scored AS (
+         |  SELECT cand.qid, cand.neighbor_id,
+         |    ${cos("qe.embedding", "ce.embedding")} AS sim
          |  FROM cand
          |  JOIN embeddings qe ON qe.vec_id = cand.qid
          |  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)

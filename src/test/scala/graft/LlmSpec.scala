@@ -84,6 +84,22 @@ class LlmSpec extends SparkSpec {
     // planted duplicate vectors share all sign buckets.
   }
 
+  test("IVF ANN recall vs brute force is substantial on sf0.001") {
+    val e = graft.Tables.t(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val bf = Similarity.bruteForceKnn(e, q, "vec_id", "embedding", k = 10)
+      .select("qid", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val ivf = Similarity.ivfKnn(e, q, "vec_id", "embedding", k = 10)
+      .select("qid", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val recalls = bf.map { case (qid, truth) =>
+      ivf.getOrElse(qid, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.4, s"avg recall@10 = $avg — IVF probes too sparse")
+  }
+
   test("embedding near-dup: bucket-join candidates, no all-pairs join") {
     val df = LlmQueries.queries("q42_embedding_neardup")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

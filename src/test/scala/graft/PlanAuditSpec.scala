@@ -10,7 +10,8 @@ class PlanAuditSpec extends SparkSpec {
   // Queries where a broadcast nested loop is the INTENDED shape (tiny
   // broadcast query side against the big corpus, or inequality-only join
   // conditions on small inputs).
-  private val nestedLoopAllowed = Set("q35_knn_bruteforce", "q36_ann_lsh")
+  private val nestedLoopAllowed =
+    Set("q35_knn_bruteforce", "q36_ann_lsh", "q44_ivf_knn")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
