@@ -79,6 +79,49 @@ object Media {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** A transcoder turns one batch of payloads into one batch of resized
+    * payloads. Real implementations (JPEG decode → scale → re-encode)
+    * plug in here.
+    */
+  trait Transcoder extends Serializable {
+    def resizeBatch(payloads: Seq[Array[Byte]], w: Int, h: Int): Seq[Array[Byte]]
+  }
+
+  /** Deterministic stand-in for the resize step (STUB — see class doc):
+    * nearest-neighbor index mapping over the raw bytes to exactly w×h
+    * output bytes.
+    */
+  object FakeTranscoder extends Transcoder {
+    def resizeBatch(payloads: Seq[Array[Byte]], w: Int, h: Int): Seq[Array[Byte]] =
+      payloads.map { b =>
+        if (b.isEmpty) b
+        else Array.tabulate(w * h)(i => b((i.toLong * b.length / (w * h)).toInt))
+      }
+  }
+
+  /** Batched per-partition resize: replaces `payload` with the transcoded
+    * bytes and records the target dimensions in `width`/`height` columns.
+    * Same mapInPandas-style batch shape as [[extractFeatures]] — a real
+    * codec amortizes setup per batch and memory is bounded by
+    * `batchSize × payload`.
+    */
+  def resize(df: DataFrame, width: Int, height: Int,
+             transcoder: Transcoder = FakeTranscoder,
+             batchSize: Int = 64): DataFrame = {
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val resized = transcoder.resizeBatch(
+          batch.map(_.getAs[Array[Byte]](payloadIdx)), width, height)
+        batch.lazyZip(resized).map((r, p) =>
+          Row.fromSeq(r.toSeq.updated(payloadIdx, p) :+ width :+ height))
+      }
+    }
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType)))
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Deterministic frame sampling stub: pick every `stride`-th byte
     * window as a "frame" (the real thing would seek keyframes). Shows the
     * explode-to-frames shape: one row per sampled frame.

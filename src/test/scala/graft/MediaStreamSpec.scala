@@ -39,6 +39,42 @@ class MediaStreamSpec extends SparkSpec {
     assert(frames.length == 3) // (200-16)/64 = 2 → frame offsets 0, 64, 128
   }
 
+  test("multimodal: resize replaces payload with target-dimension bytes") {
+    import spark.implicits._
+    val df = Seq((1L, Array.range(0, 100).map(_.toByte)),
+      (2L, Array.emptyByteArray)).toDF("id", "payload")
+    val out = Media.resize(df, width = 4, height = 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Array[Byte]]("payload"), r.getAs[Int]("width"),
+          r.getAs[Int]("height"))).toMap
+    val (p1, w1, h1) = out(1L)
+    assert(p1.length == 16 && w1 == 4 && h1 == 4)
+    // Nearest-neighbor index map: byte i of 16 samples source byte i*100/16.
+    assert(p1(0) == 0.toByte && p1(8) == 50.toByte)
+    assert(out(2L)._1.isEmpty) // empty payload passes through
+  }
+
+  test("streaming: fingerprint dedup drops duplicates within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = graft.streaming.DocsStream.dedupStream(docs)
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    // Same normalized text (case/whitespace differ) in one batch and again
+    // in the next: only the first arrival survives.
+    mem.addData((ts(0), 1L, "Hello  World"), (ts(1), 2L, "hello world"),
+      (ts(2), 3L, "other text"))
+    q.processAllAvailable()
+    mem.addData((ts(10), 4L, "HELLO WORLD"), (ts(11), 5L, "fresh doc"))
+    q.processAllAvailable()
+    val out = spark.table("dedup").collect().map(_.getAs[Long]("doc_id")).toSet
+    q.stop()
+    assert(out == Set(1L, 3L, 5L), s"got $out")
+  }
+
   test("streaming: windowed aggregation with watermark finalizes windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
