@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.Cast
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the scalar functions that would
@@ -64,7 +65,60 @@ object NativeExpressions {
     override def prettyName: String = "round_half_up_exact"
   }
 
-  /** Register both expressions on an existing session (idempotent). */
+  /** Dot-product kernel over Spark's columnar array representation; the
+    * float→double per-element cast and strict left-to-right summation
+    * reproduce EXACTLY the doubles of the `aggregate(zip_with(cast·cast))`
+    * formulation it replaces (and of the DuckDB oracles' CAST AS DOUBLE[]
+    * + list_dot_product) — ANN rank order hash-compares on them. Null
+    * element or length mismatch → null, like the zip_with form (null pad →
+    * null product → null sum).
+    */
+  def dotKernel(a: ArrayData, b: ArrayData,
+                aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
+  /** Codegen'd dot product of two float/double arrays. The HOF form
+    * (`aggregate(zip_with(...))`) is a codegen fallback that pays
+    * interpreted lambda dispatch per element — this is the §7.3 promotion
+    * for every cosine hot path (kNN scoring, LSH bucketing, IVF
+    * assignment, near-dup verify).
+    */
+  case class DotProductExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    private def isFloat(e: Expression): Boolean =
+      e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      dotKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        isFloat(left), isFloat(right))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |java.lang.Double ${ev.value}_r = graft.functions.NativeExpressions.dotKernel(
+           |  $a, $b, ${isFloat(left)}, ${isFloat(right)});
+           |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "graft_dot"
+  }
+
+  /** Register all expressions on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("nfd_slug",
@@ -72,6 +126,9 @@ object NativeExpressions {
       "scala_udf")
     reg.createOrReplaceTempFunction("round_half_up_exact",
       (args: Seq[Expression]) => RoundHalfUpExactExpr(Cast(args.head, DoubleType)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dot",
+      (args: Seq[Expression]) => DotProductExpr(args(0), args(1)),
       "scala_udf")
   }
 }

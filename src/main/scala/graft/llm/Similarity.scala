@@ -18,12 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact double-precision dot product via zip_with + aggregate
-    * (functions-only, no UDF).
+  /** Exact double-precision dot product — the native codegen'd
+    * [[graft.functions.NativeExpressions.DotProductExpr]] (bit-identical
+    * to the `aggregate(zip_with(cast·cast))` HOF form it replaced, which
+    * paid interpreted lambda dispatch per element on every cosine hot
+    * path). Requires [[graft.functions.NativeExpressions.register]] on the
+    * session; every entry point in this object registers it.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -34,6 +36,7 @@ object Similarity {
     */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int = 10): DataFrame = {
+    graft.functions.NativeExpressions.register(corpus.sparkSession)
     // Norms precomputed once per VECTOR, not per pair — at |q|×|corpus|
     // pairs the per-pair norm aggregates dominate otherwise.
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("_qv"),
@@ -85,6 +88,7 @@ object Similarity {
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, dim: Int = 64,
                      tables: Int = 8, bitsPerTable: Int = 12): DataFrame = {
+    graft.functions.NativeExpressions.register(corpus.sparkSession)
     val ps = planes(dim, tables, bitsPerTable)
     val b = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       norm(col(vecCol)).as("_n"),
@@ -128,6 +132,7 @@ object Similarity {
   def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int = 10, centroidEvery: Int = 64,
              nprobe: Int = 4): DataFrame = {
+    graft.functions.NativeExpressions.register(corpus.sparkSession)
     val centroids = corpus.filter(col(idCol) % centroidEvery === 0)
       .select(col(idCol).as("_cid"), col(vecCol).as("_cv"),
         norm(col(vecCol)).as("_cn"))
@@ -170,6 +175,7 @@ object Similarity {
   def lshKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int = 10, dim: Int = 64,
              tables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
+    graft.functions.NativeExpressions.register(corpus.sparkSession)
     val ps = planes(dim, tables, bitsPerTable)
     def withBuckets(df: DataFrame, id: String, vec: String, nrm: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec),

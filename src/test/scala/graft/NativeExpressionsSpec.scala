@@ -22,6 +22,32 @@ class NativeExpressionsSpec extends SparkSpec {
     out.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
+  test("native graft_dot is bit-identical to the zip_with/aggregate form") {
+    NativeExpressions.register(spark)
+    import spark.implicits._
+    val vecGen = Gen.listOfN(64, Gen.chooseNum(-10.0f, 10.0f))
+    val pairs = Gen.listOfN(100, Gen.zip(vecGen, vecGen)).sample.get
+    val hofDot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val out = pairs.map { case (a, b) => (a.toArray, b.toArray) }.toDF("a", "b")
+      .select(call_function("graft_dot", col("a"), col("b")).as("native"),
+        hofDot(col("a"), col("b")).as("viaHof"))
+      .collect()
+    // Bit-identical, not approximately equal: ANN rank order (and so the
+    // DuckDB oracle hash compare) rides on these exact doubles.
+    out.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+    // Length mismatch and null array → null, like the zip_with form.
+    val edge = Seq((Array(1.0f, 2.0f), Array(1.0f), null.asInstanceOf[Array[Float]]))
+      .toDF("a", "b", "c")
+      .select(call_function("graft_dot", col("a"), col("b")),
+        call_function("graft_dot", col("a"), col("c")))
+      .collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+  }
+
   test("native round_half_up_exact agrees with the UDF incl. near-ties") {
     NativeExpressions.register(spark)
     import spark.implicits._
