@@ -49,14 +49,45 @@ object Dedup {
     array((0 until n).map(i =>
       array_min(transform(shingleCol, s => xxhash64(s, lit(i))))): _*)
 
-  /** LSH band table (_id, _band, _bh), fully relational: explode the
-    * shingle set, hash each shingle TWICE (xxhash64 seeds 0/1, masked to
-    * 32 bits so h1 + 127·h2 < 2⁴⁰ stays inside ANSI long arithmetic), and
-    * take the 128 slot minimums h_i = h1 + i·h2 (the standard affine
-    * combination — one permutation family per slot without re-hashing the
-    * string per slot) in ONE 128-column codegen'd aggregate with map-side
-    * partial combine. Band b's hash then fuses its `rowsPerBand`
-    * consecutive slots.
+  /** Distinct hashed shingle ROWS (_id, _x1, _x2) — one row per distinct
+    * k-gram per document, with the two 32-bit base hashes every minhash
+    * slot derives from (masked so h1 + 127·h2 < 2⁴⁰ stays inside ANSI long
+    * arithmetic). Fully relational: posexplode the tokens, form each
+    * window with `lead` over the (id, pos) window (one shuffle on the doc
+    * id; concat_ws skips the null leads so a sub-k document keeps exactly
+    * its single short shingle, like [[shinglesOf]]), hash, distinct. No
+    * array columns and no higher-order functions anywhere — this is the
+    * 100 TB shape: shingle state lives in rows that spill and shuffle
+    * gracefully instead of per-document arrays pinned in memory.
+    */
+  def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("_id")).orderBy(col("_pos"))
+    val mask = lit(0xFFFFFFFFL)
+    val exploded = docs.select(col(idCol).as("_id"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("_pos", "_tok")))
+    val withLeads = (1 until k).foldLeft(exploded) { (df, j) =>
+      df.withColumn(s"_l$j", lead(col("_tok"), j).over(w))
+    }
+    // A position starts a full k-window iff its (k-1)-lead exists; position
+    // 0 always survives so a sub-k document keeps its single short shingle
+    // (concat_ws skips the null leads) — same windows as [[shinglesOf]],
+    // with no second (count) window pass.
+    withLeads
+      .filter(col(s"_l${k - 1}").isNotNull || col("_pos") === 0)
+      .withColumn("_sh", concat_ws(" ",
+        col("_tok") +: (1 until k).map(j => col(s"_l$j")): _*))
+      .select(col("_id"),
+        xxhash64(col("_sh"), lit(0)).bitwiseAND(mask).as("_x1"),
+        xxhash64(col("_sh"), lit(1)).bitwiseAND(mask).as("_x2"))
+      .distinct()
+  }
+
+  /** LSH band table (_id, _band, _bh) from hashed shingle rows: the 128
+    * slot minimums h_i = h1 + i·h2 (the standard affine combination — one
+    * permutation family per slot without re-hashing the string per slot)
+    * in ONE 128-column codegen'd aggregate with map-side partial combine;
+    * band b's hash then fuses its `rowsPerBand` consecutive slots.
     *
     * Deliberately NOT a per-row array pipeline (`element_at(minhash(sh),
     * i)` or 128 `zip_with` slots over cached hash arrays): higher-order
@@ -67,15 +98,9 @@ object Dedup {
     * the shuffle is the size of the partial-agg output (one 128-long row
     * per doc per mapper), not the shingle explosion.
     */
-  def bandTable(withShingles: DataFrame, bands: Int = 32,
+  def bandTable(hashed: DataFrame, bands: Int = 32,
                 rowsPerBand: Int = 4): DataFrame = {
     val slots = bands * rowsPerBand
-    val mask = lit(0xFFFFFFFFL)
-    val hashed = withShingles
-      .select(col("_id"), explode(col("_sh")).as("_s"))
-      .select(col("_id"),
-        xxhash64(col("_s"), lit(0)).bitwiseAND(mask).as("_x1"),
-        xxhash64(col("_s"), lit(1)).bitwiseAND(mask).as("_x2"))
     val mins = (0 until slots).map(i =>
       min(col("_x1") + lit(i.toLong) * col("_x2")).as(s"_m$i"))
     val sigs = hashed.groupBy(col("_id")).agg(mins.head, mins.tail: _*)
@@ -104,18 +129,18 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.8,
                       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    // cache(): the shingle sets feed both the band derivation and the
-    // verify joins — without the materialization barrier, projection
-    // collapse would recompute the tokenize+shingle pipeline inside each.
-    val withShingles = docs.select(col(idCol).as("_id"),
-      shingles(col(textCol)).as("_sh")).cache()
-    val verified = nearDupPairs(withShingles, threshold, maxBucketSize,
+    // cache(): the hashed shingle rows feed the band derivation, the
+    // verify joins, and the size counts — without the materialization
+    // barrier, projection collapse would recompute the tokenize+window
+    // pipeline inside each.
+    val hs = hashedShingles(docs, idCol, textCol).cache()
+    val verified = nearDupPairs(hs, threshold, maxBucketSize,
       materializeBands = true)
     // Materialize the (small) pair set eagerly so the shingle cache can be
     // released before returning — in a long-lived session the per-call
     // cached shingle blocks would otherwise accumulate in storage memory.
     // localCheckpoint blocks are ContextCleaner-GC'd with the DataFrame.
-    try verified.localCheckpoint(true) finally withShingles.unpersist(false)
+    try verified.localCheckpoint(true) finally hs.unpersist(false)
   }
 
   /** Lazy variant for plan inspection (tests assert the candidate stage
@@ -125,14 +150,13 @@ object Dedup {
   private[graft] def minhashNearDupsPlan(docs: DataFrame, idCol: String,
                                          textCol: String,
                                          threshold: Double = 0.8): DataFrame =
-    nearDupPairs(docs.select(col(idCol).as("_id"),
-      shingles(col(textCol)).as("_sh")),
+    nearDupPairs(hashedShingles(docs, idCol, textCol),
       threshold, Int.MaxValue, materializeBands = false)
 
-  private def nearDupPairs(withShingles: DataFrame, threshold: Double,
+  private def nearDupPairs(hs: DataFrame, threshold: Double,
                            maxBucketSize: Int,
                            materializeBands: Boolean): DataFrame = {
-    val bandedLazy = bandTable(withShingles)
+    val bandedLazy = bandTable(hs)
     // Materialize the (small: 32 rows/doc of (id, band, hash)) band table
     // before the self-join: both join sides would otherwise re-run the
     // 128-slot band derivation — measured at 3x the banding cost inside
@@ -162,12 +186,23 @@ object Dedup {
           col("l._id") < col("r._id"))
       .select(col("l._id").as("d1"), col("r._id").as("d2"))
       .distinct()
+    // Relational exact-Jaccard verify: |A∩B| is a count over the
+    // shingle-equality join restricted to candidate pairs, |A|/|B| are
+    // per-doc distinct counts — same integers as an array_intersect over
+    // shingle arrays, but candidate-limited rows instead of full arrays
+    // per pair (a zero-overlap candidate drops out of the inner join,
+    // which a positive threshold filters anyway).
+    val sizes = hs.groupBy(col("_id")).agg(count(lit(1)).as("_sz"))
     candidates
-      .join(withShingles.select(col("_id"), col("_sh").as("_sh1")),
-        col("d1") === col("_id")).drop("_id")
-      .join(withShingles.select(col("_id"), col("_sh").as("_sh2")),
-        col("d2") === col("_id")).drop("_id")
-      .select(col("d1"), col("d2"), jaccard(col("_sh1"), col("_sh2")).as("jaccard"))
+      .join(hs.select(col("_id").as("d1"), col("_x1"), col("_x2")), Seq("d1"))
+      .join(hs.select(col("_id").as("d2"), col("_x1"), col("_x2")),
+        Seq("d2", "_x1", "_x2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("_ni"))
+      .join(sizes.select(col("_id").as("d1"), col("_sz").as("_sz1")), Seq("d1"))
+      .join(sizes.select(col("_id").as("d2"), col("_sz").as("_sz2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        (col("_ni").cast("double") /
+          (col("_sz1") + col("_sz2") - col("_ni"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
