@@ -31,6 +31,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("cube emission stays inside whole-stage codegen") {
+    // Regression guard for the round-4 finding: a higher-order function
+    // (filter/transform lambda) anywhere in the generator expression drops
+    // GenerateExec to interpreted evaluation — 5× slower at sf0.1. A
+    // codegen'd Generate prints as "*(n) Generate".
+    for (q <- Seq("q37_cube_observations", "q43_cube_full_kinds")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("\\*\\(\\d+\\) Generate".r.findFirstIn(plan).isDefined,
+        s"$q Generate fell out of codegen:\n$plan")
+    }
+  }
+
   test("narrow projections reach the parquet scans (column pruning)") {
     // q02 projects 3 of 6 order columns — the scan must not read more.
     val df = SparkEntry.queries("q02_filter_project")(spark, sf)
