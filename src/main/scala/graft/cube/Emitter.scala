@@ -83,6 +83,7 @@ object Emitter {
   /** Helper columns for one spec, added to the rows before emission. */
   def withHelpers(rows: DataFrame, spec: CubeSpec,
                   mode: RoundingMode = ExactBinary): DataFrame = {
+    graft.functions.NativeExpressions.register(rows.sparkSession)
     val withMeasures = spec.measures.foldLeft(rows) { (df, m) =>
       val parsed = Scalars.parseDecimal(col(m.sourceColumn), m.decimalSep,
         m.groupSep)

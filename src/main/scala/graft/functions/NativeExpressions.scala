@@ -65,6 +65,56 @@ object NativeExpressions {
     override def prettyName: String = "round_half_up_exact"
   }
 
+  /** Longest-numeric-prefix parse of an already-normalized decimal string
+    * (group separators stripped, decimal separator mapped to `.`), exactly
+    * reproducing `CAST(regexp_extract(s, "^(-?\d*\.?\d+|-?\d+\.?)", 1) AS
+    * DOUBLE)` with NULLIF('') — including the ordered-alternation quirk
+    * that a trailing dot is NOT consumed ("5." parses as "5" via the first
+    * alternative) — without running a regex engine per row. The DuckDB
+    * oracles evaluate the literal regex, so the scanner must match it
+    * case-for-case, not DecimalFormat.
+    */
+  def parseNumPrefix(s: UTF8String): java.lang.Double = {
+    if (s == null) return null
+    val str = s.toString
+    val len = str.length
+    var i = 0
+    if (i < len && str.charAt(i) == '-') i += 1
+    val digitsStart = i
+    while (i < len && str.charAt(i) >= '0' && str.charAt(i) <= '9') i += 1
+    val intDigits = i - digitsStart
+    // "-?\d*\.?\d+" with a dot needs >=1 digit after it.
+    if (i + 1 < len && str.charAt(i) == '.' &&
+        str.charAt(i + 1) >= '0' && str.charAt(i + 1) <= '9') {
+      i += 1
+      while (i < len && str.charAt(i) >= '0' && str.charAt(i) <= '9') i += 1
+      java.lang.Double.parseDouble(str.substring(0, i))
+    } else if (intDigits > 0) {
+      // Digits with no usable fraction: the first alternative matches just
+      // the digits (trailing lone dot excluded, like the regex).
+      java.lang.Double.parseDouble(str.substring(0, i))
+    } else null
+  }
+
+  case class ParseNumPrefixExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      parseNumPrefix(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |java.lang.Double ${ev.value}_r =
+           |  graft.functions.NativeExpressions.parseNumPrefix($c);
+           |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "parse_num_prefix"
+  }
+
   /** Dot-product kernel over Spark's columnar array representation; the
     * float→double per-element cast and strict left-to-right summation
     * reproduce EXACTLY the doubles of the `aggregate(zip_with(cast·cast))`
@@ -129,6 +179,9 @@ object NativeExpressions {
       "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot",
       (args: Seq[Expression]) => DotProductExpr(args(0), args(1)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("parse_num_prefix",
+      (args: Seq[Expression]) => ParseNumPrefixExpr(Cast(args.head, StringType)),
       "scala_udf")
   }
 }

@@ -114,13 +114,19 @@ object Scalars {
     * the decimal separator to `.`, then parse the LONGEST NUMERIC PREFIX
     * (DecimalFormat stops at the first invalid char and still succeeds —
     * "1234,56kč" → 1234.56); null when nothing parses.
+    *
+    * The prefix scan is the native `parse_num_prefix` expression — the
+    * regex form (`regexp_extract` of `^(-?\d*\.?\d+|-?\d+\.?)`, which the
+    * DuckDB oracles still evaluate literally and which the native scanner
+    * reproduces case-for-case) ran a regex engine per measure cell.
+    * Requires [[NativeExpressions.register]] on the session; the cube
+    * emitter and the query entry points register it.
     */
   def parseDecimal(c: Column, decimalSep: String = ".",
                    groupSep: String = " "): Column = {
     val norm = replace(replace(c, lit(groupSep), lit("")),
       lit(decimalSep), lit("."))
-    val prefix = regexp_extract(norm, "^(-?\\d*\\.?\\d+|-?\\d+\\.?)", 1)
-    nullif(prefix, lit("")).cast("double")
+    call_function("parse_num_prefix", norm)
   }
 
   /** F9 (reference byte parity): measure scale+round via

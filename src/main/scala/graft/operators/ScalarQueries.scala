@@ -38,6 +38,7 @@ object ScalarQueries {
     // F8: locale decimal parse (',' decimal sep, ' ' grouping, prefix
     // parse with trailing garbage, unparseable → null).
     "q24_decimal_parse" -> { (s, dir) =>
+      graft.functions.NativeExpressions.register(s)
       val l = t(s, dir, "lineitem")
       val czech = concat(lit("1 "),
         replace(col("l_extendedprice")
@@ -56,6 +57,7 @@ object ScalarQueries {
     // reference's raw-string fallback for unparseable values
     // (FdpMeasure.java:86-100).
     "q25_measure_round_fallback" -> { (s, dir) =>
+      graft.functions.NativeExpressions.register(s)
       val l = t(s, dir, "lineitem")
       val czech = replace(col("l_extendedprice")
         .cast(org.apache.spark.sql.types.DecimalType(12, 2)).cast("string"),

@@ -22,6 +22,29 @@ class NativeExpressionsSpec extends SparkSpec {
     out.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
+  test("native parse_num_prefix matches the literal regex the oracles run") {
+    NativeExpressions.register(spark)
+    import spark.implicits._
+    val gen = Gen.listOfN(12, Gen.frequency(
+      6 -> Gen.numChar, 2 -> Gen.oneOf('.', '-'),
+      2 -> Gen.oneOf('x', ' ', ',', 'e'))).map(_.mkString)
+    val inputs = Gen.listOfN(300, gen).sample.get ++ Seq(
+      "", ".", "-", "-.", "-.5", "5.", "5.x", "12.34.56", "--3", ".5",
+      "-5.", "0", "-0.0", "1e5", "007")
+    val out = inputs.toDF("v")
+      .select(call_function("parse_num_prefix", col("v")).as("native"),
+        nullif(regexp_extract(col("v"), "^(-?\\d*\\.?\\d+|-?\\d+\\.?)", 1),
+          lit("")).cast("double").as("viaRegex"))
+      .collect()
+    inputs.zip(out).foreach { case (in, r) =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch on '$in': $r")
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)),
+          s"value mismatch on '$in': $r")
+    }
+  }
+
   test("native graft_dot is bit-identical to the zip_with/aggregate form") {
     NativeExpressions.register(spark)
     import spark.implicits._

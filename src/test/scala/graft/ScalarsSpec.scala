@@ -19,6 +19,7 @@ class ScalarsSpec extends SparkSpec {
     // The reference parses measures with DecimalFormat (FdpAttribute.java:
     // 48-65): grouping sep ignored, decimal sep normalized, longest numeric
     // prefix wins, null on total failure.
+    graft.functions.NativeExpressions.register(spark)
     val df = new java.text.DecimalFormat()
     val sym = new java.text.DecimalFormatSymbols()
     sym.setDecimalSeparator(',')
