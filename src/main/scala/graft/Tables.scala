@@ -10,9 +10,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Idempotent native-function registration on the table-read path: every
+    // query entry loads a table first, so call_function-based scalars
+    // (url_encode, parse_num_prefix, graft_dot) always resolve. A cheap
+    // registry put, NOT a session-config mutation (contrast the nanos flag
+    // below, which must stay at session build).
+    graft.functions.NativeExpressions.register(spark)
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
     * rejects; read nanos as long and convert to a microsecond timestamp.

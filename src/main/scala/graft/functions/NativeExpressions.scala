@@ -96,6 +96,40 @@ object NativeExpressions {
     } else null
   }
 
+  /** F4 kernel: space→dash then java.net.URLEncoder (UTF-8), with a
+    * zero-allocation fast path — URLEncoder leaves `[A-Za-z0-9.*_-]`
+    * unchanged, so a string of only those returns AS-IS. The Column-level
+    * form guarded the same fast path with an `rlike`, paying a regex per
+    * key attribute per row in the cube helpers.
+    */
+  def urlEncode(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val str = s.toString
+    var i = 0
+    var safe = true
+    while (safe && i < str.length) {
+      val c = str.charAt(i)
+      safe = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '.' || c == '*' || c == '_' || c == '-'
+      i += 1
+    }
+    if (safe) s
+    else UTF8String.fromString(
+      java.net.URLEncoder.encode(str.replace(' ', '-'), "UTF-8"))
+  }
+
+  case class UrlEncodeExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      urlEncode(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.NativeExpressions.urlEncode($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "url_encode"
+  }
+
   case class ParseNumPrefixExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
@@ -182,6 +216,9 @@ object NativeExpressions {
       "scala_udf")
     reg.createOrReplaceTempFunction("parse_num_prefix",
       (args: Seq[Expression]) => ParseNumPrefixExpr(Cast(args.head, StringType)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("url_encode",
+      (args: Seq[Expression]) => UrlEncodeExpr(Cast(args.head, StringType)),
       "scala_udf")
   }
 }

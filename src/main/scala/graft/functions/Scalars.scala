@@ -50,11 +50,18 @@ object Scalars {
     else java.net.URLEncoder.encode(s.replace(' ', '-'), "UTF-8")
   }
 
-  /** Codegen fast path: URLEncoder leaves `[A-Za-z0-9.*_-]` unchanged, so
-    * strings made only of those (the overwhelmingly common key shape) skip
-    * the UDF entirely; everything else takes the exact-parity UDF.
+  /** Native codegen'd scanner ([[NativeExpressions.UrlEncodeExpr]]): the
+    * zero-allocation safe-charset fast path plus the exact-parity
+    * URLEncoder slow path in one expression. (The previous Column-level
+    * fast-path guard was an `rlike` — a regex per key attribute per row in
+    * the cube helpers.) Requires [[NativeExpressions.register]] on the
+    * session; `Tables.t`, the cube emitter, and the query entry points all
+    * register.
     */
-  def urlEncode(c: Column): Column =
+  def urlEncode(c: Column): Column = call_function("url_encode", c)
+
+  /** Exact-parity UDF form, kept for registration-free contexts. */
+  def urlEncodeViaUdf(c: Column): Column =
     when(c.rlike("^[A-Za-z0-9.*_-]*$"), c).otherwise(urlEncodeUdf(c))
 
   /** F5: mimetype tail extraction (DcatAp11ToCkanBatch.java:495-498):

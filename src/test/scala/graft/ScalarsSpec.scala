@@ -88,6 +88,7 @@ class ScalarsSpec extends SparkSpec {
   }
 
   test("urlEncode matches java.net.URLEncoder after space→dash") {
+    graft.functions.NativeExpressions.register(spark)
     val gen = Gen.listOfN(20, Gen.frequency(
       5 -> Gen.alphaNumChar,
       3 -> Gen.oneOf(' ', '/', '#', '?', '&', '%', 'č', 'ř', '+', '*', '.')))
@@ -128,6 +129,7 @@ class ScalarsSpec extends SparkSpec {
   }
 
   test("mergedKey joins url-encoded keys with dashes in spec order") {
+    graft.functions.NativeExpressions.register(spark)
     import spark.implicits._
     val out = Seq(("a b", "c/d")).toDF("k1", "k2")
       .select(Scalars.mergedKey(Seq(col("k1"), col("k2"))).as("m"))
