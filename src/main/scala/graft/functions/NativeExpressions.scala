@@ -130,6 +130,54 @@ object NativeExpressions {
     override def prettyName: String = "url_encode"
   }
 
+  /** F7 kernel: date-shape classification → reference.data.gov.uk IRI
+    * (DateDimension.java:64-78), replacing up to four rlike regexes per
+    * row with one shape scan. Shapes are exactly the anchored regexes of
+    * the Column form: yyyy-MM-dd → gregorian-day, yyyy-MM-ddTHH:mm:ss →
+    * gregorian-interval, yyyy-MM → gregorian-month, yyyy → gregorian-year;
+    * anything else → null.
+    */
+  def dateIri(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val str = s.toString
+    def digits(from: Int, until: Int): Boolean = {
+      var i = from
+      while (i < until && str.charAt(i) >= '0' && str.charAt(i) <= '9') i += 1
+      i == until
+    }
+    val kind = str.length match {
+      case 4 if digits(0, 4) => "year"
+      case 7 if digits(0, 4) && str.charAt(4) == '-' && digits(5, 7) => "month"
+      case 10 if digits(0, 4) && str.charAt(4) == '-' && digits(5, 7) &&
+        str.charAt(7) == '-' && digits(8, 10) => "day"
+      case 19 if digits(0, 4) && str.charAt(4) == '-' && digits(5, 7) &&
+        str.charAt(7) == '-' && digits(8, 10) && str.charAt(10) == 'T' &&
+        digits(11, 13) && str.charAt(13) == ':' && digits(14, 16) &&
+        str.charAt(16) == ':' && digits(17, 19) => "interval"
+      case _ => null
+    }
+    if (kind == null) null
+    else UTF8String.fromString(
+      s"http://reference.data.gov.uk/id/gregorian-$kind/$str")
+  }
+
+  case class DateIriExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      dateIri(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = graft.functions.NativeExpressions.dateIri($c);
+           |if (${ev.value} == null) { ${ev.isNull} = true; }
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "date_iri"
+  }
+
   case class ParseNumPrefixExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
@@ -219,6 +267,9 @@ object NativeExpressions {
       "scala_udf")
     reg.createOrReplaceTempFunction("url_encode",
       (args: Seq[Expression]) => UrlEncodeExpr(Cast(args.head, StringType)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("date_iri",
+      (args: Seq[Expression]) => DateIriExpr(Cast(args.head, StringType)),
       "scala_udf")
   }
 }

@@ -94,19 +94,14 @@ object Scalars {
   }
 
   /** F7: date-shape classifier → reference.data.gov.uk IRI
-    * (DateDimension.java:64-78). Null for non-matching shapes; the strict
-    * cube path wraps this with raise_error to mirror the reference's
-    * exception.
+    * (DateDimension.java:64-78), as the native `date_iri` shape scan (one
+    * char pass instead of up to four rlike regexes per row — this runs per
+    * row per date attribute in the cube helpers). Null for non-matching
+    * shapes; the strict cube path wraps this with raise_error to mirror
+    * the reference's exception. Requires [[NativeExpressions.register]]
+    * (Tables.t / the cube emitter register).
     */
-  def dateIri(c: Column): Column =
-    when(c.rlike("^\\d{4}-\\d{2}-\\d{2}$"),
-      concat(lit("http://reference.data.gov.uk/id/gregorian-day/"), c))
-      .when(c.rlike("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}$"),
-        concat(lit("http://reference.data.gov.uk/id/gregorian-interval/"), c))
-      .when(c.rlike("^\\d{4}-\\d{2}$"),
-        concat(lit("http://reference.data.gov.uk/id/gregorian-month/"), c))
-      .when(c.rlike("^\\d{4}$"),
-        concat(lit("http://reference.data.gov.uk/id/gregorian-year/"), c))
+  def dateIri(c: Column): Column = call_function("date_iri", c)
 
   /** Strict variant: unclassifiable non-null dates fail the job like the
     * reference's exceptionFactory.failure (DateDimension.java:73).

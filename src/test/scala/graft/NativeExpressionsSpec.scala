@@ -45,6 +45,38 @@ class NativeExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("native date_iri matches the four anchored regexes") {
+    NativeExpressions.register(spark)
+    import spark.implicits._
+    val digit = Gen.numChar
+    val shapeish = for {
+      y <- Gen.listOfN(4, digit).map(_.mkString)
+      m <- Gen.listOfN(2, digit).map(_.mkString)
+      d <- Gen.listOfN(2, digit).map(_.mkString)
+      t <- Gen.listOfN(2, digit).map(_.mkString)
+      s <- Gen.oneOf(y, s"$y-$m", s"$y-$m-$d", s"$y-$m-${d}T$t:$t:$t",
+        s"$y-$m-$d $t:$t:$t", s"$y/$m/$d", s"$y-$m-", "x" + y, y + "x", "")
+    } yield s
+    val inputs = Gen.listOfN(300, shapeish).sample.get
+    val viaRegex = (c: org.apache.spark.sql.Column) =>
+      when(c.rlike("^\\d{4}-\\d{2}-\\d{2}$"),
+        concat(lit("http://reference.data.gov.uk/id/gregorian-day/"), c))
+        .when(c.rlike("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}$"),
+          concat(lit("http://reference.data.gov.uk/id/gregorian-interval/"), c))
+        .when(c.rlike("^\\d{4}-\\d{2}$"),
+          concat(lit("http://reference.data.gov.uk/id/gregorian-month/"), c))
+        .when(c.rlike("^\\d{4}$"),
+          concat(lit("http://reference.data.gov.uk/id/gregorian-year/"), c))
+    val out = inputs.toDF("v")
+      .select(call_function("date_iri", col("v")).as("native"),
+        viaRegex(col("v")).as("viaRegex"))
+      .collect()
+    inputs.zip(out).foreach { case (in, r) =>
+      assert(Option(r.getString(0)) == Option(r.getString(1)),
+        s"mismatch on '$in': $r")
+    }
+  }
+
   test("native graft_dot is bit-identical to the zip_with/aggregate form") {
     NativeExpressions.register(spark)
     import spark.implicits._

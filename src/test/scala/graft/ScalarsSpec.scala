@@ -109,6 +109,7 @@ class ScalarsSpec extends SparkSpec {
   }
 
   test("dateIri classifies exactly the four reference shapes") {
+    graft.functions.NativeExpressions.register(spark)
     val cases = Seq(
       "2016-01-02" -> Some("http://reference.data.gov.uk/id/gregorian-day/2016-01-02"),
       "2016-01-02T03:04:05" -> Some("http://reference.data.gov.uk/id/gregorian-interval/2016-01-02T03:04:05"),
@@ -121,6 +122,7 @@ class ScalarsSpec extends SparkSpec {
   }
 
   test("dateIriStrict raises on unclassifiable values") {
+    graft.functions.NativeExpressions.register(spark)
     import spark.implicits._
     val ex = intercept[Exception] {
       Seq("nope").toDF("v").select(Scalars.dateIriStrict(col("v"))).collect()
