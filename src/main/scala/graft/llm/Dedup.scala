@@ -217,22 +217,22 @@ object Dedup {
       .withColumn("canonical_id", min(col(idCol)).over(w))
   }
 
-  /** 32-bit SimHash as a fully relational pipeline (explode tokens × bits,
-    * two aggregations) — identical shape in the DuckDB oracle. Token hash
-    * = first 8 hex digits of md5, so both engines agree bit-for-bit.
+  /** 32-bit SimHash, one codegen'd wide aggregate: per token hash (first
+    * 8 hex digits of md5, so the DuckDB oracle agrees bit-for-bit), the 32
+    * bit votes are 32 conditional sums in a single groupBy with map-side
+    * combine — no 32× bit explode and no second aggregation (the explode
+    * form shuffled 32 rows per token; identical integers either way).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("_t"))
       .withColumn("_h", conv(substring(md5(col("_t")), 1, 8), 16, 10).cast("long"))
-    val bits = tok.select(col("_id"), col("_h"),
-      explode(sequence(lit(0), lit(31))).as("_b"))
-      .withColumn("_bit", floor(col("_h") / pow(lit(2.0), col("_b"))).cast("long") % 2)
-    bits.groupBy(col("_id"), col("_b"))
-      .agg(sum(col("_bit") * 2 - 1).as("_vote"))
-      .groupBy(col("_id"))
-      .agg(sum(when(col("_vote") > 0, pow(lit(2.0), col("_b"))).otherwise(lit(0.0)))
-        .cast("long").as("simhash"))
-      .withColumnRenamed("_id", idCol)
+    val votes = (0 until 32).map(b =>
+      sum(shiftright(col("_h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"_v$b"))
+    tok.groupBy(col("_id")).agg(votes.head, votes.tail: _*)
+      .select(col("_id").as(idCol),
+        (0 until 32).map(b =>
+          when(col(s"_v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 }
