@@ -42,27 +42,15 @@ object Scalars {
   /** F4: IRI segment encoding (FdpDimension.java:104-115): space → `-`
     * first, then java.net.URLEncoder (UTF-8). Exact parity matters because
     * these strings become minted IRIs that are hash-compared — URLEncoder's
-    * `+`/`%XX` choices differ from RFC-3986 encoders, so the encoding
-    * itself is a UDF around the identical JDK call.
-    */
-  private val urlEncodeUdf = udf { (s: String) =>
-    if (s == null) null
-    else java.net.URLEncoder.encode(s.replace(' ', '-'), "UTF-8")
-  }
-
-  /** Native codegen'd scanner ([[NativeExpressions.UrlEncodeExpr]]): the
-    * zero-allocation safe-charset fast path plus the exact-parity
-    * URLEncoder slow path in one expression. (The previous Column-level
-    * fast-path guard was an `rlike` — a regex per key attribute per row in
-    * the cube helpers.) Requires [[NativeExpressions.register]] on the
-    * session; `Tables.t`, the cube emitter, and the query entry points all
-    * register.
+    * `+`/`%XX` choices differ from RFC-3986 encoders, so the slow path
+    * wraps the identical JDK call. Implemented as the native codegen'd
+    * scanner ([[NativeExpressions.UrlEncodeExpr]]): zero-allocation
+    * safe-charset fast path (the previous Column-level guard was an
+    * `rlike` — a regex per key attribute per row in the cube helpers).
+    * Requires [[NativeExpressions.register]] on the session; `Tables.t`,
+    * the cube emitter, and the query entry points all register.
     */
   def urlEncode(c: Column): Column = call_function("url_encode", c)
-
-  /** Exact-parity UDF form, kept for registration-free contexts. */
-  def urlEncodeViaUdf(c: Column): Column =
-    when(c.rlike("^[A-Za-z0-9.*_-]*$"), c).otherwise(urlEncodeUdf(c))
 
   /** F5: mimetype tail extraction (DcatAp11ToCkanBatch.java:495-498):
     * `.*&#47;([^/]+/[^/]+)` → `$1`; non-matching strings pass through.
@@ -163,10 +151,13 @@ object Scalars {
     concat(datasetIri, lit(s"/$dimName/"), mergedKey)
 
   /** `-`-joined url-encoded key attributes in spec order
-    * (FdpDimension.java:89-102).
+    * (FdpDimension.java:89-102). A null key cell mints a literal "null"
+    * segment — urlEncode(null) is null and the reference's Java
+    * string-concat stringifies it; bare concat_ws would silently drop the
+    * segment and diverge the minted IRI.
     */
   def mergedKey(keyCols: Seq[Column]): Column =
-    concat_ws("-", keyCols.map(urlEncode(_)): _*)
+    concat_ws("-", keyCols.map(c => coalesce(urlEncode(c), lit("null"))): _*)
 
   def codelistIri(datasetName: Column, dimName: String): Column =
     concat(lit("http://data.openbudgets.eu/resource/"), datasetName,

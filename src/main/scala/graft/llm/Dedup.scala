@@ -72,9 +72,10 @@ object Dedup {
     // A position starts a full k-window iff its (k-1)-lead exists; position
     // 0 always survives so a sub-k document keeps its single short shingle
     // (concat_ws skips the null leads) — same windows as [[shinglesOf]],
-    // with no second (count) window pass.
-    withLeads
-      .filter(col(s"_l${k - 1}").isNotNull || col("_pos") === 0)
+    // with no second (count) window pass. k=1 has no leads and keeps every
+    // position (each token is its own shingle).
+    (if (k == 1) withLeads
+     else withLeads.filter(col(s"_l${k - 1}").isNotNull || col("_pos") === 0))
       .withColumn("_sh", concat_ws(" ",
         col("_tok") +: (1 until k).map(j => col(s"_l$j")): _*))
       .select(col("_id"),

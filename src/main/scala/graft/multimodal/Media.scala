@@ -47,7 +47,8 @@ object Media {
 
   /** Deterministic stand-in for the decode step (STUB — see class doc). */
   object FakeDecoder extends Decoder {
-    def features(b: Array[Byte]): Row = {
+    def features(b0: Array[Byte]): Row = {
+      val b = if (b0 == null) Array.emptyByteArray else b0 // null ≡ empty
       val checksum = ((b.length.toLong * 31 +
         (if (b.nonEmpty) (b.head & 0xff) + (b.last & 0xff) else 0)) % 9973)
       Row(b.length,
@@ -94,7 +95,7 @@ object Media {
   object FakeTranscoder extends Transcoder {
     def resizeBatch(payloads: Seq[Array[Byte]], w: Int, h: Int): Seq[Array[Byte]] =
       payloads.map { b =>
-        if (b.isEmpty) b
+        if (b == null || b.isEmpty) b // null/empty payloads pass through
         else Array.tabulate(w * h)(i => b((i.toLong * b.length / (w * h)).toInt))
       }
   }
