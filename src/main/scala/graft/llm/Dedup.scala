@@ -49,16 +49,21 @@ object Dedup {
     array((0 until n).map(i =>
       array_min(transform(shingleCol, s => xxhash64(s, lit(i))))): _*)
 
-  /** Distinct hashed shingle ROWS (_id, _x1, _x2) — one row per distinct
-    * k-gram per document, with the two 32-bit base hashes every minhash
-    * slot derives from (masked so h1 + 127·h2 < 2⁴⁰ stays inside ANSI long
-    * arithmetic). Fully relational: posexplode the tokens, form each
-    * window with `lead` over the (id, pos) window (one shuffle on the doc
-    * id; concat_ws skips the null leads so a sub-k document keeps exactly
-    * its single short shingle, like [[shinglesOf]]), hash, distinct. No
-    * array columns and no higher-order functions anywhere — this is the
-    * 100 TB shape: shingle state lives in rows that spill and shuffle
-    * gracefully instead of per-document arrays pinned in memory.
+  /** Distinct hashed shingle ROWS (_id, _x1, _x2, _sz) — one row per
+    * distinct k-gram per document, with the two 32-bit base hashes every
+    * minhash slot derives from (masked so h1 + 127·h2 < 2⁴⁰ stays inside
+    * ANSI long arithmetic) and `_sz` = the document's distinct-shingle
+    * count (|A|, carried on every row so the Jaccard verify needs no
+    * separate size aggregation or join). Fully relational: posexplode the
+    * tokens, form each window with `lead` over the (id, pos) window (one
+    * shuffle on the doc id; concat_ws skips the null leads so a sub-k
+    * document keeps exactly its single short shingle, like
+    * [[shinglesOf]]), hash, distinct, then a count over the same doc-id
+    * partitioning — the distinct and the count both reuse the lead
+    * window's hash partitioning on _id, so the whole function is ONE
+    * shuffle. No array columns and no higher-order functions anywhere —
+    * this is the 100 TB shape: shingle state lives in rows that spill and
+    * shuffle gracefully instead of per-document arrays pinned in memory.
     */
   def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 3): DataFrame = {
@@ -82,6 +87,7 @@ object Dedup {
         xxhash64(col("_sh"), lit(0)).bitwiseAND(mask).as("_x1"),
         xxhash64(col("_sh"), lit(1)).bitwiseAND(mask).as("_x2"))
       .distinct()
+      .withColumn("_sz", count(lit(1)).over(Window.partitionBy(col("_id"))))
   }
 
   /** LSH band table (_id, _band, _bh) from hashed shingle rows: the 128
@@ -188,19 +194,20 @@ object Dedup {
       .select(col("l._id").as("d1"), col("r._id").as("d2"))
       .distinct()
     // Relational exact-Jaccard verify: |A∩B| is a count over the
-    // shingle-equality join restricted to candidate pairs, |A|/|B| are
-    // per-doc distinct counts — same integers as an array_intersect over
-    // shingle arrays, but candidate-limited rows instead of full arrays
-    // per pair (a zero-overlap candidate drops out of the inner join,
-    // which a positive threshold filters anyway).
-    val sizes = hs.groupBy(col("_id")).agg(count(lit(1)).as("_sz"))
+    // shingle-equality join restricted to candidate pairs, |A|/|B| ride
+    // along as the _sz column every shingle row already carries — same
+    // integers as an array_intersect over shingle arrays, but
+    // candidate-limited rows instead of full arrays per pair, and no
+    // separate size aggregation or size joins (a zero-overlap candidate
+    // drops out of the inner join, which a positive threshold filters
+    // anyway).
     candidates
-      .join(hs.select(col("_id").as("d1"), col("_x1"), col("_x2")), Seq("d1"))
-      .join(hs.select(col("_id").as("d2"), col("_x1"), col("_x2")),
-        Seq("d2", "_x1", "_x2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("_ni"))
-      .join(sizes.select(col("_id").as("d1"), col("_sz").as("_sz1")), Seq("d1"))
-      .join(sizes.select(col("_id").as("d2"), col("_sz").as("_sz2")), Seq("d2"))
+      .join(hs.select(col("_id").as("d1"), col("_x1"), col("_x2"),
+        col("_sz").as("_sz1")), Seq("d1"))
+      .join(hs.select(col("_id").as("d2"), col("_x1"), col("_x2"),
+        col("_sz").as("_sz2")), Seq("d2", "_x1", "_x2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("_ni"),
+        first(col("_sz1")).as("_sz1"), first(col("_sz2")).as("_sz2"))
       .select(col("d1"), col("d2"),
         (col("_ni").cast("double") /
           (col("_sz1") + col("_sz2") - col("_ni"))).as("jaccard"))
