@@ -36,8 +36,10 @@ object CkanExtract {
 
   case class Config(loadLanguage: String = "en", nkodProfile: Boolean = true)
 
+  // RFC 4647 basic filtering (cs also matches cs-CZ) — shared with the BGP
+  // engine so catalog extraction and SPARQL-subset queries agree.
   private def langMatches(lang: String): Column =
-    lower(col("oLang")) === lang.toLowerCase
+    graft.graphquery.Bgp.langMatches(col("oLang"), lang)
 
   /** min(when(p === prop [&& lang], o)) — the scalar-lookup inversion
     * (S2/A4): deterministic single value, null when absent (the JSON sink

@@ -28,12 +28,25 @@ object Bgp {
   def pattern(t: DataFrame, p: String, as: String): DataFrame =
     t.filter(col("p") === p).select(col("s"), col("o").as(as))
 
-  /** Pattern keeping only lang-tagged literals matching `lang`
-    * (LANGMATCHES basic match — case-insensitive primary-tag compare, which
-    * is all the reference uses: it always passes a bare primary tag).
+  /** SPARQL LANGMATCHES with RFC 4647 basic filtering: the language range
+    * matches the tag exactly (case-insensitive) or any of its
+    * region/variant subtags — `cs` matches `cs` and `cs-CZ` but not
+    * `csx`; `*` matches any tagged literal. The reference always passes a
+    * bare primary tag (DcatAp11ToCkanBatch.java:254), but its Jena
+    * langMatches implements full basic filtering, so a catalog carrying
+    * regioned tags must not lose them here.
+    */
+  def langMatches(tag: Column, range: String): Column = {
+    val r = range.toLowerCase
+    if (r == "*") tag.isNotNull && tag =!= ""
+    else lower(tag) === r || startswith(lower(tag), lit(r + "-"))
+  }
+
+  /** Pattern keeping only lang-tagged literals whose tag LANGMATCHES
+    * `lang` (basic filtering — see [[langMatches]]).
     */
   def patternLang(t: DataFrame, p: String, lang: String, as: String): DataFrame =
-    t.filter(col("p") === p && lower(col("oLang")) === lang.toLowerCase)
+    t.filter(col("p") === p && langMatches(col("oLang"), lang))
       .select(col("s"), col("o").as(as))
 
   /** Property path p1/p2 (two-hop): SELECT ?s ?o WHERE {?s <p1>/<p2> ?o}.
@@ -44,7 +57,7 @@ object Bgp {
            lang2: Option[String] = None): DataFrame = {
     val h1 = t.filter(col("p") === p1).select(col("s"), col("o").as("_mid"))
     val hop2Filter = lang2 match {
-      case Some(l) => col("p") === p2 && lower(col("oLang")) === l.toLowerCase
+      case Some(l) => col("p") === p2 && langMatches(col("oLang"), l)
       case None => col("p") === p2
     }
     val h2raw = t.filter(hop2Filter)

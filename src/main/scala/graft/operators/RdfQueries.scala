@@ -113,19 +113,19 @@ object RdfQueries {
          |  FROM region)""".stripMargin,
       "t" -> G.sql.geo),
     "q15_lang_filter" -> withTriples(
-      "SELECT s, o AS name_cs FROM t WHERE p = 'urn:p/name' AND lower(oLang) = 'cs'",
+      "SELECT s, o AS name_cs FROM t WHERE p = 'urn:p/name' AND (lower(oLang) = 'cs' OR lower(oLang) LIKE 'cs-%')",
       "t" -> G.sql.geo),
     "q16_property_path" -> withTriples(
       """SELECT h1.s AS s, h2.o AS nation_name
         |FROM t h1 JOIN t h2 ON h1.o = h2.s
         |WHERE h1.p = 'urn:p/inNation' AND h2.p = 'urn:p/name'
-        |  AND lower(h2.oLang) = 'en'""".stripMargin,
+        |  AND (lower(h2.oLang) = 'en' OR lower(h2.oLang) LIKE 'en-%')""".stripMargin,
       "t" -> s"${G.sql.customers.drop(1).dropRight(1)} UNION ALL ${G.sql.geo.drop(1).dropRight(1)}"),
     "q17_inverse_path_agg" -> withTriples(
       """SELECT rn.o AS region_name, COUNT(*) AS n_nations
         |FROM t e JOIN t rn ON e.o = rn.s
         |WHERE e.p = 'urn:p/inRegion' AND rn.p = 'urn:p/name'
-        |  AND lower(rn.oLang) = 'en'
+        |  AND (lower(rn.oLang) = 'en' OR lower(rn.oLang) LIKE 'en-%')
         |GROUP BY rn.o""".stripMargin,
       "t" -> G.sql.geo),
     "q18_values_undef" -> withTriples(
@@ -142,7 +142,8 @@ object RdfQueries {
       "t" -> G.sql.customers,
       "cust" -> ("""SELECT seg.s AS s, seg.o AS segment, nat.o AS nation
         |FROM t seg JOIN t nat ON seg.s = nat.s
-        |WHERE seg.p = 'urn:p/segment' AND lower(seg.oLang) = 'en'
+        |WHERE seg.p = 'urn:p/segment'
+        |  AND (lower(seg.oLang) = 'en' OR lower(seg.oLang) LIKE 'en-%')
         |  AND nat.p = 'urn:p/inNation'""".stripMargin)),
     "q19_optional_bind" -> withTriples(
       """SELECT n.s AS s, n.o AS name, v.o AS vip, v.o IS NOT NULL AS has_vip

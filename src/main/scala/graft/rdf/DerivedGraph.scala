@@ -41,13 +41,20 @@ object DerivedGraph {
     val n = t(spark, dir, "nation")
     val rs = concat(lit("urn:g/region/"), r("r_regionkey"))
     val ns = concat(lit("urn:g/nation/"), n("n_nationkey"))
+    // The en-US / cs-CZ variants exist to exercise LANGMATCHES basic
+    // filtering (RFC 4647): a "cs" range must keep cs-CZ rows, an "en"
+    // range must keep en-US rows, and neither may leak across primary tags.
     emit(r, Seq(
       tr(rs, T, lit("urn:g/Region"), isIri = true),
-      tr(rs, "urn:p/name", r("r_name"), isIri = false, lang = "en")
+      tr(rs, "urn:p/name", r("r_name"), isIri = false, lang = "en"),
+      tr(rs, "urn:p/name", concat(r("r_name"), lit(" (us)")), isIri = false,
+        lang = "en-US")
     )).unionByName(emit(n, Seq(
       tr(ns, T, lit("urn:g/Nation"), isIri = true),
       tr(ns, "urn:p/name", n("n_name"), isIri = false, lang = "en"),
       tr(ns, "urn:p/name", lower(n("n_name")), isIri = false, lang = "cs"),
+      tr(ns, "urn:p/name", concat(lower(n("n_name")), lit(" (cz)")),
+        isIri = false, lang = "cs-CZ"),
       tr(ns, "urn:p/inRegion",
         concat(lit("urn:g/region/"), n("n_regionkey")), isIri = true)
     )))
@@ -91,9 +98,11 @@ object DerivedGraph {
     val geo: String = Seq(
       row("'urn:g/region/' || r_regionkey", s"'$T'", "'urn:g/Region'", isIri = true, from = "region"),
       row("'urn:g/region/' || r_regionkey", "'urn:p/name'", "r_name", isIri = false, lang = "en", from = "region"),
+      row("'urn:g/region/' || r_regionkey", "'urn:p/name'", "r_name || ' (us)'", isIri = false, lang = "en-US", from = "region"),
       row("'urn:g/nation/' || n_nationkey", s"'$T'", "'urn:g/Nation'", isIri = true, from = "nation"),
       row("'urn:g/nation/' || n_nationkey", "'urn:p/name'", "n_name", isIri = false, lang = "en", from = "nation"),
       row("'urn:g/nation/' || n_nationkey", "'urn:p/name'", "lower(n_name)", isIri = false, lang = "cs", from = "nation"),
+      row("'urn:g/nation/' || n_nationkey", "'urn:p/name'", "lower(n_name) || ' (cz)'", isIri = false, lang = "cs-CZ", from = "nation"),
       row("'urn:g/nation/' || n_nationkey", "'urn:p/inRegion'", "'urn:g/region/' || n_regionkey", isIri = true, from = "nation")
     ).mkString("(", "\nUNION ALL\n", ")")
 

@@ -75,6 +75,25 @@ class RdfSpec extends SparkSpec {
     assert(out.toSeq == Seq(("s1", "Alice", "true"), ("s2", "Bob", "")))
   }
 
+  test("LANGMATCHES basic filtering: range matches subtags, not prefixes") {
+    // RFC 4647 basic filtering (SPARQL LANGMATCHES semantics,
+    // DcatAp11ToCkanBatch.java:254): "cs" matches cs and cs-CZ, not csx
+    // or en-US; "*" matches any tagged literal.
+    val t = triples(
+      ("s1", "urn:p/name", "bare", false, "cs", null),
+      ("s2", "urn:p/name", "regioned", false, "cs-CZ", null),
+      ("s3", "urn:p/name", "case", false, "CS-cz", null),
+      ("s4", "urn:p/name", "prefix-not-subtag", false, "csx", null),
+      ("s5", "urn:p/name", "other-primary", false, "en-US", null),
+      ("s6", "urn:p/name", "untagged", false, null, null))
+    val cs = Bgp.patternLang(t, "urn:p/name", "cs", "v")
+      .select("s").collect().map(_.getString(0)).sorted
+    assert(cs.toSeq == Seq("s1", "s2", "s3"))
+    val star = t.filter(Bgp.langMatches(col("oLang"), "*"))
+      .select("s").collect().map(_.getString(0)).sorted
+    assert(star.toSeq == Seq("s1", "s2", "s3", "s4", "s5"))
+  }
+
   test("notExists filters subjects with the property (anti-join)") {
     val t = triples(
       ("s1", "urn:p/x", "1", false, null, null),
