@@ -38,6 +38,10 @@ class RecordingClient(
     var pages: Seq[Seq[String]] = Nil,
     var failOn: Set[String] = Set.empty) extends CatalogClient {
   val calls = collection.mutable.ArrayBuffer[(String, String)]()
+  /** Posted JSON bodies, for asserting the minimal-create/full-update
+    * payload split: (kind, id, json).
+    */
+  val payloads = collection.mutable.ArrayBuffer[(String, String, String)]()
   private def record(kind: String, id: String): Either[String, Unit] = {
     calls += ((kind, id))
     if (failOn.contains(id)) Left(s"simulated failure for $id") else Right(())
@@ -46,8 +50,12 @@ class RecordingClient(
   def packageShow(id: String): Option[Seq[(String, String, String)]] = {
     calls += (("show", id)); existing.get(id)
   }
-  def createPackage(id: String, json: String): Either[String, Unit] = record("create", id)
-  def updatePackage(id: String, json: String): Either[String, Unit] = record("update", id)
+  def createPackage(id: String, json: String): Either[String, Unit] = {
+    payloads += (("create", id, json)); record("create", id)
+  }
+  def updatePackage(id: String, json: String): Either[String, Unit] = {
+    payloads += (("update", id, json)); record("update", id)
+  }
   def createOrganization(name: String, title: String, uri: String): Either[String, Unit] = record("createOrg", name)
   def deleteDataset(id: String): Either[String, Unit] = record("delete", id)
   def listPage(page: Int): Seq[String] = {
@@ -109,21 +117,32 @@ object CkanLoad {
     }
   }
   def run(packages: DataFrame, client: CatalogClient): Seq[(String, String)] = {
-    // ONE collect for (name, json): two separate actions on a shuffled
+    // ONE collect for (name, minimal, full): separate actions on a shuffled
     // DataFrame have no consistent row order, so zipping their results
     // could pair a name with another package's payload.
+    val minimalCols = Seq("name", "title", "owner_org")
+      .filter(packages.columns.contains).map(col)
     val pairs = packages.select(col("name"),
+      to_json(struct(minimalCols: _*)).as("_min"),
       to_json(struct(packages.columns.filter(_ != "dataset").map(col): _*))
         .as("_json"))
-      .collect().map(r => (r.getString(0), r.getString(1)))
-    pairs.map { case (name, json) =>
-      client.packageShow(name) match {
-        case Some(_) =>
-          client.updatePackage(name, json).fold(e => name -> s"error: $e",
-            _ => name -> "updated")
-        case None =>
-          client.createPackage(name, json).fold(e => name -> s"error: $e",
-            _ => name -> "created")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    pairs.map { case (name, minJson, json) =>
+      // Create-then-update flow (DcatAp11ToCkanBatch.java:521-606): a
+      // missing dataset is first created with only {name, title,
+      // owner_org}, then the FULL package is posted as package_update for
+      // new and existing datasets alike — CKAN instances that reject
+      // unknown fields on create accept this, a one-shot full create they
+      // may not.
+      val created = client.packageShow(name) match {
+        case Some(_) => Right(false)
+        case None => client.createPackage(name, minJson).map(_ => true)
+      }
+      created.flatMap(isNew =>
+        client.updatePackage(name, json).map(_ => isNew)) match {
+        case Left(e) => name -> s"error: $e"
+        case Right(true) => name -> "created"
+        case Right(false) => name -> "updated"
       }
     }.toSeq
   }

@@ -76,8 +76,24 @@ class DkanSpec extends SparkSpec {
     val results = CkanLoad.run(pkgs, client).toMap
     assert(results("test99") == "updated")
     assert(results("test100") == "created")
-    assert(client.calls.count(_._1 == "update") == 1)
+    // Create-then-update (DcatAp11ToCkanBatch.java:521-606): the existing
+    // dataset gets only an update; the new one is created with the minimal
+    // {name,title,owner_org} root and then updated with the full package.
     assert(client.calls.count(_._1 == "create") == 1)
+    assert(client.calls.count(_._1 == "update") == 2)
+    val createSeq = client.calls.filter(c => c._1 == "create" || c._1 == "update")
+      .collect { case (k, "test100") => k }
+    assert(createSeq == Seq("create", "update"))
+    val createJson = client.payloads.collectFirst {
+      case ("create", "test100", j) => j
+    }.get
+    val keys = graft.catalog.Http.mapper.readTree(createJson).fieldNames()
+    import scala.jdk.CollectionConverters._
+    assert(keys.asScala.toSet.subsetOf(Set("name", "title", "owner_org")))
+    val updateJson = client.payloads.collectFirst {
+      case ("update", "test100", j) => j
+    }.get
+    assert(updateJson.length > createJson.length)
   }
 
   test("purge driver: paginated listing + failOnError accumulation") {
