@@ -19,8 +19,11 @@ object CubePipeline {
     * W1 contract (SURVEY.md §7.4 risk 2): observation IRIs embed the row
     * number in FILE ORDER. zipWithIndex preserves it — partitions of a
     * single text file are ordered by byte offset and rows stay in order
-    * within each split; the reference enforces single-CSV input
-    * (FdpToRdf.java:297), which this inherits.
+    * within each split. The reference hard-errors on more than one CSV
+    * input (FdpToRdf.java:297: "Only one CSV file expected") because with
+    * several files "file order" is whatever order the scan lists them —
+    * this guard enforces the same contract instead of silently
+    * mis-numbering `_row` across files.
     */
   def readCsv(spark: SparkSession, path: String,
               dialect: CsvDialect = CsvDialect()): DataFrame = {
@@ -30,6 +33,10 @@ object CubePipeline {
       .option("quote", dialect.quote)
       .option("inferSchema", "false")
       .csv(path)
+    val files = raw.inputFiles
+    require(files.length == 1,
+      s"Only one CSV file expected (FdpToRdf.java:297): '$path' resolves to " +
+        s"${files.length} files${files.take(3).mkString(" [", ", ", ", …]")}")
     val indexed = raw.rdd.zipWithIndex.map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }

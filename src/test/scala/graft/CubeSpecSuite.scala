@@ -264,6 +264,20 @@ class CubeSpecSuite extends SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("readCsv rejects multi-file input (single-CSV W1 contract)") {
+    // FdpToRdf.java:297 hard-errors above one CSV because the _row
+    // file-order contract is undefined across files.
+    val dir = java.nio.file.Files.createTempDirectory("graft-multi").toFile
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "a.csv").toPath, "c\nx\n")
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "b.csv").toPath, "c\ny\n")
+    val ex = intercept[IllegalArgumentException] {
+      CubePipeline.readCsv(spark, dir.getPath)
+    }
+    assert(ex.getMessage.contains("Only one CSV file expected"))
+  }
+
   test("merged key: null key cell mints a literal 'null' segment") {
     // FdpDimension.java:91-115: urlEncode(null) is null and Java string-
     // concat stringifies it, so the IRI and the prefLabel fallback both

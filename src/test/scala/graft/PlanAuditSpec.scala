@@ -55,6 +55,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(readSchema.split(",").length == 4, s"scan reads too much: $readSchema")
   }
 
+  test("predicate-partitioned triples give Bgp.pattern a pruned scan") {
+    // The SCALE.md layout claim, demonstrated: triples written
+    // partitioned by predicate turn Bgp.pattern's p-filter into partition
+    // pruning — the scan lists only the matching predicate's directory
+    // instead of reading all of a 100 TB table.
+    val dir = java.nio.file.Files.createTempDirectory("triples_by_p").toString
+    try {
+      graft.rdf.DerivedGraph.geo(spark, sf)
+        .write.partitionBy("p").mode("overwrite").parquet(dir)
+      val t = spark.read.parquet(dir)
+      val q = graft.graphquery.Bgp.pattern(t, "urn:p/name", "name")
+      val scan = q.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no FileSourceScan in plan"))
+      assert(scan.partitionFilters.nonEmpty,
+        s"p-filter did not become a partition filter:\n${q.queryExecution.executedPlan}")
+      // The pruned scan must touch exactly the one predicate partition.
+      assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
+        .flatMap(_.files).forall(_.getPath.toString.contains("p=urn")),
+        "scan lists files outside the pruned partition")
+      // And the filter must not have survived as a data filter on a column
+      // the partitioning already resolved.
+      assert(q.count() == t.filter(col("p") === "urn:p/name").count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("catalog extraction broadcasts the small sides") {
     val plan = operators.CatalogQueries.queries("q38_ckan_packages")(spark, sf)
       .queryExecution.executedPlan.toString
