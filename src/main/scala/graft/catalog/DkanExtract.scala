@@ -28,13 +28,30 @@ object DkanExtract {
   private def fields(cols: Seq[Column]): Column =
     filter(array(cols: _*), f => f.isNotNull)
 
+  /** Both field tables from ONE dataset-level wide aggregation: the
+    * dataset agg is materialized once and shared between [[datasetFields]]
+    * and [[resourceFields]] (which otherwise recomputes it just for the
+    * parent-title fallback — doubling the most expensive shuffle of the
+    * extraction at scale). localCheckpoint = the same barrier the
+    * extraction already uses for the triple set.
+    */
+  def extract(t: DataFrame, groups: Option[DataFrame] = None,
+              cfg: Config = Config()): (DataFrame, DataFrame) = {
+    val wide = CkanExtract.datasets(t, cfg).localCheckpoint()
+    (datasetFields(t, groups, cfg, precomputed = Some(wide)),
+      resourceFields(t, cfg,
+        datasetTitles = Some(wide.select(col("dataset"), col("title")))))
+  }
+
   /** Dataset-level DKAN fields. `groups`: optional (publisher_uri →
     * group_id) mapping (the reference builds it from the DKAN API, J2);
-    * broadcast-joined when present.
+    * broadcast-joined when present. `precomputed`: an already-computed
+    * [[CkanExtract.datasets]] output to reuse (see [[extract]]).
     */
   def datasetFields(t: DataFrame, groups: Option[DataFrame] = None,
-                    cfg: Config = Config()): DataFrame = {
-    val wide0 = CkanExtract.datasets(t, cfg)
+                    cfg: Config = Config(),
+                    precomputed: Option[DataFrame] = None): DataFrame = {
+    val wide0 = precomputed.getOrElse(CkanExtract.datasets(t, cfg))
     val wide = groups match {
       case Some(g) => wide0.join(
         broadcast(g.select(col("publisher_uri"), col("group_id"))),
@@ -77,10 +94,15 @@ object DkanExtract {
       fields(if (cfg.nkodProfile) base ++ nkod else base).as("fields"))
   }
 
-  /** Distribution-level DKAN resource fields. */
-  def resourceFields(t: DataFrame, cfg: Config = Config()): DataFrame = {
+  /** Distribution-level DKAN resource fields. `datasetTitles`: optional
+    * (dataset, title) from an already-computed dataset agg (see
+    * [[extract]]) — without it the wide aggregation runs again here.
+    */
+  def resourceFields(t: DataFrame, cfg: Config = Config(),
+                     datasetTitles: Option[DataFrame] = None): DataFrame = {
     val dist = CkanExtract.distributions(t, None, cfg)
-    val dsTitle = CkanExtract.datasets(t, cfg)
+    val dsTitle = datasetTitles.getOrElse(CkanExtract.datasets(t, cfg)
+      .select(col("dataset"), col("title")))
       .select(col("dataset"), col("title").as("_dsTitle"))
     val withParent = dist
       .withColumnRenamed("mimetype", "_mime")

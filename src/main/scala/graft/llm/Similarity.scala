@@ -90,19 +90,28 @@ object Similarity {
                      tables: Int = 8, bitsPerTable: Int = 12): DataFrame = {
     graft.functions.NativeExpressions.register(corpus.sparkSession)
     val ps = planes(dim, tables, bitsPerTable)
-    val b = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"),
-      norm(col(vecCol)).as("_n"),
+    // The bucket self-join carries ONLY ids: a candidate pair that
+    // collides in several tables would otherwise drag its two 64-float
+    // vectors through the shuffle once per collision. Pairs are deduped
+    // first (two longs per row), then each side's vector+norm joins back
+    // exactly once for the verify.
+    val b = corpus.select(col(idCol).as("_id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), bucket(col(vecCol), ps(t)).as("bk"))): _*))
         .as("_tb"))
-      .select(col("_id"), col("_v"), col("_n"),
-        col("_tb.t").as("_t"), col("_tb.bk").as("_bk"))
-    b.as("l").join(b.as("r"),
+      .select(col("_id"), col("_tb.t").as("_t"), col("_tb.bk").as("_bk"))
+    val pairs = b.as("l").join(b.as("r"),
       col("l._t") === col("r._t") && col("l._bk") === col("r._bk") &&
         col("l._id") < col("r._id"))
-      .groupBy(col("l._id").as("d1"), col("r._id").as("d2"))
-      .agg(first(col("l._v")).as("_v1"), first(col("r._v")).as("_v2"),
-        first(col("l._n")).as("_n1"), first(col("r._n")).as("_n2"))
+      .select(col("l._id").as("d1"), col("r._id").as("d2"))
+      .distinct()
+    val vecs = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      norm(col(vecCol)).as("_n"))
+    pairs
+      .join(vecs.select(col("_id").as("d1"), col("_v").as("_v1"),
+        col("_n").as("_n1")), Seq("d1"))
+      .join(vecs.select(col("_id").as("d2"), col("_v").as("_v2"),
+        col("_n").as("_n2")), Seq("d2"))
       .withColumn("cosine",
         dot(col("_v1"), col("_v2")) / (col("_n1") * col("_n2")))
       .filter(col("cosine") >= threshold)

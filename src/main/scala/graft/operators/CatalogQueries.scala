@@ -110,10 +110,12 @@ object CatalogQueries {
     // DKAN form-field extraction (F14 fallbacks, A3 quoted tags, F6
     // RÚIAN defaults), flattened to (entity, field, value).
     "q40_dkan_fields" -> { (s, dir) =>
-      val t = catalogTriples(s, dir)
-      val ds = graft.catalog.DkanExtract.datasetFields(t)
+      // extract() shares ONE dataset wide-agg between the two field
+      // tables instead of running it per table.
+      val (dsF, resF) = graft.catalog.DkanExtract.extract(catalogTriples(s, dir))
+      val ds = dsF
         .select(col("dataset").as("entity"), explode(col("fields")).as("f"))
-      val res = graft.catalog.DkanExtract.resourceFields(t)
+      val res = resF
         .select(col("distro_url").as("entity"), explode(col("fields")).as("f"))
       ds.unionByName(res)
         .select(col("entity"), col("f.name").as("field"),
