@@ -12,12 +12,21 @@ import org.apache.spark.sql.functions._
   * and appended back into the package (preserve-unknown semantics).
   *
   * Set-based translation: two left joins + coalesce for the 2-key
-  * priority; a left-anti join for the preserved remainder. (The reference
-  * additionally removes a matched id from the pool so a second distribution
-  * cannot reuse it — with unique URLs, the set-based result is identical.)
-  * Existing resources are deduplicated per key (min id wins) before the
-  * join, so a catalog with duplicate urls cannot fan a new distribution
-  * out into multiple rows.
+  * priority; a left-anti join for the preserved remainder. Existing
+  * resources are deduplicated per key (min id wins) before the join, so a
+  * catalog with duplicate urls cannot fan a new distribution out into
+  * multiple rows.
+  *
+  * KNOWN DIVERGENCE from the reference's pool-removal semantics
+  * (DcatAp11ToCkanBatch.java:455-463 removes a matched id from the pool so
+  * the next distribution cannot reuse it): when several NEW distributions
+  * share one url, the reference assigns each a DIFFERENT pooled id
+  * (first→idA, second→idB) while this set-based form gives all of them the
+  * same min id and [[preserved]] re-appends the unclaimed duplicates. With
+  * unique urls per catalog — the invariant CKAN itself maintains — the
+  * results are identical; emulating pool removal exactly would need a
+  * row_number pairing on both sides, which the duplicate-free case doesn't
+  * justify.
   */
 object Reconcile {
 

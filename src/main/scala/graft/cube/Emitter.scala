@@ -252,9 +252,11 @@ object Emitter {
   /** Measure triples (FdpMeasure.java:87-118): parse → factor → HALF_UP
     * round to decimal literal, raw string literal fallback; plus
     * budgetPhase / operationCharacter / currency / measureType extras.
+    * The rounding mode is NOT a parameter here: the rounded value is the
+    * `_mr_` helper column, so the mode is fixed by the [[withHelpers]]
+    * call that produced the rows.
     */
-  def measureTriples(spec: CubeSpec, m: MeasureSpec, obs: Column,
-                     mode: RoundingMode): Seq[Column] = {
+  def measureTriples(spec: CubeSpec, m: MeasureSpec, obs: Column): Seq[Column] = {
     val raw = col(m.sourceColumn)
     val parsed = mParsed(m)
     val rounded = mRounded(m)
@@ -283,12 +285,12 @@ object Emitter {
     * triples + the 3 observation-boilerplate triples per measure
     * (Mapper.java:97-111).
     */
-  def rowTriples(spec: CubeSpec, mode: RoundingMode = ExactBinary): Seq[Column] = {
+  def rowTriples(spec: CubeSpec): Seq[Column] = {
     val ds = lit(spec.datasetIri)
     spec.measures.flatMap { m =>
       val obs = obsIri(m)
       spec.dimensions.flatMap(d => dimensionTriples(spec, d, obs)) ++
-        measureTriples(spec, m, obs, mode) ++ Seq(
+        measureTriples(spec, m, obs) ++ Seq(
           iriT(ds, Vocab.QB_OBSERVATION, obs),
           iriT(obs, Vocab.A, lit(Vocab.QB_OBSERVATION_TYPE)),
           iriT(obs, Vocab.QB_DATASET, ds))
@@ -305,7 +307,7 @@ object Emitter {
     */
   def emit(rows: DataFrame, spec: CubeSpec,
            mode: RoundingMode = ExactBinary): DataFrame = {
-    val arr = array(rowTriples(spec, mode): _*)
+    val arr = array(rowTriples(spec): _*)
     withHelpers(rows, spec, mode)
       .select(explode(arr).as("t"))
       .filter(col("t").isNotNull)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.Cast
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the scalar functions that would
@@ -205,16 +205,33 @@ object NativeExpressions {
     * element or length mismatch → null, like the zip_with form (null pad →
     * null product → null sum).
     */
+  // Element-kind tags for dotKernel (compile-time constants in the
+  // generated code, so the per-element switch is branch-predicted away).
+  final val ElemDouble = 0
+  final val ElemFloat = 1
+  final val ElemLong = 2
+  final val ElemInt = 3
+
   def dotKernel(a: ArrayData, b: ArrayData,
-                aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+                aKind: Int, bKind: Int): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = aKind match {
+        case ElemDouble => a.getDouble(i)
+        case ElemFloat => a.getFloat(i).toDouble
+        case ElemLong => a.getLong(i).toDouble
+        case _ => a.getInt(i).toDouble
+      }
+      val y = bKind match {
+        case ElemDouble => b.getDouble(i)
+        case ElemFloat => b.getFloat(i).toDouble
+        case ElemLong => b.getLong(i).toDouble
+        case _ => b.getInt(i).toDouble
+      }
       s += x * y
       i += 1
     }
@@ -234,26 +251,35 @@ object NativeExpressions {
     // non-nullable; without this override the non-nullable codegen branch
     // has no isNull slot to set.
     override def nullable: Boolean = true
+    // Any integral/float/double element type is read natively (the kernel
+    // widens per element exactly like the old aggregate(zip_with(
+    // cast·cast)) form) — SQL callers with array<int>/array<bigint> work
+    // without an array-copying Cast, and the float hot paths (kNN, LSH,
+    // IVF, near-dup verify) stay zero-copy. Decimal/string arrays need an
+    // explicit cast.
+    private def kindOf(e: Expression): Option[Int] = e.dataType match {
+      case ArrayType(DoubleType, _) => Some(NativeExpressions.ElemDouble)
+      case ArrayType(FloatType, _) => Some(NativeExpressions.ElemFloat)
+      case ArrayType(LongType, _) => Some(NativeExpressions.ElemLong)
+      case ArrayType(IntegerType, _) => Some(NativeExpressions.ElemInt)
+      case _ => None
+    }
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-      val ok = Seq(left, right).forall(_.dataType match {
-        case ArrayType(FloatType | DoubleType, _) => true
-        case _ => false
-      })
-      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      if (Seq(left, right).forall(kindOf(_).isDefined))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires two array<float>/array<double> arguments, " +
+        s"$prettyName requires two array<int|bigint|float|double> arguments " +
+          s"(cast decimals explicitly), " +
           s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
     }
-    private def isFloat(e: Expression): Boolean =
-      e.dataType.asInstanceOf[ArrayType].elementType == FloatType
     override def nullSafeEval(a: Any, b: Any): Any =
       dotKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-        isFloat(left), isFloat(right))
+        kindOf(left).get, kindOf(right).get)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
         s"""
            |java.lang.Double ${ev.value}_r = graft.functions.NativeExpressions.dotKernel(
-           |  $a, $b, ${isFloat(left)}, ${isFloat(right)});
+           |  $a, $b, ${kindOf(left).get}, ${kindOf(right).get});
            |if (${ev.value}_r == null) { ${ev.isNull} = true; }
            |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
          """.stripMargin
@@ -273,6 +299,9 @@ object NativeExpressions {
     reg.createOrReplaceTempFunction("round_half_up_exact",
       (args: Seq[Expression]) => RoundHalfUpExactExpr(Cast(args.head, DoubleType)),
       "scala_udf")
+    // No explicit Cast here (unlike the string functions below):
+    // DotProductExpr reads int/bigint/float/double arrays natively, so
+    // wrapping a Cast would only add an array copy to the hot paths.
     reg.createOrReplaceTempFunction("graft_dot",
       (args: Seq[Expression]) => DotProductExpr(args(0), args(1)),
       "scala_udf")

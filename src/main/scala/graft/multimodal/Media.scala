@@ -60,25 +60,37 @@ object Media {
       payloads.map(features)
   }
 
-  /** Batched per-partition feature extraction. Input needs `payload`
-    * (binary); output appends a `features` struct. `batchSize` is the
-    * mapInPandas-style batch shape — decode work happens per batch, not
-    * per row.
+  /** Batched per-partition feature extraction over a PRUNED (key, payload)
+    * projection — the `.rdd` hop materializes exactly two columns through
+    * the Row encoder, so metadata columns never ride the Java heap and the
+    * parquet scan reads only what the decode needs. Map-only, no shuffle.
+    * Output: (`keyCol`, features struct).
     */
-  def extractFeatures(df: DataFrame, decoder: Decoder = FakeDecoder,
-                      batchSize: Int = 64): DataFrame = {
-    val outSchema = StructType(df.schema.fields :+
-      StructField("features", featureSchema))
-    val payloadIdx = df.schema.fieldIndex("payload")
-    val rdd = df.rdd.mapPartitions { rows =>
+  def featureTable(df: DataFrame, keyCol: String,
+                   decoder: Decoder = FakeDecoder,
+                   batchSize: Int = 64): DataFrame = {
+    val slim = df.select(col(keyCol), col("payload"))
+    val outSchema = StructType(Seq(slim.schema.head,
+      StructField("features", featureSchema)))
+    val rdd = slim.rdd.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        val feats = decoder.decodeBatch(
-          batch.map(_.getAs[Array[Byte]](payloadIdx)))
-        batch.lazyZip(feats).map((r, f) => Row.fromSeq(r.toSeq :+ f))
+        val feats = decoder.decodeBatch(batch.map(_.getAs[Array[Byte]](1)))
+        batch.lazyZip(feats).map((r, f) => Row(r.get(0), f))
       }
     }
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
+
+  /** Convenience: all input columns + the `features` struct, via
+    * [[featureTable]] joined back on `keyCol`. Prefer [[featureTable]]
+    * directly when downstream only needs (key, features): this join
+    * re-reads the input and shuffles it on the key, which is only worth
+    * paying when the metadata columns are actually wanted alongside.
+    */
+  def extractFeatures(df: DataFrame, decoder: Decoder = FakeDecoder,
+                      batchSize: Int = 64,
+                      keyCol: String = "doc_id"): DataFrame =
+    df.join(featureTable(df, keyCol, decoder, batchSize), keyCol)
 
   /** A transcoder turns one batch of payloads into one batch of resized
     * payloads. Real implementations (JPEG decode → scale → re-encode)
@@ -101,16 +113,19 @@ object Media {
   }
 
   /** Batched per-partition resize: replaces `payload` with the transcoded
-    * bytes and records the target dimensions in `width`/`height` columns.
-    * Same mapInPandas-style batch shape as [[extractFeatures]] — a real
-    * codec amortizes setup per batch and memory is bounded by
-    * `batchSize × payload`.
+    * bytes and records the target dimensions in `width`/`height` columns —
+    * REPLACING any pre-existing width/height (they describe the old
+    * payload; keeping both would duplicate the column names and break
+    * by-name access downstream). Same mapInPandas-style batch shape as
+    * [[featureTable]] — a real codec amortizes setup per batch and memory
+    * is bounded by `batchSize × payload`.
     */
   def resize(df: DataFrame, width: Int, height: Int,
              transcoder: Transcoder = FakeTranscoder,
              batchSize: Int = 64): DataFrame = {
-    val payloadIdx = df.schema.fieldIndex("payload")
-    val rdd = df.rdd.mapPartitions { rows =>
+    val in = df.drop("width", "height")
+    val payloadIdx = in.schema.fieldIndex("payload")
+    val rdd = in.rdd.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         val resized = transcoder.resizeBatch(
           batch.map(_.getAs[Array[Byte]](payloadIdx)), width, height)
@@ -118,7 +133,7 @@ object Media {
           Row.fromSeq(r.toSeq.updated(payloadIdx, p) :+ width :+ height))
       }
     }
-    val outSchema = StructType(df.schema.fields ++ Seq(
+    val outSchema = StructType(in.schema.fields ++ Seq(
       StructField("width", IntegerType), StructField("height", IntegerType)))
     df.sparkSession.createDataFrame(rdd, outSchema)
   }

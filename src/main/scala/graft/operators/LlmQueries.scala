@@ -107,7 +107,9 @@ object LlmQueries {
     "q41_multimodal_features" -> { (s, dir) =>
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      graft.multimodal.Media.extractFeatures(d)
+      // featureTable, not extractFeatures: only (key, features) is needed,
+      // so the map-only pruned path applies — no join-back.
+      graft.multimodal.Media.featureTable(d, "doc_id")
         .select(col("doc_id"),
           col("features.n_bytes").as("n_bytes"),
           col("features.first_byte").as("first_byte"),

@@ -54,6 +54,18 @@ class MediaStreamSpec extends SparkSpec {
     assert(out(2L)._1.isEmpty) // empty payload passes through
   }
 
+  test("multimodal: resize replaces pre-existing width/height columns") {
+    import spark.implicits._
+    val df = Seq((1L, Array.range(0, 100).map(_.toByte), 10, 10))
+      .toDF("id", "payload", "width", "height")
+    val out = Media.resize(df, width = 4, height = 4)
+    // No duplicate column names — the stale dimensions are replaced.
+    assert(out.columns.count(_ == "width") == 1)
+    assert(out.columns.count(_ == "height") == 1)
+    val r = out.collect().head
+    assert(r.getAs[Int]("width") == 4 && r.getAs[Int]("height") == 4)
+  }
+
   test("streaming: fingerprint dedup drops duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

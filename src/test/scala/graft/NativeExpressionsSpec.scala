@@ -101,6 +101,13 @@ class NativeExpressionsSpec extends SparkSpec {
         call_function("graft_dot", col("a"), col("c")))
       .collect().head
     assert(edge.isNullAt(0) && edge.isNullAt(1))
+    // Integral arrays are read natively (widened per element like the
+    // zip_with form's cast(double)) — no array-copying Cast in the plan.
+    val mixed = Seq((Array(1, 2, 3), Array(0.5f, 2.0f, 1.5f)))
+      .toDF("ints", "floats")
+      .select(call_function("graft_dot", col("ints"), col("floats")).as("d"))
+    assert(mixed.collect().head.getDouble(0) == 9.0)
+    assert(!mixed.queryExecution.analyzed.toString.contains("cast("))
   }
 
   test("native round_half_up_exact agrees with the UDF incl. near-ties") {
