@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Linear-scaling probe (SCALE.md): materializes a 10× replica of the
+  * sf0.1 `documents`/`lineitem` tables and times q33/q37/q43 at both
+  * scales, single run each, same session.
+  *
+  * Replication shifts the keys per replica; document text additionally
+  * gets every token SUFFIXED with a per-replica tag — a bijective token
+  * renaming, so each replica's shingle/jaccard structure is exactly the
+  * original's while shingle sets across replicas are disjoint. (Without
+  * the renaming every doc near-dup-matches its 9 replicas; inserting
+  * separator tokens instead creates "tag word tag" shingles shared by
+  * every doc in a replica — both distort the pair count away from 10×
+  * the sf0.1 pairs and measure duplication blow-up, not scaling.)
+  *
+  * Usage: runMain graft.ScaleProbe [outDir]   (default /tmp/graft_sf1)
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sf01 = "/root/testdata/sf0.1"
+    val outDir = args.headOption.getOrElse("/tmp/graft_sf1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def replicate(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until 10).map(i => f(df, i)).reduce(_ unionByName _)
+
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    replicate(docs, (d, i) => d.select(
+      Seq((col("doc_id") + i.toLong * 10000000L).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", "$1zq" + i).as("text")) ++
+        docs.columns.filterNot(Set("doc_id", "text")).map(col): _*))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val li = spark.read.parquet(s"$sf01/lineitem.parquet")
+    replicate(li, (d, i) => d.withColumn("l_orderkey",
+      col("l_orderkey") + i.toLong * 100000000L))
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    val probes = Seq("q33_minhash_neardup", "q37_cube_observations",
+      "q43_cube_full_kinds")
+    // warmup (codegen) at the small scale, unrecorded
+    probes.foreach(q =>
+      SparkEntry.queries(q)(spark, sf01).write.format("noop")
+        .mode("overwrite").save())
+    for (q <- probes; (label, dir) <- Seq("sf0.1" -> sf01, "sf1" -> outDir)) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"PROBE $q $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
