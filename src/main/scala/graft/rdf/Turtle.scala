@@ -3,13 +3,17 @@ package graft.rdf
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-/** Minimal Turtle-subset parser for fixture ingestion (driver-side; the
+/** Turtle-subset parser for fixture ingestion (driver-side; the
   * descriptor/catalog graphs are tiny — SURVEY.md §7.1 module 1). Covers
   * what the reference fixtures use (l-dcatAp11ToCkanBatch
-  * src/test/resources/input.ttl, filetypes-skos.ttl): @prefix, `a`,
-  * IRIs, prefixed names, string literals with `@lang` / `^^datatype`,
-  * numeric + boolean literals, `;` predicate and `,` object lists, and
-  * nested blank nodes `[ ... ]`. Not a general Turtle parser.
+  * src/test/resources/input.ttl, filetypes-skos.ttl) plus the common
+  * real-world forms beyond them: @prefix/@base and SPARQL-style
+  * PREFIX/BASE directives, relative-IRI resolution against the base,
+  * `a`, IRIs, prefixed names, short and long (`"""…"""`/`'''…'''`)
+  * string literals with `@lang` / `^^datatype`, `\uXXXX`/`\UXXXXXXXX`
+  * escapes in literals and IRIs, numeric + boolean literals, `;`
+  * predicate and `,` object lists, and nested blank nodes `[ ... ]`.
+  * Not a general Turtle parser (no collections, no named blank nodes).
   */
 object Turtle {
 
@@ -26,6 +30,7 @@ object Turtle {
   private class Parser(input: String) {
     private var pos = 0
     private var blankCounter = 0
+    private var base: String = null
     // Well-known fallbacks: input.ttl:19 uses dcat: without declaring it
     // (the fixture is technically invalid Turtle); @prefix decls override.
     private val prefixes = collection.mutable.Map[String, String](
@@ -56,13 +61,34 @@ object Turtle {
 
     private def peek(): Char = { ws(); if (pos < input.length) input(pos) else '\u0000' }
 
+    /** \uXXXX / \UXXXXXXXX (UCHAR) — legal in IRIs and string literals. */
+    private def uchar(): String = {
+      val n = input(pos) match { case 'u' => 4; case 'U' => 8 }
+      val cp = Integer.parseInt(input.substring(pos + 1, pos + 1 + n), 16)
+      pos += n
+      new String(Character.toChars(cp))
+    }
+
     private def iriRef(): String = {
       expect('<')
-      val end = input.indexOf('>', pos)
-      val iri = input.substring(pos, end)
-      pos = end + 1
-      iri
+      val sb = new StringBuilder
+      while (input(pos) != '>') {
+        if (input(pos) == '\\' && (input(pos + 1) == 'u' || input(pos + 1) == 'U')) {
+          pos += 1; sb.append(uchar())
+        } else sb.append(input(pos))
+        pos += 1
+      }
+      pos += 1
+      resolve(sb.toString)
     }
+
+    /** RFC 3986 resolution of a (possibly relative) IRI against @base.
+      * Absolute IRIs (with a scheme) pass through; without a declared
+      * base, relative IRIs pass through verbatim (fixture behavior).
+      */
+    private def resolve(iri: String): String =
+      if (base == null || iri.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) iri
+      else java.net.URI.create(base).resolve(iri).toString
 
     /** Scan a bare token. Dots are legal INSIDE Turtle local names
       * (at:start.use, filetypes-skos.ttl) but a trailing dot is the
@@ -72,7 +98,7 @@ object Turtle {
       ws()
       val start = pos
       while (pos < input.length && !input(pos).isWhitespace &&
-        !";,[]()\"".contains(input(pos))) pos += 1
+        !";,[]()\"'".contains(input(pos))) pos += 1
       while (pos > start && input(pos - 1) == '.') pos -= 1
       input.substring(start, pos)
     }
@@ -85,21 +111,40 @@ object Turtle {
       prefixes.getOrElse(p, sys.error(s"unknown prefix '$p'")) + local
     }
 
-    private def stringLit(): Term = {
-      expect('"')
-      val sb = new StringBuilder
-      while (input(pos) != '"') {
-        if (input(pos) == '\\') {
-          pos += 1
-          sb.append(input(pos) match {
-            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
-            case '"' => '"'; case '\\' => '\\'
-            case other => other
-          })
-        } else sb.append(input(pos))
-        pos += 1
+    private def escape(sb: StringBuilder): Unit = {
+      pos += 1
+      input(pos) match {
+        case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+        case 'r' => sb.append('\r'); case 'b' => sb.append('\b')
+        case 'f' => sb.append('\f')
+        case 'u' | 'U' => sb.append(uchar())
+        case other => sb.append(other) // \" \' \\ and lenient passthrough
       }
       pos += 1
+    }
+
+    private def stringLit(): Term = {
+      val quote = peek() // '"' or '\''
+      pos += 1
+      val sb = new StringBuilder
+      // Long form """…"""/'''…''': content may span lines and contain
+      // quotes; ends at the first run of three quote chars (Turtle allows
+      // up to two consecutive quote chars inside).
+      if (pos + 1 < input.length && input(pos) == quote && input(pos + 1) == quote) {
+        pos += 2
+        while (!(input(pos) == quote && input(pos + 1) == quote &&
+          input(pos + 2) == quote)) {
+          if (input(pos) == '\\') escape(sb)
+          else { sb.append(input(pos)); pos += 1 }
+        }
+        pos += 3
+      } else {
+        while (input(pos) != quote) {
+          if (input(pos) == '\\') escape(sb)
+          else { sb.append(input(pos)); pos += 1 }
+        }
+        pos += 1
+      }
       if (pos < input.length && input(pos) == '@') {
         pos += 1
         val start = pos
@@ -123,7 +168,7 @@ object Turtle {
 
     private def term(): Term = peek() match {
       case '<' => Term(iriRef(), isIri = true)
-      case '"' => stringLit()
+      case '"' | '\'' => stringLit()
       case '[' => blankNode()
       case c if c.isDigit || c == '-' || c == '+' =>
         val start = pos
@@ -169,16 +214,39 @@ object Turtle {
       }
     }
 
+    // Directive lookahead: "PREFIX"/"BASE" (SPARQL style, no dot) are
+    // case-insensitive keywords only when followed by whitespace-ish
+    // syntax, so a pname like `BASEline:x` is not swallowed.
+    private def startsKeyword(kw: String): Boolean =
+      input.regionMatches(true, pos, kw, 0, kw.length) && {
+        val c = if (pos + kw.length < input.length) input(pos + kw.length) else ' '
+        c.isWhitespace || c == '<'
+      }
+
+    private def prefixDecl(): Unit = {
+      ws()
+      val end = input.indexOf(':', pos)
+      val name = input.substring(pos, end).trim
+      pos = end + 1
+      prefixes(name) = iriRef()
+    }
+
     def parse(): Unit = {
       while ({ ws(); pos < input.length }) {
         if (input.startsWith("@prefix", pos)) {
           pos += "@prefix".length
-          ws()
-          val end = input.indexOf(':', pos)
-          val name = input.substring(pos, end).trim
-          pos = end + 1
-          prefixes(name) = iriRef()
+          prefixDecl()
           expect('.')
+        } else if (input.startsWith("@base", pos)) {
+          pos += "@base".length
+          base = iriRef()
+          expect('.')
+        } else if (startsKeyword("PREFIX")) {
+          pos += "PREFIX".length
+          prefixDecl() // SPARQL-style: no terminating dot
+        } else if (startsKeyword("BASE")) {
+          pos += "BASE".length
+          base = iriRef()
         } else {
           val s = term()
           predicateObjectList(s)

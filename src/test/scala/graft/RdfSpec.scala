@@ -105,6 +105,44 @@ class RdfSpec extends SparkSpec {
     assert(out.toSeq == Seq("s1"))
   }
 
+  test("turtle: @base and relative IRI resolution") {
+    val rows = graft.rdf.Turtle.parseTriples(
+      """@base <http://ex.org/voc/> .
+        |@prefix ex: <http://ex.org/p/> .
+        |<rel> a <Other> ; ex:link <http://abs.example/x> .
+        |""".stripMargin)
+    val m = rows.map(r => (r.getString(1), r.getString(2))).toMap
+    assert(rows.forall(_.getString(0) == "http://ex.org/voc/rel"))
+    assert(m("http://www.w3.org/1999/02/22-rdf-syntax-ns#type") ==
+      "http://ex.org/voc/Other")
+    // Absolute IRIs pass through unresolved.
+    assert(m("http://ex.org/p/link") == "http://abs.example/x")
+  }
+
+  test("turtle: SPARQL-style PREFIX/BASE directives (no trailing dot)") {
+    val rows = graft.rdf.Turtle.parseTriples(
+      """BASE <http://ex.org/b/>
+        |PREFIX ex: <http://ex.org/p/>
+        |<s> ex:v "x" .
+        |""".stripMargin)
+    assert(rows.head.getString(0) == "http://ex.org/b/s")
+    assert(rows.head.getString(1) == "http://ex.org/p/v")
+  }
+
+  test("turtle: long literals, quote/unicode escapes, single quotes") {
+    val rows = graft.rdf.Turtle.parseTriples(
+      "<urn:s> <urn:p> \"\"\"line1\nline2 \"quoted\" caf\\u00E9\"\"\"@cs ;\n" +
+        "  <urn:q> 'sngl\\U0001F600' ;\n" +
+        "  <urn:r> \"caf\\u00E9\"^^<urn:dt> .\n" +
+        "<urn:caf\\u00E9> <urn:z> \"x\" .")
+    val byP = rows.map(r => r.getString(1) ->
+      (r.getString(2), r.getString(4), r.getString(5))).toMap
+    assert(byP("urn:p") == ("line1\nline2 \"quoted\" café", "cs", null))
+    assert(byP("urn:q")._1 == "sngl😀")
+    assert(byP("urn:r") == ("café", null, "urn:dt"))
+    assert(rows.last.getString(0) == "urn:café") // UCHAR in IRI
+  }
+
   test("derived graph has no crossJoin and broadcasts the geo side in q16") {
     val q = graft.operators.RdfQueries.queries("q16_property_path")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
