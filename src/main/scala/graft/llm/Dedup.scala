@@ -225,6 +225,27 @@ object Dedup {
       .withColumn("canonical_id", min(col(idCol)).over(w))
   }
 
+  /** The standard dedup pipeline order: exact dedup FIRST, then MinHash
+    * near-dup over the canonical representatives only. Besides skipping
+    * redundant shingle work for every exact copy, this is what makes the
+    * opt-in LSH bucket cap safe: a mega-group of identical documents
+    * collapses to ONE representative instead of flooding a bucket in
+    * every band (see the maxBucketSize note in [[nearDupPairs]] and the
+    * measured quadratic blow-up documented in SCALE.md).
+    *
+    * Returns near-dup pairs (d1, d2, jaccard) over representatives; pairs
+    * inside an exact group are by definition jaccard 1.0 and are already
+    * reported by [[exactDups]]'s (canonical_id, group_size).
+    */
+  def dedupPipeline(docs: DataFrame, idCol: String, textCol: String,
+                    threshold: Double = 0.8,
+                    maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val reps = exactDups(docs, idCol, textCol)
+      .filter(col(idCol) === col("canonical_id"))
+      .select(col(idCol), col(textCol))
+    minhashNearDups(reps, idCol, textCol, threshold, maxBucketSize)
+  }
+
   /** 32-bit SimHash, one codegen'd wide aggregate: per token hash (first
     * 8 hex digits of md5, so the DuckDB oracle agrees bit-for-bit), the 32
     * bit votes are 32 conditional sums in a single groupBy with map-side

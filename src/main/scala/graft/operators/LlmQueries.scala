@@ -59,6 +59,16 @@ object LlmQueries {
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
     },
 
+    // Composed dedup pipeline (exact-first, near-dup over canonical
+    // representatives) on the same dup-injected corpus as q32 — the
+    // pipeline order that keeps LSH buckets safe from exact-copy floods.
+    "q45_dedup_pipeline" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dups = d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      Dedup.dedupPipeline(d.unionByName(dups), "doc_id", "text")
+    },
+
     // Exact cosine top-10 for every 100th vector (broadcast query side —
     // the brute-force baseline). Sim excluded from output: rank + id are
     // discrete, so the compare is float-robust.
@@ -168,6 +178,39 @@ object LlmQueries {
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
         |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(tk[i.g:i.g+2], ' ') AS s
+        |  FROM toks,
+        |    LATERAL UNNEST(generate_series(1, greatest(len(tk)-2, 1))) AS i(g)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, jaccard FROM (
+        |  SELECT d1, d2,
+        |    CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
+        |  FROM inter
+        |  JOIN sizes na ON d1 = na.doc_id
+        |  JOIN sizes nb ON d2 = nb.doc_id)
+        |WHERE jaccard >= 0.8""".stripMargin,
+    "q45_dedup_pipeline" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0),
+        |reps AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY fp) AS cid
+        |    FROM (
+        |      SELECT doc_id, text,
+        |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |      FROM corpus))
+        |  WHERE doc_id = cid),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM reps),
         |sh AS (
         |  SELECT DISTINCT doc_id,
         |    array_to_string(tk[i.g:i.g+2], ' ') AS s
