@@ -197,6 +197,34 @@ object NativeExpressions {
     override def prettyName: String = "parse_num_prefix"
   }
 
+  /** Polynomial rolling-hash fingerprint kernel (base 31 mod 1e9+7 over
+    * UTF-16 code units, left to right) — the classic Rabin-Karp document
+    * fingerprint. Integer arithmetic only, so the DuckDB oracle reproduces
+    * it exactly via list_reduce; h*31 + c < 3.2e10 stays far inside Long.
+    */
+  def rollingHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      h = (h * 31 + str.charAt(i)) % 1000000007L
+      i += 1
+    }
+    h
+  }
+
+  case class RollingHashExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def nullSafeEval(input: Any): Any =
+      rollingHash(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.NativeExpressions.rollingHash($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "rolling_hash"
+  }
+
   /** Dot-product kernel over Spark's columnar array representation; the
     * float→double per-element cast and strict left-to-right summation
     * reproduce EXACTLY the doubles of the `aggregate(zip_with(cast·cast))`
@@ -313,6 +341,9 @@ object NativeExpressions {
       "scala_udf")
     reg.createOrReplaceTempFunction("date_iri",
       (args: Seq[Expression]) => DateIriExpr(Cast(args.head, StringType)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("rolling_hash",
+      (args: Seq[Expression]) => RollingHashExpr(Cast(args.head, StringType)),
       "scala_udf")
   }
 }

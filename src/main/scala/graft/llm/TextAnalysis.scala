@@ -10,10 +10,31 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenizer (the BPE-ish regex split). */
+  /** Whitespace tokenizer. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
   def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** GPT-2-style pre-tokenizer pattern: contraction suffixes, then
+    * space-prefixed letter runs, digit runs, and punctuation runs. Kept to
+    * RE2-compatible constructs (alternation + classes, no lookaround) so
+    * the Java and DuckDB regex engines match it identically.
+    */
+  val BpePattern: String =
+    "'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"
+
+  /** BPE-ish sub-word-ready token pieces (the standard LLM corpus
+    * token-count estimator when a real BPE vocab isn't in the loop).
+    */
+  def bpeTokens(c: Column): Column = regexp_extract_all(c, lit(BpePattern), lit(0))
+
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
+
+  /** Rabin-Karp rolling-hash document fingerprint (base 31 mod 1e9+7,
+    * native codegen'd expression) — the cheap order-sensitive fingerprint;
+    * [[fingerprint]] is the md5 variant used by exact dedup.
+    */
+  def rollingFingerprint(c: Column): Column = call_function("rolling_hash", c)
 
   /** Characters excluding whitespace. */
   def charCount(c: Column): Column =

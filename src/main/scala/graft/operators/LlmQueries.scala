@@ -59,6 +59,15 @@ object LlmQueries {
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
     },
 
+    // BPE-ish token-count estimate + Rabin-Karp rolling-hash fingerprint
+    // (native codegen'd expression) — map-only, like q30/q31.
+    "q46_bpe_rolling" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        TA.bpeTokenCount(col("text")).as("n_bpe"),
+        TA.rollingFingerprint(col("text")).as("rhash"))
+    },
+
     // Composed dedup pipeline (exact-first, near-dup over canonical
     // representatives) on the same dup-injected corpus as q32 — the
     // pipeline order that keeps LSH buckets safe from exact-copy floods.
@@ -195,6 +204,17 @@ object LlmQueries {
         |  JOIN sizes na ON d1 = na.doc_id
         |  JOIN sizes nb ON d2 = nb.doc_id)
         |WHERE jaccard >= 0.8""".stripMargin,
+    "q46_bpe_rolling" -> {
+      val pat = graft.llm.TextAnalysis.BpePattern.replace("'", "''")
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$pat')) AS n_bpe,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(text, ''),
+         |        c -> CAST(ascii(c) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS rhash
+         |FROM documents""".stripMargin
+    },
     "q45_dedup_pipeline" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -110,6 +110,32 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(!mixed.queryExecution.analyzed.toString.contains("cast("))
   }
 
+  test("native rolling_hash: Rabin-Karp base-31 mod 1e9+7, codegen'd") {
+    NativeExpressions.register(spark)
+    import spark.implicits._
+    // Hand-computed: "ab" → (97*31 + 98) = 3105; "" → 0; null → null.
+    val out = Seq(("ab"), ("")).toDF("s")
+      .select(call_function("rolling_hash", col("s"))).collect()
+    assert(out(0).getLong(0) == 3105L && out(1).getLong(0) == 0L)
+    val nul = Seq(Option.empty[String]).toDF("s")
+      .select(call_function("rolling_hash", col("s"))).collect().head
+    assert(nul.isNullAt(0))
+    // Long-string value matches an independent fold.
+    val text = "The quick brown fox, 42 times!"
+    val expected = text.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+    val got = Seq(text).toDF("s")
+      .select(call_function("rolling_hash", col("s"))).collect().head.getLong(0)
+    assert(got == expected)
+  }
+
+  test("bpe tokenizer: contractions, letter/digit/punct runs") {
+    import spark.implicits._
+    val out = Seq("I'll pay 42 dollars, ok?").toDF("t")
+      .select(graft.llm.TextAnalysis.bpeTokens(col("t"))).collect()
+      .head.getSeq[String](0)
+    assert(out == Seq("I", "'ll", " pay", " 42", " dollars", ",", " ok", "?"))
+  }
+
   test("native round_half_up_exact agrees with the UDF incl. near-ties") {
     NativeExpressions.register(spark)
     import spark.implicits._
