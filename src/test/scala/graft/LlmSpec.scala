@@ -51,6 +51,30 @@ class LlmSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("dedupPipeline: exact-copy floods survive a bucket cap that would" +
+    " silently drop them in raw near-dup") {
+    import spark.implicits._
+    // 200 exact copies of A and 200 of its near-dup A' (one word changed
+    // out of 50 → jaccard ≈ 0.88): identical shingle sets share the same
+    // bucket in EVERY band, so with a bucket cap of 50 the raw path drops
+    // every A/A' pair — while the pipeline collapses each flood to one
+    // representative first and still reports the canonical pair.
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 49).map(i => s"w$i") :+ "different").mkString(" ")
+    val docs = ((1 to 200).map(i => (i.toLong, base)) ++
+      (201 to 400).map(i => (i.toLong, near)) ++
+      Seq((900L, "totally unrelated filler text about something else entirely")))
+      .toDF("id", "text")
+    val raw = Dedup.minhashNearDups(docs, "id", "text", maxBucketSize = 50)
+    assert(raw.count() == 0, "cap should have dropped the flooded buckets")
+    val piped = Dedup.dedupPipeline(docs, "id", "text", maxBucketSize = 50)
+      .collect()
+    assert(piped.length == 1)
+    assert(piped.head.getAs[Long]("d1") == 1L &&
+      piped.head.getAs[Long]("d2") == 201L)
+    assert(piped.head.getAs[Double]("jaccard") >= 0.8)
+  }
+
   test("simhash: near-identical docs have close signatures") {
     import spark.implicits._
     val docs = Seq(
