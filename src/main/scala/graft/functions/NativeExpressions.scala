@@ -318,32 +318,39 @@ object NativeExpressions {
     override def prettyName: String = "graft_dot"
   }
 
+  /** The (name, builder) table shared by [[register]] (imperative, on an
+    * existing session) and [[inject]] (SparkSessionExtensions, for
+    * `spark.sql.extensions`-configured deployments).
+    */
+  private def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "nfd_slug" -> (args => NfdSlugExpr(Cast(args.head, StringType))),
+    "round_half_up_exact" ->
+      (args => RoundHalfUpExactExpr(Cast(args.head, DoubleType))),
+    // No explicit Cast on graft_dot (unlike the string functions):
+    // DotProductExpr reads int/bigint/float/double arrays natively, so
+    // wrapping a Cast would only add an array copy to the hot paths.
+    "graft_dot" -> (args => DotProductExpr(args(0), args(1))),
+    "parse_num_prefix" -> (args => ParseNumPrefixExpr(Cast(args.head, StringType))),
+    "url_encode" -> (args => UrlEncodeExpr(Cast(args.head, StringType))),
+    "date_iri" -> (args => DateIriExpr(Cast(args.head, StringType))),
+    "rolling_hash" -> (args => RollingHashExpr(Cast(args.head, StringType))))
+
+  /** SparkSessionExtensions injection — lets a cluster deployment enable
+    * every native function with
+    * `--conf spark.sql.extensions=graft.GraftExtensions` instead of a
+    * code-level register() call.
+    */
+  def inject(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.NativeExpressions", name), builder))
+    }
+
   /** Register all expressions on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("nfd_slug",
-      (args: Seq[Expression]) => NfdSlugExpr(Cast(args.head, StringType)),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("round_half_up_exact",
-      (args: Seq[Expression]) => RoundHalfUpExactExpr(Cast(args.head, DoubleType)),
-      "scala_udf")
-    // No explicit Cast here (unlike the string functions below):
-    // DotProductExpr reads int/bigint/float/double arrays natively, so
-    // wrapping a Cast would only add an array copy to the hot paths.
-    reg.createOrReplaceTempFunction("graft_dot",
-      (args: Seq[Expression]) => DotProductExpr(args(0), args(1)),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("parse_num_prefix",
-      (args: Seq[Expression]) => ParseNumPrefixExpr(Cast(args.head, StringType)),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("url_encode",
-      (args: Seq[Expression]) => UrlEncodeExpr(Cast(args.head, StringType)),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("date_iri",
-      (args: Seq[Expression]) => DateIriExpr(Cast(args.head, StringType)),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("rolling_hash",
-      (args: Seq[Expression]) => RollingHashExpr(Cast(args.head, StringType)),
-      "scala_udf")
+    builders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }

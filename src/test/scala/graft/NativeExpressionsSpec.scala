@@ -110,6 +110,39 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(!mixed.queryExecution.analyzed.toString.contains("cast("))
   }
 
+  test("GraftExtensions injects every native function at session build") {
+    // A fresh session configured via spark.sql.extensions needs no
+    // imperative register() call — the cluster-deployment path. The
+    // session bindings are cleared so getOrCreate builds a NEW session
+    // (over the suite's live SparkContext) instead of returning the
+    // active one, then restored; no stop() — that would kill the shared
+    // context.
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // withExtensions, not .config("spark.sql.extensions", …): the conf
+      // form is a STATIC conf read from the SparkContext at first-session
+      // build, so it cannot take effect on a context the suite already
+      // started — under spark-submit both forms run this same class.
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne prev)
+      val r = s2.sql(
+        "SELECT nfd_slug('Čau světe'), rolling_hash('ab'), " +
+          "graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))").collect().head
+      assert(r.getString(0) == "cau-svete")
+      assert(r.getLong(1) == 3105L)
+      assert(r.getDouble(2) == 11.0)
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("native rolling_hash: Rabin-Karp base-31 mod 1e9+7, codegen'd") {
     NativeExpressions.register(spark)
     import spark.implicits._
