@@ -138,44 +138,99 @@ object Similarity {
     * written bucketed by `_cid` so repeated query batches skip the
     * assignment pass entirely.
     */
-  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, k: Int = 10, centroidEvery: Int = 64,
-             nprobe: Int = 4): DataFrame = {
-    graft.functions.NativeExpressions.register(corpus.sparkSession)
-    val centroids = corpus.filter(col(idCol) % centroidEvery === 0)
+  /** Deterministic id-sampled centroid table (_cid, _cv, _cn). */
+  private def centroidsOf(corpus: DataFrame, idCol: String, vecCol: String,
+                          centroidEvery: Int): DataFrame =
+    corpus.filter(col(idCol) % centroidEvery === 0)
       .select(col(idCol).as("_cid"), col(vecCol).as("_cv"),
         norm(col(vecCol)).as("_cn"))
-    def nearest(df: DataFrame, id: String, vec: String, nrm: String,
-                keep: Int): DataFrame = {
-      val scored = df
-        .select(col(idCol).as(id), col(vecCol).as(vec),
-          norm(col(vecCol)).as(nrm))
-        .join(broadcast(centroids))
-        .withColumn("_csim", dot(col(vec), col("_cv")) / (col(nrm) * col("_cn")))
-      if (keep == 1)
-        // argmax with deterministic smaller-cid tie-break, one agg pass.
-        scored.groupBy(col(id))
-          .agg(first(col(vec)).as(vec), first(col(nrm)).as(nrm),
-            (-max(struct(col("_csim"), -col("_cid"))).getField("col2"))
-              .as("_cid"))
-      else {
-        val w = Window.partitionBy(col(id))
-          .orderBy(col("_csim").desc, col("_cid").asc)
-        scored.withColumn("_cr", row_number().over(w))
-          .filter(col("_cr") <= keep)
-          .select(col(id), col(vec), col(nrm), col("_cid"))
-      }
+
+  /** Nearest-centroid assignment against a broadcast centroid table:
+    * (id, vec, nrm, _cid) with `keep` nearest lists per row, tie-break on
+    * the smaller centroid id.
+    */
+  private def nearest(df: DataFrame, centroids: DataFrame, idCol: String,
+                      vecCol: String, id: String, vec: String, nrm: String,
+                      keep: Int): DataFrame = {
+    val scored = df
+      .select(col(idCol).as(id), col(vecCol).as(vec),
+        norm(col(vecCol)).as(nrm))
+      .join(broadcast(centroids.select(col("_cid"), col("_cv"), col("_cn"))))
+      .withColumn("_csim", dot(col(vec), col("_cv")) / (col(nrm) * col("_cn")))
+    if (keep == 1)
+      // argmax with deterministic smaller-cid tie-break, one agg pass.
+      scored.groupBy(col(id))
+        .agg(first(col(vec)).as(vec), first(col(nrm)).as(nrm),
+          (-max(struct(col("_csim"), -col("_cid"))).getField("col2"))
+            .as("_cid"))
+    else {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("_csim").desc, col("_cid").asc)
+      scored.withColumn("_cr", row_number().over(w))
+        .filter(col("_cr") <= keep)
+        .select(col(id), col(vec), col(nrm), col("_cid"))
     }
-    val assigned = nearest(corpus, "neighbor_id", "_v", "_cn2", keep = 1)
-    val probed = nearest(queries, "qid", "_qv", "_qn", keep = nprobe)
+  }
+
+  /** Top-k exact-cosine rerank of (probed ⋈ lists) candidates. */
+  private def rerank(probed: DataFrame, lists: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    probed.join(assigned, Seq("_cid"))
+    probed.join(lists, Seq("_cid"))
       .filter(col("neighbor_id") =!= col("qid"))
       .withColumn("sim", dot(col("_qv"), col("_v")) / (col("_qn") * col("_cn2")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int = 10, centroidEvery: Int = 64,
+             nprobe: Int = 4): DataFrame = {
+    graft.functions.NativeExpressions.register(corpus.sparkSession)
+    val centroids = centroidsOf(corpus, idCol, vecCol, centroidEvery)
+    val assigned = nearest(corpus, centroids, idCol, vecCol,
+      "neighbor_id", "_v", "_cn2", keep = 1)
+    val probed = nearest(queries, centroids, idCol, vecCol,
+      "qid", "_qv", "_qn", keep = nprobe)
+    rerank(probed, assigned, k)
+  }
+
+  /** Materialize the IVF index under `dir`: `centroids/` (tiny parquet)
+    * and `lists/` — the corpus assignment written PARTITIONED BY the
+    * centroid id. This is the repeated-query-batch scale path the inline
+    * [[ivfKnn]] doc promises: the assignment pass over the corpus runs
+    * ONCE at build time, and each query batch then reads only its probed
+    * lists through partition pruning instead of streaming the corpus.
+    */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    dir: String, centroidEvery: Int = 64): Unit = {
+    graft.functions.NativeExpressions.register(corpus.sparkSession)
+    val centroids = centroidsOf(corpus, idCol, vecCol, centroidEvery)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    nearest(corpus, centroids, idCol, vecCol, "neighbor_id", "_v", "_cn2",
+      keep = 1)
+      .write.mode("overwrite").partitionBy("_cid").parquet(s"$dir/lists")
+  }
+
+  /** ANN over a materialized [[writeIvfIndex]] index. The probed centroid
+    * ids of the batch are collected (|queries| × nprobe ids — a query
+    * batch is driver-small by construction) and pushed as an isin filter,
+    * so the lists scan partition-prunes to exactly the probed lists.
+    */
+  def ivfKnnIndexed(queries: DataFrame, idCol: String, vecCol: String,
+                    dir: String, k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.NativeExpressions.register(spark)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val probed = nearest(queries, centroids, idCol, vecCol,
+      "qid", "_qv", "_qn", keep = nprobe)
+      .localCheckpoint(true) // probes are reused for the cid set + the join
+    val cids = probed.select(col("_cid")).distinct()
+      .collect().map(_.getLong(0))
+    val lists = spark.read.parquet(s"$dir/lists")
+      .filter(col("_cid").isin(cids: _*))
+    rerank(probed, lists, k)
   }
 
   /** LSH-bucketed ANN: same-bucket candidates from L tables, union,

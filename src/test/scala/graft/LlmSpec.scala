@@ -124,6 +124,31 @@ class LlmSpec extends SparkSpec {
     assert(avg >= 0.4, s"avg recall@10 = $avg — IVF probes too sparse")
   }
 
+  test("materialized IVF index: identical results, partition-pruned lists") {
+    val e = graft.Tables.t(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    try {
+      Similarity.writeIvfIndex(e, "vec_id", "embedding", dir)
+      val indexed = Similarity.ivfKnnIndexed(q, "vec_id", "embedding", dir)
+      val inline = Similarity.ivfKnn(e, q, "vec_id", "embedding")
+      // Same centroids, probes, rerank and tie-breaks → identical output.
+      val a = indexed.select("qid", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val b = inline.select("qid", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(a == b, s"indexed=${a.size} inline=${b.size} diff=${a.diff(b).take(5)}")
+      // The lists scan must partition-prune to the probed centroid ids
+      // (plan-string check: AdaptiveSparkPlanExec hides its children from
+      // collect()).
+      val plan = indexed.queryExecution.executedPlan.toString
+      assert("lists].*PartitionFilters: \\[_cid".r.findFirstIn(plan).isDefined,
+        s"lists scan is not partition-pruned:\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("embedding near-dup: bucket-join candidates, no all-pairs join") {
     val df = LlmQueries.queries("q42_embedding_neardup")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
