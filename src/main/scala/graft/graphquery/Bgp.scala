@@ -72,6 +72,42 @@ object Bgp {
   def inverse(t: DataFrame, p: String, as: String): DataFrame =
     t.filter(col("p") === p).select(col("o").as("s"), col("s").as(as))
 
+  /** Transitive path p+ : all (s, o) with a directed p-path of length ≥ 1
+    * — the SPARQL property-path operator Spark has no built-in for, as a
+    * distributed fixpoint.
+    *
+    * Strategy: pointer doubling (path-doubling), not per-hop BFS — each
+    * round joins the closure-so-far with itself, so paths up to length 2ᵏ
+    * exist after k rounds and a depth-d graph closes in O(log d) rounds
+    * instead of O(d). On a cluster each round is one self-join shuffle on
+    * the join key + a distinct; driver-side work is one count per round
+    * (the fixpoint test). Each round's result is localCheckpoint'ed: it
+    * cuts the exponentially-growing lineage AND feeds both the next join
+    * and the fixpoint count without recomputation. Cycles converge (the
+    * closure is a finite set); `maxRounds` (2^20-length paths at the
+    * default) bounds the degenerate case.
+    */
+  def pathPlus(t: DataFrame, p: String, as: String,
+               maxRounds: Int = 20): DataFrame = {
+    var acc = t.filter(col("p") === p).select(col("s"), col("o"))
+      .distinct().localCheckpoint()
+    var size = acc.count()
+    var rounds = 0
+    var fixed = size == 0
+    while (!fixed && rounds < maxRounds) {
+      val doubled = acc
+        .join(acc.select(col("s").as("_m"), col("o").as("_o2")),
+          col("o") === col("_m"))
+        .select(col("s"), col("_o2").as("o"))
+      acc = acc.unionByName(doubled).distinct().localCheckpoint()
+      val n = acc.count()
+      fixed = n == size
+      size = n
+      rounds += 1
+    }
+    acc.select(col("s"), col("o").as(as))
+  }
+
   /** FILTER NOT EXISTS {?s <p> ?anything} as a left-anti join. */
   def notExists(left: DataFrame, t: DataFrame, p: String): DataFrame = {
     val ex = t.filter(col("p") === p).select(col("s").as("_ex_s"))

@@ -59,6 +59,22 @@ object RdfQueries {
         .agg(count(lit(1)).as("n_nations"))
     },
 
+    // P3+: transitive property path p+ (the SPARQL operator Spark has no
+    // built-in for) — distributed pointer-doubling fixpoint over a
+    // parent-chain graph derived from customer (dense keys, depth ~log2 N).
+    // Oracle: DuckDB recursive CTE.
+    "q47_transitive_path" -> { (s, dir) =>
+      val c = t(s, dir, "customer").filter(col("c_custkey") > 1)
+      val edges = c.select(
+        concat(lit("urn:c/"), col("c_custkey")).as("s"),
+        lit("urn:p/parent").as("p"),
+        concat(lit("urn:c/"), expr("c_custkey div 2")).as("o"),
+        lit(true).as("oIsIri"),
+        lit(null).cast("string").as("oLang"),
+        lit(null).cast("string").as("oDatatype"))
+      Bgp.pathPlus(edges, "urn:p/parent", "ancestor")
+    },
+
     // P9: VALUES with UNDEF — null-pattern split join
     // (MultiAttributeDimension.java:38-43).
     "q18_values_undef" -> { (s, dir) =>
@@ -128,6 +144,16 @@ object RdfQueries {
         |  AND (lower(rn.oLang) = 'en' OR lower(rn.oLang) LIKE 'en-%')
         |GROUP BY rn.o""".stripMargin,
       "t" -> G.sql.geo),
+    "q47_transitive_path" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'urn:c/' || c_custkey AS s,
+        |         'urn:c/' || (c_custkey // 2) AS o
+        |  FROM customer WHERE c_custkey > 1),
+        |tc AS (
+        |  SELECT s, o FROM e
+        |  UNION
+        |  SELECT t.s, e.o FROM tc t JOIN e ON t.o = e.s)
+        |SELECT s, o AS ancestor FROM tc""".stripMargin,
     "q18_values_undef" -> withTriples(
       """SELECT s, segment, nation, matched_segment, matched_nation FROM (
         |  SELECT c.*, 'BUILDING' AS matched_segment,

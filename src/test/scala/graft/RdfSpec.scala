@@ -105,6 +105,28 @@ class RdfSpec extends SparkSpec {
     assert(out.toSeq == Seq("s1"))
   }
 
+  test("pathPlus: chain closure, cycle convergence, empty predicate") {
+    // Chain a→b→c→d: closure has 3+2+1 pairs; a reaches d (length 3 >
+    // one doubling round).
+    val chain = triples(
+      ("a", "urn:p/n", "b", true, null, null),
+      ("b", "urn:p/n", "c", true, null, null),
+      ("c", "urn:p/n", "d", true, null, null))
+    val closure = Bgp.pathPlus(chain, "urn:p/n", "anc")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(closure.size == 6)
+    assert(closure.contains(("a", "d")))
+    // 2-cycle: fixpoint terminates with all 4 reachability pairs.
+    val cyc = triples(
+      ("x", "urn:p/n", "y", true, null, null),
+      ("y", "urn:p/n", "x", true, null, null))
+    val cycClosure = Bgp.pathPlus(cyc, "urn:p/n", "anc")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(cycClosure == Set(("x", "y"), ("y", "x"), ("x", "x"), ("y", "y")))
+    // No matching predicate → empty closure.
+    assert(Bgp.pathPlus(chain, "urn:p/absent", "anc").count() == 0)
+  }
+
   test("turtle: @base and relative IRI resolution") {
     val rows = graft.rdf.Turtle.parseTriples(
       """@base <http://ex.org/voc/> .
