@@ -72,6 +72,40 @@ object Bgp {
   def inverse(t: DataFrame, p: String, as: String): DataFrame =
     t.filter(col("p") === p).select(col("o").as("s"), col("s").as(as))
 
+  /** Sequence path p1/p2/…/pn (n-hop): generalizes [[path]] by folding
+    * one equi-join per hop; each hop's slice is a pushed predicate filter.
+    * `broadcastHops` wraps every non-first hop in broadcast() for the
+    * small-graph case (codelists, descriptors).
+    */
+  def pathSeq(t: DataFrame, ps: Seq[String], as: String,
+              broadcastHops: Boolean = false): DataFrame = {
+    require(ps.nonEmpty, "pathSeq needs at least one predicate")
+    val first = t.filter(col("p") === ps.head)
+      .select(col("s"), col("o").as("_hop"))
+    val joined = ps.tail.foldLeft(first) { (acc, p) =>
+      val hopRaw = t.filter(col("p") === p)
+        .select(col("s").as("_hs"), col("o").as("_ho"))
+      val hop = if (broadcastHops) broadcast(hopRaw) else hopRaw
+      acc.join(hop, col("_hop") === col("_hs"))
+        .select(col("s"), col("_ho").as("_hop"))
+    }
+    joined.select(col("s"), col("_hop").as(as))
+  }
+
+  /** Reflexive-transitive path p* : p+ plus the zero-length (n, n) pair
+    * for every node of the graph slice (SPARQL semantics: every subject
+    * or object term of the queried graph reaches itself).
+    */
+  def pathStar(t: DataFrame, p: String, as: String,
+               maxRounds: Int = 20): DataFrame = {
+    val edges = t.filter(col("p") === p)
+    val nodes = edges.select(col("s"))
+      .unionByName(edges.select(col("o").as("s"))).distinct()
+    pathPlus(t, p, as, maxRounds)
+      .unionByName(nodes.select(col("s"), col("s").as(as)))
+      .distinct()
+  }
+
   /** Transitive path p+ : all (s, o) with a directed p-path of length ≥ 1
     * — the SPARQL property-path operator Spark has no built-in for, as a
     * distributed fixpoint.

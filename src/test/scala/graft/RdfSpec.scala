@@ -127,6 +127,22 @@ class RdfSpec extends SparkSpec {
     assert(Bgp.pathPlus(chain, "urn:p/absent", "anc").count() == 0)
   }
 
+  test("pathStar adds the zero-length pairs; pathSeq chains n hops") {
+    val g = triples(
+      ("a", "urn:p/n", "b", true, null, null),
+      ("b", "urn:p/n", "c", true, null, null),
+      ("a", "urn:p/x", "m", true, null, null),
+      ("m", "urn:p/y", "n2", true, null, null),
+      ("n2", "urn:p/z", "q", true, null, null))
+    val star = Bgp.pathStar(g, "urn:p/n", "o")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(star == Set(("a", "a"), ("b", "b"), ("c", "c"),
+      ("a", "b"), ("b", "c"), ("a", "c")))
+    val seq3 = Bgp.pathSeq(g, Seq("urn:p/x", "urn:p/y", "urn:p/z"), "dst")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(seq3.toSeq == Seq(("a", "q")))
+  }
+
   test("turtle: @base and relative IRI resolution") {
     val rows = graft.rdf.Turtle.parseTriples(
       """@base <http://ex.org/voc/> .
