@@ -27,6 +27,13 @@ trait CatalogClient {
     * until an empty page (pagesize 20, DcatAp11ToDkanBatch.java:67).
     */
   def listPage(page: Int): Seq[String]
+  /** CKAN semantics: a missing dataset is created with a minimal root and
+    * then ALWAYS updated with the full package
+    * (DcatAp11ToCkanBatch.java:521-606). DKAN overrides to false: its
+    * node POST is a plain create and a second nid-less POST would create
+    * a duplicate node (DcatAp11ToDkanBatch.java:523-529 posts once).
+    */
+  def createThenUpdate: Boolean = true
 }
 
 /** In-memory fake that records every call — the test double for the
@@ -133,13 +140,24 @@ object CkanLoad {
       // owner_org}, then the FULL package is posted as package_update for
       // new and existing datasets alike — CKAN instances that reject
       // unknown fields on create accept this, a one-shot full create they
-      // may not.
-      val created = client.packageShow(name) match {
-        case Some(_) => Right(false)
-        case None => client.createPackage(name, minJson).map(_ => true)
-      }
-      created.flatMap(isNew =>
-        client.updatePackage(name, json).map(_ => isNew)) match {
+      // may not. Clients whose update is not idempotent-keyed (DKAN's
+      // nid-less node POST) opt out via createThenUpdate and get one full
+      // create. The existence probe is Try-wrapped so one transient
+      // network error degrades to a per-package error result instead of
+      // aborting the loop — and an errored probe must NOT be read as
+      // "absent" (that would double-create on flaky networks).
+      val outcome = scala.util.Try(client.packageShow(name)).toEither
+        .left.map(e => s"probe failed: ${e.getMessage}")
+        .flatMap {
+          case Some(_) =>
+            client.updatePackage(name, json).map(_ => false)
+          case None if client.createThenUpdate =>
+            client.createPackage(name, minJson)
+              .flatMap(_ => client.updatePackage(name, json)).map(_ => true)
+          case None =>
+            client.createPackage(name, json).map(_ => true)
+        }
+      outcome match {
         case Left(e) => name -> s"error: $e"
         case Right(true) => name -> "created"
         case Right(false) => name -> "updated"

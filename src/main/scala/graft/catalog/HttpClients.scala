@@ -89,11 +89,16 @@ class CkanHttpClient(apiUri: String, apiKey: String,
     val names = mapper.readTree(body).path("result").elements().asScala
       .map(_.asText()).toSeq
     names.flatMap { name =>
-      val (c, b) = get(client, s"$apiUri/organization_show?id=${enc(name)}")
-      if (c != 200) None
-      else mapper.readTree(b).path("result").path("extras").elements().asScala
-        .find(_.path("key").asText() == "uri")
-        .map(e => e.path("value").asText() -> name)
+      // Try-wrapped, not just non-200-checked: the doc contract is
+      // log-and-continue per org (the reference catches and logs,
+      // :140-142), which must also hold for thrown I/O errors.
+      Try(get(client, s"$apiUri/organization_show?id=${enc(name)}")).toOption
+        .filter(_._1 == 200)
+        .flatMap { case (_, b) =>
+          mapper.readTree(b).path("result").path("extras").elements().asScala
+            .find(_.path("key").asText() == "uri")
+            .map(e => e.path("value").asText() -> name)
+        }
     }
   }
 
@@ -196,13 +201,15 @@ class DkanHttpClient(apiUri: String, username: String, password: String,
       s"$apiUri/node.json?parameters%5Btype%5D=group&pagesize=$pageSize&page=$p",
       n => n.path("nid").asText(""))
     groups.flatMap { nid =>
-      val (c, b) = get(client, s"$apiUri/node/$nid.json")
-      if (c != 200) None
-      else {
-        val node = mapper.readTree(b)
-        val uri = node.path("field_uri").path("und").path(0).path("url").asText("")
-        if (uri.isEmpty) None else Some(uri -> nid)
-      }
+      // Log-and-continue parity also covers thrown I/O errors.
+      Try(get(client, s"$apiUri/node/$nid.json")).toOption
+        .filter(_._1 == 200)
+        .flatMap { case (_, b) =>
+          val node = mapper.readTree(b)
+          val uri = node.path("field_uri").path("und").path(0)
+            .path("url").asText("")
+          if (uri.isEmpty) None else Some(uri -> nid)
+        }
     }
   }
 
@@ -246,14 +253,22 @@ class DkanHttpClient(apiUri: String, username: String, password: String,
       }
   }
 
-  /** Group create — POST /node with type group
-    * (DcatAp11ToDkanBatch.java:250-258).
+  /** DKAN's node POST is a bare create (no id in the payload): a second
+    * nid-less POST would create a duplicate node, so the loader must post
+    * the full package exactly once (DcatAp11ToDkanBatch.java:523-529).
+    */
+  override def createThenUpdate: Boolean = false
+
+  /** Group create — POST /node with type group and the publisher uri as
+    * field_uri (DcatAp11ToDkanBatch.java:250-258), the same field
+    * [[organizations]] reads back to map uri → group.
     */
   def createOrganization(name: String, title: String,
                          uri: String): Either[String, Unit] = {
     val root = mapper.createObjectNode()
     root.put("type", "group")
     root.put("title", title)
+    root.putObject("field_uri").putArray("und").addObject().put("url", uri)
     postNode(mapper.writeValueAsString(root))
   }
 

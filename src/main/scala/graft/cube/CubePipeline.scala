@@ -34,9 +34,11 @@ object CubePipeline {
       .option("inferSchema", "false")
       .csv(path)
     val files = raw.inputFiles
+    val shown = files.take(3).mkString(", ") +
+      (if (files.length > 3) ", …" else "")
     require(files.length == 1,
       s"Only one CSV file expected (FdpToRdf.java:297): '$path' resolves to " +
-        s"${files.length} files${files.take(3).mkString(" [", ", ", ", …]")}")
+        s"${files.length} files [$shown]")
     val indexed = raw.rdd.zipWithIndex.map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }

@@ -198,17 +198,21 @@ object NativeExpressions {
   }
 
   /** Polynomial rolling-hash fingerprint kernel (base 31 mod 1e9+7 over
-    * UTF-16 code units, left to right) — the classic Rabin-Karp document
-    * fingerprint. Integer arithmetic only, so the DuckDB oracle reproduces
-    * it exactly via list_reduce; h*31 + c < 3.2e10 stays far inside Long.
+    * Unicode CODE POINTS, left to right) — the classic Rabin-Karp document
+    * fingerprint. Code points, not UTF-16 code units: DuckDB's
+    * string_split + ascii iterates code points, so a supplementary-plane
+    * character (emoji) would otherwise hash as two surrogates here and
+    * one code point there and break the oracle compare. Integer
+    * arithmetic only; h*31 + c < 3.2e10 stays far inside Long.
     */
   def rollingHash(s: UTF8String): Long = {
     val str = s.toString
     var h = 0L
     var i = 0
     while (i < str.length) {
-      h = (h * 31 + str.charAt(i)) % 1000000007L
-      i += 1
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
     }
     h
   }

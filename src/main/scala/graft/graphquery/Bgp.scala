@@ -93,14 +93,14 @@ object Bgp {
   }
 
   /** Reflexive-transitive path p* : p+ plus the zero-length (n, n) pair
-    * for every node of the graph slice (SPARQL semantics: every subject
-    * or object term of the queried graph reaches itself).
+    * for every term of the QUERIED GRAPH — all subjects and objects of
+    * `t`, not only terms incident to `p` (SPARQL zero-length-path
+    * semantics: a node with no p-edges still reaches itself).
     */
   def pathStar(t: DataFrame, p: String, as: String,
                maxRounds: Int = 20): DataFrame = {
-    val edges = t.filter(col("p") === p)
-    val nodes = edges.select(col("s"))
-      .unionByName(edges.select(col("o").as("s"))).distinct()
+    val nodes = t.select(col("s"))
+      .unionByName(t.select(col("o").as("s"))).distinct()
     pathPlus(t, p, as, maxRounds)
       .unionByName(nodes.select(col("s"), col("s").as(as)))
       .distinct()

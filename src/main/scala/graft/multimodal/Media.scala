@@ -82,10 +82,12 @@ object Media {
   }
 
   /** Convenience: all input columns + the `features` struct, via
-    * [[featureTable]] joined back on `keyCol`. Prefer [[featureTable]]
-    * directly when downstream only needs (key, features): this join
-    * re-reads the input and shuffles it on the key, which is only worth
-    * paying when the metadata columns are actually wanted alongside.
+    * [[featureTable]] joined back on `keyCol`. REQUIRES `keyCol` to be
+    * unique per row (duplicate keys fan the join out multiplicatively and
+    * cross-match features). Prefer [[featureTable]] directly when
+    * downstream only needs (key, features): this join re-reads the input
+    * and shuffles it on the key, which is only worth paying when the
+    * metadata columns are actually wanted alongside.
     */
   def extractFeatures(df: DataFrame, decoder: Decoder = FakeDecoder,
                       batchSize: Int = 64,

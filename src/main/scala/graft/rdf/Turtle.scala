@@ -84,11 +84,17 @@ object Turtle {
 
     /** RFC 3986 resolution of a (possibly relative) IRI against @base.
       * Absolute IRIs (with a scheme) pass through; without a declared
-      * base, relative IRIs pass through verbatim (fixture behavior).
+      * base, relative IRIs pass through verbatim (fixture behavior). An
+      * OPAQUE base (urn:isbn:…) is handled by concatenation —
+      * java.net.URI.resolve returns the relative ref unchanged against an
+      * opaque base, which would silently emit bare relative subjects.
       */
     private def resolve(iri: String): String =
       if (base == null || iri.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) iri
-      else java.net.URI.create(base).resolve(iri).toString
+      else {
+        val b = java.net.URI.create(base)
+        if (b.isOpaque) base + iri else b.resolve(iri).toString
+      }
 
     /** Scan a bare token. Dots are legal INSIDE Turtle local names
       * (at:start.use, filetypes-skos.ttl) but a trailing dot is the

@@ -96,6 +96,25 @@ class DkanSpec extends SparkSpec {
     assert(updateJson.length > createJson.length)
   }
 
+  test("loader driver: DKAN-style clients get ONE full create, no update") {
+    // createThenUpdate=false (DkanHttpClient semantics: a second nid-less
+    // node POST would create a duplicate node) — the loader must post the
+    // full package exactly once for a new dataset.
+    val catalog = Turtle.read(spark,
+      "/root/reference/l-dcatAp11ToCkanBatch/src/test/resources/input.ttl")
+    val pkgs = CkanExtract.packages(catalog)
+    val client = new RecordingClient() { override def createThenUpdate = false }
+    val results = CkanLoad.run(pkgs, client).toMap
+    assert(results.values.forall(_ == "created"))
+    assert(client.calls.count(_._1 == "update") == 0)
+    assert(client.calls.count(_._1 == "create") == 2)
+    // And the single create carries the FULL package, not the minimal root.
+    val json = client.payloads.collectFirst { case ("create", "test99", j) => j }.get
+    import scala.jdk.CollectionConverters._
+    assert(graft.catalog.Http.mapper.readTree(json)
+      .fieldNames().asScala.size > 3)
+  }
+
   test("purge driver: paginated listing + failOnError accumulation") {
     val client = new RecordingClient(
       pages = Seq(Seq("a", "b"), Seq("c"), Nil),

@@ -187,6 +187,24 @@ class HttpClientsSpec extends AnyFunSuite {
     }
   }
 
+  test("DKAN group create posts field_uri so organizations() can map it back") {
+    withServer(Map(
+      "/user/login" -> (200, """{"token": "tok-1"}"""),
+      "/node" -> (200, """{"nid": "5"}""")
+    )) { (base, recorded) =>
+      val c = new DkanHttpClient(base, "u", "p")
+      assert(c.createOrganization("slug", "Publisher", "https://pub.example")
+        == Right(()))
+      val node = graft.catalog.Http.mapper.readTree(
+        recorded().filter(_.pathQuery == "/node").head.body)
+      assert(node.path("type").asText() == "group")
+      assert(node.path("title").asText() == "Publisher")
+      // The same path organizations() reads: field_uri.und[0].url.
+      assert(node.path("field_uri").path("und").path(0).path("url").asText()
+        == "https://pub.example")
+    }
+  }
+
   test("DKAN failed login surfaces the HTTP error") {
     withServer(Map(
       "/user/login" -> (403, """{"error": "bad credentials"}""")

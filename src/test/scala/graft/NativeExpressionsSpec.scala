@@ -153,9 +153,12 @@ class NativeExpressionsSpec extends SparkSpec {
     val nul = Seq(Option.empty[String]).toDF("s")
       .select(call_function("rolling_hash", col("s"))).collect().head
     assert(nul.isNullAt(0))
-    // Long-string value matches an independent fold.
-    val text = "The quick brown fox, 42 times!"
-    val expected = text.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+    // Long-string value matches an independent CODE-POINT fold — including
+    // a supplementary-plane char, which must hash as ONE code point (like
+    // DuckDB's string_split + ascii), not two UTF-16 surrogates.
+    val text = "The quick brown fox, 42 times! 😀 done"
+    val expected = text.codePoints().toArray
+      .foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
     val got = Seq(text).toDF("s")
       .select(call_function("rolling_hash", col("s"))).collect().head.getLong(0)
     assert(got == expected)

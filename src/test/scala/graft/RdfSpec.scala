@@ -134,9 +134,12 @@ class RdfSpec extends SparkSpec {
       ("a", "urn:p/x", "m", true, null, null),
       ("m", "urn:p/y", "n2", true, null, null),
       ("n2", "urn:p/z", "q", true, null, null))
+    // Zero-length pairs cover every term of the graph — including nodes
+    // with no n-edges (m, n2, q) — per SPARQL p* semantics.
     val star = Bgp.pathStar(g, "urn:p/n", "o")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(star == Set(("a", "a"), ("b", "b"), ("c", "c"),
+      ("m", "m"), ("n2", "n2"), ("q", "q"),
       ("a", "b"), ("b", "c"), ("a", "c")))
     val seq3 = Bgp.pathSeq(g, Seq("urn:p/x", "urn:p/y", "urn:p/z"), "dst")
       .collect().map(r => (r.getString(0), r.getString(1)))
@@ -155,6 +158,12 @@ class RdfSpec extends SparkSpec {
       "http://ex.org/voc/Other")
     // Absolute IRIs pass through unresolved.
     assert(m("http://ex.org/p/link") == "http://abs.example/x")
+  }
+
+  test("turtle: opaque (urn:) base resolves by concatenation") {
+    val rows = graft.rdf.Turtle.parseTriples(
+      "@base <urn:isbn:> .\n<0451450523> a <urn:g/Book> .")
+    assert(rows.head.getString(0) == "urn:isbn:0451450523")
   }
 
   test("turtle: SPARQL-style PREFIX/BASE directives (no trailing dot)") {
