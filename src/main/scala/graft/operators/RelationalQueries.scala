@@ -159,6 +159,25 @@ object RelationalQueries {
       t(s, dir, "events")
         .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
         .agg(count(lit(1)).as("n_events"), dsum($"value", 4).as("sum_value"))
+    },
+
+    // Batch sessionization: gap-based sessions per user (new session when
+    // >30 min since the previous event) via lag + running sum — the batch
+    // twin of EventsStream.sessionize's keyed state. Gaps compare in
+    // epoch MICROS on both engines (the ns→µs floor is shared), and ties
+    // on ts are safe: a tie's gap is 0 regardless of peer order, and both
+    // engines' default RANGE frame gives tie rows the same running sum.
+    "q48_sessionize_batch" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts")
+      t(s, dir, "events")
+        .withColumn("_prev", lag(unix_micros($"ts"), 1).over(w))
+        .withColumn("_new", ($"_prev".isNull ||
+          unix_micros($"ts") - $"_prev" > 1800L * 1000000L).cast("long"))
+        .withColumn("session_no", sum($"_new").over(w))
+        .groupBy($"user_id", $"session_no")
+        .agg(min($"ts").as("session_start"), count(lit(1)).as("n_events"),
+          dsum($"value", 4).as("sum_value"))
     }
   )
 
@@ -220,6 +239,22 @@ object RelationalQueries {
     "q13_events_hourly" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
          |  COUNT(*) AS n_events, ${dsumSql("value", 4)} AS sum_value
-         |FROM events GROUP BY 1, 2""".stripMargin
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q48_sessionize_batch" ->
+      s"""WITH g AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+         |    THEN 1 ELSE 0 END AS new_s
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |s AS (
+         |  SELECT user_id, ts, value,
+         |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts)
+         |      AS BIGINT) AS session_no
+         |  FROM g)
+         |SELECT user_id, session_no,
+         |  CAST(min(ts) AS TIMESTAMP) AS session_start,
+         |  COUNT(*) AS n_events, ${dsumSql("value", 4)} AS sum_value
+         |FROM s GROUP BY 1, 2""".stripMargin
   )
 }
