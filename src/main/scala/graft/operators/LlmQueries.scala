@@ -59,6 +59,21 @@ object LlmQueries {
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
     },
 
+    // n-gram Jaccard similarity as a first-class scorer (the exact measure
+    // the near-dup verify stages threshold): deterministic adjacent-id
+    // pair sample, array-form shingles + array_intersect.
+    "q49_ngram_jaccard" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val left = d.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("d1"),
+          Dedup.shingles(col("text")).as("_sa"))
+      val right = d.select((col("doc_id") - 1).as("d1"),
+        col("doc_id").as("d2"), Dedup.shingles(col("text")).as("_sb"))
+      left.join(right, Seq("d1"))
+        .select(col("d1"), col("d2"),
+          Dedup.jaccard(col("_sa"), col("_sb")).as("jaccard"))
+    },
+
     // BPE-ish token-count estimate + Rabin-Karp rolling-hash fingerprint
     // (native codegen'd expression) — map-only, like q30/q31.
     "q46_bpe_rolling" -> { (s, dir) =>
@@ -204,6 +219,33 @@ object LlmQueries {
         |  JOIN sizes na ON d1 = na.doc_id
         |  JOIN sizes nb ON d2 = nb.doc_id)
         |WHERE jaccard >= 0.8""".stripMargin,
+    "q49_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(tk[i.g:i.g+2], ' ') AS s
+        |  FROM toks,
+        |    LATERAL UNNEST(generate_series(1, greatest(len(tk)-2, 1))) AS i(g)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 100 = 0),
+        |inter AS (
+        |  SELECT p.d1, p.d2, count(*) AS c
+        |  FROM pairs p
+        |  JOIN sh x ON x.doc_id = p.d1
+        |  JOIN sh y ON y.doc_id = p.d2 AND y.s = x.s
+        |  GROUP BY 1, 2)
+        |SELECT p.d1, p.d2,
+        |  CAST(coalesce(i.c, 0) AS DOUBLE) / (na.n + nb.n - coalesce(i.c, 0))
+        |    AS jaccard
+        |FROM pairs p
+        |LEFT JOIN inter i ON p.d1 = i.d1 AND p.d2 = i.d2
+        |JOIN sizes na ON p.d1 = na.doc_id
+        |JOIN sizes nb ON p.d2 = nb.doc_id""".stripMargin,
     "q46_bpe_rolling" -> {
       val pat = graft.llm.TextAnalysis.BpePattern.replace("'", "''")
       s"""SELECT doc_id,
