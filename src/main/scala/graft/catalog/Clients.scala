@@ -23,6 +23,11 @@ trait CatalogClient {
   def updatePackage(id: String, json: String): Either[String, Unit]
   def createOrganization(name: String, title: String, uri: String): Either[String, Unit]
   def deleteDataset(id: String): Either[String, Unit]
+  /** K8: organization purge (x-ckanPurger CkanManager.java:83-101 —
+    * datasets first, then their emptied organizations,
+    * CkanPurger.java:46-47).
+    */
+  def deleteOrganization(id: String): Either[String, Unit]
   /** S9-style paginated listing (DKAN node.json) — drained page by page
     * until an empty page (pagesize 20, DcatAp11ToDkanBatch.java:67).
     */
@@ -65,6 +70,7 @@ class RecordingClient(
   }
   def createOrganization(name: String, title: String, uri: String): Either[String, Unit] = record("createOrg", name)
   def deleteDataset(id: String): Either[String, Unit] = record("delete", id)
+  def deleteOrganization(id: String): Either[String, Unit] = record("deleteOrg", id)
   def listPage(page: Int): Seq[String] = {
     calls += (("page", page.toString))
     if (page < pages.size) pages(page) else Nil
@@ -194,6 +200,26 @@ object Purge {
     val results = ids.map { id =>
       client.deleteDataset(id).fold(e => id -> s"error: $e", _ => id -> "deleted")
     }
+    val failures = results.filter(_._2.startsWith("error"))
+    if (failOnError && failures.nonEmpty)
+      throw new RuntimeException(
+        s"${failures.size} deletes failed: ${failures.take(3).map(_._1).mkString(", ")}")
+    results
+  }
+
+  /** K8: full CKAN purge — datasets FIRST, then their (now emptied)
+    * organizations, one combined failOnError accumulation
+    * (CkanPurger.java:44-47, :118-131).
+    */
+  def purgeAll(datasetIds: Seq[String], orgIds: Seq[String],
+               client: CatalogClient,
+               failOnError: Boolean): Seq[(String, String)] = {
+    val ds = purge(datasetIds, client, failOnError = false)
+    val orgs = orgIds.map { id =>
+      client.deleteOrganization(id)
+        .fold(e => id -> s"error: $e", _ => id -> "org-deleted")
+    }
+    val results = ds ++ orgs
     val failures = results.filter(_._2.startsWith("error"))
     if (failOnError && failures.nonEmpty)
       throw new RuntimeException(

@@ -149,10 +149,17 @@ class CkanHttpClient(apiUri: String, apiKey: String,
   }
 
   /** K8: dataset_purge with {"id": …} (x-ckanPurger CkanManager.java:59-71). */
-  def deleteDataset(id: String): Either[String, Unit] = {
+  def deleteDataset(id: String): Either[String, Unit] =
+    purgeById("dataset_purge", id)
+
+  /** K8: organization_purge with {"id": …} (CkanManager.java:83-101). */
+  def deleteOrganization(id: String): Either[String, Unit] =
+    purgeById("organization_purge", id)
+
+  private def purgeById(endpoint: String, id: String): Either[String, Unit] = {
     val root = mapper.createObjectNode()
     root.put("id", id)
-    postJson("dataset_purge", mapper.writeValueAsString(root))
+    postJson(endpoint, mapper.writeValueAsString(root))
   }
 
   /** CKAN has no paginated node listing — package_list returns every
@@ -282,6 +289,11 @@ class DkanHttpClient(apiUri: String, username: String, password: String,
         case (c, b) => Left(s"HTTP $c: $b")
       }
   }
+
+  /** DKAN groups are nodes too — deleted through the same node DELETE
+    * (DkanPurger purges every node kind, DkanPurger.java:141-153).
+    */
+  def deleteOrganization(id: String): Either[String, Unit] = deleteDataset(id)
 
   /** S9: one node-listing page; the purger drains until the first empty
     * page (DkanPurger.java:100-138).

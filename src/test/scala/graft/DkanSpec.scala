@@ -115,6 +115,27 @@ class DkanSpec extends SparkSpec {
       .fieldNames().asScala.size > 3)
   }
 
+  test("purge driver: datasets before organizations, combined failOnError") {
+    val client = new RecordingClient()
+    val out = Purge.purgeAll(Seq("d1", "d2"), Seq("o1"), client,
+      failOnError = false).toMap
+    assert(out == Map("d1" -> "deleted", "d2" -> "deleted",
+      "o1" -> "org-deleted"))
+    // Datasets are purged before their organizations (CkanPurger.java:46-47).
+    val order = client.calls.collect {
+      case ("delete", id) => id
+      case ("deleteOrg", id) => id
+    }
+    assert(order == Seq("d1", "d2", "o1"))
+    // failOnError accumulates across BOTH phases and throws at the end.
+    val failing = new RecordingClient(failOn = Set("d1", "o1"))
+    val ex = intercept[RuntimeException] {
+      Purge.purgeAll(Seq("d1", "d2"), Seq("o1"), failing, failOnError = true)
+    }
+    assert(ex.getMessage.contains("2 deletes failed"))
+    assert(failing.calls.count(_._1 == "deleteOrg") == 1) // o1 still attempted
+  }
+
   test("purge driver: paginated listing + failOnError accumulation") {
     val client = new RecordingClient(
       pages = Seq(Seq("a", "b"), Seq("c"), Nil),

@@ -135,6 +135,19 @@ class HttpClientsSpec extends AnyFunSuite {
     }
   }
 
+  test("CKAN deleteOrganization posts {\"id\"} to organization_purge") {
+    withServer(Map(
+      "/api/organization_purge" -> (200, """{"success": true}""")
+    )) { (base, recorded) =>
+      val c = new CkanHttpClient(s"$base/api", "KEY")
+      assert(c.deleteOrganization("org1") == Right(()))
+      val req = recorded().head
+      assert(req.pathQuery == "/api/organization_purge")
+      assert(graft.catalog.Http.mapper.readTree(req.body)
+        .path("id").asText() == "org1")
+    }
+  }
+
   test("CKAN listPage: page 0 is package_list, later pages are empty") {
     withServer(Map(
       "/api/package_list" -> (200, """{"result": ["a", "b"]}""")
