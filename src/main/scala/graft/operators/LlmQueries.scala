@@ -60,16 +60,23 @@ object LlmQueries {
     },
 
     // n-gram Jaccard similarity as a first-class scorer (the exact measure
-    // the near-dup verify stages threshold): deterministic adjacent-id
-    // pair sample, array-form shingles + array_intersect.
+    // the near-dup verify stages threshold). Two pair families so the gate
+    // is value-sensitive, not just membership-sensitive: adjacent-id pairs
+    // (near-zero overlap) AND each sampled doc against a tail-appended
+    // copy of itself (jaccard n/(n+3)-ish — any bug in the window count,
+    // k, or distinct handling shifts the ratio and breaks the hash).
     "q49_ngram_jaccard" -> { (s, dir) =>
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val left = d.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("d1"),
           Dedup.shingles(col("text")).as("_sa"))
-      val right = d.select((col("doc_id") - 1).as("d1"),
+      val adjacent = d.select((col("doc_id") - 1).as("d1"),
         col("doc_id").as("d2"), Dedup.shingles(col("text")).as("_sb"))
-      left.join(right, Seq("d1"))
+      val modifiedCopy = d.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("d1"),
+          (col("doc_id") + 1000000).as("d2"),
+          Dedup.shingles(concat(col("text"), lit(" zz0 zz1 zz2"))).as("_sb"))
+      left.join(adjacent.unionByName(modifiedCopy), Seq("d1"))
         .select(col("d1"), col("d2"),
           Dedup.jaccard(col("_sa"), col("_sb")).as("jaccard"))
     },
@@ -220,9 +227,14 @@ object LlmQueries {
         |  JOIN sizes nb ON d2 = nb.doc_id)
         |WHERE jaccard >= 0.8""".stripMargin,
     "q49_ngram_jaccard" ->
-      """WITH toks AS (
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' zz0 zz1 zz2'
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
-        |  FROM documents),
+        |  FROM corpus),
         |sh AS (
         |  SELECT DISTINCT doc_id,
         |    array_to_string(tk[i.g:i.g+2], ' ') AS s
@@ -230,9 +242,11 @@ object LlmQueries {
         |    LATERAL UNNEST(generate_series(1, greatest(len(tk)-2, 1))) AS i(g)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |pairs AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-        |  WHERE a.doc_id % 100 = 0),
+        |  SELECT doc_id AS d1, doc_id + 1 AS d2 FROM documents
+        |  WHERE doc_id % 100 = 0
+        |  UNION ALL
+        |  SELECT doc_id AS d1, doc_id + 1000000 AS d2 FROM documents
+        |  WHERE doc_id % 100 = 0),
         |inter AS (
         |  SELECT p.d1, p.d2, count(*) AS c
         |  FROM pairs p
