@@ -115,16 +115,17 @@ object Bgp {
     * exist after k rounds and a depth-d graph closes in O(log d) rounds
     * instead of O(d). On a cluster each round is one self-join shuffle on
     * the join key + a distinct; driver-side work is one count per round
-    * (the fixpoint test). Each round's result is localCheckpoint'ed: it
-    * cuts the exponentially-growing lineage AND feeds both the next join
-    * and the fixpoint count without recomputation. Cycles converge (the
-    * closure is a finite set); `maxRounds` (2^20-length paths at the
-    * default) bounds the degenerate case.
+    * (the fixpoint test). Each round's result is localCheckpoint'ed
+    * LAZILY and materialized by that same count — one job per round, not
+    * a checkpoint job plus a count job — cutting the exponentially-
+    * growing lineage while feeding the next join from the persisted
+    * blocks. Cycles converge (the closure is a finite set); `maxRounds`
+    * (2^20-length paths at the default) bounds the degenerate case.
     */
   def pathPlus(t: DataFrame, p: String, as: String,
                maxRounds: Int = 20): DataFrame = {
     var acc = t.filter(col("p") === p).select(col("s"), col("o"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var size = acc.count()
     var rounds = 0
     var fixed = size == 0
@@ -133,7 +134,7 @@ object Bgp {
         .join(acc.select(col("s").as("_m"), col("o").as("_o2")),
           col("o") === col("_m"))
         .select(col("s"), col("_o2").as("o"))
-      acc = acc.unionByName(doubled).distinct().localCheckpoint()
+      acc = acc.unionByName(doubled).distinct().localCheckpoint(false)
       val n = acc.count()
       fixed = n == size
       size = n
