@@ -82,6 +82,26 @@ object TextAnalysis {
         + lit(0.3) * least(tokenCount(c).cast("double") / 100.0, lit(1.0))
         + lit(0.2) * least(avgTokenLen(c) / 10.0, lit(1.0)))
 
+  /** PII patterns, RE2-compatible (no lookaround) so the Java and DuckDB
+    * regex engines agree: email addresses, and standalone digit runs of 9+
+    * (phone/SSN-grade identifiers).
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumberPattern: String = "[0-9]{9,}"
+
+  /** Redact PII in place: emails first (their local parts may contain
+    * digit runs that must not double-redact), then long digit runs.
+    * Map-only, codegen'd.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailPattern, "<EMAIL>"),
+      LongNumberPattern, "<NUM>")
+
+  /** Count of PII matches (emails + long digit runs) on the RAW text. */
+  def piiCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(EmailPattern), lit(0))) +
+      size(regexp_extract_all(c, lit(LongNumberPattern), lit(0)))
+
   /** Whitespace/case-normalized form used for fingerprints + exact dedup. */
   def normalize(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")

@@ -81,6 +81,18 @@ object LlmQueries {
           Dedup.jaccard(col("_sa"), col("_sb")).as("jaccard"))
     },
 
+    // PII redaction (emails, then 9+-digit runs) + match counting. The
+    // raw docs carry no PII, so deterministic synthetic PII is appended
+    // in-query (q32-style injection) — the gate then checks actual
+    // redaction, not a no-op pass-through.
+    "q50_pii_redact" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or call 123456789 now")).as("text"))
+      d.select(col("doc_id"), TA.redactPii(col("text")).as("redacted"),
+        TA.piiCount(col("text")).as("n_pii"))
+    },
+
     // BPE-ish token-count estimate + Rabin-Karp rolling-hash fingerprint
     // (native codegen'd expression) — map-only, like q30/q31.
     "q46_bpe_rolling" -> { (s, dir) =>
@@ -260,6 +272,19 @@ object LlmQueries {
         |LEFT JOIN inter i ON p.d1 = i.d1 AND p.d2 = i.d2
         |JOIN sizes na ON p.d1 = na.doc_id
         |JOIN sizes nb ON p.d2 = nb.doc_id""".stripMargin,
+    "q50_pii_redact" -> {
+      val email = graft.llm.TextAnalysis.EmailPattern
+      val nums = graft.llm.TextAnalysis.LongNumberPattern
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(t2, '$email', '<EMAIL>', 'g'),
+         |    '$nums', '<NUM>', 'g') AS redacted,
+         |  len(regexp_extract_all(t2, '$email'))
+         |    + len(regexp_extract_all(t2, '$nums')) AS n_pii
+         |FROM (
+         |  SELECT doc_id, text || ' contact user' || doc_id
+         |    || '@example.com or call 123456789 now' AS t2
+         |  FROM documents)""".stripMargin
+    },
     "q46_bpe_rolling" -> {
       val pat = graft.llm.TextAnalysis.BpePattern.replace("'", "''")
       s"""SELECT doc_id,

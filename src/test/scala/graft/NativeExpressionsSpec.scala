@@ -164,6 +164,21 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("pii redaction: emails before digit runs, counts on raw text") {
+    import spark.implicits._
+    import graft.llm.{TextAnalysis => TA}
+    val r = Seq("mail me at user123456789@ex.org or call 987654321 x 12345678")
+      .toDF("t")
+      .select(TA.redactPii(col("t")).as("red"), TA.piiCount(col("t")).as("n"))
+      .collect().head
+    // The digit run inside the email is consumed by <EMAIL>, the
+    // standalone 9-digit run becomes <NUM>, the 8-digit run is untouched.
+    assert(r.getString(0) == "mail me at <EMAIL> or call <NUM> x 12345678")
+    // Count on raw text: 1 email + 2 nine-plus-digit runs (one inside the
+    // email's local part, one standalone).
+    assert(r.getInt(1) == 3)
+  }
+
   test("bpe tokenizer: contractions, letter/digit/punct runs") {
     import spark.implicits._
     val out = Seq("I'll pay 42 dollars, ok?").toDF("t")
