@@ -33,6 +33,12 @@ import scala.util.Try
 object Http {
   val mapper = new ObjectMapper()
 
+  /** Per-request (read) timeout: the connect timeout alone cannot cover a
+    * server that accepts the connection and then stalls, which would hang
+    * the driver-side load/purge loop indefinitely. Overridable per call.
+    */
+  val DefaultRequestTimeout: Duration = Duration.ofSeconds(60)
+
   def defaultClient(): HttpClient = HttpClient.newBuilder()
     .followRedirects(HttpClient.Redirect.NORMAL) // LaxRedirectStrategy parity
     .connectTimeout(Duration.ofSeconds(30))
@@ -41,17 +47,22 @@ object Http {
   private[catalog] def enc(s: String): String = URLEncoder.encode(s, UTF_8)
 
   private[catalog] def get(client: HttpClient, uri: String,
-                           headers: Seq[(String, String)] = Nil): (Int, String) =
-    send(client, withHeaders(HttpRequest.newBuilder(URI.create(uri)).GET(), headers))
+                           headers: Seq[(String, String)] = Nil,
+                           timeout: Duration = DefaultRequestTimeout): (Int, String) =
+    send(client, withHeaders(HttpRequest.newBuilder(URI.create(uri))
+      .timeout(timeout).GET(), headers))
 
   private[catalog] def post(client: HttpClient, uri: String, body: String,
-                            headers: Seq[(String, String)]): (Int, String) =
-    send(client, withHeaders(HttpRequest.newBuilder(URI.create(uri))
+                            headers: Seq[(String, String)],
+                            timeout: Duration = DefaultRequestTimeout): (Int, String) =
+    send(client, withHeaders(HttpRequest.newBuilder(URI.create(uri)).timeout(timeout)
       .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)), headers))
 
   private[catalog] def delete(client: HttpClient, uri: String,
-                              headers: Seq[(String, String)]): (Int, String) =
-    send(client, withHeaders(HttpRequest.newBuilder(URI.create(uri)).DELETE(), headers))
+                              headers: Seq[(String, String)],
+                              timeout: Duration = DefaultRequestTimeout): (Int, String) =
+    send(client, withHeaders(HttpRequest.newBuilder(URI.create(uri))
+      .timeout(timeout).DELETE(), headers))
 
   private def withHeaders(b: HttpRequest.Builder,
                           headers: Seq[(String, String)]): HttpRequest =
@@ -89,16 +100,17 @@ class CkanHttpClient(apiUri: String, apiKey: String,
     val names = mapper.readTree(body).path("result").elements().asScala
       .map(_.asText()).toSeq
     names.flatMap { name =>
-      // Try-wrapped, not just non-200-checked: the doc contract is
-      // log-and-continue per org (the reference catches and logs,
-      // :140-142), which must also hold for thrown I/O errors.
-      Try(get(client, s"$apiUri/organization_show?id=${enc(name)}")).toOption
-        .filter(_._1 == 200)
-        .flatMap { case (_, b) =>
-          mapper.readTree(b).path("result").path("extras").elements().asScala
-            .find(_.path("key").asText() == "uri")
-            .map(e => e.path("value").asText() -> name)
-        }
+      // Try wraps the WHOLE per-org block — transport failures AND a
+      // malformed body on a 200 both skip the org; the reference's per-org
+      // catch covers parse errors too (:140-142), and one broken org must
+      // not abort the loop.
+      Try {
+        val (c, b) = get(client, s"$apiUri/organization_show?id=${enc(name)}")
+        if (c != 200) None
+        else mapper.readTree(b).path("result").path("extras").elements().asScala
+          .find(_.path("key").asText() == "uri")
+          .map(e => e.path("value").asText() -> name)
+      }.toOption.flatten
     }
   }
 
@@ -208,15 +220,17 @@ class DkanHttpClient(apiUri: String, username: String, password: String,
       s"$apiUri/node.json?parameters%5Btype%5D=group&pagesize=$pageSize&page=$p",
       n => n.path("nid").asText(""))
     groups.flatMap { nid =>
-      // Log-and-continue parity also covers thrown I/O errors.
-      Try(get(client, s"$apiUri/node/$nid.json")).toOption
-        .filter(_._1 == 200)
-        .flatMap { case (_, b) =>
-          val node = mapper.readTree(b)
-          val uri = node.path("field_uri").path("und").path(0)
+      // Log-and-continue parity covers thrown I/O errors AND malformed
+      // bodies — the parse sits inside the Try.
+      Try {
+        val (c, b) = get(client, s"$apiUri/node/$nid.json")
+        if (c != 200) None
+        else {
+          val uri = mapper.readTree(b).path("field_uri").path("und").path(0)
             .path("url").asText("")
           if (uri.isEmpty) None else Some(uri -> nid)
         }
+      }.toOption.flatten
     }
   }
 
@@ -307,12 +321,23 @@ class DkanHttpClient(apiUri: String, username: String, password: String,
       .map(_.path("uri").asText("")).filter(_.nonEmpty).toSeq
   }
 
+  /** Drain until the first RAW-EMPTY response array (DkanPurger.java
+    * :100-138 stops on an empty page regardless of page content) — a page
+    * whose nodes all lack the extracted field still advances the drain
+    * instead of silently truncating pagination. A non-200 or malformed
+    * page stops the drain: the reference has no retry, and continuing
+    * past a broken endpoint risks an unbounded page loop.
+    */
   private def drainPages(uri: Int => String,
                          extract: JsonNode => String): Seq[String] =
     Iterator.from(0).map { p =>
-      val (code, body) = get(client, uri(p), Seq("Accept" -> "application/json"))
-      if (code != 200) Nil
-      else mapper.readTree(body).elements().asScala
-        .map(extract).filter(_.nonEmpty).toSeq
-    }.takeWhile(_.nonEmpty).flatten.toSeq
+      Try {
+        val (code, body) = get(client, uri(p), Seq("Accept" -> "application/json"))
+        if (code != 200) (false, Seq.empty[String])
+        else {
+          val arr = mapper.readTree(body).elements().asScala.toSeq
+          (arr.nonEmpty, arr.map(extract).filter(_.nonEmpty))
+        }
+      }.getOrElse((false, Seq.empty[String]))
+    }.takeWhile(_._1).flatMap(_._2).toSeq
 }

@@ -226,7 +226,10 @@ object Similarity {
     val probed = nearest(queries, centroids, idCol, vecCol,
       "qid", "_qv", "_qn", keep = nprobe)
       .localCheckpoint(true) // probes are reused for the cid set + the join
-    val cids = probed.select(col("_cid")).distinct()
+    // Cast before collect: partition-column type inference can read the
+    // written `_cid` back as int, and an int idCol is legal input — a bare
+    // getLong would ClassCastException on either.
+    val cids = probed.select(col("_cid").cast("long")).distinct()
       .collect().map(_.getLong(0))
     val lists = spark.read.parquet(s"$dir/lists")
       .filter(col("_cid").isin(cids: _*))

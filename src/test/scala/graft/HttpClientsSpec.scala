@@ -39,8 +39,10 @@ class HttpClientsSpec extends AnyFunSuite {
         recorded += Recorded(ex.getRequestMethod,
           ex.getRequestURI.getPath + q, headers, body)
       }
-      val (status, resp) = routes.getOrElse(ex.getRequestURI.getPath,
-        (404, """{"error": "not found"}"""))
+      // Query-keyed routes win over bare-path routes (pagination tests).
+      val (status, resp) = routes.getOrElse(ex.getRequestURI.getPath + q,
+        routes.getOrElse(ex.getRequestURI.getPath,
+          (404, """{"error": "not found"}""")))
       val bytes = resp.getBytes(UTF_8)
       ex.sendResponseHeaders(status, bytes.length)
       ex.getResponseBody.write(bytes)
@@ -215,6 +217,40 @@ class HttpClientsSpec extends AnyFunSuite {
       // The same path organizations() reads: field_uri.und[0].url.
       assert(node.path("field_uri").path("und").path(0).path("url").asText()
         == "https://pub.example")
+    }
+  }
+
+  test("DKAN organizations drain past an extractless page, stop on raw-empty") {
+    val pageUri = (p: Int) =>
+      s"/node.json?parameters%5Btype%5D=group&pagesize=20&page=$p"
+    withServer(Map(
+      "/user/login" -> (200, """{"token": "t"}"""),
+      // Page 0 is raw-NON-empty but yields no nids — the drain must
+      // continue (DkanPurger stops on an EMPTY page, not an unproductive
+      // one); page 2 is raw-empty and stops it.
+      pageUri(0) -> (200, """[{"title": "group without nid"}]"""),
+      pageUri(1) -> (200, """[{"nid": "7"}]"""),
+      pageUri(2) -> (200, """[]"""),
+      "/node/7.json" -> (200,
+        """{"field_uri": {"und": [{"url": "https://pub7"}]}}""")
+    )) { (base, recorded) =>
+      val c = new DkanHttpClient(base, "u", "p")
+      assert(c.organizations() == Seq("https://pub7" -> "7"))
+      val pages = recorded().map(_.pathQuery).filter(_.startsWith("/node.json"))
+      assert(pages == Seq(pageUri(0), pageUri(1), pageUri(2)))
+    }
+  }
+
+  test("CKAN organizations skip an org whose show body is malformed") {
+    withServer(Map(
+      "/api/organization_list" -> (200, """{"result": ["bad", "good"]}"""),
+      "/api/organization_show?id=bad" -> (200, "<html>not json</html>"),
+      "/api/organization_show?id=good" -> (200,
+        """{"result": {"extras": [{"key": "uri", "value": "https://ok"}]}}""")
+    )) { (base, _) =>
+      val c = new CkanHttpClient(s"$base/api", "KEY")
+      // Parse failure on a 200 must log-and-continue, not abort the loop.
+      assert(c.organizations() == Seq("https://ok" -> "good"))
     }
   }
 
