@@ -9,15 +9,18 @@ import org.apache.spark.sql.SparkSession
   * query). Errors propagate — a broken query must fail the bench, not be
   * silently timed at -1. One warmup query absorbs session/codegen startup so
   * the first measured query isn't charged for it. Each query reports the
-  * MINIMUM of two runs: this box is shared and identical code has benched
-  * 1.7× apart across rounds on load spikes alone — min-of-N is the
-  * standard noise floor for wall-clock benchmarking.
+  * MINIMUM of three runs: this box is shared and identical code has benched
+  * 1.7× apart across rounds on load spikes alone (q33: 19.4 s under a
+  * round-5 load spike vs 2.2-2.9 s reproduced before and after) — min-of-N
+  * is the standard noise floor for wall-clock benchmarking, and the first
+  * of the three doubles as the per-query codegen warmup (a cold Janino
+  * compile of the 128-slot minhash aggregate alone is ~10 s).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
