@@ -1,0 +1,62 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level operators for training-data preparation: deterministic
+  * (reproducible, cluster-order-independent) sampling and sequence
+  * packing. Both are the shapes a 100 TB pipeline needs:
+  *
+  *  - sampling is map-only — the keep/drop decision is a pure function of
+  *    the row key, so it needs no global count, no shuffle, and re-runs
+  *    byte-identically on any cluster layout;
+  *  - packing is one shuffle (hash-partition by stratum + in-partition
+  *    sort), the same cost class as any keyed aggregation.
+  */
+object Corpus {
+
+  /** Deterministic uniform [0,1) draw from a row key: first 8 hex digits
+    * of md5(salt ++ key) as a 32-bit integer, scaled by 2⁻³². md5 (not
+    * xxhash64) so external engines can reproduce the exact draw — the
+    * DuckDB oracle mirrors this formula digit-for-digit. The salt decouples
+    * independent sampling decisions made from the same key.
+    */
+  def hashUnit(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+
+  /** Stratified downsampling: keep each row with the probability its
+    * stratum's rate prescribes (`defaultRate` for unlisted strata). The
+    * canonical "rebalance the language/domain mix" operator: rates are
+    * exact in expectation, selection is reproducible, and the whole
+    * operator is a codegen'd filter — no shuffle at any scale.
+    */
+  def stratifiedSample(docs: DataFrame, keyCol: String, stratumCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String = "sample:"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    docs.filter(hashUnit(col(keyCol), salt) < rate)
+  }
+
+  /** Greedy sequence packing: assign documents, in deterministic
+    * (stratum, id) order, to consecutive fixed-token-budget training
+    * sequences. A document starts in the sequence its exclusive prefix
+    * token sum falls in — the streaming-concatenation semantics of an
+    * LLM data loader (documents may straddle a boundary; `seq_id` is
+    * where the document BEGINS). One shuffle: the running sum reuses the
+    * stratum hash partitioning; within a partition the window sort is
+    * the only extra work, so the operator scales like a groupBy.
+    */
+  def packSequences(docs: DataFrame, idCol: String, stratumCol: String,
+                    tokenCount: Column, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col(idCol))
+    docs.select(col(idCol), col(stratumCol), tokenCount.as("n_tokens"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col(stratumCol), col("n_tokens"),
+        floor((col("_cum") - col("n_tokens")) / lit(budget.toDouble))
+          .as("seq_id"))
+  }
+}

@@ -24,25 +24,12 @@ object Dedup {
   def shingles(text: Column, k: Int = 3): Column =
     shinglesOf(TextAnalysis.tokens(text), k)
 
-  /** k-gram shingles from a token array, built by zipping k-1 shifted
-    * slices of the array — NOT by `transform(sequence(...), i =>
-    * slice(toks, i, k))`: a lambda body re-evaluates its captured subtrees
-    * per element, so the sequence form re-tokenizes the whole document
-    * once per shingle (measured as the dominant cost of the near-dup
-    * pipeline). Here `toks` is evaluated a constant k+1 times per row and
-    * every lambda touches only its own elements. zip_with pads the shorter
-    * (shifted) side with nulls, which concat_ws skips, so the final slice
-    * keeps exactly the max(n-k+1, 1) windows the sequence form produced —
-    * including the single sub-k shingle of a short document.
+  /** Distinct k-gram shingles from a token array — set semantics over
+    * [[TextAnalysis.ngrams]]'s raw windows (which carries the
+    * zip_with-not-transform(sequence) performance rationale).
     */
-  def shinglesOf(toks: Column, k: Int = 3): Column = {
-    val n = size(toks)
-    val joined = (2 to k).foldLeft(toks) { (acc, j) =>
-      zip_with(acc, slice(toks, lit(j), greatest(n, lit(1))),
-        (a, b) => concat_ws(" ", a, b))
-    }
-    array_distinct(slice(joined, lit(1), greatest(n - (k - 1), lit(1))))
-  }
+  def shinglesOf(toks: Column, k: Int = 3): Column =
+    array_distinct(TextAnalysis.ngrams(toks, k))
 
   /** MinHash signature: `n` minimums of per-shingle seeded xxhash64. */
   def minhash(shingleCol: Column, n: Int = 128): Column =
@@ -263,5 +250,58 @@ object Dedup {
         (0 until 32).map(b =>
           when(col(s"_v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs: (d1, d2, hamming) with d1 < d2 and
+    * hamming(simhash(d1), simhash(d2)) <= maxHamming.
+    *
+    * Candidates come from a banded self-join, not an all-pairs join: the
+    * 32-bit signature splits into `bands` equal bit-slices and only docs
+    * sharing at least one slice meet. By pigeonhole, a pair within
+    * maxHamming <= bands-1 flipped bits leaves >= 1 band untouched, so for
+    * maxHamming < bands recall is EXACT (not probabilistic like MinHash
+    * banding) — which is what lets the all-pairs-hamming DuckDB oracle
+    * hash-compare the result. At scale the shuffle carries one
+    * (band, slice, id, sig) row per doc per band — 4 rows/doc — and the
+    * join key (band, slice) distributes over 4 * 2^8 buckets; natural-text
+    * signatures spread well, and the signature rides along so the verify
+    * filter needs no second join back to the signature table.
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    // Signature table is computed once (one shuffle) and materialized so
+    // the self-join below doesn't re-run the token aggregate twice.
+    simhashNearDupsOf(simhash(docs, idCol, textCol).localCheckpoint(true),
+      idCol, maxHamming, bands)
+
+  /** Banded hamming join over an existing (idCol, simhash) signature
+    * table — the lazy candidate-generation lineage (tests audit its plan
+    * shape; [[simhashNearDups]] is the materializing entry point).
+    */
+  private[graft] def simhashNearDupsOf(sig: DataFrame, idCol: String,
+                                       maxHamming: Int,
+                                       bands: Int): DataFrame = {
+    require(maxHamming < bands,
+      s"recall guarantee needs maxHamming < bands ($maxHamming >= $bands)")
+    require(32 % bands == 0, s"bands must divide 32 (got $bands)")
+    val bits = 32 / bands
+    val mask = (1L << bits) - 1
+    val banded = sig.select(col(idCol).as("_id"), col("simhash").as("_sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * bits).bitwiseAND(lit(mask))
+            .as("slice"))): _*)).as("_b"))
+      .select(col("_id"), col("_sig"),
+        col("_b.band").as("_band"), col("_b.slice").as("_slice"))
+    val l = banded.select(col("_band"), col("_slice"),
+      col("_id").as("d1"), col("_sig").as("_s1"))
+    val r = banded.select(col("_band"), col("_slice"),
+      col("_id").as("d2"), col("_sig").as("_s2"))
+    l.join(r, Seq("_band", "_slice"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("_s1").bitwiseXOR(col("_s2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

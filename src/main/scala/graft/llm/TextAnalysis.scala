@@ -36,6 +36,33 @@ object TextAnalysis {
     */
   def rollingFingerprint(c: Column): Column = call_function("rolling_hash", c)
 
+  /** Word k-gram windows WITH duplicates (the repetition detector needs
+    * counts; Dedup.shinglesOf wraps this in array_distinct for the
+    * set-semantics shingles). Built by zipping k-1 shifted slices of the
+    * token array — not `transform(sequence(...), i => slice(toks, i, k))`,
+    * whose lambda re-evaluates the captured token array once per window
+    * (see Dedup.shinglesOf's measurement note). A document shorter than k
+    * tokens yields its single sub-k window; an empty one yields [].
+    */
+  def ngrams(toks: Column, k: Int): Column = {
+    val n = size(toks)
+    val joined = (2 to k).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), greatest(n, lit(1))),
+        (a, b) => concat_ws(" ", a, b))
+    }
+    slice(joined, lit(1), greatest(n - (k - 1), lit(1)))
+  }
+
+  /** Gopher-style repetition signal: the fraction of k-gram windows that
+    * are repeats of an earlier window in the same document
+    * (1 - distinct/total). High values flag boilerplate / degenerate
+    * generations. Map-only, codegen'd — linear at any corpus size.
+    */
+  def repeatedNgramFrac(c: Column, k: Int = 2): Column = {
+    val grams = ngrams(tokens(c), k)
+    lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams)
+  }
+
   /** Characters excluding whitespace. */
   def charCount(c: Column): Column =
     length(regexp_replace(trim(c), "\\s+", ""))

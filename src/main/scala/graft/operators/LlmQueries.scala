@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
-import graft.llm.{Dedup, Similarity, TextAnalysis => TA}
+import graft.llm.{Corpus, Dedup, Similarity, TextAnalysis => TA}
 
 /** LLM-training-data pipeline queries over `documents` / `embeddings`:
   * text analysis, language ID, exact + MinHash-LSH dedup, SimHash,
@@ -110,6 +110,54 @@ object LlmQueries {
       val dups = d.filter(col("doc_id") % 20 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
       Dedup.dedupPipeline(d.unionByName(dups), "doc_id", "text")
+    },
+
+    // SimHash near-dup pairs via a 4×8-bit banded self-join — recall for
+    // hamming <= 3 is EXACT by pigeonhole (see Dedup.simhashNearDups), so
+    // the all-pairs-hamming DuckDB oracle hash-compares cleanly. The
+    // corpus gets exact copies (hamming 0) of every 20th doc AND
+    // one-token-appended copies of every (20th+10) doc, whose hamming is
+    // small but text-dependent — the gate is value-sensitive, not just
+    // membership-sensitive.
+    "q51_simhash_neardup" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val exact = d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val perturbed = d.filter(col("doc_id") % 20 === 10)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" qq7")).as("text"))
+      Dedup.simhashNearDups(d.unionByName(exact).unionByName(perturbed),
+        "doc_id", "text")
+    },
+
+    // Deterministic stratified downsampling — rebalance the language mix
+    // (en-heavy corpus: keep 10% en, 50% zh, 90% of the rest) with a
+    // reproducible md5-keyed draw. Map-only filter at any scale; `u` is
+    // the draw itself so the oracle checks the exact decision boundary.
+    "q52_stratified_sample" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      Corpus.stratifiedSample(d, "doc_id", "lang",
+        Map("en" -> 0.1, "zh" -> 0.5), defaultRate = 0.9)
+        .withColumn("u", Corpus.hashUnit(col("doc_id"), "sample:"))
+    },
+
+    // Repetition detection (Gopher-style quality signal): fraction of
+    // repeated bigram windows per document. Map-only, codegen'd.
+    "q53_repetition" -> { (s, dir) =>
+      val grams = TA.ngrams(TA.tokens(col("text")), 2)
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(grams).as("n_grams"),
+          size(array_distinct(grams)).as("n_uniq"),
+          TA.repeatedNgramFrac(col("text"), 2).as("rep_frac"))
+    },
+
+    // Greedy sequence packing: assign each document to the 256-token
+    // training sequence its exclusive prefix sum starts in, per language
+    // stream — the deterministic data-loader concatenation order. One
+    // shuffle (hash by lang + window sort).
+    "q54_seq_packing" -> { (s, dir) =>
+      Corpus.packSequences(t(s, dir, "documents"), "doc_id", "lang",
+        TA.tokenCount(col("text")), budget = 256)
     },
 
     // Exact cosine top-10 for every 100th vector (broadcast query side —
@@ -350,6 +398,81 @@ object LlmQueries {
         |  CAST(SUM(CASE WHEN vote > 0 THEN power(2, b) ELSE 0 END) AS BIGINT)
         |    AS simhash
         |FROM votes GROUP BY 1""".stripMargin,
+    // q51: the q34 signature pipeline over the dup-injected corpus, then
+    // ALL-PAIRS hamming — the banded join's exact-recall guarantee
+    // (hamming <= 3 < 4 bands) is what makes this oracle fair.
+    "q51_simhash_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' qq7' FROM documents
+        |  WHERE doc_id % 20 = 10),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM corpus),
+        |h AS (
+        |  SELECT doc_id, list_reduce(list_transform(
+        |    string_split(substr(md5(t), 1, 8), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS hv
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, g.b AS b,
+        |    CAST(floor(hv / power(2, g.b)) AS BIGINT) % 2 AS bit
+        |  FROM h, LATERAL UNNEST(generate_series(0, 31)) AS g(b)),
+        |votes AS (
+        |  SELECT doc_id, b, SUM(2 * bit - 1) AS vote
+        |  FROM bits GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN vote > 0 THEN power(2, b) ELSE 0 END) AS BIGINT)
+        |      AS simhash
+        |  FROM votes GROUP BY 1)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    // q52: the md5-keyed draw mirrored digit-for-digit (Corpus.hashUnit).
+    "q52_stratified_sample" ->
+      """SELECT doc_id, lang, u FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(list_reduce(list_transform(
+        |      string_split(substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0 AS u
+        |  FROM documents)
+        |WHERE u < CASE WHEN lang = 'en' THEN 0.1
+        |            WHEN lang = 'zh' THEN 0.5 ELSE 0.9 END""".stripMargin,
+    // q53: bigram windows WITH duplicates (list_transform over positions;
+    // out-of-range tk[i+1] is NULL, which concat_ws skips — same sub-k
+    // window semantics as TextAnalysis.ngrams).
+    "q53_repetition" ->
+      """SELECT doc_id, n_grams, n_uniq,
+        |  1.0 - CAST(n_uniq AS DOUBLE) / n_grams AS rep_frac
+        |FROM (
+        |  SELECT doc_id, len(g) AS n_grams, len(list_distinct(g)) AS n_uniq
+        |  FROM (
+        |    SELECT doc_id, list_transform(
+        |      generate_series(1, CASE WHEN len(tk) = 0 THEN 0
+        |                            ELSE greatest(len(tk) - 1, 1) END),
+        |      i -> concat_ws(' ', tk[i], tk[i + 1])) AS g
+        |    FROM (
+        |      SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |      FROM documents)))""".stripMargin,
+    // q54: exclusive-prefix-sum packing per language stream.
+    "q54_seq_packing" ->
+      """SELECT doc_id, lang, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS seq_id
+        |FROM (
+        |  SELECT doc_id, lang, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |    FROM documents))""".stripMargin,
     "q35_knn_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings

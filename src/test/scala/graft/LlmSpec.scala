@@ -168,4 +168,72 @@ class LlmSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), s"query side not broadcast:\n$plan")
   }
+
+  test("simhash near-dup: banded join (no all-pairs) and EXACT recall" +
+    " vs brute-force hamming over the signatures") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+    val lazyPairs = Dedup.simhashNearDupsOf(sig, "doc_id",
+      maxHamming = 3, bands = 4)
+    val plan = lazyPairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+    // Brute-force ground truth from the collected signatures: the banded
+    // join must find EVERY pair at hamming <= 3 (pigeonhole: 4 bands,
+    // <= 3 flipped bits => >= 1 untouched band), with the right distances.
+    val sigs = sig.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
+    val expected = (for {
+      (d1, s1) <- sigs; (d2, s2) <- sigs if d1 < d2
+      h = java.lang.Long.bitCount(s1 ^ s2) if h <= 3
+    } yield (d1, d2, h)).toSet
+    val got = lazyPairs.collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} spurious=${got -- expected}")
+    assert(expected.nonEmpty || sigs.length < 2)
+  }
+
+  test("stratified sample: deterministic, boundary-exact, map-only") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"))
+    val rates = Map("en" -> 0.1, "zh" -> 0.5)
+    val s1 = llm.Corpus.stratifiedSample(docs, "doc_id", "lang", rates, 0.9)
+    // No shuffle: the whole operator is a filter over the scan.
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sample should be map-only:\n$plan")
+    // Deterministic: same draw, same rows, twice.
+    val a = s1.collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    val b = llm.Corpus.stratifiedSample(docs, "doc_id", "lang", rates, 0.9)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    // Every kept row's draw is under its stratum's rate.
+    val bad = s1.withColumn("u", llm.Corpus.hashUnit(col("doc_id"), "sample:"))
+      .filter(col("u") >= when(col("lang") === "en", 0.1)
+        .when(col("lang") === "zh", 0.5).otherwise(0.9)).count()
+    assert(bad == 0)
+  }
+
+  test("sequence packing: exclusive-prefix-sum bin assignment") {
+    import spark.implicits._
+    val docs = Seq((1L, "en", 100), (2L, "en", 100), (3L, "en", 100),
+      (4L, "en", 300), (5L, "de", 50)).toDF("id", "lang", "n")
+    val packed = llm.Corpus.packSequences(docs, "id", "lang",
+      col("n"), budget = 256)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("seq_id")).toMap
+    // en stream: prefixes 0,100,200,300 -> seqs 0,0,0,1; de restarts at 0.
+    assert(packed == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("repetition: raw windows count duplicates, distinct shingles don't") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b a"), (2L, "a b c d e")).toDF("id", "text")
+    val out = df.select(col("id"),
+      graft.llm.TextAnalysis.repeatedNgramFrac(col("text"), 2).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // "a b a b a": windows [a b, b a, a b, b a] -> 2 distinct of 4 -> 0.5.
+    assert(out(1L) == 0.5)
+    assert(out(2L) == 0.0)
+  }
 }
