@@ -201,6 +201,76 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected edge set — the clustering
+    * step that turns near-duplicate PAIRS (minhashNearDups /
+    * simhashNearDups / cosineNearDups output) into dedup groups: every
+    * node gets `component_id` = the smallest node id transitively
+    * reachable from it, so "keep one per component" is a filter.
+    *
+    * Distributed min-label propagation with per-round pointer jumping:
+    * each round every node takes the minimum of its own label, its
+    * neighbors' labels (one shuffle on the edge key), and its LABEL'S
+    * label (a self-join — the pointer-doubling step that collapses label
+    * chains, so a path-shaped component of diameter d converges in
+    * O(log d) rounds rather than O(d); near-dup components are usually
+    * near-cliques and close in 1-2). Each round's labels are
+    * localCheckpoint'ed lazily and materialized by the fixpoint
+    * aggregate (labels only ever decrease, so the label SUM strictly
+    * decreases until converged — summed as decimal(38,0) so arbitrary
+    * 64-bit ids can't overflow the test). Same per-round cost class as
+    * [[graft.graphquery.Bgp.pathPlus]]: one edge-key shuffle + one
+    * self-join + one aggregate.
+    *
+    * `edges` rows are (srcCol, dstCol) pairs in either orientation;
+    * `nodes` is the universe (isolated nodes keep their own id).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          nodes: DataFrame, idCol: String,
+                          maxRounds: Int = 20): DataFrame = {
+    val und = edges.select(col(srcCol).as("_a"), col(dstCol).as("_b"))
+      .unionByName(edges.select(col(dstCol).as("_a"), col(srcCol).as("_b")))
+      .localCheckpoint(false)
+    // The fixpoint only iterates over edge-INCIDENT nodes: an isolated
+    // node can never change label, so it joins the result at the end by
+    // anti-join instead of riding through every round. At corpus scale
+    // this shrinks the loop universe from "all documents" to "documents
+    // with at least one near-dup candidate" — usually orders of magnitude
+    // smaller.
+    val edgeNodes = und.select(col("_a").as("_v")).distinct()
+    var labels = edgeNodes.select(col("_v"), col("_v").as("_m"))
+      .localCheckpoint(false)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("_m").cast("decimal(38,0)"))).head.getDecimal(0)
+    var size = labelSum(labels)
+    var fixed = size == null // no edges
+    var rounds = 0
+    while (!fixed && rounds < maxRounds) {
+      val nbrMin = und
+        .join(labels.select(col("_v").as("_b"), col("_m").as("_nm")), Seq("_b"))
+        .groupBy(col("_a")).agg(min(col("_nm")).as("_nbr"))
+      val cand = labels
+        .join(nbrMin.select(col("_a").as("_v"), col("_nbr")), Seq("_v"), "left")
+        .select(col("_v"),
+          least(col("_m"), coalesce(col("_nbr"), col("_m"))).as("_m"))
+      val next = cand
+        .join(cand.select(col("_v").as("_jv"), col("_m").as("_jm")),
+          col("_m") === col("_jv"), "left")
+        .select(col("_v"),
+          least(col("_m"), coalesce(col("_jm"), col("_m"))).as("_m"))
+        .localCheckpoint(false)
+      val n = labelSum(next)
+      fixed = n.compareTo(size) == 0
+      size = n
+      labels = next
+      rounds += 1
+    }
+    val isolated = nodes.select(col(idCol).as("_v")).distinct()
+      .join(edgeNodes, Seq("_v"), "left_anti")
+      .select(col("_v"), col("_v").as("_m"))
+    labels.unionByName(isolated)
+      .select(col("_v").as(idCol), col("_m").as("component_id"))
+  }
+
   /** Exact-duplicate grouping on the normalized-text fingerprint: adds
     * (fp, group_size, canonical_id) — canonical = min id per group. One
     * shuffle (window on fp).

@@ -151,6 +151,23 @@ object LlmQueries {
           TA.repeatedNgramFrac(col("text"), 2).as("rep_frac"))
     },
 
+    // Near-dup clustering: connected components over the q51 simhash pair
+    // graph — pairs alone don't dedup a corpus; transitive groups do.
+    // Every doc (isolated ones included) gets component_id = min reachable
+    // doc_id. Oracle: recursive CTE over the same pair graph.
+    "q55_dedup_components" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val exact = d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val perturbed = d.filter(col("doc_id") % 20 === 10)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" qq7")).as("text"))
+      val corpus = d.unionByName(exact).unionByName(perturbed)
+      val pairs = Dedup.simhashNearDups(corpus, "doc_id", "text")
+      Dedup.connectedComponents(pairs, "d1", "d2",
+        corpus.select(col("doc_id")), "doc_id")
+    },
+
     // Greedy sequence packing: assign each document to the 256-token
     // training sequence its exclusive prefix sum starts in, per language
     // stream — the deterministic data-loader concatenation order. One
@@ -434,6 +451,52 @@ object LlmQueries {
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    // q55: the q51 pair graph + a recursive min-label CTE (UNION dedups
+    // across iterations, so cycles terminate); min over all reachable
+    // labels = the component id.
+    "q55_dedup_components" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' qq7' FROM documents
+        |  WHERE doc_id % 20 = 10),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM corpus),
+        |h AS (
+        |  SELECT doc_id, list_reduce(list_transform(
+        |    string_split(substr(md5(t), 1, 8), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS hv
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, g.b AS b,
+        |    CAST(floor(hv / power(2, g.b)) AS BIGINT) % 2 AS bit
+        |  FROM h, LATERAL UNNEST(generate_series(0, 31)) AS g(b)),
+        |votes AS (
+        |  SELECT doc_id, b, SUM(2 * bit - 1) AS vote
+        |  FROM bits GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN vote > 0 THEN power(2, b) ELSE 0 END) AS BIGINT)
+        |      AS simhash
+        |  FROM votes GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |edges AS (
+        |  SELECT d1 AS a, d2 AS b FROM pairs
+        |  UNION ALL
+        |  SELECT d2, d1 FROM pairs),
+        |lbl AS (
+        |  SELECT doc_id AS v, doc_id AS m FROM corpus
+        |  UNION
+        |  SELECT e.a AS v, lbl.m AS m FROM edges e JOIN lbl ON lbl.v = e.b)
+        |SELECT v AS doc_id, min(m) AS component_id
+        |FROM lbl GROUP BY v""".stripMargin,
     // q52: the md5-keyed draw mirrored digit-for-digit (Corpus.hashUnit).
     "q52_stratified_sample" ->
       """SELECT doc_id, lang, u FROM (

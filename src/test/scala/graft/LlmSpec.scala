@@ -226,6 +226,22 @@ class LlmSpec extends SparkSpec {
     assert(packed == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
   }
 
+  test("connected components: chains collapse, isolated nodes keep own id") {
+    import spark.implicits._
+    // A 6-node path (worst diameter case for label propagation — the
+    // pointer-jump step must still converge inside maxRounds), one
+    // triangle, one isolated node.
+    val edges = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (14L, 15L), (20L, 21L), (21L, 22L), (22L, 20L)).toDF("d1", "d2")
+    val nodes = (Seq(30L) ++ (10L to 15L) ++ (20L to 22L)).toDF("doc_id")
+    val got = Dedup.connectedComponents(edges, "d1", "d2", nodes, "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component_id"))
+      .toMap
+    val expected = ((10L to 15L).map(_ -> 10L) ++
+      (20L to 22L).map(_ -> 20L) ++ Seq(30L -> 30L)).toMap
+    assert(got == expected)
+  }
+
   test("repetition: raw windows count duplicates, distinct shingles don't") {
     import spark.implicits._
     val df = Seq((1L, "a b a b a"), (2L, "a b c d e")).toDF("id", "text")
