@@ -109,6 +109,24 @@ object TextAnalysis {
         + lit(0.3) * least(tokenCount(c).cast("double") / 100.0, lit(1.0))
         + lit(0.2) * least(avgTokenLen(c) / 10.0, lit(1.0)))
 
+  /** Gopher-style composite quality filter: one named boolean per rule
+    * plus the conjunction, so a pipeline can both FILTER on `keep` and
+    * report per-rule rejection rates from the same pass. Thresholds are
+    * caller-tuned per corpus. Map-only, codegen'd.
+    */
+  def qualityFlags(c: Column, minTokens: Int = 50, maxTokens: Int = 100000,
+                   minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
+                   minStopword: Double = 0.02,
+                   maxRepetition: Double = 0.2): Column = {
+    val okTok = tokenCount(c).between(minTokens, maxTokens)
+    val okLen = avgTokenLen(c).between(minAvgLen, maxAvgLen)
+    val okSw = stopwordRatio(c) >= minStopword
+    val okRep = repeatedNgramFrac(c, 2) <= maxRepetition
+    struct(okTok.as("ok_tokens"), okLen.as("ok_avg_len"),
+      okSw.as("ok_stopword"), okRep.as("ok_repetition"),
+      (okTok && okLen && okSw && okRep).as("keep"))
+  }
+
   /** PII patterns, RE2-compatible (no lookaround) so the Java and DuckDB
     * regex engines agree: email addresses, and standalone digit runs of 9+
     * (phone/SSN-grade identifiers).

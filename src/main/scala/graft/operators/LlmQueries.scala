@@ -168,6 +168,21 @@ object LlmQueries {
         corpus.select(col("doc_id")), "doc_id")
     },
 
+    // Composite quality filter (Gopher-style): per-rule flags + the keep
+    // conjunction in one map-only pass. Thresholds chosen to split this
+    // corpus non-trivially on every rule.
+    "q56_quality_filter" -> { (s, dir) =>
+      val f = TA.qualityFlags(col("text"), minTokens = 30,
+        maxTokens = 100000, minAvgLen = 3.5, maxAvgLen = 5.0,
+        minStopword = 0.03, maxRepetition = 0.05)
+      t(s, dir, "documents").select(col("doc_id"), f.as("_f"))
+        .select(col("doc_id"), col("_f.ok_tokens").as("ok_tokens"),
+          col("_f.ok_avg_len").as("ok_avg_len"),
+          col("_f.ok_stopword").as("ok_stopword"),
+          col("_f.ok_repetition").as("ok_repetition"),
+          col("_f.keep").as("keep"))
+    },
+
     // Greedy sequence packing: assign each document to the 256-token
     // training sequence its exclusive prefix sum starts in, per language
     // stream — the deterministic data-loader concatenation order. One
@@ -523,6 +538,32 @@ object LlmQueries {
         |      i -> concat_ws(' ', tk[i], tk[i + 1])) AS g
         |    FROM (
         |      SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |      FROM documents)))""".stripMargin,
+    // q56: q30's metrics + q53's repetition, thresholded.
+    "q56_quality_filter" ->
+      """SELECT doc_id,
+        |  n_tokens BETWEEN 30 AND 100000 AS ok_tokens,
+        |  avg_len BETWEEN 3.5 AND 5.0 AS ok_avg_len,
+        |  sw >= 0.03 AS ok_stopword,
+        |  rep <= 0.05 AS ok_repetition,
+        |  (n_tokens BETWEEN 30 AND 100000) AND (avg_len BETWEEN 3.5 AND 5.0)
+        |    AND sw >= 0.03 AND rep <= 0.05 AS keep
+        |FROM (
+        |  SELECT doc_id, len(tk) AS n_tokens,
+        |    CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |      / len(tk) AS avg_len,
+        |    CAST(len(list_filter(tk, x -> list_contains(
+        |      ['the','a','an','of','and','to','in','is','it','on','for'], x)))
+        |      AS DOUBLE) / len(tk) AS sw,
+        |    1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g) AS rep
+        |  FROM (
+        |    SELECT doc_id, text, tk, list_transform(
+        |      generate_series(1, CASE WHEN len(tk) = 0 THEN 0
+        |                            ELSE greatest(len(tk) - 1, 1) END),
+        |      i -> concat_ws(' ', tk[i], tk[i + 1])) AS g
+        |    FROM (
+        |      SELECT doc_id, text,
+        |        string_split_regex(trim(text), '\s+') AS tk
         |      FROM documents)))""".stripMargin,
     // q54: exclusive-prefix-sum packing per language stream.
     "q54_seq_packing" ->
