@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -199,6 +199,70 @@ object Dedup {
         (col("_ni").cast("double") /
           (col("_sz1") + col("_sz2") - col("_ni"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Persist a corpus dedup index as two BUCKETED managed tables:
+    *
+    *   `<prefix>_bands`    (_id, _band, _bh)     bucketed by (_band, _bh)
+    *   `<prefix>_shingles` (_id, _x1, _x2, _sz)  bucketed by (_id)
+    *
+    * The point is incremental ingest at corpus scale: signing 100 TB once
+    * and probing each arriving batch against the stored index, instead of
+    * re-running the signature aggregate over the whole corpus per batch
+    * ([[dedupAgainstIndex]]). Bucketing on exactly the candidate-join key
+    * means the batch side shuffles into the index's layout while the
+    * index itself is read in place — no corpus-sized exchange per batch
+    * (asserted in LlmSpec: one hashpartitioning(_band, _bh) exchange in
+    * the plan, not two). Same pattern as `Similarity.writeIvfIndex`.
+    */
+  def writeDedupIndex(docs: DataFrame, idCol: String, textCol: String,
+                      prefix: String, buckets: Int = 32): Unit = {
+    val hs = hashedShingles(docs, idCol, textCol).cache()
+    try {
+      hs.write.mode("overwrite").bucketBy(buckets, "_id")
+        .saveAsTable(s"${prefix}_shingles")
+      bandTable(hs).write.mode("overwrite").bucketBy(buckets, "_band", "_bh")
+        .saveAsTable(s"${prefix}_bands")
+    } finally hs.unpersist(false)
+  }
+
+  /** Near-duplicates of an ingest BATCH against a stored corpus index
+    * ([[writeDedupIndex]]): returns (new_id, index_id, jaccard) with
+    * jaccard >= threshold, computed exactly like [[minhashNearDups]]'s
+    * verify stage but across the batch/index boundary. The index shingle
+    * table is semi-join-pruned to candidate docs before the intersection
+    * count, so the verify cost scales with the candidate set (batch-ish),
+    * not the corpus.
+    */
+  def dedupAgainstIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                        spark: SparkSession, prefix: String,
+                        threshold: Double = 0.8): DataFrame = {
+    val idxBands = spark.table(s"${prefix}_bands")
+    val idxSh = spark.table(s"${prefix}_shingles")
+    val hsNew = hashedShingles(newDocs, idCol, textCol).cache()
+    try {
+      val newBands = bandTable(hsNew).localCheckpoint(true)
+      val candidates = newBands.as("n")
+        .join(idxBands.as("i"),
+          col("n._band") === col("i._band") && col("n._bh") === col("i._bh"))
+        .select(col("n._id").as("_dn"), col("i._id").as("_di"))
+        .distinct()
+      val idxCand = idxSh.join(
+        candidates.select(col("_di").as("_id")).distinct(),
+        Seq("_id"), "left_semi")
+      val verified = candidates
+        .join(hsNew.select(col("_id").as("_dn"), col("_x1"), col("_x2"),
+          col("_sz").as("_szn")), Seq("_dn"))
+        .join(idxCand.select(col("_id").as("_di"), col("_x1"), col("_x2"),
+          col("_sz").as("_szi")), Seq("_di", "_x1", "_x2"))
+        .groupBy(col("_dn"), col("_di")).agg(count(lit(1)).as("_ni"),
+          first(col("_szn")).as("_szn"), first(col("_szi")).as("_szi"))
+        .select(col("_dn").as("new_id"), col("_di").as("index_id"),
+          (col("_ni").cast("double") /
+            (col("_szn") + col("_szi") - col("_ni"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+      verified.localCheckpoint(true)
+    } finally hsNew.unpersist(false)
   }
 
   /** Connected components over an undirected edge set — the clustering

@@ -226,6 +226,62 @@ class LlmSpec extends SparkSpec {
     assert(packed == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
   }
 
+  test("dedup index: batch probes find originals; index side not re-shuffled") {
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    try {
+      Dedup.writeDedupIndex(docs, "doc_id", "text", "cidx")
+      // Batch: near-copies (one appended token) of every 10th doc, plus
+      // unrelated fresh docs that must match nothing.
+      val nearCopies = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 5000000).as("doc_id"),
+          concat(col("text"), lit(" tailtok")).as("text"))
+      val fresh = Seq((9000001L, "qa qb qc qd qe qf qg qh qi qj qk ql"))
+        .toDF("doc_id", "text")
+      val batch = nearCopies.unionByName(fresh)
+      val hits = Dedup.dedupAgainstIndex(batch, "doc_id", "text",
+        spark, "cidx", threshold = 0.8)
+      val got = hits.collect()
+        .map(r => r.getAs[Long]("new_id") -> r.getAs[Long]("index_id"))
+      // Every near-copy pairs with its original (append-1-token jaccard
+      // on 3-shingles of an n-token doc is (n-2)/(n+1) >= 0.8 for n >= 14;
+      // sf0.001 docs all clear that), the fresh doc pairs with nothing.
+      val expected = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id")).collect()
+        .map(r => (r.getLong(0) + 5000000) -> r.getLong(0))
+      assert(got.toSet.intersect(expected.toSet) == expected.toSet,
+        s"missing pairs: ${expected.toSet -- got.toSet}")
+      assert(!got.exists(_._1 == 9000001L), "fresh doc matched the index")
+      hits.collect().foreach(r =>
+        assert(r.getAs[Double]("jaccard") >= 0.8))
+      // Scale shape: the candidate join shuffles ONLY the batch side into
+      // the index's (_band, _bh) bucketing — one hashpartitioning
+      // exchange on those keys, with the bucketed index scanned in place.
+      // At test scale the planner would (correctly) broadcast the tiny
+      // index instead, so broadcast is disabled to surface the plan this
+      // layout exists for.
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val candPlan = Dedup.bandTable(
+          Dedup.hashedShingles(batch, "doc_id", "text")).as("n")
+          .join(spark.table("cidx_bands").as("i"),
+            col("n._band") === col("i._band") && col("n._bh") === col("i._bh"))
+          .queryExecution.executedPlan.toString
+        val exchanges = "hashpartitioning\\(_band".r
+          .findAllIn(candPlan).length
+        assert(exchanges == 1,
+          s"expected exactly 1 band-key exchange (batch side), got $exchanges:\n$candPlan")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cidx_bands")
+      spark.sql("DROP TABLE IF EXISTS cidx_shingles")
+    }
+  }
+
   test("connected components: chains collapse, isolated nodes keep own id") {
     import spark.implicits._
     // A 6-node path (worst diameter case for label propagation — the

@@ -13,6 +13,10 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Managed tables (bucketed dedup/IVF indexes) land in /tmp, not the
+      // repo working directory.
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-test-warehouse-${ProcessHandle.current().pid()}")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
