@@ -47,7 +47,7 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
 
     val probes = Seq("q33_minhash_neardup", "q37_cube_observations",
-      "q43_cube_full_kinds")
+      "q43_cube_full_kinds", "q51_simhash_neardup", "q55_dedup_components")
     // warmup (codegen) at the small scale, unrecorded
     probes.foreach(q =>
       SparkEntry.queries(q)(spark, sf01).write.format("noop")
