@@ -41,6 +41,30 @@ object Corpus {
     docs.filter(hashUnit(col(keyCol), salt) < rate)
   }
 
+  /** Benchmark decontamination: (corpus_id, bench_id, n_shared) for every
+    * corpus document sharing at least `minShared` distinct word k-gram
+    * shingles with a benchmark/eval document — the standard
+    * "did the test set leak into the training data" filter.
+    *
+    * Scale shape: the benchmark side is small BY CONSTRUCTION (an eval
+    * suite, not a corpus), so its shingle rows broadcast; the corpus
+    * streams through a map-side hash join on the shingle and only the
+    * surviving (corpus, bench) candidate pairs hit the counting shuffle.
+    * No corpus-sized exchange, no all-pairs anything.
+    */
+  def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, minShared: Int = 5,
+                    k: Int = 3): DataFrame = {
+    val cs = corpus.select(col(idCol).as("corpus_id"),
+      explode(Dedup.shingles(col(textCol), k)).as("_s"))
+    val bs = broadcast(bench.select(col(idCol).as("bench_id"),
+      explode(Dedup.shingles(col(textCol), k)).as("_s")))
+    cs.join(bs, Seq("_s"))
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Greedy sequence packing: assign documents, in deterministic
     * (stratum, id) order, to consecutive fixed-token-budget training
     * sequences. A document starts in the sequence its exclusive prefix

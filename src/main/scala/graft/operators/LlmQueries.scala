@@ -168,6 +168,19 @@ object LlmQueries {
         corpus.select(col("doc_id")), "doc_id")
     },
 
+    // Test-set decontamination: corpus docs sharing >= 5 distinct
+    // 3-gram shingles with any benchmark doc. The "benchmark" is every
+    // 97th doc with two appended tokens (so each planted leak pairs a
+    // corpus doc with a near-copy bench doc at high-but-not-total
+    // overlap); bench side broadcast, corpus never shuffled.
+    "q57_decontaminate" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat(col("text"), lit(" bb1 bb2")).as("text"))
+      Corpus.contamination(d, bench, "doc_id", "text", minShared = 5)
+    },
+
     // Composite quality filter (Gopher-style): per-rule flags + the keep
     // conjunction in one map-only pass. Thresholds chosen to split this
     // corpus non-trivially on every rule.
@@ -539,6 +552,30 @@ object LlmQueries {
         |    FROM (
         |      SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
         |      FROM documents)))""".stripMargin,
+    // q57: q33-style distinct-shingle derivation on both sides, then the
+    // containment join + HAVING threshold.
+    "q57_decontaminate" ->
+      """WITH bench AS (
+        |  SELECT doc_id + 3000000 AS doc_id, text || ' bb1 bb2' AS text
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |ctoks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |btoks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM bench),
+        |cs AS (
+        |  SELECT DISTINCT doc_id, array_to_string(tk[i.g:i.g+2], ' ') AS s
+        |  FROM ctoks,
+        |    LATERAL UNNEST(generate_series(1, greatest(len(tk)-2, 1))) AS i(g)),
+        |bs AS (
+        |  SELECT DISTINCT doc_id, array_to_string(tk[i.g:i.g+2], ' ') AS s
+        |  FROM btoks,
+        |    LATERAL UNNEST(generate_series(1, greatest(len(tk)-2, 1))) AS i(g))
+        |SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+        |  count(*) AS n_shared
+        |FROM cs c JOIN bs b ON c.s = b.s
+        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
     // q56: q30's metrics + q53's repetition, thresholded.
     "q56_quality_filter" ->
       """SELECT doc_id,

@@ -282,6 +282,24 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("decontamination: bench broadcast, corpus unshuffled before the join") {
+    val df = LlmQueries.queries("q57_decontaminate")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bench not broadcast:\n$plan")
+    // Only the candidate-pair aggregation shuffles — the corpus reaches
+    // the containment join map-side.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected only the pair-count exchange, got $exchanges:\n$plan")
+    // Planted leaks: every bench doc (id >= 3000000) pairs its original.
+    val pairs = df.collect().map(r =>
+      (r.getAs[Long]("corpus_id"), r.getAs[Long]("bench_id"))).toSet
+    val planted = graft.Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") % 97 === 0).select(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 3000000)).toSet
+    assert(planted.subsetOf(pairs), s"missing: ${planted -- pairs}")
+  }
+
   test("connected components: chains collapse, isolated nodes keep own id") {
     import spark.implicits._
     // A 6-node path (worst diameter case for label propagation — the
