@@ -41,6 +41,45 @@ object Corpus {
     docs.filter(hashUnit(col(keyCol), salt) < rate)
   }
 
+  /** Per-stratum sampling rates that would equalize token share across
+    * strata: rate = min(1, (total_tokens / n_strata) / stratum_tokens).
+    * The upstream half of the rebalancing story — its output feeds
+    * [[stratifiedSample]]'s rates. One aggregation shuffle; the window
+    * runs over the handful of post-aggregation stratum rows.
+    */
+  def mixRates(docs: DataFrame, stratumCol: String,
+               tokenCount: Column): DataFrame = {
+    val w = Window.partitionBy()
+    docs.select(col(stratumCol), tokenCount.as("_n"))
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("stratum_tokens"))
+      .select(col(stratumCol), col("n_docs"), col("stratum_tokens"),
+        least(lit(1.0),
+          (sum(col("stratum_tokens")).over(w) *
+            (lit(1.0) / count(lit(1)).over(w))) / col("stratum_tokens"))
+          .as("rate"))
+  }
+
+  /** Rare-token score: for each document, how many of its token
+    * occurrences are corpus-wide rare (frequency <= maxFreq) — the
+    * integer-exact gibberish/noise signal (a unigram-LM proxy without
+    * cross-engine float logs). Shape: one vocab aggregation (map-side
+    * combined), a semi-join of the token stream against the rare slice,
+    * one per-doc count — all keyed shuffles, no broadcast assumption on
+    * the vocabulary (a web-scale vocab is NOT small).
+    */
+  def rareTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                      maxFreq: Long = 2): DataFrame = {
+    val tok = docs.select(col(idCol), col(textCol))
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+    val rare = tok.groupBy(col("_t")).agg(count(lit(1)).as("_f"))
+      .filter(col("_f") <= maxFreq)
+    val counts = tok.join(rare.select(col("_t")), Seq("_t"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_rare"))
+    docs.select(col(idCol)).join(counts, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+  }
+
   /** Benchmark decontamination: (corpus_id, bench_id, n_shared) for every
     * corpus document sharing at least `minShared` distinct word k-gram
     * shingles with a benchmark/eval document — the standard

@@ -168,6 +168,21 @@ object LlmQueries {
         corpus.select(col("doc_id")), "doc_id")
     },
 
+    // Mix-weight computation: per-language sampling rates that would
+    // equalize token share (feeds q52's stratifiedSample). One agg
+    // shuffle; the window is over 5 post-agg rows.
+    "q58_mix_rates" -> { (s, dir) =>
+      Corpus.mixRates(t(s, dir, "documents"), "lang",
+        TA.tokenCount(col("text")))
+    },
+
+    // Rare-token (hapax) scoring against the corpus-derived vocabulary —
+    // integer-exact gibberish signal; no broadcast assumption on the
+    // vocab.
+    "q59_rare_tokens" -> { (s, dir) =>
+      Corpus.rareTokenCounts(t(s, dir, "documents"), "doc_id", "text")
+    },
+
     // Test-set decontamination: corpus docs sharing >= 5 distinct
     // 3-gram shingles with any benchmark doc. The "benchmark" is every
     // 97th doc with two appended tokens (so each planted leak pairs a
@@ -552,6 +567,32 @@ object LlmQueries {
         |    FROM (
         |      SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
         |      FROM documents)))""".stripMargin,
+    // q58: the window arithmetic mirrored operation-for-operation (both
+    // engines evaluate total * (1/n) / stratum in doubles).
+    "q58_mix_rates" ->
+      """SELECT lang, n_docs, stratum_tokens,
+        |  least(CAST(1.0 AS DOUBLE),
+        |    (SUM(stratum_tokens) OVER () *
+        |      (CAST(1.0 AS DOUBLE) / COUNT(*) OVER ())) / stratum_tokens)
+        |    AS rate
+        |FROM (
+        |  SELECT lang, count(*) AS n_docs,
+        |    SUM(len(string_split_regex(trim(text), '\s+'))) AS stratum_tokens
+        |  FROM documents GROUP BY 1)""".stripMargin,
+    // q59: vocab counts -> rare slice -> per-doc occurrence count, with
+    // zero-rare docs kept via the left join.
+    "q59_rare_tokens" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |rare AS (
+        |  SELECT t FROM tok GROUP BY t HAVING count(*) <= 2),
+        |counts AS (
+        |  SELECT doc_id, count(*) AS n_rare
+        |  FROM tok WHERE t IN (SELECT t FROM rare)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(c.n_rare, 0) AS n_rare
+        |FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id""".stripMargin,
     // q57: q33-style distinct-shingle derivation on both sides, then the
     // containment join + HAVING threshold.
     "q57_decontaminate" ->
