@@ -106,6 +106,43 @@ object Dedup {
       .select(col("_id"), col("_b.band").as("_band"), col("_b.bh").as("_bh"))
   }
 
+  /** STREAM-SAFE band rows (idCol, _band, _bh), hash-identical to
+    * [[bandTable]] over [[hashedShingles]] — same base hashes
+    * (xxhash64(shingle, 0|1) masked to 32 bits), same affine slot minima
+    * h1 + i·h2, same band fusion — but computed ROW-LOCALLY from the
+    * per-document shingle array, with no window and no aggregation. That
+    * is the point: Structured Streaming supports neither the lead-window
+    * nor a pre-join aggregation in append mode, so the streaming ingest
+    * probe ([[graft.streaming.DocsStream.indexProbeStream]]) pays the
+    * interpreted-HOF slot cost (acceptable: micro-batches are small by
+    * construction) to keep the plan stateless ahead of the stream-static
+    * index join. Batch paths must keep using [[bandTable]] — the HOF form
+    * is the measured 100×-slower shape at corpus scale.
+    */
+  private[graft] def bandRowsRowLocal(docs: DataFrame, idCol: String,
+                                      textCol: String, k: Int = 3,
+                                      bands: Int = 32,
+                                      rowsPerBand: Int = 4): DataFrame = {
+    val mask = lit(0xFFFFFFFFL)
+    val slots = bands * rowsPerBand
+    val hashed = docs
+      .withColumn("_shs", shingles(col(textCol), k))
+      .withColumn("_hx1",
+        transform(col("_shs"), s => xxhash64(s, lit(0)).bitwiseAND(mask)))
+      .withColumn("_hx2",
+        transform(col("_shs"), s => xxhash64(s, lit(1)).bitwiseAND(mask)))
+    val withMins = (0 until slots).foldLeft(hashed) { (df, i) =>
+      df.withColumn(s"_m$i", array_min(
+        zip_with(col("_hx1"), col("_hx2"), (a, b) => a + lit(i.toLong) * b)))
+    }
+    withMins.select(col(idCol), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((0 until rowsPerBand).map(r =>
+            col(s"_m${b * rowsPerBand + r}")): _*).as("bh"))
+      }: _*)).as("_b"))
+      .select(col(idCol), col("_b.band").as("_band"), col("_b.bh").as("_bh"))
+  }
+
   /** Exact n-gram Jaccard over two distinct-shingle arrays:
     * |A∩B| / |A∪B| — integer sizes, so cross-engine deterministic.
     */

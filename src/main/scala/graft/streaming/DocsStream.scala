@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.TextAnalysis
+import graft.llm.{Dedup, TextAnalysis}
 
 /** Streaming form of the document-dedup pipeline: exact dedup over an
   * unbounded stream via fingerprint + `dropDuplicatesWithinWatermark`.
@@ -29,4 +29,27 @@ object DocsStream {
     docs.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Streaming ingest probe against a persisted dedup index
+    * ([[graft.llm.Dedup.writeDedupIndex]]): each arriving document's band
+    * rows (computed ROW-LOCALLY — stream-safe, hash-identical to the
+    * index's band table) stream-static-join the bucketed index, emitting
+    * (idCol, index_id, _band) candidate rows in append mode.
+    *
+    * The corpus index is never re-signed or re-shuffled by the stream;
+    * the static side is a bucketed table scan per micro-batch. Candidates
+    * are intentionally NOT deduplicated or Jaccard-verified here — both
+    * would be stateful/aggregating stages that append-mode streams ahead
+    * of a sink can't carry; the downstream batch verify
+    * ([[graft.llm.Dedup.dedupAgainstIndex]]'s verify join) is the
+    * exactness backstop, exactly like dedupStream's watermark trade-off.
+    */
+  def indexProbeStream(docs: DataFrame, idCol: String, textCol: String,
+                       spark: SparkSession, prefix: String): DataFrame = {
+    val newBands = Dedup.bandRowsRowLocal(docs, idCol, textCol)
+    newBands.join(spark.table(s"${prefix}_bands")
+        .select(col("_id").as("index_id"), col("_band"), col("_bh")),
+      Seq("_band", "_bh"))
+      .select(col(idCol), col("index_id"), col("_band"))
+  }
 }

@@ -87,6 +87,47 @@ class MediaStreamSpec extends SparkSpec {
     assert(out == Set(1L, 3L, 5L), s"got $out")
   }
 
+  test("streaming: index probe finds a near-copy via the static band index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    try {
+      // Row-local band rows must be hash-identical to the batch band
+      // table — the property the stream-static join depends on.
+      val batchBands = graft.llm.Dedup.bandTable(
+          graft.llm.Dedup.hashedShingles(docs, "doc_id", "text"))
+        .select(col("_id"), col("_band"), col("_bh"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val rowLocal = graft.llm.Dedup.bandRowsRowLocal(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(rowLocal == batchBands, "row-local bands diverge from batch bands")
+
+      graft.llm.Dedup.writeDedupIndex(docs, "doc_id", "text", "sidx")
+      val target = docs.orderBy(col("doc_id")).limit(1)
+        .collect().head
+      val mem = MemoryStream[(Long, String)]
+      val stream = mem.toDF().toDF("doc_id", "text")
+      val q = graft.streaming.DocsStream.indexProbeStream(
+          stream, "doc_id", "text", spark, "sidx")
+        .writeStream.format("memory").queryName("probe")
+        .outputMode("append").start()
+      // A near-copy of a known doc plus an unrelated fresh doc.
+      mem.addData((7000001L, target.getString(1) + " tailtok"),
+        (7000002L, "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 zz10 zz11 zz12"))
+      q.processAllAvailable()
+      val hits = spark.table("probe").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("index_id"))
+      q.stop()
+      assert(hits.contains(7000001L -> target.getLong(0)),
+        s"near-copy not matched: ${hits.toSeq}")
+      assert(!hits.exists(_._1 == 7000002L), "fresh doc matched the index")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sidx_bands")
+      spark.sql("DROP TABLE IF EXISTS sidx_shingles")
+    }
+  }
+
   test("streaming: windowed aggregation with watermark finalizes windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
