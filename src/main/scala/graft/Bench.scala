@@ -45,12 +45,17 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => args.isEmpty || args.exists(n.contains))
     val results = names.map(n => n -> (1 to runs).map(_ => run(n)).min)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Millisecond precision keeps the whole line well under the driver's
+    // 2000-char tail-capture window (full 9-decimal doubles overflowed it at
+    // 59 queries, zeroing the round-7 bench record); ms is far above this
+    // box's noise floor anyway.
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // runs is part of the record: each value is a min-of-`runs`, and
     // cross-round comparisons are only apples-to-apples at equal runs.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

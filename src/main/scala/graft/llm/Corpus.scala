@@ -46,6 +46,13 @@ object Corpus {
     * The upstream half of the rebalancing story — its output feeds
     * [[stratifiedSample]]'s rates. One aggregation shuffle; the window
     * runs over the handful of post-aggregation stratum rows.
+    *
+    * Output is float-robust by construction: the exact integer components
+    * (`n_docs`, `stratum_tokens`, `total_tokens`, `n_strata`) carry the
+    * full information, and the derived `rate` is rounded to 6 decimals so
+    * a last-ulp difference in another engine's double chain cannot flip
+    * the comparison (same discipline as the ANN queries, which exclude
+    * the similarity score from oracle-compared output).
     */
   def mixRates(docs: DataFrame, stratumCol: String,
                tokenCount: Column): DataFrame = {
@@ -54,9 +61,11 @@ object Corpus {
       .groupBy(col(stratumCol))
       .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("stratum_tokens"))
       .select(col(stratumCol), col("n_docs"), col("stratum_tokens"),
-        least(lit(1.0),
+        sum(col("stratum_tokens")).over(w).as("total_tokens"),
+        count(lit(1)).over(w).as("n_strata"),
+        round(least(lit(1.0),
           (sum(col("stratum_tokens")).over(w) *
-            (lit(1.0) / count(lit(1)).over(w))) / col("stratum_tokens"))
+            (lit(1.0) / count(lit(1)).over(w))) / col("stratum_tokens")), 6)
           .as("rate"))
   }
 
@@ -115,7 +124,12 @@ object Corpus {
     */
   def packSequences(docs: DataFrame, idCol: String, stratumCol: String,
                     tokenCount: Column, budget: Int): DataFrame = {
+    // ROWS (not the default RANGE) frame: with RANGE, tied idCol values
+    // would share one running sum, diverging from the documented per-row
+    // streaming-concatenation semantics (and from the oracle's pinned
+    // ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW).
     val w = Window.partitionBy(col(stratumCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col(idCol), col(stratumCol), tokenCount.as("n_tokens"))
       .withColumn("_cum", sum(col("n_tokens")).over(w))
       .select(col(idCol), col(stratumCol), col("n_tokens"),

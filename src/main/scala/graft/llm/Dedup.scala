@@ -127,6 +127,12 @@ object Dedup {
     val slots = bands * rowsPerBand
     val hashed = docs
       .withColumn("_shs", shingles(col(textCol), k))
+      // Hash-identity with the batch path requires dropping docs the batch
+      // path never emits: hashedShingles posexplodes the token array, so a
+      // null/empty-text doc yields NO shingle rows there — while a null
+      // array here would propagate to array_min=null slot minima and a
+      // constant xxhash64-of-nulls band hash, a phantom bucket magnet.
+      .filter(size(col("_shs")) > 0)
       .withColumn("_hx1",
         transform(col("_shs"), s => xxhash64(s, lit(0)).bitwiseAND(mask)))
       .withColumn("_hx2",
@@ -211,12 +217,31 @@ object Dedup {
           .over(Window.partitionBy(col("_band"), col("_bh"))))
         .filter(col("_bn") <= maxBucketSize)
         .drop("_bn")
-    val candidates = banded.as("l")
+    val candidatesLazy = banded.as("l")
       .join(banded.as("r"),
         col("l._band") === col("r._band") && col("l._bh") === col("r._bh") &&
           col("l._id") < col("r._id"))
       .select(col("l._id").as("d1"), col("r._id").as("d2"))
       .distinct()
+    // The (small) pair set feeds three consumers below (the doc-universe
+    // prune plus both verify joins) — materialize it once so the band
+    // self-join isn't re-run per consumer. Skipped in the lazy
+    // plan-inspection path.
+    val candidates =
+      if (materializeBands) candidatesLazy.localCheckpoint(true)
+      else candidatesLazy
+    // Semi-join-prune the shingle table to candidate docs BEFORE the
+    // intersection count (same shape as [[dedupAgainstIndex]]): the
+    // candidate pair set is tiny relative to the corpus, so the verify
+    // joins below shuffle candidate-doc shingle rows only — not the full
+    // corpus shingle table twice. No forced broadcast hint: AQE converts
+    // the semi-join to a runtime broadcast when the candidate list is
+    // actually small, and degrades gracefully (one keyed shuffle, still
+    // strictly cheaper than the unpruned double join) when a dup-heavy
+    // corpus makes it large.
+    val candDocs = candidates.select(col("d1").as("_id"))
+      .unionByName(candidates.select(col("d2").as("_id"))).distinct()
+    val hsCand = hs.join(candDocs, Seq("_id"), "left_semi")
     // Relational exact-Jaccard verify: |A∩B| is a count over the
     // shingle-equality join restricted to candidate pairs, |A|/|B| ride
     // along as the _sz column every shingle row already carries — same
@@ -226,9 +251,9 @@ object Dedup {
     // drops out of the inner join, which a positive threshold filters
     // anyway).
     candidates
-      .join(hs.select(col("_id").as("d1"), col("_x1"), col("_x2"),
+      .join(hsCand.select(col("_id").as("d1"), col("_x1"), col("_x2"),
         col("_sz").as("_sz1")), Seq("d1"))
-      .join(hs.select(col("_id").as("d2"), col("_x1"), col("_x2"),
+      .join(hsCand.select(col("_id").as("d2"), col("_x1"), col("_x2"),
         col("_sz").as("_sz2")), Seq("d2", "_x1", "_x2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("_ni"),
         first(col("_sz1")).as("_sz1"), first(col("_sz2")).as("_sz2"))
@@ -365,6 +390,13 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // A silent partial propagation would hand callers labels that look
+    // final but aren't; pointer jumping makes maxRounds=20 ample (2^20
+    // diameter), so the pathological exit deserves a loud warning.
+    if (!fixed)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did not converge within $maxRounds rounds; " +
+          "component ids may be partially propagated")
     val isolated = nodes.select(col(idCol).as("_v")).distinct()
       .join(edgeNodes, Seq("_v"), "left_anti")
       .select(col("_v"), col("_v").as("_m"))

@@ -567,13 +567,17 @@ object LlmQueries {
         |    FROM (
         |      SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
         |      FROM documents)))""".stripMargin,
-    // q58: the window arithmetic mirrored operation-for-operation (both
-    // engines evaluate total * (1/n) / stratum in doubles).
+    // q58: exact integer components (n_docs, stratum_tokens, total_tokens,
+    // n_strata) carry the full information; the derived rate is rounded to
+    // 6 decimals on BOTH sides so the BIGINT-vs-HUGEINT double chain
+    // cannot produce a last-ulp hash mismatch (the round-7 failure mode).
     "q58_mix_rates" ->
       """SELECT lang, n_docs, stratum_tokens,
-        |  least(CAST(1.0 AS DOUBLE),
+        |  CAST(SUM(stratum_tokens) OVER () AS BIGINT) AS total_tokens,
+        |  COUNT(*) OVER () AS n_strata,
+        |  round(least(CAST(1.0 AS DOUBLE),
         |    (SUM(stratum_tokens) OVER () *
-        |      (CAST(1.0 AS DOUBLE) / COUNT(*) OVER ())) / stratum_tokens)
+        |      (CAST(1.0 AS DOUBLE) / COUNT(*) OVER ())) / stratum_tokens), 6)
         |    AS rate
         |FROM (
         |  SELECT lang, count(*) AS n_docs,
