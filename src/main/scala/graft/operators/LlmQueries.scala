@@ -262,6 +262,58 @@ object LlmQueries {
       Similarity.cosineNearDups(e.unionByName(dups), "vec_id", "embedding")
     },
 
+    // END-TO-END CURATION FLAGSHIP: the composition a real 100 TB
+    // pipeline runs, chained in the canonical order —
+    //   quality filter (q56) → exact dedup (q32) → near-dup removal
+    //   (q33 pairs, drop the larger id) → test-set decontamination (q57)
+    //   → mix-rate computation (q58) feeding the deterministic sampler
+    //   (q52) → sequence packing (q54).
+    // Every stage is individually oracle-gated; this gate checks the
+    // COMPOSITION (stage interfaces, column plumbing, rate handoff).
+    // Scale shape: two map-only filters, the dedup/decon stages' keyed
+    // shuffles (each individually audited), a 5-row broadcast rate join,
+    // and one per-stratum window — nothing here adds a shuffle the
+    // component operators don't already pay.
+    "q60_curation_pipeline" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      // 1. Quality gate (map-only codegen'd flags).
+      val quality = d
+        .withColumn("_f", TA.qualityFlags(col("text"), minTokens = 30,
+          maxTokens = 100000, minAvgLen = 3.5, maxAvgLen = 5.0,
+          minStopword = 0.03, maxRepetition = 0.05))
+        .filter(col("_f.keep")).drop("_f")
+      // 2. Exact dedup: keep canonical representatives.
+      val reps = Dedup.exactDups(quality, "doc_id", "text")
+        .filter(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id"), col("lang"), col("text"))
+      // 3. Near-dup removal: drop the larger id of every verified pair
+      //    (pair set is small → AQE broadcasts the anti-join side).
+      val pairs = Dedup.minhashNearDups(reps, "doc_id", "text")
+      val deduped = reps.join(
+        pairs.select(col("d2").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      // 4. Decontaminate vs the q57 synthetic benchmark set.
+      val bench = d.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat(col("text"), lit(" bb1 bb2")).as("text"))
+      val leaks = Corpus.contamination(deduped, bench, "doc_id", "text",
+        minShared = 5)
+      val clean = deduped.join(
+        leaks.select(col("corpus_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      // 5. Mix rates over the SURVIVING corpus (5 rows — broadcast by
+      //    construction), handed straight to the sampler's decision.
+      val rates = Corpus.mixRates(clean, "lang", TA.tokenCount(col("text")))
+      val sampled = clean
+        .withColumn("n_tokens", TA.tokenCount(col("text")))
+        .join(broadcast(rates.select(col("lang"), col("rate"))), Seq("lang"))
+        .filter(Corpus.hashUnit(col("doc_id"), "mix:") < col("rate"))
+      // 6. Pack the sampled stream into 256-token training sequences.
+      Corpus.packSequences(sampled, "doc_id", "lang", col("n_tokens"),
+        budget = 256)
+    },
+
     // Multimodal plumbing: opaque binary payloads through the batched
     // per-partition feature extractor (decode step is a deterministic
     // fake — byte-level features the oracle can mirror).
@@ -777,6 +829,97 @@ object LlmQueries {
         |  (CAST(octet_length(encode(text)) AS BIGINT) * 31
         |    + ord(substr(text, 1, 1))
         |    + ord(substr(text, length(text), 1))) % 9973 AS checksum
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // q60: the q56 → q32 → q33 → q57 → q58 → q52 → q54 oracle fragments
+    // chained in pipeline order. Float comparisons are each a single
+    // division of identical integers on both engines (quality thresholds,
+    // jaccard) or the q58-style rounded rate vs the exact md5 draw, so the
+    // composition stays hash-robust end to end.
+    "q60_curation_pipeline" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text,
+        |    string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |metrics AS (
+        |  SELECT doc_id, lang, text, tk, len(tk) AS n_tokens,
+        |    CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |      / len(tk) AS avg_len,
+        |    CAST(len(list_filter(tk, x -> list_contains(
+        |      ['the','a','an','of','and','to','in','is','it','on','for'], x)))
+        |      AS DOUBLE) / len(tk) AS sw,
+        |    1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g) AS rep
+        |  FROM (
+        |    SELECT doc_id, lang, text, tk, list_transform(
+        |      generate_series(1, CASE WHEN len(tk) = 0 THEN 0
+        |                            ELSE greatest(len(tk) - 1, 1) END),
+        |      i -> concat_ws(' ', tk[i], tk[i + 1])) AS g
+        |    FROM base)),
+        |quality AS (
+        |  SELECT doc_id, lang, text, tk, n_tokens FROM metrics
+        |  WHERE n_tokens BETWEEN 30 AND 100000
+        |    AND avg_len BETWEEN 3.5 AND 5.0 AND sw >= 0.03 AND rep <= 0.05),
+        |reps AS (
+        |  SELECT doc_id, lang, tk, n_tokens FROM (
+        |    SELECT doc_id, lang, tk, n_tokens,
+        |      min(doc_id) OVER (PARTITION BY fp) AS cid
+        |    FROM (
+        |      SELECT doc_id, lang, tk, n_tokens,
+        |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |      FROM quality))
+        |  WHERE doc_id = cid),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(tk[i.g:i.g+2], ' ') AS s
+        |  FROM reps,
+        |    LATERAL UNNEST(generate_series(1, greatest(len(tk)-2, 1))) AS i(g)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |neardrop AS (
+        |  SELECT DISTINCT d2 FROM (
+        |    SELECT i.d1, i.d2, CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) AS j
+        |    FROM inter i JOIN sizes na ON i.d1 = na.doc_id
+        |    JOIN sizes nb ON i.d2 = nb.doc_id)
+        |  WHERE j >= 0.8),
+        |dd AS (
+        |  SELECT doc_id, lang, n_tokens FROM reps
+        |  WHERE doc_id NOT IN (SELECT d2 FROM neardrop)),
+        |bench AS (
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |    string_split_regex(trim(text || ' bb1 bb2'), '\s+') AS tk
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |bs AS (
+        |  SELECT DISTINCT doc_id, array_to_string(tk[i.g:i.g+2], ' ') AS s
+        |  FROM bench,
+        |    LATERAL UNNEST(generate_series(1, greatest(len(tk)-2, 1))) AS i(g)),
+        |contaminated AS (
+        |  SELECT c.doc_id FROM sh c JOIN bs b ON c.s = b.s
+        |  WHERE c.doc_id IN (SELECT doc_id FROM dd)
+        |  GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 5),
+        |clean AS (
+        |  SELECT doc_id, lang, n_tokens FROM dd
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |rates AS (
+        |  SELECT lang, round(least(CAST(1.0 AS DOUBLE),
+        |    (SUM(stratum_tokens) OVER () *
+        |      (CAST(1.0 AS DOUBLE) / COUNT(*) OVER ())) / stratum_tokens), 6)
+        |    AS rate
+        |  FROM (SELECT lang, SUM(n_tokens) AS stratum_tokens
+        |        FROM clean GROUP BY 1)),
+        |sampled AS (
+        |  SELECT c.doc_id, c.lang, c.n_tokens
+        |  FROM clean c JOIN rates r ON c.lang = r.lang
+        |  WHERE CAST(list_reduce(list_transform(
+        |      string_split(substr(md5('mix:' || CAST(c.doc_id AS VARCHAR)), 1, 8), ''),
+        |      x -> CAST(strpos('0123456789abcdef', x) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0 < r.rate)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS seq_id
+        |FROM (
+        |  SELECT doc_id, lang, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM sampled)""".stripMargin
   )
 }
