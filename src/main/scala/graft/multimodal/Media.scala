@@ -38,10 +38,11 @@ object Media {
     StructField("checksum", LongType)))
 
   /** A decoder turns one batch of payloads into one batch of feature
-    * rows. Real implementations (JPEG decode → CNN features, audio →
-    * spectrogram, video → frame sample) plug in here.
+    * rows matching its `schema`. Real implementations (JPEG decode → CNN
+    * features, audio → spectrogram, video → frame sample) plug in here.
     */
   trait Decoder extends Serializable {
+    def schema: StructType = featureSchema
     def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row]
   }
 
@@ -60,6 +61,45 @@ object Media {
       payloads.map(features)
   }
 
+  /** REAL image decode via `javax.imageio` — the JDK ships PNG, BMP, GIF,
+    * JPEG and WBMP readers, so no external codecs are needed. Decodes true
+    * pixel dimensions plus a corner-pixel checksum through the exact same
+    * batched per-partition plumbing as [[FakeDecoder]]. Payloads ImageIO
+    * cannot read (unknown container, truncated file) fall back to the
+    * byte-level fake features with `decoded = false` — the honest
+    * no-codec path, kept per-row rather than per-job so one corrupt blob
+    * in 100 TB of media doesn't fail the task.
+    */
+  object ImageIoDecoder extends Decoder {
+    override val schema: StructType = StructType(Seq(
+      StructField("decoded", BooleanType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_bytes", IntegerType),
+      StructField("checksum", LongType)))
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row] = {
+      // In-memory decode: the default ImageIO path spills a temp file per
+      // image, which would thrash executor-local disk at batch scale.
+      javax.imageio.ImageIO.setUseCache(false)
+      payloads.map { b0 =>
+        val b = if (b0 == null) Array.emptyByteArray else b0
+        val img =
+          if (b.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+            catch { case _: java.io.IOException => null }
+        if (img == null) {
+          val f = FakeDecoder.features(b)
+          Row(false, 0, 0, f.getInt(0), f.getLong(3))
+        } else
+          Row(true, img.getWidth, img.getHeight, b.length,
+            (img.getRGB(0, 0).toLong & 0xFFFFFF) * 31 +
+              (img.getRGB(img.getWidth - 1, img.getHeight - 1).toLong
+                & 0xFFFFFF))
+      }
+    }
+  }
+
   /** Batched per-partition feature extraction over a PRUNED (key, payload)
     * projection — the `.rdd` hop materializes exactly two columns through
     * the Row encoder, so metadata columns never ride the Java heap and the
@@ -71,7 +111,7 @@ object Media {
                    batchSize: Int = 64): DataFrame = {
     val slim = df.select(col(keyCol), col("payload"))
     val outSchema = StructType(Seq(slim.schema.head,
-      StructField("features", featureSchema)))
+      StructField("features", decoder.schema)))
     val rdd = slim.rdd.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         val feats = decoder.decodeBatch(batch.map(_.getAs[Array[Byte]](1)))

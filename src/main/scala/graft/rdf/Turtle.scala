@@ -12,8 +12,9 @@ import org.apache.spark.sql.types._
   * `a`, IRIs, prefixed names, short and long (`"""…"""`/`'''…'''`)
   * string literals with `@lang` / `^^datatype`, `\uXXXX`/`\UXXXXXXXX`
   * escapes in literals and IRIs, numeric + boolean literals, `;`
-  * predicate and `,` object lists, and nested blank nodes `[ ... ]`.
-  * Not a general Turtle parser (no collections, no named blank nodes).
+  * predicate and `,` object lists, nested blank nodes `[ ... ]`, named
+  * blank nodes `_:label`, and collections `( ... )` (expanded to the
+  * standard rdf:first/rdf:rest/rdf:nil cons-list).
   */
 object Turtle {
 
@@ -163,19 +164,58 @@ object Turtle {
       } else Term(sb.toString, isIri = false)
     }
 
+    // Anonymous ids are `_:b<N>`; named labels from the document are kept
+    // verbatim, and the generator skips any `_:b<N>` the document has
+    // already used as a NAME so the two families can't merge. (A named
+    // `_:bN` appearing only after N anonymous allocations could still
+    // collide — documents mixing both conventions should not reuse the
+    // generator's namespace.)
+    private val namedLabels = collection.mutable.Set[String]()
+    private def freshBlank(): Term = {
+      blankCounter += 1
+      while (namedLabels(s"_:b$blankCounter")) blankCounter += 1
+      Term(s"_:b$blankCounter", isIri = true)
+    }
+
     private def blankNode(): Term = {
       expect('[')
-      blankCounter += 1
-      val id = Term(s"_:b$blankCounter", isIri = true)
+      val id = freshBlank()
       if (peek() != ']') predicateObjectList(id)
       expect(']')
       id
+    }
+
+    private val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+    /** Collection `( o1 o2 … )` → the standard cons-list: one fresh blank
+      * node per cell with rdf:first → item and rdf:rest → next cell (or
+      * rdf:nil); `()` is rdf:nil itself. The returned term is the head.
+      */
+    private def turtleCollection(): Term = {
+      expect('(')
+      val items = collection.mutable.ArrayBuffer[Term]()
+      while (peek() != ')') items += term()
+      expect(')')
+      if (items.isEmpty) Term(RDF + "nil", isIri = true)
+      else {
+        val cells = items.map(_ => freshBlank())
+        val first = Term(RDF + "first", isIri = true)
+        val rest = Term(RDF + "rest", isIri = true)
+        for (i <- items.indices) {
+          triples += ((cells(i), first, items(i)))
+          triples += ((cells(i), rest,
+            if (i == items.length - 1) Term(RDF + "nil", isIri = true)
+            else cells(i + 1)))
+        }
+        cells.head
+      }
     }
 
     private def term(): Term = peek() match {
       case '<' => Term(iriRef(), isIri = true)
       case '"' | '\'' => stringLit()
       case '[' => blankNode()
+      case '(' => turtleCollection()
       case c if c.isDigit || c == '-' || c == '+' =>
         val start = pos
         while (pos < input.length && (input(pos).isDigit ||
@@ -198,6 +238,8 @@ object Turtle {
         name match {
           case "a" => Term("http://www.w3.org/1999/02/22-rdf-syntax-ns#type", isIri = true)
           case "true" | "false" => Term(name, isIri = false, datatype = XSD + "boolean")
+          case n if n.startsWith("_:") =>
+            namedLabels += n; Term(n, isIri = true)
           case _ => pos = save; Term(pname(), isIri = true)
         }
     }

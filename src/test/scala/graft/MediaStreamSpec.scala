@@ -32,6 +32,35 @@ class MediaStreamSpec extends SparkSpec {
     assert(r.getInt(0) == 3 && r.getInt(1) == 'x'.toInt && r.getInt(2) == 'x'.toInt)
   }
 
+  test("multimodal: ImageIO decoder reads real PNG dimensions end-to-end") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xFF0000)
+      img.setRGB(w - 1, h - 1, 0x0000FF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq((1L, png(17, 9)), (2L, "not an image".getBytes("UTF-8")),
+      (3L, Array.emptyByteArray)).toDF("doc_id", "payload")
+    val out = Media.featureTable(df, "doc_id", Media.ImageIoDecoder)
+      .select(col("doc_id"), col("features.*")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // A real PNG byte payload decodes to its true pixel dimensions and
+    // corner-pixel checksum.
+    assert(out(1L).getAs[Boolean]("decoded"))
+    assert(out(1L).getAs[Int]("width") == 17)
+    assert(out(1L).getAs[Int]("height") == 9)
+    assert(out(1L).getAs[Long]("checksum") == 0xFF0000L * 31 + 0x0000FFL)
+    // Non-image and empty payloads take the byte-level fallback, flagged.
+    assert(!out(2L).getAs[Boolean]("decoded"))
+    assert(out(2L).getAs[Int]("n_bytes") == 12)
+    assert(!out(3L).getAs[Boolean]("decoded"))
+    assert(out(3L).getAs[Int]("n_bytes") == 0)
+  }
+
   test("multimodal: frame sampling explodes deterministic byte windows") {
     import spark.implicits._
     val df = Seq((1L, Array.range(0, 200).map(_.toByte))).toDF("id", "payload")

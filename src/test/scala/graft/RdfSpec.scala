@@ -190,6 +190,50 @@ class RdfSpec extends SparkSpec {
     assert(rows.last.getString(0) == "urn:café") // UCHAR in IRI
   }
 
+  test("turtle: named blank nodes keep identity across statements") {
+    val rows = graft.rdf.Turtle.parseTriples(
+      """@prefix ex: <http://ex.org/> .
+        |_:x ex:p "v1" .
+        |ex:s ex:q _:x .
+        |ex:s ex:r [ ex:p "anon" ] .
+        |""".stripMargin)
+    val subj = rows.map(_.getString(0))
+    val objByP = rows.map(r => r.getString(1) -> r.getString(2)).toMap
+    // The named node is the same term as subject and as object.
+    assert(subj.contains("_:x"))
+    assert(objByP("http://ex.org/q") == "_:x")
+    // The anonymous node gets a generated id distinct from the named one.
+    val anon = objByP("http://ex.org/r")
+    assert(anon.startsWith("_:b") && anon != "_:x")
+    assert(rows.exists(r => r.getString(0) == anon &&
+      r.getString(2) == "anon"))
+  }
+
+  test("turtle: collections expand to rdf:first/rest cons-lists") {
+    val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val rows = graft.rdf.Turtle.parseTriples(
+      """@prefix ex: <http://ex.org/> .
+        |ex:s ex:list ( "a" ( ex:n 2 ) ) ; ex:empty ( ) .
+        |""".stripMargin)
+    val byPS = rows.groupBy(_.getString(1))
+    // Empty collection is rdf:nil itself.
+    assert(byPS("http://ex.org/empty").head.getString(2) == rdf + "nil")
+    // Walk the outer list from its head: "a", then the nested list head.
+    val head = byPS("http://ex.org/list").head.getString(2)
+    def firstOf(cell: String) = rows.find(r =>
+      r.getString(0) == cell && r.getString(1) == rdf + "first").get.getString(2)
+    def restOf(cell: String) = rows.find(r =>
+      r.getString(0) == cell && r.getString(1) == rdf + "rest").get.getString(2)
+    assert(firstOf(head) == "a")
+    val cell2 = restOf(head)
+    val nestedHead = firstOf(cell2)
+    assert(restOf(cell2) == rdf + "nil")
+    // Nested list: (ex:n 2) → two cells, IRI then integer literal.
+    assert(firstOf(nestedHead) == "http://ex.org/n")
+    val nested2 = restOf(nestedHead)
+    assert(firstOf(nested2) == "2" && restOf(nested2) == rdf + "nil")
+  }
+
   test("derived graph has no crossJoin and broadcasts the geo side in q16") {
     val q = graft.operators.RdfQueries.queries("q16_property_path")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
