@@ -404,6 +404,52 @@ object Dedup {
       .select(col("_v").as(idCol), col("_m").as("component_id"))
   }
 
+  /** Line-level duplication statistics (the CCNet/RefinedWeb signal:
+    * boilerplate lines — cookie banners, nav menus, license footers —
+    * repeat across a corpus while real content doesn't). Returns one row
+    * per document: (idCol, n_lines, n_dup_lines, dup_frac) where a line
+    * instance counts as duplicated iff its text occurs in at least
+    * `minDocs` DISTINCT documents.
+    *
+    * The line unit is consecutive non-overlapping `unitTokens`-token
+    * chunks — the deterministic stand-in for newline/sentence splitting
+    * on corpora (like the test tables) whose text carries no line
+    * structure; swap the chunker for a `split(text, '\n')` on real data,
+    * the rest of the pipeline is unit-agnostic.
+    *
+    * Scale shape: explode to line rows, ONE distinct + count aggregation
+    * keyed by line text (map-side combined) to find corpus-wide
+    * duplicated lines, a semi-join back (line side is the aggregation
+    * output — duplicated lines only, far smaller than the corpus), and
+    * per-doc counts. No all-pairs anything; hot-path cost is ~2 keyed
+    * shuffles of (id, line-hash)-sized rows.
+    */
+  def lineDupStats(docs: DataFrame, idCol: String, textCol: String,
+                   unitTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val chunks = transform(
+      sequence(lit(0), greatest(
+        ceil(size(toks).cast("double") / unitTokens).cast("int") - 1, lit(0))),
+      i => concat_ws(" ", slice(toks, i * unitTokens + 1, lit(unitTokens))))
+    val lines = docs
+      .select(col(idCol).as("_id"), explode(chunks).as("_line"))
+      .filter(col("_line") =!= "")
+    // Lines duplicated across >= minDocs distinct docs. Hash the line
+    // text once so the wide string doesn't ride every shuffle.
+    val hashed = lines.select(col("_id"), xxhash64(col("_line")).as("_lh"))
+    val dup = hashed.distinct()
+      .groupBy(col("_lh")).agg(count(lit(1)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+    val totals = hashed.groupBy(col("_id")).agg(count(lit(1)).as("n_lines"))
+    val dups = hashed.join(dup.select(col("_lh")), Seq("_lh"), "left_semi")
+      .groupBy(col("_id")).agg(count(lit(1)).as("n_dup_lines"))
+    totals.join(dups, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("n_lines"),
+        coalesce(col("n_dup_lines"), lit(0L)).as("n_dup_lines"),
+        (coalesce(col("n_dup_lines"), lit(0L)).cast("double") /
+          col("n_lines")).as("dup_frac"))
+  }
+
   /** Exact-duplicate grouping on the normalized-text fingerprint: adds
     * (fp, group_size, canonical_id) — canonical = min id per group. One
     * shuffle (window on fp).

@@ -236,6 +236,62 @@ object Similarity {
     rerank(probed, lists, k)
   }
 
+  /** Distributed Lloyd k-means over the embedding column — the clustering
+    * step behind diversity-aware curation (cluster-balanced sampling,
+    * SemDeDup-style semantic grouping). Output: (idCol, cluster) — the
+    * final nearest-centroid assignment after `iters` update rounds, with
+    * cluster ids = the seed vectors' ids (stable across rounds).
+    *
+    * Determinism across engines (what makes this oracle-verifiable where
+    * textbook k-means is not): seeds are id-sampled (every
+    * `centroidEvery`-th id, same device as IVF), distances are the exact
+    * double chain dot(v,v) − 2·dot(v,c) + dot(c,c) with a smaller-id
+    * tie-break, and each recomputed per-dimension mean is ROUNDED to 6
+    * decimals — float summation order differs between engines (and
+    * between cluster layouts), but a last-ulp difference cannot survive
+    * the rounding, so every round's centroid table is bit-identical
+    * everywhere.
+    *
+    * Scale shape per round: assignment is map-only against the BROADCAST
+    * centroid table (k·dim doubles — ~400 KB at k=781, d=64); the update
+    * is one posexplode + groupBy(cluster, dim) average with map-side
+    * combine — corpus crosses the wire once per round as (cluster, pos,
+    * val) triples, and nothing ever all-pairs joins.
+    */
+  def kMeans(corpus: DataFrame, idCol: String, vecCol: String,
+             centroidEvery: Int = 64, iters: Int = 2): DataFrame = {
+    graft.functions.NativeExpressions.register(corpus.sparkSession)
+    val vecs = corpus.select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+    // Seed centroids: id-sampled, coordinates cast (not rounded — the
+    // raw floats are exact in both engines).
+    var centroids = vecs.filter(col("_vid") % centroidEvery === 0)
+      .select(col("_vid").as("_cid"),
+        transform(col("_v"), x => x.cast("double")).as("_cv"))
+    def assign(cs: DataFrame): DataFrame = vecs
+      .join(broadcast(cs))
+      .withColumn("_d",
+        dot(col("_v"), col("_v")) - lit(2.0) * dot(col("_v"), col("_cv"))
+          + dot(col("_cv"), col("_cv")))
+      .groupBy(col("_vid"))
+      // argmin distance, smaller cid on ties: max of (-d, -cid).
+      .agg((-max(struct(-col("_d"), -col("_cid"))).getField("col2"))
+        .as("_cid"))
+    for (_ <- 0 until iters) {
+      val assigned = assign(centroids)
+      centroids = assigned.join(vecs, Seq("_vid"))
+        .select(col("_cid"), posexplode(col("_v")).as(Seq("_pos", "_x")))
+        .groupBy(col("_cid"), col("_pos"))
+        .agg(round(avg(col("_x").cast("double")), 6).as("_m"))
+        .groupBy(col("_cid"))
+        .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_m")))),
+          s => s.getField("_m")).as("_cv"))
+        // k rows — materialize so each round's broadcast doesn't re-run
+        // the whole lineage of every previous round.
+        .localCheckpoint(true)
+    }
+    assign(centroids).select(col("_vid").as(idCol), col("_cid").as("cluster"))
+  }
+
   /** LSH-bucketed ANN: same-bucket candidates from L tables, union,
     * exact cosine rerank to top-k. Output: (qid, rank, neighbor_id, sim).
     */

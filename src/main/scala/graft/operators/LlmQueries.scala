@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -312,6 +313,39 @@ object LlmQueries {
       // 6. Pack the sampled stream into 256-token training sequences.
       Corpus.packSequences(sampled, "doc_id", "lang", col("n_tokens"),
         budget = 256)
+    },
+
+    // Line-level dedup stats (CCNet/RefinedWeb boilerplate signal):
+    // per-doc fraction of line units occurring in >= 2 distinct docs.
+    // The corpus has no repeated units, so an 8-token boilerplate banner
+    // is PREPENDED to every 5th doc (prepending keeps it unit-aligned) —
+    // those docs then share exactly one duplicated line.
+    "q61_line_dedup" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("cookie policy accept terms privacy notice all rights "),
+            col("text"))).otherwise(col("text")).as("text"))
+      Dedup.lineDupStats(d, "doc_id", "text")
+    },
+
+    // Distributed Lloyd k-means over embeddings (2 rounds, id-sampled
+    // seeds, 6-decimal-rounded centroid updates — see Similarity.kMeans
+    // for why that makes textbook k-means oracle-verifiable).
+    "q62_kmeans" -> { (s, dir) =>
+      Similarity.kMeans(t(s, dir, "embeddings"), "vec_id", "embedding",
+        centroidEvery = 64, iters = 2)
+    },
+
+    // Per-source quality ranking: top-5 docs per source by the q30
+    // composite quality score — the domain-level curation cap
+    // (keep-best-N-per-domain). One window per source partition; the
+    // float score is order-only (excluded from output, q35 discipline).
+    "q63_source_topk" -> { (s, dir) =>
+      val w = Window.partitionBy(col("source"))
+        .orderBy(TA.qualityScore(col("text")).desc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), row_number().over(w).as("rank"))
+        .filter(col("rank") <= 5)
     },
 
     // Multimodal plumbing: opaque binary payloads through the batched
@@ -830,6 +864,88 @@ object LlmQueries {
         |    + ord(substr(text, 1, 1))
         |    + ord(substr(text, length(text), 1))) % 9973 AS checksum
         |FROM documents""".stripMargin,
+    // q61: the chunk derivation mirrored (slice bounds inclusive in
+    // DuckDB: tk[u*8+1 : u*8+8] is the same 8-token window as Spark's
+    // slice(toks, u*8+1, 8)); duplicated = line text in >= 2 distinct
+    // docs; dup_frac is one integer division.
+    "q61_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN 'cookie policy accept terms privacy notice all rights ' || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |tks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM d),
+        |lines AS (
+        |  SELECT doc_id,
+        |    array_to_string(tk[(i.u*8+1):(i.u*8+8)], ' ') AS line
+        |  FROM tks, LATERAL UNNEST(generate_series(0,
+        |    greatest(CAST(ceil(len(tk) / 8.0) AS INT) - 1, 0))) AS i(u)
+        |  WHERE array_to_string(tk[(i.u*8+1):(i.u*8+8)], ' ') != ''),
+        |dup AS (
+        |  SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+        |  GROUP BY line HAVING count(*) >= 2),
+        |totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1),
+        |dups AS (
+        |  SELECT doc_id, count(*) AS n_dup_lines FROM lines
+        |  WHERE line IN (SELECT line FROM dup) GROUP BY 1)
+        |SELECT t.doc_id, t.n_lines,
+        |  COALESCE(p.n_dup_lines, 0) AS n_dup_lines,
+        |  CAST(COALESCE(p.n_dup_lines, 0) AS DOUBLE) / t.n_lines AS dup_frac
+        |FROM totals t LEFT JOIN dups p USING (doc_id)""".stripMargin,
+    // q62: both Lloyd rounds unrolled — same id-sampled seeds, the same
+    // double distance chain dot(v,v) - 2*dot(v,c) + dot(c,c) with the
+    // smaller-cid tie-break, and 6-decimal-rounded per-dimension means
+    // (summation-order differences cannot survive the rounding).
+    "q62_kmeans" -> {
+      def assignSql(cTable: String, name: String): String =
+        s"""$name AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        (list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+           |         - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+           |         + list_dot_product(c.cv, c.cv)) ASC, c.cid ASC) AS rn
+           |    FROM embeddings e, $cTable c) WHERE rn = 1)""".stripMargin
+      def updateSql(aTable: String, name: String): String =
+        s"""$name AS (
+           |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+           |    SELECT a.cid, g.pos,
+           |      round(avg(CAST(e.embedding[g.pos] AS DOUBLE)), 6) AS m
+           |    FROM $aTable a JOIN embeddings e USING (vec_id),
+           |      LATERAL UNNEST(generate_series(1, 64)) AS g(pos)
+           |    GROUP BY a.cid, g.pos)
+           |  GROUP BY cid)""".stripMargin
+      s"""WITH c0 AS (
+         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id % 64 = 0),
+         |${assignSql("c0", "a0")},
+         |${updateSql("a0", "c1")},
+         |${assignSql("c1", "a1")},
+         |${updateSql("a1", "c2")},
+         |${assignSql("c2", "a2")}
+         |SELECT vec_id, cid AS cluster FROM a2""".stripMargin
+    },
+    // q63: the q30 quality formula (bit-identical in both engines — the
+    // q30 hash gate proves it) used as an ORDER key only.
+    "q63_source_topk" ->
+      s"""SELECT source, doc_id, rank FROM (
+         |  SELECT source, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC)
+         |      AS rank
+         |  FROM (
+         |    SELECT source, doc_id,
+         |      least(1.0,
+         |        0.5 * (CAST(s_en AS DOUBLE) / n_tokens)
+         |        + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |        + 0.2 * least((CAST(n_chars_nospace AS DOUBLE) / n_tokens) / 10.0, 1.0)
+         |      ) AS q
+         |    FROM (
+         |      SELECT source, doc_id, len(tk) AS n_tokens,
+         |        length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_chars_nospace,
+         |        ${profileSql(swList("en"))} AS s_en
+         |      FROM (SELECT source, doc_id, text, $tokSql AS tk FROM documents))))
+         |WHERE rank <= 5""".stripMargin,
     // q60: the q56 → q32 → q33 → q57 → q58 → q52 → q54 oracle fragments
     // chained in pipeline order. Float comparisons are each a single
     // division of identical integers on both engines (quality thresholds,

@@ -316,6 +316,40 @@ class LlmSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("line dedup: planted boilerplate unit found, clean docs at zero") {
+    import spark.implicits._
+    val banner = "b1 b2 b3 b4" // one full 4-token unit when prepended
+    val df = Seq(
+      (1L, s"$banner w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, s"$banner x1 x2 x3 x4"),
+      (3L, "y1 y2 y3 y4 y5 y6")).toDF("doc_id", "text")
+    val out = Dedup.lineDupStats(df, "doc_id", "text", unitTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_dup_lines"))).toMap
+    // doc1: banner + 2 content units; doc2: banner + 1; doc3: 2 units
+    // (y5 y6 is a short tail unit), none duplicated.
+    assert(out(1L) == (3L, 1L), s"got ${out(1L)}")
+    assert(out(2L) == (2L, 1L))
+    assert(out(3L) == (2L, 0L))
+  }
+
+  test("kmeans: identical vectors co-cluster; assignment is deterministic") {
+    val e = graft.Tables.t(spark, sf, "embeddings")
+    val out = Similarity.kMeans(e, "vec_id", "embedding",
+      centroidEvery = 64, iters = 2)
+    val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size == e.count())
+    // Cluster ids come from the seed id namespace.
+    assert(m.values.toSet.forall(_ % 64 == 0))
+    // A seed vector is distance-0 from its own initial centroid; after
+    // convergence-free 2 rounds it can move, but every assignment must be
+    // reproducible run-to-run (the oracle depends on it).
+    val again = Similarity.kMeans(e, "vec_id", "embedding",
+      centroidEvery = 64, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == m, "k-means assignment not deterministic across runs")
+  }
+
   test("repetition: raw windows count duplicates, distinct shingles don't") {
     import spark.implicits._
     val df = Seq((1L, "a b a b a"), (2L, "a b c d e")).toDF("id", "text")

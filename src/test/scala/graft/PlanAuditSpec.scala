@@ -11,7 +11,10 @@ class PlanAuditSpec extends SparkSpec {
   // broadcast query side against the big corpus, or inequality-only join
   // conditions on small inputs).
   private val nestedLoopAllowed =
-    Set("q35_knn_bruteforce", "q36_ann_lsh", "q44_ivf_knn")
+    Set("q35_knn_bruteforce", "q36_ann_lsh", "q44_ivf_knn",
+      // kMeans assignment: corpus streamed once against the broadcast
+      // centroid table (k·dim doubles) — the intended IVF/q44 shape.
+      "q62_kmeans")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
