@@ -292,6 +292,71 @@ object Similarity {
     assign(centroids).select(col("_vid").as(idCol), col("_cid").as("cluster"))
   }
 
+  /** SemDeDup-style semantic deduplication: cluster the corpus with
+    * [[kMeans]], then within each cluster mark as redundant every vector
+    * whose cosine to a SMALLER-id cluster-mate reaches `threshold`.
+    * Output: (idCol, cluster, keep) — "keep one representative per
+    * semantic duplicate group, scoped to clusters".
+    *
+    * The clustering is the scale device: pairwise comparison happens only
+    * INSIDE a cluster (join keyed on the cluster id), so the quadratic
+    * term is Σ cluster-size² instead of corpus² — and because the seed
+    * count scales with the corpus (every `centroidEvery`-th id), expected
+    * cluster size stays ~`centroidEvery` as the corpus grows. Identical
+    * vectors always share a cluster (identical distance chains, same
+    * argmin), so exact-duplicate recall is 1; near-duplicate recall is
+    * clipped at cluster boundaries — the standard SemDeDup trade-off.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroidEvery: Int = 64, iters: Int = 1,
+                    threshold: Double = 0.99): DataFrame = {
+    graft.functions.NativeExpressions.register(corpus.sparkSession)
+    // Assignments feed both sides of the pair join plus the output —
+    // materialize once rather than re-running the kMeans rounds per use.
+    val clusters = kMeans(corpus, idCol, vecCol, centroidEvery, iters)
+      .localCheckpoint(true)
+    val members = corpus
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        norm(col(vecCol)).as("_nm"))
+      .join(clusters.select(col(idCol).as("_id"), col("cluster")), Seq("_id"))
+    val redundant = members.as("a")
+      .join(members.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a._id") < col("b._id"))
+      .filter(dot(col("a._v"), col("b._v")) /
+        (col("a._nm") * col("b._nm")) >= threshold)
+      .select(col("b._id").as("_id")).distinct()
+    clusters.join(redundant.withColumn("_drop", lit(true))
+        .withColumnRenamed("_id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(!col("_drop"), lit(true)).as("keep"))
+  }
+
+  /** Global per-dimension INT8 scalar quantization — the embedding
+    * storage/bandwidth scale path (4× smaller than float32 before any
+    * product quantization): q = clamp(floor((x − min_d) · 255 / (max_d −
+    * min_d))), with the per-dimension ranges computed corpus-wide. Output
+    * is long form (idCol, pos, q) — integers, so cross-engine exact.
+    *
+    * Shape: one posexplode + (pos)-keyed min/max aggregate (map-side
+    * combined, `dim` result rows), broadcast back over the exploded
+    * corpus — map-only quantization, no corpus-sized shuffle. At 100 TB
+    * the ranges table is computed once and reused for every batch.
+    */
+  def scalarQuantize(corpus: DataFrame, idCol: String,
+                     vecCol: String): DataFrame = {
+    val expl = corpus.select(col(idCol),
+        posexplode(col(vecCol)).as(Seq("pos", "_x")))
+      .withColumn("_x", col("_x").cast("double"))
+    val ranges = expl.groupBy(col("pos"))
+      .agg(min(col("_x")).as("_mn"), max(col("_x")).as("_mx"))
+    expl.join(broadcast(ranges), Seq("pos"))
+      .select(col(idCol), col("pos"),
+        when(col("_mx") === col("_mn"), lit(0))
+          .otherwise(least(lit(255), floor((col("_x") - col("_mn")) *
+            lit(255.0) / (col("_mx") - col("_mn"))).cast("int")))
+          .as("q"))
+  }
+
   /** LSH-bucketed ANN: same-bucket candidates from L tables, union,
     * exact cosine rerank to top-k. Output: (qid, rank, neighbor_id, sim).
     */

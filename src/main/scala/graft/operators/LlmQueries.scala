@@ -348,6 +348,25 @@ object LlmQueries {
         .filter(col("rank") <= 5)
     },
 
+    // SemDeDup: k-means clusters scope the pairwise cosine check, copies
+    // of every 25th vector (q42's injection) plant true semantic dups.
+    // keep=false exactly for the larger id of each >= 0.99 within-cluster
+    // pair.
+    "q64_semdedup" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val dups = e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Similarity.semanticDedup(e.unionByName(dups), "vec_id", "embedding",
+        centroidEvery = 64, iters = 1, threshold = 0.99)
+    },
+
+    // Global per-dimension int8 scalar quantization (4x embedding
+    // compression) — integer output, corpus-wide ranges, map-only apply.
+    "q65_scalar_quantize" -> { (s, dir) =>
+      Similarity.scalarQuantize(t(s, dir, "embeddings"), "vec_id",
+        "embedding")
+    },
+
     // Multimodal plumbing: opaque binary payloads through the batched
     // per-partition feature extractor (decode step is a deterministic
     // fake — byte-level features the oracle can mirror).
@@ -946,6 +965,70 @@ object LlmQueries {
          |        ${profileSql(swList("en"))} AS s_en
          |      FROM (SELECT source, doc_id, text, $tokSql AS tk FROM documents))))
          |WHERE rank <= 5""".stripMargin,
+    // q64: the q62 kMeans oracle (1 round) over the dup-injected corpus,
+    // then within-cluster pairwise cosine (q42's double-cast discipline)
+    // and the smaller-id-wins keep flag.
+    "q64_semdedup" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings
+        |  WHERE vec_id % 25 = 0),
+        |c0 AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM emb WHERE vec_id % 64 = 0),
+        |a0 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |        (list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+        |         - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+        |         + list_dot_product(c.cv, c.cv)) ASC, c.cid ASC) AS rn
+        |    FROM emb e, c0 c) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT a.cid, g.pos,
+        |      round(avg(CAST(e.embedding[g.pos] AS DOUBLE)), 6) AS m
+        |    FROM a0 a JOIN emb e USING (vec_id),
+        |      LATERAL UNNEST(generate_series(1, 64)) AS g(pos)
+        |    GROUP BY a.cid, g.pos)
+        |  GROUP BY cid),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |        (list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+        |         - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+        |         + list_dot_product(c.cv, c.cv)) ASC, c.cid ASC) AS rn
+        |    FROM emb e, c1 c) WHERE rn = 1),
+        |mem AS (
+        |  SELECT a.vec_id, a.cid AS cluster,
+        |    CAST(e.embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[]))) AS nm
+        |  FROM a1 a JOIN emb e USING (vec_id)),
+        |red AS (
+        |  SELECT DISTINCT b.vec_id FROM mem a JOIN mem b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.99)
+        |SELECT m.vec_id, m.cluster, (r.vec_id IS NULL) AS keep
+        |FROM mem m LEFT JOIN red r ON m.vec_id = r.vec_id""".stripMargin,
+    // q65: per-dimension global ranges, then the identical floor chain;
+    // pos is 0-based to match Spark's posexplode.
+    "q65_scalar_quantize" ->
+      """WITH expl AS (
+        |  SELECT vec_id, g.pos - 1 AS pos,
+        |    CAST(embedding[g.pos] AS DOUBLE) AS x
+        |  FROM embeddings,
+        |    LATERAL UNNEST(generate_series(1, 64)) AS g(pos)),
+        |ranges AS (
+        |  SELECT pos, min(x) AS mn, max(x) AS mx FROM expl GROUP BY 1)
+        |SELECT e.vec_id, e.pos,
+        |  CASE WHEN r.mx = r.mn THEN 0
+        |    ELSE least(255,
+        |      CAST(floor((e.x - r.mn) * 255.0 / (r.mx - r.mn)) AS INT))
+        |  END AS q
+        |FROM expl e JOIN ranges r USING (pos)""".stripMargin,
     // q60: the q56 → q32 → q33 → q57 → q58 → q52 → q54 oracle fragments
     // chained in pipeline order. Float comparisons are each a single
     // division of identical integers on both engines (quality thresholds,

@@ -14,7 +14,9 @@ class PlanAuditSpec extends SparkSpec {
     Set("q35_knn_bruteforce", "q36_ann_lsh", "q44_ivf_knn",
       // kMeans assignment: corpus streamed once against the broadcast
       // centroid table (k·dim doubles) — the intended IVF/q44 shape.
-      "q62_kmeans")
+      // q64 embeds the same kMeans rounds before its cluster-keyed
+      // equi-join.
+      "q62_kmeans", "q64_semdedup")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
