@@ -284,10 +284,14 @@ object LlmQueries {
           maxTokens = 100000, minAvgLen = 3.5, maxAvgLen = 5.0,
           minStopword = 0.03, maxRepetition = 0.05))
         .filter(col("_f.keep")).drop("_f")
-      // 2. Exact dedup: keep canonical representatives.
+      // 2. Exact dedup: keep canonical representatives. Materialized:
+      //    the quality+window lineage otherwise re-executes inside the
+      //    near-dup signatures, the anti-join, the decontamination
+      //    shingles, and both rate/sample consumers downstream.
       val reps = Dedup.exactDups(quality, "doc_id", "text")
         .filter(col("doc_id") === col("canonical_id"))
         .select(col("doc_id"), col("lang"), col("text"))
+        .localCheckpoint(true)
       // 3. Near-dup removal: drop the larger id of every verified pair
       //    (pair set is small → AQE broadcasts the anti-join side).
       val pairs = Dedup.minhashNearDups(reps, "doc_id", "text")
@@ -300,9 +304,12 @@ object LlmQueries {
           concat(col("text"), lit(" bb1 bb2")).as("text"))
       val leaks = Corpus.contamination(deduped, bench, "doc_id", "text",
         minShared = 5)
+      //    Materialized: the decontamination join would otherwise re-run
+      //    for each of the two consumers below (rates and the sampler).
       val clean = deduped.join(
         leaks.select(col("corpus_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
       // 5. Mix rates over the SURVIVING corpus (5 rows — broadcast by
       //    construction), handed straight to the sampler's decision.
       val rates = Corpus.mixRates(clean, "lang", TA.tokenCount(col("text")))
