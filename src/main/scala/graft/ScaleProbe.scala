@@ -46,8 +46,31 @@ object ScaleProbe {
       col("l_orderkey") + i.toLong * 100000000L))
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
 
+    // Embeddings replica: per-replica SIGN-FLIP isometry (dimension j
+    // negated iff bit j of a replica-specific pattern is set) — the
+    // vector-space analogue of the token renaming: norms and all
+    // within-replica angles are exactly preserved, while cross-replica
+    // cosines decorrelate, so cluster structure scales instead of every
+    // vector gaining 9 semantic duplicates.
+    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+    replicate(emb, (d, i) => {
+      val pattern = i * 0x9E3779B9L // golden-ratio bit mixing per replica
+      val signs = array((0 until 64).map(j =>
+        lit(if (((pattern >> (j % 32)) & 1L) == 1L) -1.0f else 1.0f)): _*)
+      d.select(
+        (col("vec_id") + i.toLong * 10000000L).as("vec_id"),
+        zip_with(col("embedding"), signs, (x, s) => x * s).as("embedding"),
+        col("label"))
+    }).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // q60 (the composed pipeline) is deliberately NOT probed: its quality
+    // gate measures real token lengths and English stopwords, which no
+    // content-preserving replica survives (the token renaming lengthens
+    // every token → the gate empties the corpus and the "probe" times an
+    // empty pipeline). Its stages are probed individually instead.
     val probes = Seq("q33_minhash_neardup", "q37_cube_observations",
-      "q43_cube_full_kinds", "q51_simhash_neardup", "q55_dedup_components")
+      "q43_cube_full_kinds", "q51_simhash_neardup", "q55_dedup_components",
+      "q61_line_dedup", "q62_kmeans", "q64_semdedup")
     // warmup (codegen) at the small scale, unrecorded
     probes.foreach(q =>
       SparkEntry.queries(q)(spark, sf01).write.format("noop")

@@ -355,6 +355,34 @@ object LlmQueries {
         .filter(col("rank") <= 5)
     },
 
+    // Vocabulary induction: corpus-wide top-100 bigrams with total-order
+    // tie-break (count desc, gram asc) — the first step of any
+    // merge-based tokenizer build. One map-side-combined count; the
+    // global top-k is a TakeOrdered, and the rank window runs over the
+    // 100 survivors only.
+    "q66_vocab_topk" -> { (s, dir) =>
+      val counts = t(s, dir, "documents")
+        .select(explode(TA.ngrams(TA.tokens(col("text")), 2)).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      counts.orderBy(col("cnt").desc, col("gram").asc).limit(100)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("gram").asc)))
+    },
+
+    // Sketch cardinalities: per-language HLL++ distinct-fingerprint
+    // estimate next to the exact count — at 100 TB the sketch is the
+    // affordable first pass (no distinct shuffle; sketches merge
+    // map-side). No DuckDB oracle (HLL internals differ by engine):
+    // rows-only gate here, the error bound is asserted in LlmSpec.
+    "q67_sketch_cardinality" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("lang"), TA.fingerprint(col("text")).as("fp"))
+      d.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("fp")).as("approx_distinct"),
+        countDistinct(col("fp")).as("exact_distinct"))
+    },
+
     // SemDeDup: k-means clusters scope the pairwise cosine check, copies
     // of every 25th vector (q42's injection) plant true semantic dups.
     // keep=false exactly for the larger id of each >= 0.99 within-cluster
@@ -972,6 +1000,24 @@ object LlmQueries {
          |        ${profileSql(swList("en"))} AS s_en
          |      FROM (SELECT source, doc_id, text, $tokSql AS tk FROM documents))))
          |WHERE rank <= 5""".stripMargin,
+    // q66: q53's bigram-window fragment (duplicates kept, sub-2-token
+    // docs keep one short window), exact counts, total-order top-100.
+    "q66_vocab_topk" ->
+      """WITH g AS (
+        |  SELECT unnest(list_transform(
+        |    generate_series(1, CASE WHEN len(tk) = 0 THEN 0
+        |                          ELSE greatest(len(tk) - 1, 1) END),
+        |    i -> concat_ws(' ', tk[i], tk[i + 1]))) AS gram
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS tk
+        |        FROM documents)),
+        |c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1)
+        |SELECT gram, cnt, rank FROM (
+        |  SELECT gram, cnt,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, gram ASC) AS rank
+        |  FROM c) WHERE rank <= 100""".stripMargin,
+    // q67: intentionally NO oracle — approx_count_distinct is HLL++ with
+    // engine-specific internals; the driver's weaker rows-only gate
+    // applies, and LlmSpec asserts the estimate's error bound vs exact.
     // q64: the q62 kMeans oracle (1 round) over the dup-injected corpus,
     // then within-cluster pairwise cosine (q42's double-cast discipline)
     // and the smaller-id-wins keep flag.

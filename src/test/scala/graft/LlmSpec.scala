@@ -350,6 +350,19 @@ class LlmSpec extends SparkSpec {
     assert(again == m, "k-means assignment not deterministic across runs")
   }
 
+  test("sketch cardinality: HLL estimate within documented error of exact") {
+    val out = LlmQueries.queries("q67_sketch_cardinality")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      val approx = r.getAs[Long]("approx_distinct").toDouble
+      // approx_count_distinct default rsd is 5%; 3x headroom for small
+      // cardinalities where the bound is probabilistic.
+      assert(math.abs(approx - exact) <= math.max(3, 0.15 * exact),
+        s"HLL estimate $approx too far from exact $exact for ${r.getString(0)}")
+    }
+  }
+
   test("repetition: raw windows count duplicates, distinct shingles don't") {
     import spark.implicits._
     val df = Seq((1L, "a b a b a"), (2L, "a b c d e")).toDF("id", "text")
