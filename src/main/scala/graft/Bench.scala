@@ -45,12 +45,15 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => args.isEmpty || args.exists(n.contains))
     val results = names.map(n => n -> (1 to runs).map(_ => run(n)).min)
-    // Millisecond precision keeps the whole line well under the driver's
-    // 2000-char tail-capture window (full 9-decimal doubles overflowed it at
-    // 59 queries, zeroing the round-7 bench record); ms is far above this
-    // box's noise floor anyway.
+    // Short fixed precision keeps the whole line well under the driver's
+    // 2000-char tail-capture window (full 9-decimal doubles overflowed it
+    // at 59 queries, zeroing the round-7 bench record). 10 ms per-query
+    // precision is far above this box's noise floor; at ~29 chars per
+    // query the map fits ~66 queries per 2000 chars, so per-query times
+    // use %.2f (~28 chars) to keep adding queries safe.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    def fq(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fq(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // runs is part of the record: each value is a min-of-`runs`, and
