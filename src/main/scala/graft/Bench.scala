@@ -45,20 +45,28 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => args.isEmpty || args.exists(n.contains))
     val results = names.map(n => n -> (1 to runs).map(_ => run(n)).min)
-    // Short fixed precision keeps the whole line well under the driver's
-    // 2000-char tail-capture window (full 9-decimal doubles overflowed it
-    // at 59 queries, zeroing the round-7 bench record). 10 ms per-query
-    // precision is far above this box's noise floor; at ~29 chars per
-    // query the map fits ~66 queries per 2000 chars, so per-query times
-    // use %.2f (~28 chars) to keep adding queries safe.
-    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def fq(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fq(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    def fmt(d: Int)(v: Double): String =
+      s"%.${d}f".formatLocal(java.util.Locale.ROOT, v)
     // runs is part of the record: each value is a min-of-`runs`, and
     // cross-round comparisons are only apples-to-apples at equal runs.
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    def jsonLine(q: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + q(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(3)(total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    // The driver parses this line out of a 2000-char output tail — full
+    // 9-decimal doubles overflowed it at 59 queries and silently zeroed
+    // the round-7 bench record. Per-query precision degrades adaptively
+    // (10 ms, then 100 ms — both far above this box's noise floor) to
+    // stay under the window as the suite grows; the full-precision line
+    // additionally lands in /tmp/graft_bench_detail.json for humans.
+    val out = Seq(fmt(2) _, fmt(1) _).map(jsonLine)
+      .find(_.length <= 1950).getOrElse(jsonLine(fmt(1)))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graft_bench_detail.json"),
+      (jsonLine(fmt(3)) + "\n").getBytes("UTF-8"))
+    println(out)
     spark.stop()
   }
 }

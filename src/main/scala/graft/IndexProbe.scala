@@ -63,7 +63,8 @@ object IndexProbe {
       Dedup.writeDedupIndex(docs, "doc_id", "text", "p1"))
 
     // Three ingest batches: near-copies (one appended token) of every
-    // 100th doc with a per-batch offset, plus fresh no-match docs.
+    // 300th doc with a per-batch offset, plus fresh no-match docs
+    // (~334 docs per batch at the 50k corpus).
     def batch(b: Int) = {
       val nearCopies = docs.filter(col("doc_id") % 300 === b)
         .select((col("doc_id") + 90000000L + b * 1000000L).as("doc_id"),

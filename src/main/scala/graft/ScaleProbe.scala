@@ -54,9 +54,13 @@ object ScaleProbe {
     // vector gaining 9 semantic duplicates.
     val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
     replicate(emb, (d, i) => {
-      val pattern = i * 0x9E3779B9L // golden-ratio bit mixing per replica
+      // 64-bit golden-ratio mixing: every dimension gets its own pattern
+      // bit (a 32-bit pattern would mirror the sign mask across the two
+      // 32-dim halves, leaving half-symmetric vectors correlated across
+      // replicas).
+      val pattern = i * 0x9E3779B97F4A7C15L
       val signs = array((0 until 64).map(j =>
-        lit(if (((pattern >> (j % 32)) & 1L) == 1L) -1.0f else 1.0f)): _*)
+        lit(if (((pattern >> j) & 1L) == 1L) -1.0f else 1.0f)): _*)
       d.select(
         (col("vec_id") + i.toLong * 10000000L).as("vec_id"),
         zip_with(col("embedding"), signs, (x, s) => x * s).as("embedding"),

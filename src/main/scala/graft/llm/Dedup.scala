@@ -417,26 +417,33 @@ object Dedup {
     * structure; swap the chunker for a `split(text, '\n')` on real data,
     * the rest of the pipeline is unit-agnostic.
     *
-    * Scale shape: explode to line rows, ONE distinct + count aggregation
-    * keyed by line text (map-side combined) to find corpus-wide
-    * duplicated lines, a semi-join back (line side is the aggregation
-    * output — duplicated lines only, far smaller than the corpus), and
-    * per-doc counts. No all-pairs anything; hot-path cost is ~2 keyed
-    * shuffles of (id, line-hash)-sized rows.
+    * Scale shape: the chunking is the hashedShingles lead-window form
+    * (posexplode + `unitTokens-1` leads, keep every `unitTokens`-th
+    * position; concat_ws skips the null leads so the trailing partial
+    * unit survives) — NOT a transform(sequence)/slice lambda, which would
+    * capture the tokenizer expression and re-run it per chunk (the
+    * measured interpreted-HOF trap the ngrams doc forbids). Lines are
+    * keyed by their 128-bit md5 (collision-free at any realistic corpus
+    * size, unlike a 64-bit hash; the DuckDB oracle counts literal line
+    * text — same counts) so the wide string never rides a shuffle. Then
+    * ONE distinct + count aggregation finds corpus-wide duplicated lines,
+    * a semi-join back (the duplicated-line table is aggregation output —
+    * boilerplate only, far smaller than the corpus), and per-doc counts.
     */
   def lineDupStats(docs: DataFrame, idCol: String, textCol: String,
                    unitTokens: Int = 8, minDocs: Int = 2): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    val chunks = transform(
-      sequence(lit(0), greatest(
-        ceil(size(toks).cast("double") / unitTokens).cast("int") - 1, lit(0))),
-      i => concat_ws(" ", slice(toks, i * unitTokens + 1, lit(unitTokens))))
-    val lines = docs
-      .select(col(idCol).as("_id"), explode(chunks).as("_line"))
-      .filter(col("_line") =!= "")
-    // Lines duplicated across >= minDocs distinct docs. Hash the line
-    // text once so the wide string doesn't ride every shuffle.
-    val hashed = lines.select(col("_id"), xxhash64(col("_line")).as("_lh"))
+    val w = Window.partitionBy(col("_id")).orderBy(col("_pos"))
+    val exploded = docs.select(col(idCol).as("_id"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("_pos", "_tok")))
+    val withLeads = (1 until unitTokens).foldLeft(exploded) { (df, j) =>
+      df.withColumn(s"_l$j", lead(col("_tok"), j).over(w))
+    }
+    val hashed = withLeads.filter(col("_pos") % unitTokens === 0)
+      .select(col("_id"), concat_ws(" ",
+        col("_tok") +: (1 until unitTokens).map(j => col(s"_l$j")): _*)
+        .as("_line"))
+      .filter(col("_line") =!= "") // whitespace-only doc ⇒ no line rows
+      .select(col("_id"), md5(col("_line")).as("_lh"))
     val dup = hashed.distinct()
       .groupBy(col("_lh")).agg(count(lit(1)).as("_docs"))
       .filter(col("_docs") >= minDocs)

@@ -87,7 +87,11 @@ object Media {
           if (b.isEmpty) null
           else
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-            catch { case _: java.io.IOException => null }
+            // NonFatal, not just IOException: the JDK codecs throw
+            // RuntimeExceptions on malformed payloads (CMMException for
+            // corrupt ICC profiles, index errors on truncated GIF/BMP) —
+            // one bad blob must take the per-row fallback, not the task.
+            catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) {
           val f = FakeDecoder.features(b)
           Row(false, 0, 0, f.getInt(0), f.getLong(3))

@@ -165,12 +165,13 @@ object Turtle {
     }
 
     // Anonymous ids are `_:b<N>`; named labels from the document are kept
-    // verbatim, and the generator skips any `_:b<N>` the document has
-    // already used as a NAME so the two families can't merge. (A named
-    // `_:bN` appearing only after N anonymous allocations could still
-    // collide — documents mixing both conventions should not reuse the
-    // generator's namespace.)
-    private val namedLabels = collection.mutable.Set[String]()
+    // verbatim. The generator must never emit an id the document uses as
+    // a NAME anywhere (before OR after the allocation point — a named
+    // `_:b1` on the last line must not merge with the first anonymous
+    // node), so the whole input is pre-scanned for `_:b<N>` tokens. A
+    // false positive from a string literal merely skips an id.
+    private val namedLabels = collection.mutable.Set[String]() ++=
+      "_:b\\d+".r.findAllIn(input)
     private def freshBlank(): Term = {
       blankCounter += 1
       while (namedLabels(s"_:b$blankCounter")) blankCounter += 1

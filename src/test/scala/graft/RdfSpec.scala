@@ -209,6 +209,20 @@ class RdfSpec extends SparkSpec {
       r.getString(2) == "anon"))
   }
 
+  test("turtle: anonymous ids dodge named _:bN labels parsed later") {
+    val rows = graft.rdf.Turtle.parseTriples(
+      """@prefix ex: <http://ex.org/> .
+        |ex:s ex:p [ ex:q "1" ] .
+        |_:b1 ex:r "2" .
+        |""".stripMargin)
+    val anon = rows.find(_.getString(1) == "http://ex.org/p").get.getString(2)
+    val named = rows.find(_.getString(1) == "http://ex.org/r").get.getString(0)
+    // The anonymous node must NOT merge with the later-declared _:b1.
+    assert(named == "_:b1" && anon != "_:b1", s"anon=$anon named=$named")
+    assert(rows.exists(r => r.getString(0) == anon &&
+      r.getString(1) == "http://ex.org/q"))
+  }
+
   test("turtle: collections expand to rdf:first/rest cons-lists") {
     val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
     val rows = graft.rdf.Turtle.parseTriples(
