@@ -158,6 +158,42 @@ object Media {
       }
   }
 
+  /** REAL image resize via the JDK alone: ImageIO decode → Graphics2D
+    * nearest-neighbor scale (deterministic — no multi-tap filter kernels)
+    * → PNG re-encode. Payloads the readers cannot decode fall back
+    * per-row to [[FakeTranscoder]]'s byte mapping, mirroring
+    * [[ImageIoDecoder]]'s contract that one corrupt blob never fails the
+    * task.
+    */
+  object ImageIoTranscoder extends Transcoder {
+    def resizeBatch(payloads: Seq[Array[Byte]], w: Int,
+                    h: Int): Seq[Array[Byte]] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      payloads.map { b =>
+        val img =
+          if (b == null || b.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+            catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) FakeTranscoder.resizeBatch(Seq(b), w, h).head
+        else {
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        }
+      }
+    }
+  }
+
   /** Batched per-partition resize: replaces `payload` with the transcoded
     * bytes and records the target dimensions in `width`/`height` columns —
     * REPLACING any pre-existing width/height (they describe the old

@@ -61,6 +61,30 @@ class MediaStreamSpec extends SparkSpec {
     assert(out(3L).getAs[Int]("n_bytes") == 0)
   }
 
+  test("multimodal: ImageIO transcoder resizes a real PNG through the batch path") {
+    import spark.implicits._
+    // 16x8 image, solid red with a blue right-bottom quadrant.
+    val img = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 16; y <- 0 until 8)
+      img.setRGB(x, y, if (x >= 8 && y >= 4) 0x0000FF else 0xFF0000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((1L, bos.toByteArray),
+      (2L, "garbage".getBytes("UTF-8"))).toDF("id", "payload")
+    val out = Media.resize(df, width = 4, height = 4, Media.ImageIoTranscoder)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Array[Byte]]("payload")).toMap
+    // The resized payload is a REAL 4x4 PNG with quadrant colors intact.
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L)))
+    assert(back.getWidth == 4 && back.getHeight == 4)
+    assert((back.getRGB(0, 0) & 0xFFFFFF) == 0xFF0000)
+    assert((back.getRGB(3, 3) & 0xFFFFFF) == 0x0000FF)
+    // Undecodable payload takes the byte-level fallback (w*h bytes).
+    assert(out(2L).length == 16)
+  }
+
   test("multimodal: frame sampling explodes deterministic byte windows") {
     import spark.implicits._
     val df = Seq((1L, Array.range(0, 200).map(_.toByte))).toDF("id", "payload")
