@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, TextAnalysis}
+import graft.llm.{Corpus, Dedup, TextAnalysis}
 
 /** Streaming form of the document-dedup pipeline: exact dedup over an
   * unbounded stream via fingerprint + `dropDuplicatesWithinWatermark`.
@@ -29,6 +29,32 @@ object DocsStream {
     docs.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Streaming front half of the q60 curation pipeline — what a live
+    * ingest feed runs before anything lands in the corpus store:
+    * quality-gate (map-only, fuses into the source scan) → exact dedup
+    * within the watermark horizon ([[dedupStream]]'s state/eviction
+    * trade-off) → deterministic stratified downsampling (map-only — the
+    * md5 draw is a pure row function, so the stream keeps batch-identical
+    * sampling decisions). All three stages are append-mode-safe; the
+    * batch pipeline's near-dup/decontamination stages need corpus-wide
+    * aggregation and stay downstream (same backstop contract as
+    * [[indexProbeStream]]).
+    */
+  def curationStream(docs: DataFrame, rates: Map[String, Double],
+                     defaultRate: Double, textCol: String = "text",
+                     stratumCol: String = "lang", keyCol: String = "doc_id",
+                     tsCol: String = "ts",
+                     lateness: String = "1 hour"): DataFrame = {
+    val quality = docs.withColumn("_f",
+        TextAnalysis.qualityFlags(col(textCol), minTokens = 30,
+          maxTokens = 100000, minAvgLen = 3.5, maxAvgLen = 5.0,
+          minStopword = 0.03, maxRepetition = 0.05))
+      .filter(col("_f.keep")).drop("_f")
+    Corpus.stratifiedSample(
+      dedupStream(quality, textCol, tsCol, lateness),
+      keyCol, stratumCol, rates, defaultRate, salt = "mix:")
+  }
 
   /** Streaming ingest probe against a persisted dedup index
     * ([[graft.llm.Dedup.writeDedupIndex]]): each arriving document's band

@@ -140,6 +140,34 @@ class MediaStreamSpec extends SparkSpec {
     assert(out == Set(1L, 3L, 5L), s"got $out")
   }
 
+  test("streaming: curation stream gates quality, dedups, samples on one feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "lang", "text")
+    // 31 tokens, avg length (30·4+3)/31 ≈ 3.97, one stopword (ratio
+    // 0.032), all bigrams distinct — passes every quality rule.
+    val good = (1 to 30).map(i => f"w$i%02da").mkString(" ") + " the"
+    val q = graft.streaming.DocsStream
+      .curationStream(docs, Map("en" -> 1.0), defaultRate = 0.0)
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    mem.addData(
+      (ts(0), 1L, "en", good),        // keeps: quality ok, en rate 1.0
+      (ts(1), 2L, "en", "too short"), // quality-gated out
+      (ts(2), 3L, "de", good + " x")) // sampled out (default rate 0.0)
+    q.processAllAvailable()
+    // Second batch: a case-variant duplicate of doc 1 — same normalized
+    // fingerprint, inside the watermark horizon → dropped by state.
+    mem.addData((ts(10), 4L, "en", good.toUpperCase))
+    q.processAllAvailable()
+    val out = spark.table("curated").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    q.stop()
+    assert(out == Set(1L), s"got $out")
+  }
+
   test("streaming: index probe finds a near-copy via the static band index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
