@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print condensed physical plans for named queries (or a
+  * default set of the newest ones) — the `.explain` iteration loop the
+  * plan-shape work happens in. Usage: runMain graft.PlanDump [names...]
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q61_line_dedup", "q66_vocab_topk", "q65_scalar_quantize")
+    val interesting = Seq("Exchange", "TakeOrdered", "partial_", "Window",
+      "Scan parquet", "Generate", "Join", "Sort ")
+    for (q <- names) {
+      println(s"=== $q")
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      println(plan.linesIterator
+        .filter(l => interesting.exists(l.contains)).mkString("\n"))
+    }
+    spark.stop()
+  }
+}

@@ -438,12 +438,18 @@ object Dedup {
     val withLeads = (1 until unitTokens).foldLeft(exploded) { (df, j) =>
       df.withColumn(s"_l$j", lead(col("_tok"), j).over(w))
     }
+    // Materialized once: three consumers below (dup-line table, per-doc
+    // totals, per-doc dup counts) would otherwise each re-run the
+    // explode + lead-window pipeline over the full corpus (the .explain
+    // showed three Exchange+Sort+Window towers). The checkpoint rows are
+    // compact (id + 32-char hash per line).
     val hashed = withLeads.filter(col("_pos") % unitTokens === 0)
       .select(col("_id"), concat_ws(" ",
         col("_tok") +: (1 until unitTokens).map(j => col(s"_l$j")): _*)
         .as("_line"))
       .filter(col("_line") =!= "") // whitespace-only doc ⇒ no line rows
       .select(col("_id"), md5(col("_line")).as("_lh"))
+      .localCheckpoint(true)
     val dup = hashed.distinct()
       .groupBy(col("_lh")).agg(count(lit(1)).as("_docs"))
       .filter(col("_docs") >= minDocs)
