@@ -14,9 +14,10 @@ class PlanAuditSpec extends SparkSpec {
     Set("q35_knn_bruteforce", "q36_ann_lsh", "q44_ivf_knn",
       // kMeans assignment: corpus streamed once against the broadcast
       // centroid table (k·dim doubles) — the intended IVF/q44 shape.
-      // q64 embeds the same kMeans rounds before its cluster-keyed
-      // equi-join.
-      "q62_kmeans", "q64_semdedup")
+      // (q64 embeds kMeans too, but behind an eager checkpoint — its
+      // RETURNED plan must stay NLJ-free: the pair stage is a
+      // cluster-keyed equi-join, and this audit now guards that.)
+      "q62_kmeans")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
