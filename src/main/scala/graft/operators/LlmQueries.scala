@@ -383,6 +383,32 @@ object LlmQueries {
         countDistinct(col("fp")).as("exact_distinct"))
     },
 
+    // Context-window chunking: 8-token chunks, 2-token overlap (stride 6)
+    // — the long-document splitting step ahead of sequence packing.
+    "q68_doc_chunking" -> { (s, dir) =>
+      Corpus.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 8, overlap = 2)
+    },
+
+    // Exact per-language length quantiles by deterministic rank
+    // (row_number over (n, doc_id), value at ceil(q·cnt)) — integer
+    // output, reproducible on any layout, where percentile_approx would
+    // be sketch-dependent and a true percentile() a single-point of
+    // nondeterminism across engines. The corpus-stats staple.
+    "q69_length_quantiles" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), TA.tokenCount(col("text")).as("n"))
+      val ranked = d
+        .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("n").asc, col("doc_id").asc)))
+        .withColumn("cnt", count(lit(1))
+          .over(Window.partitionBy(col("lang"))))
+      def at(q: Double) = max(when(
+        col("rn") === ceil(col("cnt") * q).cast("long"), col("n")))
+      ranked.groupBy(col("lang")).agg(max(col("cnt")).as("n_docs"),
+        at(0.25).as("p25"), at(0.5).as("p50"), at(0.75).as("p75"))
+    },
+
     // SemDeDup: k-means clusters scope the pairwise cosine check, copies
     // of every 25th vector (q42's injection) plant true semantic dups.
     // keep=false exactly for the larger id of each >= 0.99 within-cluster
@@ -1018,6 +1044,32 @@ object LlmQueries {
     // q67: intentionally NO oracle — approx_count_distinct is HLL++ with
     // engine-specific internals; the driver's weaker rows-only gate
     // applies, and LlmSpec asserts the estimate's error bound vs exact.
+    // q68: stride-aligned slices; chunk_id = start/stride; token count =
+    // min(chunk, remaining) — all integers plus exact strings.
+    "q68_doc_chunking" ->
+      """SELECT doc_id, CAST(p.s / 6 AS BIGINT) AS chunk_id,
+        |  array_to_string(tk[(p.s+1):(p.s+8)], ' ') AS chunk,
+        |  least(8, CAST(len(tk) - p.s AS INT)) AS n_chunk_tokens
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |      FROM documents),
+        |  LATERAL UNNEST(generate_series(0, len(tk) - 1, 6)) AS p(s)""".stripMargin,
+    // q69: same rank construction; ties resolved by doc_id, so the
+    // selected values are unique on both engines.
+    "q69_length_quantiles" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, n,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM d)
+        |SELECT lang, max(cnt) AS n_docs,
+        |  max(CASE WHEN rn = CAST(ceil(cnt * 0.25) AS BIGINT) THEN n END) AS p25,
+        |  max(CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT) THEN n END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(cnt * 0.75) AS BIGINT) THEN n END) AS p75
+        |FROM r GROUP BY lang""".stripMargin,
     // q64: the q62 kMeans oracle (1 round) over the dup-injected corpus,
     // then within-cluster pairwise cosine (q42's double-cast discipline)
     // and the smaller-id-wins keep flag.
