@@ -10,6 +10,7 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -18,12 +19,15 @@ object PlanDump {
       else Seq("q61_line_dedup", "q66_vocab_topk", "q65_scalar_quantize")
     val interesting = Seq("Exchange", "TakeOrdered", "partial_", "Window",
       "Scan parquet", "Generate", "Join", "Sort ")
-    for (q <- names) {
-      println(s"=== $q")
-      val plan = SparkEntry.queries(q)(spark, sf)
-        .queryExecution.executedPlan.toString
-      println(plan.linesIterator
-        .filter(l => interesting.exists(l.contains)).mkString("\n"))
+    for (q <- names) SparkEntry.queries.get(q) match {
+      case None =>
+        println(s"=== $q: unknown query; available:\n  " +
+          SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
+      case Some(fn) =>
+        println(s"=== $q")
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        println(plan.linesIterator
+          .filter(l => interesting.exists(l.contains)).mkString("\n"))
     }
     spark.stop()
   }

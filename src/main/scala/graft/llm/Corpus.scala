@@ -120,29 +120,26 @@ object Corpus {
     * fixed-context model). Output: (idCol, chunk_id, chunk, n_chunk_tokens)
     * — one row per chunk, partial tail chunks included.
     *
-    * Relational shape (same as the line-dedup chunker): posexplode + the
-    * lead window over (id, pos), keep stride-aligned positions — one
+    * Relational shape: [[TextAnalysis.tokenChunkRows]] (posexplode + the
+    * lead window over (id, pos), keep stride-aligned positions) — one
     * shuffle on the doc id, no lambda captures, spills row-wise at any
     * document length (a 10M-token document never materializes an array).
+    *
+    * A tail window that adds NO new token (every token already covered by
+    * the previous chunk's overlap — possible when len mod stride lands in
+    * 1..overlap) is dropped, matching standard stride chunkers: every
+    * emitted chunk past the first contains at least one fresh token.
     */
   def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
                      chunkTokens: Int = 8, overlap: Int = 0): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap must be in [0, chunkTokens) (got $overlap of $chunkTokens)")
     val stride = chunkTokens - overlap
-    val w = Window.partitionBy(col("_id")).orderBy(col("_pos"))
-    val exploded = docs.select(col(idCol).as("_id"),
-      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("_pos", "_tok")))
-    val withLeads = (1 until chunkTokens).foldLeft(exploded) { (df, j) =>
-      df.withColumn(s"_l$j", lead(col("_tok"), j).over(w))
-    }
-    val parts = col("_tok") +: (1 until chunkTokens).map(j => col(s"_l$j"))
-    withLeads.filter(col("_pos") % stride === 0)
-      .select(col("_id").as(idCol), (col("_pos") / stride).cast("long")
-          .as("chunk_id"),
-        concat_ws(" ", parts: _*).as("chunk"),
-        parts.map(p => when(p.isNotNull, 1).otherwise(0))
-          .reduce(_ + _).as("n_chunk_tokens"))
+    TextAnalysis.tokenChunkRows(docs, idCol, textCol, chunkTokens, stride)
+      .filter(col("_pos") === 0 || col("_n_toks") > overlap)
+      .select(col("_id").as(idCol),
+        (col("_pos") / stride).cast("long").as("chunk_id"),
+        col("_chunk").as("chunk"), col("_n_toks").as("n_chunk_tokens"))
   }
 
   /** Greedy sequence packing: assign documents, in deterministic

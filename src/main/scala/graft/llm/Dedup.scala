@@ -432,23 +432,15 @@ object Dedup {
     */
   def lineDupStats(docs: DataFrame, idCol: String, textCol: String,
                    unitTokens: Int = 8, minDocs: Int = 2): DataFrame = {
-    val w = Window.partitionBy(col("_id")).orderBy(col("_pos"))
-    val exploded = docs.select(col(idCol).as("_id"),
-      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("_pos", "_tok")))
-    val withLeads = (1 until unitTokens).foldLeft(exploded) { (df, j) =>
-      df.withColumn(s"_l$j", lead(col("_tok"), j).over(w))
-    }
     // Materialized once: three consumers below (dup-line table, per-doc
     // totals, per-doc dup counts) would otherwise each re-run the
     // explode + lead-window pipeline over the full corpus (the .explain
     // showed three Exchange+Sort+Window towers). The checkpoint rows are
     // compact (id + 32-char hash per line).
-    val hashed = withLeads.filter(col("_pos") % unitTokens === 0)
-      .select(col("_id"), concat_ws(" ",
-        col("_tok") +: (1 until unitTokens).map(j => col(s"_l$j")): _*)
-        .as("_line"))
-      .filter(col("_line") =!= "") // whitespace-only doc ⇒ no line rows
-      .select(col("_id"), md5(col("_line")).as("_lh"))
+    val hashed = TextAnalysis
+      .tokenChunkRows(docs, idCol, textCol, unitTokens, stride = unitTokens)
+      .filter(col("_chunk") =!= "") // whitespace-only doc ⇒ no line rows
+      .select(col("_id"), md5(col("_chunk")).as("_lh"))
       .localCheckpoint(true)
     val dup = hashed.distinct()
       .groupBy(col("_lh")).agg(count(lit(1)).as("_docs"))

@@ -1,6 +1,7 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -12,6 +13,34 @@ object TextAnalysis {
 
   /** Whitespace tokenizer. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Shared relational chunker: one row per `stride`-aligned chunk start
+    * — (_id, _pos, _chunk, _n_toks) where `_chunk` is the up-to-`width`
+    * consecutive tokens from `_pos` joined by spaces and `_n_toks` its
+    * actual token count (partial tails < width). Built as posexplode +
+    * `width−1` lead columns over the (id, pos) window — rows, not
+    * per-document arrays, and no lambda capturing the tokenizer (the
+    * interpreted-HOF trap measured in the ngrams note): a 10M-token
+    * document streams through one doc-id shuffle. Callers:
+    * [[Dedup.lineDupStats]] (stride = width) and
+    * [[Corpus.chunkDocuments]] (stride = width − overlap).
+    */
+  private[llm] def tokenChunkRows(docs: DataFrame, idCol: String,
+                                  textCol: String, width: Int,
+                                  stride: Int): DataFrame = {
+    val w = Window.partitionBy(col("_id")).orderBy(col("_pos"))
+    val exploded = docs.select(col(idCol).as("_id"),
+      posexplode(tokens(col(textCol))).as(Seq("_pos", "_tok")))
+    val withLeads = (1 until width).foldLeft(exploded) { (df, j) =>
+      df.withColumn(s"_l$j", lead(col("_tok"), j).over(w))
+    }
+    val parts = col("_tok") +: (1 until width).map(j => col(s"_l$j"))
+    withLeads.filter(col("_pos") % stride === 0)
+      .select(col("_id"), col("_pos"),
+        concat_ws(" ", parts: _*).as("_chunk"),
+        parts.map(p => when(p.isNotNull, 1).otherwise(0))
+          .reduce(_ + _).as("_n_toks"))
+  }
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
@@ -126,6 +155,17 @@ object TextAnalysis {
       okSw.as("ok_stopword"), okRep.as("ok_repetition"),
       (okTok && okLen && okSw && okRep).as("keep"))
   }
+
+  /** The canonical corpus-gate thresholds, shared BY REFERENCE between
+    * the batch pipelines (q56's per-rule report, q60's flagship gate) and
+    * the streaming curation front half — one definition, so retuning the
+    * gate cannot silently leave the stream and the batch disagreeing.
+    * Thresholds chosen to split the test corpus non-trivially on every
+    * rule.
+    */
+  def corpusGateFlags(c: Column): Column =
+    qualityFlags(c, minTokens = 30, maxTokens = 100000, minAvgLen = 3.5,
+      maxAvgLen = 5.0, minStopword = 0.03, maxRepetition = 0.05)
 
   /** PII patterns, RE2-compatible (no lookaround) so the Java and DuckDB
     * regex engines agree: email addresses, and standalone digit runs of 9+

@@ -46,6 +46,22 @@ object Media {
     def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row]
   }
 
+  /** Guarded in-memory ImageIO decode shared by [[ImageIoDecoder]] and
+    * [[ImageIoTranscoder]]: null for null/empty/undecodable payloads.
+    * NonFatal, not just IOException — the JDK codecs throw
+    * RuntimeExceptions on malformed payloads (CMMException for corrupt
+    * ICC profiles, index errors on truncated GIF/BMP), and one bad blob
+    * must take the caller's per-row fallback, not the task. setUseCache
+    * keeps the default path from spilling a temp file per image.
+    */
+  private def tryDecode(b: Array[Byte]): java.awt.image.BufferedImage =
+    if (b == null || b.isEmpty) null
+    else {
+      javax.imageio.ImageIO.setUseCache(false)
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case scala.util.control.NonFatal(_) => null }
+    }
+
   /** Deterministic stand-in for the decode step (STUB — see class doc). */
   object FakeDecoder extends Decoder {
     def features(b0: Array[Byte]): Row = {
@@ -77,21 +93,10 @@ object Media {
       StructField("height", IntegerType),
       StructField("n_bytes", IntegerType),
       StructField("checksum", LongType)))
-    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row] = {
-      // In-memory decode: the default ImageIO path spills a temp file per
-      // image, which would thrash executor-local disk at batch scale.
-      javax.imageio.ImageIO.setUseCache(false)
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row] =
       payloads.map { b0 =>
         val b = if (b0 == null) Array.emptyByteArray else b0
-        val img =
-          if (b.isEmpty) null
-          else
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-            // NonFatal, not just IOException: the JDK codecs throw
-            // RuntimeExceptions on malformed payloads (CMMException for
-            // corrupt ICC profiles, index errors on truncated GIF/BMP) —
-            // one bad blob must take the per-row fallback, not the task.
-            catch { case scala.util.control.NonFatal(_) => null }
+        val img = tryDecode(b)
         if (img == null) {
           val f = FakeDecoder.features(b)
           Row(false, 0, 0, f.getInt(0), f.getLong(3))
@@ -101,7 +106,6 @@ object Media {
               (img.getRGB(img.getWidth - 1, img.getHeight - 1).toLong
                 & 0xFFFFFF))
       }
-    }
   }
 
   /** Batched per-partition feature extraction over a PRUNED (key, payload)
@@ -168,13 +172,8 @@ object Media {
   object ImageIoTranscoder extends Transcoder {
     def resizeBatch(payloads: Seq[Array[Byte]], w: Int,
                     h: Int): Seq[Array[Byte]] = {
-      javax.imageio.ImageIO.setUseCache(false)
       payloads.map { b =>
-        val img =
-          if (b == null || b.isEmpty) null
-          else
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-            catch { case scala.util.control.NonFatal(_) => null }
+        val img = tryDecode(b)
         if (img == null) FakeTranscoder.resizeBatch(Seq(b), w, h).head
         else {
           val out = new java.awt.image.BufferedImage(w, h,

@@ -201,9 +201,7 @@ object LlmQueries {
     // conjunction in one map-only pass. Thresholds chosen to split this
     // corpus non-trivially on every rule.
     "q56_quality_filter" -> { (s, dir) =>
-      val f = TA.qualityFlags(col("text"), minTokens = 30,
-        maxTokens = 100000, minAvgLen = 3.5, maxAvgLen = 5.0,
-        minStopword = 0.03, maxRepetition = 0.05)
+      val f = TA.corpusGateFlags(col("text"))
       t(s, dir, "documents").select(col("doc_id"), f.as("_f"))
         .select(col("doc_id"), col("_f.ok_tokens").as("ok_tokens"),
           col("_f.ok_avg_len").as("ok_avg_len"),
@@ -278,11 +276,10 @@ object LlmQueries {
     "q60_curation_pipeline" -> { (s, dir) =>
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
-      // 1. Quality gate (map-only codegen'd flags).
+      // 1. Quality gate (map-only codegen'd flags — the canonical
+      //    corpusGateFlags thresholds, shared with q56 and the stream).
       val quality = d
-        .withColumn("_f", TA.qualityFlags(col("text"), minTokens = 30,
-          maxTokens = 100000, minAvgLen = 3.5, maxAvgLen = 5.0,
-          minStopword = 0.03, maxRepetition = 0.05))
+        .withColumn("_f", TA.corpusGateFlags(col("text")))
         .filter(col("_f.keep")).drop("_f")
       // 2. Exact dedup: keep canonical representatives. Materialized:
       //    the quality+window lineage otherwise re-executes inside the
@@ -1045,14 +1042,17 @@ object LlmQueries {
     // engine-specific internals; the driver's weaker rows-only gate
     // applies, and LlmSpec asserts the estimate's error bound vs exact.
     // q68: stride-aligned slices; chunk_id = start/stride; token count =
-    // min(chunk, remaining) — all integers plus exact strings.
+    // min(chunk, remaining) — all integers plus exact strings. Tail
+    // windows adding no new token (remaining <= overlap) are dropped on
+    // both sides.
     "q68_doc_chunking" ->
       """SELECT doc_id, CAST(p.s / 6 AS BIGINT) AS chunk_id,
         |  array_to_string(tk[(p.s+1):(p.s+8)], ' ') AS chunk,
         |  least(8, CAST(len(tk) - p.s AS INT)) AS n_chunk_tokens
         |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
         |      FROM documents),
-        |  LATERAL UNNEST(generate_series(0, len(tk) - 1, 6)) AS p(s)""".stripMargin,
+        |  LATERAL UNNEST(generate_series(0, len(tk) - 1, 6)) AS p(s)
+        |WHERE p.s = 0 OR len(tk) - p.s > 2""".stripMargin,
     // q69: same rank construction; ties resolved by doc_id, so the
     // selected values are unique on both engines.
     "q69_length_quantiles" ->

@@ -46,10 +46,8 @@ object DocsStream {
                      stratumCol: String = "lang", keyCol: String = "doc_id",
                      tsCol: String = "ts",
                      lateness: String = "1 hour"): DataFrame = {
-    val quality = docs.withColumn("_f",
-        TextAnalysis.qualityFlags(col(textCol), minTokens = 30,
-          maxTokens = 100000, minAvgLen = 3.5, maxAvgLen = 5.0,
-          minStopword = 0.03, maxRepetition = 0.05))
+    val quality = docs
+      .withColumn("_f", TextAnalysis.corpusGateFlags(col(textCol)))
       .filter(col("_f.keep")).drop("_f")
     Corpus.stratifiedSample(
       dedupStream(quality, textCol, tsCol, lateness),

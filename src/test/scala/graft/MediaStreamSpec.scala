@@ -158,9 +158,12 @@ class MediaStreamSpec extends SparkSpec {
       (ts(1), 2L, "en", "too short"), // quality-gated out
       (ts(2), 3L, "de", good + " x")) // sampled out (default rate 0.0)
     q.processAllAvailable()
-    // Second batch: a case-variant duplicate of doc 1 — same normalized
-    // fingerprint, inside the watermark horizon → dropped by state.
-    mem.addData((ts(10), 4L, "en", good.toUpperCase))
+    // Second batch: a WHITESPACE-variant duplicate of doc 1 — identical
+    // tokens (so it passes the quality gate, unlike a case variant whose
+    // uppercased stopword would fail the stopword rule and never reach
+    // dedup), same normalized fingerprint, inside the watermark horizon
+    // → dropped by the dedup STATE specifically.
+    mem.addData((ts(10), 4L, "en", good.replace(" ", "  ")))
     q.processAllAvailable()
     val out = spark.table("curated").collect()
       .map(_.getAs[Long]("doc_id")).toSet
