@@ -333,6 +333,29 @@ class LlmSpec extends SparkSpec {
     assert(out(3L) == (2L, 0L))
   }
 
+  test("chunking: overlap windows, partial tails, no overlap-only chunks") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
+      (2L, (1 to 7).map(i => s"u$i").mkString(" ")),  // 7 toks: tail at 6 adds nothing
+      (3L, "v1 v2 v3")).toDF("doc_id", "text")        // sub-width doc
+    val out = Corpus.chunkDocuments(df, "doc_id", "text",
+      chunkTokens = 8, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getInt(3))).toMap
+    // doc1: chunk 0 = t1..t8, chunk 1 starts at 6 = t7..t10 (4 tokens,
+    // 2 of them fresh — kept).
+    assert(out((1L, 0L)) == ((1 to 8).map(i => s"t$i").mkString(" "), 8))
+    assert(out((1L, 1L)) == ((7 to 10).map(i => s"t$i").mkString(" "), 4))
+    // doc2: the stride-6 tail would hold only u7 — already covered by
+    // chunk 0's window, so it is dropped.
+    assert(out.keySet.filter(_._1 == 2L) == Set((2L, 0L)))
+    assert(out((2L, 0L))._2 == 7)
+    // doc3: one partial chunk.
+    assert(out((3L, 0L)) == ("v1 v2 v3", 3))
+  }
+
   test("kmeans: identical vectors co-cluster; assignment is deterministic") {
     val e = graft.Tables.t(spark, sf, "embeddings")
     val out = Similarity.kMeans(e, "vec_id", "embedding",
