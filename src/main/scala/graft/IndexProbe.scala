@@ -66,11 +66,14 @@ object IndexProbe {
     // 300th doc with a per-batch offset, plus fresh no-match docs
     // (~334 docs per batch at the 50k corpus).
     def batch(b: Int) = {
+      // Offsets far above any replica id (replica r shifts by r·10⁷, so
+      // a 100× corpus tops out near 10⁹) — batch ids must never collide
+      // with corpus ids.
       val nearCopies = docs.filter(col("doc_id") % 300 === b)
-        .select((col("doc_id") + 90000000L + b * 1000000L).as("doc_id"),
+        .select((col("doc_id") + 10000000000L + b * 1000000L).as("doc_id"),
           concat(col("text"), lit(s" xj$b")).as("text"))
       val fresh = docs.filter(col("doc_id") % 300 === 100 + b)
-        .select((col("doc_id") + 95000000L + b * 1000000L).as("doc_id"),
+        .select((col("doc_id") + 20000000000L + b * 1000000L).as("doc_id"),
           // fully rewritten tokens -> shares no shingle with the corpus
           regexp_replace(col("text"), "(\\S+)", s"fr$b").as("text"))
       nearCopies.unionByName(fresh).localCheckpoint(true)

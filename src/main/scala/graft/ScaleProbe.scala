@@ -16,12 +16,18 @@ import org.apache.spark.sql.functions._
   * every doc in a replica — both distort the pair count away from 10×
   * the sf0.1 pairs and measure duplication blow-up, not scaling.)
   *
-  * Usage: runMain graft.ScaleProbe [outDir]   (default /tmp/graft_sf1)
+  * Usage: runMain graft.ScaleProbe [outDir] [probeName...]
+  * (default /tmp/graft_sf1; SPARK_GRAFT_REPLICAS overrides the 10×
+  * factor — e.g. 100 for a two-decade curve; trailing args filter the
+  * probe list by substring)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sf01 = "/root/testdata/sf0.1"
     val outDir = args.headOption.getOrElse("/tmp/graft_sf1")
+    val nameFilter = args.drop(1)
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
+    val label = s"sf${replicas / 10}"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -32,7 +38,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     def replicate(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until 10).map(i => f(df, i)).reduce(_ unionByName _)
+      (0 until replicas).map(i => f(df, i)).reduce(_ unionByName _)
 
     val docs = spark.read.parquet(s"$sf01/documents.parquet")
     replicate(docs, (d, i) => d.select(
@@ -75,15 +81,16 @@ object ScaleProbe {
     val probes = Seq("q33_minhash_neardup", "q37_cube_observations",
       "q43_cube_full_kinds", "q51_simhash_neardup", "q55_dedup_components",
       "q61_line_dedup", "q62_kmeans", "q64_semdedup")
+      .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
     // warmup (codegen) at the small scale, unrecorded
     probes.foreach(q =>
       SparkEntry.queries(q)(spark, sf01).write.format("noop")
         .mode("overwrite").save())
-    for (q <- probes; (label, dir) <- Seq("sf0.1" -> sf01, "sf1" -> outDir)) {
+    for (q <- probes; (scale, dir) <- Seq("sf0.1" -> sf01, label -> outDir)) {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      println(f"PROBE $q $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"PROBE $q $scale ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

@@ -259,12 +259,24 @@ object Similarity {
     * val) triples, and nothing ever all-pairs joins.
     */
   def kMeans(corpus: DataFrame, idCol: String, vecCol: String,
-             centroidEvery: Int = 64, iters: Int = 2): DataFrame = {
+             centroidEvery: Int = 64, iters: Int = 2,
+             maxCentroids: Int = 1024): DataFrame = {
     graft.functions.NativeExpressions.register(corpus.sparkSession)
     val vecs = corpus.select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+    // Assignment is O(n·k) per round. With a FIXED sampling modulus, k
+    // grows with the corpus and the round cost goes QUADRATIC — the
+    // 100× scale probe measured 151× wall at 100× data before this cap.
+    // Once n/centroidEvery would exceed maxCentroids the modulus widens
+    // (one cheap count spent against a quadratic regime), pinning k and
+    // making further growth linear. The cap trades cluster granularity,
+    // not correctness; SemDeDup callers inherit larger clusters (its
+    // documented quadratic-in-cluster-size trade).
+    val n = vecs.count()
+    val every = math.max(centroidEvery.toLong,
+      (n + maxCentroids - 1) / maxCentroids)
     // Seed centroids: id-sampled, coordinates cast (not rounded — the
     // raw floats are exact in both engines).
-    var centroids = vecs.filter(col("_vid") % centroidEvery === 0)
+    var centroids = vecs.filter(col("_vid") % every === 0)
       .select(col("_vid").as("_cid"),
         transform(col("_v"), x => x.cast("double")).as("_cv"))
     def assign(cs: DataFrame): DataFrame = vecs
