@@ -528,17 +528,50 @@ object Dedup {
     simhashNearDupsOf(simhash(docs, idCol, textCol).localCheckpoint(true),
       idCol, maxHamming, bands)
 
+  /** 64-bit SimHash signature — the PRODUCTION geometry the 32-bit
+    * oracle-verifiable [[simhash]] documents: with 4 bands the slices are
+    * 16-bit, so each band spreads over 2¹⁶ buckets instead of 2⁸ and
+    * Σ bucket² stays sub-quadratic at ~10⁶+ documents (the 100× probe
+    * measured the 8-bit-slice demo going superlinear exactly there).
+    * Token hashes are native xxhash64 — no DuckDB oracle exists at this
+    * width (64-bit bit arithmetic exceeds double-exact range), so the
+    * variant is ScalaTest-gated; bit votes and banding are otherwise
+    * identical in shape to the 32-bit pipeline.
+    */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+      .withColumn("_h", xxhash64(col("_t")))
+    val votes = (0 until 64).map(b =>
+      sum(shiftright(col("_h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"_v$b"))
+    tok.groupBy(col("_id")).agg(votes.head, votes.tail: _*)
+      .select(col("_id").as(idCol),
+        (0 until 64).map(b =>
+          when(col(s"_v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("simhash"))
+  }
+
+  /** 64-bit banded near-dup pairs: same pigeonhole-exact recall contract
+    * as [[simhashNearDups]] (maxHamming < bands), production bucket
+    * geometry. Returns (d1, d2, hamming).
+    */
+  def simhashNearDups64(docs: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    simhashNearDupsOf(simhash64(docs, idCol, textCol).localCheckpoint(true),
+      idCol, maxHamming, bands, widthBits = 64)
+
   /** Banded hamming join over an existing (idCol, simhash) signature
     * table — the lazy candidate-generation lineage (tests audit its plan
     * shape; [[simhashNearDups]] is the materializing entry point).
     */
   private[graft] def simhashNearDupsOf(sig: DataFrame, idCol: String,
-                                       maxHamming: Int,
-                                       bands: Int): DataFrame = {
+                                       maxHamming: Int, bands: Int,
+                                       widthBits: Int = 32): DataFrame = {
     require(maxHamming < bands,
       s"recall guarantee needs maxHamming < bands ($maxHamming >= $bands)")
-    require(32 % bands == 0, s"bands must divide 32 (got $bands)")
-    val bits = 32 / bands
+    require(widthBits % bands == 0,
+      s"bands must divide $widthBits (got $bands)")
+    val bits = widthBits / bands
     val mask = (1L << bits) - 1
     val banded = sig.select(col(idCol).as("_id"), col("simhash").as("_sig"),
       explode(array((0 until bands).map(b =>

@@ -387,6 +387,21 @@ object LlmQueries {
         chunkTokens = 8, overlap = 2)
     },
 
+    // 64-bit SimHash near-dup (production bucket geometry: 16-bit
+    // slices). No DuckDB oracle at this width (64-bit bit arithmetic
+    // exceeds double-exact range) → rows-only gate; recall and parity
+    // with the 32-bit contract are ScalaTest-gated in LlmSpec.
+    "q70_simhash64_neardup" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val exact = d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val perturbed = d.filter(col("doc_id") % 20 === 10)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" qq7")).as("text"))
+      Dedup.simhashNearDups64(d.unionByName(exact).unionByName(perturbed),
+        "doc_id", "text")
+    },
+
     // Exact per-language length quantiles by deterministic rank
     // (row_number over (n, doc_id), value at ceil(q·cnt)) — integer
     // output, reproducible on any layout, where percentile_approx would

@@ -373,6 +373,26 @@ class LlmSpec extends SparkSpec {
     assert(again == m, "k-means assignment not deterministic across runs")
   }
 
+  test("simhash64: exact copies at hamming 0, pigeonhole recall holds") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val copies = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val pairs = Dedup.simhashNearDups64(docs.unionByName(copies),
+      "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // Every planted exact copy must pair with its original at hamming 0
+    // (identical token multiset → identical 64-bit signature; the banded
+    // join's recall for hamming <= 3 < 4 bands is exact by pigeonhole).
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    planted.foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 1000000 && p._3 == 0),
+        s"exact copy of $id not found at hamming 0")
+    }
+    pairs.foreach(p => assert(p._1 < p._2 && p._3 <= 3))
+  }
+
   test("sketch cardinality: HLL estimate within documented error of exact") {
     val out = LlmQueries.queries("q67_sketch_cardinality")(spark, sf).collect()
     assert(out.nonEmpty)
