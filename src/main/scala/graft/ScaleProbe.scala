@@ -80,7 +80,8 @@ object ScaleProbe {
     // empty pipeline). Its stages are probed individually instead.
     val probes = Seq("q33_minhash_neardup", "q37_cube_observations",
       "q43_cube_full_kinds", "q51_simhash_neardup", "q55_dedup_components",
-      "q61_line_dedup", "q62_kmeans", "q64_semdedup")
+      "q61_line_dedup", "q62_kmeans", "q64_semdedup",
+      "q70_simhash64_neardup")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
     // warmup (codegen) at the small scale, unrecorded
     probes.foreach(q =>
