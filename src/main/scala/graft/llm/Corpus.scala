@@ -23,8 +23,17 @@ object Corpus {
     * independent sampling decisions made from the same key.
     */
   def hashUnit(key: Column, salt: String): Column =
+    hashU32(key, salt).cast("double") / lit(4294967296.0)
+
+  /** The integer form of [[hashUnit]]'s draw: the raw 32-bit value in
+    * [0, 2³²). Lets callers compare against an integer rate in pure
+    * BIGINT arithmetic (`draw * 10⁶ < rate_ppm * 2³²`) with zero doubles
+    * anywhere — the only form of the sampling decision that is
+    * bit-identical across engines.
+    */
+  def hashU32(key: Column, salt: String): Column =
     conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
-      .cast("long").cast("double") / lit(4294967296.0)
+      .cast("long")
 
   /** Stratified downsampling: keep each row with the probability its
     * stratum's rate prescribes (`defaultRate` for unlisted strata). The
@@ -49,10 +58,16 @@ object Corpus {
     *
     * Output is float-robust by construction: the exact integer components
     * (`n_docs`, `stratum_tokens`, `total_tokens`, `n_strata`) carry the
-    * full information, and the derived `rate` is rounded to 6 decimals so
-    * a last-ulp difference in another engine's double chain cannot flip
-    * the comparison (same discipline as the ANN queries, which exclude
-    * the similarity score from oracle-compared output).
+    * full information, and the cross-engine-comparable form of the rate is
+    * `rate_ppm` — parts-per-million computed in PURE BIGINT arithmetic
+    * (`least(1000000, (total_tokens * 1000000) div (n_strata *
+    * stratum_tokens))`), which every engine evaluates bit-identically.
+    * The convenience double `rate` is kept for library callers
+    * ([[stratifiedSample]] takes fractions) but must never enter a
+    * hash-compared surface: rounding a double does NOT transfer across
+    * engines (Spark rounds HALF_UP via BigDecimal-of-double, DuckDB in
+    * binary floating point), so any ulp drift upstream can flip the 6th
+    * decimal.
     */
   def mixRates(docs: DataFrame, stratumCol: String,
                tokenCount: Column): DataFrame = {
@@ -62,11 +77,12 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("stratum_tokens"))
       .select(col(stratumCol), col("n_docs"), col("stratum_tokens"),
         sum(col("stratum_tokens")).over(w).as("total_tokens"),
-        count(lit(1)).over(w).as("n_strata"),
-        round(least(lit(1.0),
-          (sum(col("stratum_tokens")).over(w) *
-            (lit(1.0) / count(lit(1)).over(w))) / col("stratum_tokens")), 6)
-          .as("rate"))
+        count(lit(1)).over(w).as("n_strata"))
+      .select(col("*"),
+        expr("least(1000000L, (total_tokens * 1000000L) div " +
+          "(n_strata * stratum_tokens))").as("rate_ppm"))
+      .select(col("*"),
+        (col("rate_ppm").cast("double") / lit(1000000.0)).as("rate"))
   }
 
   /** Rare-token score: for each document, how many of its token

@@ -533,15 +533,23 @@ object Dedup {
     * 16-bit, so each band spreads over 2¹⁶ buckets instead of 2⁸ and
     * Σ bucket² stays sub-quadratic at ~10⁶+ documents (the 100× probe
     * measured the 8-bit-slice demo going superlinear exactly there).
-    * Token hashes are native xxhash64 — no DuckDB oracle exists at this
-    * width (64-bit bit arithmetic exceeds double-exact range), so the
-    * variant is ScalaTest-gated; bit votes and banding are otherwise
-    * identical in shape to the 32-bit pipeline.
+    * Token hashes are the first 16 hex digits of md5 assembled from two
+    * 32-bit halves (shiftleft(hi,32)|lo — the signed-long bit pattern of
+    * the unsigned 64-bit value), the same engine-portable device
+    * [[simhash]] uses at 8 digits: any engine with md5 + 128-bit integer
+    * arithmetic (DuckDB HUGEINT, Spark, Postgres numeric) reproduces the
+    * signature bit-for-bit, which is what lets the driver hash-compare
+    * the production geometry instead of trusting its own tests. Bit votes
+    * and banding are identical in shape to the 32-bit pipeline.
     */
   def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("_t"))
-      .withColumn("_h", xxhash64(col("_t")))
+      .withColumn("_m", md5(col("_t")))
+      .withColumn("_h",
+        shiftleft(conv(substring(col("_m"), 1, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(col("_m"), 9, 8), 16, 10).cast("long")))
+      .drop("_m")
     val votes = (0 until 64).map(b =>
       sum(shiftright(col("_h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"_v$b"))
     tok.groupBy(col("_id")).agg(votes.head, votes.tail: _*)

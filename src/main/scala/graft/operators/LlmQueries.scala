@@ -171,10 +171,13 @@ object LlmQueries {
 
     // Mix-weight computation: per-language sampling rates that would
     // equalize token share (feeds q52's stratifiedSample). One agg
-    // shuffle; the window is over 5 post-agg rows.
+    // shuffle; the window is over 5 post-agg rows. The compared surface
+    // is INTEGER-ONLY (rate_ppm in BIGINT arithmetic); the convenience
+    // double `rate` stays in the library API but never enters the hash —
+    // rounding a double does not transfer across engines.
     "q58_mix_rates" -> { (s, dir) =>
       Corpus.mixRates(t(s, dir, "documents"), "lang",
-        TA.tokenCount(col("text")))
+        TA.tokenCount(col("text"))).drop("rate")
     },
 
     // Rare-token (hapax) scoring against the corpus-derived vocabulary —
@@ -309,11 +312,15 @@ object LlmQueries {
         .localCheckpoint(true)
       // 5. Mix rates over the SURVIVING corpus (5 rows — broadcast by
       //    construction), handed straight to the sampler's decision.
+      //    The keep/drop comparison is pure BIGINT on both engines:
+      //    draw/2³² < rate_ppm/10⁶  ⟺  draw·10⁶ < rate_ppm·2³²
+      //    (both products < 2⁶³) — no double ever enters the decision.
       val rates = Corpus.mixRates(clean, "lang", TA.tokenCount(col("text")))
       val sampled = clean
         .withColumn("n_tokens", TA.tokenCount(col("text")))
-        .join(broadcast(rates.select(col("lang"), col("rate"))), Seq("lang"))
-        .filter(Corpus.hashUnit(col("doc_id"), "mix:") < col("rate"))
+        .join(broadcast(rates.select(col("lang"), col("rate_ppm"))), Seq("lang"))
+        .filter(Corpus.hashU32(col("doc_id"), "mix:") * lit(1000000L) <
+          col("rate_ppm") * lit(4294967296L))
       // 6. Pack the sampled stream into 256-token training sequences.
       Corpus.packSequences(sampled, "doc_id", "lang", col("n_tokens"),
         budget = 256)
@@ -366,17 +373,17 @@ object LlmQueries {
           Window.orderBy(col("cnt").desc, col("gram").asc)))
     },
 
-    // Sketch cardinalities: per-language HLL++ distinct-fingerprint
-    // estimate next to the exact count — at 100 TB the sketch is the
-    // affordable first pass (no distinct shuffle; sketches merge
-    // map-side). No DuckDB oracle (HLL internals differ by engine):
-    // rows-only gate here, the error bound is asserted in LlmSpec.
+    // Sketch cardinalities: per-language distinct-fingerprint counts — at
+    // 100 TB the HLL++ sketch is the affordable first pass (no distinct
+    // shuffle; sketches merge map-side). The compared surface carries only
+    // the engine-portable columns (lang, n_docs, exact_distinct); the
+    // HLL estimate itself has engine-specific internals, so its error
+    // bound vs exact is asserted in LlmSpec rather than hash-compared.
     "q67_sketch_cardinality" -> { (s, dir) =>
       val d = t(s, dir, "documents")
         .select(col("lang"), TA.fingerprint(col("text")).as("fp"))
       d.groupBy(col("lang")).agg(
         count(lit(1)).as("n_docs"),
-        approx_count_distinct(col("fp")).as("approx_distinct"),
         countDistinct(col("fp")).as("exact_distinct"))
     },
 
@@ -388,9 +395,11 @@ object LlmQueries {
     },
 
     // 64-bit SimHash near-dup (production bucket geometry: 16-bit
-    // slices). No DuckDB oracle at this width (64-bit bit arithmetic
-    // exceeds double-exact range) → rows-only gate; recall and parity
-    // with the 32-bit contract are ScalaTest-gated in LlmSpec.
+    // slices). Fully oracle-gated: token hashes are the 16-hex-digit md5
+    // device, which DuckDB reproduces in HUGEINT arithmetic (signature
+    // assembly) + BIGINT xor/bit_count (hamming verify); the banded
+    // join's pigeonhole recall (hamming <= 3 < 4 bands) keeps the
+    // all-pairs oracle fair, exactly as for 32-bit q51.
     "q70_simhash64_neardup" -> { (s, dir) =>
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val exact = d.filter(col("doc_id") % 20 === 0)
@@ -745,22 +754,24 @@ object LlmQueries {
         |    FROM (
         |      SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
         |      FROM documents)))""".stripMargin,
-    // q58: exact integer components (n_docs, stratum_tokens, total_tokens,
-    // n_strata) carry the full information; the derived rate is rounded to
-    // 6 decimals on BOTH sides so the BIGINT-vs-HUGEINT double chain
-    // cannot produce a last-ulp hash mismatch (the round-7 failure mode).
+    // q58: integer-only compared surface. The exact BIGINT components
+    // (n_docs, stratum_tokens, total_tokens, n_strata) carry the full
+    // information and rate_ppm is pure BIGINT arithmetic on both engines —
+    // no doubles anywhere in the hash (rounds 6-8 proved that neither raw
+    // doubles nor round(x, 6) survive the BIGINT-vs-HUGEINT window chain).
     "q58_mix_rates" ->
-      """SELECT lang, n_docs, stratum_tokens,
-        |  CAST(SUM(stratum_tokens) OVER () AS BIGINT) AS total_tokens,
-        |  COUNT(*) OVER () AS n_strata,
-        |  round(least(CAST(1.0 AS DOUBLE),
-        |    (SUM(stratum_tokens) OVER () *
-        |      (CAST(1.0 AS DOUBLE) / COUNT(*) OVER ())) / stratum_tokens), 6)
-        |    AS rate
+      """SELECT lang, n_docs, stratum_tokens, total_tokens, n_strata,
+        |  least(1000000, CAST(
+        |    (total_tokens * 1000000) // (n_strata * stratum_tokens)
+        |    AS BIGINT)) AS rate_ppm
         |FROM (
-        |  SELECT lang, count(*) AS n_docs,
-        |    SUM(len(string_split_regex(trim(text), '\s+'))) AS stratum_tokens
-        |  FROM documents GROUP BY 1)""".stripMargin,
+        |  SELECT lang, n_docs, stratum_tokens,
+        |    CAST(SUM(stratum_tokens) OVER () AS BIGINT) AS total_tokens,
+        |    COUNT(*) OVER () AS n_strata
+        |  FROM (
+        |    SELECT lang, count(*) AS n_docs,
+        |      SUM(len(string_split_regex(trim(text), '\s+'))) AS stratum_tokens
+        |    FROM documents GROUP BY 1))""".stripMargin,
     // q59: vocab counts -> rare slice -> per-doc occurrence count, with
     // zero-rare docs kept via the left join.
     "q59_rare_tokens" ->
@@ -1053,9 +1064,15 @@ object LlmQueries {
         |  SELECT gram, cnt,
         |    ROW_NUMBER() OVER (ORDER BY cnt DESC, gram ASC) AS rank
         |  FROM c) WHERE rank <= 100""".stripMargin,
-    // q67: intentionally NO oracle — approx_count_distinct is HLL++ with
-    // engine-specific internals; the driver's weaker rows-only gate
-    // applies, and LlmSpec asserts the estimate's error bound vs exact.
+    // q67: the exact columns hash-compare (fingerprint is the md5-of-
+    // normalized-text device, identical in both engines); the HLL
+    // estimate stays out of the hash (engine-specific internals) and is
+    // error-bound-gated in LlmSpec instead.
+    "q67_sketch_cardinality" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |    AS exact_distinct
+        |FROM documents GROUP BY 1""".stripMargin,
     // q68: stride-aligned slices; chunk_id = start/stride; token count =
     // min(chunk, remaining) — all integers plus exact strings. Tail
     // windows adding no new token (remaining <= overlap) are dropped on
@@ -1085,6 +1102,47 @@ object LlmQueries {
         |  max(CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT) THEN n END) AS p50,
         |  max(CASE WHEN rn = CAST(ceil(cnt * 0.75) AS BIGINT) THEN n END) AS p75
         |FROM r GROUP BY lang""".stripMargin,
+    // q70: the q51 all-pairs oracle widened to 64 bits. The 16-hex-digit
+    // md5 token hash and the signature's bit sums live in HUGEINT (128-bit
+    // — exact for any unsigned 64-bit intermediate); the finished
+    // signature folds to the signed BIGINT two's-complement value Spark's
+    // long carries (s >= 2^63 → s - 2^64), so the hamming verify is plain
+    // BIGINT xor + bit_count on both engines.
+    "q70_simhash64_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' qq7' FROM documents
+        |  WHERE doc_id % 20 = 10),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM corpus),
+        |h AS (
+        |  SELECT doc_id, list_reduce(list_transform(
+        |    string_split(substr(md5(t), 1, 16), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),
+        |    (a, b) -> a * 16 + b) AS hv
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, g.b AS b,
+        |    CAST((hv // (1::HUGEINT << g.b)) % 2 AS BIGINT) AS bit
+        |  FROM h, LATERAL UNNEST(generate_series(0, 63)) AS g(b)),
+        |votes AS (
+        |  SELECT doc_id, b, SUM(2 * bit - 1) AS vote
+        |  FROM bits GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id, CAST(CASE WHEN s >= (1::HUGEINT << 63)
+        |      THEN s - (1::HUGEINT << 64) ELSE s END AS BIGINT) AS simhash
+        |  FROM (
+        |    SELECT doc_id, SUM(CASE WHEN vote > 0 THEN (1::HUGEINT << b)
+        |      ELSE 0::HUGEINT END) AS s
+        |    FROM votes GROUP BY 1))
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     // q64: the q62 kMeans oracle (1 round) over the dup-injected corpus,
     // then within-cluster pairwise cosine (q42's double-cast discipline)
     // and the smaller-id-wins keep flag.
@@ -1152,8 +1210,9 @@ object LlmQueries {
     // q60: the q56 → q32 → q33 → q57 → q58 → q52 → q54 oracle fragments
     // chained in pipeline order. Float comparisons are each a single
     // division of identical integers on both engines (quality thresholds,
-    // jaccard) or the q58-style rounded rate vs the exact md5 draw, so the
-    // composition stays hash-robust end to end.
+    // jaccard); the sampling decision is pure BIGINT
+    // (draw·10⁶ < rate_ppm·2³²), so the composition stays hash-robust
+    // end to end.
     "q60_curation_pipeline" ->
       """WITH base AS (
         |  SELECT doc_id, lang, text,
@@ -1220,19 +1279,18 @@ object LlmQueries {
         |  SELECT doc_id, lang, n_tokens FROM dd
         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
         |rates AS (
-        |  SELECT lang, round(least(CAST(1.0 AS DOUBLE),
-        |    (SUM(stratum_tokens) OVER () *
-        |      (CAST(1.0 AS DOUBLE) / COUNT(*) OVER ())) / stratum_tokens), 6)
-        |    AS rate
+        |  SELECT lang, least(1000000, CAST(
+        |    (CAST(SUM(stratum_tokens) OVER () AS BIGINT) * 1000000)
+        |      // (COUNT(*) OVER () * stratum_tokens) AS BIGINT)) AS rate_ppm
         |  FROM (SELECT lang, SUM(n_tokens) AS stratum_tokens
         |        FROM clean GROUP BY 1)),
         |sampled AS (
         |  SELECT c.doc_id, c.lang, c.n_tokens
         |  FROM clean c JOIN rates r ON c.lang = r.lang
-        |  WHERE CAST(list_reduce(list_transform(
+        |  WHERE list_reduce(list_transform(
         |      string_split(substr(md5('mix:' || CAST(c.doc_id AS VARCHAR)), 1, 8), ''),
         |      x -> CAST(strpos('0123456789abcdef', x) - 1 AS BIGINT)),
-        |      (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0 < r.rate)
+        |      (a, b) -> a * 16 + b) * 1000000 < r.rate_ppm * 4294967296)
         |SELECT doc_id, lang, n_tokens,
         |  CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS seq_id
         |FROM (
