@@ -44,7 +44,23 @@ object Bench {
     // args and gets the full suite).
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => args.isEmpty || args.exists(n.contains))
-    val results = names.map(n => n -> (1 to runs).map(_ => run(n)).min)
+    // Session hygiene between queries (untimed): several queries
+    // localCheckpoint stage boundaries, and those blocks are only freed
+    // once the driver GCs the orphaned RDD reference — in a 70-query ×
+    // 3-run session the accumulated heap history otherwise taxes
+    // whichever queries run mid-suite (the rounds 7-8 "phantom 3-5×
+    // regressions on untouched code"). clearCache drops named cached
+    // plans; the explicit GC lets ContextCleaner reclaim checkpoint
+    // blocks before the next query is timed.
+    def hygiene(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    val results = names.map { n =>
+      val v = (1 to runs).map(_ => run(n)).min
+      hygiene()
+      n -> v
+    }
     val total = results.map(_._2).sum
     def fmt(d: Int)(v: Double): String =
       s"%.${d}f".formatLocal(java.util.Locale.ROOT, v)

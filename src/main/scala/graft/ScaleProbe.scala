@@ -93,6 +93,91 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
       println(f"PROBE $q $scale ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+
+    // q60 flagship probe — needs its own GATE-PRESERVING replica: the
+    // token-suffix renaming above lengthens every token (avg_len leaves
+    // [3.5, 5.0]) and erases English stopwords (ratio < 0.03), so the
+    // quality gate would empty the corpus and the probe would time an
+    // empty pipeline. Instead, each replica Caesar-shifts the letters of
+    // every NON-stopword token (per-replica shift i): token lengths,
+    // whitespace, stopword occurrences, and bigram-repetition structure
+    // are all exactly preserved (the gate sees identical statistics),
+    // while non-stopword token spaces are disjoint across replicas, so
+    // dedup/decontamination structure scales instead of every doc gaining
+    // 9 twins. Device ceiling: 26 distinct shifts — enough for the 10×
+    // probe; a 100× q60 probe needs a wider bijection family.
+    if (nameFilter.isEmpty ||
+        nameFilter.exists("q60_curation_pipeline".contains)) {
+      require(replicas <= 26,
+        s"q60 gate replica supports at most 26 replicas (got $replicas)")
+      val gateDir = s"$outDir/q60gate"
+      val stop = graft.llm.TextAnalysis.stopwords("en")
+      val abc = "abcdefghijklmnopqrstuvwxyz"
+      replicate(docs, (d, i) => {
+        val sh = abc.drop(i % 26) + abc.take(i % 26)
+        d.select(Seq(
+          (col("doc_id") + i.toLong * 10000000L).as("doc_id"),
+          array_join(transform(split(trim(col("text")), "\\s+"),
+            t => when(t.isin(stop: _*), t).otherwise(translate(t, abc, sh))),
+            " ").as("text")) ++
+          docs.columns.filterNot(Set("doc_id", "text")).map(col): _*)
+      }).write.mode("overwrite").parquet(s"$gateDir/documents.parquet")
+
+      // Stage-timed mirror of LlmQueries q60 (same library calls, same
+      // checkpoint boundaries) so the SCALE.md row can attribute the wall
+      // time per stage, not just end to end.
+      def q60Stages(dir: String, scale: String): Unit = {
+        import graft.llm.{Corpus, Dedup, TextAnalysis => TA}
+        def timed[T](stage: String)(f: => T): T = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"PROBE q60_stage:$stage $scale " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+          r
+        }
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val reps = timed("quality+exact_dedup") {
+          val quality = d.withColumn("_f", TA.corpusGateFlags(col("text")))
+            .filter(col("_f.keep")).drop("_f")
+          Dedup.exactDups(quality, "doc_id", "text")
+            .filter(col("doc_id") === col("canonical_id"))
+            .select(col("doc_id"), col("lang"), col("text"))
+            .localCheckpoint(true)
+        }
+        val pairs = timed("minhash_neardup") {
+          Dedup.minhashNearDups(reps, "doc_id", "text")
+        }
+        val clean = timed("decontaminate") {
+          val deduped = reps.join(
+            pairs.select(col("d2").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          val bench = d.filter(col("doc_id") % 97 === 0)
+            .select((col("doc_id") + 3000000).as("doc_id"),
+              concat(col("text"), lit(" bb1 bb2")).as("text"))
+          val leaks = Corpus.contamination(deduped, bench, "doc_id", "text",
+            minShared = 5)
+          deduped.join(
+            leaks.select(col("corpus_id").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+            .localCheckpoint(true)
+        }
+        timed("rates+sample+pack") {
+          val rates = Corpus.mixRates(clean, "lang",
+            TA.tokenCount(col("text")))
+          val sampled = clean
+            .withColumn("n_tokens", TA.tokenCount(col("text")))
+            .join(broadcast(rates.select(col("lang"), col("rate_ppm"))),
+              Seq("lang"))
+            .filter(Corpus.hashU32(col("doc_id"), "mix:") * lit(1000000L) <
+              col("rate_ppm") * lit(4294967296L))
+          Corpus.packSequences(sampled, "doc_id", "lang", col("n_tokens"),
+            budget = 256)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      q60Stages(sf01, "sf0.1") // warm + baseline (identity replica = i=0)
+      q60Stages(gateDir, label)
+    }
     spark.stop()
   }
 }

@@ -8,14 +8,18 @@ import org.apache.spark.sql.types._
   * payloads + typed metadata, with feature extraction as a batched
   * per-partition pipeline (the Scala analogue of `mapInPandas`: one
   * Iterator-to-Iterator transform per partition, processing fixed-size
-  * batches so a real decoder could amortize model/codec setup per batch
-  * and bound memory).
+  * batches so a decoder amortizes codec/model setup per batch and bounds
+  * memory).
   *
-  * The DECODE STEP IS A DETERMINISTIC FAKE (this container has no
-  * image/audio libs): [[FakeDecoder.features]] derives features from raw
-  * bytes only. Swap [[Decoder]] for a real implementation to productionize
-  * — everything else (schema, batching, partition flow) is real and
-  * tested.
+  * IMAGE decode and resize are REAL: [[ImageIoDecoder]] and
+  * [[ImageIoTranscoder]] use the JDK's own `javax.imageio` codecs (PNG,
+  * JPEG, BMP, GIF, WBMP — no external libraries needed), with per-row
+  * fallback to the byte-level fakes for payloads the readers cannot
+  * parse. AUDIO features and VIDEO frame sampling remain deterministic
+  * byte-level stubs ([[FakeDecoder]], [[sampleFrames]]) because this
+  * container ships no audio/video codecs — the batching, schema, and
+  * partition flow they run through are the real production shape; swap
+  * the [[Decoder]]/[[Transcoder]] implementation to productionize.
   *
   * Scale notes: feature extraction is map-only (no shuffle); payload
   * columns should be read with a pushed projection so scans don't drag
@@ -218,6 +222,39 @@ object Media {
       StructField("width", IntegerType), StructField("height", IntegerType)))
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
+
+  /** Deterministic synthetic PNG: a (2 + id%7) × (2 + id%5) RGB image,
+    * flat id-derived base fill, both corner pixels set to id-derived
+    * colors, losslessly PNG-encoded by the JDK writer. The generation
+    * parameters are pure integer functions of the id, so an engine that
+    * cannot decode PNG at all can still predict exactly what
+    * [[ImageIoDecoder]] must report (true dimensions + corner-pixel
+    * checksum) — which is what puts the REAL decode path under the
+    * driver's cross-engine hash gate (q71) instead of only ScalaTest.
+    * Dimensions start at 2 so the two corners are distinct pixels.
+    */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 2 + (id % 7).toInt
+    val h = 2 + (id % 5).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val base = (((id * 37) % 256) * 0x010101).toInt
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, base)
+    def chan(m: Long): Int = ((id * m) % 256).toInt
+    img.setRGB(0, 0, (chan(1) << 16) | (chan(7) << 8) | chan(13))
+    img.setRGB(w - 1, h - 1, (chan(17) << 16) | (chan(19) << 8) | chan(23))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Adds a `payload` column of [[syntheticPng]] bytes per id — the
+    * derived payload table feeding q71's decode gate. A per-row UDF is
+    * acceptable here: this manufactures a fixture, it is not a scale
+    * path (real pipelines read payloads from storage).
+    */
+  def syntheticImages(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("payload", udf(syntheticPng _).apply(col(idCol)))
 
   /** Deterministic frame sampling stub: pick every `stride`-th byte
     * window as a "frame" (the real thing would seek keyframes). Shows the

@@ -152,10 +152,13 @@ object LlmQueries {
           TA.repeatedNgramFrac(col("text"), 2).as("rep_frac"))
     },
 
-    // Near-dup clustering: connected components over the q51 simhash pair
+    // Near-dup clustering: connected components over the simhash pair
     // graph — pairs alone don't dedup a corpus; transitive groups do.
     // Every doc (isolated ones included) gets component_id = min reachable
-    // doc_id. Oracle: recursive CTE over the same pair graph.
+    // doc_id. The pair graph comes from the PRODUCTION 64-bit geometry
+    // (16-bit slices — the 8-bit-slice demo's n/256-doc buckets measured
+    // superlinear at 10⁶ docs in SCALE.md; q51 keeps the 32-bit form as
+    // its own gate). Oracle: recursive CTE over the same pair graph.
     "q55_dedup_components" -> { (s, dir) =>
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val exact = d.filter(col("doc_id") % 20 === 0)
@@ -164,7 +167,7 @@ object LlmQueries {
         .select((col("doc_id") + 2000000).as("doc_id"),
           concat(col("text"), lit(" qq7")).as("text"))
       val corpus = d.unionByName(exact).unionByName(perturbed)
-      val pairs = Dedup.simhashNearDups(corpus, "doc_id", "text")
+      val pairs = Dedup.simhashNearDups64(corpus, "doc_id", "text")
       Dedup.connectedComponents(pairs, "d1", "d2",
         corpus.select(col("doc_id")), "doc_id")
     },
@@ -463,6 +466,26 @@ object LlmQueries {
           col("features.first_byte").as("first_byte"),
           col("features.last_byte").as("last_byte"),
           col("features.checksum").as("checksum"))
+    },
+
+    // REAL image decode under the cross-engine gate: generate one
+    // deterministic PNG per doc (dims + corner colors are pure integer
+    // functions of doc_id), decode through the production ImageIoDecoder
+    // batch path, and emit what the decoder SAW — the oracle predicts the
+    // same values from the generation parameters without decoding
+    // anything. If the real codec path breaks (wrong dims, wrong pixels,
+    // fallback taken), this query's hash breaks. n_bytes is excluded:
+    // PNG container size is encoder-specific, not predictable.
+    "q71_image_decode" -> { (s, dir) =>
+      val M = graft.multimodal.Media
+      val d = M.syntheticImages(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      M.featureTable(d, "doc_id", M.ImageIoDecoder)
+        .select(col("doc_id"),
+          col("features.decoded").as("decoded"),
+          col("features.width").as("width"),
+          col("features.height").as("height"),
+          col("features.checksum").as("checksum"))
     }
   )
 
@@ -681,9 +704,9 @@ object LlmQueries {
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
-    // q55: the q51 pair graph + a recursive min-label CTE (UNION dedups
-    // across iterations, so cycles terminate); min over all reachable
-    // labels = the component id.
+    // q55: the q70 64-bit pair graph + a recursive min-label CTE (UNION
+    // dedups across iterations, so cycles terminate); min over all
+    // reachable labels = the component id.
     "q55_dedup_components" ->
       """WITH RECURSIVE corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -697,22 +720,24 @@ object LlmQueries {
         |  FROM corpus),
         |h AS (
         |  SELECT doc_id, list_reduce(list_transform(
-        |    string_split(substr(md5(t), 1, 8), ''),
-        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |    string_split(substr(md5(t), 1, 16), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),
         |    (a, b) -> a * 16 + b) AS hv
         |  FROM tok),
         |bits AS (
         |  SELECT doc_id, g.b AS b,
-        |    CAST(floor(hv / power(2, g.b)) AS BIGINT) % 2 AS bit
-        |  FROM h, LATERAL UNNEST(generate_series(0, 31)) AS g(b)),
+        |    CAST((hv // (1::HUGEINT << g.b)) % 2 AS BIGINT) AS bit
+        |  FROM h, LATERAL UNNEST(generate_series(0, 63)) AS g(b)),
         |votes AS (
         |  SELECT doc_id, b, SUM(2 * bit - 1) AS vote
         |  FROM bits GROUP BY 1, 2),
         |sig AS (
-        |  SELECT doc_id,
-        |    CAST(SUM(CASE WHEN vote > 0 THEN power(2, b) ELSE 0 END) AS BIGINT)
-        |      AS simhash
-        |  FROM votes GROUP BY 1),
+        |  SELECT doc_id, CAST(CASE WHEN s >= (1::HUGEINT << 63)
+        |      THEN s - (1::HUGEINT << 64) ELSE s END AS BIGINT) AS simhash
+        |  FROM (
+        |    SELECT doc_id, SUM(CASE WHEN vote > 0 THEN (1::HUGEINT << b)
+        |      ELSE 0::HUGEINT END) AS s
+        |    FROM votes GROUP BY 1)),
         |pairs AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2
         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -1143,6 +1168,21 @@ object LlmQueries {
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    // q71: the oracle re-derives the decoder's report from the PNG
+    // GENERATION parameters (Media.syntheticPng): dims are 2 + id%7 ×
+    // 2 + id%5, the checksum is corner00_rgb * 31 + cornerWH_rgb with
+    // each channel an integer function of doc_id. PNG is lossless RGB,
+    // so a correct decode must reproduce these exactly; decoded=false
+    // (fallback) or any dimension/pixel drift breaks the hash.
+    "q71_image_decode" ->
+      """SELECT doc_id, true AS decoded,
+        |  CAST(2 + doc_id % 7 AS INTEGER) AS width,
+        |  CAST(2 + doc_id % 5 AS INTEGER) AS height,
+        |  ((doc_id % 256) * 65536 + ((doc_id * 7) % 256) * 256
+        |      + (doc_id * 13) % 256) * 31
+        |    + ((doc_id * 17) % 256) * 65536 + ((doc_id * 19) % 256) * 256
+        |    + (doc_id * 23) % 256 AS checksum
+        |FROM documents""".stripMargin,
     // q64: the q62 kMeans oracle (1 round) over the dup-injected corpus,
     // then within-cluster pairwise cosine (q42's double-cast discipline)
     // and the smaller-id-wins keep flag.
