@@ -130,8 +130,9 @@ object ScaleProbe {
         import graft.llm.{Corpus, Dedup, TextAnalysis => TA}
         def timed[T](stage: String)(f: => T): T = {
           val t0 = System.nanoTime(); val r = f
-          println(f"PROBE q60_stage:$stage $scale " +
-            f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+          if (scale != "warmup")
+            println(f"PROBE q60_stage:$stage $scale " +
+              f"${(System.nanoTime() - t0) / 1e9}%.2f s")
           r
         }
         val d = spark.read.parquet(s"$dir/documents.parquet")
@@ -175,7 +176,8 @@ object ScaleProbe {
             .write.format("noop").mode("overwrite").save()
         }
       }
-      q60Stages(sf01, "sf0.1") // warm + baseline (identity replica = i=0)
+      q60Stages(sf01, "warmup") // codegen + scan warmup, unrecorded
+      q60Stages(sf01, "sf0.1")
       q60Stages(gateDir, label)
     }
     spark.stop()

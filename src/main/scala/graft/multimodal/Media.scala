@@ -15,11 +15,14 @@ import org.apache.spark.sql.types._
   * [[ImageIoTranscoder]] use the JDK's own `javax.imageio` codecs (PNG,
   * JPEG, BMP, GIF, WBMP — no external libraries needed), with per-row
   * fallback to the byte-level fakes for payloads the readers cannot
-  * parse. AUDIO features and VIDEO frame sampling remain deterministic
-  * byte-level stubs ([[FakeDecoder]], [[sampleFrames]]) because this
-  * container ships no audio/video codecs — the batching, schema, and
-  * partition flow they run through are the real production shape; swap
-  * the [[Decoder]]/[[Transcoder]] implementation to productionize.
+  * parse. AUDIO decode is REAL for uncompressed PCM containers:
+  * [[WavDecoder]] parses WAV/AIFF/AU via the JDK's
+  * `javax.sound.sampled`. Compressed audio (MP3/AAC/OGG) and VIDEO
+  * frame sampling remain deterministic byte-level stubs
+  * ([[FakeDecoder]], [[sampleFrames]]) because this container ships no
+  * such codecs — the batching, schema, and partition flow they run
+  * through are the real production shape; swap the
+  * [[Decoder]]/[[Transcoder]] implementation to productionize.
   *
   * Scale notes: feature extraction is map-only (no shuffle); payload
   * columns should be read with a pushed projection so scans don't drag
@@ -222,6 +225,94 @@ object Media {
       StructField("width", IntegerType), StructField("height", IntegerType)))
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
+
+  /** REAL audio decode via `javax.sound.sampled` — WAV/AIFF/AU container
+    * parsing and PCM access ship in the JDK's java.desktop module, no
+    * external codecs needed (the same situation as ImageIO for PNG).
+    * Reports the container's declared format (sample rate, channels,
+    * frame count) plus an exact signed-16-bit PCM sample sum, through the
+    * same batched per-partition plumbing as [[ImageIoDecoder]]. Payloads
+    * that are not signed 16-bit little-endian PCM (or not audio at all)
+    * take the per-row fallback (`decoded = false`, byte-level features) —
+    * one alien blob never fails the task. Compressed formats (MP3, AAC,
+    * OGG) have no JDK codec and correctly land on the fallback.
+    */
+  object WavDecoder extends Decoder {
+    override val schema: StructType = StructType(Seq(
+      StructField("decoded", BooleanType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("pcm_sum", LongType)))
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row] =
+      payloads.map { b0 =>
+        val b = if (b0 == null) Array.emptyByteArray else b0
+        decodeOne(b) match {
+          case Some(row) => row
+          case None =>
+            val f = FakeDecoder.features(b)
+            Row(false, 0, 0, 0L, f.getLong(3))
+        }
+      }
+    private def decodeOne(b: Array[Byte]): Option[Row] =
+      if (b.isEmpty) None
+      else try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try {
+          val fmt = in.getFormat
+          val ok = fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            in.getFrameLength >= 0
+          if (!ok) None
+          else {
+            val bytes = in.readAllBytes()
+            var sum = 0L
+            var i = 0
+            while (i + 1 < bytes.length) {
+              sum += ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+              i += 2
+            }
+            Some(Row(true, fmt.getSampleRate.toInt, fmt.getChannels,
+              in.getFrameLength, sum))
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic synthetic WAV: signed 16-bit little-endian PCM mono at
+    * 8 kHz, (16 + id%32) frames, sample k = ((id·31 + k·17) mod 65536) −
+    * 32768 — every field of what [[WavDecoder]] must report (format,
+    * frame count, exact PCM sum) is a pure integer function of the id, so
+    * an engine with no audio stack predicts the decode output exactly
+    * (the q72 gate, mirroring [[syntheticPng]]/q71 for images).
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = 16 + (id % 32).toInt
+    val data = new Array[Byte](n * 2)
+    var k = 0
+    while (k < n) {
+      val s = (((id * 31 + k * 17) % 65536) - 32768).toInt
+      data(2 * k) = (s & 0xff).toByte
+      data(2 * k + 1) = ((s >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Adds a `payload` column of [[syntheticWav]] bytes per id — the
+    * derived payload table feeding q72's decode gate. Fixture generator,
+    * not a scale path (see [[syntheticImages]]).
+    */
+  def syntheticAudio(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("payload", udf(syntheticWav _).apply(col(idCol)))
 
   /** Deterministic synthetic PNG: a (2 + id%7) × (2 + id%5) RGB image,
     * flat id-derived base fill, both corner pixels set to id-derived

@@ -486,6 +486,25 @@ object LlmQueries {
           col("features.width").as("width"),
           col("features.height").as("height"),
           col("features.checksum").as("checksum"))
+    },
+
+    // REAL audio decode under the cross-engine gate (q71's trick for
+    // WAV): deterministic PCM WAV payloads whose container metadata and
+    // exact sample sum are integer functions of doc_id; the production
+    // WavDecoder (javax.sound.sampled — JDK-builtin WAV parsing, no
+    // external codecs) must reproduce them bit-exactly or the hash
+    // breaks.
+    "q72_audio_decode" -> { (s, dir) =>
+      val M = graft.multimodal.Media
+      val d = M.syntheticAudio(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      M.featureTable(d, "doc_id", M.WavDecoder)
+        .select(col("doc_id"),
+          col("features.decoded").as("decoded"),
+          col("features.sample_rate").as("sample_rate"),
+          col("features.channels").as("channels"),
+          col("features.n_frames").as("n_frames"),
+          col("features.pcm_sum").as("pcm_sum"))
     }
   )
 
@@ -1183,6 +1202,21 @@ object LlmQueries {
         |    + ((doc_id * 17) % 256) * 65536 + ((doc_id * 19) % 256) * 256
         |    + (doc_id * 23) % 256 AS checksum
         |FROM documents""".stripMargin,
+    // q72: the oracle re-derives the WAV decoder's report from the
+    // generation parameters (Media.syntheticWav): 8 kHz mono 16-bit PCM,
+    // 16 + id%32 frames, sample k = ((id·31 + k·17) mod 65536) − 32768.
+    // The PCM sum is exact integer arithmetic on both engines; a decoder
+    // that misparses the RIFF header, the sample width, or the
+    // endianness cannot match it.
+    "q72_audio_decode" ->
+      """SELECT doc_id, true AS decoded,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(16 + doc_id % 32 AS BIGINT) AS n_frames,
+        |  SUM(((doc_id * 31 + k.g * 17) % 65536) - 32768) AS pcm_sum
+        |FROM documents,
+        |  LATERAL UNNEST(generate_series(0, 15 + doc_id % 32)) AS k(g)
+        |GROUP BY doc_id""".stripMargin,
     // q64: the q62 kMeans oracle (1 round) over the dup-injected corpus,
     // then within-cluster pairwise cosine (q42's double-cast discipline)
     // and the smaller-id-wins keep flag.

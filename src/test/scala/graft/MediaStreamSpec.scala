@@ -61,6 +61,44 @@ class MediaStreamSpec extends SparkSpec {
     assert(out(3L).getAs[Int]("n_bytes") == 0)
   }
 
+  test("multimodal: WAV decoder parses real PCM end-to-end, aliens fall back") {
+    import spark.implicits._
+    // A known 3-sample WAV plus the synthetic generator's payload for
+    // id=5 (whose format/frames/sum the q72 oracle predicts externally).
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val data = samples.flatMap(s =>
+        Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val df = Seq((1L, wav(Seq(100, -200, 32767))),
+      (2L, Media.syntheticWav(5L)),
+      (3L, "definitely not RIFF".getBytes("UTF-8")),
+      (4L, Array.emptyByteArray)).toDF("doc_id", "payload")
+    val out = Media.featureTable(df, "doc_id", Media.WavDecoder)
+      .select(col("doc_id"), col("features.*")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("decoded"))
+    assert(out(1L).getAs[Int]("sample_rate") == 8000)
+    assert(out(1L).getAs[Int]("channels") == 1)
+    assert(out(1L).getAs[Long]("n_frames") == 3L)
+    assert(out(1L).getAs[Long]("pcm_sum") == 100L - 200L + 32767L)
+    // The synthetic payload matches its closed-form parameters (id=5):
+    // 16 + 5%32 = 21 frames, sum of ((5*31 + 17k) mod 65536) - 32768.
+    val expSum = (0 until 21).map(k => ((5L * 31 + k * 17) % 65536) - 32768).sum
+    assert(out(2L).getAs[Boolean]("decoded"))
+    assert(out(2L).getAs[Long]("n_frames") == 21L)
+    assert(out(2L).getAs[Long]("pcm_sum") == expSum)
+    // Non-audio and empty payloads take the flagged fallback.
+    assert(!out(3L).getAs[Boolean]("decoded"))
+    assert(!out(4L).getAs[Boolean]("decoded"))
+  }
+
   test("multimodal: ImageIO transcoder resizes a real PNG through the batch path") {
     import spark.implicits._
     // 16x8 image, solid red with a blue right-bottom quadrant.
