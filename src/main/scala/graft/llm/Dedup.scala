@@ -404,6 +404,29 @@ object Dedup {
       .select(col("_v").as(idCol), col("_m").as("component_id"))
   }
 
+  /** Representative selection for dedup components: keep the member
+    * maximizing `score` in each component (ties → smallest id). Min-id
+    * canonicalization (exactDups) is correct for EXACT duplicates, but a
+    * near-dup cluster's members genuinely differ — a curation pipeline
+    * keeps the best one, not the numerically-first one. Returns the
+    * winning rows (all input columns preserved) plus `n_members`.
+    *
+    * Scale shape: one keyed window shuffle on the component id — the
+    * same cost class as any groupBy — with both the rank and the member
+    * count computed in a single window pass. Components are near-dup
+    * clusters (bounded by the dedup geometry), never corpus-sized, so
+    * no partition can be pathological unless the pair graph itself was.
+    */
+  def keepBestPerComponent(members: DataFrame, idCol: String,
+                           compCol: String, score: Column): DataFrame = {
+    val byComp = Window.partitionBy(col(compCol))
+    val w = byComp.orderBy(score.desc, col(idCol).asc)
+    members
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(byComp))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** Line-level duplication statistics (the CCNet/RefinedWeb signal:
     * boilerplate lines — cookie banners, nav menus, license footers —
     * repeat across a corpus while real content doesn't). Returns one row
@@ -453,6 +476,43 @@ object Dedup {
         coalesce(col("n_dup_lines"), lit(0L)).as("n_dup_lines"),
         (coalesce(col("n_dup_lines"), lit(0L)).cast("double") /
           col("n_lines")).as("dup_frac"))
+  }
+
+  /** Cross-document repeated-span detection — the bounded-width
+    * relational form of exact-substring dedup (substrings repeated
+    * verbatim across documents are memorization fuel; the suffix-array
+    * construction the original uses is inherently sequential, while this
+    * is two keyed aggregations + a semi-join, each an ordinary shuffle).
+    * A span is a `spanTokens`-token SLIDING window (stride 1, full
+    * windows only — docs shorter than `spanTokens` have no spans and no
+    * output row); a span instance is duplicated iff its text occurs in
+    * at least `minDocs` DISTINCT documents. Returns one row per doc with
+    * >= 1 span: (idCol, n_spans, n_dup_spans) — integer-exact.
+    *
+    * Scale shape: same skeleton as [[lineDupStats]] but stride 1 — the
+    * span stream is ~n_tokens rows/doc instead of n_tokens/width, all
+    * carried as fixed-width md5 hashes, never as span text; the
+    * duplicated-span table is aggregation output (shared boilerplate
+    * only), so the semi-join's build side stays small by construction.
+    */
+  def repeatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                        spanTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    // Materialized once — three consumers (dup-span table, totals, dup
+    // counts) would otherwise each re-run the explode + lead pipeline.
+    val hashed = TextAnalysis
+      .tokenChunkRows(docs, idCol, textCol, spanTokens, stride = 1)
+      .filter(col("_n_toks") === spanTokens)
+      .select(col("_id"), md5(col("_chunk")).as("_sh"))
+      .localCheckpoint(true)
+    val dup = hashed.distinct()
+      .groupBy(col("_sh")).agg(count(lit(1)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+    val totals = hashed.groupBy(col("_id")).agg(count(lit(1)).as("n_spans"))
+    val dups = hashed.join(dup.select(col("_sh")), Seq("_sh"), "left_semi")
+      .groupBy(col("_id")).agg(count(lit(1)).as("n_dup_spans"))
+    totals.join(dups, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
   }
 
   /** Exact-duplicate grouping on the normalized-text fingerprint: adds

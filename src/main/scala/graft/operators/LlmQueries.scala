@@ -505,6 +505,44 @@ object LlmQueries {
           col("features.channels").as("channels"),
           col("features.n_frames").as("n_frames"),
           col("features.pcm_sum").as("pcm_sum"))
+    },
+
+    // Component-best dedup resolution: near-dup clusters (the q55
+    // component graph) keep their HIGHEST-QUALITY member — token count
+    // as the integer-exact quality proxy, smallest id on ties — not the
+    // numerically-first one. One keyed window shuffle on top of the
+    // audited component pipeline.
+    "q73_component_best" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val exact = d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val perturbed = d.filter(col("doc_id") % 20 === 10)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" qq7")).as("text"))
+      val corpus = d.unionByName(exact).unionByName(perturbed)
+      val pairs = Dedup.simhashNearDups64(corpus, "doc_id", "text")
+      val comps = Dedup.connectedComponents(pairs, "d1", "d2",
+        corpus.select(col("doc_id")), "doc_id")
+      val members = comps.join(
+        corpus.select(col("doc_id"),
+          TA.tokenCount(col("text")).as("n_tokens")), Seq("doc_id"))
+      Dedup.keepBestPerComponent(members, "doc_id", "component_id",
+        col("n_tokens"))
+        .select(col("component_id"), col("doc_id").as("kept_doc_id"),
+          col("n_tokens"), col("n_members"))
+    },
+
+    // Cross-doc repeated-span detection (bounded-width exact-substring
+    // dedup signal): 8-token sliding windows, duplicated iff verbatim in
+    // >= 2 distinct docs. Boilerplate banner prepended to every 5th doc
+    // (q61's device) so the planted spans repeat corpus-wide.
+    "q74_repeated_spans" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("cookie policy accept terms privacy notice all rights "),
+            col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.repeatedSpanStats(d, "doc_id", "text")
     }
   )
 
@@ -1217,6 +1255,91 @@ object LlmQueries {
         |FROM documents,
         |  LATERAL UNNEST(generate_series(0, 15 + doc_id % 32)) AS k(g)
         |GROUP BY doc_id""".stripMargin,
+    // q73: the q55 component oracle + a window picking the
+    // max-token-count member per component (ties -> smallest id). The
+    // quality proxy is integer-exact on both engines.
+    "q73_component_best" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' qq7' FROM documents
+        |  WHERE doc_id % 20 = 10),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM corpus),
+        |h AS (
+        |  SELECT doc_id, list_reduce(list_transform(
+        |    string_split(substr(md5(t), 1, 16), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),
+        |    (a, b) -> a * 16 + b) AS hv
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, g.b AS b,
+        |    CAST((hv // (1::HUGEINT << g.b)) % 2 AS BIGINT) AS bit
+        |  FROM h, LATERAL UNNEST(generate_series(0, 63)) AS g(b)),
+        |votes AS (
+        |  SELECT doc_id, b, SUM(2 * bit - 1) AS vote
+        |  FROM bits GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id, CAST(CASE WHEN s >= (1::HUGEINT << 63)
+        |      THEN s - (1::HUGEINT << 64) ELSE s END AS BIGINT) AS simhash
+        |  FROM (
+        |    SELECT doc_id, SUM(CASE WHEN vote > 0 THEN (1::HUGEINT << b)
+        |      ELSE 0::HUGEINT END) AS s
+        |    FROM votes GROUP BY 1)),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |edges AS (
+        |  SELECT d1 AS a, d2 AS b FROM pairs
+        |  UNION ALL
+        |  SELECT d2, d1 FROM pairs),
+        |lbl AS (
+        |  SELECT doc_id AS v, doc_id AS m FROM corpus
+        |  UNION
+        |  SELECT e.a AS v, lbl.m AS m FROM edges e JOIN lbl ON lbl.v = e.b),
+        |comps AS (
+        |  SELECT v AS doc_id, min(m) AS component_id FROM lbl GROUP BY v),
+        |members AS (
+        |  SELECT c.doc_id, comps.component_id,
+        |    len(string_split_regex(trim(c.text), '\s+')) AS n_tokens
+        |  FROM corpus c JOIN comps USING (doc_id))
+        |SELECT component_id, doc_id AS kept_doc_id, n_tokens, n_members
+        |FROM (
+        |  SELECT component_id, doc_id, n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY component_id
+        |      ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY component_id) AS n_members
+        |  FROM members)
+        |WHERE rn = 1""".stripMargin,
+    // q74: sliding 8-token windows (full windows only; DuckDB list
+    // slices are inclusive, so tk[i : i+7] is 8 tokens), duplicated iff
+    // the literal span text occurs in >= 2 distinct docs — the md5 span
+    // keys on the Spark side are collision-free stand-ins for the text.
+    "q74_repeated_spans" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN 'cookie policy accept terms privacy notice all rights ' || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, array_to_string(tk[g.i:g.i+7], ' ') AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |        FROM docs2),
+        |    LATERAL UNNEST(generate_series(1, len(tk) - 7)) AS g(i)),
+        |dup AS (
+        |  SELECT s FROM (SELECT DISTINCT doc_id, s FROM sp)
+        |  GROUP BY s HAVING count(*) >= 2),
+        |totals AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1),
+        |dups AS (
+        |  SELECT doc_id, count(*) AS n_dup_spans FROM sp
+        |  WHERE s IN (SELECT s FROM dup) GROUP BY 1)
+        |SELECT t.doc_id, t.n_spans,
+        |  coalesce(d.n_dup_spans, 0) AS n_dup_spans
+        |FROM totals t LEFT JOIN dups d USING (doc_id)""".stripMargin,
     // q64: the q62 kMeans oracle (1 round) over the dup-injected corpus,
     // then within-cluster pairwise cosine (q42's double-cast discipline)
     // and the smaller-id-wins keep flag.
