@@ -316,6 +316,39 @@ class LlmSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("component-best: max score wins, ties break to smallest id") {
+    import spark.implicits._
+    // Component 1: clear winner (id 3, score 9). Component 2: tie on
+    // score → smallest id (20) wins. Singleton component keeps itself.
+    val members = Seq(
+      (1L, 1L, 5), (2L, 1L, 7), (3L, 1L, 9),
+      (20L, 2L, 4), (21L, 2L, 4),
+      (30L, 3L, 1)).toDF("doc_id", "component_id", "score")
+    val out = Dedup.keepBestPerComponent(members, "doc_id", "component_id",
+      col("score")).collect()
+      .map(r => r.getAs[Long]("component_id") ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("n_members"))).toMap
+    assert(out == Map(1L -> (3L, 3L), 2L -> (20L, 2L), 3L -> (30L, 1L)))
+  }
+
+  test("repeated spans: cross-doc verbatim spans counted, short docs dropped") {
+    import spark.implicits._
+    val shared = "s1 s2 s3 s4" // a 4-token span planted in docs 1 and 2
+    val df = Seq(
+      (1L, s"$shared a1 a2 a3"),
+      (2L, s"b1 $shared b2"),
+      (3L, "c1 c2 c3 c4 c5"),
+      (4L, "d1 d2")) // shorter than the span width: no output row
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSpanStats(df, "doc_id", "text", spanTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"))).toMap
+    // doc1: 4 sliding windows, exactly one ("s1 s2 s3 s4") duplicated;
+    // doc2: 3 windows, one duplicated; doc3: 2 windows, none; doc4 absent.
+    assert(out == Map(1L -> (4L, 1L), 2L -> (3L, 1L), 3L -> (2L, 0L)))
+    assert(!out.contains(4L))
+  }
+
   test("line dedup: planted boilerplate unit found, clean docs at zero") {
     import spark.implicits._
     val banner = "b1 b2 b3 b4" // one full 4-token unit when prepended
