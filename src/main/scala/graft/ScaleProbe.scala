@@ -98,27 +98,36 @@ object ScaleProbe {
     // token-suffix renaming above lengthens every token (avg_len leaves
     // [3.5, 5.0]) and erases English stopwords (ratio < 0.03), so the
     // quality gate would empty the corpus and the probe would time an
-    // empty pipeline. Instead, each replica Caesar-shifts the letters of
-    // every NON-stopword token (per-replica shift i): token lengths,
-    // whitespace, stopword occurrences, and bigram-repetition structure
-    // are all exactly preserved (the gate sees identical statistics),
-    // while non-stopword token spaces are disjoint across replicas, so
-    // dedup/decontamination structure scales instead of every doc gaining
-    // 9 twins. Device ceiling: 26 distinct shifts — enough for the 10×
-    // probe; a 100× q60 probe needs a wider bijection family.
+    // empty pipeline. Instead, each replica applies a LENGTH-PRESERVING
+    // bijection to every NON-stopword token: token lengths, whitespace,
+    // stopword occurrences, and bigram-repetition structure are all
+    // exactly preserved (the gate sees identical statistics — verified:
+    // survivors scale exactly N×), while non-stopword token images under
+    // distinct bijections are disjoint in practice (an 8-token span or
+    // 0.8-jaccard shingle set colliding across bijections would need
+    // many simultaneous single-token coincidences), so dedup and
+    // decontamination structure scales instead of every doc gaining N−1
+    // twins. The family composes three independent involution axes —
+    // Caesar rotation (26) × atbash reflection (2) × whole-word reversal
+    // (2) = 104 distinct bijections, enough for a 100× probe.
     if (nameFilter.isEmpty ||
         nameFilter.exists("q60_curation_pipeline".contains)) {
-      require(replicas <= 26,
-        s"q60 gate replica supports at most 26 replicas (got $replicas)")
+      require(replicas <= 104,
+        s"q60 gate replica supports at most 104 replicas (got $replicas)")
       val gateDir = s"$outDir/q60gate"
       val stop = graft.llm.TextAnalysis.stopwords("en")
       val abc = "abcdefghijklmnopqrstuvwxyz"
       replicate(docs, (d, i) => {
-        val sh = abc.drop(i % 26) + abc.take(i % 26)
+        val rot = abc.drop(i % 26) + abc.take(i % 26)
+        val alpha = if ((i / 26) % 2 == 1) rot.reverse else rot
+        val wordRev = (i / 52) % 2 == 1
         d.select(Seq(
           (col("doc_id") + i.toLong * 10000000L).as("doc_id"),
           array_join(transform(split(trim(col("text")), "\\s+"),
-            t => when(t.isin(stop: _*), t).otherwise(translate(t, abc, sh))),
+            t => when(t.isin(stop: _*), t).otherwise {
+              val m = translate(t, abc, alpha)
+              if (wordRev) reverse(m) else m
+            }),
             " ").as("text")) ++
           docs.columns.filterNot(Set("doc_id", "text")).map(col): _*)
       }).write.mode("overwrite").parquet(s"$gateDir/documents.parquet")
