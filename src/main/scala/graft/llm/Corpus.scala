@@ -79,8 +79,20 @@ object Corpus {
         sum(col("stratum_tokens")).over(w).as("total_tokens"),
         count(lit(1)).over(w).as("n_strata"))
       .select(col("*"),
-        expr("least(1000000L, (total_tokens * 1000000L) div " +
-          "(n_strata * stratum_tokens))").as("rate_ppm"))
+        // floor(total_tokens·10⁶ / D) via base-1000 long division
+        // (q1·10⁶ + q2·10³ + q3) instead of the naive (T·10⁶) div D:
+        // T·10⁶ overflows BIGINT once the corpus passes ~9.2e12 tokens
+        // (~37 TB of text) — below this engine's design point. Here the
+        // largest intermediate is (T mod D)·10³ < D·10³, safe until a
+        // stratum denominator reaches ~9.2e15 (petabyte-scale corpora).
+        // Identical floor semantics to the oracle's HUGEINT division.
+        expr("""least(1000000L,
+          (total_tokens div (n_strata * stratum_tokens)) * 1000000L +
+          ((total_tokens % (n_strata * stratum_tokens)) * 1000L
+            div (n_strata * stratum_tokens)) * 1000L +
+          ((total_tokens % (n_strata * stratum_tokens)) * 1000L
+            % (n_strata * stratum_tokens)) * 1000L
+            div (n_strata * stratum_tokens))""").as("rate_ppm"))
       .select(col("*"),
         (col("rate_ppm").cast("double") / lit(1000000.0)).as("rate"))
   }

@@ -347,6 +347,32 @@ object Media {
   def syntheticImages(df: DataFrame, idCol: String): DataFrame =
     df.withColumn("payload", udf(syntheticPng _).apply(col(idCol)))
 
+  /** SOLID-COLOR variant of [[syntheticPng]] for the RESIZE gate (q75):
+    * every pixel is the same id-derived color, so the resized image is
+    * the same solid color at the target dimensions REGARDLESS of the
+    * scaler's sampling choices — which is what makes the full
+    * decode → scale → PNG re-encode → decode roundtrip exactly
+    * predictable by an engine with no image stack (corner-pixel
+    * positions after scaling are implementation detail; a uniform image
+    * erases them).
+    */
+  def syntheticSolidPng(id: Long): Array[Byte] = {
+    val w = 2 + (id % 7).toInt
+    val h = 2 + (id % 5).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def chan(m: Long): Int = ((id * m) % 256).toInt
+    val c = (chan(1) << 16) | (chan(7) << 8) | chan(13)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, c)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** `payload` column of [[syntheticSolidPng]] bytes per id (q75). */
+  def syntheticSolidImages(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("payload", udf(syntheticSolidPng _).apply(col(idCol)))
+
   /** Deterministic frame sampling stub: pick every `stride`-th byte
     * window as a "frame" (the real thing would seek keyframes). Shows the
     * explode-to-frames shape: one row per sampled frame.

@@ -543,6 +543,25 @@ object LlmQueries {
             col("text")))
           .otherwise(col("text")).as("text"))
       Dedup.repeatedSpanStats(d, "doc_id", "text")
+    },
+
+    // REAL image RESIZE under the cross-engine gate: solid-color PNGs
+    // (uniform pixels erase the scaler's sampling choices) pushed through
+    // the production decode → NN-scale → PNG re-encode path, then decoded
+    // back — target dims and the (uniform) corner checksum are exactly
+    // predictable from the generation parameters. Closes the loop on all
+    // three real codec paths: decode (q71), audio (q72), transcode (q75).
+    "q75_image_resize" -> { (s, dir) =>
+      val M = graft.multimodal.Media
+      val d = M.syntheticSolidImages(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      val resized = M.resize(d, width = 3, height = 3, M.ImageIoTranscoder)
+      M.featureTable(resized, "doc_id", M.ImageIoDecoder)
+        .select(col("doc_id"),
+          col("features.decoded").as("decoded"),
+          col("features.width").as("width"),
+          col("features.height").as("height"),
+          col("features.checksum").as("checksum"))
     }
   )
 
@@ -844,7 +863,7 @@ object LlmQueries {
     "q58_mix_rates" ->
       """SELECT lang, n_docs, stratum_tokens, total_tokens, n_strata,
         |  least(1000000, CAST(
-        |    (total_tokens * 1000000) // (n_strata * stratum_tokens)
+        |    (total_tokens::HUGEINT * 1000000) // (n_strata * stratum_tokens)
         |    AS BIGINT)) AS rate_ppm
         |FROM (
         |  SELECT lang, n_docs, stratum_tokens,
@@ -1240,6 +1259,18 @@ object LlmQueries {
         |    + ((doc_id * 17) % 256) * 65536 + ((doc_id * 19) % 256) * 256
         |    + (doc_id * 23) % 256 AS checksum
         |FROM documents""".stripMargin,
+    // q75: uniform color c survives decode → NN-scale → PNG re-encode →
+    // decode exactly (PNG is lossless, scaling a constant image is the
+    // constant image), so the roundtrip must report 3×3 and checksum
+    // c·31 + c = c·32 — any drift in the transcoder (dims, color model,
+    // lossy re-encode, fallback taken) breaks the hash.
+    "q75_image_resize" ->
+      """SELECT doc_id, true AS decoded,
+        |  CAST(3 AS INTEGER) AS width,
+        |  CAST(3 AS INTEGER) AS height,
+        |  ((doc_id % 256) * 65536 + ((doc_id * 7) % 256) * 256
+        |    + (doc_id * 13) % 256) * 32 AS checksum
+        |FROM documents""".stripMargin,
     // q72: the oracle re-derives the WAV decoder's report from the
     // generation parameters (Media.syntheticWav): 8 kHz mono 16-bit PCM,
     // 16 + id%32 frames, sample k = ((id·31 + k·17) mod 65536) − 32768.
@@ -1477,7 +1508,7 @@ object LlmQueries {
         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
         |rates AS (
         |  SELECT lang, least(1000000, CAST(
-        |    (CAST(SUM(stratum_tokens) OVER () AS BIGINT) * 1000000)
+        |    (CAST(SUM(stratum_tokens) OVER () AS HUGEINT) * 1000000)
         |      // (COUNT(*) OVER () * stratum_tokens) AS BIGINT)) AS rate_ppm
         |  FROM (SELECT lang, SUM(n_tokens) AS stratum_tokens
         |        FROM clean GROUP BY 1)),

@@ -316,6 +316,23 @@ class LlmSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("mix rates: rate_ppm long division exact where naive T*10^6 overflows") {
+    import spark.implicits._
+    // ~25e12 total tokens (a ~100 TB corpus): the naive (total * 10^6)
+    // exceeds Long.MaxValue, so this pins the base-1000 long-division
+    // formula against BigInt ground truth in exactly the regime the
+    // engine is designed for.
+    val strata = Seq(("a", 20000000000000L), ("b", 4999999999999L), ("c", 3L))
+    val df = strata.toDF("lang", "n")
+    val out = llm.Corpus.mixRates(df, "lang", col("n")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("rate_ppm")).toMap
+    val total = BigInt(strata.map(_._2).sum)
+    strata.foreach { case (l, n) =>
+      val exp = (total * 1000000 / (BigInt(3) * n)).min(1000000).toLong
+      assert(out(l) == exp, s"$l: got ${out(l)}, expected $exp")
+    }
+  }
+
   test("component-best: max score wins, ties break to smallest id") {
     import spark.implicits._
     // Component 1: clear winner (id 3, score 9). Component 2: tie on
