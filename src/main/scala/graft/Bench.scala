@@ -50,11 +50,14 @@ object Bench {
     // 3-run session the accumulated heap history otherwise taxes
     // whichever queries run mid-suite (the rounds 7-8 "phantom 3-5×
     // regressions on untouched code"). clearCache drops named cached
-    // plans; the explicit GC lets ContextCleaner reclaim checkpoint
-    // blocks before the next query is timed.
+    // plans; the explicit GC enqueues the orphaned checkpoint blocks for
+    // ContextCleaner, whose removals run on its OWN thread — the short
+    // pause is a best-effort drain so that work lands here, in the
+    // untimed gap, rather than inside the next query's measurement.
     def hygiene(): Unit = {
       spark.catalog.clearCache()
       System.gc()
+      Thread.sleep(250)
     }
     val results = names.map { n =>
       val v = (1 to runs).map(_ => run(n)).min

@@ -59,9 +59,10 @@ object Corpus {
     * Output is float-robust by construction: the exact integer components
     * (`n_docs`, `stratum_tokens`, `total_tokens`, `n_strata`) carry the
     * full information, and the cross-engine-comparable form of the rate is
-    * `rate_ppm` — parts-per-million computed in PURE BIGINT arithmetic
-    * (`least(1000000, (total_tokens * 1000000) div (n_strata *
-    * stratum_tokens))`), which every engine evaluates bit-identically.
+    * `rate_ppm` — parts-per-million, floor(total_tokens·10⁶ / (n_strata ·
+    * stratum_tokens)) computed in PURE BIGINT arithmetic via base-1000
+    * long division (see the inline note), which every engine evaluates
+    * bit-identically.
     * The convenience double `rate` is kept for library callers
     * ([[stratifiedSample]] takes fractions) but must never enter a
     * hash-compared surface: rounding a double does NOT transfer across
@@ -79,20 +80,24 @@ object Corpus {
         sum(col("stratum_tokens")).over(w).as("total_tokens"),
         count(lit(1)).over(w).as("n_strata"))
       .select(col("*"),
-        // floor(total_tokens·10⁶ / D) via base-1000 long division
-        // (q1·10⁶ + q2·10³ + q3) instead of the naive (T·10⁶) div D:
-        // T·10⁶ overflows BIGINT once the corpus passes ~9.2e12 tokens
-        // (~37 TB of text) — below this engine's design point. Here the
-        // largest intermediate is (T mod D)·10³ < D·10³, safe until a
-        // stratum denominator reaches ~9.2e15 (petabyte-scale corpora).
-        // Identical floor semantics to the oracle's HUGEINT division.
-        expr("""least(1000000L,
-          (total_tokens div (n_strata * stratum_tokens)) * 1000000L +
-          ((total_tokens % (n_strata * stratum_tokens)) * 1000L
-            div (n_strata * stratum_tokens)) * 1000L +
-          ((total_tokens % (n_strata * stratum_tokens)) * 1000L
-            % (n_strata * stratum_tokens)) * 1000L
-            div (n_strata * stratum_tokens))""").as("rate_ppm"))
+        // min(10⁶, floor(total_tokens·10⁶ / D)) without ever forming
+        // T·10⁶ (which overflows BIGINT once the corpus passes ~9.2e12
+        // tokens, ~37 TB of text — below this engine's design point):
+        // if T >= D the true value is >= 10⁶ and the cap answers
+        // directly — this branch also covers the tiny-stratum regime
+        // where even (T div D)·10⁶ would overflow; otherwise T < D and
+        // base-1000 long division (q2·10³ + q3) computes the exact
+        // floor with every intermediate < D·10³ — safe until a stratum
+        // denominator reaches ~9.2e15 (petabyte-scale corpora).
+        // Identical semantics to the oracle's capped HUGEINT division.
+        expr("""CASE
+          WHEN total_tokens >= n_strata * stratum_tokens THEN 1000000L
+          ELSE
+            ((total_tokens * 1000L) div (n_strata * stratum_tokens))
+              * 1000L +
+            ((total_tokens * 1000L) % (n_strata * stratum_tokens))
+              * 1000L div (n_strata * stratum_tokens)
+          END""").as("rate_ppm"))
       .select(col("*"),
         (col("rate_ppm").cast("double") / lit(1000000.0)).as("rate"))
   }

@@ -230,11 +230,12 @@ object Media {
     * parsing and PCM access ship in the JDK's java.desktop module, no
     * external codecs needed (the same situation as ImageIO for PNG).
     * Reports the container's declared format (sample rate, channels,
-    * frame count) plus an exact signed-16-bit PCM sample sum, through the
+    * frame count) plus an exact signed-16-bit PCM sample sum (both byte
+    * orders: WAV is little-endian, AIFF/AU big-endian), through the
     * same batched per-partition plumbing as [[ImageIoDecoder]]. Payloads
-    * that are not signed 16-bit little-endian PCM (or not audio at all)
-    * take the per-row fallback (`decoded = false`, byte-level features) —
-    * one alien blob never fails the task. Compressed formats (MP3, AAC,
+    * that are not signed 16-bit PCM (or not audio at all) take the
+    * per-row fallback (`decoded = false`, byte-level features) — one
+    * alien blob never fails the task. Compressed formats (MP3, AAC,
     * OGG) have no JDK codec and correctly land on the fallback.
     */
   object WavDecoder extends Decoder {
@@ -263,15 +264,19 @@ object Media {
           val fmt = in.getFormat
           val ok = fmt.getEncoding ==
             javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-            fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
-            in.getFrameLength >= 0
+            fmt.getSampleSizeInBits == 16 && in.getFrameLength >= 0
           if (!ok) None
           else {
+            // Both byte orders: WAV is little-endian PCM, AIFF/AU are
+            // big-endian — all three are JDK-parseable and all three
+            // must land on the real path, not the fallback.
+            val be = fmt.isBigEndian
             val bytes = in.readAllBytes()
             var sum = 0L
             var i = 0
             while (i + 1 < bytes.length) {
-              sum += ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+              sum += (if (be) (bytes(i) << 8) | (bytes(i + 1) & 0xff)
+                      else (bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
               i += 2
             }
             Some(Row(true, fmt.getSampleRate.toInt, fmt.getChannels,

@@ -862,9 +862,9 @@ object LlmQueries {
     // doubles nor round(x, 6) survive the BIGINT-vs-HUGEINT window chain).
     "q58_mix_rates" ->
       """SELECT lang, n_docs, stratum_tokens, total_tokens, n_strata,
-        |  least(1000000, CAST(
-        |    (total_tokens::HUGEINT * 1000000) // (n_strata * stratum_tokens)
-        |    AS BIGINT)) AS rate_ppm
+        |  CAST(least(1000000::HUGEINT,
+        |    (total_tokens::HUGEINT * 1000000) // (n_strata * stratum_tokens))
+        |    AS BIGINT) AS rate_ppm
         |FROM (
         |  SELECT lang, n_docs, stratum_tokens,
         |    CAST(SUM(stratum_tokens) OVER () AS BIGINT) AS total_tokens,
@@ -1507,9 +1507,9 @@ object LlmQueries {
         |  SELECT doc_id, lang, n_tokens FROM dd
         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
         |rates AS (
-        |  SELECT lang, least(1000000, CAST(
+        |  SELECT lang, CAST(least(1000000::HUGEINT,
         |    (CAST(SUM(stratum_tokens) OVER () AS HUGEINT) * 1000000)
-        |      // (COUNT(*) OVER () * stratum_tokens) AS BIGINT)) AS rate_ppm
+        |      // (COUNT(*) OVER () * stratum_tokens)) AS BIGINT) AS rate_ppm
         |  FROM (SELECT lang, SUM(n_tokens) AS stratum_tokens
         |        FROM clean GROUP BY 1)),
         |sampled AS (

@@ -322,7 +322,11 @@ class LlmSpec extends SparkSpec {
     // exceeds Long.MaxValue, so this pins the base-1000 long-division
     // formula against BigInt ground truth in exactly the regime the
     // engine is designed for.
-    val strata = Seq(("a", 20000000000000L), ("b", 4999999999999L), ("c", 3L))
+    // "c" is the killer case: a 1-token stratum in a ~45e12-token corpus
+    // makes T div D ~ 1.5e13, so even (T div D)·10⁶ overflows a long —
+    // only the T >= D cap branch answers it safely (the true value is
+    // clamped to 10⁶ whenever T >= D, so no division is needed there).
+    val strata = Seq(("a", 40000000000000L), ("b", 4999999999999L), ("c", 1L))
     val df = strata.toDF("lang", "n")
     val out = llm.Corpus.mixRates(df, "lang", col("n")).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("rate_ppm")).toMap
@@ -331,6 +335,7 @@ class LlmSpec extends SparkSpec {
       val exp = (total * 1000000 / (BigInt(3) * n)).min(1000000).toLong
       assert(out(l) == exp, s"$l: got ${out(l)}, expected $exp")
     }
+    assert(out("c") == 1000000L) // the capped tiny stratum, explicitly
   }
 
   test("component-best: max score wins, ties break to smallest id") {

@@ -76,10 +76,24 @@ class MediaStreamSpec extends SparkSpec {
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
     }
+    // Big-endian sibling: the same 3 samples as an AIFF container — the
+    // decoder must byte-swap, not fall back (AIFF/AU are big-endian PCM).
+    def aiff(samples: Seq[Int]): Array[Byte] = {
+      val data = samples.flatMap(s =>
+        Seq(((s >> 8) & 0xff).toByte, (s & 0xff).toByte)).toArray
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+      bos.toByteArray
+    }
     val df = Seq((1L, wav(Seq(100, -200, 32767))),
       (2L, Media.syntheticWav(5L)),
       (3L, "definitely not RIFF".getBytes("UTF-8")),
-      (4L, Array.emptyByteArray)).toDF("doc_id", "payload")
+      (4L, Array.emptyByteArray),
+      (5L, aiff(Seq(100, -200, 32767)))).toDF("doc_id", "payload")
     val out = Media.featureTable(df, "doc_id", Media.WavDecoder)
       .select(col("doc_id"), col("features.*")).collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -97,6 +111,11 @@ class MediaStreamSpec extends SparkSpec {
     // Non-audio and empty payloads take the flagged fallback.
     assert(!out(3L).getAs[Boolean]("decoded"))
     assert(!out(4L).getAs[Boolean]("decoded"))
+    // The AIFF (big-endian) payload decodes to the SAME samples as the
+    // WAV — byte order handled, real path taken.
+    assert(out(5L).getAs[Boolean]("decoded"))
+    assert(out(5L).getAs[Long]("n_frames") == 3L)
+    assert(out(5L).getAs[Long]("pcm_sum") == 100L - 200L + 32767L)
   }
 
   test("multimodal: ImageIO transcoder resizes a real PNG through the batch path") {
