@@ -73,11 +73,11 @@ object ScaleProbe {
         col("label"))
     }).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    // q60 (the composed pipeline) is deliberately NOT probed: its quality
-    // gate measures real token lengths and English stopwords, which no
-    // content-preserving replica survives (the token renaming lengthens
-    // every token → the gate empties the corpus and the "probe" times an
-    // empty pipeline). Its stages are probed individually instead.
+    // q60 (the composed pipeline) cannot ride THIS token-suffix replica:
+    // its quality gate measures token lengths and English stopwords,
+    // which the suffix renaming destroys (the gate would empty the
+    // corpus and the "probe" would time an empty pipeline). It gets its
+    // own GATE-PRESERVING replica + stage-timed probe further below.
     val probes = Seq("q33_minhash_neardup", "q37_cube_observations",
       "q43_cube_full_kinds", "q51_simhash_neardup", "q55_dedup_components",
       "q61_line_dedup", "q62_kmeans", "q64_semdedup",
@@ -101,15 +101,22 @@ object ScaleProbe {
     // empty pipeline. Instead, each replica applies a LENGTH-PRESERVING
     // bijection to every NON-stopword token: token lengths, whitespace,
     // stopword occurrences, and bigram-repetition structure are all
-    // exactly preserved (the gate sees identical statistics — verified:
-    // survivors scale exactly N×), while non-stopword token images under
-    // distinct bijections are disjoint in practice (an 8-token span or
+    // preserved, while non-stopword token images under distinct
+    // bijections are disjoint in practice (an 8-token span or
     // 0.8-jaccard shingle set colliding across bijections would need
     // many simultaneous single-token coincidences), so dedup and
     // decontamination structure scales instead of every doc gaining N−1
     // twins. The family composes three independent involution axes —
     // Caesar rotation (26) × atbash reflection (2) × whole-word reversal
     // (2) = 104 distinct bijections, enough for a 100× probe.
+    //
+    // Caveat the hard assert below exists for: a non-stopword token's
+    // IMAGE can itself land on a stopword ('b' → 'a' under shift 25),
+    // nudging that replica's stopword ratio — preservation is a
+    // statistical fact about this corpus, not a theorem. The probe
+    // therefore VERIFIES gate parity per run instead of assuming it:
+    // if survivors are not exactly replicas × the sf0.1 count, the
+    // replica is distorting the workload and the run aborts.
     if (nameFilter.isEmpty ||
         nameFilter.exists("q60_curation_pipeline".contains)) {
       require(replicas <= 104,
@@ -132,58 +139,36 @@ object ScaleProbe {
           docs.columns.filterNot(Set("doc_id", "text")).map(col): _*)
       }).write.mode("overwrite").parquet(s"$gateDir/documents.parquet")
 
-      // Stage-timed mirror of LlmQueries q60 (same library calls, same
-      // checkpoint boundaries) so the SCALE.md row can attribute the wall
-      // time per stage, not just end to end.
+      def gateSurvivors(dir: String): Long =
+        spark.read.parquet(s"$dir/documents.parquet")
+          .filter(graft.llm.TextAnalysis.corpusGateFlags(col("text"))
+            .getField("keep")).count()
+      val (base, repl) = (gateSurvivors(sf01), gateSurvivors(gateDir))
+      require(repl == base * replicas,
+        s"gate replica distorts the quality gate: $base sf0.1 survivors " +
+          s"× $replicas replicas != $repl — bijection/stopword collision")
+      println(s"PROBE q60_gate_parity $base x $replicas = $repl OK")
+
+      // Stage-timed run of the EXACT q60 body: LlmQueries.curationPipeline
+      // is shared verbatim between the gated query and this probe, with
+      // the stage hook timing each materialization boundary here (the
+      // checkpointed stages are eager; the final lazy stage is forced
+      // with a noop write inside its timing window).
       def q60Stages(dir: String, scale: String): Unit = {
-        import graft.llm.{Corpus, Dedup, TextAnalysis => TA}
-        def timed[T](stage: String)(f: => T): T = {
-          val t0 = System.nanoTime(); val r = f
+        def timed(stage: String, f: () => DataFrame): DataFrame = {
+          val t0 = System.nanoTime()
+          val df = f()
+          if (stage == "rates+sample+pack")
+            df.write.format("noop").mode("overwrite").save()
           if (scale != "warmup")
             println(f"PROBE q60_stage:$stage $scale " +
               f"${(System.nanoTime() - t0) / 1e9}%.2f s")
-          r
+          df
         }
-        val d = spark.read.parquet(s"$dir/documents.parquet")
-          .select(col("doc_id"), col("lang"), col("text"))
-        val reps = timed("quality+exact_dedup") {
-          val quality = d.withColumn("_f", TA.corpusGateFlags(col("text")))
-            .filter(col("_f.keep")).drop("_f")
-          Dedup.exactDups(quality, "doc_id", "text")
-            .filter(col("doc_id") === col("canonical_id"))
-            .select(col("doc_id"), col("lang"), col("text"))
-            .localCheckpoint(true)
-        }
-        val pairs = timed("minhash_neardup") {
-          Dedup.minhashNearDups(reps, "doc_id", "text")
-        }
-        val clean = timed("decontaminate") {
-          val deduped = reps.join(
-            pairs.select(col("d2").as("doc_id")).distinct(),
-            Seq("doc_id"), "left_anti")
-          val bench = d.filter(col("doc_id") % 97 === 0)
-            .select((col("doc_id") + 3000000).as("doc_id"),
-              concat(col("text"), lit(" bb1 bb2")).as("text"))
-          val leaks = Corpus.contamination(deduped, bench, "doc_id", "text",
-            minShared = 5)
-          deduped.join(
-            leaks.select(col("corpus_id").as("doc_id")).distinct(),
-            Seq("doc_id"), "left_anti")
-            .localCheckpoint(true)
-        }
-        timed("rates+sample+pack") {
-          val rates = Corpus.mixRates(clean, "lang",
-            TA.tokenCount(col("text")))
-          val sampled = clean
-            .withColumn("n_tokens", TA.tokenCount(col("text")))
-            .join(broadcast(rates.select(col("lang"), col("rate_ppm"))),
-              Seq("lang"))
-            .filter(Corpus.hashU32(col("doc_id"), "mix:") * lit(1000000L) <
-              col("rate_ppm") * lit(4294967296L))
-          Corpus.packSequences(sampled, "doc_id", "lang", col("n_tokens"),
-            budget = 256)
-            .write.format("noop").mode("overwrite").save()
-        }
+        graft.operators.LlmQueries.curationPipeline(
+          spark.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("lang"), col("text")),
+          timed)
       }
       q60Stages(sf01, "warmup") // codegen + scan warmup, unrecorded
       q60Stages(sf01, "sf0.1")

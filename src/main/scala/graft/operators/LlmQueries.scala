@@ -13,6 +13,87 @@ import graft.llm.{Corpus, Dedup, Similarity, TextAnalysis => TA}
   */
 object LlmQueries {
 
+  /** The q60 curation pipeline body — shared VERBATIM between the gated
+    * query and ScaleProbe's stage-timed probe so the two cannot drift:
+    * `stage` wraps each materialization boundary (the query passes it
+    * through; the probe times and forces it). Scale shape: two map-only
+    * filters, the dedup/decon stages' keyed shuffles (each individually
+    * audited), a 5-row broadcast rate join, and one per-stratum window —
+    * nothing here adds a shuffle the component operators don't already
+    * pay.
+    */
+  private[graft] def curationPipeline(
+      d: DataFrame,
+      stage: (String, () => DataFrame) => DataFrame =
+        (_, f) => f()): DataFrame = {
+    // 1+2. Quality gate (map-only codegen'd corpusGateFlags, shared with
+    //      q56 and the stream) + exact-dedup canonical representatives.
+    //      Materialized: the quality+window lineage otherwise re-executes
+    //      inside the near-dup signatures, the anti-join, the
+    //      decontamination shingles, and both rate/sample consumers.
+    val reps = stage("quality+exact_dedup", () => {
+      val quality = d
+        .withColumn("_f", TA.corpusGateFlags(col("text")))
+        .filter(col("_f.keep")).drop("_f")
+      Dedup.exactDups(quality, "doc_id", "text")
+        .filter(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id"), col("lang"), col("text"))
+        .localCheckpoint(true)
+    })
+    // 3. Near-dup pairs (eagerly materialized inside minhashNearDups);
+    //    downstream drops the larger id of every verified pair (pair set
+    //    is small → AQE broadcasts the anti-join side).
+    val pairs = stage("minhash_neardup", () =>
+      Dedup.minhashNearDups(reps, "doc_id", "text"))
+    // 4. Decontaminate vs the q57 synthetic benchmark set. Materialized:
+    //    the decontamination join would otherwise re-run for each of the
+    //    two consumers below (rates and the sampler).
+    val clean = stage("decontaminate", () => {
+      val deduped = reps.join(
+        pairs.select(col("d2").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val bench = d.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat(col("text"), lit(" bb1 bb2")).as("text"))
+      val leaks = Corpus.contamination(deduped, bench, "doc_id", "text",
+        minShared = 5)
+      deduped.join(
+        leaks.select(col("corpus_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+    })
+    // 5+6. Mix rates over the SURVIVING corpus (5 rows — broadcast by
+    //      construction) → the sampler's pure-BIGINT keep/drop decision
+    //      (draw/2³² < rate_ppm/10⁶ ⟺ draw·10⁶ < rate_ppm·2³², both
+    //      products < 2⁶³ — no double ever enters it) → pack into
+    //      256-token training sequences.
+    stage("rates+sample+pack", () => {
+      val rates = Corpus.mixRates(clean, "lang", TA.tokenCount(col("text")))
+      val sampled = clean
+        .withColumn("n_tokens", TA.tokenCount(col("text")))
+        .join(broadcast(rates.select(col("lang"), col("rate_ppm"))),
+          Seq("lang"))
+        .filter(Corpus.hashU32(col("doc_id"), "mix:") * lit(1000000L) <
+          col("rate_ppm") * lit(4294967296L))
+      Corpus.packSequences(sampled, "doc_id", "lang", col("n_tokens"),
+        budget = 256)
+    })
+  }
+
+  /** Dup-injected corpus shared by the SimHash-family gates (q51, q55,
+    * q70, q73): every 20th doc gains an exact copy (+1000000), every
+    * 20th+10 a one-token perturbation (+2000000). One definition so the
+    * four gates (and their oracles' `corpus` CTE) can never diverge.
+    */
+  private def dupInjectedCorpus(d: DataFrame): DataFrame = {
+    val exact = d.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val perturbed = d.filter(col("doc_id") % 20 === 10)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        concat(col("text"), lit(" qq7")).as("text"))
+    d.unionByName(exact).unionByName(perturbed)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tokenize + quality metrics (map-only at any scale).
     "q30_text_stats" -> { (s, dir) =>
@@ -121,13 +202,8 @@ object LlmQueries {
     // small but text-dependent — the gate is value-sensitive, not just
     // membership-sensitive.
     "q51_simhash_neardup" -> { (s, dir) =>
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val exact = d.filter(col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-      val perturbed = d.filter(col("doc_id") % 20 === 10)
-        .select((col("doc_id") + 2000000).as("doc_id"),
-          concat(col("text"), lit(" qq7")).as("text"))
-      Dedup.simhashNearDups(d.unionByName(exact).unionByName(perturbed),
+      Dedup.simhashNearDups(dupInjectedCorpus(
+        t(s, dir, "documents").select(col("doc_id"), col("text"))),
         "doc_id", "text")
     },
 
@@ -160,13 +236,8 @@ object LlmQueries {
     // superlinear at 10⁶ docs in SCALE.md; q51 keeps the 32-bit form as
     // its own gate). Oracle: recursive CTE over the same pair graph.
     "q55_dedup_components" -> { (s, dir) =>
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val exact = d.filter(col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-      val perturbed = d.filter(col("doc_id") % 20 === 10)
-        .select((col("doc_id") + 2000000).as("doc_id"),
-          concat(col("text"), lit(" qq7")).as("text"))
-      val corpus = d.unionByName(exact).unionByName(perturbed)
+      val corpus = dupInjectedCorpus(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
       val pairs = Dedup.simhashNearDups64(corpus, "doc_id", "text")
       Dedup.connectedComponents(pairs, "d1", "d2",
         corpus.select(col("doc_id")), "doc_id")
@@ -280,53 +351,8 @@ object LlmQueries {
     // and one per-stratum window — nothing here adds a shuffle the
     // component operators don't already pay.
     "q60_curation_pipeline" -> { (s, dir) =>
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("text"))
-      // 1. Quality gate (map-only codegen'd flags — the canonical
-      //    corpusGateFlags thresholds, shared with q56 and the stream).
-      val quality = d
-        .withColumn("_f", TA.corpusGateFlags(col("text")))
-        .filter(col("_f.keep")).drop("_f")
-      // 2. Exact dedup: keep canonical representatives. Materialized:
-      //    the quality+window lineage otherwise re-executes inside the
-      //    near-dup signatures, the anti-join, the decontamination
-      //    shingles, and both rate/sample consumers downstream.
-      val reps = Dedup.exactDups(quality, "doc_id", "text")
-        .filter(col("doc_id") === col("canonical_id"))
-        .select(col("doc_id"), col("lang"), col("text"))
-        .localCheckpoint(true)
-      // 3. Near-dup removal: drop the larger id of every verified pair
-      //    (pair set is small → AQE broadcasts the anti-join side).
-      val pairs = Dedup.minhashNearDups(reps, "doc_id", "text")
-      val deduped = reps.join(
-        pairs.select(col("d2").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
-      // 4. Decontaminate vs the q57 synthetic benchmark set.
-      val bench = d.filter(col("doc_id") % 97 === 0)
-        .select((col("doc_id") + 3000000).as("doc_id"),
-          concat(col("text"), lit(" bb1 bb2")).as("text"))
-      val leaks = Corpus.contamination(deduped, bench, "doc_id", "text",
-        minShared = 5)
-      //    Materialized: the decontamination join would otherwise re-run
-      //    for each of the two consumers below (rates and the sampler).
-      val clean = deduped.join(
-        leaks.select(col("corpus_id").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
-        .localCheckpoint(true)
-      // 5. Mix rates over the SURVIVING corpus (5 rows — broadcast by
-      //    construction), handed straight to the sampler's decision.
-      //    The keep/drop comparison is pure BIGINT on both engines:
-      //    draw/2³² < rate_ppm/10⁶  ⟺  draw·10⁶ < rate_ppm·2³²
-      //    (both products < 2⁶³) — no double ever enters the decision.
-      val rates = Corpus.mixRates(clean, "lang", TA.tokenCount(col("text")))
-      val sampled = clean
-        .withColumn("n_tokens", TA.tokenCount(col("text")))
-        .join(broadcast(rates.select(col("lang"), col("rate_ppm"))), Seq("lang"))
-        .filter(Corpus.hashU32(col("doc_id"), "mix:") * lit(1000000L) <
-          col("rate_ppm") * lit(4294967296L))
-      // 6. Pack the sampled stream into 256-token training sequences.
-      Corpus.packSequences(sampled, "doc_id", "lang", col("n_tokens"),
-        budget = 256)
+      curationPipeline(t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text")))
     },
 
     // Line-level dedup stats (CCNet/RefinedWeb boilerplate signal):
@@ -404,13 +430,8 @@ object LlmQueries {
     // join's pigeonhole recall (hamming <= 3 < 4 bands) keeps the
     // all-pairs oracle fair, exactly as for 32-bit q51.
     "q70_simhash64_neardup" -> { (s, dir) =>
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val exact = d.filter(col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-      val perturbed = d.filter(col("doc_id") % 20 === 10)
-        .select((col("doc_id") + 2000000).as("doc_id"),
-          concat(col("text"), lit(" qq7")).as("text"))
-      Dedup.simhashNearDups64(d.unionByName(exact).unionByName(perturbed),
+      Dedup.simhashNearDups64(dupInjectedCorpus(
+        t(s, dir, "documents").select(col("doc_id"), col("text"))),
         "doc_id", "text")
     },
 
@@ -513,13 +534,8 @@ object LlmQueries {
     // numerically-first one. One keyed window shuffle on top of the
     // audited component pipeline.
     "q73_component_best" -> { (s, dir) =>
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val exact = d.filter(col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-      val perturbed = d.filter(col("doc_id") % 20 === 10)
-        .select((col("doc_id") + 2000000).as("doc_id"),
-          concat(col("text"), lit(" qq7")).as("text"))
-      val corpus = d.unionByName(exact).unionByName(perturbed)
+      val corpus = dupInjectedCorpus(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
       val pairs = Dedup.simhashNearDups64(corpus, "doc_id", "text")
       val comps = Dedup.connectedComponents(pairs, "d1", "d2",
         corpus.select(col("doc_id")), "doc_id")
@@ -570,6 +586,60 @@ object LlmQueries {
     s"len(list_filter(tk, x -> list_contains($listSql, x)))"
   private def swList(lang: String): String =
     TA.stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** Shared DuckDB oracle fragments mirroring [[dupInjectedCorpus]] and
+    * `Dedup.simhash64` — ONE copy of the dup-injected corpus CTE, the
+    * 64-bit md5/HUGEINT signature chain, and the connected-components
+    * label CTE, composed by the q55/q70/q73 oracles below so the three
+    * gates can never diverge from each other.
+    */
+  private val dupCorpusSql: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text || ' qq7' FROM documents
+      |  WHERE doc_id % 20 = 10)""".stripMargin
+
+  private val sig64Sql: String = dupCorpusSql + ",\n" +
+    """tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+      |  FROM corpus),
+      |h AS (
+      |  SELECT doc_id, list_reduce(list_transform(
+      |    string_split(substr(md5(t), 1, 16), ''),
+      |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),
+      |    (a, b) -> a * 16 + b) AS hv
+      |  FROM tok),
+      |bits AS (
+      |  SELECT doc_id, g.b AS b,
+      |    CAST((hv // (1::HUGEINT << g.b)) % 2 AS BIGINT) AS bit
+      |  FROM h, LATERAL UNNEST(generate_series(0, 63)) AS g(b)),
+      |votes AS (
+      |  SELECT doc_id, b, SUM(2 * bit - 1) AS vote
+      |  FROM bits GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id, CAST(CASE WHEN s >= (1::HUGEINT << 63)
+      |      THEN s - (1::HUGEINT << 64) ELSE s END AS BIGINT) AS simhash
+      |  FROM (
+      |    SELECT doc_id, SUM(CASE WHEN vote > 0 THEN (1::HUGEINT << b)
+      |      ELSE 0::HUGEINT END) AS s
+      |    FROM votes GROUP BY 1))""".stripMargin
+
+  private val cc64Sql: String = sig64Sql + ",\n" +
+    """pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      |edges AS (
+      |  SELECT d1 AS a, d2 AS b FROM pairs
+      |  UNION ALL
+      |  SELECT d2, d1 FROM pairs),
+      |lbl AS (
+      |  SELECT doc_id AS v, doc_id AS m FROM corpus
+      |  UNION
+      |  SELECT e.a AS v, lbl.m AS m FROM edges e JOIN lbl ON lbl.v = e.b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q30_text_stats" ->
@@ -784,50 +854,8 @@ object LlmQueries {
     // dedups across iterations, so cycles terminate); min over all
     // reachable labels = the component id.
     "q55_dedup_components" ->
-      """WITH RECURSIVE corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, text || ' qq7' FROM documents
-        |  WHERE doc_id % 20 = 10),
-        |tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
-        |  FROM corpus),
-        |h AS (
-        |  SELECT doc_id, list_reduce(list_transform(
-        |    string_split(substr(md5(t), 1, 16), ''),
-        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),
-        |    (a, b) -> a * 16 + b) AS hv
-        |  FROM tok),
-        |bits AS (
-        |  SELECT doc_id, g.b AS b,
-        |    CAST((hv // (1::HUGEINT << g.b)) % 2 AS BIGINT) AS bit
-        |  FROM h, LATERAL UNNEST(generate_series(0, 63)) AS g(b)),
-        |votes AS (
-        |  SELECT doc_id, b, SUM(2 * bit - 1) AS vote
-        |  FROM bits GROUP BY 1, 2),
-        |sig AS (
-        |  SELECT doc_id, CAST(CASE WHEN s >= (1::HUGEINT << 63)
-        |      THEN s - (1::HUGEINT << 64) ELSE s END AS BIGINT) AS simhash
-        |  FROM (
-        |    SELECT doc_id, SUM(CASE WHEN vote > 0 THEN (1::HUGEINT << b)
-        |      ELSE 0::HUGEINT END) AS s
-        |    FROM votes GROUP BY 1)),
-        |pairs AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-        |edges AS (
-        |  SELECT d1 AS a, d2 AS b FROM pairs
-        |  UNION ALL
-        |  SELECT d2, d1 FROM pairs),
-        |lbl AS (
-        |  SELECT doc_id AS v, doc_id AS m FROM corpus
-        |  UNION
-        |  SELECT e.a AS v, lbl.m AS m FROM edges e JOIN lbl ON lbl.v = e.b)
-        |SELECT v AS doc_id, min(m) AS component_id
-        |FROM lbl GROUP BY v""".stripMargin,
+      ("WITH RECURSIVE " + cc64Sql + "\n" +
+        "SELECT v AS doc_id, min(m) AS component_id FROM lbl GROUP BY v"),
     // q52: the md5-keyed draw mirrored digit-for-digit (Corpus.hashUnit).
     "q52_stratified_sample" ->
       """SELECT doc_id, lang, u FROM (
@@ -1210,40 +1238,11 @@ object LlmQueries {
     // long carries (s >= 2^63 → s - 2^64), so the hamming verify is plain
     // BIGINT xor + bit_count on both engines.
     "q70_simhash64_neardup" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, text || ' qq7' FROM documents
-        |  WHERE doc_id % 20 = 10),
-        |tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
-        |  FROM corpus),
-        |h AS (
-        |  SELECT doc_id, list_reduce(list_transform(
-        |    string_split(substr(md5(t), 1, 16), ''),
-        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),
-        |    (a, b) -> a * 16 + b) AS hv
-        |  FROM tok),
-        |bits AS (
-        |  SELECT doc_id, g.b AS b,
-        |    CAST((hv // (1::HUGEINT << g.b)) % 2 AS BIGINT) AS bit
-        |  FROM h, LATERAL UNNEST(generate_series(0, 63)) AS g(b)),
-        |votes AS (
-        |  SELECT doc_id, b, SUM(2 * bit - 1) AS vote
-        |  FROM bits GROUP BY 1, 2),
-        |sig AS (
-        |  SELECT doc_id, CAST(CASE WHEN s >= (1::HUGEINT << 63)
-        |      THEN s - (1::HUGEINT << 64) ELSE s END AS BIGINT) AS simhash
-        |  FROM (
-        |    SELECT doc_id, SUM(CASE WHEN vote > 0 THEN (1::HUGEINT << b)
-        |      ELSE 0::HUGEINT END) AS s
-        |    FROM votes GROUP BY 1))
-        |SELECT a.doc_id AS d1, b.doc_id AS d2,
-        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+      ("WITH " + sig64Sql + "\n" +
+        """SELECT a.doc_id AS d1, b.doc_id AS d2,
+          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
     // q71: the oracle re-derives the decoder's report from the PNG
     // GENERATION parameters (Media.syntheticPng): dims are 2 + id%7 ×
     // 2 + id%5, the checksum is corner00_rgb * 31 + cornerWH_rgb with
@@ -1290,62 +1289,21 @@ object LlmQueries {
     // max-token-count member per component (ties -> smallest id). The
     // quality proxy is integer-exact on both engines.
     "q73_component_best" ->
-      """WITH RECURSIVE corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, text || ' qq7' FROM documents
-        |  WHERE doc_id % 20 = 10),
-        |tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
-        |  FROM corpus),
-        |h AS (
-        |  SELECT doc_id, list_reduce(list_transform(
-        |    string_split(substr(md5(t), 1, 16), ''),
-        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),
-        |    (a, b) -> a * 16 + b) AS hv
-        |  FROM tok),
-        |bits AS (
-        |  SELECT doc_id, g.b AS b,
-        |    CAST((hv // (1::HUGEINT << g.b)) % 2 AS BIGINT) AS bit
-        |  FROM h, LATERAL UNNEST(generate_series(0, 63)) AS g(b)),
-        |votes AS (
-        |  SELECT doc_id, b, SUM(2 * bit - 1) AS vote
-        |  FROM bits GROUP BY 1, 2),
-        |sig AS (
-        |  SELECT doc_id, CAST(CASE WHEN s >= (1::HUGEINT << 63)
-        |      THEN s - (1::HUGEINT << 64) ELSE s END AS BIGINT) AS simhash
-        |  FROM (
-        |    SELECT doc_id, SUM(CASE WHEN vote > 0 THEN (1::HUGEINT << b)
-        |      ELSE 0::HUGEINT END) AS s
-        |    FROM votes GROUP BY 1)),
-        |pairs AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-        |edges AS (
-        |  SELECT d1 AS a, d2 AS b FROM pairs
-        |  UNION ALL
-        |  SELECT d2, d1 FROM pairs),
-        |lbl AS (
-        |  SELECT doc_id AS v, doc_id AS m FROM corpus
-        |  UNION
-        |  SELECT e.a AS v, lbl.m AS m FROM edges e JOIN lbl ON lbl.v = e.b),
-        |comps AS (
-        |  SELECT v AS doc_id, min(m) AS component_id FROM lbl GROUP BY v),
-        |members AS (
-        |  SELECT c.doc_id, comps.component_id,
-        |    len(string_split_regex(trim(c.text), '\s+')) AS n_tokens
-        |  FROM corpus c JOIN comps USING (doc_id))
-        |SELECT component_id, doc_id AS kept_doc_id, n_tokens, n_members
-        |FROM (
-        |  SELECT component_id, doc_id, n_tokens,
-        |    ROW_NUMBER() OVER (PARTITION BY component_id
-        |      ORDER BY n_tokens DESC, doc_id ASC) AS rn,
-        |    COUNT(*) OVER (PARTITION BY component_id) AS n_members
-        |  FROM members)
-        |WHERE rn = 1""".stripMargin,
+      ("WITH RECURSIVE " + cc64Sql + ",\n" +
+        """comps AS (
+          |  SELECT v AS doc_id, min(m) AS component_id FROM lbl GROUP BY v),
+          |members AS (
+          |  SELECT c.doc_id, comps.component_id,
+          |    len(string_split_regex(trim(c.text), '\s+')) AS n_tokens
+          |  FROM corpus c JOIN comps USING (doc_id))
+          |SELECT component_id, doc_id AS kept_doc_id, n_tokens, n_members
+          |FROM (
+          |  SELECT component_id, doc_id, n_tokens,
+          |    ROW_NUMBER() OVER (PARTITION BY component_id
+          |      ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+          |    COUNT(*) OVER (PARTITION BY component_id) AS n_members
+          |  FROM members)
+          |WHERE rn = 1""".stripMargin),
     // q74: sliding 8-token windows (full windows only; DuckDB list
     // slices are inclusive, so tk[i : i+7] is 8 tokens), duplicated iff
     // the literal span text occurs in >= 2 distinct docs — the md5 span
