@@ -146,6 +146,59 @@ object Corpus {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[contamination]] with a decision-grade intensity column:
+    * `overlap_ppm` = parts-per-million of the BENCH document's distinct
+    * shingles found in the corpus document — the fraction a real
+    * decontamination threshold reads (5 shared shingles means something
+    * different against a 10-shingle eval item than a 10,000-shingle one).
+    * Pure BIGINT on any engine: n_shared ≤ n_bench_shingles, and
+    * n_shared·10⁶ stays far under 2⁶³ for any real document. Same scale
+    * shape as [[contamination]] plus one broadcast-sized join against
+    * the bench shingle counts.
+    */
+  def contaminationRatio(corpus: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, minShared: Int = 5,
+                         k: Int = 3): DataFrame = {
+    val sizes = bench.select(col(idCol).as("bench_id"),
+      size(array_distinct(Dedup.shingles(col(textCol), k)))
+        .as("n_bench_shingles"))
+    contamination(corpus, bench, idCol, textCol, minShared, k)
+      .join(broadcast(sizes), Seq("bench_id"))
+      .select(col("corpus_id"), col("bench_id"), col("n_shared"),
+        col("n_bench_shingles"),
+        expr("(n_shared * 1000000L) div n_bench_shingles")
+          .as("overlap_ppm"))
+  }
+
+  /** Out-of-vocabulary scoring: per document, how many token occurrences
+    * fall outside the corpus's own top-`vocabSize` unigram vocabulary
+    * (count-desc, token-asc total order — deterministic at the rank
+    * boundary). High OOV fraction is the standard garbled-text /
+    * wrong-language signal when no external vocabulary is in the loop.
+    * Integer-exact output: (idCol, n_tokens, n_oov).
+    *
+    * Scale shape: one vocabulary aggregation (map-side combined) whose
+    * top-k is a TakeOrdered (driver-small BY CONSTRUCTION — `vocabSize`
+    * rows, not corpus-sized), broadcast into an anti-join against the
+    * token stream, then one per-doc count — the corpus is never
+    * shuffled except by its own doc key.
+    */
+  def oovCounts(docs: DataFrame, idCol: String, textCol: String,
+                vocabSize: Int = 100): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+    val vocab = tok.groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("_t").asc).limit(vocabSize)
+    val oov = tok.join(broadcast(vocab.select(col("_t"))), Seq("_t"),
+        "left_anti")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_oov"))
+    docs.select(col(idCol), TextAnalysis.tokenCount(col(textCol))
+        .as("n_tokens"))
+      .join(oov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+  }
+
   /** Context-window chunking: split each document's token stream into
     * `chunkTokens`-token chunks starting every `stride` tokens (stride =
     * chunkTokens − overlap; the overlap preserves context across chunk

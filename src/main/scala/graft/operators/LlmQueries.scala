@@ -561,6 +561,25 @@ object LlmQueries {
       Dedup.repeatedSpanStats(d, "doc_id", "text")
     },
 
+    // OOV scoring against the corpus's own top-100 unigram vocabulary —
+    // the garbled-text signal when no external vocab is in the loop.
+    // Vocabulary is a TakeOrdered (100 rows) broadcast into an
+    // anti-join; integer-exact output.
+    "q76_oov_rate" -> { (s, dir) =>
+      Corpus.oovCounts(t(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // Decontamination with decision-grade intensity: q57's leak pairs
+    // plus the fraction of the bench doc's distinct shingles found —
+    // overlap_ppm in pure BIGINT on both engines.
+    "q77_contamination_ratio" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat(col("text"), lit(" bb1 bb2")).as("text"))
+      Corpus.contaminationRatio(d, bench, "doc_id", "text", minShared = 5)
+    },
+
     // REAL image RESIZE under the cross-engine gate: solid-color PNGs
     // (uniform pixels erase the scaler's sampling choices) pushed through
     // the production decode → NN-scale → PNG re-encode path, then decoded
@@ -1243,6 +1262,55 @@ object LlmQueries {
           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
+    // q76: the vocabulary is the corpus's own top-100 unigrams under a
+    // total order (count desc, token asc), so the rank-100 boundary is
+    // deterministic on both engines; everything else is exact counting.
+    "q76_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT t FROM (
+        |    SELECT t, ROW_NUMBER() OVER (ORDER BY count(*) DESC, t ASC) AS rn
+        |    FROM tok GROUP BY t)
+        |  WHERE rn <= 100),
+        |oov AS (
+        |  SELECT doc_id, count(*) AS n_oov FROM tok
+        |  WHERE t NOT IN (SELECT t FROM vocab) GROUP BY 1)
+        |SELECT d.doc_id, len(string_split_regex(trim(d.text), '\s+')) AS n_tokens,
+        |  coalesce(o.n_oov, 0) AS n_oov
+        |FROM documents d LEFT JOIN oov o USING (doc_id)""".stripMargin,
+    // q77: q57's shingle containment plus the bench doc's distinct
+    // shingle count and the BIGINT ppm ratio — all integers.
+    "q77_contamination_ratio" ->
+      """WITH bench AS (
+        |  SELECT doc_id + 3000000 AS doc_id, text || ' bb1 bb2' AS text
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |ctoks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |btoks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM bench),
+        |cs AS (
+        |  SELECT DISTINCT doc_id, array_to_string(tk[i.g:i.g+2], ' ') AS s
+        |  FROM ctoks,
+        |    LATERAL UNNEST(generate_series(1, greatest(len(tk)-2, 1))) AS i(g)),
+        |bs AS (
+        |  SELECT DISTINCT doc_id, array_to_string(tk[i.g:i.g+2], ' ') AS s
+        |  FROM btoks,
+        |    LATERAL UNNEST(generate_series(1, greatest(len(tk)-2, 1))) AS i(g)),
+        |sizes AS (
+        |  SELECT doc_id AS bench_id, count(*) AS n_bench_shingles
+        |  FROM bs GROUP BY 1),
+        |leaks AS (
+        |  SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+        |    count(*) AS n_shared
+        |  FROM cs c JOIN bs b ON c.s = b.s
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT l.corpus_id, l.bench_id, l.n_shared, z.n_bench_shingles,
+        |  (l.n_shared * 1000000) // z.n_bench_shingles AS overlap_ppm
+        |FROM leaks l JOIN sizes z USING (bench_id)""".stripMargin,
     // q71: the oracle re-derives the decoder's report from the PNG
     // GENERATION parameters (Media.syntheticPng): dims are 2 + id%7 ×
     // 2 + id%5, the checksum is corner00_rgb * 31 + cornerWH_rgb with
