@@ -338,6 +338,33 @@ class LlmSpec extends SparkSpec {
     assert(out("c") == 1000000L) // the capped tiny stratum, explicitly
   }
 
+  test("oov: tokens outside the top-k vocab counted, full-vocab docs at zero") {
+    import spark.implicits._
+    // vocabSize 2 → vocab = {a, b} (a:4, b:3); c and d are OOV.
+    val df = Seq((1L, "a b a b"), (2L, "a c d"), (3L, "b a")).toDF("doc_id", "text")
+    val out = llm.Corpus.oovCounts(df, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Long]("n_oov"))).toMap
+    assert(out == Map(1L -> (4, 0L), 2L -> (3, 2L), 3L -> (2, 0L)))
+  }
+
+  test("contamination ratio: overlap_ppm bounded and exact on a planted leak") {
+    import spark.implicits._
+    // Bench doc = corpus doc 1 + two extra tokens: all 6 corpus shingles
+    // of doc 1 appear among the bench doc's 8 → ppm = 6e6 div 8 = 750000.
+    val corpus = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "x1 x2 x3 x4 x5 x6")).toDF("doc_id", "text")
+    val bench = Seq((100L, "w1 w2 w3 w4 w5 w6 w7 w8 e1 e2")).toDF("doc_id", "text")
+    val out = llm.Corpus.contaminationRatio(corpus, bench, "doc_id", "text",
+      minShared = 5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("corpus_id") == 1L)
+    assert(r.getAs[Long]("n_shared") == 6L)
+    assert(r.getAs[Int]("n_bench_shingles") == 8)
+    assert(r.getAs[Long]("overlap_ppm") == 750000L)
+  }
+
   test("component-best: max score wins, ties break to smallest id") {
     import spark.implicits._
     // Component 1: clear winner (id 3, score 9). Component 2: tie on
