@@ -228,6 +228,57 @@ object Corpus {
         col("_chunk").as("chunk"), col("_n_toks").as("n_chunk_tokens"))
   }
 
+  /** Per-document shingle novelty: how many of a document's distinct
+    * k-gram shingles appear for the FIRST time (corpus-wide, by minimum
+    * document id) in this document — the data-pruning signal for "does
+    * this document add anything the corpus hasn't already seen", the
+    * aggregate cousin of near-dup removal (a doc whose shingles all
+    * occurred earlier is pure repetition even if no single earlier doc
+    * matches it). Output: (idCol, n_shingles, n_novel, novelty_ppm), all
+    * integer-exact; novelty_ppm = n_novel·10⁶ div n_shingles is BIGINT-safe
+    * because both counts are bounded by the document's own length.
+    *
+    * Scale shape: two keyed aggregations (per-doc totals; per-shingle
+    * min-id, map-side combined) and one join of two doc-keyed aggregates —
+    * all ordinary shuffles, linear in corpus size. Shingles ride the
+    * min-id shuffle as fixed-width md5 keys, never as text.
+    */
+  def shingleNovelty(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("_id"),
+        explode(Dedup.shingles(col(textCol), k)).as("_s"))
+      .select(col("_id"), md5(col("_s")).as("_sh"))
+    val totals = sh.groupBy(col("_id")).agg(count(lit(1)).as("n_shingles"))
+    val novel = sh.groupBy(col("_sh")).agg(min(col("_id")).as("_id"))
+      .groupBy(col("_id")).agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_ppm",
+        expr("(n_novel * 1000000L) div n_shingles"))
+  }
+
+  /** Deterministic train/validation/test split assignment from the row
+    * key alone: the reproducibility-critical fan-out every training run
+    * does exactly once, so membership must be a pure function of the key
+    * (stable under reruns, cluster layout, and corpus append — a new
+    * document never moves an old one between splits). Rates are integer
+    * parts-per-million; the decision compares the [[hashU32]] draw against
+    * them in pure BIGINT (`draw·10⁶ < ppm·2³²` — both sides < 2⁶³),
+    * mirroring the cross-engine discipline of [[mixRates]]. Map-only:
+    * a codegen'd CASE, no shuffle at any scale.
+    */
+  def splitAssign(key: Column, testPpm: Long = 10000L,
+                  valPpm: Long = 10000L,
+                  salt: String = "split:"): Column = {
+    require(testPpm >= 0 && valPpm >= 0 && testPpm + valPpm <= 1000000L,
+      "split rates must be non-negative ppm summing to <= 1000000")
+    val scaled = hashU32(key, salt) * lit(1000000L)
+    when(scaled < lit(testPpm * 4294967296L), lit("test"))
+      .when(scaled < lit((testPpm + valPpm) * 4294967296L), lit("validation"))
+      .otherwise(lit("train"))
+  }
+
   /** Greedy sequence packing: assign documents, in deterministic
     * (stratum, id) order, to consecutive fixed-token-budget training
     * sequences. A document starts in the sequence its exclusive prefix

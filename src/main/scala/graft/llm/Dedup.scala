@@ -478,6 +478,51 @@ object Dedup {
           col("n_lines")).as("dup_frac"))
   }
 
+  /** The rebuild half of line-level dedup (CCNet's actual transform, not
+    * just its statistic): re-emit every document with its corpus-wide
+    * duplicated lines REMOVED — all instances, including the first, since
+    * a line repeating across `minDocs` distinct documents is boilerplate
+    * wherever it appears. Returns one row per input document:
+    * (idCol, n_lines, n_kept, clean_text) where `clean_text` is the
+    * surviving lines rejoined in original position order (`""` when every
+    * line was boilerplate). Same line unit as [[lineDupStats]].
+    *
+    * Scale shape: the duplicated-line table is aggregation output
+    * (boilerplate-sized), so the anti-join's build side broadcasts; the
+    * rebuild is then ONE doc-keyed shuffle carrying each document's text
+    * exactly once — the unavoidable cost of emitting rewritten documents,
+    * and the same cost class as any corpus rewrite. Line keys ride the
+    * dup-detection aggregations as fixed-width md5, never as line text.
+    */
+  def removeDupLines(docs: DataFrame, idCol: String, textCol: String,
+                     unitTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    // Materialized once: the dup-line aggregation, per-doc totals, and the
+    // rebuild would otherwise each re-run the explode + lead pipeline.
+    val lines = TextAnalysis
+      .tokenChunkRows(docs, idCol, textCol, unitTokens, stride = unitTokens)
+      .filter(col("_chunk") =!= "")
+      .select(col("_id"), col("_pos"), col("_chunk"),
+        md5(col("_chunk")).as("_lh"))
+      .localCheckpoint(true)
+    val dup = lines.select(col("_id"), col("_lh")).distinct()
+      .groupBy(col("_lh")).agg(count(lit(1)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+    val totals = lines.groupBy(col("_id")).agg(count(lit(1)).as("n_lines"))
+    val rebuilt = lines
+      .join(dup.select(col("_lh")), Seq("_lh"), "left_anti")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("_pos"), col("_chunk")))),
+          x => x.getField("_chunk"))).as("clean_text"))
+    docs.select(col(idCol)).join(totals.withColumnRenamed("_id", idCol),
+        Seq(idCol), "left")
+      .join(rebuilt.withColumnRenamed("_id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Cross-document repeated-span detection — the bounded-width
     * relational form of exact-substring dedup (substrings repeated
     * verbatim across documents are memorization fuel; the suffix-array

@@ -597,6 +597,37 @@ object LlmQueries {
           col("features.width").as("width"),
           col("features.height").as("height"),
           col("features.checksum").as("checksum"))
+    },
+
+    // Line-dedup REBUILD — the CCNet transform itself, not just q61's
+    // statistic: the same planted-banner corpus re-emitted with every
+    // corpus-duplicated line removed, clean text reassembled in position
+    // order and hash-compared verbatim against the oracle's string_agg.
+    "q78_line_dedup_rebuild" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("cookie policy accept terms privacy notice all rights "),
+            col("text"))).otherwise(col("text")).as("text"))
+      Dedup.removeDupLines(d, "doc_id", "text")
+    },
+
+    // Per-doc shingle novelty (the data-pruning signal): distinct
+    // shingles, corpus-first occurrences by min doc id, integer ppm.
+    "q79_shingle_novelty" -> { (s, dir) =>
+      Corpus.shingleNovelty(t(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // Deterministic 80/10/10 hash split from the doc key alone —
+    // membership is a pure BIGINT function of md5(key), so it reruns
+    // byte-identically and corpus appends never reshuffle old docs.
+    // Aggregated per (split, lang) in exact integers.
+    "q80_hash_split" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(Corpus.splitAssign(col("doc_id"), testPpm = 100000L,
+            valPpm = 100000L).as("split"), col("lang"),
+          TA.tokenCount(col("text")).as("_n"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("total_tokens"))
     }
   )
 
@@ -1353,6 +1384,72 @@ object LlmQueries {
         |FROM documents,
         |  LATERAL UNNEST(generate_series(0, 15 + doc_id % 32)) AS k(g)
         |GROUP BY doc_id""".stripMargin,
+    // q78: q61's chunk derivation with positions kept, duplicated lines
+    // dropped (all instances), and the survivors string_agg'd back in
+    // position order — byte-identical reassembly on both engines.
+    "q78_line_dedup_rebuild" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN 'cookie policy accept terms privacy notice all rights ' || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |tks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM d),
+        |lines AS (
+        |  SELECT doc_id, i.u AS pos,
+        |    array_to_string(tk[(i.u*8+1):(i.u*8+8)], ' ') AS line
+        |  FROM tks, LATERAL UNNEST(generate_series(0,
+        |    greatest(CAST(ceil(len(tk) / 8.0) AS INT) - 1, 0))) AS i(u)
+        |  WHERE array_to_string(tk[(i.u*8+1):(i.u*8+8)], ' ') != ''),
+        |dup AS (
+        |  SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+        |  GROUP BY line HAVING count(*) >= 2),
+        |totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1),
+        |reb AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(line, ' ' ORDER BY pos) AS clean_text
+        |  FROM lines WHERE line NOT IN (SELECT line FROM dup)
+        |  GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(t.n_lines, 0) AS n_lines,
+        |  COALESCE(r.n_kept, 0) AS n_kept,
+        |  COALESCE(r.clean_text, '') AS clean_text
+        |FROM d LEFT JOIN totals t USING (doc_id)
+        |  LEFT JOIN reb r USING (doc_id)""".stripMargin,
+    // q79: q57's distinct-shingle CTE, per-shingle min doc id, per-doc
+    // first-occurrence counts — the oracle groups by literal shingle
+    // text where Spark groups by its md5 (collision-free, same counts).
+    "q79_shingle_novelty" ->
+      """WITH tks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(tk[i.g:i.g+2], ' ') AS s
+        |  FROM tks,
+        |    LATERAL UNNEST(generate_series(1, greatest(len(tk)-2, 1))) AS i(g)),
+        |totals AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+        |novel AS (
+        |  SELECT doc_id, count(*) AS n_novel FROM (
+        |    SELECT s, min(doc_id) AS doc_id FROM sh GROUP BY 1)
+        |  GROUP BY 1)
+        |SELECT t.doc_id, t.n_shingles, COALESCE(v.n_novel, 0) AS n_novel,
+        |  (COALESCE(v.n_novel, 0) * 1000000) // t.n_shingles AS novelty_ppm
+        |FROM totals t LEFT JOIN novel v USING (doc_id)""".stripMargin,
+    // q80: the q52 md5-draw device in its pure-integer form — the split
+    // CASE compares draw·10⁶ against ppm·2³² in BIGINT on both engines.
+    "q80_hash_split" ->
+      """SELECT CASE
+        |    WHEN draw * 1000000 < 100000 * 4294967296 THEN 'test'
+        |    WHEN draw * 1000000 < 200000 * 4294967296 THEN 'validation'
+        |    ELSE 'train' END AS split,
+        |  lang, count(*) AS n_docs, SUM(n) AS total_tokens
+        |FROM (
+        |  SELECT lang, len(string_split_regex(trim(text), '\s+')) AS n,
+        |    list_reduce(list_transform(
+        |      string_split(substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS draw
+        |  FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
     // q73: the q55 component oracle + a window picking the
     // max-token-count member per component (ties -> smallest id). The
     // quality proxy is integer-exact on both engines.

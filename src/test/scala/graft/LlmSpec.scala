@@ -415,6 +415,65 @@ class LlmSpec extends SparkSpec {
     assert(out(3L) == (2L, 0L))
   }
 
+  test("line-dedup rebuild: dup lines dropped everywhere, order preserved") {
+    import spark.implicits._
+    // "a b" occurs in 3 distinct docs -> boilerplate; every instance
+    // (including doc 3's two copies) is removed from the rebuilt text.
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b x y"),
+      (3L, "a b a b"),
+      (4L, "p q r")). // odd length: "r" is a short tail line, kept
+      toDF("doc_id", "text")
+    val out = Dedup.removeDupLines(df, "doc_id", "text", unitTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) == (3L, 2L, "c d e f"))
+    assert(out(2L) == (2L, 1L, "x y"))
+    assert(out(3L) == (2L, 0L, "")) // fully-boilerplate doc -> empty
+    assert(out(4L) == (2L, 2L, "p q r"))
+  }
+
+  test("shingle novelty: first occurrence by min doc id, ppm exact") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    val df = Seq(
+      (1L, "a b c"),   // "a b", "b c" both first here
+      (2L, "b c d"),   // "b c" seen in doc 1; "c d" novel
+      (3L, "a b c d")) // all three shingles seen earlier
+      .toDF("doc_id", "text")
+    val out = Corpus.shingleNovelty(df, "doc_id", "text", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("novelty_ppm"))).toMap
+    assert(out(1L) == (2L, 2L, 1000000L))
+    assert(out(2L) == (2L, 1L, 500000L))
+    assert(out(3L) == (3L, 0L, 0L))
+  }
+
+  test("hash split: matches an independent md5 reimplementation per key") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    val keys = (0L until 200L).toDF("k")
+    val out = keys
+      .select(col("k"), Corpus.splitAssign(col("k"), testPpm = 100000L,
+        valPpm = 100000L).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def expected(k: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val scaled = java.lang.Long.parseLong(hex, 16) * 1000000L
+      if (scaled < 100000L * 4294967296L) "test"
+      else if (scaled < 200000L * 4294967296L) "validation"
+      else "train"
+    }
+    assert(out == (0L until 200L).map(k => k -> expected(k)).toMap)
+    // the deterministic fixture happens to exercise all three branches
+    assert(out.values.toSet == Set("train", "validation", "test"))
+  }
+
   test("chunking: overlap windows, partial tails, no overlap-only chunks") {
     import spark.implicits._
     import graft.llm.Corpus
