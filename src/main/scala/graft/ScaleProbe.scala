@@ -82,7 +82,8 @@ object ScaleProbe {
       "q43_cube_full_kinds", "q51_simhash_neardup", "q55_dedup_components",
       "q61_line_dedup", "q62_kmeans", "q64_semdedup",
       "q70_simhash64_neardup", "q73_component_best", "q74_repeated_spans",
-      "q76_oov_rate", "q77_contamination_ratio")
+      "q76_oov_rate", "q77_contamination_ratio",
+      "q78_line_dedup_rebuild", "q79_shingle_novelty")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
     // warmup (codegen) at the small scale, unrecorded
     probes.foreach(q =>
