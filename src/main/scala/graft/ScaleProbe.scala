@@ -40,39 +40,6 @@ object ScaleProbe {
     def replicate(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until replicas).map(i => f(df, i)).reduce(_ unionByName _)
 
-    val docs = spark.read.parquet(s"$sf01/documents.parquet")
-    replicate(docs, (d, i) => d.select(
-      Seq((col("doc_id") + i.toLong * 10000000L).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", "$1zq" + i).as("text")) ++
-        docs.columns.filterNot(Set("doc_id", "text")).map(col): _*))
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-
-    val li = spark.read.parquet(s"$sf01/lineitem.parquet")
-    replicate(li, (d, i) => d.withColumn("l_orderkey",
-      col("l_orderkey") + i.toLong * 100000000L))
-      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
-
-    // Embeddings replica: per-replica SIGN-FLIP isometry (dimension j
-    // negated iff bit j of a replica-specific pattern is set) — the
-    // vector-space analogue of the token renaming: norms and all
-    // within-replica angles are exactly preserved, while cross-replica
-    // cosines decorrelate, so cluster structure scales instead of every
-    // vector gaining 9 semantic duplicates.
-    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
-    replicate(emb, (d, i) => {
-      // 64-bit golden-ratio mixing: every dimension gets its own pattern
-      // bit (a 32-bit pattern would mirror the sign mask across the two
-      // 32-dim halves, leaving half-symmetric vectors correlated across
-      // replicas).
-      val pattern = i * 0x9E3779B97F4A7C15L
-      val signs = array((0 until 64).map(j =>
-        lit(if (((pattern >> j) & 1L) == 1L) -1.0f else 1.0f)): _*)
-      d.select(
-        (col("vec_id") + i.toLong * 10000000L).as("vec_id"),
-        zip_with(col("embedding"), signs, (x, s) => x * s).as("embedding"),
-        col("label"))
-    }).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-
     // q60 (the composed pipeline) cannot ride THIS token-suffix replica:
     // its quality gate measures token lengths and English stopwords,
     // which the suffix renaming destroys (the gate would empty the
@@ -85,6 +52,65 @@ object ScaleProbe {
       "q76_oov_rate", "q77_contamination_ratio",
       "q78_line_dedup_rebuild", "q79_shingle_novelty")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
+
+    // Only materialize the replica tables the selected probes read — a
+    // documents-only run must not pay for a 1000× lineitem write.
+    val tableFor = Map(
+      "q37_cube_observations" -> "lineitem",
+      "q43_cube_full_kinds" -> "lineitem",
+      "q62_kmeans" -> "embeddings",
+      "q64_semdedup" -> "embeddings").withDefault(_ => "documents")
+    val needed = probes.map(tableFor).toSet
+
+    // The replica generators for documents/lineitem are the
+    // crossJoin-with-range form: the replica index is a COLUMN, so the
+    // plan is O(1) in the replica count (a 1000-way union would build a
+    // thousand-child plan and re-scan the parquet per child) — the
+    // generator itself follows the engine's own scaling rules.
+    val reps = spark.range(replicas.toLong).select(col("id").as("_rep"))
+
+    if (needed("documents")) {
+      val docs = spark.read.parquet(s"$sf01/documents.parquet")
+      docs.crossJoin(reps).select(
+        Seq((col("doc_id") + col("_rep") * 10000000L).as("doc_id"),
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1zq"), col("_rep").cast("string"))).as("text")) ++
+          docs.columns.filterNot(Set("doc_id", "text")).map(col): _*)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
+
+    if (needed("lineitem")) {
+      spark.read.parquet(s"$sf01/lineitem.parquet").crossJoin(reps)
+        .withColumn("l_orderkey",
+          col("l_orderkey") + col("_rep") * 100000000L)
+        .drop("_rep")
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    }
+
+    // Embeddings replica: per-replica SIGN-FLIP isometry (dimension j
+    // negated iff bit j of a replica-specific pattern is set) — the
+    // vector-space analogue of the token renaming: norms and all
+    // within-replica angles are exactly preserved, while cross-replica
+    // cosines decorrelate, so cluster structure scales instead of every
+    // vector gaining 9 semantic duplicates. Stays on the union generator:
+    // the golden-ratio pattern multiply WRAPS on Long — well-defined in
+    // Scala, an ARITHMETIC_OVERFLOW under ANSI Column semantics.
+    if (needed("embeddings")) {
+      val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+      replicate(emb, (d, i) => {
+        // 64-bit golden-ratio mixing: every dimension gets its own pattern
+        // bit (a 32-bit pattern would mirror the sign mask across the two
+        // 32-dim halves, leaving half-symmetric vectors correlated across
+        // replicas).
+        val pattern = i * 0x9E3779B97F4A7C15L
+        val signs = array((0 until 64).map(j =>
+          lit(if (((pattern >> j) & 1L) == 1L) -1.0f else 1.0f)): _*)
+        d.select(
+          (col("vec_id") + i.toLong * 10000000L).as("vec_id"),
+          zip_with(col("embedding"), signs, (x, s) => x * s).as("embedding"),
+          col("label"))
+      }).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
     // warmup (codegen) at the small scale, unrecorded
     probes.foreach(q =>
       SparkEntry.queries(q)(spark, sf01).write.format("noop")
@@ -124,6 +150,7 @@ object ScaleProbe {
       require(replicas <= 104,
         s"q60 gate replica supports at most 104 replicas (got $replicas)")
       val gateDir = s"$outDir/q60gate"
+      val docs = spark.read.parquet(s"$sf01/documents.parquet")
       val stop = graft.llm.TextAnalysis.stopwords("en")
       val abc = "abcdefghijklmnopqrstuvwxyz"
       replicate(docs, (d, i) => {
