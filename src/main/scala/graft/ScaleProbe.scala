@@ -50,7 +50,8 @@ object ScaleProbe {
       "q61_line_dedup", "q62_kmeans", "q64_semdedup",
       "q70_simhash64_neardup", "q73_component_best", "q74_repeated_spans",
       "q76_oov_rate", "q77_contamination_ratio",
-      "q78_line_dedup_rebuild", "q79_shingle_novelty")
+      "q78_line_dedup_rebuild", "q79_shingle_novelty",
+      "q81_simhash128_neardup")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -69,7 +70,14 @@ object ScaleProbe {
     // generator itself follows the engine's own scaling rules.
     val reps = spark.range(replicas.toLong).select(col("id").as("_rep"))
 
-    if (needed("documents")) {
+    // SPARK_GRAFT_REUSE=1: probe against replica tables a previous run
+    // already wrote to outDir instead of regenerating them — a 1000×
+    // documents build is minutes of write the second probe doesn't need.
+    val reuse = sys.env.get("SPARK_GRAFT_REUSE").contains("1")
+    def fresh(table: String): Boolean = needed(table) &&
+      (!reuse || !new java.io.File(s"$outDir/$table.parquet").exists())
+
+    if (fresh("documents")) {
       val docs = spark.read.parquet(s"$sf01/documents.parquet")
       docs.crossJoin(reps).select(
         Seq((col("doc_id") + col("_rep") * 10000000L).as("doc_id"),
@@ -79,7 +87,7 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     }
 
-    if (needed("lineitem")) {
+    if (fresh("lineitem")) {
       spark.read.parquet(s"$sf01/lineitem.parquet").crossJoin(reps)
         .withColumn("l_orderkey",
           col("l_orderkey") + col("_rep") * 100000000L)
@@ -95,7 +103,7 @@ object ScaleProbe {
     // vector gaining 9 semantic duplicates. Stays on the union generator:
     // the golden-ratio pattern multiply WRAPS on Long — well-defined in
     // Scala, an ARITHMETIC_OVERFLOW under ANSI Column semantics.
-    if (needed("embeddings")) {
+    if (fresh("embeddings")) {
       val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
       replicate(emb, (d, i) => {
         // 64-bit golden-ratio mixing: every dimension gets its own pattern

@@ -673,6 +673,78 @@ object Dedup {
     simhashNearDupsOf(simhash64(docs, idCol, textCol).localCheckpoint(true),
       idCol, maxHamming, bands, widthBits = 64)
 
+  /** 128-bit SimHash signature — the FULL per-token md5 width, carried as
+    * two BIGINT halves (`sim_hi` = hex digits 1-16, `sim_lo` = 17-32).
+    * This is the geometry the three-decade probe motivates: the 64-bit
+    * form's 2¹⁶ buckets/band start paying the Σ bucket² chance-collision
+    * term in their third data decade (SCALE.md, ~5M docs); at 128 bits a
+    * 4-band split gives 32-bit slices (2³² buckets/band), so bucket
+    * occupancy stays O(1) past 10⁸ documents and only genuinely
+    * near-identical docs ever share a candidate bucket. Same relational
+    * shape as [[simhash64]] — one token explode, one doc-keyed aggregate
+    * with twice the vote columns; everything stays in whole-stage codegen.
+    */
+  def simhash128(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def half(m: Column, off: Int): Column =
+      shiftleft(conv(substring(m, off, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(m, off + 8, 8), 16, 10).cast("long"))
+    val tok = docs.select(col(idCol).as("_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+      .withColumn("_m", md5(col("_t")))
+      .withColumn("_h1", half(col("_m"), 1))
+      .withColumn("_h2", half(col("_m"), 17))
+      .drop("_m")
+    def votes(h: String, tag: String): Seq[Column] = (0 until 64).map(b =>
+      sum(shiftright(col(h), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"_$tag$b"))
+    def fold(tag: String): Column = (0 until 64).map(b =>
+      when(col(s"_$tag$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val vs = votes("_h1", "a") ++ votes("_h2", "b")
+    tok.groupBy(col("_id")).agg(vs.head, vs.tail: _*)
+      .select(col("_id").as(idCol),
+        fold("a").as("sim_hi"), fold("b").as("sim_lo"))
+  }
+
+  /** Banded near-dup pairs over the [[simhash128]] signature: the
+    * pigeonhole-exact recall contract of [[simhashNearDups]] (maxHamming
+    * < bands guarantees every qualifying pair shares a band slice), with
+    * hamming summed across the two halves. Returns (d1, d2, hamming) —
+    * identical output contract to the 32/64-bit forms, so callers
+    * (connected components, component-best) swap geometries freely.
+    */
+  def simhashNearDups128(docs: DataFrame, idCol: String, textCol: String,
+                         maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"recall guarantee needs maxHamming < bands ($maxHamming >= $bands)")
+    require(128 % bands == 0 && 128 / bands <= 64 && 64 % (128 / bands) == 0,
+      s"bands must split two 64-bit halves evenly (got $bands)")
+    val bits = 128 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val perHalf = 64 / bits
+    val sig = simhash128(docs, idCol, textCol).localCheckpoint(true)
+    val banded = sig.select(col(idCol).as("_id"),
+      col("sim_hi").as("_x1"), col("sim_lo").as("_x2"),
+      explode(array((0 until bands).map { b =>
+        val src = if (b < perHalf) col("sim_hi") else col("sim_lo")
+        struct(lit(b).as("band"),
+          shiftright(src, (b % perHalf) * bits).bitwiseAND(lit(mask))
+            .as("slice"))
+      }: _*)).as("_b"))
+      .select(col("_id"), col("_x1"), col("_x2"),
+        col("_b.band").as("_band"), col("_b.slice").as("_slice"))
+    val l = banded.select(col("_band"), col("_slice"),
+      col("_id").as("d1"), col("_x1").as("_l1"), col("_x2").as("_l2"))
+    val r = banded.select(col("_band"), col("_slice"),
+      col("_id").as("d2"), col("_x1").as("_r1"), col("_x2").as("_r2"))
+    l.join(r, Seq("_band", "_slice"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        (bit_count(col("_l1").bitwiseXOR(col("_r1"))) +
+          bit_count(col("_l2").bitwiseXOR(col("_r2")))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Banded hamming join over an existing (idCol, simhash) signature
     * table — the lazy candidate-generation lineage (tests audit its plan
     * shape; [[simhashNearDups]] is the materializing entry point).

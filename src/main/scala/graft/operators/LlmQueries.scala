@@ -617,6 +617,16 @@ object LlmQueries {
       Corpus.shingleNovelty(t(s, dir, "documents"), "doc_id", "text")
     },
 
+    // 128-bit SimHash near-dup — the post-5M-docs geometry (2³²
+    // buckets/band: the three-decade probe measured the 64-bit form's
+    // 2¹⁶ buckets starting to pay chance collisions in decade three).
+    // Same dup-injected corpus and output contract as q70.
+    "q81_simhash128_neardup" -> { (s, dir) =>
+      Dedup.simhashNearDups128(dupInjectedCorpus(
+        t(s, dir, "documents").select(col("doc_id"), col("text"))),
+        "doc_id", "text")
+    },
+
     // Deterministic 80/10/10 hash split from the doc key alone —
     // membership is a pure BIGINT function of md5(key), so it reruns
     // byte-identically and corpus appends never reshuffle old docs.
@@ -1450,6 +1460,54 @@ object LlmQueries {
         |      (a, b) -> a * 16 + b) AS draw
         |  FROM documents)
         |GROUP BY 1, 2""".stripMargin,
+    // q81: the q70 md5/HUGEINT device doubled — both 64-bit md5 halves
+    // become signed-BIGINT signature halves (HUGEINT intermediates, the
+    // same >= 2^63 sign fold), and the brute-force verify sums bit_count
+    // across the halves. Banding needs no oracle mirror: pigeonhole
+    // recall is exact, so banded pairs == all pairs at hamming <= 3.
+    "q81_simhash128_neardup" ->
+      ("WITH " + dupCorpusSql + ",\n" +
+        """tok AS (
+          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+          |  FROM corpus),
+          |h AS (
+          |  SELECT doc_id,
+          |    list_reduce(list_transform(
+          |      string_split(substr(md5(t), 1, 16), ''),
+          |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),
+          |      (a, b) -> a * 16 + b) AS hv1,
+          |    list_reduce(list_transform(
+          |      string_split(substr(md5(t), 17, 16), ''),
+          |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),
+          |      (a, b) -> a * 16 + b) AS hv2
+          |  FROM tok),
+          |bits AS (
+          |  SELECT doc_id, g.b AS b,
+          |    CAST((hv1 // (1::HUGEINT << g.b)) % 2 AS BIGINT) AS bit1,
+          |    CAST((hv2 // (1::HUGEINT << g.b)) % 2 AS BIGINT) AS bit2
+          |  FROM h, LATERAL UNNEST(generate_series(0, 63)) AS g(b)),
+          |votes AS (
+          |  SELECT doc_id, b, SUM(2 * bit1 - 1) AS v1, SUM(2 * bit2 - 1) AS v2
+          |  FROM bits GROUP BY 1, 2),
+          |sig AS (
+          |  SELECT doc_id,
+          |    CAST(CASE WHEN s1 >= (1::HUGEINT << 63)
+          |      THEN s1 - (1::HUGEINT << 64) ELSE s1 END AS BIGINT) AS sim_hi,
+          |    CAST(CASE WHEN s2 >= (1::HUGEINT << 63)
+          |      THEN s2 - (1::HUGEINT << 64) ELSE s2 END AS BIGINT) AS sim_lo
+          |  FROM (
+          |    SELECT doc_id,
+          |      SUM(CASE WHEN v1 > 0 THEN (1::HUGEINT << b)
+          |        ELSE 0::HUGEINT END) AS s1,
+          |      SUM(CASE WHEN v2 > 0 THEN (1::HUGEINT << b)
+          |        ELSE 0::HUGEINT END) AS s2
+          |    FROM votes GROUP BY 1))
+          |SELECT a.doc_id AS d1, b.doc_id AS d2,
+          |  bit_count(xor(a.sim_hi, b.sim_hi))
+          |    + bit_count(xor(a.sim_lo, b.sim_lo)) AS hamming
+          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.sim_hi, b.sim_hi))
+          |    + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3""".stripMargin),
     // q73: the q55 component oracle + a window picking the
     // max-token-count member per component (ties -> smallest id). The
     // quality proxy is integer-exact on both engines.

@@ -534,6 +534,25 @@ class LlmSpec extends SparkSpec {
     pairs.foreach(p => assert(p._1 < p._2 && p._3 <= 3))
   }
 
+  test("simhash128: exact copies at hamming 0, pairs agree with 64-bit on copies") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val copies = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val pairs = Dedup.simhashNearDups128(docs.unionByName(copies),
+      "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    planted.foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 1000000 && p._3 == 0),
+        s"exact copy of $id not found at hamming 0")
+    }
+    // hamming over 128 bits is a FINER resolution than 64: every reported
+    // pair still satisfies the contract, and d1 < d2 ordering holds.
+    pairs.foreach(p => assert(p._1 < p._2 && p._3 <= 3))
+  }
+
   test("sketch cardinality: HLL estimate within documented error of exact") {
     // The sketch column is gated HERE, not in the driver's hash compare:
     // q67's oracle-compared surface is exact-only (HLL++ internals are
