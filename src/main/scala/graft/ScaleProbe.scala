@@ -28,9 +28,15 @@ object ScaleProbe {
     val nameFilter = args.drop(1)
     val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
     val label = s"sf${replicas / 10}"
+    // Partition count must track the data (SCALE.md: size partitions so
+    // the per-task aggregation state fits in memory — at 1000× the span/
+    // shingle streams are ~10⁸-10⁹ rows, and 32 partitions would hand
+    // each task a multi-GB hash map). Default keeps the historical 32 so
+    // earlier probe rows stay comparable; the 1000× runs pass 256.
+    val partitions = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", "32")
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", partitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -51,7 +57,8 @@ object ScaleProbe {
       "q70_simhash64_neardup", "q73_component_best", "q74_repeated_spans",
       "q76_oov_rate", "q77_contamination_ratio",
       "q78_line_dedup_rebuild", "q79_shingle_novelty",
-      "q81_simhash128_neardup")
+      "q81_simhash128_neardup", "q82_rank_buckets",
+      "q83_token_budget_cap", "q84_split_leakage")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a

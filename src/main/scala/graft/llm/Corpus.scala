@@ -279,6 +279,80 @@ object Corpus {
       .otherwise(lit("train"))
   }
 
+  /** CCNet-style per-stratum rank buckets: within each stratum, rank
+    * documents by an integer quality signal (ascending, id tie-break) and
+    * split the ranking into `buckets` equal-frequency bands — the
+    * head/middle/tail device CCNet applies per language (there by LM
+    * perplexity; any integer-exact signal slots in). Deterministic on any
+    * cluster layout: bucket = ((rank−1)·buckets) div count, all BIGINT.
+    * One shuffle (the stratum window); the count rides the same window.
+    */
+  def rankBuckets(docs: DataFrame, idCol: String, stratumCol: String,
+                  signal: Column, buckets: Int = 3): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val byStratum = Window.partitionBy(col(stratumCol))
+    // order by the RENAMED signal: the caller's expression may reference
+    // source columns the select below has already projected away
+    val w = byStratum.orderBy(col("_sig").asc, col(idCol).asc)
+    docs.select(col(idCol), col(stratumCol), signal.as("_sig"))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_cnt", count(lit(1)).over(byStratum))
+      .select(col(idCol), col(stratumCol), col("_sig").as("signal"),
+        expr(s"((_rn - 1) * $buckets) div _cnt").as("bucket"))
+  }
+
+  /** Per-stratum token-budget cap: admit documents in deterministic
+    * (order, id) priority until the stratum's cumulative token budget is
+    * reached — the "at most N tokens per domain" curation cap
+    * (RefinedWeb-style source balancing, the token-denominated cousin of
+    * the keep-best-K-per-source window). A document is admitted iff its
+    * EXCLUSIVE prefix sum is under the budget (the last admitted document
+    * may straddle it — the same streaming semantics as [[packSequences]]).
+    * One shuffle: the stratum-keyed running-sum window.
+    */
+  def capTokenBudget(docs: DataFrame, idCol: String, stratumCol: String,
+                     tokenCount: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("n_tokens").desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), col(stratumCol), tokenCount.as("n_tokens"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .filter(col("_cum") - col("n_tokens") < budget)
+      .select(col(idCol), col(stratumCol), col("n_tokens"),
+        col("_cum").as("cum_tokens"))
+  }
+
+  /** Split-leakage audit: after a [[splitAssign]] fan-out, find
+    * (train doc, test doc) pairs sharing at least `minShared` distinct
+    * k-gram shingles — the check that hash-splitting did NOT separate
+    * near-duplicate documents into train and test (the silent eval
+    * contamination a random split creates whenever the corpus still
+    * carries near-dups; run it after dedup, gate on zero rows).
+    *
+    * Scale shape: unlike [[contamination]], BOTH sides are corpus-scale
+    * (the test split is a fixed fraction, not an eval suite), so this is
+    * a shingle-keyed shuffle join — md5 shingle keys, distinct (doc,
+    * shingle) rows, then one pair-counting aggregation. No broadcast
+    * assumption anywhere.
+    */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, minShared: Int = 5,
+                   testPpm: Long = 100000L, valPpm: Long = 100000L,
+                   salt: String = "split:"): DataFrame = {
+    val sh = docs.select(col(idCol),
+        splitAssign(col(idCol), testPpm, valPpm, salt).as("_split"),
+        explode(Dedup.shingles(col(textCol), k)).as("_s"))
+      .select(col(idCol), col("_split"), md5(col("_s")).as("_sh"))
+    val train = sh.filter(col("_split") === "train")
+      .select(col(idCol).as("train_id"), col("_sh"))
+    val test = sh.filter(col("_split") === "test")
+      .select(col(idCol).as("test_id"), col("_sh"))
+    train.join(test, Seq("_sh"))
+      .groupBy(col("train_id"), col("test_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Greedy sequence packing: assign documents, in deterministic
     * (stratum, id) order, to consecutive fixed-token-budget training
     * sequences. A document starts in the sequence its exclusive prefix

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators: exact (fingerprint group), MinHash+LSH banded
   * near-dup, SimHash signatures, n-gram Jaccard verification.
@@ -463,8 +464,8 @@ object Dedup {
     val hashed = TextAnalysis
       .tokenChunkRows(docs, idCol, textCol, unitTokens, stride = unitTokens)
       .filter(col("_chunk") =!= "") // whitespace-only doc ⇒ no line rows
-      .select(col("_id"), md5(col("_chunk")).as("_lh"))
-      .localCheckpoint(true)
+      .select(col("_id"), unhex(md5(col("_chunk"))).as("_lh"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val dup = hashed.distinct()
       .groupBy(col("_lh")).agg(count(lit(1)).as("_docs"))
       .filter(col("_docs") >= minDocs)
@@ -502,8 +503,8 @@ object Dedup {
       .tokenChunkRows(docs, idCol, textCol, unitTokens, stride = unitTokens)
       .filter(col("_chunk") =!= "")
       .select(col("_id"), col("_pos"), col("_chunk"),
-        md5(col("_chunk")).as("_lh"))
-      .localCheckpoint(true)
+        unhex(md5(col("_chunk"))).as("_lh"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val dup = lines.select(col("_id"), col("_lh")).distinct()
       .groupBy(col("_lh")).agg(count(lit(1)).as("_docs"))
       .filter(col("_docs") >= minDocs)
@@ -547,8 +548,8 @@ object Dedup {
     val hashed = TextAnalysis
       .tokenChunkRows(docs, idCol, textCol, spanTokens, stride = 1)
       .filter(col("_n_toks") === spanTokens)
-      .select(col("_id"), md5(col("_chunk")).as("_sh"))
-      .localCheckpoint(true)
+      .select(col("_id"), unhex(md5(col("_chunk"))).as("_sh"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val dup = hashed.distinct()
       .groupBy(col("_sh")).agg(count(lit(1)).as("_docs"))
       .filter(col("_docs") >= minDocs)

@@ -627,6 +627,33 @@ object LlmQueries {
         "doc_id", "text")
     },
 
+    // CCNet-style per-language rank terciles over an integer quality
+    // signal — equal-frequency head/middle/tail bands, deterministic at
+    // every rank boundary.
+    "q82_rank_buckets" -> { (s, dir) =>
+      Corpus.rankBuckets(t(s, dir, "documents"), "doc_id", "lang",
+        TA.tokenCount(col("text")))
+    },
+
+    // Per-source token-budget cap (RefinedWeb-style source balancing):
+    // admit docs longest-first until each source's 1000-token budget is
+    // spent; the straddling last admit matches packSequences semantics.
+    "q83_token_budget_cap" -> { (s, dir) =>
+      Corpus.capTokenBudget(t(s, dir, "documents"), "doc_id", "source",
+        TA.tokenCount(col("text")), budget = 1000L)
+    },
+
+    // Split-leakage audit over the dup-injected corpus: near-dup twins
+    // that the hash split separated into train and test — the silent
+    // eval contamination a random split creates when dedup hasn't run.
+    // Corpus-scale on BOTH sides: a shingle-keyed shuffle join, no
+    // broadcast assumption.
+    "q84_split_leakage" -> { (s, dir) =>
+      Corpus.splitLeakage(dupInjectedCorpus(
+        t(s, dir, "documents").select(col("doc_id"), col("text"))),
+        "doc_id", "text")
+    },
+
     // Deterministic 80/10/10 hash split from the doc key alone —
     // membership is a pure BIGINT function of md5(key), so it reruns
     // byte-identically and corpus appends never reshuffle old docs.
@@ -1460,6 +1487,62 @@ object LlmQueries {
         |      (a, b) -> a * 16 + b) AS draw
         |  FROM documents)
         |GROUP BY 1, 2""".stripMargin,
+    // q82: per-lang equal-frequency bands by ROW_NUMBER rank — the q69
+    // deterministic-rank device with a bucket formula, all integers.
+    "q82_rank_buckets" ->
+      """SELECT doc_id, lang, n AS signal, ((rn - 1) * 3) // cnt AS bucket
+        |FROM (
+        |  SELECT doc_id, lang, n,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY n ASC, doc_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      len(string_split_regex(trim(text), '\s+')) AS n
+        |    FROM documents))""".stripMargin,
+    // q83: the packSequences ROWS window with a budget filter on the
+    // exclusive prefix sum.
+    "q83_token_budget_cap" ->
+      """SELECT doc_id, source, n AS n_tokens, cum AS cum_tokens
+        |FROM (
+        |  SELECT doc_id, source, n,
+        |    SUM(n) OVER (PARTITION BY source ORDER BY n DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      len(string_split_regex(trim(text), '\s+')) AS n
+        |    FROM documents))
+        |WHERE cum - n < 1000""".stripMargin,
+    // q84: the q80 split CASE + the q57 shingle containment, joined on
+    // the dup-injected corpus; the oracle groups by literal shingle text
+    // where Spark groups by md5 (collision-free, same pair counts).
+    "q84_split_leakage" ->
+      ("WITH " + dupCorpusSql + ",\n" +
+        """tks AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+          |  FROM corpus),
+          |sh AS (
+          |  SELECT DISTINCT doc_id, array_to_string(tk[i.g:i.g+2], ' ') AS s
+          |  FROM tks,
+          |    LATERAL UNNEST(generate_series(1, greatest(len(tk)-2, 1))) AS i(g)),
+          |sp AS (
+          |  SELECT doc_id, CASE
+          |      WHEN draw * 1000000 < 100000 * 4294967296 THEN 'test'
+          |      WHEN draw * 1000000 < 200000 * 4294967296 THEN 'validation'
+          |      ELSE 'train' END AS split
+          |  FROM (
+          |    SELECT doc_id, list_reduce(list_transform(
+          |      string_split(substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+          |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+          |      (a, b) -> a * 16 + b) AS draw
+          |    FROM corpus))
+          |SELECT t.doc_id AS train_id, e.doc_id AS test_id,
+          |  count(*) AS n_shared
+          |FROM sh t
+          |JOIN sp st ON t.doc_id = st.doc_id AND st.split = 'train'
+          |JOIN sh e ON t.s = e.s
+          |JOIN sp se ON e.doc_id = se.doc_id AND se.split = 'test'
+          |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin),
     // q81: the q70 md5/HUGEINT device doubled — both 64-bit md5 halves
     // become signed-BIGINT signature halves (HUGEINT intermediates, the
     // same >= 2^63 sign fold), and the brute-force verify sums bit_count

@@ -474,6 +474,58 @@ class LlmSpec extends SparkSpec {
     assert(out.values.toSet == Set("train", "validation", "test"))
   }
 
+  test("rank buckets: equal-frequency bands, deterministic at boundaries") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    // 6 docs in one stratum -> terciles of exactly 2; ties break by id.
+    val df = Seq((1L, "en", 10), (2L, "en", 20), (3L, "en", 20),
+      (4L, "en", 30), (5L, "en", 40), (6L, "en", 50),
+      (7L, "de", 5)).toDF("doc_id", "lang", "n")
+    val out = Corpus.rankBuckets(df, "doc_id", "lang", col("n"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("bucket")).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 0L))
+  }
+
+  test("token budget cap: longest-first admits until budget, straddle kept") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    // Source s1 (budget 100): 60 admitted (cum 60), 50 admitted
+    // (straddles: exclusive prefix 60 < 100), 40 rejected (prefix 110).
+    val df = Seq((1L, "s1", 60), (2L, "s1", 50), (3L, "s1", 40),
+      (4L, "s2", 300)).toDF("doc_id", "source", "n")
+    val out = Corpus.capTokenBudget(df, "doc_id", "source", col("n"), 100L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cum_tokens")).toMap
+    assert(out == Map(1L -> 60L, 2L -> 110L, 4L -> 300L))
+  }
+
+  test("split leakage: planted twin across splits found, within-split not") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    // Find two ids the hash split separates (one train, one test), give
+    // them identical text, and assert exactly that pair is reported.
+    def splitOf(k: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val scaled = java.lang.Long.parseLong(hex, 16) * 1000000L
+      if (scaled < 100000L * 4294967296L) "test"
+      else if (scaled < 200000L * 4294967296L) "validation"
+      else "train"
+    }
+    val trainId = (0L until 1000L).find(splitOf(_) == "train").get
+    val testId = (0L until 1000L).find(splitOf(_) == "test").get
+    val train2 = (0L until 1000L).filter(splitOf(_) == "train")(1)
+    val leakText = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val df = Seq(
+      (trainId, leakText), (testId, leakText), // cross-split twin: leak
+      (train2, "x1 x2 x3 x4 x5 x6 x7 x8")      // train-only: silent
+    ).toDF("doc_id", "text")
+    val out = Corpus.splitLeakage(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_shared")))
+    assert(out.toSeq == Seq((trainId, testId, 6L)))
+  }
+
   test("chunking: overlap windows, partial tails, no overlap-only chunks") {
     import spark.implicits._
     import graft.llm.Corpus
