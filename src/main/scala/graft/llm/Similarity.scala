@@ -53,6 +53,30 @@ object Similarity {
       .select(col("qid"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** ANN quality audit: per-query recall of an approximate top-k result
+    * against the exact one — the number an index deployment watches
+    * (IVF probe counts and LSH table counts are tuned against exactly
+    * this). Both inputs are (qid, neighbor_id[, …]) top-k tables; output
+    * is (qid, n_hits, recall_ppm) with recall in integer parts-per-million
+    * (n_hits ≤ k, so the BIGINT product never overflows) — every query id
+    * from `exact` appears, zero-hit queries included.
+    *
+    * Scale shape: one (qid, neighbor_id) equi-join between two tables of
+    * |queries|·k rows and a per-qid count — top-k outputs are small by
+    * construction, so this costs nothing next to either index scan.
+    */
+  def annRecall(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val hits = exact.select(col("qid"), col("neighbor_id"))
+      .join(approx.select(col("qid"), col("neighbor_id")),
+        Seq("qid", "neighbor_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_ppm", expr(s"(n_hits * 1000000L) div $k"))
+  }
+
   /** Deterministic random hyperplanes: `tables * bitsPerTable` planes of
     * dimension `dim`, fixed seed.
     */

@@ -627,6 +627,18 @@ object LlmQueries {
         "doc_id", "text")
     },
 
+    // ANN recall audit: the IVF index (q44's exact configuration) scored
+    // against brute force (q35's) — per-query hit count and integer
+    // recall_ppm. The number an index deployment tunes nprobe against,
+    // under the same cross-engine gate as the indexes themselves.
+    "q85_ann_recall" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") % 100 === 0)
+      Similarity.annRecall(
+        Similarity.bruteForceKnn(e, qs, "vec_id", "embedding", k = 10),
+        Similarity.ivfKnn(e, qs, "vec_id", "embedding", k = 10), k = 10)
+    },
+
     // CCNet-style per-language rank terciles over an integer quality
     // signal — equal-frequency head/middle/tail bands, deterministic at
     // every rank boundary.
@@ -1487,6 +1499,72 @@ object LlmQueries {
         |      (a, b) -> a * 16 + b) AS draw
         |  FROM documents)
         |GROUP BY 1, 2""".stripMargin,
+    // q85: the q35 brute-force chain and the q44 IVF chain composed as
+    // CTEs, intersected per qid, recall in integer ppm. Any float
+    // tie-flip at the rank-10 boundary would already break q35/q44
+    // themselves, so the composition adds no new cross-engine risk.
+    "q85_ann_recall" -> {
+      def cos(a: String, b: String): String =
+        s"""list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
+           |      / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))
+           |        * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))""".stripMargin
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 100 = 0),
+         |bscored AS (
+         |  SELECT q.qid, e.vec_id AS neighbor_id,
+         |    ${cos("q.qv", "e.embedding")} AS sim
+         |  FROM q, embeddings e WHERE e.vec_id != q.qid),
+         |btop AS (
+         |  SELECT qid, neighbor_id FROM (
+         |    SELECT qid, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC)
+         |        AS rank
+         |    FROM bscored)
+         |  WHERE rank <= 10),
+         |c AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |  WHERE vec_id % 64 = 0),
+         |csim AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ${cos("e.embedding", "c.cv")} AS sim
+         |  FROM embeddings e, c),
+         |assigned AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM csim) WHERE rn = 1),
+         |probed AS (
+         |  SELECT vec_id AS qid, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM csim WHERE vec_id % 100 = 0) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id AS neighbor_id
+         |  FROM probed p JOIN assigned a USING (cid)
+         |  WHERE a.vec_id != p.qid),
+         |iscored AS (
+         |  SELECT cand.qid, cand.neighbor_id,
+         |    ${cos("qe.embedding", "ce.embedding")} AS sim
+         |  FROM cand
+         |  JOIN embeddings qe ON qe.vec_id = cand.qid
+         |  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+         |itop AS (
+         |  SELECT qid, neighbor_id FROM (
+         |    SELECT qid, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC)
+         |        AS rank
+         |    FROM iscored)
+         |  WHERE rank <= 10),
+         |hits AS (
+         |  SELECT b.qid, count(*) AS n_hits
+         |  FROM btop b JOIN itop i
+         |    ON b.qid = i.qid AND b.neighbor_id = i.neighbor_id
+         |  GROUP BY 1)
+         |SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
+         |  (COALESCE(h.n_hits, 0) * 1000000) // 10 AS recall_ppm
+         |FROM (SELECT DISTINCT qid FROM q) q LEFT JOIN hits h USING (qid)""".stripMargin
+    },
     // q82: per-lang equal-frequency bands by ROW_NUMBER rank — the q69
     // deterministic-rank device with a bucket formula, all integers.
     "q82_rank_buckets" ->

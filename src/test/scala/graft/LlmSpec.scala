@@ -526,6 +526,21 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq == Seq((trainId, testId, 6L)))
   }
 
+  test("ann recall: perfect on identical top-k, misses counted, zero kept") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("qid", "neighbor_id")
+    val perfect = Similarity.annRecall(exact, exact, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("recall_ppm")).toMap
+    assert(perfect == Map(1L -> 1000000L, 2L -> 1000000L))
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 98L), (2L, 97L))
+      .toDF("qid", "neighbor_id")
+    val partial = Similarity.annRecall(exact, approx, k = 2).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("recall_ppm"))).toMap
+    assert(partial == Map(1L -> (1L, 500000L), 2L -> (0L, 0L)))
+  }
+
   test("chunking: overlap windows, partial tails, no overlap-only chunks") {
     import spark.implicits._
     import graft.llm.Corpus

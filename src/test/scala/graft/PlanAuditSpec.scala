@@ -12,6 +12,9 @@ class PlanAuditSpec extends SparkSpec {
   // conditions on small inputs).
   private val nestedLoopAllowed =
     Set("q35_knn_bruteforce", "q36_ann_lsh", "q44_ivf_knn",
+      // q85 composes q35's brute-force side (its baseline) — same tiny
+      // broadcast query sample, same intended NLJ.
+      "q85_ann_recall",
       // kMeans assignment: corpus streamed once against the broadcast
       // centroid table (k·dim doubles) — the intended IVF/q44 shape.
       // (q64 embeds kMeans too, but behind an eager checkpoint — its
