@@ -322,6 +322,33 @@ object Corpus {
         col("_cum").as("cum_tokens"))
   }
 
+  /** Token-balanced output shard assignment: within each stratum, rank
+    * documents heaviest-first (id tie-break) and deal them to `nShards`
+    * shards in serpentine (boustrophedon) order — shard 0..n-1 on even
+    * passes, n-1..0 on odd, so the shard that takes the heaviest document
+    * of a pass takes the lightest of the next. The writer-side twin of
+    * [[packSequences]]: training-data exports want N output files whose
+    * token totals match, and hash sharding only balances DOC counts.
+    * Deterministic on any cluster layout, all-integer.
+    *
+    * One shuffle (the stratum rank window, the [[rankBuckets]] scale
+    * shape: per-stratum parallelism; a single mega-stratum is the
+    * documented residual skew risk).
+    */
+  def assignShards(docs: DataFrame, idCol: String, stratumCol: String,
+                   weight: Column, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("_w").desc, col(idCol).asc)
+    docs.select(col(idCol), col(stratumCol), weight.as("_w"))
+      .withColumn("_rn", row_number().over(w))
+      .select(col(idCol), col(stratumCol), col("_w").as("weight"),
+        expr(s"""CASE WHEN ((_rn - 1) div $nShards) % 2 = 0
+                 |  THEN (_rn - 1) % $nShards
+                 |  ELSE ${nShards - 1} - (_rn - 1) % $nShards END"""
+          .stripMargin).cast("long").as("shard"))
+  }
+
   /** Split-leakage audit: after a [[splitAssign]] fan-out, find
     * (train doc, test doc) pairs sharing at least `minShared` distinct
     * k-gram shingles — the check that hash-splitting did NOT separate

@@ -561,6 +561,107 @@ object Dedup {
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    * 2003 — the MOSS algorithm): hash every k-gram, then from each window
+    * of `window` consecutive k-gram hashes select the minimum; the
+    * distinct selected hashes are the document's fingerprints. The
+    * guarantee that makes it the position-robust dedup/provenance sketch:
+    * any shared substring of length >= window + k - 1 tokens contributes
+    * at least one IDENTICAL fingerprint to both documents, while total
+    * fingerprint density stays ~2/(window+1) of the k-gram count.
+    *
+    * Returns distinct (idCol, fp) rows. Hashes are the first 8 md5 hex
+    * digits as a 32-bit integer (the [[simhash]] md5 device) so an
+    * external engine reproduces every fingerprint bit-for-bit. Documents
+    * with fewer than `window` k-grams keep the minimum of what they have
+    * (>= 1 fingerprint per document, the winnowing self-coverage
+    * convention, matching [[shinglesOf]]'s sub-k behavior).
+    *
+    * Scale shape: one shuffle (the per-doc position window; the min-frame
+    * and the lead ride the same sort), fingerprint state is fixed-width
+    * integers, output is ~2/(window+1) the k-gram stream — strictly
+    * smaller than the [[repeatedSpanStats]] span stream at the same k.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, window: Int = 4): DataFrame = {
+    require(k > 0 && window > 0, "k and window must be positive")
+    val byPos = Window.partitionBy(col("_id")).orderBy(col("_pos"))
+    val frame = byPos.rowsBetween(Window.currentRow, window - 1)
+    TextAnalysis.tokenChunkRows(docs, idCol, textCol, k, stride = 1)
+      // full k-windows only; position 0 survives so a sub-k document
+      // keeps its single short gram (the hashedShingles convention)
+      .filter(col("_n_toks") === k || col("_pos") === 0)
+      .withColumn("_h",
+        conv(substring(md5(col("_chunk")), 1, 8), 16, 10).cast("long"))
+      .withColumn("_fp", min(col("_h")).over(frame))
+      .withColumn("_full", lead(col("_h"), window - 1).over(byPos))
+      // a window "exists" at a position iff `window` hashes start there;
+      // position 0 again survives for docs with < window k-grams
+      .filter(col("_full").isNotNull || col("_pos") === 0)
+      .select(col("_id").as(idCol), col("_fp").as("fp"))
+      .distinct()
+  }
+
+  /** MinHash estimator-quality audit over an explicit pair set: for each
+    * (d1, d2) pair, the number of agreeing signature slots out of `slots`
+    * next to the EXACT shingle Jaccard in integer ppm — the table that
+    * tells an operator whether the signature width budget matches the
+    * dedup threshold (E[n_agree/slots] = J, binomial spread). The audit
+    * twin of [[graft.llm.Similarity.annRecall]]: one audits ANN recall,
+    * this audits the sketch near-dup screens trust.
+    *
+    * Signatures use the md5 device, NOT [[minhash]]'s xxhash64: slot i's
+    * value is min over shingles of h1 + i*h2 where h1/h2 are the first
+    * and second 8 md5 hex digits of the shingle (< 2^32, so the affine
+    * combination stays under 2^38 — exact BIGINT in any engine). Same
+    * affine-family construction as [[bandTable]], same
+    * one-wide-aggregate shape (slot minima are `slots` codegen'd min
+    * columns with map-side combine, never a slot×shingle explosion).
+    *
+    * Scale shape: the signature aggregate is one shuffle over the
+    * pair-relevant docs only (semi-join pruned); the agreement compare is
+    * a `slots`-term projection on the joined row, and the exact-Jaccard
+    * verify joins shingle rows of paired docs only — candidate-scoped,
+    * like [[minhashNearDups]]'s verify stage.
+    */
+  def minhashAgreementMd5(docs: DataFrame, idCol: String, textCol: String,
+                          pairs: DataFrame, slots: Int = 64,
+                          k: Int = 3): DataFrame = {
+    require(slots > 0, "slots must be positive")
+    val ids = pairs.select(col("d1").as("_id"))
+      .union(pairs.select(col("d2").as("_id"))).distinct()
+    val grams = TextAnalysis.tokenChunkRows(docs, idCol, textCol, k, stride = 1)
+      .filter(col("_n_toks") === k || col("_pos") === 0)
+      .select(col("_id"), col("_chunk"))
+      .join(ids, Seq("_id"), "left_semi")
+      .distinct()
+    val hashed = grams.select(col("_id"),
+      conv(substring(md5(col("_chunk")), 1, 8), 16, 10).cast("long").as("_h1"),
+      conv(substring(md5(col("_chunk")), 9, 8), 16, 10).cast("long").as("_h2"),
+      unhex(md5(col("_chunk"))).as("_sh"))
+    val mins = (0 until slots).map(i =>
+      min(col("_h1") + lit(i.toLong) * col("_h2")).as(s"_m$i"))
+    val sigs = hashed.groupBy(col("_id")).agg(mins.head, mins.tail: _*)
+    val sizes = hashed.groupBy(col("_id")).agg(count(lit(1)).as("_sz"))
+    val inter = pairs
+      .join(hashed.select(col("_id").as("d1"), col("_sh")), Seq("d1"))
+      .join(hashed.select(col("_id").as("d2"), col("_sh")), Seq("d2", "_sh"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("_c"))
+    val agree = (0 until slots).map(i =>
+        when(col(s"a._m$i") === col(s"b._m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs
+      .join(sigs.as("a"), col("d1") === col("a._id"))
+      .join(sigs.as("b"), col("d2") === col("b._id"))
+      .select(col("d1"), col("d2"), agree.as("n_agree"))
+      .join(inter, Seq("d1", "d2"), "left")
+      .join(sizes.select(col("_id").as("d1"), col("_sz").as("_s1")), Seq("d1"))
+      .join(sizes.select(col("_id").as("d2"), col("_sz").as("_s2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("n_agree"),
+        expr("coalesce(_c, 0L) * 1000000L div (_s1 + _s2 - coalesce(_c, 0L))")
+          .as("jaccard_ppm"))
+  }
+
   /** Exact-duplicate grouping on the normalized-text fingerprint: adds
     * (fp, group_size, canonical_id) — canonical = min id per group. One
     * shuffle (window on fp).

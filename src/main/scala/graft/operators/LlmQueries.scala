@@ -639,6 +639,47 @@ object LlmQueries {
         Similarity.ivfKnn(e, qs, "vec_id", "embedding", k = 10), k = 10)
     },
 
+    // Winnowing (MOSS) fingerprint census per language: density and
+    // corpus-wide distinctness of the position-robust fingerprint set —
+    // the sketch whose guarantee (any shared >= w+k-1-token substring
+    // yields an identical fingerprint) underlies provenance/overlap
+    // screening. All integers.
+    "q86_winnowing" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      Dedup.winnowFingerprints(d, "doc_id", "text")
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("total_fps"),
+          countDistinct(col("fp")).as("distinct_fps"))
+    },
+
+    // MinHash estimator audit on planted pairs: exact copies (agreement
+    // = all 64 slots), ' qq7'-perturbed near-copies (high), and
+    // unrelated id+7 pairs (low) — agreement count vs exact Jaccard in
+    // integer ppm, the sketch-width calibration table.
+    "q87_minhash_agreement" -> { (s, dir) =>
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = base.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("d1"), (col("doc_id") + 1000000).as("d2"))
+        .unionByName(base.filter(col("doc_id") % 20 === 10)
+          .select(col("doc_id").as("d1"), (col("doc_id") + 2000000).as("d2")))
+        .unionByName(base.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("d1"), (col("doc_id") + 7).as("d2")))
+      Dedup.minhashAgreementMd5(dupInjectedCorpus(base), "doc_id", "text",
+        pairs)
+    },
+
+    // Token-balanced serpentine shard assignment: 8 output shards whose
+    // token totals the heaviest-first boustrophedon deal equalizes —
+    // the export-writer balance hash sharding can't give.
+    "q88_shard_assign" -> { (s, dir) =>
+      Corpus.assignShards(t(s, dir, "documents"), "doc_id", "lang",
+        TA.tokenCount(col("text")), nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("weight")).as("total_tokens"))
+    },
+
     // CCNet-style per-language rank terciles over an integer quality
     // signal — equal-frequency head/middle/tail bands, deterministic at
     // every rank boundary.
@@ -1565,6 +1606,104 @@ object LlmQueries {
          |  (COALESCE(h.n_hits, 0) * 1000000) // 10 AS recall_ppm
          |FROM (SELECT DISTINCT qid FROM q) q LEFT JOIN hits h USING (qid)""".stripMargin
     },
+    // q86: 4-gram md5 hashes, windowed min over 4 consecutive hashes
+    // (ROWS frame), full windows only with the position-1 self-coverage
+    // fallback — the winnowing selection replayed digit-for-digit.
+    "q86_winnowing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, i.g AS pos,
+        |    list_reduce(list_transform(
+        |      string_split(substr(md5(array_to_string(tk[i.g:i.g+3], ' ')), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS h
+        |  FROM toks,
+        |    LATERAL UNNEST(generate_series(1, greatest(len(tk)-3, 1))) AS i(g)),
+        |wmin AS (
+        |  SELECT doc_id, lang, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    lead(h, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS ld
+        |  FROM g),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, lang, fp FROM wmin
+        |  WHERE ld IS NOT NULL OR pos = 1)
+        |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS total_fps,
+        |  count(DISTINCT fp) AS distinct_fps
+        |FROM fps GROUP BY 1""".stripMargin,
+    // q87: md5-halves affine minhash (64 slots via generate_series) over
+    // the dup-injected corpus; agreement + exact shingle Jaccard per
+    // planted pair, everything BIGINT (h1 + 63*h2 < 2^38).
+    "q87_minhash_agreement" -> s"""WITH $dupCorpusSql,
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(tk[i.g:i.g+2], ' ') AS s
+        |  FROM toks,
+        |    LATERAL UNNEST(generate_series(1, greatest(len(tk)-2, 1))) AS i(g)),
+        |pairs AS (
+        |  SELECT doc_id AS d1, doc_id + 1000000 AS d2 FROM documents
+        |  WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id AS d1, doc_id + 2000000 AS d2 FROM documents
+        |  WHERE doc_id % 20 = 10
+        |  UNION ALL
+        |  SELECT doc_id AS d1, doc_id + 7 AS d2 FROM documents
+        |  WHERE doc_id % 20 = 0),
+        |h AS (
+        |  SELECT doc_id, s,
+        |    list_reduce(list_transform(string_split(substr(md5(s), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS h1,
+        |    list_reduce(list_transform(string_split(substr(md5(s), 9, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS h2
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, g.i AS i, min(h1 + g.i * h2) AS m
+        |  FROM h, LATERAL UNNEST(generate_series(0, 63)) AS g(i)
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |agree AS (
+        |  SELECT p.d1, p.d2,
+        |    SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS n_agree
+        |  FROM pairs p
+        |  JOIN sig a ON a.doc_id = p.d1
+        |  JOIN sig b ON b.doc_id = p.d2 AND b.i = a.i
+        |  GROUP BY 1, 2),
+        |inter AS (
+        |  SELECT p.d1, p.d2, count(*) AS c
+        |  FROM pairs p
+        |  JOIN sh x ON x.doc_id = p.d1
+        |  JOIN sh y ON y.doc_id = p.d2 AND y.s = x.s
+        |  GROUP BY 1, 2)
+        |SELECT g.d1, g.d2, g.n_agree,
+        |  COALESCE(i.c, 0) * 1000000
+        |    // (na.n + nb.n - COALESCE(i.c, 0)) AS jaccard_ppm
+        |FROM agree g
+        |LEFT JOIN inter i ON i.d1 = g.d1 AND i.d2 = g.d2
+        |JOIN sizes na ON na.doc_id = g.d1
+        |JOIN sizes nb ON nb.doc_id = g.d2""".stripMargin,
+    // q88: the serpentine deal replayed over the per-lang heaviest-first
+    // rank — all-integer CASE arithmetic on ROW_NUMBER.
+    "q88_shard_assign" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split_regex(trim(text), '\s+')) AS w,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY len(string_split_regex(trim(text), '\s+')) DESC,
+        |        doc_id ASC) AS rn
+        |  FROM documents),
+        |assigned AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN ((rn - 1) // 8) % 2 = 0 THEN (rn - 1) % 8
+        |         ELSE 7 - (rn - 1) % 8 END AS shard
+        |  FROM ranked)
+        |SELECT shard, count(*) AS n_docs, SUM(w) AS total_tokens
+        |FROM assigned GROUP BY 1""".stripMargin,
     // q82: per-lang equal-frequency bands by ROW_NUMBER rank — the q69
     // deterministic-rank device with a bucket formula, all integers.
     "q82_rank_buckets" ->

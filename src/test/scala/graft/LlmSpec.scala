@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Similarity}
+import graft.llm.{Corpus, Dedup, Similarity}
 import graft.operators.LlmQueries
 
 class LlmSpec extends SparkSpec {
@@ -539,6 +539,42 @@ class LlmSpec extends SparkSpec {
       .map(r => r.getLong(0) ->
         (r.getAs[Long]("n_hits"), r.getAs[Long]("recall_ppm"))).toMap
     assert(partial == Map(1L -> (1L, 500000L), 2L -> (0L, 0L)))
+  }
+
+  test("winnowing: window minima, sub-k self-coverage, shared-substring hit") {
+    import spark.implicits._
+    // 8 tokens, k=4, w=4: 5 k-gram hashes, full windows at positions 0-1
+    val d = Seq((1L, "a b c d e f g h"), (2L, "tiny doc"),
+      // shares the >= w+k-1 = 7-token suffix "b c d e f g h" with doc 1
+      (3L, "x y z b c d e f g h")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(d, "doc_id", "text").collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    assert(fps(1L).nonEmpty && fps(1L).size <= 2)
+    assert(fps(2L).size == 1) // sub-k doc: one short-gram fingerprint
+    // winnowing guarantee: the shared 7-token substring fingerprints match
+    assert(fps(1L).intersect(fps(3L)).nonEmpty)
+  }
+
+  test("minhash agreement: identical pair saturates, disjoint pair zeroes") {
+    import spark.implicits._
+    val docs = Seq((1L, "p q r s t u v w"), (2L, "p q r s t u v w"),
+      (3L, "aa bb cc dd ee ff gg hh")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("d1", "d2")
+    val out = Dedup.minhashAgreementMd5(docs, "doc_id", "text", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_agree"), r.getAs[Long]("jaccard_ppm"))).toMap
+    assert(out((1L, 2L)) == (64L, 1000000L))
+    assert(out((1L, 3L)) == (0L, 0L))
+  }
+
+  test("shard assignment: serpentine deal balances exactly on 8/4") {
+    import spark.implicits._
+    val d = (1 to 8).map(i => (i.toLong, "s", 9L - i)).toDF("id", "src", "w")
+    val out = Corpus.assignShards(d, "id", "src", col("w"), nShards = 4)
+      .groupBy(col("shard")).agg(sum(col("weight")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // weights 8..1 dealt 0,1,2,3 then 3,2,1,0: every shard totals 9
+    assert(out == Map(0L -> 9L, 1L -> 9L, 2L -> 9L, 3L -> 9L))
   }
 
   test("chunking: overlap windows, partial tails, no overlap-only chunks") {
