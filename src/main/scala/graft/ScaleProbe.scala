@@ -58,7 +58,9 @@ object ScaleProbe {
       "q76_oov_rate", "q77_contamination_ratio",
       "q78_line_dedup_rebuild", "q79_shingle_novelty",
       "q81_simhash128_neardup", "q82_rank_buckets",
-      "q83_token_budget_cap", "q84_split_leakage")
+      "q83_token_budget_cap", "q84_split_leakage", "q85_ann_recall",
+      "q86_winnowing", "q87_minhash_agreement", "q88_shard_assign",
+      "q89_winnow_overlap")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -67,7 +69,8 @@ object ScaleProbe {
       "q37_cube_observations" -> "lineitem",
       "q43_cube_full_kinds" -> "lineitem",
       "q62_kmeans" -> "embeddings",
-      "q64_semdedup" -> "embeddings").withDefault(_ => "documents")
+      "q64_semdedup" -> "embeddings",
+      "q85_ann_recall" -> "embeddings").withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet
 
     // The replica generators for documents/lineitem are the

@@ -602,6 +602,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-document overlap pairs from winnowing fingerprints — the MOSS
+    * detection step: document pairs sharing at least `minShared` selected
+    * fingerprints, i.e. pairs with that many independent position-robust
+    * substring matches (each shared fingerprint witnesses a shared
+    * >= k-token substring; `minShared` of them is the standard
+    * plagiarism/provenance screen threshold). Returns (d1, d2, n_shared)
+    * with d1 < d2.
+    *
+    * Fingerprints appearing in more than `maxDocsPerFp` documents are
+    * excluded from pairing — the [[nearDupPairs]] bucket-cap discipline:
+    * a corpus-wide boilerplate fingerprint would otherwise pair the whole
+    * corpus quadratically, and boilerplate overlap is [[lineDupStats]]'s
+    * job, not provenance's. With the cap, per-fingerprint pair fan-out is
+    * <= cap²/2 — the self-join stays linear in the fingerprint stream.
+    * Run after exact dedup ([[dedupPipeline]] order) so identical-doc
+    * groups collapse to one representative instead of saturating the cap.
+    *
+    * Scale shape: fingerprint rows checkpoint once (two consumers), the
+    * frequency guard is one aggregation, the pair join shuffles on the
+    * fingerprint key, and the pair aggregation shuffles on (d1, d2) —
+    * all keyed, no all-pairs stage anywhere.
+    */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, window: Int = 4, minShared: Int = 4,
+                         maxDocsPerFp: Int = 8): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, window)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val eligible = fps.groupBy(col("fp")).agg(count(lit(1)).as("_docs"))
+      .filter(col("_docs") <= maxDocsPerFp).select(col("fp"))
+    val pf = fps.join(eligible, Seq("fp"), "left_semi")
+    pf.as("a").join(pf.as("b"),
+        col("a.fp") === col("b.fp") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** MinHash estimator-quality audit over an explicit pair set: for each
     * (d1, d2) pair, the number of agreeing signature slots out of `slots`
     * next to the EXACT shingle Jaccard in integer ppm — the table that

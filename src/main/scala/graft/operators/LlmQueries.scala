@@ -680,6 +680,16 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("weight")).as("total_tokens"))
     },
 
+    // MOSS detection step over the dup-injected corpus: pairs with >= 4
+    // shared winnowing fingerprints (4 independent position-robust
+    // substring matches), boilerplate fingerprints capped out of the
+    // pairing — the provenance/plagiarism screen.
+    "q89_winnow_overlap" -> { (s, dir) =>
+      Dedup.winnowOverlapPairs(dupInjectedCorpus(
+        t(s, dir, "documents").select(col("doc_id"), col("text"))),
+        "doc_id", "text")
+    },
+
     // CCNet-style per-language rank terciles over an integer quality
     // signal — equal-frequency head/middle/tail bands, deterministic at
     // every rank boundary.
@@ -1687,6 +1697,35 @@ object LlmQueries {
         |LEFT JOIN inter i ON i.d1 = g.d1 AND i.d2 = g.d2
         |JOIN sizes na ON na.doc_id = g.d1
         |JOIN sizes nb ON nb.doc_id = g.d2""".stripMargin,
+    // q89: the q86 winnowing chain over the dup-injected corpus, then
+    // frequency-capped fingerprint self-join — pair counts all integer.
+    "q89_winnow_overlap" -> s"""WITH $dupCorpusSql,
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+        |  FROM corpus),
+        |g AS (
+        |  SELECT doc_id, i.g AS pos,
+        |    list_reduce(list_transform(
+        |      string_split(substr(md5(array_to_string(tk[i.g:i.g+3], ' ')), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS h
+        |  FROM toks,
+        |    LATERAL UNNEST(generate_series(1, greatest(len(tk)-3, 1))) AS i(g)),
+        |wmin AS (
+        |  SELECT doc_id, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    lead(h, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS ld
+        |  FROM g),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM wmin WHERE ld IS NOT NULL OR pos = 1),
+        |eligible AS (
+        |  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 8),
+        |pf AS (SELECT f.doc_id, f.fp FROM fps f JOIN eligible e ON f.fp = e.fp)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+        |FROM pf a JOIN pf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 4""".stripMargin,
     // q88: the serpentine deal replayed over the per-lang heaviest-first
     // rank — all-integer CASE arithmetic on ROW_NUMBER.
     "q88_shard_assign" ->

@@ -555,6 +555,24 @@ class LlmSpec extends SparkSpec {
     assert(fps(1L).intersect(fps(3L)).nonEmpty)
   }
 
+  test("winnow overlap: shared-block pair found, boilerplate fp capped out") {
+    import spark.implicits._
+    val block = (1 to 40).map(i => s"w$i").mkString(" ")
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val docs = (Seq(
+      (1L, s"alpha beta $block gamma delta"),
+      (2L, s"$block omega psi chi phi"),
+      (3L, "totally unrelated text with nothing shared at all here")) ++
+      // 10 docs sharing only a boilerplate block (> maxDocsPerFp=8):
+      // its fingerprints must be capped out, so no pairs among them
+      (10L to 19L).map(i => (i, s"$boiler unique$i tail$i own$i word$i more$i")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) >= 4L)
+    assert(pairs.keySet == Set((1L, 2L)))
+  }
+
   test("minhash agreement: identical pair saturates, disjoint pair zeroes") {
     import spark.implicits._
     val docs = Seq((1L, "p q r s t u v w"), (2L, "p q r s t u v w"),
