@@ -60,7 +60,7 @@ object ScaleProbe {
       "q81_simhash128_neardup", "q82_rank_buckets",
       "q83_token_budget_cap", "q84_split_leakage", "q85_ann_recall",
       "q86_winnowing", "q87_minhash_agreement", "q88_shard_assign",
-      "q89_winnow_overlap")
+      "q89_winnow_overlap", "q90_containment")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a

@@ -640,6 +640,54 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Containment near-dup pairs — the truncation/quotation case symmetric
+    * Jaccard systematically misses: a document wholly contained in one
+    * 10× longer has Jaccard ≈ 0.1 but containment |A∩B|/|A| ≈ 1.0
+    * (Broder's original distinction between resemblance and containment).
+    * Returns (d1, d2, cont1_ppm, cont2_ppm) where cont1 = shared distinct
+    * k-shingles as a ppm fraction of d1's shingles, for pairs whose MAX
+    * containment reaches `minPpm` — integer-exact in both directions.
+    *
+    * Candidates come from [[winnowOverlapPairs]]: winnowing fingerprints
+    * are position-robust LOCAL witnesses, so a contained substring still
+    * shares fingerprints with its host even when global signatures
+    * (MinHash/SimHash) diverge — the reason an LSH-banded candidate stage
+    * would be the wrong tool here. The exact-shingle verify then touches
+    * candidate pairs only, [[minhashNearDups]]'s verify discipline.
+    *
+    * Scale shape: the candidate stage inherits the winnowing frequency
+    * cap (no quadratic fan-out); the verify joins shingle rows
+    * semi-join-pruned to candidate docs; sizes ride the same hashed rows.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, minPpm: Long = 900000L,
+                       minShared: Int = 4,
+                       maxDocsPerFp: Int = 8): DataFrame = {
+    val cand = winnowOverlapPairs(docs, idCol, textCol,
+        minShared = minShared, maxDocsPerFp = maxDocsPerFp)
+      .select(col("d1"), col("d2"))
+    val ids = cand.select(col("d1").as("_id"))
+      .union(cand.select(col("d2").as("_id"))).distinct()
+    val sh = TextAnalysis.tokenChunkRows(docs, idCol, textCol, k, stride = 1)
+      .filter(col("_n_toks") === k || col("_pos") === 0)
+      .select(col("_id"), col("_chunk"))
+      .join(ids, Seq("_id"), "left_semi")
+      .select(col("_id"), unhex(md5(col("_chunk"))).as("_sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_sz"))
+    val inter = cand
+      .join(sh.select(col("_id").as("d1"), col("_sh")), Seq("d1"))
+      .join(sh.select(col("_id").as("d2"), col("_sh")), Seq("d2", "_sh"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("_c"))
+    inter
+      .join(sizes.select(col("_id").as("d1"), col("_sz").as("_s1")), Seq("d1"))
+      .join(sizes.select(col("_id").as("d2"), col("_sz").as("_s2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        expr("_c * 1000000L div _s1").as("cont1_ppm"),
+        expr("_c * 1000000L div _s2").as("cont2_ppm"))
+      .filter(greatest(col("cont1_ppm"), col("cont2_ppm")) >= minPpm)
+  }
+
   /** MinHash estimator-quality audit over an explicit pair set: for each
     * (d1, d2) pair, the number of agreeing signature slots out of `slots`
     * next to the EXACT shingle Jaccard in integer ppm — the table that

@@ -690,6 +690,20 @@ object LlmQueries {
         "doc_id", "text")
     },
 
+    // Containment dedup (Broder's resemblance-vs-containment case):
+    // planted half-length prefix docs (+3M, %20=5) must be caught at
+    // containment ~1.0 even though their symmetric Jaccard is ~0.5 —
+    // winnow-fingerprint candidates, exact shingle-containment verify.
+    "q90_containment" -> { (s, dir) =>
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val halves = base.filter(col("doc_id") % 20 === 5)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          expr("array_join(slice(split(trim(text), '\\\\s+'), 1, " +
+            "greatest(size(split(trim(text), '\\\\s+')) div 2, 4)), ' ')")
+            .as("text"))
+      Dedup.containmentPairs(base.unionByName(halves), "doc_id", "text")
+    },
+
     // CCNet-style per-language rank terciles over an integer quality
     // signal — equal-frequency head/middle/tail bands, deterministic at
     // every rank boundary.
@@ -1726,6 +1740,64 @@ object LlmQueries {
         |FROM pf a JOIN pf b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING count(*) >= 4""".stripMargin,
+    // q90: half-prefix injection, the q89 winnow-candidate chain, then
+    // exact k=3 shingle containment in both directions — all integer.
+    "q90_containment" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |btoks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM base),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |    array_to_string(tk[1:greatest(len(tk)//2, 4)], ' ') AS text
+        |  FROM btoks WHERE doc_id % 20 = 5),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM corpus),
+        |g AS (
+        |  SELECT doc_id, i.g AS pos,
+        |    list_reduce(list_transform(
+        |      string_split(substr(md5(array_to_string(tk[i.g:i.g+3], ' ')), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS h
+        |  FROM toks,
+        |    LATERAL UNNEST(generate_series(1, greatest(len(tk)-3, 1))) AS i(g)),
+        |wmin AS (
+        |  SELECT doc_id, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    lead(h, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS ld
+        |  FROM g),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM wmin WHERE ld IS NOT NULL OR pos = 1),
+        |eligible AS (
+        |  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 8),
+        |pf AS (SELECT f.doc_id, f.fp FROM fps f JOIN eligible e ON f.fp = e.fp),
+        |cand AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM pf a JOIN pf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 4),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(tk[i.g:i.g+2], ' ') AS s
+        |  FROM toks,
+        |    LATERAL UNNEST(generate_series(1, greatest(len(tk)-2, 1))) AS i(g)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.d1, c.d2, count(*) AS ic
+        |  FROM cand c
+        |  JOIN sh x ON x.doc_id = c.d1
+        |  JOIN sh y ON y.doc_id = c.d2 AND y.s = x.s
+        |  GROUP BY 1, 2)
+        |SELECT i.d1, i.d2,
+        |  i.ic * 1000000 // na.n AS cont1_ppm,
+        |  i.ic * 1000000 // nb.n AS cont2_ppm
+        |FROM inter i
+        |JOIN sizes na ON na.doc_id = i.d1
+        |JOIN sizes nb ON nb.doc_id = i.d2
+        |WHERE greatest(i.ic * 1000000 // na.n, i.ic * 1000000 // nb.n)
+        |  >= 900000""".stripMargin,
     // q88: the serpentine deal replayed over the per-lang heaviest-first
     // rank — all-integer CASE arithmetic on ROW_NUMBER.
     "q88_shard_assign" ->

@@ -573,6 +573,22 @@ class LlmSpec extends SparkSpec {
     assert(pairs.keySet == Set((1L, 2L)))
   }
 
+  test("containment: prefix doc caught at 1.0 despite low jaccard") {
+    import spark.implicits._
+    val full = (1 to 60).map(i => s"t$i").mkString(" ")
+    val prefix = (1 to 20).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, full), (2L, prefix),
+      (3L, "nothing in common with the others at all in this text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("cont1_ppm"), r.getAs[Long]("cont2_ppm"))).toMap
+    // d2's 18 trigrams are all inside d1's 58: containment exactly 1.0,
+    // while symmetric jaccard is 18/58 ≈ 0.31 — the case this catches
+    assert(out.keySet == Set((1L, 2L)))
+    assert(out((1L, 2L))._2 == 1000000L && out((1L, 2L))._1 < 500000L)
+  }
+
   test("minhash agreement: identical pair saturates, disjoint pair zeroes") {
     import spark.implicits._
     val docs = Seq((1L, "p q r s t u v w"), (2L, "p q r s t u v w"),
