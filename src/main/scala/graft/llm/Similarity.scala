@@ -53,6 +53,40 @@ object Similarity {
       .select(col("qid"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Integer-exact brute-force top-k over INT8-quantized codes — the
+    * production rerank trick turned into a float-free contract:
+    * [[scalarQuantize]]'s per-dimension byte codes are engine-identical,
+    * a byte-vector dot product is <= 64·255² < 2²² (exact in double,
+    * emitted as BIGINT), and the (dot desc, id asc) ranking therefore
+    * has zero tie ambiguity on any engine or partitioning. Output:
+    * (qid, rank, neighbor_id, dot) — all integers. Queries are an id
+    * table; their codes come from the corpus-wide quantization, the
+    * quantize-once-probe-with-codes production semantics.
+    *
+    * Scale shape: identical to [[bruteForceKnn]] (broadcast query side,
+    * corpus streamed once, native codegen'd dot); quantization adds one
+    * per-dimension range aggregate (64 rows, broadcast) and one per-id
+    * reassembly aggregate.
+    */
+  def int8Knn(corpus: DataFrame, queryIds: DataFrame, idCol: String,
+              vecCol: String, k: Int = 10): DataFrame = {
+    graft.functions.NativeExpressions.register(corpus.sparkSession)
+    val codes = scalarQuantize(corpus, idCol, vecCol)
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("q")))),
+        s => s.getField("q").cast("double")).as("_cv"))
+    val q = codes.join(queryIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("qid"), col("_cv").as("_qv"))
+    val scored = codes.select(col(idCol).as("neighbor_id"), col("_cv"))
+      .join(broadcast(q), col("neighbor_id") =!= col("qid"))
+      .withColumn("dot", dot(col("_qv"), col("_cv")).cast("long"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("neighbor_id"), col("dot"))
+  }
+
   /** ANN quality audit: per-query recall of an approximate top-k result
     * against the exact one — the number an index deployment watches
     * (IVF probe counts and LSH table counts are tuned against exactly

@@ -473,6 +473,17 @@ object LlmQueries {
         "embedding")
     },
 
+    // INT8-quantized brute-force top-k: the float-free ANN contract —
+    // byte-code dot products are BIGINT-exact, so ranking has zero tie
+    // ambiguity cross-engine (unlike q35, whose float sim column needs
+    // the deterministic id tie-break to stay comparable).
+    "q91_int8_knn" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.int8Knn(e,
+        e.filter(col("vec_id") % 100 === 0).select(col("vec_id")),
+        "vec_id", "embedding", k = 10)
+    },
+
     // Multimodal plumbing: opaque binary payloads through the batched
     // per-partition feature extractor (decode step is a deterministic
     // fake — byte-level features the oracle can mirror).
@@ -2027,6 +2038,37 @@ object LlmQueries {
         |      CAST(floor((e.x - r.mn) * 255.0 / (r.mx - r.mn)) AS INT))
         |  END AS q
         |FROM expl e JOIN ranges r USING (pos)""".stripMargin,
+    // q91: the q65 quantization chain, list-assembled codes, integer
+    // dot ranking — no floats anywhere in the compared surface.
+    "q91_int8_knn" ->
+      """WITH expl AS (
+        |  SELECT vec_id, g.pos - 1 AS pos,
+        |    CAST(embedding[g.pos] AS DOUBLE) AS x
+        |  FROM embeddings,
+        |    LATERAL UNNEST(generate_series(1, 64)) AS g(pos)),
+        |ranges AS (
+        |  SELECT pos, min(x) AS mn, max(x) AS mx FROM expl GROUP BY 1),
+        |codes AS (
+        |  SELECT e.vec_id, e.pos,
+        |    CASE WHEN r.mx = r.mn THEN 0
+        |      ELSE least(255,
+        |        CAST(floor((e.x - r.mn) * 255.0 / (r.mx - r.mn)) AS INT))
+        |    END AS q
+        |  FROM expl e JOIN ranges r USING (pos)),
+        |vecs AS (
+        |  SELECT vec_id, list(CAST(q AS DOUBLE) ORDER BY pos) AS v
+        |  FROM codes GROUP BY 1),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+        |    CAST(list_dot_product(q.v, c.v) AS BIGINT) AS dot
+        |  FROM vecs q JOIN vecs c ON c.vec_id != q.vec_id
+        |  WHERE q.vec_id % 100 = 0)
+        |SELECT qid, rank, neighbor_id, dot FROM (
+        |  SELECT qid, neighbor_id, dot,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY dot DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10""".stripMargin,
     // q60: the q56 → q32 → q33 → q57 → q58 → q52 → q54 oracle fragments
     // chained in pipeline order. Float comparisons are each a single
     // division of identical integers on both engines (quality thresholds,

@@ -573,6 +573,22 @@ class LlmSpec extends SparkSpec {
     assert(pairs.keySet == Set((1L, 2L)))
   }
 
+  test("int8 knn: duplicate vector ranks first, dot integer-exact") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.25f)),
+      (2L, Array(1.0f, 0.0f, 0.5f, 0.25f)), // exact duplicate of 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.75f)),
+      (4L, Array(0.5f, 0.5f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.int8Knn(vecs, Seq(Tuple1(1L)).toDF("vec_id"),
+      "vec_id", "embedding", k = 3).collect()
+      .map(r => r.getAs[Int]("rank") ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Long]("dot"))).toMap
+    assert(out(1)._1 == 2L) // identical codes -> maximal dot
+    // duplicate's dot = sum of squared byte codes of vec 1 — an integer
+    assert(out(1)._2 > out(2)._2 && out(2)._2 >= out(3)._2)
+  }
+
   test("containment: prefix doc caught at 1.0 despite low jaccard") {
     import spark.implicits._
     val full = (1 to 60).map(i => s"t$i").mkString(" ")

@@ -15,6 +15,8 @@ class PlanAuditSpec extends SparkSpec {
       // q85 composes q35's brute-force side (its baseline) — same tiny
       // broadcast query sample, same intended NLJ.
       "q85_ann_recall",
+      // q91 is q35's shape over int8 codes — same broadcast query side.
+      "q91_int8_knn",
       // kMeans assignment: corpus streamed once against the broadcast
       // centroid table (k·dim doubles) — the intended IVF/q44 shape.
       // (q64 embeds kMeans too, but behind an eager checkpoint — its
