@@ -322,6 +322,28 @@ object Corpus {
         col("_cum").as("cum_tokens"))
   }
 
+  /** Token frequency spectrum — the count-of-counts Zipf diagnostic run
+    * before vocabulary induction: how many distinct token types fall in
+    * each power-of-two occurrence band, and how much of the corpus those
+    * bands cover (a healthy natural-language corpus shows the straight
+    * Zipf line; a bot/template-heavy one bulges in the high bands, and a
+    * garbled one bulges at f=1). Output (bucket, n_types, n_occurrences),
+    * bucket = floor(log2(f)) computed as `length(bin(f)) - 1` — the
+    * integer-exact form: log2-via-doubles misclassifies exact powers of
+    * two (log(8)/log(2) = 2.9999… in IEEE double), and differently so
+    * across engines.
+    *
+    * Scale shape: one token-keyed aggregation (vocab-sized state,
+    * map-side combine) and a ~60-row bucket aggregate.
+    */
+  def frequencySpectrum(docs: DataFrame, textCol: String): DataFrame = {
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+      .groupBy(col("_t")).agg(count(lit(1)).as("_f"))
+      .withColumn("bucket", (length(bin(col("_f"))) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_types"), sum(col("_f")).as("n_occurrences"))
+  }
+
   /** Token-balanced output shard assignment: within each stratum, rank
     * documents heaviest-first (id tie-break) and deal them to `nShards`
     * shards in serpentine (boustrophedon) order — shard 0..n-1 on even

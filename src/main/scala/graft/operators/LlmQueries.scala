@@ -715,6 +715,14 @@ object LlmQueries {
       Dedup.containmentPairs(base.unionByName(halves), "doc_id", "text")
     },
 
+    // Zipf frequency spectrum: distinct token types and corpus coverage
+    // per power-of-two occurrence band — the pre-vocab-induction corpus
+    // health check. Bucket via length(bin(f))-1, the integer-exact
+    // floor-log2 (log2-by-doubles flips at exact powers of two).
+    "q92_frequency_spectrum" -> { (s, dir) =>
+      Corpus.frequencySpectrum(t(s, dir, "documents"), "text")
+    },
+
     // CCNet-style per-language rank terciles over an integer quality
     // signal — equal-frequency head/middle/tail bands, deterministic at
     // every rank boundary.
@@ -1809,6 +1817,15 @@ object LlmQueries {
         |JOIN sizes nb ON nb.doc_id = i.d2
         |WHERE greatest(i.ic * 1000000 // na.n, i.ic * 1000000 // nb.n)
         |  >= 900000""".stripMargin,
+    // q92: count-of-counts with the bin()-length floor-log2 device.
+    "q92_frequency_spectrum" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |tf AS (SELECT t, count(*) AS f FROM tok GROUP BY 1)
+        |SELECT length(bin(f)) - 1 AS bucket, count(*) AS n_types,
+        |  SUM(f) AS n_occurrences
+        |FROM tf GROUP BY 1""".stripMargin,
     // q88: the serpentine deal replayed over the per-lang heaviest-first
     // rank — all-integer CASE arithmetic on ROW_NUMBER.
     "q88_shard_assign" ->

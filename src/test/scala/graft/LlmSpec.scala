@@ -573,6 +573,15 @@ class LlmSpec extends SparkSpec {
     assert(pairs.keySet == Set((1L, 2L)))
   }
 
+  test("frequency spectrum: power-of-two bands integer-exact") {
+    import spark.implicits._
+    val d = Seq((1L, "a a a a b b c"), (2L, "b b d")).toDF("doc_id", "text")
+    // f: a=4 -> bucket 2, b=4 -> bucket 2, c=1 -> 0, d=1 -> 0
+    val out = Corpus.frequencySpectrum(d, "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(2L -> (2L, 8L), 0L -> (2L, 2L)))
+  }
+
   test("int8 knn: duplicate vector ranks first, dot integer-exact") {
     import spark.implicits._
     val vecs = Seq(
