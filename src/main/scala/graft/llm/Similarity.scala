@@ -87,6 +87,49 @@ object Similarity {
       .select(col("qid"), col("rank"), col("neighbor_id"), col("dot"))
   }
 
+  /** The composed production ANN stack: IVF coarse search ([[ivfKnn]]'s
+    * centroid assignment + nprobe list probing) with an [[int8Knn]]-style
+    * INT8-code rerank — coarse quantizer prunes the corpus to ~nprobe/
+    * |centroids|, byte-code dots rank the survivors with BIGINT-exact
+    * scores. The compared surface (candidate set boundaries aside, which
+    * are q44's already-gated device) is float-free. Output:
+    * (qid, rank, neighbor_id, dot).
+    *
+    * Scale shape: q44's exactly — corpus streamed once against broadcast
+    * centroids, candidate join shuffled on centroid id — plus the two
+    * quantization aggregates; the rerank join carries byte codes, 4×
+    * smaller than the float vectors the cosine rerank ships.
+    */
+  def ivfInt8Knn(corpus: DataFrame, queryIds: DataFrame, idCol: String,
+                 vecCol: String, k: Int = 10, centroidEvery: Int = 64,
+                 nprobe: Int = 4): DataFrame = {
+    graft.functions.NativeExpressions.register(corpus.sparkSession)
+    val centroids = centroidsOf(corpus, idCol, vecCol, centroidEvery)
+    val assigned = nearest(corpus, centroids, idCol, vecCol,
+        "neighbor_id", "_v", "_cn2", keep = 1)
+      .select(col("neighbor_id"), col("_cid"))
+    val probed = nearest(corpus.join(queryIds, Seq(idCol), "left_semi"),
+        centroids, idCol, vecCol, "qid", "_qv", "_qn", keep = nprobe)
+      .select(col("qid"), col("_cid"))
+    val codes = scalarQuantize(corpus, idCol, vecCol)
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("q")))),
+        s => s.getField("q").cast("double")).as("_cv"))
+    val scored = probed.join(assigned, Seq("_cid"))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .select(col("qid"), col("neighbor_id"))
+      .join(codes.select(col(idCol).as("qid"), col("_cv").as("_qv")),
+        Seq("qid"))
+      .join(codes.select(col(idCol).as("neighbor_id"), col("_cv")),
+        Seq("neighbor_id"))
+      .withColumn("dot", dot(col("_qv"), col("_cv")).cast("long"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("neighbor_id"), col("dot"))
+  }
+
   /** ANN quality audit: per-query recall of an approximate top-k result
     * against the exact one — the number an index deployment watches
     * (IVF probe counts and LSH table counts are tuned against exactly

@@ -484,6 +484,16 @@ object LlmQueries {
         "vec_id", "embedding", k = 10)
     },
 
+    // The composed production ANN stack: IVF coarse pruning (q44's exact
+    // geometry) + INT8-code rerank (q91's float-free scoring) — what a
+    // deployed vector index actually runs.
+    "q93_ivf_int8" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfInt8Knn(e,
+        e.filter(col("vec_id") % 100 === 0).select(col("vec_id")),
+        "vec_id", "embedding", k = 10)
+    },
+
     // Multimodal plumbing: opaque binary payloads through the batched
     // per-partition feature extractor (decode step is a deterministic
     // fake — byte-level features the oracle can mirror).
@@ -2086,6 +2096,65 @@ object LlmQueries {
         |      ORDER BY dot DESC, neighbor_id ASC) AS rank
         |  FROM scored)
         |WHERE rank <= 10""".stripMargin,
+    // q93: q44's coarse chain (assignment + nprobe probing) feeding
+    // q91's integer-code rerank — candidates from floats q44 already
+    // gates, scores pure BIGINT.
+    "q93_ivf_int8" -> {
+      def cos(a: String, b: String): String =
+        s"""list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
+           |      / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))
+           |        * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))""".stripMargin
+      s"""WITH c AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |  WHERE vec_id % 64 = 0),
+         |csim AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ${cos("e.embedding", "c.cv")} AS sim
+         |  FROM embeddings e, c),
+         |assigned AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM csim) WHERE rn = 1),
+         |probed AS (
+         |  SELECT vec_id AS qid, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM csim WHERE vec_id % 100 = 0) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id AS neighbor_id
+         |  FROM probed p JOIN assigned a USING (cid)
+         |  WHERE a.vec_id != p.qid),
+         |expl AS (
+         |  SELECT vec_id, g.pos - 1 AS pos,
+         |    CAST(embedding[g.pos] AS DOUBLE) AS x
+         |  FROM embeddings,
+         |    LATERAL UNNEST(generate_series(1, 64)) AS g(pos)),
+         |ranges AS (
+         |  SELECT pos, min(x) AS mn, max(x) AS mx FROM expl GROUP BY 1),
+         |icodes AS (
+         |  SELECT e.vec_id, e.pos,
+         |    CASE WHEN r.mx = r.mn THEN 0
+         |      ELSE least(255,
+         |        CAST(floor((e.x - r.mn) * 255.0 / (r.mx - r.mn)) AS INT))
+         |    END AS q
+         |  FROM expl e JOIN ranges r USING (pos)),
+         |vecs AS (
+         |  SELECT vec_id, list(CAST(q AS DOUBLE) ORDER BY pos) AS v
+         |  FROM icodes GROUP BY 1),
+         |scored AS (
+         |  SELECT cand.qid, cand.neighbor_id,
+         |    CAST(list_dot_product(qv.v, cv.v) AS BIGINT) AS dot
+         |  FROM cand
+         |  JOIN vecs qv ON qv.vec_id = cand.qid
+         |  JOIN vecs cv ON cv.vec_id = cand.neighbor_id)
+         |SELECT qid, rank, neighbor_id, dot FROM (
+         |  SELECT qid, neighbor_id, dot,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY dot DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10""".stripMargin
+    },
     // q60: the q56 → q32 → q33 → q57 → q58 → q52 → q54 oracle fragments
     // chained in pipeline order. Float comparisons are each a single
     // division of identical integers on both engines (quality thresholds,

@@ -598,6 +598,23 @@ class LlmSpec extends SparkSpec {
     assert(out(1)._2 > out(2)._2 && out(2)._2 >= out(3)._2)
   }
 
+  test("ivf int8: top hit agrees with brute-force int8 on a clustered set") {
+    import spark.implicits._
+    // two tight clusters; centroidEvery=2 seeds centroids at ids 0 and 2
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.1f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.2f)), (3L, Array(0.1f, 0.9f, 0.0f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(1L)).toDF("vec_id")
+    val ivf = Similarity.ivfInt8Knn(vecs, q, "vec_id", "embedding",
+      k = 2, centroidEvery = 2, nprobe = 1).collect()
+      .map(r => r.getAs[Int]("rank") -> r.getAs[Long]("neighbor_id")).toMap
+    val brute = Similarity.int8Knn(vecs, q, "vec_id", "embedding", k = 2)
+      .collect().map(r => r.getAs[Int]("rank") ->
+        r.getAs[Long]("neighbor_id")).toMap
+    assert(ivf(1) == brute(1)) // same cluster holds the true top hit
+  }
+
   test("containment: prefix doc caught at 1.0 despite low jaccard") {
     import spark.implicits._
     val full = (1 to 60).map(i => s"t$i").mkString(" ")

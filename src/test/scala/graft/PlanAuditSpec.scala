@@ -17,6 +17,8 @@ class PlanAuditSpec extends SparkSpec {
       "q85_ann_recall",
       // q91 is q35's shape over int8 codes — same broadcast query side.
       "q91_int8_knn",
+      // q93 composes q44's coarse stage — same broadcast centroid NLJ.
+      "q93_ivf_int8",
       // kMeans assignment: corpus streamed once against the broadcast
       // centroid table (k·dim doubles) — the intended IVF/q44 shape.
       // (q64 embeds kMeans too, but behind an eager checkpoint — its
