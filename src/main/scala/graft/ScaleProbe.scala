@@ -61,7 +61,7 @@ object ScaleProbe {
       "q83_token_budget_cap", "q84_split_leakage", "q85_ann_recall",
       "q86_winnowing", "q87_minhash_agreement", "q88_shard_assign",
       "q89_winnow_overlap", "q90_containment", "q91_int8_knn",
-      "q92_frequency_spectrum")
+      "q92_frequency_spectrum", "q93_ivf_int8")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -72,7 +72,8 @@ object ScaleProbe {
       "q62_kmeans" -> "embeddings",
       "q64_semdedup" -> "embeddings",
       "q85_ann_recall" -> "embeddings",
-      "q91_int8_knn" -> "embeddings").withDefault(_ => "documents")
+      "q91_int8_knn" -> "embeddings",
+      "q93_ivf_int8" -> "embeddings").withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet
 
     // The replica generators for documents/lineitem are the

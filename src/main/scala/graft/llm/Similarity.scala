@@ -239,12 +239,27 @@ object Similarity {
     * written bucketed by `_cid` so repeated query batches skip the
     * assignment pass entirely.
     */
-  /** Deterministic id-sampled centroid table (_cid, _cv, _cn). */
+  /** Deterministic id-sampled centroid table (_cid, _cv, _cn).
+    *
+    * Capped exactly like [[kMeans]]: a FIXED sampling modulus makes
+    * |centroids| ∝ n, and the broadcast coarse assignment goes
+    * O(n²/every) — the q93 100× probe measured 31× wall at 100× data
+    * before this cap (coarse assignment pairs EXCEEDED the brute-force
+    * baseline's at 200k vectors). One cheap count pins the centroid
+    * count; past the cap, growth is linear. At oracle scale
+    * (n ≤ 64·maxCentroids) the modulus equals `centroidEvery`, so gated
+    * outputs are unchanged.
+    */
   private def centroidsOf(corpus: DataFrame, idCol: String, vecCol: String,
-                          centroidEvery: Int): DataFrame =
-    corpus.filter(col(idCol) % centroidEvery === 0)
+                          centroidEvery: Int,
+                          maxCentroids: Int = 1024): DataFrame = {
+    val n = corpus.count()
+    val every = math.max(centroidEvery.toLong,
+      (n + maxCentroids - 1) / maxCentroids)
+    corpus.filter(col(idCol) % every === 0)
       .select(col(idCol).as("_cid"), col(vecCol).as("_cv"),
         norm(col(vecCol)).as("_cn"))
+  }
 
   /** Nearest-centroid assignment against a broadcast centroid table:
     * (id, vec, nrm, _cid) with `keep` nearest lists per row, tie-break on

@@ -733,6 +733,39 @@ object LlmQueries {
       Corpus.frequencySpectrum(t(s, dir, "documents"), "text")
     },
 
+    // Cross-source near-dup flow: q33's pairs rolled up by canonical
+    // source pair — the mirror/syndication report that tells a curation
+    // run WHICH sources duplicate which (off-diagonal mass = mirrors;
+    // diagonal = within-source boilerplate).
+    "q94_dup_flow" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val src = d.select(col("doc_id"), col("source"))
+      Dedup.minhashNearDups(d, "doc_id", "text")
+        .join(src.select(col("doc_id").as("d1"), col("source").as("_s1")),
+          Seq("d1"))
+        .join(src.select(col("doc_id").as("d2"), col("source").as("_s2")),
+          Seq("d2"))
+        .select(least(col("_s1"), col("_s2")).as("src_a"),
+          greatest(col("_s1"), col("_s2")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
+    // Duplication-depth spectrum: exact-dup group sizes in power-of-two
+    // bands — "how much of the corpus exists how many times", the
+    // headline number of a dedup report (n_docs sums back to the corpus).
+    "q95_dup_depth_spectrum" -> { (s, dir) =>
+      Dedup.exactDups(dupInjectedCorpus(
+          t(s, dir, "documents").select(col("doc_id"), col("text"))),
+          "doc_id", "text")
+        .filter(col("doc_id") === col("canonical_id"))
+        .withColumn("bucket",
+          (length(bin(col("group_size"))) - 1).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("group_size")).as("n_docs"))
+    },
+
     // CCNet-style per-language rank terciles over an integer quality
     // signal — equal-frequency head/middle/tail bands, deterministic at
     // every rank boundary.
@@ -1827,6 +1860,43 @@ object LlmQueries {
         |JOIN sizes nb ON nb.doc_id = i.d2
         |WHERE greatest(i.ic * 1000000 // na.n, i.ic * 1000000 // nb.n)
         |  >= 900000""".stripMargin,
+    // q94: the q33 pair chain + source joins, canonical pair order.
+    "q94_dup_flow" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(tk[i.g:i.g+2], ' ') AS s
+        |  FROM toks,
+        |    LATERAL UNNEST(generate_series(1, greatest(len(tk)-2, 1))) AS i(g)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM (
+        |    SELECT d1, d2, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
+        |    FROM inter
+        |    JOIN sizes na ON d1 = na.doc_id
+        |    JOIN sizes nb ON d2 = nb.doc_id)
+        |  WHERE jaccard >= 0.8)
+        |SELECT least(a.source, b.source) AS src_a,
+        |  greatest(a.source, b.source) AS src_b, count(*) AS n_pairs
+        |FROM pairs p
+        |JOIN documents a ON a.doc_id = p.d1
+        |JOIN documents b ON b.doc_id = p.d2
+        |GROUP BY 1, 2""".stripMargin,
+    // q95: exact-dup group sizes through the bin()-length bands.
+    "q95_dup_depth_spectrum" -> s"""WITH $dupCorpusSql,
+        |g AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+        |    count(*) AS sz
+        |  FROM corpus GROUP BY 1)
+        |SELECT length(bin(sz)) - 1 AS bucket, count(*) AS n_groups,
+        |  SUM(sz) AS n_docs
+        |FROM g GROUP BY 1""".stripMargin,
     // q92: count-of-counts with the bin()-length floor-log2 device.
     "q92_frequency_spectrum" ->
       """WITH tok AS (
