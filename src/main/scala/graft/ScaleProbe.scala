@@ -61,7 +61,8 @@ object ScaleProbe {
       "q83_token_budget_cap", "q84_split_leakage", "q85_ann_recall",
       "q86_winnowing", "q87_minhash_agreement", "q88_shard_assign",
       "q89_winnow_overlap", "q90_containment", "q91_int8_knn",
-      "q92_frequency_spectrum", "q93_ivf_int8")
+      "q92_frequency_spectrum", "q93_ivf_int8", "q94_dup_flow",
+      "q95_dup_depth_spectrum")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a

@@ -733,6 +733,17 @@ object LlmQueries {
       Corpus.frequencySpectrum(t(s, dir, "documents"), "text")
     },
 
+    // Lang-ID confusion matrix: q31's stopword-profile classifier scored
+    // against the table's labels — the evaluation rollup that says which
+    // language pairs the n-gram heuristic confuses (and how much of each
+    // label it gets right, the per-lang recall diagonal).
+    "q96_langid_confusion" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), TA.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+
     // Cross-source near-dup flow: q33's pairs rolled up by canonical
     // source pair — the mirror/syndication report that tells a curation
     // run WHICH sources duplicate which (off-diagonal mass = mirrors;
@@ -1860,6 +1871,22 @@ object LlmQueries {
         |JOIN sizes nb ON nb.doc_id = i.d2
         |WHERE greatest(i.ic * 1000000 // na.n, i.ic * 1000000 // nb.n)
         |  >= 900000""".stripMargin,
+    // q96: the q31 classifier CTE rolled up against the labels.
+    "q96_langid_confusion" ->
+      s"""SELECT lang, CASE WHEN s_en = m THEN 'en' WHEN s_de = m THEN 'de'
+         |       WHEN s_es = m THEN 'es' ELSE 'fr' END AS lang_pred,
+         |  count(*) AS n_docs
+         |FROM (
+         |  SELECT lang, s_en, s_de, s_es, s_fr,
+         |    greatest(s_en, s_de, s_es, s_fr) AS m
+         |  FROM (
+         |    SELECT lang,
+         |      ${profileSql(swList("en"))} AS s_en,
+         |      ${profileSql(swList("de"))} AS s_de,
+         |      ${profileSql(swList("es"))} AS s_es,
+         |      ${profileSql(swList("fr"))} AS s_fr
+         |    FROM (SELECT lang, $tokSql AS tk FROM documents)))
+         |GROUP BY 1, 2""".stripMargin,
     // q94: the q33 pair chain + source joins, canonical pair order.
     "q94_dup_flow" ->
       """WITH toks AS (
