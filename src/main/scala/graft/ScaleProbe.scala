@@ -62,7 +62,8 @@ object ScaleProbe {
       "q86_winnowing", "q87_minhash_agreement", "q88_shard_assign",
       "q89_winnow_overlap", "q90_containment", "q91_int8_knn",
       "q92_frequency_spectrum", "q93_ivf_int8", "q94_dup_flow",
-      "q95_dup_depth_spectrum")
+      "q95_dup_depth_spectrum", "q96_langid_confusion",
+      "q97_gate_ablation", "q98_packing_efficiency")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -731,6 +731,46 @@ object LlmQueries {
     // floor-log2 (log2-by-doubles flips at exact powers of two).
     "q92_frequency_spectrum" -> { (s, dir) =>
       Corpus.frequencySpectrum(t(s, dir, "documents"), "text")
+    },
+
+    // Quality-gate ablation: per rule, total rejections AND unique
+    // rejections (docs failing ONLY that rule — the docs that rule alone
+    // saves the corpus from). The table a curation run reads before
+    // retuning any threshold: a rule with zero unique rejections is
+    // shadowed; one with most of the total is doing all the work.
+    "q97_gate_ablation" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(TA.corpusGateFlags(col("text")).as("q"))
+        .select(col("q.ok_tokens").as("_t"), col("q.ok_avg_len").as("_l"),
+          col("q.ok_stopword").as("_s"), col("q.ok_repetition").as("_r"))
+      def f(c: Column) = sum(when(!c, 1L).otherwise(0L))
+      def u(c: Column, others: Column*) =
+        sum(when(!c && others.reduce(_ && _), 1L).otherwise(0L))
+      d.agg(
+          f(col("_t")).as("f_t"),
+          u(col("_t"), col("_l"), col("_s"), col("_r")).as("u_t"),
+          f(col("_l")).as("f_l"),
+          u(col("_l"), col("_t"), col("_s"), col("_r")).as("u_l"),
+          f(col("_s")).as("f_s"),
+          u(col("_s"), col("_t"), col("_l"), col("_r")).as("u_s"),
+          f(col("_r")).as("f_r"),
+          u(col("_r"), col("_t"), col("_l"), col("_s")).as("u_r"))
+        .selectExpr("stack(4, 'tokens', f_t, u_t, 'avg_len', f_l, u_l, " +
+          "'stopword', f_s, u_s, 'repetition', f_r, u_r) " +
+          "AS (rule, n_fail, n_unique_fail)")
+    },
+
+    // Packing efficiency report: q54's streams rolled up per stratum —
+    // sequences produced, tokens packed, budget capacity. Raw integers
+    // only (straddling admits make waste sign-ambiguous, and negative
+    // integer division floors differently across engines).
+    "q98_packing_efficiency" -> { (s, dir) =>
+      Corpus.packSequences(t(s, dir, "documents"), "doc_id", "lang",
+        TA.tokenCount(col("text")), budget = 256)
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("seq_id")).as("n_seqs"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .withColumn("budget_tokens", col("n_seqs") * lit(256L))
     },
 
     // Lang-ID confusion matrix: q31's stopword-profile classifier scored
@@ -1871,6 +1911,64 @@ object LlmQueries {
         |JOIN sizes nb ON nb.doc_id = i.d2
         |WHERE greatest(i.ic * 1000000 // na.n, i.ic * 1000000 // nb.n)
         |  >= 900000""".stripMargin,
+    // q97: the q56 metric CTE, four flags, fail/unique-fail sums
+    // unioned into long form.
+    "q97_gate_ablation" ->
+      """WITH m AS (
+        |  SELECT n_tokens BETWEEN 30 AND 100000 AS t,
+        |    avg_len BETWEEN 3.5 AND 5.0 AS l,
+        |    sw >= 0.03 AS s, rep <= 0.05 AS r
+        |  FROM (
+        |    SELECT doc_id, len(tk) AS n_tokens,
+        |      CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |        / len(tk) AS avg_len,
+        |      CAST(len(list_filter(tk, x -> list_contains(
+        |        ['the','a','an','of','and','to','in','is','it','on','for'], x)))
+        |        AS DOUBLE) / len(tk) AS sw,
+        |      1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g) AS rep
+        |    FROM (
+        |      SELECT doc_id, text, tk, list_transform(
+        |        generate_series(1, CASE WHEN len(tk) = 0 THEN 0
+        |                              ELSE greatest(len(tk) - 1, 1) END),
+        |        i -> concat_ws(' ', tk[i], tk[i + 1])) AS g
+        |      FROM (
+        |        SELECT doc_id, text,
+        |          string_split_regex(trim(text), '\s+') AS tk
+        |        FROM documents))))
+        |SELECT 'tokens' AS rule,
+        |  SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS n_fail,
+        |  SUM(CASE WHEN NOT t AND l AND s AND r THEN 1 ELSE 0 END)
+        |    AS n_unique_fail FROM m
+        |UNION ALL
+        |SELECT 'avg_len',
+        |  SUM(CASE WHEN NOT l THEN 1 ELSE 0 END),
+        |  SUM(CASE WHEN NOT l AND t AND s AND r THEN 1 ELSE 0 END) FROM m
+        |UNION ALL
+        |SELECT 'stopword',
+        |  SUM(CASE WHEN NOT s THEN 1 ELSE 0 END),
+        |  SUM(CASE WHEN NOT s AND t AND l AND r THEN 1 ELSE 0 END) FROM m
+        |UNION ALL
+        |SELECT 'repetition',
+        |  SUM(CASE WHEN NOT r THEN 1 ELSE 0 END),
+        |  SUM(CASE WHEN NOT r AND t AND l AND s THEN 1 ELSE 0 END)
+        |  FROM m""".stripMargin,
+    // q98: the q54 packing chain rolled up per language stream.
+    "q98_packing_efficiency" ->
+      """WITH packed AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS seq_id
+        |  FROM (
+        |    SELECT doc_id, lang, n_tokens,
+        |      SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM (
+        |      SELECT doc_id, lang,
+        |        len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |      FROM documents)))
+        |SELECT lang, count(DISTINCT seq_id) AS n_seqs,
+        |  SUM(n_tokens) AS total_tokens,
+        |  count(DISTINCT seq_id) * 256 AS budget_tokens
+        |FROM packed GROUP BY 1""".stripMargin,
     // q96: the q31 classifier CTE rolled up against the labels.
     "q96_langid_confusion" ->
       s"""SELECT lang, CASE WHEN s_en = m THEN 'en' WHEN s_de = m THEN 'de'
