@@ -733,6 +733,31 @@ object LlmQueries {
       Corpus.frequencySpectrum(t(s, dir, "documents"), "text")
     },
 
+    // Corpus health report: the one-query dashboard a curation run
+    // prints first — corpus size, gate survival, token volume, exact-dup
+    // mass, near-dup pair count — long-form (metric, value), all BIGINT.
+    "q100_corpus_report" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      def row(name: String, v: DataFrame) =
+        v.select(lit(name).as("metric"), col("value"))
+      val fps = d.select(TA.fingerprint(col("text")).as("fp"))
+      row("n_docs", d.agg(count(lit(1)).as("value")))
+        .unionByName(row("gate_survivors",
+          d.filter(TA.corpusGateFlags(col("text")).getField("keep"))
+            .agg(count(lit(1)).as("value"))))
+        .unionByName(row("total_tokens",
+          d.agg(sum(TA.tokenCount(col("text"))).cast("long").as("value"))))
+        .unionByName(row("distinct_fingerprints",
+          fps.agg(countDistinct(col("fp")).as("value"))))
+        .unionByName(row("exact_dup_docs",
+          fps.groupBy(col("fp")).agg(count(lit(1)).as("_n"))
+            .filter(col("_n") > 1)
+            .agg(coalesce(sum(col("_n")), lit(0L)).as("value"))))
+        .unionByName(row("near_dup_pairs",
+          Dedup.minhashNearDups(d, "doc_id", "text")
+            .agg(count(lit(1)).as("value"))))
+    },
+
     // Quality-gate ablation: per rule, total rejections AND unique
     // rejections (docs failing ONLY that rule — the docs that rule alone
     // saves the corpus from). The table a curation run reads before
@@ -1911,6 +1936,58 @@ object LlmQueries {
         |JOIN sizes nb ON nb.doc_id = i.d2
         |WHERE greatest(i.ic * 1000000 // na.n, i.ic * 1000000 // nb.n)
         |  >= 900000""".stripMargin,
+    // q100: six headline integers from the existing oracle fragments.
+    "q100_corpus_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |metrics AS (
+        |  SELECT doc_id, len(tk) AS n_tokens,
+        |    CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |      / len(tk) AS avg_len,
+        |    CAST(len(list_filter(tk, x -> list_contains(
+        |      ['the','a','an','of','and','to','in','is','it','on','for'], x)))
+        |      AS DOUBLE) / len(tk) AS sw,
+        |    1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g) AS rep
+        |  FROM (
+        |    SELECT doc_id, text, tk, list_transform(
+        |      generate_series(1, CASE WHEN len(tk) = 0 THEN 0
+        |                            ELSE greatest(len(tk) - 1, 1) END),
+        |      i -> concat_ws(' ', tk[i], tk[i + 1])) AS g
+        |    FROM toks)),
+        |fps AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(tk[i.g:i.g+2], ' ') AS s
+        |  FROM toks,
+        |    LATERAL UNNEST(generate_series(1, greatest(len(tk)-2, 1))) AS i(g)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |nd AS (
+        |  SELECT count(*) AS v FROM (
+        |    SELECT d1, d2, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
+        |    FROM inter
+        |    JOIN sizes na ON d1 = na.doc_id
+        |    JOIN sizes nb ON d2 = nb.doc_id)
+        |  WHERE jaccard >= 0.8)
+        |SELECT 'n_docs' AS metric, count(*) AS value FROM documents
+        |UNION ALL
+        |SELECT 'gate_survivors', count(*) FROM metrics
+        |WHERE n_tokens BETWEEN 30 AND 100000 AND avg_len BETWEEN 3.5 AND 5.0
+        |  AND sw >= 0.03 AND rep <= 0.05
+        |UNION ALL
+        |SELECT 'total_tokens', SUM(n_tokens) FROM metrics
+        |UNION ALL
+        |SELECT 'distinct_fingerprints', count(DISTINCT fp) FROM fps
+        |UNION ALL
+        |SELECT 'exact_dup_docs', COALESCE(SUM(n), 0) FROM (
+        |  SELECT fp, count(*) AS n FROM fps GROUP BY 1) WHERE n > 1
+        |UNION ALL
+        |SELECT 'near_dup_pairs', v FROM nd""".stripMargin,
     // q97: the q56 metric CTE, four flags, fail/unique-fail sums
     // unioned into long form.
     "q97_gate_ablation" ->

@@ -178,6 +178,24 @@ object RelationalQueries {
         .groupBy($"user_id", $"session_no")
         .agg(min($"ts").as("session_start"), count(lit(1)).as("n_events"),
           dsum($"value", 4).as("sum_value"))
+    },
+
+    // Session-length spectrum: q48's sessions rolled into power-of-two
+    // event-count bands (the q92 integer floor-log2 device) — the
+    // engagement-shape report a sessionized event stream feeds.
+    "q99_session_spectrum" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts")
+      t(s, dir, "events")
+        .withColumn("_prev", lag(unix_micros($"ts"), 1).over(w))
+        .withColumn("_new", ($"_prev".isNull ||
+          unix_micros($"ts") - $"_prev" > 1800L * 1000000L).cast("long"))
+        .withColumn("session_no", sum($"_new").over(w))
+        .groupBy($"user_id", $"session_no")
+        .agg(count(lit(1)).as("_n"))
+        .withColumn("bucket", (length(bin($"_n")) - 1).cast("long"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_sessions"), sum($"_n").as("n_events"))
     }
   )
 
@@ -255,6 +273,23 @@ object RelationalQueries {
          |SELECT user_id, session_no,
          |  CAST(min(ts) AS TIMESTAMP) AS session_start,
          |  COUNT(*) AS n_events, ${dsumSql("value", 4)} AS sum_value
-         |FROM s GROUP BY 1, 2""".stripMargin
+         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q99_session_spectrum" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts)
+        |      AS BIGINT) AS session_no
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, session_no, COUNT(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT length(bin(n)) - 1 AS bucket, count(*) AS n_sessions,
+        |  SUM(n) AS n_events
+        |FROM sess GROUP BY 1""".stripMargin
   )
 }
