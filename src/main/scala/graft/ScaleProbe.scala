@@ -63,7 +63,8 @@ object ScaleProbe {
       "q89_winnow_overlap", "q90_containment", "q91_int8_knn",
       "q92_frequency_spectrum", "q93_ivf_int8", "q94_dup_flow",
       "q95_dup_depth_spectrum", "q96_langid_confusion",
-      "q97_gate_ablation", "q98_packing_efficiency")
+      "q97_gate_ablation", "q98_packing_efficiency",
+      "q99_session_spectrum", "q100_corpus_report")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -75,7 +76,8 @@ object ScaleProbe {
       "q64_semdedup" -> "embeddings",
       "q85_ann_recall" -> "embeddings",
       "q91_int8_knn" -> "embeddings",
-      "q93_ivf_int8" -> "embeddings").withDefault(_ => "documents")
+      "q93_ivf_int8" -> "embeddings",
+      "q99_session_spectrum" -> "events").withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet
 
     // The replica generators for documents/lineitem are the
@@ -108,6 +110,18 @@ object ScaleProbe {
           col("l_orderkey") + col("_rep") * 100000000L)
         .drop("_rep")
         .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    }
+
+    // Events replica: per-replica USER shift — sessions are per-user
+    // gap runs, so shifting user ids multiplies the user population and
+    // every session statistic scales exactly linearly (timestamps are
+    // untouched; within-user gap structure is the original's).
+    if (fresh("events")) {
+      spark.read.parquet(s"$sf01/events.parquet").crossJoin(reps)
+        .withColumn("user_id", col("user_id") + col("_rep") * 100000000L)
+        .withColumn("event_id", col("event_id") + col("_rep") * 1000000000L)
+        .drop("_rep")
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     }
 
     // Embeddings replica: per-replica SIGN-FLIP isometry (dimension j
