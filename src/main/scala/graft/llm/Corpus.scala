@@ -322,6 +322,25 @@ object Corpus {
         col("_cum").as("cum_tokens"))
   }
 
+  /** Deterministic fixed-size per-stratum sample — the bottom-k-by-hash
+    * (KMV) device: keep the `k` rows with the smallest md5 draw within
+    * each stratum, id tie-break. Where [[stratifiedSample]] fixes the
+    * RATE (output size binomial), this fixes the SIZE: exactly
+    * min(k, |stratum|) rows, membership a pure function of the key set —
+    * the fixed-budget eval-set / spot-check builder, and the KMV sketch
+    * bottom-k half if the draws are retained. One stratum-window shuffle.
+    */
+  def bottomK(docs: DataFrame, keyCol: String, stratumCol: String,
+              k: Int, salt: String = "bk:"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("_draw").asc, col(keyCol).asc)
+    docs.withColumn("_draw", hashU32(col(keyCol), salt))
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter(col("pick_rank") <= k)
+      .withColumnRenamed("_draw", "draw")
+  }
+
   /** Token frequency spectrum — the count-of-counts Zipf diagnostic run
     * before vocabulary induction: how many distinct token types fall in
     * each power-of-two occurrence band, and how much of the corpus those

@@ -733,6 +733,14 @@ object LlmQueries {
       Corpus.frequencySpectrum(t(s, dir, "documents"), "text")
     },
 
+    // Bottom-k (KMV) per-stratum sample: exactly 20 docs per language by
+    // smallest md5 draw — the fixed-budget eval-set builder (rate-based
+    // q52 gives binomial sizes; this gives exact ones).
+    "q101_bottomk_sample" -> { (s, dir) =>
+      Corpus.bottomK(t(s, dir, "documents")
+          .select(col("doc_id"), col("lang")), "doc_id", "lang", k = 20)
+    },
+
     // Corpus health report: the one-query dashboard a curation run
     // prints first — corpus size, gate survival, token volume, exact-dup
     // mass, near-dup pair count — long-form (metric, value), all BIGINT.
@@ -1936,6 +1944,21 @@ object LlmQueries {
         |JOIN sizes nb ON nb.doc_id = i.d2
         |WHERE greatest(i.ic * 1000000 // na.n, i.ic * 1000000 // nb.n)
         |  >= 900000""".stripMargin,
+    // q101: the q52 md5-draw device under a per-stratum bottom-k rank.
+    "q101_bottomk_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(list_transform(
+        |      string_split(substr(md5('bk:' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS draw
+        |  FROM documents)
+        |SELECT doc_id, lang, draw, pick_rank FROM (
+        |  SELECT doc_id, lang, draw,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY draw ASC, doc_id ASC) AS pick_rank
+        |  FROM d)
+        |WHERE pick_rank <= 20""".stripMargin,
     // q100: six headline integers from the existing oracle fragments.
     "q100_corpus_report" ->
       """WITH toks AS (

@@ -573,6 +573,23 @@ class LlmSpec extends SparkSpec {
     assert(pairs.keySet == Set((1L, 2L)))
   }
 
+  test("bottom-k: exact per-stratum sizes, membership key-determined") {
+    import spark.implicits._
+    val d = (1L to 50L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "st")
+    val out = Corpus.bottomK(d, "id", "st", k = 5).collect()
+      .map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+    assert(out("a").length == 5 && out("b").length == 5)
+    // adding rows can displace members but never changes existing draws:
+    // the same 3 smallest draws of stratum a survive a corpus extension
+    val ext = Corpus.bottomK(d.unionByName(
+        Seq((100L, "a"), (101L, "a")).toDF("id", "st")), "id", "st", k = 5)
+      .filter(col("st") === "a").collect().map(_.getLong(0)).toSet
+    val base3 = Corpus.bottomK(d, "id", "st", k = 3)
+      .filter(col("st") === "a").collect().map(_.getLong(0)).toSet
+    assert(base3.subsetOf(ext + 100L + 101L))
+  }
+
   test("frequency spectrum: power-of-two bands integer-exact") {
     import spark.implicits._
     val d = Seq((1L, "a a a a b b c"), (2L, "b b d")).toDF("doc_id", "text")
