@@ -602,6 +602,52 @@ object Dedup {
       .distinct()
   }
 
+  /** Persist the winnowing fingerprint table BUCKETED BY fp — the
+    * provenance index: ingest batches probe their own fingerprints
+    * against it with one batch-side exchange into the index layout
+    * (the [[writeDedupIndex]] discipline). Each row carries `fp_docs`,
+    * the fingerprint's corpus document-frequency, precomputed HERE so
+    * the per-batch probe applies the boilerplate cap as a map-only
+    * filter instead of re-aggregating the index every ingest.
+    */
+  def writeWinnowIndex(docs: DataFrame, idCol: String, textCol: String,
+                       prefix: String, k: Int = 4, window: Int = 4,
+                       buckets: Int = 32): Unit = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, window).cache()
+    try {
+      val freq = fps.groupBy(col("fp")).agg(count(lit(1)).as("fp_docs"))
+      fps.join(freq, Seq("fp"))
+        .write.mode("overwrite").bucketBy(buckets, "fp")
+        .saveAsTable(s"${prefix}_winnow")
+    } finally fps.unpersist(false)
+  }
+
+  /** Overlap hits of an ingest batch against a stored winnow index
+    * ([[writeWinnowIndex]]): (new_id, index_id, n_shared) with
+    * n_shared >= minShared — "which corpus documents does this batch
+    * doc re-use text from", before the batch is admitted. The frequency
+    * cap uses the INDEX's precomputed fp_docs (corpus frequency is an
+    * index property a batch cannot know). Scale shape: the index is
+    * read in place (bucketed by fp), the batch fingerprints shuffle
+    * once into that layout, and the pair aggregation is cap-bounded.
+    */
+  def winnowAgainstIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                         spark: SparkSession, prefix: String,
+                         k: Int = 4, window: Int = 4, minShared: Int = 4,
+                         maxDocsPerFp: Int = 8): DataFrame = {
+    val idx = spark.table(s"${prefix}_winnow")
+      .filter(col("fp_docs") <= maxDocsPerFp)
+      .select(col(idCol).as("_idx"), col("fp"))
+    winnowFingerprints(newDocs, idCol, textCol, k, window)
+      .select(col(idCol).as("_new"), col("fp"))
+      .join(idx, Seq("fp"))
+      .groupBy(col("_new"), col("_idx"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("_new").as("new_id"), col("_idx").as("index_id"),
+        col("n_shared"))
+  }
+
   /** Cross-document overlap pairs from winnowing fingerprints — the MOSS
     * detection step: document pairs sharing at least `minShared` selected
     * fingerprints, i.e. pairs with that many independent position-robust

@@ -555,6 +555,48 @@ class LlmSpec extends SparkSpec {
     assert(fps(1L).intersect(fps(3L)).nonEmpty)
   }
 
+  test("winnow index: near-copy batch hits, fresh miss, one fp exchange") {
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    try {
+      Dedup.writeWinnowIndex(docs, "doc_id", "text", "widx")
+      // suffix-append preserves every interior fingerprint window, so a
+      // near-copy shares (nearly) all fingerprints with its original
+      val nearCopies = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 5000000).as("doc_id"),
+          concat(col("text"), lit(" tailtok")).as("text"))
+      val fresh = Seq((9000001L, "qa qb qc qd qe qf qg qh qi qj qk ql"))
+        .toDF("doc_id", "text")
+      val got = Dedup.winnowAgainstIndex(nearCopies.unionByName(fresh),
+          "doc_id", "text", spark, "widx").collect()
+        .map(r => r.getAs[Long]("new_id") -> r.getAs[Long]("index_id")).toSet
+      // An original can only be re-found if it retains >= minShared (4)
+      // cap-eligible fingerprints — sub-~14-token docs carry fewer
+      // fingerprints than that by construction (window density ~2/5).
+      val expected = spark.table("widx_winnow")
+        .filter(col("fp_docs") <= 8 && col("doc_id") % 10 === 0)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") >= 4).select(col("doc_id")).collect()
+        .map(r => (r.getLong(0) + 5000000) -> r.getLong(0)).toSet
+      assert(expected.size >= 30, s"fixture too weak: ${expected.size}")
+      assert(expected.subsetOf(got), s"missing: ${expected -- got}")
+      assert(!got.exists(_._1 == 9000001L), "fresh doc matched the index")
+      // Scale shape: only the BATCH fingerprints shuffle into the index's
+      // fp bucketing; the index scans in place (broadcast disabled to
+      // surface the layout this index exists for).
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = Dedup.winnowAgainstIndex(fresh, "doc_id", "text",
+          spark, "widx").queryExecution.executedPlan.toString
+        val exchanges = "hashpartitioning\\(fp".r.findAllIn(plan).length
+        assert(exchanges == 1,
+          s"expected exactly 1 fp exchange (batch side), got $exchanges:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql("DROP TABLE IF EXISTS widx_winnow")
+  }
+
   test("winnow overlap: shared-block pair found, boilerplate fp capped out") {
     import spark.implicits._
     val block = (1 to 40).map(i => s"w$i").mkString(" ")
