@@ -602,6 +602,34 @@ object Dedup {
       .distinct()
   }
 
+  /** STREAM-SAFE winnowing fingerprints, hash-identical to
+    * [[winnowFingerprints]] — same md5 gram hashes, same windowed minima,
+    * same sub-`window` self-coverage — but computed ROW-LOCALLY from the
+    * per-document gram array (no window function, no aggregation), so
+    * Structured Streaming can run it stateless ahead of a stream-static
+    * index join ([[bandRowsRowLocal]]'s rationale: append-mode streams
+    * support neither the lead-window nor pre-join aggregation; the
+    * interpreted-HOF cost is acceptable on micro-batches and forbidden on
+    * batch corpora — batch paths must keep [[winnowFingerprints]]).
+    */
+  private[graft] def winnowFpsRowLocal(docs: DataFrame, idCol: String,
+                                       textCol: String, k: Int = 4,
+                                       window: Int = 4): DataFrame = {
+    val grams = TextAnalysis.ngrams(TextAnalysis.tokens(col(textCol)), k)
+    val hs = transform(grams,
+      g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+    docs
+      .withColumn("_hs", hs)
+      .filter(size(col("_hs")) > 0) // empty doc: no gram rows in batch either
+      .withColumn("_fps", array_distinct(transform(
+        sequence(lit(0), greatest(size(col("_hs")) - window, lit(0))),
+        // slice truncates at the tail ONLY in the sub-window fallback
+        // case (sequence stops at size-window otherwise), matching the
+        // batch path's pos-0 self-coverage rule
+        i => array_min(slice(col("_hs"), i + 1, lit(window))))))
+      .select(col(idCol), explode(col("_fps")).as("fp"))
+  }
+
   /** Persist the winnowing fingerprint table BUCKETED BY fp — the
     * provenance index: ingest batches probe their own fingerprints
     * against it with one batch-side exchange into the index layout

@@ -180,6 +180,20 @@ object RelationalQueries {
           dsum($"value", 4).as("sum_value"))
     },
 
+    // Multi-dimensional aggregate: ROLLUP over (returnflag, linestatus) —
+    // subtotal rows + grand total in one pass (Catalyst expands the
+    // grouping sets; one shuffle). NULL group markers replaced by
+    // sentinel strings so the oracle compare is null-unambiguous.
+    "q102_rollup" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), dsum($"l_quantity").as("sum_qty"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+          coalesce($"l_linestatus", lit("ALL")).as("ls"),
+          $"n_rows", $"sum_qty")
+    },
+
     // Session-length spectrum: q48's sessions rolled into power-of-two
     // event-count bands (the q92 integer floor-log2 device) — the
     // engagement-shape report a sessionized event stream feeds.
@@ -274,6 +288,12 @@ object RelationalQueries {
          |  CAST(min(ts) AS TIMESTAMP) AS session_start,
          |  COUNT(*) AS n_events, ${dsumSql("value", 4)} AS sum_value
          |FROM s GROUP BY 1, 2""".stripMargin,
+    "q102_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+         |  COALESCE(l_linestatus, 'ALL') AS ls,
+         |  COUNT(*) AS n_rows, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q99_session_spectrum" ->
       """WITH g AS (
         |  SELECT user_id, ts,

@@ -76,4 +76,24 @@ object DocsStream {
       Seq("_band", "_bh"))
       .select(col(idCol), col("index_id"), col("_band"))
   }
+
+  /** Streaming provenance probe against a persisted winnow index
+    * ([[graft.llm.Dedup.writeWinnowIndex]]): stateless row-local
+    * fingerprints ([[graft.llm.Dedup.winnowFpsRowLocal]], hash-identical
+    * to the batch table) → stream-static join, boilerplate cap applied
+    * via the index's precomputed fp_docs. Emits one row per
+    * (batch doc, index doc, shared fp) — append-mode safe; the
+    * n_shared >= minShared aggregation belongs to the consumer (or the
+    * batch path), not the stateless stream.
+    */
+  def winnowProbeStream(docs: DataFrame, idCol: String, textCol: String,
+                        spark: SparkSession, prefix: String,
+                        maxDocsPerFp: Int = 8): DataFrame = {
+    Dedup.winnowFpsRowLocal(docs, idCol, textCol)
+      .join(spark.table(s"${prefix}_winnow")
+          .filter(col("fp_docs") <= maxDocsPerFp)
+          .select(col(idCol).as("index_id"), col("fp")),
+        Seq("fp"))
+      .select(col(idCol), col("index_id"), col("fp"))
+  }
 }

@@ -269,6 +269,46 @@ class MediaStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming: winnow probe — row-local fps hash-identical, hit + miss") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    try {
+      // Hash-identity: the stream-safe row-local fingerprints must equal
+      // the batch window-function table bit-for-bit.
+      val batchFps = graft.llm.Dedup
+        .winnowFingerprints(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rowLocal = graft.llm.Dedup
+        .winnowFpsRowLocal(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rowLocal == batchFps, "row-local fps diverge from batch fps")
+
+      graft.llm.Dedup.writeWinnowIndex(docs, "doc_id", "text", "wsidx")
+      // a long doc, so the suffix-append near-copy shares many fps
+      val target = docs.withColumn("_n",
+          size(split(trim(col("text")), "\\s+")))
+        .filter(col("_n") >= 30).orderBy(col("doc_id")).limit(1)
+        .collect().head
+      val mem = MemoryStream[(Long, String)]
+      val stream = mem.toDF().toDF("doc_id", "text")
+      val q = graft.streaming.DocsStream.winnowProbeStream(
+          stream, "doc_id", "text", spark, "wsidx")
+        .writeStream.format("memory").queryName("wprobe")
+        .outputMode("append").start()
+      mem.addData((7000001L, target.getString(1) + " tailtok"),
+        (7000002L, "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 zz10 zz11 zz12"))
+      q.processAllAvailable()
+      val hits = spark.table("wprobe").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("index_id"))
+      q.stop()
+      assert(hits.contains(7000001L -> target.getLong(0)),
+        s"near-copy not matched: ${hits.take(10).toSeq}")
+      assert(!hits.exists(_._1 == 7000002L), "fresh doc matched the index")
+    } finally spark.sql("DROP TABLE IF EXISTS wsidx_winnow")
+  }
+
   test("streaming: windowed aggregation with watermark finalizes windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
