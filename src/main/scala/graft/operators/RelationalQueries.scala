@@ -180,6 +180,19 @@ object RelationalQueries {
           dsum($"value", 4).as("sum_value"))
     },
 
+    // Semi-structured extraction: JSON property pulled from the events
+    // props column (codegen'd get_json_object — no UDF) and aggregated
+    // per event type. The "parse the payload" half of event analytics.
+    "q103_json_props" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("_k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"), sum($"_k").as("sum_k"),
+          min($"_k").as("min_k"), max($"_k").as("max_k"),
+          countDistinct($"_k").as("distinct_k"))
+    },
+
     // Multi-dimensional aggregate: ROLLUP over (returnflag, linestatus) —
     // subtotal rows + grand total in one pass (Catalyst expands the
     // grouping sets; one shuffle). NULL group markers replaced by
@@ -288,6 +301,14 @@ object RelationalQueries {
          |  CAST(min(ts) AS TIMESTAMP) AS session_start,
          |  COUNT(*) AS n_events, ${dsumSql("value", 4)} AS sum_value
          |FROM s GROUP BY 1, 2""".stripMargin,
+    "q103_json_props" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+        |  COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+        |    AS distinct_k
+        |FROM events GROUP BY 1""".stripMargin,
     "q102_rollup" ->
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
          |  COALESCE(l_linestatus, 'ALL') AS ls,
