@@ -180,6 +180,19 @@ object RelationalQueries {
           dsum($"value", 4).as("sum_value"))
     },
 
+    // Time-series smoothing: hourly counts per type with a 3-bucket
+    // trailing moving sum (ROWS frame over the hourly rollup) — the
+    // dashboard-smoothing window, integer-only.
+    "q104_moving_window" -> { (s, dir) =>
+      import s.implicits._
+      val hourly = t(s, dir, "events")
+        .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy($"event_type").orderBy($"hour")
+        .rowsBetween(-2, Window.currentRow)
+      hourly.withColumn("moving_3h", sum($"n_events").over(w))
+    },
+
     // Semi-structured extraction: JSON property pulled from the events
     // props column (codegen'd get_json_object — no UDF) and aggregated
     // per event type. The "parse the payload" half of event analytics.
@@ -301,6 +314,15 @@ object RelationalQueries {
          |  CAST(min(ts) AS TIMESTAMP) AS session_start,
          |  COUNT(*) AS n_events, ${dsumSql("value", 4)} AS sum_value
          |FROM s GROUP BY 1, 2""".stripMargin,
+    "q104_moving_window" ->
+      """WITH hourly AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |    event_type, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hour, event_type, n_events,
+        |  SUM(n_events) OVER (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_3h
+        |FROM hourly""".stripMargin,
     "q103_json_props" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
