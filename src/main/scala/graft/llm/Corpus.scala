@@ -322,6 +322,35 @@ object Corpus {
         col("_cum").as("cum_tokens"))
   }
 
+  /** Largest-remainder apportionment (Hamilton's method) in integer ppm:
+    * per-row share_ppm = floor(w·10⁶/total), then the leftover units go
+    * to the rows with the largest remainders (key tie-break) — so
+    * Σ share_ppm = 10⁶ EXACTLY, the invariant a mix dashboard needs and
+    * naive per-row rounding can't give. All BIGINT; deterministic on any
+    * layout. Overflow-safe while Σw·10⁶ < 2⁶³ (≈9·10¹² weight units —
+    * pre-scale heavier weights, e.g. count kilotokens).
+    *
+    * Scale shape: input is per-stratum aggregation output (few rows), so
+    * the two single-row broadcasts and the remainder-rank window are
+    * stratum-cardinality work, independent of corpus size.
+    */
+  def apportionPpm(rows: DataFrame, keyCol: String,
+                   weight: Column): DataFrame = {
+    val w = rows.select(col(keyCol), weight.as("_w"))
+    val tot = w.agg(sum(col("_w")).as("_tot"))
+    val based = w.crossJoin(broadcast(tot))
+      .withColumn("_base", expr("_w * 1000000L div _tot"))
+      .withColumn("_rem", expr("_w * 1000000L % _tot"))
+    val leftover = based.agg((lit(1000000L) - sum(col("_base"))).as("_left"))
+    val rk = row_number()
+      .over(Window.orderBy(col("_rem").desc, col(keyCol).asc))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("_rk", rk)
+      .select(col(keyCol), col("_w").as("weight"),
+        (col("_base") + when(col("_rk") <= col("_left"), 1L).otherwise(0L))
+          .as("share_ppm"))
+  }
+
   /** Deterministic fixed-size per-stratum sample — the bottom-k-by-hash
     * (KMV) device: keep the `k` rows with the smallest md5 draw within
     * each stratum, id tie-break. Where [[stratifiedSample]] fixes the

@@ -733,6 +733,16 @@ object LlmQueries {
       Corpus.frequencySpectrum(t(s, dir, "documents"), "text")
     },
 
+    // Largest-remainder token shares: per-language share_ppm summing to
+    // exactly 10^6 — the mix-dashboard invariant naive rounding breaks.
+    "q105_token_shares" -> { (s, dir) =>
+      Corpus.apportionPpm(
+        t(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(sum(TA.tokenCount(col("text"))).as("_toks")),
+        "lang", col("_toks"))
+    },
+
     // Bottom-k (KMV) per-stratum sample: exactly 20 docs per language by
     // smallest md5 draw — the fixed-budget eval-set builder (rate-based
     // q52 gives binomial sizes; this gives exact ones).
@@ -1944,6 +1954,21 @@ object LlmQueries {
         |JOIN sizes nb ON nb.doc_id = i.d2
         |WHERE greatest(i.ic * 1000000 // na.n, i.ic * 1000000 // nb.n)
         |  >= 900000""".stripMargin,
+    // q105: floor shares + largest-remainder top-up, all BIGINT.
+    "q105_token_shares" ->
+      """WITH w AS (
+        |  SELECT lang, SUM(len(string_split_regex(trim(text), '\s+'))) AS wt
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(wt) AS tot FROM w),
+        |based AS (
+        |  SELECT lang, wt,
+        |    wt * 1000000 // tot AS base, (wt * 1000000) % tot AS rem
+        |  FROM w, t),
+        |lf AS (SELECT 1000000 - SUM(base) AS leftover FROM based)
+        |SELECT lang, wt AS weight,
+        |  base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC)
+        |    <= leftover THEN 1 ELSE 0 END AS share_ppm
+        |FROM based, lf""".stripMargin,
     // q101: the q52 md5-draw device under a per-stratum bottom-k rank.
     "q101_bottomk_sample" ->
       """WITH d AS (

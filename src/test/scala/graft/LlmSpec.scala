@@ -615,6 +615,22 @@ class LlmSpec extends SparkSpec {
     assert(pairs.keySet == Set((1L, 2L)))
   }
 
+  test("apportionment: shares sum to exactly 1e6, remainder tie to min key") {
+    import spark.implicits._
+    // three equal weights: floor gives 333333 each, one leftover unit —
+    // identical remainders, so the smallest key gets the top-up
+    val d = Seq(("a", 7L), ("b", 7L), ("c", 7L)).toDF("k", "w")
+    val out = Corpus.apportionPpm(d, "k", col("w")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("share_ppm")).toMap
+    assert(out.values.sum == 1000000L)
+    assert(out == Map("a" -> 333334L, "b" -> 333333L, "c" -> 333333L))
+    val skew = Corpus.apportionPpm(
+      Seq(("x", 1L), ("y", 2L), ("z", 999997L)).toDF("k", "w"),
+      "k", col("w")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("share_ppm")).toMap
+    assert(skew.values.sum == 1000000L)
+  }
+
   test("bottom-k: exact per-stratum sizes, membership key-determined") {
     import spark.implicits._
     val d = (1L to 50L).map(i => (i, if (i % 2 == 0) "a" else "b"))
