@@ -64,7 +64,9 @@ object ScaleProbe {
       "q92_frequency_spectrum", "q93_ivf_int8", "q94_dup_flow",
       "q95_dup_depth_spectrum", "q96_langid_confusion",
       "q97_gate_ablation", "q98_packing_efficiency",
-      "q99_session_spectrum", "q100_corpus_report")
+      "q99_session_spectrum", "q100_corpus_report",
+      "q101_bottomk_sample", "q102_rollup", "q103_json_props",
+      "q104_moving_window", "q105_token_shares")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -77,7 +79,10 @@ object ScaleProbe {
       "q85_ann_recall" -> "embeddings",
       "q91_int8_knn" -> "embeddings",
       "q93_ivf_int8" -> "embeddings",
-      "q99_session_spectrum" -> "events").withDefault(_ => "documents")
+      "q99_session_spectrum" -> "events",
+      "q102_rollup" -> "lineitem",
+      "q103_json_props" -> "events",
+      "q104_moving_window" -> "events").withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet
 
     // The replica generators for documents/lineitem are the
