@@ -19,6 +19,9 @@ class PlanAuditSpec extends SparkSpec {
       "q91_int8_knn",
       // q93 composes q44's coarse stage — same broadcast centroid NLJ.
       "q93_ivf_int8",
+      // q105's two cross joins broadcast SINGLE-ROW aggregates (the
+      // total and the leftover) — the canonical scalar-broadcast shape.
+      "q105_token_shares",
       // kMeans assignment: corpus streamed once against the broadcast
       // centroid table (k·dim doubles) — the intended IVF/q44 shape.
       // (q64 embeds kMeans too, but behind an eager checkpoint — its
