@@ -180,6 +180,22 @@ object RelationalQueries {
           dsum($"value", 4).as("sum_value"))
     },
 
+    // AS-OF join (backward): for each click, the payload of the user's
+    // latest purchase at-or-before it — the attribution join Spark has
+    // no native operator for. One union + one keyed window; see
+    // [[asofJoinBackward]] for why this beats join-then-filter.
+    "q106_asof_join" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("tsm"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", unix_micros($"ts").as("tsm"),
+          get_json_object($"props", "$.k").cast("long").as("k"))
+      asofJoinBackward(clicks, purchases, "user_id", "tsm", "k",
+        "last_purchase_k")
+    },
+
     // Time-series smoothing: hourly counts per type with a 3-bucket
     // trailing moving sum (ROWS frame over the hourly rollup) — the
     // dashboard-smoothing window, integer-only.
@@ -238,6 +254,36 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_sessions"), sum($"_n").as("n_events"))
     }
   )
+
+  /** AS-OF join, backward direction: every left row gets the `valCol` of
+    * the LATEST right row with the same key and ts <= left ts (ties
+    * include the equal-ts right row — ASOF `>=` semantics, matching
+    * DuckDB/kdb). Spark has no native as-of operator; the naive
+    * join-then-filter compiles to a per-key range CROSS join. This is the
+    * relational O(n log n) form instead: tag both sides, union, ONE keyed
+    * window carrying the last non-null right value forward in time —
+    * a single shuffle/sort over both inputs, partitioned by key, which is
+    * exactly how it scales on a cluster (no broadcast, no range
+    * explosion). Right rows sort before left rows at equal ts; callers
+    * should dedup the right side per (key, ts) when duplicates are
+    * possible (the window would otherwise pick the last by input order).
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, keyCol: String,
+                      tsCol: String, valCol: String,
+                      outCol: String): DataFrame = {
+    val vType = right.select(col(valCol)).schema.head.dataType
+    val l = left.withColumn("_isL", lit(1))
+      .withColumn("_rv", lit(null).cast(vType))
+    val r = right.select(col(keyCol), col(tsCol), lit(0).as("_isL"),
+      col(valCol).as("_rv"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("_isL").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(outCol, last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_isL") === 1)
+      .drop("_isL", "_rv")
+  }
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing_summary" ->
@@ -314,6 +360,17 @@ object RelationalQueries {
          |  CAST(min(ts) AS TIMESTAMP) AS session_start,
          |  COUNT(*) AS n_events, ${dsumSql("value", 4)} AS sum_value
          |FROM s GROUP BY 1, 2""".stripMargin,
+    "q106_asof_join" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsm FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.tsm, p.k AS last_purchase_k
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.tsm >= p.tsm""".stripMargin,
     "q104_moving_window" ->
       """WITH hourly AS (
         |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,

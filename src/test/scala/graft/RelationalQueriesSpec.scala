@@ -69,4 +69,21 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(scan.contains("PushedFilters") && scan.contains("GreaterThan"),
       s"filter not pushed:\n$scan")
   }
+
+  test("asof join: latest at-or-before wins, equal-ts included, no-match null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val clicks = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 10L, 50L),
+      (4L, 77L, 500L)).toDF("event_id", "user_id", "tsm")
+    val purchases = Seq((10L, 100L, 7L), (10L, 200L, 9L), (10L, 205L, 11L))
+      .toDF("user_id", "tsm", "k")
+    val out = RelationalQueries.asofJoinBackward(
+        clicks, purchases, "user_id", "tsm", "k", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(out(1L) == Some(7L))   // equal-ts purchase included
+    assert(out(2L) == Some(11L))  // latest of three
+    assert(out(3L) == None)       // before any purchase
+    assert(out(4L) == None)       // user with no purchases
+  }
 }
