@@ -5,8 +5,13 @@ Usage: python3 tools/check.py [verify_out_dir] [sf_dir]
 
 Reads each <name>/ parquet dump written by graft.Verify, runs the matching
 oracle SQL from oracle_sql.json in DuckDB over the sf_dir tables, and
-compares: row count, column names, and exact values (columns sorted by
-name, rows sorted by all columns).
+compares: row count, column names, COLUMN TYPES, and exact values (columns
+sorted by name, rows sorted by all columns).
+
+The type comparison exists because the driver's hash is column-type
+sensitive: DuckDB widens SUM(BIGINT) to HUGEINT, so an uncast aggregate in
+an oracle fragment fails the driver even when every value matches. A local
+green must predict a driver green, so any type difference is a FAIL here.
 """
 import sys, json, glob, os
 import duckdb
@@ -50,6 +55,14 @@ for name in names:
         print(f"FAIL {name}: oracle SQL error: {e}"); fails += 1; continue
     if sorted(got_cols) != sorted(exp_cols):
         print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+        fails += 1; continue
+    got_types = {c: str(t) for c, t in zip(got_cols, got_rel.types)}
+    exp_types = {c: str(t) for c, t in zip(exp_cols, exp_rel.types)}
+    type_diffs = [(c, got_types[c], exp_types[c]) for c in sorted(got_types)
+                  if got_types[c] != exp_types[c]]
+    if type_diffs:
+        print(f"FAIL {name}: column type mismatch (spark vs oracle): "
+              + ", ".join(f"{c}: {g} != {e}" for c, g, e in type_diffs))
         fails += 1; continue
     if len(got) != len(exp):
         print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); fails += 1; continue
