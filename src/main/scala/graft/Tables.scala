@@ -21,19 +21,31 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long and convert to a microsecond timestamp.
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
-    * build (Verify / Bench / SparkSpec) — not here, to keep loaders free of
-    * session-level side effects.
+  /** The driver regenerates testdata between rounds and the `ts` physical
+    * type has drifted before (TIMESTAMP(NANOS) → TIMESTAMP_MICROS), so sniff
+    * the schema instead of assuming a layout: a LongType `ts` is epoch-nanos
+    * (readable only under `spark.sql.legacy.parquet.nanosAsLong=true`) and is
+    * converted to a microsecond timestamp; a native timestamp passes through.
     *
     * Nanos→micros must be integer division: epoch-nanos exceed double's
     * 53-bit mantissa, so `col/1000` (double division) is off by 1 µs on a
     * visible fraction of rows.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Parquet timestamp(us, isAdjustedToUTC=false) infers as NTZ in
+        // Spark 4; downstream queries use unix_micros/window, which need
+        // TIMESTAMP_LTZ. Session tz is UTC at every entry point, so the
+        // cast is value-preserving and matches the old timestamp_micros
+        // shim byte-for-byte.
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
 }
 
 /** Exact-arithmetic aggregation helpers.

@@ -1219,7 +1219,8 @@ object LlmQueries {
         |    COUNT(*) OVER () AS n_strata
         |  FROM (
         |    SELECT lang, count(*) AS n_docs,
-        |      SUM(len(string_split_regex(trim(text), '\s+'))) AS stratum_tokens
+        |      CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |        AS stratum_tokens
         |    FROM documents GROUP BY 1))""".stripMargin,
     // q59: vocab counts -> rare slice -> per-doc occurrence count, with
     // zero-rare docs kept via the left join.
@@ -1650,7 +1651,8 @@ object LlmQueries {
         |  CAST(8000 AS INTEGER) AS sample_rate,
         |  CAST(1 AS INTEGER) AS channels,
         |  CAST(16 + doc_id % 32 AS BIGINT) AS n_frames,
-        |  SUM(((doc_id * 31 + k.g * 17) % 65536) - 32768) AS pcm_sum
+        |  CAST(SUM(((doc_id * 31 + k.g * 17) % 65536) - 32768) AS BIGINT)
+        |    AS pcm_sum
         |FROM documents,
         |  LATERAL UNNEST(generate_series(0, 15 + doc_id % 32)) AS k(g)
         |GROUP BY doc_id""".stripMargin,
@@ -1711,7 +1713,7 @@ object LlmQueries {
         |    WHEN draw * 1000000 < 100000 * 4294967296 THEN 'test'
         |    WHEN draw * 1000000 < 200000 * 4294967296 THEN 'validation'
         |    ELSE 'train' END AS split,
-        |  lang, count(*) AS n_docs, SUM(n) AS total_tokens
+        |  lang, count(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens
         |FROM (
         |  SELECT lang, len(string_split_regex(trim(text), '\s+')) AS n,
         |    list_reduce(list_transform(
@@ -1849,7 +1851,8 @@ object LlmQueries {
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |agree AS (
         |  SELECT p.d1, p.d2,
-        |    SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS n_agree
+        |    CAST(SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_agree
         |  FROM pairs p
         |  JOIN sig a ON a.doc_id = p.d1
         |  JOIN sig b ON b.doc_id = p.d2 AND b.i = a.i
@@ -1957,9 +1960,11 @@ object LlmQueries {
     // q105: floor shares + largest-remainder top-up, all BIGINT.
     "q105_token_shares" ->
       """WITH w AS (
-        |  SELECT lang, SUM(len(string_split_regex(trim(text), '\s+'))) AS wt
+        |  SELECT lang,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |      AS wt
         |  FROM documents GROUP BY 1),
-        |t AS (SELECT SUM(wt) AS tot FROM w),
+        |t AS (SELECT CAST(SUM(wt) AS BIGINT) AS tot FROM w),
         |based AS (
         |  SELECT lang, wt,
         |    wt * 1000000 // tot AS base, (wt * 1000000) % tot AS rem
@@ -2028,11 +2033,11 @@ object LlmQueries {
         |WHERE n_tokens BETWEEN 30 AND 100000 AND avg_len BETWEEN 3.5 AND 5.0
         |  AND sw >= 0.03 AND rep <= 0.05
         |UNION ALL
-        |SELECT 'total_tokens', SUM(n_tokens) FROM metrics
+        |SELECT 'total_tokens', CAST(SUM(n_tokens) AS BIGINT) FROM metrics
         |UNION ALL
         |SELECT 'distinct_fingerprints', count(DISTINCT fp) FROM fps
         |UNION ALL
-        |SELECT 'exact_dup_docs', COALESCE(SUM(n), 0) FROM (
+        |SELECT 'exact_dup_docs', CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM (
         |  SELECT fp, count(*) AS n FROM fps GROUP BY 1) WHERE n > 1
         |UNION ALL
         |SELECT 'near_dup_pairs', v FROM nd""".stripMargin,
@@ -2061,21 +2066,24 @@ object LlmQueries {
         |          string_split_regex(trim(text), '\s+') AS tk
         |        FROM documents))))
         |SELECT 'tokens' AS rule,
-        |  SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS n_fail,
-        |  SUM(CASE WHEN NOT t AND l AND s AND r THEN 1 ELSE 0 END)
-        |    AS n_unique_fail FROM m
+        |  CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+        |  CAST(SUM(CASE WHEN NOT t AND l AND s AND r THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unique_fail FROM m
         |UNION ALL
         |SELECT 'avg_len',
-        |  SUM(CASE WHEN NOT l THEN 1 ELSE 0 END),
-        |  SUM(CASE WHEN NOT l AND t AND s AND r THEN 1 ELSE 0 END) FROM m
+        |  CAST(SUM(CASE WHEN NOT l THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN NOT l AND t AND s AND r THEN 1 ELSE 0 END)
+        |    AS BIGINT) FROM m
         |UNION ALL
         |SELECT 'stopword',
-        |  SUM(CASE WHEN NOT s THEN 1 ELSE 0 END),
-        |  SUM(CASE WHEN NOT s AND t AND l AND r THEN 1 ELSE 0 END) FROM m
+        |  CAST(SUM(CASE WHEN NOT s THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN NOT s AND t AND l AND r THEN 1 ELSE 0 END)
+        |    AS BIGINT) FROM m
         |UNION ALL
         |SELECT 'repetition',
-        |  SUM(CASE WHEN NOT r THEN 1 ELSE 0 END),
-        |  SUM(CASE WHEN NOT r AND t AND l AND s THEN 1 ELSE 0 END)
+        |  CAST(SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN NOT r AND t AND l AND s THEN 1 ELSE 0 END)
+        |    AS BIGINT)
         |  FROM m""".stripMargin,
     // q98: the q54 packing chain rolled up per language stream.
     "q98_packing_efficiency" ->
@@ -2091,7 +2099,7 @@ object LlmQueries {
         |        len(string_split_regex(trim(text), '\s+')) AS n_tokens
         |      FROM documents)))
         |SELECT lang, count(DISTINCT seq_id) AS n_seqs,
-        |  SUM(n_tokens) AS total_tokens,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
         |  count(DISTINCT seq_id) * 256 AS budget_tokens
         |FROM packed GROUP BY 1""".stripMargin,
     // q96: the q31 classifier CTE rolled up against the labels.
@@ -2145,7 +2153,7 @@ object LlmQueries {
         |    count(*) AS sz
         |  FROM corpus GROUP BY 1)
         |SELECT length(bin(sz)) - 1 AS bucket, count(*) AS n_groups,
-        |  SUM(sz) AS n_docs
+        |  CAST(SUM(sz) AS BIGINT) AS n_docs
         |FROM g GROUP BY 1""".stripMargin,
     // q92: count-of-counts with the bin()-length floor-log2 device.
     "q92_frequency_spectrum" ->
@@ -2154,7 +2162,7 @@ object LlmQueries {
         |  FROM documents),
         |tf AS (SELECT t, count(*) AS f FROM tok GROUP BY 1)
         |SELECT length(bin(f)) - 1 AS bucket, count(*) AS n_types,
-        |  SUM(f) AS n_occurrences
+        |  CAST(SUM(f) AS BIGINT) AS n_occurrences
         |FROM tf GROUP BY 1""".stripMargin,
     // q88: the serpentine deal replayed over the per-lang heaviest-first
     // rank — all-integer CASE arithmetic on ROW_NUMBER.
@@ -2171,7 +2179,8 @@ object LlmQueries {
         |    CASE WHEN ((rn - 1) // 8) % 2 = 0 THEN (rn - 1) % 8
         |         ELSE 7 - (rn - 1) % 8 END AS shard
         |  FROM ranked)
-        |SELECT shard, count(*) AS n_docs, SUM(w) AS total_tokens
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS total_tokens
         |FROM assigned GROUP BY 1""".stripMargin,
     // q82: per-lang equal-frequency bands by ROW_NUMBER rank — the q69
     // deterministic-rank device with a bucket formula, all integers.
@@ -2192,8 +2201,9 @@ object LlmQueries {
       """SELECT doc_id, source, n AS n_tokens, cum AS cum_tokens
         |FROM (
         |  SELECT doc_id, source, n,
-        |    SUM(n) OVER (PARTITION BY source ORDER BY n DESC, doc_id ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    CAST(SUM(n) OVER (PARTITION BY source ORDER BY n DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
         |  FROM (
         |    SELECT doc_id, source,
         |      len(string_split_regex(trim(text), '\s+')) AS n

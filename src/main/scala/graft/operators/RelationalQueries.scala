@@ -377,12 +377,13 @@ object RelationalQueries {
         |    event_type, COUNT(*) AS n_events
         |  FROM events GROUP BY 1, 2)
         |SELECT hour, event_type, n_events,
-        |  SUM(n_events) OVER (PARTITION BY event_type ORDER BY hour
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_3h
+        |  CAST(SUM(n_events) OVER (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_3h
         |FROM hourly""".stripMargin,
     "q103_json_props" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
         |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
         |  COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
@@ -409,7 +410,7 @@ object RelationalQueries {
         |sess AS (
         |  SELECT user_id, session_no, COUNT(*) AS n FROM s GROUP BY 1, 2)
         |SELECT length(bin(n)) - 1 AS bucket, count(*) AS n_sessions,
-        |  SUM(n) AS n_events
+        |  CAST(SUM(n) AS BIGINT) AS n_events
         |FROM sess GROUP BY 1""".stripMargin
   )
 }

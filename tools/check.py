@@ -56,10 +56,24 @@ for name in names:
     if sorted(got_cols) != sorted(exp_cols):
         print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
         fails += 1; continue
-    got_types = {c: str(t) for c, t in zip(got_cols, got_rel.types)}
-    exp_types = {c: str(t) for c, t in zip(exp_cols, exp_rel.types)}
-    type_diffs = [(c, got_types[c], exp_types[c]) for c in sorted(got_types)
-                  if got_types[c] != exp_types[c]]
+    # Normalize to the domain the driver actually hashes in: it converts
+    # both result sets to pandas, where every signed-int width lands in
+    # int64 (indistinguishable) but HUGEINT degrades to float64/object —
+    # str(123.0) != str(123), so HUGEINT-vs-BIGINT IS a driver failure
+    # while INTEGER-vs-BIGINT is not. Compare as (name, normtype)
+    # multisets so duplicate column names can't mask a mismatch.
+    def norm(t):
+        t = str(t)
+        if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                 "UTINYINT", "USMALLINT", "UINTEGER"):
+            return "int64"
+        if t in ("FLOAT", "DOUBLE"):
+            return "float64"
+        return t  # HUGEINT/UBIGINT/DECIMAL/... stay distinct on purpose
+    got_nt = sorted((c, norm(t)) for c, t in zip(got_cols, got_rel.types))
+    exp_nt = sorted((c, norm(t)) for c, t in zip(exp_cols, exp_rel.types))
+    type_diffs = [(g[0], g[1], e[1])
+                  for g, e in zip(got_nt, exp_nt) if g != e]
     if type_diffs:
         print(f"FAIL {name}: column type mismatch (spark vs oracle): "
               + ", ".join(f"{c}: {g} != {e}" for c, g, e in type_diffs))
