@@ -333,13 +333,25 @@ object Corpus {
     * Scale shape: input is per-stratum aggregation output (few rows), so
     * the two single-row broadcasts and the remainder-rank window are
     * stratum-cardinality work, independent of corpus size.
+    *
+    * Domain guards are IN-PLAN (raise_error at execution), keeping
+    * construction action-free: a negative weight or a non-positive total
+    * fails the job with a clear message instead of silently emitting null
+    * shares. Empty input yields empty output (nothing to apportion — the
+    * Σ=10⁶ invariant holds vacuously).
     */
   def apportionPpm(rows: DataFrame, keyCol: String,
                    weight: Column): DataFrame = {
     val w = rows.select(col(keyCol), weight.as("_w"))
     val tot = w.agg(sum(col("_w")).as("_tot"))
     val based = w.crossJoin(broadcast(tot))
-      .withColumn("_base", expr("_w * 1000000L div _tot"))
+      .withColumn("_base",
+        when(col("_w") >= 0 && col("_tot") > 0,
+          expr("_w * 1000000L div _tot"))
+        .otherwise(raise_error(concat(
+          lit("apportionPpm: weights must be non-negative and total " +
+            "weight positive; got weight="), col("_w"),
+          lit(" total="), col("_tot")))))
       .withColumn("_rem", expr("_w * 1000000L % _tot"))
     val leftover = based.agg((lit(1000000L) - sum(col("_base"))).as("_left"))
     val rk = row_number()

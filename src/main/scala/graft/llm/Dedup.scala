@@ -620,7 +620,11 @@ object Dedup {
       g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
     docs
       .withColumn("_hs", hs)
-      .filter(size(col("_hs")) > 0) // empty doc: no gram rows in batch either
+      // Null-array guard only: an EMPTY doc still tokenizes to [""] and
+      // yields the single empty gram, which BOTH this path and the batch
+      // path fingerprint identically — so empty docs stay index-visible
+      // and hash-identical across paths; nothing is filtered here for them.
+      .filter(size(col("_hs")) > 0)
       .withColumn("_fps", array_distinct(transform(
         sequence(lit(0), greatest(size(col("_hs")) - window, lit(0))),
         // slice truncates at the tail ONLY in the sub-window fallback

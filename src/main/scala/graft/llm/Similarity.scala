@@ -245,18 +245,25 @@ object Similarity {
     * |centroids| ∝ n, and the broadcast coarse assignment goes
     * O(n²/every) — the q93 100× probe measured 31× wall at 100× data
     * before this cap (coarse assignment pairs EXCEEDED the brute-force
-    * baseline's at 200k vectors). One cheap count pins the centroid
-    * count; past the cap, growth is linear. At oracle scale
-    * (n ≤ 64·maxCentroids) the modulus equals `centroidEvery`, so gated
-    * outputs are unchanged.
+    * baseline's at 200k vectors). The modulus is computed IN-PLAN — a
+    * single-row count aggregate cross-joined as a scalar broadcast (the
+    * same whitelisted shape as q105's totals) — so constructing the
+    * DataFrame triggers no Spark job; the count is a map-side-combined
+    * aggregate that runs with the query itself instead of an eager
+    * driver-side `count()` paid once per chain construction (q85 built
+    * two chains and paid it twice). Past the cap, growth is linear. At
+    * oracle scale (n ≤ 64·maxCentroids) the modulus equals
+    * `centroidEvery`, so gated outputs are unchanged.
     */
   private def centroidsOf(corpus: DataFrame, idCol: String, vecCol: String,
                           centroidEvery: Int,
                           maxCentroids: Int = 1024): DataFrame = {
-    val n = corpus.count()
-    val every = math.max(centroidEvery.toLong,
-      (n + maxCentroids - 1) / maxCentroids)
-    corpus.filter(col(idCol) % every === 0)
+    val mod = corpus.agg(
+      greatest(lit(centroidEvery.toLong),
+        ceil(count(lit(1)).cast("double") / maxCentroids).cast("long"))
+        .as("_every"))
+    corpus.crossJoin(broadcast(mod))
+      .filter(col(idCol) % col("_every") === 0)
       .select(col(idCol).as("_cid"), col(vecCol).as("_cv"),
         norm(col(vecCol)).as("_cn"))
   }
@@ -382,17 +389,20 @@ object Similarity {
     // Assignment is O(n·k) per round. With a FIXED sampling modulus, k
     // grows with the corpus and the round cost goes QUADRATIC — the
     // 100× scale probe measured 151× wall at 100× data before this cap.
-    // Once n/centroidEvery would exceed maxCentroids the modulus widens
-    // (one cheap count spent against a quadratic regime), pinning k and
-    // making further growth linear. The cap trades cluster granularity,
-    // not correctness; SemDeDup callers inherit larger clusters (its
-    // documented quadratic-in-cluster-size trade).
-    val n = vecs.count()
-    val every = math.max(centroidEvery.toLong,
-      (n + maxCentroids - 1) / maxCentroids)
+    // Once n/centroidEvery would exceed maxCentroids the modulus widens,
+    // pinning k and making further growth linear. The cap trades cluster
+    // granularity, not correctness; SemDeDup callers inherit larger
+    // clusters (its documented quadratic-in-cluster-size trade). As in
+    // centroidsOf, the modulus is an in-plan single-row scalar broadcast,
+    // not an eager driver-side count at construction time.
+    val mod = vecs.agg(
+      greatest(lit(centroidEvery.toLong),
+        ceil(count(lit(1)).cast("double") / maxCentroids).cast("long"))
+        .as("_every"))
     // Seed centroids: id-sampled, coordinates cast (not rounded — the
     // raw floats are exact in both engines).
-    var centroids = vecs.filter(col("_vid") % every === 0)
+    var centroids = vecs.crossJoin(broadcast(mod))
+      .filter(col("_vid") % col("_every") === 0)
       .select(col("_vid").as("_cid"),
         transform(col("_v"), x => x.cast("double")).as("_cv"))
     def assign(cs: DataFrame): DataFrame = vecs

@@ -264,9 +264,10 @@ object RelationalQueries {
     * window carrying the last non-null right value forward in time —
     * a single shuffle/sort over both inputs, partitioned by key, which is
     * exactly how it scales on a cluster (no broadcast, no range
-    * explosion). Right rows sort before left rows at equal ts; callers
-    * should dedup the right side per (key, ts) when duplicates are
-    * possible (the window would otherwise pick the last by input order).
+    * explosion). Right rows sort before left rows at equal ts. Duplicate
+    * right rows at the same (key, ts) resolve deterministically: `_rv` is
+    * the final sort key, so the GREATEST value wins regardless of input
+    * partitioning or order.
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame, keyCol: String,
                       tsCol: String, valCol: String,
@@ -277,7 +278,7 @@ object RelationalQueries {
     val r = right.select(col(keyCol), col(tsCol), lit(0).as("_isL"),
       col(valCol).as("_rv"))
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("_isL").asc)
+      .orderBy(col(tsCol).asc, col("_isL").asc, col("_rv").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
       .withColumn(outCol, last(col("_rv"), ignoreNulls = true).over(w))

@@ -631,6 +631,29 @@ class LlmSpec extends SparkSpec {
     assert(skew.values.sum == 1000000L)
   }
 
+  test("apportionment guards: empty input is empty, bad domains fail loudly") {
+    import spark.implicits._
+    // Empty input: nothing to apportion — empty output, no error.
+    val empty = Seq.empty[(String, Long)].toDF("k", "w")
+    assert(Corpus.apportionPpm(empty, "k", col("w")).collect().isEmpty)
+    // raise_error surfaces wrapped (SparkException → cause chain).
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse(""))
+      .mkString(" | ")
+    // Zero total (all-zero weights) would divide by zero → in-plan raise.
+    val zeros = Seq(("a", 0L), ("b", 0L)).toDF("k", "w")
+    val e1 = intercept[Exception] {
+      Corpus.apportionPpm(zeros, "k", col("w")).collect()
+    }
+    assert(chain(e1).contains("apportionPpm"), chain(e1))
+    // A negative weight corrupts the remainder ranking → in-plan raise.
+    val neg = Seq(("a", 5L), ("b", -1L)).toDF("k", "w")
+    val e2 = intercept[Exception] {
+      Corpus.apportionPpm(neg, "k", col("w")).collect()
+    }
+    assert(chain(e2).contains("apportionPpm"), chain(e2))
+  }
+
   test("bottom-k: exact per-stratum sizes, membership key-determined") {
     import spark.implicits._
     val d = (1L to 50L).map(i => (i, if (i % 2 == 0) "a" else "b"))
@@ -749,6 +772,23 @@ class LlmSpec extends SparkSpec {
     assert(out((2L, 0L))._2 == 7)
     // doc3: one partial chunk.
     assert(out((3L, 0L)) == ("v1 v2 v3", 3))
+  }
+
+  test("ivf chain construction triggers no Spark job (lazy modulus)") {
+    // Regression guard for the round-10 advice: centroidsOf used to run an
+    // eager corpus.count() at DataFrame-CONSTRUCTION time (q85 built two
+    // chains and paid the scan twice). The modulus is now an in-plan
+    // scalar broadcast, so building the chain must submit zero jobs.
+    val e = graft.Tables.t(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    // Force plan-only work (analysis/optimization) without an action.
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val chain = Similarity.ivfKnn(e, q, "vec_id", "embedding", k = 10)
+    chain.queryExecution.executedPlan // full planning, still no action
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      s"ivfKnn construction submitted ${after - before} Spark job(s)")
+    assert(chain.count() > 0) // and the chain still executes
   }
 
   test("kmeans: identical vectors co-cluster; assignment is deterministic") {

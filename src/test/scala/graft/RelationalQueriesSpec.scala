@@ -86,4 +86,21 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(out(3L) == None)       // before any purchase
     assert(out(4L) == None)       // user with no purchases
   }
+
+  test("asof join: duplicate (key, ts) right rows resolve deterministically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val clicks = Seq((1L, 10L, 200L)).toDF("event_id", "user_id", "tsm")
+    // Two purchases at the SAME (user, ts): the greatest value must win on
+    // every run and under every right-side partitioning/order.
+    val dupA = Seq((10L, 100L, 7L), (10L, 100L, 9L))
+      .toDF("user_id", "tsm", "k")
+    val dupB = dupA.repartition(7, col("k")).sortWithinPartitions(desc("k"))
+    for (right <- Seq(dupA, dupB)) {
+      val got = RelationalQueries.asofJoinBackward(
+          clicks, right, "user_id", "tsm", "k", "v")
+        .collect().map(r => r.getAs[Long]("v"))
+      assert(got.toSeq == Seq(9L), s"tie not deterministic: ${got.toSeq}")
+    }
+  }
 }
