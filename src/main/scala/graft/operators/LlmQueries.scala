@@ -756,24 +756,28 @@ object LlmQueries {
     // mass, near-dup pair count — long-form (metric, value), all BIGINT.
     "q100_corpus_report" -> { (s, dir) =>
       val d = t(s, dir, "documents")
-      def row(name: String, v: DataFrame) =
-        v.select(lit(name).as("metric"), col("value"))
-      val fps = d.select(TA.fingerprint(col("text")).as("fp"))
-      row("n_docs", d.agg(count(lit(1)).as("value")))
-        .unionByName(row("gate_survivors",
-          d.filter(TA.corpusGateFlags(col("text")).getField("keep"))
-            .agg(count(lit(1)).as("value"))))
-        .unionByName(row("total_tokens",
-          d.agg(sum(TA.tokenCount(col("text"))).cast("long").as("value"))))
-        .unionByName(row("distinct_fingerprints",
-          fps.agg(countDistinct(col("fp")).as("value"))))
-        .unionByName(row("exact_dup_docs",
-          fps.groupBy(col("fp")).agg(count(lit(1)).as("_n"))
-            .filter(col("_n") > 1)
-            .agg(coalesce(sum(col("_n")), lit(0L)).as("value"))))
-        .unionByName(row("near_dup_pairs",
-          Dedup.minhashNearDups(d, "doc_id", "text")
-            .agg(count(lit(1)).as("value"))))
+      // One corpus scan yields the three text metrics; one fp groupBy
+      // yields both fingerprint metrics (6 branch scans → 3 jobs — at
+      // 100 TB re-reading the corpus per dashboard metric is the cost).
+      val textAgg = d.agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(TA.corpusGateFlags(col("text")).getField("keep"), 1L)
+            .otherwise(0L)).as("gate_survivors"),
+          sum(TA.tokenCount(col("text"))).cast("long").as("total_tokens"))
+        .selectExpr("stack(3, 'n_docs', n_docs, " +
+          "'gate_survivors', gate_survivors, " +
+          "'total_tokens', total_tokens) AS (metric, value)")
+      val fpAgg = d.select(TA.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(count(lit(1)).as("_n"))
+        .agg(count(lit(1)).as("distinct_fps"),
+          coalesce(sum(when(col("_n") > 1, col("_n"))), lit(0L))
+            .as("dup_docs"))
+        .selectExpr("stack(2, 'distinct_fingerprints', distinct_fps, " +
+          "'exact_dup_docs', dup_docs) AS (metric, value)")
+      textAgg.unionByName(fpAgg)
+        .unionByName(Dedup.minhashNearDups(d, "doc_id", "text")
+          .agg(count(lit(1)).as("value"))
+          .select(lit("near_dup_pairs").as("metric"), col("value")))
     },
 
     // Quality-gate ablation: per rule, total rejections AND unique
