@@ -51,8 +51,10 @@ object ScaleProbe {
     // which the suffix renaming destroys (the gate would empty the
     // corpus and the "probe" would time an empty pipeline). It gets its
     // own GATE-PRESERVING replica + stage-timed probe further below.
-    val probes = Seq("q33_minhash_neardup", "q37_cube_observations",
-      "q43_cube_full_kinds", "q51_simhash_neardup", "q55_dedup_components",
+    val probes = Seq("q13_events_hourly", "q33_minhash_neardup",
+      "q37_cube_observations", "q48_sessionize_batch",
+      "q43_cube_full_kinds", "q51_simhash_neardup",
+      "q55_dedup_components",
       "q61_line_dedup", "q62_kmeans", "q64_semdedup",
       "q70_simhash64_neardup", "q73_component_best", "q74_repeated_spans",
       "q76_oov_rate", "q77_contamination_ratio",
@@ -72,6 +74,8 @@ object ScaleProbe {
     // Only materialize the replica tables the selected probes read — a
     // documents-only run must not pay for a 1000× lineitem write.
     val tableFor = Map(
+      "q13_events_hourly" -> "events",
+      "q48_sessionize_batch" -> "events",
       "q37_cube_observations" -> "lineitem",
       "q43_cube_full_kinds" -> "lineitem",
       "q62_kmeans" -> "embeddings",
