@@ -87,6 +87,37 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(out(4L) == None)       // user with no purchases
   }
 
+  test("events loader normalizes every historical ts layout to LTZ micros") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // The driver regenerates testdata between rounds and the ts physical
+    // type has drifted (nanos-as-long rounds <=9, TIMESTAMP_NTZ round
+    // 10+). Synthesize both layouts and assert Tables.events yields the
+    // identical TIMESTAMP_LTZ instant for each.
+    val micros = 1700000000123456L // 2023-11-14T22:13:20.123456Z
+    val dir = java.nio.file.Files.createTempDirectory("events_drift")
+    try {
+      val nanosDir = s"$dir/nanos"
+      val ntzDir = s"$dir/ntz"
+      Seq((1L, micros * 1000, 10L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$nanosDir/events.parquet")
+      Seq((1L, micros, 10L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
+        .write.parquet(s"$ntzDir/events.parquet")
+      for (d <- Seq(nanosDir, ntzDir)) {
+        val got = Tables.events(spark, d)
+        assert(got.schema("ts").dataType ==
+          org.apache.spark.sql.types.TimestampType, s"layout $d")
+        assert(got.select(unix_micros(col("ts"))).head.getLong(0) == micros,
+          s"layout $d")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("asof join: duplicate (key, ts) right rows resolve deterministically") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
