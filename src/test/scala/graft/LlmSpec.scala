@@ -631,6 +631,33 @@ class LlmSpec extends SparkSpec {
     assert(skew.values.sum == 1000000L)
   }
 
+  test("apportionment invariants hold on random weights") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    // Hamilton's method guarantees: shares sum to exactly 1e6 and every
+    // share is floor or ceil of its exact proportion (no row displaced by
+    // more than one unit). Zero-weight rows are legal as long as some
+    // weight is positive.
+    val weights = Gen.listOfN(25,
+      Gen.frequency(5 -> Gen.chooseNum(1L, 1000000L), 1 -> Gen.const(0L)))
+      .sample.get match {
+        case all if all.forall(_ == 0) => 1L :: all.tail
+        case all => all
+      }
+    val d = weights.zipWithIndex.map { case (w, i) => (f"k$i%02d", w) }
+      .toDF("k", "w")
+    val out = Corpus.apportionPpm(d, "k", col("w")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("share_ppm")).toMap
+    assert(out.values.sum == 1000000L, s"shares sum ${out.values.sum}")
+    val tot = weights.sum
+    weights.zipWithIndex.foreach { case (w, i) =>
+      val exact = BigInt(w) * 1000000 / tot
+      val share = out(f"k$i%02d")
+      assert(share == exact.toLong || share == exact.toLong + 1,
+        s"k$i: share $share not in {floor, floor+1} of exact $exact")
+    }
+  }
+
   test("apportionment guards: empty input is empty, bad domains fail loudly") {
     import spark.implicits._
     // Empty input: nothing to apportion — empty output, no error.

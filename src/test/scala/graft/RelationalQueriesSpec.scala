@@ -118,6 +118,38 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("asof join agrees with a brute-force reference on random inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.Gen
+    // Small key/ts domains force collisions: same-ts left/right rows,
+    // duplicate right rows at one (key, ts), keys with no right rows.
+    val rowGen = for {
+      key <- Gen.chooseNum(1L, 5L)
+      ts <- Gen.chooseNum(0L, 20L)
+      v <- Gen.chooseNum(1L, 100L)
+    } yield (key, ts, v)
+    val leftRows = Gen.listOfN(80, rowGen).sample.get.zipWithIndex
+      .map { case ((k, ts, _), i) => (i.toLong, k, ts) }
+    val rightRows = Gen.listOfN(60, rowGen).sample.get
+    val left = leftRows.toDF("event_id", "user_id", "tsm")
+    val right = rightRows.toDF("user_id", "tsm", "k")
+    val got = RelationalQueries.asofJoinBackward(
+        left, right, "user_id", "tsm", "k", "v")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    // Reference: latest at-or-before right row; value ties -> greatest.
+    val expect = leftRows.map { case (id, k, ts) =>
+      val cands = rightRows.filter(r => r._1 == k && r._2 <= ts)
+      id -> (if (cands.isEmpty) None
+             else Some(cands.maxBy(r => (r._2, r._3))._3))
+    }.toMap
+    assert(got.size == expect.size)
+    expect.foreach { case (id, e) =>
+      assert(got(id).map(_.asInstanceOf[Long]) == e,
+        s"event $id: expected $e got ${got(id)}")
+    }
+  }
+
   test("asof join: duplicate (key, ts) right rows resolve deterministically") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
