@@ -32,18 +32,26 @@ object Tables {
     * visible fraction of rows.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/events.parquet")
-    df.schema("ts").dataType match {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val tsFixed = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         // Parquet timestamp(us, isAdjustedToUTC=false) infers as NTZ in
         // Spark 4; downstream queries use unix_micros/window, which need
         // TIMESTAMP_LTZ. Session tz is UTC at every entry point, so the
         // cast is value-preserving and matches the old timestamp_micros
         // shim byte-for-byte.
-        df.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => df
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+    // Queries treat `props` as a JSON string (get_json_object); if a
+    // regeneration ever ships it as a parquet struct, render it back —
+    // path extraction is insensitive to field order/whitespace.
+    tsFixed.schema("props").dataType match {
+      case _: org.apache.spark.sql.types.StructType =>
+        tsFixed.withColumn("props", to_json(col("props")))
+      case _ => tsFixed
     }
   }
 }

@@ -106,13 +106,26 @@ class RelationalQueriesSpec extends SparkSpec {
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
         .write.parquet(s"$ntzDir/events.parquet")
-      for (d <- Seq(nanosDir, ntzDir)) {
+      // Struct-props layout: loader renders it back to a JSON string.
+      val structDir = s"$dir/structprops"
+      Seq((1L, micros, 10L, "click", 1.0, 7L))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "k")
+        .withColumn("ts", timestamp_micros(col("ts")))
+        .withColumn("props", struct(col("k")))
+        .drop("k")
+        .write.parquet(s"$structDir/events.parquet")
+      for (d <- Seq(nanosDir, ntzDir, structDir)) {
         val got = Tables.events(spark, d)
         assert(got.schema("ts").dataType ==
           org.apache.spark.sql.types.TimestampType, s"layout $d")
         assert(got.select(unix_micros(col("ts"))).head.getLong(0) == micros,
           s"layout $d")
+        assert(got.schema("props").dataType ==
+          org.apache.spark.sql.types.StringType, s"layout $d")
       }
+      assert(Tables.events(spark, structDir)
+        .select(get_json_object(col("props"), "$.k").cast("long"))
+        .head.getLong(0) == 7L)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
