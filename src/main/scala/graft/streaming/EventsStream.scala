@@ -30,6 +30,37 @@ object EventsStream {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-static AS-OF attribution — the streaming twin of
+    * `RelationalQueries.asofJoinBackward` (q106): each arriving event
+    * picks the `valCol` of the latest at-or-before row of a STATIC keyed
+    * timeline (purchases, model-version rollouts, price books).
+    *
+    * The batch form's union + keyed window cannot run on a stream
+    * (a window over event time would buffer unboundedly), so the
+    * timeline is pre-aggregated ONCE into a sorted (ts, val) array per
+    * key and joined stream-static — broadcast when dimension-sized — and
+    * per event the lookup is a map-only array probe: no streaming state,
+    * no shuffle per trigger beyond the join, and late events attribute
+    * correctly by construction since the whole timeline is present.
+    * Ties at equal ts resolve to the GREATEST value via the struct sort,
+    * matching the batch operator's documented tie rule. Works unchanged
+    * on a batch DataFrame (the equivalence test runs it both ways).
+    */
+  def attributeStream(events: DataFrame, timeline: DataFrame,
+                      keyCol: String, tsCol: String, valCol: String,
+                      outCol: String): DataFrame = {
+    val packed = timeline
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col(tsCol).as("_t"),
+        col(valCol).as("_v")))).as("_tl"))
+    events.join(packed, Seq(keyCol), "left")
+      .withColumn(outCol,
+        try_element_at(
+          filter(col("_tl"), p => p.getField("_t") <= col(tsCol)),
+          lit(-1)).getField("_v"))
+      .drop("_tl")
+  }
+
   case class Event(ts: java.sql.Timestamp, event_type: String, value: Double)
   case class SessionState(count: Long, lastTs: Long)
   case class Session(event_type: String, n_events: Long, closedAtMs: Long)

@@ -176,6 +176,50 @@ class MediaStreamSpec extends SparkSpec {
     assert(r.getAs[Int]("width") == 4 && r.getAs[Int]("height") == 4)
   }
 
+  test("streaming: as-of attribution matches the batch operator on q106's data") {
+    import spark.implicits._
+    // Batch-twin equivalence on the real events fixture: the array-probe
+    // stream form must reproduce asofJoinBackward row for row.
+    val ev = graft.Tables.t(spark, sf, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tsm"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("last_purchase_k"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val batch = rows(graft.operators.RelationalQueries.asofJoinBackward(
+      clicks, purchases, "user_id", "tsm", "k", "last_purchase_k"))
+    val streamForm = rows(EventsStream.attributeStream(
+      clicks, purchases, "user_id", "tsm", "k", "last_purchase_k"))
+    assert(streamForm == batch,
+      s"stream form diverges on ${streamForm.toSet.diff(batch.toSet).take(3)}")
+
+    // And genuinely streaming: clicks arrive over two triggers, late
+    // events included, against the static timeline.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val timeline = Seq((10L, 100L, 7L), (10L, 100L, 9L), (10L, 200L, 11L))
+      .toDF("user_id", "tsm", "k")
+    val q = EventsStream.attributeStream(
+        mem.toDF().toDF("event_id", "user_id", "tsm"),
+        timeline, "user_id", "tsm", "k", "v")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    mem.addData((1L, 10L, 150L), (2L, 10L, 250L))
+    q.processAllAvailable()
+    mem.addData((3L, 10L, 50L), (4L, 77L, 500L)) // early + unknown user
+    q.processAllAvailable()
+    val out = spark.table("attrib")
+      .select(col("event_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    q.stop()
+    assert(out == Map(1L -> Some(9L), 2L -> Some(11L), 3L -> None,
+      4L -> None), s"got $out")
+  }
+
   test("streaming: fingerprint dedup drops duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
