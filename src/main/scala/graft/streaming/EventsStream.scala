@@ -48,12 +48,17 @@ object EventsStream {
     */
   def attributeStream(events: DataFrame, timeline: DataFrame,
                       keyCol: String, tsCol: String, valCol: String,
-                      outCol: String): DataFrame = {
+                      outCol: String,
+                      broadcastTimeline: Boolean = true): DataFrame = {
     val packed = timeline
       .groupBy(col(keyCol))
       .agg(array_sort(collect_list(struct(col(tsCol).as("_t"),
         col(valCol).as("_v")))).as("_tl"))
-    events.join(packed, Seq(keyCol), "left")
+    // Dimension-sized timelines (the common case: price books, rollout
+    // schedules) broadcast so each micro-batch pays zero shuffle; pass
+    // false for a huge timeline to fall back to a keyed shuffle join.
+    val right = if (broadcastTimeline) broadcast(packed) else packed
+    events.join(right, Seq(keyCol), "left")
       .withColumn(outCol,
         try_element_at(
           filter(col("_tl"), p => p.getField("_t") <= col(tsCol)),
