@@ -196,6 +196,22 @@ object RelationalQueries {
         "last_purchase_k")
     },
 
+    // The streaming attribution operator's batch form under the q106
+    // oracle (the q48-for-sessionize pattern: the stream twin's exact
+    // semantics DuckDB-gated). Same AS-OF backward contract, different
+    // machinery — sorted-timeline array probe instead of union+window.
+    "q107_asof_timeline" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("tsm"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", unix_micros($"ts").as("tsm"),
+          get_json_object($"props", "$.k").cast("long").as("k"))
+      graft.streaming.EventsStream.attributeStream(
+        clicks, purchases, "user_id", "tsm", "k", "last_purchase_k")
+    },
+
     // Time-series smoothing: hourly counts per type with a 3-bucket
     // trailing moving sum (ROWS frame over the hourly rollup) — the
     // dashboard-smoothing window, integer-only.
@@ -362,6 +378,19 @@ object RelationalQueries {
          |  COUNT(*) AS n_events, ${dsumSql("value", 4)} AS sum_value
          |FROM s GROUP BY 1, 2""".stripMargin,
     "q106_asof_join" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsm FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.tsm, p.k AS last_purchase_k
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.tsm >= p.tsm""".stripMargin,
+    // q107 computes the identical relation through the timeline form;
+    // the oracle is q106's ASOF join verbatim.
+    "q107_asof_timeline" ->
       """WITH c AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS tsm FROM events
         |  WHERE event_type = 'click'),
