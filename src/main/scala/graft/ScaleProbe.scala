@@ -68,7 +68,8 @@ object ScaleProbe {
       "q97_gate_ablation", "q98_packing_efficiency",
       "q99_session_spectrum", "q100_corpus_report",
       "q101_bottomk_sample", "q102_rollup", "q103_json_props",
-      "q104_moving_window", "q105_token_shares", "q106_asof_join")
+      "q104_moving_window", "q105_token_shares", "q106_asof_join",
+      "q107_asof_timeline")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -87,7 +88,8 @@ object ScaleProbe {
       "q102_rollup" -> "lineitem",
       "q103_json_props" -> "events",
       "q104_moving_window" -> "events",
-      "q106_asof_join" -> "events").withDefault(_ => "documents")
+      "q106_asof_join" -> "events",
+      "q107_asof_timeline" -> "events").withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet
 
     // The replica generators for documents/lineitem are the
