@@ -769,7 +769,11 @@ object LlmQueries {
           "'total_tokens', total_tokens) AS (metric, value)")
       val fpAgg = d.select(TA.fingerprint(col("text")).as("fp"))
         .groupBy(col("fp")).agg(count(lit(1)).as("_n"))
-        .agg(count(lit(1)).as("distinct_fps"),
+        // count(fp), not count(*): the oracle's count(DISTINCT fp) is
+        // null-excluding, so a null-text doc's null-fp group must not
+        // inflate the distinct count (it still counts toward dup mass,
+        // matching the oracle's null-inclusive GROUP BY).
+        .agg(count(col("fp")).as("distinct_fps"),
           coalesce(sum(when(col("_n") > 1, col("_n"))), lit(0L))
             .as("dup_docs"))
         .selectExpr("stack(2, 'distinct_fingerprints', distinct_fps, " +

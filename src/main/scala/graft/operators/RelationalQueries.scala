@@ -200,6 +200,7 @@ object RelationalQueries {
     // oracle (the q48-for-sessionize pattern: the stream twin's exact
     // semantics DuckDB-gated). Same AS-OF backward contract, different
     // machinery — sorted-timeline array probe instead of union+window.
+    // Unhinted: AQE sizes the packed-timeline join at runtime.
     "q107_asof_timeline" -> { (s, dir) =>
       import s.implicits._
       val ev = t(s, dir, "events")
@@ -210,6 +211,24 @@ object RelationalQueries {
           get_json_object($"props", "$.k").cast("long").as("k"))
       graft.streaming.EventsStream.attributeStream(
         clicks, purchases, "user_id", "tsm", "k", "last_purchase_k")
+    },
+
+    // q107's scale-safe fallback, gated under the identical ASOF oracle:
+    // broadcastTimeline = Some(false) forces the keyed SHUFFLE join —
+    // the shape a corpus-scale timeline (all purchases, growing with the
+    // data) must take when it exceeds broadcast budgets. PlanAuditSpec
+    // asserts this plan is a sort-merge join, not a broadcast.
+    "q108_asof_timeline_shuffle" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("tsm"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", unix_micros($"ts").as("tsm"),
+          get_json_object($"props", "$.k").cast("long").as("k"))
+      graft.streaming.EventsStream.attributeStream(
+        clicks, purchases, "user_id", "tsm", "k", "last_purchase_k",
+        broadcastTimeline = Some(false))
     },
 
     // Time-series smoothing: hourly counts per type with a 3-bucket
@@ -283,23 +302,32 @@ object RelationalQueries {
     * explosion). Right rows sort before left rows at equal ts. Duplicate
     * right rows at the same (key, ts) resolve deterministically: `_rv` is
     * the final sort key, so the GREATEST value wins regardless of input
-    * partitioning or order.
+    * partitioning or order (nulls sort first, so a null-valued tie row
+    * loses to any non-null one). A right row whose `valCol` is null still
+    * COUNTS as the latest match and yields null — ASOF semantics, same as
+    * DuckDB and [[graft.streaming.EventsStream.attributeStream]]: the
+    * carried marker is a non-null struct wrapping the (possibly null)
+    * value, so `last(ignoreNulls)` skips left rows but never a matched
+    * right row.
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame, keyCol: String,
                       tsCol: String, valCol: String,
                       outCol: String): DataFrame = {
     val vType = right.select(col(valCol)).schema.head.dataType
+    val sType = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("_v", vType)))
     val l = left.withColumn("_isL", lit(1))
-      .withColumn("_rv", lit(null).cast(vType))
+      .withColumn("_rs", lit(null).cast(sType))
     val r = right.select(col(keyCol), col(tsCol), lit(0).as("_isL"),
-      col(valCol).as("_rv"))
+      struct(col(valCol).as("_v")).as("_rs"))
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("_isL").asc, col("_rv").asc_nulls_first)
+      .orderBy(col(tsCol).asc, col("_isL").asc,
+        col("_rs._v").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
-      .withColumn(outCol, last(col("_rv"), ignoreNulls = true).over(w))
+      .withColumn(outCol, last(col("_rs"), ignoreNulls = true).over(w)("_v"))
       .filter(col("_isL") === 1)
-      .drop("_isL", "_rv")
+      .drop("_isL", "_rs")
   }
 
   val oracles: Map[String, String] = Map(
@@ -391,6 +419,19 @@ object RelationalQueries {
     // q107 computes the identical relation through the timeline form;
     // the oracle is q106's ASOF join verbatim.
     "q107_asof_timeline" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsm FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.tsm, p.k AS last_purchase_k
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.tsm >= p.tsm""".stripMargin,
+    // q108 is q107 with the forced shuffle-join fallback — same relation,
+    // same oracle.
+    "q108_asof_timeline_shuffle" ->
       """WITH c AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS tsm FROM events
         |  WHERE event_type = 'click'),

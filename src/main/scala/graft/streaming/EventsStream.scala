@@ -43,21 +43,39 @@ object EventsStream {
     * no shuffle per trigger beyond the join, and late events attribute
     * correctly by construction since the whole timeline is present.
     * Ties at equal ts resolve to the GREATEST value via the struct sort,
-    * matching the batch operator's documented tie rule. Works unchanged
-    * on a batch DataFrame (the equivalence test runs it both ways).
+    * matching the batch operator's documented tie rule (null values sort
+    * first, so a null-valued tie row loses to any non-null one; a SOLE
+    * latest row with a null value yields null, like the ASOF oracle).
+    * Works unchanged on a batch DataFrame (the equivalence test runs it
+    * both ways).
+    *
+    * `broadcastTimeline`: `None` (default) leaves the join unhinted so
+    * AQE sizes it from runtime stats — a dimension-sized packed timeline
+    * still becomes a broadcast join, a corpus-scale one stays a keyed
+    * shuffle join. `Some(true)` forces the broadcast (zero shuffle per
+    * micro-batch — only when the caller KNOWS the timeline is small);
+    * `Some(false)` forces the keyed shuffle join (sort-merge), the
+    * scale-safe shape for a timeline that grows with the corpus.
+    *
+    * Packing puts one array per key — a power-law hot key's ENTIRE
+    * timeline lands in a single row. Fine for price books and rollout
+    * schedules; for a timeline where one key can hold millions of rows,
+    * use [[graft.operators.RelationalQueries.asofJoinBackward]], whose
+    * per-key work is a streaming window, not a materialized array.
     */
   def attributeStream(events: DataFrame, timeline: DataFrame,
                       keyCol: String, tsCol: String, valCol: String,
                       outCol: String,
-                      broadcastTimeline: Boolean = true): DataFrame = {
+                      broadcastTimeline: Option[Boolean] = None): DataFrame = {
     val packed = timeline
       .groupBy(col(keyCol))
       .agg(array_sort(collect_list(struct(col(tsCol).as("_t"),
         col(valCol).as("_v")))).as("_tl"))
-    // Dimension-sized timelines (the common case: price books, rollout
-    // schedules) broadcast so each micro-batch pays zero shuffle; pass
-    // false for a huge timeline to fall back to a keyed shuffle join.
-    val right = if (broadcastTimeline) broadcast(packed) else packed
+    val right = broadcastTimeline match {
+      case Some(true)  => broadcast(packed)
+      case Some(false) => packed.hint("merge")
+      case None        => packed
+    }
     events.join(right, Seq(keyCol), "left")
       .withColumn(outCol,
         try_element_at(

@@ -640,7 +640,7 @@ class LlmSpec extends SparkSpec {
     // weight is positive.
     val weights = Gen.listOfN(25,
       Gen.frequency(5 -> Gen.chooseNum(1L, 1000000L), 1 -> Gen.const(0L)))
-      .sample.get match {
+      .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(5L)) match {
         case all if all.forall(_ == 0) => 1L :: all.tail
         case all => all
       }

@@ -14,7 +14,9 @@ class NativeExpressionsSpec extends SparkSpec {
       5 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '.', '-'),
       3 -> Gen.oneOf('á', 'č', 'ř', 'Ú', 'Ž', '§', '€', '北')))
       .map(_.mkString)
-    val inputs = Gen.listOfN(200, gen).sample.get :+ "" :+ "Úřad Vlády ČR"
+    val inputs = Gen.listOfN(200, gen)
+      .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(1L)) :+
+      "" :+ "Úřad Vlády ČR"
     val out = inputs.toDF("v")
       .select(call_function("nfd_slug", col("v")).as("native"),
         Scalars.nfdSlug(col("v")).as("viaUdf"))
@@ -28,7 +30,8 @@ class NativeExpressionsSpec extends SparkSpec {
     val gen = Gen.listOfN(12, Gen.frequency(
       6 -> Gen.numChar, 2 -> Gen.oneOf('.', '-'),
       2 -> Gen.oneOf('x', ' ', ',', 'e'))).map(_.mkString)
-    val inputs = Gen.listOfN(300, gen).sample.get ++ Seq(
+    val inputs = Gen.listOfN(300, gen)
+      .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(2L)) ++ Seq(
       "", ".", "-", "-.", "-.5", "5.", "5.x", "12.34.56", "--3", ".5",
       "-5.", "0", "-0.0", "1e5", "007")
     val out = inputs.toDF("v")
@@ -57,7 +60,8 @@ class NativeExpressionsSpec extends SparkSpec {
       s <- Gen.oneOf(y, s"$y-$m", s"$y-$m-$d", s"$y-$m-${d}T$t:$t:$t",
         s"$y-$m-$d $t:$t:$t", s"$y/$m/$d", s"$y-$m-", "x" + y, y + "x", "")
     } yield s
-    val inputs = Gen.listOfN(300, shapeish).sample.get
+    val inputs = Gen.listOfN(300, shapeish)
+      .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(3L))
     val viaRegex = (c: org.apache.spark.sql.Column) =>
       when(c.rlike("^\\d{4}-\\d{2}-\\d{2}$"),
         concat(lit("http://reference.data.gov.uk/id/gregorian-day/"), c))
@@ -81,7 +85,8 @@ class NativeExpressionsSpec extends SparkSpec {
     NativeExpressions.register(spark)
     import spark.implicits._
     val vecGen = Gen.listOfN(64, Gen.chooseNum(-10.0f, 10.0f))
-    val pairs = Gen.listOfN(100, Gen.zip(vecGen, vecGen)).sample.get
+    val pairs = Gen.listOfN(100, Gen.zip(vecGen, vecGen))
+      .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(4L))
     val hofDot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0), (acc, x) => acc + x)
@@ -190,7 +195,7 @@ class NativeExpressionsSpec extends SparkSpec {
   test("native round_half_up_exact agrees with the UDF incl. near-ties") {
     NativeExpressions.register(spark)
     import spark.implicits._
-    val inputs = Gen.listOfN(200, Gen.chooseNum(-1e9, 1e9)).sample.get ++
+    val inputs = Gen.listOfN(200, Gen.chooseNum(-1e9, 1e9)).pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(6L)) ++
       Seq(2.675, 1.005, -2.675, 0.0)
     val out = inputs.toDF("v")
       .select(call_function("round_half_up_exact", col("v")).as("native"),

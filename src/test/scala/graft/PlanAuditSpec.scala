@@ -99,6 +99,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q108's forced fallback is a keyed shuffle join, not a broadcast") {
+    // The scale-safe path for a corpus-scale timeline: the packed side
+    // must reach the events join as a sort-merge (keyed shuffle) join —
+    // no broadcast of the timeline, no nested loop.
+    val plan = operators.RelationalQueries
+      .queries("q108_asof_timeline_shuffle")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"q108 fallback is not a sort-merge join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q108 fallback has a nested-loop join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"q108 fallback still broadcasts the timeline:\n$plan")
+  }
+
   test("catalog extraction broadcasts the small sides") {
     val plan = operators.CatalogQueries.queries("q38_ckan_packages")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -142,9 +142,13 @@ class RelationalQueriesSpec extends SparkSpec {
       ts <- Gen.chooseNum(0L, 20L)
       v <- Gen.chooseNum(1L, 100L)
     } yield (key, ts, v)
-    val leftRows = Gen.listOfN(80, rowGen).sample.get.zipWithIndex
+    // Fixed seed: failures reproduce, and pureApply never returns None.
+    val leftRows = Gen.listOfN(80, rowGen)
+      .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(12L))
+      .zipWithIndex
       .map { case ((k, ts, _), i) => (i.toLong, k, ts) }
-    val rightRows = Gen.listOfN(60, rowGen).sample.get
+    val rightRows = Gen.listOfN(60, rowGen)
+      .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(13L))
     val left = leftRows.toDF("event_id", "user_id", "tsm")
     val right = rightRows.toDF("user_id", "tsm", "k")
     val got = RelationalQueries.asofJoinBackward(
@@ -160,6 +164,33 @@ class RelationalQueriesSpec extends SparkSpec {
     expect.foreach { case (id, e) =>
       assert(got(id).map(_.asInstanceOf[Long]) == e,
         s"event $id: expected $e got ${got(id)}")
+    }
+  }
+
+  test("asof join: null-valued latest row yields null, matching the ASOF oracle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // DuckDB ASOF picks the latest at-or-before ROW regardless of its
+    // value; a null value must come through as null, not fall back to an
+    // older non-null row. Both operator forms must agree.
+    val clicks = Seq((1L, 10L, 200L), (2L, 10L, 120L), (3L, 10L, 100L))
+      .toDF("event_id", "user_id", "tsm")
+    val purchases = Seq[(Long, Long, Option[Long])](
+      (10L, 100L, Some(7L)),      // tie at ts=100 with a null-valued row:
+      (10L, 100L, None),          //   non-null wins the tie
+      (10L, 150L, None))          // sole latest for click 1: null wins
+      .toDF("user_id", "tsm", "k")
+    def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Any]("v")).map(_.asInstanceOf[Long])).toMap
+    val expect = Map(1L -> None, 2L -> Some(7L), 3L -> Some(7L))
+    val batch = run(RelationalQueries.asofJoinBackward(
+      clicks, purchases, "user_id", "tsm", "k", "v"))
+    assert(batch == expect, s"asofJoinBackward: $batch")
+    for (hint <- Seq(None, Some(true), Some(false))) {
+      val tl = run(graft.streaming.EventsStream.attributeStream(
+        clicks, purchases, "user_id", "tsm", "k", "v", hint))
+      assert(tl == expect, s"attributeStream($hint): $tl")
     }
   }
 

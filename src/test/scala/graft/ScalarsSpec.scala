@@ -36,7 +36,7 @@ class ScalarsSpec extends SparkSpec {
     val garbage: Gen[String] = Gen.oneOf("", "N/A", "-", ",", " ", "--1", "x1")
 
     val inputs = Gen.listOfN(150, Gen.frequency(4 -> numLike, 1 -> garbage))
-      .sample.get
+      .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(7L))
     val expected = inputs.map { s =>
       try Option(df.parse(s).doubleValue()).map(_.toString)
       catch { case _: Exception => None }
@@ -56,7 +56,7 @@ class ScalarsSpec extends SparkSpec {
       Gen.chooseNum(-1e9, 1e9),
       Gen.chooseNum(0L, 99999L).map(_ / 1000.0 * 1.055), // near-tie products
       Gen.const(2.675), Gen.const(1.005), Gen.const(-2.675))
-    val inputs = Gen.listOfN(200, gen).sample.get :+ 2.675
+    val inputs = Gen.listOfN(200, gen).pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(8L)) :+ 2.675
     import spark.implicits._
     val got = inputs.toDF("v")
       .select(Scalars.roundHalfUpExact(col("v")).as("r"))
@@ -76,7 +76,7 @@ class ScalarsSpec extends SparkSpec {
       3 -> Gen.oneOf('á', 'č', 'ď', 'é', 'ě', 'í', 'ň', 'ó', 'ř', 'š',
         'ť', 'ú', 'ů', 'ý', 'ž', 'Ú', 'Č', '§', '€', '北')))
       .map(_.mkString)
-    val inputs = Gen.listOfN(100, gen).sample.get
+    val inputs = Gen.listOfN(100, gen).pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(9L))
     val got = evalBatch(inputs, Scalars.nfdSlug(_)).map(_.get)
     got.foreach { s =>
       assert(s.forall(ch => ch < 0x80 && ch != ' ' && ch != '.' &&
@@ -93,7 +93,7 @@ class ScalarsSpec extends SparkSpec {
       5 -> Gen.alphaNumChar,
       3 -> Gen.oneOf(' ', '/', '#', '?', '&', '%', 'č', 'ř', '+', '*', '.')))
       .map(_.mkString)
-    val inputs = Gen.listOfN(100, gen).sample.get
+    val inputs = Gen.listOfN(100, gen).pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(10L))
     val got = evalBatch(inputs, Scalars.urlEncode(_)).map(_.get)
     inputs.zip(got).foreach { case (in, g) =>
       val e = java.net.URLEncoder.encode(in.replace(' ', '-'), "UTF-8")

@@ -1,23 +1,31 @@
 #!/usr/bin/env python3
 """Local replica of the driver's t2 correctness gate.
 
-Usage: python3 tools/check.py [verify_out_dir] [sf_dir]
+Usage: python3 tools/check.py [verify_out_dir] [sf_dir] [--partial]
 
 Reads each <name>/ parquet dump written by graft.Verify, runs the matching
 oracle SQL from oracle_sql.json in DuckDB over the sf_dir tables, and
-compares: row count, column names, COLUMN TYPES, and exact values (columns
-sorted by name, rows sorted by all columns).
+compares: row count, column names, NORMALIZED column types, and exact
+values (columns sorted by name, rows sorted by all columns).
 
-The type comparison exists because the driver's hash is column-type
-sensitive: DuckDB widens SUM(BIGINT) to HUGEINT, so an uncast aggregate in
-an oracle fragment fails the driver even when every value matches. A local
-green must predict a driver green, so any type difference is a FAIL here.
+Types are compared after normalization, mirroring what the driver's
+str(value)-per-cell hash can actually distinguish: all signed-int widths
+print the same digits (indistinguishable), but HUGEINT degrades to
+float64/object in pandas (str '123.0' != '123'), so HUGEINT vs BIGINT
+stays a FAIL while INTEGER vs BIGINT passes.
+
+--partial: a name-filtered Verify run dumps only a subset of queries but
+always writes the FULL oracle map; with this flag, oracle entries with no
+output directory are reported as a warning instead of failing the run.
+Without it (a full-run check), missing outputs remain a FAIL.
 """
 import sys, json, glob, os
 import duckdb
 
-out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
-sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+partial = "--partial" in sys.argv
+args = [a for a in sys.argv[1:] if a != "--partial"]
+out = args[0] if len(args) > 0 else "/tmp/verify_out"
+sf = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -56,12 +64,12 @@ for name in names:
     if sorted(got_cols) != sorted(exp_cols):
         print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
         fails += 1; continue
-    # Normalize to the domain the driver actually hashes in: it converts
-    # both result sets to pandas, where every signed-int width lands in
-    # int64 (indistinguishable) but HUGEINT degrades to float64/object —
-    # str(123.0) != str(123), so HUGEINT-vs-BIGINT IS a driver failure
-    # while INTEGER-vs-BIGINT is not. Compare as (name, normtype)
-    # multisets so duplicate column names can't mask a mismatch.
+    # Normalize to what the driver's str(value)-per-cell compare can
+    # distinguish: any signed-int width prints the same digits, so width
+    # alone can't fail the driver, but HUGEINT degrades to float64/object
+    # in pandas — str(123.0) != str(123) — so HUGEINT-vs-BIGINT IS a
+    # driver failure. Compare as (name, normtype) multisets so duplicate
+    # column names can't mask a mismatch.
     def norm(t):
         t = str(t)
         if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
@@ -88,7 +96,10 @@ for name in names:
     print(f"OK   {name}: {len(got)} rows")
 
 missing = set(oracle) - set(names)
-if missing:
+if missing and partial:
+    print(f"WARN: oracle entries with no output (partial run): "
+          f"{len(missing)} skipped")
+elif missing:
     print(f"FAIL: oracle entries with no output: {sorted(missing)}"); fails += 1
 print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'} "
       f"({len(names)} queries, {len(oracle)} oracles)")
