@@ -114,6 +114,71 @@ object RdfQueries {
       Bgp.dataset("geo" -> G.geo(s, dir), "cust" -> G.customers(s, dir))
         .groupBy(col("g"), col("p"))
         .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- SPARQL STRING front end (graft.graphquery.Sparql): the same
+    // semantics as the combinator-built queries above, but entered as the
+    // strings a LinkedPipes pipeline actually holds. Each is gated under
+    // an existing combinator oracle (or an equivalent new one), so a
+    // parser bug cannot hide: parsed plan and hand-built plan must both
+    // hash-match the same DuckDB SQL.
+
+    // q15's LANGMATCHES filter, parsed (DcatAp11ToCkanBatch.java:254 shape).
+    "q109_sparql_lang_filter" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(G.geo(s, dir),
+        """SELECT ?s ?name_cs WHERE {
+          |  ?s <urn:p/name> ?name_cs .
+          |  FILTER(LANGMATCHES(LANG(?name_cs), "cs"))
+          |}""".stripMargin)
+    },
+
+    // q19's OPTIONAL + BIND(true AS flag), parsed (FdpMeasure.java:55-56).
+    "q110_sparql_optional_bind" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(G.customers(s, dir),
+        """SELECT ?s ?name ?vip ?has_vip WHERE {
+          |  ?s <urn:p/name> ?name .
+          |  OPTIONAL { ?s <urn:p/vip> ?vip . BIND(true AS ?has_vip) }
+          |}""".stripMargin)
+    },
+
+    // VALUES with UNDEF over bound variables, parsed
+    // (MultiAttributeDimension.java:38-43 shape): each solution joins
+    // every VALUES row its non-UNDEF cells match, so a row matching two
+    // VALUES rows appears twice — the oracle unions the three branches.
+    "q111_sparql_values_undef" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(G.customers(s, dir),
+        """SELECT ?s ?segment ?nation WHERE {
+          |  ?s <urn:p/segment> ?segment .
+          |  FILTER(LANGMATCHES(LANG(?segment), "en"))
+          |  ?s <urn:p/inNation> ?nation .
+          |  VALUES (?segment ?nation) {
+          |    ("BUILDING" <urn:g/nation/1>)
+          |    ("MACHINERY" UNDEF)
+          |    (UNDEF <urn:g/nation/3>)
+          |  }
+          |}""".stripMargin)
+    },
+
+    // q17's inverse path + GROUP BY/COUNT, parsed
+    // (DcatAp11ToCkanBatch.java:372 ^foaf:primaryTopic shape).
+    "q112_sparql_inverse_agg" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(G.geo(s, dir),
+        """SELECT ?region_name (COUNT(?nat) AS ?n_nations) WHERE {
+          |  ?r ^<urn:p/inRegion> ?nat .
+          |  ?r <urn:p/name> ?region_name .
+          |  FILTER(LANGMATCHES(LANG(?region_name), "en"))
+          |} GROUP BY ?region_name""".stripMargin)
+    },
+
+    // q16's sequence path, parsed (DCTERMS.PUBLISHER/FOAF.NAME shape,
+    // DcatAp11ToCkanBatch.java:259).
+    "q113_sparql_seq_path" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(
+        G.customers(s, dir).unionByName(G.geo(s, dir)),
+        """SELECT ?s ?nation_name WHERE {
+          |  ?s <urn:p/inNation>/<urn:p/name> ?nation_name .
+          |  FILTER(LANGMATCHES(LANG(?nation_name), "en"))
+          |}""".stripMargin)
     }
   )
 
@@ -190,6 +255,44 @@ object RdfQueries {
         |  UNION ALL
         |  SELECT 'cust' AS g, * FROM cust)
         |GROUP BY g, p""".stripMargin,
-      "geo" -> G.sql.geo, "cust" -> G.sql.customers)
+      "geo" -> G.sql.geo, "cust" -> G.sql.customers),
+    // Parsed-SPARQL gates: q109/q110/q112/q113 reuse the combinator
+    // oracles verbatim (same relation, string front end); q111 has its
+    // own three-branch VALUES oracle.
+    "q109_sparql_lang_filter" -> withTriples(
+      "SELECT s, o AS name_cs FROM t WHERE p = 'urn:p/name' AND (lower(oLang) = 'cs' OR lower(oLang) LIKE 'cs-%')",
+      "t" -> G.sql.geo),
+    "q110_sparql_optional_bind" -> withTriples(
+      """SELECT n.s AS s, n.o AS name, v.o AS vip, v.o IS NOT NULL AS has_vip
+        |FROM t n LEFT JOIN (SELECT s, o FROM t WHERE p = 'urn:p/vip') v
+        |  ON n.s = v.s
+        |WHERE n.p = 'urn:p/name'""".stripMargin,
+      "t" -> G.sql.customers),
+    "q111_sparql_values_undef" -> withTriples(
+      """SELECT s, segment, nation FROM (
+        |  SELECT * FROM cust WHERE segment = 'BUILDING' AND nation = 'urn:g/nation/1'
+        |  UNION ALL
+        |  SELECT * FROM cust WHERE segment = 'MACHINERY'
+        |  UNION ALL
+        |  SELECT * FROM cust WHERE nation = 'urn:g/nation/3')""".stripMargin,
+      "t" -> G.sql.customers,
+      "cust" -> ("""SELECT seg.s AS s, seg.o AS segment, nat.o AS nation
+        |FROM t seg JOIN t nat ON seg.s = nat.s
+        |WHERE seg.p = 'urn:p/segment'
+        |  AND (lower(seg.oLang) = 'en' OR lower(seg.oLang) LIKE 'en-%')
+        |  AND nat.p = 'urn:p/inNation'""".stripMargin)),
+    "q112_sparql_inverse_agg" -> withTriples(
+      """SELECT rn.o AS region_name, COUNT(*) AS n_nations
+        |FROM t e JOIN t rn ON e.o = rn.s
+        |WHERE e.p = 'urn:p/inRegion' AND rn.p = 'urn:p/name'
+        |  AND (lower(rn.oLang) = 'en' OR lower(rn.oLang) LIKE 'en-%')
+        |GROUP BY rn.o""".stripMargin,
+      "t" -> G.sql.geo),
+    "q113_sparql_seq_path" -> withTriples(
+      """SELECT h1.s AS s, h2.o AS nation_name
+        |FROM t h1 JOIN t h2 ON h1.o = h2.s
+        |WHERE h1.p = 'urn:p/inNation' AND h2.p = 'urn:p/name'
+        |  AND (lower(h2.oLang) = 'en' OR lower(h2.oLang) LIKE 'en-%')""".stripMargin,
+      "t" -> s"${G.sql.customers.drop(1).dropRight(1)} UNION ALL ${G.sql.geo.drop(1).dropRight(1)}")
   )
 }

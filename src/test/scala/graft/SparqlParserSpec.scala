@@ -1,0 +1,361 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+import graft.graphquery.{Bgp, Sparql}
+import graft.rdf.{DerivedGraph => G}
+
+/** The SPARQL string front end must reproduce the hand-built combinator
+  * plans on the derived graphs AND parse the reference's real embedded
+  * query strings (grammar acceptance — the strings a LinkedPipes pipeline
+  * actually holds).
+  */
+class SparqlParserSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq)
+
+  // ------------------------------------------------ parsed == hand-built
+
+  test("parsed lang filter == Bgp.patternLang (q15/q109)") {
+    val geo = G.geo(spark, sf)
+    val parsed = Sparql.select(geo,
+      """SELECT ?s ?name_cs WHERE {
+        |  ?s <urn:p/name> ?name_cs .
+        |  FILTER(LANGMATCHES(LANG(?name_cs), "cs"))
+        |}""".stripMargin)
+    assert(rows(parsed) == rows(
+      Bgp.patternLang(geo, "urn:p/name", "cs", "name_cs")))
+  }
+
+  test("parsed sequence path == Bgp.path (q16/q113)") {
+    val all = G.customers(spark, sf).unionByName(G.geo(spark, sf))
+    val parsed = Sparql.select(all,
+      """SELECT ?s ?nation_name WHERE {
+        |  ?s <urn:p/inNation>/<urn:p/name> ?nation_name .
+        |  FILTER(LANGMATCHES(LANG(?nation_name), "en"))
+        |}""".stripMargin)
+    assert(rows(parsed) == rows(Bgp.path(all, "urn:p/inNation",
+      "urn:p/name", "nation_name", lang2 = Some("en"))))
+  }
+
+  test("parsed optional+bind == Bgp.optional (q19/q110)") {
+    val c = G.customers(spark, sf)
+    val parsed = Sparql.select(c,
+      """SELECT ?s ?name ?vip ?has_vip WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  OPTIONAL { ?s <urn:p/vip> ?vip . BIND(true AS ?has_vip) }
+        |}""".stripMargin)
+    assert(rows(parsed) == rows(Bgp.optional(
+      Bgp.pattern(c, "urn:p/name", "name"), c, "urn:p/vip", "vip",
+      bindFlag = Some("has_vip"))))
+  }
+
+  test("parsed inverse path + GROUP BY/COUNT == q17's combinator plan") {
+    val geo = G.geo(spark, sf)
+    val parsed = Sparql.select(geo,
+      """SELECT ?region_name (COUNT(?nat) AS ?n_nations) WHERE {
+        |  ?r ^<urn:p/inRegion> ?nat .
+        |  ?r <urn:p/name> ?region_name .
+        |  FILTER(LANGMATCHES(LANG(?region_name), "en"))
+        |} GROUP BY ?region_name""".stripMargin)
+    val nations = Bgp.inverse(geo, "urn:p/inRegion", "nat")
+    val names = Bgp.patternLang(geo, "urn:p/name", "en", "region_name")
+      .withColumnRenamed("s", "_ns")
+    val expected = nations.join(names, col("s") === col("_ns"))
+      .groupBy(col("region_name")).agg(count(lit(1)).as("n_nations"))
+    assert(rows(parsed) == rows(expected))
+  }
+
+  test("parsed VALUES+UNDEF multiplies per matching row like Bgp.values") {
+    val c = G.customers(spark, sf)
+    val parsed = Sparql.select(c,
+      """SELECT ?s ?segment ?nation WHERE {
+        |  ?s <urn:p/segment> ?segment .
+        |  FILTER(LANGMATCHES(LANG(?segment), "en"))
+        |  ?s <urn:p/inNation> ?nation .
+        |  VALUES (?segment ?nation) {
+        |    ("BUILDING" <urn:g/nation/1>)
+        |    ("MACHINERY" UNDEF)
+        |    (UNDEF <urn:g/nation/3>)
+        |  }
+        |}""".stripMargin)
+    val left = Bgp.patternLang(c, "urn:p/segment", "en", "segment")
+      .join(Bgp.pattern(c, "urn:p/inNation", "nation")
+        .withColumnRenamed("s", "_ns"), col("s") === col("_ns"))
+      .select(col("s"), col("segment"), col("nation"))
+    val expected = Bgp.values(spark, left, Seq("segment", "nation"), Seq(
+      Seq("BUILDING", "urn:g/nation/1"), Seq("MACHINERY", null),
+      Seq(null, "urn:g/nation/3")))
+      .select(col("s"), col("segment"), col("nation"))
+    // Multiset compare: a solution matching two VALUES rows appears twice.
+    def bag(df: DataFrame) = df.collect().toSeq
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    assert(bag(parsed) == bag(expected))
+  }
+
+  // -------------------------------- the reference's real query strings
+
+  /** FDP descriptor fixture graph (the data shape FdpMeasure /
+    * MultiAttributeDimension / SkosDimension queries run over).
+    */
+  private lazy val fdp: DataFrame = {
+    import spark.implicits._
+    val QB = "http://purl.org/linked-data/cube#"
+    val F = "http://data.openbudgets.eu/fdptordf#"
+    val T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    val OD = "http://data.openbudgets.eu/ontology/dsd/dimension/"
+    val iri = Seq(
+      ("urn:f/dsd1", T, QB + "DataStructureDefinition"),
+      ("urn:f/dsd1", QB + "component", "urn:f/comp1"),
+      ("urn:f/dsd1", F + "component", "urn:f/comp1"),
+      ("urn:f/dsd1", QB + "component", "urn:f/comp2"),
+      ("urn:f/dsd1", QB + "component", "urn:f/comp3"),
+      ("urn:f/comp2", QB + "dimension", OD + "currency"),
+      ("urn:f/comp1", F + "measure", "urn:f/m1"),
+      ("urn:f/comp1", QB + "dimension", "urn:f/dimProp1"),
+      ("urn:f/comp1", F + "attribute", "urn:f/attr1"),
+      ("urn:f/comp1", F + "attribute", "urn:f/attr2"),
+      ("urn:f/comp1", F + "valueType", F + "organization"),
+      ("urn:f/comp3", QB + "dimension", "urn:f/dimProp3"),
+      ("urn:f/comp3", F + "attribute", "urn:f/attr3"),
+      ("urn:f/comp3", F + "attribute", "urn:f/attr4"),
+      ("urn:f/comp3", F + "valueType", F + "skos"),
+      ("urn:f/attr1", F + "valueProperty", "urn:f/vp1"),
+      ("urn:f/attr3", F + "source", "urn:f/sp3"),
+      ("urn:f/attr3", F + "valueProperty", "urn:f/vp3"),
+      ("urn:f/attr4", F + "source", "urn:f/sp4"),
+      ("urn:f/attr4", F + "valueProperty", "urn:f/vp4"),
+      ("urn:f/ds1", T, QB + "DataSet"),
+      ("urn:f/ds1", QB + "structure", "urn:f/dsd1"),
+      ("urn:f/dimProp3", F + "name", null) // replaced below (literal)
+    ).filter(_._3 != null)
+      .map { case (s, p, o) => (s, p, o, true, null: String, null: String) }
+    val lits = Seq(
+      ("urn:f/comp1", F + "attributeCount", "2"),
+      ("urn:f/comp3", F + "attributeCount", "2"),
+      ("urn:f/comp1", F + "source", "amount"),
+      ("urn:f/comp1", F + "factor", "1000"),
+      ("urn:f/comp1", F + "sourceColumn", "amt"),
+      ("urn:f/comp1", F + "sourceFile", "budget.csv"),
+      ("urn:f/comp1", F + "decimalChar", "."),
+      ("urn:f/attr1", F + "sourceColumn", "col1"),
+      ("urn:f/attr1", F + "sourceFile", "budget.csv"),
+      ("urn:f/attr1", F + "iskey", "true"),
+      ("urn:f/attr2", F + "isHierarchical", "true"),
+      ("urn:f/ds1", F + "datasetShortName", "pkg"),
+      ("urn:f/m1", F + "name", "Amount"),
+      ("urn:f/dimProp3", F + "name", "Dim3")
+    ).map { case (s, p, o) => (s, p, o, false, null: String, null: String) }
+    (iri ++ lits).toDF("s", "p", "o", "oIsIri", "oLang", "oDatatype")
+  }
+
+  test("DcatAp11ToCkanBatch keyword/path/inverse-path queries parse and run") {
+    import spark.implicits._
+    val dcat = Seq(
+      ("urn:ds1", "http://www.w3.org/ns/dcat#keyword", "rozpočet", false, "cs", null: String),
+      ("urn:ds1", "http://www.w3.org/ns/dcat#keyword", "budget", false, "en", null: String),
+      ("urn:ds1", "http://purl.org/dc/terms/publisher", "urn:org1", true, null: String, null: String),
+      ("urn:org1", "http://xmlns.com/foaf/0.1/name", "Úřad", false, "cs", null: String),
+      ("urn:rec1", "http://xmlns.com/foaf/0.1/primaryTopic", "urn:ds1", true, null: String, null: String),
+      ("urn:rec1", "http://purl.org/dc/terms/source", "http://nkod/123", false, null: String, null: String)
+    ).toDF("s", "p", "o", "oIsIri", "oLang", "oDatatype")
+    // The exact string shapes the reference builds by concatenation
+    // (DcatAp11ToCkanBatch.java:254, :259, :372).
+    val datasetURI = "urn:ds1"
+    val kws = Sparql.select(dcat, "SELECT ?keyword WHERE {<" + datasetURI +
+      "> <http://www.w3.org/ns/dcat#keyword> ?keyword FILTER(LANGMATCHES(LANG(?keyword), \"cs\"))}")
+    assert(rows(kws) == Set(Seq("rozpočet")))
+    val pubName = Sparql.scalar(dcat, "SELECT ?publisher_name WHERE {<" +
+      datasetURI + "> <http://purl.org/dc/terms/publisher>/<http://xmlns.com/foaf/0.1/name> ?publisher_name FILTER(LANGMATCHES(LANG(?publisher_name), \"cs\"))}",
+      "publisher_name")
+    assert(pubName == "Úřad")
+    val nkod = Sparql.scalar(dcat, "SELECT ?source WHERE {<" + datasetURI +
+      "> ^<http://xmlns.com/foaf/0.1/primaryTopic>/<http://purl.org/dc/terms/source> ?source }",
+      "source")
+    assert(nkod == "http://nkod/123")
+    // singleResult's "" default on an empty result (java:634-639 contract).
+    assert(Sparql.scalar(dcat, "SELECT ?issued WHERE {<" + datasetURI +
+      "> <http://purl.org/dc/terms/issued> ?issued }", "issued") == "")
+  }
+
+  test("FdpMeasure.query (FdpMeasure.java:27-57) parses and binds correctly") {
+    val q =
+      "PREFIX qb: <http://purl.org/linked-data/cube#>\n" +
+        "PREFIX fdprdf: <http://data.openbudgets.eu/fdptordf#>\n" +
+        "PREFIX fdp: <http://schemas.frictionlessdata.io/fiscal-data-package#>\n" +
+        "PREFIX obeu-attribute:   <http://data.openbudgets.eu/ontology/dsd/attribute/>\n" +
+        "PREFIX obeu-dimension:   <http://data.openbudgets.eu/ontology/dsd/dimension/>\n" +
+        "\n" +
+        "SELECT *\n" +
+        "WHERE {\n" +
+        "  ?dsd a qb:DataStructureDefinition;\n" +
+        "       fdprdf:component ?component ." +
+        "       ?component fdprdf:measure ?measureProperty;\n" +
+        "                      fdprdf:source ?measureSource; \n" +
+        "                      fdprdf:factor ?measureFactor;\n" +
+        "  \t\t\t\t\t  fdprdf:sourceColumn ?sourceColumn;\n" +
+        "  \t\t\t\t\t  fdprdf:sourceFile ?sourceFile .\n" +
+        "                        \n" +
+        "  ?dataset a qb:DataSet;\n" +
+        "      fdprdf:datasetShortName ?packageName ;\n" +
+        "      \t   qb:structure ?dsd .\n" +
+        "\n" +
+        "?measureProperty fdprdf:name ?measureName ." +
+        "   OPTIONAL { ?component fdprdf:decimalChar ?decimalChar . }\n" +
+        " OPTIONAL { ?component fdprdf:groupChar ?groupChar . }\n" +
+        " OPTIONAL { ?component fdprdf:fieldType ?fieldType . }\n" +
+        " OPTIONAL { ?measureProperty fdprdf:operationCharacter ?operationCharacter . }\n" +
+        " OPTIONAL { ?measureProperty fdprdf:budgetPhase ?budgetPhase . }\n" +
+        " OPTIONAL { ?measureProperty fdprdf:currency ?currency . }\n" +
+        " OPTIONAL { ?dsd qb:component/qb:dimension obeu-dimension:currency . " +
+        "            BIND(true as ?hasCurrencyDimension) }" +
+        "}"
+    val out = Sparql.select(fdp, q)
+    val r = out.collect()
+    assert(r.length == 1, s"expected 1 measure row, got ${r.length}")
+    val m = r.head.getValuesMap[Any](out.columns.toIndexedSeq)
+    assert(m("component") == "urn:f/comp1")
+    assert(m("measureProperty") == "urn:f/m1")
+    assert(m("measureName") == "Amount")
+    assert(m("measureFactor") == "1000")
+    assert(m("packageName") == "pkg")
+    assert(m("decimalChar") == ".")           // matched OPTIONAL
+    assert(m("groupChar") == null)            // unmatched OPTIONAL -> unbound
+    assert(m("hasCurrencyDimension") == true) // path OPTIONAL matched comp2
+  }
+
+  test("MultiAttributeDimension.attributeQuery parses: VALUES+UNDEF, " +
+    "predicate variable, numeric FILTER, NOT EXISTS") {
+    val q = SparqlParserSpec.multiAttrQuery
+      .replace("_dimensionProp_", "<urn:f/dimProp1>")
+    val out = Sparql.select(fdp, q)
+    val r = out.collect()
+    // comp1: valueType=organization matches exactly one VALUES row
+    // (componentProperty=qb:dimension, satisfied by comp1 qb:dimension
+    // dimProp1); attr2 is excluded by NOT EXISTS isHierarchical.
+    assert(r.length == 1, s"got ${r.map(_.toString).mkString("; ")}")
+    val m = r.head.getValuesMap[Any](out.columns.toIndexedSeq)
+    assert(m("component") == "urn:f/comp1")
+    assert(m("attribute") == "urn:f/attr1")
+    assert(m("rdfType") == "http://www.w3.org/ns/org#Organization")
+    assert(m("componentProperty") == "http://purl.org/linked-data/cube#dimension")
+    assert(m("sourceColumn") == "col1")
+  }
+
+  test("SkosDimension.dimensionQuery parses: subselect + GROUPBY + " +
+    "COUNT + var=var FILTER") {
+    // The real string, verbatim shape (SkosDimension.java:16-49) — note
+    // the reference's own `GROUPBY` spelling inside the subselect.
+    val q = "PREFIX qb: <http://purl.org/linked-data/cube#>\n" +
+      "PREFIX fdprdf: <http://data.openbudgets.eu/fdptordf#>\n" +
+      "PREFIX skos: <http://www.w3.org/2004/02/skos/core#>\n" +
+      "\n" +
+      "SELECT DISTINCT ?dimensionProp ?dimensionName ?packageName ?dataset\n" +
+      "WHERE {\n" +
+      " ?component fdprdf:attributeCount ?attrCount .\n" +
+      "  FILTER(?attrCount > 1)\n" +
+      "  \n" +
+      "  ?dsd a qb:DataStructureDefinition;\n" +
+      "         qb:component ?component .\n" +
+      "  ?component qb:dimension ?dimensionProp;\n" +
+      "             fdprdf:attribute ?attribute ;\n" +
+      "             fdprdf:valueType fdprdf:skos .\n" +
+      "             \n" +
+      "  ?dimensionProp fdprdf:name ?dimensionName .\n" +
+      "  \n" +
+      "  ?attribute fdprdf:source ?sourceProperty ;\n" +
+      "             fdprdf:valueProperty ?attributeValueProperty .\n" +
+      "                        \n" +
+      "  ?dataset a qb:DataSet;  \n" +
+      "      \t   qb:structure ?dsd ;\n" +
+      "          fdprdf:datasetShortName ?packageName .\n" +
+      "    \n" +
+      "  {\n" +
+      "    SELECT ?component (COUNT(?attribute) AS ?nonHierarchCount)\n" +
+      "    WHERE {\n" +
+      "        ?component fdprdf:attribute ?attribute .\n" +
+      "        FILTER NOT EXISTS {?attribute fdprdf:isHierarchical true .}\n" +
+      "    } GROUPBY ?component\n" +
+      "  }             \n" +
+      "  \n" +
+      "  FILTER (?nonHierarchCount = ?attrCount)              \n" +
+      "}"
+    val out = Sparql.select(fdp, q)
+    // Only comp3 survives: attrCount=2 > 1, valueType=skos, and its
+    // non-hierarchical attribute count (2) equals attrCount; comp1 fails
+    // the subselect filter (1 non-hierarchical of attrCount 2).
+    assert(rows(out) ==
+      Set(Seq("urn:f/dimProp3", "Dim3", "pkg", "urn:f/ds1")))
+  }
+
+  test("COUNT(DISTINCT ?v) parses (MultiAttributeDimension.java:94)") {
+    val out = Sparql.select(fdp,
+      "PREFIX fdprdf: <http://data.openbudgets.eu/fdptordf#>\n" +
+        "SELECT ?component (COUNT(DISTINCT ?attribute) AS ?n) WHERE {\n" +
+        "  ?component fdprdf:attribute ?attribute .\n" +
+        "} GROUP BY ?component")
+    val m = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("urn:f/comp1" -> 2L, "urn:f/comp3" -> 2L))
+  }
+
+  test("unsubstituted template placeholders are rejected with guidance") {
+    val e = intercept[Exception] {
+      Sparql.parse("SELECT * WHERE { ?c ?p _dimensionProp_ . }")
+    }
+    assert(e.getMessage.contains("placeholder"))
+  }
+}
+
+/** The verbatim MultiAttributeDimension attribute query text
+  * (MultiAttributeDimension.java:18-62), kept out of the test body for
+  * readability — `\r\n` line ends, tab-aligned VALUES and all.
+  */
+object SparqlParserSpec {
+  val multiAttrQuery: String =
+    "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>\r\n" +
+      "PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>\r\n" +
+      "PREFIX fdp: <http://schemas.frictionlessdata.io/fiscal-data-package#>\r\n" +
+      "PREFIX fcsv: <file://budget.csv#>\r\n" +
+      "PREFIX obeu-attribute:   <http://data.openbudgets.eu/ontology/dsd/attribute/> \r\n" +
+      "PREFIX obeu-dimension:   <http://data.openbudgets.eu/ontology/dsd/dimension/> \r\n" +
+      "PREFIX obeu-measure:     <http://data.openbudgets.eu/ontology/dsd/measure/> \r\n" +
+      "PREFIX qb: <http://purl.org/linked-data/cube#>\r\n" +
+      "PREFIX datasets: <http://data.openbudgets.eu/datasets/>\r\n" +
+      "PREFIX fdprdf: <http://data.openbudgets.eu/fdptordf#>\r\n" +
+      "PREFIX schema: <http://schema.org/>\r\n" +
+      "PREFIX org: <http://www.w3.org/ns/org#>\r\n" +
+      "\r\n" +
+      "\r\n" +
+      "SELECT *" +
+      "WHERE {\r\n" +
+      "\r\n" +
+      " ?component fdprdf:attributeCount ?attrCount .\r\n" +
+      "  FILTER(?attrCount > 1)\r\n" +
+      "  \r\n" +
+      "  VALUES ( \t?valueType \t\t\t?rdfType \t\t\t?componentProperty ) {\r\n" +
+      "    ( \t   \tfdprdf:organization\torg:Organization\tqb:dimension\t)\r\n" +
+      "    (\t\tfdprdf:location\t\tschema:Location\t\tqb:attribute\t)\r\n" +
+      "    (\t\tfdprdf:unknown\t\tUNDEF\t\t\t\tqb:dimension\t)\r\n" +
+      "    (\t\tfdprdf:fact\t\t\tUNDEF\t\t\t\tqb:componentProperty\t)\r\n" +
+      "  } \r\n" +
+      "  \r\n" +
+      "  ?dsd a qb:DataStructureDefinition;\r\n" +
+      "         qb:component ?component .\r\n" +
+      "  ?component ?componentProperty _dimensionProp_;\r\n" +
+      "             fdprdf:attribute ?attribute ;\r\n" +
+      "             fdprdf:valueType ?valueType .\r\n" +
+      "             \r\n" +
+      "  \r\n" +
+      "  ?attribute fdprdf:sourceColumn ?sourceColumn ;\r\n" +
+      "\t\t\t  fdprdf:sourceFile ?sourceFile;" +
+      "\t\t\t  fdprdf:iskey ?iskey;" +
+      "             fdprdf:valueProperty ?attributeValueProperty .\r\n" +
+      "  FILTER NOT EXISTS {?attribute fdprdf:isHierarchical true .}\r\n" +
+      "                        \r\n" +
+      "  ?dataset a qb:DataSet;  \r\n" +
+      "      \t   qb:structure ?dsd .           \r\n" +
+      "  \r\n" +
+      "}"
+}
