@@ -88,6 +88,102 @@ object EventsStream {
   case class SessionState(count: Long, lastTs: Long)
   case class Session(event_type: String, n_events: Long, closedAtMs: Long)
 
+  case class AsofRow(user_id: Long, ts: java.sql.Timestamp, is_event: Boolean,
+                     event_id: Long, k: Option[Long])
+  case class AsofState(timeline: Seq[(Long, Option[Long])],
+                       pending: Seq[(Long, Long)])
+  case class Attributed(event_id: Long, user_id: Long, tsm: Long,
+                        last_purchase_k: Option[Long])
+
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  /** Stream-STREAM AS-OF attribution — the stateful twin of
+    * [[attributeStream]] for a LIVE timeline: clicks AND purchases both
+    * arrive as streams, and each click gets the `k` of the user's latest
+    * at-or-before purchase (same backward-ASOF contract and tie rule as
+    * [[graft.operators.RelationalQueries.asofJoinBackward]]: greatest
+    * value at equal ts, nulls lowest; a sole latest purchase with null k
+    * attributes null).
+    *
+    * Correctness under out-of-order arrival: a click is only emitted once
+    * the watermark passes its event time — by then every purchase at or
+    * before it has arrived (later ones are beyond-watermark late data by
+    * definition), so the attribution is final and never needs retraction.
+    * Until then the click buffers in keyed state.
+    *
+    * Scale shape: both inputs union into ONE keyed stream (the batch
+    * operator's union+window trick, re-expressed as keyed state), so each
+    * micro-batch pays a single shuffle on user_id. State is
+    * watermark-bounded on both sides: buffered clicks drain as the
+    * watermark advances (event-time timeouts fire even when a key goes
+    * quiet), and the purchase timeline evicts everything older than the
+    * latest at-or-before-watermark entry — per key the state is one
+    * in-flight window of purchases, not history.
+    *
+    * Both inputs must carry an event-time `ts` TIMESTAMP column
+    * ([[attributeStreams]] applies the watermark to the tagged union).
+    */
+  def attributeStreams(clicks: DataFrame, purchases: DataFrame,
+                       lateness: String = "10 minutes"): Dataset[Attributed] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = clicks.sparkSession
+    import spark.implicits._
+    // Watermark EACH side before the union: a single watermark on the
+    // unioned stream would advance with the faster input's max event time
+    // and silently drop the slower stream's rows as late (a click stream
+    // running ahead would discard in-flight purchases). Two watermark
+    // nodes make the global watermark their min, so neither side can
+    // out-run the other.
+    val tagged = clicks.select(col("user_id").cast("long").as("user_id"),
+        col("ts"), lit(true).as("is_event"),
+        col("event_id").cast("long").as("event_id"),
+        lit(null).cast("long").as("k"))
+      .withWatermark("ts", lateness)
+      .unionByName(purchases.select(col("user_id").cast("long").as("user_id"),
+        col("ts"), lit(false).as("is_event"), lit(0L).as("event_id"),
+        col("k").cast("long").as("k"))
+        .withWatermark("ts", lateness))
+      .as[AsofRow]
+    tagged.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, Attributed](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, rows, state: GroupState[AsofState]) =>
+          val prev = state.getOption.getOrElse(AsofState(Nil, Nil))
+          val batch = rows.toSeq
+          val tl = prev.timeline ++
+            batch.filterNot(_.is_event).map(r => (micros(r.ts), r.k))
+          val pending = prev.pending ++
+            batch.filter(_.is_event).map(r => (r.event_id, micros(r.ts)))
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val (ready, rest) = pending.partition(_._2 <= wm)
+          def rank(e: (Long, Option[Long])) = (e._1, e._2.getOrElse(Long.MinValue))
+          val out = ready.sortBy(_._1).map { case (id, ts) =>
+            val cands = tl.filter(_._1 <= ts)
+            val best = if (cands.isEmpty) None else Some(cands.maxBy(rank))
+            Attributed(id, key, ts, best.flatMap(_._2))
+          }
+          // Evict: future clicks have ts > wm, so nothing strictly older
+          // than the best at-or-before-watermark entry can ever win again.
+          val atOrBefore = tl.filter(_._1 <= wm)
+          val kept =
+            if (atOrBefore.isEmpty) tl
+            else atOrBefore.maxBy(rank) +: tl.filter(_._1 > atOrBefore.map(_._1).max)
+          if (rest.isEmpty && kept.isEmpty) {
+            state.remove()
+            out.iterator
+          } else {
+            state.update(AsofState(kept, rest))
+            // Wake when the watermark passes the earliest buffered click,
+            // even if the key sees no more data (clamped a tick past the
+            // current watermark — Spark rejects timeouts at-or-before it).
+            if (rest.nonEmpty) state.setTimeoutTimestamp(
+              (rest.map(_._2).min / 1000L).max(state.getCurrentWatermarkMs() + 1L))
+            out.iterator
+          }
+      }
+  }
+
   /** Gap-based sessionization via keyed state
     * (KeyValueGroupedDataset.flatMapGroupsWithState): a session per
     * event_type closes after `gapMs` of event-time silence. EVENT-time

@@ -220,6 +220,70 @@ class MediaStreamSpec extends SparkSpec {
       4L -> None), s"got $out")
   }
 
+  test("streaming: stream-STREAM as-of attribution matches asofJoinBackward") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000) // whole-ms fixture
+    // Clicks and purchases BOTH stream, out of order across triggers: a
+    // purchase for user 10 arrives in trigger 2 with an event time BEFORE
+    // click 2 — the click must wait for the watermark and then attribute
+    // to it (no retraction needed, no wrong early emit).
+    val clickMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchMem = MemoryStream[(Long, java.sql.Timestamp, Option[Long])]
+    val clicks = clickMem.toDF().toDF("event_id", "user_id", "ts")
+    val purchases = purchMem.toDF().toDF("user_id", "ts", "k")
+    val q = EventsStream.attributeStreams(clicks, purchases, "5 seconds")
+      .writeStream.format("memory").queryName("ss_attrib")
+      .outputMode("append").start()
+    val M = 1000000L // µs per second
+    clickMem.addData((1L, 10L, ts(10 * M)), (2L, 10L, ts(40 * M)),
+      (3L, 77L, ts(15 * M)))
+    purchMem.addData((10L, ts(5 * M), Some(7L)))
+    q.processAllAvailable()
+    // Trigger 2: late-ish purchase (ts 30s < click 2's 40s) plus a
+    // same-ts duplicate pair at 30s for the tie rule, then sentinels far
+    // in the future to push the watermark past every click.
+    purchMem.addData((10L, ts(30 * M), Some(9L)), (10L, ts(30 * M), None))
+    q.processAllAvailable()
+    clickMem.addData((99L, 999L, ts(500 * M)))
+    purchMem.addData((999L, ts(500 * M), Some(1L)))
+    q.processAllAvailable()
+    clickMem.addData((98L, 999L, ts(600 * M)))
+    purchMem.addData((999L, ts(600 * M), Some(1L)))
+    q.processAllAvailable()
+    clickMem.addData((97L, 999L, ts(700 * M)))
+    purchMem.addData((999L, ts(700 * M), Some(1L)))
+    q.processAllAvailable()
+    val got = spark.table("ss_attrib")
+      .select(col("event_id"), col("last_purchase_k")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    q.stop()
+    // click 1: only purchase at 5s -> 7; click 2: tie at 30s -> greatest
+    // (9, the null loses); click 3: user 77 has no purchases -> null.
+    assert(got(1L) == Some(7L) && got(2L) == Some(9L) && got(3L) == None,
+      s"got $got")
+    // Equality with the batch operator on the identical finite input.
+    val clicksB = Seq((1L, 10L, 10 * M), (2L, 10L, 40 * M), (3L, 77L, 15 * M),
+      (99L, 999L, 500 * M), (98L, 999L, 600 * M))
+      .toDF("event_id", "user_id", "tsm")
+    val purchB = Seq((10L, 5 * M, Some(7L)), (10L, 30 * M, Some(9L)),
+      (10L, 30 * M, None), (999L, 500 * M, Some(1L)),
+      (999L, 600 * M, Some(1L)))
+      .toDF("user_id", "tsm", "k")
+    val batch = graft.operators.RelationalQueries.asofJoinBackward(
+        clicksB, purchB, "user_id", "tsm", "k", "last_purchase_k")
+      .select(col("event_id"), col("last_purchase_k")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // The stream emits every click whose event time the watermark passed;
+    // compare exactly those (the final sentinel click 97 stays buffered).
+    got.foreach { case (id, v) =>
+      assert(batch(id) == v, s"stream/batch diverge on click $id: " +
+        s"stream=$v batch=${batch(id)}")
+    }
+    assert(got.keySet == Set(1L, 2L, 3L, 98L, 99L),
+      s"emitted set ${got.keySet}")
+  }
+
   test("streaming: fingerprint dedup drops duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
