@@ -128,12 +128,13 @@ object ScaleProbe {
     // gap runs, so shifting user ids multiplies the user population and
     // every session statistic scales exactly linearly (timestamps are
     // untouched; within-user gap structure is the original's).
+    def eventsReplica = spark.read.parquet(s"$sf01/events.parquet")
+      .crossJoin(reps)
+      .withColumn("user_id", col("user_id") + col("_rep") * 100000000L)
+      .withColumn("event_id", col("event_id") + col("_rep") * 1000000000L)
+      .drop("_rep")
     if (fresh("events")) {
-      spark.read.parquet(s"$sf01/events.parquet").crossJoin(reps)
-        .withColumn("user_id", col("user_id") + col("_rep") * 100000000L)
-        .withColumn("event_id", col("event_id") + col("_rep") * 1000000000L)
-        .drop("_rep")
-        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+      eventsReplica.write.mode("overwrite").parquet(s"$outDir/events.parquet")
     }
 
     // Embeddings replica: per-replica SIGN-FLIP isometry (dimension j
@@ -169,6 +170,41 @@ object ScaleProbe {
       SparkEntry.queries(q)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       println(f"PROBE $q $scale ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    // Zipf/hot-key probe for the per-key window family (q48/q99 session
+    // windows, q106/q107/q108 as-of forms): the uniform user-shift
+    // replica above says nothing about a power-law reality where one
+    // user owns a constant fraction of all events — a per-user window
+    // then has ONE partition carrying that fraction, and wall time is
+    // bounded below by that straggler regardless of cluster size. This
+    // probe builds a same-volume skewed twin (every 10th event collapses
+    // onto user 0 → the hot key holds 10% of the corpus at any scale)
+    // and times the family on uniform-vs-zipf so SCALE.md records the
+    // failure shape, not a guess. Select with a `skew` filter arg.
+    if (nameFilter.isEmpty || nameFilter.exists(_.contains("skew"))) {
+      val skewDir = s"$outDir/skew"
+      if (!reuse || !new java.io.File(s"$skewDir/events.parquet").exists()) {
+        eventsReplica
+          .withColumn("user_id",
+            when(col("event_id") % 10 === 0, lit(0L)).otherwise(col("user_id")))
+          .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
+        if (!new java.io.File(s"$outDir/events.parquet").exists())
+          eventsReplica.write.mode("overwrite")
+            .parquet(s"$outDir/events.parquet")
+      }
+      val skewProbes = Seq("q48_sessionize_batch", "q99_session_spectrum",
+        "q106_asof_join", "q107_asof_timeline", "q108_asof_timeline_shuffle")
+      skewProbes.foreach(q => SparkEntry.queries(q)(spark, sf01)
+        .write.format("noop").mode("overwrite").save()) // codegen warmup
+      for (q <- skewProbes;
+           (scale, dir) <- Seq(s"$label-uniform" -> outDir,
+             s"$label-zipf10pct" -> skewDir)) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"PROBE $q $scale ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
 
     // q60 flagship probe — needs its own GATE-PRESERVING replica: the

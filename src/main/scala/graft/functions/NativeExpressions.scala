@@ -322,6 +322,85 @@ object NativeExpressions {
     override def prettyName: String = "graft_dot"
   }
 
+  /** Backward-ASOF probe kernel: index of the LAST entry of a
+    * (_t, _v)-sorted struct array with _t <= ts, by binary search —
+    * O(log n) per probe where the `filter(...) + element_at(-1)` HOF
+    * form is O(n). On a power-law key whose packed timeline holds a
+    * constant fraction of the corpus, that difference is the whole
+    * operator: the ScaleProbe zipf run measured the HOF form 16-19×
+    * slower than uniform at 10× scale, quadratic in the hot key.
+    * Because the array is sorted by (_t, _v) with null _v lowest, the
+    * last entry of an equal-_t run is the greatest value — the same tie
+    * rule the HOF form and asofJoinBackward implement.
+    */
+  def asofProbeIdx(tl: ArrayData, ts: Long): Int = {
+    var lo = 0
+    var hi = tl.numElements() - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (tl.getStruct(mid, 2).getLong(0) <= ts) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    ans
+  }
+
+  /** Codegen'd binary-search ASOF probe over a packed
+    * array<struct<_t: bigint, _v: T>> timeline (any value type T).
+    * Returns the _v of the latest at-or-before entry; null when no entry
+    * qualifies or the matched value is null.
+    */
+  case class AsofProbeExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    private def valueType: DataType = left.dataType match {
+      case ArrayType(s: org.apache.spark.sql.types.StructType, _)
+        if s.length == 2 => s.fields(1).dataType
+      case _ => org.apache.spark.sql.types.NullType
+    }
+    override def dataType: DataType = valueType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      left.dataType match {
+        case ArrayType(s: org.apache.spark.sql.types.StructType, _)
+          if s.length == 2 && s.fields.head.dataType == LongType &&
+            right.dataType == LongType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case _ =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires (array<struct<bigint, T>>, bigint), got " +
+              s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+      }
+    override def nullSafeEval(tlAny: Any, tsAny: Any): Any = {
+      val tl = tlAny.asInstanceOf[ArrayData]
+      val idx = asofProbeIdx(tl, tsAny.asInstanceOf[Long])
+      if (idx < 0) null
+      else {
+        val row = tl.getStruct(idx, 2)
+        if (row.isNullAt(1)) null else row.get(1, valueType)
+      }
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (tl, ts) => {
+        val idx = ctx.freshName("asofIdx")
+        val row = ctx.freshName("asofRow")
+        val getV = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+          .getValue(row, valueType, "1")
+        s"""
+           |int $idx = graft.functions.NativeExpressions.asofProbeIdx($tl, $ts);
+           |if ($idx < 0) { ${ev.isNull} = true; }
+           |else {
+           |  org.apache.spark.sql.catalyst.InternalRow $row = $tl.getStruct($idx, 2);
+           |  if ($row.isNullAt(1)) { ${ev.isNull} = true; }
+           |  else { ${ev.value} = $getV; }
+           |}
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "asof_probe"
+  }
+
   /** The (name, builder) table shared by [[register]] (imperative, on an
     * existing session) and [[inject]] (SparkSessionExtensions, for
     * `spark.sql.extensions`-configured deployments).
@@ -334,6 +413,9 @@ object NativeExpressions {
     // DotProductExpr reads int/bigint/float/double arrays natively, so
     // wrapping a Cast would only add an array copy to the hot paths.
     "graft_dot" -> (args => DotProductExpr(args(0), args(1))),
+    // No Cast wrapper: the analyzer-visible type check rejects anything
+    // but (array<struct<bigint,T>>, bigint) with a clear message.
+    "asof_probe" -> (args => AsofProbeExpr(args(0), args(1))),
     "parse_num_prefix" -> (args => ParseNumPrefixExpr(Cast(args.head, StringType))),
     "url_encode" -> (args => UrlEncodeExpr(Cast(args.head, StringType))),
     "date_iri" -> (args => DateIriExpr(Cast(args.head, StringType))),

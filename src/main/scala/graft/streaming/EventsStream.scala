@@ -67,7 +67,10 @@ object EventsStream {
                       keyCol: String, tsCol: String, valCol: String,
                       outCol: String,
                       broadcastTimeline: Option[Boolean] = None): DataFrame = {
-    val packed = timeline
+    import org.apache.spark.sql.types.LongType
+    // A null-ts timeline row can never be "at or before" anything —
+    // dropped at packing so both probe forms agree.
+    val packed = timeline.filter(col(tsCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(array_sort(collect_list(struct(col(tsCol).as("_t"),
         col(valCol).as("_v")))).as("_tl"))
@@ -76,12 +79,27 @@ object EventsStream {
       case Some(false) => packed.hint("merge")
       case None        => packed
     }
-    events.join(right, Seq(keyCol), "left")
-      .withColumn(outCol,
-        try_element_at(
-          filter(col("_tl"), p => p.getField("_t") <= col(tsCol)),
-          lit(-1)).getField("_v"))
-      .drop("_tl")
+    val joined = events.join(right, Seq(keyCol), "left")
+    // Long timestamps take the codegen'd BINARY-SEARCH probe: O(log n)
+    // per event where the filter+element_at HOF form is O(n) — on a
+    // power-law key whose timeline holds a constant fraction of the
+    // corpus this is the difference between linear and quadratic (the
+    // ScaleProbe zipf run measured 16-19× at 10% hot-key skew). Other
+    // orderable ts types (timestamps, dates) keep the generic HOF form.
+    val longTs = Seq(timeline.schema(tsCol).dataType,
+      events.schema(tsCol).dataType).forall(_ == LongType)
+    if (longTs) {
+      graft.functions.NativeExpressions.register(events.sparkSession)
+      joined.withColumn(outCol,
+          call_function("asof_probe", col("_tl"), col(tsCol)))
+        .drop("_tl")
+    } else {
+      joined.withColumn(outCol,
+          try_element_at(
+            filter(col("_tl"), p => p.getField("_t") <= col(tsCol)),
+            lit(-1)).getField("_v"))
+        .drop("_tl")
+    }
   }
 
   case class Event(ts: java.sql.Timestamp, event_type: String, value: Double)

@@ -115,6 +115,39 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(!mixed.queryExecution.analyzed.toString.contains("cast("))
   }
 
+  test("native asof_probe matches the filter+element_at HOF form") {
+    NativeExpressions.register(spark)
+    import spark.implicits._
+    // Random timelines with heavy (t, v) collisions + null values, sorted
+    // exactly as attributeStream packs them (array_sort over the struct,
+    // null _v lowest within a tie); probe ts drawn to land before, on,
+    // between, and after entries.
+    val entryGen = for {
+      t <- Gen.chooseNum(0L, 12L)
+      v <- Gen.option(Gen.chooseNum(1L, 9L))
+    } yield (t, v)
+    val caseGen = for {
+      n <- Gen.chooseNum(0, 8)
+      es <- Gen.listOfN(n, entryGen)
+      ts <- Gen.chooseNum(-1L, 13L)
+    } yield (es, ts)
+    val cases = Gen.listOfN(300, caseGen)
+      .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(6L))
+    val df = cases.toDF("entries", "ts")
+      .select(array_sort(transform(col("entries"),
+        e => struct(e.getField("_1").as("_t"), e.getField("_2").as("_v"))))
+        .as("_tl"), col("ts"))
+    val out = df.select(
+        call_function("asof_probe", col("_tl"), col("ts")).as("native"),
+        try_element_at(filter(col("_tl"), p => p.getField("_t") <= col("ts")),
+          lit(-1)).getField("_v").as("viaHof"))
+      .collect()
+    cases.zip(out).foreach { case ((es, ts), r) =>
+      assert(Option(r.get(0)) == Option(r.get(1)),
+        s"probe mismatch on entries=$es ts=$ts: $r")
+    }
+  }
+
   test("GraftExtensions injects every native function at session build") {
     // A fresh session configured via spark.sql.extensions needs no
     // imperative register() call — the cluster-deployment path. The
