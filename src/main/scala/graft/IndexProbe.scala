@@ -92,6 +92,16 @@ object IndexProbe {
     time("naive_full_resign_one_batch")(
       Dedup.minhashNearDups(docs.unionByName(bt), "doc_id", "text").count())
 
+    // Dashboard form: corpus-self near-dup pairs FROM the index alone
+    // (indexNearDups — zero corpus scan, bucket-local band self-join)
+    // vs re-deriving the whole chain, the q60/q100 per-run cost.
+    val nIdx = time("dashboard_pairs_from_index")(
+      Dedup.indexNearDups(spark, "p1").count())
+    val nFull = time("dashboard_pairs_rederived")(
+      Dedup.minhashNearDups(docs, "doc_id", "text").count())
+    println(s"PROBE dashboard_pair_parity index=$nIdx rederived=$nFull " +
+      (if (nIdx == nFull) "OK" else "MISMATCH"))
+
     // Plan shape at sf1: candidate join = ONE batch-side exchange on the
     // index's bucketed (_band, _bh) key, index scanned in place (broadcast
     // disabled to surface the layout the bucketing exists for).

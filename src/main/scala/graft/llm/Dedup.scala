@@ -240,17 +240,24 @@ object Dedup {
     // actually small, and degrades gracefully (one keyed shuffle, still
     // strictly cheaper than the unpruned double join) when a dup-heavy
     // corpus makes it large.
+    verifyCandidates(hs, candidates, threshold)
+  }
+
+  /** Exact-Jaccard verify of a candidate (d1, d2) pair set against a
+    * hashed-shingle table — the shared tail of [[minhashNearDups]] and
+    * [[indexNearDups]]. |A∩B| is a count over the shingle-equality join
+    * restricted to candidate pairs, |A|/|B| ride along as the _sz column
+    * every shingle row already carries — same integers as an
+    * array_intersect over shingle arrays, but candidate-limited rows
+    * instead of full arrays per pair, and no separate size aggregation
+    * (a zero-overlap candidate drops out of the inner join, which a
+    * positive threshold filters anyway).
+    */
+  private def verifyCandidates(hs: DataFrame, candidates: DataFrame,
+                               threshold: Double): DataFrame = {
     val candDocs = candidates.select(col("d1").as("_id"))
       .unionByName(candidates.select(col("d2").as("_id"))).distinct()
     val hsCand = hs.join(candDocs, Seq("_id"), "left_semi")
-    // Relational exact-Jaccard verify: |A∩B| is a count over the
-    // shingle-equality join restricted to candidate pairs, |A|/|B| ride
-    // along as the _sz column every shingle row already carries — same
-    // integers as an array_intersect over shingle arrays, but
-    // candidate-limited rows instead of full arrays per pair, and no
-    // separate size aggregation or size joins (a zero-overlap candidate
-    // drops out of the inner join, which a positive threshold filters
-    // anyway).
     candidates
       .join(hsCand.select(col("_id").as("d1"), col("_x1"), col("_x2"),
         col("_sz").as("_sz1")), Seq("d1"))
@@ -262,6 +269,45 @@ object Dedup {
         (col("_ni").cast("double") /
           (col("_sz1") + col("_sz2") - col("_ni"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Near-duplicate pairs of the INDEXED corpus, computed from the stored
+    * index tables alone ([[writeDedupIndex]]) — the dashboard form of
+    * [[minhashNearDups]]. A q60/q100-style report re-derives the full
+    * shingle→sign→band→verify chain over the corpus on every run; with
+    * the index in place the identical (d1, d2, jaccard) relation costs:
+    *
+    *  - a BUCKET-LOCAL band self-join: `<prefix>_bands` is bucketed on
+    *    exactly the join key (_band, _bh), so the self-join plans with
+    *    ZERO exchanges — both sides read in place (asserted in LlmSpec);
+    *  - the candidate-pruned shingle verify, shuffling only the tiny
+    *    pair set against the bucketed shingle table.
+    *
+    * The corpus text is never read and nothing is re-signed — at 100 TB
+    * that is the difference between a dashboard query and a full corpus
+    * re-shuffle. Same recall, tie, and `maxBucketSize` semantics as
+    * [[minhashNearDups]] (the index stores the same bands and sketches).
+    */
+  def indexNearDups(spark: SparkSession, prefix: String,
+                    threshold: Double = 0.8,
+                    maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val bandedAll = spark.table(s"${prefix}_bands")
+    val banded =
+      if (maxBucketSize == Int.MaxValue) bandedAll
+      else bandedAll
+        .withColumn("_bn", count(lit(1))
+          .over(Window.partitionBy(col("_band"), col("_bh"))))
+        .filter(col("_bn") <= maxBucketSize)
+        .drop("_bn")
+    val candidates = banded.as("l")
+      .join(banded.as("r"),
+        col("l._band") === col("r._band") && col("l._bh") === col("r._bh") &&
+          col("l._id") < col("r._id"))
+      .select(col("l._id").as("d1"), col("r._id").as("d2"))
+      .distinct()
+      // The pair set feeds three verify consumers; materialize it once.
+      .localCheckpoint(true)
+    verifyCandidates(spark.table(s"${prefix}_shingles"), candidates, threshold)
   }
 
   /** Persist a corpus dedup index as two BUCKETED managed tables:

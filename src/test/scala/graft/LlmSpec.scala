@@ -282,6 +282,52 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("dedup index: corpus-self near-dups from the index alone match " +
+    "minhashNearDups; band self-join is bucket-local") {
+    import spark.implicits._
+    val base = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    // Plant near-dup structure: one-token-appended copies of every 10th
+    // doc, so the pair set is non-trivial on both paths.
+    val docs = base.unionByName(base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 5000000).as("doc_id"),
+        concat(col("text"), lit(" tailtok")).as("text")))
+    try {
+      Dedup.writeDedupIndex(docs, "doc_id", "text", "ridx")
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+          math.round(r.getAs[Double]("jaccard") * 1e9))).toSet
+      val fromIndex = pairs(Dedup.indexNearDups(spark, "ridx"))
+      val direct = pairs(Dedup.minhashNearDups(docs, "doc_id", "text"))
+      assert(fromIndex == direct,
+        s"index/direct diverge: only-index=${fromIndex -- direct} " +
+          s"only-direct=${direct -- fromIndex}")
+      assert(fromIndex.nonEmpty, "planted near-dups not found")
+      // Scale shape: the band self-join reads the bucketed table in place
+      // on BOTH sides — zero band-key exchanges in the plan (this is what
+      // makes the dashboard form a no-reshuffle query at 100 TB). AQE
+      // would broadcast the tiny test index; disable to surface the plan
+      // this layout exists for.
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val b = spark.table("ridx_bands")
+        val plan = b.as("l").join(b.as("r"),
+            col("l._band") === col("r._band") &&
+              col("l._bh") === col("r._bh") && col("l._id") < col("r._id"))
+          .queryExecution.executedPlan.toString
+        val exchanges = "hashpartitioning\\(_band".r.findAllIn(plan).length
+        assert(exchanges == 0,
+          s"band self-join should be bucket-local, got $exchanges exchanges:\n$plan")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ridx_bands")
+      spark.sql("DROP TABLE IF EXISTS ridx_shingles")
+    }
+  }
+
   test("decontamination: bench broadcast, corpus unshuffled before the join") {
     val df = LlmQueries.queries("q57_decontaminate")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
