@@ -300,6 +300,19 @@ class SparqlParserSpec extends SparkSpec {
     assert(m == Map("urn:f/comp1" -> 2L, "urn:f/comp3" -> 2L))
   }
 
+  test("DISTINCT and LIMIT parse and apply (L1's LIMIT-1 shape)") {
+    val geo = G.geo(spark, sf)
+    val limited = Sparql.select(geo,
+      "SELECT DISTINCT ?s WHERE { ?s <urn:p/name> ?name } LIMIT 3")
+    assert(limited.columns.toSeq == Seq("s"))
+    assert(limited.count() == 3)
+    // LIMIT-1 single-value lookup via the scalar contract.
+    val one = Sparql.select(geo,
+      "SELECT ?name WHERE { <urn:g/region/1> <urn:p/name> ?name " +
+        "FILTER(LANGMATCHES(LANG(?name), \"en-US\")) } LIMIT 1")
+    assert(one.collect().map(_.getString(0)).toSeq.length == 1)
+  }
+
   test("unsubstituted template placeholders are rejected with guidance") {
     val e = intercept[Exception] {
       Sparql.parse("SELECT * WHERE { ?c ?p _dimensionProp_ . }")
