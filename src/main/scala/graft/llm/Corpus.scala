@@ -363,6 +363,40 @@ object Corpus {
           .as("share_ppm"))
   }
 
+  /** Deterministic training-order enumeration: every row gets its
+    * 0-based position in a seeded pseudo-random total order (md5 draw,
+    * id tie-break) — the global shuffle every training run needs, with
+    * epoch reshuffles as different seeds, reproducible across engines
+    * and cluster layouts.
+    *
+    * Scale shape: the naive `row_number() OVER (ORDER BY hash)` is a
+    * SINGLE-PARTITION window — the canonical global-sort scale-killer.
+    * This is the two-phase distributed enumeration instead: the order
+    * partitions into 256 hash-prefix buckets (the prefix order IS the
+    * hash order); per-bucket counts (one tiny aggregate) turn into
+    * exclusive prefix offsets via a 256-row window; final positions are
+    * offset + within-bucket rank, where the rank window partitions BY
+    * BUCKET — 256-way parallel, one corpus shuffle, no task ever holds
+    * more than ~1/256 of the order.
+    */
+  def trainOrder(docs: DataFrame, idCol: String,
+                 seed: String = "ep0"): DataFrame = {
+    val bucketed = docs
+      .withColumn("_h", md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
+      .withColumn("_bk", substring(col("_h"), 1, 2))
+    val prefix = bucketed.groupBy(col("_bk"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(
+        sum(col("_n")).over(Window.orderBy(col("_bk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_bk"), col("_off"))
+    val rk = row_number().over(
+      Window.partitionBy(col("_bk")).orderBy(col("_h"), col(idCol)))
+    bucketed.join(broadcast(prefix), Seq("_bk"))
+      .withColumn("position", (col("_off") + rk - 1L).cast("long"))
+      .select(col(idCol), col("position"))
+  }
+
   /** Deterministic fixed-size per-stratum sample — the bottom-k-by-hash
     * (KMV) device: keep the `k` rows with the smallest md5 draw within
     * each stratum, id tie-break. Where [[stratifiedSample]] fixes the

@@ -751,6 +751,15 @@ object LlmQueries {
           .select(col("doc_id"), col("lang")), "doc_id", "lang", k = 20)
     },
 
+    // Deterministic training-order enumeration: 0-based position in a
+    // seeded md5 total order via the two-phase bucket device (a global
+    // row_number window would be single-partition — the scale-killer
+    // this operator exists to avoid).
+    "q114_train_order" -> { (s, dir) =>
+      Corpus.trainOrder(t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", seed = "ep0")
+    },
+
     // Corpus health report: the one-query dashboard a curation run
     // prints first — corpus size, gate survival, token volume, exact-dup
     // mass, near-dup pair count — long-form (metric, value), all BIGINT.
@@ -1997,6 +2006,14 @@ object LlmQueries {
         |      ORDER BY draw ASC, doc_id ASC) AS pick_rank
         |  FROM d)
         |WHERE pick_rank <= 20""".stripMargin,
+    // q114: the same seeded md5 total order as one flat window — what
+    // the two-phase Spark form must reproduce position-for-position.
+    "q114_train_order" ->
+      """SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (
+        |    ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |    AS BIGINT) AS position
+        |FROM documents""".stripMargin,
     // q100: six headline integers from the existing oracle fragments.
     "q100_corpus_report" ->
       """WITH toks AS (

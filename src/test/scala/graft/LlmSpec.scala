@@ -328,6 +328,27 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("train order: exact permutation, seed reshuffle, bucket-keyed window") {
+    import graft.llm.Corpus
+    val docs = graft.Tables.t(spark, sf, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val ord = Corpus.trainOrder(docs, "doc_id")
+    val pos = ord.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Positions are exactly the permutation 0..n-1, no gaps, no dups.
+    assert(pos.values.toSet == (0L until n).toSet,
+      s"positions are not a 0..${n - 1} permutation")
+    // A different seed is a different epoch order.
+    val pos2 = Corpus.trainOrder(docs, "doc_id", "ep1").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pos != pos2, "epoch seeds produced the identical order")
+    // Scale shape: the corpus-side rank window is keyed by the hash
+    // bucket (256-way parallel), never a global single-partition window
+    // over the corpus.
+    val plan = ord.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(_bk".r.findFirstIn(plan).isDefined,
+      s"rank window not partitioned by bucket:\n$plan")
+  }
+
   test("decontamination: bench broadcast, corpus unshuffled before the join") {
     val df = LlmQueries.queries("q57_decontaminate")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
