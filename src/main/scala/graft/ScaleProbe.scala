@@ -67,7 +67,8 @@ object ScaleProbe {
       "q95_dup_depth_spectrum", "q96_langid_confusion",
       "q97_gate_ablation", "q98_packing_efficiency",
       "q99_session_spectrum", "q100_corpus_report",
-      "q101_bottomk_sample", "q102_rollup", "q103_json_props",
+      "q101_bottomk_sample", "q114_train_order",
+      "q102_rollup", "q103_json_props",
       "q104_moving_window", "q105_token_shares", "q106_asof_join",
       "q107_asof_timeline")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))

@@ -372,18 +372,24 @@ object Corpus {
     * Scale shape: the naive `row_number() OVER (ORDER BY hash)` is a
     * SINGLE-PARTITION window — the canonical global-sort scale-killer.
     * This is the two-phase distributed enumeration instead: the order
-    * partitions into 256 hash-prefix buckets (the prefix order IS the
-    * hash order); per-bucket counts (one tiny aggregate) turn into
-    * exclusive prefix offsets via a 256-row window; final positions are
-    * offset + within-bucket rank, where the rank window partitions BY
-    * BUCKET — 256-way parallel, one corpus shuffle, no task ever holds
-    * more than ~1/256 of the order.
+    * partitions into 16^bucketChars hash-prefix buckets (the prefix
+    * order IS the hash order); per-bucket counts (one tiny aggregate)
+    * turn into exclusive prefix offsets via a small window; final
+    * positions are offset + within-bucket rank, where the rank window
+    * partitions BY BUCKET — bucket-parallel, one corpus shuffle, no
+    * task ever holds more than ~1/16^bucketChars of the order.
+    *
+    * Size `bucketChars` so one bucket's rows fit a task comfortably:
+    * the default 2 (256 buckets) carries ~4M rows/bucket per 10⁹ docs;
+    * at 10¹¹ ids pass 3-4 (4096/65536 buckets). The prefix table stays
+    * driver-tiny either way.
     */
   def trainOrder(docs: DataFrame, idCol: String,
-                 seed: String = "ep0"): DataFrame = {
+                 seed: String = "ep0", bucketChars: Int = 2): DataFrame = {
+    require(bucketChars >= 1 && bucketChars <= 8, "bucketChars in [1, 8]")
     val bucketed = docs
       .withColumn("_h", md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
-      .withColumn("_bk", substring(col("_h"), 1, 2))
+      .withColumn("_bk", substring(col("_h"), 1, bucketChars))
     val prefix = bucketed.groupBy(col("_bk"))
       .agg(count(lit(1)).as("_n"))
       .withColumn("_off", coalesce(
