@@ -170,7 +170,7 @@ object Sparql {
           out += TWord(word); i = j
         }
       }
-      else if ("{}();,.*=/".contains(c)) { out += TPunct(c.toString); i += 1 }
+      else if ("{}();,.*=/[]".contains(c)) { out += TPunct(c.toString); i += 1 }
       else sys.error(s"unexpected character '$c' at offset $i")
     }
     out.result()
@@ -349,14 +349,19 @@ object Sparql {
       */
     private def parseTriplesSameSubject(): Seq[Pattern] = {
       val subj = parseTerm()
+      parsePredObjList(subj)
+    }
+
+    private def parsePredObjList(subj: Term): Seq[Pattern] = {
       val out = Seq.newBuilder[Pattern]
       var more = true
       while (more) {
         val verb = parseVerb()
         var moreObj = true
         while (moreObj) {
-          val obj = parseTerm()
+          val (obj, extra) = parseObjectTerm()
           out ++= expandPath(subj, verb, obj)
+          out ++= extra
           moreObj = tryPunct(",")
         }
         // `;` continues the predicate list; a stray `; }` / `; .` is
@@ -365,6 +370,27 @@ object Sparql {
           !peek.contains(TPunct("}")) && !peek.contains(TPunct("."))
       }
       out.result()
+    }
+
+    /** Object position, including blank-node forms: `[]` is a fresh
+      * anonymous variable (matches any object —
+      * HierarchicalDimension.java:59 `fdprdf:labelfor []`), and
+      * `[ predObjList ]` binds the fresh variable as the subject of the
+      * bracketed patterns (`fdprdf:parentAttribute [ fdprdf:name ?n ]`,
+      * HierarchicalDimension.java:58).
+      */
+    private def parseObjectTerm(): (Term, Seq[Pattern]) = peek match {
+      case Some(TPunct("[")) =>
+        next()
+        fresh += 1
+        val b = V(s"_bn_$fresh")
+        if (tryPunct("]")) (b, Nil)
+        else {
+          val inner = parsePredObjList(b)
+          eatPunct("]")
+          (b, inner)
+        }
+      case _ => (parseTerm(), Nil)
     }
 
     private def expandPath(s: Term, v: Verb, o: Term): Seq[Pattern] = v match {

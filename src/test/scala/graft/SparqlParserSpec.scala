@@ -127,6 +127,18 @@ class SparqlParserSpec extends SparkSpec {
       ("urn:f/attr3", F + "valueProperty", "urn:f/vp3"),
       ("urn:f/attr4", F + "source", "urn:f/sp4"),
       ("urn:f/attr4", F + "valueProperty", "urn:f/vp4"),
+      // Hierarchical attribute chain for HierarchicalDimension's query:
+      // attr5 -> parent attr6; attr7 is a LABEL (labelfor) and must be
+      // excluded by its NOT EXISTS. All three are isHierarchical, so the
+      // SkosDimension subselect (non-hierarchical count) ignores them.
+      ("urn:f/comp3", F + "attribute", "urn:f/attr5"),
+      ("urn:f/comp3", F + "attribute", "urn:f/attr6"),
+      ("urn:f/comp3", F + "attribute", "urn:f/attr7"),
+      ("urn:f/attr5", F + "valueProperty", "urn:f/vp5"),
+      ("urn:f/attr6", F + "valueProperty", "urn:f/vp6"),
+      ("urn:f/attr7", F + "valueProperty", "urn:f/vp7"),
+      ("urn:f/attr5", F + "parentAttribute", "urn:f/attr6"),
+      ("urn:f/attr7", F + "labelfor", "urn:f/attr5"),
       ("urn:f/ds1", T, QB + "DataSet"),
       ("urn:f/ds1", QB + "structure", "urn:f/dsd1"),
       ("urn:f/dimProp3", F + "name", null) // replaced below (literal)
@@ -146,7 +158,22 @@ class SparqlParserSpec extends SparkSpec {
       ("urn:f/attr2", F + "isHierarchical", "true"),
       ("urn:f/ds1", F + "datasetShortName", "pkg"),
       ("urn:f/m1", F + "name", "Amount"),
-      ("urn:f/dimProp3", F + "name", "Dim3")
+      ("urn:f/dimProp3", F + "name", "Dim3"),
+      ("urn:f/attr5", F + "sourceColumn", "c5"),
+      ("urn:f/attr5", F + "sourceFile", "budget.csv"),
+      ("urn:f/attr5", F + "iskey", "false"),
+      ("urn:f/attr5", F + "name", "A5"),
+      ("urn:f/attr5", F + "isHierarchical", "true"),
+      ("urn:f/attr6", F + "sourceColumn", "c6"),
+      ("urn:f/attr6", F + "sourceFile", "budget.csv"),
+      ("urn:f/attr6", F + "iskey", "true"),
+      ("urn:f/attr6", F + "name", "A6"),
+      ("urn:f/attr6", F + "isHierarchical", "true"),
+      ("urn:f/attr7", F + "sourceColumn", "c7"),
+      ("urn:f/attr7", F + "sourceFile", "budget.csv"),
+      ("urn:f/attr7", F + "iskey", "false"),
+      ("urn:f/attr7", F + "name", "A7"),
+      ("urn:f/attr7", F + "isHierarchical", "true")
     ).map { case (s, p, o) => (s, p, o, false, null: String, null: String) }
     (iri ++ lits).toDF("s", "p", "o", "oIsIri", "oLang", "oDatatype")
   }
@@ -290,6 +317,44 @@ class SparqlParserSpec extends SparkSpec {
       Set(Seq("urn:f/dimProp3", "Dim3", "pkg", "urn:f/ds1")))
   }
 
+  test("HierarchicalDimension.attributeQuery parses: blank-node property " +
+    "list in OPTIONAL, anonymous [] in NOT EXISTS") {
+    // Verbatim string (HierarchicalDimension.java:41-60), placeholder
+    // substituted like the reference's Mapper does.
+    val q = ("PREFIX qb: <http://purl.org/linked-data/cube#>\n" +
+      "PREFIX fdprdf: <http://data.openbudgets.eu/fdptordf#>\n" +
+      "\n" +
+      "SELECT *\n" +
+      "WHERE {\n" +
+      "  ?component qb:dimension _dimensionProp_;\n" +
+      "             fdprdf:attribute ?attribute ;\n" +
+      "             fdprdf:valueType fdprdf:skos .             \n" +
+      "  \n" +
+      "  ?attribute fdprdf:sourceColumn ?sourceColumn ;\n" +
+      "\t\t\t fdprdf:sourceFile ?sourceFile;\n" +
+      "\t\t\t fdprdf:iskey ?iskey;\n" +
+      "             fdprdf:valueProperty ?attributeValueProperty;\n" +
+      "             fdprdf:name ?attributeName ;\n" +
+      "             fdprdf:isHierarchical true.\n" +
+      "  \n" +
+      "OPTIONAL {?attribute fdprdf:parentAttribute [ fdprdf:name ?parentName ] .}" +
+      "  FILTER NOT EXISTS {?attribute fdprdf:labelfor [] .}\n" +
+      "}").replace("_dimensionProp_", "<urn:f/dimProp3>")
+    val out = Sparql.select(fdp, q)
+    val rows = out.collect().map(r =>
+      r.getValuesMap[Any](out.columns.toIndexedSeq)).sortBy(
+      _("attribute").asInstanceOf[String])
+    // attr5 (parent A6) and attr6 (no parent) survive; attr7 is a label
+    // and the NOT EXISTS [] drops it.
+    assert(rows.map(_("attribute")).toSeq ==
+      Seq("urn:f/attr5", "urn:f/attr6"), s"got ${rows.toSeq}")
+    assert(rows(0)("parentName") == "A6")
+    assert(rows(1)("parentName") == null)
+    assert(rows(0)("sourceColumn") == "c5" && rows(1)("iskey") == "true")
+    // The blank-node helper variables never leak into SELECT *.
+    assert(!out.columns.exists(_.startsWith("_")), out.columns.mkString(","))
+  }
+
   test("COUNT(DISTINCT ?v) parses (MultiAttributeDimension.java:94)") {
     val out = Sparql.select(fdp,
       "PREFIX fdprdf: <http://data.openbudgets.eu/fdptordf#>\n" +
@@ -297,7 +362,8 @@ class SparqlParserSpec extends SparkSpec {
         "  ?component fdprdf:attribute ?attribute .\n" +
         "} GROUP BY ?component")
     val m = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(m == Map("urn:f/comp1" -> 2L, "urn:f/comp3" -> 2L))
+    // comp3 counts its skos pair plus the hierarchical chain (attr3-7).
+    assert(m == Map("urn:f/comp1" -> 2L, "urn:f/comp3" -> 5L))
   }
 
   test("DISTINCT and LIMIT parse and apply (L1's LIMIT-1 shape)") {
