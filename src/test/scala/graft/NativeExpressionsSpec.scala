@@ -171,10 +171,13 @@ class NativeExpressionsSpec extends SparkSpec {
       assert(s2 ne prev)
       val r = s2.sql(
         "SELECT nfd_slug('Čau světe'), rolling_hash('ab'), " +
-          "graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))").collect().head
+          "graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)), " +
+          "asof_probe(array(named_struct('_t', 1L, '_v', 5L), " +
+          "named_struct('_t', 4L, '_v', 9L)), 3L)").collect().head
       assert(r.getString(0) == "cau-svete")
       assert(r.getLong(1) == 3105L)
       assert(r.getDouble(2) == 11.0)
+      assert(r.getLong(3) == 5L)
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)
