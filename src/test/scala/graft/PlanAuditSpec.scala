@@ -114,6 +114,30 @@ class PlanAuditSpec extends SparkSpec {
       s"q108 fallback still broadcasts the timeline:\n$plan")
   }
 
+  test("parsed SPARQL patterns inherit partition pruning on p-partitioned triples") {
+    // The string front end must keep the combinators' scale property:
+    // a concrete-predicate pattern compiles to a `p === iri` filter that
+    // becomes PARTITION pruning on a predicate-partitioned triples
+    // table — the parser adds no plan surface between the query string
+    // and the pruned scan.
+    val dir = java.nio.file.Files.createTempDirectory("triples_by_p2").toString
+    try {
+      graft.rdf.DerivedGraph.geo(spark, sf)
+        .write.partitionBy("p").mode("overwrite").parquet(dir)
+      val t = spark.read.parquet(dir)
+      val q = graft.graphquery.Sparql.select(t,
+        "SELECT ?s ?name WHERE { ?s <urn:p/name> ?name . }")
+      val scan = q.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no FileSourceScan in parsed-query plan"))
+      assert(scan.partitionFilters.nonEmpty,
+        s"parsed pattern's p-filter did not become a partition filter:\n" +
+          q.queryExecution.executedPlan)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("catalog extraction broadcasts the small sides") {
     val plan = operators.CatalogQueries.queries("q38_ckan_packages")(spark, sf)
       .queryExecution.executedPlan.toString
