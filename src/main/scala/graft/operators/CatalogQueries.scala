@@ -16,7 +16,7 @@ import graft.catalog.CkanExtract.P
 object CatalogQueries {
 
   /** DCAT-AP triples derived from customer/nation/orders. */
-  private def catalogTriples(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def catalogTriples(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer").filter(col("c_custkey") % 50 === 0)
       .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
     val ds = concat(lit("urn:cat/ds/"), col("c_custkey"))

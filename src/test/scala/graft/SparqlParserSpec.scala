@@ -366,6 +366,34 @@ class SparqlParserSpec extends SparkSpec {
     assert(m == Map("urn:f/comp1" -> 2L, "urn:f/comp3" -> 5L))
   }
 
+  test("reference lookup strings over the catalog graph agree with the " +
+    "wide extraction (the N+1-inversion parity check)") {
+    import graft.catalog.CkanExtract
+    // The q38 catalog graph; the reference would run its per-dataset
+    // lookup strings against exactly this shape. The engine's wide
+    // aggregation (CkanExtract) and the parsed per-dataset strings must
+    // read the same values.
+    val triples = graft.operators.CatalogQueries.catalogTriples(spark, sf)
+    val ds = "urn:cat/ds/100" // a %100 dataset: has a description too
+    val row = CkanExtract.packages(triples)
+      .filter(col("dataset") === ds).collect().head
+    // DcatAp11ToCkanBatch.java:345 title lookup, concatenated verbatim.
+    val title = Sparql.scalar(triples, "SELECT ?title WHERE {<" + ds +
+      "> <http://purl.org/dc/terms/title> ?title FILTER(LANGMATCHES(LANG(?title), \"en\"))}",
+      "title")
+    assert(title == row.getAs[String]("title"))
+    // :259 publisher-name path lookup.
+    val pub = Sparql.scalar(triples, "SELECT ?publisher_name WHERE {<" + ds +
+      "> <http://purl.org/dc/terms/publisher>/<http://xmlns.com/foaf/0.1/name> ?publisher_name FILTER(LANGMATCHES(LANG(?publisher_name), \"en\"))}",
+      "publisher_name")
+    assert(pub == row.getAs[String]("publisher_name"))
+    // :254 keyword multi-row lookup: raw keywords, pre-fixKeyword.
+    val kws = Sparql.select(triples, "SELECT ?keyword WHERE {<" + ds +
+      "> <http://www.w3.org/ns/dcat#keyword> ?keyword FILTER(LANGMATCHES(LANG(?keyword), \"en\"))}")
+      .collect().map(_.getString(0)).toSet
+    assert(kws.contains("k.100") && kws.contains("x"), s"got $kws")
+  }
+
   test("DISTINCT and LIMIT parse and apply (L1's LIMIT-1 shape)") {
     val geo = G.geo(spark, sf)
     val limited = Sparql.select(geo,
