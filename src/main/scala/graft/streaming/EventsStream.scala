@@ -139,8 +139,9 @@ object EventsStream {
     * latest at-or-before-watermark entry — per key the state is one
     * in-flight window of purchases, not history.
     *
-    * Both inputs must carry an event-time `ts` TIMESTAMP column
-    * ([[attributeStreams]] applies the watermark to the tagged union).
+    * Both inputs must carry an event-time `ts` TIMESTAMP column (this
+    * function watermarks EACH side before the union — see the inline
+    * note on why a single post-union watermark would drop data).
     */
   def attributeStreams(clicks: DataFrame, purchases: DataFrame,
                        lateness: String = "10 minutes"): Dataset[Attributed] = {
