@@ -165,6 +165,19 @@ class RelationalQueriesSpec extends SparkSpec {
       assert(got(id).map(_.asInstanceOf[Long]) == e,
         s"event $id: expected $e got ${got(id)}")
     }
+    // The timeline form must agree on the same random inputs under every
+    // join mode — including the binary-search asof_probe path (long ts)
+    // against the same brute-force reference.
+    for (hint <- Seq(None, Some(true), Some(false))) {
+      val tl = graft.streaming.EventsStream.attributeStream(
+          left, right, "user_id", "tsm", "k", "v", hint)
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[Any]("v")).map(_.asInstanceOf[Long])).toMap
+      expect.foreach { case (id, e) =>
+        assert(tl(id) == e,
+          s"attributeStream($hint) event $id: expected $e got ${tl(id)}")
+      }
+    }
   }
 
   test("asof join: null-valued latest row yields null, matching the ASOF oracle") {
