@@ -70,7 +70,7 @@ object ScaleProbe {
       "q101_bottomk_sample", "q114_train_order",
       "q102_rollup", "q103_json_props",
       "q104_moving_window", "q105_token_shares", "q106_asof_join",
-      "q107_asof_timeline")
+      "q107_asof_timeline", "q108_asof_timeline_shuffle")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -90,7 +90,8 @@ object ScaleProbe {
       "q103_json_props" -> "events",
       "q104_moving_window" -> "events",
       "q106_asof_join" -> "events",
-      "q107_asof_timeline" -> "events").withDefault(_ => "documents")
+      "q107_asof_timeline" -> "events",
+      "q108_asof_timeline_shuffle" -> "events").withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet
 
     // The replica generators for documents/lineitem are the
