@@ -336,6 +336,26 @@ object Similarity {
       .write.mode("overwrite").partitionBy("_cid").parquet(s"$dir/lists")
   }
 
+  /** Incremental IVF ingest: assign a NEW vector batch against the
+    * STORED centroid table and APPEND its rows to the partitioned lists
+    * — the ANN analogue of [[Dedup.dedupAgainstIndex]]'s sign-once
+    * discipline. The coarse quantizer stays frozen (standard IVF
+    * practice — retrain on drift, not per batch), so a batch costs one
+    * map-only assignment against the broadcast centroids plus an append
+    * into only the touched list partitions; the indexed corpus is never
+    * re-read or re-clustered, and [[ivfKnnIndexed]] sees the new vectors
+    * on its next probe (dynamic partition append preserves the layout).
+    */
+  def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+                       dir: String): Unit = {
+    val spark = batch.sparkSession
+    graft.functions.NativeExpressions.register(spark)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    nearest(batch, centroids, idCol, vecCol, "neighbor_id", "_v", "_cn2",
+      keep = 1)
+      .write.mode("append").partitionBy("_cid").parquet(s"$dir/lists")
+  }
+
   /** ANN over a materialized [[writeIvfIndex]] index. The probed centroid
     * ids of the batch are collected (|queries| × nprobe ids — a query
     * batch is driver-small by construction) and pushed as an isin filter,

@@ -149,6 +149,40 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("IVF index ingest: appended batch is probeable, quantizer frozen") {
+    import spark.implicits._
+    val e = graft.Tables.t(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    try {
+      Similarity.writeIvfIndex(e, "vec_id", "embedding", dir)
+      // Ingest batch: exact copies of three corpus vectors under fresh
+      // ids — each lands in its original's list (same nearest centroid)
+      // and must surface as a cosine-1.0 top hit for a matching query.
+      val batch = e.filter(col("vec_id").isin(7L, 70L, 470L))
+        .select((col("vec_id") + 9000000L).as("vec_id"), col("embedding"))
+      val batchN = batch.count()
+      assert(batchN == 3, s"fixture drift: batch has $batchN rows")
+      val centroidsBefore = spark.read.parquet(s"$dir/centroids").collect()
+        .map(_.toString).sorted.toSeq
+      Similarity.appendToIvfIndex(batch, "vec_id", "embedding", dir)
+      // Frozen quantizer: the centroid table is untouched by ingest.
+      assert(spark.read.parquet(s"$dir/centroids").collect()
+        .map(_.toString).sorted.toSeq == centroidsBefore)
+      val q = e.filter(col("vec_id") === 7L)
+      val hits = Similarity.ivfKnnIndexed(q, "vec_id", "embedding", dir)
+        .collect().map(r => r.getAs[Long]("neighbor_id") ->
+          r.getAs[Double]("sim")).toMap
+      assert(hits.contains(9000007L),
+        s"appended vector not probeable; hits=${hits.keySet}")
+      assert(hits(9000007L) > 0.999999, s"clone sim ${hits(9000007L)}")
+      // And the ingest did not duplicate or disturb existing list rows:
+      // total list rows = corpus + batch.
+      assert(spark.read.parquet(s"$dir/lists").count() == e.count() + batchN)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("embedding near-dup: bucket-join candidates, no all-pairs join") {
     val df = LlmQueries.queries("q42_embedding_neardup")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
