@@ -444,6 +444,52 @@ object Corpus {
       .agg(count(lit(1)).as("n_types"), sum(col("_f")).as("n_occurrences"))
   }
 
+  /** Unigram-LM surprisal score — the CCNet-family "perplexity" quality
+    * signal made integer-exact: score each document by the mean
+    * information content of its tokens under the corpus's own unigram
+    * model. A token occurring `c` times in a corpus of `T` tokens
+    * carries `log2(T/c)` bits; boilerplate-heavy documents (all common
+    * tokens) score low, garbled/rare-token documents score high, and
+    * the middle is where natural prose lives — the band a CCNet-style
+    * head/middle/tail split thresholds on.
+    *
+    * Cross-engine determinism: the per-token surprisal is the BAND
+    * `floor(log2(T/c))`, computed as `length(bin(T div c)) - 1` — for
+    * integers `T >= c >= 1`, `floor(log2(floor(T/c))) = floor(log2(T/c))`
+    * (proof: `2^k <= T/c` iff `2^k <= T div c` since `2^k` is an
+    * integer), so the double-free form is exact where log-by-doubles
+    * flips at power-of-two ratios. The per-document mean is emitted as
+    * integer ppm.
+    *
+    * Output: (idCol, n_tokens, sum_bands, surprisal_ppm) — one row per
+    * document with >= 1 token (the tokenizer's empty-string artifact
+    * token counts like any other, same as every token oracle here).
+    *
+    * Scale shape: per-(doc, token) pre-aggregation (collapses repeated
+    * tokens before any join), a vocab-sized token-keyed count, then a
+    * token-keyed join of distinct (doc, token) pairs against the vocab —
+    * the join's hot keys (stopwords appear in nearly every document) are
+    * exactly the AQE skew-join case, and a capped top-V vocab variant
+    * would broadcast; `T` rides along as a 1-row broadcast scalar, never
+    * an eager collect. No all-pairs anywhere; state is vocab-sized.
+    */
+  def surprisalScore(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+      .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_n_dt"))
+    val vocab = perDoc.groupBy(col("_t")).agg(sum(col("_n_dt")).as("_c"))
+    val total = vocab.agg(sum(col("_c")).as("_tot"))
+    perDoc.join(vocab, Seq("_t"))
+      .crossJoin(broadcast(total))
+      .withColumn("_band",
+        (length(bin(expr("_tot div _c"))) - 1).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_n_dt")).as("n_tokens"),
+        sum(col("_n_dt") * col("_band")).as("sum_bands"))
+      .withColumn("surprisal_ppm", expr("sum_bands * 1000000 div n_tokens"))
+  }
+
   /** Token-balanced output shard assignment: within each stratum, rank
     * documents heaviest-first (id tie-break) and deal them to `nShards`
     * shards in serpentine (boustrophedon) order — shard 0..n-1 on even

@@ -915,6 +915,46 @@ object LlmQueries {
           TA.tokenCount(col("text")).as("_n"))
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("total_tokens"))
+    },
+
+    // Unigram-LM surprisal score (the CCNet-family quality signal,
+    // integer-exact): mean per-token information content under the
+    // corpus's own unigram model, banded via the bin()-length floor-log2
+    // device. The score a head/middle/tail quality split thresholds on.
+    "q115_surprisal" -> { (s, dir) =>
+      Corpus.surprisalScore(t(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // Tokenizer fertility per language: docs, whitespace tokens,
+    // BPE-piece tokens, chars, and chars-per-BPE-piece in integer ppm —
+    // the table a tokenizer evaluation reads per language (a fertility
+    // outlier means the vocab under-serves that language's script).
+    "q116_tokenizer_fertility" -> { (s, dir) =>
+      t(s, dir, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TA.tokenCount(col("text"))).as("ws_tokens"),
+          sum(TA.bpeTokenCount(col("text"))).as("bpe_tokens"),
+          sum(TA.charCount(col("text"))).as("n_chars"))
+        .withColumn("chars_per_bpe_ppm",
+          expr("n_chars * 1000000 div nullif(bpe_tokens, 0)"))
+    },
+
+    // Matryoshka truncation recall: brute-force top-10 on the first 32
+    // of 64 embedding dims, scored against full-width top-10 — the
+    // dimension-budget table an embedding deployment reads before
+    // storing truncated vectors (cosine needs no re-normalization:
+    // it normalizes per pair). Same cross-engine float discipline as
+    // q35/q85: double cosines of identical float inputs, rank ties
+    // broken by id.
+    "q117_matryoshka_recall" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      def trunc(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("embedding", slice(col("embedding"), 1, 32))
+      val qs = e.filter(col("vec_id") % 100 === 0)
+      Similarity.annRecall(
+        Similarity.bruteForceKnn(e, qs, "vec_id", "embedding", k = 10),
+        Similarity.bruteForceKnn(trunc(e), trunc(qs), "vec_id", "embedding",
+          k = 10), k = 10)
     }
   )
 
@@ -2600,6 +2640,85 @@ object LlmQueries {
         |  SELECT doc_id, lang, n_tokens,
         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM sampled)""".stripMargin
+        |  FROM sampled)""".stripMargin,
+    // q115: the same unigram model replayed relationally — per-(doc,
+    // token) counts, corpus vocab, the bin()-length floor-log2 band of
+    // the integer ratio, ppm mean per doc. All-integer end to end.
+    "q115_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |dt AS (SELECT doc_id, t, count(*) AS n_dt FROM tok GROUP BY 1, 2),
+        |vocab AS (SELECT t, CAST(sum(n_dt) AS BIGINT) AS c FROM dt GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM vocab),
+        |banded AS (
+        |  SELECT dt.doc_id, dt.n_dt, length(bin(total // c)) - 1 AS band
+        |  FROM dt JOIN vocab USING (t) CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(n_dt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_dt * band) AS BIGINT) AS sum_bands,
+        |  CAST(sum(n_dt * band) * 1000000 // sum(n_dt) AS BIGINT)
+        |    AS surprisal_ppm
+        |FROM banded GROUP BY 1""".stripMargin,
+    // q116: fertility rollup — the BPE regex device from q46, the
+    // whitespace-stripped char count from q100, integer-ppm ratio.
+    "q116_tokenizer_fertility" -> {
+      val pat = TA.BpePattern.replace("'", "''")
+      s"""WITH per_doc AS (
+         |  SELECT lang,
+         |    len(string_split_regex(trim(text), '\\s+')) AS ws,
+         |    len(regexp_extract_all(text, '$pat')) AS bpe,
+         |    length(regexp_replace(trim(text), '\\s+', '', 'g')) AS ch
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum(ch) AS BIGINT) AS n_chars,
+         |  CAST(sum(ch) * 1000000 // NULLIF(CAST(sum(bpe) AS BIGINT), 0)
+         |    AS BIGINT) AS chars_per_bpe_ppm
+         |FROM per_doc GROUP BY 1""".stripMargin
+    },
+    // q117: the q85 recall harness with the approx side replaced by the
+    // 32-dim truncation (DuckDB 1-based inclusive list slice = Spark's
+    // slice(embedding, 1, 32)); cosine re-normalizes per pair so no
+    // re-scaling term appears.
+    "q117_matryoshka_recall" -> {
+      def cos(a: String, b: String): String =
+        s"""list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
+           |      / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))
+           |        * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))""".stripMargin
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 100 = 0),
+         |fscored AS (
+         |  SELECT q.qid, e.vec_id AS neighbor_id,
+         |    ${cos("q.qv", "e.embedding")} AS sim
+         |  FROM q, embeddings e WHERE e.vec_id != q.qid),
+         |ftop AS (
+         |  SELECT qid, neighbor_id FROM (
+         |    SELECT qid, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC)
+         |        AS rank
+         |    FROM fscored)
+         |  WHERE rank <= 10),
+         |tscored AS (
+         |  SELECT q.qid, e.vec_id AS neighbor_id,
+         |    ${cos("q.qv[1:32]", "e.embedding[1:32]")} AS sim
+         |  FROM q, embeddings e WHERE e.vec_id != q.qid),
+         |ttop AS (
+         |  SELECT qid, neighbor_id FROM (
+         |    SELECT qid, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC)
+         |        AS rank
+         |    FROM tscored)
+         |  WHERE rank <= 10),
+         |hits AS (
+         |  SELECT f.qid, count(*) AS n_hits
+         |  FROM ftop f JOIN ttop tt
+         |    ON f.qid = tt.qid AND f.neighbor_id = tt.neighbor_id
+         |  GROUP BY 1)
+         |SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
+         |  (COALESCE(h.n_hits, 0) * 1000000) // 10 AS recall_ppm
+         |FROM (SELECT DISTINCT qid FROM q) q LEFT JOIN hits h USING (qid)""".stripMargin
+    }
   )
 }

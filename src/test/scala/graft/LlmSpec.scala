@@ -1008,4 +1008,57 @@ class LlmSpec extends SparkSpec {
     assert(out(1L) == 0.5)
     assert(out(2L) == 0.0)
   }
+
+  test("surprisal: hand-computed integer bands, common-token doc scores low") {
+    import spark.implicits._
+    // Corpus counts: a=5, b=2, c=1, T=8. Bands: a -> log2(8 div 5)=0,
+    // b -> log2(4)=2, c -> log2(8)=3.
+    val docs = Seq((1L, "a a a a"), (2L, "b"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val out = Corpus.surprisalScore(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_bands"),
+          r.getAs[Long]("surprisal_ppm")))).toMap
+    assert(out(1L) == ((4L, 0L, 0L)))
+    assert(out(2L) == ((1L, 2L, 2000000L)))
+    assert(out(3L) == ((3L, 5L, 1666666L)))
+    // The quality-split property the operator exists for: the
+    // boilerplate doc scores strictly below the rare-token doc.
+    assert(out(1L)._3 < out(3L)._3)
+    val plan = Corpus.surprisalScore(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("matryoshka recall: lossless when tail dims are zero, drops when " +
+    "only tail dims discriminate") {
+    import spark.implicits._
+    def vec(head: Seq[Float], tail: Seq[Float]): Array[Float] =
+      (head.padTo(32, 0f) ++ tail.padTo(32, 0f)).toArray
+    def recallOf(e: org.apache.spark.sql.DataFrame, k: Int): Map[Long, Long] = {
+      def trunc(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("embedding", slice(col("embedding"), 1, 32))
+      Similarity.annRecall(
+        Similarity.bruteForceKnn(e, e, "vec_id", "embedding", k = k),
+        Similarity.bruteForceKnn(trunc(e), trunc(e), "vec_id", "embedding",
+          k = k), k = k)
+        .collect().map(r => r.getAs[Long]("qid") ->
+          r.getAs[Long]("recall_ppm")).toMap
+    }
+    // All information in the first 32 dims: truncation is lossless.
+    val lossless = Seq(
+      (1L, vec(Seq(1f, 0f), Nil)), (2L, vec(Seq(0.9f, 0.1f), Nil)),
+      (3L, vec(Seq(0f, 1f), Nil)), (4L, vec(Seq(0.1f, 0.9f), Nil)))
+      .toDF("vec_id", "embedding")
+    assert(recallOf(lossless, 2).values.forall(_ == 1000000L))
+    // Only the tail discriminates: truncated sims tie, the id-asc tie
+    // rule picks vec 2, but the full-width neighbor of the query is 3.
+    val tailOnly = Seq(
+      (1L, vec(Seq(1f), Seq(1f))),
+      (2L, vec(Seq(1f), Seq(-1f))),
+      (3L, vec(Seq(1f), Seq(0.9f))))
+      .toDF("vec_id", "embedding")
+    val r = recallOf(tailOnly, 1)
+    assert(r(1L) == 0L)
+  }
 }
