@@ -70,7 +70,9 @@ object ScaleProbe {
       "q101_bottomk_sample", "q114_train_order",
       "q102_rollup", "q103_json_props",
       "q104_moving_window", "q105_token_shares", "q106_asof_join",
-      "q107_asof_timeline", "q108_asof_timeline_shuffle")
+      "q107_asof_timeline", "q108_asof_timeline_shuffle",
+      "q115_surprisal", "q116_tokenizer_fertility", "q117_matryoshka_recall",
+      "q118_bpe_merge_pairs", "q119_ccnet_split")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -91,7 +93,8 @@ object ScaleProbe {
       "q104_moving_window" -> "events",
       "q106_asof_join" -> "events",
       "q107_asof_timeline" -> "events",
-      "q108_asof_timeline_shuffle" -> "events").withDefault(_ => "documents")
+      "q108_asof_timeline_shuffle" -> "events",
+      "q117_matryoshka_recall" -> "embeddings").withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet
 
     // The replica generators for documents/lineitem are the

@@ -490,6 +490,53 @@ object Corpus {
       .withColumn("surprisal_ppm", expr("sum_bands * 1000000 div n_tokens"))
   }
 
+  /** Persist the unigram model [[surprisalScore]] derives on the fly:
+    * `dir/vocab` (token, count) and `dir/total` (the corpus token count)
+    * — the reference-model shape CCNet actually uses (score a target
+    * corpus under a model trained on a TRUSTED corpus, not on itself).
+    */
+  def writeVocab(docs: DataFrame, idCol: String, textCol: String,
+                 dir: String): Unit = {
+    val vocab = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+      .groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+    vocab.write.mode("overwrite").parquet(s"$dir/vocab")
+    vocab.agg(sum(col("_c")).as("_tot"))
+      .write.mode("overwrite").parquet(s"$dir/total")
+  }
+
+  /** Score a NEW document batch under a STORED unigram model — the
+    * frozen-model twin of [[surprisalScore]] (the [[writeVocab]] /
+    * score-many-batches discipline: the model is trained once on a
+    * reference corpus and never re-derived per batch, so scores are
+    * comparable across batches and the corpus behind the model is never
+    * re-read). Same integer band arithmetic; a token ABSENT from the
+    * stored vocab scores `floor(log2(T)) + 1` — one bit beyond a
+    * count-1 token, the ceiling of the model's resolution.
+    *
+    * Scale shape: per-(doc, token) pre-agg, then a LEFT join against the
+    * vocab table (vocab-sized right side, batch-sized left); no
+    * corpus-wide shuffle, no driver collect.
+    */
+  def surprisalAgainstVocab(newDocs: DataFrame, idCol: String,
+                            textCol: String, dir: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val vocab = spark.read.parquet(s"$dir/vocab")
+    val total = spark.read.parquet(s"$dir/total")
+    val perDoc = newDocs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+      .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_n_dt"))
+    perDoc.join(vocab, Seq("_t"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("_band",
+        when(col("_c").isNull, length(bin(col("_tot"))))
+          .otherwise(length(bin(expr("_tot div _c"))) - 1).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_n_dt")).as("n_tokens"),
+        sum(col("_n_dt") * col("_band")).as("sum_bands"))
+      .withColumn("surprisal_ppm", expr("sum_bands * 1000000 div n_tokens"))
+  }
+
   /** Token-balanced output shard assignment: within each stratum, rank
     * documents heaviest-first (id tie-break) and deal them to `nShards`
     * shards in serpentine (boustrophedon) order — shard 0..n-1 on even

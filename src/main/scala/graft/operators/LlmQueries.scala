@@ -939,6 +939,37 @@ object LlmQueries {
           expr("n_chars * 1000000 div nullif(bpe_tokens, 0)"))
     },
 
+    // BPE merge-pair frequencies: adjacent-piece counts over the GPT-2
+    // pre-tokenization, top 100 — the first iteration of BPE vocabulary
+    // induction (the pair a trainer would merge next), and a useful
+    // boilerplate detector on its own. One explode + one pair-keyed
+    // aggregation; the top-k is a TakeOrdered (per-partition heads
+    // merged), never a global sort.
+    "q118_bpe_merge_pairs" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(TA.bpeTokens(col("text")).as("_bpe"))
+        .filter(size(col("_bpe")) >= 2)
+        .select(explode(expr("transform(sequence(1, size(_bpe) - 1), " +
+          "i -> named_struct('p1', _bpe[i - 1], 'p2', _bpe[i]))")).as("_pr"))
+        .select(col("_pr.p1").as("p1"), col("_pr.p2").as("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("p1").asc, col("p2").asc)
+        .limit(100)
+    },
+
+    // CCNet head/middle/tail split: per-language surprisal terciles
+    // (bucket 0 = lowest surprisal = head). The operator CCNet actually
+    // ships corpora through — quality-stratified thirds, rank-bucketed
+    // per language so no language's distribution dominates another's
+    // thresholds.
+    "q119_ccnet_split" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      Corpus.rankBuckets(
+        Corpus.surprisalScore(d, "doc_id", "text")
+          .join(d.select(col("doc_id"), col("lang")), Seq("doc_id")),
+        "doc_id", "lang", col("surprisal_ppm"), buckets = 3)
+    },
+
     // Matryoshka truncation recall: brute-force top-10 on the first 32
     // of 64 embedding dims, scored against full-width top-10 — the
     // dimension-budget table an embedding deployment reads before
@@ -2677,6 +2708,45 @@ object LlmQueries {
          |    AS BIGINT) AS chars_per_bpe_ppm
          |FROM per_doc GROUP BY 1""".stripMargin
     },
+    // q118: the same adjacent-pair enumeration over DuckDB's 1-based
+    // lists; total ORDER BY makes the LIMIT 100 boundary deterministic.
+    "q118_bpe_merge_pairs" -> {
+      val pat = TA.BpePattern.replace("'", "''")
+      s"""WITH pieces AS (
+         |  SELECT regexp_extract_all(text, '$pat') AS ps FROM documents),
+         |pairs AS (
+         |  SELECT ps[i] AS p1, ps[i + 1] AS p2
+         |  FROM pieces, unnest(generate_series(1, len(ps) - 1)) AS g(i)
+         |  WHERE len(ps) >= 2)
+         |SELECT p1, p2, count(*) AS n_pairs
+         |FROM pairs GROUP BY 1, 2
+         |ORDER BY n_pairs DESC, p1 ASC, p2 ASC LIMIT 100""".stripMargin
+    },
+    // q119: the q115 surprisal chain feeding the q82 rank-bucket window.
+    "q119_ccnet_split" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |dt AS (SELECT doc_id, t, count(*) AS n_dt FROM tok GROUP BY 1, 2),
+        |vocab AS (SELECT t, CAST(sum(n_dt) AS BIGINT) AS c FROM dt GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM vocab),
+        |banded AS (
+        |  SELECT dt.doc_id, dt.n_dt, length(bin(total // c)) - 1 AS band
+        |  FROM dt JOIN vocab USING (t) CROSS JOIN tot),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(sum(n_dt * band) * 1000000 // sum(n_dt) AS BIGINT) AS sp
+        |  FROM banded GROUP BY 1),
+        |j AS (
+        |  SELECT s.doc_id, d.lang, s.sp
+        |  FROM scored s JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, sp AS signal, ((rn - 1) * 3) // cnt AS bucket
+        |FROM (
+        |  SELECT doc_id, lang, sp,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY sp ASC, doc_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM j)""".stripMargin,
     // q117: the q85 recall harness with the approx side replaced by the
     // 32-dim truncation (DuckDB 1-based inclusive list slice = Spark's
     // slice(embedding, 1, 32)); cosine re-normalizes per pair so no

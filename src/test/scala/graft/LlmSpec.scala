@@ -1030,6 +1030,30 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("frozen-vocab surprisal: matches self-scoring on the training " +
+    "corpus, OOV tokens take the ceiling band") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a a"), (2L, "b"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("vocab").toString
+    Corpus.writeVocab(docs, "doc_id", "text", dir)
+    // Scoring the training corpus under its own stored model must equal
+    // the self-derived q115 scores row for row.
+    val self = Corpus.surprisalScore(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("surprisal_ppm")).toMap
+    val frozen = Corpus.surprisalAgainstVocab(docs, "doc_id", "text", dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("surprisal_ppm")).toMap
+    assert(frozen == self)
+    // OOV: T=8, so unseen 'z' takes floor(log2(8)) + 1 = 4; 'a' takes 0.
+    val batch = Seq((9L, "z a")).toDF("doc_id", "text")
+    val out = Corpus.surprisalAgainstVocab(batch, "doc_id", "text", dir)
+      .collect().map(r => (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("sum_bands"), r.getAs[Long]("surprisal_ppm")))
+    assert(out.toSeq == Seq((2L, 4L, 2000000L)))
+  }
+
   test("matryoshka recall: lossless when tail dims are zero, drops when " +
     "only tail dims discriminate") {
     import spark.implicits._
