@@ -77,6 +77,48 @@ object DocsStream {
       .select(col(idCol), col("index_id"), col("_band"))
   }
 
+  /** Streaming quality scoring under a stored unigram model
+    * ([[graft.llm.Corpus.writeVocab]]) — the stream-safe form of
+    * [[graft.llm.Corpus.surprisalAgainstVocab]]. The batch form's
+    * per-(doc, token) aggregation is a stateful stage an append-mode
+    * stream can't carry, so the model is capped to its top-`vocabCap`
+    * entries (count-desc, token-asc — deterministic), folded into a
+    * single map LITERAL, and the score becomes a pure row function:
+    * `transform` tokens → band lookup (OOV and beyond-cap tokens take
+    * the ceiling band floor(log2(T))+1) → `aggregate` sum. No shuffle,
+    * no state, fuses into the source scan — the same map-only ingest
+    * discipline as [[curationStream]]'s gate and sampler.
+    *
+    * The cap is the documented trade-off (CCNet itself scores under a
+    * FIXED-vocab model): when the stored vocab fits the cap, output is
+    * row-identical to the batch scorer — the spec asserts this — and a
+    * tail token beyond the cap scores as OOV, biasing rare-token
+    * documents slightly HIGH (toward the tail bucket), never low. The
+    * driver-side vocab load is `vocabCap` rows by construction — the
+    * bounded-collect precedent of the IVF nprobe id set.
+    */
+  def scoreStream(docs: DataFrame, textCol: String, dir: String,
+                  vocabCap: Int = 1 << 16): DataFrame = {
+    val spark = docs.sparkSession
+    val total = spark.read.parquet(s"$dir/total")
+      .collect()(0).getAs[Long]("_tot")
+    // floor(log2(q)) for q >= 1, the driver-side twin of the batch
+    // form's length(bin(q)) - 1.
+    def flog2(q: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(q)
+    val oovBand = flog2(total) + 1
+    val bandByToken: Map[String, Int] = spark.read.parquet(s"$dir/vocab")
+      .orderBy(col("_c").desc, col("_t").asc).limit(vocabCap)
+      .collect().map(r =>
+        r.getAs[String]("_t") -> flog2(total / r.getAs[Long]("_c"))).toMap
+    val toks = TextAnalysis.tokens(col(textCol))
+    val bands = transform(toks, t =>
+      coalesce(element_at(typedLit(bandByToken), t), lit(oovBand)))
+    docs.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("sum_bands",
+        aggregate(bands, lit(0L), (acc, x) => acc + x))
+      .withColumn("surprisal_ppm", expr("sum_bands * 1000000 div n_tokens"))
+  }
+
   /** Streaming provenance probe against a persisted winnow index
     * ([[graft.llm.Dedup.writeWinnowIndex]]): stateless row-local
     * fingerprints ([[graft.llm.Dedup.winnowFpsRowLocal]], hash-identical

@@ -471,4 +471,41 @@ class MediaStreamSpec extends SparkSpec {
     assert(out.columns.toSeq ==
       Seq("hour", "event_type", "n_events", "sum_value"))
   }
+
+  test("streaming: frozen-vocab scoring matches the batch scorer and runs " +
+    "map-only on a MemoryStream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val training = Seq((1L, "a a a a"), (2L, "b"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("svocab").toString
+    graft.llm.Corpus.writeVocab(training, "doc_id", "text", dir)
+    // Batch equality: vocab (3 tokens) fits any cap, so the map-literal
+    // scorer must reproduce surprisalAgainstVocab row for row.
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("surprisal_ppm")))).toMap
+    assert(scores(graft.streaming.DocsStream.scoreStream(
+        training, "text", dir)) ==
+      scores(graft.llm.Corpus.surprisalAgainstVocab(
+        training, "doc_id", "text", dir)))
+    // Cap pressure: with vocabCap = 1 only 'a' (count 5) survives; 'b'
+    // falls to the OOV ceiling band floor(log2(8)) + 1 = 4.
+    val capped = scores(graft.streaming.DocsStream.scoreStream(
+      Seq((9L, "b")).toDF("doc_id", "text"), "text", dir, vocabCap = 1))
+    assert(capped(9L) == ((1L, 4000000L)))
+    // Stream run: same rows arrive on a MemoryStream; append mode must
+    // accept the plan (no stateful stage) and produce the same scores.
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocsStream.scoreStream(
+        mem.toDF().toDF("doc_id", "text"), "text", dir)
+      .writeStream.format("memory").queryName("scored")
+      .outputMode("append").start()
+    mem.addData((1L, "a a a a"), (9L, "z a"))
+    q.processAllAvailable()
+    val out = spark.table("scored").collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("surprisal_ppm")).toMap
+    q.stop()
+    assert(out == Map(1L -> 0L, 9L -> 2000000L), s"got $out")
+  }
 }

@@ -27,7 +27,14 @@ class PlanAuditSpec extends SparkSpec {
       // (q64 embeds kMeans too, but behind an eager checkpoint — its
       // RETURNED plan must stay NLJ-free: the pair stage is a
       // cluster-keyed equi-join, and this audit now guards that.)
-      "q62_kmeans")
+      "q62_kmeans",
+      // q115/q119 cross-join a SINGLE-ROW broadcast (the corpus token
+      // total) — the q105 scalar-broadcast shape; the vocab join itself
+      // is a keyed equi-join and stays audited.
+      "q115_surprisal", "q119_ccnet_split",
+      // q117 composes q35's brute-force side twice (full and truncated)
+      // — same tiny broadcast query sample, same intended NLJ.
+      "q117_matryoshka_recall")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
