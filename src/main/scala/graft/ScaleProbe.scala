@@ -72,7 +72,7 @@ object ScaleProbe {
       "q104_moving_window", "q105_token_shares", "q106_asof_join",
       "q107_asof_timeline", "q108_asof_timeline_shuffle",
       "q115_surprisal", "q116_tokenizer_fertility", "q117_matryoshka_recall",
-      "q118_bpe_merge_pairs", "q119_ccnet_split")
+      "q118_bpe_merge_pairs", "q119_ccnet_split", "q120_bigram_surprisal")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a

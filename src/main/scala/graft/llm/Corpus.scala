@@ -490,6 +490,65 @@ object Corpus {
       .withColumn("surprisal_ppm", expr("sum_bands * 1000000 div n_tokens"))
   }
 
+  /** Bigram-LM surprisal — [[surprisalScore]] with one token of context:
+    * position 0 scores its unigram band `floor(log2(T/c(w)))`, every
+    * later position scores the CONDITIONAL band
+    * `floor(log2(c(prev)/c(prev,cur)))` — the information content of
+    * `cur` given `prev` under the corpus's own bigram model. Repetitive
+    * continuations ("of the") cost ~0 bits where the unigram model still
+    * charges them, so this separates template/boilerplate text from
+    * prose far more sharply than q115. The unseen-bigram branch applies
+    * Stupid Backoff (Brants et al. 2007, the web-scale smoothing:
+    * back off to the unigram band plus a constant penalty — here +1 bit,
+    * the α=0.5 integer form); under self-scoring it cannot fire (every
+    * bigram in a doc is in the model), which is exactly why the oracle
+    * stays integer-total.
+    *
+    * Same cross-engine discipline as [[surprisalScore]]: all bands via
+    * the `length(bin(a div b)) - 1` integer floor-log2, ppm means.
+    *
+    * Scale shape: ROW-LOCAL pair enumeration (transform over the token
+    * array — no posexplode+window shuffle), per-(doc, prev, cur)
+    * pre-aggregation, then vocab-sized unigram and bigram-vocab-sized
+    * count tables joined back on token keys. The bigram table is the
+    * big one (pair vocab ~10× token vocab on natural text); its join is
+    * a keyed equi-join with the same AQE-skew-split safety net as the
+    * q115 stopword keys. No all-pairs, no window.
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val pairs = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_tk"))
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(_tk) - 1), i -> named_struct(" +
+          "'prev', if(i = 0, cast(null as string), _tk[i - 1]), " +
+          "'cur', _tk[i]))")).as("_pr"))
+      .select(col(idCol), col("_pr.prev").as("_prev"),
+        col("_pr.cur").as("_cur"))
+    val perDoc = pairs.groupBy(col(idCol), col("_prev"), col("_cur"))
+      .agg(count(lit(1)).as("_n_dt"))
+    val uni = pairs.groupBy(col("_cur")).agg(count(lit(1)).as("_c1"))
+    val tot = uni.agg(sum(col("_c1")).as("_tot"))
+    val big = pairs.filter(col("_prev").isNotNull)
+      .groupBy(col("_prev"), col("_cur")).agg(count(lit(1)).as("_c12"))
+    perDoc
+      .join(uni.select(col("_cur"), col("_c1").as("_c1cur")), Seq("_cur"))
+      .join(uni.select(col("_cur").as("_prev"), col("_c1").as("_c1prev")),
+        Seq("_prev"), "left")
+      .join(big, Seq("_prev", "_cur"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("_band",
+        when(col("_prev").isNull,
+          length(bin(expr("_tot div _c1cur"))) - 1)
+          .when(col("_c12").isNotNull,
+            length(bin(expr("_c1prev div _c12"))) - 1)
+          .otherwise(length(bin(expr("_tot div _c1cur")))).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_n_dt")).as("n_tokens"),
+        sum(col("_n_dt") * col("_band")).as("sum_bands"))
+      .withColumn("surprisal_ppm", expr("sum_bands * 1000000 div n_tokens"))
+  }
+
   /** Persist the unigram model [[surprisalScore]] derives on the fly:
     * `dir/vocab` (token, count) and `dir/total` (the corpus token count)
     * — the reference-model shape CCNet actually uses (score a target

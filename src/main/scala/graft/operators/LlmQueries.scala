@@ -970,6 +970,14 @@ object LlmQueries {
         "doc_id", "lang", col("surprisal_ppm"), buckets = 3)
     },
 
+    // Bigram-LM surprisal: one token of context separates boilerplate
+    // ("of the" costs ~0 bits conditionally) from prose far more sharply
+    // than the unigram q115; Stupid Backoff branch for unseen bigrams
+    // (cannot fire under self-scoring — the oracle stays integer-total).
+    "q120_bigram_surprisal" -> { (s, dir) =>
+      Corpus.bigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+    },
+
     // Matryoshka truncation recall: brute-force top-10 on the first 32
     // of 64 embedding dims, scored against full-width top-10 — the
     // dimension-budget table an embedding deployment reads before
@@ -2747,6 +2755,35 @@ object LlmQueries {
         |      ORDER BY sp ASC, doc_id ASC) AS rn,
         |    COUNT(*) OVER (PARTITION BY lang) AS cnt
         |  FROM j)""".stripMargin,
+    // q120: the bigram chain — 1-based pair enumeration, unigram counts
+    // from the `cur` positions (each occurrence appears exactly once as
+    // cur), conditional band for i > 1, unigram band at i = 1.
+    "q120_bigram_surprisal" ->
+      """WITH src AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, CASE WHEN i > 1 THEN tk[i - 1] END AS prev,
+        |    tk[i] AS cur
+        |  FROM src, unnest(generate_series(1, len(tk))) AS g(i)),
+        |uni AS (SELECT cur AS t, CAST(count(*) AS BIGINT) AS c1
+        |        FROM pairs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS total FROM uni),
+        |big AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c12
+        |        FROM pairs WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |banded AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN p.prev IS NULL THEN length(bin(total // uc.c1)) - 1
+        |         ELSE length(bin(up.c1 // b.c12)) - 1 END AS band
+        |  FROM pairs p
+        |  JOIN uni uc ON uc.t = p.cur
+        |  LEFT JOIN uni up ON up.t = p.prev
+        |  LEFT JOIN big b ON b.prev = p.prev AND b.cur = p.cur
+        |  CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(band) AS BIGINT) AS sum_bands,
+        |  CAST(sum(band) * 1000000 // count(*) AS BIGINT) AS surprisal_ppm
+        |FROM banded GROUP BY 1""".stripMargin,
     // q117: the q85 recall harness with the approx side replaced by the
     // 32-dim truncation (DuckDB 1-based inclusive list slice = Spark's
     // slice(embedding, 1, 32)); cosine re-normalizes per pair so no

@@ -1030,6 +1030,23 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("bigram surprisal: hand-computed conditional bands, boilerplate " +
+    "continuation scores below a rare one") {
+    import spark.implicits._
+    // uni: a=3 b=2 c=1, T=6; big: (a,b)=2, (a,c)=1.
+    // doc1/doc2 "a b": pos0 a -> log2(6 div 3)=1; (a,b) -> log2(3 div 2)=0.
+    // doc3 "a c":      pos0 a -> 1;               (a,c) -> log2(3 div 1)=1.
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val out = Corpus.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_bands"),
+          r.getAs[Long]("surprisal_ppm")))).toMap
+    assert(out(1L) == ((2L, 1L, 500000L)))
+    assert(out(2L) == ((2L, 1L, 500000L)))
+    assert(out(3L) == ((2L, 2L, 1000000L)))
+  }
+
   test("frozen-vocab surprisal: matches self-scoring on the training " +
     "corpus, OOV tokens take the ceiling band") {
     import spark.implicits._

@@ -31,7 +31,7 @@ class PlanAuditSpec extends SparkSpec {
       // q115/q119 cross-join a SINGLE-ROW broadcast (the corpus token
       // total) — the q105 scalar-broadcast shape; the vocab join itself
       // is a keyed equi-join and stays audited.
-      "q115_surprisal", "q119_ccnet_split",
+      "q115_surprisal", "q119_ccnet_split", "q120_bigram_surprisal",
       // q117 composes q35's brute-force side twice (full and truncated)
       // — same tiny broadcast query sample, same intended NLJ.
       "q117_matryoshka_recall")
