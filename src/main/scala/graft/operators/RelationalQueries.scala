@@ -287,6 +287,92 @@ object RelationalQueries {
         .withColumn("bucket", (length(bin($"_n")) - 1).cast("long"))
         .groupBy($"bucket")
         .agg(count(lit(1)).as("n_sessions"), sum($"_n").as("n_events"))
+    },
+
+    // Keyless interval range join via time-bucketing: purchases landing
+    // inside "hot windows" ([hour+5min, hour+50min) of any hour where a
+    // non-purchase event type logged >= 7 events). No shared key exists
+    // between the sides, so the naive inequality join is a
+    // BroadcastNestedLoopJoin; [[rangeJoinByBucket]] makes it an equi
+    // join on 15-minute buckets. PlanAuditSpec holds q121 to the global
+    // no-BNLJ rule — the whole point of the operator.
+    "q121_range_join_hot_windows" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val windows = ev.filter($"event_type" =!= "purchase")
+        .groupBy($"event_type".as("wtype"),
+          date_trunc("hour", $"ts").as("_hour"))
+        .agg(count(lit(1)).as("n_window_events"))
+        .filter($"n_window_events" >= 7)
+        .select($"wtype", $"n_window_events",
+          (unix_micros($"_hour") + 300L * 1000000L).as("ws"),
+          (unix_micros($"_hour") + 3000L * 1000000L).as("we"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select(unix_micros($"ts").as("ptsm"), $"value")
+      rangeJoinByBucket(purchases, "ptsm", windows, "ws", "we",
+          bucketMicros = 900L * 1000000L)
+        .groupBy($"wtype", timestamp_micros($"ws").as("window_start"))
+        .agg(first($"n_window_events").as("n_window_events"),
+          count($"ptsm").as("n_purchases"),
+          coalesce(dsum($"value", 4), lit(0.0)).as("purchase_value"))
+    },
+
+    // Integer-exact PageRank over the customer→supplier→nation→customer
+    // trade graph (prefixed node ids keep the three key spaces
+    // disjoint). 5 Pregel-style iterations, ranks in ppb BIGINTs so the
+    // reduce order can't perturb a single bit — see
+    // [[graft.graphquery.Graph.pageRank]] for the per-iteration shuffle
+    // shape and the overflow bound.
+    "q122_pagerank" -> { (s, dir) =>
+      import s.implicits._
+      val co = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select(concat(lit("c"), $"o_custkey").as("src"),
+          concat(lit("s"), $"l_suppkey").as("dst"))
+      val sn = t(s, dir, "supplier")
+        .select(concat(lit("s"), $"s_suppkey").as("src"),
+          concat(lit("n"), $"s_nationkey").as("dst"))
+      val nc = t(s, dir, "customer")
+        .select(concat(lit("n"), $"c_nationkey").as("src"),
+          concat(lit("c"), $"c_custkey").as("dst"))
+      graft.graphquery.Graph.pageRank(
+        co.union(sn).union(nc), "src", "dst", iters = 5, dampPct = 85)
+    },
+
+    // Conversion funnel view→click→purchase per user, 24 h conversion
+    // window per step, first-touch anchored (the funnel starts at the
+    // user's FIRST view; a step must land strictly after the event that
+    // reached the previous stage and within 24 h of it). ONE shuffle
+    // (the per-user collect), then a row-local ordered fold over the
+    // sorted event array — order-independent under timestamp ties, since
+    // a tie can never satisfy the strict inequality whichever side the
+    // sort puts first. The array-fold twin of the q48 sessionize window;
+    // same power-law caveat as the q107 timeline packing: one user's
+    // events land in one row.
+    "q123_funnel" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"user_id", unix_micros($"ts").as("tsm"), $"event_type")
+        .groupBy($"user_id")
+        .agg(array_sort(collect_list(struct($"tsm", $"event_type")))
+          .as("_evs"))
+        .withColumn("stage", expr(
+          """aggregate(_evs,
+            |  named_struct('s', 0L, 't', CAST(NULL AS LONG)),
+            |  (a, x) -> CASE
+            |    WHEN a.s = 0 AND x.event_type = 'view'
+            |      THEN named_struct('s', 1L, 't', x.tsm)
+            |    WHEN a.s = 1 AND x.event_type = 'click' AND x.tsm > a.t
+            |        AND x.tsm - a.t <= 86400000000L
+            |      THEN named_struct('s', 2L, 't', x.tsm)
+            |    WHEN a.s = 2 AND x.event_type = 'purchase' AND x.tsm > a.t
+            |        AND x.tsm - a.t <= 86400000000L
+            |      THEN named_struct('s', 3L, 't', x.tsm)
+            |    ELSE a END,
+            |  a -> a.s)""".stripMargin))
+        .groupBy($"stage")
+        .agg(count(lit(1)).as("n_users"))
     }
   )
 
@@ -310,6 +396,46 @@ object RelationalQueries {
     * value, so `last(ignoreNulls)` skips left rows but never a matched
     * right row.
     */
+  /** Interval range join without an equi key, by time-bucketing: left
+    * rows (point timestamps) against right rows (intervals
+    * `[startCol, endCol)`), LEFT OUTER from the interval side so empty
+    * intervals survive. Spark compiles a bare
+    * `ON ts >= s AND ts < e` to a BroadcastNestedLoopJoin — O(|L|·|R|)
+    * and a driver OOM once neither side is broadcast-sized. This is the
+    * standard bucketed form instead: every interval is exploded to the
+    * fixed-width buckets it covers (`sequence(s div b, (e-1) div b)` —
+    * end-exclusive), points key to their single bucket, and the join is
+    * an EQUI join on bucket with the exact range check as a residual
+    * condition. A point lies in exactly one bucket, so no dedup is
+    * needed; an interval of width w produces ceil(w/b)+1 rows — pick
+    * `bucketMicros` near the typical interval width so the blow-up is
+    * ~2×. Cost: one keyed shuffle of (exploded intervals + points),
+    * exactly how a 100 TB range join should run on a cluster; skewed
+    * buckets (everything in one hour) are AQE's skew-join case, same as
+    * any hot key.
+    *
+    * Returns one row per (interval × contained point), plus one
+    * null-point row for intervals containing none — aggregate on the
+    * interval's columns downstream. Left columns must not collide with
+    * right columns; `tsCol` must be epoch-micros LONG, as must
+    * `startCol`/`endCol`.
+    */
+  def rangeJoinByBucket(points: DataFrame, tsCol: String,
+                        intervals: DataFrame, startCol: String,
+                        endCol: String, bucketMicros: Long): DataFrame = {
+    val iv = intervals.withColumn("_bkt",
+      explode(sequence(col(startCol) - (col(startCol) % bucketMicros),
+        col(endCol) - lit(1L) - ((col(endCol) - 1L) % bucketMicros),
+        lit(bucketMicros))))
+    val pts = points.withColumn("_bkt",
+      col(tsCol) - (col(tsCol) % bucketMicros))
+    iv.join(pts,
+        iv("_bkt") === pts("_bkt") &&
+          pts(tsCol) >= iv(startCol) && pts(tsCol) < iv(endCol),
+        "left")
+      .drop("_bkt")
+  }
+
   def asofJoinBackward(left: DataFrame, right: DataFrame, keyCol: String,
                       tsCol: String, valCol: String,
                       outCol: String): DataFrame = {
@@ -482,6 +608,91 @@ object RelationalQueries {
         |  SELECT user_id, session_no, COUNT(*) AS n FROM s GROUP BY 1, 2)
         |SELECT length(bin(n)) - 1 AS bucket, count(*) AS n_sessions,
         |  CAST(SUM(n) AS BIGINT) AS n_events
-        |FROM sess GROUP BY 1""".stripMargin
+        |FROM sess GROUP BY 1""".stripMargin,
+
+    // q121: the same relation through DuckDB's native inequality join —
+    // the oracle can afford the O(|L|·|R|) form the Spark side exists to
+    // avoid.
+    "q121_range_join_hot_windows" ->
+      s"""WITH win AS (
+         |  SELECT event_type AS wtype, count(*) AS n_window_events,
+         |    epoch_us(date_trunc('hour', ts)) + 300000000 AS ws,
+         |    epoch_us(date_trunc('hour', ts)) + 3000000000 AS we
+         |  FROM events WHERE event_type <> 'purchase'
+         |  GROUP BY 1, 3, 4 HAVING count(*) >= 7),
+         |p AS (
+         |  SELECT epoch_us(ts) AS ptsm, value FROM events
+         |  WHERE event_type = 'purchase')
+         |SELECT wtype, make_timestamp(ws) AS window_start,
+         |  MIN(n_window_events) AS n_window_events,
+         |  COUNT(p.ptsm) AS n_purchases,
+         |  COALESCE(${dsumSql("p.value", 4)}, 0) AS purchase_value
+         |FROM win LEFT JOIN p ON p.ptsm >= win.ws AND p.ptsm < win.we
+         |GROUP BY 1, 2""".stripMargin,
+
+    // q122: the 5 PageRank iterations unrolled as chained CTEs — all
+    // BIGINT ppb arithmetic (`//` = floor division), bit-identical to
+    // the Spark loop by construction.
+    "q122_pagerank" -> {
+      val iters = (1 to 5).map { i =>
+        s"""r$i AS (
+           |  SELECT n.node,
+           |    CAST(150000000 + (85 * COALESCE(SUM(p.r // deg.d), 0)) // 100
+           |      AS BIGINT) AS r
+           |  FROM nodes n
+           |  LEFT JOIN edges e ON e.dst = n.node
+           |  LEFT JOIN deg ON deg.src = e.src
+           |  LEFT JOIN r${i - 1} p ON p.node = e.src
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH co AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |sn AS (
+         |  SELECT DISTINCT 's' || s_suppkey AS src, 'n' || s_nationkey AS dst
+         |  FROM supplier),
+         |nc AS (
+         |  SELECT DISTINCT 'n' || c_nationkey AS src, 'c' || c_custkey AS dst
+         |  FROM customer),
+         |edges AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT * FROM co UNION ALL SELECT * FROM sn
+         |    UNION ALL SELECT * FROM nc)),
+         |nodes AS (
+         |  SELECT DISTINCT src AS node FROM edges
+         |  UNION SELECT DISTINCT dst FROM edges),
+         |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+         |$iters
+         |SELECT node, r AS rank_ppb FROM r5""".stripMargin
+    },
+
+    // q123: the funnel through min-timestamp chaining — each stage's
+    // earliest qualifying event strictly after (and within 24 h of) the
+    // previous stage's, which is exactly what the Spark fold's strict
+    // `>` + gap advance computes.
+    "q123_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        |    AND epoch_us(e.ts) - epoch_us(v.t1) <= 86400000000
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        |    AND epoch_us(e.ts) - epoch_us(c.t2) <= 86400000000
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+        |    WHEN c.user_id IS NOT NULL THEN 2
+        |    WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+        |  count(*) AS n_users
+        |FROM u LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -223,4 +223,84 @@ class RelationalQueriesSpec extends SparkSpec {
       assert(got.toSeq == Seq(9L), s"tie not deterministic: ${got.toSeq}")
     }
   }
+
+  test("range join by bucket: boundaries, multi-bucket spans, empty intervals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Buckets of width 10. Intervals: [10,30) spans buckets 10+20; [25,26)
+    // inside one bucket; [40,50) empty. Points at 10 (== start, in), 29
+    // (in), 30 (== end, out), 25 (in second interval), 7 (nowhere).
+    val intervals = Seq(("a", 10L, 30L), ("b", 25L, 26L), ("c", 40L, 50L))
+      .toDF("iid", "s", "e")
+    val points = Seq((1L, 10L), (2L, 29L), (3L, 30L), (4L, 25L), (5L, 7L))
+      .toDF("pid", "tsm")
+    val got = RelationalQueries.rangeJoinByBucket(
+        points, "tsm", intervals, "s", "e", bucketMicros = 10L)
+      .groupBy($"iid").agg(sort_array(collect_list($"pid")).as("pids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(got("a") == Seq(1L, 2L, 4L)) // 10 in, 25 in, 29 in, 30 out
+    assert(got("b") == Seq(4L))
+    assert(got("c") == Seq())           // empty interval SURVIVES (left)
+    // Against the brute-force inequality join on the same data.
+    val brute = intervals.join(points,
+        points("tsm") >= intervals("s") && points("tsm") < intervals("e"))
+      .groupBy($"iid").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.view.mapValues(_.size.toLong).toMap ==
+      brute ++ Map("c" -> 0L))
+  }
+
+  test("pagerank: two hand-computed integer-exact iterations") {
+    import spark.implicits._
+    // A→B, A→C, B→A; C dangling. ppb math by hand:
+    //   iter1: A gets B's 10⁹ → 0.15e9 + 0.85e9 = 1e9;
+    //          B, C each get 10⁹ div 2 = 5e8 → 0.15e9 + 4.25e8 = 5.75e8.
+    //   iter2: A gets B's 5.75e8 → 150000000 + (85·575000000) div 100
+    //          = 638750000; B, C unchanged at 575000000.
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "A")).toDF("src", "dst")
+    val got = graft.graphquery.Graph.pageRank(edges, "src", "dst", iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("A" -> 638750000L, "B" -> 575000000L,
+      "C" -> 575000000L), s"got $got")
+    // Rank mass never exceeds |V|·10⁹ (dangling mass only leaks out).
+    assert(got.values.sum <= 3000000000L)
+  }
+
+  test("funnel fold: ties never advance, window expiry strands a stage") {
+    import spark.implicits._
+    val day = 86400000000L
+    val events = Seq(
+      // u1: click tied with view is skipped; purchase tied with click is
+      // skipped; later purchase converts → stage 3.
+      (1L, 10L, "view"), (1L, 10L, "click"), (1L, 15L, "click"),
+      (1L, 15L, "purchase"), (1L, 20L, "purchase"),
+      // u2: only click arrives past the 24 h window → stage 1.
+      (2L, 0L, "view"), (2L, day + 1L, "click"),
+      // u3: no view at all → stage 0.
+      (3L, 5L, "purchase"))
+      .toDF("user_id", "tsm", "event_type")
+    // The q123 entry reads the events table, so test its fold inline
+    // over a raw df (same expression text).
+    val got = events.groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.array_sort(
+        org.apache.spark.sql.functions.collect_list(
+          org.apache.spark.sql.functions.struct($"tsm", $"event_type")))
+        .as("_evs"))
+      .withColumn("stage", org.apache.spark.sql.functions.expr(
+        """aggregate(_evs,
+          |  named_struct('s', 0L, 't', CAST(NULL AS LONG)),
+          |  (a, x) -> CASE
+          |    WHEN a.s = 0 AND x.event_type = 'view'
+          |      THEN named_struct('s', 1L, 't', x.tsm)
+          |    WHEN a.s = 1 AND x.event_type = 'click' AND x.tsm > a.t
+          |        AND x.tsm - a.t <= 86400000000L
+          |      THEN named_struct('s', 2L, 't', x.tsm)
+          |    WHEN a.s = 2 AND x.event_type = 'purchase' AND x.tsm > a.t
+          |        AND x.tsm - a.t <= 86400000000L
+          |      THEN named_struct('s', 3L, 't', x.tsm)
+          |    ELSE a END,
+          |  a -> a.s)""".stripMargin))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("stage")).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 0L), s"got $got")
+  }
 }
