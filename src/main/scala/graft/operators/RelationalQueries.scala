@@ -376,26 +376,6 @@ object RelationalQueries {
     }
   )
 
-  /** AS-OF join, backward direction: every left row gets the `valCol` of
-    * the LATEST right row with the same key and ts <= left ts (ties
-    * include the equal-ts right row — ASOF `>=` semantics, matching
-    * DuckDB/kdb). Spark has no native as-of operator; the naive
-    * join-then-filter compiles to a per-key range CROSS join. This is the
-    * relational O(n log n) form instead: tag both sides, union, ONE keyed
-    * window carrying the last non-null right value forward in time —
-    * a single shuffle/sort over both inputs, partitioned by key, which is
-    * exactly how it scales on a cluster (no broadcast, no range
-    * explosion). Right rows sort before left rows at equal ts. Duplicate
-    * right rows at the same (key, ts) resolve deterministically: `_rv` is
-    * the final sort key, so the GREATEST value wins regardless of input
-    * partitioning or order (nulls sort first, so a null-valued tie row
-    * loses to any non-null one). A right row whose `valCol` is null still
-    * COUNTS as the latest match and yields null — ASOF semantics, same as
-    * DuckDB and [[graft.streaming.EventsStream.attributeStream]]: the
-    * carried marker is a non-null struct wrapping the (possibly null)
-    * value, so `last(ignoreNulls)` skips left rows but never a matched
-    * right row.
-    */
   /** Interval range join without an equi key, by time-bucketing: left
     * rows (point timestamps) against right rows (intervals
     * `[startCol, endCol)`), LEFT OUTER from the interval side so empty
@@ -436,6 +416,26 @@ object RelationalQueries {
       .drop("_bkt")
   }
 
+  /** AS-OF join, backward direction: every left row gets the `valCol` of
+    * the LATEST right row with the same key and ts <= left ts (ties
+    * include the equal-ts right row — ASOF `>=` semantics, matching
+    * DuckDB/kdb). Spark has no native as-of operator; the naive
+    * join-then-filter compiles to a per-key range CROSS join. This is the
+    * relational O(n log n) form instead: tag both sides, union, ONE keyed
+    * window carrying the last non-null right value forward in time —
+    * a single shuffle/sort over both inputs, partitioned by key, which is
+    * exactly how it scales on a cluster (no broadcast, no range
+    * explosion). Right rows sort before left rows at equal ts. Duplicate
+    * right rows at the same (key, ts) resolve deterministically: `_rv` is
+    * the final sort key, so the GREATEST value wins regardless of input
+    * partitioning or order (nulls sort first, so a null-valued tie row
+    * loses to any non-null one). A right row whose `valCol` is null still
+    * COUNTS as the latest match and yields null — ASOF semantics, same as
+    * DuckDB and [[graft.streaming.EventsStream.attributeStream]]: the
+    * carried marker is a non-null struct wrapping the (possibly null)
+    * value, so `last(ignoreNulls)` skips left rows but never a matched
+    * right row.
+    */
   def asofJoinBackward(left: DataFrame, right: DataFrame, keyCol: String,
                       tsCol: String, valCol: String,
                       outCol: String): DataFrame = {
