@@ -72,7 +72,8 @@ object ScaleProbe {
       "q104_moving_window", "q105_token_shares", "q106_asof_join",
       "q107_asof_timeline", "q108_asof_timeline_shuffle",
       "q115_surprisal", "q116_tokenizer_fertility", "q117_matryoshka_recall",
-      "q118_bpe_merge_pairs", "q119_ccnet_split", "q120_bigram_surprisal")
+      "q118_bpe_merge_pairs", "q119_ccnet_split", "q120_bigram_surprisal",
+      "q121_range_join_hot_windows", "q123_funnel")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -94,7 +95,9 @@ object ScaleProbe {
       "q106_asof_join" -> "events",
       "q107_asof_timeline" -> "events",
       "q108_asof_timeline_shuffle" -> "events",
-      "q117_matryoshka_recall" -> "embeddings").withDefault(_ => "documents")
+      "q117_matryoshka_recall" -> "embeddings",
+      "q121_range_join_hot_windows" -> "events",
+      "q123_funnel" -> "events").withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet
 
     // The replica generators for documents/lineitem are the
@@ -199,7 +202,10 @@ object ScaleProbe {
             .parquet(s"$outDir/events.parquet")
       }
       val skewProbes = Seq("q48_sessionize_batch", "q99_session_spectrum",
-        "q106_asof_join", "q107_asof_timeline", "q108_asof_timeline_shuffle")
+        "q106_asof_join", "q107_asof_timeline", "q108_asof_timeline_shuffle",
+        // q123 packs one array per user — the hot key's 10% of the corpus
+        // lands in ONE row; probed here for the same reason as q107.
+        "q123_funnel")
       skewProbes.foreach(q => SparkEntry.queries(q)(spark, sf01)
         .write.format("noop").mode("overwrite").save()) // codegen warmup
       for (q <- skewProbes;
@@ -210,6 +216,35 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
         println(f"PROBE $q $scale ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
+    }
+
+    // q122 pagerank probe — its own replica: the trade graph's edge list
+    // (RelationalQueries.tradeGraphEdges, shared verbatim with the gated
+    // query) with BOTH endpoints prefixed by the replica index, giving
+    // `replicas` fully disjoint copies of the graph — per-node rank
+    // structure is exactly the original's, so a linear wall-time ratio
+    // means the iteration shape scales and any super-linearity is the
+    // engine's, not the graph's. (The uniform lineitem/orders replicas
+    // can't be reused here: they shift order keys but share supplier and
+    // nation nodes, which would densify hubs instead of scaling the
+    // graph.)
+    if (nameFilter.isEmpty ||
+        nameFilter.exists("q122_pagerank".contains)) {
+      val e1 = graft.operators.RelationalQueries.tradeGraphEdges(spark, sf01)
+        .localCheckpoint()
+      val eN = e1.crossJoin(reps)
+        .select(concat(col("_rep"), lit("_"), col("src")).as("src"),
+          concat(col("_rep"), lit("_"), col("dst")).as("dst"))
+        .localCheckpoint()
+      def timeRank(scale: String, e: DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        graft.graphquery.Graph.pageRank(e, "src", "dst", iters = 5)
+          .write.format("noop").mode("overwrite").save()
+        println(f"PROBE q122_pagerank $scale ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      timeRank("warmup", e1) // codegen warmup, unrecorded (printed anyway)
+      timeRank("sf0.1", e1)
+      timeRank(label, eN)
     }
 
     // q60 flagship probe — needs its own GATE-PRESERVING replica: the

@@ -1,6 +1,6 @@
 package graft.graphquery
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph analytics beyond pattern matching ([[Bgp]]) and the
@@ -16,20 +16,24 @@ object Graph {
     * and drifts in the last bits — un-oracle-able). Per iteration each
     * node sends `rank div outDegree` (integer floor division) along each
     * out-edge and every node's next rank is
-    * `(1-d)·10⁹ + (d · Σ incoming) div 1` computed as
-    * `(100-dampPct)·10⁷ + (dampPct · Σ) div 100` — all BIGINT, all
-    * order-independent. Dangling mass (nodes with no out-edges) is
+    * `(100-dampPct)·10⁷ + (dampPct · Σ incoming) div 100` — all BIGINT,
+    * all order-independent. Dangling mass (nodes with no out-edges) is
     * dropped, not redistributed, matching the classic formulation — the
     * oracle mirrors exactly this.
     *
-    * Scale shape: `outDeg` is one groupBy of the edge list; each
-    * iteration is one `src`-keyed join (edges ⋈ ranks — both sides
-    * key-partitioned, AQE can co-locate the repeat) and one `dst`-keyed
-    * aggregation; the node table right-joins the aggregate so sinks with
-    * no in-edges keep the base rank. Lineage is cut per iteration with
-    * `localCheckpoint` — 5 iterations on a 1000-executor cluster is 5
-    * cheap keyed shuffles of |V| rows, never |V|² anything. Overflow
-    * bound: `dampPct · Σ incoming` stays under 2⁶³ while
+    * Scale shape: the input expression is evaluated ONCE (deduped edges
+    * are localCheckpoint'd before anything derives from them — nodes,
+    * degrees, and the iteration all read the materialized edge list, not
+    * the upstream join lineage). The degree-carrying edge list is
+    * hash-partitioned on `src` at materialization, so each iteration's
+    * edges⋈ranks join exchanges only the rank table (|V| rows) — the
+    * edge list, the big side at web scale, never crosses the wire again.
+    * Completeness without a per-iteration node join: zero-contribution
+    * rows for every node are unioned under the SAME dst-keyed
+    * aggregation, so sinks with no in-edges keep the base rank at the
+    * cost of |V| extra aggregate inputs, not an extra join. Lineage is
+    * cut per iteration with `localCheckpoint`. Overflow bound:
+    * `dampPct · Σ incoming` stays under 2⁶³ while
     * |V| · 10⁹ · 100 < 9.2·10¹⁸, i.e. up to ~9·10⁷ nodes per connected
     * in-neighborhood at full precision — beyond that, drop the ppb unit
     * to ppm (the precision the reports keep anyway).
@@ -41,27 +45,28 @@ object Graph {
                iters: Int = 5, dampPct: Int = 85): DataFrame = {
     require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
-      .distinct()
+      .distinct().localCheckpoint()
     val nodes = e.select(col("_src").as("node"))
       .union(e.select(col("_dst").as("node"))).distinct()
       .localCheckpoint()
     val outDeg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
-    // Degree is joined once, up front, so the per-iteration join carries
-    // (src, dst, deg) — one shuffle fewer per round.
-    val edgesDeg = e.join(outDeg, "_src").localCheckpoint()
+    // Degree is joined once, up front, and the result pinned to a
+    // src-hash partitioning — the per-iteration join then only shuffles
+    // the rank side.
+    val edgesDeg = e.join(outDeg, "_src")
+      .repartition(col("_src")).localCheckpoint()
+    val zero = nodes.select(col("node"), lit(0L).as("_c"))
     val base = lit((100L - dampPct) * 10000000L)
     var ranks = nodes.withColumn("rank_ppb", lit(1000000000L))
     for (_ <- 1 to iters) {
-      val contribs = edgesDeg
+      ranks = edgesDeg
         .join(ranks.withColumnRenamed("node", "_src"), "_src")
         // `div`, not `/`: BIGINT floor division on both engines — `/`
         // would round-trip through DOUBLE.
-        .select(col("_dst"), expr("rank_ppb div _deg").as("_c"))
-        .groupBy(col("_dst")).agg(sum(col("_c")).as("_in"))
-      ranks = nodes
-        .join(contribs.withColumnRenamed("_dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (base + expr(s"($dampPct * coalesce(_in, 0L)) div 100"))
+        .select(col("_dst").as("node"), expr("rank_ppb div _deg").as("_c"))
+        .unionByName(zero)
+        .groupBy(col("node")).agg(
+          (base + expr(s"($dampPct * sum(_c)) div 100"))
             .cast("long").as("rank_ppb"))
         .localCheckpoint()
     }

@@ -324,20 +324,8 @@ object RelationalQueries {
     // [[graft.graphquery.Graph.pageRank]] for the per-iteration shuffle
     // shape and the overflow bound.
     "q122_pagerank" -> { (s, dir) =>
-      import s.implicits._
-      val co = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
-        .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
-          $"o_orderkey" === $"l_orderkey")
-        .select(concat(lit("c"), $"o_custkey").as("src"),
-          concat(lit("s"), $"l_suppkey").as("dst"))
-      val sn = t(s, dir, "supplier")
-        .select(concat(lit("s"), $"s_suppkey").as("src"),
-          concat(lit("n"), $"s_nationkey").as("dst"))
-      val nc = t(s, dir, "customer")
-        .select(concat(lit("n"), $"c_nationkey").as("src"),
-          concat(lit("c"), $"c_custkey").as("dst"))
       graft.graphquery.Graph.pageRank(
-        co.union(sn).union(nc), "src", "dst", iters = 5, dampPct = 85)
+        tradeGraphEdges(s, dir), "src", "dst", iters = 5, dampPct = 85)
     },
 
     // Conversion funnel view→click→purchase per user, 24 h conversion
@@ -375,6 +363,26 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_users"))
     }
   )
+
+  /** q122's edge list: the customer→supplier→nation→customer trade
+    * graph, endpoints prefixed (`c`/`s`/`n`) so the three key spaces
+    * stay disjoint. Shared with ScaleProbe's pagerank replica.
+    */
+  def tradeGraphEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val co = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(concat(lit("c"), $"o_custkey").as("src"),
+        concat(lit("s"), $"l_suppkey").as("dst"))
+    val sn = t(s, dir, "supplier")
+      .select(concat(lit("s"), $"s_suppkey").as("src"),
+        concat(lit("n"), $"s_nationkey").as("dst"))
+    val nc = t(s, dir, "customer")
+      .select(concat(lit("n"), $"c_nationkey").as("src"),
+        concat(lit("c"), $"c_custkey").as("dst"))
+    co.union(sn).union(nc)
+  }
 
   /** Interval range join without an equi key, by time-bucketing: left
     * rows (point timestamps) against right rows (intervals
