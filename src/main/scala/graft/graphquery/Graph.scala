@@ -1,6 +1,6 @@
 package graft.graphquery
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Distributed graph analytics beyond pattern matching ([[Bgp]]) and the

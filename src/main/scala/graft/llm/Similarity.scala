@@ -515,6 +515,152 @@ object Similarity {
           .as("q"))
   }
 
+  /** Per-(vector, subspace) rows for product quantization: vector
+    * `_vid`'s j-th width-`dim/m` slice under subspace id `_sub` = j.
+    */
+  private def subVectors(corpus: DataFrame, idCol: String, vecCol: String,
+                         m: Int, dim: Int): DataFrame = {
+    val w = dim / m
+    corpus.select(col(idCol).as("_vid"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col(vecCol), s * lit(w) + lit(1), lit(w))))
+        .as(Seq("_sub", "_sv")))
+  }
+
+  /** Nearest codebook entry per (vector, subspace): the exact double
+    * distance chain with the smaller-cid tie-break — [[kMeans]]'s
+    * assignment, keyed by subspace. */
+  private def pqAssign(subvecs: DataFrame, codebook: DataFrame): DataFrame =
+    subvecs.join(broadcast(codebook), Seq("_sub"))
+      .withColumn("_d",
+        dot(col("_sv"), col("_sv")) - lit(2.0) * dot(col("_sv"), col("_cv"))
+          + dot(col("_cv"), col("_cv")))
+      .groupBy(col("_vid"), col("_sub"))
+      .agg((-max(struct(-col("_d"), -col("_cid"))).getField("col2"))
+        .as("_cid"))
+
+  /** Product-quantization codebooks (Jégou et al. 2011): the vector
+    * space is split into `m` width-`dim/m` subspaces and each gets its
+    * own k-means codebook — a vector then compresses to `m` small code
+    * ids (the 100 TB memory story: 64 floats → 8 codes; the corpus
+    * stores codes, scoring reconstructs from the broadcast codebook).
+    *
+    * Training is [[kMeans]]'s deterministic discipline, keyed by
+    * subspace so all `m` codebooks train in ONE plan (no per-subspace
+    * driver loop): id-sampled seeds (every `centroidEvery`-th vector's
+    * subvector seeds subspace j's book, so all books share cid space but
+    * differ in coordinates), exact double distance chains with
+    * smaller-cid tie-breaks, per-dimension means ROUNDED to 6 decimals
+    * each round — bit-identical on every engine and partitioning, which
+    * is what lets a DuckDB oracle replay the whole chain. The same
+    * in-plan modulus cap as [[kMeans]] pins per-subspace k once the
+    * corpus outgrows `maxCentroidsPerSub`, keeping assignment O(n·k)
+    * linear in n.
+    *
+    * Scale shape per round: assignment is map-only against the broadcast
+    * codebook (m·k·(dim/m) = k·dim doubles — the same budget as one
+    * [[kMeans]] centroid table); the update is one
+    * (sub, cid, pos)-keyed average with map-side combine.
+    *
+    * Returns (`_sub`, `_cid`, `_cv`): subspace id, code id, code vector.
+    */
+  def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, dim: Int = 64, centroidEvery: Int = 64,
+              iters: Int = 2, maxCentroidsPerSub: Int = 1024): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    graft.functions.NativeExpressions.register(corpus.sparkSession)
+    val subvecs = subVectors(corpus, idCol, vecCol, m, dim)
+    val mod = corpus.agg(
+      greatest(lit(centroidEvery.toLong),
+        ceil(count(lit(1)).cast("double") / maxCentroidsPerSub).cast("long"))
+        .as("_every"))
+    var codebook = subvecs.crossJoin(broadcast(mod))
+      .filter(col("_vid") % col("_every") === 0)
+      .select(col("_sub"), col("_vid").as("_cid"),
+        transform(col("_sv"), x => x.cast("double")).as("_cv"))
+    for (_ <- 0 until iters) {
+      codebook = pqAssign(subvecs, codebook)
+        .join(subvecs, Seq("_vid", "_sub"))
+        .select(col("_sub"), col("_cid"),
+          posexplode(col("_sv")).as(Seq("_pos", "_x")))
+        .groupBy(col("_sub"), col("_cid"), col("_pos"))
+        .agg(round(avg(col("_x").cast("double")), 6).as("_m"))
+        .groupBy(col("_sub"), col("_cid"))
+        .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_m")))),
+          s => s.getField("_m")).as("_cv"))
+        // m·k rows — materialize so each round's broadcast doesn't
+        // re-run every previous round's lineage.
+        .localCheckpoint(true)
+    }
+    codebook
+  }
+
+  /** PQ codes per vector under a trained codebook: (idCol, codes) with
+    * `codes(j)` = subspace j's nearest code id. The storage form — at
+    * 100 TB this array of m ids IS the vector table. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame, m: Int = 8, dim: Int = 64): DataFrame =
+    pqAssign(subVectors(corpus, idCol, vecCol, m, dim), codebook)
+      .groupBy(col("_vid"))
+      .agg(transform(array_sort(collect_list(struct(col("_sub"), col("_cid")))),
+        s => s.getField("_cid")).as("codes"))
+      .select(col("_vid").as(idCol), col("codes"))
+
+  /** PQ top-k, two-stage (the production shape): an asymmetric-distance
+    * SHORTLIST over the compressed corpus, then an exact re-rank of the
+    * shortlist against raw vectors. The ADC stage scores queries against
+    * the RECONSTRUCTED corpus (each vector replaced by its per-subspace
+    * code vectors, concatenated) — algebraically identical to the
+    * classic per-subspace lookup-table sum, but expressed as the same
+    * exact double chain [[bruteForceKnn]]/[[kMeans]] use, so both
+    * stages' rankings are engine-deterministic. Output:
+    * (qid, rank, neighbor_id).
+    *
+    * Scale shape: train touches the corpus `iters+1` times (codebook is
+    * k·dim doubles, broadcast); the shortlist stage reads CODES (m ids
+    * per vector) plus the broadcast codebook — one (vid)-keyed
+    * reassembly shuffle, then the broadcast-query scan (q35's intended
+    * tiny-query nested loop, whitelisted). The re-rank touches raw
+    * vectors for only |queries|·`shortlist` ids — a broadcast semi-join
+    * against the corpus, never a second full scan's worth of compute.
+    * At production scale codebook+codes live in storage
+    * ([[writeIvfIndex]]'s discipline) and only shortlist+re-rank run
+    * per query batch.
+    */
+  def pqKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+            vecCol: String, k: Int = 10, shortlist: Int = 50, m: Int = 8,
+            dim: Int = 64, centroidEvery: Int = 64,
+            iters: Int = 2): DataFrame = {
+    val codebook = trainPq(corpus, idCol, vecCol, m, dim, centroidEvery,
+      iters)
+    val recon = pqAssign(subVectors(corpus, idCol, vecCol, m, dim), codebook)
+      .join(broadcast(codebook), Seq("_sub", "_cid"))
+      .groupBy(col("_vid"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("_sub"), col("_cv")))),
+        s => s.getField("_cv"))).as("_rv"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("_qv"))
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("_d").asc, col("_vid").asc)
+    val cand = recon.join(broadcast(q), col("_vid") =!= col("qid"))
+      .withColumn("_d",
+        dot(col("_qv"), col("_qv")) - lit(2.0) * dot(col("_qv"), col("_rv"))
+          + dot(col("_rv"), col("_rv")))
+      .withColumn("_rn", row_number().over(wAdc))
+      .filter(col("_rn") <= shortlist)
+      .select(col("qid"), col("_qv"), col("_vid"))
+    val raw = corpus.select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("_de").asc, col("_vid").asc)
+    raw.join(broadcast(cand), Seq("_vid"))
+      .withColumn("_de",
+        dot(col("_qv"), col("_qv")) - lit(2.0) * dot(col("_qv"), col("_v"))
+          + dot(col("_v"), col("_v")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("_vid").as("neighbor_id"))
+  }
+
   /** LSH-bucketed ANN: same-bucket candidates from L tables, union,
     * exact cosine rerank to top-k. Output: (qid, rank, neighbor_id, sim).
     */

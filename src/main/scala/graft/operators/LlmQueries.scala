@@ -994,6 +994,20 @@ object LlmQueries {
         Similarity.bruteForceKnn(e, qs, "vec_id", "embedding", k = 10),
         Similarity.bruteForceKnn(trunc(e), trunc(qs), "vec_id", "embedding",
           k = 10), k = 10)
+    },
+
+    // Product-quantized top-k (Jégou et al. 2011): 8 subspace codebooks
+    // trained with the q62 k-means discipline (keyed by subspace, one
+    // plan), corpus compressed to 8 code ids per vector, queries scored
+    // by asymmetric distance against the reconstruction. The 100 TB
+    // memory story: 256 bytes/vector → 8 codes + one broadcast
+    // codebook. Oracle replays the entire train/encode/score chain in
+    // SQL — rounded centroid updates make every round's codebook
+    // bit-identical across engines.
+    "q124_pq_knn" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.pqKnn(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10, centroidEvery = 8)
     }
   )
 
@@ -2826,6 +2840,75 @@ object LlmQueries {
          |SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
          |  (COALESCE(h.n_hits, 0) * 1000000) // 10 AS recall_ppm
          |FROM (SELECT DISTINCT qid FROM q) q LEFT JOIN hits h USING (qid)""".stripMargin
+    },
+
+    // q124: the whole PQ chain replayed — per-subspace seeds, two
+    // rounded k-means rounds keyed by subspace (the q62 device), final
+    // assignment, reconstruction, asymmetric-distance ranking. The
+    // round(·, 6) on every centroid update is what makes a float
+    // pipeline this deep replayable: no engine's summation-order ulp
+    // survives the rounding.
+    "q124_pq_knn" -> {
+      def assignSql(cTable: String, name: String): String =
+        s"""$name AS (
+           |  SELECT vec_id, sub, cid FROM (
+           |    SELECT sv.vec_id, sv.sub, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+           |        (list_dot_product(sv.sv, sv.sv)
+           |         - 2.0 * list_dot_product(sv.sv, c.cv)
+           |         + list_dot_product(c.cv, c.cv)) ASC, c.cid ASC) AS rn
+           |    FROM subs sv JOIN $cTable c ON c.sub = sv.sub) WHERE rn = 1)"""
+          .stripMargin
+      def updateSql(aTable: String, name: String): String =
+        s"""$name AS (
+           |  SELECT sub, cid, list(m ORDER BY pos) AS cv FROM (
+           |    SELECT a.sub, a.cid, g.pos, round(avg(sv.sv[g.pos]), 6) AS m
+           |    FROM $aTable a JOIN subs sv
+           |      ON sv.vec_id = a.vec_id AND sv.sub = a.sub,
+           |      LATERAL UNNEST(generate_series(1, 8)) AS g(pos)
+           |    GROUP BY 1, 2, 3)
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH emb AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |subs AS (
+         |  SELECT vec_id, s.sub,
+         |    list_slice(v, s.sub * 8 + 1, s.sub * 8 + 8) AS sv
+         |  FROM emb, (SELECT unnest(generate_series(0, 7)) AS sub) s),
+         |c0 AS (
+         |  SELECT sub, vec_id AS cid, sv AS cv FROM subs WHERE vec_id % 8 = 0),
+         |${assignSql("c0", "a0")},
+         |${updateSql("a0", "c1")},
+         |${assignSql("c1", "a1")},
+         |${updateSql("a1", "c2")},
+         |${assignSql("c2", "a2")},
+         |recon AS (
+         |  SELECT a.vec_id, flatten(list(c.cv ORDER BY a.sub)) AS rv
+         |  FROM a2 a JOIN c2 c ON c.sub = a.sub AND c.cid = a.cid
+         |  GROUP BY 1),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.qid, q.qv, r.vec_id AS neighbor_id,
+         |    list_dot_product(q.qv, q.qv) - 2.0 * list_dot_product(q.qv, r.rv)
+         |      + list_dot_product(r.rv, r.rv) AS d
+         |  FROM q, recon r WHERE r.vec_id != q.qid),
+         |cand AS (
+         |  SELECT qid, qv, neighbor_id FROM (
+         |    SELECT qid, qv, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d ASC, neighbor_id ASC)
+         |        AS rn
+         |    FROM scored)
+         |  WHERE rn <= 50),
+         |rer AS (
+         |  SELECT c.qid, c.neighbor_id,
+         |    list_dot_product(c.qv, c.qv) - 2.0 * list_dot_product(c.qv, e.v)
+         |      + list_dot_product(e.v, e.v) AS de
+         |  FROM cand c JOIN emb e ON e.vec_id = c.neighbor_id)
+         |SELECT qid, rank, neighbor_id FROM (
+         |  SELECT qid, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY de ASC, neighbor_id ASC)
+         |      AS rank
+         |  FROM rer)
+         |WHERE rank <= 10""".stripMargin
     }
   )
 }

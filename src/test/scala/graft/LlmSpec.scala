@@ -108,6 +108,51 @@ class LlmSpec extends SparkSpec {
     // planted duplicate vectors share all sign buckets.
   }
 
+  test("PQ: duplicates share codes, codebooks partition subspaces, rerank recall holds") {
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.Tables.t(spark, sf, "embeddings")
+    val cb = Similarity.trainPq(e, "vec_id", "embedding", centroidEvery = 8)
+    // Codebook shape: 8 subspaces, width-8 code vectors, shared cid space.
+    val bySubs = cb.groupBy(col("_sub")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(bySubs.keySet == (0 until 8).toSet, s"subspaces: $bySubs")
+    assert(cb.select(size(col("_cv"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(8))
+    // An exact duplicate vector must encode to identical codes: same
+    // distance chains, same smaller-cid tie-break, per subspace.
+    val dup = e.filter(col("vec_id") === 1).withColumn("vec_id", lit(9001L))
+    val codes = Similarity.pqEncode(e.unionByName(dup), "vec_id",
+        "embedding", cb)
+      .filter(col("vec_id").isin(1L, 9001L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes(1L) == codes(9001L), s"codes: $codes")
+    assert(codes(1L).size == 8)
+    // Two-stage recall vs the exact L2 ground truth (pqKnn ranks by L2,
+    // not cosine — bruteForceKnn is the wrong yardstick here).
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val qq = q.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("_d").asc, col("nid").asc)
+    val exact = e.select(col("vec_id").as("nid"), col("embedding").as("v"))
+      .join(broadcast(qq), col("nid") =!= col("qid"))
+      .withColumn("_d",
+        Similarity.dot(col("qv"), col("qv"))
+          - lit(2.0) * Similarity.dot(col("qv"), col("v"))
+          + Similarity.dot(col("v"), col("v")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val pq = Similarity.pqKnn(e, q, "vec_id", "embedding", k = 10,
+        centroidEvery = 8)
+      .select("qid", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val recalls = exact.map { case (qid, truth) =>
+      pq.getOrElse(qid, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.5, s"avg recall@10 = $avg — PQ shortlist too lossy")
+  }
+
   test("IVF ANN recall vs brute force is substantial on sf0.001") {
     val e = graft.Tables.t(spark, sf, "embeddings")
     val q = e.filter(col("vec_id") % 100 === 0)

@@ -34,7 +34,10 @@ class PlanAuditSpec extends SparkSpec {
       "q115_surprisal", "q119_ccnet_split", "q120_bigram_surprisal",
       // q117 composes q35's brute-force side twice (full and truncated)
       // — same tiny broadcast query sample, same intended NLJ.
-      "q117_matryoshka_recall")
+      "q117_matryoshka_recall",
+      // q124's ADC shortlist scans the reconstructed corpus against the
+      // broadcast query sample — q35's intended shape over codes.
+      "q124_pq_knn")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
