@@ -289,6 +289,21 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_sessions"), sum($"_n").as("n_events"))
     },
 
+    // AS-OF join, forward: each click's NEXT purchase at-or-after it —
+    // time-to-conversion's other half ([[asofJoinForward]]); same union
+    // + one keyed window shape as q106, mirrored frame.
+    "q125_asof_forward" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("tsm"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", unix_micros($"ts").as("tsm"),
+          get_json_object($"props", "$.k").cast("long").as("k"))
+      asofJoinForward(clicks, purchases, "user_id", "tsm", "k",
+        "next_purchase_k")
+    },
+
     // Keyless interval range join via time-bucketing: purchases landing
     // inside "hot windows" ([hour+5min, hour+50min) of any hour where a
     // non-purchase event type logged >= 7 events). No shared key exists
@@ -363,6 +378,39 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_users"))
     }
   )
+
+  /** AS-OF join, FORWARD direction: every left row gets the `valCol` of
+    * the EARLIEST right row with the same key and ts >= left ts (equal
+    * ts included — ASOF `<=` semantics, matching DuckDB). The mirror of
+    * [[asofJoinBackward]] — "next purchase after this click" instead of
+    * "last purchase before it" — with the same one-union one-keyed-window
+    * scale shape and the mirrored determinism rules: at equal ts the
+    * left row sorts BEFORE right rows (so an equal-ts right row is
+    * inside its forward frame), duplicate right rows at the same
+    * (key, ts) resolve to the GREATEST value (descending tie sort, so
+    * `first` lands on it regardless of input order; nulls sort last and
+    * lose to any non-null tie), and a matched right row whose `valCol`
+    * is null still counts and yields null via the struct marker.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+                      tsCol: String, valCol: String,
+                      outCol: String): DataFrame = {
+    val vType = right.select(col(valCol)).schema.head.dataType
+    val sType = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("_v", vType)))
+    val l = left.withColumn("_isL", lit(1))
+      .withColumn("_rs", lit(null).cast(sType))
+    val r = right.select(col(keyCol), col(tsCol), lit(0).as("_isL"),
+      struct(col(valCol).as("_v")).as("_rs"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("_isL").desc,
+        col("_rs._v").desc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(outCol, first(col("_rs"), ignoreNulls = true).over(w)("_v"))
+      .filter(col("_isL") === 1)
+      .drop("_isL", "_rs")
+  }
 
   /** q122's edge list: the customer→supplier→nation→customer trade
     * graph, endpoints prefixed (`c`/`s`/`n`) so the three key spaces
@@ -617,6 +665,20 @@ object RelationalQueries {
         |SELECT length(bin(n)) - 1 AS bucket, count(*) AS n_sessions,
         |  CAST(SUM(n) AS BIGINT) AS n_events
         |FROM sess GROUP BY 1""".stripMargin,
+
+    // q125: DuckDB's native forward ASOF (`<=` picks the earliest
+    // at-or-after right row).
+    "q125_asof_forward" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsm FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.tsm, p.k AS next_purchase_k
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.tsm <= p.tsm""".stripMargin,
 
     // q121: the same relation through DuckDB's native inequality join —
     // the oracle can afford the O(|L|·|R|) form the Spark side exists to

@@ -224,6 +224,32 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("asof forward: earliest at-or-after wins, equal-ts included, ties deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val clicks = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 10L, 300L),
+      (4L, 77L, 500L)).toDF("event_id", "user_id", "tsm")
+    val purchases = Seq((10L, 100L, 7L), (10L, 200L, 9L), (10L, 205L, 11L))
+      .toDF("user_id", "tsm", "k")
+    val out = RelationalQueries.asofJoinForward(
+        clicks, purchases, "user_id", "tsm", "k", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(out(1L) == Some(7L))   // equal-ts purchase included
+    assert(out(2L) == Some(11L))  // equal-ts, skips the earlier ones
+    assert(out(3L) == None)       // after every purchase
+    assert(out(4L) == None)       // user with no purchases
+    // Duplicate (key, ts) right rows: greatest value wins on every run.
+    val dup = Seq((10L, 300L, 7L), (10L, 300L, 9L)).toDF("user_id", "tsm", "k")
+    for (right <- Seq(dup, dup.repartition(7, col("k"))
+        .sortWithinPartitions(desc("k")))) {
+      val got = RelationalQueries.asofJoinForward(
+          clicks.filter($"event_id" === 1L), right, "user_id", "tsm", "k", "v")
+        .collect().map(_.getAs[Long]("v"))
+      assert(got.toSeq == Seq(9L), s"tie not deterministic: ${got.toSeq}")
+    }
+  }
+
   test("range join by bucket: boundaries, multi-bucket spans, empty intervals") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
