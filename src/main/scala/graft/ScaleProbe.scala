@@ -73,7 +73,8 @@ object ScaleProbe {
       "q107_asof_timeline", "q108_asof_timeline_shuffle",
       "q115_surprisal", "q116_tokenizer_fertility", "q117_matryoshka_recall",
       "q118_bpe_merge_pairs", "q119_ccnet_split", "q120_bigram_surprisal",
-      "q121_range_join_hot_windows", "q123_funnel", "q125_asof_forward")
+      "q121_range_join_hot_windows", "q123_funnel", "q124_pq_knn",
+      "q125_asof_forward")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -98,6 +99,7 @@ object ScaleProbe {
       "q117_matryoshka_recall" -> "embeddings",
       "q121_range_join_hot_windows" -> "events",
       "q123_funnel" -> "events",
+      "q124_pq_knn" -> "embeddings",
       "q125_asof_forward" -> "events").withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet
 
