@@ -360,24 +360,33 @@ object RelationalQueries {
         .groupBy($"user_id")
         .agg(array_sort(collect_list(struct($"tsm", $"event_type")))
           .as("_evs"))
-        .withColumn("stage", expr(
-          """aggregate(_evs,
-            |  named_struct('s', 0L, 't', CAST(NULL AS LONG)),
-            |  (a, x) -> CASE
-            |    WHEN a.s = 0 AND x.event_type = 'view'
-            |      THEN named_struct('s', 1L, 't', x.tsm)
-            |    WHEN a.s = 1 AND x.event_type = 'click' AND x.tsm > a.t
-            |        AND x.tsm - a.t <= 86400000000L
-            |      THEN named_struct('s', 2L, 't', x.tsm)
-            |    WHEN a.s = 2 AND x.event_type = 'purchase' AND x.tsm > a.t
-            |        AND x.tsm - a.t <= 86400000000L
-            |      THEN named_struct('s', 3L, 't', x.tsm)
-            |    ELSE a END,
-            |  a -> a.s)""".stripMargin))
+        .withColumn("stage", expr(funnelFoldExpr()))
         .groupBy($"stage")
         .agg(count(lit(1)).as("n_users"))
     }
   )
+
+  /** q123's funnel fold over a `_evs` column of sorted
+    * (tsm, event_type) structs: the stage reached by
+    * view→click→purchase with a per-step window of `gapMicros` and a
+    * strict-`>` advance. Shared by the gated query, the spec's inline
+    * cases, and the streaming twin's equality test
+    * ([[graft.streaming.EventsStream.funnelStream]]).
+    */
+  def funnelFoldExpr(gapMicros: Long = 86400000000L): String =
+    s"""aggregate(_evs,
+       |  named_struct('s', 0L, 't', CAST(NULL AS LONG)),
+       |  (a, x) -> CASE
+       |    WHEN a.s = 0 AND x.event_type = 'view'
+       |      THEN named_struct('s', 1L, 't', x.tsm)
+       |    WHEN a.s = 1 AND x.event_type = 'click' AND x.tsm > a.t
+       |        AND x.tsm - a.t <= ${gapMicros}L
+       |      THEN named_struct('s', 2L, 't', x.tsm)
+       |    WHEN a.s = 2 AND x.event_type = 'purchase' AND x.tsm > a.t
+       |        AND x.tsm - a.t <= ${gapMicros}L
+       |      THEN named_struct('s', 3L, 't', x.tsm)
+       |    ELSE a END,
+       |  a -> a.s)""".stripMargin
 
   /** AS-OF join, FORWARD direction: every left row gets the `valCol` of
     * the EARLIEST right row with the same key and ts >= left ts (equal

@@ -203,6 +203,79 @@ object EventsStream {
       }
   }
 
+  case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+                         event_type: String)
+  case class FunnelState(stage: Long, stageTs: Long,
+                         pending: Seq[(Long, String)])
+  case class FunnelStep(user_id: Long, stage: Long, tsm: Long)
+
+  /** Streaming conversion funnel — the stateful twin of the q123 batch
+    * fold: per user, view→click→purchase with a per-step event-time
+    * window (`gapMicros`), first-touch anchored, strict-`>` advance.
+    * Emits one [[FunnelStep]] per stage ADVANCE (the batch query's final
+    * stage per user = the max emitted stage; users who never reach stage
+    * 1 emit nothing).
+    *
+    * Correctness under out-of-order arrival: the fold is prefix-monotone
+    * (processing events in event-time order, its state after a prefix
+    * never changes when later events arrive), so events are buffered per
+    * key and folded only once the watermark passes them — each advance
+    * is final when emitted, no retraction. Same discipline as
+    * [[attributeStreams]]: event-time timeouts drain the buffer when a
+    * key goes quiet, state is removed at stage 3 with an empty buffer
+    * (nothing can ever advance again), and the buffer is watermark-
+    * bounded — per key it holds one lateness-window of events, not
+    * history. Equal-timestamp ordering is (tsm, event_type), matching
+    * the batch `array_sort(struct(tsm, event_type))` — and as in the
+    * batch operator, ties cannot change the outcome: a tie can never
+    * satisfy the strict `>` advance.
+    *
+    * Contract-violating late data (an event arriving AFTER the watermark
+    * already passed its event time) folds at arrival position, not in
+    * global event-time order — the standard watermark trade; size the
+    * lateness to the source's real disorder or the stream can diverge
+    * from the batch fold on exactly those rows.
+    *
+    * Callers must `withWatermark("ts", …)` on the input before the typed
+    * conversion.
+    */
+  def funnelStream(events: Dataset[FunnelEvent],
+                   gapMicros: Long = 86400000000L): Dataset[FunnelStep] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelStep](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, rows, state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(0L, 0L, Nil))
+          val batch = rows.toSeq.map(r => (micros(r.ts), r.event_type))
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val (ready, rest) = (prev.pending ++ batch).partition(_._1 <= wm)
+          var stage = prev.stage
+          var sts = prev.stageTs
+          val out = Seq.newBuilder[FunnelStep]
+          for ((tsm, et) <- ready.sorted) {
+            val adv = (stage, et) match {
+              case (0L, "view")     => true
+              case (1L, "click")    => tsm > sts && tsm - sts <= gapMicros
+              case (2L, "purchase") => tsm > sts && tsm - sts <= gapMicros
+              case _                => false
+            }
+            if (adv) { stage += 1; sts = tsm; out += FunnelStep(key, stage, tsm) }
+          }
+          if (rest.isEmpty && stage == 3L) state.remove()
+          else {
+            state.update(FunnelState(stage, sts, rest))
+            // Wake when the watermark passes the earliest buffered event,
+            // even if the key sees no more data (clamped a tick past the
+            // current watermark — Spark rejects timeouts at-or-before it).
+            if (rest.nonEmpty) state.setTimeoutTimestamp(
+              (rest.map(_._1).min / 1000L).max(state.getCurrentWatermarkMs() + 1L))
+          }
+          out.result().iterator
+      }
+  }
+
   /** Gap-based sessionization via keyed state
     * (KeyValueGroupedDataset.flatMapGroupsWithState): a session per
     * event_type closes after `gapMs` of event-time silence. EVENT-time

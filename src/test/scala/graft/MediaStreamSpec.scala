@@ -284,6 +284,63 @@ class MediaStreamSpec extends SparkSpec {
       s"emitted set ${got.keySet}")
   }
 
+  test("streaming: funnel advances match the q123 fold under out-of-order arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000) // whole-ms fixture
+    val M = 1000000L
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    // Lateness must COVER the planned disorder: u20's click arrives one
+    // trigger after an event 15 s ahead of it, so a 5 s watermark would
+    // make it contract-violating late data — 30 s keeps the watermark
+    // behind it until it lands.
+    val q = EventsStream.funnelStream(
+        mem.toDF().toDF("user_id", "ts", "event_type")
+          .withWatermark("ts", "30 seconds")
+          .as[EventsStream.FunnelEvent])
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    // u10 converts fully in order. u20's click arrives one trigger LATE
+    // with an event time BETWEEN its view and purchase — arrival-order
+    // folding would strand u20 at stage 1; watermark buffering must
+    // reorder and reach stage 3. u30's click ties its view (strict `>`
+    // never advances) — stage stays 1.
+    mem.addData((10L, ts(10 * M), "view"), (10L, ts(20 * M), "click"),
+      (10L, ts(30 * M), "purchase"),
+      (20L, ts(10 * M), "view"), (20L, ts(25 * M), "purchase"),
+      (30L, ts(5 * M), "view"), (30L, ts(5 * M), "click"))
+    q.processAllAvailable()
+    mem.addData((20L, ts(15 * M), "click")) // out-of-order, pre-purchase
+    q.processAllAvailable()
+    // Sentinels push the watermark far past every buffered event.
+    for (s <- Seq(500L, 600L, 700L)) {
+      mem.addData((999L, ts(s * M), "view"))
+      q.processAllAvailable()
+    }
+    val advances = spark.table("funnel_stream")
+      .groupBy(col("user_id")).agg(max(col("stage")).as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+    // Batch: the same finite input through the shared q123 fold.
+    val batch = Seq((10L, 10 * M, "view"), (10L, 20 * M, "click"),
+        (10L, 30 * M, "purchase"), (20L, 10 * M, "view"),
+        (20L, 25 * M, "purchase"), (20L, 15 * M, "click"),
+        (30L, 5 * M, "view"), (30L, 5 * M, "click"))
+      .toDF("user_id", "tsm", "event_type")
+      .groupBy($"user_id")
+      .agg(array_sort(collect_list(struct($"tsm", $"event_type")))
+        .as("_evs"))
+      .withColumn("stage", expr(
+        graft.operators.RelationalQueries.funnelFoldExpr()))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("stage")).toMap
+    assert(advances(10L) == 3L && advances(20L) == 3L && advances(30L) == 1L,
+      s"stream advances: $advances")
+    for ((u, s) <- batch if u != 999L) {
+      assert(advances.getOrElse(u, 0L) == s,
+        s"stream/batch diverge on user $u: stream=${advances.get(u)} batch=$s")
+    }
+  }
+
   test("streaming: fingerprint dedup drops duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

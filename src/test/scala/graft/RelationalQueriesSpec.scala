@@ -305,27 +305,15 @@ class RelationalQueriesSpec extends SparkSpec {
       // u3: no view at all → stage 0.
       (3L, 5L, "purchase"))
       .toDF("user_id", "tsm", "event_type")
-    // The q123 entry reads the events table, so test its fold inline
-    // over a raw df (same expression text).
+    // The q123 entry reads the events table, so test its fold (the
+    // shared funnelFoldExpr) over a raw df.
     val got = events.groupBy($"user_id")
       .agg(org.apache.spark.sql.functions.array_sort(
         org.apache.spark.sql.functions.collect_list(
           org.apache.spark.sql.functions.struct($"tsm", $"event_type")))
         .as("_evs"))
       .withColumn("stage", org.apache.spark.sql.functions.expr(
-        """aggregate(_evs,
-          |  named_struct('s', 0L, 't', CAST(NULL AS LONG)),
-          |  (a, x) -> CASE
-          |    WHEN a.s = 0 AND x.event_type = 'view'
-          |      THEN named_struct('s', 1L, 't', x.tsm)
-          |    WHEN a.s = 1 AND x.event_type = 'click' AND x.tsm > a.t
-          |        AND x.tsm - a.t <= 86400000000L
-          |      THEN named_struct('s', 2L, 't', x.tsm)
-          |    WHEN a.s = 2 AND x.event_type = 'purchase' AND x.tsm > a.t
-          |        AND x.tsm - a.t <= 86400000000L
-          |      THEN named_struct('s', 3L, 't', x.tsm)
-          |    ELSE a END,
-          |  a -> a.s)""".stripMargin))
+        RelationalQueries.funnelFoldExpr()))
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("stage")).toMap
     assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 0L), s"got $got")
   }
