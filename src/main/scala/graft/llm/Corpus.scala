@@ -102,6 +102,62 @@ object Corpus {
         (col("rate_ppm").cast("double") / lit(1000000.0)).as("rate"))
   }
 
+  /** Temperature-rebalanced sampling rates (the mC4/XLM-R multilingual
+    * mixture device at α = 0.5): target share of stratum l ∝ √(its token
+    * count), so low-resource strata are up-weighted relative to their
+    * raw share without ever dominating. Given a token budget of
+    * `total div budgetDen`, emits per stratum the integer-exact chain a
+    * mixture run needs: raw tokens, √-weight, temperature share (ppm),
+    * target tokens (capped at what the stratum has — a stratum cannot be
+    * sampled above rate 1), and the per-doc keep rate (ppm) that
+    * [[stratifiedSample]]'s hash draw consumes. Steeper temperatures
+    * compose by reapplying the √ (α = 0.25 = two applications).
+    *
+    * Integer-exactness: floor(sqrt(BIGINT)) is safe cross-engine because
+    * IEEE sqrt is correctly rounded and token counts stay under 2⁵²
+    * (≈4.5·10¹⁵ — beyond this corpus's design point); everything after
+    * is BIGINT with the same base-1000 long-division device as
+    * [[mixRates]] wherever a ·10⁶ product could overflow. One
+    * aggregation shuffle; the windows run over the handful of
+    * post-aggregation stratum rows.
+    */
+  def temperatureRates(docs: DataFrame, stratumCol: String,
+                       tokenCount: Column,
+                       budgetDen: Long = 4L): DataFrame = {
+    val w = Window.partitionBy()
+    docs.select(col(stratumCol), tokenCount.as("_n"))
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("stratum_tokens"))
+      .select(col("*"),
+        floor(sqrt(col("stratum_tokens").cast("double"))).cast("long")
+          .as("sqrt_weight"))
+      .select(col("*"),
+        sum(col("sqrt_weight")).over(w).as("_sq"),
+        sum(col("stratum_tokens")).over(w).as("_total"))
+      // share: sqrt_weight ≤ √(2⁵²) < 2²⁶, so the ·10⁶ product is safe
+      // directly. budget·share splits through div/mod 10⁶ so no
+      // intermediate exceeds budget·10⁶ overflow territory; the doc-rate
+      // division reuses mixRates' base-1000 form verbatim.
+      .select(col(stratumCol), col("n_docs"), col("stratum_tokens"),
+        col("sqrt_weight"),
+        expr("(sqrt_weight * 1000000L) div _sq").as("share_ppm"),
+        col("_total"))
+      .select(col("*"),
+        least(col("stratum_tokens"),
+          expr(s"((_total div $budgetDen) div 1000000L) * share_ppm" +
+            s" + (((_total div $budgetDen) % 1000000L) * share_ppm)" +
+            " div 1000000L")).as("target_tokens"))
+      .select(col(stratumCol), col("n_docs"), col("stratum_tokens"),
+        col("sqrt_weight"), col("share_ppm"), col("target_tokens"),
+        expr("""CASE
+          WHEN target_tokens >= stratum_tokens THEN 1000000L
+          ELSE
+            ((target_tokens * 1000L) div stratum_tokens) * 1000L +
+            ((target_tokens * 1000L) % stratum_tokens)
+              * 1000L div stratum_tokens
+          END""").as("rate_ppm"))
+  }
+
   /** Rare-token score: for each document, how many of its token
     * occurrences are corpus-wide rare (frequency <= maxFreq) — the
     * integer-exact gibberish/noise signal (a unigram-LM proxy without

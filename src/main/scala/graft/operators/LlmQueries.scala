@@ -1008,6 +1008,15 @@ object LlmQueries {
       val e = t(s, dir, "embeddings")
       Similarity.pqKnn(e, e.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 10, centroidEvery = 8)
+    },
+
+    // Temperature-rebalanced mixture rates (mC4/XLM-R α=0.5): per
+    // language, the √-weight share, quarter-budget target tokens, and
+    // the integer-exact per-doc keep rate — the table a multilingual
+    // pretraining mix reads before sampling.
+    "q126_temperature_rates" -> { (s, dir) =>
+      Corpus.temperatureRates(t(s, dir, "documents"), "lang",
+        TA.tokenCount(col("text")))
     }
   )
 
@@ -2909,6 +2918,40 @@ object LlmQueries {
          |      AS rank
          |  FROM rer)
          |WHERE rank <= 10""".stripMargin
-    }
+    },
+
+    // q126: the same integer chain — floor(sqrt) is IEEE-exact on both
+    // engines, everything else is BIGINT with `//` floor division and
+    // the mixRates base-1000 device.
+    "q126_temperature_rates" ->
+      """WITH agg AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |      AS stratum_tokens
+        |  FROM documents GROUP BY 1),
+        |sq AS (
+        |  SELECT *, CAST(floor(sqrt(stratum_tokens)) AS BIGINT)
+        |    AS sqrt_weight FROM agg),
+        |tot AS (
+        |  SELECT *, CAST(SUM(sqrt_weight) OVER () AS BIGINT) AS sw,
+        |    CAST(SUM(stratum_tokens) OVER () AS BIGINT) AS total
+        |  FROM sq),
+        |sh AS (
+        |  SELECT lang, n_docs, stratum_tokens, sqrt_weight,
+        |    (sqrt_weight * 1000000) // sw AS share_ppm, total
+        |  FROM tot),
+        |tg AS (
+        |  SELECT *, least(stratum_tokens,
+        |    ((total // 4) // 1000000) * share_ppm
+        |      + (((total // 4) % 1000000) * share_ppm) // 1000000)
+        |    AS target_tokens
+        |  FROM sh)
+        |SELECT lang, n_docs, stratum_tokens, sqrt_weight, share_ppm,
+        |  target_tokens,
+        |  CAST(CASE WHEN target_tokens >= stratum_tokens THEN 1000000
+        |    ELSE ((target_tokens * 1000) // stratum_tokens) * 1000
+        |      + ((target_tokens * 1000) % stratum_tokens) * 1000
+        |        // stratum_tokens END AS BIGINT) AS rate_ppm
+        |FROM tg""".stripMargin
   )
 }

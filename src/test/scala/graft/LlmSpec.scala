@@ -108,6 +108,25 @@ class LlmSpec extends SparkSpec {
     // planted duplicate vectors share all sign buckets.
   }
 
+  test("temperature rates: hand-computed sqrt shares, capped targets, exact rates") {
+    import spark.implicits._
+    // x: 9 tokens (1 doc); y: 100 tokens (10 docs of 10). sqrt weights
+    // 3 and 10, sum 13, total 109, quarter budget 27.
+    //   share_x = 3·10⁶ div 13 = 230769 (vs raw share 82568 — upweighted)
+    //   target_x = min(9, 27·230769 div 10⁶) = 6; rate = 666666 ppm
+    //   target_y = min(100, 27·769230 div 10⁶) = 20; rate = 200000 ppm
+    val docs = (Seq(("x", Seq.tabulate(9)(i => s"t$i").mkString(" "))) ++
+      Seq.tabulate(10)(d => ("y", Seq.tabulate(10)(i => s"w$d$i").mkString(" "))))
+      .toDF("lang", "text")
+    val got = Corpus.temperatureRates(docs, "lang",
+        graft.llm.TextAnalysis.tokenCount(col("text")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(got("x") == ((1L, 9L, 3L, 230769L, 6L, 666666L)), s"x: $got")
+    assert(got("y") == ((10L, 100L, 10L, 769230L, 20L, 200000L)), s"y: $got")
+  }
+
   test("PQ: duplicates share codes, codebooks partition subspaces, rerank recall holds") {
     import org.apache.spark.sql.expressions.Window
     val e = graft.Tables.t(spark, sf, "embeddings")
