@@ -463,7 +463,9 @@ object RelationalQueries {
     * null-point row for intervals containing none — aggregate on the
     * interval's columns downstream. Left columns must not collide with
     * right columns; `tsCol` must be epoch-micros LONG, as must
-    * `startCol`/`endCol`.
+    * `startCol`/`endCol`, with `endCol > startCol` on every row (an
+    * empty interval makes the bucket `sequence` step backwards and
+    * fails at runtime — filter degenerate intervals out first).
     */
   def rangeJoinByBucket(points: DataFrame, tsCol: String,
                         intervals: DataFrame, startCol: String,
