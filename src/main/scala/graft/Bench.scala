@@ -56,6 +56,13 @@ object Bench {
     // untimed gap, rather than inside the next query's measurement.
     def hygiene(): Unit = {
       spark.catalog.clearCache()
+      // localCheckpoint blocks (pagerank/PQ/dedup stage caps) register as
+      // persistent RDDs; dropping them here is deterministic where
+      // GC → ContextCleaner is best-effort — without this, a heavy
+      // checkpointing query taxes every later query's memory headroom.
+      // Safe between queries: the next run rebuilds its checkpoints.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc()
       Thread.sleep(250)
     }
