@@ -661,6 +661,68 @@ object Similarity {
       .select(col("qid"), col("rank"), col("_vid").as("neighbor_id"))
   }
 
+  /** Materialize a PQ index: the trained codebook plus the corpus's
+    * codes — after this, the raw vectors never need re-reading for
+    * search (the 32× storage story: 8 code ids replace 64 floats; keep
+    * the raw table only if exact re-rank is wanted).
+    */
+  def writePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   dir: String, m: Int = 8, dim: Int = 64,
+                   centroidEvery: Int = 64, iters: Int = 2): Unit = {
+    val codebook = trainPq(corpus, idCol, vecCol, m, dim, centroidEvery,
+      iters)
+    codebook.write.mode("overwrite").parquet(s"$dir/codebook")
+    pqEncode(corpus, idCol, vecCol, codebook, m, dim)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Incremental PQ ingest: encode a NEW batch against the STORED
+    * codebook and append its codes — the [[appendToIvfIndex]] sign-once
+    * discipline for compressed vectors. The codebook stays frozen
+    * (retrain on drift, not per batch), so a batch costs one map-only
+    * assignment against the broadcast codebook plus a codes append; the
+    * indexed corpus is never re-read or re-trained, and identical
+    * vectors encode to identical codes whenever they arrive.
+    */
+  def appendToPqIndex(batch: DataFrame, idCol: String, vecCol: String,
+                      dir: String, m: Int = 8, dim: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    pqEncode(batch, idCol, vecCol, codebook, m, dim)
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** ADC top-k over a materialized [[writePqIndex]] index: reconstruct
+    * from stored codes + broadcast codebook, score the broadcast query
+    * batch, rank. Codes-only — the shortlist stage of [[pqKnn]] against
+    * storage; compose with an exact re-rank over the raw table when
+    * recall above the codes' resolution is needed.
+    */
+  def pqKnnIndexed(queries: DataFrame, idCol: String, vecCol: String,
+                   dir: String, k: Int = 10): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.NativeExpressions.register(spark)
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val recon = spark.read.parquet(s"$dir/codes")
+      .select(col(idCol).as("_vid"),
+        posexplode(col("codes")).as(Seq("_sub", "_cid")))
+      .join(broadcast(codebook), Seq("_sub", "_cid"))
+      .groupBy(col("_vid"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("_sub"), col("_cv")))),
+        s => s.getField("_cv"))).as("_rv"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("_qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("_d").asc, col("_vid").asc)
+    recon.join(broadcast(q), col("_vid") =!= col("qid"))
+      .withColumn("_d",
+        dot(col("_qv"), col("_qv")) - lit(2.0) * dot(col("_qv"), col("_rv"))
+          + dot(col("_rv"), col("_rv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("_vid").as("neighbor_id"))
+  }
+
   /** LSH-bucketed ANN: same-bucket candidates from L tables, union,
     * exact cosine rerank to top-k. Output: (qid, rank, neighbor_id, sim).
     */

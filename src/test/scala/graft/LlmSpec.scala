@@ -172,6 +172,56 @@ class LlmSpec extends SparkSpec {
     assert(avg >= 0.5, s"avg recall@10 = $avg — PQ shortlist too lossy")
   }
 
+  test("PQ index: frozen-codebook append, code identity, independent ADC parity") {
+    import spark.implicits._
+    val e = graft.Tables.t(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("pq_index").toString
+    Similarity.writePqIndex(e, "vec_id", "embedding", dir, centroidEvery = 8)
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    assert(codebook.select("_sub").distinct().count() == 8)
+    val cbRows = codebook.count()
+    // Append a batch containing an exact duplicate of vector 1 under a
+    // new id: the frozen codebook must encode it to IDENTICAL codes, and
+    // must itself stay untouched.
+    val dup = e.filter(col("vec_id") === 1).withColumn("vec_id", lit(9001L))
+    Similarity.appendToPqIndex(dup, "vec_id", "embedding", dir)
+    assert(spark.read.parquet(s"$dir/codebook").count() == cbRows)
+    val codes = spark.read.parquet(s"$dir/codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(codes(9001L) == codes(1L), "frozen codebook must re-sign identically")
+    assert(codes.size == e.count() + 1)
+    // Independent ADC parity: recompute the codes-only ranking in plain
+    // Scala (same left-to-right double chains) and compare rank-for-rank.
+    val books = codebook.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2).toArray)
+      .toMap
+    val recon = codes.map { case (vid, cs) =>
+      vid -> cs.zipWithIndex.flatMap { case (cid, sub) =>
+        books((sub, cid))
+      }.toArray
+    }
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val queries = e.filter(col("vec_id") % 100 === 0)
+    val qVecs = queries.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val expected = qVecs.flatMap { case (qid, qv) =>
+      recon.toSeq.filter(_._1 != qid)
+        .map { case (vid, rv) =>
+          (qid, vid, dotD(qv, qv) - 2.0 * dotD(qv, rv) + dotD(rv, rv)) }
+        .sortBy { case (_, vid, d) => (d, vid) }
+        .take(10).zipWithIndex
+        .map { case ((_, vid, _), i) => (qid, i + 1, vid) }
+    }.toSet
+    val got = Similarity.pqKnnIndexed(queries, "vec_id", "embedding", dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"indexed ADC diverges from the independent ranking: ${got.diff(expected).take(3)}")
+  }
+
   test("IVF ANN recall vs brute force is substantial on sf0.001") {
     val e = graft.Tables.t(spark, sf, "embeddings")
     val q = e.filter(col("vec_id") % 100 === 0)
