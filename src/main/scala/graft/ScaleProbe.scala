@@ -232,7 +232,8 @@ object ScaleProbe {
     // nation nodes, which would densify hubs instead of scaling the
     // graph.)
     if (nameFilter.isEmpty ||
-        nameFilter.exists("q122_pagerank".contains)) {
+        nameFilter.exists(f => "q122_pagerank".contains(f) ||
+          "q127_triangles".contains(f))) {
       val e1 = graft.operators.RelationalQueries.tradeGraphEdges(spark, sf01)
         .localCheckpoint()
       val eN = e1.crossJoin(reps)
@@ -248,6 +249,14 @@ object ScaleProbe {
       timeRank("warmup", e1) // codegen warmup, unrecorded (printed anyway)
       timeRank("sf0.1", e1)
       timeRank(label, eN)
+      def timeTri(scale: String, e: DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        graft.graphquery.Graph.triangleCounts(e, "src", "dst")
+          .write.format("noop").mode("overwrite").save()
+        println(f"PROBE q127_triangles $scale ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      timeTri("sf0.1", e1)
+      timeTri(label, eN)
     }
 
     // q60 flagship probe — needs its own GATE-PRESERVING replica: the

@@ -289,6 +289,20 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_sessions"), sum($"_n").as("n_events"))
     },
 
+    // Per-node triangle participation in the undirected trade graph —
+    // a (customer, supplier, nation) triangle = a supplier serving a
+    // customer of its own nation. Degree orientation bounds the wedge
+    // join at m^1.5 — see [[graft.graphquery.Graph.triangleCounts]].
+    // The gate runs the every-10th-customer subgraph (wedge volume is
+    // linear in customers, and the full-graph cost belongs in the
+    // ScaleProbe run, not the per-round bench); the operator itself is
+    // unfiltered.
+    "q127_triangles" -> { (s, dir) =>
+      import s.implicits._
+      graft.graphquery.Graph.triangleCounts(
+        tradeGraphEdges(s, dir, customerFilter = Some(10L)), "src", "dst")
+    },
+
     // AS-OF join, forward: each click's NEXT purchase at-or-after it —
     // time-to-conversion's other half ([[asofJoinForward]]); same union
     // + one keyed window shape as q106, mirrored frame.
@@ -424,10 +438,16 @@ object RelationalQueries {
   /** q122's edge list: the customer→supplier→nation→customer trade
     * graph, endpoints prefixed (`c`/`s`/`n`) so the three key spaces
     * stay disjoint. Shared with ScaleProbe's pagerank replica.
+    * `customerFilter = Some(k)` keeps every k-th customer (q127's
+    * subgraph gate); suppliers and nations are never filtered.
     */
-  def tradeGraphEdges(s: SparkSession, dir: String): DataFrame = {
+  def tradeGraphEdges(s: SparkSession, dir: String,
+                      customerFilter: Option[Long] = None): DataFrame = {
     import s.implicits._
+    def keep(c: org.apache.spark.sql.Column) =
+      customerFilter.map(k => c % k === 0L).getOrElse(lit(true))
     val co = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      .filter(keep($"o_custkey"))
       .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
         $"o_orderkey" === $"l_orderkey")
       .select(concat(lit("c"), $"o_custkey").as("src"),
@@ -435,7 +455,7 @@ object RelationalQueries {
     val sn = t(s, dir, "supplier")
       .select(concat(lit("s"), $"s_suppkey").as("src"),
         concat(lit("n"), $"s_nationkey").as("dst"))
-    val nc = t(s, dir, "customer")
+    val nc = t(s, dir, "customer").filter(keep($"c_custkey"))
       .select(concat(lit("n"), $"c_nationkey").as("src"),
         concat(lit("c"), $"c_custkey").as("dst"))
     co.union(sn).union(nc)
@@ -676,6 +696,49 @@ object RelationalQueries {
         |SELECT length(bin(n)) - 1 AS bucket, count(*) AS n_sessions,
         |  CAST(SUM(n) AS BIGINT) AS n_events
         |FROM sess GROUP BY 1""".stripMargin,
+
+    // q127: the same degree-oriented wedge chain in SQL — row-value
+    // comparisons ((d, id) tuples) express the rank order on both
+    // engines identically.
+    "q127_triangles" ->
+      """WITH co AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey % 10 = 0),
+        |sn AS (
+        |  SELECT DISTINCT 's' || s_suppkey AS src, 'n' || s_nationkey AS dst
+        |  FROM supplier),
+        |nc AS (
+        |  SELECT DISTINCT 'n' || c_nationkey AS src, 'c' || c_custkey AS dst
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |edges AS (
+        |  SELECT src, dst FROM co UNION ALL SELECT src, dst FROM sn
+        |  UNION ALL SELECT src, dst FROM nc),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM edges WHERE src <> dst),
+        |deg AS (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY 1),
+        |orient AS (
+        |  SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS u,
+        |    CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS v,
+        |    CASE WHEN (da.d, u.a) < (db.d, u.b) THEN db.d ELSE da.d END AS dv
+        |  FROM und u
+        |  JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b),
+        |wed AS (
+        |  SELECT e1.u, e1.v, e2.v AS w
+        |  FROM orient e1 JOIN orient e2 ON e1.u = e2.u
+        |  WHERE (e1.dv, e1.v) < (e2.dv, e2.v)),
+        |tri AS (
+        |  SELECT wed.u, wed.v, wed.w FROM wed
+        |  WHERE EXISTS (
+        |    SELECT 1 FROM orient o WHERE o.u = wed.v AND o.v = wed.w))
+        |SELECT node, count(*) AS n_triangles FROM (
+        |  SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+        |  UNION ALL SELECT w FROM tri)
+        |GROUP BY 1""".stripMargin,
 
     // q125: DuckDB's native forward ASOF (`<=` picks the earliest
     // at-or-after right row).

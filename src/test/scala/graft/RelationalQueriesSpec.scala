@@ -292,6 +292,25 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(got.values.sum <= 3000000000L)
   }
 
+  test("triangles: undirected closure, direction/dup/self-loop immune, count exact") {
+    import spark.implicits._
+    // K3 {A,B,C} plus a tail C-D, fed with reversed duplicates, a
+    // multi-edge, and a self-loop — all must collapse to the same
+    // undirected graph. One triangle: A, B, C each count 1; D none.
+    val edges = Seq(("A", "B"), ("B", "A"), ("B", "C"), ("A", "C"),
+      ("A", "C"), ("C", "D"), ("D", "D")).toDF("src", "dst")
+    val got = graft.graphquery.Graph.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("A" -> 1L, "B" -> 1L, "C" -> 1L), s"got $got")
+    // Two triangles sharing an edge: diamond A-B-C-D with chord B-C.
+    val diamond = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("B", "D"),
+      ("C", "D")).toDF("src", "dst")
+    val got2 = graft.graphquery.Graph.triangleCounts(diamond, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 == Map("A" -> 1L, "B" -> 2L, "C" -> 2L, "D" -> 1L),
+      s"got $got2")
+  }
+
   test("funnel fold: ties never advance, window expiry strands a stage") {
     import spark.implicits._
     val day = 86400000000L
