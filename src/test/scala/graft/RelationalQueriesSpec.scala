@@ -292,6 +292,70 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(got.values.sum <= 3000000000L)
   }
 
+  test("range join by bucket agrees with brute force on random intervals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.Gen
+    // Short and long intervals, boundary-heavy: widths from 1 (sub-bucket)
+    // to 35 (multi-bucket) over a small ts domain, bucket width 10.
+    val ivGen = for {
+      s <- Gen.chooseNum(0L, 80L)
+      w <- Gen.chooseNum(1L, 35L)
+    } yield (s, s + w)
+    val ivs = Gen.listOfN(40, ivGen)
+      .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(21L))
+      .zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+    val pts = Gen.listOfN(120, Gen.chooseNum(0L, 120L))
+      .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(22L))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val intervals = ivs.toDF("iid", "s", "e")
+    val points = pts.toDF("pid", "tsm")
+    val got = RelationalQueries.rangeJoinByBucket(
+        points, "tsm", intervals, "s", "e", bucketMicros = 10L)
+      .groupBy($"iid").agg(count($"pid").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = ivs.map { case (iid, s, e) =>
+      iid -> pts.count { case (_, t) => t >= s && t < e }.toLong
+    }.toMap
+    assert(got == expect,
+      s"diverges: ${got.toSet.diff(expect.toSet).take(5)}")
+  }
+
+  test("funnel fold agrees with an imperative reference on random inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.Gen
+    val evGen = for {
+      u <- Gen.chooseNum(1L, 8L)
+      ts <- Gen.chooseNum(0L, 50L)
+      et <- Gen.oneOf("view", "click", "purchase", "error")
+    } yield (u, ts, et)
+    val rows = Gen.listOfN(200, evGen)
+      .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(23L))
+    val gap = 15L
+    val got = rows.toDF("user_id", "tsm", "event_type")
+      .groupBy($"user_id")
+      .agg(array_sort(collect_list(struct($"tsm", $"event_type")))
+        .as("_evs"))
+      .withColumn("stage", expr(RelationalQueries.funnelFoldExpr(gap)))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("stage")).toMap
+    val expect = rows.groupBy(_._1).map { case (u, evs) =>
+      var stage = 0L; var sts = 0L
+      for ((_, ts, et) <- evs.map(e => (e._1, e._2, e._3))
+          .sortBy(e => (e._2, e._3))) {
+        val adv = (stage, et) match {
+          case (0L, "view")     => true
+          case (1L, "click")    => ts > sts && ts - sts <= gap
+          case (2L, "purchase") => ts > sts && ts - sts <= gap
+          case _                => false
+        }
+        if (adv) { stage += 1; sts = ts }
+      }
+      u -> stage
+    }
+    assert(got == expect, s"diverges: ${got.toSet.diff(expect.toSet).take(5)}")
+  }
+
   test("triangles: undirected closure, direction/dup/self-loop immune, count exact") {
     import spark.implicits._
     // K3 {A,B,C} plus a tail C-D, fed with reversed duplicates, a
