@@ -126,4 +126,51 @@ object Graph {
     tris.select(explode(array(col("_u"), col("_v"), col("_w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Synchronous label propagation (Raghavan 2007, made deterministic):
+    * every node starts labeled with its own id; each iteration
+    * simultaneously adopts the most frequent label among its neighbors,
+    * ties broken by the SMALLEST label — so the result depends only on
+    * the graph, never on partitioning or visit order (async LPA's
+    * nondeterminism is exactly what an oracle can't replay). Direction
+    * and multiplicity are dropped; an isolated node keeps its own label.
+    *
+    * Community quality note: synchronous LPA can oscillate on bipartite
+    * structures (labels swap sides each round) — callers wanting
+    * converged communities should compare consecutive iterations; the
+    * fixed `iters` contract here is what makes the operator exactly
+    * replayable.
+    *
+    * Scale shape per iteration: one edge⋈labels join (edges
+    * pre-materialized bidirectional and src-partitioned once — only the
+    * |V|-row label table moves), one (node, label) count with map-side
+    * combine, one per-node argmax window over the handful of candidate
+    * labels per node. Returns (node, label).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iters >= 1)
+    val und = edges.select(col(srcCol).as("_u"), col(dstCol).as("_v"))
+      .filter(col("_u") =!= col("_v"))
+    val bi = und.union(und.select(col("_v"), col("_u")))
+      .distinct().withColumnRenamed("_u", "_n")
+      .repartition(col("_n")).localCheckpoint()
+    val nodes = bi.select(col("_n").as("node")).distinct().localCheckpoint()
+    var labels = nodes.withColumn("label", col("node"))
+    val w = Window.partitionBy(col("_n"))
+      .orderBy(col("_cnt").desc, col("label").asc)
+    for (_ <- 1 to iters) {
+      labels = bi
+        .join(labels.withColumnRenamed("node", "_v"), "_v")
+        .groupBy(col("_n"), col("label")).agg(count(lit(1)).as("_cnt"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("_n").as("node"), col("label"))
+        .localCheckpoint()
+    }
+    // Isolated nodes never appear in `bi`; with self-loop-only input the
+    // node set is empty and so is the result — documented.
+    labels
+  }
 }

@@ -303,6 +303,16 @@ object RelationalQueries {
         tradeGraphEdges(s, dir, customerFilter = Some(10L)), "src", "dst")
     },
 
+    // Deterministic synchronous label propagation over the same
+    // subgraph: 3 rounds of adopt-the-most-frequent-neighbor-label with
+    // a smallest-label tie-break — communities pick out each nation's
+    // trade neighborhood. See [[graft.graphquery.Graph.labelPropagation]].
+    "q128_label_propagation" -> { (s, dir) =>
+      graft.graphquery.Graph.labelPropagation(
+        tradeGraphEdges(s, dir, customerFilter = Some(10L)), "src", "dst",
+        iters = 3)
+    },
+
     // AS-OF join, forward: each click's NEXT purchase at-or-after it —
     // time-to-conversion's other half ([[asofJoinForward]]); same union
     // + one keyed window shape as q106, mirrored frame.
@@ -739,6 +749,43 @@ object RelationalQueries {
         |  SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
         |  UNION ALL SELECT w FROM tri)
         |GROUP BY 1""".stripMargin,
+
+    // q128: the three LPA rounds unrolled — per round one neighbor-label
+    // count and a (cnt DESC, label ASC) argmax, exactly the Spark
+    // window.
+    "q128_label_propagation" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""l$i AS (
+           |  SELECT node, label FROM (
+           |    SELECT b.u AS node, l.label, count(*) AS cnt
+           |    FROM bi b JOIN l${i - 1} l ON l.node = b.v
+           |    GROUP BY 1, 2)
+           |  QUALIFY ROW_NUMBER() OVER (
+           |    PARTITION BY node ORDER BY cnt DESC, label ASC) = 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH co AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_custkey % 10 = 0),
+         |sn AS (
+         |  SELECT DISTINCT 's' || s_suppkey AS src, 'n' || s_nationkey AS dst
+         |  FROM supplier),
+         |nc AS (
+         |  SELECT DISTINCT 'n' || c_nationkey AS src, 'c' || c_custkey AS dst
+         |  FROM customer WHERE c_custkey % 10 = 0),
+         |edges AS (
+         |  SELECT src, dst FROM co UNION ALL SELECT src, dst FROM sn
+         |  UNION ALL SELECT src, dst FROM nc),
+         |bi AS (
+         |  SELECT DISTINCT u, v FROM (
+         |    SELECT src AS u, dst AS v FROM edges WHERE src <> dst
+         |    UNION ALL
+         |    SELECT dst AS u, src AS v FROM edges WHERE src <> dst)),
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM bi),
+         |$rounds
+         |SELECT node, label FROM l3""".stripMargin
+    },
 
     // q125: DuckDB's native forward ASOF (`<=` picks the earliest
     // at-or-after right row).

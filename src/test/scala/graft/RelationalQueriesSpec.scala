@@ -375,6 +375,24 @@ class RelationalQueriesSpec extends SparkSpec {
       s"got $got2")
   }
 
+  test("label propagation: majority adoption, smallest-label ties, sync rounds") {
+    import spark.implicits._
+    // Star A-{B,C,D} plus edge B-C. Round 1 (synchronous): A sees
+    // {B,C,D} all once -> tie -> B; B sees {A,C} -> A; C sees {A,B} -> A;
+    // D sees {A} -> A. Round 2: A sees {A,A,A} -> A; B sees {B,A} tie ->
+    // A; C same -> A; D sees {B} -> B.
+    val edges = Seq(("A", "B"), ("A", "C"), ("A", "D"), ("B", "C"))
+      .toDF("src", "dst")
+    val r1 = graft.graphquery.Graph.labelPropagation(edges, "src", "dst", 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(r1 == Map("A" -> "B", "B" -> "A", "C" -> "A", "D" -> "A"),
+      s"round 1: $r1")
+    val r2 = graft.graphquery.Graph.labelPropagation(edges, "src", "dst", 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(r2 == Map("A" -> "A", "B" -> "A", "C" -> "A", "D" -> "B"),
+      s"round 2: $r2")
+  }
+
   test("funnel fold: ties never advance, window expiry strands a stage") {
     import spark.implicits._
     val day = 86400000000L
