@@ -303,6 +303,28 @@ object RelationalQueries {
         tradeGraphEdges(s, dir, customerFilter = Some(10L)), "src", "dst")
     },
 
+    // Per-user EWMA activity score, integer-exact: values as exact
+    // cents (the DECIMAL(18,2) device ×100), events folded in
+    // event-time order with s ← (0.9·s + 0.1·x) in ppm BIGINT floor
+    // arithmetic — the recency-weighted engagement feature, replayable
+    // bit-for-bit because no float ever enters the fold. ONE per-user
+    // shuffle + a row-local fold (the q123 machinery); ties at equal
+    // (tsm, cents) are literally equal elements, so order can't matter.
+    "q129_ewma_score" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"user_id", unix_micros($"ts").as("tsm"),
+          (dec($"value") * 100).cast("long").as("cents"))
+        .groupBy($"user_id")
+        .agg(array_sort(collect_list(struct($"tsm", $"cents"))).as("_evs"))
+        .select($"user_id", size($"_evs").cast("long").as("n_events"),
+          expr("""aggregate(
+            |  slice(transform(_evs, e -> e.cents), 2, size(_evs) - 1),
+            |  _evs[0].cents,
+            |  (a, x) -> (900000L * a + 100000L * x) div 1000000L)"""
+            .stripMargin).as("ewma_cents"))
+    },
+
     // Deterministic synchronous label propagation over the same
     // subgraph: 3 rounds of adopt-the-most-frequent-neighbor-label with
     // a smallest-label tie-break — communities pick out each nation's
@@ -749,6 +771,23 @@ object RelationalQueries {
         |  SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
         |  UNION ALL SELECT w FROM tri)
         |GROUP BY 1""".stripMargin,
+
+    // q129: the same ppm fold through DuckDB's list_reduce (no-init
+    // binary fold — the first element IS the init, matching the Spark
+    // slice+head form).
+    "q129_ewma_score" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |arr AS (
+        |  SELECT user_id, list(cents ORDER BY tsm, cents) AS xs,
+        |    count(*) AS n_events
+        |  FROM ev GROUP BY 1)
+        |SELECT user_id, n_events,
+        |  list_reduce(xs,
+        |    (a, b) -> (900000 * a + 100000 * b) // 1000000) AS ewma_cents
+        |FROM arr""".stripMargin,
 
     // q128: the three LPA rounds unrolled — per round one neighbor-label
     // count and a (cnt DESC, label ASC) argmax, exactly the Spark

@@ -375,6 +375,30 @@ class RelationalQueriesSpec extends SparkSpec {
       s"got $got2")
   }
 
+  test("ewma fold: hand-computed ppm chain, single-event identity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // cents sequence 1000, 2000, 500 in time order:
+    //   s1 = 1000
+    //   s2 = (900000·1000 + 100000·2000) div 10⁶ = 1100
+    //   s3 = (900000·1100 + 100000·500)  div 10⁶ = 1040
+    // Single event: the fold is just the head.
+    val rows = Seq((1L, 10L, 10.0), (1L, 20L, 20.0), (1L, 30L, 5.0),
+      (2L, 5L, 7.77)).toDF("user_id", "tsm", "value")
+    val got = rows
+      .select($"user_id", $"tsm",
+        (graft.Exact.dec($"value") * 100).cast("long").as("cents"))
+      .groupBy($"user_id")
+      .agg(array_sort(collect_list(struct($"tsm", $"cents"))).as("_evs"))
+      .select($"user_id", expr("""aggregate(
+        |  slice(transform(_evs, e -> e.cents), 2, size(_evs) - 1),
+        |  _evs[0].cents,
+        |  (a, x) -> (900000L * a + 100000L * x) div 1000000L)"""
+        .stripMargin).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1040L, 2L -> 777L), s"got $got")
+  }
+
   test("label propagation: majority adoption, smallest-label ties, sync rounds") {
     import spark.implicits._
     // Star A-{B,C,D} plus edge B-C. Round 1 (synchronous): A sees
