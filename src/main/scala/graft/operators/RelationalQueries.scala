@@ -303,6 +303,38 @@ object RelationalQueries {
         tradeGraphEdges(s, dir, customerFilter = Some(10L)), "src", "dst")
     },
 
+    // Repeated-conversion counting: how many NON-OVERLAPPING
+    // view→click→purchase sequences (24 h per-step window) each user
+    // completes, histogrammed — q123's fold with a reset-on-complete
+    // state, the sequenceCount companion to the funnel's windowFunnel.
+    // Greedy first-touch matching: a completed match releases the
+    // cursor, a later view restarts. Same one-shuffle row-local shape
+    // and the same tie immunity (strict `>` advance).
+    "q130_conversion_cycles" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"user_id", unix_micros($"ts").as("tsm"), $"event_type")
+        .groupBy($"user_id")
+        .agg(array_sort(collect_list(struct($"tsm", $"event_type")))
+          .as("_evs"))
+        .withColumn("conversions", expr(
+          """aggregate(_evs,
+            |  named_struct('s', 0L, 't', 0L, 'c', 0L),
+            |  (a, x) -> CASE
+            |    WHEN a.s = 0 AND x.event_type = 'view'
+            |      THEN named_struct('s', 1L, 't', x.tsm, 'c', a.c)
+            |    WHEN a.s = 1 AND x.event_type = 'click' AND x.tsm > a.t
+            |        AND x.tsm - a.t <= 86400000000L
+            |      THEN named_struct('s', 2L, 't', x.tsm, 'c', a.c)
+            |    WHEN a.s = 2 AND x.event_type = 'purchase' AND x.tsm > a.t
+            |        AND x.tsm - a.t <= 86400000000L
+            |      THEN named_struct('s', 0L, 't', 0L, 'c', a.c + 1L)
+            |    ELSE a END,
+            |  a -> a.c)""".stripMargin))
+        .groupBy($"conversions")
+        .agg(count(lit(1)).as("n_users"))
+    },
+
     // Per-user EWMA activity score, integer-exact: values as exact
     // cents (the DECIMAL(18,2) device ×100), events folded in
     // event-time order with s ← (0.9·s + 0.1·x) in ppm BIGINT floor
@@ -771,6 +803,44 @@ object RelationalQueries {
         |  SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
         |  UNION ALL SELECT w FROM tri)
         |GROUP BY 1""".stripMargin,
+
+    // q130: list_reduce is a NO-INIT binary fold whose accumulator must
+    // share the element type, so both events and the (count, stage,
+    // lastTs) state pack into one BIGINT: event = tsm·4 + code
+    // (view=1, click=2, purchase=3, other=0); state = count·2⁵³ +
+    // stage·2⁵¹ + lastTs (µs epoch < 2⁵¹ until 2041). A prepended 0 is
+    // the initial state; the lambda unpacks with div/mod — identical
+    // recurrence, different encoding, same counts.
+    "q130_conversion_cycles" -> {
+      val G = 86400000000L
+      val S = 2251799813685248L // 2^51
+      val C = 9007199254740992L // 2^53
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(ts) AS tsm, event_type,
+         |    epoch_us(ts) * 4 + CASE event_type WHEN 'view' THEN 1
+         |      WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 ELSE 0 END AS e
+         |  FROM events),
+         |arr AS (
+         |  SELECT user_id,
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list(e ORDER BY tsm, event_type)) AS xs
+         |  FROM ev GROUP BY 1),
+         |folded AS (
+         |  SELECT user_id,
+         |    list_reduce(xs, (a, b) -> CASE
+         |      WHEN (a // $S) % 4 = 0 AND b % 4 = 1
+         |        THEN (a // $C) * $C + 1 * $S + (b // 4)
+         |      WHEN (a // $S) % 4 = 1 AND b % 4 = 2 AND (b // 4) > a % $S
+         |          AND (b // 4) - (a % $S) <= $G
+         |        THEN (a // $C) * $C + 2 * $S + (b // 4)
+         |      WHEN (a // $S) % 4 = 2 AND b % 4 = 3 AND (b // 4) > a % $S
+         |          AND (b // 4) - (a % $S) <= $G
+         |        THEN ((a // $C) + 1) * $C
+         |      ELSE a END) AS st
+         |  FROM arr)
+         |SELECT st // $C AS conversions, count(*) AS n_users
+         |FROM folded GROUP BY 1""".stripMargin
+    },
 
     // q129: the same ppm fold through DuckDB's list_reduce (no-init
     // binary fold — the first element IS the init, matching the Spark

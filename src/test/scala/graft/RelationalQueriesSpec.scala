@@ -399,6 +399,41 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(got == Map(1L -> 1040L, 2L -> 777L), s"got $got")
   }
 
+  test("conversion cycles: non-overlap greedy reset, expiry strands mid-cycle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val day = 86400000000L
+    val rows = Seq(
+      // u1: two full cycles back-to-back, second anchored after reset.
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (1L, 40L, "view"), (1L, 50L, "click"), (1L, 60L, "purchase"),
+      // u2: completes one, then a second stalls past the window.
+      (2L, 10L, "view"), (2L, 20L, "click"), (2L, 30L, "purchase"),
+      (2L, 40L, "view"), (2L, 40L + day + 1L, "click"),
+      // u3: never converts.
+      (3L, 5L, "view"), (3L, 6L, "click"))
+      .toDF("user_id", "tsm", "event_type")
+    val got = rows.groupBy($"user_id")
+      .agg(array_sort(collect_list(struct($"tsm", $"event_type")))
+        .as("_evs"))
+      .withColumn("c", expr(
+        """aggregate(_evs,
+          |  named_struct('s', 0L, 't', 0L, 'c', 0L),
+          |  (a, x) -> CASE
+          |    WHEN a.s = 0 AND x.event_type = 'view'
+          |      THEN named_struct('s', 1L, 't', x.tsm, 'c', a.c)
+          |    WHEN a.s = 1 AND x.event_type = 'click' AND x.tsm > a.t
+          |        AND x.tsm - a.t <= 86400000000L
+          |      THEN named_struct('s', 2L, 't', x.tsm, 'c', a.c)
+          |    WHEN a.s = 2 AND x.event_type = 'purchase' AND x.tsm > a.t
+          |        AND x.tsm - a.t <= 86400000000L
+          |      THEN named_struct('s', 0L, 't', 0L, 'c', a.c + 1L)
+          |    ELSE a END,
+          |  a -> a.c)""".stripMargin))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("c")).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 0L), s"got $got")
+  }
+
   test("label propagation: majority adoption, smallest-label ties, sync rounds") {
     import spark.implicits._
     // Star A-{B,C,D} plus edge B-C. Round 1 (synchronous): A sees
