@@ -303,6 +303,57 @@ object RelationalQueries {
         tradeGraphEdges(s, dir, customerFilter = Some(10L)), "src", "dst")
     },
 
+    // User-journey flagship: five per-user analytics — event count,
+    // gap-sessions, funnel stage, non-overlapping conversion cycles,
+    // EWMA spend score, purchase-attributed clicks — from ONE keyed
+    // shuffle and one sorted array: every metric is a row-local fold or
+    // array function over the same collected events. The q60-style
+    // composition for the events family; at 100 TB this is one pass
+    // over the corpus where the naive dashboard runs five.
+    "q131_user_journey" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"user_id", unix_micros($"ts").as("tsm"), $"event_type",
+          (dec($"value") * 100).cast("long").as("cents"))
+        .groupBy($"user_id")
+        .agg(array_sort(collect_list(
+          struct($"tsm", $"event_type", $"cents"))).as("_evs"))
+        .withColumn("_minp", array_min(transform(
+          filter($"_evs", e => e.getField("event_type") === "purchase"),
+          e => e.getField("tsm"))))
+        .select($"user_id",
+          size($"_evs").cast("long").as("n_events"),
+          expr("""aggregate(_evs,
+            |  named_struct('p', CAST(NULL AS LONG), 'n', 0L),
+            |  (a, x) -> named_struct('p', x.tsm,
+            |    'n', a.n + CASE WHEN a.p IS NULL
+            |      OR x.tsm - a.p > 1800000000L THEN 1L ELSE 0L END),
+            |  a -> a.n)""".stripMargin).as("n_sessions"),
+          expr(funnelFoldExpr()).as("funnel_stage"),
+          expr("""aggregate(_evs,
+            |  named_struct('s', 0L, 't', 0L, 'c', 0L),
+            |  (a, x) -> CASE
+            |    WHEN a.s = 0 AND x.event_type = 'view'
+            |      THEN named_struct('s', 1L, 't', x.tsm, 'c', a.c)
+            |    WHEN a.s = 1 AND x.event_type = 'click' AND x.tsm > a.t
+            |        AND x.tsm - a.t <= 86400000000L
+            |      THEN named_struct('s', 2L, 't', x.tsm, 'c', a.c)
+            |    WHEN a.s = 2 AND x.event_type = 'purchase' AND x.tsm > a.t
+            |        AND x.tsm - a.t <= 86400000000L
+            |      THEN named_struct('s', 0L, 't', 0L, 'c', a.c + 1L)
+            |    ELSE a END,
+            |  a -> a.c)""".stripMargin).as("conversions"),
+          expr("""aggregate(
+            |  slice(transform(_evs, e -> e.cents), 2, size(_evs) - 1),
+            |  _evs[0].cents,
+            |  (a, x) -> (900000L * a + 100000L * x) div 1000000L)"""
+            .stripMargin).as("ewma_cents"),
+          size(filter($"_evs", e =>
+            e.getField("event_type") === "click" &&
+              $"_minp".isNotNull && e.getField("tsm") >= $"_minp"))
+            .cast("long").as("attributed_clicks"))
+    },
+
     // Repeated-conversion counting: how many NON-OVERLAPPING
     // view→click→purchase sequences (24 h per-step window) each user
     // completes, histogrammed — q123's fold with a reset-on-complete
@@ -803,6 +854,86 @@ object RelationalQueries {
         |  SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
         |  UNION ALL SELECT w FROM tri)
         |GROUP BY 1""".stripMargin,
+
+    // q131: the five per-user metrics assembled from their proven
+    // oracle chains (q48 window sessions, q123 min-chain stage, q130
+    // packed fold, q129 list_reduce EWMA, an EXISTS for attribution)
+    // joined on user_id — the oracle can afford five passes; the Spark
+    // side is the one-shuffle fusion.
+    "q131_user_journey" -> {
+      val G = 86400000000L
+      val S = 2251799813685248L // 2^51
+      val C = 9007199254740992L // 2^53
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(ts) AS tsm, event_type,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events),
+         |u AS (SELECT user_id, count(*) AS n_events FROM ev GROUP BY 1),
+         |g AS (
+         |  SELECT user_id,
+         |    CASE WHEN lag(tsm) OVER w IS NULL
+         |      OR tsm - lag(tsm) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsm)),
+         |ses AS (
+         |  SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions
+         |  FROM g GROUP BY 1),
+         |v AS (SELECT user_id, min(tsm) AS t1 FROM ev
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT e.user_id, min(e.tsm) AS t2 FROM ev e
+         |  JOIN v ON e.user_id = v.user_id AND e.tsm > v.t1
+         |    AND e.tsm - v.t1 <= $G
+         |  WHERE e.event_type = 'click' GROUP BY 1),
+         |p AS (SELECT e.user_id, min(e.tsm) AS t3 FROM ev e
+         |  JOIN c ON e.user_id = c.user_id AND e.tsm > c.t2
+         |    AND e.tsm - c.t2 <= $G
+         |  WHERE e.event_type = 'purchase' GROUP BY 1),
+         |stg AS (
+         |  SELECT u.user_id,
+         |    CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+         |      WHEN c.user_id IS NOT NULL THEN 2
+         |      WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |      AS funnel_stage
+         |  FROM u LEFT JOIN v ON u.user_id = v.user_id
+         |  LEFT JOIN c ON u.user_id = c.user_id
+         |  LEFT JOIN p ON u.user_id = p.user_id),
+         |conv AS (
+         |  SELECT user_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list(tsm * 4 + CASE event_type WHEN 'view' THEN 1
+         |          WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 ELSE 0 END
+         |          ORDER BY tsm, event_type)),
+         |      (a, b) -> CASE
+         |        WHEN (a // $S) % 4 = 0 AND b % 4 = 1
+         |          THEN (a // $C) * $C + 1 * $S + (b // 4)
+         |        WHEN (a // $S) % 4 = 1 AND b % 4 = 2 AND (b // 4) > a % $S
+         |            AND (b // 4) - (a % $S) <= $G
+         |          THEN (a // $C) * $C + 2 * $S + (b // 4)
+         |        WHEN (a // $S) % 4 = 2 AND b % 4 = 3 AND (b // 4) > a % $S
+         |            AND (b // 4) - (a % $S) <= $G
+         |          THEN ((a // $C) + 1) * $C
+         |        ELSE a END) // $C AS conversions
+         |  FROM ev GROUP BY 1),
+         |ew AS (
+         |  SELECT user_id,
+         |    list_reduce(list(cents ORDER BY tsm, event_type, cents),
+         |      (a, b) -> (900000 * a + 100000 * b) // 1000000) AS ewma_cents
+         |  FROM ev GROUP BY 1),
+         |att AS (
+         |  SELECT e.user_id, count(*) AS n FROM ev e
+         |  WHERE e.event_type = 'click' AND EXISTS (
+         |    SELECT 1 FROM ev p2 WHERE p2.user_id = e.user_id
+         |      AND p2.event_type = 'purchase' AND p2.tsm <= e.tsm)
+         |  GROUP BY 1)
+         |SELECT u.user_id, u.n_events, ses.n_sessions, stg.funnel_stage,
+         |  conv.conversions, ew.ewma_cents,
+         |  COALESCE(att.n, 0) AS attributed_clicks
+         |FROM u
+         |JOIN ses ON u.user_id = ses.user_id
+         |JOIN stg ON u.user_id = stg.user_id
+         |JOIN conv ON u.user_id = conv.user_id
+         |JOIN ew ON u.user_id = ew.user_id
+         |LEFT JOIN att ON u.user_id = att.user_id""".stripMargin
+    },
 
     // q130: list_reduce is a NO-INIT binary fold whose accumulator must
     // share the element type, so both events and the (count, stage,

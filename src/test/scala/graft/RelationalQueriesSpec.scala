@@ -399,6 +399,23 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(got == Map(1L -> 1040L, 2L -> 777L), s"got $got")
   }
 
+  test("q131 user journey: five analytics, exactly one shuffle") {
+    val df = RelationalQueries.queries("q131_user_journey")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"journey should be one keyed shuffle, found $exchanges:\n$plan")
+    // And the metrics agree with their standalone single-metric queries.
+    val journey = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    val funnel = RelationalQueries.queries("q123_funnel")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stageHist = journey.values.groupBy(_._1).view
+      .mapValues(_.size.toLong).toMap
+    assert(funnel == stageHist.filter(_._2 > 0),
+      s"journey stages $stageHist != q123 $funnel")
+  }
+
   test("conversion cycles: non-overlap greedy reset, expiry strands mid-cycle") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
