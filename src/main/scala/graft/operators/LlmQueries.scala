@@ -1010,6 +1010,25 @@ object LlmQueries {
         "vec_id", "embedding", k = 10, centroidEvery = 8)
     },
 
+    // Soft dedup (Dolma/SemDeDup practice): instead of DELETING
+    // duplicates, each doc gets training weight 1/|its dup cluster| —
+    // the corpus keeps its coverage while a 40-copy boilerplate cluster
+    // stops contributing 40× gradient. Composes the q55 component chain
+    // with one cluster-size aggregate and an integer ppm weight; docs
+    // outside any cluster weigh 10⁶ by the same formula (cluster of 1).
+    "q132_dedup_weights" -> { (s, dir) =>
+      val corpus = dupInjectedCorpus(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+      val pairs = Dedup.simhashNearDups64(corpus, "doc_id", "text")
+      val comp = Dedup.connectedComponents(pairs, "d1", "d2",
+        corpus.select(col("doc_id")), "doc_id")
+      val sizes = comp.groupBy(col("component_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "component_id")
+        .select(col("doc_id"), col("cluster_size"),
+          expr("1000000L div cluster_size").as("weight_ppm"))
+    },
+
     // Temperature-rebalanced mixture rates (mC4/XLM-R α=0.5): per
     // language, the √-weight share, quarter-budget target tokens, and
     // the integer-exact per-doc keep rate — the table a multilingual
@@ -1295,6 +1314,20 @@ object LlmQueries {
     "q55_dedup_components" ->
       ("WITH RECURSIVE " + cc64Sql + "\n" +
         "SELECT v AS doc_id, min(m) AS component_id FROM lbl GROUP BY v"),
+
+    // q132: q55's component chain + one cluster-size aggregate and the
+    // integer ppm weight.
+    "q132_dedup_weights" ->
+      ("WITH RECURSIVE " + cc64Sql + ",\n" +
+        """comp AS (
+          |  SELECT v AS doc_id, min(m) AS component_id FROM lbl GROUP BY v),
+          |sizes AS (
+          |  SELECT component_id, count(*) AS cluster_size
+          |  FROM comp GROUP BY 1)
+          |SELECT c.doc_id, s.cluster_size,
+          |  1000000 // s.cluster_size AS weight_ppm
+          |FROM comp c JOIN sizes s ON c.component_id = s.component_id"""
+          .stripMargin),
     // q52: the md5-keyed draw mirrored digit-for-digit (Corpus.hashUnit).
     "q52_stratified_sample" ->
       """SELECT doc_id, lang, u FROM (
