@@ -276,6 +276,57 @@ object EventsStream {
       }
   }
 
+  case class ScoredEvent(user_id: Long, ts: java.sql.Timestamp, cents: Long)
+  case class EwmaState(score: Long, started: Boolean,
+                      pending: Seq[(Long, Long)])
+  case class EwmaUpdate(user_id: Long, tsm: Long, ewma_cents: Long)
+
+  /** Streaming EWMA activity score — the stateful twin of the q129
+    * batch fold: per user, s ← (decayPpm·s + (10⁶−decayPpm)·x) div 10⁶
+    * in BIGINT arithmetic over events in EVENT-TIME order, first event
+    * as the seed. Emits one [[EwmaUpdate]] per folded event (the latest
+    * per user = the batch query's score over the same prefix).
+    *
+    * Same watermark-ordered prefix-fold discipline as [[funnelStream]]:
+    * the fold is prefix-monotone, so events buffer per key and fold only
+    * once the watermark passes them — every emitted score is final.
+    * Event-time timeouts drain quiet keys; state after drain is O(1)
+    * (the running score). The same late-data caveat applies: a
+    * beyond-lateness event folds at arrival position.
+    *
+    * Callers must `withWatermark("ts", …)` on the input before the typed
+    * conversion.
+    */
+  def ewmaStream(events: Dataset[ScoredEvent],
+                 decayPpm: Long = 900000L): Dataset[EwmaUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, rows, state: GroupState[EwmaState]) =>
+          val prev = state.getOption.getOrElse(EwmaState(0L, false, Nil))
+          val batch = rows.toSeq.map(r => (micros(r.ts), r.cents))
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val (ready, rest) = (prev.pending ++ batch).partition(_._1 <= wm)
+          var s = prev.score
+          var started = prev.started
+          val out = Seq.newBuilder[EwmaUpdate]
+          for ((tsm, x) <- ready.sorted) {
+            // floorDiv, not `/`: Spark's `div` floors, and a negative
+            // cents value must round the same way in both twins.
+            s = if (!started) { started = true; x }
+                else Math.floorDiv(
+                  decayPpm * s + (1000000L - decayPpm) * x, 1000000L)
+            out += EwmaUpdate(key, tsm, s)
+          }
+          state.update(EwmaState(s, started, rest))
+          if (rest.nonEmpty) state.setTimeoutTimestamp(
+            (rest.map(_._1).min / 1000L).max(state.getCurrentWatermarkMs() + 1L))
+          out.result().iterator
+      }
+  }
+
   /** Gap-based sessionization via keyed state
     * (KeyValueGroupedDataset.flatMapGroupsWithState): a session per
     * event_type closes after `gapMs` of event-time silence. EVENT-time

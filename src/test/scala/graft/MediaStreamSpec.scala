@@ -341,6 +341,49 @@ class MediaStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming: ewma scores match the q129 fold under out-of-order arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val M = 1000000L
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = EventsStream.ewmaStream(
+        mem.toDF().toDF("user_id", "ts", "cents")
+          .withWatermark("ts", "30 seconds")
+          .as[EventsStream.ScoredEvent])
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode("append").start()
+    // u1's middle event (2000 cents at 20 s) arrives one trigger LATE:
+    // arrival-order folding would compute 1000→500→… wrong chain; the
+    // watermark buffer must fold 1000, 2000, 500 in event-time order
+    // (the q129 hand chain: 1000 → 1100 → 1040).
+    mem.addData((1L, ts(10 * M), 1000L), (1L, ts(30 * M), 500L))
+    q.processAllAvailable()
+    mem.addData((1L, ts(20 * M), 2000L))
+    q.processAllAvailable()
+    for (s <- Seq(500L, 600L, 700L)) {
+      mem.addData((999L, ts(s * M), 7L))
+      q.processAllAvailable()
+    }
+    val got = spark.table("ewma_stream").as[EventsStream.EwmaUpdate]
+      .collect().filter(_.user_id == 1L).sortBy(_.tsm)
+    q.stop()
+    assert(got.map(_.ewma_cents).toSeq == Seq(1000L, 1100L, 1040L),
+      s"got ${got.toSeq}")
+    // Final emitted score equals the q129 batch fold on the same input.
+    val batch = Seq((1L, 10L * M, 1000L), (1L, 20L * M, 2000L),
+        (1L, 30L * M, 500L)).toDF("user_id", "tsm", "cents")
+      .groupBy($"user_id")
+      .agg(array_sort(collect_list(struct($"tsm", $"cents"))).as("_evs"))
+      .select($"user_id", expr("""aggregate(
+        |  slice(transform(_evs, e -> e.cents), 2, size(_evs) - 1),
+        |  _evs[0].cents,
+        |  (a, x) -> (900000L * a + 100000L * x) div 1000000L)"""
+        .stripMargin).as("s"))
+      .collect().head.getLong(1)
+    assert(got.last.ewma_cents == batch, s"stream ${got.last} vs batch $batch")
+  }
+
   test("streaming: fingerprint dedup drops duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
