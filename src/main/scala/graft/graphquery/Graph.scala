@@ -42,14 +42,26 @@ object Graph {
     * sum to ≤ |V|·10⁹ with the dangling leak.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 5, dampPct: Int = 85): DataFrame = {
+               iters: Int = 5, dampPct: Int = 85,
+               weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
-    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
-      .distinct().localCheckpoint()
+    // Weighted form: each node splits its rank across out-edges in
+    // proportion to integer weights — contribution = (rank·w) div Σw,
+    // still pure BIGINT (exact while rank·w < 2⁶³; at ppb ranks that is
+    // w·|V| < 9.2·10⁹ per in-neighborhood — drop to ppm beyond).
+    // Parallel edges aggregate their weights; the unweighted path is
+    // the weighted one with w = 1 (identical arithmetic: (r·1) div deg).
+    val e = (weightCol match {
+      case Some(wc) => edges.select(col(srcCol).as("_src"),
+          col(dstCol).as("_dst"), col(wc).cast("long").as("_w"))
+        .groupBy(col("_src"), col("_dst")).agg(sum(col("_w")).as("_w"))
+      case None => edges.select(col(srcCol).as("_src"),
+          col(dstCol).as("_dst")).distinct().withColumn("_w", lit(1L))
+    }).localCheckpoint()
     val nodes = e.select(col("_src").as("node"))
       .union(e.select(col("_dst").as("node"))).distinct()
       .localCheckpoint()
-    val outDeg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
+    val outDeg = e.groupBy(col("_src")).agg(sum(col("_w")).as("_deg"))
     // Degree is joined once, up front, and the result pinned to a
     // src-hash partitioning — the per-iteration join then only shuffles
     // the rank side.
@@ -63,7 +75,8 @@ object Graph {
         .join(ranks.withColumnRenamed("node", "_src"), "_src")
         // `div`, not `/`: BIGINT floor division on both engines — `/`
         // would round-trip through DOUBLE.
-        .select(col("_dst").as("node"), expr("rank_ppb div _deg").as("_c"))
+        .select(col("_dst").as("node"),
+          expr("(rank_ppb * _w) div _deg").as("_c"))
         .unionByName(zero)
         .groupBy(col("node")).agg(
           (base + expr(s"($dampPct * sum(_c)) div 100"))

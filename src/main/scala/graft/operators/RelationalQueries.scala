@@ -472,6 +472,29 @@ object RelationalQueries {
         tradeGraphEdges(s, dir), "src", "dst", iters = 5, dampPct = 85)
     },
 
+    // Weighted PageRank: the same trade graph but customer→supplier
+    // edges weighted by ORDER VOLUME (lineitem count per pair) — a
+    // supplier's rank now reflects how much it ships, not just to whom.
+    // Same ppb BIGINT discipline; contribution = (rank·w) div Σw.
+    "q133_pagerank_weighted" -> { (s, dir) =>
+      import s.implicits._
+      val co = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .groupBy(concat(lit("c"), $"o_custkey").as("src"),
+          concat(lit("s"), $"l_suppkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val sn = t(s, dir, "supplier")
+        .select(concat(lit("s"), $"s_suppkey").as("src"),
+          concat(lit("n"), $"s_nationkey").as("dst"), lit(1L).as("w"))
+      val nc = t(s, dir, "customer")
+        .select(concat(lit("n"), $"c_nationkey").as("src"),
+          concat(lit("c"), $"c_custkey").as("dst"), lit(1L).as("w"))
+      graft.graphquery.Graph.pageRank(
+        co.unionByName(sn).unionByName(nc), "src", "dst",
+        iters = 5, dampPct = 85, weightCol = Some("w"))
+    },
+
     // Conversion funnel view→click→purchase per user, 24 h conversion
     // window per step, first-touch anchored (the funnel starts at the
     // user's FIRST view; a step must land strictly after the event that
@@ -1093,6 +1116,48 @@ object RelationalQueries {
          |  SELECT DISTINCT src AS node FROM edges
          |  UNION SELECT DISTINCT dst FROM edges),
          |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+         |$iters
+         |SELECT node, r AS rank_ppb FROM r5""".stripMargin
+    },
+
+    // q133: the q122 chain with order-volume weights — contribution
+    // becomes (r·w) // Σw, everything else identical.
+    "q133_pagerank_weighted" -> {
+      val iters = (1 to 5).map { i =>
+        s"""r$i AS (
+           |  SELECT n.node,
+           |    CAST(150000000 + (85 * COALESCE(SUM((p.r * e.w) // deg.d), 0)) // 100
+           |      AS BIGINT) AS r
+           |  FROM nodes n
+           |  LEFT JOIN edges e ON e.dst = n.node
+           |  LEFT JOIN deg ON deg.src = e.src
+           |  LEFT JOIN r${i - 1} p ON p.node = e.src
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH co AS (
+         |  SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+         |    count(*) AS w
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2),
+         |sn AS (
+         |  SELECT DISTINCT 's' || s_suppkey AS src, 'n' || s_nationkey AS dst,
+         |    1 AS w
+         |  FROM supplier),
+         |nc AS (
+         |  SELECT DISTINCT 'n' || c_nationkey AS src, 'c' || c_custkey AS dst,
+         |    1 AS w
+         |  FROM customer),
+         |edges AS (
+         |  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+         |    SELECT * FROM co UNION ALL SELECT * FROM sn
+         |    UNION ALL SELECT * FROM nc)
+         |  GROUP BY 1, 2),
+         |nodes AS (
+         |  SELECT DISTINCT src AS node FROM edges
+         |  UNION SELECT DISTINCT dst FROM edges),
+         |deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS d
+         |  FROM edges GROUP BY 1),
          |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
          |$iters
          |SELECT node, r AS rank_ppb FROM r5""".stripMargin

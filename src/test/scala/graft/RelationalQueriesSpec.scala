@@ -399,6 +399,22 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(got == Map(1L -> 1040L, 2L -> 777L), s"got $got")
   }
 
+  test("weighted pagerank: hand-computed proportional split, parallel edges sum") {
+    import spark.implicits._
+    // A→B w3, A→C w1, B→A w1; deg A=4, B=1. One iteration:
+    //   B gets (10⁹·3) div 4 = 75e7 → 150e6 + (85·75e7) div 100 = 787500000
+    //   C gets 25e7                → 150e6 + 212500000 = 362500000
+    //   A gets B's 10⁹             → 10⁹
+    // The w3 edge arrives SPLIT as w2+w1 — parallel edges must sum.
+    val edges = Seq(("A", "B", 2L), ("A", "B", 1L), ("A", "C", 1L),
+      ("B", "A", 1L)).toDF("src", "dst", "w")
+    val got = graft.graphquery.Graph.pageRank(edges, "src", "dst",
+        iters = 1, weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("A" -> 1000000000L, "B" -> 787500000L,
+      "C" -> 362500000L), s"got $got")
+  }
+
   test("q131 user journey: five analytics, exactly one shuffle") {
     val df = RelationalQueries.queries("q131_user_journey")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
