@@ -472,6 +472,33 @@ object RelationalQueries {
         tradeGraphEdges(s, dir), "src", "dst", iters = 5, dampPct = 85)
     },
 
+    // ANALYZE-style column profiler: per column, row/null/distinct
+    // counts in ONE corpus pass (one aggregate carrying every column's
+    // metrics, stacked to long form) — the data-quality table a
+    // pipeline reads before trusting a new drop. Integer-only surface
+    // so it hash-compares everywhere; at 100 TB the exact
+    // count-distincts become approx_count_distinct (documented trade —
+    // sketches aren't cross-engine exact).
+    "q134_table_profile" -> { (s, dir) =>
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val cols = o.columns.toSeq
+      val aggs = count(lit(1)).as("_rows") +:
+        cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_n_$c"),
+          countDistinct(col(c)).as(s"_d_$c")))
+      // array-of-structs with UNIFORM field aliases, not stack(): stack
+      // rejects rows whose operand structs differ in field names, which
+      // per-column references always do.
+      o.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+          lit(c).as("column_name"), col("_rows").as("n_rows"),
+          col(s"_n_$c").as("n_nulls"), col(s"_d_$c").as("n_distinct")))
+          : _*)).as("_r"))
+        .select(col("_r.column_name"), col("_r.n_rows"),
+          col("_r.n_nulls"), col("_r.n_distinct"))
+    },
+
     // Weighted PageRank: the same trade graph but customer→supplier
     // edges weighted by ORDER VOLUME (lineitem count per pair) — a
     // supplier's rank now reflects how much it ships, not just to whom.
@@ -1119,6 +1146,18 @@ object RelationalQueries {
          |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
          |$iters
          |SELECT node, r AS rank_ppb FROM r5""".stripMargin
+    },
+
+    // q134: one UNION ALL branch per column — the oracle can afford six
+    // passes; the Spark side is the single-aggregate fusion.
+    "q134_table_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map(c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM orders""".stripMargin).mkString("\nUNION ALL\n")
     },
 
     // q133: the q122 chain with order-volume weights — contribution
