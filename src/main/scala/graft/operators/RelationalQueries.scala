@@ -472,6 +472,24 @@ object RelationalQueries {
         tradeGraphEdges(s, dir), "src", "dst", iters = 5, dampPct = 85)
     },
 
+    // PIVOT: per-day event matrix, one column per event type — the
+    // wide-format report shape (q102's rollup is the other axis). The
+    // pivot VALUES are declared, not discovered, so the schema is
+    // static and the plan is one groupBy with conditional aggregates —
+    // at 100 TB a discovered pivot would need a driver-side distinct
+    // first; declaring the columns keeps it one pass.
+    "q135_pivot_daily" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", $"ts").as("day"))
+        .pivot("event_type",
+          Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .select($"day", $"view".as("n_view"), $"click".as("n_click"),
+          $"purchase".as("n_purchase"), $"signup".as("n_signup"),
+          $"error".as("n_error"))
+    },
+
     // ANALYZE-style column profiler: per column, row/null/distinct
     // counts in ONE corpus pass (one aggregate carrying every column's
     // metrics, stacked to long form) — the data-quality table a
@@ -1147,6 +1165,17 @@ object RelationalQueries {
          |$iters
          |SELECT node, r AS rank_ppb FROM r5""".stripMargin
     },
+
+    // q135: portable conditional-aggregate pivot (COUNT(*) FILTER per
+    // declared type).
+    "q135_pivot_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  count(*) FILTER (event_type = 'view') AS n_view,
+        |  count(*) FILTER (event_type = 'click') AS n_click,
+        |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (event_type = 'error') AS n_error
+        |FROM events GROUP BY 1""".stripMargin,
 
     // q134: one UNION ALL branch per column — the oracle can afford six
     // passes; the Spark side is the single-aggregate fusion.
