@@ -490,6 +490,51 @@ object RelationalQueries {
           $"error".as("n_error"))
     },
 
+    // UNPIVOT (melt): the q135 wide matrix back to long form through
+    // Dataset.unpivot — the round-trip pins both directions of the
+    // reshaping pair. Map-only over the already-aggregated matrix.
+    "q136_unpivot_daily" -> { (s, dir) =>
+      import s.implicits._
+      queries("q135_pivot_daily")(s, dir)
+        .unpivot(Array($"day"),
+          Array($"n_view", $"n_click", $"n_purchase", $"n_signup",
+            $"n_error"),
+          "event_type", "n_events")
+        .filter($"n_events" > 0)
+    },
+
+    // Cumulative-adoption curve: per day, users seen for the FIRST time
+    // and the running total — the DAU-growth report. One min-aggregate
+    // per user (map-side combined), a tiny per-day rollup, and a
+    // running-sum window over ~days rows, never over users.
+    "q137_cumulative_users" -> { (s, dir) =>
+      import s.implicits._
+      val firstDay = t(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(min(date_trunc("day", $"ts")).as("day"))
+      val w = Window.partitionBy().orderBy($"day")
+      firstDay.groupBy($"day").agg(count(lit(1)).as("new_users"))
+        .withColumn("total_users", sum($"new_users").over(w))
+    },
+
+    // Retention cohorts: users grouped by first-seen week (their
+    // cohort), counted in each later week they return — the triangle
+    // every product dashboard draws. The cohort table is |users| rows
+    // (one min-aggregate), the activity table one distinct per
+    // (user, week); the join is user-keyed, never a cross of weeks.
+    "q138_retention_cohorts" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val cohort = ev.groupBy($"user_id")
+        .agg(min(date_trunc("week", $"ts")).as("cohort_week"))
+      val active = ev
+        .select($"user_id", date_trunc("week", $"ts").as("week"))
+        .distinct()
+      cohort.join(active, "user_id")
+        .groupBy($"cohort_week", $"week")
+        .agg(count(lit(1)).as("n_users"))
+    },
+
     // ANALYZE-style column profiler: per column, row/null/distinct
     // counts in ONE corpus pass (one aggregate carrying every column's
     // metrics, stacked to long form) — the data-quality table a
@@ -1165,6 +1210,39 @@ object RelationalQueries {
          |$iters
          |SELECT node, r AS rank_ppb FROM r5""".stripMargin
     },
+
+    // q136: the long form computed directly — unpivot(pivot(x)) must
+    // equal x restricted to nonzero cells.
+    "q136_unpivot_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  'n_' || event_type AS event_type, count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // q137: first-seen day per user, daily new-user counts, running sum.
+    "q137_cumulative_users" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(min(date_trunc('day', ts)) AS TIMESTAMP)
+        |    AS day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+        |SELECT day, new_users,
+        |  CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS total_users
+        |FROM d""".stripMargin,
+
+    // q138: cohort = first-seen week; count distinct users per
+    // (cohort_week, activity week).
+    "q138_retention_cohorts" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(min(date_trunc('week', ts)) AS TIMESTAMP)
+        |    AS cohort_week
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+        |  FROM events)
+        |SELECT c.cohort_week, a.week, count(*) AS n_users
+        |FROM c JOIN a ON c.user_id = a.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     // q135: portable conditional-aggregate pivot (COUNT(*) FILTER per
     // declared type).
