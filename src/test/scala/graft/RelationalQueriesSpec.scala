@@ -399,6 +399,39 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(got == Map(1L -> 1040L, 2L -> 777L), s"got $got")
   }
 
+  test("bucketed fact-to-fact join runs with zero exchanges") {
+    // The relational twin of the dedup-index bucketing discipline: both
+    // fact tables written bucketed+sorted on the join key join WITHOUT
+    // any shuffle — at 100 TB this is the difference between re-sorting
+    // two fact tables per join and reading them co-located. (SMJ still
+    // shows a Sort over the bucketed scan — Spark does not yet trust
+    // sortBy metadata across files — but the EXCHANGES, the network
+    // cost, are gone; bucket counts must match.)
+    import org.apache.spark.sql.functions._
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o.select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("b_orders")
+    l.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("b_lineitem")
+    // merge hint: at sf0.001 the sides are broadcast-sized and a
+    // BroadcastExchange would mask the point — force the sort-merge
+    // path the bucketed layout exists for.
+    val joined = spark.table("b_orders").hint("merge")
+      .join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join should be exchange-free:\n$plan")
+    // And it computes the right thing.
+    assert(joined.count() ==
+      l.join(o, col("l_orderkey") === col("o_orderkey")).count())
+  }
+
   test("weighted pagerank: hand-computed proportional split, parallel edges sum") {
     import spark.implicits._
     // A→B w3, A→C w1, B→A w1; deg A=4, B=1. One iteration:
