@@ -102,6 +102,56 @@ object Corpus {
         (col("rate_ppm").cast("double") / lit(1000000.0)).as("rate"))
   }
 
+  /** Exact top-k frequent tokens through a two-pass Misra-Gries
+    * shortlist — the mergeable-summary pattern that replaces the
+    * full-vocabulary shuffle: pass one runs a capacity-bounded
+    * Misra-Gries summary PER PARTITION (each task emits ≤ `capacity`
+    * candidate tokens, O(capacity) memory regardless of vocabulary
+    * size), pass two recounts ONLY the broadcast candidate union
+    * exactly and takes the true top-k. The output is EXACT — not
+    * approximate — whenever the k-th true frequency exceeds
+    * N/capacity: by pigeonhole a token with global count F appears
+    * ≥ F/P times in some partition, and Misra-Gries keeps every token
+    * with local count above N_p/capacity, so all true heavy hitters
+    * survive to the recount. (The candidate SET varies with
+    * partitioning; the recounted top-k does not.) Contract: size
+    * `capacity` ≥ a few × N/(k-th expected frequency); the q139 fixture
+    * runs a ~13× margin, invariant under corpus scaling since both
+    * sides grow linearly.
+    *
+    * At 100 TB: pass one is map-only; the recount shuffles only rows
+    * matching ≤ capacity·P candidate tokens (broadcast semi-join) —
+    * vocabulary size never bounds memory, which is the whole point.
+    */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int = 20,
+                   capacity: Int = 400): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tokens = docs.select(
+      explode(graft.llm.TextAnalysis.tokens(col(textCol))).as("token"))
+    val candidates = tokens.as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap[String, Long]()
+      for (t <- it) {
+        if (counts.contains(t)) counts(t) += 1L
+        else if (counts.size < capacity) counts(t) = 1L
+        else {
+          // The MG step: decrement everything, evict zeros.
+          val dead = List.newBuilder[String]
+          counts.foreach { case (kk, v) =>
+            if (v == 1L) dead += kk else counts(kk) = v - 1L
+          }
+          dead.result().foreach(counts.remove)
+        }
+      }
+      counts.keysIterator
+    }.toDF("token").distinct()
+    val w = Window.partitionBy().orderBy(col("cnt").desc, col("token").asc)
+    tokens.join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Temperature-rebalanced sampling rates (the mC4/XLM-R multilingual
     * mixture device at α = 0.5): target share of stratum l ∝ √(its token
     * count), so low-resource strata are up-weighted relative to their

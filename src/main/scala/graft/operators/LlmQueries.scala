@@ -1010,6 +1010,14 @@ object LlmQueries {
         "vec_id", "embedding", k = 10, centroidEvery = 8)
     },
 
+    // Exact top-20 tokens through the two-pass Misra-Gries shortlist —
+    // O(capacity) task memory instead of a full-vocabulary shuffle; the
+    // recounted output is exact under the documented frequency margin
+    // (13× on this fixture), so it gates against the plain exact top-k.
+    "q139_heavy_hitters" -> { (s, dir) =>
+      Corpus.heavyHitters(t(s, dir, "documents"), "text", k = 20)
+    },
+
     // Soft dedup (Dolma/SemDeDup practice): instead of DELETING
     // duplicates, each doc gets training weight 1/|its dup cluster| —
     // the corpus keeps its coverage while a 40-copy boilerplate cluster
@@ -1314,6 +1322,19 @@ object LlmQueries {
     "q55_dedup_components" ->
       ("WITH RECURSIVE " + cc64Sql + "\n" +
         "SELECT v AS doc_id, min(m) AS component_id FROM lbl GROUP BY v"),
+
+    // q139: the oracle is the EXACT top-k — the Spark side's sketch
+    // shortlist must be invisible in the result.
+    "q139_heavy_hitters" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY 1)
+        |SELECT token, cnt, rank FROM (
+        |  SELECT token, cnt,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank
+        |  FROM c)
+        |WHERE rank <= 20""".stripMargin,
 
     // q132: q55's component chain + one cluster-size aggregate and the
     // integer ppm weight.

@@ -108,6 +108,28 @@ class LlmSpec extends SparkSpec {
     // planted duplicate vectors share all sign buckets.
   }
 
+  test("heavy hitters: exact top-k survives tiny capacity, evictions, repartition") {
+    import spark.implicits._
+    // 3 heavy tokens (600/300/200 occurrences) over a 400-unique-token
+    // tail; capacity 10 forces constant MG evictions, and the margin
+    // (200 ≫ N/capacity = 150) keeps the recounted top-3 exact. Run
+    // under two different partitionings — the candidate SET may differ,
+    // the output must not.
+    val words = Seq.fill(600)("alpha") ++ Seq.fill(300)("beta") ++
+      Seq.fill(200)("gamma") ++ (0 until 400).map(i => s"tail$i")
+    val docs = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(7L)).shuffle(words)
+      .grouped(25).map(_.mkString(" ")).toSeq.toDF("text")
+    val expect = Seq(("alpha", 600L, 1), ("beta", 300L, 2),
+      ("gamma", 200L, 3))
+    for (parts <- Seq(2, 11)) {
+      val got = Corpus.heavyHitters(docs.repartition(parts), "text",
+          k = 3, capacity = 10)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      assert(got.toSeq == expect, s"parts=$parts: ${got.toSeq}")
+    }
+  }
+
   test("temperature rates: hand-computed sqrt shares, capped targets, exact rates") {
     import spark.implicits._
     // x: 9 tokens (1 doc); y: 100 tokens (10 docs of 10). sqrt weights
