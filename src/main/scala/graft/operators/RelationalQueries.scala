@@ -490,6 +490,20 @@ object RelationalQueries {
           $"error".as("n_error"))
     },
 
+    // Equi-width histogram over order values: integer bin ids from
+    // exact cents (the DECIMAL device), $50k-wide bins — one map-side-
+    // combined aggregation, ~12 result rows at any scale.
+    "q140_price_histogram" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100" +
+          " AS BIGINT) div 5000000").as("bin"),
+          $"o_totalprice")
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum($"o_totalprice").as("sum_price"))
+    },
+
     // UNPIVOT (melt): the q135 wide matrix back to long form through
     // Dataset.unpivot — the round-trip pins both directions of the
     // reshaping pair. Map-only over the already-aggregated matrix.
@@ -1210,6 +1224,14 @@ object RelationalQueries {
          |$iters
          |SELECT node, r AS rank_ppb FROM r5""".stripMargin
     },
+
+    // q140: the identical exact-cents bin arithmetic.
+    "q140_price_histogram" ->
+      s"""SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |    // 5000000 AS bin,
+         |  count(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1""".stripMargin,
 
     // q136: the long form computed directly — unpivot(pivot(x)) must
     // equal x restricted to nonzero cells.
