@@ -490,6 +490,51 @@ object RelationalQueries {
           $"error".as("n_error"))
     },
 
+    // Native session_window sessionization — the built-in operator q48
+    // hand-rolls with lag+sum, gated under its own oracle. Semantics
+    // differ at the exact boundary: session_window starts a NEW session
+    // when the gap is >= the duration (q48's window form uses strictly
+    // >), so the oracle mirrors >= — on microsecond data the two agree
+    // everywhere except a measure-zero tie, but the gate must encode
+    // the operator's contract, not almost-its-contract.
+    "q141_session_window" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), dsum($"value", 4).as("sum_value"))
+        .select($"user_id", $"w.start".as("session_start"),
+          $"n_events", $"sum_value")
+    },
+
+    // Exact percentiles of session length (p50/p90/p99 of events per
+    // q48 session): rank the session table (|sessions| rows — already
+    // aggregated far below corpus scale) and SELECT the ceil(p·n)-th
+    // element — the deterministic exact-percentile device, no
+    // interpolation, no float.
+    "q142_session_percentiles" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts")
+      val sess = t(s, dir, "events")
+        .withColumn("_prev", lag(unix_micros($"ts"), 1).over(w))
+        .withColumn("_new", ($"_prev".isNull ||
+          unix_micros($"ts") - $"_prev" > 1800L * 1000000L).cast("long"))
+        .withColumn("session_no", sum($"_new").over(w))
+        .groupBy($"user_id", $"session_no")
+        .agg(count(lit(1)).as("n"))
+      val ranked = sess.select($"n")
+        .withColumn("_r", row_number().over(
+          Window.partitionBy().orderBy($"n".asc)))
+      val total = sess.agg(count(lit(1)).as("_total"))
+      ranked.crossJoin(broadcast(total))
+        .withColumn("p", expr("""CASE
+          |  WHEN _r = CAST(ceil(0.50 * _total) AS BIGINT) THEN 'p50'
+          |  WHEN _r = CAST(ceil(0.90 * _total) AS BIGINT) THEN 'p90'
+          |  WHEN _r = CAST(ceil(0.99 * _total) AS BIGINT) THEN 'p99'
+          |  END""".stripMargin))
+        .filter($"p".isNotNull)
+        .select($"p", $"n".as("session_events"))
+    },
+
     // Equi-width histogram over order values: integer bin ids from
     // exact cents (the DECIMAL device), $50k-wide bins — one map-side-
     // combined aggregation, ~12 result rows at any scale.
@@ -1224,6 +1269,51 @@ object RelationalQueries {
          |$iters
          |SELECT node, r AS rank_ppb FROM r5""".stripMargin
     },
+
+    // q141: q48's chain with the >= boundary session_window actually
+    // implements (a new window starts when the gap REACHES the
+    // duration).
+    "q141_session_window" ->
+      s"""WITH g AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800 * 1000000
+         |    THEN 1 ELSE 0 END AS ns
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |s AS (
+         |  SELECT user_id, ts, value,
+         |    CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts)
+         |      AS BIGINT) AS sn
+         |  FROM g)
+         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+         |  ${dsumSql("value", 4)} AS sum_value
+         |FROM s GROUP BY user_id, sn""".stripMargin,
+
+    // q142: rank the session-size table, pick the ceil(p·n)-th element.
+    "q142_session_percentiles" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id,
+        |    CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts)
+        |      AS BIGINT) AS sn
+        |  FROM g),
+        |sess AS (SELECT user_id, sn, count(*) AS n FROM s GROUP BY 1, 2),
+        |r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n ASC) AS _r FROM sess),
+        |t AS (SELECT count(*) AS _total FROM sess)
+        |SELECT p, session_events FROM (
+        |  SELECT CASE
+        |      WHEN _r = CAST(ceil(0.50 * _total) AS BIGINT) THEN 'p50'
+        |      WHEN _r = CAST(ceil(0.90 * _total) AS BIGINT) THEN 'p90'
+        |      WHEN _r = CAST(ceil(0.99 * _total) AS BIGINT) THEN 'p99'
+        |      END AS p,
+        |    n AS session_events
+        |  FROM r, t)
+        |WHERE p IS NOT NULL""".stripMargin,
 
     // q140: the identical exact-cents bin arithmetic.
     "q140_price_histogram" ->
