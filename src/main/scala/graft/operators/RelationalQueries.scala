@@ -490,6 +490,37 @@ object RelationalQueries {
           $"error".as("n_error"))
     },
 
+    // AS-OF with staleness tolerance: q106's attribution, but a
+    // purchase older than 24 h no longer claims the click (pandas
+    // merge_asof `tolerance`).
+    "q143_asof_tolerance" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("tsm"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", unix_micros($"ts").as("tsm"),
+          get_json_object($"props", "$.k").cast("long").as("k"))
+      asofJoinBackwardTolerance(clicks, purchases, "user_id", "tsm", "k",
+        "recent_purchase_k", toleranceMicros = 86400000000L)
+    },
+
+    // AS-OF nearest: the closer of the last-before and first-after
+    // purchase, ties to backward (pandas merge_asof
+    // `direction='nearest'`) — completes the as-of family's third
+    // direction.
+    "q144_asof_nearest" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("tsm"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", unix_micros($"ts").as("tsm"),
+          get_json_object($"props", "$.k").cast("long").as("k"))
+      asofJoinNearest(clicks, purchases, "user_id", "tsm", "k",
+        "nearest_purchase_k")
+    },
+
     // Native session_window sessionization — the built-in operator q48
     // hand-rolls with lag+sum, gated under its own oracle. Semantics
     // differ at the exact boundary: session_window starts a NEW session
@@ -703,23 +734,27 @@ object RelationalQueries {
     * is null still counts and yields null via the struct marker.
     */
   def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
-                      tsCol: String, valCol: String,
-                      outCol: String): DataFrame = {
+                      tsCol: String, valCol: String, outCol: String,
+                      matchTsCol: Option[String] = None): DataFrame = {
     val vType = right.select(col(valCol)).schema.head.dataType
-    val sType = org.apache.spark.sql.types.StructType(
-      Seq(org.apache.spark.sql.types.StructField("_v", vType)))
+    val tType = right.select(col(tsCol)).schema.head.dataType
+    val sType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_v", vType),
+      org.apache.spark.sql.types.StructField("_t", tType)))
     val l = left.withColumn("_isL", lit(1))
       .withColumn("_rs", lit(null).cast(sType))
     val r = right.select(col(keyCol), col(tsCol), lit(0).as("_isL"),
-      struct(col(valCol).as("_v")).as("_rs"))
+      struct(col(valCol).as("_v"), col(tsCol).as("_t")).as("_rs"))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("_isL").desc,
         col("_rs._v").desc_nulls_last)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    l.unionByName(r, allowMissingColumns = true)
-      .withColumn(outCol, first(col("_rs"), ignoreNulls = true).over(w)("_v"))
+    val matched = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_m", first(col("_rs"), ignoreNulls = true).over(w))
       .filter(col("_isL") === 1)
-      .drop("_isL", "_rs")
+      .withColumn(outCol, col("_m._v"))
+    matchTsCol.fold(matched)(c => matched.withColumn(c, col("_m._t")))
+      .drop("_isL", "_rs", "_m")
   }
 
   /** q122's edge list: the customer→supplier→nation→customer trade
@@ -811,23 +846,63 @@ object RelationalQueries {
     * right row.
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame, keyCol: String,
-                      tsCol: String, valCol: String,
-                      outCol: String): DataFrame = {
+                      tsCol: String, valCol: String, outCol: String,
+                      matchTsCol: Option[String] = None): DataFrame = {
     val vType = right.select(col(valCol)).schema.head.dataType
-    val sType = org.apache.spark.sql.types.StructType(
-      Seq(org.apache.spark.sql.types.StructField("_v", vType)))
+    val tType = right.select(col(tsCol)).schema.head.dataType
+    val sType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_v", vType),
+      org.apache.spark.sql.types.StructField("_t", tType)))
     val l = left.withColumn("_isL", lit(1))
       .withColumn("_rs", lit(null).cast(sType))
     val r = right.select(col(keyCol), col(tsCol), lit(0).as("_isL"),
-      struct(col(valCol).as("_v")).as("_rs"))
+      struct(col(valCol).as("_v"), col(tsCol).as("_t")).as("_rs"))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("_isL").asc,
         col("_rs._v").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r, allowMissingColumns = true)
-      .withColumn(outCol, last(col("_rs"), ignoreNulls = true).over(w)("_v"))
+    val matched = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_m", last(col("_rs"), ignoreNulls = true).over(w))
       .filter(col("_isL") === 1)
-      .drop("_isL", "_rs")
+      .withColumn(outCol, col("_m._v"))
+    matchTsCol.fold(matched)(c => matched.withColumn(c, col("_m._t")))
+      .drop("_isL", "_rs", "_m")
+  }
+
+  /** AS-OF backward with a STALENESS TOLERANCE (pandas merge_asof's
+    * `tolerance`, kdb's within-window asof): a match older than
+    * `toleranceMicros` is discarded — attribution to a purchase from
+    * three months ago is usually a bug, not a signal. Same plan as
+    * [[asofJoinBackward]] plus a map-only staleness gate. */
+  def asofJoinBackwardTolerance(left: DataFrame, right: DataFrame,
+                                keyCol: String, tsCol: String,
+                                valCol: String, outCol: String,
+                                toleranceMicros: Long): DataFrame =
+    asofJoinBackward(left, right, keyCol, tsCol, valCol, outCol,
+      matchTsCol = Some("_mt"))
+      .withColumn(outCol,
+        when(col("_mt").isNotNull &&
+          col(tsCol) - col("_mt") <= toleranceMicros, col(outCol)))
+      .drop("_mt")
+
+  /** AS-OF nearest (pandas merge_asof `direction='nearest'`): the
+    * closer of the backward and forward matches, ties to BACKWARD.
+    * Two keyed windows (one per direction) over the same union shape —
+    * still no range explosion, still key-partitioned. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keyCol: String,
+                      tsCol: String, valCol: String,
+                      outCol: String): DataFrame = {
+    val b = asofJoinBackward(left, right, keyCol, tsCol, valCol, "_bv",
+      matchTsCol = Some("_bt"))
+    val f = asofJoinForward(b, right, keyCol, tsCol, valCol, "_fv",
+      matchTsCol = Some("_ft"))
+    f.withColumn(outCol,
+        when(col("_bt").isNull, col("_fv"))
+          .when(col("_ft").isNull, col("_bv"))
+          .when(col(tsCol) - col("_bt") <= col("_ft") - col(tsCol),
+            col("_bv"))
+          .otherwise(col("_fv")))
+      .drop("_bv", "_bt", "_fv", "_ft")
   }
 
   val oracles: Map[String, String] = Map(
@@ -1269,6 +1344,47 @@ object RelationalQueries {
          |$iters
          |SELECT node, r AS rank_ppb FROM r5""".stripMargin
     },
+
+    // q143: the native ASOF plus a post-hoc staleness gate on the
+    // matched timestamp.
+    "q143_asof_tolerance" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsm FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.tsm,
+        |  CASE WHEN p.tsm IS NOT NULL AND c.tsm - p.tsm <= 86400000000
+        |    THEN p.k END AS recent_purchase_k
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.tsm >= p.tsm""".stripMargin,
+
+    // q144: both ASOF directions joined on the click, closer match
+    // wins, ties backward.
+    "q144_asof_nearest" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsm FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT c.event_id, c.user_id, c.tsm, p.k AS bk, p.tsm AS bt
+        |  FROM c ASOF LEFT JOIN p
+        |    ON c.user_id = p.user_id AND c.tsm >= p.tsm),
+        |f AS (
+        |  SELECT c.event_id, p.k AS fk, p.tsm AS ft
+        |  FROM c ASOF LEFT JOIN p
+        |    ON c.user_id = p.user_id AND c.tsm <= p.tsm)
+        |SELECT b.event_id, b.user_id, b.tsm,
+        |  CASE WHEN b.bt IS NULL THEN f.fk
+        |    WHEN f.ft IS NULL THEN b.bk
+        |    WHEN b.tsm - b.bt <= f.ft - b.tsm THEN b.bk
+        |    ELSE f.fk END AS nearest_purchase_k
+        |FROM b JOIN f ON b.event_id = f.event_id""".stripMargin,
 
     // q141: q48's chain with the >= boundary session_window actually
     // implements (a new window starts when the gap REACHES the

@@ -250,6 +250,39 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("asof tolerance: stale matches null out, fresh survive, boundary included") {
+    import spark.implicits._
+    val clicks = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 10L, 150L))
+      .toDF("event_id", "user_id", "tsm")
+    val purchases = Seq((10L, 90L, 7L), (10L, 100L, 9L))
+      .toDF("user_id", "tsm", "k")
+    val out = RelationalQueries.asofJoinBackwardTolerance(
+        clicks, purchases, "user_id", "tsm", "k", "v",
+        toleranceMicros = 50L)
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(out(1L) == Some(9L))  // gap 0 <= 50
+    assert(out(2L) == None)      // latest at 100, gap 150 > 50 -> stale
+    assert(out(3L) == Some(9L))  // gap 50 == tolerance: included
+  }
+
+  test("asof nearest: closer side wins, ties to backward, one-sided falls through") {
+    import spark.implicits._
+    val clicks = Seq((1L, 10L, 100L), (2L, 10L, 140L), (3L, 10L, 50L),
+      (4L, 10L, 300L), (5L, 10L, 160L), (6L, 10L, 145L))
+      .toDF("event_id", "user_id", "tsm")
+    val purchases = Seq((10L, 90L, 7L), (10L, 200L, 9L))
+      .toDF("user_id", "tsm", "k")
+    val out = RelationalQueries.asofJoinNearest(
+        clicks, purchases, "user_id", "tsm", "k", "v")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(out(1L) == Some(7L))  // 10 back vs 100 fwd
+    assert(out(2L) == Some(7L))  // 50 back vs 60 fwd
+    assert(out(3L) == Some(7L))  // before all: forward only
+    assert(out(4L) == Some(9L))  // after all: backward only
+    assert(out(5L) == Some(9L))  // 70 back vs 40 fwd -> forward
+    assert(out(6L) == Some(7L))  // exact 55/55 tie -> backward
+  }
+
   test("range join by bucket: boundaries, multi-bucket spans, empty intervals") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
