@@ -490,6 +490,40 @@ object RelationalQueries {
           $"error".as("n_error"))
     },
 
+    // CUBE with grouping_id: all four aggregation levels of
+    // (returnflag × linestatus) in one pass, each row tagged with which
+    // dimensions are aggregated away — q102's rollup is the prefix
+    // lattice, this is the full one. Spark expands to a 4-way grouping
+    // internally; still one shuffle.
+    "q145_cube_grouping" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), dsum($"l_quantity").as("sum_qty"),
+          grouping_id().cast("long").as("gid"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+          coalesce($"l_linestatus", lit("ALL")).as("ls"),
+          $"gid", $"n_rows", $"sum_qty")
+    },
+
+    // Time-RANGE window frame: per user, each event's trailing-7-day
+    // spend (RANGE over epoch-micros, not ROWS — q104's moving window
+    // counts neighbors; this one bounds by TIME, the frame a feature
+    // store actually wants). One keyed sort, frame scan is linear.
+    "q146_rolling_7d" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("tsm"),
+          $"value")
+        .withColumn("spend_7d",
+          sum(dec($"value", 4)).over(
+            Window.partitionBy($"user_id").orderBy($"tsm")
+              .rangeBetween(-7L * 86400000000L, 0L))
+            .cast("double"))
+        .drop("value")
+    },
+
     // AS-OF with staleness tolerance: q106's attribution, but a
     // purchase older than 24 h no longer claims the click (pandas
     // merge_asof `tolerance`).
@@ -1344,6 +1378,27 @@ object RelationalQueries {
          |$iters
          |SELECT node, r AS rank_ppb FROM r5""".stripMargin
     },
+
+    // q145: native CUBE + GROUPING bitmask (first column = MSB on both
+    // engines).
+    "q145_cube_grouping" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+         |  coalesce(l_linestatus, 'ALL') AS ls,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |  count(*) AS n_rows,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    // q146: the identical RANGE frame over epoch-micros; the DECIMAL
+    // window sum casts to DOUBLE only at the end.
+    "q146_rolling_7d" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS tsm,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS spend_7d
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
 
     // q143: the native ASOF plus a post-hoc staleness gate on the
     // matched timestamp.
