@@ -563,6 +563,39 @@ class MediaStreamSpec extends SparkSpec {
       s.closedAtMs == ts(0, 30).getTime), out.mkString("\n"))
   }
 
+  test("streaming: native session_window finalizes merged sessions on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The built-in q141 gates in batch, run as a stream: two events 20 s
+    // apart merge into one session window; a third 10 min later starts
+    // another; the watermark finalizes the first, and a late-but-valid
+    // event extends nothing already emitted (append-mode contract).
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("start"),
+        col("n_events"))
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode("append").start()
+    def ts(m: Int, s: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:$s%02d")
+    mem.addData((1L, ts(0, 0)), (1L, ts(0, 20)))
+    q.processAllAvailable()
+    mem.addData((1L, ts(10, 0))) // pushes watermark past session 1
+    q.processAllAvailable()
+    mem.addData((1L, ts(20, 0)))
+    q.processAllAvailable()
+    val out = spark.table("native_sessions")
+      .collect().map(r => (r.getTimestamp(1), r.getLong(2)))
+    q.stop()
+    assert(out.contains((ts(0, 0), 2L)),
+      s"merged 2-event session not finalized: ${out.toSeq}")
+    assert(!out.exists(_._1 == ts(0, 20)),
+      s"the 20s event must merge, not start its own session: ${out.toSeq}")
+  }
+
   test("streaming: batch form of hourlyStats matches q13's aggregation shape") {
     val e = Tables.t(spark, sf, "events")
     val out = EventsStream.hourlyStats(e)
