@@ -140,6 +140,55 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core: the maximal subgraph where every node keeps degree ≥ k
+    * after all lower-degree nodes are peeled away (undirected closure;
+    * direction, multiplicity, self-loops dropped) — the standard
+    * "dense part of the graph" extraction. Iterative peeling: each
+    * round computes degrees, drops nodes below k, restricts edges to
+    * survivors (two semi-joins), and repeats until no node is removed.
+    * Rounds are data-dependent but each removes ≥ 1 node, and in
+    * practice O(log) of the peel depth; the loop's only driver-side
+    * value is the per-round survivor COUNT (a scalar, not data), and
+    * lineage is cut per round with localCheckpoint — on a cluster each
+    * round is one degree aggregation + keyed semi-joins over the
+    * shrinking edge set, nothing ever all-pairs.
+    *
+    * Returns (node, core_degree): the surviving nodes with their degree
+    * INSIDE the core (≥ k by construction; empty result if no k-core).
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int): DataFrame = {
+    require(k >= 1)
+    val und0 = edges.select(
+        least(col(srcCol), col(dstCol)).as("_a"),
+        greatest(col(srcCol), col(dstCol)).as("_b"))
+      .filter(col("_a") =!= col("_b"))
+      .distinct().localCheckpoint()
+    var und = und0
+    var survivors = -1L
+    var done = false
+    while (!done) {
+      val deg = und.select(col("_a").as("_n"))
+        .union(und.select(col("_b").as("_n")))
+        .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+      val keep = deg.filter(col("_d") >= k).localCheckpoint()
+      val n = keep.count()
+      if (n == survivors || n == 0) done = true
+      else {
+        survivors = n
+        und = und
+          .join(keep.select(col("_n").as("_a")), Seq("_a"), "left_semi")
+          .join(keep.select(col("_n").as("_b")), Seq("_b"), "left_semi")
+          .localCheckpoint()
+      }
+    }
+    und.select(col("_a").as("_n"))
+      .union(und.select(col("_b").as("_n")))
+      .groupBy(col("_n")).agg(count(lit(1)).as("core_degree"))
+      .filter(col("core_degree") >= k)
+      .select(col("_n").as("node"), col("core_degree"))
+  }
+
   /** Synchronous label propagation (Raghavan 2007, made deterministic):
     * every node starts labeled with its own id; each iteration
     * simultaneously adopts the most frequent label among its neighbors,

@@ -533,6 +533,21 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 0L), s"got $got")
   }
 
+  test("k-core: cascading peel reaches the fixpoint, empty core is empty") {
+    import spark.implicits._
+    // Triangle A-B-C with a tail C-D-E. Peeling the 2-core cascades: E
+    // (degree 1) goes first, THEN D drops to degree 1 and goes — two
+    // rounds, leaving exactly the triangle at degree 2 each.
+    val edges = Seq(("A", "B"), ("B", "C"), ("A", "C"), ("C", "D"),
+      ("D", "E")).toDF("src", "dst")
+    val core2 = graft.graphquery.Graph.kCore(edges, "src", "dst", k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core2 == Map("A" -> 2L, "B" -> 2L, "C" -> 2L), s"got $core2")
+    // No 3-core exists: the triangle's degrees are all 2.
+    assert(graft.graphquery.Graph.kCore(edges, "src", "dst", k = 3)
+      .count() == 0)
+  }
+
   test("label propagation: majority adoption, smallest-label ties, sync rounds") {
     import spark.implicits._
     // Star A-{B,C,D} plus edge B-C. Round 1 (synchronous): A sees
