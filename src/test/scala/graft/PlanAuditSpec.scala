@@ -37,7 +37,10 @@ class PlanAuditSpec extends SparkSpec {
       "q117_matryoshka_recall",
       // q124's ADC shortlist scans the reconstructed corpus against the
       // broadcast query sample — q35's intended shape over codes.
-      "q124_pq_knn")
+      "q124_pq_knn",
+      // q142 cross-joins a SINGLE-ROW aggregate (the session total) —
+      // the q105/q115 scalar-broadcast shape.
+      "q142_session_percentiles")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
