@@ -86,6 +86,62 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank: teleportation lands only on the SEED set
+    * (the recommendation/proximity variant — rank mass flows outward
+    * from the seeds instead of raining uniformly). Same ppb BIGINT
+    * discipline and per-iteration shape as [[pageRank]] with two
+    * changes: the initial rank is 10⁹ on seeds and 0 elsewhere, and the
+    * per-node base term (100−dampPct)·10⁷ applies to seeds only —
+    * carried as a precomputed per-node base vector joined after each
+    * damped aggregation (one extra |V|-row keyed join per iteration).
+    * Absolute-mass convention: ranks are comparable to [[pageRank]]'s,
+    * not normalized per seed. Returns (node, rank_ppb); non-seed nodes
+    * unreachable from any seed hold rank 0.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+                           dstCol: String, seeds: DataFrame,
+                           seedCol: String, iters: Int = 5,
+                           dampPct: Int = 85,
+                           weightCol: Option[String] = None): DataFrame = {
+    require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
+    val e = (weightCol match {
+      case Some(wc) => edges.select(col(srcCol).as("_src"),
+          col(dstCol).as("_dst"), col(wc).cast("long").as("_w"))
+        .groupBy(col("_src"), col("_dst")).agg(sum(col("_w")).as("_w"))
+      case None => edges.select(col(srcCol).as("_src"),
+          col(dstCol).as("_dst")).distinct().withColumn("_w", lit(1L))
+    }).localCheckpoint()
+    val nodes = e.select(col("_src").as("node"))
+      .union(e.select(col("_dst").as("node"))).distinct()
+    val seedSet = seeds.select(col(seedCol).as("node")).distinct()
+    val bVec = nodes
+      .join(seedSet.withColumn("_isSeed", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("_isSeed"), lit((100L - dampPct) * 10000000L))
+          .otherwise(lit(0L)).as("_b"))
+      .localCheckpoint()
+    val outDeg = e.groupBy(col("_src")).agg(sum(col("_w")).as("_deg"))
+    val edgesDeg = e.join(outDeg, "_src")
+      .repartition(col("_src")).localCheckpoint()
+    var ranks = bVec.select(col("node"),
+      when(col("_b") > 0L, lit(1000000000L)).otherwise(lit(0L))
+        .as("rank_ppb"))
+    for (_ <- 1 to iters) {
+      ranks = edgesDeg
+        .join(ranks.withColumnRenamed("node", "_src"), "_src")
+        .select(col("_dst").as("node"),
+          expr("(rank_ppb * _w) div _deg").as("_c"))
+        .unionByName(bVec.select(col("node"), lit(0L).as("_c")))
+        .groupBy(col("node"))
+        .agg(expr(s"($dampPct * sum(_c)) div 100").as("_t"))
+        .join(bVec, "node")
+        .select(col("node"), (col("_t") + col("_b")).cast("long")
+          .as("rank_ppb"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** Per-node triangle participation over the UNDIRECTED closure of the
     * edge list (direction and multiplicity dropped; self-loops ignored).
     * Output: (node, n_triangles) for every node in at least one

@@ -686,6 +686,18 @@ object RelationalQueries {
           col("_r.n_nulls"), col("_r.n_distinct"))
     },
 
+    // Personalized PageRank from the 25 nation hubs: rank mass flows
+    // outward from the nations through their customers and suppliers —
+    // proximity-to-hub scoring, the recommendation variant.
+    "q147_personalized_pagerank" -> { (s, dir) =>
+      import s.implicits._
+      val seeds = t(s, dir, "customer")
+        .select(concat(lit("n"), $"c_nationkey").as("node")).distinct()
+      graft.graphquery.Graph.personalizedPageRank(
+        tradeGraphEdges(s, dir), "src", "dst", seeds, "node",
+        iters = 5, dampPct = 85)
+    },
+
     // Weighted PageRank: the same trade graph but customer→supplier
     // edges weighted by ORDER VOLUME (lineitem count per pair) — a
     // supplier's rank now reflects how much it ships, not just to whom.
@@ -1548,6 +1560,53 @@ object RelationalQueries {
            |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
            |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
            |FROM orders""".stripMargin).mkString("\nUNION ALL\n")
+    },
+
+    // q147: the q122 chain with seed-only init and a per-node base
+    // vector joined after each damped aggregation ('n'-prefixed nodes
+    // are the seeds).
+    "q147_personalized_pagerank" -> {
+      val iters = (1 to 5).map { i =>
+        s"""r$i AS (
+           |  SELECT t.node,
+           |    CAST(t._t + b.bb AS BIGINT) AS r
+           |  FROM (
+           |    SELECT n.node,
+           |      (85 * COALESCE(SUM(p.r // deg.d), 0)) // 100 AS _t
+           |    FROM nodes n
+           |    LEFT JOIN edges e ON e.dst = n.node
+           |    LEFT JOIN deg ON deg.src = e.src
+           |    LEFT JOIN r${i - 1} p ON p.node = e.src
+           |    GROUP BY 1) t
+           |  JOIN b ON b.node = t.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH co AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |sn AS (
+         |  SELECT DISTINCT 's' || s_suppkey AS src, 'n' || s_nationkey AS dst
+         |  FROM supplier),
+         |nc AS (
+         |  SELECT DISTINCT 'n' || c_nationkey AS src, 'c' || c_custkey AS dst
+         |  FROM customer),
+         |edges AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT * FROM co UNION ALL SELECT * FROM sn
+         |    UNION ALL SELECT * FROM nc)),
+         |nodes AS (
+         |  SELECT DISTINCT src AS node FROM edges
+         |  UNION SELECT DISTINCT dst FROM edges),
+         |b AS (
+         |  SELECT node, CASE WHEN node LIKE 'n%' THEN 150000000
+         |    ELSE 0 END AS bb
+         |  FROM nodes),
+         |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+         |r0 AS (
+         |  SELECT node, CAST(CASE WHEN node LIKE 'n%' THEN 1000000000
+         |    ELSE 0 END AS BIGINT) AS r
+         |  FROM nodes),
+         |$iters
+         |SELECT node, r AS rank_ppb FROM r5""".stripMargin
     },
 
     // q133: the q122 chain with order-volume weights — contribution

@@ -481,6 +481,21 @@ class RelationalQueriesSpec extends SparkSpec {
       "C" -> 362500000L), s"got $got")
   }
 
+  test("personalized pagerank: seed-only teleport, mass flows outward") {
+    import spark.implicits._
+    // Seeds {A}; A→B, B→A, B→C. One iteration:
+    //   A: damped inflow 0 (B starts at 0) + seed base = 150000000
+    //   B: (85·10⁹ div 1) div 100 = 850000000, no base
+    //   C: 0 inflow, no base → 0
+    val edges = Seq(("A", "B"), ("B", "A"), ("B", "C")).toDF("src", "dst")
+    val seeds = Seq("A").toDF("node")
+    val got = graft.graphquery.Graph.personalizedPageRank(
+        edges, "src", "dst", seeds, "node", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("A" -> 150000000L, "B" -> 850000000L, "C" -> 0L),
+      s"got $got")
+  }
+
   test("q131 user journey: five analytics, exactly one shuffle") {
     val df = RelationalQueries.queries("q131_user_journey")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
