@@ -312,46 +312,9 @@ object RelationalQueries {
     // over the corpus where the naive dashboard runs five.
     "q131_user_journey" -> { (s, dir) =>
       import s.implicits._
-      t(s, dir, "events")
+      userJourney(t(s, dir, "events")
         .select($"user_id", unix_micros($"ts").as("tsm"), $"event_type",
-          (dec($"value") * 100).cast("long").as("cents"))
-        .groupBy($"user_id")
-        .agg(array_sort(collect_list(
-          struct($"tsm", $"event_type", $"cents"))).as("_evs"))
-        .withColumn("_minp", array_min(transform(
-          filter($"_evs", e => e.getField("event_type") === "purchase"),
-          e => e.getField("tsm"))))
-        .select($"user_id",
-          size($"_evs").cast("long").as("n_events"),
-          expr("""aggregate(_evs,
-            |  named_struct('p', CAST(NULL AS LONG), 'n', 0L),
-            |  (a, x) -> named_struct('p', x.tsm,
-            |    'n', a.n + CASE WHEN a.p IS NULL
-            |      OR x.tsm - a.p > 1800000000L THEN 1L ELSE 0L END),
-            |  a -> a.n)""".stripMargin).as("n_sessions"),
-          expr(funnelFoldExpr()).as("funnel_stage"),
-          expr("""aggregate(_evs,
-            |  named_struct('s', 0L, 't', 0L, 'c', 0L),
-            |  (a, x) -> CASE
-            |    WHEN a.s = 0 AND x.event_type = 'view'
-            |      THEN named_struct('s', 1L, 't', x.tsm, 'c', a.c)
-            |    WHEN a.s = 1 AND x.event_type = 'click' AND x.tsm > a.t
-            |        AND x.tsm - a.t <= 86400000000L
-            |      THEN named_struct('s', 2L, 't', x.tsm, 'c', a.c)
-            |    WHEN a.s = 2 AND x.event_type = 'purchase' AND x.tsm > a.t
-            |        AND x.tsm - a.t <= 86400000000L
-            |      THEN named_struct('s', 0L, 't', 0L, 'c', a.c + 1L)
-            |    ELSE a END,
-            |  a -> a.c)""".stripMargin).as("conversions"),
-          expr("""aggregate(
-            |  slice(transform(_evs, e -> e.cents), 2, size(_evs) - 1),
-            |  _evs[0].cents,
-            |  (a, x) -> (900000L * a + 100000L * x) div 1000000L)"""
-            .stripMargin).as("ewma_cents"),
-          size(filter($"_evs", e =>
-            e.getField("event_type") === "click" &&
-              $"_minp".isNotNull && e.getField("tsm") >= $"_minp"))
-            .cast("long").as("attributed_clicks"))
+          (dec($"value") * 100).cast("long").as("cents")))
     },
 
     // Repeated-conversion counting: how many NON-OVERLAPPING
@@ -743,6 +706,52 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_users"))
     }
   )
+
+  /** The q131 five-metric journey over a (user_id, tsm, event_type,
+    * cents) frame — factored so the streaming twin's equality test and
+    * the gated query share one definition. ONE keyed shuffle; every
+    * metric a row-local fold/array function over the same sorted array.
+    */
+  def userJourney(events: DataFrame): DataFrame = {
+    val df = events
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(
+        struct(col("tsm"), col("event_type"), col("cents")))).as("_evs"))
+      .withColumn("_minp", array_min(transform(
+        filter(col("_evs"), e => e.getField("event_type") === "purchase"),
+        e => e.getField("tsm"))))
+    df.select(col("user_id"),
+      size(col("_evs")).cast("long").as("n_events"),
+      expr("""aggregate(_evs,
+        |  named_struct('p', CAST(NULL AS LONG), 'n', 0L),
+        |  (a, x) -> named_struct('p', x.tsm,
+        |    'n', a.n + CASE WHEN a.p IS NULL
+        |      OR x.tsm - a.p > 1800000000L THEN 1L ELSE 0L END),
+        |  a -> a.n)""".stripMargin).as("n_sessions"),
+      expr(funnelFoldExpr()).as("funnel_stage"),
+      expr("""aggregate(_evs,
+        |  named_struct('s', 0L, 't', 0L, 'c', 0L),
+        |  (a, x) -> CASE
+        |    WHEN a.s = 0 AND x.event_type = 'view'
+        |      THEN named_struct('s', 1L, 't', x.tsm, 'c', a.c)
+        |    WHEN a.s = 1 AND x.event_type = 'click' AND x.tsm > a.t
+        |        AND x.tsm - a.t <= 86400000000L
+        |      THEN named_struct('s', 2L, 't', x.tsm, 'c', a.c)
+        |    WHEN a.s = 2 AND x.event_type = 'purchase' AND x.tsm > a.t
+        |        AND x.tsm - a.t <= 86400000000L
+        |      THEN named_struct('s', 0L, 't', 0L, 'c', a.c + 1L)
+        |    ELSE a END,
+        |  a -> a.c)""".stripMargin).as("conversions"),
+      expr("""aggregate(
+        |  slice(transform(_evs, e -> e.cents), 2, size(_evs) - 1),
+        |  _evs[0].cents,
+        |  (a, x) -> (900000L * a + 100000L * x) div 1000000L)"""
+        .stripMargin).as("ewma_cents"),
+      size(filter(col("_evs"), e =>
+        e.getField("event_type") === "click" &&
+          col("_minp").isNotNull && e.getField("tsm") >= col("_minp")))
+        .cast("long").as("attributed_clicks"))
+  }
 
   /** q123's funnel fold over a `_evs` column of sorted
     * (tsm, event_type) structs: the stage reached by

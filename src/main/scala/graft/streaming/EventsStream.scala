@@ -327,6 +327,109 @@ object EventsStream {
       }
   }
 
+  case class JourneyEvent(user_id: Long, ts: java.sql.Timestamp,
+                          event_type: String, cents: Long)
+  case class JourneyState(pending: Seq[(Long, String, Long)],
+                          nEvents: Long, lastTs: Long, nSessions: Long,
+                          fStage: Long, fTs: Long,
+                          cStage: Long, cTs: Long, cycles: Long,
+                          score: Long, started: Boolean,
+                          minPurchase: Long, attributed: Long)
+  case class JourneyUpdate(user_id: Long, tsm: Long, n_events: Long,
+                           n_sessions: Long, funnel_stage: Long,
+                           conversions: Long, ewma_cents: Long,
+                           attributed_clicks: Long)
+
+  /** Streaming user journey — the stateful twin of the q131 flagship:
+    * all five per-user analytics (events, gap-sessions, funnel stage,
+    * conversion cycles, EWMA score) plus purchase-attributed clicks,
+    * maintained incrementally under the [[funnelStream]]
+    * watermark-ordered prefix-fold discipline. Every constituent is
+    * prefix-monotone in event time (including attribution: processing
+    * in event-time order, the first purchase's timestamp is final the
+    * moment it is folded, and any click folded before it can never be
+    * claimed by a later purchase — later events have later times), so
+    * one snapshot [[JourneyUpdate]] is emitted per drained batch and is
+    * final up to its `tsm`. Post-drain state is O(1) per user; the same
+    * late-data caveat as [[funnelStream]] applies.
+    *
+    * Callers must `withWatermark("ts", …)` before the typed conversion.
+    */
+  def journeyStream(events: Dataset[JourneyEvent],
+                    sessionGapMicros: Long = 1800000000L,
+                    funnelGapMicros: Long = 86400000000L,
+                    decayPpm: Long = 900000L): Dataset[JourneyUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[JourneyState, JourneyUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, rows, state: GroupState[JourneyState]) =>
+          var s = state.getOption.getOrElse(JourneyState(Nil, 0L, 0L, 0L,
+            0L, 0L, 0L, 0L, 0L, 0L, false, Long.MaxValue, 0L))
+          val batch = rows.toSeq.map(r => (micros(r.ts), r.event_type,
+            r.cents))
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val (ready, rest) = (s.pending ++ batch).partition(_._1 <= wm)
+          // Same-timestamp tie: a purchase sorts AFTER the click it
+          // should attribute (alphabetical event order), but the batch
+          // semantics are "∃ purchase with tsm <= click tsm" — so ties
+          // are checked against this drain's purchase timestamps too
+          // (a cross-drain tie is impossible in-contract: both sides of
+          // a tie pass the same watermark).
+          val drainPurchases =
+            ready.collect { case (t, "purchase", _) => t }.toSet
+          var drained = 0
+          for ((tsm, et, cents) <- ready.sorted) {
+            drained += 1
+            val newSession = s.nEvents == 0L || tsm - s.lastTs > sessionGapMicros
+            val (fStage, fTs) = (s.fStage, et) match {
+              case (0L, "view") => (1L, tsm)
+              case (1L, "click")
+                if tsm > s.fTs && tsm - s.fTs <= funnelGapMicros =>
+                (2L, tsm)
+              case (2L, "purchase")
+                if tsm > s.fTs && tsm - s.fTs <= funnelGapMicros =>
+                (3L, tsm)
+              case _ => (s.fStage, s.fTs)
+            }
+            val (cStage, cTs, cycles) = (s.cStage, et) match {
+              case (0L, "view") => (1L, tsm, s.cycles)
+              case (1L, "click")
+                if tsm > s.cTs && tsm - s.cTs <= funnelGapMicros =>
+                (2L, tsm, s.cycles)
+              case (2L, "purchase")
+                if tsm > s.cTs && tsm - s.cTs <= funnelGapMicros =>
+                (0L, 0L, s.cycles + 1L)
+              case _ => (s.cStage, s.cTs, s.cycles)
+            }
+            val score =
+              if (!s.started) cents
+              else Math.floorDiv(
+                decayPpm * s.score + (1000000L - decayPpm) * cents, 1000000L)
+            val minP =
+              if (et == "purchase") math.min(s.minPurchase, tsm)
+              else s.minPurchase
+            val attributed =
+              if (et == "click" &&
+                  (tsm >= minP || drainPurchases.contains(tsm)))
+                s.attributed + 1L
+              else s.attributed
+            s = JourneyState(Nil, s.nEvents + 1L, tsm,
+              s.nSessions + (if (newSession) 1L else 0L),
+              fStage, fTs, cStage, cTs, cycles, score, true, minP,
+              attributed)
+          }
+          state.update(s.copy(pending = rest))
+          if (rest.nonEmpty) state.setTimeoutTimestamp(
+            (rest.map(_._1).min / 1000L).max(state.getCurrentWatermarkMs() + 1L))
+          if (drained > 0)
+            Iterator(JourneyUpdate(key, s.lastTs, s.nEvents, s.nSessions,
+              s.fStage, s.cycles, s.score, s.attributed))
+          else Iterator.empty
+      }
+  }
+
   /** Gap-based sessionization via keyed state
     * (KeyValueGroupedDataset.flatMapGroupsWithState): a session per
     * event_type closes after `gapMs` of event-time silence. EVENT-time

@@ -384,6 +384,55 @@ class MediaStreamSpec extends SparkSpec {
     assert(got.last.ewma_cents == batch, s"stream ${got.last} vs batch $batch")
   }
 
+  test("streaming: journey snapshots converge to the q131 table, out of order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val M = 1000000L
+    // u1 runs the full journey with its click arriving one trigger late;
+    // u2 has a same-timestamp click+purchase tie (the click must still
+    // attribute); u3 only views.
+    val rows = Seq(
+      (1L, 10 * M, "view", 1000L), (1L, 3700 * M, "purchase", 500L),
+      (2L, 50 * M, "view", 100L), (2L, 80 * M, "click", 200L),
+      (2L, 80 * M, "purchase", 300L),
+      (3L, 5 * M, "view", 50L))
+    val late = (1L, 20 * M, "click", 2000L) // between u1's view and purchase
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Long)]
+    val q = EventsStream.journeyStream(
+        mem.toDF().toDF("user_id", "ts", "event_type", "cents")
+          .withWatermark("ts", "1 hour 5 minutes")
+          .as[EventsStream.JourneyEvent])
+      .writeStream.format("memory").queryName("journey_stream")
+      .outputMode("append").start()
+    mem.addData(rows.map { case (u, t, e, c) => (u, ts(t), e, c) }: _*)
+    q.processAllAvailable()
+    mem.addData((late._1, ts(late._2), late._3, late._4))
+    q.processAllAvailable()
+    for (s <- Seq(50000L, 60000L, 70000L)) {
+      mem.addData((999L, ts(s * M), "view", 1L))
+      q.processAllAvailable()
+    }
+    val finalSnap = spark.table("journey_stream")
+      .as[EventsStream.JourneyUpdate].collect()
+      .filter(_.user_id != 999L)
+      .groupBy(_.user_id).map { case (u, v) => u -> v.maxBy(_.tsm) }
+    q.stop()
+    // The batch flagship over the identical finite input.
+    val batch = graft.operators.RelationalQueries.userJourney(
+        (rows :+ late).toDF("user_id", "tsm", "event_type", "cents"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    for ((u, snap) <- finalSnap) {
+      val b = batch(u)
+      val got = (snap.n_events, snap.n_sessions, snap.funnel_stage,
+        snap.conversions, snap.ewma_cents, snap.attributed_clicks)
+      assert(got == b, s"user $u: stream $got vs batch $b")
+    }
+    assert(finalSnap.keySet == Set(1L, 2L, 3L))
+  }
+
   test("streaming: fingerprint dedup drops duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
