@@ -75,7 +75,8 @@ object ScaleProbe {
       "q118_bpe_merge_pairs", "q119_ccnet_split", "q120_bigram_surprisal",
       "q121_range_join_hot_windows", "q123_funnel", "q124_pq_knn",
       "q125_asof_forward", "q129_ewma_score", "q130_conversion_cycles",
-      "q131_user_journey", "q139_heavy_hitters", "q141_session_window")
+      "q131_user_journey", "q132_dedup_weights", "q139_heavy_hitters",
+      "q141_session_window")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
