@@ -453,6 +453,42 @@ object RelationalQueries {
           $"error".as("n_error"))
     },
 
+    // Hopping (sliding) windows: hourly counts every 15 minutes — each
+    // event lands in 4 overlapping windows (q13 is the tumbling case).
+    // Spark's window() generates the 4 rows per event before the
+    // aggregation; still one shuffle, 4× the aggregate input.
+    "q148_hopping_windows" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(window($"ts", "1 hour", "15 minutes").as("w"),
+          $"event_type")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"w.start".as("window_start"), $"event_type", $"n_events")
+    },
+
+    // Top orders per customer with RANK (ties share a rank and ALL
+    // tied rows survive the cut — q10's row_number picks one winner;
+    // this is the other standard semantics).
+    "q149_rank_ties" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderpriority".asc)
+      t(s, dir, "orders")
+        .withColumn("rnk", rank().over(w))
+        .filter($"rnk" === 1)
+        .select($"o_custkey", $"o_orderkey", $"o_orderpriority", $"rnk")
+    },
+
+    // Set operations: customers active in BOTH 'O' and 'F' order
+    // status (INTERSECT) minus those with any 'P' order (EXCEPT) —
+    // both compile to aggregate/anti-join shapes, no materialized sets.
+    "q150_intersect_except" -> { (s, dir) =>
+      import s.implicits._
+      def custs(st: String) = t(s, dir, "orders")
+        .filter($"o_orderstatus" === st).select($"o_custkey")
+      custs("O").intersect(custs("F")).except(custs("P"))
+    },
+
     // CUBE with grouping_id: all four aggregation levels of
     // (returnflag × linestatus) in one pass, each row tagged with which
     // dimensions are aggregated away — q102's rollup is the prefix
@@ -1399,6 +1435,37 @@ object RelationalQueries {
          |$iters
          |SELECT node, r AS rank_ppb FROM r5""".stripMargin
     },
+
+    // q148: every event expanded to its 4 overlapping 15-min-aligned
+    // window starts (floor15 − i·15 min for i in 0..3 — all of them
+    // satisfy ws <= ts < ws+1h by construction of the floor).
+    "q148_hopping_windows" ->
+      """SELECT make_timestamp(
+        |    (epoch_us(ts) // 900000000) * 900000000 - g.i * 900000000)
+        |    AS window_start,
+        |  event_type, count(*) AS n_events
+        |FROM events, (SELECT unnest(generate_series(0, 3)) AS i) g
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q149: RANK keeps ties.
+    "q149_rank_ties" ->
+      """SELECT o_custkey, o_orderkey, o_orderpriority,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderpriority,
+        |    RANK() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderpriority ASC) AS rnk
+        |  FROM orders)
+        |WHERE rnk = 1""".stripMargin,
+
+    // q150: standard precedence — INTERSECT binds tighter than EXCEPT,
+    // matching the Spark chaining.
+    "q150_intersect_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
 
     // q145: native CUBE + GROUPING bitmask (first column = MSB on both
     // engines).
