@@ -783,4 +783,84 @@ object Corpus {
         floor((col("_cum") - col("n_tokens")) / lit(budget.toDouble))
           .as("seq_id"))
   }
+
+  /** Inverted index build: per token, document frequency plus a CAPPED
+    * posting sample (the `postingCap` smallest doc ids as a `,`-joined
+    * string — deterministic, and bounded output per token no matter how
+    * common the token: a stopword's full posting list is |corpus|-sized
+    * and belongs in a search engine's segment files, not a DataFrame
+    * row). One distinct over (token, doc) pairs, then a token-keyed
+    * window + aggregate that REUSE one exchange (same hash key).
+    *
+    * At 100 TB: the explode is map-only; everything after runs on
+    * distinct (token, doc) pairs — the skew ceiling is the most common
+    * token's |docs|, handled by the same AQE skew-split as every token
+    * key join here. For the full uncapped postings at scale, bucket-write
+    * the pair table by token instead (the [[writeDedupIndex]] pattern).
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    postingCap: Int = 20): DataFrame = {
+    val td = docs.select(col(idCol).as("_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .distinct()
+    val w = Window.partitionBy(col("token")).orderBy(col("_id"))
+    td.withColumn("_rn", row_number().over(w))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(array_sort(collect_list(
+          when(col("_rn") <= postingCap, col("_id")))),
+          x => x.cast("string")), ",").as("postings"))
+  }
+
+  /** PMI-ranked collocations over adjacent token pairs: for each bigram
+    * with `pair count ≥ minPairCount`, the pointwise-mutual-information
+    * RATIO `floor(pair·T·10⁶ / (c(a)·c(b)))` in exact BIGINT ppm —
+    * monotone with PMI (log of it), so ranking and thresholding behave
+    * identically while staying cross-engine exact. The ·10⁶ product
+    * overflows BIGINT once pair·T passes ~9.2e12, so the ratio runs
+    * through [[mixRates]]' base-1000 long division (every intermediate
+    * ≤ D·10³).
+    *
+    * Scale shape: ROW-LOCAL pair enumeration (no posexplode+window
+    * shuffle — the [[bigramSurprisal]] device), pair- and token-keyed
+    * aggregations, two token-keyed joins back, the scalar total
+    * broadcast. The minPairCount filter runs BEFORE the joins, so rare
+    * pairs (the long tail — most of the pair vocabulary) never join.
+    */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minPairCount: Long = 5L): DataFrame = {
+    val toks = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_tk"))
+    val uni = toks.select(explode(col("_tk")).as("_t"))
+      .groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+    val tot = uni.agg(sum(col("_c")).as("_tot"))
+    // size ≥ 2 guard on single-token docs: Spark's sequence(1, 0)
+    // generates a DESCENDING [1, 0], not an empty array.
+    val pairs = toks.filter(size(col("_tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(_tk) - 1), i -> named_struct(" +
+          "'a', _tk[i - 1], 'b', _tk[i]))")).as("_pr"))
+      .groupBy(col("_pr.a").as("token_a"), col("_pr.b").as("token_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minPairCount)
+    pairs
+      .join(uni.select(col("_t").as("token_a"), col("_c").as("_ca")),
+        Seq("token_a"))
+      .join(uni.select(col("_t").as("token_b"), col("_c").as("_cb")),
+        Seq("token_b"))
+      .crossJoin(broadcast(tot))
+      // floor(pair·T·10⁶ / (ca·cb)) in base-1000 long division: with
+      // N0 = pair·T and D = ca·cb, result = q1·10⁶ + q2·10³ + q3 where
+      // each quotient step multiplies a REMAINDER (< D) by 10³ — no
+      // intermediate exceeds D·10³.
+      .withColumn("pmi_ppm", expr(
+        """CAST((pair_cnt * _tot div (_ca * _cb)) * 1000000L
+          |  + ((pair_cnt * _tot % (_ca * _cb)) * 1000L
+          |      div (_ca * _cb)) * 1000L
+          |  + ((pair_cnt * _tot % (_ca * _cb)) * 1000L
+          |      % (_ca * _cb)) * 1000L div (_ca * _cb)
+          |  AS BIGINT)""".stripMargin))
+      .select(col("token_a"), col("token_b"), col("pair_cnt"),
+        col("pmi_ppm"))
+  }
 }

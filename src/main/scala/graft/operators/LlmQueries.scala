@@ -1018,6 +1018,25 @@ object LlmQueries {
       Corpus.heavyHitters(t(s, dir, "documents"), "text", k = 20)
     },
 
+    // Inverted index: per token, document frequency + a CAPPED posting
+    // sample (20 smallest doc ids) — bounded output per token no matter
+    // how common the token. One distinct over (token, doc) pairs; the
+    // token-keyed window and aggregate share one exchange.
+    "q157_inverted_index" -> { (s, dir) =>
+      Corpus.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+        postingCap = 20)
+    },
+
+    // PMI collocations: bigrams with pair count ≥ 5 scored by the exact
+    // BIGINT ppm ratio pair·T·10⁶/(c(a)·c(b)) — monotone with PMI, so
+    // ranking/thresholding behave identically to the log form while
+    // hash-comparing across engines (base-1000 long division keeps every
+    // intermediate under D·10³).
+    "q158_pmi_collocations" -> { (s, dir) =>
+      Corpus.pmiCollocations(t(s, dir, "documents"), "doc_id", "text",
+        minPairCount = 5L)
+    },
+
     // Soft dedup (Dolma/SemDeDup practice): instead of DELETING
     // duplicates, each doc gets training weight 1/|its dup cluster| —
     // the corpus keeps its coverage while a 40-copy boilerplate cluster
@@ -1335,6 +1354,57 @@ object LlmQueries {
         |    ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank
         |  FROM c)
         |WHERE rank <= 20""".stripMargin,
+
+    // q157: same distinct-pair → capped-window chain; string_agg skips
+    // the NULLed rows past the cap, ORDER BY doc_id matches array_sort.
+    "q157_inverted_index" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |td AS (SELECT DISTINCT doc_id, token FROM tk),
+        |r AS (
+        |  SELECT token, doc_id,
+        |    row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+        |  FROM td)
+        |SELECT token, count(*) AS df,
+        |  string_agg(CASE WHEN rn <= 20 THEN CAST(doc_id AS VARCHAR) END,
+        |    ',' ORDER BY doc_id) AS postings
+        |FROM r GROUP BY token""".stripMargin,
+
+    // q158: the double-unnest zips token with position; the same
+    // base-1000 division in // and % (window SUM avoided — tot comes
+    // from a plain aggregate CAST to BIGINT before any product).
+    "q158_pmi_collocations" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |uni AS (
+        |  SELECT t AS tok, count(*) AS c
+        |  FROM (SELECT unnest(tk) AS t FROM tk) GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tt FROM uni),
+        |tokpos AS (
+        |  SELECT doc_id, unnest(tk) AS t,
+        |    unnest(generate_series(1, len(tk))) AS pos
+        |  FROM tk),
+        |pr AS (
+        |  SELECT lag(t) OVER (PARTITION BY doc_id ORDER BY pos)
+        |    AS token_a, t AS token_b
+        |  FROM tokpos),
+        |pc AS (
+        |  SELECT token_a, token_b, count(*) AS pair_cnt FROM pr
+        |  WHERE token_a IS NOT NULL GROUP BY 1, 2
+        |  HAVING count(*) >= 5)
+        |SELECT token_a, token_b, pair_cnt,
+        |  pair_cnt * tt // (ca * cb) * 1000000
+        |    + (pair_cnt * tt % (ca * cb)) * 1000 // (ca * cb) * 1000
+        |    + (pair_cnt * tt % (ca * cb)) * 1000 % (ca * cb) * 1000
+        |      // (ca * cb)
+        |    AS pmi_ppm
+        |FROM pc
+        |JOIN (SELECT tok, c AS ca FROM uni) ua ON ua.tok = pc.token_a
+        |JOIN (SELECT tok, c AS cb FROM uni) ub ON ub.tok = pc.token_b
+        |CROSS JOIN tot""".stripMargin,
 
     // q132: q55's component chain + one cluster-size aggregate and the
     // integer ppm weight.

@@ -740,8 +740,209 @@ object RelationalQueries {
         .withColumn("stage", expr(funnelFoldExpr()))
         .groupBy($"stage")
         .agg(count(lit(1)).as("n_users"))
+    },
+
+    // SCD Type-2 history build: each user's purchase attribute `k` as a
+    // slowly-changing dimension — consecutive runs collapse to one row
+    // with [valid_from, valid_to) effective range; the open row is
+    // flagged current. Two windows over the SAME key+sort (one
+    // exchange, the change-filter between them); the dimension-build
+    // every warehouse load runs, here from the raw change log.
+    "q151_scd2_history" -> { (s, dir) =>
+      import s.implicits._
+      scd2(t(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .select($"user_id", unix_micros($"ts").as("tsm"), $"event_id",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .filter($"k".isNotNull),
+        "user_id", "tsm", "event_id", "k")
+    },
+
+    // Gaps-and-islands: per-user runs of consecutive active DAYS (the
+    // streak report). The day−row_number island id turns each run into
+    // one group key; one distinct + one keyed window, the groupBy runs
+    // over |user-days|, never events.
+    "q152_activity_streaks" -> { (s, dir) =>
+      import s.implicits._
+      activityStreaks(t(s, dir, "events")
+        .select($"user_id",
+          expr("unix_micros(ts) div 86400000000L").as("d")),
+        "user_id", "d")
+    },
+
+    // CDC MERGE apply (MERGE INTO semantics without a table format):
+    // target=customer, source=per-customer open-order revenue deltas
+    // (plus a synthetic not-in-target slice → the INSERT branch).
+    // matched→UPDATE (balance += delta), matched & delta>400k→DELETE,
+    // source-only→INSERT, target-only→keep. ONE full-outer hash join on
+    // the key — the exact shape Delta/Iceberg MERGE lowers to; balances
+    // stay DECIMAL until the final cast so the update arithmetic is
+    // order-independent and cross-engine exact.
+    "q153_merge_apply" -> { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "orders").filter($"o_orderstatus" === "O")
+        .groupBy($"o_custkey")
+        .agg(sum(dec($"o_totalprice")).as("delta"))
+      val srcAll = src.select($"o_custkey".as("key"), $"delta")
+        .unionByName(src.filter($"o_custkey" % 97 === 0)
+          .select(($"o_custkey" + 10000000L).as("key"), $"delta"))
+      val tgt = t(s, dir, "customer")
+        .select($"c_custkey", $"c_name", dec($"c_acctbal").as("_bal"))
+      tgt.join(srcAll, tgt("c_custkey") === srcAll("key"), "full_outer")
+        .filter(!($"key".isNotNull && $"c_custkey".isNotNull &&
+          $"delta" > 400000))
+        .select(coalesce($"c_custkey", $"key").as("c_custkey"),
+          coalesce($"c_name", lit("NEW")).as("c_name"),
+          when($"key".isNull, $"_bal")
+            .when($"c_custkey".isNull, $"delta")
+            .otherwise($"_bal" + $"delta")
+            .cast("double").as("new_acctbal"),
+          when($"key".isNull, "K").when($"c_custkey".isNull, "I")
+            .otherwise("U").as("op"))
+    },
+
+    // Incremental aggregate refresh: the base partition's PARTIAL
+    // aggregate state (count + decimal sum — both algebraic) merges
+    // with the delta batch's state; avg derives at the end. The
+    // incremental-ETL contract: refreshing the rollup reads the delta
+    // plus |groups| base rows, never the base raw data — gated against
+    // the full-recompute oracle to prove the merge is lossless.
+    "q154_incremental_agg_refresh" -> { (s, dir) =>
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val cut = to_timestamp(lit("1997-06-01"))
+      def part(df: DataFrame) = df.groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec($"o_totalprice")).as("_sum"))
+      part(o.filter($"o_orderdate" < cut))
+        .unionByName(part(o.filter($"o_orderdate" >= cut)))
+        .groupBy($"o_orderstatus")
+        .agg(sum($"n_orders").as("n_orders"), sum($"_sum").as("_s"))
+        .select($"o_orderstatus", $"n_orders",
+          $"_s".cast("double").as("sum_price"),
+          // double division of the EXACT decimal sum — Spark's decimal
+          // division truncates at scale 6 where DuckDB keeps full
+          // precision, so the deterministic form is double/long.
+          ($"_s".cast("double") / $"n_orders").as("avg_price"))
+    },
+
+    // Snapshot reconciliation: diff two table versions into the CDC
+    // classes added/removed/changed (unchanged rows — the overwhelming
+    // mass — are filtered out, so the output is |changes|, not
+    // |table|). The prior snapshot is a deterministic perturbation of
+    // customer (dropped keys → added, shifted balances → changed,
+    // extra keys → removed); ONE key-partitioned full-outer join,
+    // column compares inside the join's codegen.
+    "q155_snapshot_diff" -> { (s, dir) =>
+      import s.implicits._
+      val cur = t(s, dir, "customer")
+        .select($"c_custkey", $"c_name", dec($"c_acctbal").as("bal"))
+      val prior = cur.filter($"c_custkey" % 101 =!= 0)
+        .select($"c_custkey", $"c_name",
+          when($"c_custkey" % 7 === 0, $"bal" - lit(10).cast(
+            DecimalType(18, 2))).otherwise($"bal").as("bal"))
+        .unionByName(cur.filter($"c_custkey" % 103 === 0)
+          .select(($"c_custkey" + 5000000L).as("c_custkey"), $"c_name",
+            $"bal"))
+      snapshotDiff(cur, prior, "c_custkey", Seq("c_name", "bal"))
+        .select($"c_custkey", $"diff_class",
+          $"cur_bal".cast("double").as("cur_bal"),
+          $"prior_bal".cast("double").as("prior_bal"))
+    },
+
+    // First-order Markov transition matrix over event types: per-user
+    // consecutive pairs via ONE keyed window, counts per (prev, next)
+    // plus the row-normalized probability in exact ppm (BIGINT div —
+    // the 5×5 matrix a journey model trains on). The final window runs
+    // over ≤|types|² aggregated rows.
+    "q156_transition_matrix" -> { (s, dir) =>
+      import s.implicits._
+      transitionMatrix(t(s, dir, "events")
+        .select($"user_id", unix_micros($"ts").as("tsm"), $"event_id",
+          $"event_type"),
+        "user_id", "tsm", "event_id", "event_type")
     }
   )
+
+  /** SCD Type-2 build from a change log: consecutive runs of the same
+    * `valCol` per key collapse to one row carrying the half-open
+    * [valid_from, valid_to) effective range; the open run is flagged
+    * `is_current`. Two windows over one key+sort — a single exchange.
+    * (`keyCol`, `tsCol`, `tieCol`) must totally order the log and
+    * `valCol` must be non-null (null runs would silently extend the
+    * preceding version — filter them upstream, as q151 does). */
+  def scd2(changes: DataFrame, keyCol: String, tsCol: String,
+           tieCol: String, valCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    changes
+      .withColumn("_pv", lag(col(valCol), 1).over(w))
+      .filter(col("_pv").isNull || col(valCol) =!= col("_pv"))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(valCol), col(tsCol).as("valid_from"),
+        col("valid_to"),
+        col("valid_to").isNull.cast("long").as("is_current"))
+  }
+
+  /** Gaps-and-islands: runs of consecutive integer `dayCol` values per
+    * key (the activity-streak report). The day − row_number island id
+    * turns each run into one group key; the groupBy runs over
+    * |key-days| distinct rows, never the raw events. */
+  def activityStreaks(df: DataFrame, keyCol: String,
+                      dayCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_d"))
+    df.select(col(keyCol), col(dayCol).as("_d")).distinct()
+      .withColumn("_rn", row_number().over(w))
+      .groupBy(col(keyCol), (col("_d") - col("_rn")).as("_island"))
+      .agg(min(col("_d")).as("streak_start_day"),
+        count(lit(1)).as("streak_days"))
+      .select(col(keyCol), col("streak_start_day"), col("streak_days"))
+  }
+
+  /** Snapshot reconciliation: classify every key of two table versions
+    * as added / removed / changed (unchanged rows are dropped, so the
+    * output is |changes|). One key-partitioned full-outer join; the
+    * column compares run inside the join's codegen. Output columns:
+    * keyCol, diff_class, then cur_/prior_ pairs of `compareCols`.
+    * Null-vs-value column differences count as changed; compared
+    * columns must not BOTH be null-meaningful and compared (null <>
+    * null is null → treated as equal). */
+  def snapshotDiff(cur: DataFrame, prior: DataFrame, keyCol: String,
+                   compareCols: Seq[String]): DataFrame = {
+    val c = cur.as("c"); val p = prior.as("p")
+    val changed = compareCols.map { cc =>
+      val l = col(s"c.$cc"); val r = col(s"p.$cc")
+      l =!= r || (l.isNull && r.isNotNull) || (l.isNotNull && r.isNull)
+    }.reduce(_ || _)
+    c.join(p, col(s"c.$keyCol") === col(s"p.$keyCol"), "full_outer")
+      .withColumn("diff_class",
+        when(col(s"p.$keyCol").isNull, "added")
+          .when(col(s"c.$keyCol").isNull, "removed")
+          .when(changed, "changed"))
+      .filter(col("diff_class").isNotNull)
+      .select((coalesce(col(s"c.$keyCol"), col(s"p.$keyCol"))
+        .as(keyCol) +: col("diff_class") +:
+        compareCols.flatMap(cc => Seq(col(s"c.$cc").as(s"cur_$cc"),
+          col(s"p.$cc").as(s"prior_$cc")))): _*)
+  }
+
+  /** First-order Markov transition matrix: per-key consecutive
+    * (prev, next) state pairs via one keyed window, counted, with the
+    * row-normalized transition probability in exact ppm (BIGINT div).
+    * The normalizing window runs over ≤|states|² aggregated rows. */
+  def transitionMatrix(df: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    df.withColumn("prev_type", lag(col(stateCol), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(stateCol))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("_tot",
+        sum(col("n_trans")).over(Window.partitionBy(col("prev_type"))))
+      .withColumn("p_ppm", expr("n_trans * 1000000L div _tot"))
+      .drop("_tot")
+  }
 
   /** The q131 five-metric journey over a (user_id, tsm, event_type,
     * cents) frame — factored so the streaming twin's equality test and
@@ -1753,6 +1954,118 @@ object RelationalQueries {
         |FROM u LEFT JOIN v ON u.user_id = v.user_id
         |LEFT JOIN c ON u.user_id = c.user_id
         |LEFT JOIN p ON u.user_id = p.user_id
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // q151: identical two-window SCD2 chain; the (tsm, event_id) sort is
+    // a total order so both engines pick the same change rows.
+    "q151_scd2_history" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm, event_id,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL),
+        |c AS (
+        |  SELECT *, lag(k) OVER
+        |    (PARTITION BY user_id ORDER BY tsm, event_id) AS pk
+        |  FROM p)
+        |SELECT user_id, k, tsm AS valid_from,
+        |  lead(tsm) OVER (PARTITION BY user_id ORDER BY tsm, event_id)
+        |    AS valid_to,
+        |  CAST(lead(tsm) OVER (PARTITION BY user_id
+        |    ORDER BY tsm, event_id) IS NULL AS BIGINT) AS is_current
+        |FROM c WHERE pk IS NULL OR k <> pk""".stripMargin,
+
+    // q152: the same day − row_number island id.
+    "q152_activity_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, d,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+        |  FROM d)
+        |SELECT user_id, min(d) AS streak_start_day,
+        |  count(*) AS streak_days
+        |FROM r GROUP BY user_id, d - rn""".stripMargin,
+
+    // q153: the same full-outer MERGE classification; DECIMAL until the
+    // final DOUBLE cast.
+    "q153_merge_apply" ->
+      """WITH src AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS delta
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+        |srcall AS (
+        |  SELECT o_custkey AS key, delta FROM src
+        |  UNION ALL
+        |  SELECT o_custkey + 10000000, delta FROM src
+        |  WHERE o_custkey % 97 = 0),
+        |j AS (
+        |  SELECT c.c_custkey, c.c_name,
+        |    CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal, s.key, s.delta
+        |  FROM customer c FULL OUTER JOIN srcall s
+        |    ON c.c_custkey = s.key)
+        |SELECT coalesce(c_custkey, key) AS c_custkey,
+        |  coalesce(c_name, 'NEW') AS c_name,
+        |  CAST(CASE WHEN key IS NULL THEN bal
+        |    WHEN c_custkey IS NULL THEN delta
+        |    ELSE bal + delta END AS DOUBLE) AS new_acctbal,
+        |  CASE WHEN key IS NULL THEN 'K'
+        |    WHEN c_custkey IS NULL THEN 'I' ELSE 'U' END AS op
+        |FROM j
+        |WHERE NOT (key IS NOT NULL AND c_custkey IS NOT NULL
+        |  AND delta > 400000)""".stripMargin,
+
+    // q154: the full recompute the partial-state merge must equal.
+    "q154_incremental_agg_refresh" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS sum_price,
+         |  ${dsumSql("o_totalprice")} / count(*) AS avg_price
+         |FROM orders GROUP BY 1""".stripMargin,
+
+    // q155: the same deterministic prior snapshot and diff classes.
+    "q155_snapshot_diff" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, c_name,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer),
+        |prior AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 7 = 0
+        |      THEN bal - CAST(10 AS DECIMAL(18,2)) ELSE bal END AS bal
+        |  FROM cur WHERE c_custkey % 101 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 5000000, c_name, bal FROM cur
+        |  WHERE c_custkey % 103 = 0),
+        |j AS (
+        |  SELECT c.c_custkey AS ck, p.c_custkey AS pk, c.c_name AS cn,
+        |    p.c_name AS pn, c.bal AS cb, p.bal AS pb
+        |  FROM cur c FULL OUTER JOIN prior p
+        |    ON c.c_custkey = p.c_custkey)
+        |SELECT coalesce(ck, pk) AS c_custkey,
+        |  CASE WHEN pk IS NULL THEN 'added'
+        |    WHEN ck IS NULL THEN 'removed'
+        |    WHEN cn <> pn OR cb <> pb THEN 'changed' END AS diff_class,
+        |  CAST(cb AS DOUBLE) AS cur_bal, CAST(pb AS DOUBLE) AS prior_bal
+        |FROM j
+        |WHERE (CASE WHEN pk IS NULL THEN 'added'
+        |    WHEN ck IS NULL THEN 'removed'
+        |    WHEN cn <> pn OR cb <> pb THEN 'changed' END) IS NOT NULL
+        |""".stripMargin,
+
+    // q156: window sum CAST to BIGINT before the integer divide (DuckDB
+    // window SUM(BIGINT) yields HUGEINT, which degrades in pandas).
+    "q156_transition_matrix" ->
+      """WITH p AS (
+        |  SELECT event_type, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |    AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_type, event_type, count(*) AS n_trans FROM p
+        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n_trans,
+        |  n_trans * 1000000 // CAST(SUM(n_trans) OVER
+        |    (PARTITION BY prev_type) AS BIGINT) AS p_ppm
+        |FROM c""".stripMargin
   )
 }

@@ -606,4 +606,115 @@ class RelationalQueriesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("stage")).toMap
     assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 0L), s"got $got")
   }
+
+  test("scd2: runs collapse, ranges chain half-open, open row current") {
+    import spark.implicits._
+    val log = Seq(
+      // k1: A A B A — the repeat collapses, the return to A is a NEW
+      // version (SCD2 keeps history, not a distinct set).
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"),
+      (1L, 40L, 4L, "A"),
+      // k2: single version → one open row.
+      (2L, 5L, 5L, "X"))
+      .toDF("k", "ts", "id", "v")
+    val got = RelationalQueries.scd2(log, "k", "ts", "id", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, "A", 10L, Some(30L), 0L),
+      (1L, "B", 30L, Some(40L), 0L),
+      (1L, "A", 40L, None, 1L),
+      (2L, "X", 5L, None, 1L)), s"got $got")
+  }
+
+  test("scd2: same-ts change rows resolve by the tie column") {
+    import spark.implicits._
+    // Two changes at ts=10: the tie order (id) decides version order —
+    // id=1 "A" then id=2 "B"; A's range is empty-but-present [10, 10).
+    val log = Seq((1L, 10L, 1L, "A"), (1L, 10L, 2L, "B"))
+      .toDF("k", "ts", "id", "v")
+    val got = RelationalQueries.scd2(log, "k", "ts", "id", "v")
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+    assert(got == Set(("A", 10L, Some(10L)), ("B", 10L, None)),
+      s"got $got")
+  }
+
+  test("streaks: islands split on gaps, duplicates collapse, singletons kept") {
+    import spark.implicits._
+    val days = Seq(
+      // u1: 1,2,3 then 5,6 — two islands; day 2 duplicated.
+      (1L, 1L), (1L, 2L), (1L, 2L), (1L, 3L), (1L, 5L), (1L, 6L),
+      // u2: one lone day.
+      (2L, 9L))
+      .toDF("u", "d")
+    val got = RelationalQueries.activityStreaks(days, "u", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set((1L, 1L, 3L), (1L, 5L, 2L), (2L, 9L, 1L)),
+      s"got $got")
+  }
+
+  test("snapshot diff: added/removed/changed classified, unchanged dropped") {
+    import spark.implicits._
+    val cur = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "name", "v")
+    val prior = Seq((2L, "b", 20L), (3L, "c", 31L), (4L, "d", 40L))
+      .toDF("k", "name", "v")
+    val got = RelationalQueries
+      .snapshotDiff(cur, prior, "k", Seq("name", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 only in cur → added; 2 identical → dropped; 3 value moved →
+    // changed; 4 only in prior → removed.
+    assert(got == Map(1L -> "added", 3L -> "changed", 4L -> "removed"),
+      s"got $got")
+  }
+
+  test("snapshot diff: null-vs-value counts as changed") {
+    import spark.implicits._
+    val cur = Seq((1L, Some(10L)), (2L, Option.empty[Long]))
+      .toDF("k", "v")
+    val prior = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+      .toDF("k", "v")
+    val got = RelationalQueries.snapshotDiff(cur, prior, "k", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // k=1 null→10 is a change; k=2 null==null is unchanged.
+    assert(got == Map(1L -> "changed"), s"got $got")
+  }
+
+  test("transition matrix: pair counts and exact ppm normalization") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: a→b, b→a, a→b ; u2: a→b. Totals: from a {b:3}, from b {a:1}.
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "a"),
+      (1L, 4L, 4L, "b"),
+      (2L, 1L, 5L, "a"), (2L, 2L, 6L, "b"),
+      // u3: single event → no pair.
+      (3L, 1L, 7L, "c"))
+      .toDF("u", "ts", "id", "s")
+    val got = RelationalQueries.transitionMatrix(ev, "u", "ts", "id", "s")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      ("a", "b") -> (3L, 1000000L),
+      ("b", "a") -> (1L, 1000000L)), s"got $got")
+  }
+
+  test("transition matrix: split distribution floors to ppm") {
+    import spark.implicits._
+    // From a: b twice, c once → b 666666 ppm, c 333333 ppm (floor).
+    val ev = Seq((1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"),
+      (1L, 3L, 3L, "a"), (1L, 4L, 4L, "c"),
+      (2L, 1L, 5L, "a"), (2L, 2L, 6L, "b"))
+      .toDF("u", "ts", "id", "s")
+    val got = RelationalQueries.transitionMatrix(ev, "u", "ts", "id", "s")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(got == Map(("a", "b") -> 666666L, ("a", "c") -> 333333L,
+      ("b", "a") -> 1000000L), s"got $got")
+  }
 }
