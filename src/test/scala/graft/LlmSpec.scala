@@ -1238,4 +1238,53 @@ class LlmSpec extends SparkSpec {
     val r = recallOf(tailOnly, 1)
     assert(r(1L) == 0L)
   }
+
+  test("inverted index: df over distinct docs, postings capped and sorted") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "a b a"),   // duplicate within doc counts once toward df
+      (1L, "a c"),
+      (2L, "a")).toDF("doc_id", "text")
+    val got = Corpus.invertedIndex(docs, "doc_id", "text", postingCap = 2)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    // "a": df 3, postings capped at the 2 smallest ids; sorted ascending.
+    assert(got == Map(
+      "a" -> (3L, "1,2"),
+      "b" -> (1L, "3"),
+      "c" -> (1L, "1")), s"got $got")
+  }
+
+  test("pmi collocations: exact ppm ratio, threshold, single-token doc immune") {
+    import spark.implicits._
+    // Corpus: "x y" ×3 plus "z" (single-token — must not form a pair or
+    // break the enumeration). T = 7 tokens; c(x)=3, c(y)=3, pair(x,y)=3.
+    // ratio = floor(3·7·10⁶ / 9) = 2333333.
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val got = Corpus.pmiCollocations(docs, "doc_id", "text",
+        minPairCount = 3L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(("x", "y") -> (3L, 2333333L)), s"got $got")
+  }
+
+  test("pmi collocations: base-1000 division matches BigInt at overflow scale") {
+    import spark.implicits._
+    // Hand-check the long-division algebra against BigInt on the exact
+    // counts the expression sees: inflate counts by replicating one
+    // bigram so pair·T·10⁶ passes 2⁶³ if formed naively. 4000 copies of
+    // "p q" → pair = 4000, T = 8000, D = 16e6; naive pair·T·10⁶ =
+    // 3.2e13·10⁶ = 3.2e19 > 2⁶³ ≈ 9.2e18.
+    val docs = (0 until 4000).map(i => (i.toLong, "p q"))
+      .toDF("doc_id", "text")
+    val got = Corpus.pmiCollocations(docs, "doc_id", "text",
+        minPairCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3))
+      .toMap
+    val expect = (BigInt(4000) * 8000 * 1000000 /
+      (BigInt(4000) * 4000)).toLong
+    assert(got == Map(("p", "q") -> expect), s"got $got expect $expect")
+  }
 }

@@ -40,7 +40,10 @@ class PlanAuditSpec extends SparkSpec {
       "q124_pq_knn",
       // q142 cross-joins a SINGLE-ROW aggregate (the session total) —
       // the q105/q115 scalar-broadcast shape.
-      "q142_session_percentiles")
+      "q142_session_percentiles",
+      // q158 cross-joins the SINGLE-ROW corpus token total — the same
+      // scalar-broadcast shape; both count joins stay keyed equi-joins.
+      "q158_pmi_collocations")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
