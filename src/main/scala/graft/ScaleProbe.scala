@@ -76,7 +76,10 @@ object ScaleProbe {
       "q121_range_join_hot_windows", "q123_funnel", "q124_pq_knn",
       "q125_asof_forward", "q129_ewma_score", "q130_conversion_cycles",
       "q131_user_journey", "q132_dedup_weights", "q139_heavy_hitters",
-      "q141_session_window")
+      "q141_session_window",
+      "q151_scd2_history", "q152_activity_streaks",
+      "q156_transition_matrix", "q157_inverted_index",
+      "q158_pmi_collocations", "q160_top_paths")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -106,7 +109,11 @@ object ScaleProbe {
       "q129_ewma_score" -> "events",
       "q130_conversion_cycles" -> "events",
       "q131_user_journey" -> "events",
-      "q141_session_window" -> "events").withDefault(_ => "documents")
+      "q141_session_window" -> "events",
+      "q151_scd2_history" -> "events",
+      "q152_activity_streaks" -> "events",
+      "q156_transition_matrix" -> "events",
+      "q160_top_paths" -> "events").withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet
 
     // The replica generators for documents/lineitem are the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -861,8 +861,68 @@ object RelationalQueries {
         .select($"user_id", unix_micros($"ts").as("tsm"), $"event_id",
           $"event_type"),
         "user_id", "tsm", "event_id", "event_type")
+    },
+
+    // Z-order (Morton) clustering key over (customer, price-bin): the
+    // bit-interleaved key Delta's OPTIMIZE ZORDER sorts by — files
+    // range-partitioned on zkey are simultaneously clustered on BOTH
+    // dimensions, so either predicate prunes ~√ of the files where a
+    // lexicographic sort prunes only its leading column. Map-only
+    // codegen'd bit arithmetic (16 interleave terms); at 100 TB the key
+    // feeds repartitionByRange + sortWithinPartitions at write time.
+    "q159_zorder_key" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .select($"o_orderkey",
+          expr("o_custkey & 65535").as("x"),
+          expr("(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 " +
+            "AS BIGINT) div 5000000) & 65535").as("y"))
+        .withColumn("zkey", zorder16($"x", $"y"))
+        .withColumn("zbucket", expr("zkey div 4096"))
+    },
+
+    // Top-10 3-step event paths (sequence mining lite): per-user
+    // sliding triples via two lags over ONE keyed window, counted, then
+    // a deterministic global top-k over ≤|types|³ aggregated rows —
+    // the "common journeys" report.
+    "q160_top_paths" -> { (s, dir) =>
+      import s.implicits._
+      topPaths(t(s, dir, "events")
+        .select($"user_id", unix_micros($"ts").as("tsm"), $"event_id",
+          $"event_type"),
+        "user_id", "tsm", "event_id", "event_type", k = 10)
     }
   )
+
+  /** Morton (Z-order) interleave of the low 16 bits of two columns:
+    * bit i of `x` lands at position 2i, bit i of `y` at 2i+1 — the
+    * space-filling-curve clustering key (Delta OPTIMIZE ZORDER): files
+    * range-partitioned on the key are clustered on BOTH dimensions at
+    * once, so either predicate alone prunes ~√|files|. Pure codegen'd
+    * bit arithmetic, no UDF. Inputs must be pre-masked to 16 bits. */
+  def zorder16(x: Column, y: Column): Column =
+    (0 until 16).map(i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      .reduce(_ + _).cast("long")
+
+  /** Top-k most common 3-step state paths: per-key sliding triples via
+    * two lags over ONE keyed window, counted, then a deterministic
+    * global rank (count desc, then path asc) over ≤|states|³ aggregated
+    * rows. Output: t1, t2, t3, n_paths, rank. */
+  def topPaths(df: DataFrame, keyCol: String, tsCol: String,
+               tieCol: String, stateCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    df.withColumn("t2", lag(col(stateCol), 1).over(w))
+      .withColumn("t1", lag(col(stateCol), 2).over(w))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col(stateCol).as("t3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .withColumn("rank", row_number().over(Window.partitionBy()
+        .orderBy(col("n_paths").desc, col("t1"), col("t2"), col("t3"))))
+      .filter(col("rank") <= k)
+  }
 
   /** SCD Type-2 build from a change log: consecutive runs of the same
     * `valCol` per key collapse to one row carrying the half-open
@@ -2066,6 +2126,38 @@ object RelationalQueries {
         |SELECT prev_type, event_type, n_trans,
         |  n_trans * 1000000 // CAST(SUM(n_trans) OVER
         |    (PARTITION BY prev_type) AS BIGINT) AS p_ppm
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // q159: the identical interleave in DuckDB's shift operators.
+    "q159_zorder_key" -> {
+      val zexpr = (0 until 16).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT o_orderkey, o_custkey & 65535 AS x,
+         |    (CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      // 5000000) & 65535 AS y
+         |  FROM orders)
+         |SELECT o_orderkey, x, y, CAST($zexpr AS BIGINT) AS zkey,
+         |  CAST($zexpr AS BIGINT) // 4096 AS zbucket
+         |FROM b""".stripMargin
+    },
+
+    // q160: two lags, one deterministic global rank.
+    "q160_top_paths" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER w AS t2,
+        |    lag(event_type, 2) OVER w AS t1
+        |  FROM events WINDOW w AS
+        |    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |c AS (
+        |  SELECT t1, t2, event_type AS t3, count(*) AS n_paths FROM p
+        |  WHERE t1 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT t1, t2, t3, n_paths, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER
+        |    (ORDER BY n_paths DESC, t1, t2, t3) AS rank
+        |  FROM c)
+        |WHERE rank <= 10""".stripMargin
   )
 }

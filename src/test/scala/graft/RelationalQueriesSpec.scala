@@ -717,4 +717,43 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(got == Map(("a", "b") -> 666666L, ("a", "c") -> 333333L,
       ("b", "a") -> 1000000L), s"got $got")
   }
+
+  test("zorder16: hand-computed interleaves, coordinate bits land apart") {
+    import spark.implicits._
+    // x=3 (bits 0,1) → 2⁰+2² = 5; y=5 (bits 0,2) → 2¹+2⁵ = 34; z = 39.
+    // x alone fills even positions, y alone odd; 16-bit max → 0x55555555
+    // and 0xAAAAAAAA respectively.
+    val df = Seq((3L, 5L), (0L, 0L), (65535L, 0L), (0L, 65535L),
+      (1L, 1L)).toDF("x", "y")
+      .withColumn("z", RelationalQueries.zorder16(
+        org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y")))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      r.getLong(2)).toMap
+    assert(got == Map(
+      (3L, 5L) -> 39L,
+      (0L, 0L) -> 0L,
+      (65535L, 0L) -> 0x55555555L,
+      (0L, 65535L) -> 0xAAAAAAAAL,
+      (1L, 1L) -> 3L), s"got $got")
+  }
+
+  test("top paths: sliding triples counted, deterministic rank ties") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: a b c d → (a,b,c), (b,c,d). u2: a b c → (a,b,c).
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "c"),
+      (1L, 4L, 4L, "d"),
+      (2L, 1L, 5L, "a"), (2L, 2L, 6L, "b"), (2L, 3L, 7L, "c"),
+      // u3: too short for any triple.
+      (3L, 1L, 8L, "x"), (3L, 2L, 9L, "y"))
+      .toDF("u", "ts", "id", "s")
+    val got = RelationalQueries.topPaths(ev, "u", "ts", "id", "s", k = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getInt(4)))
+    // (a,b,c) count 2 ranks first; (b,c,d) count 1 second.
+    assert(got.toSeq == Seq(("a", "b", "c", 2L, 1),
+      ("b", "c", "d", 1L, 2)), s"got ${got.toSeq}")
+  }
 }
