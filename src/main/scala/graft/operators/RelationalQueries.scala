@@ -891,8 +891,118 @@ object RelationalQueries {
         .select($"user_id", unix_micros($"ts").as("tsm"), $"event_id",
           $"event_type"),
         "user_id", "tsm", "event_id", "event_type", k = 10)
+    },
+
+    // Multi-touch attribution: every click in the 7 days before a
+    // purchase shares the conversion credit — LINEAR (equal split,
+    // largest-remainder so each purchase's credits sum to EXACTLY 10⁶
+    // ppm, most recent click first — the X79 apportionment device) and
+    // TIME-DECAY (weight 2^-Δdays as the exact integer 10⁶ div 2^Δ,
+    // floor-normalized). The last-touch model is q106's as-of; this is
+    // the other report marketing runs. USER-keyed equi join (never a
+    // time cross-join) + purchase-keyed windows; the per-user
+    // click×purchase fanout is bounded by the 7-day window — the same
+    // power-law-user caveat as the q107 timeline.
+    "q161_multitouch_attribution" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      multiTouchAttribution(
+        ev.filter($"event_type" === "purchase")
+          .select($"user_id", unix_micros($"ts").as("ptsm"),
+            $"event_id".as("pid")),
+        ev.filter($"event_type" === "click")
+          .select($"user_id", unix_micros($"ts").as("ctsm"),
+            $"event_id".as("cid")),
+        "user_id", windowMicros = 604800000000L,
+        decayUnitMicros = 86400000000L)
+    },
+
+    // Trailing-7-day active users per day (the WAU curve): each distinct
+    // (user, active-day) contributes to exactly 7 report days, so the
+    // sliding distinct-count becomes explode(day..day+6) + one
+    // countDistinct — 7×|user-days| rows, NEVER a per-day self-join
+    // over users, and the explode factor is the window length, constant
+    // at any corpus scale. Report days clipped to the observed range so
+    // no phantom trailing days appear.
+    "q162_trailing_active_users" -> { (s, dir) =>
+      import s.implicits._
+      trailingActiveUsers(t(s, dir, "events")
+        .select($"user_id",
+          expr("unix_micros(ts) div 86400000000L").as("d")),
+        "user_id", "d", windowDays = 7)
+    },
+
+    // Z-order tile audit — q159's companion: per 4096-key zbucket, the
+    // x/y extents and row count. The point of the curve is that every
+    // bucket's extent is a BOUNDED 2-d tile (vs a lexicographic sort,
+    // where the trailing dimension spans its full range in every
+    // bucket) — this is the min/max metadata a file-skipping reader
+    // prunes on. Aggregates over the q159 map-only output; constant
+    // result rows (≤ 2¹⁰ buckets at 16+16 bits / 4096).
+    "q163_zorder_tiles" -> { (s, dir) =>
+      import s.implicits._
+      queries("q159_zorder_key")(s, dir)
+        .groupBy($"zbucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"x").as("x_min"), max($"x").as("x_max"),
+          min($"y").as("y_min"), max($"y").as("y_max"))
     }
   )
+
+  /** Trailing-N-day active users per day (the WAU/MAU curve): each
+    * distinct (user, active-day) contributes to exactly `windowDays`
+    * report days, so the sliding distinct-count becomes a bounded
+    * explode + ONE countDistinct — never a per-day self-join, and the
+    * explode factor is the window length, constant at any scale.
+    * Report days are clipped to the observed max so no phantom
+    * trailing days appear. */
+  def trailingActiveUsers(df: DataFrame, keyCol: String, dayCol: String,
+                          windowDays: Int): DataFrame = {
+    val days = df.select(col(keyCol), col(dayCol).as("_d")).distinct()
+    val maxDay = days.agg(max(col("_d")).as("_maxd"))
+    days.select(col(keyCol),
+        explode(expr(s"sequence(_d, _d + ${windowDays - 1})"))
+          .as("report_day"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("report_day") <= col("_maxd"))
+      .groupBy(col("report_day"))
+      .agg(countDistinct(col(keyCol)).as("wau"))
+  }
+
+  /** Multi-touch attribution: every click in the `windowMicros` before
+    * a purchase shares its conversion credit, under BOTH standard
+    * models at once — LINEAR (equal split; largest-remainder with the
+    * most recent click first, so each purchase's credits sum to
+    * EXACTLY 10⁶ ppm) and TIME-DECAY (weight 2^-Δunits as the exact
+    * integer 10⁶ div 2^Δ, floor-normalized per purchase). Last-touch
+    * is [[asofJoinBackward]]; this is the other report marketing runs.
+    *
+    * Inputs: purchases (key, ptsm, pid), clicks (key, ctsm, cid).
+    * USER-keyed equi join — never a time cross-join; the per-key
+    * click×purchase fanout is bounded by the window (the q107
+    * power-law-key caveat applies to a user with everything).
+    * `windowMicros div decayUnitMicros` must stay < 63 or the weight
+    * shift overflows (7 days / 1 day = 7 here). */
+  def multiTouchAttribution(purchases: DataFrame, clicks: DataFrame,
+                            keyCol: String, windowMicros: Long,
+                            decayUnitMicros: Long): DataFrame = {
+    val wN = Window.partitionBy(col("pid"))
+    val wR = Window.partitionBy(col("pid"))
+      .orderBy(col("ctsm").desc, col("cid"))
+    purchases.join(clicks.withColumnRenamed(keyCol, "_ck"),
+        col(keyCol) === col("_ck") && col("ctsm") <= col("ptsm") &&
+          col("ptsm") - col("ctsm") <= windowMicros)
+      .withColumn("_wd", expr(
+        "1000000L div shiftleft(1L, CAST((ptsm - ctsm) div " +
+          s"${decayUnitMicros}L AS INT))"))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("_swd", sum(col("_wd")).over(wN))
+      .withColumn("rk", row_number().over(wR))
+      .select(col("pid"), col("cid"),
+        expr("1000000L div n + IF(rk <= 1000000L % n, 1L, 0L)")
+          .as("credit_ppm"),
+        expr("_wd * 1000000L div _swd").as("decay_credit_ppm"))
+  }
 
   /** Morton (Z-order) interleave of the low 16 bits of two columns:
     * bit i of `x` lands at position 2i, bit i of `y` at 2i+1 — the
@@ -2158,6 +2268,66 @@ object RelationalQueries {
         |  SELECT *, ROW_NUMBER() OVER
         |    (ORDER BY n_paths DESC, t1, t2, t3) AS rank
         |  FROM c)
-        |WHERE rank <= 10""".stripMargin
+        |WHERE rank <= 10""".stripMargin,
+
+    // q161: identical join + windows; the decay weight 10⁶ // 2^Δdays
+    // is exact on both engines (Δ ≤ 7 → the shift never overflows),
+    // and the window SUM casts to BIGINT before the divide.
+    "q161_multitouch_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS ptsm, event_id AS pid
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS ctsm, event_id AS cid
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.pid, c.cid, c.ctsm, p.ptsm FROM p
+        |  JOIN c ON p.user_id = c.user_id AND c.ctsm <= p.ptsm
+        |    AND p.ptsm - c.ctsm <= 604800000000),
+        |r AS (
+        |  SELECT pid, cid,
+        |    CAST(1000000 AS BIGINT) // (1 << CAST((ptsm - ctsm)
+        |      // 86400000000 AS INTEGER)) AS wd,
+        |    count(*) OVER (PARTITION BY pid) AS n,
+        |    row_number() OVER (PARTITION BY pid
+        |      ORDER BY ctsm DESC, cid) AS rk
+        |  FROM j)
+        |SELECT pid, cid,
+        |  1000000 // n + CASE WHEN rk <= 1000000 % n THEN 1 ELSE 0 END
+        |    AS credit_ppm,
+        |  wd * 1000000 // CAST(SUM(wd) OVER (PARTITION BY pid)
+        |    AS BIGINT) AS decay_credit_ppm
+        |FROM r""".stripMargin,
+
+    // q162: the identical 7-day contribution expansion.
+    "q162_trailing_active_users" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+        |  FROM events),
+        |m AS (SELECT max(d) AS maxd FROM d),
+        |e AS (
+        |  SELECT user_id, d + g.i AS report_day
+        |  FROM d, (SELECT unnest(generate_series(0, 6)) AS i) g)
+        |SELECT report_day, count(DISTINCT user_id) AS wau
+        |FROM e, m WHERE report_day <= m.maxd
+        |GROUP BY report_day""".stripMargin,
+
+    // q163: aggregates over the q159 oracle chain.
+    "q163_zorder_tiles" -> {
+      val zexpr = (0 until 16).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT o_custkey & 65535 AS x,
+         |    (CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      // 5000000) & 65535 AS y
+         |  FROM orders),
+         |z AS (
+         |  SELECT x, y, CAST($zexpr AS BIGINT) // 4096 AS zbucket FROM b)
+         |SELECT zbucket, count(*) AS n_rows,
+         |  min(x) AS x_min, max(x) AS x_max,
+         |  min(y) AS y_min, max(y) AS y_max
+         |FROM z GROUP BY zbucket""".stripMargin
+    }
   )
 }

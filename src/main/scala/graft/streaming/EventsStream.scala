@@ -440,6 +440,55 @@ object EventsStream {
     * Callers must `withWatermark("ts", …)` on the input before the typed
     * conversion.
     */
+  case class TransEvent(user_id: Long, ts: java.sql.Timestamp,
+                        event_id: Long, event_type: String)
+  case class TransState(lastType: Option[String],
+                        pending: Seq[(Long, Long, String)])
+  case class Transition(user_id: Long, tsm: Long, prev_type: String,
+                        event_type: String)
+
+  /** Streaming transition-pair extraction — the stateful twin of the
+    * q156 batch [[graft.operators.RelationalQueries.transitionMatrix]]:
+    * per user, each event paired with its event-time predecessor (ties
+    * by event_id, the batch's exact sort). Emitted pairs ARE the
+    * matrix's input rows: a downstream `groupBy(prev_type, event_type)
+    * .count()` maintains the live matrix; normalization to ppm happens
+    * at read time over the ≤|types|² aggregate (a streaming sink can't
+    * retract a row-normalized share, the counts are the incremental
+    * object).
+    *
+    * Same watermark-ordered prefix-fold discipline as [[funnelStream]]:
+    * pair formation is prefix-monotone (a drained event's predecessor
+    * is final), so every emitted pair is final; post-drain state is
+    * O(1) (the last type). Callers must `withWatermark("ts", …)` before
+    * the typed conversion.
+    */
+  def transitionStream(events: Dataset[TransEvent]): Dataset[Transition] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, rows, state: GroupState[TransState]) =>
+          val prev = state.getOption.getOrElse(TransState(None, Nil))
+          val batch = rows.toSeq.map(r =>
+            (micros(r.ts), r.event_id, r.event_type))
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val (ready, rest) = (prev.pending ++ batch).partition(_._1 <= wm)
+          var last = prev.lastType
+          val out = Seq.newBuilder[Transition]
+          for ((tsm, _, et) <- ready.sorted) {
+            last.foreach(p => out += Transition(key, tsm, p, et))
+            last = Some(et)
+          }
+          state.update(TransState(last, rest))
+          if (rest.nonEmpty) state.setTimeoutTimestamp(
+            (rest.map(_._1).min / 1000L)
+              .max(state.getCurrentWatermarkMs() + 1L))
+          out.result().iterator
+      }
+  }
+
   def sessionize(events: Dataset[Event], gapMs: Long = 60000): Dataset[Session] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._

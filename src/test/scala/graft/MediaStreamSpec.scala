@@ -690,4 +690,50 @@ class MediaStreamSpec extends SparkSpec {
     q.stop()
     assert(out == Map(1L -> 0L, 9L -> 2000000L), s"got $out")
   }
+
+  test("streaming: transition pairs match the q156 matrix, out of order, tied") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val M = 1000000L
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = EventsStream.transitionStream(
+        mem.toDF().toDF("user_id", "ts", "event_id", "event_type")
+          .withWatermark("ts", "30 seconds")
+          .as[EventsStream.TransEvent])
+      .writeStream.format("memory").queryName("trans_stream")
+      .outputMode("append").start()
+    // u1: a@10, c@30 arrive first; b@20 arrives a trigger LATE —
+    // arrival-order pairing would emit (a,c); the buffer must yield
+    // (a,b), (b,c). u2: two events TIE at 40 s — event_id decides
+    // (id 1 "x" before id 2 "y"), the batch sort's exact rule.
+    mem.addData((1L, ts(10 * M), 1L, "a"), (1L, ts(30 * M), 3L, "c"),
+      (2L, ts(40 * M), 1L, "x"), (2L, ts(40 * M), 2L, "y"))
+    q.processAllAvailable()
+    mem.addData((1L, ts(20 * M), 2L, "b"))
+    q.processAllAvailable()
+    for (s <- Seq(500L, 600L, 700L)) {
+      mem.addData((999L, ts(s * M), 9L, "v"))
+      q.processAllAvailable()
+    }
+    val pairs = spark.table("trans_stream")
+      .filter(col("user_id") < 999L)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    q.stop()
+    // Batch twin on the same finite input.
+    val batch = graft.operators.RelationalQueries.transitionMatrix(
+        Seq((1L, 10 * M, 1L, "a"), (1L, 30 * M, 3L, "c"),
+          (1L, 20 * M, 2L, "b"), (2L, 40 * M, 1L, "x"),
+          (2L, 40 * M, 2L, "y"))
+          .toDF("user_id", "tsm", "event_id", "event_type"),
+        "user_id", "tsm", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pairs == Map(("a", "b") -> 1L, ("b", "c") -> 1L,
+      ("x", "y") -> 1L), s"stream pairs: $pairs")
+    assert(pairs == batch, s"stream $pairs vs batch $batch")
+  }
 }

@@ -756,4 +756,61 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", "b", "c", 2L, 1),
       ("b", "c", "d", 1L, 2)), s"got ${got.toSeq}")
   }
+
+  test("multi-touch attribution: exact linear split, decay weights, window cut") {
+    import spark.implicits._
+    val day = 86400000000L
+    // One purchase at t=10d; clicks at Δ = 0, 1, 2 days before, plus
+    // one 8 days back (outside the 7-day window) and one AFTER the
+    // purchase — both excluded.
+    val purchases = Seq((1L, 10L * day, 100L)).toDF("u", "ptsm", "pid")
+    val clicks = Seq(
+      (1L, 10L * day, 1L), (1L, 9L * day, 2L), (1L, 8L * day, 3L),
+      (1L, 2L * day - 1L, 4L), (1L, 11L * day, 5L))
+      .toDF("u", "ctsm", "cid")
+    val got = RelationalQueries.multiTouchAttribution(
+        purchases, clicks, "u", windowMicros = 7L * day,
+        decayUnitMicros = day)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // Linear: 10⁶/3 = 333333 r 1 → the most recent (cid 1) gets the
+    // remainder; sum is exactly 10⁶. Decay: weights 10⁶, 5·10⁵,
+    // 2.5·10⁵ (sum 1.75·10⁶) → 571428 / 285714 / 142857.
+    assert(got == Map(
+      1L -> (333334L, 571428L),
+      2L -> (333333L, 285714L),
+      3L -> (333333L, 142857L)), s"got $got")
+    assert(got.values.map(_._1).sum == 1000000L)
+  }
+
+  test("trailing active users: window contribution, dedup, clipped tail") {
+    import spark.implicits._
+    // u1 active days 1 and 2 (window 3): contributes to days 1-3 and
+    // 2-4; u2 active day 4 only. Max observed day 4 clips days 5-6.
+    // Day 1: {u1}; 2: {u1}; 3: {u1}; 4: {u1(from day 2), u2}.
+    val days = Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 4L))
+      .toDF("u", "d")
+    val got = RelationalQueries.trailingActiveUsers(days, "u", "d",
+        windowDays = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L),
+      s"got $got")
+  }
+
+  test("zorder tiles: every 4096-key bucket bounds a 64x32 (x, y) tile") {
+    // The clustering claim q159/q163 rest on: a zbucket (zkey div 2¹²)
+    // fixes all interleaved bits above position 11 — x keeps its low 6
+    // bits free (even positions 0,2,4,6,8,10), y its low 5 (odd
+    // 1,3,5,7,9) — so every bucket's extent is AT MOST a 64×32 tile,
+    // never a full-range stripe.
+    val df = RelationalQueries.queries("q163_zorder_tiles")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (xmin, xmax) = (r.getAs[Long]("x_min"), r.getAs[Long]("x_max"))
+      val (ymin, ymax) = (r.getAs[Long]("y_min"), r.getAs[Long]("y_max"))
+      assert(xmax - xmin < 64, s"bucket ${r.getLong(0)} x spans $xmin..$xmax")
+      assert(ymax - ymin < 32, s"bucket ${r.getLong(0)} y spans $ymin..$ymax")
+    }
+  }
 }
