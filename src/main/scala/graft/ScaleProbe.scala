@@ -79,7 +79,13 @@ object ScaleProbe {
       "q141_session_window",
       "q151_scd2_history", "q152_activity_streaks",
       "q156_transition_matrix", "q157_inverted_index",
-      "q158_pmi_collocations", "q160_top_paths")
+      "q158_pmi_collocations", "q160_top_paths",
+      // Round-12 search/retrieval family. q167 rides the token-suffix
+      // replica deliberately: vocabulary grows ~10× AND every word gains
+      // 9 distance-1 replica siblings — a worst-case densification of
+      // the variant buckets, not just more of the same vocab.
+      "q164_bm25_search", "q165_salted_agg", "q167_fuzzy_vocab_pairs",
+      "q168_rrf_fusion", "q169_anomaly_days", "q170_tfidf_terms")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -113,7 +119,10 @@ object ScaleProbe {
       "q151_scd2_history" -> "events",
       "q152_activity_streaks" -> "events",
       "q156_transition_matrix" -> "events",
-      "q160_top_paths" -> "events").withDefault(_ => "documents")
+      "q160_top_paths" -> "events",
+      "q165_salted_agg" -> "events",
+      "q168_rrf_fusion" -> "embeddings",
+      "q169_anomaly_days" -> "events").withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet
 
     // The replica generators for documents/lineitem are the
@@ -246,7 +255,7 @@ object ScaleProbe {
     // graph.)
     if (nameFilter.isEmpty ||
         nameFilter.exists(f => "q122_pagerank".contains(f) ||
-          "q127_triangles".contains(f))) {
+          "q127_triangles".contains(f) || "q166_bfs_hops".contains(f))) {
       val e1 = graft.operators.RelationalQueries.tradeGraphEdges(spark, sf01)
         .localCheckpoint()
       val eN = e1.crossJoin(reps)
@@ -270,6 +279,20 @@ object ScaleProbe {
       }
       timeTri("sf0.1", e1)
       timeTri(label, eN)
+      // BFS over the disjoint-copy replica: the reachable set stays
+      // replica 0's (single-source by contract), so what this measures
+      // is the per-round cost of frontier⋈edges against a 10× edge
+      // list — the honest bound for BFS at scale, where each round's
+      // wall is the edge-side scan, parallelized across executors on a
+      // real cluster.
+      def timeBfs(scale: String, e: DataFrame, src: String): Unit = {
+        val t0 = System.nanoTime()
+        graft.graphquery.Graph.bfsHops(e, "src", "dst", src)
+          .write.format("noop").mode("overwrite").save()
+        println(f"PROBE q166_bfs_hops $scale ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      timeBfs("sf0.1", e1, "n0")
+      timeBfs(label, eN, "0_n0")
     }
 
     // q60 flagship probe — needs its own GATE-PRESERVING replica: the

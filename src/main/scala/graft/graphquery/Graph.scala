@@ -291,4 +291,43 @@ object Graph {
     // node set is empty and so is the result — documented.
     labels
   }
+
+  /** Single-source BFS hop distances (directed): frontier expansion in
+    * the Pregel shape — per round the current frontier joins the
+    * src-partitioned edge list, newly-reached nodes (anti-join against
+    * the visited set) become the next frontier at `dist + 1`, until the
+    * frontier empties or `maxIters` rounds. Distances are exact BIGINT
+    * hop counts; unreachable nodes are absent (a LEFT join from the
+    * node table adds them as nulls if a caller wants that shape).
+    *
+    * Scale shape: edges are deduped, hash-partitioned on src and
+    * materialized ONCE (localCheckpoint) — each round exchanges only
+    * the frontier (≤ |V| rows); rounds are bounded by the graph's
+    * diameter from the source (the `maxIters` cap guards adversarial
+    * chains), and the driver sees one scalar `isEmpty` per round,
+    * never data. The visited set is re-checkpointed per round to cap
+    * lineage, exactly the [[kCore]]/connected-components discipline.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              source: String, maxIters: Int = 20): DataFrame = {
+    require(maxIters >= 1)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+      .distinct().repartition(col("_s")).localCheckpoint()
+    var visited = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
+    var frontier = visited
+    var round = 0
+    while (round < maxIters && !frontier.isEmpty) {
+      round += 1
+      frontier = frontier
+        .join(e, frontier("node") === e("_s"))
+        .select(col("_d").as("node"), (col("dist") + 1L).as("dist"))
+        .distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint()
+      visited = visited.union(frontier).localCheckpoint()
+    }
+    visited
+  }
 }

@@ -863,4 +863,144 @@ object Corpus {
       .select(col("token_a"), col("token_b"), col("pair_cnt"),
         col("pmi_ppm"))
   }
+
+  /** BM25 keyword ranking (Robertson–Spärck Jones, k1 = 1.2, b = 0.75)
+    * in exact BIGINT ppm. Two integer-exact substitutions keep the
+    * score cross-engine replayable while preserving BM25's ordering:
+    *
+    *  - the tf saturation term `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    *    is a rational in (tf, dl, N, T = Σdl); multiplying through by
+    *    `20·T` gives `44·tf·T / (20·T·tf + 6·T + 18·dl·N)` — evaluated
+    *    as a ppm floor via the [[mixRates]] base-1000 long division, so
+    *    no intermediate exceeds `max(44·tf·T, D·10³)`;
+    *  - idf uses the RAW RSJ ratio `(N−df+0.5)/(df+0.5)` as the ppm
+    *    floor `(2N−2df+1)·10⁶ div (2df+1)` — monotone with the log
+    *    form per term. (Like [[pmiCollocations]], the monotone-ratio
+    *    substitution trades the additive-log aesthetics for exactness;
+    *    per-term ordering is identical, and the summed score is the
+    *    standard "raw-idf BM25" variant.)
+    *
+    * Scale shape: scoring is MAP-ONLY — per-term tf comes from a
+    * row-local `filter(tokens, …)` (no explode, no shuffle), and the
+    * corpus statistics (N, T, per-term df) are ONE single-row aggregate
+    * cross-joined back as a scalar broadcast (the q105 shape). The
+    * final top-k is a TakeOrdered (distributed heap), never a global
+    * sort. Overflow bound: `44·tf·T` and `tfpart·idf` stay in BIGINT
+    * for `tf·T < 2·10¹⁷` and `N < 10⁹`; past that, run the idf product
+    * through the same base-1000 device.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9_]+")),
+      "terms must be plain tokens")
+    val base = docs.select(col(idCol),
+        TextAnalysis.tokens(col(textCol)).as("_tk"))
+      .withColumn("_dl", size(col("_tk")).cast("long"))
+    val withTf = terms.zipWithIndex.foldLeft(base) { case (d, (term, i)) =>
+      d.withColumn(s"_tf$i",
+        expr(s"CAST(size(filter(_tk, x -> x = '$term')) AS BIGINT)"))
+    }.drop("_tk")
+    val aggs = count(lit(1)).cast("long").as("_n") +:
+      sum(col("_dl")).as("_t") +:
+      terms.indices.map(i =>
+        sum(when(col(s"_tf$i") > 0L, 1L).otherwise(0L)).as(s"_df$i"))
+    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+    val termScore = terms.indices.map { i =>
+      val tf = s"_tf$i"; val df = s"_df$i"
+      val n0 = s"(44L * $tf * _t)"
+      val den = s"(20L * _t * $tf + 6L * _t + 18L * _dl * _n)"
+      val tfp = s"(($n0 div $den) * 1000000L" +
+        s" + (($n0 % $den) * 1000L div $den) * 1000L" +
+        s" + ((($n0 % $den) * 1000L) % $den) * 1000L div $den)"
+      val idf = s"(((2L * _n - 2L * $df + 1L) * 1000000L) div (2L * $df + 1L))"
+      s"(CASE WHEN $tf > 0L THEN ($tfp * $idf) div 1000000L ELSE 0L END)"
+    }.mkString(" + ")
+    val scored = withTf.crossJoin(broadcast(stats))
+      .withColumn("score_ppm", expr(termScore))
+      .filter(col("score_ppm") > 0L)
+      .select(col(idCol), col("score_ppm"))
+      .orderBy(col("score_ppm").desc, col(idCol).asc)
+      .limit(topK)
+    // Rank attaches AFTER the limit — the global window runs over ≤ topK
+    // rows, not the corpus.
+    scored.withColumn("rank", row_number().over(
+      Window.orderBy(col("score_ppm").desc, col(idCol).asc)))
+  }
+
+  /** TF-IDF top terms per document, integer-exact: per (doc, token)
+    * `score_ppm = tf · (N·10⁶ div df)` — the raw-ratio idf (monotone
+    * with log-idf PER TERM; the per-document ranking this emits is the
+    * raw-idf TF-IDF flavor, chosen for cross-engine exactness like
+    * [[bm25TopK]]'s idf). The keep-`topTerms` cut is a per-doc window
+    * ordered (score desc, token asc) — fully deterministic.
+    *
+    * Scale shape: one explode → (doc, token) aggregation (the exact
+    * shuffle any term-frequency pass pays), a token-keyed df join
+    * (AQE-skew-safe; stopword keys are the ceiling), the scalar N
+    * broadcast, then a doc-keyed window. Nothing all-pairs, nothing
+    * driver-side.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    topTerms: Int = 3): DataFrame = {
+    val tf = docs.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_ppm").desc, col("token").asc)
+    tf.join(dfT, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score_ppm", expr("tf * ((_n * 1000000L) div df)"))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= topTerms)
+      .select(col(idCol), col("term_rank"), col("token"), col("tf"),
+        col("df"), col("score_ppm"))
+  }
+
+  /** Fuzzy vocabulary pairs by symmetric-delete blocking (SymSpell,
+    * Garbe 2012): two words are within Levenshtein distance d only if
+    * deleting ≤ d characters from each reaches a COMMON string (take an
+    * optimal alignment; drop the substituted/deleted chars from one
+    * side and the substituted/inserted chars from the other — ≤ d
+    * drops per side). So: explode every distinct token into its
+    * ≤ `maxDist`-deletion variants, equi-join on the variant, and
+    * verify surviving candidate pairs with the EXACT `levenshtein`
+    * filter — the result equals the all-pairs scan by the theorem, at
+    * Σ bucket² candidate cost instead of |vocab|².
+    *
+    * Scale shape: variant generation is map-only and bounded (≤ 1 + L +
+    * L·(L−1)/2 variants per word at d = 2; the `maxLen` cap bounds L),
+    * the join is variant-keyed (AQE-skew-safe), verification is
+    * map-only codegen'd `levenshtein`. Words above `maxLen` are dropped
+    * on BOTH sides — a length cap every production fuzzy matcher
+    * applies anyway.
+    */
+  def fuzzyTokenPairs(docs: DataFrame, textCol: String,
+                      maxDist: Int = 2, maxLen: Int = 24): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, "maxDist must be 1 or 2")
+    val vocab = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")).between(1, maxLen))
+      .distinct()
+    val del1 = "transform(sequence(1, length(w)), i -> " +
+      "concat(substring(w, 1, i - 1), substring(w, i + 1, length(w))))"
+    // sequence(1, 0) is DESCENDING in Spark, so second-level deletions
+    // only run over non-empty first-level variants.
+    val del2 = s"flatten(transform(filter($del1, v -> length(v) > 0), " +
+      "v -> transform(sequence(1, length(v)), j -> " +
+      "concat(substring(v, 1, j - 1), substring(v, j + 1, length(v))))))"
+    val vExpr =
+      if (maxDist == 1) s"array_union(array(w), $del1)"
+      else s"array_union(array_union(array(w), $del1), $del2)"
+    val variants = vocab.select(col("w"), explode(expr(vExpr)).as("v"))
+    variants.as("a")
+      .join(variants.as("b"),
+        col("a.v") === col("b.v") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("w1"), col("b.w").as("w2"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("w1"), col("w2")).cast("long"))
+      .filter(col("dist") <= maxDist)
+  }
 }

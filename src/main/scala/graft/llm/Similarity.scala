@@ -760,4 +760,32 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("neighbor_id"), col("sim"))
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of two
+    * ranked retrieval lists, integer-exact: each (qid, neighbor)
+    * contributes `10⁶ div (c + rank)` per list it appears in, fused
+    * rank is (score desc, neighbor asc). RRF needs only RANKS — no
+    * score calibration between the lists — which is exactly why it
+    * fuses a full-width ANN list with a truncated/quantized one (the
+    * production "ensemble of cheap indexes" pattern) without touching
+    * a float.
+    *
+    * Scale shape: a union of two already-top-k lists (|q|·k rows each),
+    * one (qid, neighbor)-keyed aggregation, one qid-keyed window over
+    * ≤ 2k rows per query. Cost lives entirely in the input retrievals.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, topK: Int = 5,
+              c: Long = 60L): DataFrame = {
+    val pool = a.select(col("qid"), col("neighbor_id"), col("rank"))
+      .unionByName(b.select(col("qid"), col("neighbor_id"), col("rank")))
+      .groupBy(col("qid"), col("neighbor_id"))
+      .agg(sum(expr(s"1000000L div (${c}L + rank)")).as("rrf_ppm"),
+        count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_ppm").desc, col("neighbor_id").asc)
+    pool.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= topK)
+      .select(col("qid"), col("fused_rank"), col("neighbor_id"),
+        col("rrf_ppm"), col("n_lists"))
+  }
 }

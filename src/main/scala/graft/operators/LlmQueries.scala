@@ -1063,6 +1063,53 @@ object LlmQueries {
     "q126_temperature_rates" -> { (s, dir) =>
       Corpus.temperatureRates(t(s, dir, "documents"), "lang",
         TA.tokenCount(col("text")))
+    },
+
+    // BM25 keyword search over the corpus (k1=1.2, b=0.75, raw-RSJ-idf
+    // flavor — see [[Corpus.bm25TopK]] for the integer-exact ppm
+    // derivation): top 20 docs for a 3-term query. Scoring is MAP-ONLY
+    // (row-local tf via filter(tokens,·), one single-row stats
+    // broadcast); the cut is a distributed TakeOrdered — at 100 TB the
+    // whole query is one corpus scan.
+    "q164_bm25_search" -> { (s, dir) =>
+      Corpus.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "merge", "vector"), topK = 20)
+    },
+
+    // Fuzzy vocabulary pairs (Levenshtein ≤ 2) by SymSpell
+    // symmetric-delete blocking: deletion-variant equi-join + exact
+    // levenshtein verify — equals the all-pairs scan (the oracle IS the
+    // all-pairs form) at Σ bucket² candidate cost. The fuzzy-match
+    // primitive under typo-tolerant entity resolution.
+    "q167_fuzzy_vocab_pairs" -> { (s, dir) =>
+      Corpus.fuzzyTokenPairs(t(s, dir, "documents"), "text",
+        maxDist = 2, maxLen = 24)
+    },
+
+    // Reciprocal-rank fusion of two retrieval lists — full-width
+    // brute-force top-10 and the 32-dim Matryoshka truncation (q117's
+    // two sides, fused instead of scored): integer RRF ppm, top-5 per
+    // query. The rank-only ensemble needs no score calibration between
+    // a float index and a quantized one.
+    "q168_rrf_fusion" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      def trunc(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("embedding", slice(col("embedding"), 1, 32))
+      val qs = e.filter(col("vec_id") % 100 === 0)
+      Similarity.rrfFuse(
+        Similarity.bruteForceKnn(e, qs, "vec_id", "embedding", k = 10),
+        Similarity.bruteForceKnn(trunc(e), trunc(qs), "vec_id",
+          "embedding", k = 10),
+        topK = 5)
+    },
+
+    // TF-IDF top-3 terms per document (raw-ratio idf, integer-exact —
+    // [[Corpus.tfidfTopTerms]]): the per-document keyword extraction
+    // every indexing pipeline runs. One (doc, token) aggregation, a
+    // token-keyed df join, the scalar N broadcast, one per-doc window.
+    "q170_tfidf_terms" -> { (s, dir) =>
+      Corpus.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
+        topTerms = 3)
     }
   )
 
@@ -3076,6 +3123,139 @@ object LlmQueries {
         |    ELSE ((target_tokens * 1000) // stratum_tokens) * 1000
         |      + ((target_tokens * 1000) % stratum_tokens) * 1000
         |        // stratum_tokens END AS BIGINT) AS rate_ppm
-        |FROM tg""".stripMargin
+        |FROM tg""".stripMargin,
+
+    // q164: the same integer ppm BM25 chain, term by term — the Scala
+    // side and this SQL are generated from one formula shape (44·tf·T /
+    // (20·T·tf + 6·T + 18·dl·N) through base-1000 division, raw-RSJ idf
+    // ratio), so `div` here is `//` there and nothing else differs.
+    "q164_bm25_search" -> bm25OracleSql(Seq("spark", "merge", "vector"), 20),
+
+    // q167: the oracle is the ALL-PAIRS scan the symmetric-delete
+    // blocking provably equals (deletion-variant coverage theorem) —
+    // the strongest possible gate for a blocked join: any missed pair
+    // hash-fails.
+    "q167_fuzzy_vocab_pairs" ->
+      """WITH vocab AS (
+        |  SELECT DISTINCT unnest(string_split_regex(trim(text), '\s+'))
+        |    AS w
+        |  FROM documents),
+        |v AS (SELECT w FROM vocab WHERE len(w) BETWEEN 1 AND 24)
+        |SELECT a.w AS w1, b.w AS w2,
+        |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+        |FROM v a JOIN v b ON a.w < b.w
+        |WHERE levenshtein(a.w, b.w) <= 2""".stripMargin,
+
+    // q168: q117's two brute-force rankings, ranks kept, fused with the
+    // integer RRF sum — rank values agree cross-engine (q117's gate),
+    // so the fusion must too.
+    "q168_rrf_fusion" -> {
+      def cos(a: String, b: String): String =
+        s"""list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
+           |      / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))
+           |        * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))""".stripMargin
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 100 = 0),
+         |fscored AS (
+         |  SELECT q.qid, e.vec_id AS neighbor_id,
+         |    ${cos("q.qv", "e.embedding")} AS sim
+         |  FROM q, embeddings e WHERE e.vec_id != q.qid),
+         |ftop AS (
+         |  SELECT qid, neighbor_id, rank FROM (
+         |    SELECT qid, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC)
+         |        AS rank
+         |    FROM fscored)
+         |  WHERE rank <= 10),
+         |tscored AS (
+         |  SELECT q.qid, e.vec_id AS neighbor_id,
+         |    ${cos("q.qv[1:32]", "e.embedding[1:32]")} AS sim
+         |  FROM q, embeddings e WHERE e.vec_id != q.qid),
+         |ttop AS (
+         |  SELECT qid, neighbor_id, rank FROM (
+         |    SELECT qid, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC)
+         |        AS rank
+         |    FROM tscored)
+         |  WHERE rank <= 10),
+         |pool AS (
+         |  SELECT qid, neighbor_id, rank FROM ftop
+         |  UNION ALL
+         |  SELECT qid, neighbor_id, rank FROM ttop),
+         |f AS (
+         |  SELECT qid, neighbor_id,
+         |    CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+         |    count(*) AS n_lists
+         |  FROM pool GROUP BY 1, 2)
+         |SELECT qid, fused_rank, neighbor_id, rrf_ppm, n_lists FROM (
+         |  SELECT qid, neighbor_id, rrf_ppm, n_lists,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY rrf_ppm DESC, neighbor_id ASC) AS fused_rank
+         |  FROM f)
+         |WHERE fused_rank <= 5""".stripMargin
+    },
+
+    // q170: same chain — (doc, token) tf, token df, scalar N, raw-ratio
+    // idf ppm, per-doc top-3 window with the identical tie order.
+    "q170_tfidf_terms" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        |SELECT doc_id, term_rank, token, tf, df, score_ppm FROM (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dft.df,
+        |    tf.tf * ((n.n * 1000000) // dft.df) AS score_ppm,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * ((n.n * 1000000) // dft.df) DESC,
+        |        tf.token ASC) AS term_rank
+        |  FROM tf JOIN dft USING (token), n)
+        |WHERE term_rank <= 3""".stripMargin
   )
+
+  /** q164's DuckDB oracle, generated from the same formula shape as
+    * [[Corpus.bm25TopK]] (`div` ↔ `//`, CASE guard, base-1000 steps) so
+    * the two sides cannot drift term-by-term.
+    */
+  private def bm25OracleSql(terms: Seq[String], topK: Int): String = {
+    val tfCols = terms.zipWithIndex.map { case (term, i) =>
+      s"CAST(len(list_filter(tk, x -> x = '$term')) AS BIGINT) AS tf$i"
+    }.mkString(",\n    ")
+    val dfCols = terms.indices.map { i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    }.mkString(",\n    ")
+    val score = terms.indices.map { i =>
+      val n0 = s"(44 * tf$i * t)"
+      val den = s"(20 * t * tf$i + 6 * t + 18 * dl * n)"
+      val tfp = s"(($n0 // $den) * 1000000" +
+        s" + (($n0 % $den) * 1000 // $den) * 1000" +
+        s" + ((($n0 % $den) * 1000) % $den) * 1000 // $den)"
+      val idf = s"(((2 * n - 2 * df$i + 1) * 1000000) // (2 * df$i + 1))"
+      s"(CASE WHEN tf$i > 0 THEN ($tfp * $idf) // 1000000 ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+       |    $tfCols
+       |  FROM toks),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t,
+       |    $dfCols
+       |  FROM d),
+       |sc AS (
+       |  SELECT doc_id,
+       |    $score
+       |    AS score_ppm
+       |  FROM d, st)
+       |SELECT doc_id, score_ppm,
+       |  ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id ASC) AS rank
+       |FROM sc WHERE score_ppm > 0
+       |ORDER BY score_ppm DESC, doc_id ASC LIMIT $topK""".stripMargin
+  }
 }

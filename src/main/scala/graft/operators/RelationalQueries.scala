@@ -946,8 +946,78 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_rows"),
           min($"x").as("x_min"), max($"x").as("x_max"),
           min($"y").as("y_min"), max($"y").as("y_max"))
+    },
+
+    // Salted two-phase aggregation — the hot-key mitigation SCALE.md
+    // prescribes for power-law keys, gated as a first-class operator:
+    // phase 1 aggregates per (key, salt) so a key owning 10% of all
+    // events spreads across 16 partitions' partials; phase 2 merges the
+    // ≤ 16·|keys| partial rows. Same result as the direct groupBy (the
+    // oracle IS the direct form — count and decimal-sum are algebraic),
+    // one extra exchange over 16·|keys| rows as the premium. The salt
+    // comes from a row-local hash, never a random() (replayable).
+    "q165_salted_agg" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("_salt", pmod(xxhash64($"event_id"), lit(16)))
+        .groupBy($"event_type", $"_salt")
+        .agg(count(lit(1)).as("_pc"),
+          sum(dec($"value")).as("_ps"))
+        .groupBy($"event_type")
+        .agg(sum($"_pc").as("n_events"),
+          sum($"_ps").cast("double").as("total_value"))
+    },
+
+    // Single-source BFS hop distances over the customer→supplier→
+    // nation→customer trade graph, from nation 0: the reachability
+    // question ("how many hops from this nation to every entity it
+    // trades through") as a frontier-expansion fixpoint — per round one
+    // frontier⋈edges join against the once-materialized src-partitioned
+    // edge list. Oracle: DuckDB recursive CTE over the same edges with
+    // min-dist aggregation.
+    "q166_bfs_hops" -> { (s, dir) =>
+      graft.graphquery.Graph.bfsHops(
+        tradeGraphEdges(s, dir), "src", "dst", source = "n0")
+    },
+
+    // Integer-exact z-score anomaly days: a day is anomalous when its
+    // event count is more than 2 population standard deviations from
+    // the mean — tested WITHOUT floats as (n·x − S)² > 4·(n·SS − S²)
+    // (both sides BIGINT; S = Σx, SS = Σx², n = #days). One daily
+    // rollup, one single-row stats aggregate broadcast back (the q105
+    // scalar shape), map-only flagging. The first alarm any ingest
+    // pipeline fires.
+    "q169_anomaly_days" -> { (s, dir) =>
+      import s.implicits._
+      zscoreAnomalies(
+        t(s, dir, "events")
+          .groupBy(date_trunc("day", $"ts").as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        "n_events")
     }
   )
+
+  /** Integer-exact z-score outlier flag: marks rows whose BIGINT
+    * `valueCol` lies more than `sigmas` POPULATION standard deviations
+    * from the mean, tested without a single float as
+    * `(n·x − S)² > sigmas²·(n·SS − S²)` (multiply the usual
+    * `|x − μ| > σ·s` through by `n²` and square — both sides exact
+    * BIGINT; S = Σx, SS = Σx²). One single-row stats aggregate
+    * broadcast back (the q105 scalar shape), then a map-only flag.
+    * Overflow bound: `n·x` and `n·SS` must stay under 2⁶³ — holds to
+    * ~10⁶ rows of 10⁶-sized values; beyond, shift to per-stratum stats.
+    */
+  def zscoreAnomalies(df: DataFrame, valueCol: String,
+                      sigmas: Int = 2): DataFrame = {
+    val stats = df.agg(count(lit(1)).as("_n"),
+      sum(col(valueCol)).as("_s"),
+      sum(col(valueCol) * col(valueCol)).as("_ss"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("is_anomaly", expr(
+        s"CAST((_n * $valueCol - _s) * (_n * $valueCol - _s) " +
+          s"> ${sigmas.toLong * sigmas}L * (_n * _ss - _s * _s) AS BIGINT)"))
+      .drop("_n", "_s", "_ss")
+  }
 
   /** Trailing-N-day active users per day (the WAU/MAU curve): each
     * distinct (user, active-day) contributes to exactly `windowDays`
@@ -960,11 +1030,15 @@ object RelationalQueries {
                           windowDays: Int): DataFrame = {
     val days = df.select(col(keyCol), col(dayCol).as("_d")).distinct()
     val maxDay = days.agg(max(col("_d")).as("_maxd"))
-    days.select(col(keyCol),
-        explode(expr(s"sequence(_d, _d + ${windowDays - 1})"))
+    // Scalar broadcast BEFORE the explode so the clip happens at
+    // generation (`least` inside sequence) — no phantom trailing rows
+    // are ever produced, and the only join is the 1-row scalar cross
+    // (the q105/q142 shape, whitelisted in PlanAuditSpec).
+    days.crossJoin(broadcast(maxDay))
+      .select(col(keyCol),
+        explode(expr(
+          s"sequence(_d, least(_d + ${windowDays - 1}, _maxd))"))
           .as("report_day"))
-      .crossJoin(broadcast(maxDay))
-      .filter(col("report_day") <= col("_maxd"))
       .groupBy(col("report_day"))
       .agg(countDistinct(col(keyCol)).as("wau"))
   }
@@ -2328,6 +2402,52 @@ object RelationalQueries {
          |  min(x) AS x_min, max(x) AS x_max,
          |  min(y) AS y_min, max(y) AS y_max
          |FROM z GROUP BY zbucket""".stripMargin
-    }
+    },
+
+    // q165: the oracle is the DIRECT (unsalted) aggregate — count and
+    // decimal-sum are algebraic, so the two-phase salted plan must
+    // reproduce it bit-exactly.
+    "q165_salted_agg" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         |  ${dsumSql("value")} AS total_value
+         |FROM events GROUP BY event_type""".stripMargin,
+
+    // q166: recursive CTE over the same three edge sets; UNION dedups
+    // (node, dist) pairs so cycles terminate at the dist < 20 guard,
+    // and min(dist) collapses to the BFS hop count.
+    "q166_bfs_hops" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT 'c' || o.o_custkey AS src,
+        |    's' || l.l_suppkey AS dst
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  UNION
+        |  SELECT 's' || s_suppkey, 'n' || s_nationkey FROM supplier
+        |  UNION
+        |  SELECT 'n' || c_nationkey, 'c' || c_custkey FROM customer),
+        |walk AS (
+        |  SELECT 'n0' AS node, 0 AS dist
+        |  UNION
+        |  SELECT e.dst, w.dist + 1
+        |  FROM walk w JOIN edges e ON e.src = w.node
+        |  WHERE w.dist < 20)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY node""".stripMargin,
+
+    // q169: identical integer inequality — no stddev/variance function
+    // on either side, so there is no float to disagree about.
+    "q169_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT count(*) AS n, CAST(sum(n_events) AS BIGINT) AS s,
+        |    CAST(sum(n_events * n_events) AS BIGINT) AS ss
+        |  FROM daily)
+        |SELECT day, n_events,
+        |  CAST(CASE WHEN (n * n_events - s) * (n * n_events - s)
+        |    > 4 * (n * ss - s * s) THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_anomaly
+        |FROM daily, st""".stripMargin
   )
 }

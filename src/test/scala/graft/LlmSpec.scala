@@ -1287,4 +1287,73 @@ class LlmSpec extends SparkSpec {
       (BigInt(4000) * 4000)).toLong
     assert(got == Map(("p", "q") -> expect), s"got $got expect $expect")
   }
+
+  test("bm25: hand-computed integer chain, rank order, absent-term zero") {
+    import spark.implicits._
+    // N=3, T=8; df(apple)=1, df(cherry)=2. Scores derived by hand from
+    // the 44·tf·T/(20·T·tf+6·T+18·dl·N) base-1000 chain and the
+    // (2N−2df+1)·10⁶ div (2df+1) idf: d1=2213834, d3=918260, d2=668354.
+    val docs = Seq((1L, "apple apple banana"), (2L, "banana cherry"),
+      (3L, "cherry cherry cherry")).toDF("doc_id", "text")
+    val got = Corpus.bm25TopK(docs, "doc_id", "text",
+        Seq("apple", "cherry"), topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 2213834L, 1), (3L, 918260L, 2),
+      (2L, 668354L, 3)), s"got ${got.toSeq}")
+    // A query of only absent terms scores every doc 0 → empty result.
+    assert(Corpus.bm25TopK(docs, "doc_id", "text", Seq("durian"))
+      .collect().isEmpty)
+  }
+
+  test("tfidf top terms: raw-ratio idf, tf weighting, token tie order") {
+    import spark.implicits._
+    val docs = Seq((1L, "apple apple banana"), (2L, "banana cherry"),
+      (3L, "cherry cherry cherry")).toDF("doc_id", "text")
+    val got = Corpus.tfidfTopTerms(docs, "doc_id", "text", topTerms = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(5)))
+      .toMap
+    // d2's banana/cherry tie at 1.5e6 breaks by token asc.
+    assert(got == Map(
+      (1L, 1) -> ("apple", 6000000L), (1L, 2) -> ("banana", 1500000L),
+      (2L, 1) -> ("banana", 1500000L), (2L, 2) -> ("cherry", 1500000L),
+      (3L, 1) -> ("cherry", 4500000L)), s"got $got")
+  }
+
+  test("fuzzy pairs: symmetric-delete blocking equals the all-pairs scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, levenshtein, explode}
+    // Substitution, insertion, deletion, transposition-as-2-subs, and
+    // far-apart words — plus a 1-char word whose only variant is "".
+    val words = Seq("cat", "cart", "carts", "cast", "dog", "dig", "doge",
+      "o", "ox", "zebra", "zebrb", "alphabetical")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = Corpus.fuzzyTokenPairs(docs, "text", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val vocab = words.toDF("w")
+    val expect = vocab.as("a").crossJoin(vocab.as("b"))
+      .filter(col("a.w") < col("b.w"))
+      .withColumn("dist", levenshtein(col("a.w"), col("b.w")).cast("long"))
+      .filter(col("dist") <= 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == expect,
+      s"missing ${expect -- got}, extra ${got -- expect}")
+    assert(expect.contains(("cast", "cat", 1L)) &&
+      expect.contains(("o", "ox", 1L)), "fixture lost its hand pairs")
+  }
+
+  test("rrf fusion: integer scores, overlap counts, fused tie order") {
+    import spark.implicits._
+    // List A ranks n1,n2; list B ranks n2,n3 — n2 fuses to the top with
+    // 10⁶//62 + 10⁶//61 = 32522; n1 (16393) beats n3 (16129).
+    val a = Seq((1L, 1, 101L), (1L, 2, 102L)).toDF("qid", "rank", "neighbor_id")
+    val b = Seq((1L, 1, 102L), (1L, 2, 103L)).toDF("qid", "rank", "neighbor_id")
+    val got = Similarity.rrfFuse(a, b, topK = 3)
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1, 102L, 32522L, 2L), (2, 101L, 16393L, 1L),
+      (3, 103L, 16129L, 1L)), s"got ${got.toSeq}")
+  }
 }

@@ -43,7 +43,17 @@ class PlanAuditSpec extends SparkSpec {
       "q142_session_percentiles",
       // q158 cross-joins the SINGLE-ROW corpus token total — the same
       // scalar-broadcast shape; both count joins stay keyed equi-joins.
-      "q158_pmi_collocations")
+      "q158_pmi_collocations",
+      // q162 cross-joins the SINGLE-ROW max-day aggregate (clips the
+      // report-day explode at generation) — the q105/q142 scalar shape.
+      "q162_trailing_active_users",
+      // q164/q169/q170 cross-join SINGLE-ROW stats aggregates (BM25
+      // corpus stats / anomaly mean-variance / TF-IDF N) — the same
+      // scalar-broadcast shape.
+      "q164_bm25_search", "q169_anomaly_days", "q170_tfidf_terms",
+      // q168 composes q35's brute-force side twice (q117's two lists) —
+      // same tiny broadcast query sample, same intended NLJ.
+      "q168_rrf_fusion")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>

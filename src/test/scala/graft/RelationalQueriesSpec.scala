@@ -813,4 +813,62 @@ class RelationalQueriesSpec extends SparkSpec {
       assert(ymax - ymin < 32, s"bucket ${r.getLong(0)} y spans $ymin..$ymax")
     }
   }
+
+  test("bfs hops: cycle terminates, unreachable nodes absent") {
+    import spark.implicits._
+    // a→b→c→a cycle with a spur c→d; e→f disconnected.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("e", "f")).toDF("s", "d")
+    val got = graft.graphquery.Graph.bfsHops(edges, "s", "d", "a")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L),
+      s"got $got")
+  }
+
+  test("bfs hops: maxIters caps an adversarial chain") {
+    import spark.implicits._
+    val chain = (0 until 12).map(i => (s"v$i", s"v${i + 1}"))
+      .toDF("s", "d")
+    val got = graft.graphquery.Graph.bfsHops(chain, "s", "d", "v0",
+        maxIters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == 6 && got("v5") == 5L, s"got $got")
+  }
+
+  test("salted aggregation: two event_type exchanges, same result as direct") {
+    val salted = RelationalQueries.queries("q165_salted_agg")(spark, sf)
+    val plan = salted.queryExecution.executedPlan.toString
+    // Phase 1 partitions on (event_type, salt), phase 2 on event_type
+    // alone — both exchanges must be present (the salt spread is the
+    // point; AQE may later coalesce partitions but not remove the
+    // exchange).
+    assert("hashpartitioning\\(event_type#\\d+, _salt".r
+      .findFirstIn(plan).isDefined, s"no salted exchange:\n$plan")
+    assert("hashpartitioning\\(event_type#\\d+, \\d".r
+      .findFirstIn(plan).isDefined, s"no final exchange:\n$plan")
+    import spark.implicits._
+    val direct = graft.Tables.t(spark, sf, "events")
+      .groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        graft.Exact.dsum($"value").as("total_value"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    val got = salted.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == direct, s"salted $got != direct $direct")
+  }
+
+  test("zscore anomalies: integer inequality matches the 2-sigma contract") {
+    import spark.implicits._
+    // 9 days of 10 plus one 200: mean 29, sigma 57 — only the 200 is
+    // past 2 sigma (z = 3). A single outlier in n<=8 points can NEVER
+    // exceed z=2 ((n-1)/sqrt(n) bound) — n=10 clears it.
+    val daily = ((1 to 9).map(d => (d.toLong, 10L)) :+ (10L, 200L))
+      .toDF("day", "n")
+    val got = RelationalQueries.zscoreAnomalies(daily, "n")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == ((1 to 9).map(_.toLong -> 0L) :+ (10L -> 1L)).toMap,
+      s"got $got")
+  }
 }
