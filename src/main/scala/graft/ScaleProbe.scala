@@ -85,7 +85,11 @@ object ScaleProbe {
       // 9 distance-1 replica siblings — a worst-case densification of
       // the variant buckets, not just more of the same vocab.
       "q164_bm25_search", "q165_salted_agg", "q167_fuzzy_vocab_pairs",
-      "q168_rrf_fusion", "q169_anomaly_days", "q170_tfidf_terms")
+      "q168_rrf_fusion", "q169_anomaly_days", "q170_tfidf_terms",
+      // q174 fk_audit rides the join family (anti-joins over
+      // orders/customer/part — replicas not materialized here).
+      "q171_peak_concurrency", "q172_copurchase_pairs", "q173_rfm_scores",
+      "q175_kmv_setops", "q176_histogram_quantiles")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -122,7 +126,12 @@ object ScaleProbe {
       "q160_top_paths" -> "events",
       "q165_salted_agg" -> "events",
       "q168_rrf_fusion" -> "embeddings",
-      "q169_anomaly_days" -> "events").withDefault(_ => "documents")
+      "q169_anomaly_days" -> "events",
+      "q171_peak_concurrency" -> "events",
+      "q172_copurchase_pairs" -> "lineitem",
+      "q173_rfm_scores" -> "orders",
+      "q175_kmv_setops" -> "events",
+      "q176_histogram_quantiles" -> "events").withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet
 
     // The replica generators for documents/lineitem are the
@@ -147,6 +156,19 @@ object ScaleProbe {
             concat(lit("$1zq"), col("_rep").cast("string"))).as("text")) ++
           docs.columns.filterNot(Set("doc_id", "text")).map(col): _*)
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
+
+    // Orders replica: customer shift (the events user-shift analogue) —
+    // per-customer recency/frequency/monetary structure is the
+    // original's, the customer population grows linearly.
+    if (fresh("orders")) {
+      spark.read.parquet(s"$sf01/orders.parquet").crossJoin(reps)
+        .withColumn("o_orderkey",
+          col("o_orderkey") + col("_rep") * 100000000L)
+        .withColumn("o_custkey",
+          col("o_custkey") + col("_rep") * 100000000L)
+        .drop("_rep")
+        .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
     }
 
     if (fresh("lineitem")) {

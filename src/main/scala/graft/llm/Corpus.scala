@@ -1003,4 +1003,39 @@ object Corpus {
       .withColumn("dist", levenshtein(col("w1"), col("w2")).cast("long"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** KMV (k-minimum-values) distinct sketch per stratum: the `k`
+    * smallest DISTINCT [[hashU32]] draws over the keys — the bounded
+    * summary whose kth minimum estimates the stratum's distinct count
+    * (`(k−1)·2³² div h_k`, Bar-Yossef et al. 2002) and whose set
+    * algebra (union = k smallest of the merged sketches; Jaccard =
+    * overlap within the union sketch) is what [[bottomK]]'s fixed-size
+    * sample doesn't expose. Hash collisions collapse by construction —
+    * part of the sketch's contract, identically on every engine.
+    *
+    * Scale shape: the naive per-stratum top-k window puts a stratum's
+    * EVERY distinct key in one partition. This is the two-phase
+    * distributed form instead: a (stratum, h mod 16) salted window
+    * keeps each candidate partition at |stratum|/16 and emits ≤ 16·k
+    * survivors per stratum; the final per-stratum window ranks only
+    * those. Widen the salt with the cluster, not the data — survivors
+    * stay salt·k regardless of stratum size.
+    */
+  def kmvSketch(df: DataFrame, keyCol: String, stratumCol: String,
+                k: Int, salt: String = "kmv:"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val hashed = df
+      .select(col(stratumCol).as("stratum"),
+        hashU32(col(keyCol), salt).as("h"))
+      .distinct()
+    val w1 = Window.partitionBy(col("stratum"), col("_p"))
+      .orderBy(col("h").asc)
+    val cand = hashed.withColumn("_p", pmod(col("h"), lit(16)))
+      .withColumn("_r", row_number().over(w1))
+      .filter(col("_r") <= k)
+      .drop("_p", "_r")
+    val w2 = Window.partitionBy(col("stratum")).orderBy(col("h").asc)
+    cand.withColumn("kmv_rank", row_number().over(w2).cast("long"))
+      .filter(col("kmv_rank") <= k)
+  }
 }

@@ -1110,6 +1110,50 @@ object LlmQueries {
     "q170_tfidf_terms" -> { (s, dir) =>
       Corpus.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
         topTerms = 3)
+    },
+
+    // KMV sketch set operations: distinct viewers, distinct purchasers,
+    // their union and intersection — all estimated from two 64-value
+    // sketches instead of three full distinct passes (the question
+    // "how many users did BOTH" at 100 TB: sketches merge in bytes;
+    // exact distinct-of-union re-shuffles the corpus). Estimates are
+    // integer-exact ((k−1)·2³² div h_k, Jaccard over the union sketch
+    // in ppm) and the oracle replays the identical sketch — this gates
+    // the ALGORITHM bit-for-bit, not a tolerance band. Sides smaller
+    // than k degrade to exact counts by construction.
+    "q175_kmv_setops" -> { (s, dir) =>
+      import s.implicits._
+      val k = 64
+      val sk = Corpus.kmvSketch(
+        t(s, dir, "events")
+          .filter($"event_type".isin("view", "purchase"))
+          .select($"event_type", $"user_id"),
+        "user_id", "event_type", k)
+      val side = sk.groupBy($"stratum")
+        .agg(count(lit(1)).as("n_sk"), max($"h").as("hk"))
+        .withColumn("est", expr(s"CASE WHEN n_sk < $k THEN n_sk " +
+          s"ELSE (${k - 1}L * 4294967296L) div greatest(hk, 1L) END"))
+      val ests = side.groupBy().pivot("stratum", Seq("view", "purchase"))
+        .agg(first($"est"))
+        .select($"view".as("est_views"), $"purchase".as("est_purchases"))
+      val uni = sk.select($"h").distinct().orderBy($"h".asc).limit(k)
+      val uniAgg = uni
+        .join(sk.filter($"stratum" === "view")
+          .select($"h", lit(1L).as("_in_a")), Seq("h"), "left")
+        .join(sk.filter($"stratum" === "purchase")
+          .select($"h", lit(1L).as("_in_b")), Seq("h"), "left")
+        .agg(count(lit(1)).as("k_union"), max($"h").as("_uhk"),
+          sum(when($"_in_a".isNotNull && $"_in_b".isNotNull, 1L)
+            .otherwise(0L)).as("n_overlap"))
+      ests.crossJoin(broadcast(uniAgg))
+        .withColumn("est_union", expr(s"CASE WHEN k_union < $k THEN k_union " +
+          s"ELSE (${k - 1}L * 4294967296L) div greatest(_uhk, 1L) END"))
+        .withColumn("jaccard_ppm",
+          expr("(n_overlap * 1000000L) div k_union"))
+        .withColumn("est_intersection",
+          expr("(jaccard_ppm * est_union) div 1000000L"))
+        .select($"est_views", $"est_purchases", $"est_union",
+          $"jaccard_ppm", $"est_intersection", $"k_union", $"n_overlap")
     }
   )
 
@@ -3124,6 +3168,54 @@ object LlmQueries {
         |      + ((target_tokens * 1000) % stratum_tokens) * 1000
         |        // stratum_tokens END AS BIGINT) AS rate_ppm
         |FROM tg""".stripMargin,
+
+    // q175: the identical sketch replayed — same md5-prefix hash, same
+    // distinct-(stratum, h), same k=64 cut, same estimate and Jaccard
+    // arithmetic. Gates the algorithm bit-for-bit, not an error band.
+    "q175_kmv_setops" ->
+      """WITH u AS (
+        |  SELECT DISTINCT event_type AS stratum,
+        |    list_reduce(list_transform(
+        |      string_split(substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS h
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |sk AS (
+        |  SELECT stratum, h FROM (
+        |    SELECT stratum, h,
+        |      ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY h) AS r
+        |    FROM u) WHERE r <= 64),
+        |side AS (
+        |  SELECT stratum, count(*) AS n_sk, max(h) AS hk
+        |  FROM sk GROUP BY 1),
+        |est AS (
+        |  SELECT stratum, CAST(CASE WHEN n_sk < 64 THEN n_sk
+        |    ELSE 63 * 4294967296 // greatest(hk, 1) END AS BIGINT) AS est
+        |  FROM side),
+        |uni AS (SELECT DISTINCT h FROM sk ORDER BY h LIMIT 64),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k_union, max(uni.h) AS uhk,
+        |    CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+        |  FROM uni
+        |  LEFT JOIN (SELECT h FROM sk WHERE stratum = 'view') a
+        |    ON a.h = uni.h
+        |  LEFT JOIN (SELECT h FROM sk WHERE stratum = 'purchase') b
+        |    ON b.h = uni.h),
+        |f AS (
+        |  SELECT ev.est AS est_views, ep.est AS est_purchases,
+        |    CAST(CASE WHEN m.k_union < 64 THEN m.k_union
+        |      ELSE 63 * 4294967296 // greatest(m.uhk, 1) END AS BIGINT)
+        |      AS est_union,
+        |    (m.n_overlap * 1000000) // m.k_union AS jaccard_ppm,
+        |    m.k_union, m.n_overlap
+        |  FROM m,
+        |    (SELECT est FROM est WHERE stratum = 'view') ev(est),
+        |    (SELECT est FROM est WHERE stratum = 'purchase') ep(est))
+        |SELECT est_views, est_purchases, est_union, jaccard_ppm,
+        |  (jaccard_ppm * est_union) // 1000000 AS est_intersection,
+        |  k_union, n_overlap
+        |FROM f""".stripMargin,
 
     // q164: the same integer ppm BM25 chain, term by term — the Scala
     // side and this SQL are generated from one formula shape (44·tf·T /

@@ -994,8 +994,192 @@ object RelationalQueries {
           .groupBy(date_trunc("day", $"ts").as("day"))
           .agg(count(lit(1)).as("n_events")),
         "n_events")
+    },
+
+    // Peak concurrent sessions per day — the capacity-planning number:
+    // q48's gap-sessions become [start, end] intervals, clipped to day
+    // boundaries (a bounded explode: sessions span few days), then the
+    // classic +1/−1 boundary sweep as a PER-DAY running sum — the sweep
+    // partitions by day, so no global sort ever materializes. Tie rule:
+    // at equal timestamps starts sort before ends (delta desc), so
+    // touching sessions count as concurrent; the day-group max is
+    // deterministic regardless of intra-tie row order.
+    "q171_peak_concurrency" -> { (s, dir) =>
+      import s.implicits._
+      val wu = Window.partitionBy($"user_id").orderBy($"ts")
+      val sess = t(s, dir, "events")
+        .withColumn("_prev", lag(unix_micros($"ts"), 1).over(wu))
+        .withColumn("_new", ($"_prev".isNull ||
+          unix_micros($"ts") - $"_prev" > 1800L * 1000000L).cast("long"))
+        .withColumn("session_no", sum($"_new").over(wu))
+        .groupBy($"user_id", $"session_no")
+        .agg(min(unix_micros($"ts")).as("s"), max(unix_micros($"ts")).as("e"))
+      val clipped = sess
+        .select($"s", $"e", explode(expr(
+          "sequence(s div 86400000000L, e div 86400000000L)")).as("day"))
+        .select($"day",
+          greatest($"s", $"day" * 86400000000L).as("cs"),
+          least($"e", ($"day" + 1L) * 86400000000L - 1L).as("ce"))
+      val bounds = clipped.select($"day", $"cs".as("tsm"), lit(1L).as("delta"))
+        .unionByName(clipped.select($"day", ($"ce" + 1L).as("tsm"),
+          lit(-1L).as("delta")))
+      val wd = Window.partitionBy($"day").orderBy($"tsm".asc, $"delta".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bounds.withColumn("_run", sum($"delta").over(wd))
+        .groupBy($"day").agg(max($"_run").as("peak_sessions"))
+    },
+
+    // Co-purchase pair mining (market-basket support + cosine²): pairs
+    // of parts appearing in the same order, support ≥ 2, scored by the
+    // integer-exact squared cosine n²·10⁶/(c_a·c_b) (monotone with
+    // cosine — the q158 ratio discipline). Pair enumeration is
+    // ROW-LOCAL over each order's sorted part set (TPC-H baskets are
+    // bounded; a power-law basket would cap the set like q157 caps
+    // postings) — never a basket self-join.
+    "q172_copurchase_pairs" -> { (s, dir) =>
+      import s.implicits._
+      val baskets = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val items = baskets.groupBy($"l_partkey".as("p"))
+        .agg(count(lit(1)).as("c"))
+      baskets.groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"l_partkey")).as("parts"))
+        .filter(size($"parts") >= 2)
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(parts) - 1), i -> " +
+            "transform(sequence(i + 1, size(parts)), j -> " +
+            "named_struct('a', parts[i - 1], 'b', parts[j - 1]))))"))
+          .as("pr"))
+        .groupBy($"pr.a".as("part_a"), $"pr.b".as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter($"n_orders" >= 2)
+        .join(items.select($"p".as("part_a"), $"c".as("_ca")), Seq("part_a"))
+        .join(items.select($"p".as("part_b"), $"c".as("_cb")), Seq("part_b"))
+        .withColumn("cosine2_ppm",
+          expr("(n_orders * n_orders * 1000000L) div (_ca * _cb)"))
+        .select($"part_a", $"part_b", $"n_orders", $"cosine2_ppm")
+    },
+
+    // RFM customer scoring (recency/frequency/monetary quintiles): each
+    // metric's quintile comes from an EXACT global rank — but never a
+    // single-partition ORDER BY window: [[globalRank]] is the q114
+    // two-phase device (coarse bucket prefix offsets + bucket-parallel
+    // rank). Score = ((rank−1)·5) div n + 1 — the deterministic
+    // rank-range quintile (NOT SQL NTILE's remainder spreading; the
+    // oracle mirrors this formula). Monetary is exact cents.
+    "q173_rfm_scores" -> { (s, dir) =>
+      import s.implicits._
+      val rfm = t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(max(expr(
+          "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000L"))
+          .as("recency_day"),
+          count(lit(1)).as("frequency"),
+          (sum(dec($"o_totalprice")) * 100).cast("long").as("monetary_cents"))
+      val n = rfm.agg(count(lit(1)).as("_n"))
+      val ranked = Seq(
+        ("recency_day", "_rr", 1L), ("frequency", "_fr", 1L),
+        ("monetary_cents", "_mr", 1000000L))
+        .foldLeft(rfm) { case (d, (c, out, coarse)) =>
+          globalRank(d, expr(s"-($c div ${coarse}L)"),
+            Seq(col(c).desc, col("o_custkey").asc), out)
+        }
+      ranked.crossJoin(broadcast(n))
+        .withColumn("r_score", expr("((_rr - 1) * 5) div _n + 1"))
+        .withColumn("f_score", expr("((_fr - 1) * 5) div _n + 1"))
+        .withColumn("m_score", expr("((_mr - 1) * 5) div _n + 1"))
+        .withColumn("rfm_code",
+          expr("r_score * 100 + f_score * 10 + m_score"))
+        .select($"o_custkey", $"recency_day", $"frequency",
+          $"monetary_cents", $"r_score", $"f_score", $"m_score",
+          $"rfm_code")
+    },
+
+    // Referential-integrity audit: orphan counts for every FK relation
+    // in the schema, one row each — the data-quality gate a warehouse
+    // load runs before publishing. Anti-joins (broadcast for the
+    // 25-row nation dim, shuffled for fact-sized parents); null FKs
+    // count as orphans (they match nothing), mirroring NOT EXISTS.
+    "q174_fk_audit" -> { (s, dir) =>
+      import s.implicits._
+      def audit(name: String, child: DataFrame, key: String,
+                parent: DataFrame, pkey: String,
+                bcast: Boolean): DataFrame = {
+        val p = parent.select(col(pkey))
+        child.join(if (bcast) broadcast(p) else p,
+            child(key) === col(pkey), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"),
+            countDistinct(col(key)).as("n_orphan_keys"))
+          .select(lit(name).as("relation"), $"n_orphans", $"n_orphan_keys")
+      }
+      val li = t(s, dir, "lineitem")
+      audit("lineitem->orders", li, "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey", bcast = false)
+        .unionByName(audit("orders->customer", t(s, dir, "orders"),
+          "o_custkey", t(s, dir, "customer"), "c_custkey", bcast = false))
+        .unionByName(audit("lineitem->part", li, "l_partkey",
+          t(s, dir, "part"), "p_partkey", bcast = false))
+        .unionByName(audit("lineitem->supplier", li, "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey", bcast = false))
+        .unionByName(audit("customer->nation", t(s, dir, "customer"),
+          "c_nationkey", t(s, dir, "nation"), "n_nationkey", bcast = true))
+        .unionByName(audit("supplier->nation", t(s, dir, "supplier"),
+          "s_nationkey", t(s, dir, "nation"), "n_nationkey", bcast = true))
+    },
+
+    // Histogram-based approximate percentiles (p50/p90/p99 of event
+    // value): exact-cents $1 bins → one map-side-combined count
+    // aggregate → cumulative over the BOUNDED bin table → first bin
+    // with cum ≥ ceil(p·n/100) via three conditional mins, no
+    // inequality join. The at-scale alternative to q142's exact rank
+    // selection: the corpus crosses the wire once as bin partials, and
+    // the only window runs over ≤ |bins| rows. Error is bounded by the
+    // bin width by construction.
+    "q176_histogram_quantiles" -> { (s, dir) =>
+      import s.implicits._
+      val counts = t(s, dir, "events")
+        .select((dec($"value") * 100).cast("long").as("_cents"))
+        .select(expr("_cents div 100").as("bin"))
+        .groupBy($"bin").agg(count(lit(1)).as("n"))
+      val wc = Window.orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nTot = counts.agg(sum($"n").as("_n"))
+      counts.withColumn("cum", sum($"n").over(wc))
+        .crossJoin(broadcast(nTot))
+        .agg(first($"_n").as("n_events"),
+          min(when($"cum" * 100L >= $"_n" * 50L, $"bin" * 100L))
+            .as("p50_cents"),
+          min(when($"cum" * 100L >= $"_n" * 90L, $"bin" * 100L))
+            .as("p90_cents"),
+          min(when($"cum" * 100L >= $"_n" * 99L, $"bin" * 100L))
+            .as("p99_cents"))
     }
   )
+
+  /** Exact global rank (1-based) by `orderCols` WITHOUT a
+    * single-partition window: the q114 two-phase device generalized to
+    * an arbitrary sort key. `bucketCol` must be COARSE and ordered the
+    * same direction as the leading order column (coarse-monotone:
+    * bucket(x) ≤ bucket(y) whenever x sorts before y); per-bucket
+    * counts become exclusive prefix offsets via a window over the
+    * small bucket table, and the rank window partitions BY BUCKET —
+    * bucket-parallel, one data shuffle, no task holds more than one
+    * bucket's rows.
+    */
+  def globalRank(df: DataFrame, bucketCol: Column,
+                 orderCols: Seq[Column], out: String): DataFrame = {
+    val b = df.withColumn("_bk", bucketCol)
+    val prefix = b.groupBy(col("_bk")).agg(count(lit(1)).as("_bn"))
+      .withColumn("_off", coalesce(
+        sum(col("_bn")).over(Window.orderBy(col("_bk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_bk"), col("_off"))
+    val rk = row_number().over(
+      Window.partitionBy(col("_bk")).orderBy(orderCols: _*))
+    b.join(broadcast(prefix), Seq("_bk"))
+      .withColumn(out, col("_off") + rk)
+      .drop("_bk", "_off")
+  }
 
   /** Integer-exact z-score outlier flag: marks rows whose BIGINT
     * `valueCol` lies more than `sigmas` POPULATION standard deviations
@@ -2448,6 +2632,139 @@ object RelationalQueries {
         |  CAST(CASE WHEN (n * n_events - s) * (n * n_events - s)
         |    > 4 * (n * ss - s * s) THEN 1 ELSE 0 END AS BIGINT)
         |    AS is_anomaly
-        |FROM daily, st""".stripMargin
+        |FROM daily, st""".stripMargin,
+
+    // q171: q48's session construction verbatim, then the same clipped
+    // +1/−1 sweep with the identical (tsm asc, delta desc) tie rule and
+    // an explicit ROWS frame on both engines.
+    "q171_peak_concurrency" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sn AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, session_no,
+        |    min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+        |  FROM sn GROUP BY 1, 2),
+        |d AS (
+        |  SELECT s, e,
+        |    unnest(generate_series(s // 86400000000, e // 86400000000))
+        |      AS day
+        |  FROM sess),
+        |c AS (
+        |  SELECT day, greatest(s, day * 86400000000) AS cs,
+        |    least(e, (day + 1) * 86400000000 - 1) AS ce
+        |  FROM d),
+        |b AS (
+        |  SELECT day, cs AS tsm, 1 AS delta FROM c
+        |  UNION ALL SELECT day, ce + 1, -1 FROM c),
+        |r AS (
+        |  SELECT day, SUM(delta) OVER (PARTITION BY day
+        |    ORDER BY tsm ASC, delta DESC ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM b)
+        |SELECT day, CAST(max(run) AS BIGINT) AS peak_sessions
+        |FROM r GROUP BY day""".stripMargin,
+
+    // q172: the oracle takes the self-join road (DuckDB's optimizer is
+    // fine with it at this scale) — the Spark side's row-local pair
+    // enumeration must produce the identical pair counts.
+    "q172_copurchase_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ic AS (SELECT l_partkey AS p, count(*) AS c FROM b GROUP BY 1),
+        |pc AS (
+        |  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+        |    count(*) AS n_orders
+        |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT part_a, part_b, n_orders,
+        |  (n_orders * n_orders * 1000000) // (ca.c * cb.c) AS cosine2_ppm
+        |FROM pc
+        |JOIN ic ca ON ca.p = pc.part_a
+        |JOIN ic cb ON cb.p = pc.part_b""".stripMargin,
+
+    // q173: flat ROW_NUMBER ranks — what the two-phase globalRank must
+    // reproduce position-for-position — and the same rank-range
+    // quintile formula (deliberately NOT NTILE).
+    "q173_rfm_scores" ->
+      """WITH rfm AS (
+        |  SELECT o_custkey,
+        |    max(epoch_us(o_orderdate) // 86400000000) AS recency_day,
+        |    count(*) AS frequency,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM rfm),
+        |r AS (
+        |  SELECT o_custkey, recency_day, frequency, monetary_cents,
+        |    ROW_NUMBER() OVER (ORDER BY recency_day DESC, o_custkey) AS rr,
+        |    ROW_NUMBER() OVER (ORDER BY frequency DESC, o_custkey) AS fr,
+        |    ROW_NUMBER() OVER (ORDER BY monetary_cents DESC, o_custkey)
+        |      AS mr
+        |  FROM rfm)
+        |SELECT o_custkey, recency_day, frequency, monetary_cents,
+        |  ((rr - 1) * 5) // n + 1 AS r_score,
+        |  ((fr - 1) * 5) // n + 1 AS f_score,
+        |  ((mr - 1) * 5) // n + 1 AS m_score,
+        |  (((rr - 1) * 5) // n + 1) * 100 + (((fr - 1) * 5) // n + 1) * 10
+        |    + (((mr - 1) * 5) // n + 1) AS rfm_code
+        |FROM r, n""".stripMargin,
+
+    // q174: NOT EXISTS per relation — null FKs orphan on both sides.
+    "q174_fk_audit" ->
+      """SELECT 'lineitem->orders' AS relation, count(*) AS n_orphans,
+        |  count(DISTINCT l_orderkey) AS n_orphan_keys
+        |FROM lineitem l WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'orders->customer', count(*), count(DISTINCT o_custkey)
+        |FROM orders o WHERE NOT EXISTS
+        |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'lineitem->part', count(*), count(DISTINCT l_partkey)
+        |FROM lineitem l WHERE NOT EXISTS
+        |  (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        |UNION ALL
+        |SELECT 'lineitem->supplier', count(*), count(DISTINCT l_suppkey)
+        |FROM lineitem l WHERE NOT EXISTS
+        |  (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+        |UNION ALL
+        |SELECT 'customer->nation', count(*), count(DISTINCT c_nationkey)
+        |FROM customer c WHERE NOT EXISTS
+        |  (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+        |UNION ALL
+        |SELECT 'supplier->nation', count(*), count(DISTINCT s_nationkey)
+        |FROM supplier s WHERE NOT EXISTS
+        |  (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)"""
+        .stripMargin,
+
+    // q176: identical exact-cents bins, cumulative, ceil-threshold
+    // conditional mins.
+    "q176_histogram_quantiles" ->
+      """WITH bins AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 100
+        |    AS bin
+        |  FROM events),
+        |c AS (SELECT bin, count(*) AS n FROM bins GROUP BY 1),
+        |n AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),
+        |cum AS (
+        |  SELECT bin,
+        |    SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c)
+        |SELECT nt AS n_events,
+        |  min(CASE WHEN cum * 100 >= nt * 50 THEN bin * 100 END)
+        |    AS p50_cents,
+        |  min(CASE WHEN cum * 100 >= nt * 90 THEN bin * 100 END)
+        |    AS p90_cents,
+        |  min(CASE WHEN cum * 100 >= nt * 99 THEN bin * 100 END)
+        |    AS p99_cents
+        |FROM cum, n GROUP BY nt""".stripMargin
   )
 }

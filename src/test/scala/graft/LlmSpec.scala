@@ -1356,4 +1356,25 @@ class LlmSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, 102L, 32522L, 2L), (2, 101L, 16393L, 1L),
       (3, 103L, 16129L, 1L)), s"got ${got.toSeq}")
   }
+
+  test("kmv sketch: two-phase equals naive flat window, collisions collapse") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => ("s" + (i % 2), i.toLong)).toDF("st", "key")
+    def asSet(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("stratum"), col("h"), col("kmv_rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = asSet(Corpus.kmvSketch(df, "key", "st", k = 10))
+    val hashed = df.select(col("st").as("stratum"),
+      Corpus.hashU32(col("key"), "kmv:").as("h")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("h").asc)
+    val exp = asSet(hashed
+      .withColumn("kmv_rank", row_number().over(w).cast("long"))
+      .filter(col("kmv_rank") <= 10))
+    assert(got == exp)
+    // Duplicate keys hash identically and collapse — the sketch is a
+    // pure function of the key SET.
+    assert(asSet(Corpus.kmvSketch(df.unionByName(df), "key", "st", 10))
+      == exp)
+  }
 }

@@ -53,7 +53,10 @@ class PlanAuditSpec extends SparkSpec {
       "q164_bm25_search", "q169_anomaly_days", "q170_tfidf_terms",
       // q168 composes q35's brute-force side twice (q117's two lists) —
       // same tiny broadcast query sample, same intended NLJ.
-      "q168_rrf_fusion")
+      "q168_rrf_fusion",
+      // q173/q175/q176 cross-join SINGLE-ROW aggregates (customer
+      // count / union-sketch stats / bin total) — the q105 scalar shape.
+      "q173_rfm_scores", "q175_kmv_setops", "q176_histogram_quantiles")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -871,4 +871,22 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(got == ((1 to 9).map(_.toLong -> 0L) :+ (10L -> 1L)).toMap,
       s"got $got")
   }
+
+  test("globalRank: two-phase bucket enumeration equals flat row_number") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, row_number}
+    // Heavy value ties (v has 83 distinct values over 500 rows) so the
+    // bucket boundaries and within-bucket tie-breaks both get exercised.
+    val df = (1 to 500).map(i => (i.toLong, (i * 37 % 83).toLong))
+      .toDF("id", "v")
+    val got = RelationalQueries.globalRank(df, expr("-(v div 10L)"),
+        Seq(col("v").desc, col("id").asc), "grank")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("grank"))
+      .toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v").desc, col("id").asc)
+    val exp = df.withColumn("rn", row_number().over(w).cast("long"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rn")).toMap
+    assert(got == exp)
+  }
 }
