@@ -89,7 +89,9 @@ object ScaleProbe {
       // q174 fk_audit rides the join family (anti-joins over
       // orders/customer/part — replicas not materialized here).
       "q171_peak_concurrency", "q172_copurchase_pairs", "q173_rfm_scores",
-      "q175_kmv_setops", "q176_histogram_quantiles")
+      "q175_kmv_setops", "q176_histogram_quantiles",
+      "q177_cusum_changepoints", "q178_salted_topk", "q179_table_checksum",
+      "q180_contingency_lift")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -131,7 +133,10 @@ object ScaleProbe {
       "q172_copurchase_pairs" -> "lineitem",
       "q173_rfm_scores" -> "orders",
       "q175_kmv_setops" -> "events",
-      "q176_histogram_quantiles" -> "events").withDefault(_ => "documents")
+      "q176_histogram_quantiles" -> "events",
+      "q177_cusum_changepoints" -> "events",
+      "q178_salted_topk" -> "events",
+      "q179_table_checksum" -> "orders").withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet
 
     // The replica generators for documents/lineitem are the

@@ -1127,6 +1127,86 @@ object RelationalQueries {
           "s_nationkey", t(s, dir, "nation"), "n_nationkey", bcast = true))
     },
 
+    // CUSUM change-point alarm over daily event counts (Page 1954),
+    // integer-exact and WINDOW-expressible: the recursive
+    // c_t = max(0, c_{t−1} + x_t − μ − slack) has the closed form
+    // c_t = P_t − min_{0≤j≤t} P_j (P = prefix sum of the drift-adjusted
+    // deviations, P₀ = 0) — a running sum minus a running min, no
+    // sequential fold anywhere. μ and the 5% slack come from one scalar
+    // broadcast; the windows run over the BOUNDED day table. Alarm when
+    // the accumulated upward drift exceeds μ.
+    "q177_cusum_changepoints" -> { (s, dir) =>
+      import s.implicits._
+      cusumAlarms(t(s, dir, "events")
+        .groupBy(expr("unix_micros(ts) div 86400000000L").as("day"))
+        .agg(count(lit(1)).as("n_events")),
+        "day", "n_events")
+    },
+
+    // Salted top-k for HEAVY groups: top-10 events by value per
+    // event_type — 5 groups over the whole corpus, so the plain per-type
+    // window is 5 giant single-task partitions. Two-phase instead:
+    // (type, salt-16) partial top-10, then the final top-10 over ≤ 16·10
+    // survivors per type. Same oracle as the plain window (top-k is
+    // salt-decomposable: the global top-10 survives every partial cut).
+    "q178_salted_topk" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_type", $"event_id",
+          (dec($"value") * 100).cast("long").as("value_cents"))
+        .withColumn("_salt", pmod(xxhash64($"event_id"), lit(16)))
+      val w1 = Window.partitionBy($"event_type", $"_salt")
+        .orderBy($"value_cents".desc, $"event_id".asc)
+      val w2 = Window.partitionBy($"event_type")
+        .orderBy($"value_cents".desc, $"event_id".asc)
+      ev.withColumn("_r1", row_number().over(w1)).filter($"_r1" <= 10)
+        .withColumn("rank", row_number().over(w2)).filter($"rank" <= 10)
+        .select($"event_type", $"rank", $"event_id", $"value_cents")
+    },
+
+    // Order-independent table checksums per day partition — the
+    // anti-entropy primitive two replicas compare to find diverged
+    // partitions without moving rows: each row hashes canonically
+    // (md5-prefix of a '|'-joined exact rendering, the hashU32 device),
+    // each partition publishes (count, XOR, sum) of row hashes — all
+    // three order- and partitioning-independent, so ANY engine computes
+    // the identical signature. One map-side-combined aggregation.
+    "q179_table_checksum" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000L")
+            .as("day"),
+          graft.llm.Corpus.hashU32(
+            concat_ws("|", $"o_orderkey", $"o_custkey", $"o_orderstatus",
+              (dec($"o_totalprice") * 100).cast("long"),
+              $"o_orderpriority"), "ck:").as("_h"))
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(_h)").as("xor_sig"),
+          sum($"_h").as("sum_sig"))
+    },
+
+    // Contingency lift (observed/expected ratio in exact ppm) for the
+    // lang × source mix: lift_ppm = n·T·10⁶ div (R·C) — the mix-drift
+    // monitor (independence ⇒ 10⁶). Two small keyed margin joins + the
+    // scalar total broadcast; the q158 overflow note applies past
+    // n·T ≈ 9·10¹² (switch to the base-1000 device there).
+    "q180_contingency_lift" -> { (s, dir) =>
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val cell = d.groupBy($"lang", $"source").agg(count(lit(1)).as("n_docs"))
+      val rowM = d.groupBy($"lang").agg(count(lit(1)).as("_r"))
+      val colM = d.groupBy($"source").agg(count(lit(1)).as("_c"))
+      val tot = d.agg(count(lit(1)).as("_t"))
+      cell.join(broadcast(rowM), Seq("lang"))
+        .join(broadcast(colM), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .withColumn("lift_ppm",
+          expr("(n_docs * _t * 1000000L) div (_r * _c)"))
+        .select($"lang", $"source", $"n_docs", $"lift_ppm")
+    },
+
     // Histogram-based approximate percentiles (p50/p90/p99 of event
     // value): exact-cents $1 bins → one map-side-combined count
     // aggregate → cumulative over the BOUNDED bin table → first bin
@@ -1155,6 +1235,32 @@ object RelationalQueries {
             .as("p99_cents"))
     }
   )
+
+  /** CUSUM change-point alarm (Page 1954) over an ordered integer
+    * series, window-expressible: the recursion
+    * `c_t = max(0, c_{t−1} + x_t − μ − slack)` (μ = integer mean,
+    * slack = μ div 20) has the closed form `c_t = P_t − min_{0≤j≤t} P_j`
+    * with P the prefix sum of drift-adjusted deviations and P₀ = 0 — so
+    * the whole alarm is a running sum and a running min over the
+    * BOUNDED series table (|days|-sized, never the corpus), plus one
+    * scalar stats broadcast. Alarms when the accumulated upward drift
+    * exceeds μ. Columns out: (orderCol, valueCol, cusum, is_alarm).
+    */
+  def cusumAlarms(series: DataFrame, orderCol: String,
+                  valueCol: String): DataFrame = {
+    val stats = series.agg(count(lit(1)).as("_n"),
+      sum(col(valueCol)).as("_s"))
+    val wc = Window.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series.crossJoin(broadcast(stats))
+      .withColumn("_mu", expr("_s div _n"))
+      .withColumn("_d", expr(s"$valueCol - _mu - (_mu div 20)"))
+      .withColumn("_p", sum(col("_d")).over(wc))
+      .withColumn("_runmin", min(col("_p")).over(wc))
+      .withColumn("cusum", col("_p") - least(col("_runmin"), lit(0L)))
+      .withColumn("is_alarm", expr("CAST(cusum > _mu AS BIGINT)"))
+      .select(col(orderCol), col(valueCol), col("cusum"), col("is_alarm"))
+  }
 
   /** Exact global rank (1-based) by `orderCols` WITHOUT a
     * single-partition window: the q114 two-phase device generalized to
@@ -2744,6 +2850,77 @@ object RelationalQueries {
         |FROM supplier s WHERE NOT EXISTS
         |  (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)"""
         .stripMargin,
+
+    // q177: identical closed form — prefix sum minus running min with
+    // explicit ROWS frames; μ/slack from the same integer aggregate.
+    "q177_cusum_changepoints" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT count(*) AS n, CAST(sum(n_events) AS BIGINT) AS s
+        |  FROM daily),
+        |d AS (
+        |  SELECT day, n_events, s // n AS mu,
+        |    n_events - (s // n) - ((s // n) // 20) AS dev
+        |  FROM daily, st),
+        |p AS (
+        |  SELECT day, n_events, mu,
+        |    SUM(dev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pf
+        |  FROM d),
+        |r AS (
+        |  SELECT day, n_events, mu, pf,
+        |    min(pf) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS runmin
+        |  FROM p)
+        |SELECT day, n_events,
+        |  CAST(pf - least(runmin, 0) AS BIGINT) AS cusum,
+        |  CAST(CASE WHEN pf - least(runmin, 0) > mu THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_alarm
+        |FROM r""".stripMargin,
+
+    // q178: the oracle is the PLAIN per-type window — the two-phase
+    // salted cut must reproduce it (top-k is salt-decomposable).
+    "q178_salted_topk" ->
+      """SELECT event_type, rank, event_id, value_cents FROM (
+        |  SELECT event_type, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS value_cents,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |        DESC, event_id ASC) AS rank
+        |  FROM events)
+        |WHERE rank <= 10""".stripMargin,
+
+    // q179: the same canonical row rendering and md5-prefix hash — any
+    // divergence in a single row flips the day's XOR signature.
+    "q179_table_checksum" ->
+      """WITH h AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    list_reduce(list_transform(
+        |      string_split(substr(md5('ck:' ||
+        |        (o_orderkey || '|' || o_custkey || '|' || o_orderstatus
+        |         || '|' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT)
+        |         || '|' || o_orderpriority)), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS h
+        |  FROM orders)
+        |SELECT day, count(*) AS n_rows, bit_xor(h) AS xor_sig,
+        |  CAST(sum(h) AS BIGINT) AS sum_sig
+        |FROM h GROUP BY day""".stripMargin,
+
+    // q180: margins + scalar total, identical ratio arithmetic.
+    "q180_contingency_lift" ->
+      """WITH cell AS (
+        |  SELECT lang, source, count(*) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, count(*) AS rm FROM documents GROUP BY 1),
+        |c AS (SELECT source, count(*) AS cm FROM documents GROUP BY 1),
+        |t AS (SELECT count(*) AS tt FROM documents)
+        |SELECT cell.lang, cell.source, n_docs,
+        |  (n_docs * tt * 1000000) // (rm * cm) AS lift_ppm
+        |FROM cell JOIN r ON r.lang = cell.lang
+        |JOIN c ON c.source = cell.source, t""".stripMargin,
 
     // q176: identical exact-cents bins, cumulative, ceil-threshold
     // conditional mins.

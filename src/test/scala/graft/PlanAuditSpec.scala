@@ -56,7 +56,10 @@ class PlanAuditSpec extends SparkSpec {
       "q168_rrf_fusion",
       // q173/q175/q176 cross-join SINGLE-ROW aggregates (customer
       // count / union-sketch stats / bin total) — the q105 scalar shape.
-      "q173_rfm_scores", "q175_kmv_setops", "q176_histogram_quantiles")
+      "q173_rfm_scores", "q175_kmv_setops", "q176_histogram_quantiles",
+      // q177/q180 cross-join SINGLE-ROW aggregates (CUSUM mean / grand
+      // total) — the q105 scalar shape.
+      "q177_cusum_changepoints", "q180_contingency_lift")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -889,4 +889,61 @@ class RelationalQueriesSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rn")).toMap
     assert(got == exp)
   }
+
+  test("cusum: window closed form equals the sequential recursion") {
+    import spark.implicits._
+    // A drift regime change at t=6: flat 10s then 30s. Recompute
+    // c_t = max(0, c_{t-1} + x - mu - mu/20) sequentially and compare.
+    val xs = Seq(10L, 11L, 9L, 10L, 10L, 30L, 32L, 31L, 29L, 30L)
+    val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("day", "n")
+    val got = RelationalQueries.cusumAlarms(df, "day", "n")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val n = xs.size; val s = xs.sum
+    val mu = s / n; val slack = mu / 20
+    var c = 0L
+    val exp = xs.zipWithIndex.map { case (x, i) =>
+      c = math.max(0L, c + x - mu - slack)
+      i.toLong -> (c, if (c > mu) 1L else 0L)
+    }.toMap
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("salted top-k: two-phase equals the plain per-type window") {
+    val salted = RelationalQueries.queries("q178_salted_topk")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, row_number}
+    val ev = graft.Tables.t(spark, sf, "events")
+      .select($"event_type", $"event_id",
+        (graft.Exact.dec($"value") * 100).cast("long").as("value_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type")
+      .orderBy($"value_cents".desc, $"event_id".asc)
+    val plain = ev.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select($"event_type", $"rank", $"event_id", $"value_cents")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(salted == plain)
+  }
+
+  test("table checksum: signatures are order- and partitioning-independent") {
+    import org.apache.spark.sql.functions.col
+    def sigs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val base = sigs(RelationalQueries.queries("q179_table_checksum")(spark, sf))
+    assert(base.nonEmpty)
+    // Same rows, adversarial layout: reversed global order, 13 partitions.
+    val shuffled = graft.Tables.t(spark, sf, "orders")
+      .orderBy(col("o_orderkey").desc).repartition(13)
+    val dir2 = java.nio.file.Files.createTempDirectory("ck").toString
+    shuffled.write.mode("overwrite").parquet(s"$dir2/orders.parquet")
+    val relaid = sigs(RelationalQueries.queries("q179_table_checksum")(
+      spark, dir2))
+    assert(relaid == base)
+  }
 }
