@@ -91,7 +91,8 @@ object ScaleProbe {
       "q171_peak_concurrency", "q172_copurchase_pairs", "q173_rfm_scores",
       "q175_kmv_setops", "q176_histogram_quantiles",
       "q177_cusum_changepoints", "q178_salted_topk", "q179_table_checksum",
-      "q180_contingency_lift")
+      "q180_contingency_lift",
+      "q181_entity_clusters", "q182_also_bought", "q183_boolean_and_search")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -136,7 +137,8 @@ object ScaleProbe {
       "q176_histogram_quantiles" -> "events",
       "q177_cusum_changepoints" -> "events",
       "q178_salted_topk" -> "events",
-      "q179_table_checksum" -> "orders").withDefault(_ => "documents")
+      "q179_table_checksum" -> "orders",
+      "q182_also_bought" -> "lineitem").withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet
 
     // The replica generators for documents/lineitem are the

@@ -1112,6 +1112,50 @@ object LlmQueries {
         topTerms = 3)
     },
 
+    // Entity clustering over fuzzy matches: q167's symmetric-delete
+    // pairs become edges, connected components give each typo cluster
+    // one id — the entity-resolution endgame (match → cluster →
+    // canonicalize). Words map to 60-bit md5-prefix ids (BIGINT-safe;
+    // birthday-collision horizon ~2³⁰ vocab — far past any tokenizer's)
+    // so the CC fixpoint's numeric label discipline applies unchanged;
+    // the cluster id is the component's minimum word id.
+    "q181_entity_clusters" -> { (s, dir) =>
+      val wid = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(concat(lit("ent:"), c)), 1, 15), 16, 10)
+          .cast("long")
+      val vocab = t(s, dir, "documents")
+        .select(explode(TA.tokens(col("text"))).as("w"))
+        .filter(length(col("w")).between(1, 24))
+        .distinct()
+        .withColumn("wid", wid(col("w")))
+      val pairs = Corpus.fuzzyTokenPairs(t(s, dir, "documents"), "text",
+          maxDist = 2, maxLen = 24)
+        .select(wid(col("w1")).as("id1"), wid(col("w2")).as("id2"))
+      Dedup.connectedComponents(pairs, "id1", "id2",
+          vocab.select(col("wid")), "wid")
+        .join(vocab, Seq("wid"))
+        .select(col("w").as("word"), col("component_id").as("cluster_id"))
+    },
+
+    // Boolean AND retrieval: documents containing ALL three query terms
+    // — the posting-list intersection next to q164's ranked BM25. The
+    // relational form (distinct (doc, term) hits → groupBy doc HAVING
+    // count = |terms|) IS the intersection, with the terms filter
+    // pushed into the scan; n_matches carries the summed tf for a
+    // downstream ranker.
+    "q183_boolean_and_search" -> { (s, dir) =>
+      val terms = Seq("spark", "join", "window")
+      val hits = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("token"))
+        .filter(col("token").isin(terms: _*))
+      hits.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("_tf"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("_nt"), sum(col("_tf")).as("n_matches"))
+        .filter(col("_nt") === terms.size)
+        .select(col("doc_id"), col("n_matches"))
+    },
+
     // KMV sketch set operations: distinct viewers, distinct purchasers,
     // their union and intersection — all estimated from two 64-value
     // sketches instead of three full distinct passes (the question
@@ -3168,6 +3212,44 @@ object LlmQueries {
         |      + ((target_tokens * 1000) % stratum_tokens) * 1000
         |        // stratum_tokens END AS BIGINT) AS rate_ppm
         |FROM tg""".stripMargin,
+
+    // q181: all-pairs fuzzy edges (the q167 oracle) + the cc64Sql-shape
+    // recursive label propagation over the same 60-bit md5-prefix ids.
+    "q181_entity_clusters" ->
+      """WITH RECURSIVE vocab AS (
+        |  SELECT DISTINCT unnest(string_split_regex(trim(text), '\s+'))
+        |    AS w
+        |  FROM documents),
+        |v AS (
+        |  SELECT w, list_reduce(list_transform(
+        |    string_split(substr(md5('ent:' || w), 1, 15), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS wid
+        |  FROM vocab WHERE len(w) BETWEEN 1 AND 24),
+        |p AS (
+        |  SELECT a.wid AS i1, b.wid AS i2 FROM v a JOIN v b
+        |  ON a.w < b.w WHERE levenshtein(a.w, b.w) <= 2),
+        |e AS (SELECT i1 AS a, i2 AS b FROM p
+        |  UNION ALL SELECT i2, i1 FROM p),
+        |lbl AS (
+        |  SELECT wid AS x, wid AS m FROM v
+        |  UNION
+        |  SELECT e.a, lbl.m FROM e JOIN lbl ON lbl.x = e.b),
+        |comp AS (SELECT x, min(m) AS cluster_id FROM lbl GROUP BY x)
+        |SELECT v.w AS word, comp.cluster_id
+        |FROM v JOIN comp ON comp.x = v.wid""".stripMargin,
+
+    // q183: the same distinct-hit intersection with the terms filter.
+    "q183_boolean_and_search" ->
+      """WITH hits AS (
+        |  SELECT doc_id, t AS token FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(text), '\s+')) AS t
+        |    FROM documents)
+        |  WHERE t IN ('spark', 'join', 'window')),
+        |g AS (SELECT doc_id, token, count(*) AS tf FROM hits GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_matches
+        |FROM g GROUP BY doc_id HAVING count(*) = 3""".stripMargin,
 
     // q175: the identical sketch replayed — same md5-prefix hash, same
     // distinct-(stratum, h), same k=64 cut, same estimate and Jaccard

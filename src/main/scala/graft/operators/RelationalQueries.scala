@@ -1207,6 +1207,25 @@ object RelationalQueries {
         .select($"lang", $"source", $"n_docs", $"lift_ppm")
     },
 
+    // "Customers also bought": the item-item recommender table — q172's
+    // co-purchase pairs symmetrized, then top-3 recommendations per
+    // part by (cosine² desc, support desc, id asc). One window over the
+    // pair table (each part's candidate list is its co-purchase
+    // neighborhood, bounded by basket geometry, never the catalog).
+    "q182_also_bought" -> { (s, dir) =>
+      import s.implicits._
+      val pairs = queries("q172_copurchase_pairs")(s, dir)
+      val sym = pairs.select($"part_a".as("part"), $"part_b".as("rec"),
+          $"n_orders", $"cosine2_ppm")
+        .unionByName(pairs.select($"part_b".as("part"),
+          $"part_a".as("rec"), $"n_orders", $"cosine2_ppm"))
+      val w = Window.partitionBy($"part")
+        .orderBy($"cosine2_ppm".desc, $"n_orders".desc, $"rec".asc)
+      sym.withColumn("rec_rank", row_number().over(w))
+        .filter($"rec_rank" <= 3)
+        .select($"part", $"rec_rank", $"rec", $"n_orders", $"cosine2_ppm")
+    },
+
     // Histogram-based approximate percentiles (p50/p90/p99 of event
     // value): exact-cents $1 bins → one map-side-combined count
     // aggregate → cumulative over the BOUNDED bin table → first bin
@@ -2921,6 +2940,36 @@ object RelationalQueries {
         |  (n_docs * tt * 1000000) // (rm * cm) AS lift_ppm
         |FROM cell JOIN r ON r.lang = cell.lang
         |JOIN c ON c.source = cell.source, t""".stripMargin,
+
+    // q182: q172's pair chain, symmetrized, same tie order.
+    "q182_also_bought" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ic AS (SELECT l_partkey AS p, count(*) AS c FROM b GROUP BY 1),
+        |pc AS (
+        |  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+        |    count(*) AS n_orders
+        |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sc AS (
+        |  SELECT part_a, part_b, n_orders,
+        |    (n_orders * n_orders * 1000000) // (ca.c * cb.c)
+        |      AS cosine2_ppm
+        |  FROM pc
+        |  JOIN ic ca ON ca.p = pc.part_a
+        |  JOIN ic cb ON cb.p = pc.part_b),
+        |sym AS (
+        |  SELECT part_a AS part, part_b AS rec, n_orders, cosine2_ppm
+        |  FROM sc
+        |  UNION ALL
+        |  SELECT part_b, part_a, n_orders, cosine2_ppm FROM sc)
+        |SELECT part, rec_rank, rec, n_orders, cosine2_ppm FROM (
+        |  SELECT part, rec, n_orders, cosine2_ppm,
+        |    ROW_NUMBER() OVER (PARTITION BY part
+        |      ORDER BY cosine2_ppm DESC, n_orders DESC, rec ASC)
+        |      AS rec_rank
+        |  FROM sym)
+        |WHERE rec_rank <= 3""".stripMargin,
 
     // q176: identical exact-cents bins, cumulative, ceil-threshold
     // conditional mins.

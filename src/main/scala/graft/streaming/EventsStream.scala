@@ -511,4 +511,42 @@ object EventsStream {
           }
       }
   }
+
+  case class KmvInput(stratum: String, h: Long)
+  case class KmvState(hashes: Array[Long])
+  case class KmvEstimate(stratum: String, n_sk: Long, hk: Long, est: Long)
+
+  /** Streaming KMV distinct estimate per stratum — the incremental twin
+    * of `Corpus.kmvSketch` + q175's per-side estimate: state is the k
+    * smallest distinct hash draws seen so far (monotone, bytes-bounded),
+    * each trigger emits the stratum's refreshed estimate in Update
+    * mode. The input MUST carry the SAME draw as the batch sketch
+    * (`Corpus.hashU32(key, "kmv:")` computed before groupByKey), so the
+    * stream's final state is bit-identical to the batch sketch over the
+    * same rows — asserted in MediaStreamSpec. No watermark: a distinct
+    * sketch has no event-time semantics to finalize, and the state is
+    * capped at k longs per stratum regardless of stream length.
+    */
+  def kmvStream(hashed: Dataset[KmvInput], k: Int): Dataset[KmvEstimate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import hashed.sparkSession.implicits._
+    hashed.groupByKey(_.stratum)
+      .flatMapGroupsWithState[KmvState, KmvEstimate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (stratum: String, rows: Iterator[KmvInput],
+         state: GroupState[KmvState]) =>
+          val cur = if (state.exists) state.get.hashes else Array.empty[Long]
+          val merged = (cur ++ rows.map(_.h)).distinct.sorted.take(k)
+          state.update(KmvState(merged))
+          val n = merged.length.toLong
+          val hk = if (merged.isEmpty) Long.MaxValue else merged.last
+          val est = if (n < k) n
+            else (k - 1).toLong * 4294967296L / math.max(hk, 1L)
+          // (n_sk, −hk) is lexicographically monotone across triggers:
+          // n_sk grows until the sketch fills, then hk only shrinks —
+          // downstream consumers keep the (max n_sk, min hk) row per
+          // stratum as "latest" without any clock.
+          Iterator(KmvEstimate(stratum, n, hk, est))
+      }
+  }
 }

@@ -736,4 +736,47 @@ class MediaStreamSpec extends SparkSpec {
       ("x", "y") -> 1L), s"stream pairs: $pairs")
     assert(pairs == batch, s"stream $pairs vs batch $batch")
   }
+
+  test("streaming: kmv sketch converges to the batch estimate across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    // Hash BEFORE groupByKey with the batch sketch's exact draw.
+    val hashed = mem.toDF().toDF("st", "key")
+      .select(col("st").as("stratum"),
+        graft.llm.Corpus.hashU32(col("key"), "kmv:").as("h"))
+      .as[graft.streaming.EventsStream.KmvInput]
+    val q = graft.streaming.EventsStream.kmvStream(hashed, k = 8)
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("update").start()
+    // Two batches so the state merge path runs (not just first-batch).
+    mem.addData((1 to 30).map(i => ("a", i.toLong)) ++
+      (1 to 5).map(i => ("b", i.toLong)): _*)
+    q.processAllAvailable()
+    mem.addData((21 to 60).map(i => ("a", i.toLong)) ++
+      (4 to 7).map(i => ("b", i.toLong)): _*)
+    q.processAllAvailable()
+    // Latest emit per stratum = lexicographic (max n_sk, min hk):
+    // n_sk grows until the sketch fills, then hk only shrinks.
+    val out = spark.table("kmv_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).map { case (s, rows) =>
+        s -> { val l = rows.maxBy(t => (t._2, -t._3)); (l._1, l._2, l._4) } }
+    q.stop()
+    // Batch twin over the same final key sets.
+    val batch = graft.llm.Corpus.kmvSketch(
+        ((1 to 60).map(i => ("a", i.toLong)) ++
+          (1 to 7).map(i => ("b", i.toLong))).toDF("st", "key"),
+        "key", "st", k = 8)
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_sk"), max(col("h")).as("hk"))
+      .collect().map { r =>
+        val n = r.getLong(1)
+        val est = if (n < 8) n else 7L * 4294967296L / math.max(r.getLong(2), 1L)
+        r.getString(0) -> (r.getString(0), n, est)
+      }.toMap
+    assert(out == batch, s"stream $out vs batch $batch")
+    // Stratum b never reaches k=8 (7 distinct keys) — est must be exact.
+    assert(out("b")._3 == 7L)
+  }
 }
