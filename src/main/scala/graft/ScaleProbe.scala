@@ -259,7 +259,10 @@ object ScaleProbe {
         "q106_asof_join", "q107_asof_timeline", "q108_asof_timeline_shuffle",
         // q123 packs one array per user — the hot key's 10% of the corpus
         // lands in ONE row; probed here for the same reason as q107.
-        "q123_funnel")
+        "q123_funnel",
+        // q171 embeds q48's per-user session stage before its per-day
+        // sweep — the hot user's window partition is the exposure.
+        "q171_peak_concurrency")
       skewProbes.foreach(q => SparkEntry.queries(q)(spark, sf01)
         .write.format("noop").mode("overwrite").save()) // codegen warmup
       for (q <- skewProbes;
