@@ -885,9 +885,14 @@ object Corpus {
     * corpus statistics (N, T, per-term df) are ONE single-row aggregate
     * cross-joined back as a scalar broadcast (the q105 shape). The
     * final top-k is a TakeOrdered (distributed heap), never a global
-    * sort. Overflow bound: `44·tf·T` and `tfpart·idf` stay in BIGINT
-    * for `tf·T < 2·10¹⁷` and `N < 10⁹`; past that, run the idf product
-    * through the same base-1000 device.
+    * sort. Overflow bounds (the binding ones): the base-1000 step
+    * multiplies a REMAINDER `< den ≈ 20·tf·T` by 10³, so `tf·T` must
+    * stay under ~4.6·10¹⁴; and `tfpart·idf` (ppm × ppm) needs
+    * `idf_ppm < 2⁶³/tfpart ≈ 4.2·10¹²`, i.e. corpus size N under
+    * ~6·10⁶ docs when a query term has df = 1. Past either bound, run
+    * the remainder step and the idf product through one more base-10³
+    * split (or floor-cap idf at the rare-term ceiling a ranker needs
+    * anyway) — the fixture scales sit 6+ orders inside both.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], topK: Int = 20): DataFrame = {
@@ -978,12 +983,23 @@ object Corpus {
     * applies anyway.
     */
   def fuzzyTokenPairs(docs: DataFrame, textCol: String,
-                      maxDist: Int = 2, maxLen: Int = 24): DataFrame = {
-    require(maxDist == 1 || maxDist == 2, "maxDist must be 1 or 2")
-    val vocab = docs
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+                      maxDist: Int = 2, maxLen: Int = 24): DataFrame =
+    fuzzyVocabPairs(vocabOf(docs, textCol, maxLen), maxDist)
+
+  /** The distinct length-capped token vocabulary of a corpus — shared
+    * by [[fuzzyTokenPairs]] and callers that need the SAME vocabulary
+    * for a downstream step (q181 joins cluster ids back to it), so the
+    * corpus is tokenized once, not once per consumer.
+    */
+  def vocabOf(docs: DataFrame, textCol: String, maxLen: Int = 24): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .filter(length(col("w")).between(1, maxLen))
       .distinct()
+
+  /** [[fuzzyTokenPairs]] over a precomputed vocabulary (one column
+    * `w`, already distinct and length-capped). */
+  def fuzzyVocabPairs(vocab: DataFrame, maxDist: Int = 2): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, "maxDist must be 1 or 2")
     val del1 = "transform(sequence(1, length(w)), i -> " +
       "concat(substring(w, 1, i - 1), substring(w, i + 1, length(w))))"
     // sequence(1, 0) is DESCENDING in Spark, so second-level deletions
@@ -1016,21 +1032,24 @@ object Corpus {
     * Scale shape: the naive per-stratum top-k window puts a stratum's
     * EVERY distinct key in one partition. This is the two-phase
     * distributed form instead: a (stratum, h mod 16) salted window
-    * keeps each candidate partition at |stratum|/16 and emits ≤ 16·k
-    * survivors per stratum; the final per-stratum window ranks only
-    * those. Widen the salt with the cluster, not the data — survivors
-    * stay salt·k regardless of stratum size.
+    * keeps each candidate partition at |stratum|/saltBuckets and emits
+    * ≤ saltBuckets·k survivors per stratum; the final per-stratum
+    * window ranks only those. Widen `saltBuckets` with the cluster,
+    * not the data — survivors stay saltBuckets·k regardless of stratum
+    * size.
     */
   def kmvSketch(df: DataFrame, keyCol: String, stratumCol: String,
-                k: Int, salt: String = "kmv:"): DataFrame = {
+                k: Int, salt: String = "kmv:",
+                saltBuckets: Int = 16): DataFrame = {
     require(k > 0, "k must be positive")
+    require(saltBuckets > 0, "saltBuckets must be positive")
     val hashed = df
       .select(col(stratumCol).as("stratum"),
         hashU32(col(keyCol), salt).as("h"))
       .distinct()
     val w1 = Window.partitionBy(col("stratum"), col("_p"))
       .orderBy(col("h").asc)
-    val cand = hashed.withColumn("_p", pmod(col("h"), lit(16)))
+    val cand = hashed.withColumn("_p", pmod(col("h"), lit(saltBuckets)))
       .withColumn("_r", row_number().over(w1))
       .filter(col("_r") <= k)
       .drop("_p", "_r")

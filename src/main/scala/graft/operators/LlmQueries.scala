@@ -1123,13 +1123,13 @@ object LlmQueries {
       val wid = (c: org.apache.spark.sql.Column) =>
         conv(substring(md5(concat(lit("ent:"), c)), 1, 15), 16, 10)
           .cast("long")
-      val vocab = t(s, dir, "documents")
-        .select(explode(TA.tokens(col("text"))).as("w"))
-        .filter(length(col("w")).between(1, 24))
-        .distinct()
+      // ONE vocabulary derivation feeds both the blocking and the
+      // id join-back — the corpus is tokenized once.
+      val vocab = Corpus.vocabOf(t(s, dir, "documents"), "text",
+          maxLen = 24)
         .withColumn("wid", wid(col("w")))
-      val pairs = Corpus.fuzzyTokenPairs(t(s, dir, "documents"), "text",
-          maxDist = 2, maxLen = 24)
+      val pairs = Corpus.fuzzyVocabPairs(vocab.select(col("w")),
+          maxDist = 2)
         .select(wid(col("w1")).as("id1"), wid(col("w2")).as("id2"))
       Dedup.connectedComponents(pairs, "id1", "id2",
           vocab.select(col("wid")), "wid")

@@ -1055,8 +1055,17 @@ object RelationalQueries {
         .filter($"n_orders" >= 2)
         .join(items.select($"p".as("part_a"), $"c".as("_ca")), Seq("part_a"))
         .join(items.select($"p".as("part_b"), $"c".as("_cb")), Seq("part_b"))
-        .withColumn("cosine2_ppm",
-          expr("(n_orders * n_orders * 1000000L) div (_ca * _cb)"))
+        // n²·10⁶/D through the q158 base-1000 long division — the naive
+        // ·10⁶ product overflows once n² passes 9.2e12 (n ≈ 3e6 shared
+        // orders); this form is exact while n < 3·10⁹ and the count
+        // product D = c_a·c_b < 9.2·10¹⁵ (every intermediate ≤ D·10³).
+        .withColumn("cosine2_ppm", expr(
+          """CAST(((n_orders * n_orders) div (_ca * _cb)) * 1000000L
+            |  + (((n_orders * n_orders) % (_ca * _cb)) * 1000L
+            |      div (_ca * _cb)) * 1000L
+            |  + ((((n_orders * n_orders) % (_ca * _cb)) * 1000L)
+            |      % (_ca * _cb)) * 1000L div (_ca * _cb)
+            |  AS BIGINT)""".stripMargin))
         .select($"part_a", $"part_b", $"n_orders", $"cosine2_ppm")
     },
 
@@ -1173,14 +1182,24 @@ object RelationalQueries {
     // the identical signature. One map-side-combined aggregation.
     "q179_table_checksum" -> { (s, dir) =>
       import s.implicits._
+      // NULL fields render as the explicit '\N' sentinel — concat_ws
+      // SKIPS nulls (collapsing the separator, so different-column
+      // nulls would collide) and DuckDB's || NULLs the whole string;
+      // coalescing every field first makes the rendering injective and
+      // engine-identical. (A literal "\N" string value collides with a
+      // rendered NULL — the classic CSV-sentinel caveat; none of these
+      // columns carries one.)
+      def f(c: org.apache.spark.sql.Column) =
+        coalesce(c.cast("string"), lit("\\N"))
       t(s, dir, "orders")
         .select(
           expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000L")
             .as("day"),
           graft.llm.Corpus.hashU32(
-            concat_ws("|", $"o_orderkey", $"o_custkey", $"o_orderstatus",
-              (dec($"o_totalprice") * 100).cast("long"),
-              $"o_orderpriority"), "ck:").as("_h"))
+            concat_ws("|", f($"o_orderkey"), f($"o_custkey"),
+              f($"o_orderstatus"),
+              f((dec($"o_totalprice") * 100).cast("long")),
+              f($"o_orderpriority")), "ck:").as("_h"))
         .groupBy($"day")
         .agg(count(lit(1)).as("n_rows"),
           expr("bit_xor(_h)").as("xor_sig"),
@@ -2810,7 +2829,12 @@ object RelationalQueries {
         |    AND x.l_partkey < y.l_partkey
         |  GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT part_a, part_b, n_orders,
-        |  (n_orders * n_orders * 1000000) // (ca.c * cb.c) AS cosine2_ppm
+        |  ((n_orders * n_orders) // (ca.c * cb.c)) * 1000000
+        |    + (((n_orders * n_orders) % (ca.c * cb.c)) * 1000
+        |        // (ca.c * cb.c)) * 1000
+        |    + ((((n_orders * n_orders) % (ca.c * cb.c)) * 1000)
+        |        % (ca.c * cb.c)) * 1000 // (ca.c * cb.c)
+        |    AS cosine2_ppm
         |FROM pc
         |JOIN ic ca ON ca.p = pc.part_a
         |JOIN ic cb ON cb.p = pc.part_b""".stripMargin,
@@ -2910,17 +2934,21 @@ object RelationalQueries {
         |  FROM events)
         |WHERE rank <= 10""".stripMargin,
 
-    // q179: the same canonical row rendering and md5-prefix hash — any
-    // divergence in a single row flips the day's XOR signature.
+    // q179: the same canonical row rendering (every field COALESCEd to
+    // the '\N' sentinel) and md5-prefix hash — any divergence in a
+    // single row flips the day's XOR signature.
     "q179_table_checksum" ->
       """WITH h AS (
         |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
         |    list_reduce(list_transform(
         |      string_split(substr(md5('ck:' ||
-        |        (o_orderkey || '|' || o_custkey || '|' || o_orderstatus
-        |         || '|' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-        |              AS BIGINT)
-        |         || '|' || o_orderpriority)), 1, 8), ''),
+        |        (COALESCE(CAST(o_orderkey AS VARCHAR), '\N')
+        |         || '|' || COALESCE(CAST(o_custkey AS VARCHAR), '\N')
+        |         || '|' || COALESCE(o_orderstatus, '\N')
+        |         || '|' || COALESCE(CAST(CAST(CAST(o_totalprice
+        |              AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR),
+        |              '\N')
+        |         || '|' || COALESCE(o_orderpriority, '\N'))), 1, 8), ''),
         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
         |      (a, b) -> a * 16 + b) AS h
         |  FROM orders)
@@ -2953,7 +2981,11 @@ object RelationalQueries {
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |sc AS (
         |  SELECT part_a, part_b, n_orders,
-        |    (n_orders * n_orders * 1000000) // (ca.c * cb.c)
+        |    ((n_orders * n_orders) // (ca.c * cb.c)) * 1000000
+        |      + (((n_orders * n_orders) % (ca.c * cb.c)) * 1000
+        |          // (ca.c * cb.c)) * 1000
+        |      + ((((n_orders * n_orders) % (ca.c * cb.c)) * 1000)
+        |          % (ca.c * cb.c)) * 1000 // (ca.c * cb.c)
         |      AS cosine2_ppm
         |  FROM pc
         |  JOIN ic ca ON ca.p = pc.part_a
