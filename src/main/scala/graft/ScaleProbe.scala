@@ -92,7 +92,8 @@ object ScaleProbe {
       "q175_kmv_setops", "q176_histogram_quantiles",
       "q177_cusum_changepoints", "q178_salted_topk", "q179_table_checksum",
       "q180_contingency_lift",
-      "q181_entity_clusters", "q182_also_bought", "q183_boolean_and_search")
+      "q181_entity_clusters", "q182_also_bought", "q183_boolean_and_search",
+      "q184_ks_drift", "q185_id_completeness")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -138,7 +139,9 @@ object ScaleProbe {
       "q177_cusum_changepoints" -> "events",
       "q178_salted_topk" -> "events",
       "q179_table_checksum" -> "orders",
-      "q182_also_bought" -> "lineitem").withDefault(_ => "documents")
+      "q182_also_bought" -> "lineitem",
+      "q184_ks_drift" -> "events",
+      "q185_id_completeness" -> "orders").withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet
 
     // The replica generators for documents/lineitem are the

@@ -1245,6 +1245,50 @@ object RelationalQueries {
         .select($"part", $"rec_rank", $"rec", $"n_orders", $"cosine2_ppm")
     },
 
+    // Kolmogorov–Smirnov drift between two value distributions (view
+    // vs purchase), integer-exact: cross-multiply the two empirical
+    // CDFs so the statistic is max |cumA·n_B − cumB·n_A| over the
+    // exact-cents bins — no division until the final ppm rendering
+    // (base-1000). The distribution-drift monitor next to q180's
+    // categorical lift: one binned aggregation with conditional
+    // counts, cumulative windows over the BOUNDED bin table, scalar
+    // totals broadcast.
+    "q184_ks_drift" -> { (s, dir) =>
+      import s.implicits._
+      val binned = t(s, dir, "events")
+        .filter($"event_type".isin("view", "purchase"))
+        .select($"event_type",
+          (dec($"value") * 100).cast("long").as("_cents"))
+        .select($"event_type", expr("_cents div 100").as("bin"))
+        .groupBy($"bin")
+        .agg(sum(when($"event_type" === "view", 1L).otherwise(0L)).as("_a"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("_b"))
+      ksDrift(binned, "n_view", "n_purchase")
+    },
+
+    // Id-space completeness audit over 4096-key buckets: per bucket of
+    // the F-status order keys, row/distinct counts, the id extent, and
+    // the derived missing/duplicate counts — the file-level ingest
+    // audit (which id ranges are short, where to re-pull) computed in
+    // ONE map-side-combined aggregation, no sort, no self-join; the
+    // audited subset has gaps by construction so the gate checks real
+    // arithmetic, not a column of zeros.
+    "q185_id_completeness" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", expr("o_orderkey div 4096").as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"o_orderkey").as("n_distinct"),
+          min($"o_orderkey").as("id_min"),
+          max($"o_orderkey").as("id_max"))
+        .withColumn("n_missing",
+          expr("id_max - id_min + 1L - n_distinct"))
+        .withColumn("n_dup", expr("n_rows - n_distinct"))
+    },
+
     // Histogram-based approximate percentiles (p50/p90/p99 of event
     // value): exact-cents $1 bins → one map-side-combined count
     // aggregate → cumulative over the BOUNDED bin table → first bin
@@ -1298,6 +1342,43 @@ object RelationalQueries {
       .withColumn("cusum", col("_p") - least(col("_runmin"), lit(0L)))
       .withColumn("is_alarm", expr("CAST(cusum > _mu AS BIGINT)"))
       .select(col(orderCol), col(valueCol), col("cusum"), col("is_alarm"))
+  }
+
+  /** Kolmogorov–Smirnov distance between two binned samples without a
+    * single float: input has one row per `bin` with the two sides'
+    * counts in `_a`/`_b`; the statistic is `max |cumA·n_B − cumB·n_A|`
+    * over bins (both CDFs cross-multiplied by the totals, so every
+    * comparison is BIGINT-exact; divide once at the end for the ppm —
+    * base-1000, exact while n_A·n_B < 9.2·10¹⁵). Argmax ties resolve
+    * to the smallest bin. Output one row:
+    * (argmax_bin, ks_scaled, ks_ppm, <aName>, <bName>).
+    */
+  def ksDrift(binned: DataFrame, aName: String, bName: String): DataFrame = {
+    val tot = binned.agg(sum(col("_a")).as("_ta"), sum(col("_b")).as("_tb"))
+    val wc = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned
+      .withColumn("_ca", sum(col("_a")).over(wc))
+      .withColumn("_cb", sum(col("_b")).over(wc))
+      .crossJoin(broadcast(tot))
+      .withColumn("_d", abs(col("_ca") * col("_tb") -
+        col("_cb") * col("_ta")))
+    val m = cum.agg(max(col("_d")).as("ks_scaled"))
+    cum.crossJoin(broadcast(m))
+      .filter(col("_d") === col("ks_scaled"))
+      .agg(min(col("bin")).as("argmax_bin"),
+        first(col("ks_scaled")).as("_ks"),
+        first(col("_ta")).as(aName), first(col("_tb")).as(bName))
+      .withColumn("ks_ppm", expr(
+        s"""CAST((_ks div ($aName * $bName)) * 1000000L
+           |  + ((_ks % ($aName * $bName)) * 1000L
+           |      div ($aName * $bName)) * 1000L
+           |  + (((_ks % ($aName * $bName)) * 1000L)
+           |      % ($aName * $bName)) * 1000L
+           |      div ($aName * $bName)
+           |  AS BIGINT)""".stripMargin))
+      .select(col("argmax_bin"), col("_ks").as("ks_scaled"),
+        col("ks_ppm"), col(aName), col(bName))
   }
 
   /** Exact global rank (1-based) by `orderCols` WITHOUT a
@@ -3002,6 +3083,52 @@ object RelationalQueries {
         |      AS rec_rank
         |  FROM sym)
         |WHERE rec_rank <= 3""".stripMargin,
+
+    // q184: identical cross-multiplied CDF arithmetic; the argmax tie
+    // resolves to the smallest bin on both sides.
+    "q184_ks_drift" ->
+      """WITH binned AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      // 100 AS bin,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT)
+        |    AS tb
+        |  FROM binned),
+        |cum AS (
+        |  SELECT bin,
+        |    CAST(SUM(a) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(b) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cb
+        |  FROM binned),
+        |d AS (
+        |  SELECT bin, abs(ca * tb - cb * ta) AS dd, ta, tb
+        |  FROM cum, tot),
+        |m AS (SELECT max(dd) AS ks FROM d)
+        |SELECT min(bin) AS argmax_bin, CAST(ks AS BIGINT) AS ks_scaled,
+        |  (ks // (ta * tb)) * 1000000
+        |    + ((ks % (ta * tb)) * 1000 // (ta * tb)) * 1000
+        |    + (((ks % (ta * tb)) * 1000) % (ta * tb)) * 1000 // (ta * tb)
+        |    AS ks_ppm,
+        |  ta AS n_view, tb AS n_purchase
+        |FROM d, m WHERE dd = ks GROUP BY ks, ta, tb""".stripMargin,
+
+    // q185: one grouped pass, same derived columns.
+    "q185_id_completeness" ->
+      """SELECT o_orderkey // 4096 AS bucket, count(*) AS n_rows,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  min(o_orderkey) AS id_min, max(o_orderkey) AS id_max,
+        |  max(o_orderkey) - min(o_orderkey) + 1
+        |    - count(DISTINCT o_orderkey) AS n_missing,
+        |  count(*) - count(DISTINCT o_orderkey) AS n_dup
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1""".stripMargin,
 
     // q176: identical exact-cents bins, cumulative, ceil-threshold
     // conditional mins.

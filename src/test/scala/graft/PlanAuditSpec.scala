@@ -59,7 +59,9 @@ class PlanAuditSpec extends SparkSpec {
       "q173_rfm_scores", "q175_kmv_setops", "q176_histogram_quantiles",
       // q177/q180 cross-join SINGLE-ROW aggregates (CUSUM mean / grand
       // total) — the q105 scalar shape.
-      "q177_cusum_changepoints", "q180_contingency_lift")
+      "q177_cusum_changepoints", "q180_contingency_lift",
+      // q184 cross-joins SINGLE-ROW totals + the scalar KS max.
+      "q184_ks_drift")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>

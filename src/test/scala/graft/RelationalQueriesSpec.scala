@@ -946,4 +946,47 @@ class RelationalQueriesSpec extends SparkSpec {
       spark, dir2))
     assert(relaid == base)
   }
+
+  test("ks drift: cross-multiplied statistic equals brute-force KS") {
+    import spark.implicits._
+    // A: mass at bins 1,2; B: mass at bins 2,3 — KS = |CDF gap| peaks
+    // at bin 1 or 2. Brute-force over a grid of random-ish counts.
+    val cases = Seq(
+      Seq((1L, 3L, 0L), (2L, 1L, 2L), (3L, 0L, 2L)),
+      Seq((1L, 5L, 5L), (2L, 5L, 5L)),                 // identical → 0
+      Seq((1L, 2L, 0L), (5L, 0L, 7L)))
+    for (rows <- cases) {
+      val df = rows.toDF("bin", "_a", "_b")
+      val got = RelationalQueries.ksDrift(df, "n_a", "n_b")
+        .collect().head
+      val ta = rows.map(_._2).sum; val tb = rows.map(_._3).sum
+      var ca = 0L; var cb = 0L
+      val ds = rows.sortBy(_._1).map { case (bin, a, b) =>
+        ca += a; cb += b; (bin, math.abs(ca * tb - cb * ta))
+      }
+      val ks = ds.map(_._2).max
+      val argmax = ds.filter(_._2 == ks).map(_._1).min
+      assert(got.getAs[Long]("ks_scaled") == ks, s"case $rows")
+      assert(got.getAs[Long]("argmax_bin") == argmax, s"case $rows")
+      assert(got.getAs[Long]("ks_ppm") ==
+        ks * 1000000L / (ta * tb), s"case $rows")
+    }
+  }
+
+  test("id completeness: gaps and dups are counted from one aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, countDistinct, expr, lit, max, min}
+    // ids 0,1,3,3,7 in one 4096-bucket: span 8, distinct 4 → 4 missing,
+    // 1 dup.
+    val df = Seq(0L, 1L, 3L, 3L, 7L).toDF("id")
+      .select(col("id"), expr("id div 4096").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("id")).as("n_distinct"),
+        min(col("id")).as("id_min"), max(col("id")).as("id_max"))
+      .withColumn("n_missing", expr("id_max - id_min + 1L - n_distinct"))
+      .withColumn("n_dup", expr("n_rows - n_distinct"))
+    val r = df.collect().head
+    assert((r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct"),
+      r.getAs[Long]("n_missing"), r.getAs[Long]("n_dup")) == (5L, 4L, 4L, 1L))
+  }
 }
