@@ -103,7 +103,10 @@ object Graph {
                            seedCol: String, iters: Int = 5,
                            dampPct: Int = 85,
                            weightCol: Option[String] = None): DataFrame = {
-    require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
+    // dampPct = 100 is excluded HERE (unlike pageRank): the personalized
+    // teleport mass (100 − dampPct) is what marks the seed set — at 100
+    // it vanishes and every rank is identically zero.
+    require(iters >= 1 && dampPct >= 0 && dampPct <= 99)
     val e = (weightCol match {
       case Some(wc) => edges.select(col(srcCol).as("_src"),
           col(dstCol).as("_dst"), col(wc).cast("long").as("_w"))

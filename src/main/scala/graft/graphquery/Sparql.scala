@@ -514,7 +514,14 @@ object Sparql {
       val aggs = counts.map {
         case ProjCount(Some(v), true, as) => countDistinct(col(v)).as(as)
         case ProjCount(Some(v), false, as) => count(col(v)).as(as)
-        case ProjCount(None, _, as) => count(lit(1)).as(as)
+        // COUNT(DISTINCT *) = distinct solution MAPPINGS: countDistinct
+        // over a struct of every visible column (the struct is never
+        // null, so unbound-variable rows still count — SQL's
+        // count(DISTINCT a, b) would drop them).
+        case ProjCount(None, true, as) =>
+          countDistinct(struct(df.columns.filterNot(isHidden)
+            .map(col).toIndexedSeq: _*)).as(as)
+        case ProjCount(None, false, as) => count(lit(1)).as(as)
       }
       require(aggs.nonEmpty, "GROUP BY without an aggregate projection")
       df = df.groupBy(q.groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -579,7 +586,11 @@ object Sparql {
       val dupMeta = d.columns.filter(c => isMeta(c) && a.columns.contains(c))
       val dd = if (dupMeta.isEmpty) d else d.drop(dupMeta.toIndexedSeq: _*)
       val shared = a.columns.toSet.intersect(dd.columns.filterNot(isMeta).toSet)
-      if (shared.isEmpty) a.crossJoin(dd)
+      // No shared variables: SPARQL's join is the cross product, but
+      // the join TYPE must survive — OPTIONAL over a disjoint (possibly
+      // EMPTY) body keeps every left solution with the body's variables
+      // unbound, which a crossJoin would silently drop.
+      if (shared.isEmpty) a.join(dd, lit(true), joinType)
       else a.join(dd, shared.toSeq, joinType)
   }
 

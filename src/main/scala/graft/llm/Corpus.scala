@@ -818,8 +818,13 @@ object Corpus {
     * monotone with PMI (log of it), so ranking and thresholding behave
     * identically while staying cross-engine exact. The ·10⁶ product
     * overflows BIGINT once pair·T passes ~9.2e12, so the ratio runs
-    * through [[mixRates]]' base-1000 long division (every intermediate
-    * ≤ D·10³).
+    * through [[mixRates]]' base-1000 long division. Honest overflow
+    * bounds: the device removes only the ·10⁶ factor — the raw
+    * products `pair·T` and `c(a)·c(b)` themselves must stay under
+    * 2⁶³ ≈ 9.2·10¹⁸, which a 10¹³-token corpus' stopword pairs exceed.
+    * Past that, clamp the three counts at a ceiling (~3·10⁹; PMI of
+    * saturated stopword pairs is already pinned far below any
+    * collocation threshold) or move the two products to DECIMAL(38,0).
     *
     * Scale shape: ROW-LOCAL pair enumeration (no posexplode+window
     * shuffle — the [[bigramSurprisal]] device), pair- and token-keyed

@@ -687,6 +687,9 @@ object Similarity {
   def appendToPqIndex(batch: DataFrame, idCol: String, vecCol: String,
                       dir: String, m: Int = 8, dim: Int = 64): Unit = {
     val spark = batch.sparkSession
+    // A fresh ingest session may not have run trainPq/pqKnnIndexed yet —
+    // pqAssign's graft_dot must be registered here too.
+    graft.functions.NativeExpressions.register(spark)
     val codebook = spark.read.parquet(s"$dir/codebook")
     pqEncode(batch, idCol, vecCol, codebook, m, dim)
       .write.mode("append").parquet(s"$dir/codes")

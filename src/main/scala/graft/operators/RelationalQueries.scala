@@ -448,9 +448,14 @@ object RelationalQueries {
         .pivot("event_type",
           Seq("view", "click", "purchase", "signup", "error"))
         .agg(count(lit(1)))
-        .select($"day", $"view".as("n_view"), $"click".as("n_click"),
-          $"purchase".as("n_purchase"), $"signup".as("n_signup"),
-          $"error".as("n_error"))
+        // Spark's pivot fills absent (day, type) cells with NULL where
+        // the oracle's FILTER-count gives 0 — coalesce so a day missing
+        // one type can't diverge the gate.
+        .select($"day", coalesce($"view", lit(0L)).as("n_view"),
+          coalesce($"click", lit(0L)).as("n_click"),
+          coalesce($"purchase", lit(0L)).as("n_purchase"),
+          coalesce($"signup", lit(0L)).as("n_signup"),
+          coalesce($"error", lit(0L)).as("n_error"))
     },
 
     // Hopping (sliding) windows: hourly counts every 15 minutes — each
@@ -1475,9 +1480,14 @@ object RelationalQueries {
     purchases.join(clicks.withColumnRenamed(keyCol, "_ck"),
         col(keyCol) === col("_ck") && col("ctsm") <= col("ptsm") &&
           col("ptsm") - col("ctsm") <= windowMicros)
+      // greatest(1, ·): a click ≥ 20 decay units old would floor to
+      // weight 0; if EVERY in-window click did, Σ_wd = 0 and the
+      // normalization divides by zero. Flooring at 1 keeps the weights
+      // positive (ancient clicks share the residual ppm) — the window
+      // still caps Δ well below the shift-overflow bound of 63 units.
       .withColumn("_wd", expr(
-        "1000000L div shiftleft(1L, CAST((ptsm - ctsm) div " +
-          s"${decayUnitMicros}L AS INT))"))
+        "greatest(1L, 1000000L div shiftleft(1L, CAST((ptsm - ctsm) div " +
+          s"${decayUnitMicros}L AS INT)))"))
       .withColumn("n", count(lit(1)).over(wN))
       .withColumn("_swd", sum(col("_wd")).over(wN))
       .withColumn("rk", row_number().over(wR))
@@ -1688,8 +1698,13 @@ object RelationalQueries {
       org.apache.spark.sql.types.StructField("_t", tType)))
     val l = left.withColumn("_isL", lit(1))
       .withColumn("_rs", lit(null).cast(sType))
-    val r = right.select(col(keyCol), col(tsCol), lit(0).as("_isL"),
-      struct(col(valCol).as("_v"), col(tsCol).as("_t")).as("_rs"))
+    // Null-ts right rows match nothing (same contract as the backward
+    // form — here nulls-first ordering happens to exclude them from
+    // every forward frame anyway, but the filter keeps the invariant
+    // explicit rather than an ordering accident).
+    val r = right.filter(col(tsCol).isNotNull)
+      .select(col(keyCol), col(tsCol), lit(0).as("_isL"),
+        struct(col(valCol).as("_v"), col(tsCol).as("_t")).as("_rs"))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("_isL").desc,
         col("_rs._v").desc_nulls_last)
@@ -1747,8 +1762,15 @@ object RelationalQueries {
     * any hot key.
     *
     * Returns one row per (interval × contained point), plus one
-    * null-point row for intervals containing none — aggregate on the
-    * interval's columns downstream. Left columns must not collide with
+    * null-point row per UNCOVERED (interval, bucket) pair — an interval
+    * spanning B buckets contributes up to B null rows even when other
+    * buckets matched, and an empty interval contributes B of them (not
+    * one). Downstream aggregation MUST therefore be null-skipping on
+    * the point side — `count(ptsCol)`, `collect_list`, `sum` — never
+    * `count(*)`; collapsing the null rows to one-per-empty-interval
+    * would cost an extra interval-keyed shuffle this operator
+    * deliberately avoids (q121 aggregates with count(ptsm)/first, the
+    * intended pattern). Left columns must not collide with
     * right columns; `tsCol` must be epoch-micros LONG, as must
     * `startCol`/`endCol`, with `endCol > startCol` on every row (an
     * empty interval makes the bucket `sequence` step backwards and
@@ -1800,8 +1822,14 @@ object RelationalQueries {
       org.apache.spark.sql.types.StructField("_t", tType)))
     val l = left.withColumn("_isL", lit(1))
       .withColumn("_rs", lit(null).cast(sType))
-    val r = right.select(col(keyCol), col(tsCol), lit(0).as("_isL"),
-      struct(col(valCol).as("_v"), col(tsCol).as("_t")).as("_rs"))
+    // A null-ts right row is "at or before" NOTHING (the ASOF oracle's
+    // `l.ts >= r.ts` never matches it), but nulls-first window order
+    // would put it inside every frame — drop it here, matching
+    // attributeStream's explicit filter, so all four as-of variants
+    // built on this union agree with the oracle on null timestamps.
+    val r = right.filter(col(tsCol).isNotNull)
+      .select(col(keyCol), col(tsCol), lit(0).as("_isL"),
+        struct(col(valCol).as("_v"), col(tsCol).as("_t")).as("_rs"))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("_isL").asc,
         col("_rs._v").asc_nulls_first)
@@ -2753,9 +2781,11 @@ object RelationalQueries {
         |  FROM c)
         |WHERE rank <= 10""".stripMargin,
 
-    // q161: identical join + windows; the decay weight 10⁶ // 2^Δdays
-    // is exact on both engines (Δ ≤ 7 → the shift never overflows),
-    // and the window SUM casts to BIGINT before the divide.
+    // q161: identical join + windows; the decay weight
+    // greatest(1, 10⁶ // 2^Δdays) is exact on both engines (Δ ≤ 7 → the
+    // shift never overflows; the floor-at-1 matches the Spark side's
+    // ancient-click guard), and the window SUM casts to BIGINT before
+    // the divide.
     "q161_multitouch_attribution" ->
       """WITH p AS (
         |  SELECT user_id, epoch_us(ts) AS ptsm, event_id AS pid
@@ -2769,8 +2799,8 @@ object RelationalQueries {
         |    AND p.ptsm - c.ctsm <= 604800000000),
         |r AS (
         |  SELECT pid, cid,
-        |    CAST(1000000 AS BIGINT) // (1 << CAST((ptsm - ctsm)
-        |      // 86400000000 AS INTEGER)) AS wd,
+        |    greatest(1, CAST(1000000 AS BIGINT) // (1 << CAST((ptsm - ctsm)
+        |      // 86400000000 AS INTEGER))) AS wd,
         |    count(*) OVER (PARTITION BY pid) AS n,
         |    row_number() OVER (PARTITION BY pid
         |      ORDER BY ctsm DESC, cid) AS rk

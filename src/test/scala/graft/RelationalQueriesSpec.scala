@@ -989,4 +989,41 @@ class RelationalQueriesSpec extends SparkSpec {
     assert((r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct"),
       r.getAs[Long]("n_missing"), r.getAs[Long]("n_dup")) == (5L, 4L, 4L, 1L))
   }
+
+  test("asof backward/forward: null-ts right rows match nothing") {
+    import spark.implicits._
+    val clicks = Seq((1L, 100L, 10L)).toDF("cid", "user_id", "tsm")
+      .select($"cid", $"user_id", $"tsm")
+    val purchases = Seq((100L, Option.empty[Long], 77L),
+        (100L, Some(99L), 55L))
+      .toDF("user_id", "tsm", "k")
+      .select($"user_id", $"tsm".cast("long").as("tsm"), $"k")
+    // Backward at ts=10: the only at-or-before candidate would be the
+    // null-ts row (nulls sort first) — it must NOT match.
+    val b = RelationalQueries.asofJoinBackward(clicks, purchases,
+      "user_id", "tsm", "k", "got").collect().head
+    assert(b.isNullAt(b.fieldIndex("got")), s"backward matched $b")
+    // Forward at ts=10: the real row at 99 matches; null-ts is ignored.
+    val f = RelationalQueries.asofJoinForward(clicks, purchases,
+      "user_id", "tsm", "k", "got").collect().head
+    assert(f.getAs[Long]("got") == 55L, s"forward $f")
+  }
+
+  test("multi-touch decay: ancient clicks floor at weight 1, credits stay defined") {
+    import spark.implicits._
+    val day = 86400000000L
+    // One purchase, both clicks >= 20 decay units old: naive 1e6 div
+    // 2^25 floors to 0 and the normalization would divide by zero.
+    val purchases = Seq((7L, 30L * day, 900L)).toDF("user_id", "ptsm", "pid")
+    val clicks = Seq((7L, 5L * day, 1L), (7L, 4L * day, 2L))
+      .toDF("user_id", "ctsm", "cid")
+    val got = RelationalQueries.multiTouchAttribution(purchases, clicks,
+        "user_id", windowMicros = 40L * day, decayUnitMicros = day)
+      .collect().map(r => r.getAs[Long]("cid") ->
+        (r.getAs[Long]("credit_ppm"), r.getAs[Long]("decay_credit_ppm")))
+      .toMap
+    // Equal floored weights (1, 1) -> decay credits are an even split.
+    assert(got == Map(1L -> (500000L, 500000L), 2L -> (500000L, 500000L)),
+      s"got $got")
+  }
 }

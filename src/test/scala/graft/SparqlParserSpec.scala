@@ -413,6 +413,32 @@ class SparqlParserSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("placeholder"))
   }
+
+  test("OPTIONAL with a disjoint empty body keeps every solution") {
+    val geo = G.geo(spark, sf)
+    val base = Sparql.select(geo,
+      "SELECT ?s WHERE { ?s <urn:p/name> ?name }")
+    val withOpt = Sparql.select(geo,
+      """SELECT ?s WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  OPTIONAL { ?x <urn:p/no-such-predicate> ?y }
+        |}""".stripMargin)
+    // The OPTIONAL body shares no variable and matches nothing — SPARQL
+    // keeps all solutions with ?x/?y unbound; a crossJoin would empty it.
+    assert(rows(withOpt) == rows(base))
+    assert(base.count() > 0)
+  }
+
+  test("COUNT(DISTINCT *) counts distinct solution mappings, not rows") {
+    val geo = G.geo(spark, sf)
+    val n = Sparql.select(geo,
+      """SELECT (COUNT(DISTINCT *) AS ?n) WHERE {
+        |  ?s <urn:p/name> ?name .
+        |}""".stripMargin).collect().head.getLong(0)
+    val plain = Sparql.select(geo,
+      "SELECT ?s ?name WHERE { ?s <urn:p/name> ?name }")
+    assert(n == plain.distinct().count(), s"got $n")
+  }
 }
 
 /** The verbatim MultiAttributeDimension attribute query text
