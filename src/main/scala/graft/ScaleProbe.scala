@@ -93,7 +93,8 @@ object ScaleProbe {
       "q177_cusum_changepoints", "q178_salted_topk", "q179_table_checksum",
       "q180_contingency_lift",
       "q181_entity_clusters", "q182_also_bought", "q183_boolean_and_search",
-      "q184_ks_drift", "q185_id_completeness")
+      "q184_ks_drift", "q185_id_completeness",
+      "q186_latency_percentiles")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -141,7 +142,8 @@ object ScaleProbe {
       "q179_table_checksum" -> "orders",
       "q182_also_bought" -> "lineitem",
       "q184_ks_drift" -> "events",
-      "q185_id_completeness" -> "orders").withDefault(_ => "documents")
+      "q185_id_completeness" -> "orders",
+      "q186_latency_percentiles" -> "lineitem").withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet
 
     // The replica generators for documents/lineitem are the

@@ -1294,6 +1294,39 @@ object RelationalQueries {
         .withColumn("n_dup", expr("n_rows - n_distinct"))
     },
 
+    // EXACT grouped percentiles over a bounded integer domain:
+    // order→ship latency in whole DAYS per order priority. Because the
+    // value domain is already discrete and bounded (~hundreds of day
+    // values), the q176 histogram device is exact here, per group: one
+    // (priority, days) aggregation, cumulative windows over the bounded
+    // per-priority day table, ceil-threshold conditional mins — never a
+    // per-priority sort of the fact table (the q178 giant-partition
+    // trap).
+    "q186_latency_percentiles" -> { (s, dir) =>
+      import s.implicits._
+      val lat = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_shipdate")
+        .join(t(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"o_orderpriority", expr(
+          "(unix_micros(CAST(l_shipdate AS TIMESTAMP)) - " +
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP))) div 86400000000L")
+          .as("days"))
+      val counts = lat.groupBy($"o_orderpriority", $"days")
+        .agg(count(lit(1)).as("n"))
+      val tot = counts.groupBy($"o_orderpriority").agg(sum($"n").as("_n"))
+      val wg = Window.partitionBy($"o_orderpriority").orderBy($"days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts.withColumn("cum", sum($"n").over(wg))
+        .join(broadcast(tot), "o_orderpriority")
+        .groupBy($"o_orderpriority")
+        .agg(first($"_n").as("n_lineitems"),
+          min(when($"cum" * 100L >= $"_n" * 50L, $"days")).as("p50_days"),
+          min(when($"cum" * 100L >= $"_n" * 90L, $"days")).as("p90_days"),
+          min(when($"cum" * 100L >= $"_n" * 99L, $"days")).as("p99_days"))
+    },
+
     // Histogram-based approximate percentiles (p50/p90/p99 of event
     // value): exact-cents $1 bins → one map-side-combined count
     // aggregate → cumulative over the BOUNDED bin table → first bin
@@ -3159,6 +3192,32 @@ object RelationalQueries {
         |  count(*) - count(DISTINCT o_orderkey) AS n_dup
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY 1""".stripMargin,
+
+    // q186: same device per priority — exact because latency days are
+    // already integers.
+    "q186_latency_percentiles" ->
+      """WITH lat AS (
+        |  SELECT o_orderpriority,
+        |    (epoch_us(l_shipdate) - epoch_us(o_orderdate))
+        |      // 86400000000 AS days
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+        |c AS (
+        |  SELECT o_orderpriority, days, count(*) AS n
+        |  FROM lat GROUP BY 1, 2),
+        |t AS (
+        |  SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS nt
+        |  FROM c GROUP BY 1),
+        |cum AS (
+        |  SELECT o_orderpriority, days,
+        |    SUM(n) OVER (PARTITION BY o_orderpriority ORDER BY days
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c)
+        |SELECT cum.o_orderpriority, nt AS n_lineitems,
+        |  min(CASE WHEN cum * 100 >= nt * 50 THEN days END) AS p50_days,
+        |  min(CASE WHEN cum * 100 >= nt * 90 THEN days END) AS p90_days,
+        |  min(CASE WHEN cum * 100 >= nt * 99 THEN days END) AS p99_days
+        |FROM cum JOIN t ON t.o_orderpriority = cum.o_orderpriority
+        |GROUP BY 1, 2""".stripMargin,
 
     // q176: identical exact-cents bins, cumulative, ceil-threshold
     // conditional mins.
