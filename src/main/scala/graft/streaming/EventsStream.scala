@@ -549,4 +549,77 @@ object EventsStream {
           Iterator(KmvEstimate(stratum, n, hk, est))
       }
   }
+
+  case class IjRow(user_id: Long, ts: java.sql.Timestamp, is_imp: Boolean,
+                   event_id: Long)
+  case class IjState(imps: Seq[(Long, Long)], clicks: Seq[(Long, Long)])
+  case class ImpClick(imp_id: Long, click_id: Long, user_id: Long,
+                      delta_us: Long)
+
+  /** Stream-STREAM interval join via keyed state: every click pairs with
+    * the SAME user's impressions whose event time falls within
+    * `windowMicros` before it — the ad-attribution join. This container's
+    * Spark build never matches `StreamingSymmetricHashJoin` rows across
+    * micro-batches (SCALE.md round-12 note), so this is the
+    * flatMapGroupsWithState form on the [[attributeStreams]] discipline:
+    * both inputs watermarked per side, unioned into ONE keyed stream
+    * (one shuffle per micro-batch), per-key buffers for both sides.
+    *
+    * Emission is watermark-final: a click emits only once the watermark
+    * passes its event time — by then every impression at-or-before it
+    * has arrived, so the pair set is complete and append-mode-final
+    * (out-of-order arrival cannot change it). State is watermark-bounded
+    * on both sides: clicks drain as the watermark passes them (with
+    * event-time timeouts for quiet keys), impressions evict once
+    * `i_ts + window < watermark` (no future finalizable click can reach
+    * back that far). Per key the state holds one lateness+window span,
+    * not history.
+    */
+  def intervalJoinStreams(impressions: DataFrame, clicks: DataFrame,
+                          windowMicros: Long = 3600L * 1000000L,
+                          lateness: String = "10 minutes"): Dataset[ImpClick] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = impressions.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, isImp: Boolean) =
+      df.select(col("user_id").cast("long").as("user_id"), col("ts"),
+          lit(isImp).as("is_imp"), col("event_id").cast("long").as("event_id"))
+        .withWatermark("ts", lateness)
+    val tagged = side(impressions, isImp = true)
+      .unionByName(side(clicks, isImp = false)).as[IjRow]
+    tagged.groupByKey(_.user_id)
+      .flatMapGroupsWithState[IjState, ImpClick](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, rows, state: GroupState[IjState]) =>
+          val prev = state.getOption.getOrElse(IjState(Nil, Nil))
+          val batch = rows.toSeq
+          val imps = prev.imps ++
+            batch.filter(_.is_imp).map(r => (micros(r.ts), r.event_id))
+          val clicks = prev.clicks ++
+            batch.filterNot(_.is_imp).map(r => (micros(r.ts), r.event_id))
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val (ready, restC) = clicks.partition(_._1 <= wm)
+          // Deterministic emission order: (click ts, click id, imp id).
+          val out = ready.sortBy(c => (c._1, c._2)).flatMap { case (cts, cid) =>
+            imps.filter(i => i._1 <= cts && cts <= i._1 + windowMicros)
+              .sortBy(_._2)
+              .map { case (its, iid) => ImpClick(iid, cid, key, cts - its) }
+          }
+          // An impression can still match a future click while
+          // i_ts + window >= wm (that click has c_ts > wm).
+          val restI = imps.filter(_._1 + windowMicros >= wm)
+          if (restC.isEmpty && restI.isEmpty) {
+            state.remove(); out.iterator
+          } else {
+            state.update(IjState(restI, restC))
+            if (restC.nonEmpty) state.setTimeoutTimestamp(
+              (restC.map(_._1).min / 1000L)
+                .max(state.getCurrentWatermarkMs() + 1L))
+            else state.setTimeoutTimestamp(
+              ((restI.map(_._1 + windowMicros).max / 1000L) + 1L)
+                .max(state.getCurrentWatermarkMs() + 1L))
+            out.iterator
+          }
+      }
+  }
 }

@@ -779,4 +779,59 @@ class MediaStreamSpec extends SparkSpec {
     // Stratum b never reaches k=8 (7 distinct keys) — est must be exact.
     assert(out("b")._3 == 7L)
   }
+
+  test("streaming: keyed-state interval join matches the batch join, out of order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val M = 1000000L; val H = 3600L * M
+    val impMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val clkMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("user_id", "ts", "event_id")
+    val q = graft.streaming.EventsStream.intervalJoinStreams(
+        shape(impMem.toDF()), shape(clkMem.toDF()), windowMicros = H)
+      .writeStream.format("memory").queryName("ij_keyed")
+      .outputMode("append").start()
+    // All event times sit on a +1h base: an event AT epoch 0 lands on
+    // the initial-watermark boundary and Spark's late filter drops it —
+    // a fixture artifact real event times never hit.
+    val B = H
+    // u1: imp@B with clicks at +10min and exactly +1h (inclusive) and
+    // +1h+1s (excluded); u2: click BEFORE its impression never pairs.
+    // The matching imp for u1's clicks arrives in a LATER trigger than
+    // the first click — the cross-micro-batch case the native join
+    // cannot do here.
+    clkMem.addData((1L, ts(B + 600L * M), 900L), (2L, ts(B + 5L * M), 903L))
+    q.processAllAvailable()
+    impMem.addData((1L, ts(B), 100L), (2L, ts(B + 10L * M), 200L))
+    clkMem.addData((1L, ts(B + H), 901L), (1L, ts(B + H + M), 902L))
+    q.processAllAvailable()
+    // Sentinel advances both watermarks past every event.
+    impMem.addData((999L, ts(10L * H), 1L))
+    clkMem.addData((999L, ts(10L * H), 2L))
+    q.processAllAvailable()
+    impMem.addData((999L, ts(20L * H), 3L))
+    clkMem.addData((999L, ts(20L * H), 4L))
+    q.processAllAvailable()
+    val got = spark.table("ij_keyed")
+      .filter(col("user_id") < 999L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    q.stop()
+    val expect = Set((100L, 900L, 600L * M), (100L, 901L, H))
+    assert(got == expect, s"got $got expect $expect")
+    // Batch twin: the plain inner range join over the same finite input.
+    val imps = Seq((1L, B, 100L), (2L, B + 10L * M, 200L))
+      .toDF("user_id", "itsm", "imp_id")
+    val clks = Seq((1L, B + 600L * M, 900L), (1L, B + H, 901L),
+      (1L, B + H + M, 902L), (2L, B + 5L * M, 903L))
+      .toDF("cuser", "ctsm", "click_id")
+    val batch = imps.join(clks,
+        col("user_id") === col("cuser") && col("ctsm") >= col("itsm") &&
+          col("ctsm") <= col("itsm") + H)
+      .select(col("imp_id"), col("click_id"),
+        (col("ctsm") - col("itsm")).as("delta_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch, s"stream $got vs batch $batch")
+  }
 }
