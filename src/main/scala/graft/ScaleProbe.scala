@@ -71,6 +71,7 @@ object ScaleProbe {
       "q102_rollup", "q103_json_props",
       "q104_moving_window", "q105_token_shares", "q106_asof_join",
       "q107_asof_timeline", "q108_asof_timeline_shuffle",
+      "q188_asof_timeline_chunked",
       "q115_surprisal", "q116_tokenizer_fertility", "q117_matryoshka_recall",
       "q118_bpe_merge_pairs", "q119_ccnet_split", "q120_bigram_surprisal",
       "q121_range_join_hot_windows", "q123_funnel", "q124_pq_knn",
@@ -116,6 +117,7 @@ object ScaleProbe {
       "q106_asof_join" -> "events",
       "q107_asof_timeline" -> "events",
       "q108_asof_timeline_shuffle" -> "events",
+      "q188_asof_timeline_chunked" -> "events",
       "q117_matryoshka_recall" -> "embeddings",
       "q121_range_join_hot_windows" -> "events",
       "q123_funnel" -> "events",
@@ -262,6 +264,10 @@ object ScaleProbe {
       }
       val skewProbes = Seq("q48_sessionize_batch", "q99_session_spectrum",
         "q106_asof_join", "q107_asof_timeline", "q108_asof_timeline_shuffle",
+        // q188 is the chunked mitigation under probe: the hot key's
+        // timeline splits across hourly buckets, so max row size is
+        // bounded by bucket width × peak rate, not corpus share.
+        "q188_asof_timeline_chunked",
         // q123 packs one array per user — the hot key's 10% of the corpus
         // lands in ONE row; probed here for the same reason as q107.
         "q123_funnel",

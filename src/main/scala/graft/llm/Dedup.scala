@@ -326,6 +326,17 @@ object Dedup {
     */
   def writeDedupIndex(docs: DataFrame, idCol: String, textCol: String,
                       prefix: String, buckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    // A prior JVM's managed-table location survives in the warehouse dir
+    // while the in-memory catalog does not — overwrite alone then fails
+    // with LOCATION_ALREADY_EXISTS. Drop both the entry and the files.
+    Seq(s"${prefix}_shingles", s"${prefix}_bands").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val hs = hashedShingles(docs, idCol, textCol).cache()
     try {
       hs.write.mode("overwrite").bucketBy(buckets, "_id")

@@ -231,6 +231,27 @@ object RelationalQueries {
         broadcastTimeline = Some(false))
     },
 
+    // q107's HOT-KEY-SAFE form, gated under the identical ASOF oracle:
+    // bucketWidth chunks each key's packed timeline into one sorted
+    // array per (key, 1-day bucket), so a power-law key holding a
+    // constant corpus fraction bounds its max row by bucket width ×
+    // peak rate instead of by corpus size (SCALE.md zipf probe). Width
+    // rule: pick w near span × keys / entries so the dense directory
+    // stays entry-count-sized — a too-fine w multiplies directory rows
+    // by span/w per COLD key (the hot key is bounded either way).
+    "q188_asof_timeline_chunked" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("tsm"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", unix_micros($"ts").as("tsm"),
+          get_json_object($"props", "$.k").cast("long").as("k"))
+      graft.streaming.EventsStream.attributeStream(
+        clicks, purchases, "user_id", "tsm", "k", "last_purchase_k",
+        bucketWidth = Some(86400L * 1000000L))
+    },
+
     // Time-series smoothing: hourly counts per type with a 3-bucket
     // trailing moving sum (ROWS frame over the hourly rollup) — the
     // dashboard-smoothing window, integer-only.
@@ -2013,6 +2034,19 @@ object RelationalQueries {
     // q108 is q107 with the forced shuffle-join fallback — same relation,
     // same oracle.
     "q108_asof_timeline_shuffle" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsm FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.tsm, p.k AS last_purchase_k
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.tsm >= p.tsm""".stripMargin,
+    // q188 is q107 with the hot-key-safe chunked timeline — same
+    // relation, same oracle.
+    "q188_asof_timeline_chunked" ->
       """WITH c AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS tsm FROM events
         |  WHERE event_type = 'click'),

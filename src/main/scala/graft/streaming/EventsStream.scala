@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming surface over the `events` schema
@@ -60,13 +60,29 @@ object EventsStream {
     * Packing puts one array per key — a power-law hot key's ENTIRE
     * timeline lands in a single row. Fine for price books and rollout
     * schedules; for a timeline where one key can hold millions of rows,
+    * pass `bucketWidth = Some(w)` to take the CHUNKED form (one array
+    * per (key, ⌊ts/w⌋) time bucket — see [[attributeStreamChunked]]), or
     * use [[graft.operators.RelationalQueries.asofJoinBackward]], whose
     * per-key work is a streaming window, not a materialized array.
     */
   def attributeStream(events: DataFrame, timeline: DataFrame,
                       keyCol: String, tsCol: String, valCol: String,
                       outCol: String,
-                      broadcastTimeline: Option[Boolean] = None): DataFrame = {
+                      broadcastTimeline: Option[Boolean] = None,
+                      bucketWidth: Option[Long] = None): DataFrame =
+    bucketWidth match {
+      case Some(w) =>
+        attributeStreamChunked(events, timeline, keyCol, tsCol, valCol,
+          outCol, w)
+      case None =>
+        attributeStreamPacked(events, timeline, keyCol, tsCol, valCol,
+          outCol, broadcastTimeline)
+    }
+
+  private def attributeStreamPacked(
+      events: DataFrame, timeline: DataFrame,
+      keyCol: String, tsCol: String, valCol: String, outCol: String,
+      broadcastTimeline: Option[Boolean]): DataFrame = {
     import org.apache.spark.sql.types.LongType
     // A null-ts timeline row can never be "at or before" anything —
     // dropped at packing so both probe forms agree.
@@ -100,6 +116,121 @@ object EventsStream {
             lit(-1)).getField("_v"))
         .drop("_tl")
     }
+  }
+
+  /** Hot-key-safe CHUNKED packed timeline: same backward-ASOF contract
+    * as [[attributeStream]] (latest at-or-before entry per key; greatest
+    * value wins equal-ts ties, a sole latest null-valued entry yields
+    * null), but the timeline packs one sorted array per (key, time
+    * bucket of width `bucketWidth`) instead of one per key — so a
+    * power-law key holding a constant fraction of the corpus puts at
+    * most `bucketWidth × its-peak-rate` entries in any single row,
+    * bounded by the caller's width choice rather than the corpus size.
+    *
+    * Shape, and why each piece is bounded at 100 TB:
+    *  - per-(key,bucket) arrays: size ≤ entries falling in one width-w
+    *    window of that key — the caller's knob, independent of scale;
+    *  - a DENSE per-key bucket directory (`sequence(minb, maxb)`) whose
+    *    row count is timeline-span/w per key — bounded by wall-clock
+    *    time covered, not by data volume. Width rule: w ≈ span × keys /
+    *    entries keeps the directory entry-count-sized (a finer w
+    *    multiplies directory rows by span/w per COLD key while buying
+    *    nothing — the hot key's max row is bounded at any w);
+    *  - each dense bucket carries `_carry`, the greatest (ts, value)
+    *    entry of all EARLIER buckets — computed as a running max over
+    *    SLIM (key, bucket, tail-struct) rows, so the window's sort
+    *    shuffle never moves the entry arrays, only one struct per
+    *    bucket; the arrays join back on the (key, bucket) key after;
+    *  - the whole timeline side (directory + arrays + per-key summary)
+    *    is `localCheckpoint`ed once — timeline-span-sized, computed a
+    *    single time even though the events side references it twice
+    *    (and, for a streaming `events`, once across all micro-batches);
+    *  - the events side is SINGLE-PASS: one left join on (key, ⌊ts/w⌋)
+    *    against the directory plus one left join on key against the
+    *    one-row-per-key summary, then a single CASE. A hit
+    *    binary-searches its bucket
+    *    ([[graft.functions.NativeExpressions]] `asof_probe`,
+    *    O(log bucket-size)) and falls back to `_carry` when the bucket
+    *    has no at-or-before entry; a miss (event bucket outside the
+    *    key's range, or key absent) resolves to the key's final entry
+    *    after the last bucket, else null. Events are never scanned or
+    *    shuffled twice.
+    *
+    * Requires a BIGINT `tsCol` on both sides (bucket arithmetic is exact
+    * integer `div`/`pmod` — no double rounding at ±2⁶³ edges).
+    * Works on streaming `events` (all joins are stream-static).
+    */
+  def attributeStreamChunked(events: DataFrame, timeline: DataFrame,
+                             keyCol: String, tsCol: String, valCol: String,
+                             outCol: String, bucketWidth: Long): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.expressions.Window
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    require(Seq(timeline.schema(tsCol).dataType,
+        events.schema(tsCol).dataType).forall(_ == LongType),
+      s"chunked timeline requires BIGINT $tsCol on both sides")
+    graft.functions.NativeExpressions.register(events.sparkSession)
+    // Exact floor-division bucket id (pmod is non-negative, so
+    // ts - pmod(ts, w) is floorDiv(ts, w) * w even for negative ts).
+    def bucketOf(c: String): Column =
+      expr(s"(`$c` - pmod(`$c`, ${bucketWidth}L)) div ${bucketWidth}L")
+
+    val entries = timeline.filter(col(tsCol).isNotNull)
+      .select(col(keyCol), col(tsCol).as("_t"), col(valCol).as("_v"))
+      .withColumn("_b", bucketOf("_t"))
+    // Bucket-level arrays, materialized once (they feed the tails, the
+    // summary, and the final directory join).
+    val perBucket = entries.groupBy(col(keyCol), col("_b"))
+      .agg(array_sort(collect_list(struct(col("_t"), col("_v")))).as("_tl"))
+      .localCheckpoint(true)
+    // Slim per-bucket tail: one struct per bucket — everything below the
+    // carry window moves these, never the arrays.
+    val tails = perBucket.select(col(keyCol), col("_b"),
+      try_element_at(col("_tl"), lit(-1)).as("_tail"))
+    // One row per key: bucket range + the globally-latest entry (max of
+    // per-bucket tails = lexicographic greatest (ts, value) struct,
+    // matching the packed form's tie rule).
+    val summary = tails.groupBy(col(keyCol))
+      .agg(min("_b").as("_minb"), max("_b").as("_maxb"),
+        max(col("_tail")).as("_final"))
+    // Dense directory: every bucket in [minb, maxb] exists (empty ones
+    // with null _tl), so an in-range event always joins a row whose
+    // _carry is exact — no per-event search for "latest non-empty
+    // bucket". The running max ignores null tails of empty buckets.
+    val wCarry = Window.partitionBy(col(keyCol)).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = summary
+      .select(col(keyCol), explode(sequence(col("_minb"), col("_maxb"))).as("_b"))
+      .join(tails, Seq(keyCol, "_b"), "left")
+      .withColumn("_carry", max(col("_tail")).over(wCarry))
+      .drop("_tail")
+      .join(perBucket, Seq(keyCol, "_b"), "left")
+      .withColumn("_hit", lit(true))
+      .localCheckpoint(true)
+
+    val evCols = events.columns.map(col)
+    // Single pass over events: directory join on (key, bucket), summary
+    // join on key, one CASE.
+    //  - Hit (directory row): probe the bucket iff its FIRST entry is
+    //    at-or-before the event (asof_probe returns null both for "no
+    //    entry" and "null-valued winner", so the guard keeps a
+    //    null-valued in-bucket winner from leaking through to _carry).
+    //  - Miss (no directory row — event bucket outside [minb, maxb], or
+    //    key absent): after the last bucket every entry is at-or-before
+    //    → the key's final entry; before the first, or no key at all
+    //    (null _maxb) → null.
+    events.withColumn("_b", bucketOf(tsCol))
+      .join(buckets, Seq(keyCol, "_b"), "left")
+      .join(summary.select(col(keyCol), col("_maxb"), col("_final")),
+        Seq(keyCol), "left")
+      .withColumn(outCol,
+        when(col("_hit").isNotNull,
+          when(try_element_at(col("_tl"), lit(1)).getField("_t") <= col(tsCol),
+            call_function("asof_probe", col("_tl"), col(tsCol)))
+          .otherwise(col("_carry").getField("_v")))
+        .otherwise(
+          when(col("_b") > col("_maxb"), col("_final").getField("_v"))))
+      .select(evCols :+ col(outCol): _*)
   }
 
   case class Event(ts: java.sql.Timestamp, event_type: String, value: Double)

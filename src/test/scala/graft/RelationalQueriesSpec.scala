@@ -178,6 +178,22 @@ class RelationalQueriesSpec extends SparkSpec {
           s"attributeStream($hint) event $id: expected $e got ${tl(id)}")
       }
     }
+    // The chunked (hot-key-safe) form must agree too, across widths that
+    // exercise every path: width 1 (singleton buckets → carry/miss rows
+    // dominate), a mid width (mixed hit/carry), and a width so large every
+    // key collapses to one bucket (degenerates to the packed form).
+    for (w <- Seq(1L, 7L, 1000000L)) {
+      val tl = graft.streaming.EventsStream.attributeStream(
+          left, right, "user_id", "tsm", "k", "v",
+          bucketWidth = Some(w))
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[Any]("v")).map(_.asInstanceOf[Long])).toMap
+      assert(tl.size == expect.size, s"chunked(w=$w) row count: ${tl.size}")
+      expect.foreach { case (id, e) =>
+        assert(tl(id) == e,
+          s"attributeStreamChunked(w=$w) event $id: expected $e got ${tl(id)}")
+      }
+    }
   }
 
   test("asof join: null-valued latest row yields null, matching the ASOF oracle") {
@@ -204,6 +220,15 @@ class RelationalQueriesSpec extends SparkSpec {
       val tl = run(graft.streaming.EventsStream.attributeStream(
         clicks, purchases, "user_id", "tsm", "k", "v", hint))
       assert(tl == expect, s"attributeStream($hint): $tl")
+    }
+    // Chunked form: width 40 splits ts∈{100,120,150,200} across buckets so
+    // click 2 (ts=120, bucket 3) resolves via _carry from bucket 2, and the
+    // null-valued sole-latest row must still win for click 1.
+    for (w <- Seq(1L, 40L, 1000L)) {
+      val tl = run(graft.streaming.EventsStream.attributeStream(
+        clicks, purchases, "user_id", "tsm", "k", "v",
+        bucketWidth = Some(w)))
+      assert(tl == expect, s"attributeStreamChunked(w=$w): $tl")
     }
   }
 
