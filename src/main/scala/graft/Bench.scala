@@ -37,6 +37,25 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Load guard: identical code has benched 2-3× apart on this shared
+    // box purely from concurrent sbt/Spark runs (rounds 5, 7-8, 12 all
+    // burned a false-regression adjudication on it). Sampling
+    // /proc/loadavg before every query and counting sibling JVMs makes
+    // the artifact self-identify dirty runs instead.
+    def load1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def javaProcs(): Int =
+      try ProcessHandle.allProcesses()
+        .filter(p => p.info().command()
+          .map[java.lang.Boolean](_.contains("java")).orElse(false))
+        .count().toInt
+      catch { case _: Throwable => -1 }
+    val loadPre = load1()
+    val javasPre = javaProcs()
+    var loadMax = loadPre
+
     // Warmup: touches every table-read path + codegen once, unrecorded.
     run("q03_join_agg_regional_revenue")
 
@@ -67,11 +86,24 @@ object Bench {
       Thread.sleep(250)
     }
     val results = names.map { n =>
+      loadMax = math.max(loadMax, load1())
       val v = (1 to runs).map(_ => run(n)).min
       hygiene()
       n -> v
     }
     val total = results.map(_._2).sum
+    val loadPost = load1()
+    loadMax = math.max(loadMax, loadPost)
+    val javasPost = javaProcs()
+    // A lone bench is THIS sbt fork + the sbt launcher (2 JVMs); load1
+    // beyond half the worker threads, or extra sibling JVMs, means the
+    // numbers carry someone else's CPU time — flag, don't fail.
+    val dirty = loadMax > cpus.toInt / 2.0 ||
+      math.max(javasPre, javasPost) > 2
+    if (dirty)
+      println(s"BENCH WARN: dirty run — load1 max $loadMax " +
+        s"(cpus=$cpus), java procs $javasPre->$javasPost; " +
+        "treat per-query drifts as noise")
     def fmt(d: Int)(v: Double): String =
       s"%.${d}f".formatLocal(java.util.Locale.ROOT, v)
     // runs is part of the record: each value is a min-of-`runs`, and
@@ -80,7 +112,7 @@ object Bench {
                  key: String => String = identity): String = {
       val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + q(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(3)(total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(3)(total)},"unit":"sec","runs":$runs,"load":{"pre":${fmt(2)(loadPre)},"max":${fmt(2)(loadMax)},"post":${fmt(2)(loadPost)},"javas":[$javasPre,$javasPost],"dirty":$dirty},"queries":$qs,"sf":"$sfDir"}"""
     }
     // The driver parses this line out of a 2000-char output tail — full
     // 9-decimal doubles overflowed it at 59 queries and silently zeroed

@@ -557,6 +557,18 @@ object Similarity {
     * corpus outgrows `maxCentroidsPerSub`, keeping assignment O(n·k)
     * linear in n.
     *
+    * `trainCap` bounds the TRAINING set: a deterministic md5-draw
+    * (the q52 ppm device — `hashU32(id) · 10⁶ < rate_ppm · 2³²` with
+    * `rate_ppm = min(10⁶, trainCap·10⁶ div n)`, integer-exact and
+    * engine-replayable) keeps ~`trainCap` vectors for the iteration
+    * loop, while encoding/assignment stay full-corpus. This flattens
+    * the cap-crossing decade: without it each training round costs
+    * O(n·k) with k pinned at `maxCentroidsPerSub`; with it the rounds
+    * cost O(trainCap·k) — constant in n — and only the single final
+    * assignment is corpus-sized. k-means on an ε-sample loses O(ε)
+    * quantization quality, not correctness (codes are nearest-entry by
+    * construction either way). `trainCap <= 0` disables sampling.
+    *
     * Scale shape per round: assignment is map-only against the broadcast
     * codebook (m·k·(dim/m) = k·dim doubles — the same budget as one
     * [[kMeans]] centroid table); the update is one
@@ -566,11 +578,26 @@ object Similarity {
     */
   def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
               m: Int = 8, dim: Int = 64, centroidEvery: Int = 64,
-              iters: Int = 2, maxCentroidsPerSub: Int = 1024): DataFrame = {
+              iters: Int = 2, maxCentroidsPerSub: Int = 1024,
+              trainCap: Int = 65536): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     graft.functions.NativeExpressions.register(corpus.sparkSession)
-    val subvecs = subVectors(corpus, idCol, vecCol, m, dim)
-    val mod = corpus.agg(
+    val train =
+      if (trainCap <= 0) corpus
+      else {
+        // rate_ppm = min(10⁶, trainCap·10⁶ div n): at rate 10⁶ the test
+        // draw·10⁶ < 10⁶·2³² is a tautology (draw < 2³²), so small
+        // corpora train in full; all arithmetic stays under 2⁶³.
+        val rate = corpus.agg(count(lit(1)).as("_n"))
+          .select(least(lit(1000000L),
+            expr(s"${trainCap.toLong * 1000000L}L div _n")).as("_ppm"))
+        corpus.crossJoin(broadcast(rate))
+          .filter(graft.llm.Corpus.hashU32(col(idCol), "pqtrain:")
+            * 1000000L < col("_ppm") * 4294967296L)
+          .drop("_ppm")
+      }
+    val subvecs = subVectors(train, idCol, vecCol, m, dim)
+    val mod = train.agg(
       greatest(lit(centroidEvery.toLong),
         ceil(count(lit(1)).cast("double") / maxCentroidsPerSub).cast("long"))
         .as("_every"))
@@ -630,9 +657,9 @@ object Similarity {
   def pqKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
             vecCol: String, k: Int = 10, shortlist: Int = 50, m: Int = 8,
             dim: Int = 64, centroidEvery: Int = 64,
-            iters: Int = 2): DataFrame = {
+            iters: Int = 2, trainCap: Int = 65536): DataFrame = {
     val codebook = trainPq(corpus, idCol, vecCol, m, dim, centroidEvery,
-      iters)
+      iters, trainCap = trainCap)
     val recon = pqAssign(subVectors(corpus, idCol, vecCol, m, dim), codebook)
       .join(broadcast(codebook), Seq("_sub", "_cid"))
       .groupBy(col("_vid"))
@@ -668,9 +695,10 @@ object Similarity {
     */
   def writePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                    dir: String, m: Int = 8, dim: Int = 64,
-                   centroidEvery: Int = 64, iters: Int = 2): Unit = {
+                   centroidEvery: Int = 64, iters: Int = 2,
+                   trainCap: Int = 65536): Unit = {
     val codebook = trainPq(corpus, idCol, vecCol, m, dim, centroidEvery,
-      iters)
+      iters, trainCap = trainCap)
     codebook.write.mode("overwrite").parquet(s"$dir/codebook")
     pqEncode(corpus, idCol, vecCol, codebook, m, dim)
       .write.mode("overwrite").parquet(s"$dir/codes")

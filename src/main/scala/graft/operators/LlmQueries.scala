@@ -1016,11 +1016,14 @@ object LlmQueries {
     // memory story: 256 bytes/vector → 8 codes + one broadcast
     // codebook. Oracle replays the entire train/encode/score chain in
     // SQL — rounded centroid updates make every round's codebook
-    // bit-identical across engines.
+    // bit-identical across engines. trainCap=256 exercises the bounded
+    // md5-draw training sample (the scale path: iteration cost is
+    // O(trainCap·k), constant in corpus size) — the oracle replays the
+    // identical draw, so the sample is part of the gated algorithm.
     "q124_pq_knn" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       Similarity.pqKnn(e, e.filter(col("vec_id") % 100 === 0),
-        "vec_id", "embedding", k = 10, centroidEvery = 8)
+        "vec_id", "embedding", k = 10, centroidEvery = 8, trainCap = 256)
     },
 
     // Exact top-20 tokens through the two-pass Misra-Gries shortlist —
@@ -3153,7 +3156,7 @@ object LlmQueries {
     // pipeline this deep replayable: no engine's summation-order ulp
     // survives the rounding.
     "q124_pq_knn" -> {
-      def assignSql(cTable: String, name: String): String =
+      def assignSql(subsTable: String, cTable: String, name: String): String =
         s"""$name AS (
            |  SELECT vec_id, sub, cid FROM (
            |    SELECT sv.vec_id, sv.sub, c.cid,
@@ -3161,30 +3164,42 @@ object LlmQueries {
            |        (list_dot_product(sv.sv, sv.sv)
            |         - 2.0 * list_dot_product(sv.sv, c.cv)
            |         + list_dot_product(c.cv, c.cv)) ASC, c.cid ASC) AS rn
-           |    FROM subs sv JOIN $cTable c ON c.sub = sv.sub) WHERE rn = 1)"""
+           |    FROM $subsTable sv JOIN $cTable c ON c.sub = sv.sub) WHERE rn = 1)"""
           .stripMargin
       def updateSql(aTable: String, name: String): String =
         s"""$name AS (
            |  SELECT sub, cid, list(m ORDER BY pos) AS cv FROM (
            |    SELECT a.sub, a.cid, g.pos, round(avg(sv.sv[g.pos]), 6) AS m
-           |    FROM $aTable a JOIN subs sv
+           |    FROM $aTable a JOIN tsubs sv
            |      ON sv.vec_id = a.vec_id AND sv.sub = a.sub,
            |      LATERAL UNNEST(generate_series(1, 8)) AS g(pos)
            |    GROUP BY 1, 2, 3)
            |  GROUP BY 1, 2)""".stripMargin
       s"""WITH emb AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |rate AS (
+         |  SELECT least(1000000, 256000000 // count(*)) AS ppm FROM emb),
+         |trn AS (
+         |  SELECT vec_id, v FROM emb, rate
+         |  WHERE list_reduce(list_transform(
+         |      string_split(substr(md5('pqtrain:' || CAST(vec_id AS VARCHAR)), 1, 8), ''),
+         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+         |      (a, b) -> a * 16 + b) * 1000000 < ppm * 4294967296),
          |subs AS (
          |  SELECT vec_id, s.sub,
          |    list_slice(v, s.sub * 8 + 1, s.sub * 8 + 8) AS sv
          |  FROM emb, (SELECT unnest(generate_series(0, 7)) AS sub) s),
+         |tsubs AS (
+         |  SELECT vec_id, s.sub,
+         |    list_slice(v, s.sub * 8 + 1, s.sub * 8 + 8) AS sv
+         |  FROM trn, (SELECT unnest(generate_series(0, 7)) AS sub) s),
          |c0 AS (
-         |  SELECT sub, vec_id AS cid, sv AS cv FROM subs WHERE vec_id % 8 = 0),
-         |${assignSql("c0", "a0")},
+         |  SELECT sub, vec_id AS cid, sv AS cv FROM tsubs WHERE vec_id % 8 = 0),
+         |${assignSql("tsubs", "c0", "a0")},
          |${updateSql("a0", "c1")},
-         |${assignSql("c1", "a1")},
+         |${assignSql("tsubs", "c1", "a1")},
          |${updateSql("a1", "c2")},
-         |${assignSql("c2", "a2")},
+         |${assignSql("subs", "c2", "a2")},
          |recon AS (
          |  SELECT a.vec_id, flatten(list(c.cv ORDER BY a.sub)) AS rv
          |  FROM a2 a JOIN c2 c ON c.sub = a.sub AND c.cid = a.cid
