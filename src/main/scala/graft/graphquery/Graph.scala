@@ -1,6 +1,7 @@
 package graft.graphquery
 
 import org.apache.spark.sql.DataFrame
+import graft.Checkpoints.CutOps
 import org.apache.spark.sql.functions._
 
 /** Distributed graph analytics beyond pattern matching ([[Bgp]]) and the
@@ -57,16 +58,16 @@ object Graph {
         .groupBy(col("_src"), col("_dst")).agg(sum(col("_w")).as("_w"))
       case None => edges.select(col(srcCol).as("_src"),
           col(dstCol).as("_dst")).distinct().withColumn("_w", lit(1L))
-    }).localCheckpoint()
+    }).cutLineage()
     val nodes = e.select(col("_src").as("node"))
       .union(e.select(col("_dst").as("node"))).distinct()
-      .localCheckpoint()
+      .cutLineage()
     val outDeg = e.groupBy(col("_src")).agg(sum(col("_w")).as("_deg"))
     // Degree is joined once, up front, and the result pinned to a
     // src-hash partitioning — the per-iteration join then only shuffles
     // the rank side.
     val edgesDeg = e.join(outDeg, "_src")
-      .repartition(col("_src")).localCheckpoint()
+      .repartition(col("_src")).cutLineage()
     val zero = nodes.select(col("node"), lit(0L).as("_c"))
     val base = lit((100L - dampPct) * 10000000L)
     var ranks = nodes.withColumn("rank_ppb", lit(1000000000L))
@@ -81,7 +82,7 @@ object Graph {
         .groupBy(col("node")).agg(
           (base + expr(s"($dampPct * sum(_c)) div 100"))
             .cast("long").as("rank_ppb"))
-        .localCheckpoint()
+        .cutLineage()
     }
     ranks
   }
@@ -113,7 +114,7 @@ object Graph {
         .groupBy(col("_src"), col("_dst")).agg(sum(col("_w")).as("_w"))
       case None => edges.select(col(srcCol).as("_src"),
           col(dstCol).as("_dst")).distinct().withColumn("_w", lit(1L))
-    }).localCheckpoint()
+    }).cutLineage()
     val nodes = e.select(col("_src").as("node"))
       .union(e.select(col("_dst").as("node"))).distinct()
     val seedSet = seeds.select(col(seedCol).as("node")).distinct()
@@ -122,10 +123,10 @@ object Graph {
       .select(col("node"),
         when(col("_isSeed"), lit((100L - dampPct) * 10000000L))
           .otherwise(lit(0L)).as("_b"))
-      .localCheckpoint()
+      .cutLineage()
     val outDeg = e.groupBy(col("_src")).agg(sum(col("_w")).as("_deg"))
     val edgesDeg = e.join(outDeg, "_src")
-      .repartition(col("_src")).localCheckpoint()
+      .repartition(col("_src")).cutLineage()
     var ranks = bVec.select(col("node"),
       when(col("_b") > 0L, lit(1000000000L)).otherwise(lit(0L))
         .as("rank_ppb"))
@@ -140,7 +141,7 @@ object Graph {
         .join(bVec, "node")
         .select(col("node"), (col("_t") + col("_b")).cast("long")
           .as("rank_ppb"))
-        .localCheckpoint()
+        .cutLineage()
     }
     ranks
   }
@@ -166,7 +167,7 @@ object Graph {
         least(col(srcCol), col(dstCol)).as("_a"),
         greatest(col(srcCol), col(dstCol)).as("_b"))
       .filter(col("_a") =!= col("_b"))
-      .distinct().localCheckpoint()
+      .distinct().cutLineage()
     val deg = und.select(col("_a").as("_n"))
       .union(und.select(col("_b").as("_n")))
       .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
@@ -183,7 +184,7 @@ object Graph {
             col("_da").as("_dv"))).as("_e"))
       .select(col("_e._u").as("_u"), col("_e._v").as("_v"),
         col("_e._dv").as("_dv"))
-      .localCheckpoint()
+      .cutLineage()
     // Wedges (v, w) around a common lowest-ranked apex u, canonicalized
     // v < w in rank order; a triangle exists iff (v, w) is itself an
     // oriented edge (it must point v→w: rank is a total order).
@@ -222,7 +223,7 @@ object Graph {
         least(col(srcCol), col(dstCol)).as("_a"),
         greatest(col(srcCol), col(dstCol)).as("_b"))
       .filter(col("_a") =!= col("_b"))
-      .distinct().localCheckpoint()
+      .distinct().cutLineage()
     var und = und0
     var survivors = -1L
     var done = false
@@ -230,7 +231,7 @@ object Graph {
       val deg = und.select(col("_a").as("_n"))
         .union(und.select(col("_b").as("_n")))
         .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
-      val keep = deg.filter(col("_d") >= k).localCheckpoint()
+      val keep = deg.filter(col("_d") >= k).cutLineage()
       val n = keep.count()
       if (n == survivors || n == 0) done = true
       else {
@@ -238,7 +239,7 @@ object Graph {
         und = und
           .join(keep.select(col("_n").as("_a")), Seq("_a"), "left_semi")
           .join(keep.select(col("_n").as("_b")), Seq("_b"), "left_semi")
-          .localCheckpoint()
+          .cutLineage()
       }
     }
     und.select(col("_a").as("_n"))
@@ -276,8 +277,8 @@ object Graph {
       .filter(col("_u") =!= col("_v"))
     val bi = und.union(und.select(col("_v"), col("_u")))
       .distinct().withColumnRenamed("_u", "_n")
-      .repartition(col("_n")).localCheckpoint()
-    val nodes = bi.select(col("_n").as("node")).distinct().localCheckpoint()
+      .repartition(col("_n")).cutLineage()
+    val nodes = bi.select(col("_n").as("node")).distinct().cutLineage()
     var labels = nodes.withColumn("label", col("node"))
     val w = Window.partitionBy(col("_n"))
       .orderBy(col("_cnt").desc, col("label").asc)
@@ -288,7 +289,7 @@ object Graph {
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
         .select(col("_n").as("node"), col("label"))
-        .localCheckpoint()
+        .cutLineage()
     }
     // Isolated nodes never appear in `bi`; with self-loop-only input the
     // node set is empty and so is the result — documented.
@@ -317,8 +318,8 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
-      .distinct().repartition(col("_s")).localCheckpoint()
-    var visited = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
+      .distinct().repartition(col("_s")).cutLineage()
+    var visited = Seq((source, 0L)).toDF("node", "dist").cutLineage()
     var frontier = visited
     var round = 0
     while (round < maxIters && !frontier.isEmpty) {
@@ -328,8 +329,8 @@ object Graph {
         .select(col("_d").as("node"), (col("dist") + 1L).as("dist"))
         .distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
-        .localCheckpoint()
-      visited = visited.union(frontier).localCheckpoint()
+        .cutLineage()
+      visited = visited.union(frontier).cutLineage()
     }
     visited
   }

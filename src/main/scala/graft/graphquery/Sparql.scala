@@ -78,6 +78,12 @@ object Sparql {
                          proj: Seq[ProjElem], where: Seq[Pattern],
                          groupBy: Seq[String], limit: Option[Int])
 
+  /** CONSTRUCT query: a triple template instantiated once per WHERE
+    * solution. LIMIT (when present) bounds the solution sequence before
+    * instantiation, per the SPARQL algebra. */
+  final case class ConstructQuery(template: Seq[Triple],
+                                  where: Seq[Pattern], limit: Option[Int])
+
   // ---------------------------------------------------------- tokenizer
   private val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
@@ -205,6 +211,25 @@ object Sparql {
     }
 
     def parseQuery(): Query = {
+      parsePrefixes()
+      parseSelect()
+    }
+
+    def parseConstructQuery(): ConstructQuery = {
+      parsePrefixes()
+      eatWord("CONSTRUCT")
+      val template = parseTemplate()
+      eatWord("WHERE")
+      val where = parseGroup()
+      val limit =
+        if (tryWord("LIMIT")) Some(next() match {
+          case TNum(s) => s.toInt
+          case other => sys.error(s"expected number after LIMIT, got $other")
+        }) else None
+      ConstructQuery(template, where, limit)
+    }
+
+    private def parsePrefixes(): Unit =
       while (tryWord("PREFIX")) {
         val (name, iri) = next() match {
           case p: TPName => next() match {
@@ -215,7 +240,24 @@ object Sparql {
         }
         prefixes(name) = iri
       }
-      parseSelect()
+
+    /** CONSTRUCT template: plain triples only (`;`/`,` lists and `a`
+      * allowed). Multi-step/inverse paths and bracketed blank nodes
+      * would introduce fresh variables the WHERE clause never binds —
+      * the compiler's bound-variable check rejects them with a clear
+      * message rather than constructing silently-wrong triples. */
+    private def parseTemplate(): Seq[Triple] = {
+      eatPunct("{")
+      val pats = Seq.newBuilder[Pattern]
+      while (!peek.contains(TPunct("}"))) {
+        pats ++= parseTriplesSameSubject()
+        tryPunct(".")
+      }
+      eatPunct("}")
+      pats.result().map {
+        case t: Triple => t
+        case other => sys.error(s"CONSTRUCT template holds only triples, got $other")
+      }
     }
 
     private def parseSelect(): Query = {
@@ -485,8 +527,14 @@ object Sparql {
   def parse(query: String): Query = new P(tokenize(query)).parseQuery()
 
   // ----------------------------------------------------------- compiler
+  // Hidden per-variable term metadata, carried beside each binding:
+  // language tag (LANGMATCHES + CONSTRUCT), IRI-ness and datatype
+  // (CONSTRUCT reproduces the full RDF term, not just its lexical form).
   private val LangSuffix = "__lang"
-  private def isMeta(c: String) = c.endsWith(LangSuffix)
+  private val IsIriSuffix = "__isiri"
+  private val DtSuffix = "__dt"
+  private def isMeta(c: String) =
+    c.endsWith(LangSuffix) || c.endsWith(IsIriSuffix) || c.endsWith(DtSuffix)
   private def isHidden(c: String) = c.startsWith("_") || isMeta(c)
 
   /** Compile + run: returns a DataFrame with one column per projected
@@ -494,6 +542,80 @@ object Sparql {
     */
   def select(triples: DataFrame, query: String): DataFrame =
     compileQuery(parse(query), triples)
+
+  /** Parse a SPARQL CONSTRUCT string into the AST. */
+  def parseConstruct(query: String): ConstructQuery =
+    new P(tokenize(query)).parseConstructQuery()
+
+  /** Compile + run a CONSTRUCT: returns the constructed graph as a
+    * canonical-schema triples DataFrame (s, p, o, oIsIri, oLang,
+    * oDatatype) — the same relation [[graft.rdf.DerivedGraph]] produces
+    * and [[graft.rdf.NTriples.line]] renders, so a parsed CONSTRUCT
+    * slots directly into the proven emission path (U3/K2 machinery).
+    *
+    * Spark-first shape: the WHERE clause compiles to the one join plan
+    * [[select]] would build; each template triple is then a column-level
+    * projection of that SINGLE solution set, the projections union, and
+    * one `distinct()` realizes RDF's set-of-triples semantics. Solutions
+    * are never re-derived per template triple, and nothing is
+    * interpreted per row.
+    *
+    * Term semantics: a template triple whose variables carry any
+    * unbound (null) binding for that solution produces NO triple (the
+    * SPARQL instantiation rule for OPTIONAL-unbound vars); object
+    * variables reproduce their bound term's lang/datatype/IRI-ness from
+    * the hidden metadata; subject- and predicate-bound variables are
+    * IRIs by the RDF data model. A VALUES/BIND-introduced variable with
+    * no metadata constructs as a plain literal.
+    */
+  def construct(triples: DataFrame, query: String): DataFrame =
+    compileConstruct(parseConstruct(query), triples)
+
+  private def compileConstruct(cq: ConstructQuery,
+                               triples: DataFrame): DataFrame = {
+    var sol = compileGroup(cq.where, triples)
+    cq.limit.foreach(n => sol = sol.limit(n))
+    val cols = sol.columns.toSet
+    val nullStr = lit(null).cast("string")
+    def bound(x: String, pos: String): Column = {
+      require(cols(x), s"CONSTRUCT template $pos variable ?$x is not bound " +
+        "by the WHERE clause (multi-step paths and blank nodes are not " +
+        "template forms)")
+      col(x)
+    }
+    val parts = cq.template.map { case Triple(ts, tv, to) =>
+      val sc = ts match {
+        case V(x) => bound(x, "subject")
+        case I(iri) => lit(iri)
+        case _: L => sys.error("literal subject in CONSTRUCT template")
+      }
+      val pc = tv match {
+        case PVar(x) => bound(x, "predicate")
+        case Path(Seq(Step(iri, false))) => lit(iri)
+        case other => sys.error(s"CONSTRUCT template predicate must be a " +
+          s"single forward IRI or a variable, got $other")
+      }
+      val (oc, oIri, oLang, oDt) = to match {
+        case V(x) =>
+          (bound(x, "object"),
+            if (cols(x + IsIriSuffix)) coalesce(col(x + IsIriSuffix), lit(false))
+            else lit(false),
+            if (cols(x + LangSuffix)) col(x + LangSuffix) else nullStr,
+            if (cols(x + DtSuffix)) col(x + DtSuffix) else nullStr)
+        case I(iri) => (lit(iri), lit(true), nullStr, nullStr)
+        case L(lex, lang, dt, _) =>
+          (lit(lex), lit(false),
+            lang.map(l => lit(l).cast("string")).getOrElse(nullStr),
+            dt.map(d => lit(d).cast("string")).getOrElse(nullStr))
+      }
+      sol.select(sc.cast("string").as("s"), pc.cast("string").as("p"),
+          oc.cast("string").as("o"), oIri.as("oIsIri"),
+          oLang.as("oLang"), oDt.as("oDatatype"))
+        .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+    }
+    require(parts.nonEmpty, "empty CONSTRUCT template")
+    parts.reduce(_ unionByName _).distinct()
+  }
 
   /** The reference's executeSimpleSelectQuery contract
     * (DcatAp11ToCkanBatch.java:627-641): single-var single-row lookup,
@@ -613,20 +735,34 @@ object Sparql {
     }
     if (selfRef) df = df.filter(col(subjCol) === col(objCol))
     val sels = Seq.newBuilder[Column]
+    val seen = scala.collection.mutable.Set[String]()
+    def add(name: String, c: Column): Unit =
+      if (seen.add(name)) sels += c.as(name)
+    val nullStr = lit(null).cast("string")
+    // Subject/predicate-bound variables are IRIs by the RDF data model;
+    // their metadata is constant. Object-bound metadata is data-driven
+    // and added first below, so it wins for self-referential patterns.
+    def iriMeta(x: String): Unit = {
+      add(x + LangSuffix, nullStr)
+      add(x + IsIriSuffix, lit(true))
+      add(x + DtSuffix, nullStr)
+    }
     t.s match {
-      case V(x) => sels += col(subjCol).as(x)
+      case V(x) => add(x, col(subjCol))
       case I(iri) => df = df.filter(col(subjCol) === iri)
       case L(lex, _, _, _) => df = df.filter(col(subjCol) === lex)
     }
     t.v match {
-      case PVar(x) => sels += col("p").as(x)
+      case PVar(x) => add(x, col("p"))
       case _ => ()
     }
     t.o match {
       case V(x) =>
-        if (!selfRef) sels += col(objCol).as(x)
-        sels += (if (forward) col("oLang") else lit(null).cast("string"))
-          .as(x + LangSuffix)
+        add(x, col(objCol))
+        // Inverse paths bind the stored SUBJECT column — an IRI.
+        add(x + LangSuffix, if (forward) col("oLang") else nullStr)
+        add(x + IsIriSuffix, if (forward) col("oIsIri") else lit(true))
+        add(x + DtSuffix, if (forward) col("oDatatype") else nullStr)
       case I(iri) =>
         df = df.filter(col(objCol) === iri &&
           (if (forward) col("oIsIri") else lit(true)))
@@ -637,6 +773,8 @@ object Sparql {
           dt.foreach(d => df = df.filter(col("oDatatype") === d))
         }
     }
+    t.s match { case V(x) => iriMeta(x); case _ => () }
+    t.v match { case PVar(x) => iriMeta(x); case _ => () }
     df.select(sels.result(): _*)
   }
 

@@ -1062,4 +1062,55 @@ object Corpus {
     cand.withColumn("kmv_rank", row_number().over(w2).cast("long"))
       .filter(col("kmv_rank") <= k)
   }
+
+  /** Persist a [[kmvSketch]] as a parquet k-slot table (stratum, h) —
+    * the sign-once discipline (`writeDedupIndex`/`writeIvfIndex`) for
+    * cardinality sketches: the corpus is hashed ONCE; later batches
+    * merge via [[mergeKmvIndex]] and dashboards estimate via
+    * [[readKmvIndex]] without ever re-reading indexed data. The table
+    * is ≤ k·|strata| rows at any corpus size.
+    */
+  def writeKmvIndex(df: DataFrame, keyCol: String, stratumCol: String,
+                    k: Int, dir: String, salt: String = "kmv:",
+                    saltBuckets: Int = 16): Unit =
+    kmvSketch(df, keyCol, stratumCol, k, salt, saltBuckets)
+      .select(col("stratum"), col("h"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Merge a NEW batch into a stored KMV index: sketch the batch alone
+    * (one pass over the batch, nothing else read), union with the
+    * stored k-slots, keep the k smallest distinct per stratum. EXACTLY
+    * the sketch of the concatenated corpora — KMV is mergeable because
+    * the global k-smallest of A∪B is contained in (A's k-smallest) ∪
+    * (B's k-smallest): a hash outside a side's k-smallest has ≥ k
+    * smaller hashes on that side alone, so it cannot be in the global
+    * k-smallest. Estimates served from the merged index therefore
+    * hash-match a from-scratch sketch bit for bit (q189's gate).
+    */
+  def mergeKmvIndex(batch: DataFrame, keyCol: String, stratumCol: String,
+                    k: Int, dir: String, salt: String = "kmv:",
+                    saltBuckets: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    val stored = spark.read.parquet(dir).select(col("stratum"), col("h"))
+    val bsk = kmvSketch(batch, keyCol, stratumCol, k, salt, saltBuckets)
+      .select(col("stratum"), col("h"))
+    val w = Window.partitionBy(col("stratum")).orderBy(col("h").asc)
+    val merged = stored.unionByName(bsk).distinct()
+      .withColumn("_r", row_number().over(w)).filter(col("_r") <= k)
+      .drop("_r")
+    // ≤ k·|strata| rows; the eager cut also breaks the read→overwrite
+    // cycle on `dir`.
+    graft.Checkpoints.cutEager(merged)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Stored KMV index with ranks restored — the same (stratum, h,
+    * kmv_rank) relation [[kmvSketch]] emits, read from the k-slot
+    * table instead of the corpus. */
+  def readKmvIndex(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame = {
+    val w = Window.partitionBy(col("stratum")).orderBy(col("h").asc)
+    spark.read.parquet(dir)
+      .withColumn("kmv_rank", row_number().over(w).cast("long"))
+  }
 }

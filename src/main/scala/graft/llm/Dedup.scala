@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.Checkpoints.CutOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -178,7 +179,7 @@ object Dedup {
     // released before returning — in a long-lived session the per-call
     // cached shingle blocks would otherwise accumulate in storage memory.
     // localCheckpoint blocks are ContextCleaner-GC'd with the DataFrame.
-    try verified.localCheckpoint(true) finally hs.unpersist(false)
+    try verified.cutLineageEager() finally hs.unpersist(false)
   }
 
   /** Lazy variant for plan inspection (tests assert the candidate stage
@@ -201,7 +202,7 @@ object Dedup {
     // one q33 run. Skipped in the plan-inspection path, which must not
     // execute anything.
     val bandedAll =
-      if (materializeBands) bandedLazy.localCheckpoint(true) else bandedLazy
+      if (materializeBands) bandedLazy.cutLineageEager() else bandedLazy
     // OPT-IN skew guard: a bucket of n docs yields n² candidate pairs, so
     // one boilerplate mega-bucket can dominate the job at corpus scale.
     // NOTE the trade-off: identical shingle sets share the SAME bucket in
@@ -229,7 +230,7 @@ object Dedup {
     // self-join isn't re-run per consumer. Skipped in the lazy
     // plan-inspection path.
     val candidates =
-      if (materializeBands) candidatesLazy.localCheckpoint(true)
+      if (materializeBands) candidatesLazy.cutLineageEager()
       else candidatesLazy
     // Semi-join-prune the shingle table to candidate docs BEFORE the
     // intersection count (same shape as [[dedupAgainstIndex]]): the
@@ -306,7 +307,7 @@ object Dedup {
       .select(col("l._id").as("d1"), col("r._id").as("d2"))
       .distinct()
       // The pair set feeds three verify consumers; materialize it once.
-      .localCheckpoint(true)
+      .cutLineageEager()
     verifyCandidates(spark.table(s"${prefix}_shingles"), candidates, threshold)
   }
 
@@ -361,7 +362,7 @@ object Dedup {
     val idxSh = spark.table(s"${prefix}_shingles")
     val hsNew = hashedShingles(newDocs, idCol, textCol).cache()
     try {
-      val newBands = bandTable(hsNew).localCheckpoint(true)
+      val newBands = bandTable(hsNew).cutLineageEager()
       val candidates = newBands.as("n")
         .join(idxBands.as("i"),
           col("n._band") === col("i._band") && col("n._bh") === col("i._bh"))
@@ -381,7 +382,7 @@ object Dedup {
           (col("_ni").cast("double") /
             (col("_szn") + col("_szi") - col("_ni"))).as("jaccard"))
         .filter(col("jaccard") >= threshold)
-      verified.localCheckpoint(true)
+      verified.cutLineageEager()
     } finally hsNew.unpersist(false)
   }
 
@@ -413,7 +414,7 @@ object Dedup {
                           maxRounds: Int = 20): DataFrame = {
     val und = edges.select(col(srcCol).as("_a"), col(dstCol).as("_b"))
       .unionByName(edges.select(col(dstCol).as("_a"), col(srcCol).as("_b")))
-      .localCheckpoint(false)
+      .cutLineage()
     // The fixpoint only iterates over edge-INCIDENT nodes: an isolated
     // node can never change label, so it joins the result at the end by
     // anti-join instead of riding through every round. At corpus scale
@@ -422,7 +423,7 @@ object Dedup {
     // smaller.
     val edgeNodes = und.select(col("_a").as("_v")).distinct()
     var labels = edgeNodes.select(col("_v"), col("_v").as("_m"))
-      .localCheckpoint(false)
+      .cutLineage()
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("_m").cast("decimal(38,0)"))).head.getDecimal(0)
     var size = labelSum(labels)
@@ -441,7 +442,7 @@ object Dedup {
           col("_m") === col("_jv"), "left")
         .select(col("_v"),
           least(col("_m"), coalesce(col("_jm"), col("_m"))).as("_m"))
-        .localCheckpoint(false)
+        .cutLineage()
       val n = labelSum(next)
       fixed = n.compareTo(size) == 0
       size = n
@@ -522,7 +523,7 @@ object Dedup {
       .tokenChunkRows(docs, idCol, textCol, unitTokens, stride = unitTokens)
       .filter(col("_chunk") =!= "") // whitespace-only doc ⇒ no line rows
       .select(col("_id"), unhex(md5(col("_chunk"))).as("_lh"))
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      .cutLineageEagerSpill()
     val dup = hashed.distinct()
       .groupBy(col("_lh")).agg(count(lit(1)).as("_docs"))
       .filter(col("_docs") >= minDocs)
@@ -561,7 +562,7 @@ object Dedup {
       .filter(col("_chunk") =!= "")
       .select(col("_id"), col("_pos"), col("_chunk"),
         unhex(md5(col("_chunk"))).as("_lh"))
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      .cutLineageEagerSpill()
     val dup = lines.select(col("_id"), col("_lh")).distinct()
       .groupBy(col("_lh")).agg(count(lit(1)).as("_docs"))
       .filter(col("_docs") >= minDocs)
@@ -606,7 +607,7 @@ object Dedup {
       .tokenChunkRows(docs, idCol, textCol, spanTokens, stride = 1)
       .filter(col("_n_toks") === spanTokens)
       .select(col("_id"), unhex(md5(col("_chunk"))).as("_sh"))
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      .cutLineageEagerSpill()
     val dup = hashed.distinct()
       .groupBy(col("_sh")).agg(count(lit(1)).as("_docs"))
       .filter(col("_docs") >= minDocs)
@@ -763,7 +764,7 @@ object Dedup {
                          k: Int = 4, window: Int = 4, minShared: Int = 4,
                          maxDocsPerFp: Int = 8): DataFrame = {
     val fps = winnowFingerprints(docs, idCol, textCol, k, window)
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      .cutLineageEagerSpill()
     val eligible = fps.groupBy(col("fp")).agg(count(lit(1)).as("_docs"))
       .filter(col("_docs") <= maxDocsPerFp).select(col("fp"))
     val pf = fps.join(eligible, Seq("fp"), "left_semi")
@@ -953,7 +954,7 @@ object Dedup {
                       maxHamming: Int = 3, bands: Int = 4): DataFrame =
     // Signature table is computed once (one shuffle) and materialized so
     // the self-join below doesn't re-run the token aggregate twice.
-    simhashNearDupsOf(simhash(docs, idCol, textCol).localCheckpoint(true),
+    simhashNearDupsOf(simhash(docs, idCol, textCol).cutLineageEager(),
       idCol, maxHamming, bands)
 
   /** 64-bit SimHash signature — the PRODUCTION geometry the 32-bit
@@ -993,7 +994,7 @@ object Dedup {
     */
   def simhashNearDups64(docs: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3, bands: Int = 4): DataFrame =
-    simhashNearDupsOf(simhash64(docs, idCol, textCol).localCheckpoint(true),
+    simhashNearDupsOf(simhash64(docs, idCol, textCol).cutLineageEager(),
       idCol, maxHamming, bands, widthBits = 64)
 
   /** 128-bit SimHash signature — the FULL per-token md5 width, carried as
@@ -1044,7 +1045,7 @@ object Dedup {
     val bits = 128 / bands
     val mask = if (bits == 64) -1L else (1L << bits) - 1
     val perHalf = 64 / bits
-    val sig = simhash128(docs, idCol, textCol).localCheckpoint(true)
+    val sig = simhash128(docs, idCol, textCol).cutLineageEager()
     val banded = sig.select(col(idCol).as("_id"),
       col("sim_hi").as("_x1"), col("sim_lo").as("_x2"),
       explode(array((0 until bands).map { b =>

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import graft.Checkpoints.CutOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -368,7 +369,7 @@ object Similarity {
     val centroids = spark.read.parquet(s"$dir/centroids")
     val probed = nearest(queries, centroids, idCol, vecCol,
       "qid", "_qv", "_qn", keep = nprobe)
-      .localCheckpoint(true) // probes are reused for the cid set + the join
+      .cutLineageEager() // probes are reused for the cid set + the join
     // Cast before collect: partition-column type inference can read the
     // written `_cid` back as int, and an int idCol is legal input — a bare
     // getLong would ClassCastException on either.
@@ -445,7 +446,7 @@ object Similarity {
           s => s.getField("_m")).as("_cv"))
         // k rows — materialize so each round's broadcast doesn't re-run
         // the whole lineage of every previous round.
-        .localCheckpoint(true)
+        .cutLineageEager()
     }
     assign(centroids).select(col("_vid").as(idCol), col("_cid").as("cluster"))
   }
@@ -472,7 +473,7 @@ object Similarity {
     // Assignments feed both sides of the pair join plus the output —
     // materialize once rather than re-running the kMeans rounds per use.
     val clusters = kMeans(corpus, idCol, vecCol, centroidEvery, iters)
-      .localCheckpoint(true)
+      .cutLineageEager()
     val members = corpus
       .select(col(idCol).as("_id"), col(vecCol).as("_v"),
         norm(col(vecCol)).as("_nm"))
@@ -617,7 +618,7 @@ object Similarity {
           s => s.getField("_m")).as("_cv"))
         // m·k rows — materialize so each round's broadcast doesn't
         // re-run every previous round's lineage.
-        .localCheckpoint(true)
+        .cutLineageEager()
     }
     codebook
   }

@@ -1183,39 +1183,71 @@ object LlmQueries {
     // than k degrade to exact counts by construction.
     "q175_kmv_setops" -> { (s, dir) =>
       import s.implicits._
-      val k = 64
-      val sk = Corpus.kmvSketch(
+      kmvSetops(Corpus.kmvSketch(
         t(s, dir, "events")
           .filter($"event_type".isin("view", "purchase"))
           .select($"event_type", $"user_id"),
-        "user_id", "event_type", k)
-      val side = sk.groupBy($"stratum")
-        .agg(count(lit(1)).as("n_sk"), max($"h").as("hk"))
-        .withColumn("est", expr(s"CASE WHEN n_sk < $k THEN n_sk " +
-          s"ELSE (${k - 1}L * 4294967296L) div greatest(hk, 1L) END"))
-      val ests = side.groupBy().pivot("stratum", Seq("view", "purchase"))
-        .agg(first($"est"))
-        .select($"view".as("est_views"), $"purchase".as("est_purchases"))
-      val uni = sk.select($"h").distinct().orderBy($"h".asc).limit(k)
-      val uniAgg = uni
-        .join(sk.filter($"stratum" === "view")
-          .select($"h", lit(1L).as("_in_a")), Seq("h"), "left")
-        .join(sk.filter($"stratum" === "purchase")
-          .select($"h", lit(1L).as("_in_b")), Seq("h"), "left")
-        .agg(count(lit(1)).as("k_union"), max($"h").as("_uhk"),
-          sum(when($"_in_a".isNotNull && $"_in_b".isNotNull, 1L)
-            .otherwise(0L)).as("n_overlap"))
-      ests.crossJoin(broadcast(uniAgg))
-        .withColumn("est_union", expr(s"CASE WHEN k_union < $k THEN k_union " +
-          s"ELSE (${k - 1}L * 4294967296L) div greatest(_uhk, 1L) END"))
-        .withColumn("jaccard_ppm",
-          expr("(n_overlap * 1000000L) div k_union"))
-        .withColumn("est_intersection",
-          expr("(jaccard_ppm * est_union) div 1000000L"))
-        .select($"est_views", $"est_purchases", $"est_union",
-          $"jaccard_ppm", $"est_intersection", $"k_union", $"n_overlap")
+        "user_id", "event_type", 64), 64)
+    },
+
+    // q175's estimates served from a PERSISTED, MERGED sketch index —
+    // the X24 sign-once discipline for cardinalities: the first half of
+    // the events (by event_id parity) is sketched into a parquet k-slot
+    // table, the second half merges in WITHOUT re-reading the first, and
+    // the set-operation report runs off the stored slots alone. KMV's
+    // merge closure (global k-smallest ⊆ union of per-side k-smallest)
+    // makes the merged index bit-identical to a from-scratch sketch, so
+    // the oracle is q175's single-shot SQL verbatim.
+    "q189_kmv_merged" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .filter($"event_type".isin("view", "purchase"))
+        .select($"event_type", $"user_id", $"event_id")
+      val idx = s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/q189_kmv"
+      Corpus.writeKmvIndex(ev.filter($"event_id" % 2 === 0),
+        "user_id", "event_type", 64, idx)
+      Corpus.mergeKmvIndex(ev.filter($"event_id" % 2 =!= 0),
+        "user_id", "event_type", 64, idx)
+      kmvSetops(Corpus.readKmvIndex(s, idx), 64)
     }
   )
+
+  /** The q175 set-operation report over a (stratum, h) KMV sketch:
+    * per-stratum estimates (exact below k, (k−1)·2³² div h_k above),
+    * union estimate from the k smallest of the merged slots, integer
+    * ppm Jaccard, intersection. Pivoted estimates coalesce to 0 — an
+    * EMPTY stratum is the exact count 0 (the n_sk<k contract), not
+    * null. */
+  private def kmvSetops(sk: DataFrame, k: Int): DataFrame = {
+    val side = sk.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_sk"), max(col("h")).as("hk"))
+      .withColumn("est", expr(s"CASE WHEN n_sk < $k THEN n_sk " +
+        s"ELSE (${k - 1}L * 4294967296L) div greatest(hk, 1L) END"))
+    val ests = side.groupBy().pivot("stratum", Seq("view", "purchase"))
+      .agg(first(col("est")))
+      .select(coalesce(col("view"), lit(0L)).as("est_views"),
+        coalesce(col("purchase"), lit(0L)).as("est_purchases"))
+    val uni = sk.select(col("h")).distinct().orderBy(col("h").asc).limit(k)
+    val uniAgg = uni
+      .join(sk.filter(col("stratum") === "view")
+        .select(col("h"), lit(1L).as("_in_a")), Seq("h"), "left")
+      .join(sk.filter(col("stratum") === "purchase")
+        .select(col("h"), lit(1L).as("_in_b")), Seq("h"), "left")
+      .agg(count(lit(1)).as("k_union"), max(col("h")).as("_uhk"),
+        sum(when(col("_in_a").isNotNull && col("_in_b").isNotNull, 1L)
+          .otherwise(0L)).as("n_overlap"))
+    ests.crossJoin(broadcast(uniAgg))
+      .withColumn("est_union", expr(s"CASE WHEN k_union < $k THEN k_union " +
+        s"ELSE (${k - 1}L * 4294967296L) div greatest(_uhk, 1L) END"))
+      .withColumn("jaccard_ppm",
+        expr("(n_overlap * 1000000L) div k_union"))
+      .withColumn("est_intersection",
+        expr("(jaccard_ppm * est_union) div 1000000L"))
+      .select(col("est_views"), col("est_purchases"), col("est_union"),
+        col("jaccard_ppm"), col("est_intersection"), col("k_union"),
+        col("n_overlap"))
+  }
 
   private val tokSql = "string_split_regex(trim(text), '\\s+')"
   private def profileSql(listSql: String): String =
@@ -1276,6 +1308,53 @@ object LlmQueries {
       |  SELECT doc_id AS v, doc_id AS m FROM corpus
       |  UNION
       |  SELECT e.a AS v, lbl.m AS m FROM edges e JOIN lbl ON lbl.v = e.b)""".stripMargin
+
+  /** Shared q175/q189 oracle: the single-shot KMV sketch + set-op
+    * report in DuckDB SQL (see q175 comment above its map entry). */
+  private val kmvOracleSql: String =
+    """WITH u AS (
+        |  SELECT DISTINCT event_type AS stratum,
+        |    list_reduce(list_transform(
+        |      string_split(substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS h
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |sk AS (
+        |  SELECT stratum, h FROM (
+        |    SELECT stratum, h,
+        |      ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY h) AS r
+        |    FROM u) WHERE r <= 64),
+        |side AS (
+        |  SELECT stratum, count(*) AS n_sk, max(h) AS hk
+        |  FROM sk GROUP BY 1),
+        |est AS (
+        |  SELECT stratum, CAST(CASE WHEN n_sk < 64 THEN n_sk
+        |    ELSE 63 * 4294967296 // greatest(hk, 1) END AS BIGINT) AS est
+        |  FROM side),
+        |uni AS (SELECT DISTINCT h FROM sk ORDER BY h LIMIT 64),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k_union, max(uni.h) AS uhk,
+        |    CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+        |  FROM uni
+        |  LEFT JOIN (SELECT h FROM sk WHERE stratum = 'view') a
+        |    ON a.h = uni.h
+        |  LEFT JOIN (SELECT h FROM sk WHERE stratum = 'purchase') b
+        |    ON b.h = uni.h),
+        |f AS (
+        |  SELECT ev.est AS est_views, ep.est AS est_purchases,
+        |    CAST(CASE WHEN m.k_union < 64 THEN m.k_union
+        |      ELSE 63 * 4294967296 // greatest(m.uhk, 1) END AS BIGINT)
+        |      AS est_union,
+        |    (m.n_overlap * 1000000) // m.k_union AS jaccard_ppm,
+        |    m.k_union, m.n_overlap
+        |  FROM m,
+        |    (SELECT est FROM est WHERE stratum = 'view') ev(est),
+        |    (SELECT est FROM est WHERE stratum = 'purchase') ep(est))
+        |SELECT est_views, est_purchases, est_union, jaccard_ppm,
+        |  (jaccard_ppm * est_union) // 1000000 AS est_intersection,
+        |  k_union, n_overlap
+      |FROM f""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q30_text_stats" ->
@@ -3305,50 +3384,11 @@ object LlmQueries {
     // q175: the identical sketch replayed — same md5-prefix hash, same
     // distinct-(stratum, h), same k=64 cut, same estimate and Jaccard
     // arithmetic. Gates the algorithm bit-for-bit, not an error band.
-    "q175_kmv_setops" ->
-      """WITH u AS (
-        |  SELECT DISTINCT event_type AS stratum,
-        |    list_reduce(list_transform(
-        |      string_split(substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8), ''),
-        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
-        |      (a, b) -> a * 16 + b) AS h
-        |  FROM events WHERE event_type IN ('view', 'purchase')),
-        |sk AS (
-        |  SELECT stratum, h FROM (
-        |    SELECT stratum, h,
-        |      ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY h) AS r
-        |    FROM u) WHERE r <= 64),
-        |side AS (
-        |  SELECT stratum, count(*) AS n_sk, max(h) AS hk
-        |  FROM sk GROUP BY 1),
-        |est AS (
-        |  SELECT stratum, CAST(CASE WHEN n_sk < 64 THEN n_sk
-        |    ELSE 63 * 4294967296 // greatest(hk, 1) END AS BIGINT) AS est
-        |  FROM side),
-        |uni AS (SELECT DISTINCT h FROM sk ORDER BY h LIMIT 64),
-        |m AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS k_union, max(uni.h) AS uhk,
-        |    CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
-        |  FROM uni
-        |  LEFT JOIN (SELECT h FROM sk WHERE stratum = 'view') a
-        |    ON a.h = uni.h
-        |  LEFT JOIN (SELECT h FROM sk WHERE stratum = 'purchase') b
-        |    ON b.h = uni.h),
-        |f AS (
-        |  SELECT ev.est AS est_views, ep.est AS est_purchases,
-        |    CAST(CASE WHEN m.k_union < 64 THEN m.k_union
-        |      ELSE 63 * 4294967296 // greatest(m.uhk, 1) END AS BIGINT)
-        |      AS est_union,
-        |    (m.n_overlap * 1000000) // m.k_union AS jaccard_ppm,
-        |    m.k_union, m.n_overlap
-        |  FROM m,
-        |    (SELECT est FROM est WHERE stratum = 'view') ev(est),
-        |    (SELECT est FROM est WHERE stratum = 'purchase') ep(est))
-        |SELECT est_views, est_purchases, est_union, jaccard_ppm,
-        |  (jaccard_ppm * est_union) // 1000000 AS est_intersection,
-        |  k_union, n_overlap
-        |FROM f""".stripMargin,
+    // q189 serves the same report from the persisted MERGED index —
+    // KMV's merge closure makes it equal the single-shot sketch, so the
+    // oracle is shared verbatim (kmvOracleSql).
+    "q175_kmv_setops" -> kmvOracleSql,
+    "q189_kmv_merged" -> kmvOracleSql,
 
     // q164: the same integer ppm BM25 chain, term by term — the Scala
     // side and this SQL are generated from one formula shape (44·tf·T /

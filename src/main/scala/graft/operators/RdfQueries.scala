@@ -179,6 +179,33 @@ object RdfQueries {
           |  ?s <urn:p/inNation>/<urn:p/name> ?nation_name .
           |  FILTER(LANGMATCHES(LANG(?nation_name), "en"))
           |}""".stripMargin)
+    },
+
+    // SPARQL CONSTRUCT, parsed from a string (the emission-side twin of
+    // the SELECT front end — the reference does this in Java,
+    // t-fdpToRdf Mapper.java:97-111): the WHERE solutions instantiate a
+    // three-triple template into a canonical triples DF, rendered with
+    // the same byte-faithful N-Triples device q14 gates. Exercises all
+    // term-metadata paths at once — the constructed graph keeps the
+    // matched name's language tag (@en vs @en-US), object-IRI-ness for
+    // ?r, the `a` keyword, a constant-IRI object, and the
+    // OPTIONAL-unbound drop rule (regions have no inRegion, so their
+    // `within` triple vanishes while label/type survive) — plus RDF's
+    // set semantics (the template's type triple would otherwise emit
+    // once per matched name).
+    "q190_sparql_construct" -> { (s, dir) =>
+      val g = graft.graphquery.Sparql.construct(G.geo(s, dir),
+        """CONSTRUCT {
+          |  ?x <urn:p/label> ?name .
+          |  ?x a <urn:t/Place> .
+          |  ?x <urn:p/within> ?r .
+          |} WHERE {
+          |  ?x <urn:p/name> ?name .
+          |  FILTER(LANGMATCHES(LANG(?name), "en"))
+          |  OPTIONAL { ?x <urn:p/inRegion> ?r }
+          |}""".stripMargin)
+      g.select(NTriples.line(col("s"), col("p"), col("o"),
+        col("oIsIri"), col("oLang"), col("oDatatype")).as("line"))
     }
   )
 
@@ -293,6 +320,28 @@ object RdfQueries {
         |FROM t h1 JOIN t h2 ON h1.o = h2.s
         |WHERE h1.p = 'urn:p/inNation' AND h2.p = 'urn:p/name'
         |  AND (lower(h2.oLang) = 'en' OR lower(h2.oLang) LIKE 'en-%')""".stripMargin,
-      "t" -> s"${G.sql.customers.drop(1).dropRight(1)} UNION ALL ${G.sql.geo.drop(1).dropRight(1)}")
+      "t" -> s"${G.sql.customers.drop(1).dropRight(1)} UNION ALL ${G.sql.geo.drop(1).dropRight(1)}"),
+    // q190: the CONSTRUCT replayed — same solutions (name@en* with the
+    // optional inRegion), same three-branch template instantiation with
+    // the unbound-drop, same DISTINCT set semantics, same line renderer.
+    "q190_sparql_construct" -> withTriples(
+      s"""SELECT ${NTriples.lineSql} AS line FROM (
+         |  SELECT DISTINCT s, p, o, oIsIri, oLang, oDatatype FROM (
+         |    SELECT b.x AS s, 'urn:p/label' AS p, b.name AS o,
+         |           false AS oIsIri, b.nameLang AS oLang,
+         |           CAST(NULL AS VARCHAR) AS oDatatype FROM b
+         |    UNION ALL
+         |    SELECT b.x, '${G.T}', 'urn:t/Place', true,
+         |           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM b
+         |    UNION ALL
+         |    SELECT b.x, 'urn:p/within', b.r, true,
+         |           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+         |    FROM b WHERE b.r IS NOT NULL))""".stripMargin,
+      "t" -> G.sql.geo,
+      "b" -> """SELECT n.s AS x, n.o AS name, n.oLang AS nameLang, r.o AS r
+        |FROM t n LEFT JOIN (SELECT s, o FROM t WHERE p = 'urn:p/inRegion') r
+        |  ON r.s = n.s
+        |WHERE n.p = 'urn:p/name'
+        |  AND (lower(n.oLang) = 'en' OR lower(n.oLang) LIKE 'en-%')""".stripMargin)
   )
 }

@@ -1472,19 +1472,32 @@ object RelationalQueries {
     * `|x − μ| > σ·s` through by `n²` and square — both sides exact
     * BIGINT; S = Σx, SS = Σx²). One single-row stats aggregate
     * broadcast back (the q105 scalar shape), then a map-only flag.
-    * Overflow bound: `n·x` and `n·SS` must stay under 2⁶³ — holds to
-    * ~10⁶ rows of 10⁶-sized values; beyond, shift to per-stratum stats.
+    * Overflow bound: every term is exact while n·max|x| <
+    * ⌊√(2⁶³−1)⌋/sigmas (the squared sides are ≤ (n·max|x|)²·sigmas²) —
+    * holds to ~10⁶ rows of 10⁶-sized values at 2σ. GUARDED at runtime:
+    * past the bound the job fails with a clear message instead of
+    * silently wrapping and flipping flags; shift to per-stratum stats
+    * (bounded n per stratum) or DECIMAL beyond.
     */
   def zscoreAnomalies(df: DataFrame, valueCol: String,
                       sigmas: Int = 2): DataFrame = {
     val stats = df.agg(count(lit(1)).as("_n"),
       sum(col(valueCol)).as("_s"),
-      sum(col(valueCol) * col(valueCol)).as("_ss"))
+      sum(col(valueCol) * col(valueCol)).as("_ss"),
+      max(abs(col(valueCol))).as("_ma"))
+    val bound = 3037000499L / sigmas // ⌊√(2⁶³−1)⌋ / sigmas
+    // assert_true lives INSIDE the flag expression (a dropped guard
+    // column would be pruned before it ever evaluated); it returns null
+    // on success, so the CASE arm is always taken — or the job dies.
     df.crossJoin(broadcast(stats))
       .withColumn("is_anomaly", expr(
-        s"CAST((_n * $valueCol - _s) * (_n * $valueCol - _s) " +
-          s"> ${sigmas.toLong * sigmas}L * (_n * _ss - _s * _s) AS BIGINT)"))
-      .drop("_n", "_s", "_ss")
+        s"CASE WHEN assert_true(_n * _ma <= ${bound}L, " +
+          "'zscoreAnomalies: n*max|x| exceeds the exact-BIGINT bound; " +
+          "use per-stratum stats or DECIMAL') IS NULL THEN " +
+          s"CAST((_n * $valueCol - _s) * (_n * $valueCol - _s) " +
+          s"> ${sigmas.toLong * sigmas}L * (_n * _ss - _s * _s) AS BIGINT) " +
+          "END"))
+      .drop("_n", "_s", "_ss", "_ma")
   }
 
   /** Trailing-N-day active users per day (the WAU/MAU curve): each

@@ -724,15 +724,43 @@ object EventsStream {
         (key, rows, state: GroupState[IjState]) =>
           val prev = state.getOption.getOrElse(IjState(Nil, Nil))
           val batch = rows.toSeq
-          val imps = prev.imps ++
-            batch.filter(_.is_imp).map(r => (micros(r.ts), r.event_id))
+          // Invariant: the impression buffer is kept SORTED by (ts, id)
+          // — prev.imps already is, the batch sorts, and a linear merge
+          // keeps the trigger at O(|state| + |batch| + matches·log) even
+          // for a hot key with dense impressions (the naive form
+          // re-scanned the entire buffer once per ready click).
+          val newImps = batch.filter(_.is_imp)
+            .map(r => (micros(r.ts), r.event_id)).sorted
+          val imps = {
+            val a = prev.imps.toIndexedSeq; val b = newImps.toIndexedSeq
+            val m = Vector.newBuilder[(Long, Long)]
+            var i = 0; var j = 0
+            while (i < a.length && j < b.length) {
+              if (Ordering[(Long, Long)].lteq(a(i), b(j))) { m += a(i); i += 1 }
+              else { m += b(j); j += 1 }
+            }
+            while (i < a.length) { m += a(i); i += 1 }
+            while (j < b.length) { m += b(j); j += 1 }
+            m.result()
+          }
           val clicks = prev.clicks ++
             batch.filterNot(_.is_imp).map(r => (micros(r.ts), r.event_id))
           val wm = state.getCurrentWatermarkMs() * 1000L
           val (ready, restC) = clicks.partition(_._1 <= wm)
+          // First index with imp ts >= target (imps sorted, ts
+          // non-decreasing): the click's in-window slice is
+          // [lb(cts − window), lb(cts + 1)).
+          def lb(target: Long): Int = {
+            var lo = 0; var hi = imps.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (imps(mid)._1 >= target) hi = mid else lo = mid + 1
+            }
+            lo
+          }
           // Deterministic emission order: (click ts, click id, imp id).
           val out = ready.sortBy(c => (c._1, c._2)).flatMap { case (cts, cid) =>
-            imps.filter(i => i._1 <= cts && cts <= i._1 + windowMicros)
+            imps.slice(lb(cts - windowMicros), lb(cts + 1L))
               .sortBy(_._2)
               .map { case (its, iid) => ImpClick(iid, cid, key, cts - its) }
           }

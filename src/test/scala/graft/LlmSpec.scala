@@ -1377,4 +1377,29 @@ class LlmSpec extends SparkSpec {
     assert(asSet(Corpus.kmvSketch(df.unionByName(df), "key", "st", 10))
       == exp)
   }
+
+  test("kmv index: write then merge batches equals one-shot sketch") {
+    import spark.implicits._
+    // Three overlapping batches ingested incrementally (write + 2 merges,
+    // each merge reading ONLY the k-slot table and its own batch) must
+    // reproduce the one-shot sketch of the concatenation bit for bit —
+    // the KMV merge-closure contract persisted sketches rely on.
+    val all = (1 to 400).map(i => ("s" + (i % 3), i.toLong)).toDF("st", "key")
+    val batches = Seq(
+      (1 to 200), (150 to 320), (280 to 400)).map(r =>
+      r.map(i => ("s" + (i % 3), i.toLong)).toDF("st", "key"))
+    val dir = java.nio.file.Files.createTempDirectory("kmvidx").toString
+    try {
+      Corpus.writeKmvIndex(batches(0), "key", "st", k = 12, dir)
+      Corpus.mergeKmvIndex(batches(1), "key", "st", k = 12, dir)
+      Corpus.mergeKmvIndex(batches(2), "key", "st", k = 12, dir)
+      def asSet(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("stratum"), col("h"), col("kmv_rank"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(asSet(Corpus.readKmvIndex(spark, dir))
+        == asSet(Corpus.kmvSketch(all, "key", "st", k = 12)))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
 }

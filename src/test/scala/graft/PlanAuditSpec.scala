@@ -57,6 +57,9 @@ class PlanAuditSpec extends SparkSpec {
       // q173/q175/q176 cross-join SINGLE-ROW aggregates (customer
       // count / union-sketch stats / bin total) — the q105 scalar shape.
       "q173_rfm_scores", "q175_kmv_setops", "q176_histogram_quantiles",
+      // q189 is q175's report served from the persisted merged index —
+      // identical single-row-aggregate cross-join shape.
+      "q189_kmv_merged",
       // q177/q180 cross-join SINGLE-ROW aggregates (CUSUM mean / grand
       // total) — the q105 scalar shape.
       "q177_cusum_changepoints", "q180_contingency_lift",

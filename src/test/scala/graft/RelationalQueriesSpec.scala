@@ -350,6 +350,35 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(got.values.sum <= 3000000000L)
   }
 
+  test("pagerank: reliable-checkpoint escape hatch produces identical ranks") {
+    import spark.implicits._
+    // With a checkpoint dir set on the context, every iterative operator's
+    // lineage cut switches from executor-local blocks to RELIABLE
+    // checkpoint files (graft.Checkpoints) — the cluster fault-tolerance
+    // form. Results must be bit-identical to the local form.
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "A")).toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(dir)
+    try {
+      val got = graft.graphquery.Graph.pageRank(edges, "src", "dst",
+          iters = 2)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("A" -> 638750000L, "B" -> 575000000L,
+        "C" -> 575000000L), s"got $got")
+      // The reliable path actually ran: checkpoint files exist.
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "no reliable checkpoint files written")
+    } finally {
+      // Clear the dir so later suites keep the default local form.
+      val f = sc.getClass.getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(sc, None)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("range join by bucket agrees with brute force on random intervals") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -895,6 +924,24 @@ class RelationalQueriesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got == ((1 to 9).map(_.toLong -> 0L) :+ (10L -> 1L)).toMap,
       s"got $got")
+  }
+
+  test("zscore anomalies: past the BIGINT bound the job fails, never wraps") {
+    import spark.implicits._
+    // Values sized so the STATS aggregate stays exact (ΣX² ≈ 6.8e18 <
+    // 2⁶³) but n·max|x| = 4.5e9 exceeds ⌊√(2⁶³−1)⌋/2 — the per-row
+    // squared inequality is where precision dies (wrapping flags
+    // off-ANSI, an opaque mid-job ARITHMETIC_OVERFLOW under ANSI); the
+    // guard must fail deterministically at the bound with its own
+    // message either way.
+    val big = Seq((1L, 1500000000L), (2L, 1500000000L), (3L, 1500000001L))
+      .toDF("day", "n")
+    val e = intercept[Exception] {
+      RelationalQueries.zscoreAnomalies(big, "n").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("exact-BIGINT bound")), s"got $e")
   }
 
   test("globalRank: two-phase bucket enumeration equals flat row_number") {

@@ -439,6 +439,123 @@ class SparqlParserSpec extends SparkSpec {
       "SELECT ?s ?name WHERE { ?s <urn:p/name> ?name }")
     assert(n == plain.distinct().count(), s"got $n")
   }
+
+  // ------------------------------------------------------------ CONSTRUCT
+
+  test("CONSTRUCT instantiates the template per solution with full term " +
+    "metadata (lang, IRI-ness, datatype) and set semantics") {
+    import spark.implicits._
+    // Hand graph: two subjects; s1 has a lang-tagged name, a typed
+    // balance, and a link; s2 has only a plain-literal name (no link —
+    // the optional-unbound drop case).
+    val g = Seq(
+      ("urn:s/1", "urn:p/name", "jedna", true, "cs", null),
+      ("urn:s/1", "urn:p/bal", "3.50", true, null,
+        "http://www.w3.org/2001/XMLSchema#decimal"),
+      ("urn:s/1", "urn:p/link", "urn:s/2", false, null, null),
+      ("urn:s/2", "urn:p/name", "two", true, null, null)
+    ).map { case (s, p, o, lit, lang, dt) =>
+      (s, p, o, !lit, Option(lang), Option(dt))
+    }.toDF("s", "p", "o", "oIsIri", "oLang", "oDatatype")
+    val got = Sparql.construct(g,
+      """CONSTRUCT {
+        |  ?s <urn:p/label> ?n .
+        |  ?s a <urn:t/Thing> .
+        |  ?s <urn:p/knows> ?o .
+        |  ?s <urn:p/balance> ?b .
+        |} WHERE {
+        |  ?s <urn:p/name> ?n .
+        |  OPTIONAL { ?s <urn:p/link> ?o }
+        |  OPTIONAL { ?s <urn:p/bal> ?b }
+        |}""".stripMargin)
+    val exp = Set(
+      // lang tag survives on the copied literal
+      Seq[Any]("urn:s/1", "urn:p/label", "jedna", false, "cs", null),
+      Seq[Any]("urn:s/2", "urn:p/label", "two", false, null, null),
+      // constant-IRI object via the `a` keyword
+      Seq[Any]("urn:s/1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "urn:t/Thing", true, null, null),
+      Seq[Any]("urn:s/2", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "urn:t/Thing", true, null, null),
+      // IRI-ness of the bound object survives; s2's unbound ?o drops
+      Seq[Any]("urn:s/1", "urn:p/knows", "urn:s/2", true, null, null),
+      // datatype survives; s2's unbound ?b drops
+      Seq[Any]("urn:s/1", "urn:p/balance", "3.50", false, null,
+        "http://www.w3.org/2001/XMLSchema#decimal"))
+    assert(rows(got) == exp)
+  }
+
+  test("CONSTRUCT deduplicates (a graph is a SET of triples) and a " +
+    "subject-bound variable constructs as an IRI object") {
+    import spark.implicits._
+    val g = Seq(
+      ("urn:s/1", "urn:p/name", "a", false, Some("en"), None: Option[String]),
+      ("urn:s/1", "urn:p/name", "b", false, Some("cs"), None)
+    ).toDF("s", "p", "o", "oIsIri", "oLang", "oDatatype")
+    // ?s binds twice (two names) but the constructed self-triple is one.
+    val got = Sparql.construct(g,
+      "CONSTRUCT { ?s <urn:p/self> ?s . } WHERE { ?s <urn:p/name> ?n }")
+    assert(rows(got) == Set(
+      Seq[Any]("urn:s/1", "urn:p/self", "urn:s/1", true, null, null)))
+  }
+
+  test("CONSTRUCT rejects template variables the WHERE never binds " +
+    "(including fresh vars from paths/blank nodes)") {
+    import spark.implicits._
+    val g = Seq(("urn:s/1", "urn:p/name", "a", false, None: Option[String],
+      None: Option[String])).toDF("s", "p", "o", "oIsIri", "oLang", "oDatatype")
+    val e = intercept[Exception] {
+      Sparql.construct(g,
+        "CONSTRUCT { ?s <urn:p/x> ?nope . } WHERE { ?s <urn:p/name> ?n }")
+    }
+    assert(e.getMessage.contains("not bound"))
+    // A multi-step path expands with a fresh midpoint variable the WHERE
+    // never binds — rejected by the same bound-variable check.
+    val e2 = intercept[Exception] {
+      Sparql.construct(g,
+        "CONSTRUCT { ?s <urn:p/a>/<urn:p/b> ?n . } WHERE { ?s <urn:p/name> ?n }")
+    }
+    assert(e2.getMessage.contains("not bound"))
+  }
+
+  test("CONSTRUCT over the geo graph == the hand-built emission (q190)") {
+    val geo = G.geo(spark, sf)
+    val got = Sparql.construct(geo,
+      """CONSTRUCT {
+        |  ?x <urn:p/label> ?name .
+        |  ?x a <urn:t/Place> .
+        |  ?x <urn:p/within> ?r .
+        |} WHERE {
+        |  ?x <urn:p/name> ?name .
+        |  FILTER(LANGMATCHES(LANG(?name), "en"))
+        |  OPTIONAL { ?x <urn:p/inRegion> ?r }
+        |}""".stripMargin)
+    // Hand-built twin from the same graph (keeps the matched name's own
+    // language tag, which Bgp.patternLang does not surface).
+    val names = geo.filter(col("p") === "urn:p/name" &&
+        (lower(col("oLang")) === "en" || lower(col("oLang")).like("en-%")))
+      .select(col("s"), col("o").as("name"), col("oLang").as("nameLang"))
+    val within = Bgp.pattern(geo, "urn:p/inRegion", "r")
+      .withColumnRenamed("s", "_ws")
+    val sol = names.join(within, names("s") === within("_ws"), "left")
+    def tripleSet(s: org.apache.spark.sql.Column,
+                  p: String, o: org.apache.spark.sql.Column, iri: Boolean,
+                  lang: org.apache.spark.sql.Column) =
+      sol.select(s.as("s"), lit(p).as("p"), o.as("o"), lit(iri).as("oIsIri"),
+        lang.as("oLang"), lit(null).cast("string").as("oDatatype"))
+        .filter(col("o").isNotNull)
+    val nullS = lit(null).cast("string")
+    val exp = tripleSet(names("s"), "urn:p/label", col("name"), iri = false,
+        col("nameLang"))
+      .unionByName(tripleSet(names("s"),
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        lit("urn:t/Place"), iri = true, nullS))
+      .unionByName(tripleSet(names("s"), "urn:p/within", col("r"),
+        iri = true, nullS))
+      .distinct()
+    assert(rows(got) == rows(exp))
+    assert(got.count() > 0)
+  }
 }
 
 /** The verbatim MultiAttributeDimension attribute query text
