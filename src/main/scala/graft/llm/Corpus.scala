@@ -1113,4 +1113,116 @@ object Corpus {
     spark.read.parquet(dir)
       .withColumn("kmv_rank", row_number().over(w).cast("long"))
   }
+
+  /** Distributed BPE tokenizer TRAINING (Sennrich 2016 — the q118
+    * single-round pair count, iterated to an actual merge list): per
+    * round, count adjacent symbol pairs weighted by word frequency, take
+    * the argmax (count desc, then lexicographic — fully deterministic),
+    * and re-segment every word form by the canonical greedy
+    * left-to-right non-overlapping merge. Returns one row per learned
+    * merge: (round, lhs, rhs, merged, pair_n).
+    *
+    * The 100 TB shape: the corpus is read ONCE (the word-frequency
+    * aggregation); every round after that iterates the DISTINCT-form
+    * vocabulary table — |vocab| rows, not corpus rows — with one
+    * pair aggregation, a 1-row argmax broadcast back (the q105 scalar
+    * shape), and a map-only re-segmentation. Lineage is cut per round
+    * ([[graft.Checkpoints]] — reliable under a session checkpoint dir).
+    *
+    * The re-segmentation is a codegen'd `aggregate` HOF over the form's
+    * symbol array with a STRING state machine — 'P'/'N' prefix for "an
+    * unconsumed lhs is pending", chr(1)-joined emitted symbols — giving
+    * exactly the canonical scan: `while i < n: if t[i]=lhs and
+    * t[i+1]=rhs → emit lhs||rhs, i+=2 else emit t[i], i+=1` (so "aaa"
+    * under (a,a) becomes [aa, a], and pair counts are per POSITION —
+    * "aaa" holds two (a,a)s — matching the reference algorithm). DuckDB
+    * replays the identical machine via list_reduce, which is what makes
+    * the q192 oracle exact. Assumes symbols never contain chr(1).
+    */
+  def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
+               rounds: Int = 3): DataFrame =
+    bpeCore(docs, textCol, rounds)._1
+
+  /** The trained per-word segmentation after `rounds` merges:
+    * (w, freq, toks) — the ENCODER table. Joining a corpus's words
+    * against it applies the trained tokenizer (see
+    * [[graft.operators.LlmQueries]] q193). */
+  def bpeForms(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
+    bpeCore(docs, textCol, rounds)._2
+
+  private def bpeCore(docs: DataFrame, textCol: String,
+                      rounds: Int): (DataFrame, DataFrame) = {
+    import graft.Checkpoints.CutOps
+    val words = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var forms = words.select(col("w"), col("freq"),
+      expr("regexp_extract_all(w, '.', 0)").as("toks"))
+      .cutLineageEager()
+    val mergeState =
+      """aggregate(
+        |  toks,
+        |  'N',
+        |  (s, t) -> CASE
+        |    WHEN substring(s, 1, 1) = 'P' AND t = _b
+        |      THEN concat('N', substring(s, 2), chr(1), _a, _b)
+        |    WHEN t = _a
+        |      THEN concat('P', CASE WHEN substring(s, 1, 1) = 'P'
+        |        THEN concat(substring(s, 2), chr(1), _a)
+        |        ELSE substring(s, 2) END)
+        |    ELSE concat('N', CASE WHEN substring(s, 1, 1) = 'P'
+        |        THEN concat(substring(s, 2), chr(1), _a)
+        |        ELSE substring(s, 2) END, chr(1), t)
+        |  END,
+        |  s -> CASE WHEN substring(s, 1, 1) = 'P'
+        |    THEN concat(substring(s, 2), chr(1), _a)
+        |    ELSE substring(s, 2) END)""".stripMargin
+    val out = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val pairs = forms.filter(size(col("toks")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> " +
+            "named_struct('lhs', toks[i - 1], 'rhs', toks[i]))")).as("_pr"))
+        .groupBy(col("_pr.lhs").as("lhs"), col("_pr.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("pair_n"))
+      val top = pairs
+        .orderBy(col("pair_n").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).cutLineageEager()
+      out += top.select(lit(r).as("round"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("pair_n"))
+      forms = forms
+        .crossJoin(broadcast(
+          top.select(col("lhs").as("_a"), col("rhs").as("_b"))))
+        .withColumn("_m", expr(mergeState))
+        .select(col("w"), col("freq"),
+          expr("filter(split(_m, chr(1)), x -> x <> '')").as("toks"))
+        .cutLineageEager()
+    }
+    (out.result().reduce(_ unionByName _), forms)
+  }
+
+  /** Tokenizer fertility under the TRAINED vocab — the serving-side
+    * twin of [[bpeTrain]] (and the trained-tokenizer counterpart of the
+    * q116 fixed-regex fertility): every document's words join the
+    * encoder table ([[bpeForms]]) and the per-doc BPE token count is the
+    * sum of its words' segment lengths. One corpus pass for the word
+    * explode; the join is |corpus words| ⋈ |vocab| on the word key —
+    * broadcast when the vocab is small, shuffle-hash otherwise, never a
+    * re-segmentation per occurrence (segmentation cost is paid once per
+    * DISTINCT word in training).
+    */
+  def bpeFertility(docs: DataFrame, idCol: String, textCol: String,
+                   rounds: Int = 3): DataFrame = {
+    val forms = bpeForms(docs, textCol, rounds)
+    val dw = docs.select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    dw.join(forms.select(col("w"), size(col("toks")).as("_nt")), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("_nt")).cast("long").as("n_bpe_tokens"))
+      .withColumn("bpe_per_word_ppm",
+        expr("n_bpe_tokens * 1000000L div n_words"))
+  }
 }

@@ -1210,6 +1210,26 @@ object LlmQueries {
       Corpus.mergeKmvIndex(ev.filter($"event_id" % 2 =!= 0),
         "user_id", "event_type", 64, idx)
       kmvSetops(Corpus.readKmvIndex(s, idx), 64)
+    },
+
+    // Distributed BPE tokenizer TRAINING — q118's single pair count
+    // iterated into an actual 3-merge vocabulary induction over the
+    // documents corpus (Corpus.bpeTrain scaladoc for the canonical
+    // greedy-scan state machine and the vocab-table-only round shape).
+    // The DuckDB oracle unrolls the identical three rounds, including
+    // the list_reduce replay of the merge machine — argmax ties, scan
+    // order, and position-counted pairs are all pinned.
+    "q192_bpe_train" -> { (s, dir) =>
+      Corpus.bpeTrain(t(s, dir, "documents"), "doc_id", "text", rounds = 3)
+    },
+
+    // Tokenizer fertility under the q192-TRAINED vocab (the serving
+    // side): per-doc word count, BPE token count, and tokens-per-word
+    // ppm — segmentation is paid once per DISTINCT word (the encoder
+    // table), never per occurrence.
+    "q193_bpe_fertility" -> { (s, dir) =>
+      Corpus.bpeFertility(t(s, dir, "documents"), "doc_id", "text",
+        rounds = 3)
     }
   )
 
@@ -1355,6 +1375,76 @@ object LlmQueries {
         |  (jaccard_ppm * est_union) // 1000000 AS est_intersection,
         |  k_union, n_overlap
       |FROM f""".stripMargin
+
+  /** The q192 oracle, generated for `rounds` rounds so the SQL stays
+    * mechanically in lockstep with [[Corpus.bpeTrain]]'s loop: f0 is the
+    * char-split word-frequency vocabulary; each round r adds p_r (the
+    * position-counted weighted pair aggregate over f_{r-1}), t_r (the
+    * deterministic argmax), and f_r (every form re-segmented by the
+    * list_reduce replay of the greedy merge state machine — 'P'/'N'
+    * pending prefix, chr(1)-joined emitted symbols, pending lhs flushed
+    * by the finish CASE).
+    */
+  private def bpeChainSql(rounds: Int): String = {
+    val reduceM =
+      """list_reduce(list_prepend('N', toks), (s, t) -> CASE
+        |      WHEN substr(s, 1, 1) = 'P' AND t = rhs
+        |        THEN 'N' || substr(s, 2) || chr(1) || lhs || rhs
+        |      WHEN t = lhs
+        |        THEN 'P' || CASE WHEN substr(s, 1, 1) = 'P'
+        |          THEN substr(s, 2) || chr(1) || lhs ELSE substr(s, 2) END
+        |      ELSE 'N' || CASE WHEN substr(s, 1, 1) = 'P'
+        |          THEN substr(s, 2) || chr(1) || lhs
+        |          ELSE substr(s, 2) END || chr(1) || t
+        |    END)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT toks[i] AS lhs, toks[i + 1] AS rhs,
+         |    CAST(sum(freq) AS BIGINT) AS pair_n
+         |  FROM f${r - 1}, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+         |  WHERE len(toks) >= 2 GROUP BY 1, 2),
+         |t$r AS (SELECT lhs, rhs, pair_n FROM p$r
+         |  ORDER BY pair_n DESC, lhs, rhs LIMIT 1),
+         |f$r AS (
+         |  SELECT w, freq, list_filter(string_split(
+         |    CASE WHEN substr(m, 1, 1) = 'P' THEN substr(m, 2) || chr(1) || lhs
+         |         ELSE substr(m, 2) END, chr(1)), x -> x <> '') AS toks
+         |  FROM (SELECT w, freq, lhs, rhs, $reduceM AS m FROM f${r - 1}, t$r))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH wds AS (
+       |  SELECT t AS w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |    FROM documents)
+       |  WHERE t <> '' GROUP BY 1),
+       |f0 AS (SELECT w, freq, regexp_extract_all(w, '.') AS toks FROM wds),
+       |$roundCtes""".stripMargin
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
+    val unions = (1 to rounds).map { r =>
+      s"SELECT $r AS round, lhs, rhs, lhs || rhs AS merged, pair_n FROM t$r"
+    }.mkString("\nUNION ALL\n")
+    s"${bpeChainSql(rounds)}\n$unions"
+  }
+
+  /** q193: the identical trained encoder table (f_rounds) joined back to
+    * every document's words — per-doc fertility under the trained vocab. */
+  private def bpeFertilityOracleSql(rounds: Int): String =
+    s"""${bpeChainSql(rounds)},
+       |dw AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE w <> '')
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(toks)) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(len(toks)) * 1000000 // count(*) AS BIGINT)
+       |    AS bpe_per_word_ppm
+       |FROM dw JOIN f$rounds USING (w)
+       |GROUP BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q30_text_stats" ->
@@ -3389,6 +3479,14 @@ object LlmQueries {
     // oracle is shared verbatim (kmvOracleSql).
     "q175_kmv_setops" -> kmvOracleSql,
     "q189_kmv_merged" -> kmvOracleSql,
+
+    // q192: the identical 3-round BPE induction, unrolled — per round
+    // the position-counted weighted pair aggregate, the (count desc,
+    // lexicographic) argmax, and the list_reduce replay of the greedy
+    // merge state machine ('P'/'N' pending prefix, chr(1)-joined
+    // emission) over the vocabulary forms.
+    "q192_bpe_train" -> bpeOracleSql(3),
+    "q193_bpe_fertility" -> bpeFertilityOracleSql(3),
 
     // q164: the same integer ppm BM25 chain, term by term — the Scala
     // side and this SQL are generated from one formula shape (44·tf·T /

@@ -1357,25 +1357,73 @@ object RelationalQueries {
     // the only window runs over ≤ |bins| rows. Error is bounded by the
     // bin width by construction.
     "q176_histogram_quantiles" -> { (s, dir) =>
+      histQuantileReport(eventValueBins(t(s, dir, "events")))
+    },
+
+    // q176's quantiles served from a PERSISTED, MERGED histogram index —
+    // the X172/X24 sign-once discipline applied to distributions: the
+    // first half of the events (by event_id parity) lands as a (bin, n)
+    // parquet table, the second half merges in map-only (bin counts ADD —
+    // the merge is exact, not approximate), and the percentile report
+    // runs off the ≤|bins| stored rows alone. Oracle: q176's single-shot
+    // SQL verbatim. At 100 TB the dashboard never re-reads events; each
+    // batch contributes one aggregation of itself.
+    "q191_hist_merged" -> { (s, dir) =>
       import s.implicits._
-      val counts = t(s, dir, "events")
-        .select((dec($"value") * 100).cast("long").as("_cents"))
-        .select(expr("_cents div 100").as("bin"))
-        .groupBy($"bin").agg(count(lit(1)).as("n"))
-      val wc = Window.orderBy($"bin")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val nTot = counts.agg(sum($"n").as("_n"))
-      counts.withColumn("cum", sum($"n").over(wc))
-        .crossJoin(broadcast(nTot))
-        .agg(first($"_n").as("n_events"),
-          min(when($"cum" * 100L >= $"_n" * 50L, $"bin" * 100L))
-            .as("p50_cents"),
-          min(when($"cum" * 100L >= $"_n" * 90L, $"bin" * 100L))
-            .as("p90_cents"),
-          min(when($"cum" * 100L >= $"_n" * 99L, $"bin" * 100L))
-            .as("p99_cents"))
+      val ev = t(s, dir, "events")
+      val idx = s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/q191_hist"
+      writeHistIndex(eventValueBins(ev.filter($"event_id" % 2 === 0)), idx)
+      mergeHistIndex(eventValueBins(ev.filter($"event_id" % 2 =!= 0)), idx)
+      histQuantileReport(s.read.parquet(idx))
     }
   )
+
+  /** Exact whole-currency bins of the events `value` column — the q176
+    * histogram's first aggregation, shared with the persisted-index form.
+    */
+  private def eventValueBins(events: DataFrame): DataFrame =
+    events.select((dec(col("value")) * 100).cast("long").as("_cents"))
+      .select(expr("_cents div 100").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+
+  /** The q176 percentile report over a (bin, n) histogram: cumulative
+    * window over ≤|bins| rows + one scalar broadcast; p50/p90/p99 as the
+    * first bin whose cumulative count crosses the ceil threshold. */
+  private def histQuantileReport(counts: DataFrame): DataFrame = {
+    val wc = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nTot = counts.agg(sum(col("n")).as("_n"))
+    counts.withColumn("cum", sum(col("n")).over(wc))
+      .crossJoin(broadcast(nTot))
+      .agg(first(col("_n")).as("n_events"),
+        min(when(col("cum") * 100L >= col("_n") * 50L, col("bin") * 100L))
+          .as("p50_cents"),
+        min(when(col("cum") * 100L >= col("_n") * 90L, col("bin") * 100L))
+          .as("p90_cents"),
+        min(when(col("cum") * 100L >= col("_n") * 99L, col("bin") * 100L))
+          .as("p99_cents"))
+  }
+
+  /** Persist a (bin, n) histogram as a parquet table — the sign-once
+    * index form for distributions (dashboard quantiles, KS drift): the
+    * stored table is ≤|bins| rows at any corpus size. */
+  def writeHistIndex(bins: DataFrame, dir: String): Unit =
+    bins.write.mode("overwrite").parquet(dir)
+
+  /** Merge a new batch's (bin, n) histogram into a stored index: bin
+    * counts ADD, so unlike a sketch the merge is EXACT — the merged
+    * index equals the from-scratch histogram of the concatenated data
+    * bit for bit (q191's gate reuses q176's single-shot oracle). One
+    * aggregation over ≤2·|bins| rows; the eager cut breaks the
+    * read→overwrite cycle on `dir`. */
+  def mergeHistIndex(batchBins: DataFrame, dir: String): Unit = {
+    val stored = batchBins.sparkSession.read.parquet(dir)
+    val merged = stored.unionByName(batchBins)
+      .groupBy(col("bin")).agg(sum(col("n")).as("n"))
+    graft.Checkpoints.cutEager(merged)
+      .write.mode("overwrite").parquet(dir)
+  }
 
   /** CUSUM change-point alarm (Page 1954) over an ordered integer
     * series, window-expressible: the recursion
@@ -3267,25 +3315,33 @@ object RelationalQueries {
         |GROUP BY 1, 2""".stripMargin,
 
     // q176: identical exact-cents bins, cumulative, ceil-threshold
-    // conditional mins.
-    "q176_histogram_quantiles" ->
-      """WITH bins AS (
-        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 100
-        |    AS bin
-        |  FROM events),
-        |c AS (SELECT bin, count(*) AS n FROM bins GROUP BY 1),
-        |n AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),
-        |cum AS (
-        |  SELECT bin,
-        |    SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
-        |  FROM c)
-        |SELECT nt AS n_events,
-        |  min(CASE WHEN cum * 100 >= nt * 50 THEN bin * 100 END)
-        |    AS p50_cents,
-        |  min(CASE WHEN cum * 100 >= nt * 90 THEN bin * 100 END)
-        |    AS p90_cents,
-        |  min(CASE WHEN cum * 100 >= nt * 99 THEN bin * 100 END)
-        |    AS p99_cents
-        |FROM cum, n GROUP BY nt""".stripMargin
+    // conditional mins. q191 serves the same report from the persisted
+    // MERGED histogram index — bin-count addition is exact, so the
+    // oracle is shared verbatim.
+    "q191_hist_merged" -> histOracleSql,
+    "q176_histogram_quantiles" -> histOracleSql
   )
+
+  /** Shared q176/q191 oracle: the single-shot exact-cents histogram +
+    * percentile report in DuckDB SQL. (A `def`: the oracles map above
+    * initializes first, so a val here would still be null there.) */
+  private def histOracleSql: String =
+    """WITH bins AS (
+      |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 100
+      |    AS bin
+      |  FROM events),
+      |c AS (SELECT bin, count(*) AS n FROM bins GROUP BY 1),
+      |n AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),
+      |cum AS (
+      |  SELECT bin,
+      |    SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM c)
+      |SELECT nt AS n_events,
+      |  min(CASE WHEN cum * 100 >= nt * 50 THEN bin * 100 END)
+      |    AS p50_cents,
+      |  min(CASE WHEN cum * 100 >= nt * 90 THEN bin * 100 END)
+      |    AS p90_cents,
+      |  min(CASE WHEN cum * 100 >= nt * 99 THEN bin * 100 END)
+      |    AS p99_cents
+      |FROM cum, n GROUP BY nt""".stripMargin
 }

@@ -1378,6 +1378,61 @@ class LlmSpec extends SparkSpec {
       == exp)
   }
 
+  test("bpe training: canonical merges on a hand corpus") {
+    import spark.implicits._
+    // words: the×4, cat×2, sat×1. Round 1: pairs th=4, he=4, ca=2,
+    // at=3, sa=1 — tie at 4 broken lexicographically → (h,e). Round 2:
+    // (t,he)=4 wins. Round 3: 'the' is fully merged, (a,t)=3 wins.
+    val docs = Seq((1L, "the the the cat"), (2L, "the cat sat"))
+      .toDF("doc_id", "text")
+    val got = Corpus.bpeTrain(docs, "doc_id", "text", rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(got == Set(
+      (1, "h", "e", "he", 4L),
+      (2, "t", "he", "the", 4L),
+      (3, "a", "t", "at", 3L)), s"got $got")
+  }
+
+  test("bpe training: overlapping pairs count per position and merge " +
+    "greedily left-to-right") {
+    import spark.implicits._
+    // 'aaaa' ×2: round 1 counts (a,a) at 3 positions ×2 = 6 and merges
+    // non-overlapping left-to-right → [aa, aa]; round 2 merges
+    // (aa,aa)=2 → [aaaa]; round 3 has no pairs left → no third row.
+    val docs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val got = Corpus.bpeTrain(docs, "doc_id", "text", rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4))).toSet
+    assert(got == Set((1, "aa", 6L), (2, "aaaa", 2L)), s"got $got")
+  }
+
+  test("bpe training: odd runs leave the trailing symbol unmerged") {
+    import spark.implicits._
+    // 'aaa': greedy scan merges positions 0-1 then stops → [aa, a];
+    // round 2's top pair is (aa, a) = 1.
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val got = Corpus.bpeTrain(docs, "doc_id", "text", rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(4))).toSet
+    assert(got == Set((1, "a", "a", 2L), (2, "aa", "a", 1L)), s"got $got")
+  }
+
+  test("bpe fertility: per-doc token counts under the trained vocab") {
+    import spark.implicits._
+    // Trained merges (see the bpe-training hand case): he, the, at.
+    // Final forms: the→[the]=1, cat→[c,at]=2, sat→[s,at]=2.
+    // Doc 1 (the the the cat): 4 words, 3·1+2 = 5 BPE tokens.
+    // Doc 2 (the cat sat): 3 words, 1+2+2 = 5 BPE tokens.
+    val docs = Seq((1L, "the the the cat"), (2L, "the cat sat"))
+      .toDF("doc_id", "text")
+    val got = Corpus.bpeFertility(docs, "doc_id", "text", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 4L, 5L, 1250000L),
+      (2L, 3L, 5L, 1666666L)), s"got $got")
+  }
+
   test("kmv index: write then merge batches equals one-shot sketch") {
     import spark.implicits._
     // Three overlapping batches ingested incrementally (write + 2 merges,

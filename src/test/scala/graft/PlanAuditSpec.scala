@@ -58,8 +58,12 @@ class PlanAuditSpec extends SparkSpec {
       // count / union-sketch stats / bin total) — the q105 scalar shape.
       "q173_rfm_scores", "q175_kmv_setops", "q176_histogram_quantiles",
       // q189 is q175's report served from the persisted merged index —
-      // identical single-row-aggregate cross-join shape.
-      "q189_kmv_merged",
+      // identical single-row-aggregate cross-join shape; q191 likewise
+      // serves q176's report from the merged histogram index.
+      "q189_kmv_merged", "q191_hist_merged",
+      // q192/q193 broadcast each BPE round's 1-row argmax pair back into
+      // the vocabulary re-segmentation — the q105 scalar shape, ×3.
+      "q192_bpe_train", "q193_bpe_fertility",
       // q177/q180 cross-join SINGLE-ROW aggregates (CUSUM mean / grand
       // total) — the q105 scalar shape.
       "q177_cusum_changepoints", "q180_contingency_lift",

@@ -926,6 +926,29 @@ class RelationalQueriesSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("histogram index: write then merge batches equals one-shot bins") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    // Bin counts add exactly, so incremental ingest must reproduce the
+    // one-shot histogram bit for bit (the q191 contract).
+    def bins(rows: Seq[Long]) = rows.toDF("v")
+      .select(expr("v div 100").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val b1 = Seq(101L, 150L, 250L, 310L)
+    val b2 = Seq(120L, 255L, 255L, 990L)
+    val b3 = Seq(105L, 990L)
+    val dir = java.nio.file.Files.createTempDirectory("histidx").toString
+    try {
+      RelationalQueries.writeHistIndex(bins(b1), dir)
+      RelationalQueries.mergeHistIndex(bins(b2), dir)
+      RelationalQueries.mergeHistIndex(bins(b3), dir)
+      def asMap(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(asMap(spark.read.parquet(dir)) == asMap(bins(b1 ++ b2 ++ b3)))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("zscore anomalies: past the BIGINT bound the job fails, never wraps") {
     import spark.implicits._
     // Values sized so the STATS aggregate stays exact (ΣX² ≈ 6.8e18 <
