@@ -95,7 +95,12 @@ object ScaleProbe {
       "q180_contingency_lift",
       "q181_entity_clusters", "q182_also_bought", "q183_boolean_and_search",
       "q184_ks_drift", "q185_id_completeness",
-      "q186_latency_percentiles")
+      "q186_latency_percentiles",
+      // BPE rides the token-suffix replica: the corpus grows 10× AND the
+      // vocabulary grows ~10× (every word gains 9 tagged variants), so
+      // this stresses BOTH the one corpus pass and the per-round
+      // vocab-table work — the probe should stay ~linear.
+      "q192_bpe_train", "q193_bpe_fertility")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
