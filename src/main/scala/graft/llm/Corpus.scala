@@ -1104,6 +1104,24 @@ object Corpus {
       .write.mode("overwrite").parquet(dir)
   }
 
+  /** [[mergeKmvIndex]] that also handles the FIRST batch (no index on
+    * disk yet) — the form a streaming foreachBatch sink calls per
+    * micro-batch ([[graft.streaming.EventsStream.kmvIndexSink]]).
+    * Replay-safe WITHOUT a batch ledger: KMV merge is idempotent
+    * (re-merging a batch unions hashes already in the slots, and the
+    * k-smallest of X ∪ X is X), so an at-least-once retry leaves the
+    * index bit-identical. */
+  def upsertKmvIndex(batch: DataFrame, keyCol: String, stratumCol: String,
+                     k: Int, dir: String, salt: String = "kmv:",
+                     saltBuckets: Int = 16): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(
+      batch.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+      mergeKmvIndex(batch, keyCol, stratumCol, k, dir, salt, saltBuckets)
+    else writeKmvIndex(batch, keyCol, stratumCol, k, dir, salt, saltBuckets)
+  }
+
   /** Stored KMV index with ranks restored — the same (stratum, h,
     * kmv_rank) relation [[kmvSketch]] emits, read from the k-slot
     * table instead of the corpus. */

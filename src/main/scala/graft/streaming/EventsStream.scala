@@ -781,4 +781,65 @@ object EventsStream {
           }
       }
   }
+
+  // ------------------------------------------------- index-sink streams
+  // Streaming maintenance of the persisted sign-once indexes (X172/X175):
+  // a stream keeps the dashboard tables current instead of a scheduled
+  // batch job, with replay-safety matched to each index's algebra.
+
+  /** Maintain a persisted KMV sketch index from a stream: each
+    * micro-batch is sketched alone and merged into the k-slot table
+    * ([[graft.llm.Corpus.upsertKmvIndex]]). At-least-once is ENOUGH here
+    * — KMV merge is idempotent — so no batch ledger is kept. */
+  def kmvIndexSink(events: DataFrame, keyCol: String, stratumCol: String,
+                   k: Int, dir: String, checkpointLoc: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointLoc)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.llm.Corpus.upsertKmvIndex(batch, keyCol, stratumCol, k, dir)
+      }
+      .start()
+
+  /** One micro-batch's histogram shard: the batch's (bin, n) rows land
+    * in the `batch_id=<id>` partition under DYNAMIC partition overwrite,
+    * so a REPLAYED batch overwrites exactly its own partition — counts
+    * add across batches but never double under at-least-once retries
+    * (exactly-once without a ledger; histogram addition, unlike KMV, is
+    * not idempotent). Shards stay ≤|bins| rows each and compact with
+    * [[graft.sources.Layout.writeCompacted]] when the partition count
+    * grows. */
+  def writeHistShard(bins: DataFrame, batchId: Long, dir: String): Unit = {
+    val spark = bins.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try bins.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(dir)
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Maintain a sharded histogram index from a stream: `binsOf` reduces
+    * each micro-batch to its (bin, n) rows, [[writeHistShard]] lands
+    * them exactly-once. */
+  def histIndexSink(stream: DataFrame, binsOf: DataFrame => DataFrame,
+                    dir: String, checkpointLoc: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointLoc)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeHistShard(binsOf(batch), id, dir)
+      }
+      .start()
+
+  /** The merged histogram from a sharded index: one aggregation over
+    * ≤|batches|·|bins| stored rows — equal to the one-shot histogram of
+    * everything ingested (bin counts add exactly). */
+  def histFromShards(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(col("bin")).agg(sum(col("n")).as("n"))
 }

@@ -834,4 +834,82 @@ class MediaStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == batch, s"stream $got vs batch $batch")
   }
+
+  test("streaming: kmv index sink maintains the persisted sketch; " +
+    "replays are idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("kmvsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("kmvsink-ck").toString
+    try {
+      val mem = MemoryStream[(String, Long)]
+      val q = graft.streaming.EventsStream.kmvIndexSink(
+        mem.toDF().toDF("st", "key"), "key", "st", k = 8,
+        dir = s"$dir/idx", checkpointLoc = ckpt)
+      mem.addData((1 to 30).map(i => ("a", i.toLong)): _*)
+      q.processAllAvailable()
+      mem.addData((21 to 60).map(i => ("a", i.toLong)) ++
+        (1 to 5).map(i => ("b", i.toLong)): _*)
+      q.processAllAvailable()
+      q.stop()
+      def slots(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("stratum"), col("h")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val fromStream = slots(graft.llm.Corpus.readKmvIndex(spark, s"$dir/idx"))
+      val oneShot = slots(graft.llm.Corpus.kmvSketch(
+        ((1 to 60).map(i => ("a", i.toLong)) ++
+          (1 to 5).map(i => ("b", i.toLong))).toDF("st", "key"),
+        "key", "st", k = 8))
+      assert(fromStream == oneShot)
+      // At-least-once replay: upserting an already-merged batch is a
+      // no-op on the slots (KMV merge idempotence).
+      graft.llm.Corpus.upsertKmvIndex(
+        (21 to 60).map(i => ("a", i.toLong)).toDF("st", "key"),
+        "key", "st", k = 8, s"$dir/idx")
+      assert(slots(graft.llm.Corpus.readKmvIndex(spark, s"$dir/idx"))
+        == oneShot, "replayed merge changed the slots")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+
+  test("streaming: histogram index sink shards per batch; a replayed " +
+    "shard overwrites itself, never double-counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("histsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("histsink-ck").toString
+    def bins(d: org.apache.spark.sql.DataFrame) =
+      d.select(expr("v div 100").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    try {
+      val mem = MemoryStream[Long]
+      val q = graft.streaming.EventsStream.histIndexSink(
+        mem.toDF().toDF("v"), bins, dir = s"$dir/idx", checkpointLoc = ckpt)
+      mem.addData(101L, 150L, 250L, 310L)
+      q.processAllAvailable()
+      mem.addData(120L, 255L, 255L, 990L)
+      q.processAllAvailable()
+      q.stop()
+      def asMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exp = asMap(bins(
+        Seq(101L, 150L, 250L, 310L, 120L, 255L, 255L, 990L).toDF("v")))
+      val got = asMap(
+        graft.streaming.EventsStream.histFromShards(spark, s"$dir/idx"))
+      assert(got == exp, s"got $got vs $exp")
+      // Replay batch 1's shard (same batch_id): dynamic partition
+      // overwrite replaces it in place — totals unchanged.
+      graft.streaming.EventsStream.writeHistShard(
+        bins(Seq(120L, 255L, 255L, 990L).toDF("v")), batchId = 1L,
+        dir = s"$dir/idx")
+      assert(asMap(graft.streaming.EventsStream
+        .histFromShards(spark, s"$dir/idx")) == exp,
+        "replayed shard double-counted")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
 }
