@@ -347,6 +347,28 @@ object Dedup {
     } finally hs.unpersist(false)
   }
 
+  /** Append an ingest batch's signatures INTO a stored dedup index —
+    * the grow half of the sign-once lifecycle ([[writeDedupIndex]] signs
+    * the initial corpus, [[dedupAgainstIndex]] probes each arriving
+    * batch, this admits the batch's survivors so the NEXT batch dedups
+    * against them too). The batch is hashed alone (one pass over the
+    * batch, the index is never re-signed) and appended in the SAME
+    * bucket layout — Spark validates the bucket spec, so the
+    * candidate-join stays one batch-side exchange. NOT idempotent
+    * (append duplicates rows); a replaying caller must dedup upstream or
+    * ledger batch ids (the `writeHistShard` pattern).
+    */
+  def appendDedupIndex(docs: DataFrame, idCol: String, textCol: String,
+                       prefix: String, buckets: Int = 32): Unit = {
+    val hs = hashedShingles(docs, idCol, textCol).cache()
+    try {
+      hs.write.mode("append").bucketBy(buckets, "_id")
+        .saveAsTable(s"${prefix}_shingles")
+      bandTable(hs).write.mode("append").bucketBy(buckets, "_band", "_bh")
+        .saveAsTable(s"${prefix}_bands")
+    } finally hs.unpersist(false)
+  }
+
   /** Near-duplicates of an ingest BATCH against a stored corpus index
     * ([[writeDedupIndex]]): returns (new_id, index_id, jaccard) with
     * jaccard >= threshold, computed exactly like [[minhashNearDups]]'s

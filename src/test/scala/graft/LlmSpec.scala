@@ -452,6 +452,44 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("dedup index: append grows the index — the next batch matches " +
+    "appended docs, and append == from-scratch rewrite") {
+    import spark.implicits._
+    val corpusA = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    // Batch B: near-copies of every 20th doc under fresh ids; batch C:
+    // near-copies OF B — C's hits on B exist only if B was admitted.
+    val batchB = corpusA.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 5000000).as("doc_id"),
+        concat(col("text"), lit(" btok")).as("text"))
+    val batchC = batchB
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" ctok")).as("text"))
+    def hitSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("index_id"),
+        math.round(r.getAs[Double]("jaccard") * 1e9))).toSet
+    try {
+      Dedup.writeDedupIndex(corpusA, "doc_id", "text", "gidx")
+      Dedup.appendDedupIndex(batchB, "doc_id", "text", "gidx")
+      val got = hitSet(Dedup.dedupAgainstIndex(batchC, "doc_id", "text",
+        spark, "gidx", threshold = 0.8))
+      // Every C doc must match its B twin (one appended token).
+      val cToB = batchB.select(col("doc_id")).collect()
+        .map(r => (r.getLong(0) + 1000000, r.getLong(0))).toSet
+      val gotPairs = got.map(t => (t._1, t._2))
+      assert(cToB.subsetOf(gotPairs),
+        s"missing C->B pairs: ${cToB -- gotPairs}")
+      // Equivalence: appending B == signing A ∪ B from scratch.
+      Dedup.writeDedupIndex(corpusA.unionByName(batchB),
+        "doc_id", "text", "fidx")
+      val fromScratch = hitSet(Dedup.dedupAgainstIndex(batchC, "doc_id",
+        "text", spark, "fidx", threshold = 0.8))
+      assert(got == fromScratch,
+        s"append diverged from rewrite: ${got diff fromScratch} / ${fromScratch diff got}")
+    } finally Seq("gidx_bands", "gidx_shingles", "fidx_bands",
+      "fidx_shingles").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("dedup index: corpus-self near-dups from the index alone match " +
     "minhashNearDups; band self-join is bucket-local") {
     import spark.implicits._
