@@ -1360,6 +1360,25 @@ object RelationalQueries {
       histQuantileReport(eventValueBins(t(s, dir, "events")))
     },
 
+    // Calendar gap-fill + forward fill — the time-series completion
+    // every reporting layer needs: the per-(type, day) aggregate leaves
+    // holes where a type had no events; the grid completes each type's
+    // [min, max] day span (sequence explode — |types|·|days| rows,
+    // bounded, never corpus-sized), zero-fills the counts, and
+    // forward-fills the last observed daily sum with one
+    // last(ignoreNulls) window per type. The DuckDB oracle replays the
+    // forward fill as an ASOF self-join (greatest daily day_n ≤ grid
+    // day_n) — same relation, independent device.
+    "q194_gapfill_ffill" -> { (s, dir) =>
+      import s.implicits._
+      gapFillForwardFill(
+        t(s, dir, "events")
+          .select($"event_type",
+            expr("unix_micros(ts) div 86400000000").as("day_n"),
+            (dec($"value") * 100).cast("long").as("_cents")),
+        "event_type", "day_n")
+    },
+
     // q176's quantiles served from a PERSISTED, MERGED histogram index —
     // the X172/X24 sign-once discipline applied to distributions: the
     // first half of the events (by event_id parity) lands as a (bin, n)
@@ -1403,6 +1422,31 @@ object RelationalQueries {
           .as("p90_cents"),
         min(when(col("cum") * 100L >= col("_n") * 99L, col("bin") * 100L))
           .as("p99_cents"))
+  }
+
+  /** Gap-fill + forward fill over a (key, day, value) event set: one
+    * daily aggregation of the input, a bounded per-key [min, max]
+    * sequence grid, a left join back, zero-filled counts and a
+    * last-non-null window for the carried value. Input must carry
+    * `_cents` (the per-row long value); output is (key, day, n_events,
+    * last_cents). Grid and windows are |keys|·|days| — reporting-table
+    * sized at any corpus scale.
+    */
+  def gapFillForwardFill(df: DataFrame, keyCol: String,
+                         dayCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol), col(dayCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("_cents")).as("_day_cents"))
+    val spans = daily.groupBy(col(keyCol))
+      .agg(min(col(dayCol)).as("_d0"), max(col(dayCol)).as("_d1"))
+    val grid = spans.select(col(keyCol),
+      explode(expr("sequence(_d0, _d1)")).as(dayCol))
+    grid.join(daily, Seq(keyCol, dayCol), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("last_cents",
+        last(col("_day_cents"), ignoreNulls = true).over(
+          Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_day_cents")
   }
 
   /** Persist a (bin, n) histogram as a parquet table — the sign-once
@@ -3319,7 +3363,32 @@ object RelationalQueries {
     // MERGED histogram index — bin-count addition is exact, so the
     // oracle is shared verbatim.
     "q191_hist_merged" -> histOracleSql,
-    "q176_histogram_quantiles" -> histOracleSql
+    "q176_histogram_quantiles" -> histOracleSql,
+
+    // q194: same daily aggregate + generate_series grid; the forward
+    // fill replayed as an ASOF self-join instead of a window — an
+    // independent device for the same relation.
+    "q194_gapfill_ffill" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_n,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS day_cents
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT event_type, min(day_n) AS d0, max(day_n) AS d1
+        |  FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(d0, d1)) AS day_n
+        |  FROM spans),
+        |j AS (
+        |  SELECT g.event_type, g.day_n,
+        |    CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events
+        |  FROM grid g LEFT JOIN daily d USING (event_type, day_n))
+        |SELECT j.event_type, j.day_n, j.n_events,
+        |  d2.day_cents AS last_cents
+        |FROM j ASOF LEFT JOIN daily d2
+        |  ON j.event_type = d2.event_type AND j.day_n >= d2.day_n""".stripMargin
   )
 
   /** Shared q176/q191 oracle: the single-shot exact-cents histogram +

@@ -926,6 +926,26 @@ class RelationalQueriesSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("gap-fill + forward fill completes the day grid and carries values") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Key "a": days 10, 13 (gap at 11, 12). Key "b": single day 20.
+    val df = Seq(
+      ("a", 10L, 100L), ("a", 10L, 50L), ("a", 13L, 70L),
+      ("b", 20L, 5L)
+    ).toDF("k", "day_n", "_cents")
+    val got = RelationalQueries.gapFillForwardFill(df, "k", "day_n")
+      .select(col("k"), col("day_n"), col("n_events"), col("last_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set(
+      ("a", 10L, 2L, 150L), // observed day: its own sum
+      ("a", 11L, 0L, 150L), // gap: zero count, carried sum
+      ("a", 12L, 0L, 150L),
+      ("a", 13L, 1L, 70L),  // next observation replaces the carry
+      ("b", 20L, 1L, 5L)), s"got $got")
+  }
+
   test("histogram index: write then merge batches equals one-shot bins") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, count, expr, lit}
