@@ -229,6 +229,30 @@ object Sparql {
       ConstructQuery(template, where, limit)
     }
 
+    def parseAskWhere(): Seq[Pattern] = {
+      parsePrefixes()
+      eatWord("ASK")
+      // Both `ASK { … }` and the explicit `ASK WHERE { … }` spelling.
+      tryWord("WHERE")
+      parseGroup()
+    }
+
+    def parseDescribeIris(): Seq[String] = {
+      parsePrefixes()
+      eatWord("DESCRIBE")
+      val iris = Seq.newBuilder[String]
+      var more = true
+      while (more) peek match {
+        case Some(TIri(i)) => next(); iris += i
+        case Some(p: TPName) => next(); iris += expand(p)
+        case _ => more = false
+      }
+      val out = iris.result()
+      require(out.nonEmpty, "DESCRIBE needs at least one IRI " +
+        "(variable DESCRIBE is not supported)")
+      out
+    }
+
     private def parsePrefixes(): Unit =
       while (tryWord("PREFIX")) {
         val (name, iri) = next() match {
@@ -546,6 +570,28 @@ object Sparql {
   /** Parse a SPARQL CONSTRUCT string into the AST. */
   def parseConstruct(query: String): ConstructQuery =
     new P(tokenize(query)).parseConstructQuery()
+
+  /** SPARQL ASK: does the pattern match at all? Compiles the group to
+    * the same join plan SELECT would build and probes it with
+    * `limit(1)` — one short-circuiting job, no full materialization.
+    * Driver-scalar by design, like [[scalar]]. */
+  def ask(triples: DataFrame, query: String): Boolean =
+    !compileGroup(new P(tokenize(query)).parseAskWhere(), triples)
+      .limit(1).isEmpty
+
+  /** SPARQL DESCRIBE <iri>…: the concise bounded description SPARQL
+    * engines conventionally return — every triple whose subject OR
+    * (IRI-)object is a listed resource — as a canonical-schema triples
+    * DF. One pushed-down disjunction filter over the scan; set
+    * semantics via distinct. */
+  def describe(triples: DataFrame, query: String): DataFrame = {
+    val iris = new P(tokenize(query)).parseDescribeIris()
+    triples.filter(col("s").isin(iris: _*) ||
+        (col("oIsIri") && col("o").isin(iris: _*)))
+      .select(col("s"), col("p"), col("o"), col("oIsIri"),
+        col("oLang"), col("oDatatype"))
+      .distinct()
+  }
 
   /** Compile + run a CONSTRUCT: returns the constructed graph as a
     * canonical-schema triples DataFrame (s, p, o, oIsIri, oLang,

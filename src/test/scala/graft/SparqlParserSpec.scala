@@ -518,6 +518,31 @@ class SparqlParserSpec extends SparkSpec {
     assert(e2.getMessage.contains("not bound"))
   }
 
+  test("ASK short-circuits to a boolean; DESCRIBE returns the bounded " +
+    "description of listed IRIs") {
+    val geo = G.geo(spark, sf)
+    assert(Sparql.ask(geo,
+      """PREFIX p: <urn:p/>
+        |ASK { ?n p:inRegion <urn:g/region/0> }""".stripMargin))
+    assert(!Sparql.ask(geo,
+      "ASK WHERE { ?n <urn:p/no-such-predicate> ?x }"))
+    // DESCRIBE <region/0>: its own triples (type + 2 names) plus every
+    // inbound inRegion edge from its nations.
+    val d = Sparql.describe(geo, "DESCRIBE <urn:g/region/0>")
+    val subjects = d.select(col("s")).distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(subjects.contains("urn:g/region/0"))
+    val own = d.filter(col("s") === "urn:g/region/0").count()
+    assert(own == 3L, s"own triples: $own") // type + name@en + name@en-US
+    val inbound = d.filter(col("p") === "urn:p/inRegion").collect()
+    assert(inbound.nonEmpty)
+    assert(inbound.forall(_.getAs[String]("o") == "urn:g/region/0"))
+    // A literal equal to a listed IRI's text must NOT match (oIsIri
+    // guards the object side).
+    assert(d.filter(!col("oIsIri") && col("o") === "urn:g/region/0")
+      .isEmpty)
+  }
+
   test("CONSTRUCT over the geo graph == the hand-built emission (q190)") {
     val geo = G.geo(spark, sf)
     val got = Sparql.construct(geo,
