@@ -312,6 +312,38 @@ object Graph {
     * never data. The visited set is re-checkpointed per round to cap
     * lineage, exactly the [[kCore]]/connected-components discipline.
     */
+  /** Weighted single-source shortest paths by `rounds` SYNCHRONIZED
+    * Bellman-Ford relaxations: after round r, `dist(v)` is exactly the
+    * cheapest path of ≤ r edges — deterministic whether or not the
+    * fixpoint has been reached, which is what lets an oracle unroll the
+    * identical rounds (the [[bfsHops]] recursive-CTE trick would
+    * enumerate every distinct path COST under weights and explode).
+    * Per round: one keyed join of the |V|-row distance vector against
+    * the once-materialized src-partitioned edge list + one min
+    * aggregation — the same per-iteration shape as [[pageRank]].
+    * Parallel edges collapse to their min weight up front. Nodes not
+    * reachable within `rounds` edges are absent.
+    */
+  def ssspRounds(edges: DataFrame, srcCol: String, dstCol: String,
+                 wCol: String, source: String, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"),
+        col(wCol).cast("long").as("_w"))
+      .groupBy(col("_s"), col("_d")).agg(min(col("_w")).as("_w"))
+      .repartition(col("_s")).cutLineage()
+    var dist = Seq((source, 0L)).toDF("node", "dist")
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(e, dist("node") === e("_s"))
+        .select(col("_d").as("node"), (col("dist") + col("_w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .cutLineage()
+    }
+    dist
+  }
+
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
               source: String, maxIters: Int = 20): DataFrame = {
     require(maxIters >= 1)

@@ -1006,6 +1006,17 @@ object RelationalQueries {
         tradeGraphEdges(s, dir), "src", "dst", source = "n0")
     },
 
+    // Weighted single-source shortest paths: 8 SYNCHRONIZED
+    // Bellman-Ford rounds over the weighted trade graph — after round r
+    // every dist is exactly the cheapest ≤r-edge path, so the DuckDB
+    // oracle unrolls the identical 8 relaxations (a recursive CTE would
+    // enumerate every distinct path COST and explode under weights).
+    "q195_sssp_weighted" -> { (s, dir) =>
+      graft.graphquery.Graph.ssspRounds(
+        tradeGraphEdgesWeighted(s, dir), "src", "dst", "w",
+        source = "n0", rounds = 8)
+    },
+
     // Integer-exact z-score anomaly days: a day is anomalous when its
     // event count is more than 2 population standard deviations from
     // the mean — tested WITHOUT floats as (n·x − S)² > 4·(n·SS − S²)
@@ -1900,6 +1911,29 @@ object RelationalQueries {
       .select(concat(lit("n"), $"c_nationkey").as("src"),
         concat(lit("c"), $"c_custkey").as("dst"))
     co.union(sn).union(nc)
+  }
+
+  /** [[tradeGraphEdges]] with deterministic integer weights derived from
+    * the numeric keys BEFORE prefixing (so DuckDB rebuilds them exactly):
+    * c→s costs (custkey+suppkey)%9+1, s→n costs suppkey%5+1, n→c costs
+    * custkey%7+1. */
+  def tradeGraphEdgesWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val co = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(concat(lit("c"), $"o_custkey").as("src"),
+        concat(lit("s"), $"l_suppkey").as("dst"),
+        (($"o_custkey" + $"l_suppkey") % 9 + 1).cast("long").as("w"))
+    val sn = t(s, dir, "supplier")
+      .select(concat(lit("s"), $"s_suppkey").as("src"),
+        concat(lit("n"), $"s_nationkey").as("dst"),
+        ($"s_suppkey" % 5 + 1).cast("long").as("w"))
+    val nc = t(s, dir, "customer")
+      .select(concat(lit("n"), $"c_nationkey").as("src"),
+        concat(lit("c"), $"c_custkey").as("dst"),
+        ($"c_custkey" % 7 + 1).cast("long").as("w"))
+    co.union(sn).union(nc).distinct()
   }
 
   /** Interval range join without an equi key, by time-bucketing: left
@@ -3358,6 +3392,11 @@ object RelationalQueries {
         |FROM cum JOIN t ON t.o_orderpriority = cum.o_orderpriority
         |GROUP BY 1, 2""".stripMargin,
 
+    // q195: the identical 8 relaxation rounds, unrolled — each round is
+    // one join + group-min, so the oracle is mechanical and bounded
+    // (never a recursive path enumeration).
+    "q195_sssp_weighted" -> ssspOracleSql(8),
+
     // q176: identical exact-cents bins, cumulative, ceil-threshold
     // conditional mins. q191 serves the same report from the persisted
     // MERGED histogram index — bin-count addition is exact, so the
@@ -3390,6 +3429,33 @@ object RelationalQueries {
         |FROM j ASOF LEFT JOIN daily d2
         |  ON j.event_type = d2.event_type AND j.day_n >= d2.day_n""".stripMargin
   )
+
+  /** The q195 oracle, generated for `rounds` rounds in lockstep with
+    * [[graft.graphquery.Graph.ssspRounds]]: d0 is the source row, each
+    * d_r the min over (carried dists ∪ one-edge relaxations of d_{r-1}). */
+  private def ssspOracleSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""d$r AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT e.dst, d.dist + e.w FROM d${r - 1} d
+         |    JOIN edges e ON e.src = d.node) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst,
+       |    (o.o_custkey + l.l_suppkey) % 9 + 1 AS w
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |  UNION
+       |  SELECT 's' || s_suppkey, 'n' || s_nationkey, s_suppkey % 5 + 1
+       |  FROM supplier
+       |  UNION
+       |  SELECT 'n' || c_nationkey, 'c' || c_custkey, c_custkey % 7 + 1
+       |  FROM customer),
+       |d0 AS (SELECT 'n0' AS node, CAST(0 AS BIGINT) AS dist),
+       |$roundCtes
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds""".stripMargin
+  }
 
   /** Shared q176/q191 oracle: the single-shot exact-cents histogram +
     * percentile report in DuckDB SQL. (A `def`: the oracles map above

@@ -926,6 +926,34 @@ class RelationalQueriesSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("sssp rounds: cheaper long path beats the direct edge; round " +
+    "bound caps path length") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // A→B direct costs 10, A→C→D→B costs 1+1+1 = 3; E hangs 4 hops off B.
+    val edges = Seq(
+      ("A", "B", 10L), ("A", "C", 1L), ("C", "D", 1L), ("D", "B", 1L),
+      ("B", "X1", 1L), ("X1", "X2", 1L), ("X2", "E", 1L)
+    ).toDF("src", "dst", "w")
+    def run(r: Int) = graft.graphquery.Graph
+      .ssspRounds(edges, "src", "dst", "w", source = "A", rounds = r)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val full = run(8)
+    assert(full == Map("A" -> 0L, "C" -> 1L, "D" -> 2L, "B" -> 3L,
+      "X1" -> 4L, "X2" -> 5L, "E" -> 6L), s"got $full")
+    // With only 2 rounds the cheap 3-edge path to B is not yet visible:
+    // dist(B) is the direct edge's 10, and E is unreached.
+    val two = run(2)
+    assert(two("B") == 10L, s"got ${two("B")}")
+    assert(!two.contains("E"))
+    // Parallel edges collapse to their min weight.
+    val par = Seq(("A", "B", 7L), ("A", "B", 2L)).toDF("src", "dst", "w")
+    val p = graft.graphquery.Graph
+      .ssspRounds(par, "src", "dst", "w", "A", rounds = 1)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(p == Map("A" -> 0L, "B" -> 2L), s"got $p")
+  }
+
   test("gap-fill + forward fill completes the day grid and carries values") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
