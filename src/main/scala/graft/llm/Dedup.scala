@@ -347,6 +347,59 @@ object Dedup {
     } finally hs.unpersist(false)
   }
 
+  /** EXACT set-similarity self-join (Jaccard over distinct word sets ≥
+    * threshold) via prefix filtering (Chaudhuri 2006 / PPJoin) — the
+    * exact complement to [[minhashNearDups]]: no banding probability, no
+    * missed pairs, at the cost of an exact verify on a provably
+    * complete candidate set. Tokens are globally ordered rarest-first
+    * (document frequency asc, token asc); each doc exposes only its
+    * first `|T| − ⌈t·|T|⌉ + 1` tokens, and two docs are candidates only
+    * if their PREFIXES share a token — the classic result guarantees no
+    * pair with Jaccard ≥ t escapes. At corpus scale the candidate join
+    * keys on rare tokens by construction (a token inside many prefixes
+    * is a rare token), so bucket sizes stay small where a naive
+    * token-join would explode on stopwords.
+    *
+    * Output: (d1, d2, jaccard_ppm) with d1 < d2, integer ppm. The q196
+    * oracle is BRUTE FORCE — full pair enumeration in DuckDB — so the
+    * gate proves completeness on the data, not just by theorem.
+    */
+  def setSimJoin(docs: DataFrame, idCol: String, textCol: String,
+                 thresholdPpm: Long): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("_id"),
+        expr(s"filter(array_distinct(split(trim($textCol), '\\\\s+')), " +
+          "x -> x <> '')").as("_tk"))
+      .withColumn("_sz", size(col("_tk")))
+      .filter(col("_sz") >= 1)
+    val tokRows = toks.select(col("_id"), explode(col("_tk")).as("_t"))
+    val dfreq = tokRows.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    val w = Window.partitionBy(col("_id"))
+      .orderBy(col("_df").asc, col("_t").asc)
+    val prefixes = tokRows.join(dfreq, Seq("_t"))
+      .withColumn("_rn", row_number().over(w))
+      .join(toks.select(col("_id"), col("_sz")), Seq("_id"))
+      // ⌈t·sz⌉ in integer ppm arithmetic.
+      .filter(col("_rn") <=
+        col("_sz") - expr(s"($thresholdPpm * _sz + 999999L) div 1000000L")
+          + lit(1L))
+      .select(col("_id"), col("_t"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a._t") === col("b._t") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("d1"), col("b._id").as("d2"))
+      .distinct()
+    cand
+      .join(tokRows.select(col("_id").as("d1"), col("_t")), Seq("d1"))
+      .join(tokRows.select(col("_id").as("d2"), col("_t")), Seq("d2", "_t"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("_inter"))
+      .join(toks.select(col("_id").as("d1"), col("_sz").as("_s1")), Seq("d1"))
+      .join(toks.select(col("_id").as("d2"), col("_sz").as("_s2")), Seq("d2"))
+      .withColumn("_uni", col("_s1") + col("_s2") - col("_inter"))
+      .filter(col("_inter") * 1000000L >= lit(thresholdPpm) * col("_uni"))
+      .select(col("d1"), col("d2"),
+        expr("_inter * 1000000L div _uni").as("jaccard_ppm"))
+  }
+
   /** Append an ingest batch's signatures INTO a stored dedup index —
     * the grow half of the sign-once lifecycle ([[writeDedupIndex]] signs
     * the initial corpus, [[dedupAgainstIndex]] probes each arriving

@@ -1230,6 +1230,22 @@ object LlmQueries {
     "q193_bpe_fertility" -> { (s, dir) =>
       Corpus.bpeFertility(t(s, dir, "documents"), "doc_id", "text",
         rounds = 3)
+    },
+
+    // EXACT set-similarity self-join at Jaccard ≥ 0.8 via PPJoin prefix
+    // filtering (Dedup.setSimJoin) — the exact complement to the
+    // MinHash family. The oracle is BRUTE FORCE pair enumeration, so
+    // this gate proves the prefix filter misses nothing on the data.
+    // Runs over a deterministic 1-in-5 doc subset: the synthetic corpus
+    // draws from a small vocabulary, so DISTINCT-word sets are dense
+    // (tens of thousands of true pairs at 0.6 over the full table) —
+    // the subset keeps the true-pair set meaningful without turning the
+    // gate into an all-pairs materialization.
+    "q196_setsim_join" -> { (s, dir) =>
+      import s.implicits._
+      Dedup.setSimJoin(
+        t(s, dir, "documents").filter($"doc_id" % 5 === 0),
+        "doc_id", "text", thresholdPpm = 800000L)
     }
   )
 
@@ -3487,6 +3503,26 @@ object LlmQueries {
     // emission) over the vocabulary forms.
     "q192_bpe_train" -> bpeOracleSql(3),
     "q193_bpe_fertility" -> bpeFertilityOracleSql(3),
+
+    // q196: brute-force pair enumeration — every doc pair's exact
+    // distinct-word Jaccard, integer cross-multiplied threshold. The
+    // Spark side's prefix filter must reproduce this EXACTLY.
+    "q196_setsim_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(list_distinct(
+        |      string_split_regex(trim(text), '\s+')), x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |sized AS (SELECT doc_id, tk, len(tk) AS sz FROM toks WHERE len(tk) >= 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS inter,
+        |    CAST(a.sz + b.sz - len(list_intersect(a.tk, b.tk)) AS BIGINT) AS uni
+        |  FROM sized a JOIN sized b ON a.doc_id < b.doc_id)
+        |SELECT d1, d2,
+        |  CAST(inter * 1000000 // uni AS BIGINT) AS jaccard_ppm
+        |FROM pairs
+        |WHERE uni > 0 AND inter * 1000000 >= 800000 * uni""".stripMargin,
 
     // q164: the same integer ppm BM25 chain, term by term — the Scala
     // side and this SQL are generated from one formula shape (44·tf·T /

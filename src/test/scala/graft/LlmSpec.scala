@@ -1416,6 +1416,32 @@ class LlmSpec extends SparkSpec {
       == exp)
   }
 
+  test("setSimJoin: exact jaccard pairs with prefix filtering on a " +
+    "hand corpus") {
+    import spark.implicits._
+    // d1/d2: 5 distinct words sharing 4 → J = 4/6 ≈ 0.667.
+    // d1/d3: share 2 of 5+5 → J = 2/8 = 0.25 (below both thresholds).
+    // d4: disjoint vocabulary, matches nothing.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "alpha beta kappa lambda mu"),
+      (4L, "nu xi omicron pi rho")
+    ).toDF("doc_id", "text")
+    def run(t: Long) = Dedup.setSimJoin(docs, "doc_id", "text", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(600000L) == Set((1L, 2L, 666666L)), s"got ${run(600000L)}")
+    assert(run(700000L) == Set.empty, s"got ${run(700000L)}")
+    // Duplicate words inside a doc collapse (DISTINCT sets): J still 4/6.
+    val dup = Seq(
+      (1L, "alpha alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta zeta")
+    ).toDF("doc_id", "text")
+    val got = Dedup.setSimJoin(dup, "doc_id", "text", 600000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 666666L)), s"got $got")
+  }
+
   test("bpe training: canonical merges on a hand corpus") {
     import spark.implicits._
     // words: the×4, cat×2, sat×1. Round 1: pairs th=4, he=4, ca=2,
