@@ -1132,6 +1132,41 @@ object Corpus {
       .withColumn("kmv_rank", row_number().over(w).cast("long"))
   }
 
+  /** Count-min sketch (Cormode 2005) over a key column: a depth×width
+    * counter table (≤ d·w rows at ANY corpus size — the
+    * frequency-estimation sketch for UNBOUNDED key domains, where the
+    * exact q139 heavy-hitter aggregate would hold every key). Each row
+    * of the sketch hashes the key with its own md5 salt (`cms<r>:`, the
+    * q52 integer draw device), so DuckDB replays the table bit for bit.
+    * Build cost: one map-side-combined aggregation of the d-exploded
+    * input. CMS merges by addition (the X175 histogram discipline
+    * applies verbatim if persisted).
+    */
+  def cmsBuild(df: DataFrame, keyCol: String, depth: Int = 4,
+               width: Int = 256, salt: String = "cms"): DataFrame =
+    df.select(explode(array((0 until depth).map { r =>
+        struct(lit(r).as("r"),
+          (hashU32(col(keyCol), s"$salt$r:") % width).as("c"))
+      }: _*)).as("_rc"))
+      .groupBy(col("_rc.r").as("r"), col("_rc.c").as("c"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Point estimates from a [[cmsBuild]] sketch: each key probes its d
+    * cells and takes the min (absent cell = 0). The sketch broadcasts
+    * (d·w rows); estimates never undercount. */
+  def cmsEstimate(cms: DataFrame, keys: DataFrame, keyCol: String,
+                  depth: Int = 4, width: Int = 256,
+                  salt: String = "cms"): DataFrame = {
+    val probes = keys.select(col(keyCol), explode(array((0 until depth).map { r =>
+        struct(lit(r).as("r"),
+          (hashU32(col(keyCol), s"$salt$r:") % width).as("c"))
+      }: _*)).as("_rc"))
+      .select(col(keyCol), col("_rc.r").as("r"), col("_rc.c").as("c"))
+    probes.join(broadcast(cms), Seq("r", "c"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("n"), lit(0L))).as("est_n"))
+  }
+
   /** Distributed BPE tokenizer TRAINING (Sennrich 2016 — the q118
     * single-round pair count, iterated to an actual merge list): per
     * round, count adjacent symbol pairs weighted by word frequency, take

@@ -1246,6 +1246,25 @@ object LlmQueries {
       Dedup.setSimJoin(
         t(s, dir, "documents").filter($"doc_id" % 5 === 0),
         "doc_id", "text", thresholdPpm = 800000L)
+    },
+
+    // Count-min sketch frequency estimates vs exact truth: per-user
+    // event counts estimated from a 4×256 counter table (bounded memory
+    // for an unbounded key domain) against the exact counts for a
+    // deterministic probe set — est_n ≥ true_n always; the gate replays
+    // the sketch's md5 row hashes bit for bit.
+    "q197_cms_counts" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"user_id")
+      val cms = Corpus.cmsBuild(ev, "user_id", depth = 4, width = 256)
+      val probeKeys = ev.filter($"user_id" % 7 === 0).distinct()
+      val est = Corpus.cmsEstimate(cms, probeKeys, "user_id",
+        depth = 4, width = 256)
+      val truth = ev.filter($"user_id" % 7 === 0)
+        .groupBy($"user_id").agg(count(lit(1)).as("true_n"))
+      truth.join(est, Seq("user_id"))
+        .select($"user_id", $"true_n", $"est_n",
+          ($"est_n" - $"true_n").as("overcount"))
     }
   )
 
@@ -3503,6 +3522,34 @@ object LlmQueries {
     // emission) over the vocabulary forms.
     "q192_bpe_train" -> bpeOracleSql(3),
     "q193_bpe_fertility" -> bpeFertilityOracleSql(3),
+
+    // q197: the identical 4×256 sketch rebuilt — same per-row md5
+    // salts, same cell counts, same min-of-d estimates.
+    "q197_cms_counts" -> {
+      def h(saltExpr: String, keyExpr: String) =
+        s"""list_reduce(list_transform(
+           |      string_split(substr(md5($saltExpr || CAST($keyExpr AS VARCHAR)), 1, 8), ''),
+           |      ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)),
+           |      (a, b) -> a * 16 + b) % 256""".stripMargin
+      s"""WITH cells AS (
+         |  SELECT g.r, ${h("'cms' || g.r || ':'", "user_id")} AS c
+         |  FROM events, unnest(generate_series(0, 3)) AS g(r)),
+         |cms AS (SELECT r, c, CAST(count(*) AS BIGINT) AS n
+         |  FROM cells GROUP BY 1, 2),
+         |keys AS (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0),
+         |probes AS (
+         |  SELECT k.user_id, g.r, ${h("'cms' || g.r || ':'", "k.user_id")} AS c
+         |  FROM keys k, unnest(generate_series(0, 3)) AS g(r)),
+         |est AS (
+         |  SELECT p.user_id, CAST(min(COALESCE(cms.n, 0)) AS BIGINT) AS est_n
+         |  FROM probes p LEFT JOIN cms ON cms.r = p.r AND cms.c = p.c
+         |  GROUP BY 1),
+         |truth AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS true_n
+         |  FROM events WHERE user_id % 7 = 0 GROUP BY 1)
+         |SELECT t.user_id, t.true_n, e.est_n, e.est_n - t.true_n AS overcount
+         |FROM truth t JOIN est e USING (user_id)""".stripMargin
+    },
 
     // q196: brute-force pair enumeration — every doc pair's exact
     // distinct-word Jaccard, integer cross-multiplied threshold. The

@@ -1442,6 +1442,37 @@ class LlmSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 666666L)), s"got $got")
   }
 
+  test("cms: estimates never undercount; uncontended width is exact") {
+    import spark.implicits._
+    // 30 keys × distinct counts. Width 1024 >> 30 keys: very likely
+    // uncontended, but the INVARIANT asserted is one-sided (est >= true)
+    // plus exactness measured, not assumed.
+    val df = (1 to 30).flatMap(k => Seq.fill(k)(k.toLong)).toDF("key")
+    val cms = Corpus.cmsBuild(df, "key", depth = 4, width = 1024)
+    // Sketch is bounded: at most d·w cells, regardless of key count.
+    assert(cms.count() <= 4L * 1024L)
+    val est = Corpus.cmsEstimate(cms, df.distinct(), "key",
+      depth = 4, width = 1024)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1 to 30).foreach { k =>
+      assert(est(k.toLong) >= k.toLong, s"undercount at $k: ${est(k)}")
+    }
+    // A key never inserted estimates as the min of its cells — with
+    // 465 insertions over 4×1024 cells it may collide, but never
+    // negatively.
+    val ghost = Corpus.cmsEstimate(cms, Seq(999L).toDF("key"), "key",
+      depth = 4, width = 1024).collect().head.getLong(1)
+    assert(ghost >= 0L)
+    // Tight width forces collisions: estimates still never undercount.
+    val tight = Corpus.cmsBuild(df, "key", depth = 2, width = 4)
+    val estT = Corpus.cmsEstimate(tight, df.distinct(), "key",
+      depth = 2, width = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1 to 30).foreach { k =>
+      assert(estT(k.toLong) >= k.toLong, s"undercount at $k: ${estT(k)}")
+    }
+  }
+
   test("bpe training: canonical merges on a hand corpus") {
     import spark.implicits._
     // words: the×4, cat×2, sat×1. Round 1: pairs th=4, he=4, ca=2,
