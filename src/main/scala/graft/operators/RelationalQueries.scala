@@ -784,6 +784,24 @@ object RelationalQueries {
         "user_id", "tsm", "event_id", "k")
     },
 
+    // Point-in-time join: every CLICK picks the q151 SCD2 dimension
+    // version (the user's purchase-props k) valid at the click's
+    // timestamp — the "what did the dimension say when the fact
+    // happened" join every warehouse needs; clicks before a user's
+    // first version keep null k.
+    "q198_pit_join" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val dim = scd2(ev.filter($"event_type" === "purchase")
+        .select($"user_id", unix_micros($"ts").as("tsm"), $"event_id",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .filter($"k".isNotNull),
+        "user_id", "tsm", "event_id", "k")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", unix_micros($"ts").as("tsm"), $"event_id")
+      pitJoin(clicks, dim, "user_id", "tsm")
+    },
+
     // Gaps-and-islands: per-user runs of consecutive active DAYS (the
     // streak report). The day−row_number island id turns each run into
     // one group key; one distinct + one keyed window, the groupBy runs
@@ -1715,6 +1733,28 @@ object RelationalQueries {
       .select(col(keyCol), col(valCol), col(tsCol).as("valid_from"),
         col("valid_to"),
         col("valid_to").isNull.cast("long").as("is_current"))
+  }
+
+  /** Point-in-time join of facts against an SCD2 dimension ([[scd2]]'s
+    * (key, value, valid_from, valid_to, is_current) shape): each fact
+    * row picks the dimension VERSION valid at its timestamp
+    * (`valid_from ≤ ts < valid_to`, open-ended current version), left —
+    * facts before the key's first version keep nulls. The join is an
+    * EQUI join on the key with the interval check as a residual
+    * condition (versions per key are few and disjoint, so at most one
+    * match and no blow-up) — never a nested-loop, at any fact count.
+    * Output: every fact column, then the dimension's non-bookkeeping
+    * columns. */
+  def pitJoin(facts: DataFrame, dim: DataFrame, keyCol: String,
+              tsCol: String): DataFrame = {
+    val f = facts.as("f"); val d = dim.as("d")
+    val bookkeeping = Set(keyCol, "valid_from", "valid_to", "is_current")
+    f.join(d, col(s"f.$keyCol") === col(s"d.$keyCol") &&
+        col("d.valid_from") <= col(s"f.$tsCol") &&
+        (col("d.valid_to").isNull || col(s"f.$tsCol") < col("d.valid_to")),
+      "left")
+      .select(facts.columns.map(c => col(s"f.$c")).toIndexedSeq ++
+        dim.columns.filterNot(bookkeeping).map(c => col(s"d.$c")): _*)
   }
 
   /** Gaps-and-islands: runs of consecutive integer `dayCol` values per
@@ -2861,6 +2901,31 @@ object RelationalQueries {
         |  CAST(lead(tsm) OVER (PARTITION BY user_id
         |    ORDER BY tsm, event_id) IS NULL AS BIGINT) AS is_current
         |FROM c WHERE pk IS NULL OR k <> pk""".stripMargin,
+
+    // q198: the q151 history rebuilt, then the interval-membership left
+    // join per click.
+    "q198_pit_join" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm, event_id,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL),
+        |c AS (
+        |  SELECT *, lag(k) OVER
+        |    (PARTITION BY user_id ORDER BY tsm, event_id) AS pk
+        |  FROM p),
+        |hist AS (
+        |  SELECT user_id, k, tsm AS valid_from,
+        |    lead(tsm) OVER (PARTITION BY user_id ORDER BY tsm, event_id)
+        |      AS valid_to
+        |  FROM c WHERE pk IS NULL OR k <> pk),
+        |clicks AS (
+        |  SELECT user_id, epoch_us(ts) AS tsm, event_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT cl.user_id, cl.tsm, cl.event_id, h.k
+        |FROM clicks cl LEFT JOIN hist h ON h.user_id = cl.user_id
+        |  AND h.valid_from <= cl.tsm
+        |  AND (h.valid_to IS NULL OR cl.tsm < h.valid_to)""".stripMargin,
 
     // q152: the same day − row_number island id.
     "q152_activity_streaks" ->

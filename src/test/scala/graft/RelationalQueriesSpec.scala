@@ -926,6 +926,29 @@ class RelationalQueriesSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("pit join: facts pick the version valid at their timestamp") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // User u: k=1 from ts 10, k=2 from ts 20 (current).
+    val dim = RelationalQueries.scd2(
+      Seq(("u", 10L, 1L, 1L), ("u", 20L, 2L, 2L))
+        .toDF("user_id", "tsm", "event_id", "k"),
+      "user_id", "tsm", "event_id", "k")
+    val facts = Seq(
+      ("u", 5L, 100L),  // before first version -> null
+      ("u", 10L, 101L), // inclusive lower bound -> k=1
+      ("u", 19L, 102L), // inside v1 -> k=1
+      ("u", 20L, 103L), // boundary: v1 is [10,20), v2 from 20 -> k=2
+      ("u", 99L, 104L), // open-ended current -> k=2
+      ("v", 50L, 105L)  // unknown key -> null
+    ).toDF("user_id", "tsm", "event_id")
+    val got = RelationalQueries.pitJoin(facts, dim, "user_id", "tsm")
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got == Map(100L -> -1L, 101L -> 1L, 102L -> 1L,
+      103L -> 2L, 104L -> 2L, 105L -> -1L), s"got $got")
+  }
+
   test("sssp rounds: cheaper long path beats the direct edge; round " +
     "bound caps path length") {
     import spark.implicits._
