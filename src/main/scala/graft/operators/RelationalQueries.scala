@@ -784,6 +784,16 @@ object RelationalQueries {
         "user_id", "tsm", "event_id", "k")
     },
 
+    // Theil–Sen robust daily trend: the median pairwise slope of the
+    // daily event-count series — one corpus rollup, then a |days|²/2
+    // pair table (hundreds of rows) and a deterministic median pick.
+    "q199_theilsen_trend" -> { (s, dir) =>
+      import s.implicits._
+      theilSen(t(s, dir, "events")
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day_n"))
+        .agg(count(lit(1)).as("n")), "day_n", "n")
+    },
+
     // Point-in-time join: every CLICK picks the q151 SCD2 dimension
     // version (the user's purchase-props k) valid at the click's
     // timestamp — the "what did the dimension say when the fact
@@ -1733,6 +1743,38 @@ object RelationalQueries {
       .select(col(keyCol), col(valCol), col(tsCol).as("valid_from"),
         col("valid_to"),
         col("valid_to").isNull.cast("long").as("is_current"))
+  }
+
+  /** Theil–Sen robust trend estimator over an ordered integer series
+    * (day, value): the MEDIAN of all pairwise slopes — outlier days
+    * move the estimate by at most their rank, unlike least squares
+    * where one spike drags the line. The series is a bounded reporting
+    * table (|days| rows → |days|²/2 pairs — hundreds, never
+    * corpus-sized), so the pair enumeration is a self-join of a tiny
+    * aggregate and the median a row_number pick, all after ONE daily
+    * rollup of the corpus.
+    *
+    * Integer discipline: slope_ppm uses explicit FLOOR division
+    * (`(a − pmod(a, b)) div b`) — Spark's `div` truncates toward zero
+    * while DuckDB's `//` floors, and negative slopes exist, so the
+    * floor form is spelled out on both sides. Median = the
+    * ⌈n_pairs/2⌉-th slope ordered by (slope_ppm, i, j) — deterministic
+    * including ties; even counts take the lower middle.
+    */
+  def theilSen(daily: DataFrame, dayCol: String,
+               valueCol: String): DataFrame = {
+    val d = daily.select(col(dayCol).as("_d"), col(valueCol).as("_x"))
+    val pairs = d.as("a").join(d.as("b"), col("a._d") < col("b._d"))
+      .select(col("a._d").as("_i"), col("b._d").as("_j"),
+        (col("b._x") - col("a._x")).as("_dy"),
+        (col("b._d") - col("a._d")).as("_dx"))
+      .withColumn("slope_ppm", expr(
+        "(_dy * 1000000L - pmod(_dy * 1000000L, _dx)) div _dx"))
+    val w = Window.orderBy(col("slope_ppm"), col("_i"), col("_j"))
+    pairs.withColumn("_rn", row_number().over(w))
+      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+      .filter(expr("_rn = (n_pairs + 1) div 2"))
+      .select(col("n_pairs"), col("slope_ppm").as("trend_slope_ppm"))
   }
 
   /** Point-in-time join of facts against an SCD2 dimension ([[scd2]]'s
@@ -2901,6 +2943,24 @@ object RelationalQueries {
         |  CAST(lead(tsm) OVER (PARTITION BY user_id
         |    ORDER BY tsm, event_id) IS NULL AS BIGINT) AS is_current
         |FROM c WHERE pk IS NULL OR k <> pk""".stripMargin,
+
+    // q199: same rollup, same pair enumeration, same floor-division
+    // slopes (DuckDB's // floors natively; the Spark side spells floor
+    // out via pmod), same (slope, i, j)-ordered median pick.
+    "q199_theilsen_trend" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |sl AS (
+        |  SELECT a.d AS i, b.d AS j,
+        |    ((b.x - a.x) * 1000000) // (b.d - a.d) AS slope_ppm
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |r AS (SELECT slope_ppm,
+        |    ROW_NUMBER() OVER (ORDER BY slope_ppm, i, j) AS rn FROM sl),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM sl)
+        |SELECT n_pairs, slope_ppm AS trend_slope_ppm
+        |FROM r, n WHERE rn = (n_pairs + 1) // 2""".stripMargin,
 
     // q198: the q151 history rebuilt, then the interval-membership left
     // join per click.

@@ -926,6 +926,26 @@ class RelationalQueriesSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("theil-sen: outlier day barely moves the median slope; negative " +
+    "slopes use FLOOR division") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Steady +2/day with one huge spike at day 4: the median pairwise
+    // slope stays 2e6 ppm (least squares would be dragged far off).
+    val daily = Seq((1L, 10L), (2L, 12L), (3L, 14L), (4L, 100L),
+      (5L, 18L)).toDF("d", "x")
+    val got = RelationalQueries.theilSen(daily, "d", "x")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(got == (10L, 2000000L), s"got $got")
+    // Floor semantics on a negative fractional slope: dy=-7 over dx=3
+    // → floor(-7e6/3) = -2333334, NOT the truncate -2333333 (this is
+    // the Spark-div-vs-DuckDB-// trap spelled out).
+    val neg = Seq((0L, 10L), (3L, 3L)).toDF("d", "x")
+    val s2 = RelationalQueries.theilSen(neg, "d", "x")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(s2 == (1L, -2333334L), s"got $s2")
+  }
+
   test("pit join: facts pick the version valid at their timestamp") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
