@@ -1248,6 +1248,37 @@ object LlmQueries {
         "doc_id", "text", thresholdPpm = 800000L)
     },
 
+    // THE SIGN-ONCE DASHBOARD (the round-13 flagship, tying X172/X175
+    // together): distinct-user set operations AND value-distribution
+    // percentiles served in ONE row from PERSISTED MERGED indexes —
+    // both indexes are written from one half of the events and merged
+    // with the other, and the report reads ONLY the stored k-slots
+    // (≤ k·|strata| rows) and bins (≤ |bins| rows). This is the 100 TB
+    // dashboard contract: after ingest, reports never touch raw events.
+    // The oracle is the two single-shot replays cross-joined — exact
+    // because KMV merge closure and histogram addition make the merged
+    // indexes bit-identical to from-scratch builds.
+    "q200_index_dashboard" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      val evk = ev.filter($"event_type".isin("view", "purchase"))
+        .select($"event_type", $"user_id", $"event_id")
+      Corpus.writeKmvIndex(evk.filter($"event_id" % 2 === 0),
+        "user_id", "event_type", 64, s"$wh/q200_kmv")
+      Corpus.mergeKmvIndex(evk.filter($"event_id" % 2 =!= 0),
+        "user_id", "event_type", 64, s"$wh/q200_kmv")
+      RelationalQueries.writeHistIndex(
+        RelationalQueries.eventValueBins(ev.filter($"event_id" % 2 === 0)),
+        s"$wh/q200_hist")
+      RelationalQueries.mergeHistIndex(
+        RelationalQueries.eventValueBins(ev.filter($"event_id" % 2 =!= 0)),
+        s"$wh/q200_hist")
+      kmvSetops(Corpus.readKmvIndex(s, s"$wh/q200_kmv"), 64)
+        .crossJoin(broadcast(RelationalQueries.histQuantileReport(
+          s.read.parquet(s"$wh/q200_hist"))))
+    },
+
     // Count-min sketch frequency estimates vs exact truth: per-user
     // event counts estimated from a 4×256 counter table (bounded memory
     // for an unbounded key domain) against the exact counts for a
@@ -3522,6 +3553,12 @@ object LlmQueries {
     // emission) over the vocabulary forms.
     "q192_bpe_train" -> bpeOracleSql(3),
     "q193_bpe_fertility" -> bpeFertilityOracleSql(3),
+
+    // q200: the two single-shot replays, cross-joined (both 1 row).
+    "q200_index_dashboard" ->
+      s"""WITH kmvres AS ($kmvOracleSql),
+         |histres AS (${RelationalQueries.histOracleSql})
+         |SELECT * FROM kmvres, histres""".stripMargin,
 
     // q197: the identical 4×256 sketch rebuilt — same per-row md5
     // salts, same cell counts, same min-of-d estimates.

@@ -1440,7 +1440,7 @@ object RelationalQueries {
   /** Exact whole-currency bins of the events `value` column — the q176
     * histogram's first aggregation, shared with the persisted-index form.
     */
-  private def eventValueBins(events: DataFrame): DataFrame =
+  private[operators] def eventValueBins(events: DataFrame): DataFrame =
     events.select((dec(col("value")) * 100).cast("long").as("_cents"))
       .select(expr("_cents div 100").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
@@ -1448,7 +1448,7 @@ object RelationalQueries {
   /** The q176 percentile report over a (bin, n) histogram: cumulative
     * window over ≤|bins| rows + one scalar broadcast; p50/p90/p99 as the
     * first bin whose cumulative count crosses the ceil threshold. */
-  private def histQuantileReport(counts: DataFrame): DataFrame = {
+  private[operators] def histQuantileReport(counts: DataFrame): DataFrame = {
     val wc = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nTot = counts.agg(sum(col("n")).as("_n"))
@@ -3585,7 +3585,7 @@ object RelationalQueries {
   /** Shared q176/q191 oracle: the single-shot exact-cents histogram +
     * percentile report in DuckDB SQL. (A `def`: the oracles map above
     * initializes first, so a val here would still be null there.) */
-  private def histOracleSql: String =
+  private[operators] def histOracleSql: String =
     """WITH bins AS (
       |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 100
       |    AS bin

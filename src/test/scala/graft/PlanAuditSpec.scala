@@ -61,6 +61,9 @@ class PlanAuditSpec extends SparkSpec {
       // identical single-row-aggregate cross-join shape; q191 likewise
       // serves q176's report from the merged histogram index.
       "q189_kmv_merged", "q191_hist_merged",
+      // q200 cross-joins the two 1-row index reports (kmv setops ×
+      // hist quantiles) plus their internal scalar broadcasts.
+      "q200_index_dashboard",
       // q192/q193 broadcast each BPE round's 1-row argmax pair back into
       // the vocabulary re-segmentation — the q105 scalar shape, ×3.
       "q192_bpe_train", "q193_bpe_fertility",
