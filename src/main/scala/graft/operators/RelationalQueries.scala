@@ -794,6 +794,25 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n")), "day_n", "n")
     },
 
+    // Exact-integer OLS slope of the daily event-count series — the
+    // parametric companion to q199's robust median (compare the two to
+    // see outlier drag); one aggregation, raw fraction + floor-ppm out.
+    "q201_ols_trend" -> { (s, dir) =>
+      import s.implicits._
+      olsTrend(t(s, dir, "events")
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day_n"))
+        .agg(count(lit(1)).as("n")), "day_n", "n")
+    },
+
+    // Mann–Kendall monotone-trend test statistic over the same series —
+    // distribution-free S = Σ sign(Δ) with pair/tie counts.
+    "q202_mann_kendall" -> { (s, dir) =>
+      import s.implicits._
+      mannKendall(t(s, dir, "events")
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day_n"))
+        .agg(count(lit(1)).as("n")), "day_n", "n")
+    },
+
     // Point-in-time join: every CLICK picks the q151 SCD2 dimension
     // version (the user's purchase-props k) valid at the click's
     // timestamp — the "what did the dimension say when the fact
@@ -1754,12 +1773,12 @@ object RelationalQueries {
     * aggregate and the median a row_number pick, all after ONE daily
     * rollup of the corpus.
     *
-    * Integer discipline: slope_ppm uses explicit FLOOR division
-    * (`(a − pmod(a, b)) div b`) — Spark's `div` truncates toward zero
-    * while DuckDB's `//` floors, and negative slopes exist, so the
-    * floor form is spelled out on both sides. Median = the
-    * ⌈n_pairs/2⌉-th slope ordered by (slope_ppm, i, j) — deterministic
-    * including ties; even counts take the lower middle.
+    * Integer discipline: slope_ppm divides with TRUNCATION toward zero
+    * — the NATIVE integer-division semantic of BOTH engines (Spark
+    * `div` and DuckDB's integer `//` truncate; DuckDB floors only on
+    * floats — verified empirically on negative slopes, q201's gate).
+    * Median = the ⌈n_pairs/2⌉-th slope ordered by (slope_ppm, i, j) —
+    * deterministic including ties; even counts take the lower middle.
     */
   def theilSen(daily: DataFrame, dayCol: String,
                valueCol: String): DataFrame = {
@@ -1768,13 +1787,52 @@ object RelationalQueries {
       .select(col("a._d").as("_i"), col("b._d").as("_j"),
         (col("b._x") - col("a._x")).as("_dy"),
         (col("b._d") - col("a._d")).as("_dx"))
-      .withColumn("slope_ppm", expr(
-        "(_dy * 1000000L - pmod(_dy * 1000000L, _dx)) div _dx"))
+      .withColumn("slope_ppm", expr("_dy * 1000000L div _dx"))
     val w = Window.orderBy(col("slope_ppm"), col("_i"), col("_j"))
     pairs.withColumn("_rn", row_number().over(w))
       .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
       .filter(expr("_rn = (n_pairs + 1) div 2"))
       .select(col("n_pairs"), col("slope_ppm").as("trend_slope_ppm"))
+  }
+
+  /** Exact-integer ordinary-least-squares slope over the same bounded
+    * (day, value) series [[theilSen]] robustifies: slope = (n·Σxy −
+    * Σx·Σy) / (n·Σx² − (Σx)²), numerator and denominator both exact
+    * BIGINT from ONE aggregation, emitted as truncating-ppm (both
+    * engines' native integer division — see [[theilSen]]'s division
+    * note) plus the raw fraction so callers can re-derive without
+    * rounding. Degenerate
+    * single-day series (den = 0) yields a null slope rather than a
+    * division error. */
+  def olsTrend(daily: DataFrame, dayCol: String,
+               valueCol: String): DataFrame =
+    daily.agg(count(lit(1)).as("n_days"),
+        sum(col(dayCol)).as("_sx"),
+        sum(col(valueCol)).as("_sy"),
+        sum(col(dayCol) * col(valueCol)).as("_sxy"),
+        sum(col(dayCol) * col(dayCol)).as("_sxx"))
+      .withColumn("slope_num", expr("n_days * _sxy - _sx * _sy"))
+      .withColumn("slope_den", expr("n_days * _sxx - _sx * _sx"))
+      .withColumn("ols_slope_ppm", expr(
+        "CASE WHEN slope_den = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE slope_num * 1000000L div slope_den END"))
+      .select(col("n_days"), col("slope_num"), col("slope_den"),
+        col("ols_slope_ppm"))
+
+  /** Mann–Kendall trend TEST over the bounded (day, value) series: the
+    * S statistic = Σ sign(x_j − x_i) over all i<j pairs — a
+    * distribution-free "is there a monotone trend" answer that pairs
+    * with [[theilSen]]'s "how steep" (same |days|²/2 pair table).
+    * Integer-exact: S, the pair count, and the tie count; consumers
+    * apply their own significance threshold. */
+  def mannKendall(daily: DataFrame, dayCol: String,
+                  valueCol: String): DataFrame = {
+    val d = daily.select(col(dayCol).as("_d"), col(valueCol).as("_x"))
+    d.as("a").join(d.as("b"), col("a._d") < col("b._d"))
+      .agg(sum(signum(col("b._x") - col("a._x")).cast("long")).as("s_stat"),
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("b._x") === col("a._x"), 1L).otherwise(0L))
+          .as("n_ties"))
   }
 
   /** Point-in-time join of facts against an SCD2 dimension ([[scd2]]'s
@@ -2944,9 +3002,40 @@ object RelationalQueries {
         |    ORDER BY tsm, event_id) IS NULL AS BIGINT) AS is_current
         |FROM c WHERE pk IS NULL OR k <> pk""".stripMargin,
 
-    // q199: same rollup, same pair enumeration, same floor-division
-    // slopes (DuckDB's // floors natively; the Spark side spells floor
-    // out via pmod), same (slope, i, j)-ordered median pick.
+    // q201/q202: same daily rollup; OLS moments in one aggregate with
+    // DuckDB's native floor //; Mann–Kendall over the same pair table.
+    "q201_ols_trend" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(d) AS BIGINT) AS sx, CAST(sum(x) AS BIGINT) AS sy,
+        |    CAST(sum(d * x) AS BIGINT) AS sxy,
+        |    CAST(sum(d * d) AS BIGINT) AS sxx
+        |  FROM daily)
+        |SELECT n_days,
+        |  n_days * sxy - sx * sy AS slope_num,
+        |  n_days * sxx - sx * sx AS slope_den,
+        |  CASE WHEN n_days * sxx - sx * sx = 0 THEN CAST(NULL AS BIGINT)
+        |    ELSE ((n_days * sxy - sx * sy) * 1000000)
+        |      // (n_days * sxx - sx * sx) END AS ols_slope_ppm
+        |FROM m""".stripMargin,
+    "q202_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(sum(sign(b.x - a.x)) AS BIGINT) AS s_stat,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ties
+        |FROM daily a JOIN daily b ON a.d < b.d""".stripMargin,
+
+    // q199: same rollup, same pair enumeration, same TRUNCATING integer
+    // division (both engines' native semantic — Spark div and integer
+    // //), same (slope, i, j)-ordered median pick.
     "q199_theilsen_trend" ->
       """WITH daily AS (
         |  SELECT epoch_us(ts) // 86400000000 AS d,

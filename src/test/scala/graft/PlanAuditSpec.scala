@@ -67,11 +67,11 @@ class PlanAuditSpec extends SparkSpec {
       // q192/q193 broadcast each BPE round's 1-row argmax pair back into
       // the vocabulary re-segmentation — the q105 scalar shape, ×3.
       "q192_bpe_train", "q193_bpe_fertility",
-      // q199's pair enumeration is a non-equi self-join of the DAILY
-      // aggregate — both sides are |days|-row reporting tables (30 rows
-      // at sf0.1), so the BNLJ is |days|²/2 by construction; plus the
-      // 1-row n_pairs scalar broadcast.
-      "q199_theilsen_trend",
+      // q199/q202's pair enumeration is a non-equi self-join of the
+      // DAILY aggregate — both sides are |days|-row reporting tables
+      // (30 rows at sf0.1), so the BNLJ is |days|²/2 by construction;
+      // q199 adds the 1-row n_pairs scalar broadcast.
+      "q199_theilsen_trend", "q202_mann_kendall",
       // q177/q180 cross-join SINGLE-ROW aggregates (CUSUM mean / grand
       // total) — the q105 scalar shape.
       "q177_cusum_changepoints", "q180_contingency_lift",

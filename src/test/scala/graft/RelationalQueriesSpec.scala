@@ -937,13 +937,36 @@ class RelationalQueriesSpec extends SparkSpec {
     val got = RelationalQueries.theilSen(daily, "d", "x")
       .collect().map(r => (r.getLong(0), r.getLong(1))).head
     assert(got == (10L, 2000000L), s"got $got")
-    // Floor semantics on a negative fractional slope: dy=-7 over dx=3
-    // → floor(-7e6/3) = -2333334, NOT the truncate -2333333 (this is
-    // the Spark-div-vs-DuckDB-// trap spelled out).
+    // Negative fractional slope divides with TRUNCATION toward zero —
+    // the native integer-division semantic of BOTH Spark (`div`) and
+    // DuckDB (integer `//`): trunc(-7e6/3) = -2333333.
     val neg = Seq((0L, 10L), (3L, 3L)).toDF("d", "x")
     val s2 = RelationalQueries.theilSen(neg, "d", "x")
       .collect().map(r => (r.getLong(0), r.getLong(1))).head
-    assert(s2 == (1L, -2333334L), s"got $s2")
+    assert(s2 == (1L, -2333333L), s"got $s2")
+  }
+
+  test("ols + mann-kendall: spike drags OLS but not the MK sign sum") {
+    import spark.implicits._
+    // Same series as the theil-sen case: steady +2/day, spike at day 4.
+    val daily = Seq((1L, 10L), (2L, 12L), (3L, 14L), (4L, 100L),
+      (5L, 18L)).toDF("d", "x")
+    val ols = RelationalQueries.olsTrend(daily, "d", "x")
+      .collect().head
+    // By-hand moments: n=5 sx=15 sy=154 sxy=566 sxx=55 →
+    // num = 5·566 − 15·154 = 520; den = 5·55 − 225 = 50 → 10.4/day:
+    // the spike quintupled the OLS slope (theil-sen said 2.0).
+    assert((ols.getLong(0), ols.getLong(1), ols.getLong(2),
+      ols.getLong(3)) == ((5L, 520L, 50L, 10400000L)), s"got $ols")
+    // MK: 9 rises, 1 fall ((4,100)→(5,18)) → S = 8, no ties.
+    val mk = RelationalQueries.mannKendall(daily, "d", "x")
+      .collect().head
+    assert((mk.getLong(0), mk.getLong(1), mk.getLong(2))
+      == ((8L, 10L, 0L)), s"got $mk")
+    // Degenerate one-day series: null OLS slope, not a crash.
+    val one = RelationalQueries.olsTrend(
+      Seq((7L, 3L)).toDF("d", "x"), "d", "x").collect().head
+    assert(one.isNullAt(3))
   }
 
   test("pit join: facts pick the version valid at their timestamp") {
