@@ -100,7 +100,11 @@ object ScaleProbe {
       // vocabulary grows ~10× (every word gains 9 tagged variants), so
       // this stresses BOTH the one corpus pass and the per-round
       // vocab-table work — the probe should stay ~linear.
-      "q192_bpe_train", "q193_bpe_fertility")
+      "q192_bpe_train", "q193_bpe_fertility",
+      // Round-13 events family: gap-fill grid (bounded output, linear
+      // rollup), CMS (bounded cells, linear explode), PIT join (equi
+      // join + residual).
+      "q194_gapfill_ffill", "q197_cms_counts", "q198_pit_join")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -150,7 +154,10 @@ object ScaleProbe {
       "q182_also_bought" -> "lineitem",
       "q184_ks_drift" -> "events",
       "q185_id_completeness" -> "orders",
-      "q186_latency_percentiles" -> "lineitem").withDefault(_ => "documents")
+      "q186_latency_percentiles" -> "lineitem",
+      "q194_gapfill_ffill" -> "events",
+      "q197_cms_counts" -> "events",
+      "q198_pit_join" -> "events").withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet
 
     // The replica generators for documents/lineitem are the
