@@ -1167,6 +1167,39 @@ object Corpus {
       .agg(min(coalesce(col("n"), lit(0L))).as("est_n"))
   }
 
+  /** Persist a [[cmsBuild]] sketch as a parquet table — the sign-once
+    * index form for FREQUENCIES, completing the sketch-index family
+    * (KMV = distinct counts, histogram = distributions, CMS = per-key
+    * frequency over an unbounded key domain). The stored table is
+    * ≤ depth·width rows at ANY corpus size; a frequency monitor probes
+    * it ([[cmsEstimate]]) without ever re-reading the corpus. */
+  def writeCmsIndex(df: DataFrame, keyCol: String, dir: String,
+                    depth: Int = 4, width: Int = 256,
+                    salt: String = "cms"): Unit =
+    cmsBuild(df, keyCol, depth, width, salt)
+      .write.mode("overwrite").parquet(dir)
+
+  /** Merge a new batch into a stored CMS index: the batch is sketched
+    * alone (one aggregation of the batch — the corpus behind the index
+    * is never re-read) and cell counts ADD, which is the count-min merge
+    * law: cms(A) + cms(B) = cms(A ∪ B) cell for cell, so the merged
+    * index is BIT-IDENTICAL to a from-scratch sketch of everything
+    * ingested (q203's gate holds the merged index to q197's one-shot
+    * oracle). Addition is NOT idempotent — a replaying caller must
+    * ledger batches or use the batch_id-sharded streaming form
+    * ([[graft.streaming.EventsStream.cmsIndexSink]]). One aggregation
+    * over ≤ 2·depth·width rows; the eager cut breaks the
+    * read→overwrite cycle on `dir`. */
+  def mergeCmsIndex(batch: DataFrame, keyCol: String, dir: String,
+                    depth: Int = 4, width: Int = 256,
+                    salt: String = "cms"): Unit = {
+    val stored = batch.sparkSession.read.parquet(dir)
+    val merged = stored.unionByName(cmsBuild(batch, keyCol, depth, width, salt))
+      .groupBy(col("r"), col("c")).agg(sum(col("n")).as("n"))
+    graft.Checkpoints.cutEager(merged)
+      .write.mode("overwrite").parquet(dir)
+  }
+
   /** Distributed BPE tokenizer TRAINING (Sennrich 2016 — the q118
     * single-round pair count, iterated to an actual merge list): per
     * round, count adjacent symbol pairs weighted by word frequency, take

@@ -1296,6 +1296,34 @@ object LlmQueries {
       truth.join(est, Seq("user_id"))
         .select($"user_id", $"true_n", $"est_n",
           ($"est_n" - $"true_n").as("overcount"))
+    },
+
+    // q197's frequency monitor served from a PERSISTED, MERGED count-min
+    // index — the X175/X172 sign-once discipline applied to the last
+    // sketch family that lacked it: the first half of the events (by
+    // event_id parity, so most keys span BOTH halves and the merge is
+    // genuinely exercised) lands as a (r, c, n) parquet table, the
+    // second half merges in (cell counts ADD — cms(A)+cms(B) = cms(A∪B)
+    // exactly), and the estimates run off the ≤ 4·256 stored rows
+    // alone. Oracle: q197's one-shot sketch verbatim — merge closure
+    // makes merged ≡ from-scratch bit for bit.
+    "q203_cms_index" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"event_id", $"user_id")
+      val idx = s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/q203_cms"
+      Corpus.writeCmsIndex(ev.filter($"event_id" % 2 === 0), "user_id", idx)
+      Corpus.mergeCmsIndex(ev.filter($"event_id" % 2 =!= 0), "user_id", idx)
+      val cms = s.read.parquet(idx)
+      val probeKeys = ev.select($"user_id")
+        .filter($"user_id" % 7 === 0).distinct()
+      val est = Corpus.cmsEstimate(cms, probeKeys, "user_id",
+        depth = 4, width = 256)
+      val truth = ev.filter($"user_id" % 7 === 0)
+        .groupBy($"user_id").agg(count(lit(1)).as("true_n"))
+      truth.join(est, Seq("user_id"))
+        .select($"user_id", $"true_n", $"est_n",
+          ($"est_n" - $"true_n").as("overcount"))
     }
   )
 
@@ -1347,6 +1375,37 @@ object LlmQueries {
     * label CTE, composed by the q55/q70/q73 oracles below so the three
     * gates can never diverge from each other.
     */
+  /** q197's one-shot count-min replay — the 4×256 sketch rebuilt with
+    * the same per-row md5 salts, cell counts, and min-of-d estimates.
+    * Shared verbatim by q203: count-min merge closure makes the
+    * persisted merged index cell-identical to this from-scratch build.
+    */
+  private val cmsOracleSql: String = {
+    def h(saltExpr: String, keyExpr: String) =
+      s"""list_reduce(list_transform(
+         |      string_split(substr(md5($saltExpr || CAST($keyExpr AS VARCHAR)), 1, 8), ''),
+         |      ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)),
+         |      (a, b) -> a * 16 + b) % 256""".stripMargin
+    s"""WITH cells AS (
+       |  SELECT g.r, ${h("'cms' || g.r || ':'", "user_id")} AS c
+       |  FROM events, unnest(generate_series(0, 3)) AS g(r)),
+       |cms AS (SELECT r, c, CAST(count(*) AS BIGINT) AS n
+       |  FROM cells GROUP BY 1, 2),
+       |keys AS (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0),
+       |probes AS (
+       |  SELECT k.user_id, g.r, ${h("'cms' || g.r || ':'", "k.user_id")} AS c
+       |  FROM keys k, unnest(generate_series(0, 3)) AS g(r)),
+       |est AS (
+       |  SELECT p.user_id, CAST(min(COALESCE(cms.n, 0)) AS BIGINT) AS est_n
+       |  FROM probes p LEFT JOIN cms ON cms.r = p.r AND cms.c = p.c
+       |  GROUP BY 1),
+       |truth AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS true_n
+       |  FROM events WHERE user_id % 7 = 0 GROUP BY 1)
+       |SELECT t.user_id, t.true_n, e.est_n, e.est_n - t.true_n AS overcount
+       |FROM truth t JOIN est e USING (user_id)""".stripMargin
+  }
+
   private val dupCorpusSql: String =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
@@ -3562,31 +3621,12 @@ object LlmQueries {
 
     // q197: the identical 4×256 sketch rebuilt — same per-row md5
     // salts, same cell counts, same min-of-d estimates.
-    "q197_cms_counts" -> {
-      def h(saltExpr: String, keyExpr: String) =
-        s"""list_reduce(list_transform(
-           |      string_split(substr(md5($saltExpr || CAST($keyExpr AS VARCHAR)), 1, 8), ''),
-           |      ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)),
-           |      (a, b) -> a * 16 + b) % 256""".stripMargin
-      s"""WITH cells AS (
-         |  SELECT g.r, ${h("'cms' || g.r || ':'", "user_id")} AS c
-         |  FROM events, unnest(generate_series(0, 3)) AS g(r)),
-         |cms AS (SELECT r, c, CAST(count(*) AS BIGINT) AS n
-         |  FROM cells GROUP BY 1, 2),
-         |keys AS (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0),
-         |probes AS (
-         |  SELECT k.user_id, g.r, ${h("'cms' || g.r || ':'", "k.user_id")} AS c
-         |  FROM keys k, unnest(generate_series(0, 3)) AS g(r)),
-         |est AS (
-         |  SELECT p.user_id, CAST(min(COALESCE(cms.n, 0)) AS BIGINT) AS est_n
-         |  FROM probes p LEFT JOIN cms ON cms.r = p.r AND cms.c = p.c
-         |  GROUP BY 1),
-         |truth AS (
-         |  SELECT user_id, CAST(count(*) AS BIGINT) AS true_n
-         |  FROM events WHERE user_id % 7 = 0 GROUP BY 1)
-         |SELECT t.user_id, t.true_n, e.est_n, e.est_n - t.true_n AS overcount
-         |FROM truth t JOIN est e USING (user_id)""".stripMargin
-    },
+    "q197_cms_counts" -> cmsOracleSql,
+
+    // q203: the one-shot q197 oracle verbatim — the merged persisted
+    // index must be cell-identical to the from-scratch sketch (count-min
+    // merge closure), so the same SQL gates both.
+    "q203_cms_index" -> cmsOracleSql,
 
     // q196: brute-force pair enumeration — every doc pair's exact
     // distinct-word Jaccard, integer cross-multiplied threshold. The

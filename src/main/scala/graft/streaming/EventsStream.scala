@@ -842,4 +842,36 @@ object EventsStream {
                      dir: String): DataFrame =
     spark.read.parquet(dir)
       .groupBy(col("bin")).agg(sum(col("n")).as("n"))
+
+  /** Maintain a sharded COUNT-MIN index from a stream — the frequency
+    * monitor's steady state: each micro-batch is sketched alone
+    * ([[graft.llm.Corpus.cmsBuild]] — one aggregation of the batch,
+    * never a corpus re-read) and its ≤ depth·width (r, c, n) rows land
+    * in their own `batch_id=` partition via [[writeHistShard]] (the
+    * writer is schema-agnostic: it stamps the batch id and
+    * dynamic-partition-overwrites, which is exactly the replay guard
+    * CMS needs — cell addition, like histogram addition and unlike KMV
+    * union, is NOT idempotent, so a replayed batch must overwrite its
+    * own shard rather than merge again). */
+  def cmsIndexSink(stream: DataFrame, keyCol: String, dir: String,
+                   checkpointLoc: String, depth: Int = 4, width: Int = 256,
+                   salt: String = "cms")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointLoc)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeHistShard(
+          graft.llm.Corpus.cmsBuild(batch, keyCol, depth, width, salt),
+          id, dir)
+      }
+      .start()
+
+  /** The merged CMS from a sharded index: one aggregation over
+    * ≤ |batches|·depth·width stored rows, bit-identical to the one-shot
+    * sketch of everything ingested (cell counts add exactly). Feeds
+    * [[graft.llm.Corpus.cmsEstimate]]. */
+  def cmsFromShards(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(col("r"), col("c")).agg(sum(col("n")).as("n"))
 }

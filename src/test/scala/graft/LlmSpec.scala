@@ -1552,4 +1552,39 @@ class LlmSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }
+
+  test("cms index: write then merge batches equals one-shot sketch, " +
+    "estimates never undercount") {
+    import spark.implicits._
+    // Disjoint row batches whose KEYS recur across batches (cell counts
+    // must ADD across batches, not union) ingested as write + 2 merges
+    // must reproduce the one-shot sketch of the concatenation cell for
+    // cell: the count-min merge law cms(A)+cms(B) = cms(A ⊎ B).
+    val all = (1 to 400).map(i => (i % 37).toLong).toDF("key")
+    val batches = Seq((1 to 200), (201 to 320), (321 to 400)).map(r =>
+      r.map(i => (i % 37).toLong).toDF("key"))
+    val dir = java.nio.file.Files.createTempDirectory("cmsidx").toString
+    try {
+      Corpus.writeCmsIndex(batches(0), "key", dir, depth = 3, width = 16)
+      Corpus.mergeCmsIndex(batches(1), "key", dir, depth = 3, width = 16)
+      Corpus.mergeCmsIndex(batches(2), "key", dir, depth = 3, width = 16)
+      def cells(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val merged = cells(spark.read.parquet(dir)
+        .select(col("r"), col("c"), col("n")))
+      assert(merged == cells(
+        Corpus.cmsBuild(all, "key", depth = 3, width = 16)
+          .select(col("r"), col("c"), col("n"))))
+      // Served estimates: est_n >= true_n for every probed key (the
+      // count-min one-sided guarantee, over the MERGED index).
+      val probes = all.distinct()
+      val est = Corpus.cmsEstimate(spark.read.parquet(dir), probes, "key",
+        depth = 3, width = 16)
+      val truth = all.groupBy(col("key")).agg(count(lit(1)).as("tn"))
+      val under = est.join(truth, Seq("key"))
+        .filter(col("est_n") < col("tn")).count()
+      assert(under == 0, "count-min undercounted a key")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
 }

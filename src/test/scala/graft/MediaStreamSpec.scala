@@ -912,4 +912,44 @@ class MediaStreamSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
     }
   }
+
+  test("streaming: cms index sink shards per batch; a replayed shard " +
+    "overwrites itself; merged sketch equals the one-shot build") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cmssink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cmssink-ck").toString
+    try {
+      val mem = MemoryStream[Long]
+      val q = graft.streaming.EventsStream.cmsIndexSink(
+        mem.toDF().toDF("key"), "key", dir = s"$dir/idx",
+        checkpointLoc = ckpt, depth = 3, width = 16)
+      val b1 = (1 to 40).map(i => (i % 11).toLong)
+      val b2 = (20 to 90).map(i => (i % 11).toLong)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      def cells(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val exp = cells(graft.llm.Corpus.cmsBuild(
+        (b1 ++ b2).toDF("key"), "key", depth = 3, width = 16)
+        .select(col("r"), col("c"), col("n")))
+      assert(cells(graft.streaming.EventsStream
+        .cmsFromShards(spark, s"$dir/idx")) == exp)
+      // At-least-once replay of batch 1's shard: dynamic partition
+      // overwrite replaces it in place — cell counts unchanged (the
+      // replay guard CMS addition needs, unlike KMV's idempotent union).
+      graft.streaming.EventsStream.writeHistShard(
+        graft.llm.Corpus.cmsBuild(b2.toDF("key"), "key",
+          depth = 3, width = 16), batchId = 1L, dir = s"$dir/idx")
+      assert(cells(graft.streaming.EventsStream
+        .cmsFromShards(spark, s"$dir/idx")) == exp,
+        "replayed cms shard double-counted")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
 }
