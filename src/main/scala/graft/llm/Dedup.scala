@@ -326,25 +326,64 @@ object Dedup {
     * the plan, not two). Same pattern as `Similarity.writeIvfIndex`.
     */
   def writeDedupIndex(docs: DataFrame, idCol: String, textCol: String,
-                      prefix: String, buckets: Int = 32): Unit = {
+                      prefix: String, buckets: Int = 32,
+                      dir: Option[String] = None): Unit = {
     val spark = docs.sparkSession
-    // A prior JVM's managed-table location survives in the warehouse dir
-    // while the in-memory catalog does not — overwrite alone then fails
-    // with LOCATION_ALREADY_EXISTS. Drop both the entry and the files.
-    Seq(s"${prefix}_shingles", s"${prefix}_bands").foreach { tbl =>
-      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
-      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    val base = indexBase(spark, prefix, dir)
     val hs = hashedShingles(docs, idCol, textCol).cache()
     try {
-      hs.write.mode("overwrite").bucketBy(buckets, "_id")
-        .saveAsTable(s"${prefix}_shingles")
-      bandTable(hs).write.mode("overwrite").bucketBy(buckets, "_band", "_bh")
-        .saveAsTable(s"${prefix}_bands")
+      writeBucketed(hs, s"${prefix}_shingles", Seq("_id"),
+        s"$base/shingles", buckets)
+      writeBucketed(bandTable(hs), s"${prefix}_bands", Seq("_band", "_bh"),
+        s"$base/bands", buckets)
     } finally hs.unpersist(false)
+  }
+
+  /** The index's storage root: caller-supplied explicit path, or a
+    * `<prefix>` directory under the session warehouse as the default.
+    * Either way the tables are EXTERNAL (path-addressed) — the catalog
+    * holds only the bucket spec, so dropping/re-registering metadata
+    * never touches data files and the layout is metastore-portable. */
+  private def indexBase(spark: SparkSession, prefix: String,
+                        dir: Option[String]): String =
+    dir.getOrElse(spark.conf.get("spark.sql.warehouse.dir")
+      .stripSuffix("/") + "/" + prefix.toLowerCase)
+
+  /** (Re)create an external bucketed table at `path` and INSERT OVERWRITE
+    * it — the saveAsTable-free write: CREATE TABLE … LOCATION is pure
+    * metadata (legal over an existing directory, unlike CTAS), and the
+    * INSERT honors the catalog bucket spec, so the written files carry
+    * the same bucketed layout a managed `bucketBy.saveAsTable` produces
+    * without coupling the operator to the warehouse directory. */
+  private def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                            path: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"CREATE TABLE `$table` (${df.schema.toDDL}) USING PARQUET " +
+      s"CLUSTERED BY (${keys.map(k => s"`$k`").mkString(", ")}) " +
+      s"INTO $buckets BUCKETS LOCATION '$path'")
+    df.write.mode("overwrite").insertInto(table)
+  }
+
+  /** Re-attach a stored dedup index in a FRESH session (the in-memory
+    * catalog does not survive JVMs; the parquet files do): re-issues the
+    * external-table DDL over the existing files, schema read back from
+    * the parquet footers. No-op when the tables are already registered.
+    */
+  def openDedupIndex(spark: SparkSession, prefix: String, buckets: Int = 32,
+                     dir: Option[String] = None): Unit = {
+    val base = indexBase(spark, prefix, dir)
+    Seq((s"${prefix}_shingles", Seq("_id"), s"$base/shingles"),
+      (s"${prefix}_bands", Seq("_band", "_bh"), s"$base/bands"))
+      .foreach { case (table, keys, path) =>
+        if (!spark.catalog.tableExists(table)) {
+          val schema = spark.read.parquet(path).schema
+          spark.sql(s"CREATE TABLE `$table` (${schema.toDDL}) " +
+            "USING PARQUET " +
+            s"CLUSTERED BY (${keys.map(k => s"`$k`").mkString(", ")}) " +
+            s"INTO $buckets BUCKETS LOCATION '$path'")
+        }
+      }
   }
 
   /** EXACT set-similarity self-join (Jaccard over distinct word sets ≥
@@ -415,10 +454,8 @@ object Dedup {
                        prefix: String, buckets: Int = 32): Unit = {
     val hs = hashedShingles(docs, idCol, textCol).cache()
     try {
-      hs.write.mode("append").bucketBy(buckets, "_id")
-        .saveAsTable(s"${prefix}_shingles")
-      bandTable(hs).write.mode("append").bucketBy(buckets, "_band", "_bh")
-        .saveAsTable(s"${prefix}_bands")
+      hs.write.mode("append").insertInto(s"${prefix}_shingles")
+      bandTable(hs).write.mode("append").insertInto(s"${prefix}_bands")
     } finally hs.unpersist(false)
   }
 
@@ -781,9 +818,9 @@ object Dedup {
     val fps = winnowFingerprints(docs, idCol, textCol, k, window).cache()
     try {
       val freq = fps.groupBy(col("fp")).agg(count(lit(1)).as("fp_docs"))
-      fps.join(freq, Seq("fp"))
-        .write.mode("overwrite").bucketBy(buckets, "fp")
-        .saveAsTable(s"${prefix}_winnow")
+      writeBucketed(fps.join(freq, Seq("fp")), s"${prefix}_winnow",
+        Seq("fp"),
+        indexBase(docs.sparkSession, prefix, None) + "/winnow", buckets)
     } finally fps.unpersist(false)
   }
 

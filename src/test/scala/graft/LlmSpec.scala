@@ -536,6 +536,51 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("dedup index: explicit-path form — parity with the warehouse " +
+    "default, re-attachable after a catalog wipe, still bucket-local") {
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(graft.Tables.t(spark, sf, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 5000000).as("doc_id"),
+          concat(col("text"), lit(" tailtok")).as("text")))
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx").toString
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        math.round(r.getAs[Double]("jaccard") * 1e9))).toSet
+    try {
+      Dedup.writeDedupIndex(docs, "doc_id", "text", "pidx",
+        dir = Some(dir))
+      val fromPath = pairs(Dedup.indexNearDups(spark, "pidx"))
+      assert(fromPath == pairs(Dedup.minhashNearDups(docs, "doc_id", "text")))
+      // Simulate a fresh session: drop the catalog entries (external
+      // tables — data files stay), re-attach from the path, same pairs.
+      spark.sql("DROP TABLE IF EXISTS pidx_bands")
+      spark.sql("DROP TABLE IF EXISTS pidx_shingles")
+      Dedup.openDedupIndex(spark, "pidx", dir = Some(dir))
+      assert(pairs(Dedup.indexNearDups(spark, "pidx")) == fromPath,
+        "re-attached index diverged")
+      // The re-attached table must still carry the bucket spec — the
+      // zero-exchange self-join is the point of the layout.
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val b = spark.table("pidx_bands")
+        val plan = b.as("l").join(b.as("r"),
+            col("l._band") === col("r._band") &&
+              col("l._bh") === col("r._bh") && col("l._id") < col("r._id"))
+          .queryExecution.executedPlan.toString
+        assert("hashpartitioning\\(_band".r.findAllIn(plan).isEmpty,
+          s"re-attached band self-join not bucket-local:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pidx_bands")
+      spark.sql("DROP TABLE IF EXISTS pidx_shingles")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("train order: exact permutation, seed reshuffle, bucket-keyed window") {
     import graft.llm.Corpus
     val docs = graft.Tables.t(spark, sf, "documents").select(col("doc_id"))
