@@ -50,9 +50,16 @@ object Sparql {
   final case class L(lex: String, lang: Option[String] = None,
                      dt: Option[String] = None, isNum: Boolean = false) extends Term
 
-  final case class Step(iri: String, inverse: Boolean)
+  /** One property-path element: `^` inversion plus an optional postfix
+    * modifier — ' ' (exactly one hop), '+' (transitive, length ≥ 1) or
+    * '*' (reflexive-transitive, length ≥ 0). */
+  final case class Step(iri: String, inverse: Boolean, mod: Char = ' ')
   sealed trait Verb
   final case class Path(steps: Seq[Step]) extends Verb
+  /** Path alternation `a|b|…` — each alternative its own sequence;
+    * solutions are the BAG union of the alternatives (SPARQL 1.1
+    * §9.1 PathAlternative). */
+  final case class Alt(alts: Seq[Seq[Step]]) extends Verb
   final case class PVar(name: String) extends Verb
 
   sealed trait Pattern
@@ -176,7 +183,7 @@ object Sparql {
           out += TWord(word); i = j
         }
       }
-      else if ("{}();,.*=/[]".contains(c)) { out += TPunct(c.toString); i += 1 }
+      else if ("{}();,.*=/[]+|".contains(c)) { out += TPunct(c.toString); i += 1 }
       else sys.error(s"unexpected character '$c' at offset $i")
     }
     out.result()
@@ -460,7 +467,7 @@ object Sparql {
     }
 
     private def expandPath(s: Term, v: Verb, o: Term): Seq[Pattern] = v match {
-      case PVar(_) | Path(Seq(_)) => Seq(Triple(s, v, o))
+      case PVar(_) | Path(Seq(_)) | Alt(_) => Seq(Triple(s, v, o))
       case Path(steps) =>
         val mids = steps.init.indices.map { _ =>
           fresh += 1; V(s"_pv_$fresh")
@@ -472,24 +479,38 @@ object Sparql {
         }
     }
 
+    /** One `/`-joined step sequence, each step carrying its optional `^`
+      * inversion and `+`/`*` postfix. */
+    private def parseStepSeq(): Seq[Step] = {
+      val steps = Seq.newBuilder[Step]
+      var more = true
+      while (more) {
+        val inv = tryPunct("^")
+        val iri = next() match {
+          case TIri(i) => i
+          case p: TPName => expand(p)
+          case t if isWord(t, "a") => RdfType
+          case other => sys.error(s"expected predicate IRI, got $other")
+        }
+        val mod = if (tryPunct("+")) '+'
+          else if (tryPunct("*")) '*' else ' '
+        steps += Step(iri, inv, mod)
+        more = tryPunct("/")
+      }
+      steps.result()
+    }
+
     private def parseVerb(): Verb = peek match {
       case Some(TVar(v)) => next(); PVar(v)
       case Some(t) if isWord(t, "a") => next(); Path(Seq(Step(RdfType, inverse = false)))
       case _ =>
-        val steps = Seq.newBuilder[Step]
-        var more = true
-        while (more) {
-          val inv = tryPunct("^")
-          val iri = next() match {
-            case TIri(i) => i
-            case p: TPName => expand(p)
-            case t if isWord(t, "a") => RdfType
-            case other => sys.error(s"expected predicate IRI, got $other")
-          }
-          steps += Step(iri, inv)
-          more = tryPunct("/")
-        }
-        Path(steps.result())
+        val first = parseStepSeq()
+        if (peek.contains(TPunct("|"))) {
+          val alts = Seq.newBuilder[Seq[Step]]
+          alts += first
+          while (tryPunct("|")) alts += parseStepSeq()
+          Alt(alts.result())
+        } else Path(first)
     }
 
     private def parseTerm(): Term = next() match {
@@ -637,7 +658,7 @@ object Sparql {
       }
       val pc = tv match {
         case PVar(x) => bound(x, "predicate")
-        case Path(Seq(Step(iri, false))) => lit(iri)
+        case Path(Seq(Step(iri, false, ' '))) => lit(iri)
         case other => sys.error(s"CONSTRUCT template predicate must be a " +
           s"single forward IRI or a variable, got $other")
       }
@@ -767,13 +788,32 @@ object Sparql {
     * carry a hidden `<v>__lang` column so LANGMATCHES can see the tag.
     */
   private def tripleDf(t: Triple, triples: DataFrame): DataFrame = {
-    val (subjCol, objCol, p, forward) = t.v match {
-      case PVar(_) => ("s", "o", None, true)
-      case Path(Seq(Step(iri, inv))) =>
-        if (inv) ("o", "s", Some(iri), false) else ("s", "o", Some(iri), true)
-      case Path(_) => sys.error("multi-step path must be pre-expanded")
+    t.v match {
+      case Alt(alts) => return altDf(t, alts, triples)
+      case _ => ()
     }
-    var df = p.map(iri => triples.filter(col("p") === iri)).getOrElse(triples)
+    val (subjCol, objCol, p, forward, mod) = t.v match {
+      case PVar(_) => ("s", "o", None, true, ' ')
+      case Path(Seq(Step(iri, inv, m))) =>
+        if (inv) ("o", "s", Some(iri), false, m)
+        else ("s", "o", Some(iri), true, m)
+      case _ => sys.error("multi-step path must be pre-expanded")
+    }
+    var df = (p, mod) match {
+      // `p+` / `p*`: the [[Bgp.pathPlus]]/[[Bgp.pathStar]] distributed
+      // fixpoint (pointer doubling — O(log depth) self-join rounds),
+      // reshaped into the triple-table layout so every binding/filter
+      // case below applies unchanged (inverse mods included: the
+      // closure of ^p is the swap of the closure of p, which is exactly
+      // what the subjCol/objCol swap already does). Closure endpoints
+      // bind as IRI terms — lang/datatype metadata does not survive a
+      // transitive hop (FILTER LANGMATCHES over a closure-bound
+      // variable is out of scope, as in the reference corpus).
+      case (Some(iri), '+') => closureShape(Bgp.pathPlus(triples, iri, "o"), iri)
+      case (Some(iri), '*') => closureShape(Bgp.pathStar(triples, iri, "o"), iri)
+      case (Some(iri), _) => triples.filter(col("p") === iri)
+      case (None, _) => triples
+    }
     // ?x p ?x self-reference: constrain instead of double-binding.
     val selfRef = (t.s, t.o) match {
       case (V(a), V(b)) => a == b
@@ -822,6 +862,40 @@ object Sparql {
     t.s match { case V(x) => iriMeta(x); case _ => () }
     t.v match { case PVar(x) => iriMeta(x); case _ => () }
     df.select(sels.result(): _*)
+  }
+
+  /** A `p+`/`p*` closure re-shaped into the canonical triple-table
+    * layout — (s, p, o, oIsIri, oLang, oDatatype) with the closure
+    * pairs as (s, o) — so [[tripleDf]]'s binding and constant-filter
+    * logic applies to modified paths unchanged. */
+  private def closureShape(cl: DataFrame, iri: String): DataFrame =
+    cl.select(col("s"), lit(iri).as("p"), col("o"),
+      lit(true).as("oIsIri"),
+      lit(null).cast("string").as("oLang"),
+      lit(null).cast("string").as("oDatatype"))
+
+  /** Path alternation `a|b|…` (SPARQL 1.1 PathAlternative): each
+    * alternative's step sequence compiles to its own little join plan
+    * (sharing the endpoint terms, mid variables private per
+    * alternative), projected to the endpoint bindings and BAG-unioned —
+    * one union of per-alternative pushed-predicate plans, no closure
+    * unless an alternative carries its own `+`/`*`. */
+  private def altDf(t: Triple, alts: Seq[Seq[Step]],
+                    triples: DataFrame): DataFrame = {
+    val endpoints = Seq(t.s, t.o).collect { case V(x) => x }.distinct
+    require(endpoints.nonEmpty,
+      "path alternation needs at least one variable endpoint")
+    val keep = endpoints.flatMap(x =>
+      Seq(x, x + LangSuffix, x + IsIriSuffix, x + DtSuffix))
+    alts.zipWithIndex.map { case (steps, ai) =>
+      val mids = steps.init.indices.map(i => V(s"_alt${ai}_$i"))
+      val pats: Seq[Pattern] = steps.zipWithIndex.map { case (st, i) =>
+        val from = if (i == 0) t.s else mids(i - 1)
+        val to = if (i == steps.length - 1) t.o else mids(i)
+        Triple(from, Path(Seq(st)), to)
+      }
+      compileGroup(pats, triples).select(keep.map(col): _*)
+    }.reduce(_ unionByName _)
   }
 
   /** VALUES with UNDEF: the [[Bgp.values]] null-pattern split, extended

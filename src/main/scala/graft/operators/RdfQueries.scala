@@ -17,6 +17,24 @@ object RdfQueries {
     views.map { case (n, sql) => s"$n AS ($sql)" }
       .mkString("WITH ", ", ", s" $body")
 
+  /** The q47/q204 fixture graph: a parent-chain forest over customer
+    * (`c_custkey div 2` — dense keys, depth ~log₂N) plus one name
+    * literal per customer, in the canonical triple-table layout. */
+  private def parentGraph(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val nullStr = lit(null).cast("string")
+    val edges = c.filter(col("c_custkey") > 1).select(
+      concat(lit("urn:c/"), col("c_custkey")).as("s"),
+      lit("urn:p/parent").as("p"),
+      concat(lit("urn:c/"), expr("c_custkey div 2")).as("o"),
+      lit(true).as("oIsIri"), nullStr.as("oLang"), nullStr.as("oDatatype"))
+    val names = c.select(
+      concat(lit("urn:c/"), col("c_custkey")).as("s"),
+      lit("urn:p/name").as("p"), col("c_name").as("o"),
+      lit(false).as("oIsIri"), nullStr.as("oLang"), nullStr.as("oDatatype"))
+    edges.unionByName(names)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // K2: byte-faithful N-Triples rendering — IRIs, @lang, ^^datatype, and
     // literal escaping (quote, backslash, newline, tab) all exercised.
@@ -64,15 +82,36 @@ object RdfQueries {
     // parent-chain graph derived from customer (dense keys, depth ~log2 N).
     // Oracle: DuckDB recursive CTE.
     "q47_transitive_path" -> { (s, dir) =>
-      val c = t(s, dir, "customer").filter(col("c_custkey") > 1)
-      val edges = c.select(
-        concat(lit("urn:c/"), col("c_custkey")).as("s"),
-        lit("urn:p/parent").as("p"),
-        concat(lit("urn:c/"), expr("c_custkey div 2")).as("o"),
-        lit(true).as("oIsIri"),
-        lit(null).cast("string").as("oLang"),
-        lit(null).cast("string").as("oDatatype"))
-      Bgp.pathPlus(edges, "urn:p/parent", "ancestor")
+      Bgp.pathPlus(parentGraph(s, dir), "urn:p/parent", "ancestor")
+    },
+
+    // q47's closure through the STRING front end (SPARQL 1.1 §9.1
+    // PathMod `+`), sequenced with an ordinary hop — the first
+    // post-parity path feature an RDF user types (the skos:broader+
+    // hierarchy-roll-up shape): ancestors by transitive parent, each
+    // ancestor's name joined on. The `+` compiles onto the SAME
+    // pointer-doubling fixpoint q47 gates; the oracle extends q47's
+    // recursive CTE with the name join.
+    "q204_sparql_path_plus" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(parentGraph(s, dir),
+        """SELECT ?s ?anc ?aname WHERE {
+          |  ?s <urn:p/parent>+ ?anc .
+          |  ?anc <urn:p/name> ?aname .
+          |}""".stripMargin)
+    },
+
+    // Path alternation `a/b|c` (SPARQL 1.1 PathAlternative, `/` binding
+    // tighter than `|`): customers reach their region through the
+    // two-hop nation sequence, nations through the direct edge — the
+    // solutions are the BAG union of two pushed-predicate join plans
+    // (no closure involved; each alternative stays an ordinary
+    // equi-join chain).
+    "q205_sparql_alt_path" -> { (s, dir) =>
+      val all = G.customers(s, dir).unionByName(G.geo(s, dir))
+      graft.graphquery.Sparql.select(all,
+        """SELECT ?x ?r WHERE {
+          |  ?x <urn:p/inNation>/<urn:p/inRegion>|<urn:p/inRegion> ?r .
+          |}""".stripMargin)
     },
 
     // P9: VALUES with UNDEF — null-pattern split join
@@ -246,6 +285,31 @@ object RdfQueries {
         |  UNION
         |  SELECT t.s, e.o FROM tc t JOIN e ON t.o = e.s)
         |SELECT s, o AS ancestor FROM tc""".stripMargin,
+    // q204: q47's recursive-CTE closure with the ancestor-name hop —
+    // what the parsed `<urn:p/parent>+/name-join` plan must equal.
+    "q204_sparql_path_plus" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'urn:c/' || c_custkey AS s,
+        |         'urn:c/' || (c_custkey // 2) AS o
+        |  FROM customer WHERE c_custkey > 1),
+        |tc AS (
+        |  SELECT s, o FROM e
+        |  UNION
+        |  SELECT t.s, e.o FROM tc t JOIN e ON t.o = e.s),
+        |nm AS (
+        |  SELECT 'urn:c/' || c_custkey AS s, c_name AS name
+        |  FROM customer)
+        |SELECT tc.s AS s, tc.o AS anc, nm.name AS aname
+        |FROM tc JOIN nm ON nm.s = tc.o""".stripMargin,
+    // q205: the two alternatives as an explicit UNION ALL (bag
+    // semantics — alternation never dedups in SPARQL).
+    "q205_sparql_alt_path" -> withTriples(
+      """SELECT x, r FROM (
+        |  SELECT a.s AS x, b.o AS r FROM t a JOIN t b ON a.o = b.s
+        |  WHERE a.p = 'urn:p/inNation' AND b.p = 'urn:p/inRegion'
+        |  UNION ALL
+        |  SELECT s AS x, o AS r FROM t WHERE p = 'urn:p/inRegion')""".stripMargin,
+      "t" -> s"${G.sql.customers.drop(1).dropRight(1)} UNION ALL ${G.sql.geo.drop(1).dropRight(1)}"),
     "q18_values_undef" -> withTriples(
       """SELECT s, segment, nation, matched_segment, matched_nation FROM (
         |  SELECT c.*, 'BUILDING' AS matched_segment,

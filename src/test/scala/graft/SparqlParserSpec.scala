@@ -581,6 +581,87 @@ class SparqlParserSpec extends SparkSpec {
     assert(rows(got) == rows(exp))
     assert(got.count() > 0)
   }
+
+  // ----------------------------------------- property-path modifiers
+
+  /** Tiny skos:broader chain a→b→c→d plus a diamond edge a→c, with one
+    * literal label — the hierarchy shape the reference's
+    * HierarchicalDimension chains walk one hop at a time. */
+  private def broaderGraph: DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("urn:x/a", "http://www.w3.org/2004/02/skos/core#broader", "urn:x/b", true),
+      ("urn:x/b", "http://www.w3.org/2004/02/skos/core#broader", "urn:x/c", true),
+      ("urn:x/c", "http://www.w3.org/2004/02/skos/core#broader", "urn:x/d", true),
+      ("urn:x/a", "http://www.w3.org/2004/02/skos/core#broader", "urn:x/c", true),
+      ("urn:x/d", "urn:p/label", "top", false))
+      .toDF("s", "p", "o", "oIsIri")
+      .withColumn("oLang", lit(null).cast("string"))
+      .withColumn("oDatatype", lit(null).cast("string"))
+  }
+
+  test("parsed skos:broader+ == Bgp.pathPlus on the hierarchy chain") {
+    val parsed = Sparql.select(broaderGraph,
+      """PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        |SELECT ?s ?anc WHERE { ?s skos:broader+ ?anc . }""".stripMargin)
+    assert(rows(parsed) == rows(Bgp.pathPlus(broaderGraph,
+      "http://www.w3.org/2004/02/skos/core#broader", "anc")))
+    // a reaches every ancestor through both the chain and the diamond.
+    assert(rows(parsed).contains(Seq("urn:x/a", "urn:x/d")))
+    assert(!rows(parsed).contains(Seq("urn:x/d", "urn:x/d")),
+      "`+` must not include the zero-length pair")
+  }
+
+  test("parsed p* == Bgp.pathStar — zero-length pairs for EVERY graph " +
+    "term, literals included") {
+    val parsed = Sparql.select(broaderGraph,
+      """PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        |SELECT ?s ?anc WHERE { ?s skos:broader* ?anc . }""".stripMargin)
+    assert(rows(parsed) == rows(Bgp.pathStar(broaderGraph,
+      "http://www.w3.org/2004/02/skos/core#broader", "anc")))
+    // SPARQL zero-length-path semantics: every term of the queried
+    // graph reaches itself — including the label literal and the node
+    // with no broader edges.
+    assert(rows(parsed).contains(Seq("top", "top")))
+    assert(rows(parsed).contains(Seq("urn:x/d", "urn:x/d")))
+  }
+
+  test("parsed `+` with a constant endpoint filters the closure") {
+    val parsed = Sparql.select(broaderGraph,
+      """PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        |SELECT ?s WHERE { ?s skos:broader+ <urn:x/d> . }""".stripMargin)
+    assert(rows(parsed).map(_.head).toSet
+      == Set("urn:x/a", "urn:x/b", "urn:x/c"))
+  }
+
+  test("parsed alternation a/b|c == bag union of the two plans (q205 " +
+    "shape); `/` binds tighter than `|`") {
+    val all = G.customers(spark, sf).unionByName(G.geo(spark, sf))
+    val parsed = Sparql.select(all,
+      """SELECT ?x ?r WHERE {
+        |  ?x <urn:p/inNation>/<urn:p/inRegion>|<urn:p/inRegion> ?r .
+        |}""".stripMargin)
+    val twoHop = Bgp.path(all, "urn:p/inNation", "urn:p/inRegion", "r")
+      .withColumnRenamed("s", "x")
+    val oneHop = Bgp.pattern(all, "urn:p/inRegion", "r")
+      .withColumnRenamed("s", "x")
+    // Bag union: collect as multiset (count per row).
+    def bag(df: DataFrame) = df.collect().toSeq
+      .map(r => r.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    assert(bag(parsed.select(col("x"), col("r")))
+      == bag(twoHop.unionByName(oneHop)))
+    assert(parsed.count() > 0)
+  }
+
+  test("parsed inverse-with-modifier ^p+ swaps the closure") {
+    val parsed = Sparql.select(broaderGraph,
+      """PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        |SELECT ?s ?dsc WHERE { ?s ^skos:broader+ ?dsc . }""".stripMargin)
+    val fwd = Bgp.pathPlus(broaderGraph,
+      "http://www.w3.org/2004/02/skos/core#broader", "anc")
+    assert(rows(parsed) ==
+      rows(fwd.select(col("anc").as("s"), col("s").as("dsc"))))
+  }
 }
 
 /** The verbatim MultiAttributeDimension attribute query text
