@@ -1453,6 +1453,30 @@ object RelationalQueries {
       writeHistIndex(eventValueBins(ev.filter($"event_id" % 2 === 0)), idx)
       mergeHistIndex(eventValueBins(ev.filter($"event_id" % 2 =!= 0)), idx)
       histQuantileReport(s.read.parquet(idx))
+    },
+
+    // Unbounded-domain quantiles from the PERSISTED, MERGED
+    // deterministic GK/KLL-family sketch — the rank-error-bounded
+    // complement to q191's fixed-bin histogram (no a-priori bin width
+    // anywhere): each event-id-parity half of the events builds its own
+    // weighted-value summary, the second merges into the stored index
+    // as a bag union, and the percentile report runs off the
+    // summary-sized rows alone. The oracle replays the md5 bucket
+    // draw, the per-bucket rank compaction, and the merge digit for
+    // digit — approximate in rank, EXACT in bytes.
+    "q206_quantile_sketch" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_id", (dec($"value") * 100).cast("long").as("_cents"))
+      val idx = s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/q206_qsk"
+      writeQuantileIndex(
+        quantileSketch(ev.filter($"event_id" % 2 === 0), "event_id",
+          "_cents"), idx)
+      mergeQuantileIndex(
+        quantileSketch(ev.filter($"event_id" % 2 =!= 0), "event_id",
+          "_cents"), idx)
+      quantileSketchReport(s.read.parquet(idx))
     }
   )
 
@@ -1525,6 +1549,104 @@ object RelationalQueries {
       .groupBy(col("bin")).agg(sum(col("n")).as("n"))
     graft.Checkpoints.cutEager(merged)
       .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Deterministic mergeable QUANTILE sketch (GK/KLL family) — the
+    * unbounded-domain companion the histogram index cannot be: rank
+    * queries with a bounded error and NO a-priori bin width, built so
+    * an external engine replays the summary bit for bit.
+    *
+    * Construction: rows shard into `buckets` CONTENT-DEFINED buckets
+    * (md5 of the row id — the q52 draw device, so the sketch is a pure
+    * function of the key set, independent of Spark partitioning); each
+    * bucket sorts by (value, id) and keeps every `step`-th rank where
+    * `step = ceil(n_b / capacity)`, the kept row carrying the weight of
+    * the run it heads (`min(step, n_b − rank + 1)` — weights sum to
+    * n_b exactly). This is the classical equi-spaced rank compaction —
+    * the deterministic replacement for KLL's coin-flip compactor, with
+    * the same summary-size/error trade: within a bucket the cumulative
+    * weight at any value differs from the true rank by < step, so the
+    * total rank error is ≤ Σ_b step_b ≤ buckets + N/capacity
+    * (sbt-asserted against exact percentiles).
+    *
+    * The sketch is a weighted-value bag (v, w): MERGE = bag union
+    * (errors add — the mergeability law of every GK-family summary),
+    * replayed exactly by the oracle; [[compactQuantileSketch]] bounds
+    * the stored size when batches accumulate. Scale shape: one
+    * bucket-keyed window shuffle over the corpus — the same cost class
+    * as any keyed aggregation; everything downstream is summary-sized.
+    */
+  def quantileSketch(df: DataFrame, idCol: String, valueCol: String,
+                     buckets: Int = 16, capacity: Int = 64): DataFrame = {
+    val perBk = Window.partitionBy(col("_bk"))
+    val w = perBk.orderBy(col(valueCol), col(idCol))
+    df.select(col(idCol), col(valueCol))
+      .withColumn("_bk",
+        graft.llm.Corpus.hashU32(col(idCol), "qk:") % buckets)
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_nb", count(lit(1)).over(perBk))
+      .withColumn("_step", expr(s"(_nb + ${capacity - 1}) div $capacity"))
+      .filter(expr("(_rn - 1) % _step = 0"))
+      .select(col(valueCol).as("v"),
+        least(col("_step"), col("_nb") - col("_rn") + 1L).as("w"))
+  }
+
+  /** p50/p90/p99 + total from a (v, w) quantile sketch: the
+    * [[histQuantileReport]] cumulative-crossing pick over the
+    * summary-sized weighted bag. */
+  def quantileSketchReport(sketch: DataFrame): DataFrame = {
+    val byV = sketch.groupBy(col("v")).agg(sum(col("w")).as("w"))
+    val wc = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nTot = byV.agg(sum(col("w")).as("_n"))
+    byV.withColumn("cum", sum(col("w")).over(wc))
+      .crossJoin(broadcast(nTot))
+      .agg(first(col("_n")).as("n_total"),
+        min(when(col("cum") * 100L >= col("_n") * 50L, col("v")))
+          .as("p50_v"),
+        min(when(col("cum") * 100L >= col("_n") * 90L, col("v")))
+          .as("p90_v"),
+        min(when(col("cum") * 100L >= col("_n") * 99L, col("v")))
+          .as("p99_v"))
+  }
+
+  /** Persist a (v, w) quantile sketch — the sign-once index form for
+    * unbounded-domain distributions. */
+  def writeQuantileIndex(sketch: DataFrame, dir: String): Unit =
+    sketch.write.mode("overwrite").parquet(dir)
+
+  /** Merge a new batch's sketch into a stored quantile index: bag union
+    * (equal values collapse by weight addition — harmless to ranks).
+    * NOT idempotent — a replaying caller ledgers batches or uses the
+    * batch_id-sharded streaming form. Rank errors ADD per merged batch
+    * (≤ buckets + N_i/capacity each — the GK merge law). */
+  def mergeQuantileIndex(batchSketch: DataFrame, dir: String): Unit = {
+    val stored = batchSketch.sparkSession.read.parquet(dir)
+    val merged = stored.unionByName(batchSketch)
+      .groupBy(col("v")).agg(sum(col("w")).as("w"))
+    graft.Checkpoints.cutEager(merged)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Deterministic recompaction of a (v, w) sketch to ≤ `capacity` + 1
+    * rows — the size bound when many batches merge: global value order
+    * over the SUMMARY (reporting-sized, never the corpus), keep each
+    * row whose weight span covers a multiple of `step = ceil(W /
+    * capacity)` plus the max row, re-weighting each survivor with the
+    * cumulative span since the previous survivor (weights still sum to
+    * W exactly; adds ≤ step rank error once). */
+  def compactQuantileSketch(sk: DataFrame, capacity: Int = 1024): DataFrame = {
+    val byV = sk.groupBy(col("v")).agg(sum(col("w")).as("w"))
+    val wc = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byV.agg(sum(col("w")).as("_W"))
+    byV.withColumn("_cum", sum(col("w")).over(wc))
+      .crossJoin(broadcast(tot))
+      .withColumn("_step", expr(s"(_W + ${capacity - 1}) div $capacity"))
+      .filter(expr("(_cum - 1) div _step > (_cum - w - 1) div _step") ||
+        col("_cum") === col("_W"))
+      .withColumn("_pc", lag(col("_cum"), 1).over(Window.orderBy(col("v"))))
+      .select(col("v"), (col("_cum") - coalesce(col("_pc"), lit(0L))).as("w"))
   }
 
   /** CUSUM change-point alarm (Page 1954) over an ordered integer
@@ -3617,6 +3739,39 @@ object RelationalQueries {
     // oracle is shared verbatim.
     "q191_hist_merged" -> histOracleSql,
     "q176_histogram_quantiles" -> histOracleSql,
+
+    // q206: the per-half md5 bucket draw, per-bucket (value, id) rank
+    // compaction with ceil-step + run weights, bag-union merge, and the
+    // cumulative-crossing percentile pick — replayed digit for digit.
+    "q206_quantile_sketch" ->
+      """WITH src AS (
+        |  SELECT event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    event_id % 2 AS half,
+        |    list_reduce(list_transform(
+        |      string_split(substr(md5('qk:' || CAST(event_id AS VARCHAR)), 1, 8), ''),
+        |      ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) % 16 AS bk
+        |  FROM events),
+        |rk AS (
+        |  SELECT half, bk, v, event_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY half, bk
+        |      ORDER BY v, event_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY half, bk) AS BIGINT) AS nb
+        |  FROM src),
+        |sk AS (
+        |  SELECT v, LEAST((nb + 63) // 64, nb - rn + 1) AS w
+        |  FROM rk WHERE (rn - 1) % ((nb + 63) // 64) = 0),
+        |byv AS (SELECT v, CAST(SUM(w) AS BIGINT) AS w FROM sk GROUP BY 1),
+        |n AS (SELECT CAST(SUM(w) AS BIGINT) AS nt FROM byv),
+        |cum AS (
+        |  SELECT v, SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM byv)
+        |SELECT nt AS n_total,
+        |  min(CASE WHEN cum * 100 >= nt * 50 THEN v END) AS p50_v,
+        |  min(CASE WHEN cum * 100 >= nt * 90 THEN v END) AS p90_v,
+        |  min(CASE WHEN cum * 100 >= nt * 99 THEN v END) AS p99_v
+        |FROM cum, n GROUP BY nt""".stripMargin,
 
     // q194: same daily aggregate + generate_series grid; the forward
     // fill replayed as an ASOF self-join instead of a window — an

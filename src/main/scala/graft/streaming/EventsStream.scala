@@ -874,4 +874,31 @@ object EventsStream {
                     dir: String): DataFrame =
     spark.read.parquet(dir)
       .groupBy(col("r"), col("c")).agg(sum(col("n")).as("n"))
+
+  /** Maintain a sharded QUANTILE-sketch index from a stream: each
+    * micro-batch compacts to its own (v, w) summary
+    * ([[graft.operators.RelationalQueries.quantileSketch]]) landing in
+    * a `batch_id=` partition — sketch merge is bag union (weights add),
+    * NOT idempotent, so the [[writeHistShard]] dynamic-partition
+    * overwrite is again the replay guard. */
+  def quantileIndexSink(stream: DataFrame, idCol: String, valueCol: String,
+                        dir: String, checkpointLoc: String,
+                        buckets: Int = 16, capacity: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointLoc)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeHistShard(graft.operators.RelationalQueries
+          .quantileSketch(batch, idCol, valueCol, buckets, capacity),
+          id, dir)
+      }
+      .start()
+
+  /** The merged quantile sketch from a sharded index — the weighted
+    * bag union of the per-batch summaries. Feeds
+    * [[graft.operators.RelationalQueries.quantileSketchReport]]. */
+  def quantileFromShards(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(col("v")).agg(sum(col("w")).as("w"))
 }

@@ -913,6 +913,48 @@ class MediaStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming: quantile index sink — merged shards equal the " +
+    "per-batch batch sketches; replayed shard overwrites in place") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("qsksink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("qsksink-ck").toString
+    try {
+      val mem = MemoryStream[(Long, Long)]
+      val q = graft.streaming.EventsStream.quantileIndexSink(
+        mem.toDF().toDF("id", "v0"), "id", "v0", dir = s"$dir/idx",
+        checkpointLoc = ckpt, buckets = 4, capacity = 8)
+      val b1 = (1 to 60).map(i => (i.toLong, (i * 37L) % 101))
+      val b2 = (61 to 140).map(i => (i.toLong, (i * 37L) % 101))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      def bag(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).groupBy(identity)
+        .view.mapValues(_.size).toMap
+      val exp = bag(Seq(b1, b2).map(b =>
+        graft.operators.RelationalQueries.quantileSketch(
+          b.toDF("id", "v0"), "id", "v0", 4, 8))
+        .reduce(_ unionByName _)
+        .groupBy(col("v")).agg(sum(col("w")).as("w")))
+      assert(bag(graft.streaming.EventsStream
+        .quantileFromShards(spark, s"$dir/idx")) == exp)
+      // Weight total = rows ingested; replayed shard must not change it.
+      graft.streaming.EventsStream.writeHistShard(
+        graft.operators.RelationalQueries.quantileSketch(
+          b2.toDF("id", "v0"), "id", "v0", 4, 8),
+        batchId = 1L, dir = s"$dir/idx")
+      assert(bag(graft.streaming.EventsStream
+        .quantileFromShards(spark, s"$dir/idx")) == exp,
+        "replayed quantile shard double-counted")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+
   test("streaming: cms index sink shards per batch; a replayed shard " +
     "overwrites itself; merged sketch equals the one-shot build") {
     import spark.implicits._

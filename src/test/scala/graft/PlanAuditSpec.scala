@@ -57,6 +57,9 @@ class PlanAuditSpec extends SparkSpec {
       // q173/q175/q176 cross-join SINGLE-ROW aggregates (customer
       // count / union-sketch stats / bin total) — the q105 scalar shape.
       "q173_rfm_scores", "q175_kmv_setops", "q176_histogram_quantiles",
+      // q206 cross-joins the SINGLE-ROW summary total — the same
+      // scalar-broadcast shape over the sketch's reporting-sized rows.
+      "q206_quantile_sketch",
       // q189 is q175's report served from the persisted merged index —
       // identical single-row-aggregate cross-join shape; q191 likewise
       // serves q176's report from the merged histogram index.

@@ -1235,4 +1235,54 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(got == Map(1L -> (500000L, 500000L), 2L -> (500000L, 500000L)),
       s"got $got")
   }
+
+  test("quantile sketch: rank-error bound holds, merge law holds, " +
+    "partitioning-independent, compaction preserves total weight") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val buckets = 16
+    val capacity = 64
+    // Skewed values (squares) so equal-spaced VALUES would fail where
+    // equal-spaced RANKS must not; ids are a permuted dense sequence.
+    val n = 5000
+    val data = (1 to n).map(i => (i.toLong, (i.toLong * i) % 99991))
+      .toDF("id", "v0")
+    val halves = Seq(data.filter($"id" % 2 === 0), data.filter($"id" % 2 =!= 0))
+    val sk = halves.map(h =>
+        RelationalQueries.quantileSketch(h, "id", "v0", buckets, capacity))
+      .reduce(_ unionByName _)
+    val rep = RelationalQueries.quantileSketchReport(sk).collect().head
+    assert(rep.getAs[Long]("n_total") == n, "weights must sum to N")
+    // Two merged batches: error <= 2 * (buckets + N_half/capacity).
+    val err = 2 * (buckets + (n / 2) / capacity)
+    val values = data.select($"v0").as[Long].collect().sorted
+    for ((p, f) <- Seq((50, "p50_v"), (90, "p90_v"), (99, "p99_v"))) {
+      val v = rep.getAs[Long](f)
+      val target = (p * n + 99) / 100
+      val le = values.count(_ <= v)
+      val lt = values.count(_ < v)
+      assert(lt <= target + err && le >= target - err,
+        s"$f=$v: rank [$lt,$le] vs target $target ± $err")
+    }
+    // Determinism: a repartition-scrambled build emits identical rows.
+    def bag(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    assert(bag(RelationalQueries.quantileSketch(
+        halves.head.repartition(7, $"v0"), "id", "v0", buckets, capacity))
+      == bag(RelationalQueries.quantileSketch(
+        halves.head, "id", "v0", buckets, capacity)))
+    // Compaction: <= capacity + 1 rows, total weight preserved, and the
+    // compacted report's p50 stays within one extra step of the bound.
+    val compact = RelationalQueries.compactQuantileSketch(sk, 128)
+    assert(compact.count() <= 129)
+    assert(compact.agg(sum($"w")).as[Long].collect().head == n)
+    val rep2 = RelationalQueries.quantileSketchReport(compact)
+      .collect().head
+    val v2 = rep2.getAs[Long]("p50_v")
+    val t2 = n / 2
+    val e2 = err + (n + 127) / 128
+    assert(values.count(_ < v2) <= t2 + e2 &&
+      values.count(_ <= v2) >= t2 - e2)
+  }
 }
