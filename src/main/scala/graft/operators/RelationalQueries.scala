@@ -1886,6 +1886,74 @@ object RelationalQueries {
         col("valid_to").isNull.cast("long").as("is_current"))
   }
 
+  /** Incrementally-maintained SCD2 dimension — the streaming upsert
+    * half of the q151/q198 warehouse pair. One call applies one change
+    * batch to a persisted index at `dir`:
+    *
+    *   `log/`     the FULL change log, parquet partitioned by
+    *              `_bkt = pmod(hash(key), buckets)`;
+    *   `history/` the [[scd2]] rows derived from it, same partitioning.
+    *
+    * Only the batch's TOUCHED buckets are read, re-collapsed, and
+    * dynamic-partition-overwritten — per-batch cost scales with the
+    * touched slice of the dimension, never the fact stream or the full
+    * dimension (raise `buckets` to tighten the slice). The change log
+    * is kept (not just the collapsed history) because SCD2 is not
+    * incrementally recomputable from its own output under OUT-OF-ORDER
+    * arrival: a late change landing inside a collapsed run must split
+    * the run AND restore the run's later original value, which only the
+    * raw log still knows. Replay algebra: the log upsert dedups on
+    * (key, ts, tie) — the log is a SET, so at-least-once redelivery is
+    * idempotent — and history = f(log), making the whole index
+    * replay-safe without a batch ledger.
+    */
+  def upsertScd2Index(batch: DataFrame, keyCol: String, tsCol: String,
+                      tieCol: String, valCol: String, dir: String,
+                      buckets: Int = 32): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.select(col(keyCol), col(tsCol), col(tieCol), col(valCol))
+      .withColumn("_bkt", pmod(hash(col(keyCol)), lit(buckets)))
+    // ≤ `buckets` small ints — the partition-pruning probe list (the
+    // ivfKnnIndexed collect shape, bounded by construction).
+    val touched = b.select(col("_bkt")).distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val logPath = s"$dir/log"
+    val p = new org.apache.hadoop.fs.Path(logPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val existing =
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+        spark.read.parquet(logPath).filter(col("_bkt").isin(touched: _*))
+      else b.limit(0)
+    val mergedLog = graft.Checkpoints.cutEager(
+      existing.unionByName(b).dropDuplicates(keyCol, tsCol, tieCol))
+    writePartitionOverwrite(mergedLog, "_bkt", logPath)
+    val hist = scd2(mergedLog, keyCol, tsCol, tieCol, valCol)
+      .withColumn("_bkt", pmod(hash(col(keyCol)), lit(buckets)))
+    writePartitionOverwrite(hist, "_bkt", s"$dir/history")
+  }
+
+  /** The maintained SCD2 dimension (same relation as [[scd2]] over the
+    * full log) — feeds the q198 [[pitJoin]] directly. */
+  def readScd2Index(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame =
+    spark.read.parquet(s"$dir/history").drop("_bkt")
+
+  /** Dynamic-partition overwrite of exactly the partitions present in
+    * `df` — the exactly-once device shared with the streaming shard
+    * writers ([[graft.streaming.EventsStream.writeHistShard]]). */
+  private def writePartitionOverwrite(df: DataFrame, partCol: String,
+                                      path: String): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Theil–Sen robust trend estimator over an ordered integer series
     * (day, value): the MEDIAN of all pairwise slopes — outlier days
     * move the estimate by at most their rank, unlike least squares

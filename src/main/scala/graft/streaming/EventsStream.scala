@@ -901,4 +901,23 @@ object EventsStream {
                          dir: String): DataFrame =
     spark.read.parquet(dir)
       .groupBy(col("v")).agg(sum(col("w")).as("w"))
+
+  /** Maintain the q151/q198 SCD2 dimension from a CDC change stream:
+    * each micro-batch upserts the bucket-partitioned change log and
+    * re-collapses ONLY the touched buckets
+    * ([[graft.operators.RelationalQueries.upsertScd2Index]] — set-law
+    * log dedup makes redelivery idempotent, out-of-order late changes
+    * split runs correctly because the raw log is kept). The maintained
+    * `history/` table feeds the point-in-time join directly. */
+  def scd2IndexSink(changes: DataFrame, keyCol: String, tsCol: String,
+                    tieCol: String, valCol: String, dir: String,
+                    checkpointLoc: String, buckets: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointLoc)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.RelationalQueries.upsertScd2Index(
+          batch, keyCol, tsCol, tieCol, valCol, dir, buckets)
+      }
+      .start()
 }

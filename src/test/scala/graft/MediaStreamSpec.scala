@@ -913,6 +913,60 @@ class MediaStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming: scd2 index sink — out-of-order CDC batches converge " +
+    "to the batch scd2 (late change splits a collapsed run); replay " +
+    "is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("scd2sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("scd2sink-ck").toString
+    val R = graft.operators.RelationalQueries
+    try {
+      val mem = MemoryStream[(Long, Long, Long, Long)]
+      val q = graft.streaming.EventsStream.scd2IndexSink(
+        mem.toDF().toDF("key", "tsm", "tie", "k"),
+        "key", "tsm", "tie", "k", dir = s"$dir/idx",
+        checkpointLoc = ckpt, buckets = 4)
+      // Batch 1: key 1 holds k=5 at t=100 and t=300 (collapses to ONE
+      // run); key 2 opens at 100.
+      val b1 = Seq((1L, 100L, 1L, 5L), (1L, 300L, 3L, 5L),
+        (2L, 100L, 4L, 9L))
+      // Batch 2 arrives LATE: k=7 at t=200 lands inside key 1's
+      // collapsed run — correct SCD2 must split it AND restore k=5 at
+      // t=300, which only the kept raw log still knows; key 2's
+      // same-value change must still collapse.
+      val b2 = Seq((1L, 200L, 2L, 7L), (2L, 400L, 5L, 9L))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      def hist(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("key"), r.getAs[Long]("k"),
+          r.getAs[Long]("valid_from"), Option(r.getAs[Any]("valid_to")),
+          r.getAs[Long]("is_current"))).toSet
+      val got = hist(R.readScd2Index(spark, s"$dir/idx"))
+      val exp = hist(R.scd2((b1 ++ b2).toDF("key", "tsm", "tie", "k"),
+        "key", "tsm", "tie", "k"))
+      assert(got == exp, s"streamed scd2 diverged:\n$got\nvs\n$exp")
+      assert(got.contains((1L, 7L, 200L, Some(300L), 0L)),
+        "late change did not split the collapsed run")
+      assert(got.contains((1L, 5L, 300L, None, 1L)),
+        "post-split value not restored from the raw log")
+      assert(got.count(_._1 == 2L) == 1,
+        "cross-batch same-value change must still collapse")
+      // At-least-once replay of batch 2: the log dedups on
+      // (key, ts, tie) — the index is bit-stable.
+      R.upsertScd2Index(b2.toDF("key", "tsm", "tie", "k"),
+        "key", "tsm", "tie", "k", s"$dir/idx", buckets = 4)
+      assert(hist(R.readScd2Index(spark, s"$dir/idx")) == exp,
+        "replayed CDC batch corrupted the history")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+
   test("streaming: quantile index sink — merged shards equal the " +
     "per-batch batch sketches; replayed shard overwrites in place") {
     import spark.implicits._
