@@ -731,6 +731,52 @@ object Dedup {
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
   }
 
+  /** Maximal repeated INTERVALS — the gaps-and-islands merge over the
+    * [[repeatedSpanStats]] duplicated-window instances, and the step
+    * from "how many windows are duplicated" to "WHERE the duplicated
+    * text lives" (the span boundaries exact-substring dedup à la Lee et
+    * al. 2022 cuts on): overlapping/adjacent duplicated windows
+    * ([p, p+w) with the next start ≤ prev start + w) coalesce into one
+    * maximal interval per document. A whole-document copy that q74
+    * under-reports as "n_spans windows, all duplicated" becomes the
+    * single interval [0, n_tokens) here; scattered boilerplate stays
+    * many short islands — the distinction drives cut-vs-drop curation.
+    *
+    * Output: (idCol, island, start_pos, end_pos, n_windows) — island a
+    * per-doc 1-based ordinal, end_pos exclusive token position.
+    *
+    * Scale shape: the [[repeatedSpanStats]] skeleton (hash windows →
+    * dup table → semi-join) plus ONE per-doc position window (lag +
+    * running sum ride the same sort) and a (doc, island) aggregation —
+    * all ordinary keyed shuffles, fixed-width hashes, never span text.
+    */
+  def repeatedIntervals(docs: DataFrame, idCol: String, textCol: String,
+                        spanTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    val hashed = TextAnalysis
+      .tokenChunkRows(docs, idCol, textCol, spanTokens, stride = 1)
+      .filter(col("_n_toks") === spanTokens)
+      .select(col("_id"), col("_pos"), unhex(md5(col("_chunk"))).as("_sh"))
+      .cutLineageEagerSpill()
+    val dup = hashed.select(col("_id"), col("_sh")).distinct()
+      .groupBy(col("_sh")).agg(count(lit(1)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+    val inst = hashed.join(dup.select(col("_sh")), Seq("_sh"), "left_semi")
+      .select(col("_id"), col("_pos"))
+    val byDoc = Window.partitionBy(col("_id")).orderBy(col("_pos"))
+    inst
+      .withColumn("_prev", lag(col("_pos"), 1).over(byDoc))
+      .withColumn("_new", (col("_prev").isNull ||
+        col("_pos") - col("_prev") > spanTokens).cast("long"))
+      .withColumn("island", sum(col("_new")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("_id"), col("island"))
+      .agg(min(col("_pos")).cast("long").as("start_pos"),
+        (max(col("_pos")) + spanTokens).cast("long").as("end_pos"),
+        count(lit(1)).as("n_windows"))
+      .select(col("_id").as(idCol), col("island"), col("start_pos"),
+        col("end_pos"), col("n_windows"))
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
     * 2003 — the MOSS algorithm): hash every k-gram, then from each window
     * of `window` consecutive k-gram hashes select the minimum; the

@@ -608,6 +608,22 @@ object LlmQueries {
       Dedup.repeatedSpanStats(d, "doc_id", "text")
     },
 
+    // q74's duplicated windows merged into MAXIMAL repeated intervals
+    // (gaps-and-islands over span starts): the planted full copies
+    // (+1M, %20=0 — the long duplicate a bounded-window count
+    // under-reports) must surface as ONE whole-doc interval, while the
+    // q74 banner stays a short island at position 0 of every 5th doc.
+    "q207_repeated_intervals" -> { (s, dir) =>
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("cookie policy accept terms privacy notice all rights "),
+            col("text")))
+          .otherwise(col("text")).as("text"))
+      val corpus = base.unionByName(base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.repeatedIntervals(corpus, "doc_id", "text")
+    },
+
     // OOV scoring against the corpus's own top-100 unigram vocabulary —
     // the garbled-text signal when no external vocab is in the loop.
     // Vocabulary is a TakeOrdered (100 rows) broadcast into an
@@ -3063,6 +3079,45 @@ object LlmQueries {
         |SELECT t.doc_id, t.n_spans,
         |  coalesce(d.n_dup_spans, 0) AS n_dup_spans
         |FROM totals t LEFT JOIN dups d USING (doc_id)""".stripMargin,
+    // q207: q74's window/dup CTEs over the copy-extended corpus, then
+    // the lag/running-sum island id and the per-island merge — 0-based
+    // positions (g.i − 1) to match posexplode.
+    "q207_repeated_intervals" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN 'cookie policy accept terms privacy notice all rights ' || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM docs2
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM docs2 WHERE doc_id % 20 = 0),
+        |sp AS (
+        |  SELECT doc_id, g.i - 1 AS pos,
+        |    array_to_string(tk[g.i:g.i+7], ' ') AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |        FROM corpus),
+        |    LATERAL UNNEST(generate_series(1, len(tk) - 7)) AS g(i)),
+        |dup AS (
+        |  SELECT s FROM (SELECT DISTINCT doc_id, s FROM sp)
+        |  GROUP BY s HAVING count(*) >= 2),
+        |inst AS (SELECT doc_id, pos FROM sp WHERE s IN (SELECT s FROM dup)),
+        |lg AS (
+        |  SELECT doc_id, pos,
+        |    LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM inst),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM lg)
+        |SELECT doc_id, CAST(island AS BIGINT) AS island,
+        |  CAST(min(pos) AS BIGINT) AS start_pos,
+        |  CAST(max(pos) + 8 AS BIGINT) AS end_pos,
+        |  CAST(count(*) AS BIGINT) AS n_windows
+        |FROM isl GROUP BY 1, 2""".stripMargin,
+
     // q64: the q62 kMeans oracle (1 round) over the dup-injected corpus,
     // then within-cluster pairwise cosine (q42's double-cast discipline)
     // and the smaller-id-wins keep flag.

@@ -718,6 +718,28 @@ class LlmSpec extends SparkSpec {
     assert(!out.contains(4L))
   }
 
+  test("repeated intervals: whole-copy docs yield ONE maximal island, " +
+    "adjacent windows merge, gaps split, short docs drop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h"),                    // full copy pair with 2
+      (2L, "a b c d e f g h"),
+      (3L, "z1 z2 a b c d z3 z4 z5 z6 z7 a b c d"), // two gapped islands
+      (4L, "z7 z8 a b c d a b c d"),              // adjacent -> one island
+      (5L, "q r s"))                              // sub-span: no output
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedIntervals(df, "doc_id", "text", spanTokens = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("island"),
+        r.getAs[Long]("start_pos"), r.getAs[Long]("end_pos"),
+        r.getAs[Long]("n_windows"))).toSet
+    assert(got == Set(
+      // the long duplicate is ONE interval spanning the doc — the
+      // merge a bounded-window count (5 windows) cannot express
+      (1L, 1L, 0L, 8L, 5L), (2L, 1L, 0L, 8L, 5L),
+      (3L, 1L, 2L, 6L, 1L), (3L, 2L, 11L, 15L, 1L),
+      (4L, 1L, 2L, 10L, 2L)), s"got $got")
+  }
+
   test("line dedup: planted boilerplate unit found, clean docs at zero") {
     import spark.implicits._
     val banner = "b1 b2 b3 b4" // one full 4-token unit when prepended
