@@ -528,6 +528,44 @@ object Corpus {
       .withColumnRenamed("_draw", "draw")
   }
 
+  /** Deterministic WEIGHTED sampling without replacement — the
+    * Efraimidis–Spirakis (2006) priority draw, the weighted complement
+    * to [[bottomK]]: each key gets priority u^(1/w) (u uniform from the
+    * key) and the k LARGEST priorities win, which selects each key for
+    * the first slot with probability wᵢ/ΣW exactly. The integer-exact
+    * realization uses the identity u^(1/w) ≡ max of w iid uniforms: a
+    * key of integer weight w draws w md5 tickets (`key#1 … key#w`, the
+    * q52 draw device) and its priority is their MAX — no float
+    * exponentiation anywhere, so DuckDB replays every priority and rank
+    * digit for digit. Weights clamp to [1, maxWeight] (the ticket fan
+    * is the cost knob; soft-dedup/quality weights bucket fine).
+    *
+    * Scale shape: the ticket fan is a MAP-ONLY array expression
+    * (`array_max(transform(sequence(1, w), …))` — no explode, no extra
+    * shuffle); the only shuffle is the per-stratum top-k window,
+    * identical to [[bottomK]]'s. Output adds (weight, priority,
+    * pick_rank).
+    */
+  def weightedSample(docs: DataFrame, keyCol: String, stratumCol: String,
+                     weightExpr: Column, k: Int, maxWeight: Int = 16,
+                     salt: String = "es:"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("_prio").desc, col(keyCol).asc)
+    docs
+      .withColumn("weight",
+        least(greatest(weightExpr.cast("long"), lit(1L)),
+          lit(maxWeight.toLong)))
+      .withColumn("_prio", expr(
+        s"""array_max(transform(sequence(1L, weight), j ->
+           |  cast(conv(substring(md5(concat('$salt',
+           |    cast($keyCol as string), '#', cast(j as string))), 1, 8),
+           |    16, 10) as bigint)))""".stripMargin))
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter(col("pick_rank") <= k)
+      .withColumnRenamed("_prio", "priority")
+  }
+
   /** Token frequency spectrum — the count-of-counts Zipf diagnostic run
     * before vocabulary induction: how many distinct token types fall in
     * each power-of-two occurrence band, and how much of the corpus those

@@ -793,6 +793,21 @@ object LlmQueries {
           .select(col("doc_id"), col("lang")), "doc_id", "lang", k = 20)
     },
 
+    // Efraimidis–Spirakis weighted draw: q101's fixed-size per-stratum
+    // sample, but longer documents weighted up (w = 1 + len/256 capped
+    // at 8) — priority = max of w md5 tickets ≡ u^(1/w), the exact ES
+    // key with zero floats. The oracle replays tickets, priorities, and
+    // ranks digit for digit.
+    "q208_weighted_sample" -> { (s, dir) =>
+      Corpus.weightedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("text")),
+        "doc_id", "lang", expr("1L + cast(length(text) as bigint) div 256L"),
+        k = 20, maxWeight = 8)
+        .select(col("doc_id"), col("lang"), col("weight"),
+          col("priority"), col("pick_rank"))
+    },
+
     // Deterministic training-order enumeration: 0-based position in a
     // seeded md5 total order via the two-phase bucket device (a global
     // row_number window would be single-partition — the scale-killer
@@ -2729,6 +2744,29 @@ object LlmQueries {
         |      ORDER BY draw ASC, doc_id ASC) AS pick_rank
         |  FROM d)
         |WHERE pick_rank <= 20""".stripMargin,
+    // q208: weights, the w md5 tickets per doc, the max-ticket ES
+    // priority, and the per-lang rank — all integer, replayed exactly.
+    "q208_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    LEAST(GREATEST(1 + length(text) // 256, 1), 8) AS weight
+        |  FROM documents),
+        |t AS (
+        |  SELECT d.doc_id, d.lang, d.weight,
+        |    MAX(list_reduce(list_transform(
+        |      string_split(substr(md5('es:' || CAST(d.doc_id AS VARCHAR)
+        |        || '#' || CAST(g.j AS VARCHAR)), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b)) AS priority
+        |  FROM d, LATERAL UNNEST(generate_series(1, d.weight)) AS g(j)
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, lang, weight, priority, pick_rank FROM (
+        |  SELECT doc_id, lang, weight, priority,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY priority DESC, doc_id ASC) AS BIGINT) AS pick_rank
+        |  FROM t)
+        |WHERE pick_rank <= 20""".stripMargin,
+
     // q114: the same seeded md5 total order as one flat window — what
     // the two-phase Spark form must reproduce position-for-position.
     "q114_train_order" ->

@@ -718,6 +718,28 @@ class LlmSpec extends SparkSpec {
     assert(!out.contains(4L))
   }
 
+  test("weighted sample: ES max-of-w-tickets priorities match an " +
+    "independent md5 reimplementation; weights clamp; ranks exact") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1L), (2L, "a", 3L), (3L, "a", 8L),
+      (4L, "a", 99L), (5L, "b", 0L)).toDF("id", "st", "w0")
+    val got = Corpus.weightedSample(df, "id", "st", col("w0"),
+        k = 2, maxWeight = 8)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("weight"),
+        r.getAs[Long]("priority"), r.getAs[Long]("pick_rank"))).toSet
+    def u32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(8), 16)
+    val wts = Map(1L -> 1L, 2L -> 3L, 3L -> 8L, 4L -> 8L, 5L -> 1L)
+    def prio(id: Long) = (1L to wts(id)).map(j => u32(s"es:$id#$j")).max
+    val aRanked = Seq(1L, 2L, 3L, 4L)
+      .sortBy(id => (-prio(id), id)).take(2).zipWithIndex
+      .map { case (id, i) => (id, wts(id), prio(id), i + 1L) }
+    val exp = (aRanked :+ ((5L, 1L, prio(5L), 1L))).toSet
+    assert(got == exp, s"got $got vs $exp")
+  }
+
   test("repeated intervals: whole-copy docs yield ONE maximal island, " +
     "adjacent windows merge, gaps split, short docs drop") {
     import spark.implicits._
