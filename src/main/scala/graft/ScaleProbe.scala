@@ -104,7 +104,15 @@ object ScaleProbe {
       // Round-13 events family: gap-fill grid (bounded output, linear
       // rollup), CMS (bounded cells, linear explode), PIT join (equi
       // join + residual).
-      "q194_gapfill_ffill", "q197_cms_counts", "q198_pit_join")
+      "q194_gapfill_ffill", "q197_cms_counts", "q198_pit_join",
+      // Round-14 additions: q203 exercises the index WRITE+MERGE cycle
+      // (two sketch aggregations + estimate join — the serving probe is
+      // constant-size by construction); q206 is one bucket-keyed window
+      // shuffle + summary-sized everything after; q207 is the q74
+      // skeleton plus one per-doc position window; q208 is map-only
+      // ticket fans + the per-stratum top-k window.
+      "q203_cms_index", "q206_quantile_sketch",
+      "q207_repeated_intervals", "q208_weighted_sample")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -157,7 +165,9 @@ object ScaleProbe {
       "q186_latency_percentiles" -> "lineitem",
       "q194_gapfill_ffill" -> "events",
       "q197_cms_counts" -> "events",
-      "q198_pit_join" -> "events").withDefault(_ => "documents")
+      "q198_pit_join" -> "events",
+      "q203_cms_index" -> "events",
+      "q206_quantile_sketch" -> "events").withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet
 
     // The replica generators for documents/lineitem are the
