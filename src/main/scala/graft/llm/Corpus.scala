@@ -975,6 +975,103 @@ object Corpus {
       Window.orderBy(col("score_ppm").desc, col(idCol).asc)))
   }
 
+  /** One batch's shard of the persisted INVERTED SEARCH INDEX — the
+    * sign-once discipline applied to retrieval: documents are tokenized
+    * ONCE and their postings (token, doc, tf, dl) land under
+    * `postings/batch_id=<id>/_tb=<bucket>/`, token-bucketed so a query
+    * reads ONLY its terms' buckets (partition pruning); corpus moments
+    * (N, Σdl) land as a 1-row `stats/batch_id=` shard. Both writes are
+    * DYNAMIC partition overwrites keyed by batch_id — a replayed batch
+    * overwrites exactly its own shard (the X179 exactly-once device;
+    * postings/count addition across batches is not idempotent, so
+    * batch-keyed shards, not blind appends). `truncate = true` makes
+    * the write a STATIC overwrite that drops every earlier shard — the
+    * from-scratch rebuild form.
+    *
+    * [[bm25FromIndex]] serves queries off the stored shards without
+    * ever re-reading or re-tokenizing the corpus — the 100 TB search
+    * contract: per-query cost is (terms' buckets) + (1-row stats), not
+    * a corpus scan, while scores stay BIT-EQUAL to the scan
+    * ([[bm25TopK]]) because tf/dl/df/N/T are the same integers
+    * wherever they are read from. */
+  def writeSearchIndexShard(batch: DataFrame, idCol: String,
+                            textCol: String, dir: String, batchId: Long,
+                            buckets: Int = 32,
+                            truncate: Boolean = false): Unit = {
+    val spark = batch.sparkSession
+    val toks = batch.select(col(idCol).as("_id"),
+        TextAnalysis.tokens(col(textCol)).as("_tk"))
+      .withColumn("dl", size(col("_tk")).cast("long"))
+    val postings = toks
+      .select(col("_id"), col("dl"), explode(col("_tk")).as("token"))
+      .groupBy(col("token"), col("_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("_tb", pmod(hash(col("token")), lit(buckets)))
+      .withColumn("batch_id", lit(batchId))
+    val stats = toks.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("dl")).as("total_len"))
+      .withColumn("batch_id", lit(batchId))
+    def write(df: DataFrame, parts: Seq[String], path: String): Unit =
+      if (truncate)
+        df.write.mode("overwrite").partitionBy(parts: _*).parquet(path)
+      else {
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val old = spark.conf.getOption(key)
+        spark.conf.set(key, "dynamic")
+        try df.write.mode("overwrite").partitionBy(parts: _*).parquet(path)
+        finally old match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+    write(postings, Seq("batch_id", "_tb"), s"$dir/postings")
+    write(stats, Seq("batch_id"), s"$dir/stats")
+  }
+
+  /** BM25 top-k served purely from a [[writeSearchIndexShard]] index:
+    * the terms' token-bucket predicate CONSTANT-FOLDS
+    * (`pmod(hash(lit(term)))`) into a partition filter, so the scan
+    * touches only the query terms' `_tb=` directories across shards;
+    * df per term is a count over those same rows (each doc posts a
+    * term in exactly one batch shard); N and Σdl sum over the ≤
+    * |batches| 1-row stats shards. Per-posting scoring re-evaluates
+    * [[bm25TopK]]'s exact integer ppm terms (tf > 0 by construction
+    * in a posting), and the per-doc sum of per-term floors is the same
+    * arithmetic the scan form runs — rank-for-rank, bit-for-bit equal.
+    * The final cut is a TakeOrdered over scored candidates. */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    idCol: String, terms: Seq[String], topK: Int = 20,
+                    buckets: Int = 32): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9_]+")),
+      "terms must be plain tokens")
+    val st = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs")).cast("long").as("_n"),
+        sum(col("total_len")).cast("long").as("_t"))
+    val pred = terms.map(term =>
+        col("_tb") === pmod(hash(lit(term)), lit(buckets)) &&
+          col("token") === term)
+      .reduce(_ || _)
+    val posts = spark.read.parquet(s"$dir/postings").filter(pred)
+    val dfs = posts.groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("_df"))
+    val n0 = "(44L * tf * _t)"
+    val den = "(20L * _t * tf + 6L * _t + 18L * dl * _n)"
+    val tfp = s"(($n0 div $den) * 1000000L" +
+      s" + (($n0 % $den) * 1000L div $den) * 1000L" +
+      s" + ((($n0 % $den) * 1000L) % $den) * 1000L div $den)"
+    val idf = "(((2L * _n - 2L * _df + 1L) * 1000000L) div (2L * _df + 1L))"
+    val scored = posts.join(broadcast(dfs), Seq("token"))
+      .crossJoin(broadcast(st))
+      .withColumn("_s", expr(s"($tfp * $idf) div 1000000L"))
+      .groupBy(col("_id")).agg(sum(col("_s")).as("score_ppm"))
+      .filter(col("score_ppm") > 0L)
+      .orderBy(col("score_ppm").desc, col("_id").asc)
+      .limit(topK)
+      .select(col("_id").as(idCol), col("score_ppm"))
+    scored.withColumn("rank", row_number().over(
+      Window.orderBy(col("score_ppm").desc, col(idCol).asc)))
+  }
+
   /** TF-IDF top terms per document, integer-exact: per (doc, token)
     * `score_ppm = tf · (N·10⁶ div df)` — the raw-ratio idf (monotone
     * with log-idf PER TERM; the per-document ranking this emits is the
@@ -1236,6 +1333,87 @@ object Corpus {
       .groupBy(col("r"), col("c")).agg(sum(col("n")).as("n"))
     graft.Checkpoints.cutEager(merged)
       .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Bloom-filter SET-BIT table over a key column: each key sets k
+    * md5-derived positions (`bf<i>:`, the q52 integer draw device) in a
+    * [0, mBits) domain, and the filter is the DISTINCT set of those
+    * positions — ≤ mBits rows at ANY corpus size, bit-replayable by an
+    * external engine. The relational form of the classical bitmap: a
+    * (pos) row per set bit instead of a packed word, so building is one
+    * map-side-combined distinct of the k-exploded input and MERGE is
+    * plain set union — idempotent, which is what makes the persisted
+    * form ([[writeBloomIndex]]) streaming-maintainable without a batch
+    * ledger ([[graft.streaming.EventsStream.bloomIndexSink]]).
+    *
+    * The 100 TB use is JOIN PRUNING / decontamination pre-filtering:
+    * sign the small side (banned users, benchmark fingerprints, dim
+    * keys of interest) once, then gate a corpus-scale stream with a
+    * broadcast of the ≤ mBits-row filter — rows the filter rejects are
+    * definitely absent (no false negatives, [[bloomProbe]] is
+    * one-sided), so the expensive exact join runs only on survivors.
+    */
+  def bloomPositions(df: DataFrame, keyCol: String, k: Int = 4,
+                     mBits: Int = 65536, salt: String = "bf"): DataFrame =
+    df.select(explode(array((0 until k).map { i =>
+        hashU32(col(keyCol), s"$salt$i:") % mBits
+      }: _*)).as("pos"))
+      .distinct()
+
+  /** Persist a Bloom set-bit table — the sign-once index form for
+    * MEMBERSHIP, extending the sketch-index family (KMV = distinct
+    * counts, histogram/quantile = distributions, CMS = frequencies,
+    * Bloom = set membership). */
+  def writeBloomIndex(df: DataFrame, keyCol: String, dir: String,
+                      k: Int = 4, mBits: Int = 65536,
+                      salt: String = "bf"): Unit =
+    bloomPositions(df, keyCol, k, mBits, salt)
+      .write.mode("overwrite").parquet(dir)
+
+  /** Merge a new key batch into a stored Bloom index: the batch sets
+    * its own bits ALONE (the indexed corpus is never re-read) and the
+    * stored set unions them — bloom(A) ∪ bloom(B) = bloom(A ∪ B)
+    * position for position, so the merged index is bit-identical to a
+    * from-scratch build of everything ingested. Union is IDEMPOTENT:
+    * at-least-once redelivery re-unions bits already present, so no
+    * ledger exists to corrupt. Handles the first batch (no index on
+    * disk yet), which is the form a foreachBatch sink calls. */
+  def upsertBloomIndex(batch: DataFrame, keyCol: String, dir: String,
+                       k: Int = 4, mBits: Int = 65536,
+                       salt: String = "bf"): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+      val stored = spark.read.parquet(dir)
+      val merged = stored
+        .unionByName(bloomPositions(batch, keyCol, k, mBits, salt))
+        .distinct()
+      // ≤ mBits rows; the eager cut breaks the read→overwrite cycle.
+      graft.Checkpoints.cutEager(merged)
+        .write.mode("overwrite").parquet(dir)
+    } else writeBloomIndex(batch, keyCol, dir, k, mBits, salt)
+  }
+
+  /** Membership probe against a Bloom set-bit table: each probe key
+    * re-derives its k positions and is bloom-positive iff ALL k are
+    * set. One-sided by construction — a key that was indexed finds all
+    * its bits, so `bloom_positive = 0` PROVES absence; positives may be
+    * false (collision odds fall geometrically in k). Plan shape: the
+    * k-exploded probe left-joins the BROADCAST ≤ mBits-row filter and
+    * re-aggregates per key — map-side combinable, no corpus-keyed
+    * shuffle beyond the probe's own keys. */
+  def bloomProbe(bloom: DataFrame, keys: DataFrame, keyCol: String,
+                 k: Int = 4, mBits: Int = 65536,
+                 salt: String = "bf"): DataFrame = {
+    val probes = keys.select(col(keyCol), explode(array((0 until k).map { i =>
+        (hashU32(col(keyCol), s"$salt$i:") % mBits).as("pos")
+      }: _*)).as("pos"))
+    probes.join(broadcast(bloom.withColumn("_set", lit(1L))),
+        Seq("pos"), "left")
+      .groupBy(col(keyCol))
+      .agg((count(lit(1)) === sum(when(col("_set").isNotNull, 1L)
+        .otherwise(0L))).cast("long").as("bloom_positive"))
   }
 
   /** Distributed BPE tokenizer TRAINING (Sennrich 2016 — the q118

@@ -777,6 +777,53 @@ object Dedup {
         col("end_pos"), col("n_windows"))
   }
 
+  /** Duplicate-span EXCISION — the cutting half of exact substring
+    * dedup (Lee et al. 2022): every token covered by a
+    * [[repeatedIntervals]] maximal repeated interval is dropped and the
+    * survivors re-join into the cleaned text. The cut-ALL-occurrences
+    * policy is the reference implementation's (deduplicate-text-datasets
+    * removes every flagged span, first copies included); keep-one
+    * curation layers on top by exempting a canonical owner per dup
+    * cluster (the q73 component-best device) BEFORE the cut.
+    *
+    * Output: (idCol, clean_text, n_tokens, n_removed) for EVERY input
+    * doc — fully-excised docs surface with clean_text = '' rather than
+    * vanishing, because "this doc became empty" is the signal a
+    * curation gate acts on.
+    *
+    * Scale shape: the interval derivation is [[repeatedIntervals]];
+    * covered positions explode from the INTERVAL rows (sequence over
+    * [start, end) — interval-bounded, never corpus-width); the cut is a
+    * (doc, pos)-keyed anti-join of the token stream; the rebuild is one
+    * doc-keyed sort-free aggregation (array_sort over collected
+    * (pos, tok) structs — per-row work bounded by doc length, the same
+    * bound any text transform carries). No stage holds more than one
+    * document's tokens in a row.
+    */
+  def exciseRepeatedIntervals(docs: DataFrame, idCol: String,
+                              textCol: String, spanTokens: Int = 8,
+                              minDocs: Int = 2): DataFrame = {
+    val covered = repeatedIntervals(docs, idCol, textCol, spanTokens,
+        minDocs)
+      .select(col(idCol).as("_id"),
+        explode(sequence(col("start_pos"), col("end_pos") - 1)).as("_pos"))
+    val toks = docs.select(col(idCol).as("_id"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("_pos", "_tok")))
+    val kept = toks.join(covered, Seq("_id", "_pos"), "left_anti")
+      .groupBy(col("_id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+          x => x.getField("_tok")), " ").as("clean_text"),
+        count(lit(1)).as("_n_kept"))
+    toks.groupBy(col("_id")).agg(count(lit(1)).as("n_tokens"))
+      .join(kept, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("_n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
     * 2003 — the MOSS algorithm): hash every k-gram, then from each window
     * of `window` consecutive k-gram hashes select the minimum; the

@@ -624,6 +624,24 @@ object LlmQueries {
       Dedup.repeatedIntervals(corpus, "doc_id", "text")
     },
 
+    // The CUT itself — q207's maximal intervals excised from the text
+    // (exact substring dedup's removal step, cut-all-occurrences
+    // policy): over the same banner+copy corpus, whole-copy pairs must
+    // come back EMPTY (n_removed = n_tokens) and banner docs lose
+    // exactly the shared prefix; every doc returns a row. The oracle
+    // rebuilds the islands AND the per-position cut and re-joins the
+    // surviving tokens in position order — byte-equal clean text.
+    "q210_span_excision" -> { (s, dir) =>
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("cookie policy accept terms privacy notice all rights "),
+            col("text")))
+          .otherwise(col("text")).as("text"))
+      val corpus = base.unionByName(base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.exciseRepeatedIntervals(corpus, "doc_id", "text")
+    },
+
     // OOV scoring against the corpus's own top-100 unigram vocabulary —
     // the garbled-text signal when no external vocab is in the loop.
     // Vocabulary is a TakeOrdered (100 rows) broadcast into an
@@ -1136,6 +1154,27 @@ object LlmQueries {
         terms = Seq("spark", "merge", "vector"), topK = 20)
     },
 
+    // q164 served from the PERSISTED inverted index — the sign-once
+    // discipline for SEARCH: the corpus is tokenized once into
+    // token-bucketed posting shards (two batch shards here, by doc_id
+    // parity, so df/N/Σdl genuinely cross shards), and the query reads
+    // ONLY its three terms' buckets + the 1-row stats shards. Oracle is
+    // q164's corpus-scan BM25 verbatim — served scores must be
+    // bit-equal to the scan because every integer (tf, dl, df, N, T)
+    // is the same wherever it is read from.
+    "q211_bm25_indexed" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val idx = s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/q211_search"
+      Corpus.writeSearchIndexShard(docs.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", idx, batchId = 0L, truncate = true)
+      Corpus.writeSearchIndexShard(docs.filter($"doc_id" % 2 =!= 0),
+        "doc_id", "text", idx, batchId = 1L)
+      Corpus.bm25FromIndex(s, idx, "doc_id",
+        terms = Seq("spark", "merge", "vector"), topK = 20)
+    },
+
     // Fuzzy vocabulary pairs (Levenshtein ≤ 2) by SymSpell
     // symmetric-delete blocking: deletion-variant equi-join + exact
     // levenshtein verify — equals the all-pairs scan (the oracle IS the
@@ -1368,6 +1407,35 @@ object LlmQueries {
       truth.join(est, Seq("user_id"))
         .select($"user_id", $"true_n", $"est_n",
           ($"est_n" - $"true_n").as("overcount"))
+    },
+
+    // Persisted + streaming Bloom MEMBERSHIP index — the join-pruning /
+    // decontamination pre-filter of the sketch-index family: customers
+    // WITH orders sign the ≤ mBits-row set-bit table (built from the
+    // even order keys, merged with the odd — set union is the Bloom
+    // merge law, so merged ≡ from-scratch), and every customer key
+    // probes it. TPC-H leaves ~1/3 of customers orderless, so the gate
+    // carries real negatives: bloom_positive = 0 PROVES true_member = 0
+    // (one-sided error, the property that lets a 100 TB stream skip the
+    // exact join for rejected rows). Oracle replays every md5 bit
+    // position digit for digit.
+    "q209_bloom_index" -> { (s, dir) =>
+      import s.implicits._
+      val ords = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val idx = s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/q209_bloom"
+      Corpus.writeBloomIndex(ords.filter($"o_orderkey" % 2 === 0),
+        "o_custkey", idx)
+      Corpus.upsertBloomIndex(ords.filter($"o_orderkey" % 2 =!= 0),
+        "o_custkey", idx)
+      val bloom = s.read.parquet(idx)
+      val probed = Corpus.bloomProbe(bloom,
+        t(s, dir, "customer").select($"c_custkey"), "c_custkey")
+      val members = ords.select($"o_custkey".as("c_custkey")).distinct()
+        .withColumn("_m", lit(1L))
+      probed.join(members, Seq("c_custkey"), "left")
+        .select($"c_custkey", $"bloom_positive",
+          coalesce($"_m", lit(0L)).as("true_member"))
     }
   )
 
@@ -1448,6 +1516,35 @@ object LlmQueries {
        |  FROM events WHERE user_id % 7 = 0 GROUP BY 1)
        |SELECT t.user_id, t.true_n, e.est_n, e.est_n - t.true_n AS overcount
        |FROM truth t JOIN est e USING (user_id)""".stripMargin
+  }
+
+  /** q209: the Bloom set-bit table and the all-k-positions membership
+    * probe, replayed in DuckDB digit for digit — built from ALL orders
+    * at once, which the Spark side's write+merge must equal because
+    * Bloom merge is set union. */
+  private val bloomOracleSql: String = {
+    def h(saltExpr: String, keyExpr: String) =
+      s"""list_reduce(list_transform(
+         |      string_split(substr(md5($saltExpr || CAST($keyExpr AS VARCHAR)), 1, 8), ''),
+         |      ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)),
+         |      (a, b) -> a * 16 + b) % 65536""".stripMargin
+    s"""WITH pos AS (
+       |  SELECT DISTINCT ${h("'bf' || g.i || ':'", "o_custkey")} AS pos
+       |  FROM orders, unnest(generate_series(0, 3)) AS g(i)),
+       |probes AS (
+       |  SELECT c_custkey, ${h("'bf' || g.i || ':'", "c_custkey")} AS pos
+       |  FROM customer, unnest(generate_series(0, 3)) AS g(i)),
+       |probed AS (
+       |  SELECT p.c_custkey,
+       |    CAST(CASE WHEN count(*) FILTER (WHERE s.pos IS NOT NULL) = 4
+       |      THEN 1 ELSE 0 END AS BIGINT) AS bloom_positive
+       |  FROM probes p LEFT JOIN pos s ON s.pos = p.pos
+       |  GROUP BY 1),
+       |members AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+       |SELECT p.c_custkey, p.bloom_positive,
+       |  CAST(CASE WHEN m.c_custkey IS NULL THEN 0 ELSE 1 END AS BIGINT)
+       |    AS true_member
+       |FROM probed p LEFT JOIN members m USING (c_custkey)""".stripMargin
   }
 
   private val dupCorpusSql: String =
@@ -3156,6 +3253,63 @@ object LlmQueries {
         |  CAST(count(*) AS BIGINT) AS n_windows
         |FROM isl GROUP BY 1, 2""".stripMargin,
 
+    // q210: the q207 island chain continued through the per-position
+    // cut — covered positions unnest from the merged intervals, the
+    // token stream anti-joins them, survivors re-join in position
+    // order. clean_text must be byte-equal to Spark's rebuild.
+    "q210_span_excision" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN 'cookie policy accept terms privacy notice all rights ' || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM docs2
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM docs2 WHERE doc_id % 20 = 0),
+        |tk0 AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM corpus),
+        |sp AS (
+        |  SELECT doc_id, g.i - 1 AS pos,
+        |    array_to_string(tk[g.i:g.i+7], ' ') AS s
+        |  FROM tk0, LATERAL UNNEST(generate_series(1, len(tk) - 7)) AS g(i)),
+        |dup AS (
+        |  SELECT s FROM (SELECT DISTINCT doc_id, s FROM sp)
+        |  GROUP BY s HAVING count(*) >= 2),
+        |inst AS (SELECT doc_id, pos FROM sp WHERE s IN (SELECT s FROM dup)),
+        |lg AS (
+        |  SELECT doc_id, pos,
+        |    LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM inst),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM lg),
+        |iv AS (
+        |  SELECT doc_id, min(pos) AS s0, max(pos) + 8 AS e0
+        |  FROM isl GROUP BY doc_id, island),
+        |cov AS (
+        |  SELECT doc_id, g.p AS pos
+        |  FROM iv, LATERAL UNNEST(generate_series(s0, e0 - 1)) AS g(p)),
+        |toks AS (
+        |  SELECT doc_id, g.i - 1 AS pos, tk[g.i] AS tok
+        |  FROM tk0, LATERAL UNNEST(generate_series(1, len(tk))) AS g(i)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok
+        |  FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+        |  WHERE c.pos IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |    CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM kept GROUP BY 1),
+        |tot AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tk0)
+        |SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+        |  t.n_tokens, t.n_tokens - COALESCE(a.n_kept, 0) AS n_removed
+        |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     // q64: the q62 kMeans oracle (1 round) over the dup-injected corpus,
     // then within-cluster pairwise cosine (q42's double-cast discipline)
     // and the smaller-id-wins keep flag.
@@ -3734,6 +3888,8 @@ object LlmQueries {
     // merge closure), so the same SQL gates both.
     "q203_cms_index" -> cmsOracleSql,
 
+    "q209_bloom_index" -> bloomOracleSql,
+
     // q196: brute-force pair enumeration — every doc pair's exact
     // distinct-word Jaccard, integer cross-multiplied threshold. The
     // Spark side's prefix filter must reproduce this EXACTLY.
@@ -3759,6 +3915,10 @@ object LlmQueries {
     // (20·T·tf + 6·T + 18·dl·N) through base-1000 division, raw-RSJ idf
     // ratio), so `div` here is `//` there and nothing else differs.
     "q164_bm25_search" -> bm25OracleSql(Seq("spark", "merge", "vector"), 20),
+
+    // q211: the same corpus-scan BM25 — the index serving path must be
+    // indistinguishable from the scan, score for score.
+    "q211_bm25_indexed" -> bm25OracleSql(Seq("spark", "merge", "vector"), 20),
 
     // q167: the oracle is the ALL-PAIRS scan the symmetric-delete
     // blocking provably equals (deletion-variant coverage theorem) —

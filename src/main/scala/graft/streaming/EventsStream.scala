@@ -801,6 +801,42 @@ object EventsStream {
       }
       .start()
 
+  /** Maintain a persisted Bloom membership index from a stream: each
+    * micro-batch sets its own bits alone and unions them into the
+    * stored set-bit table ([[graft.llm.Corpus.upsertBloomIndex]]).
+    * At-least-once is ENOUGH — set union is idempotent, bits re-set
+    * are bits unchanged — so no batch ledger is kept (the KMV
+    * replay-safety argument, verbatim). */
+  def bloomIndexSink(stream: DataFrame, keyCol: String, dir: String,
+                     checkpointLoc: String, k: Int = 4,
+                     mBits: Int = 65536)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointLoc)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.llm.Corpus.upsertBloomIndex(batch, keyCol, dir, k, mBits)
+      }
+      .start()
+
+  /** Maintain the persisted inverted search index from a document
+    * stream: each micro-batch tokenizes itself ONCE and lands its
+    * postings + 1-row stats under its own `batch_id=` partitions
+    * ([[graft.llm.Corpus.writeSearchIndexShard]] — dynamic partition
+    * overwrite, so an at-least-once replay overwrites exactly its own
+    * shard and df/N/Σdl never double-count). Queries keep serving from
+    * the shards mid-stream via [[graft.llm.Corpus.bm25FromIndex]]. */
+  def searchIndexSink(docs: DataFrame, idCol: String, textCol: String,
+                      dir: String, checkpointLoc: String,
+                      buckets: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointLoc)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.Corpus.writeSearchIndexShard(batch, idCol, textCol,
+          dir, batchId, buckets)
+      }
+      .start()
+
   /** One micro-batch's histogram shard: the batch's (bin, n) rows land
     * in the `batch_id=<id>` partition under DYNAMIC partition overwrite,
     * so a REPLAYED batch overwrites exactly its own partition — counts

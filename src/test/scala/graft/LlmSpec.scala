@@ -762,6 +762,26 @@ class LlmSpec extends SparkSpec {
       (4L, 1L, 2L, 10L, 2L)), s"got $got")
   }
 
+  test("span excision: covered tokens cut in every copy, survivors " +
+    "re-join in order, fully-excised and untouched docs both surface") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h"),                      // whole-copy pair:
+      (2L, "a b c d e f g h"),                      //   both come back empty
+      (3L, "z1 z2 a b c d z3 z4 z5 z6 z7 a b c d"), // two islands cut
+      (4L, "q r s"))                                // untouched short doc
+      .toDF("doc_id", "text")
+    val got = Dedup.exciseRepeatedIntervals(df, "doc_id", "text",
+        spanTokens = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"))).toSet
+    assert(got == Set(
+      (1L, "", 8L, 8L), (2L, "", 8L, 8L),
+      (3L, "z1 z2 z3 z4 z5 z6 z7", 15L, 8L),
+      (4L, "q r s", 3L, 0L)), s"got $got")
+  }
+
   test("line dedup: planted boilerplate unit found, clean docs at zero") {
     import spark.implicits._
     val banner = "b1 b2 b3 b4" // one full 4-token unit when prepended
@@ -1673,6 +1693,83 @@ class LlmSpec extends SparkSpec {
       val under = est.join(truth, Seq("key"))
         .filter(col("est_n") < col("tn")).count()
       assert(under == 0, "count-min undercounted a key")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("search index: sharded postings serve BM25 bit-equal to the " +
+    "corpus scan; the term predicate prunes token-bucket partitions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark merge spark vector data"),
+      (2L, "merge vector vector"),
+      (3L, "spark alone here"),
+      (4L, "none of the terms"),
+      (5L, "vector spark merge all three now")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("searchidx").toString
+    try {
+      Corpus.writeSearchIndexShard(docs.filter($"doc_id" <= 2),
+        "doc_id", "text", dir, batchId = 0L, buckets = 8, truncate = true)
+      Corpus.writeSearchIndexShard(docs.filter($"doc_id" > 2),
+        "doc_id", "text", dir, batchId = 1L, buckets = 8)
+      val terms = Seq("spark", "merge", "vector")
+      def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val served = Corpus.bm25FromIndex(spark, dir, "doc_id", terms,
+        topK = 10, buckets = 8)
+      assert(rows(served) ==
+        rows(Corpus.bm25TopK(docs, "doc_id", "text", terms, topK = 10)),
+        "index serving diverged from the corpus scan")
+      // Replayed shard: batch 1 re-lands in its own partitions — the
+      // served ranking is bit-stable (no df/N double-counts).
+      Corpus.writeSearchIndexShard(docs.filter($"doc_id" > 2),
+        "doc_id", "text", dir, batchId = 1L, buckets = 8)
+      assert(rows(Corpus.bm25FromIndex(spark, dir, "doc_id", terms,
+        topK = 10, buckets = 8)) == rows(served),
+        "replayed shard changed the ranking")
+      // Partition pruning: the postings scan must carry a _tb partition
+      // filter (the constant-folded pmod(hash(lit(term))) predicate) —
+      // reading every bucket would be the corpus-scan cost in disguise.
+      val plan = served.queryExecution.executedPlan.toString
+      val scanLine = plan.linesIterator
+        .find(l => l.contains("PartitionFilters") && l.contains("postings"))
+        .getOrElse(plan.linesIterator
+          .find(_.contains("PartitionFilters: [")).getOrElse(""))
+      assert(scanLine.contains("_tb"),
+        s"postings scan has no _tb partition filter:\n$plan")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("bloom index: no false negatives ever, forced false positive " +
+    "under a tiny bit domain, write+merge equals one-shot") {
+    import spark.implicits._
+    val members = (1L to 40L).toDF("key")
+    val dir = java.nio.file.Files.createTempDirectory("bloomidx").toString
+    try {
+      // Split with overlap: merge must union, not double or drop.
+      Corpus.writeBloomIndex(members.filter(col("key") <= 25), "key", dir,
+        k = 3, mBits = 64)
+      Corpus.upsertBloomIndex(members.filter(col("key") >= 20), "key", dir,
+        k = 3, mBits = 64)
+      def bits(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("pos")).as[Long].collect().toSet
+      assert(bits(spark.read.parquet(dir)) ==
+        bits(Corpus.bloomPositions(members, "key", k = 3, mBits = 64)),
+        "merged bits diverged from the one-shot build")
+      // Probe members ∪ non-members: every member MUST be positive
+      // (one-sidedness is the operator's contract); with 40·3 draws in
+      // 64 bits the table is ~85% full, so some non-member collides on
+      // all 3 positions — the false positive the design admits.
+      val probe = (1L to 200L).toDF("key")
+      val got = Corpus.bloomProbe(spark.read.parquet(dir), probe, "key",
+          k = 3, mBits = 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 40L).forall(got(_) == 1L), "false negative")
+      val fp = (41L to 200L).count(got(_) == 1L)
+      assert(fp > 0, "expected at least one false positive at 85% fill")
+      assert((41L to 200L).exists(got(_) == 0L),
+        "a sane filter still rejects most non-members")
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }

@@ -874,6 +874,80 @@ class MediaStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming: search index sink shards per batch; serving equals " +
+    "the one-shot scan and a replayed shard never double-counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("searchsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("searchsink-ck").toString
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.EventsStream.searchIndexSink(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        dir = s"$dir/idx", checkpointLoc = ckpt, buckets = 8)
+      val b1 = Seq((1L, "spark merge spark vector data"),
+        (2L, "merge vector vector"))
+      val b2 = Seq((3L, "spark alone here"),
+        (5L, "vector spark merge all three now"))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      val terms = Seq("spark", "merge", "vector")
+      def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val served = rows(graft.llm.Corpus.bm25FromIndex(spark, s"$dir/idx",
+        "doc_id", terms, topK = 10, buckets = 8))
+      assert(served == rows(graft.llm.Corpus.bm25TopK(
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", terms,
+        topK = 10)), "streamed index diverged from the one-shot scan")
+      // At-least-once replay of batch 1: its shard overwrites itself.
+      graft.llm.Corpus.writeSearchIndexShard(b2.toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/idx", batchId = 1L, buckets = 8)
+      assert(rows(graft.llm.Corpus.bm25FromIndex(spark, s"$dir/idx",
+        "doc_id", terms, topK = 10, buckets = 8)) == served,
+        "replayed shard changed the served ranking")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+
+  test("streaming: bloom index sink maintains the set-bit table; " +
+    "replays are idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("bloomsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bloomsink-ck").toString
+    try {
+      val mem = MemoryStream[Long]
+      val q = graft.streaming.EventsStream.bloomIndexSink(
+        mem.toDF().toDF("key"), "key", dir = s"$dir/idx",
+        checkpointLoc = ckpt, k = 4, mBits = 1024)
+      mem.addData(1L to 30L: _*)
+      q.processAllAvailable()
+      mem.addData(21L to 60L: _*) // overlap so the union is exercised
+      q.processAllAvailable()
+      q.stop()
+      def bits(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("pos")).as[Long].collect().toSet
+      val fromStream = bits(spark.read.parquet(s"$dir/idx"))
+      val oneShot = bits(graft.llm.Corpus.bloomPositions(
+        (1L to 60L).toDF("key"), "key", k = 4, mBits = 1024))
+      assert(fromStream == oneShot, "streamed bits diverged from one-shot")
+      // At-least-once replay: re-upserting a merged batch re-sets bits
+      // already set — the index is bit-stable (set-union idempotence).
+      graft.llm.Corpus.upsertBloomIndex(
+        (21L to 60L).toDF("key"), "key", s"$dir/idx", k = 4, mBits = 1024)
+      assert(bits(spark.read.parquet(s"$dir/idx")) == oneShot,
+        "replayed merge changed the set bits")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+
   test("streaming: histogram index sink shards per batch; a replayed " +
     "shard overwrites itself, never double-counts") {
     import spark.implicits._

@@ -51,6 +51,9 @@ class PlanAuditSpec extends SparkSpec {
       // corpus stats / anomaly mean-variance / TF-IDF N) — the same
       // scalar-broadcast shape.
       "q164_bm25_search", "q169_anomaly_days", "q170_tfidf_terms",
+      // q211 serves q164's scoring from the stored index — the same
+      // SINGLE-ROW stats scalar broadcast (summed over stats shards).
+      "q211_bm25_indexed",
       // q168 composes q35's brute-force side twice (q117's two lists) —
       // same tiny broadcast query sample, same intended NLJ.
       "q168_rrf_fusion",
