@@ -112,7 +112,11 @@ object ScaleProbe {
       // skeleton plus one per-doc position window; q208 is map-only
       // ticket fans + the per-stratum top-k window.
       "q203_cms_index", "q206_quantile_sketch",
-      "q207_repeated_intervals", "q208_weighted_sample")
+      "q207_repeated_intervals", "q208_weighted_sample",
+      // q209 is two distinct-aggregations + a broadcast probe; q210 is
+      // q207 + a (doc,pos) anti-join + per-doc rebuild; q211 times the
+      // shard write + the bucket-pruned serve.
+      "q209_bloom_index", "q210_span_excision", "q211_bm25_indexed")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -167,8 +171,11 @@ object ScaleProbe {
       "q197_cms_counts" -> "events",
       "q198_pit_join" -> "events",
       "q203_cms_index" -> "events",
-      "q206_quantile_sketch" -> "events").withDefault(_ => "documents")
-    val needed = probes.map(tableFor).toSet
+      "q206_quantile_sketch" -> "events",
+      "q209_bloom_index" -> "orders").withDefault(_ => "documents")
+    val needed = probes.map(tableFor).toSet ++
+      // q209 reads customer alongside orders — replicate both.
+      (if (probes.contains("q209_bloom_index")) Set("customer") else Set())
 
     // The replica generators for documents/lineitem are the
     // crossJoin-with-range form: the replica index is a COLUMN, so the
@@ -205,6 +212,17 @@ object ScaleProbe {
           col("o_custkey") + col("_rep") * 100000000L)
         .drop("_rep")
         .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    }
+
+    // Customer replica: the same custkey shift as the orders replica,
+    // so per-replica order↔customer membership structure is exactly the
+    // original's (the orderless third stays orderless in every copy).
+    if (fresh("customer")) {
+      spark.read.parquet(s"$sf01/customer.parquet").crossJoin(reps)
+        .withColumn("c_custkey",
+          col("c_custkey") + col("_rep") * 100000000L)
+        .drop("_rep")
+        .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
     }
 
     if (fresh("lineitem")) {
