@@ -751,17 +751,35 @@ object Dedup {
     * all ordinary keyed shuffles, fixed-width hashes, never span text.
     */
   def repeatedIntervals(docs: DataFrame, idCol: String, textCol: String,
-                        spanTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+                        spanTokens: Int = 8, minDocs: Int = 2): DataFrame =
+    islandsOf(dupInstances(docs, idCol, textCol, spanTokens, minDocs)
+        .select(col("_id"), col("_pos")), spanTokens)
+      .withColumnRenamed("_id", idCol)
+
+  /** Every duplicated-window instance (_id, _pos, _owner): the shared
+    * [[repeatedSpanStats]] skeleton with each window's canonical OWNER
+    * — the smallest doc id among the docs sharing it — carried along
+    * (one extra min in the dup aggregation, the join stays keyed on the
+    * window hash). */
+  private def dupInstances(docs: DataFrame, idCol: String, textCol: String,
+                           spanTokens: Int, minDocs: Int): DataFrame = {
     val hashed = TextAnalysis
       .tokenChunkRows(docs, idCol, textCol, spanTokens, stride = 1)
       .filter(col("_n_toks") === spanTokens)
       .select(col("_id"), col("_pos"), unhex(md5(col("_chunk"))).as("_sh"))
       .cutLineageEagerSpill()
-    val dup = hashed.select(col("_id"), col("_sh")).distinct()
-      .groupBy(col("_sh")).agg(count(lit(1)).as("_docs"))
+    val own = hashed.select(col("_id"), col("_sh")).distinct()
+      .groupBy(col("_sh"))
+      .agg(count(lit(1)).as("_docs"), min(col("_id")).as("_owner"))
       .filter(col("_docs") >= minDocs)
-    val inst = hashed.join(dup.select(col("_sh")), Seq("_sh"), "left_semi")
-      .select(col("_id"), col("_pos"))
+    hashed.join(own.select(col("_sh"), col("_owner")), Seq("_sh"))
+      .select(col("_id"), col("_pos"), col("_owner"))
+  }
+
+  /** Gaps-and-islands merge of (_id, _pos) window starts into maximal
+    * intervals — one per-doc position window (lag + running sum on the
+    * same sort) and a (doc, island) aggregation. */
+  private def islandsOf(inst: DataFrame, spanTokens: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("_id")).orderBy(col("_pos"))
     inst
       .withColumn("_prev", lag(col("_pos"), 1).over(byDoc))
@@ -773,8 +791,6 @@ object Dedup {
       .agg(min(col("_pos")).cast("long").as("start_pos"),
         (max(col("_pos")) + spanTokens).cast("long").as("end_pos"),
         count(lit(1)).as("n_windows"))
-      .select(col("_id").as(idCol), col("island"), col("start_pos"),
-        col("end_pos"), col("n_windows"))
   }
 
   /** Duplicate-span EXCISION — the cutting half of exact substring
@@ -802,11 +818,38 @@ object Dedup {
     */
   def exciseRepeatedIntervals(docs: DataFrame, idCol: String,
                               textCol: String, spanTokens: Int = 8,
-                              minDocs: Int = 2): DataFrame = {
-    val covered = repeatedIntervals(docs, idCol, textCol, spanTokens,
-        minDocs)
-      .select(col(idCol).as("_id"),
-        explode(sequence(col("start_pos"), col("end_pos") - 1)).as("_pos"))
+                              minDocs: Int = 2): DataFrame =
+    cutCovered(docs, idCol, textCol,
+      islandsOf(dupInstances(docs, idCol, textCol, spanTokens, minDocs)
+        .select(col("_id"), col("_pos")), spanTokens))
+
+  /** [[exciseRepeatedIntervals]] under the KEEP-CANONICAL policy: each
+    * duplicated window is exempt from the cut in its OWNER document
+    * (the smallest doc id sharing it), so exactly one copy of every
+    * duplicated passage survives corpus-wide — the "remove all but
+    * one" reading of exact substring dedup, where the cut-all form
+    * empties BOTH sides of a copy pair. Ownership is per WINDOW, so a
+    * doc canonical for its body but not its boilerplate keeps the body
+    * and loses the banner — document-level keep-lists cannot express
+    * that split. Same scale shape as the cut-all form plus one min in
+    * the dup aggregation and an owner≠doc filter BEFORE islanding. */
+  def exciseKeepCanonical(docs: DataFrame, idCol: String,
+                          textCol: String, spanTokens: Int = 8,
+                          minDocs: Int = 2): DataFrame =
+    cutCovered(docs, idCol, textCol,
+      islandsOf(dupInstances(docs, idCol, textCol, spanTokens, minDocs)
+        .filter(col("_id") =!= col("_owner"))
+        .select(col("_id"), col("_pos")), spanTokens))
+
+  /** The cut + rebuild shared by the excision forms: covered positions
+    * explode from the INTERVAL rows (interval-bounded, never
+    * corpus-width), the token stream anti-joins them on (doc, pos), and
+    * survivors re-join in position order — one doc-keyed aggregation,
+    * per-row work bounded by doc length. */
+  private def cutCovered(docs: DataFrame, idCol: String, textCol: String,
+                         intervals: DataFrame): DataFrame = {
+    val covered = intervals.select(col("_id"),
+      explode(sequence(col("start_pos"), col("end_pos") - 1)).as("_pos"))
     val toks = docs.select(col(idCol).as("_id"),
       posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("_pos", "_tok")))
     val kept = toks.join(covered, Seq("_id", "_pos"), "left_anti")

@@ -642,6 +642,24 @@ object LlmQueries {
       Dedup.exciseRepeatedIntervals(corpus, "doc_id", "text")
     },
 
+    // The keep-CANONICAL cut over the same corpus: each duplicated
+    // window survives only in its owner (min doc id) — copies (+1M)
+    // empty while their originals keep the body, and the shared banner
+    // survives in exactly one document corpus-wide. Per-window
+    // ownership, not per-doc: a %20 original keeps its body (it owns
+    // those windows against its own copy) yet still loses the banner
+    // (owned by the globally smallest %5 doc).
+    "q212_excise_canonical" -> { (s, dir) =>
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("cookie policy accept terms privacy notice all rights "),
+            col("text")))
+          .otherwise(col("text")).as("text"))
+      val corpus = base.unionByName(base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.exciseKeepCanonical(corpus, "doc_id", "text")
+    },
+
     // OOV scoring against the corpus's own top-100 unigram vocabulary —
     // the garbled-text signal when no external vocab is in the loop.
     // Vocabulary is a TakeOrdered (100 rows) broadcast into an
@@ -3278,6 +3296,64 @@ object LlmQueries {
         |  SELECT s FROM (SELECT DISTINCT doc_id, s FROM sp)
         |  GROUP BY s HAVING count(*) >= 2),
         |inst AS (SELECT doc_id, pos FROM sp WHERE s IN (SELECT s FROM dup)),
+        |lg AS (
+        |  SELECT doc_id, pos,
+        |    LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM inst),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM lg),
+        |iv AS (
+        |  SELECT doc_id, min(pos) AS s0, max(pos) + 8 AS e0
+        |  FROM isl GROUP BY doc_id, island),
+        |cov AS (
+        |  SELECT doc_id, g.p AS pos
+        |  FROM iv, LATERAL UNNEST(generate_series(s0, e0 - 1)) AS g(p)),
+        |toks AS (
+        |  SELECT doc_id, g.i - 1 AS pos, tk[g.i] AS tok
+        |  FROM tk0, LATERAL UNNEST(generate_series(1, len(tk))) AS g(i)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok
+        |  FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+        |  WHERE c.pos IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |    CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM kept GROUP BY 1),
+        |tot AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tk0)
+        |SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+        |  t.n_tokens, t.n_tokens - COALESCE(a.n_kept, 0) AS n_removed
+        |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // q212: q210's chain with the owner exemption — a duplicated
+    // window's instances cut everywhere EXCEPT the min-doc-id owner.
+    "q212_excise_canonical" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN 'cookie policy accept terms privacy notice all rights ' || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM docs2
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM docs2 WHERE doc_id % 20 = 0),
+        |tk0 AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM corpus),
+        |sp AS (
+        |  SELECT doc_id, g.i - 1 AS pos,
+        |    array_to_string(tk[g.i:g.i+7], ' ') AS s
+        |  FROM tk0, LATERAL UNNEST(generate_series(1, len(tk) - 7)) AS g(i)),
+        |own AS (
+        |  SELECT s, min(doc_id) AS owner
+        |  FROM (SELECT DISTINCT doc_id, s FROM sp)
+        |  GROUP BY s HAVING count(*) >= 2),
+        |inst AS (
+        |  SELECT sp.doc_id, sp.pos FROM sp JOIN own ON sp.s = own.s
+        |  WHERE sp.doc_id <> own.owner),
         |lg AS (
         |  SELECT doc_id, pos,
         |    LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev

@@ -1477,6 +1477,19 @@ object RelationalQueries {
         quantileSketch(ev.filter($"event_id" % 2 =!= 0), "event_id",
           "_cents"), idx)
       quantileSketchReport(s.read.parquet(idx))
+    },
+
+    // Quantile-normalized value feature: every event gets its
+    // percentile rank from the q206-family sketch WITHOUT any global
+    // sort or percent_rank window — one broadcast summary row + a
+    // map-only array lookup per event. Oracle replays sketch AND
+    // per-row cumulative rank digit for digit.
+    "q213_quantile_normalize" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_id", (dec($"value") * 100).cast("long").as("cents"))
+      quantileNormalize(ev, "cents", quantileSketch(ev, "event_id", "cents"))
+        .select($"event_id", $"cents", $"rank_ppm")
     }
   )
 
@@ -1647,6 +1660,30 @@ object RelationalQueries {
         col("_cum") === col("_W"))
       .withColumn("_pc", lag(col("_cum"), 1).over(Window.orderBy(col("v"))))
       .select(col("v"), (col("_cum") - coalesce(col("_pc"), lit(0L))).as("w"))
+  }
+
+  /** Quantile NORMALIZATION off a [[quantileSketch]] summary — the
+    * map-only percentile-rank feature transform: every row gets
+    * `rank_ppm = ⌊Σ_{v_i ≤ v} w_i · 10⁶ / N⌋`, its approximate
+    * percentile in the sketch's distribution. The summary collapses to
+    * ONE broadcast row (sorted (v, w) struct array + total), and the
+    * per-row lookup is an `aggregate(filter(...))` HOF over the ≤
+    * buckets·capacity-entry array — O(summary) per row, NO global sort
+    * and NO percent_rank window anywhere, which is the 100 TB point:
+    * the classical percentile feature needs a total order of the
+    * corpus; this needs one broadcast and a map. Rank error inherits
+    * the sketch bound. Deterministic and integer-exact, so an external
+    * engine replays every rank. */
+  def quantileNormalize(df: DataFrame, valueCol: String,
+                        sketch: DataFrame): DataFrame = {
+    val summary = sketch.groupBy(col("v")).agg(sum(col("w")).as("w"))
+      .agg(sort_array(collect_list(struct(col("v"), col("w")))).as("_sk"),
+        sum(col("w")).as("_n"))
+    df.crossJoin(broadcast(summary))
+      .withColumn("rank_ppm", expr(
+        s"""aggregate(filter(_sk, p -> p.v <= $valueCol),
+           |  0L, (acc, p) -> acc + p.w) * 1000000L div _n""".stripMargin))
+      .drop("_sk", "_n")
   }
 
   /** CUSUM change-point alarm (Page 1954) over an ordered integer
@@ -3840,6 +3877,34 @@ object RelationalQueries {
         |  min(CASE WHEN cum * 100 >= nt * 90 THEN v END) AS p90_v,
         |  min(CASE WHEN cum * 100 >= nt * 99 THEN v END) AS p99_v
         |FROM cum, n GROUP BY nt""".stripMargin,
+
+    // q213: the q206 sketch replay (single build, no halves) + a
+    // correlated cumulative-weight rank per event over the ≤1k-row
+    // summary.
+    "q213_quantile_normalize" ->
+      """WITH src AS (
+        |  SELECT event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    list_reduce(list_transform(
+        |      string_split(substr(md5('qk:' || CAST(event_id AS VARCHAR)), 1, 8), ''),
+        |      ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) % 16 AS bk
+        |  FROM events),
+        |rk AS (
+        |  SELECT bk, v, event_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY bk
+        |      ORDER BY v, event_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY bk) AS BIGINT) AS nb
+        |  FROM src),
+        |sk AS (
+        |  SELECT v, LEAST((nb + 63) // 64, nb - rn + 1) AS w
+        |  FROM rk WHERE (rn - 1) % ((nb + 63) // 64) = 0),
+        |byv AS (SELECT v, CAST(SUM(w) AS BIGINT) AS w FROM sk GROUP BY 1),
+        |n AS (SELECT CAST(SUM(w) AS BIGINT) AS nt FROM byv)
+        |SELECT s.event_id, s.v AS cents,
+        |  CAST((SELECT COALESCE(CAST(SUM(b.w) AS BIGINT), 0) FROM byv b
+        |        WHERE b.v <= s.v) * 1000000 // n.nt AS BIGINT) AS rank_ppm
+        |FROM src s, n""".stripMargin,
 
     // q194: same daily aggregate + generate_series grid; the forward
     // fill replayed as an ASOF self-join instead of a window — an

@@ -782,6 +782,25 @@ class LlmSpec extends SparkSpec {
       (4L, "q r s", 3L, 0L)), s"got $got")
   }
 
+  test("keep-canonical excision: each duplicated window survives only " +
+    "in its min-id owner; ownership is per window, not per doc") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h"),      // owner of every shared window
+      (2L, "a b c d e f g h"),      // full copy: empties
+      (3L, "z1 z2 a b c d z3"))     // shares ONE window owned by doc 1
+      .toDF("doc_id", "text")
+    val got = Dedup.exciseKeepCanonical(df, "doc_id", "text",
+        spanTokens = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"))).toSet
+    assert(got == Set(
+      (1L, "a b c d e f g h", 8L, 0L), // the cut-all form empties this too
+      (2L, "", 8L, 8L),
+      (3L, "z1 z2 z3", 7L, 4L)), s"got $got")
+  }
+
   test("line dedup: planted boilerplate unit found, clean docs at zero") {
     import spark.implicits._
     val banner = "b1 b2 b3 b4" // one full 4-token unit when prepended

@@ -60,6 +60,9 @@ class PlanAuditSpec extends SparkSpec {
       // q173/q175/q176 cross-join SINGLE-ROW aggregates (customer
       // count / union-sketch stats / bin total) — the q105 scalar shape.
       "q173_rfm_scores", "q175_kmv_setops", "q176_histogram_quantiles",
+      // q213 cross-joins the SINGLE-ROW collapsed sketch summary (the
+      // map-only rank lookup's broadcast) — the q105 scalar shape.
+      "q213_quantile_normalize",
       // q206 cross-joins the SINGLE-ROW summary total — the same
       // scalar-broadcast shape over the sketch's reporting-sized rows.
       "q206_quantile_sketch",

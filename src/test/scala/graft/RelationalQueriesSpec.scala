@@ -1236,6 +1236,26 @@ class RelationalQueriesSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("quantile normalize: exact ranks when the sketch is lossless, " +
+    "monotone, top value pins to 1e6") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 10 rows < capacity, so every bucket keeps step = 1 and the sketch
+    // IS the data: rank_ppm must equal floor(#{vi <= v} * 1e6 / n).
+    val vals = Seq(5L, 1L, 9L, 3L, 3L, 7L, 2L, 8L, 4L, 6L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v0")
+    val sk = RelationalQueries.quantileSketch(df, "id", "v0")
+    val got = RelationalQueries.quantileNormalize(df, "v0", sk)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank_ppm"))
+      .toMap
+    val exp = vals.zipWithIndex.map { case (v, i) =>
+      i.toLong -> vals.count(_ <= v).toLong * 1000000L / vals.size
+    }.toMap
+    assert(got == exp, s"got $got vs $exp")
+    assert(got(2L) == 1000000L, "max value must rank at exactly 1e6")
+  }
+
   test("quantile sketch: rank-error bound holds, merge law holds, " +
     "partitioning-independent, compaction preserves total weight") {
     import spark.implicits._
