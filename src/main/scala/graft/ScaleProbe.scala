@@ -116,7 +116,10 @@ object ScaleProbe {
       // q209 is two distinct-aggregations + a broadcast probe; q210 is
       // q207 + a (doc,pos) anti-join + per-doc rebuild; q211 times the
       // shard write + the bucket-pruned serve.
-      "q209_bloom_index", "q210_span_excision", "q211_bm25_indexed")
+      "q209_bloom_index", "q210_span_excision", "q211_bm25_indexed",
+      // q212 is q210 plus the owner filter; q213 is one corpus window
+      // shuffle (the sketch) + a map with a broadcast array.
+      "q212_excise_canonical", "q213_quantile_normalize")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -172,7 +175,8 @@ object ScaleProbe {
       "q198_pit_join" -> "events",
       "q203_cms_index" -> "events",
       "q206_quantile_sketch" -> "events",
-      "q209_bloom_index" -> "orders").withDefault(_ => "documents")
+      "q209_bloom_index" -> "orders",
+      "q213_quantile_normalize" -> "events").withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet ++
       // q209 reads customer alongside orders — replicate both.
       (if (probes.contains("q209_bloom_index")) Set("customer") else Set())

@@ -1666,24 +1666,34 @@ object RelationalQueries {
     * map-only percentile-rank feature transform: every row gets
     * `rank_ppm = ⌊Σ_{v_i ≤ v} w_i · 10⁶ / N⌋`, its approximate
     * percentile in the sketch's distribution. The summary collapses to
-    * ONE broadcast row (sorted (v, w) struct array + total), and the
-    * per-row lookup is an `aggregate(filter(...))` HOF over the ≤
-    * buckets·capacity-entry array — O(summary) per row, NO global sort
-    * and NO percent_rank window anywhere, which is the 100 TB point:
-    * the classical percentile feature needs a total order of the
-    * corpus; this needs one broadcast and a map. Rank error inherits
-    * the sketch bound. Deterministic and integer-exact, so an external
-    * engine replays every rank. */
+    * ONE broadcast row — the sorted (v, cum) pairs packed as an
+    * `asof_probe` timeline (the X170 device) — and the per-row lookup
+    * is the codegen'd BINARY SEARCH, O(log summary) per row: the first
+    * cut of this operator ran an `aggregate(filter(...))` HOF per row
+    * and probed LINEAR (9.8 s → 100 s at 10×, the interpreted-HOF trap
+    * the cube note documents); the asof form probes 1.6 s → 3.0 s.
+    * NO global sort and NO percent_rank window anywhere — the
+    * classical percentile feature needs a total order of the corpus,
+    * this needs one broadcast and a map. Rank error inherits the
+    * sketch bound; integer-exact, so an external engine replays every
+    * rank. */
   def quantileNormalize(df: DataFrame, valueCol: String,
                         sketch: DataFrame): DataFrame = {
-    val summary = sketch.groupBy(col("v")).agg(sum(col("w")).as("w"))
-      .agg(sort_array(collect_list(struct(col("v"), col("w")))).as("_sk"),
+    graft.functions.NativeExpressions.register(df.sparkSession)
+    val byV = sketch.groupBy(col("v")).agg(sum(col("w")).as("w"))
+    // ≤ buckets·capacity rows — the single-partition window is
+    // summary-bounded, the quantileSketchReport shape.
+    val wc = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val summary = byV.withColumn("_cum", sum(col("w")).over(wc))
+      .agg(sort_array(collect_list(struct(col("v").as("_t"),
+          col("_cum").as("_v")))).as("_tl"),
         sum(col("w")).as("_n"))
     df.crossJoin(broadcast(summary))
       .withColumn("rank_ppm", expr(
-        s"""aggregate(filter(_sk, p -> p.v <= $valueCol),
-           |  0L, (acc, p) -> acc + p.w) * 1000000L div _n""".stripMargin))
-      .drop("_sk", "_n")
+        s"coalesce(asof_probe(_tl, cast($valueCol as bigint)), 0L)" +
+          " * 1000000L div _n"))
+      .drop("_tl", "_n")
   }
 
   /** CUSUM change-point alarm (Page 1954) over an ordered integer
