@@ -1416,6 +1416,46 @@ object Corpus {
         .otherwise(0L))).cast("long").as("bloom_positive"))
   }
 
+  /** Bloom-GATED decontamination — the composed flagship of the X200
+    * membership filter: benchmark documents sign a Bloom filter with
+    * their `spanTokens`-gram window hashes; the corpus's distinct
+    * window hashes probe it MAP-ONLY (one broadcast), and only the
+    * bloom survivors reach the exact semi-join against the true
+    * benchmark window set. One-sidedness makes the pre-filter
+    * CORRECTNESS-NEUTRAL — the output is bit-identical to running the
+    * exact join on everything (the q215 oracle computes the exact form
+    * and the gate holds them equal; the sbt case forces false positives
+    * with a saturated 64-bit domain and equality still holds) — while
+    * at scale the bloom rejects the overwhelming share of windows
+    * before any shuffle of the benchmark set happens.
+    *
+    * Output: (idCol, n_windows, n_contaminated) per corpus document.
+    */
+  def bloomGatedContamination(corpus: DataFrame, bench: DataFrame,
+                              idCol: String, textCol: String,
+                              spanTokens: Int = 8, k: Int = 4,
+                              mBits: Int = 1 << 20): DataFrame = {
+    def windows(d: DataFrame) = TextAnalysis
+      .tokenChunkRows(d, idCol, textCol, spanTokens, stride = 1)
+      .filter(col("_n_toks") === spanTokens)
+      .select(col("_id"), md5(col("_chunk")).as("_wh"))
+    val benchW = windows(bench).select(col("_wh")).distinct()
+    val corpusW = windows(corpus)
+    val candidates = bloomProbe(
+        bloomPositions(benchW, "_wh", k, mBits),
+        corpusW.select(col("_wh")).distinct(), "_wh", k, mBits)
+      .filter(col("bloom_positive") === 1L)
+    // The exact verify — removes bloom false positives; its input is
+    // survivors only, which is the whole point of the gate.
+    val confirmed = candidates.join(benchW, Seq("_wh"), "left_semi")
+    val perDoc = corpusW.join(confirmed, Seq("_wh"), "left_semi")
+      .groupBy(col("_id")).agg(count(lit(1)).as("n_contaminated"))
+    corpusW.groupBy(col("_id")).agg(count(lit(1)).as("n_windows"))
+      .join(perDoc, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("n_windows"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+  }
+
   /** Distributed BPE tokenizer TRAINING (Sennrich 2016 — the q118
     * single-round pair count, iterated to an actual merge list): per
     * round, count adjacent symbol pairs weighted by word frequency, take

@@ -1454,6 +1454,19 @@ object LlmQueries {
       probed.join(members, Seq("c_custkey"), "left")
         .select($"c_custkey", $"bloom_positive",
           coalesce($"_m", lit(0L)).as("true_member"))
+    },
+
+    // Bloom-gated decontamination flagship: the %17 docs are "the
+    // benchmark", everything else is the corpus, and the per-doc
+    // contaminated-window counts flow through the bloom pre-filter +
+    // exact verify. The ORACLE computes the exact no-bloom form — the
+    // gate IS the proof that the pre-filter changes nothing but cost.
+    "q215_bloom_decontam" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      Corpus.bloomGatedContamination(
+        docs.filter($"doc_id" % 17 =!= 0),
+        docs.filter($"doc_id" % 17 === 0), "doc_id", "text")
     }
   )
 
@@ -3965,6 +3978,26 @@ object LlmQueries {
     "q203_cms_index" -> cmsOracleSql,
 
     "q209_bloom_index" -> bloomOracleSql,
+
+    // q215: the EXACT no-bloom contamination — the Spark side's bloom
+    // pre-filter must be invisible in the result.
+    "q215_bloom_decontam" ->
+      """WITH sp AS (
+        |  SELECT doc_id, array_to_string(tk[g.i:g.i+7], ' ') AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |        FROM documents),
+        |    LATERAL UNNEST(generate_series(1, len(tk) - 7)) AS g(i)),
+        |bench AS (SELECT DISTINCT s FROM sp WHERE doc_id % 17 = 0),
+        |corp AS (SELECT doc_id, s FROM sp WHERE doc_id % 17 <> 0),
+        |tot AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+        |  FROM corp GROUP BY 1),
+        |cont AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nc
+        |  FROM corp WHERE s IN (SELECT s FROM bench) GROUP BY 1)
+        |SELECT t.doc_id, t.n_windows,
+        |  COALESCE(c.nc, 0) AS n_contaminated
+        |FROM tot t LEFT JOIN cont c USING (doc_id)""".stripMargin,
 
     // q196: brute-force pair enumeration — every doc pair's exact
     // distinct-word Jaccard, integer cross-multiplied threshold. The

@@ -1490,6 +1490,26 @@ object RelationalQueries {
         .select($"event_id", (dec($"value") * 100).cast("long").as("cents"))
       quantileNormalize(ev, "cents", quantileSketch(ev, "event_id", "cents"))
         .select($"event_id", $"cents", $"rank_ppm")
+    },
+
+    // Per-key percentiles from ONE grouped sketch pass — the "p99 per
+    // service" serving table: per-(key, bucket) rank compaction,
+    // persisted, merged per key across two halves, and reported with
+    // every stage keyed (no scalar broadcast, no per-key sort of the
+    // facts). Oracle replays the grouped build + merge digit for digit.
+    "q214_grouped_quantiles" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"event_id", $"event_type",
+        (dec($"value") * 100).cast("long").as("_cents"))
+      val idx = s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/q214_qsk"
+      writeQuantileIndex(
+        quantileSketchByKey(ev.filter($"event_id" % 2 === 0),
+          "event_type", "event_id", "_cents"), idx)
+      mergeQuantileIndexByKey(
+        quantileSketchByKey(ev.filter($"event_id" % 2 =!= 0),
+          "event_type", "event_id", "_cents"), "event_type", idx)
+      quantileReportByKey(s.read.parquet(idx), "event_type")
     }
   )
 
@@ -1621,6 +1641,63 @@ object RelationalQueries {
           .as("p90_v"),
         min(when(col("cum") * 100L >= col("_n") * 99L, col("v")))
           .as("p99_v"))
+  }
+
+  /** GROUPED [[quantileSketch]] — one (keyCol, v, w) summary per key
+    * from ONE pass: the md5 bucket window partitions by (key, bucket),
+    * so per-key rank compaction runs key-parallel and the stored
+    * summary is ≤ |keys|·buckets·capacity rows. The per-key rank-error
+    * bound, merge law (bag union PER KEY), and determinism are the
+    * global sketch's, key by key — this is the "p99 latency per
+    * service / tokens per language" serving table, with NO per-key
+    * sort of the fact stream anywhere. */
+  def quantileSketchByKey(df: DataFrame, keyCol: String, idCol: String,
+                          valueCol: String, buckets: Int = 16,
+                          capacity: Int = 64): DataFrame = {
+    val perBk = Window.partitionBy(col(keyCol), col("_bk"))
+    val w = perBk.orderBy(col(valueCol), col(idCol))
+    df.select(col(keyCol), col(idCol), col(valueCol))
+      .withColumn("_bk",
+        graft.llm.Corpus.hashU32(col(idCol), "qk:") % buckets)
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_nb", count(lit(1)).over(perBk))
+      .withColumn("_step", expr(s"(_nb + ${capacity - 1}) div $capacity"))
+      .filter(expr("(_rn - 1) % _step = 0"))
+      .select(col(keyCol), col(valueCol).as("v"),
+        least(col("_step"), col("_nb") - col("_rn") + 1L).as("w"))
+  }
+
+  /** Per-key p50/p90/p99 + totals from a grouped (key, v, w) sketch:
+    * the [[quantileSketchReport]] cumulative-crossing pick with every
+    * stage KEYED — the totals attach by an equi-join on the key, not a
+    * scalar broadcast, so the report is one keyed window + one keyed
+    * join over summary-sized rows. */
+  def quantileReportByKey(sketch: DataFrame, keyCol: String): DataFrame = {
+    val byV = sketch.groupBy(col(keyCol), col("v"))
+      .agg(sum(col("w")).as("w"))
+    val wc = Window.partitionBy(col(keyCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nTot = byV.groupBy(col(keyCol)).agg(sum(col("w")).as("_n"))
+    byV.withColumn("cum", sum(col("w")).over(wc))
+      .join(nTot, Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(first(col("_n")).as("n_total"),
+        min(when(col("cum") * 100L >= col("_n") * 50L, col("v")))
+          .as("p50_v"),
+        min(when(col("cum") * 100L >= col("_n") * 90L, col("v")))
+          .as("p90_v"),
+        min(when(col("cum") * 100L >= col("_n") * 99L, col("v")))
+          .as("p99_v"))
+  }
+
+  /** [[mergeQuantileIndex]] for grouped sketches: bag union PER KEY. */
+  def mergeQuantileIndexByKey(batchSketch: DataFrame, keyCol: String,
+                              dir: String): Unit = {
+    val stored = batchSketch.sparkSession.read.parquet(dir)
+    val merged = stored.unionByName(batchSketch)
+      .groupBy(col(keyCol), col("v")).agg(sum(col("w")).as("w"))
+    graft.Checkpoints.cutEager(merged)
+      .write.mode("overwrite").parquet(dir)
   }
 
   /** Persist a (v, w) quantile sketch — the sign-once index form for
@@ -3887,6 +3964,47 @@ object RelationalQueries {
         |  min(CASE WHEN cum * 100 >= nt * 90 THEN v END) AS p90_v,
         |  min(CASE WHEN cum * 100 >= nt * 99 THEN v END) AS p99_v
         |FROM cum, n GROUP BY nt""".stripMargin,
+
+    // q214: the q206 two-half sketch replay with event_type threaded
+    // through every partition and group — per-key compaction, per-key
+    // bag-union merge, per-key crossing pick.
+    "q214_grouped_quantiles" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    event_id % 2 AS half,
+        |    list_reduce(list_transform(
+        |      string_split(substr(md5('qk:' || CAST(event_id AS VARCHAR)), 1, 8), ''),
+        |      ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) % 16 AS bk
+        |  FROM events),
+        |rk AS (
+        |  SELECT event_type, half, bk, v, event_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type, half, bk
+        |      ORDER BY v, event_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type, half, bk)
+        |      AS BIGINT) AS nb
+        |  FROM src),
+        |sk AS (
+        |  SELECT event_type, v, LEAST((nb + 63) // 64, nb - rn + 1) AS w
+        |  FROM rk WHERE (rn - 1) % ((nb + 63) // 64) = 0),
+        |byv AS (
+        |  SELECT event_type, v, CAST(SUM(w) AS BIGINT) AS w
+        |  FROM sk GROUP BY 1, 2),
+        |n AS (
+        |  SELECT event_type, CAST(SUM(w) AS BIGINT) AS nt
+        |  FROM byv GROUP BY 1),
+        |cum AS (
+        |  SELECT event_type, v,
+        |    SUM(w) OVER (PARTITION BY event_type ORDER BY v
+        |                 ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM byv)
+        |SELECT c.event_type, n.nt AS n_total,
+        |  min(CASE WHEN c.cum * 100 >= n.nt * 50 THEN c.v END) AS p50_v,
+        |  min(CASE WHEN c.cum * 100 >= n.nt * 90 THEN c.v END) AS p90_v,
+        |  min(CASE WHEN c.cum * 100 >= n.nt * 99 THEN c.v END) AS p99_v
+        |FROM cum c JOIN n USING (event_type)
+        |GROUP BY 1, 2""".stripMargin,
 
     // q213: the q206 sketch replay (single build, no halves) + a
     // correlated cumulative-weight rank per event over the ≤1k-row

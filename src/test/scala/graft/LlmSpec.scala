@@ -1760,6 +1760,28 @@ class LlmSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("bloom-gated decontamination: bit-equal to the exact form even " +
+    "under a saturated filter full of false positives") {
+    import spark.implicits._
+    val bench = Seq((100L, "b1 b2 b3 b4 x9 x8")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "b1 b2 b3 b4 tail tokens here"),   // one contaminated window
+      (2L, "clean doc nothing shared at all"),
+      (3L, "x9 x8 not enough width"))          // sub-span overlap: clean
+      .toDF("doc_id", "text")
+    def run(mBits: Int) = Corpus.bloomGatedContamination(
+        corpus, bench, "doc_id", "text", spanTokens = 4, k = 2,
+        mBits = mBits)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_windows"), r.getAs[Long]("n_contaminated")))
+      .toSet
+    val exp = Set((1L, 4L, 1L), (2L, 3L, 0L), (3L, 2L, 0L))
+    assert(run(1 << 20) == exp, "wide-filter run diverged from exact")
+    // 16 bits, k=2: the bench windows saturate the domain, so most
+    // clean windows bloom-positive — the exact verify must erase them.
+    assert(run(16) == exp, "saturated-filter run diverged from exact")
+  }
+
   test("bloom index: no false negatives ever, forced false positive " +
     "under a tiny bit domain, write+merge equals one-shot") {
     import spark.implicits._

@@ -1236,6 +1236,48 @@ class RelationalQueriesSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("grouped quantile sketch: per-key totals exact, per-key rank " +
+    "errors bounded, write+merge equals the per-key bag union") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Two keys with different sizes and distributions — per-key
+    // compaction must not bleed mass across keys.
+    val rows = (1 to 3000).map(i => (i.toLong, "a", (i.toLong * i) % 7919)) ++
+      (1 to 500).map(i => ((i + 10000).toLong, "b", i.toLong * 3))
+    val df = rows.toDF("id", "k", "v0")
+    val halves = Seq(df.filter($"id" % 2 === 0), df.filter($"id" % 2 =!= 0))
+    val sks = halves.map(h =>
+      RelationalQueries.quantileSketchByKey(h, "k", "id", "v0"))
+    val dir = java.nio.file.Files.createTempDirectory("qskbykey").toString
+    try {
+      RelationalQueries.writeQuantileIndex(sks(0), dir)
+      RelationalQueries.mergeQuantileIndexByKey(sks(1), "k", dir)
+      def bag(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(bag(spark.read.parquet(dir).select($"k", $"v", $"w")) ==
+        bag(sks.reduce(_ unionByName _).groupBy($"k", $"v")
+          .agg(sum($"w").as("w")).select($"k", $"v", $"w")),
+        "merged index diverged from the per-key bag union")
+      val rep = RelationalQueries.quantileReportByKey(
+          spark.read.parquet(dir), "k")
+        .collect().map(r => r.getString(0) -> r).toMap
+      for ((k, n) <- Seq("a" -> 3000, "b" -> 500)) {
+        assert(rep(k).getAs[Long]("n_total") == n.toLong,
+          s"key $k weights must sum to its own N")
+        val vals = rows.filter(_._2 == k).map(_._3).sorted
+        val err = 2 * (16 + (n / 2) / 64)
+        for ((p, f) <- Seq(50, 90).zip(Seq("p50_v", "p90_v"))) {
+          val v = rep(k).getAs[Long](f)
+          val target = (p * n + 99) / 100
+          assert(vals.count(_ < v) <= target + err &&
+            vals.count(_ <= v) >= target - err,
+            s"$k.$f=$v out of rank band")
+        }
+      }
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("quantile normalize: exact ranks when the sketch is lossless, " +
     "monotone, top value pins to 1e6") {
     import spark.implicits._
