@@ -119,7 +119,11 @@ object ScaleProbe {
       "q209_bloom_index", "q210_span_excision", "q211_bm25_indexed",
       // q212 is q210 plus the owner filter; q213 is one corpus window
       // shuffle (the sketch) + a map with a broadcast array.
-      "q212_excise_canonical", "q213_quantile_normalize")
+      "q212_excise_canonical", "q213_quantile_normalize",
+      // q214 is one keyed window shuffle (the grouped sketch) + a keyed
+      // report; q215 is the window-hash skeleton + a broadcast bloom
+      // probe + a survivors-only semi-join.
+      "q214_grouped_quantiles", "q215_bloom_decontam")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -176,7 +180,8 @@ object ScaleProbe {
       "q203_cms_index" -> "events",
       "q206_quantile_sketch" -> "events",
       "q209_bloom_index" -> "orders",
-      "q213_quantile_normalize" -> "events").withDefault(_ => "documents")
+      "q213_quantile_normalize" -> "events",
+      "q214_grouped_quantiles" -> "events").withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet ++
       // q209 reads customer alongside orders — replicate both.
       (if (probes.contains("q209_bloom_index")) Set("customer") else Set())
