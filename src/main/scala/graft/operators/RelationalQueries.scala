@@ -1510,6 +1510,17 @@ object RelationalQueries {
         quantileSketchByKey(ev.filter($"event_id" % 2 =!= 0),
           "event_type", "event_id", "_cents"), "event_type", idx)
       quantileReportByKey(s.read.parquet(idx), "event_type")
+    },
+
+    // Robust per-key anomaly flags: sketch-served median + MAD per
+    // event_type, every event scored with the integer robust z — the
+    // spike-immune twin of q169, with zero per-key sorts. The oracle
+    // replays both grouped sketches and every score digit for digit.
+    "q216_robust_anomalies" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"event_id", $"event_type",
+        (dec($"value") * 100).cast("long").as("cents"))
+      robustAnomalies(ev, "event_type", "event_id", "cents")
     }
   )
 
@@ -1688,6 +1699,38 @@ object RelationalQueries {
           .as("p90_v"),
         min(when(col("cum") * 100L >= col("_n") * 99L, col("v")))
           .as("p99_v"))
+  }
+
+  /** Robust per-key anomaly scores — median/MAD instead of q169's
+    * mean/variance, so a day of spikes cannot drag its own baseline:
+    * per-key median and MAD (median absolute deviation) are BOTH served
+    * from [[quantileSketchByKey]] summaries (two grouped sketch passes,
+    * zero per-key sorts of the fact stream — the statistic the
+    * classical form computes with two total orders per key), then
+    * every row scores `robust_ppm = |x − med| · 674500 div max(MAD, 1)`
+    * — the integer form of the 0.6745·(x−med)/MAD robust z, flagged
+    * above `thresholdPpm` (default 3.5 in ppm). Integer-exact and
+    * deterministic end to end, so the oracle replays both sketches and
+    * every score. Approximation inherits the per-key sketch rank bound
+    * on med/MAD — the SCORES are exact given those two statistics. */
+  def robustAnomalies(df: DataFrame, keyCol: String, idCol: String,
+                      valueCol: String,
+                      thresholdPpm: Long = 3500000L): DataFrame = {
+    val med = quantileReportByKey(
+        quantileSketchByKey(df, keyCol, idCol, valueCol), keyCol)
+      .select(col(keyCol), col("p50_v").as("med_v"))
+    val dev = df.join(broadcast(med), Seq(keyCol))
+      .withColumn("_dev", abs(col(valueCol) - col("med_v")))
+    val mad = quantileReportByKey(
+        quantileSketchByKey(dev, keyCol, idCol, "_dev"), keyCol)
+      .select(col(keyCol), col("p50_v").as("mad_v"))
+    dev.join(broadcast(mad), Seq(keyCol))
+      .withColumn("robust_ppm",
+        expr("(_dev * 674500L) div greatest(mad_v, 1L)"))
+      .withColumn("is_anomaly",
+        (col("robust_ppm") > thresholdPpm).cast("long"))
+      .select(col(idCol), col(keyCol), col(valueCol), col("med_v"),
+        col("mad_v"), col("robust_ppm"), col("is_anomaly"))
   }
 
   /** [[mergeQuantileIndex]] for grouped sketches: bag union PER KEY. */
@@ -4005,6 +4048,75 @@ object RelationalQueries {
         |  min(CASE WHEN c.cum * 100 >= n.nt * 99 THEN c.v END) AS p99_v
         |FROM cum c JOIN n USING (event_type)
         |GROUP BY 1, 2""".stripMargin,
+
+    // q216: the grouped sketch replayed TWICE (values, then absolute
+    // deviations from the served median) + the integer robust z per
+    // event.
+    "q216_robust_anomalies" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    list_reduce(list_transform(
+        |      string_split(substr(md5('qk:' || CAST(event_id AS VARCHAR)), 1, 8), ''),
+        |      ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) % 16 AS bk
+        |  FROM events),
+        |rk AS (
+        |  SELECT event_type, bk, v, event_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type, bk
+        |      ORDER BY v, event_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type, bk) AS BIGINT) AS nb
+        |  FROM src),
+        |sk AS (
+        |  SELECT event_type, v, LEAST((nb + 63) // 64, nb - rn + 1) AS w
+        |  FROM rk WHERE (rn - 1) % ((nb + 63) // 64) = 0),
+        |byv AS (
+        |  SELECT event_type, v, CAST(SUM(w) AS BIGINT) AS w
+        |  FROM sk GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(SUM(w) AS BIGINT) AS nt
+        |  FROM byv GROUP BY 1),
+        |cum AS (
+        |  SELECT event_type, v,
+        |    SUM(w) OVER (PARTITION BY event_type ORDER BY v
+        |                 ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM byv),
+        |med AS (
+        |  SELECT c.event_type,
+        |    min(CASE WHEN c.cum * 100 >= n.nt * 50 THEN c.v END) AS med_v
+        |  FROM cum c JOIN n USING (event_type) GROUP BY 1),
+        |dev AS (
+        |  SELECT s.event_id, s.event_type, s.v, m.med_v,
+        |    abs(s.v - m.med_v) AS d, s.bk
+        |  FROM src s JOIN med m USING (event_type)),
+        |rk2 AS (
+        |  SELECT event_type, bk, d, event_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type, bk
+        |      ORDER BY d, event_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type, bk) AS BIGINT) AS nb
+        |  FROM dev),
+        |sk2 AS (
+        |  SELECT event_type, d, LEAST((nb + 63) // 64, nb - rn + 1) AS w
+        |  FROM rk2 WHERE (rn - 1) % ((nb + 63) // 64) = 0),
+        |byv2 AS (
+        |  SELECT event_type, d, CAST(SUM(w) AS BIGINT) AS w
+        |  FROM sk2 GROUP BY 1, 2),
+        |n2 AS (SELECT event_type, CAST(SUM(w) AS BIGINT) AS nt
+        |  FROM byv2 GROUP BY 1),
+        |cum2 AS (
+        |  SELECT event_type, d,
+        |    SUM(w) OVER (PARTITION BY event_type ORDER BY d
+        |                 ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM byv2),
+        |mad AS (
+        |  SELECT c.event_type,
+        |    min(CASE WHEN c.cum * 100 >= n2.nt * 50 THEN c.d END) AS mad_v
+        |  FROM cum2 c JOIN n2 USING (event_type) GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.v AS cents, e.med_v, a.mad_v,
+        |  CAST((e.d * 674500) // greatest(a.mad_v, 1) AS BIGINT)
+        |    AS robust_ppm,
+        |  CAST(CASE WHEN (e.d * 674500) // greatest(a.mad_v, 1) > 3500000
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM dev e JOIN mad a USING (event_type)""".stripMargin,
 
     // q213: the q206 sketch replay (single build, no halves) + a
     // correlated cumulative-weight rank per event over the ≤1k-row

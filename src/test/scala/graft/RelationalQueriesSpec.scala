@@ -1236,6 +1236,27 @@ class RelationalQueriesSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("robust anomalies: spike flagged against a spike-immune median " +
+    "baseline, zero-MAD key guarded, spread key stays quiet") {
+    import spark.implicits._
+    // Small n per key => the sketch is lossless, med/MAD exact.
+    val rows = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L),
+        (4L, "a", 10L), (5L, "a", 1000L)) ++
+      (1 to 9).map(i => ((i + 10).toLong, "b", i.toLong))
+    val got = RelationalQueries.robustAnomalies(
+        rows.toDF("id", "k", "v0"), "k", "id", "v0")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("med_v"), r.getAs[Long]("mad_v"),
+          r.getAs[Long]("is_anomaly"))).toMap
+    // Key a: median 10 (the mean would be 208 — dragged), MAD 0 ->
+    // the greatest(1) guard; only the spike flags.
+    assert(got(5L) == ((10L, 0L, 1L)), s"spike: ${got(5L)}")
+    assert((1L to 4L).forall(got(_) == ((10L, 0L, 0L))), "normals flagged")
+    // Key b: med 5, MAD 2, max deviation 4 -> robust z 1.349, quiet.
+    assert((11L to 19L).forall(i => got(i)._1 == 5L && got(i)._2 == 2L &&
+      got(i)._3 == 0L), s"spread key misfired: $got")
+  }
+
   test("grouped quantile sketch: per-key totals exact, per-key rank " +
     "errors bounded, write+merge equals the per-key bag union") {
     import spark.implicits._
