@@ -123,7 +123,9 @@ object ScaleProbe {
       // q214 is one keyed window shuffle (the grouped sketch) + a keyed
       // report; q215 is the window-hash skeleton + a broadcast bloom
       // probe + a survivors-only semi-join.
-      "q214_grouped_quantiles", "q215_bloom_decontam")
+      "q214_grouped_quantiles", "q215_bloom_decontam",
+      // q216 is two q214-class sketch passes + a map-only score.
+      "q216_robust_anomalies")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -181,7 +183,8 @@ object ScaleProbe {
       "q206_quantile_sketch" -> "events",
       "q209_bloom_index" -> "orders",
       "q213_quantile_normalize" -> "events",
-      "q214_grouped_quantiles" -> "events").withDefault(_ => "documents")
+      "q214_grouped_quantiles" -> "events",
+      "q216_robust_anomalies" -> "events").withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet ++
       // q209 reads customer alongside orders — replicate both.
       (if (probes.contains("q209_bloom_index")) Set("customer") else Set())
