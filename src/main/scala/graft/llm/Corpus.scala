@@ -1435,14 +1435,25 @@ object Corpus {
                               idCol: String, textCol: String,
                               spanTokens: Int = 8, k: Int = 4,
                               mBits: Int = 1 << 20): DataFrame = {
-    def windows(d: DataFrame) = TextAnalysis
-      .tokenChunkRows(d, idCol, textCol, spanTokens, stride = 1)
-      .filter(col("_n_toks") === spanTokens)
-      .select(col("_id"), md5(col("_chunk")).as("_wh"))
-    val benchW = windows(bench).select(col("_wh")).distinct()
-    val corpusW = windows(corpus)
-    val candidates = bloomProbe(
-        bloomPositions(benchW, "_wh", k, mBits),
+    val benchW = windowHashes(bench, idCol, textCol, spanTokens)
+      .select(col("_wh")).distinct()
+    decontamCore(windowHashes(corpus, idCol, textCol, spanTokens),
+      benchW, bloomPositions(benchW, "_wh", k, mBits), idCol, k, mBits)
+  }
+
+  private def windowHashes(d: DataFrame, idCol: String, textCol: String,
+                           spanTokens: Int): DataFrame = TextAnalysis
+    .tokenChunkRows(d, idCol, textCol, spanTokens, stride = 1)
+    .filter(col("_n_toks") === spanTokens)
+    .select(col("_id"), md5(col("_chunk")).as("_wh"))
+
+  /** The probe shared by the inline and the index-served forms: bloom
+    * pre-filter over distinct corpus window hashes, exact semi-join on
+    * the SURVIVORS only, per-doc counts for every input doc. */
+  private def decontamCore(corpusW: DataFrame, benchW: DataFrame,
+                           bloom: DataFrame, idCol: String, k: Int,
+                           mBits: Int): DataFrame = {
+    val candidates = bloomProbe(bloom,
         corpusW.select(col("_wh")).distinct(), "_wh", k, mBits)
       .filter(col("bloom_positive") === 1L)
     // The exact verify — removes bloom false positives; its input is
@@ -1454,6 +1465,36 @@ object Corpus {
       .join(perDoc, Seq("_id"), "left")
       .select(col("_id").as(idCol), col("n_windows"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+  }
+
+  /** Persist the decontamination index ONCE — the benchmark is hashed
+    * a single time and never again (the sign-once contract applied to
+    * the ingest gate): `windows/` holds the distinct window hashes
+    * (the exact side), `bloom/` their set-bit table. Growing the
+    * benchmark is [[upsertBloomIndex]] on `bloom/` plus a distinct
+    * union append on `windows/` — both set-law idempotent. */
+  def writeDecontamIndex(bench: DataFrame, idCol: String, textCol: String,
+                         dir: String, spanTokens: Int = 8, k: Int = 4,
+                         mBits: Int = 1 << 20): Unit = {
+    val benchW = windowHashes(bench, idCol, textCol, spanTokens)
+      .select(col("_wh")).distinct()
+    benchW.write.mode("overwrite").parquet(s"$dir/windows")
+    bloomPositions(benchW, "_wh", k, mBits)
+      .write.mode("overwrite").parquet(s"$dir/bloom")
+  }
+
+  /** [[bloomGatedContamination]] served from a stored
+    * [[writeDecontamIndex]] — the form a streaming ingest gate calls
+    * per micro-batch ([[graft.streaming.EventsStream.decontamSink]]):
+    * only the incoming batch is hashed; the benchmark side is two
+    * stored reads. */
+  def decontamProbe(corpus: DataFrame, idCol: String, textCol: String,
+                    dir: String, spanTokens: Int = 8, k: Int = 4,
+                    mBits: Int = 1 << 20): DataFrame = {
+    val spark = corpus.sparkSession
+    decontamCore(windowHashes(corpus, idCol, textCol, spanTokens),
+      spark.read.parquet(s"$dir/windows"),
+      spark.read.parquet(s"$dir/bloom"), idCol, k, mBits)
   }
 
   /** Distributed BPE tokenizer TRAINING (Sennrich 2016 — the q118

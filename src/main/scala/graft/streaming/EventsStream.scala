@@ -938,6 +938,54 @@ object EventsStream {
     spark.read.parquet(dir)
       .groupBy(col("v")).agg(sum(col("w")).as("w"))
 
+  /** Streaming maintenance of the GROUPED quantile index (the X205
+    * per-key sketch): each micro-batch compacts to its own (key, v, w)
+    * summary shard in a `batch_id=` partition under dynamic overwrite —
+    * bag union is not idempotent, so the X179 shard device again.
+    * Feeds per-key latency/size dashboards mid-stream via
+    * [[groupedQuantileFromShards]] +
+    * [[graft.operators.RelationalQueries.quantileReportByKey]]. */
+  def groupedQuantileIndexSink(stream: DataFrame, keyCol: String,
+                               idCol: String, valueCol: String,
+                               dir: String, checkpointLoc: String,
+                               buckets: Int = 16, capacity: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointLoc)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeHistShard(graft.operators.RelationalQueries
+          .quantileSketchByKey(batch, keyCol, idCol, valueCol,
+            buckets, capacity),
+          id, dir)
+      }
+      .start()
+
+  /** The merged per-key sketch from a sharded grouped index — bag
+    * union PER KEY of the per-batch summaries. */
+  def groupedQuantileFromShards(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, keyCol: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(col(keyCol), col("v")).agg(sum(col("w")).as("w"))
+
+  /** Streaming ingest gate against a stored decontamination index:
+    * each micro-batch of documents gets its per-doc contaminated-window
+    * counts ([[graft.llm.Corpus.decontamProbe]] — only the batch is
+    * hashed, the benchmark side is the signed index) and the admission
+    * log lands in a `batch_id=` partition under dynamic overwrite, so
+    * a replayed batch overwrites exactly its own rows. Downstream
+    * curation filters the log; the benchmark corpus is never re-read. */
+  def decontamSink(docs: DataFrame, idCol: String, textCol: String,
+                   idxDir: String, outDir: String, checkpointLoc: String,
+                   spanTokens: Int = 8, k: Int = 4, mBits: Int = 1 << 20)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointLoc)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeHistShard(graft.llm.Corpus.decontamProbe(batch, idCol,
+          textCol, idxDir, spanTokens, k, mBits), id, outDir)
+      }
+      .start()
+
   /** Maintain the q151/q198 SCD2 dimension from a CDC change stream:
     * each micro-batch upserts the bucket-partitioned change log and
     * re-collapses ONLY the touched buckets

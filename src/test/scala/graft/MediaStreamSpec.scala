@@ -1041,6 +1041,98 @@ class MediaStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming: grouped quantile index sink — per-key shards merge " +
+    "to the per-batch grouped sketches; replayed shard in place") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("gqsksink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gqsksink-ck").toString
+    try {
+      val mem = MemoryStream[(Long, String, Long)]
+      val q = graft.streaming.EventsStream.groupedQuantileIndexSink(
+        mem.toDF().toDF("id", "k", "v0"), "k", "id", "v0",
+        dir = s"$dir/idx", checkpointLoc = ckpt, buckets = 4, capacity = 8)
+      val b1 = (1 to 60).map(i => (i.toLong, if (i % 3 == 0) "a" else "b",
+        (i * 37L) % 101))
+      val b2 = (61 to 140).map(i => (i.toLong, if (i % 3 == 0) "a" else "b",
+        (i * 37L) % 101))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      def bag(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val exp = bag(Seq(b1, b2).map(b =>
+        graft.operators.RelationalQueries.quantileSketchByKey(
+          b.toDF("id", "k", "v0"), "k", "id", "v0", 4, 8))
+        .reduce(_ unionByName _)
+        .groupBy(col("k"), col("v")).agg(sum(col("w")).as("w")))
+      assert(bag(graft.streaming.EventsStream
+        .groupedQuantileFromShards(spark, s"$dir/idx", "k")
+        .select(col("k"), col("v"), col("w"))) == exp)
+      graft.streaming.EventsStream.writeHistShard(
+        graft.operators.RelationalQueries.quantileSketchByKey(
+          b2.toDF("id", "k", "v0"), "k", "id", "v0", 4, 8),
+        batchId = 1L, dir = s"$dir/idx")
+      assert(bag(graft.streaming.EventsStream
+        .groupedQuantileFromShards(spark, s"$dir/idx", "k")
+        .select(col("k"), col("v"), col("w"))) == exp,
+        "replayed grouped quantile shard double-counted")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+
+  test("streaming: decontamination ingest gate — per-batch admission " +
+    "log equals the batch bloom-gated form; replayed batch in place") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("decontam").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("decontam-ck").toString
+    try {
+      val bench = Seq((100L, "b1 b2 b3 b4 x9 x8")).toDF("doc_id", "text")
+      graft.llm.Corpus.writeDecontamIndex(bench, "doc_id", "text",
+        s"$dir/idx", spanTokens = 4, k = 2, mBits = 256)
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.EventsStream.decontamSink(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idxDir = s"$dir/idx", outDir = s"$dir/log", checkpointLoc = ckpt,
+        spanTokens = 4, k = 2, mBits = 256)
+      val b1 = Seq((1L, "b1 b2 b3 b4 tail tokens here"),
+        (2L, "clean doc nothing shared at all"))
+      val b2 = Seq((3L, "x9 x8 not enough width"),
+        (4L, "b2 b3 b4 x9 embedded mid doc"))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_windows"),
+          r.getAs[Long]("n_contaminated"))).toSet
+      val got = rows(spark.read.parquet(s"$dir/log")
+        .select(col("doc_id"), col("n_windows"), col("n_contaminated")))
+      val exp = rows(graft.llm.Corpus.bloomGatedContamination(
+        (b1 ++ b2).toDF("doc_id", "text"), bench, "doc_id", "text",
+        spanTokens = 4, k = 2, mBits = 256))
+      assert(got == exp, s"streamed admission log diverged:\n$got\n$exp")
+      // Replayed batch: its shard overwrites itself.
+      graft.streaming.EventsStream.writeHistShard(
+        graft.llm.Corpus.decontamProbe(b2.toDF("doc_id", "text"),
+          "doc_id", "text", s"$dir/idx", spanTokens = 4, k = 2,
+          mBits = 256), batchId = 1L, dir = s"$dir/log")
+      assert(rows(spark.read.parquet(s"$dir/log")
+        .select(col("doc_id"), col("n_windows"), col("n_contaminated")))
+        == exp, "replayed admission batch duplicated rows")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+
   test("streaming: quantile index sink — merged shards equal the " +
     "per-batch batch sketches; replayed shard overwrites in place") {
     import spark.implicits._
