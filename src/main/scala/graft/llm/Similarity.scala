@@ -357,6 +357,44 @@ object Similarity {
       .write.mode("append").partitionBy("_cid").parquet(s"$dir/lists")
   }
 
+  /** Freeze the coarse quantizer ALONE from a seed corpus — the first
+    * half of the stream-built IVF index: centroids are trained once
+    * (standard IVF practice — retrain on drift, not per batch) and
+    * every later batch assigns against them map-only. */
+  def writeIvfCentroids(seed: DataFrame, idCol: String, vecCol: String,
+                        dir: String, centroidEvery: Int = 64): Unit = {
+    graft.functions.NativeExpressions.register(seed.sparkSession)
+    centroidsOf(seed, idCol, vecCol, centroidEvery)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** One micro-batch's shard of a STREAM-built IVF list table: the
+    * batch assigns against the frozen centroids and lands under
+    * `lists/batch_id=<id>/_cid=…/` with dynamic partition overwrite —
+    * the replay-safe twin of [[appendToIvfIndex]] (whose blind append
+    * would DUPLICATE a redelivered batch; at-least-once streams need
+    * the shard form). [[ivfKnnIndexed]] serves both layouts unchanged:
+    * its `_cid` isin filter partition-prunes at whichever level the
+    * column lives. */
+  def writeIvfShard(batch: DataFrame, idCol: String, vecCol: String,
+                    dir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.functions.NativeExpressions.register(spark)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val assigned = nearest(batch, centroids, idCol, vecCol,
+        "neighbor_id", "_v", "_cn2", keep = 1)
+      .withColumn("batch_id", lit(batchId))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try assigned.write.mode("overwrite")
+      .partitionBy("batch_id", "_cid").parquet(s"$dir/lists")
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** ANN over a materialized [[writeIvfIndex]] index. The probed centroid
     * ids of the batch are collected (|queries| × nprobe ids — a query
     * batch is driver-small by construction) and pushed as an isin filter,

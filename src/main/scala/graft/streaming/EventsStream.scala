@@ -967,6 +967,24 @@ object EventsStream {
     spark.read.parquet(dir)
       .groupBy(col(keyCol), col("v")).agg(sum(col("w")).as("w"))
 
+  /** Streaming vector ingest into a stream-built IVF index: centroids
+    * are frozen once ([[graft.llm.Similarity.writeIvfCentroids]]); each
+    * micro-batch assigns map-only against them and lands its list rows
+    * in its own `batch_id=` shard
+    * ([[graft.llm.Similarity.writeIvfShard]] — dynamic overwrite, so a
+    * redelivered batch overwrites itself instead of duplicating
+    * vectors). [[graft.llm.Similarity.ivfKnnIndexed]] serves queries
+    * mid-stream, partition-pruned to the probed lists. */
+  def vectorIndexSink(vectors: DataFrame, idCol: String, vecCol: String,
+                      dir: String, checkpointLoc: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointLoc)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.llm.Similarity.writeIvfShard(batch, idCol, vecCol, dir, id)
+      }
+      .start()
+
   /** Streaming ingest gate against a stored decontamination index:
     * each micro-batch of documents gets its per-doc contaminated-window
     * counts ([[graft.llm.Corpus.decontamProbe]] — only the batch is

@@ -1086,6 +1086,57 @@ class MediaStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming: vector index sink — stream-built IVF probes equal " +
+    "the batch-appended index under the same frozen centroids; " +
+    "replayed shard never duplicates vectors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivfsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfsink-ck").toString
+    val S = graft.llm.Similarity
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(8)(d => ((i * (d + 3)) % 17 - 8).toFloat / 4f)
+    val b1 = (0 to 49).map(i => (i.toLong, vec(i)))
+    val b2 = (50 to 99).map(i => (i.toLong, vec(i)))
+    val queries = Seq(7, 23, 61).map(i => (1000L + i, vec(i))).toDF("vec_id", "embedding")
+    try {
+      // Same frozen quantizer on both sides (seed = batch 1).
+      S.writeIvfCentroids(b1.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", s"$dir/stream", centroidEvery = 10)
+      S.writeIvfCentroids(b1.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", s"$dir/batch", centroidEvery = 10)
+      S.appendToIvfIndex(b1.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", s"$dir/batch")
+      S.appendToIvfIndex(b2.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", s"$dir/batch")
+      val mem = MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.EventsStream.vectorIndexSink(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        dir = s"$dir/stream", checkpointLoc = ckpt)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      def res(idx: String) = S.ivfKnnIndexed(queries, "vec_id",
+          "embedding", idx, k = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+      val streamed = res(s"$dir/stream")
+      assert(streamed == res(s"$dir/batch"),
+        "stream-built index diverged from the batch-appended one")
+      // Redelivered batch 2: its shard overwrites itself — probe
+      // results are bit-stable (appendToIvfIndex would duplicate here).
+      S.writeIvfShard(b2.toDF("vec_id", "embedding"), "vec_id",
+        "embedding", s"$dir/stream", batchId = 1L)
+      assert(res(s"$dir/stream") == streamed,
+        "replayed vector shard changed probe results")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+
   test("streaming: decontamination ingest gate — per-batch admission " +
     "log equals the batch bloom-gated form; replayed batch in place") {
     import spark.implicits._
