@@ -662,6 +662,19 @@ class SparqlParserSpec extends SparkSpec {
     assert(rows(parsed) ==
       rows(fwd.select(col("anc").as("s"), col("s").as("dsc"))))
   }
+
+  test("parsed mid-sequence closure a+/b chains the fixpoint into the " +
+    "next hop") {
+    // broader+ reaches d from a/b/c; d alone carries the label — so the
+    // sequence emits exactly the strict descendants of the labeled top.
+    val parsed = Sparql.select(broaderGraph,
+      """PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        |SELECT ?s ?l WHERE { ?s skos:broader+/<urn:p/label> ?l . }"""
+        .stripMargin)
+    assert(rows(parsed).toSet == Set(
+      Seq("urn:x/a", "top"), Seq("urn:x/b", "top"), Seq("urn:x/c", "top")),
+      s"got ${rows(parsed)}")
+  }
 }
 
 /** The verbatim MultiAttributeDimension attribute query text
