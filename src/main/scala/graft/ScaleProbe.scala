@@ -303,7 +303,8 @@ object ScaleProbe {
     // onto user 0 → the hot key holds 10% of the corpus at any scale)
     // and times the family on uniform-vs-zipf so SCALE.md records the
     // failure shape, not a guess. Select with a `skew` filter arg.
-    if (nameFilter.isEmpty || nameFilter.exists(_.contains("skew"))) {
+    if (nameFilter.isEmpty || nameFilter.exists(f =>
+        f.contains("skew") && !f.contains("docskew"))) {
       val skewDir = s"$outDir/skew"
       if (!reuse || !new java.io.File(s"$skewDir/events.parquet").exists()) {
         eventsReplica
@@ -331,6 +332,42 @@ object ScaleProbe {
       for (q <- skewProbes;
            (scale, dir) <- Seq(s"$label-uniform" -> outDir,
              s"$label-zipf10pct" -> skewDir)) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"PROBE $q $scale ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+
+    // Mega-document probe for the per-doc window family (q74 spans,
+    // q207 intervals, q210/q212 excision): the uniform token-suffix
+    // replica says nothing about ONE document carrying a corpus-scale
+    // share of the tokens — the islands window and the excision rebuild
+    // both partition by doc, so wall time is bounded below by the
+    // biggest doc. This twin replaces one replica's docs with a single
+    // document concatenating all their texts (same total token volume,
+    // one hot doc ~1/replicas of the corpus) and times the family on
+    // uniform-vs-megadoc. Select with a `docskew` filter arg.
+    if (nameFilter.exists(_.contains("docskew"))) {
+      val skewDir = s"$outDir/docskew"
+      if (!reuse ||
+          !new java.io.File(s"$skewDir/documents.parquet").exists()) {
+        val uni = spark.read.parquet(s"$outDir/documents.parquet")
+        val mega = uni.filter(col("doc_id") % replicas.toLong === 0)
+          .agg(concat_ws(" ", collect_list(col("text"))).as("text"))
+          .select(lit(990000000L).as("doc_id"), col("text"))
+        uni.filter(col("doc_id") % replicas.toLong =!= 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(mega)
+          .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
+      }
+      val dsProbes = Seq("q74_repeated_spans", "q207_repeated_intervals",
+        "q210_span_excision", "q212_excise_canonical")
+      dsProbes.foreach(q => SparkEntry.queries(q)(spark, sf01)
+        .write.format("noop").mode("overwrite").save()) // codegen warmup
+      for (q <- dsProbes;
+           (scale, dir) <- Seq(s"$label-uniform" -> outDir,
+             s"$label-megadoc" -> skewDir)) {
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir)
           .write.format("noop").mode("overwrite").save()
