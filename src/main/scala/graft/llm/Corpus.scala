@@ -509,6 +509,41 @@ object Corpus {
       .select(col(idCol), col("position"))
   }
 
+  /** EXACT-balance stratified k-fold assignment — the cross-validation
+    * split the rate-based hash split (X85) cannot give: within every
+    * stratum the fold sizes differ by AT MOST ONE, because folds deal
+    * round-robin off a per-stratum deterministic total order (the
+    * [[trainOrder]] two-phase bucket device, partitioned by stratum —
+    * no single-partition window, no global sort; the hash-prefix bucket
+    * IS a prefix of the order key, so per-(stratum, bucket) ranks plus
+    * tiny broadcast offsets compose the exact per-stratum rank).
+    * Membership is a pure function of (seed, key set) — folds are
+    * reproducible across engines, epochs reseed. */
+  def kFoldAssign(docs: DataFrame, idCol: String, stratumCol: String,
+                  folds: Int, seed: String = "cv",
+                  bucketChars: Int = 2): DataFrame = {
+    require(folds > 1, "folds must be at least 2")
+    require(bucketChars >= 1 && bucketChars <= 8, "bucketChars in [1, 8]")
+    val bucketed = docs
+      .withColumn("_h",
+        md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
+      .withColumn("_bk", substring(col("_h"), 1, bucketChars))
+    val prefix = bucketed.groupBy(col(stratumCol), col("_bk"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(
+        sum(col("_n")).over(Window.partitionBy(col(stratumCol))
+          .orderBy(col("_bk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(stratumCol), col("_bk"), col("_off"))
+    val rk = row_number().over(Window
+      .partitionBy(col(stratumCol), col("_bk"))
+      .orderBy(col("_h"), col(idCol)))
+    bucketed.join(broadcast(prefix), Seq(stratumCol, "_bk"))
+      .withColumn("fold",
+        pmod(col("_off") + rk - 1L, lit(folds.toLong)).cast("long"))
+      .select(col(idCol), col(stratumCol), col("fold"))
+  }
+
   /** Deterministic fixed-size per-stratum sample — the bottom-k-by-hash
     * (KMV) device: keep the `k` rows with the smallest md5 draw within
     * each stratum, id tie-break. Where [[stratifiedSample]] fixes the

@@ -853,6 +853,17 @@ object LlmQueries {
         "doc_id", seed = "ep0")
     },
 
+    // Exact-balance stratified 5-fold assignment per language — the
+    // cross-validation split with per-stratum fold sizes within one of
+    // each other, dealt round-robin off the q114 two-phase order (the
+    // hash prefix is a prefix of the order key, so the oracle's single
+    // per-stratum ROW_NUMBER replays the distributed rank exactly).
+    "q217_kfold_assign" -> { (s, dir) =>
+      Corpus.kFoldAssign(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", folds = 5)
+    },
+
     // Corpus health report: the one-query dashboard a curation run
     // prints first — corpus size, gate survival, token volume, exact-dup
     // mass, near-dup pair count — long-form (metric, value), all BIGINT.
@@ -2902,6 +2913,16 @@ object LlmQueries {
         |  CAST(ROW_NUMBER() OVER (
         |    ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
         |    AS BIGINT) AS position
+        |FROM documents""".stripMargin,
+
+    // q217: the per-stratum rank (the prefix-bucket two-phase order
+    // collapses to one ROW_NUMBER because the bucket is a prefix of the
+    // order key) dealt modulo 5.
+    "q217_kfold_assign" ->
+      """SELECT doc_id, lang,
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5('cv:' || CAST(doc_id AS VARCHAR)), doc_id) - 1)
+        |    % 5 AS BIGINT) AS fold
         |FROM documents""".stripMargin,
     // q100: six headline integers from the existing oracle fragments.
     "q100_corpus_report" ->

@@ -1760,6 +1760,28 @@ class LlmSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("k-fold assignment: per-stratum fold sizes within one, every " +
+    "row assigned exactly once, repartition-independent") {
+    import spark.implicits._
+    // 103 and 7 rows in two strata — both indivisible by 3 folds.
+    val df = ((1 to 103).map(i => (i.toLong, "big")) ++
+      (200 to 206).map(i => (i.toLong, "small"))).toDF("id", "st")
+    def folds(d: org.apache.spark.sql.DataFrame) =
+      Corpus.kFoldAssign(d, "id", "st", folds = 3)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val got = folds(df)
+    assert(got.length == 110 && got.map(_._1).distinct.length == 110,
+      "every row must be assigned exactly once")
+    for ((st, n) <- Seq("big" -> 103, "small" -> 7)) {
+      val sizes = got.filter(_._2 == st).groupBy(_._3)
+        .view.mapValues(_.size).values.toSeq
+      assert(sizes.sum == n && sizes.max - sizes.min <= 1,
+        s"$st fold sizes $sizes not balanced")
+    }
+    assert(folds(df.repartition(7, col("id"))).toSet == got.toSet,
+      "assignment must be a pure function of (seed, keys)")
+  }
+
   test("bloom-gated decontamination: bit-equal to the exact form even " +
     "under a saturated filter full of false positives") {
     import spark.implicits._
