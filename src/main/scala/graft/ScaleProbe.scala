@@ -124,8 +124,9 @@ object ScaleProbe {
       // report; q215 is the window-hash skeleton + a broadcast bloom
       // probe + a survivors-only semi-join.
       "q214_grouped_quantiles", "q215_bloom_decontam",
-      // q216 is two q214-class sketch passes + a map-only score.
-      "q216_robust_anomalies")
+      // q216 is two q214-class sketch passes + a map-only score; q217
+      // is one (stratum, bucket)-keyed rank + a broadcast offset join.
+      "q216_robust_anomalies", "q217_kfold_assign")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
