@@ -1046,6 +1046,12 @@ object Corpus {
     val stats = toks.agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("dl")).as("total_len"))
       .withColumn("batch_id", lit(batchId))
+    // Per-batch doc-ownership shard: (_id, dl) — what lets
+    // [[upsertSearchIndexShard]] find and retire a re-ingested doc's
+    // OLD postings/stats, and the recompute basis for a retired
+    // batch's stats row.
+    val docRows = toks.select(col("_id"), col("dl"))
+      .withColumn("batch_id", lit(batchId))
     def write(df: DataFrame, parts: Seq[String], path: String): Unit =
       if (truncate)
         df.write.mode("overwrite").partitionBy(parts: _*).parquet(path)
@@ -1061,32 +1067,135 @@ object Corpus {
       }
     write(postings, Seq("batch_id", "_tb"), s"$dir/postings")
     write(stats, Seq("batch_id"), s"$dir/stats")
+    write(docRows, Seq("batch_id"), s"$dir/docs")
+  }
+
+  /** [[writeSearchIndexShard]] that is CORRECT UNDER RE-INGESTION — the
+    * doc lifecycle the plain shard write does not have: the plain form
+    * relies on "each doc lands in exactly one batch" (re-landing a
+    * changed doc in a later batch leaves its old postings live and
+    * silently double-counts df/N/Σdl). This form retires the old copy
+    * first:
+    *  1. the batch's ids semi-join the stored `docs/` ownership shards
+    *     (excluding this batchId itself — a replayed batch must not
+    *     collide with its own first delivery) → the TOUCHED older
+    *     shards, usually none or few;
+    *  2. each touched shard is rewritten without the re-landed docs —
+    *     postings anti-joined on `_id`, its 1-row stats recomputed from
+    *     the surviving `docs/` rows, ownership rows dropped. Rewrite
+    *     cost ∝ the touched shards, not the index (the
+    *     [[graft.operators.RelationalQueries.upsertScd2Index]]
+    *     touched-bucket discipline);
+    *  3. the new batch lands as its own shard via
+    *     [[writeSearchIndexShard]].
+    * Replay-idempotent: a redelivered batch finds zero collisions
+    * (step 1 excludes itself; its first delivery already retired the
+    * older copies) and dynamic-overwrites its own shard. After this,
+    * [[bm25FromIndex]]'s served scores equal a fresh scan of the
+    * CURRENT doc versions bit for bit. */
+  def upsertSearchIndexShard(batch: DataFrame, idCol: String,
+                             textCol: String, dir: String, batchId: Long,
+                             buckets: Int = 32): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/docs"))) {
+      val batchIds = graft.Checkpoints.cutEager(
+        batch.select(col(idCol).as("_id")).distinct())
+      val owned = graft.sources.ShardStore.live(spark, s"$dir/docs")
+        .filter(col("batch_id").cast("long") =!= batchId)
+      val touched = owned.join(batchIds, Seq("_id"), "left_semi")
+        .select(col("batch_id").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      if (touched.nonEmpty) {
+        val tSet = touched.toSeq
+        // Materialize every survivor BEFORE deleting the touched
+        // partitions — the write after the delete must not re-read them.
+        val keptDocs = graft.Checkpoints.cutEager(
+          graft.sources.ShardStore.live(spark, s"$dir/docs")
+            .filter(col("batch_id").cast("long").isin(tSet: _*))
+            .join(batchIds, Seq("_id"), "left_anti"))
+        val keptPosts = graft.Checkpoints.cutEager(
+          graft.sources.ShardStore.live(spark, s"$dir/postings")
+            .filter(col("batch_id").cast("long").isin(tSet: _*))
+            .join(batchIds, Seq("_id"), "left_anti"))
+        val keptStats = graft.Checkpoints.cutEager(
+          keptDocs.groupBy(col("batch_id"))
+            .agg(count(lit(1)).cast("long").as("n_docs"),
+              sum(col("dl")).as("total_len"))
+            .select(col("n_docs"), col("total_len"), col("batch_id")))
+        // Explicit partition deletes, not dynamic overwrite: a touched
+        // shard whose every posting in some bucket was retired would
+        // otherwise keep that stale bucket (dynamic overwrite only
+        // replaces partitions the output still has rows for).
+        tSet.foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$dir/postings/batch_id=$b"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$dir/stats/batch_id=$b"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$dir/docs/batch_id=$b"), true)
+        }
+        keptPosts.write.mode("append")
+          .partitionBy("batch_id", "_tb").parquet(s"$dir/postings")
+        keptStats.write.mode("append")
+          .partitionBy("batch_id").parquet(s"$dir/stats")
+        keptDocs.write.mode("append")
+          .partitionBy("batch_id").parquet(s"$dir/docs")
+      }
+    }
+    writeSearchIndexShard(batch, idCol, textCol, dir, batchId, buckets)
+  }
+
+  /** Fold the search index's shards into one base shard per table —
+    * postings re-land partitioned by `_tb` (identity fold: one row per
+    * (doc, token) stays one row), stats sum to a single row, ownership
+    * rows re-land — so serving reads and the file count stop growing
+    * with stream lifetime. Replayed pre-horizon batches re-land but
+    * are dropped by [[bm25FromIndex]]'s live view. */
+  def compactSearchIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Unit = {
+    graft.sources.ShardStore.compact(spark, s"$dir/postings",
+      extraPartCols = Seq("_tb"))
+    graft.sources.ShardStore.compact(spark, s"$dir/stats",
+      _.agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("total_len")).cast("long").as("total_len")))
+    graft.sources.ShardStore.compact(spark, s"$dir/docs")
   }
 
   /** BM25 top-k served purely from a [[writeSearchIndexShard]] index:
     * the terms' token-bucket predicate CONSTANT-FOLDS
     * (`pmod(hash(lit(term)))`) into a partition filter, so the scan
     * touches only the query terms' `_tb=` directories across shards;
-    * df per term is a count over those same rows (each doc posts a
-    * term in exactly one batch shard); N and Σdl sum over the ≤
-    * |batches| 1-row stats shards. Per-posting scoring re-evaluates
+    * df per term is a count over those same rows; N and Σdl sum over
+    * the ≤ |batches| 1-row stats shards. Per-posting scoring re-evaluates
     * [[bm25TopK]]'s exact integer ppm terms (tf > 0 by construction
     * in a posting), and the per-doc sum of per-term floors is the same
     * arithmetic the scan form runs — rank-for-rank, bit-for-bit equal.
-    * The final cut is a TakeOrdered over scored candidates. */
+    * The final cut is a TakeOrdered over scored candidates.
+    *
+    * OWNERSHIP CONTRACT: df/N/Σdl are sums over stored rows, so each
+    * doc must be owned by exactly ONE live shard. [[writeSearchIndexShard]]
+    * guarantees that only when every doc id lands once; a corpus that
+    * RE-INGESTS documents (re-crawls, edits) must ingest through
+    * [[upsertSearchIndexShard]], which retires the old copy first —
+    * otherwise served scores silently drift from the scan form.
+    * Reads the LIVE shard view, so a [[compactSearchIndex]] horizon is
+    * honored and replayed pre-horizon batches are dropped. */
   def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                     idCol: String, terms: Seq[String], topK: Int = 20,
                     buckets: Int = 32): DataFrame = {
     require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9_]+")),
       "terms must be plain tokens")
-    val st = spark.read.parquet(s"$dir/stats")
+    val st = graft.sources.ShardStore.live(spark, s"$dir/stats")
       .agg(sum(col("n_docs")).cast("long").as("_n"),
         sum(col("total_len")).cast("long").as("_t"))
     val pred = terms.map(term =>
         col("_tb") === pmod(hash(lit(term)), lit(buckets)) &&
           col("token") === term)
       .reduce(_ || _)
-    val posts = spark.read.parquet(s"$dir/postings").filter(pred)
+    val posts = graft.sources.ShardStore.live(spark, s"$dir/postings")
+      .filter(pred)
     val dfs = posts.groupBy(col("token"))
       .agg(count(lit(1)).cast("long").as("_df"))
     val n0 = "(44L * tf * _t)"

@@ -347,6 +347,8 @@ object Similarity {
     * re-read or re-clustered, and [[ivfKnnIndexed]] sees the new vectors
     * on its next probe (dynamic partition append preserves the layout).
     */
+  @deprecated("blind append DUPLICATES a redelivered batch — use the " +
+    "replay-safe writeIvfShard(batch, …, batchId) form", "round 15")
   def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
                        dir: String): Unit = {
     val spark = batch.sparkSession
@@ -413,10 +415,29 @@ object Similarity {
     // getLong would ClassCastException on either.
     val cids = probed.select(col("_cid").cast("long")).distinct()
       .collect().map(_.getLong(0))
-    val lists = spark.read.parquet(s"$dir/lists")
+    // LIVE view: honors a compactIvfShards horizon on stream-built
+    // shard layouts; a plain read (no batch_id / no marker) otherwise.
+    val lists = graft.sources.ShardStore.live(spark, s"$dir/lists")
       .filter(col("_cid").isin(cids: _*))
     rerank(probed, lists, k)
   }
+
+  /** Fold a stream-built IVF list table's `batch_id=` shards into one
+    * base shard (identity fold — list rows re-land partitioned by
+    * `_cid`): the probed-list read cost stops scaling with stream
+    * lifetime and the small-file count collapses, while a replayed
+    * pre-horizon batch is dropped by the read-side horizon instead of
+    * duplicating vectors. */
+  def compactIvfShards(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Unit =
+    graft.sources.ShardStore.compact(spark, s"$dir/lists",
+      extraPartCols = Seq("_cid"))
+
+  /** [[compactIvfShards]] for the [[writeIvfPqShard]] codes table. */
+  def compactIvfPqShards(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Unit =
+    graft.sources.ShardStore.compact(spark, s"$dir/codes",
+      extraPartCols = Seq("_cid"))
 
   /** Distributed Lloyd k-means over the embedding column — the clustering
     * step behind diversity-aware curation (cluster-balanced sampling,
@@ -751,6 +772,8 @@ object Similarity {
     * indexed corpus is never re-read or re-trained, and identical
     * vectors encode to identical codes whenever they arrive.
     */
+  @deprecated("blind append DUPLICATES a redelivered batch — use the " +
+    "replay-safe writeIvfPqShard(batch, …, batchId) form", "round 15")
   def appendToPqIndex(batch: DataFrame, idCol: String, vecCol: String,
                       dir: String, m: Int = 8, dim: Int = 64): Unit = {
     val spark = batch.sparkSession
@@ -767,6 +790,13 @@ object Similarity {
     * batch, rank. Codes-only — the shortlist stage of [[pqKnn]] against
     * storage; compose with an exact re-rank over the raw table when
     * recall above the codes' resolution is needed.
+    *
+    * O(corpus) PER PROBE: the codes table is unpartitioned, so every
+    * query batch reconstructs every stored vector. The at-scale serving
+    * path is [[writeIvfPqIndex]] + [[ivfPqKnnIndexed]], which partition
+    * the codes by coarse list and reconstruct only the probed lists —
+    * keep this form for corpus-wide sweeps (full ADC rankings), not
+    * query serving.
     */
   def pqKnnIndexed(queries: DataFrame, idCol: String, vecCol: String,
                    dir: String, k: Int = 10): DataFrame = {
@@ -791,6 +821,145 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("_vid").as("neighbor_id"))
+  }
+
+  /** Materialize the COMBINED IVF+PQ index — the deployed 100 TB ANN
+    * shape ([[ivfInt8Knn]]'s composition, persisted): a frozen coarse
+    * quantizer (`centroids/` — [[centroidsOf]]'s deterministic
+    * id-sample), the PQ codebook (`codebook/` — [[trainPq]]'s rounded
+    * k-means, m·k rows), and the corpus compressed to m code ids per
+    * vector, PARTITIONED BY its coarse list id (`codes/_cid=…/`).
+    * [[pqKnnIndexed]]'s unpartitioned codes table made every probe
+    * reconstruct the WHOLE corpus; here a query batch reads only its
+    * probed lists' code partitions — per-query cost nprobe/|centroids|
+    * of the corpus, at 8 bytes of code per 256 bytes of raw vector.
+    *
+    * Build cost: one centroid sample + `iters` bounded training rounds
+    * + one corpus-scan encode and one corpus-scan coarse assignment
+    * (both map-only against broadcast tables), then a single
+    * partitioned write. The raw vector table is NOT stored — exact
+    * rerank (the optional [[ivfPqKnnIndexed]] stage) takes the source
+    * corpus as an argument, touching only |queries|·shortlist rows. */
+  def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      dir: String, m: Int = 8, dim: Int = 64,
+                      centroidEvery: Int = 64, pqCentroidEvery: Int = 8,
+                      iters: Int = 2, trainCap: Int = 65536): Unit = {
+    graft.functions.NativeExpressions.register(corpus.sparkSession)
+    val centroids = centroidsOf(corpus, idCol, vecCol, centroidEvery)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    val codebook = trainPq(corpus, idCol, vecCol, m, dim, pqCentroidEvery,
+      iters, trainCap = trainCap)
+    codebook.write.mode("overwrite").parquet(s"$dir/codebook")
+    val assigned = nearest(corpus, centroids, idCol, vecCol,
+        "_vid", "_av", "_an", keep = 1)
+      .select(col("_vid").as(idCol), col("_cid"))
+    pqEncode(corpus, idCol, vecCol, codebook, m, dim)
+      .join(assigned, Seq(idCol))
+      .write.mode("overwrite").partitionBy("_cid").parquet(s"$dir/codes")
+  }
+
+  /** One micro-batch's shard of a stream-built IVF+PQ codes table: the
+    * batch encodes against the FROZEN stored codebook, coarse-assigns
+    * against the FROZEN stored centroids, and lands under
+    * `codes/batch_id=<id>/_cid=…/` with dynamic partition overwrite —
+    * the replay-safe twin of [[appendToPqIndex]] (whose blind append
+    * duplicates a redelivered batch). [[ivfPqKnnIndexed]] serves both
+    * layouts unchanged: its `_cid` isin filter partition-prunes at
+    * whichever level the column lives. */
+  def writeIvfPqShard(batch: DataFrame, idCol: String, vecCol: String,
+                      dir: String, batchId: Long, m: Int = 8,
+                      dim: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    graft.functions.NativeExpressions.register(spark)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val assigned = nearest(batch, centroids, idCol, vecCol,
+        "_vid", "_av", "_an", keep = 1)
+      .select(col("_vid").as(idCol), col("_cid"))
+    val rows = pqEncode(batch, idCol, vecCol, codebook, m, dim)
+      .join(assigned, Seq(idCol))
+      .withColumn("batch_id", lit(batchId))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try rows.write.mode("overwrite")
+      .partitionBy("batch_id", "_cid").parquet(s"$dir/codes")
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** ANN over a materialized [[writeIvfPqIndex]] index — coarse probe →
+    * PARTITION-PRUNED asymmetric-distance scoring over the probed
+    * lists' codes only → optional exact rerank against the raw corpus:
+    *  1. queries probe the `nprobe` nearest stored centroids
+    *     ([[ivfKnnIndexed]]'s device — the probed list ids collect to
+    *     the driver and push down as an isin partition filter);
+    *  2. ONLY the probed `_cid=` code partitions are read and
+    *     reconstructed against the broadcast codebook — the ADC stage
+    *     touches nprobe/|centroids| of the corpus where
+    *     [[pqKnnIndexed]] reconstructed all of it;
+    *  3. the per-query ADC `shortlist` (deterministic d-then-id order)
+    *     optionally reranks EXACTLY against `rerank` (the raw vector
+    *     table) via a broadcast semi-join of |queries|·shortlist ids —
+    *     never a second corpus scan. With `rerank = None` the ADC
+    *     ranks serve directly (codes-only deployment).
+    * Output: (qid, rank, neighbor_id). */
+  def ivfPqKnnIndexed(queries: DataFrame, idCol: String, vecCol: String,
+                      dir: String, rerank: Option[DataFrame] = None,
+                      k: Int = 10, nprobe: Int = 4,
+                      shortlist: Int = 50): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.NativeExpressions.register(spark)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val probed = nearest(queries, centroids, idCol, vecCol,
+      "qid", "_qv", "_qn", keep = nprobe)
+      .cutLineageEager() // probes feed both the cid set and the join
+    val cids = probed.select(col("_cid").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    // Partition-column type inference can read `_cid` back as int —
+    // cast to the centroid table's long before the join (the
+    // ivfKnnIndexed note). The codebook's own `_cid` is the CODE id;
+    // rename it before joining so the coarse list id keeps the name.
+    val recon = graft.sources.ShardStore.live(spark, s"$dir/codes")
+      .filter(col("_cid").isin(cids: _*))
+      .select(col(idCol).as("_vid"), col("_cid").cast("long").as("_cid"),
+        posexplode(col("codes")).as(Seq("_sub", "_code")))
+      .join(broadcast(codebook.withColumnRenamed("_cid", "_code")),
+        Seq("_sub", "_code"))
+      .groupBy(col("_vid"), col("_cid"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("_sub"), col("_cv")))),
+        s => s.getField("_cv"))).as("_rv"))
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("_d").asc, col("_vid").asc)
+    val adc = probed.join(recon, Seq("_cid"))
+      .filter(col("_vid") =!= col("qid"))
+      .withColumn("_d",
+        dot(col("_qv"), col("_qv")) - lit(2.0) * dot(col("_qv"), col("_rv"))
+          + dot(col("_rv"), col("_rv")))
+      .withColumn("_rn", row_number().over(wAdc))
+    rerank match {
+      case None =>
+        adc.filter(col("_rn") <= k)
+          .select(col("qid"), col("_rn").as("rank"),
+            col("_vid").as("neighbor_id"))
+      case Some(raw) =>
+        val cand = adc.filter(col("_rn") <= shortlist)
+          .select(col("qid"), col("_qv"), col("_vid"))
+        val wExact = Window.partitionBy(col("qid"))
+          .orderBy(col("_de").asc, col("_vid").asc)
+        raw.select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+          .join(broadcast(cand), Seq("_vid"))
+          .withColumn("_de",
+            dot(col("_qv"), col("_qv")) - lit(2.0) * dot(col("_qv"), col("_v"))
+              + dot(col("_v"), col("_v")))
+          .withColumn("rank", row_number().over(wExact))
+          .filter(col("rank") <= k)
+          .select(col("qid"), col("rank"), col("_vid").as("neighbor_id"))
+    }
   }
 
   /** LSH-bucketed ANN: same-bucket candidates from L tables, union,

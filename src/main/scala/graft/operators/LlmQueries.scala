@@ -1204,6 +1204,40 @@ object LlmQueries {
         terms = Seq("spark", "merge", "vector"), topK = 20)
     },
 
+    // The combined IVF+PQ index SERVED FROM STORAGE — the production
+    // ANN shape q93 proves inline and q124's codebook discipline makes
+    // replayable: corpus → frozen coarse centroids + PQ codebook +
+    // codes PARTITIONED by coarse list; a query batch probes 4 lists,
+    // reads ONLY those code partitions (isin partition pruning — the
+    // q187 serve-vs-build split applied to vectors), ADC-shortlists 50,
+    // exact-reranks against raw vectors for just |q|·50 ids. Oracle
+    // replays the whole composition: q93's coarse chain gating the
+    // candidates, q124's two rounded training rounds + encode +
+    // reconstruction scoring them.
+    // Build-if-absent split (the q187 discipline): the index is signed
+    // once per session — later calls are the read-only probe, so the
+    // bench row measures serving cost. The dir-keyed marker view makes
+    // a fresh JVM re-sign over stale files, and two data dirs never
+    // share an index.
+    "q218_ivfpq_indexed" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      val idx = s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + s"/q218_ivfpq_$key"
+      val marker = s"q218idx_$key"
+      if (!s.catalog.tableExists(marker)) {
+        Similarity.writeIvfPqIndex(e, "vec_id", "embedding", idx,
+          m = 8, dim = 64, centroidEvery = 64, pqCentroidEvery = 8,
+          trainCap = 256)
+        s.emptyDataFrame.createOrReplaceTempView(marker)
+      }
+      Similarity.ivfPqKnnIndexed(e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", idx, rerank = Some(e), k = 10,
+        nprobe = 4, shortlist = 50)
+    },
+
     // Fuzzy vocabulary pairs (Levenshtein ≤ 2) by SymSpell
     // symmetric-delete blocking: deletion-variant equi-join + exact
     // levenshtein verify — equals the all-pairs scan (the oracle IS the
@@ -3886,6 +3920,112 @@ object LlmQueries {
          |    list_dot_product(c.qv, c.qv) - 2.0 * list_dot_product(c.qv, e.v)
          |      + list_dot_product(e.v, e.v) AS de
          |  FROM cand c JOIN emb e ON e.vec_id = c.neighbor_id)
+         |SELECT qid, rank, neighbor_id FROM (
+         |  SELECT qid, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY de ASC, neighbor_id ASC)
+         |      AS rank
+         |  FROM rer)
+         |WHERE rank <= 10""".stripMargin
+    },
+
+    // q218: the IVF+PQ composition replayed end to end — q93's coarse
+    // chain (id-sampled centroids, rn=1 assignment, rn<=4 probing)
+    // restricts the candidate set; q124's PQ chain (md5 training draw,
+    // two rounded k-means rounds keyed by subspace, full-corpus
+    // encode, reconstruction) scores it; ADC top-50 then exact rerank
+    // top-10, both with the d-then-id deterministic tie-break.
+    "q218_ivfpq_indexed" -> {
+      def assignSql(subsTable: String, cTable: String, name: String): String =
+        s"""$name AS (
+           |  SELECT vec_id, sub, cid FROM (
+           |    SELECT sv.vec_id, sv.sub, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+           |        (list_dot_product(sv.sv, sv.sv)
+           |         - 2.0 * list_dot_product(sv.sv, c.cv)
+           |         + list_dot_product(c.cv, c.cv)) ASC, c.cid ASC) AS rn
+           |    FROM $subsTable sv JOIN $cTable c ON c.sub = sv.sub) WHERE rn = 1)"""
+          .stripMargin
+      def updateSql(aTable: String, name: String): String =
+        s"""$name AS (
+           |  SELECT sub, cid, list(m ORDER BY pos) AS cv FROM (
+           |    SELECT a.sub, a.cid, g.pos, round(avg(sv.sv[g.pos]), 6) AS m
+           |    FROM $aTable a JOIN tsubs sv
+           |      ON sv.vec_id = a.vec_id AND sv.sub = a.sub,
+           |      LATERAL UNNEST(generate_series(1, 8)) AS g(pos)
+           |    GROUP BY 1, 2, 3)
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH emb AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |coarse AS (
+         |  SELECT vec_id AS ccid, v AS cv FROM emb WHERE vec_id % 64 = 0),
+         |csim AS (
+         |  SELECT e.vec_id, c.ccid,
+         |    list_dot_product(e.v, c.cv)
+         |      / (sqrt(list_dot_product(e.v, e.v))
+         |        * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+         |  FROM emb e, coarse c),
+         |assignedc AS (
+         |  SELECT vec_id, ccid FROM (
+         |    SELECT vec_id, ccid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, ccid ASC) AS rn
+         |    FROM csim) WHERE rn = 1),
+         |probed AS (
+         |  SELECT vec_id AS qid, ccid FROM (
+         |    SELECT vec_id, ccid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, ccid ASC) AS rn
+         |    FROM csim WHERE vec_id % 100 = 0) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id AS neighbor_id
+         |  FROM probed p JOIN assignedc a USING (ccid)
+         |  WHERE a.vec_id != p.qid),
+         |rate AS (
+         |  SELECT least(1000000, 256000000 // count(*)) AS ppm FROM emb),
+         |trn AS (
+         |  SELECT vec_id, v FROM emb, rate
+         |  WHERE list_reduce(list_transform(
+         |      string_split(substr(md5('pqtrain:' || CAST(vec_id AS VARCHAR)), 1, 8), ''),
+         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+         |      (a, b) -> a * 16 + b) * 1000000 < ppm * 4294967296),
+         |subs AS (
+         |  SELECT vec_id, s.sub,
+         |    list_slice(v, s.sub * 8 + 1, s.sub * 8 + 8) AS sv
+         |  FROM emb, (SELECT unnest(generate_series(0, 7)) AS sub) s),
+         |tsubs AS (
+         |  SELECT vec_id, s.sub,
+         |    list_slice(v, s.sub * 8 + 1, s.sub * 8 + 8) AS sv
+         |  FROM trn, (SELECT unnest(generate_series(0, 7)) AS sub) s),
+         |c0 AS (
+         |  SELECT sub, vec_id AS cid, sv AS cv FROM tsubs WHERE vec_id % 8 = 0),
+         |${assignSql("tsubs", "c0", "a0")},
+         |${updateSql("a0", "c1")},
+         |${assignSql("tsubs", "c1", "a1")},
+         |${updateSql("a1", "c2")},
+         |${assignSql("subs", "c2", "a2")},
+         |recon AS (
+         |  SELECT a.vec_id, flatten(list(c.cv ORDER BY a.sub)) AS rv
+         |  FROM a2 a JOIN c2 c ON c.sub = a.sub AND c.cid = a.cid
+         |  GROUP BY 1),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT cand.qid, q.qv, cand.neighbor_id,
+         |    list_dot_product(q.qv, q.qv) - 2.0 * list_dot_product(q.qv, r.rv)
+         |      + list_dot_product(r.rv, r.rv) AS d
+         |  FROM cand JOIN q ON q.qid = cand.qid
+         |  JOIN recon r ON r.vec_id = cand.neighbor_id),
+         |short AS (
+         |  SELECT qid, qv, neighbor_id FROM (
+         |    SELECT qid, qv, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY d ASC, neighbor_id ASC) AS rn
+         |    FROM scored)
+         |  WHERE rn <= 50),
+         |rer AS (
+         |  SELECT s.qid, s.neighbor_id,
+         |    list_dot_product(s.qv, s.qv) - 2.0 * list_dot_product(s.qv, e.v)
+         |      + list_dot_product(e.v, e.v) AS de
+         |  FROM short s JOIN emb e ON e.vec_id = s.neighbor_id)
          |SELECT qid, rank, neighbor_id FROM (
          |  SELECT qid, neighbor_id,
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY de ASC, neighbor_id ASC)

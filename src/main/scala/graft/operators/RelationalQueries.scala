@@ -1782,6 +1782,31 @@ object RelationalQueries {
       .select(col("v"), (col("_cum") - coalesce(col("_pc"), lit(0L))).as("w"))
   }
 
+  /** [[compactQuantileSketch]] PER KEY — the size bound for the grouped
+    * index ([[mergeQuantileIndexByKey]] accumulates per-key bags with
+    * none): the same survivor rule (rows whose weight span crosses a
+    * step multiple, plus each key's max row) and re-weighting, with
+    * every window KEYED — per-key weights still sum to that key's W
+    * exactly and the one-step rank-error addition applies key by key.
+    * Summary-sized throughout: |keys|·capacity rows in, ≤ |keys|·
+    * (capacity+1) out, no unpartitioned window anywhere. */
+  def compactQuantileSketchByKey(sk: DataFrame, keyCol: String,
+                                 capacity: Int = 1024): DataFrame = {
+    val byV = sk.groupBy(col(keyCol), col("v")).agg(sum(col("w")).as("w"))
+    val wc = Window.partitionBy(col(keyCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byV.groupBy(col(keyCol)).agg(sum(col("w")).as("_W"))
+    byV.withColumn("_cum", sum(col("w")).over(wc))
+      .join(tot, Seq(keyCol))
+      .withColumn("_step", expr(s"(_W + ${capacity - 1}) div $capacity"))
+      .filter(expr("(_cum - 1) div _step > (_cum - w - 1) div _step") ||
+        col("_cum") === col("_W"))
+      .withColumn("_pc", lag(col("_cum"), 1)
+        .over(Window.partitionBy(col(keyCol)).orderBy(col("v"))))
+      .select(col(keyCol), col("v"),
+        (col("_cum") - coalesce(col("_pc"), lit(0L))).as("w"))
+  }
+
   /** Quantile NORMALIZATION off a [[quantileSketch]] summary — the
     * map-only percentile-rank feature transform: every row gets
     * `rank_ppm = ⌊Σ_{v_i ≤ v} w_i · 10⁶ / N⌋`, its approximate

@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Compaction lifecycle for the `batch_id=`-sharded index family (the
+  * X179 exactly-once device: every micro-batch lands its summary in its
+  * own partition under dynamic overwrite, so an at-least-once replay
+  * overwrites exactly itself).
+  *
+  * The shard device is replay-safe but READ-side unbounded: a week-old
+  * stream serves every dashboard read over one partition per micro-batch
+  * ever run (`cmsFromShards` reads ≤ |batches|·d·w rows; the search
+  * index lists |batches| stats files). [[compact]] closes that decay
+  * while PRESERVING the replay algebra:
+  *
+  *  - all live shards with `batch_id ≤ horizon` fold (family-supplied
+  *    merge law) into ONE base shard stored at the RESERVED id
+  *    `base = -(horizon + 2)` — negative, so it can never collide with
+  *    a stream's batch ids (≥ 0), and horizon-unique, so successive
+  *    compactions never collide with each other;
+  *  - the fold is recorded by an atomically-created marker FILE under
+  *    `_meta/` (a leading-underscore path — invisible to parquet
+  *    partition discovery). The LIVE marker is the one with the largest
+  *    horizon; stale markers are inert.
+  *  - [[live]] — the read side every `*FromShards`/`*FromIndex` server
+  *    goes through — keeps only `batch_id = base OR batch_id > horizon`.
+  *    A pre-horizon batch REPLAYED after compaction physically re-lands
+  *    its partition (the sink's dynamic overwrite is untouched) but is
+  *    DROPPED on read instead of double-counting against the base that
+  *    already folded it — the marker is what upgrades "overwrite
+  *    yourself" to "or be ignored entirely".
+  *
+  * Crash ordering: the base shard is fully written BEFORE the marker is
+  * created (a crash in between leaves the old view serving — the
+  * half-written base partition is filtered out because no marker points
+  * at it), and stale folded partitions are deleted only AFTER the
+  * marker exists (a crash in between leaves dead directories that the
+  * next [[compact]] sweep removes; reads never see them). No in-place
+  * overwrite of the only copy ever happens — the failure mode ADVICE
+  * flagged on the merge-in-place index forms.
+  *
+  * At 100 TB: compaction cost is one read of the live shards + the
+  * family fold (summary-sized for sketches; one shuffle-free re-land
+  * for posting/list shards) and runs OUT OF BAND of both the ingest
+  * stream and the serving reads — the standard LSM minor-compaction
+  * shape, expressed over parquet partitions.
+  */
+object ShardStore {
+
+  /** The live compaction state: everything at `batch_id = base` or
+    * `batch_id > horizon` is current; the rest is folded history. */
+  final case class Meta(horizon: Long, base: Long)
+
+  private val markerRe = "h(-?\\d+)_b(-?\\d+)".r
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The live marker (largest horizon) of a sharded table, if any. */
+  def readMeta(spark: SparkSession, dir: String): Option[Meta] = {
+    val fs = fsOf(spark, dir)
+    val meta = new Path(dir, "_meta")
+    if (!fs.exists(meta)) None
+    else fs.listStatus(meta).toSeq
+      .map(_.getPath.getName)
+      .collect { case markerRe(h, b) => Meta(h.toLong, b.toLong) }
+      .sortBy(_.horizon).lastOption
+  }
+
+  /** The LIVE rows of a sharded table: base shard + post-horizon
+    * shards. With no marker (never compacted) or no `batch_id` column
+    * (a non-sharded layout like `writeIvfIndex`) this is the plain
+    * read — zero behavior change until the first [[compact]]. */
+  def live(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.read.parquet(dir)
+    readMeta(spark, dir) match {
+      case Some(Meta(h, b)) if df.columns.contains("batch_id") =>
+        df.filter(col("batch_id") === b || col("batch_id") > h)
+      case _ => df
+    }
+  }
+
+  private def shardIds(spark: SparkSession, dir: String): Seq[Long] = {
+    val fs = fsOf(spark, dir)
+    val p = new Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch_id=") =>
+        n.stripPrefix("batch_id=").toLong }
+  }
+
+  /** Fold every live shard up to the current maximum batch id into one
+    * base shard under the family's merge law, record the new horizon,
+    * and drop the folded partitions. `fold` receives the live rows
+    * WITHOUT the `batch_id` column and must return the same schema the
+    * sinks write (plus `extraPartCols`, which stay partition columns of
+    * the base — `_tb` for postings, `_cid` for vector lists). Returns
+    * the new state, or None when there was nothing to fold. */
+  def compact(spark: SparkSession, dir: String,
+              fold: DataFrame => DataFrame = identity,
+              extraPartCols: Seq[String] = Nil): Option[Meta] = {
+    val old = readMeta(spark, dir)
+    val oldH = old.map(_.horizon).getOrElse(Long.MinValue)
+    val oldB = old.map(_.base)
+    val ids = shardIds(spark, dir)
+    val liveStream = ids.filter(i => i >= 0 && i > oldH)
+    if (liveStream.isEmpty) return None
+    val hNew = liveStream.max
+    val bNew = -(hNew + 2)
+    val cur = live(spark, dir)
+    val folded = graft.Checkpoints.cutEager(
+      fold(cur.drop("batch_id")).withColumn("batch_id", lit(bNew)))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try folded.write.mode("overwrite")
+      .partitionBy("batch_id" +: extraPartCols: _*).parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    // Marker AFTER the base is durable, BEFORE the stale deletes.
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(new Path(dir, "_meta"))
+    fs.createNewFile(new Path(dir, s"_meta/h${hNew}_b$bNew"))
+    (shardIds(spark, dir).toSet - bNew)
+      .filter(i => (i >= 0 && i <= hNew) || i < 0)
+      .foreach(i => fs.delete(new Path(dir, s"batch_id=$i"), true))
+    Some(Meta(hNew, bNew))
+  }
+}

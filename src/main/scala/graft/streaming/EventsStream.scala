@@ -824,16 +824,27 @@ object EventsStream {
     * ([[graft.llm.Corpus.writeSearchIndexShard]] — dynamic partition
     * overwrite, so an at-least-once replay overwrites exactly its own
     * shard and df/N/Σdl never double-count). Queries keep serving from
-    * the shards mid-stream via [[graft.llm.Corpus.bm25FromIndex]]. */
+    * the shards mid-stream via [[graft.llm.Corpus.bm25FromIndex]].
+    *
+    * `upsert = true` routes each batch through
+    * [[graft.llm.Corpus.upsertSearchIndexShard]] — required whenever
+    * the stream can RE-DELIVER a document under the same id with new
+    * text (re-crawls): the plain shard write would leave the old
+    * postings live and double-count df/N/Σdl. Costs one ownership
+    * semi-join per batch plus a rewrite of only the touched shards. */
   def searchIndexSink(docs: DataFrame, idCol: String, textCol: String,
                       dir: String, checkpointLoc: String,
-                      buckets: Int = 32)
+                      buckets: Int = 32, upsert: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointLoc)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.llm.Corpus.writeSearchIndexShard(batch, idCol, textCol,
-          dir, batchId, buckets)
+        if (upsert)
+          graft.llm.Corpus.upsertSearchIndexShard(batch, idCol, textCol,
+            dir, batchId, buckets)
+        else
+          graft.llm.Corpus.writeSearchIndexShard(batch, idCol, textCol,
+            dir, batchId, buckets)
       }
       .start()
 
@@ -873,11 +884,23 @@ object EventsStream {
 
   /** The merged histogram from a sharded index: one aggregation over
     * ≤|batches|·|bins| stored rows — equal to the one-shot histogram of
-    * everything ingested (bin counts add exactly). */
+    * everything ingested (bin counts add exactly). Reads the LIVE view
+    * ([[graft.sources.ShardStore.live]]) so a [[compactHistIndex]]
+    * horizon is honored and replayed pre-horizon shards are dropped. */
   def histFromShards(spark: org.apache.spark.sql.SparkSession,
                      dir: String): DataFrame =
-    spark.read.parquet(dir)
+    graft.sources.ShardStore.live(spark, dir)
       .groupBy(col("bin")).agg(sum(col("n")).as("n"))
+
+  /** Fold all histogram shards to one base shard (bin counts add) —
+    * [[graft.sources.ShardStore.compact]] under the histogram merge
+    * law. Serving cost and file count stop growing with stream
+    * lifetime; a replayed pre-horizon batch re-lands its partition but
+    * is dropped by the read-side horizon instead of double-counting. */
+  def compactHistIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Unit =
+    graft.sources.ShardStore.compact(spark, dir,
+      _.groupBy(col("bin")).agg(sum(col("n")).as("n")))
 
   /** Maintain a sharded COUNT-MIN index from a stream — the frequency
     * monitor's steady state: each micro-batch is sketched alone
@@ -905,11 +928,20 @@ object EventsStream {
   /** The merged CMS from a sharded index: one aggregation over
     * ≤ |batches|·depth·width stored rows, bit-identical to the one-shot
     * sketch of everything ingested (cell counts add exactly). Feeds
-    * [[graft.llm.Corpus.cmsEstimate]]. */
+    * [[graft.llm.Corpus.cmsEstimate]]. Reads the LIVE view — a
+    * [[compactCmsIndex]] horizon is honored. */
   def cmsFromShards(spark: org.apache.spark.sql.SparkSession,
                     dir: String): DataFrame =
-    spark.read.parquet(dir)
+    graft.sources.ShardStore.live(spark, dir)
       .groupBy(col("r"), col("c")).agg(sum(col("n")).as("n"))
+
+  /** Fold all CMS shards to one base shard (cell counts add — the
+    * cms(A)+cms(B)=cms(A∪B) merge law, so the compacted sketch is
+    * bit-identical to the uncompacted sum). */
+  def compactCmsIndex(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Unit =
+    graft.sources.ShardStore.compact(spark, dir,
+      _.groupBy(col("r"), col("c")).agg(sum(col("n")).as("n")))
 
   /** Maintain a sharded QUANTILE-sketch index from a stream: each
     * micro-batch compacts to its own (v, w) summary
@@ -932,11 +964,23 @@ object EventsStream {
 
   /** The merged quantile sketch from a sharded index — the weighted
     * bag union of the per-batch summaries. Feeds
-    * [[graft.operators.RelationalQueries.quantileSketchReport]]. */
+    * [[graft.operators.RelationalQueries.quantileSketchReport]]. Reads
+    * the LIVE view — a [[compactQuantileIndexShards]] horizon is
+    * honored. */
   def quantileFromShards(spark: org.apache.spark.sql.SparkSession,
                          dir: String): DataFrame =
-    spark.read.parquet(dir)
+    graft.sources.ShardStore.live(spark, dir)
       .groupBy(col("v")).agg(sum(col("w")).as("w"))
+
+  /** Fold all quantile-sketch shards into one base shard via the
+    * deterministic recompaction
+    * ([[graft.operators.RelationalQueries.compactQuantileSketch]]):
+    * the base is ≤ capacity+1 rows no matter how many batches folded,
+    * at one documented step of additional rank error per compaction. */
+  def compactQuantileIndexShards(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, capacity: Int = 1024): Unit =
+    graft.sources.ShardStore.compact(spark, dir,
+      graft.operators.RelationalQueries.compactQuantileSketch(_, capacity))
 
   /** Streaming maintenance of the GROUPED quantile index (the X205
     * per-key sketch): each micro-batch compacts to its own (key, v, w)
@@ -961,11 +1005,24 @@ object EventsStream {
       .start()
 
   /** The merged per-key sketch from a sharded grouped index — bag
-    * union PER KEY of the per-batch summaries. */
+    * union PER KEY of the per-batch summaries. Reads the LIVE view —
+    * a [[compactGroupedQuantileIndexShards]] horizon is honored. */
   def groupedQuantileFromShards(spark: org.apache.spark.sql.SparkSession,
                                 dir: String, keyCol: String): DataFrame =
-    spark.read.parquet(dir)
+    graft.sources.ShardStore.live(spark, dir)
       .groupBy(col(keyCol), col("v")).agg(sum(col("w")).as("w"))
+
+  /** Fold all grouped-quantile shards into one base shard via the
+    * KEYED recompaction
+    * ([[graft.operators.RelationalQueries.compactQuantileSketchByKey]])
+    * — ≤ |keys|·(capacity+1) base rows, per-key weights preserved
+    * exactly. */
+  def compactGroupedQuantileIndexShards(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      keyCol: String, capacity: Int = 1024): Unit =
+    graft.sources.ShardStore.compact(spark, dir,
+      graft.operators.RelationalQueries
+        .compactQuantileSketchByKey(_, keyCol, capacity))
 
   /** Streaming vector ingest into a stream-built IVF index: centroids
     * are frozen once ([[graft.llm.Similarity.writeIvfCentroids]]); each
@@ -1003,6 +1060,14 @@ object EventsStream {
           textCol, idxDir, spanTokens, k, mBits), id, outDir)
       }
       .start()
+
+  /** Fold the [[decontamSink]] admission log's shards into one base
+    * shard (identity fold — the log rows just re-land) so a long-lived
+    * ingest gate's log stays one-partition-plus-live instead of one
+    * partition per micro-batch ever run. */
+  def compactDecontamLog(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Unit =
+    graft.sources.ShardStore.compact(spark, dir)
 
   /** Maintain the q151/q198 SCD2 dimension from a CDC change stream:
     * each micro-batch upserts the bucket-partitioned change log and

@@ -319,6 +319,119 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("IVF+PQ index: pruned ADC serve ≡ independent ranking, codes partition-pruned") {
+    val e = graft.Tables.t(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_index").toString
+    try {
+      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", dir,
+        centroidEvery = 8, pqCentroidEvery = 8)
+      def dotD(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+      }
+      // Independent plain-Scala replay of the whole serve: probe the 4
+      // cosine-nearest stored centroids (cid-asc tie-break), ADC over
+      // ONLY those lists' codes, shortlist 50, exact rerank top-10.
+      val cents = spark.read.parquet(s"$dir/centroids").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      val books = spark.read.parquet(s"$dir/codebook").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+      val stored = spark.read.parquet(s"$dir/codes").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Long](1).toSeq,
+          r.getAs[Number]("_cid").longValue()))
+      val raw = e.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+        .toMap
+      val qVecs = q.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      val expected = qVecs.flatMap { case (qid, qv) =>
+        val qn = math.sqrt(dotD(qv, qv))
+        val probed = cents
+          .map { case (cid, cv) =>
+            (cid, dotD(qv, cv) / (qn * math.sqrt(dotD(cv, cv)))) }
+          .sortBy { case (cid, sim) => (-sim, cid) }.take(4)
+          .map(_._1).toSet
+        stored.filter(c => probed.contains(c._3) && c._1 != qid)
+          .map { case (vid, cs, _) =>
+            val rv = cs.zipWithIndex
+              .flatMap { case (cid, sub) => books((sub, cid)) }.toArray
+            (vid, dotD(qv, qv) - 2.0 * dotD(qv, rv) + dotD(rv, rv))
+          }
+          .sortBy { case (vid, d) => (d, vid) }.take(50)
+          .map { case (vid, _) =>
+            val v = raw(vid)
+            (vid, dotD(qv, qv) - 2.0 * dotD(qv, v) + dotD(v, v))
+          }
+          .sortBy { case (vid, de) => (de, vid) }.take(10).zipWithIndex
+          .map { case ((vid, _), i) => (qid, i + 1, vid) }
+      }.toSet
+      val served = Similarity.ivfPqKnnIndexed(q, "vec_id", "embedding",
+        dir, rerank = Some(e), nprobe = 4)
+      val got = served.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == expected,
+        s"pruned serve diverges: extra=${got.diff(expected).take(3)} " +
+          s"missing=${expected.diff(got).take(3)}")
+      // The codes scan must partition-prune to the probed list ids —
+      // the fix for pqKnnIndexed's O(corpus)-per-probe reconstruction.
+      val plan = served.queryExecution.executedPlan.toString
+      assert("codes].*PartitionFilters: \\[_cid".r.findFirstIn(plan).isDefined,
+        s"codes scan is not partition-pruned:\n$plan")
+      // Codes-only mode (no rerank): ranks come straight from the ADC
+      // shortlist ordering.
+      val adcOnly = Similarity.ivfPqKnnIndexed(q, "vec_id", "embedding",
+        dir, rerank = None, k = 5, nprobe = 4).collect()
+      assert(adcOnly.nonEmpty && adcOnly.forall(_.getInt(1) <= 5))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("IVF+PQ shard ingest: frozen books, replayed shard is a no-op") {
+    val e = graft.Tables.t(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_shard").toString
+    try {
+      val seed = e.filter(col("vec_id") % 2 === 0)
+      Similarity.writeIvfPqIndex(seed, "vec_id", "embedding", dir,
+        centroidEvery = 8, pqCentroidEvery = 8)
+      val baseCodes = spark.read.parquet(s"$dir/codes")
+      // writeIvfPqIndex lands codes unsharded; re-land the base as
+      // batch_id=0 so the stream form can extend it (static overwrite).
+      val base = graft.Checkpoints.cutEager(
+        baseCodes.withColumn("batch_id", lit(0L)))
+      base.write.mode("overwrite").partitionBy("batch_id", "_cid")
+        .parquet(s"$dir/codes")
+      val batch = e.filter(col("vec_id") % 2 =!= 0)
+      Similarity.writeIvfPqShard(batch, "vec_id", "embedding", dir,
+        batchId = 1L)
+      val n1 = spark.read.parquet(s"$dir/codes").count()
+      assert(n1 == e.count(), s"codes rows $n1 != corpus ${e.count()}")
+      // Replay batch 1: dynamic overwrite of its own shard — no growth,
+      // bit-identical rows.
+      val before = spark.read.parquet(s"$dir/codes")
+        .collect().map(_.toString).sorted.toSeq
+      Similarity.writeIvfPqShard(batch, "vec_id", "embedding", dir,
+        batchId = 1L)
+      val after = spark.read.parquet(s"$dir/codes")
+        .collect().map(_.toString).sorted.toSeq
+      assert(after == before, "replayed shard changed the codes table")
+      // Frozen books: a duplicate vector encodes to its original's codes.
+      val dup = e.filter(col("vec_id") === 2)
+        .withColumn("vec_id", lit(9002L))
+      Similarity.writeIvfPqShard(dup, "vec_id", "embedding", dir,
+        batchId = 2L)
+      val codes = spark.read.parquet(s"$dir/codes")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      assert(codes(9002L) == codes(2L),
+        "frozen codebook must re-sign identically")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("embedding near-dup: bucket-join candidates, no all-pairs join") {
     val df = LlmQueries.queries("q42_embedding_neardup")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
@@ -1756,6 +1869,65 @@ class LlmSpec extends SparkSpec {
           .find(_.contains("PartitionFilters: [")).getOrElse(""))
       assert(scanLine.contains("_tb"),
         s"postings scan has no _tb partition filter:\n$plan")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("search index lifecycle: upsert re-ingestion serves the CURRENT " +
+    "doc versions bit-equal to a fresh scan; replay idempotent; " +
+    "compaction preserves serving and collapses shards") {
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" < 400)
+    val dir = java.nio.file.Files.createTempDirectory("searchlife").toString
+    val terms = Seq("spark", "merge", "vector")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def serve() = rows(Corpus.bm25FromIndex(spark, dir, "doc_id", terms,
+      topK = 10, buckets = 8))
+    def scanOf(cur: org.apache.spark.sql.DataFrame) =
+      rows(Corpus.bm25TopK(cur, "doc_id", "text", terms, topK = 10))
+    try {
+      Corpus.upsertSearchIndexShard(docs.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", dir, batchId = 0L, buckets = 8)
+      Corpus.upsertSearchIndexShard(docs.filter($"doc_id" % 2 =!= 0),
+        "doc_id", "text", dir, batchId = 1L, buckets = 8)
+      assert(serve() == scanOf(docs), "two-shard build diverged from scan")
+      // Re-ingest every 10th doc with CHANGED text (a re-crawl): the
+      // upsert must retire the old postings/stats/ownership, so the
+      // serve equals a fresh scan of the CURRENT versions — the drift
+      // the plain shard write silently accumulates.
+      val mod = docs.filter($"doc_id" % 10 === 0)
+        .withColumn("text", concat($"text", lit(" merge merge vector")))
+      Corpus.upsertSearchIndexShard(mod, "doc_id", "text", dir,
+        batchId = 2L, buckets = 8)
+      val cur1 = docs.filter($"doc_id" % 10 =!= 0).unionByName(mod)
+      val served1 = serve()
+      assert(served1 == scanOf(cur1),
+        "re-ingest left stale postings live (df/N double-count)")
+      // At-least-once replay of the upsert batch: self-collisions are
+      // excluded and the shard overwrites itself — a no-op.
+      Corpus.upsertSearchIndexShard(mod, "doc_id", "text", dir,
+        batchId = 2L, buckets = 8)
+      assert(serve() == served1, "replayed upsert batch changed serving")
+      // Compaction folds the shards; serving is bit-stable and the
+      // stats table collapses to one base partition.
+      Corpus.compactSearchIndex(spark, dir)
+      assert(serve() == served1, "compaction changed serving")
+      def parts(p: String) = new java.io.File(p).listFiles.toSeq
+        .map(_.getName).filter(_.startsWith("batch_id="))
+      assert(parts(s"$dir/stats") == Seq("batch_id=-4"),
+        s"stats did not collapse: ${parts(s"$dir/stats")}")
+      assert(parts(s"$dir/postings") == Seq("batch_id=-4"))
+      // Upsert AGAINST THE BASE: a post-compaction re-crawl touches the
+      // folded shard and must retire copies inside it.
+      val mod2 = docs.filter($"doc_id" % 10 === 1)
+        .withColumn("text", concat($"text", lit(" spark spark")))
+      Corpus.upsertSearchIndexShard(mod2, "doc_id", "text", dir,
+        batchId = 3L, buckets = 8)
+      val cur2 = cur1.filter($"doc_id" % 10 =!= 1).unionByName(mod2)
+      assert(serve() == scanOf(cur2),
+        "post-compaction upsert left stale copies in the base shard")
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }

@@ -1265,4 +1265,154 @@ class MediaStreamSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
     }
   }
+
+  private def batchDirs(path: String): Seq[String] =
+    new java.io.File(path).listFiles.toSeq.map(_.getName)
+      .filter(_.startsWith("batch_id="))
+
+  test("shard compaction: cms base fold bit-identical; replayed " +
+    "pre-horizon shard dropped; partition count collapses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cmscompact").toString
+    try {
+      val bs = Seq(
+        (1 to 40).map(i => (i % 11).toLong),
+        (20 to 90).map(i => (i % 11).toLong),
+        (5 to 55).map(i => (i % 7).toLong))
+      bs.zipWithIndex.foreach { case (b, i) =>
+        graft.streaming.EventsStream.writeHistShard(
+          graft.llm.Corpus.cmsBuild(b.toDF("key"), "key",
+            depth = 3, width = 16), batchId = i.toLong, dir = s"$dir/idx")
+      }
+      def cells() = graft.streaming.EventsStream
+        .cmsFromShards(spark, s"$dir/idx").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val exp = cells()
+      assert(batchDirs(s"$dir/idx").size == 3)
+      graft.streaming.EventsStream.compactCmsIndex(spark, s"$dir/idx")
+      assert(cells() == exp, "compacted CMS diverges from the shard sum")
+      assert(batchDirs(s"$dir/idx") == Seq("batch_id=-4"),
+        s"fold did not collapse: ${batchDirs(s"$dir/idx")}")
+      // At-least-once replay of a PRE-HORIZON batch: its partition
+      // re-lands (the sink is untouched) but the live view drops it —
+      // the marker upgrades "overwrite yourself" to "or be ignored".
+      graft.streaming.EventsStream.writeHistShard(
+        graft.llm.Corpus.cmsBuild(bs(1).toDF("key"), "key",
+          depth = 3, width = 16), batchId = 1L, dir = s"$dir/idx")
+      assert(batchDirs(s"$dir/idx").size == 2)
+      assert(cells() == exp, "replayed pre-horizon shard double-counted")
+      // A genuinely NEW batch keeps counting.
+      val b3 = (100 to 160).map(i => (i % 13).toLong)
+      graft.streaming.EventsStream.writeHistShard(
+        graft.llm.Corpus.cmsBuild(b3.toDF("key"), "key",
+          depth = 3, width = 16), batchId = 3L, dir = s"$dir/idx")
+      val exp4 = graft.llm.Corpus.cmsBuild(
+        (bs.flatten ++ b3).toDF("key"), "key", depth = 3, width = 16)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(cells() == exp4)
+      // Second compaction folds base + new shard, sweeps the dead
+      // replayed partition, and stays bit-identical.
+      graft.streaming.EventsStream.compactCmsIndex(spark, s"$dir/idx")
+      assert(cells() == exp4)
+      assert(batchDirs(s"$dir/idx") == Seq("batch_id=-5"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("shard compaction: quantile (global + grouped) folds through the " +
+    "deterministic recompaction; weights preserved") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("qcompact").toString
+    try {
+      val bs = Seq(
+        (1 to 60).map(i => (i.toLong, (i * 37L) % 101)),
+        (61 to 140).map(i => (i.toLong, (i * 53L) % 101)),
+        (141 to 200).map(i => (i.toLong, (i * 11L) % 101)))
+      bs.zipWithIndex.foreach { case (b, i) =>
+        graft.streaming.EventsStream.writeHistShard(
+          graft.operators.RelationalQueries.quantileSketch(
+            b.toDF("id", "v0"), "id", "v0", 4, 8),
+          batchId = i.toLong, dir = s"$dir/g")
+      }
+      def bag(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).groupBy(identity)
+        .view.mapValues(_.size).toMap
+      val merged = graft.streaming.EventsStream
+        .quantileFromShards(spark, s"$dir/g")
+      // The expected base = the SAME deterministic recompaction applied
+      // to the merged bag in memory.
+      val expBase = bag(graft.operators.RelationalQueries
+        .compactQuantileSketch(merged, capacity = 16))
+      graft.streaming.EventsStream
+        .compactQuantileIndexShards(spark, s"$dir/g", capacity = 16)
+      assert(bag(graft.streaming.EventsStream
+        .quantileFromShards(spark, s"$dir/g")) == expBase)
+      // Total weight (row count) survives compaction exactly.
+      val wSum = graft.streaming.EventsStream
+        .quantileFromShards(spark, s"$dir/g")
+        .agg(sum(col("w"))).collect()(0).getLong(0)
+      assert(wSum == bs.map(_.size).sum)
+      // Grouped form: per-key recompaction, per-key weights exact.
+      val kb = bs.map(_.map { case (id, v) => (id % 3, id, v) })
+      kb.zipWithIndex.foreach { case (b, i) =>
+        graft.streaming.EventsStream.writeHistShard(
+          graft.operators.RelationalQueries.quantileSketchByKey(
+            b.toDF("k", "id", "v0"), "k", "id", "v0", 4, 8),
+          batchId = i.toLong, dir = s"$dir/k")
+      }
+      val mergedK = graft.streaming.EventsStream
+        .groupedQuantileFromShards(spark, s"$dir/k", "k")
+      def kbag(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val expK = kbag(graft.operators.RelationalQueries
+        .compactQuantileSketchByKey(mergedK, "k", capacity = 16))
+      graft.streaming.EventsStream
+        .compactGroupedQuantileIndexShards(spark, s"$dir/k", "k",
+          capacity = 16)
+      assert(kbag(graft.streaming.EventsStream
+        .groupedQuantileFromShards(spark, s"$dir/k", "k")) == expK)
+      val perKey = graft.streaming.EventsStream
+        .groupedQuantileFromShards(spark, s"$dir/k", "k")
+        .groupBy(col("k")).agg(sum(col("w")).as("w")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expPerKey = kb.flatten.groupBy(_._1)
+        .view.mapValues(_.size.toLong).toMap
+      assert(perKey == expPerKey, "per-key weights drifted in compaction")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("shard compaction: stream-built IVF lists serve identically " +
+    "after the fold; replayed pre-horizon shard dropped") {
+    import spark.implicits._
+    val S = graft.llm.Similarity
+    val e = graft.Tables.t(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivfcompact").toString
+    try {
+      S.writeIvfCentroids(e, "vec_id", "embedding", dir, centroidEvery = 8)
+      val b0 = e.filter(col("vec_id") % 2 === 0)
+      val b1 = e.filter(col("vec_id") % 2 =!= 0)
+      S.writeIvfShard(b0, "vec_id", "embedding", dir, batchId = 0L)
+      S.writeIvfShard(b1, "vec_id", "embedding", dir, batchId = 1L)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      def serve() = S.ivfKnnIndexed(q, "vec_id", "embedding", dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val before = serve()
+      S.compactIvfShards(spark, dir)
+      assert(serve() == before, "compacted IVF lists serve differently")
+      assert(batchDirs(s"$dir/lists") == Seq("batch_id=-3"))
+      // Replayed pre-horizon batch re-lands, read-side drops it: row
+      // count through the live view stays |corpus|.
+      S.writeIvfShard(b1, "vec_id", "embedding", dir, batchId = 1L)
+      assert(serve() == before, "replayed shard changed serving")
+      assert(graft.sources.ShardStore.live(spark, s"$dir/lists").count()
+        == e.count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
