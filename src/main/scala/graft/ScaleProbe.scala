@@ -126,7 +126,15 @@ object ScaleProbe {
       "q214_grouped_quantiles", "q215_bloom_decontam",
       // q216 is two q214-class sketch passes + a map-only score; q217
       // is one (stratum, bucket)-keyed rank + a broadcast offset join.
-      "q216_robust_anomalies", "q217_kfold_assign")
+      "q216_robust_anomalies", "q217_kfold_assign",
+      // Round-15 additions: q218 times the IVF+PQ index BUILD (sign
+      // once: centroids + codebook + partitioned codes — the corpus
+      // scans) plus the pruned serve on its first touch of each dir;
+      // q219/q220 are one/two predicate-sliced scans + a union/anti;
+      // q222 is the statGraph derivation + one hash aggregate + a
+      // 25-row sort.
+      "q218_ivfpq_indexed", "q219_sparql_union", "q220_sparql_minus",
+      "q222_sparql_modifiers")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -185,7 +193,11 @@ object ScaleProbe {
       "q209_bloom_index" -> "orders",
       "q213_quantile_normalize" -> "events",
       "q214_grouped_quantiles" -> "events",
-      "q216_robust_anomalies" -> "events").withDefault(_ => "documents")
+      "q216_robust_anomalies" -> "events",
+      "q218_ivfpq_indexed" -> "embeddings",
+      "q219_sparql_union" -> "customer",
+      "q220_sparql_minus" -> "customer",
+      "q222_sparql_modifiers" -> "customer").withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet ++
       // q209 reads customer alongside orders — replicate both.
       (if (probes.contains("q209_bloom_index")) Set("customer") else Set())

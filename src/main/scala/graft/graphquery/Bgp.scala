@@ -106,6 +106,18 @@ object Bgp {
       .distinct()
   }
 
+  /** Zero-or-one path p? : the p edges plus the zero-length (n, n) pair
+    * for every term of the queried graph — [[pathStar]]'s reflexive row
+    * without the fixpoint (SPARQL 1.1 ZeroOrOnePath; set semantics).
+    * One predicate-filtered scan + one distinct over graph terms. */
+  def pathZeroOrOne(t: DataFrame, p: String, as: String): DataFrame = {
+    val nodes = t.select(col("s"))
+      .unionByName(t.select(col("o").as("s"))).distinct()
+    t.filter(col("p") === p).select(col("s"), col("o").as(as))
+      .unionByName(nodes.select(col("s"), col("s").as(as)))
+      .distinct()
+  }
+
   /** Transitive path p+ : all (s, o) with a directed p-path of length ≥ 1
     * — the SPARQL property-path operator Spark has no built-in for, as a
     * distributed fixpoint.

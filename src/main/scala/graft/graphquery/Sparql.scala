@@ -70,6 +70,15 @@ object Sparql {
   final case class NotExists(inner: Seq[Pattern]) extends Pattern
   final case class Values(vars: Seq[String], rows: Seq[Seq[Option[Term]]]) extends Pattern
   final case class SubSelect(q: Query) extends Pattern
+  /** `{A} UNION {B} [UNION {C}…]`: the BAG union of the groups'
+    * solution multisets (SPARQL 1.1 §9.1 Union), variables absent on a
+    * branch unbound there. */
+  final case class Union(groups: Seq[Seq[Pattern]]) extends Pattern
+  /** `MINUS {B}`: remove solutions compatible with a B solution that
+    * SHARES at least one bound variable; with no shared variables
+    * nothing is removed (the spec's disjoint-domain rule — the
+    * difference from FILTER NOT EXISTS). */
+  final case class Minus(inner: Seq[Pattern]) extends Pattern
 
   sealed trait Expr
   final case class LangMatchesE(v: String, range: String) extends Expr
@@ -80,10 +89,18 @@ object Sparql {
   final case class ProjVar(name: String) extends ProjElem
   final case class ProjCount(of: Option[String], distinct: Boolean,
                              as: String) extends ProjElem
+  /** SUM/MIN/MAX/AVG/GROUP_CONCAT/SAMPLE aggregate projection.
+    * Documented deterministic choices (SPARQL leaves both open):
+    * GROUP_CONCAT concatenates in LEXICAL order of the values; SAMPLE
+    * is the lexical minimum — both replayable by any engine. */
+  final case class ProjAgg(fn: String, of: String, distinct: Boolean,
+                           as: String, sep: String = " ") extends ProjElem
 
   final case class Query(distinct: Boolean, star: Boolean,
                          proj: Seq[ProjElem], where: Seq[Pattern],
-                         groupBy: Seq[String], limit: Option[Int])
+                         groupBy: Seq[String], limit: Option[Int],
+                         orderBy: Seq[(String, Boolean)] = Nil,
+                         offset: Option[Int] = None)
 
   /** CONSTRUCT query: a triple template instantiated once per WHERE
     * solution. LIMIT (when present) bounds the solution sequence before
@@ -301,37 +318,95 @@ object Sparql {
         case Some(TPunct("*")) => next(); star = true
         case Some(TVar(v)) => next(); proj += ProjVar(v)
         case Some(TPunct("(")) =>
-          next(); eatWord("COUNT"); eatPunct("(")
-          val dist = tryWord("DISTINCT")
-          val of = peek match {
-            case Some(TVar(v)) => next(); Some(v)
-            case Some(TPunct("*")) => next(); None
-            case other => sys.error(s"expected ?var or * in COUNT, got $other")
+          next()
+          val fn = next() match {
+            case TWord(w) => w.toUpperCase
+            case other => sys.error(s"expected aggregate name, got $other")
           }
-          eatPunct(")"); eatWord("AS")
-          val as = next() match {
-            case TVar(v) => v
-            case other => sys.error(s"expected ?var after AS, got $other")
+          eatPunct("(")
+          val dist = tryWord("DISTINCT")
+          fn match {
+            case "COUNT" =>
+              val of = peek match {
+                case Some(TVar(v)) => next(); Some(v)
+                case Some(TPunct("*")) => next(); None
+                case other => sys.error(s"expected ?var or * in COUNT, got $other")
+              }
+              eatPunct(")"); eatWord("AS")
+              proj += ProjCount(of, dist, parseAsVar())
+            case "SUM" | "MIN" | "MAX" | "AVG" | "SAMPLE" =>
+              val of = next() match {
+                case TVar(v) => v
+                case other => sys.error(s"expected ?var in $fn, got $other")
+              }
+              eatPunct(")"); eatWord("AS")
+              proj += ProjAgg(fn, of, dist, parseAsVar())
+            case "GROUP_CONCAT" =>
+              val of = next() match {
+                case TVar(v) => v
+                case other => sys.error(s"expected ?var in GROUP_CONCAT, got $other")
+              }
+              val sep = if (tryPunct(";")) {
+                eatWord("SEPARATOR"); eatPunct("=")
+                next() match {
+                  case TStr(s) => s
+                  case other => sys.error(s"expected separator string, got $other")
+                }
+              } else " "
+              eatPunct(")"); eatWord("AS")
+              proj += ProjAgg(fn, of, dist, parseAsVar(), sep)
+            case other => sys.error(s"unsupported aggregate $other")
           }
           eatPunct(")")
-          proj += ProjCount(of, dist, as)
         case _ => done = true
       }
       eatWord("WHERE")
       val where = parseGroup()
       var groupBy = Seq.empty[String]
       var limit = Option.empty[Int]
+      var offset = Option.empty[Int]
+      var orderBy = Seq.empty[(String, Boolean)]
+      def num(after: String): Int = next() match {
+        case TNum(s) => s.toInt
+        case other => sys.error(s"expected number after $after, got $other")
+      }
       var more = true
       while (more) {
         if (tryWord("GROUP")) { eatWord("BY"); groupBy = parseVarList() }
         else if (tryWord("GROUPBY")) groupBy = parseVarList()
-        else if (tryWord("LIMIT")) limit = Some(next() match {
-          case TNum(s) => s.toInt
-          case other => sys.error(s"expected number after LIMIT, got $other")
-        })
+        else if (tryWord("ORDER")) { eatWord("BY"); orderBy = parseOrderConds() }
+        else if (tryWord("LIMIT")) limit = Some(num("LIMIT"))
+        else if (tryWord("OFFSET")) offset = Some(num("OFFSET"))
         else more = false
       }
-      Query(distinct, star, proj.result(), where, groupBy, limit)
+      Query(distinct, star, proj.result(), where, groupBy, limit,
+        orderBy, offset)
+    }
+
+    private def parseAsVar(): String = next() match {
+      case TVar(v) => v
+      case other => sys.error(s"expected ?var after AS, got $other")
+    }
+
+    /** `ORDER BY (ASC(?v) | DESC(?v) | ?v)+` — true = ascending. */
+    private def parseOrderConds(): Seq[(String, Boolean)] = {
+      val out = Seq.newBuilder[(String, Boolean)]
+      var more = true
+      while (more) peek match {
+        case Some(TVar(v)) if v.nonEmpty => next(); out += ((v, true))
+        case Some(t) if isWord(t, "ASC") || isWord(t, "DESC") =>
+          val asc = isWord(t, "ASC"); next(); eatPunct("(")
+          val v = next() match {
+            case TVar(x) => x
+            case other => sys.error(s"expected ?var in ASC/DESC, got $other")
+          }
+          eatPunct(")")
+          out += ((v, asc))
+        case _ => more = false
+      }
+      val r = out.result()
+      require(r.nonEmpty, "ORDER BY with no conditions")
+      r
     }
 
     private def parseVarList(): Seq[String] = {
@@ -364,13 +439,25 @@ object Sparql {
             pats += Bind(term, as)
           case Some(t) if isWord(t, "VALUES") =>
             next(); pats += parseValues()
+          case Some(t) if isWord(t, "MINUS") =>
+            next(); pats += Minus(parseGroup())
           case Some(TPunct("{")) =>
-            // Subselect `{ SELECT … }` or an inline group (spliced).
+            // Subselect `{ SELECT … }`, a `{A} UNION {B}` chain, or an
+            // inline group (spliced).
             val save = pos
             next()
             if (peek.exists(isWord(_, "SELECT"))) {
               val q = parseSelect(); eatPunct("}"); pats += SubSelect(q)
-            } else { pos = save; pats ++= parseGroup() }
+            } else {
+              pos = save
+              val first = parseGroup()
+              if (peek.exists(isWord(_, "UNION"))) {
+                val gs = Seq.newBuilder[Seq[Pattern]]
+                gs += first
+                while (tryWord("UNION")) gs += parseGroup()
+                pats += Union(gs.result())
+              } else pats ++= first
+            }
           case _ =>
             pats ++= parseTriplesSameSubject()
         }
@@ -492,8 +579,13 @@ object Sparql {
           case t if isWord(t, "a") => RdfType
           case other => sys.error(s"expected predicate IRI, got $other")
         }
+        // `p?` tokenizes as an empty-named variable (the tokenizer's
+        // ?name rule) — unambiguous here: a bare `?` is not legal
+        // SPARQL anywhere a modifier can appear.
         val mod = if (tryPunct("+")) '+'
-          else if (tryPunct("*")) '*' else ' '
+          else if (tryPunct("*")) '*'
+          else if (peek.contains(TVar(""))) { next(); '?' }
+          else ' '
         steps += Step(iri, inv, mod)
         more = tryPunct("/")
       }
@@ -501,8 +593,10 @@ object Sparql {
     }
 
     private def parseVerb(): Verb = peek match {
-      case Some(TVar(v)) => next(); PVar(v)
-      case Some(t) if isWord(t, "a") => next(); Path(Seq(Step(RdfType, inverse = false)))
+      case Some(TVar(v)) if v.nonEmpty => next(); PVar(v)
+      // No leading-`a` shortcut: parseStepSeq already maps the word to
+      // rdf:type and parses modifiers/sequence uniformly, so
+      // `a/rdfs:subClassOf*`, `a+` and `a|<p>` all work (ADVICE r14).
       case _ =>
         val first = parseStepSeq()
         if (peek.contains(TPunct("|"))) {
@@ -697,10 +791,19 @@ object Sparql {
 
   private def compileQuery(q: Query, triples: DataFrame): DataFrame = {
     var df = compileGroup(q.where, triples)
-    // Aggregation (COUNT projections) — one hash aggregate.
-    val counts = q.proj.collect { case c: ProjCount => c }
-    if (counts.nonEmpty || q.groupBy.nonEmpty) {
-      val aggs = counts.map {
+    // Aggregation (COUNT/SUM/MIN/MAX/AVG/GROUP_CONCAT/SAMPLE
+    // projections) — one hash aggregate. Numeric aggregates cast the
+    // lexical binding to double (non-numeric values null out, which
+    // SQL aggregation skips — SPARQL's type-error-drops-row rule);
+    // GROUP_CONCAT is deterministic by construction (values in lexical
+    // order — SPARQL leaves the order open), SAMPLE is the lexical
+    // minimum for the same reason.
+    val hasAgg = q.proj.exists {
+      case _: ProjCount | _: ProjAgg => true
+      case _ => false
+    }
+    if (hasAgg || q.groupBy.nonEmpty) {
+      val aggs = q.proj.collect {
         case ProjCount(Some(v), true, as) => countDistinct(col(v)).as(as)
         case ProjCount(Some(v), false, as) => count(col(v)).as(as)
         // COUNT(DISTINCT *) = distinct solution MAPPINGS: countDistinct
@@ -711,15 +814,39 @@ object Sparql {
           countDistinct(struct(df.columns.filterNot(isHidden)
             .map(col).toIndexedSeq: _*)).as(as)
         case ProjCount(None, false, as) => count(lit(1)).as(as)
+        case ProjAgg("SUM", v, dist, as, _) =>
+          (if (dist) sum_distinct(col(v).cast("double"))
+           else sum(col(v).cast("double"))).as(as)
+        case ProjAgg("AVG", v, dist, as, _) =>
+          (if (dist) sum_distinct(col(v).cast("double")) /
+             countDistinct(col(v).cast("double"))
+           else avg(col(v).cast("double"))).as(as)
+        case ProjAgg("MIN", v, _, as, _) => min(col(v)).as(as)
+        case ProjAgg("MAX", v, _, as, _) => max(col(v)).as(as)
+        case ProjAgg("SAMPLE", v, _, as, _) => min(col(v)).as(as)
+        case ProjAgg("GROUP_CONCAT", v, dist, as, sep) =>
+          concat_ws(sep, array_sort(
+            if (dist) collect_set(col(v)) else collect_list(col(v)))).as(as)
       }
       require(aggs.nonEmpty, "GROUP BY without an aggregate projection")
       df = df.groupBy(q.groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
     }
     val projCols: Seq[String] =
       if (q.star) df.columns.toSeq.filterNot(isHidden)
-      else q.proj.map { case ProjVar(v) => v; case ProjCount(_, _, as) => as }
+      else q.proj.map {
+        case ProjVar(v) => v
+        case ProjCount(_, _, as) => as
+        case ProjAgg(_, _, _, as, _) => as
+      }
     var out = df.select(projCols.map(col): _*)
     if (q.distinct) out = out.distinct()
+    // Solution modifiers in SPARQL algebra order: ORDER BY, then
+    // OFFSET skips, then LIMIT takes. Ties within equal sort keys are
+    // engine-order — give a total order when composing with a slice.
+    if (q.orderBy.nonEmpty)
+      out = out.orderBy(q.orderBy.map { case (v, asc) =>
+        if (asc) col(v).asc else col(v).desc }: _*)
+    q.offset.foreach(n => out = out.offset(n))
     q.limit.foreach(n => out = out.limit(n))
     out
   }
@@ -732,6 +859,7 @@ object Sparql {
     var acc: Option[DataFrame] = None
     val filters = Seq.newBuilder[Expr]
     val antis = Seq.newBuilder[Seq[Pattern]]
+    val minuses = Seq.newBuilder[Seq[Pattern]]
     pats.foreach {
       case t: Triple => acc = Some(merge(acc, tripleDf(t, triples)))
       case Values(vars, rows) => acc = Some(mergeValues(acc, vars, rows, triples))
@@ -749,8 +877,10 @@ object Sparql {
           d.withColumn(f, coalesce(col(f), lit(false)))
         })
       case SubSelect(sub) => acc = Some(merge(acc, compileQuery(sub, triples)))
+      case Union(groups) => acc = Some(merge(acc, unionGroups(groups, triples)))
       case Filter(e) => filters += e
       case NotExists(inner) => antis += inner
+      case Minus(inner) => minuses += inner
     }
     var df = acc.getOrElse(sys.error("empty group pattern"))
     filters.result().foreach(e => df = df.filter(exprCol(e, df)))
@@ -761,7 +891,33 @@ object Sparql {
       require(shared.nonEmpty, "NOT EXISTS shares no variable with the group")
       df = df.join(ex.select(shared.map(col): _*), shared, "left_anti")
     }
+    minuses.result().foreach { inner =>
+      val ex = compileGroup(inner, triples)
+      val shared = df.columns.toSet
+        .intersect(ex.columns.filterNot(isMeta).toSet).toSeq
+      // Spec rule (§8.3): a MINUS solution with NO shared variable
+      // removes nothing — the defined difference from NOT EXISTS.
+      if (shared.nonEmpty)
+        df = df.join(ex.select(shared.map(col): _*), shared, "left_anti")
+    }
     df
+  }
+
+  /** `{A} UNION {B}…`: each group compiles to its own plan; branches
+    * pad variables the other branches bind (unbound = null, boolean
+    * for IsIri metadata) and BAG-union — one `unionByName` of
+    * pushed-predicate plans, exactly [[altDf]]'s device generalized
+    * from path alternatives to full group patterns. */
+  private def unionGroups(groups: Seq[Seq[Pattern]],
+                          triples: DataFrame): DataFrame = {
+    val dfs = groups.map(g => compileGroup(g, triples))
+    val allCols = dfs.flatMap(_.columns).distinct
+    dfs.map { d =>
+      d.select(allCols.map(c =>
+        if (d.columns.contains(c)) col(c)
+        else if (c.endsWith(IsIriSuffix)) lit(null).cast("boolean").as(c)
+        else lit(null).cast("string").as(c)): _*)
+    }.reduce(_ unionByName _)
   }
 
   /** Merge a pattern DataFrame into the accumulated bindings: equi-join
@@ -800,17 +956,23 @@ object Sparql {
       case _ => sys.error("multi-step path must be pre-expanded")
     }
     var df = (p, mod) match {
-      // `p+` / `p*`: the [[Bgp.pathPlus]]/[[Bgp.pathStar]] distributed
-      // fixpoint (pointer doubling — O(log depth) self-join rounds),
+      // `p+` / `p*` / `p?`: the [[Bgp.pathPlus]]/[[Bgp.pathStar]]/
+      // [[Bgp.pathZeroOrOne]] distributed closures (pointer doubling —
+      // O(log depth) self-join rounds; `?` needs no fixpoint at all),
       // reshaped into the triple-table layout so every binding/filter
       // case below applies unchanged (inverse mods included: the
       // closure of ^p is the swap of the closure of p, which is exactly
-      // what the subjCol/objCol swap already does). Closure endpoints
-      // bind as IRI terms — lang/datatype metadata does not survive a
-      // transitive hop (FILTER LANGMATCHES over a closure-bound
-      // variable is out of scope, as in the reference corpus).
-      case (Some(iri), '+') => closureShape(Bgp.pathPlus(triples, iri, "o"), iri)
-      case (Some(iri), '*') => closureShape(Bgp.pathStar(triples, iri, "o"), iri)
+      // what the subjCol/objCol swap already does). Endpoint TERM
+      // metadata is restored from the graph's object-position rows
+      // (zero-length `*`/`?` pairs include literal terms — see
+      // [[closureShape]]); lang/datatype still do not survive a
+      // transitive hop of length ≥ 1 by RDF construction.
+      case (Some(iri), '+') =>
+        closureShape(Bgp.pathPlus(triples, iri, "o"), iri, triples)
+      case (Some(iri), '*') =>
+        closureShape(Bgp.pathStar(triples, iri, "o"), iri, triples)
+      case (Some(iri), '?') =>
+        closureShape(Bgp.pathZeroOrOne(triples, iri, "o"), iri, triples)
       case (Some(iri), _) => triples.filter(col("p") === iri)
       case (None, _) => triples
     }
@@ -864,15 +1026,34 @@ object Sparql {
     df.select(sels.result(): _*)
   }
 
-  /** A `p+`/`p*` closure re-shaped into the canonical triple-table
+  /** A `p+`/`p*`/`p?` closure re-shaped into the canonical triple-table
     * layout — (s, p, o, oIsIri, oLang, oDatatype) with the closure
     * pairs as (s, o) — so [[tripleDf]]'s binding and constant-filter
-    * logic applies to modified paths unchanged. */
-  private def closureShape(cl: DataFrame, iri: String): DataFrame =
-    cl.select(col("s"), lit(iri).as("p"), col("o"),
-      lit(true).as("oIsIri"),
-      lit(null).cast("string").as("oLang"),
-      lit(null).cast("string").as("oDatatype"))
+    * logic applies to modified paths unchanged.
+    *
+    * Endpoint metadata: zero-length pairs (and literal-valued p edges)
+    * can end at LITERAL terms, so stamping every endpoint as an IRI
+    * misclassifies them (r14 ADVICE). The endpoint joins the graph's
+    * object-position metadata by lexical form — one equi-join against a
+    * term-keyed aggregate of the triple table (unique key, so no row
+    * duplication); a term never seen in object position is a subject
+    * and hence an IRI. Caveat (documented, inherent to lexical keying):
+    * a lexical form used BOTH as an IRI and as a literal resolves to
+    * its IRI reading. */
+  private def closureShape(cl: DataFrame, iri: String,
+                           triples: DataFrame): DataFrame = {
+    val meta = triples
+      .select(col("o").as("_t"), col("oIsIri").as("_ii"),
+        col("oLang").as("_lg"), col("oDatatype").as("_dt"))
+      .groupBy(col("_t"))
+      .agg(max(struct(col("_ii"), col("_lg"), col("_dt"))).as("_m"))
+      .select(col("_t"), col("_m._ii").as("_ii"),
+        col("_m._lg").as("_lg"), col("_m._dt").as("_dt"))
+    cl.join(meta, cl("o") === meta("_t"), "left")
+      .select(cl("s"), lit(iri).as("p"), cl("o"),
+        coalesce(col("_ii"), lit(true)).as("oIsIri"),
+        col("_lg").as("oLang"), col("_dt").as("oDatatype"))
+  }
 
   /** Path alternation `a|b|…` (SPARQL 1.1 PathAlternative): each
     * alternative's step sequence compiles to its own little join plan

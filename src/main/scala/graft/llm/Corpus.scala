@@ -1377,10 +1377,9 @@ object Corpus {
     val merged = stored.unionByName(bsk).distinct()
       .withColumn("_r", row_number().over(w)).filter(col("_r") <= k)
       .drop("_r")
-    // ≤ k·|strata| rows; the eager cut also breaks the read→overwrite
-    // cycle on `dir`.
-    graft.Checkpoints.cutEager(merged)
-      .write.mode("overwrite").parquet(dir)
+    // ≤ k·|strata| rows; overwriteAtomic keeps a complete copy on disk
+    // at every instant (tmp-write + rename swap).
+    graft.sources.ShardStore.overwriteAtomic(merged, dir)
   }
 
   /** [[mergeKmvIndex]] that also handles the FIRST batch (no index on
@@ -1467,16 +1466,15 @@ object Corpus {
     * oracle). Addition is NOT idempotent — a replaying caller must
     * ledger batches or use the batch_id-sharded streaming form
     * ([[graft.streaming.EventsStream.cmsIndexSink]]). One aggregation
-    * over ≤ 2·depth·width rows; the eager cut breaks the
-    * read→overwrite cycle on `dir`. */
+    * over ≤ 2·depth·width rows; the tmp-write + rename swap keeps a
+    * complete copy on disk at every instant. */
   def mergeCmsIndex(batch: DataFrame, keyCol: String, dir: String,
                     depth: Int = 4, width: Int = 256,
                     salt: String = "cms"): Unit = {
     val stored = batch.sparkSession.read.parquet(dir)
     val merged = stored.unionByName(cmsBuild(batch, keyCol, depth, width, salt))
       .groupBy(col("r"), col("c")).agg(sum(col("n")).as("n"))
-    graft.Checkpoints.cutEager(merged)
-      .write.mode("overwrite").parquet(dir)
+    graft.sources.ShardStore.overwriteAtomic(merged, dir)
   }
 
   /** Bloom-filter SET-BIT table over a key column: each key sets k
@@ -1533,9 +1531,8 @@ object Corpus {
       val merged = stored
         .unionByName(bloomPositions(batch, keyCol, k, mBits, salt))
         .distinct()
-      // ≤ mBits rows; the eager cut breaks the read→overwrite cycle.
-      graft.Checkpoints.cutEager(merged)
-        .write.mode("overwrite").parquet(dir)
+      // ≤ mBits rows; tmp-write + rename swap — always a complete copy.
+      graft.sources.ShardStore.overwriteAtomic(merged, dir)
     } else writeBloomIndex(batch, keyCol, dir, k, mBits, salt)
   }
 

@@ -336,6 +336,16 @@ object Dedup {
         s"$base/shingles", buckets)
       writeBucketed(bandTable(hs), s"${prefix}_bands", Seq("_band", "_bh"),
         s"$base/bands", buckets)
+      // Persist the bucket count beside the data: a re-attach that
+      // declared a DIFFERENT count would produce a catalog bucket spec
+      // that no longer matches the files — and the zero-exchange band
+      // self-join would silently return wrong pairs (r14 ADVICE).
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$base/_buckets"), true)
+      try out.write(buckets.toString.getBytes("UTF-8"))
+      finally out.close()
     } finally hs.unpersist(false)
   }
 
@@ -369,10 +379,27 @@ object Dedup {
     * catalog does not survive JVMs; the parquet files do): re-issues the
     * external-table DDL over the existing files, schema read back from
     * the parquet footers. No-op when the tables are already registered.
+    *
+    * The bucket count is DERIVED from the index's own `_buckets` file
+    * when present (written by [[writeDedupIndex]]) — the `buckets`
+    * argument is only the fallback for pre-r15 indexes without one.
+    * Declaring a count the files were not written with would silently
+    * mis-bucket the zero-exchange band self-join.
     */
   def openDedupIndex(spark: SparkSession, prefix: String, buckets: Int = 32,
                      dir: Option[String] = None): Unit = {
     val base = indexBase(spark, prefix, dir)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$base/_buckets")
+    val stored =
+      if (!fs.exists(metaPath)) buckets
+      else {
+        val in = fs.open(metaPath)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          "UTF-8").trim.toInt
+        finally in.close()
+      }
     Seq((s"${prefix}_shingles", Seq("_id"), s"$base/shingles"),
       (s"${prefix}_bands", Seq("_band", "_bh"), s"$base/bands"))
       .foreach { case (table, keys, path) =>
@@ -381,7 +408,7 @@ object Dedup {
           spark.sql(s"CREATE TABLE `$table` (${schema.toDDL}) " +
             "USING PARQUET " +
             s"CLUSTERED BY (${keys.map(k => s"`$k`").mkString(", ")}) " +
-            s"INTO $buckets BUCKETS LOCATION '$path'")
+            s"INTO $stored BUCKETS LOCATION '$path'")
         }
       }
   }

@@ -35,6 +35,29 @@ object RdfQueries {
     edges.unionByName(names)
   }
 
+  /** The q222 fixture: per-customer triples whose numeric literal is
+    * integer-valued (`c_custkey % 97`, xsd:integer) — SUM/AVG over it
+    * are exact in double under ANY summation order, which is what lets
+    * the aggregate surface hash-match a DuckDB replay. */
+  private def statGraph(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val nullStr = lit(null).cast("string")
+    val cs = concat(lit("urn:c/"), c("c_custkey"))
+    c.select(explode(array(
+      struct(cs.as("s"), lit("urn:p/nation").as("p"),
+        concat(lit("urn:g/nation/"), c("c_nationkey")).as("o"),
+        lit(true).as("oIsIri"), nullStr.as("oLang"),
+        nullStr.as("oDatatype")),
+      struct(cs.as("s"), lit("urn:p/size").as("p"),
+        expr("CAST(c_custkey % 97 AS STRING)").as("o"),
+        lit(false).as("oIsIri"), nullStr.as("oLang"),
+        lit("http://www.w3.org/2001/XMLSchema#integer").as("oDatatype")),
+      struct(cs.as("s"), lit("urn:p/seg").as("p"),
+        c("c_mktsegment").as("o"), lit(false).as("oIsIri"),
+        nullStr.as("oLang"), nullStr.as("oDatatype")))).as("t"))
+      .select("t.*")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // K2: byte-faithful N-Triples rendering — IRIs, @lang, ^^datatype, and
     // literal escaping (quote, backslash, newline, tab) all exercised.
@@ -112,6 +135,72 @@ object RdfQueries {
         """SELECT ?x ?r WHERE {
           |  ?x <urn:p/inNation>/<urn:p/inRegion>|<urn:p/inRegion> ?r .
           |}""".stripMargin)
+    },
+
+    // Group UNION (SPARQL 1.1 §9.1, the most common group operator
+    // after OPTIONAL): each branch compiles to its own pushed-predicate
+    // plan, branch-disjoint variables pad unbound (null), solutions
+    // BAG-union — the q205 alternation device generalized from path
+    // alternatives to full group patterns. Oracle: explicit UNION ALL
+    // with NULL padding.
+    "q219_sparql_union" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(G.customers(s, dir),
+        """SELECT ?s ?nation ?vip WHERE {
+          |  { ?s <urn:p/inNation> ?nation . }
+          |  UNION
+          |  { ?s <urn:p/vip> ?vip . }
+          |}""".stripMargin)
+    },
+
+    // MINUS (SPARQL 1.1 §8.3): remove solutions compatible with the
+    // right group on their SHARED variables — an anti-join, with the
+    // spec's disjoint-domain no-op rule distinguishing it from FILTER
+    // NOT EXISTS. Oracle: ANTI JOIN on the vip subjects.
+    "q220_sparql_minus" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(G.customers(s, dir),
+        """SELECT ?s ?name WHERE {
+          |  ?s <urn:p/name> ?name .
+          |  MINUS { ?s <urn:p/vip> ?v . }
+          |}""".stripMargin)
+    },
+
+    // Zero-or-one path `p?` (SPARQL 1.1 ZeroOrOnePath): the p edges
+    // plus the reflexive pair for every graph term — pathStar's
+    // zero-length row without the fixpoint — here constrained by a
+    // type hop, so regions reach themselves and nations reach their
+    // region. Oracle: UNION of the edge set and the typed self-pairs.
+    "q221_sparql_zero_or_one" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(G.geo(s, dir),
+        """SELECT ?x ?r WHERE {
+          |  ?x <urn:p/inRegion>? ?r .
+          |  ?r a <urn:g/Region> .
+          |}""".stripMargin)
+    },
+
+    // Solution modifiers + the full aggregate surface (ORDER BY with
+    // ASC/DESC, OFFSET/LIMIT, SUM/AVG/MIN/MAX/GROUP_CONCAT/SAMPLE with
+    // GROUP BY): per-nation stats over a purpose-built graph whose
+    // numeric literal is INTEGER-valued (c_custkey % 97), so SUM/AVG
+    // in double are order-independent and hash-exact on both engines.
+    // Deterministic choices documented at [[graft.graphquery.Sparql]]:
+    // GROUP_CONCAT concatenates in lexical order, SAMPLE is the
+    // lexical minimum; the ORDER BY (n DESC, nation ASC) is a TOTAL
+    // order, making OFFSET 5 LIMIT 10 engine-independent.
+    "q222_sparql_modifiers" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(statGraph(s, dir),
+        """SELECT ?nation (COUNT(?s) AS ?n) (SUM(?sz) AS ?total_sz)
+          |  (AVG(?sz) AS ?avg_sz) (MIN(?seg) AS ?min_seg)
+          |  (MAX(?seg) AS ?max_seg)
+          |  (GROUP_CONCAT(DISTINCT ?seg; SEPARATOR=",") AS ?segs)
+          |  (SAMPLE(?seg) AS ?any_seg)
+          |WHERE {
+          |  ?s <urn:p/nation> ?nation .
+          |  ?s <urn:p/size> ?sz .
+          |  ?s <urn:p/seg> ?seg .
+          |}
+          |GROUP BY ?nation
+          |ORDER BY DESC(?n) ?nation
+          |OFFSET 5 LIMIT 10""".stripMargin)
     },
 
     // P9: VALUES with UNDEF — null-pattern split join
@@ -310,6 +399,52 @@ object RdfQueries {
         |  UNION ALL
         |  SELECT s AS x, o AS r FROM t WHERE p = 'urn:p/inRegion')""".stripMargin,
       "t" -> s"${G.sql.customers.drop(1).dropRight(1)} UNION ALL ${G.sql.geo.drop(1).dropRight(1)}"),
+    // q219: the two UNION branches as explicit NULL-padded UNION ALL
+    // (bag semantics; ?nation unbound on the vip branch and vice versa).
+    "q219_sparql_union" -> withTriples(
+      """SELECT s, o AS nation, CAST(NULL AS VARCHAR) AS vip
+        |FROM t WHERE p = 'urn:p/inNation'
+        |UNION ALL
+        |SELECT s, CAST(NULL AS VARCHAR) AS nation, o AS vip
+        |FROM t WHERE p = 'urn:p/vip'""".stripMargin,
+      "t" -> G.sql.customers),
+    // q220: MINUS = anti-join on the shared ?s.
+    "q220_sparql_minus" -> withTriples(
+      """SELECT s, o AS name FROM t
+        |WHERE p = 'urn:p/name'
+        |  AND s NOT IN (SELECT s FROM t WHERE p = 'urn:p/vip')""".stripMargin,
+      "t" -> G.sql.customers),
+    // q221: `p?` = the p edges UNION the zero-length self-pair of every
+    // graph term (set semantics), here filtered by the Region type hop.
+    "q221_sparql_zero_or_one" -> withTriples(
+      s"""SELECT pr.x, pr.r FROM (
+         |  SELECT s AS x, o AS r FROM t WHERE p = 'urn:p/inRegion'
+         |  UNION
+         |  SELECT n.t, n.t FROM (
+         |    SELECT s AS t FROM t UNION SELECT o FROM t) n) pr
+         |JOIN (SELECT s FROM t
+         |      WHERE p = '${G.T}' AND o = 'urn:g/Region') ty
+         |  ON pr.r = ty.s""".stripMargin,
+      "t" -> G.sql.geo),
+    // q222: the aggregate surface replayed — the statGraph derivation
+    // collapses to one row per customer (each property unique per s);
+    // GROUP_CONCAT's documented lexical order is
+    // list_sort(list_distinct(...)), SAMPLE's documented choice is MIN.
+    "q222_sparql_modifiers" ->
+      """WITH sol AS (
+        |  SELECT 'urn:c/' || c_custkey AS s,
+        |    'urn:g/nation/' || c_nationkey AS nation,
+        |    CAST(c_custkey % 97 AS DOUBLE) AS sz,
+        |    c_mktsegment AS seg
+        |  FROM customer),
+        |agg AS (
+        |  SELECT nation, COUNT(s) AS n, SUM(sz) AS total_sz,
+        |    AVG(sz) AS avg_sz, MIN(seg) AS min_seg, MAX(seg) AS max_seg,
+        |    array_to_string(list_sort(list_distinct(list(seg))), ',') AS segs,
+        |    MIN(seg) AS any_seg
+        |  FROM sol GROUP BY 1)
+        |SELECT nation, n, total_sz, avg_sz, min_seg, max_seg, segs, any_seg
+        |FROM agg ORDER BY n DESC, nation ASC LIMIT 10 OFFSET 5""".stripMargin,
     "q18_values_undef" -> withTriples(
       """SELECT s, segment, nation, matched_segment, matched_nation FROM (
         |  SELECT c.*, 'BUILDING' AS matched_segment,

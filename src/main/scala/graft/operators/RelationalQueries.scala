@@ -1585,14 +1585,13 @@ object RelationalQueries {
     * counts ADD, so unlike a sketch the merge is EXACT — the merged
     * index equals the from-scratch histogram of the concatenated data
     * bit for bit (q191's gate reuses q176's single-shot oracle). One
-    * aggregation over ≤2·|bins| rows; the eager cut breaks the
-    * read→overwrite cycle on `dir`. */
+    * aggregation over ≤2·|bins| rows; the tmp-write + rename swap keeps
+    * a complete copy on disk at every instant. */
   def mergeHistIndex(batchBins: DataFrame, dir: String): Unit = {
     val stored = batchBins.sparkSession.read.parquet(dir)
     val merged = stored.unionByName(batchBins)
       .groupBy(col("bin")).agg(sum(col("n")).as("n"))
-    graft.Checkpoints.cutEager(merged)
-      .write.mode("overwrite").parquet(dir)
+    graft.sources.ShardStore.overwriteAtomic(merged, dir)
   }
 
   /** Deterministic mergeable QUANTILE sketch (GK/KLL family) — the
@@ -1739,8 +1738,7 @@ object RelationalQueries {
     val stored = batchSketch.sparkSession.read.parquet(dir)
     val merged = stored.unionByName(batchSketch)
       .groupBy(col(keyCol), col("v")).agg(sum(col("w")).as("w"))
-    graft.Checkpoints.cutEager(merged)
-      .write.mode("overwrite").parquet(dir)
+    graft.sources.ShardStore.overwriteAtomic(merged, dir)
   }
 
   /** Persist a (v, w) quantile sketch — the sign-once index form for
@@ -1757,8 +1755,7 @@ object RelationalQueries {
     val stored = batchSketch.sparkSession.read.parquet(dir)
     val merged = stored.unionByName(batchSketch)
       .groupBy(col("v")).agg(sum(col("w")).as("w"))
-    graft.Checkpoints.cutEager(merged)
-      .write.mode("overwrite").parquet(dir)
+    graft.sources.ShardStore.overwriteAtomic(merged, dir)
   }
 
   /** Deterministic recompaction of a (v, w) sketch to ≤ `capacity` + 1

@@ -93,6 +93,32 @@ object ShardStore {
         n.stripPrefix("batch_id=").toLong }
   }
 
+  /** Overwrite a parquet index directory WITHOUT a window where the
+    * sole copy is half-deleted (the r14 ADVICE failure mode of the
+    * in-place merge forms: Spark's overwrite deletes `dir` first, so a
+    * crash mid-write — or an executor loss dropping localCheckpoint
+    * blocks — loses the accumulated index). The new content lands
+    * complete at `dir__tmp`, the old copy moves aside to `dir__old`,
+    * the new one renames in (both renames atomic on HDFS-like stores),
+    * and only then is the old copy deleted — at every instant at least
+    * one COMPLETE copy exists on disk, and a crash between the renames
+    * leaves both, recoverable by renaming either back. As a bonus the
+    * plan may read `dir` lazily while writing (the target differs), so
+    * callers no longer need an eager lineage cut before the write. */
+  def overwriteAtomic(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, dir)
+    val target = new Path(dir)
+    val tmp = new Path(dir + "__tmp")
+    val old = new Path(dir + "__old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(target)) fs.rename(target, old)
+    fs.rename(tmp, target)
+    fs.delete(old, true)
+  }
+
   /** Fold every live shard up to the current maximum batch id into one
     * base shard under the family's merge law, record the new horizon,
     * and drop the folded partitions. `fold` receives the live rows

@@ -675,6 +675,148 @@ class SparqlParserSpec extends SparkSpec {
       Seq("urn:x/a", "top"), Seq("urn:x/b", "top"), Seq("urn:x/c", "top")),
       s"got ${rows(parsed)}")
   }
+
+  // --------------------------------- group UNION / MINUS / p? / modifiers
+
+  test("group UNION: bag union with null padding for branch-disjoint " +
+    "variables, and UNION joins the surrounding group") {
+    val c = G.customers(spark, sf)
+    val parsed = Sparql.select(c,
+      """SELECT ?s ?nation ?vip WHERE {
+        |  { ?s <urn:p/inNation> ?nation . }
+        |  UNION
+        |  { ?s <urn:p/vip> ?vip . }
+        |}""".stripMargin)
+    def bag(df: DataFrame) = df.collect().toSeq.map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val nat = Bgp.pattern(c, "urn:p/inNation", "nation")
+      .select(col("s"), col("nation"), lit(null).cast("string").as("vip"))
+    val vip = Bgp.pattern(c, "urn:p/vip", "vip")
+      .select(col("s"), lit(null).cast("string").as("nation"), col("vip"))
+    assert(bag(parsed) == bag(nat.unionByName(vip)))
+    // UNION inside a larger group joins the other patterns on shared vars.
+    val joined = Sparql.select(c,
+      """SELECT ?s ?name ?vip WHERE {
+        |  { ?s <urn:p/vip> ?vip . } UNION { ?s <urn:p/vip> ?vip . }
+        |  ?s <urn:p/name> ?name .
+        |}""".stripMargin)
+    val vipNames = Bgp.pattern(c, "urn:p/vip", "vip")
+      .join(Bgp.pattern(c, "urn:p/name", "name"), "s")
+    assert(joined.count() == 2 * vipNames.count(),
+      "each branch contributes its full bag")
+  }
+
+  test("MINUS: anti-join on shared vars; disjoint-domain MINUS removes " +
+    "NOTHING (the spec rule distinguishing it from NOT EXISTS)") {
+    val c = G.customers(spark, sf)
+    val minus = Sparql.select(c,
+      """SELECT ?s ?name WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  MINUS { ?s <urn:p/vip> ?v . }
+        |}""".stripMargin)
+    val names = Bgp.pattern(c, "urn:p/name", "name")
+    val vips = Bgp.pattern(c, "urn:p/vip", "v").select(col("s"))
+    assert(rows(minus) == rows(names.join(vips, Seq("s"), "left_anti")))
+    // Disjoint domains: the MINUS group shares no variable → no-op.
+    val disjoint = Sparql.select(c,
+      """SELECT ?s ?name WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  MINUS { ?z <urn:p/vip> ?v . }
+        |}""".stripMargin)
+    assert(disjoint.count() == names.count(),
+      "disjoint-domain MINUS must remove nothing")
+  }
+
+  test("zero-or-one path p?: the edges plus every term's self-pair, " +
+    "no fixpoint") {
+    val parsed = Sparql.select(broaderGraph,
+      """PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        |SELECT ?s ?o WHERE { ?s skos:broader? ?o . }""".stripMargin)
+    val got = rows(parsed)
+    // One hop — but NOT the two-hop pair `+` would add.
+    assert(got.contains(Seq("urn:x/a", "urn:x/b")))
+    assert(!got.contains(Seq("urn:x/a", "urn:x/d")),
+      "p? must not close transitively")
+    // Zero-length pairs for every term, literals included.
+    assert(got.contains(Seq("top", "top")))
+    assert(got.contains(Seq("urn:x/d", "urn:x/d")))
+    assert(rows(parsed) == rows(Bgp.pathZeroOrOne(broaderGraph,
+      "http://www.w3.org/2004/02/skos/core#broader", "o")))
+  }
+
+  test("leading `a` composes with modifiers, sequences and alternation " +
+    "(the parseVerb shortcut r14 ADVICE flagged)") {
+    import spark.implicits._
+    val g = Seq(
+      ("urn:i/x", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "urn:t/A", true),
+      ("urn:t/A", "urn:p/sub", "urn:t/B", true),
+      ("urn:t/B", "urn:p/sub", "urn:t/C", true),
+      ("urn:i/x", "urn:p/label", "ex", false))
+      .toDF("s", "p", "o", "oIsIri")
+      .withColumn("oLang", lit(null).cast("string"))
+      .withColumn("oDatatype", lit(null).cast("string"))
+    // a/sub* — the rdfs "instance of any superclass" idiom.
+    val supers = Sparql.select(g,
+      "SELECT ?t WHERE { <urn:i/x> a/<urn:p/sub>* ?t . }")
+    assert(rows(supers).map(_.head).toSet
+      == Set("urn:t/A", "urn:t/B", "urn:t/C"))
+    // a|<p> alternation with a leading `a`.
+    val alt = Sparql.select(g,
+      "SELECT ?o WHERE { <urn:i/x> a|<urn:p/label> ?o . }")
+    assert(rows(alt).map(_.head).toSet == Set("urn:t/A", "ex"))
+    // Plain `a` still parses (the common case the shortcut served).
+    assert(rows(Sparql.select(g, "SELECT ?s WHERE { ?s a <urn:t/A> . }"))
+      == Set(Seq("urn:i/x")))
+  }
+
+  test("closure-bound endpoints carry real term metadata: a literal " +
+    "zero-length binding CONSTRUCTs as a literal, not an IRI") {
+    import spark.implicits._
+    val g = Seq(
+      ("urn:x/a", "urn:p/p", "top", false, "en", null),
+      ("urn:x/b", "urn:p/p", "urn:x/a", true, null, null))
+      .toDF("s", "p", "o", "oIsIri", "oLang", "oDatatype")
+    val out = Sparql.construct(g,
+      "CONSTRUCT { ?x <urn:p/q> ?y } WHERE { ?x <urn:p/p>* ?y . }")
+      .collect().map(r => (r.getString(0), r.getString(2),
+        r.getBoolean(3), Option(r.getString(4)))).toSet
+    // "top" is a literal@en wherever the closure binds it (edge target
+    // AND zero-length self-pair); the IRI-only terms stay IRIs.
+    assert(out.contains(("urn:x/a", "top", false, Some("en"))))
+    assert(out.contains(("top", "top", false, Some("en"))))
+    assert(out.contains(("urn:x/b", "urn:x/a", true, None)))
+    assert(out.contains(("urn:x/b", "top", false, Some("en"))),
+      "two-hop literal endpoint lost its metadata")
+  }
+
+  test("ORDER BY / OFFSET / LIMIT slice deterministically under a " +
+    "total order, and aggregates compute per group") {
+    import spark.implicits._
+    val g = Seq(
+      ("urn:i/1", "urn:p/k", "g1", "urn:i/1", "3"),
+      ("urn:i/2", "urn:p/k", "g1", "urn:i/2", "1"),
+      ("urn:i/3", "urn:p/k", "g2", "urn:i/3", "5"),
+      ("urn:i/4", "urn:p/k", "g2", "urn:i/4", "7"),
+      ("urn:i/5", "urn:p/k", "g3", "urn:i/5", "2"))
+      .flatMap { case (s, _, grp, _, v) =>
+        Seq((s, "urn:p/grp", grp, false), (s, "urn:p/v", v, false)) }
+      .toDF("s", "p", "o", "oIsIri")
+      .withColumn("oLang", lit(null).cast("string"))
+      .withColumn("oDatatype", lit(null).cast("string"))
+    val agg = Sparql.select(g,
+      """SELECT ?grp (SUM(?v) AS ?total) (AVG(?v) AS ?mean)
+        |  (GROUP_CONCAT(?v; SEPARATOR="|") AS ?vs) (SAMPLE(?v) AS ?one)
+        |WHERE { ?s <urn:p/grp> ?grp . ?s <urn:p/v> ?v . }
+        |GROUP BY ?grp
+        |ORDER BY DESC(?total) ?grp
+        |OFFSET 1 LIMIT 1""".stripMargin).collect()
+    // totals: g2=12, g1=4, g3=2 → offset 1 takes g1.
+    assert(agg.length == 1)
+    val r = agg(0)
+    assert(r.getString(0) == "g1" && r.getDouble(1) == 4.0 &&
+      r.getDouble(2) == 2.0 && r.getString(3) == "1|3" &&
+      r.getString(4) == "1", s"got ${r.toSeq}")
+  }
 }
 
 /** The verbatim MultiAttributeDimension attribute query text
