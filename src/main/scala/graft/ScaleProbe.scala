@@ -134,7 +134,10 @@ object ScaleProbe {
       // q222 is the statGraph derivation + one hash aggregate + a
       // 25-row sort.
       "q218_ivfpq_indexed", "q219_sparql_union", "q220_sparql_minus",
-      "q222_sparql_modifiers")
+      "q222_sparql_modifiers",
+      // q223/q224: predicate-sliced scans + a left join / semi-join +
+      // pushed boolean columns — the FILTER surface is row-local.
+      "q223_sparql_filter_funcs", "q224_sparql_exists_having")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -197,7 +200,9 @@ object ScaleProbe {
       "q218_ivfpq_indexed" -> "embeddings",
       "q219_sparql_union" -> "customer",
       "q220_sparql_minus" -> "customer",
-      "q222_sparql_modifiers" -> "customer").withDefault(_ => "documents")
+      "q222_sparql_modifiers" -> "customer",
+      "q223_sparql_filter_funcs" -> "customer",
+      "q224_sparql_exists_having" -> "customer").withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet ++
       // q209 reads customer alongside orders — replicate both.
       (if (probes.contains("q209_bloom_index")) Set("customer") else Set())

@@ -68,6 +68,9 @@ object Sparql {
   final case class Bind(expr: Expr, as: String) extends Pattern
   final case class Filter(expr: Expr) extends Pattern
   final case class NotExists(inner: Seq[Pattern]) extends Pattern
+  /** Positive `FILTER EXISTS {…}` — a left-semi join on the shared
+    * variables (NotExists' complement). */
+  final case class Exists(inner: Seq[Pattern]) extends Pattern
   final case class Values(vars: Seq[String], rows: Seq[Seq[Option[Term]]]) extends Pattern
   final case class SubSelect(q: Query) extends Pattern
   /** `{A} UNION {B} [UNION {C}…]`: the BAG union of the groups'
@@ -84,6 +87,21 @@ object Sparql {
   final case class LangMatchesE(v: String, range: String) extends Expr
   final case class Cmp(l: Term, op: String, r: Term) extends Expr
   final case class ConstBool(b: Boolean) extends Expr
+  final case class Not(e: Expr) extends Expr
+  final case class And(l: Expr, r: Expr) extends Expr
+  final case class Or(l: Expr, r: Expr) extends Expr
+  final case class BoundE(v: String) extends Expr
+  /** isIRI(?v) (positive) / isLiteral(?v) (negated) off the hidden
+    * IsIri metadata column. */
+  final case class IsIriE(v: String, positive: Boolean) extends Expr
+  /** REGEX/CONTAINS/STRSTARTS/STRENDS(?v, "arg"[, "flags"]). */
+  final case class StrFuncE(fn: String, v: String, arg: String,
+                            flags: String = "") extends Expr
+
+  /** Expression-context operand wrappers: STR(?v) (lexical form) and
+    * LANG(?v) (language tag, "" when absent) — only ever constructed
+    * inside FILTER expressions, never in triple patterns. */
+  final case class FTerm(fn: String, v: String) extends Term
 
   sealed trait ProjElem
   final case class ProjVar(name: String) extends ProjElem
@@ -100,7 +118,8 @@ object Sparql {
                          proj: Seq[ProjElem], where: Seq[Pattern],
                          groupBy: Seq[String], limit: Option[Int],
                          orderBy: Seq[(String, Boolean)] = Nil,
-                         offset: Option[Int] = None)
+                         offset: Option[Int] = None,
+                         having: Option[Expr] = None)
 
   /** CONSTRUCT query: a triple template instantiated once per WHERE
     * solution. LIMIT (when present) bounds the solution sequence before
@@ -143,8 +162,15 @@ object Sparql {
         else { out += TPunct(">"); i += 1 }
       }
       else if (c == '!') {
-        require(i + 1 < n && q(i + 1) == '=', s"unexpected '!' at $i")
-        out += TPunct("!="); i += 2
+        if (i + 1 < n && q(i + 1) == '=') { out += TPunct("!="); i += 2 }
+        else { out += TPunct("!"); i += 1 }
+      }
+      else if (c == '&') {
+        require(i + 1 < n && q(i + 1) == '&', s"unexpected '&' at $i")
+        out += TPunct("&&"); i += 2
+      }
+      else if (c == '|' && i + 1 < n && q(i + 1) == '|') {
+        out += TPunct("||"); i += 2
       }
       else if (c == '^') {
         if (i + 1 < n && q(i + 1) == '^') { out += TPunct("^^"); i += 2 }
@@ -370,17 +396,21 @@ object Sparql {
         case TNum(s) => s.toInt
         case other => sys.error(s"expected number after $after, got $other")
       }
+      var having = Option.empty[Expr]
       var more = true
       while (more) {
         if (tryWord("GROUP")) { eatWord("BY"); groupBy = parseVarList() }
         else if (tryWord("GROUPBY")) groupBy = parseVarList()
+        else if (tryWord("HAVING")) {
+          eatPunct("("); having = Some(parseExpr()); eatPunct(")")
+        }
         else if (tryWord("ORDER")) { eatWord("BY"); orderBy = parseOrderConds() }
         else if (tryWord("LIMIT")) limit = Some(num("LIMIT"))
         else if (tryWord("OFFSET")) offset = Some(num("OFFSET"))
         else more = false
       }
       Query(distinct, star, proj.result(), where, groupBy, limit,
-        orderBy, offset)
+        orderBy, offset, having)
     }
 
     private def parseAsVar(): String = next() match {
@@ -426,6 +456,7 @@ object Sparql {
           case Some(t) if isWord(t, "FILTER") =>
             next()
             if (tryWord("NOT")) { eatWord("EXISTS"); pats += NotExists(parseGroup()) }
+            else if (tryWord("EXISTS")) pats += Exists(parseGroup())
             else { eatPunct("("); val e = parseExpr(); eatPunct(")"); pats += Filter(e) }
           case Some(t) if isWord(t, "BIND") =>
             next(); eatPunct("(")
@@ -637,28 +668,90 @@ object Sparql {
         s"only BIND form, FdpMeasure.java:56); got $peek")
     }
 
-    private def parseExpr(): Expr = peek match {
+    /** FILTER expression grammar with the standard precedence:
+      * `||` < `&&` < `!` < comparison < primary. Functions: LANGMATCHES,
+      * BOUND, isIRI/isLiteral, REGEX(?v, "re"[, "flags"]),
+      * CONTAINS/STRSTARTS/STRENDS(?v, "s"); operand wrappers STR(?v)
+      * and LANG(?v) compare like any term. */
+    private def parseExpr(): Expr = {
+      var e = parseAndExpr()
+      while (tryPunct("||")) e = Or(e, parseAndExpr())
+      e
+    }
+
+    private def parseAndExpr(): Expr = {
+      var e = parseUnaryExpr()
+      while (tryPunct("&&")) e = And(e, parseUnaryExpr())
+      e
+    }
+
+    private def parseUnaryExpr(): Expr =
+      if (tryPunct("!")) Not(parseUnaryExpr())
+      else if (tryPunct("(")) { val e = parseExpr(); eatPunct(")"); e }
+      else parsePrimaryExpr()
+
+    private def parseVarArg(fn: String): String = next() match {
+      case TVar(x) => x
+      case other => sys.error(s"expected ?var in $fn(), got $other")
+    }
+
+    private def parseStrArg(fn: String): String = next() match {
+      case TStr(s) => s
+      case other => sys.error(s"expected string in $fn(), got $other")
+    }
+
+    private def parsePrimaryExpr(): Expr = peek match {
       case Some(t) if isWord(t, "LANGMATCHES") =>
         next(); eatPunct("("); eatWord("LANG"); eatPunct("(")
-        val v = next() match {
-          case TVar(x) => x
-          case other => sys.error(s"expected ?var in LANG(), got $other")
-        }
+        val v = parseVarArg("LANG")
         eatPunct(")"); eatPunct(",")
-        val range = next() match {
-          case TStr(s) => s
-          case other => sys.error(s"expected string range, got $other")
-        }
+        val range = parseStrArg("LANGMATCHES")
         eatPunct(")")
         LangMatchesE(v, range)
+      case Some(t) if isWord(t, "BOUND") =>
+        next(); eatPunct("(")
+        val v = parseVarArg("BOUND"); eatPunct(")")
+        BoundE(v)
+      case Some(t) if isWord(t, "isIRI") || isWord(t, "isURI") =>
+        next(); eatPunct("(")
+        val v = parseVarArg("isIRI"); eatPunct(")")
+        IsIriE(v, positive = true)
+      case Some(t) if isWord(t, "isLiteral") =>
+        next(); eatPunct("(")
+        val v = parseVarArg("isLiteral"); eatPunct(")")
+        IsIriE(v, positive = false)
+      case Some(t) if isWord(t, "REGEX") =>
+        next(); eatPunct("(")
+        val v = parseVarArg("REGEX"); eatPunct(",")
+        val re = parseStrArg("REGEX")
+        val flags = if (tryPunct(",")) parseStrArg("REGEX flags") else ""
+        eatPunct(")")
+        StrFuncE("REGEX", v, re, flags)
+      case Some(t) if Seq("CONTAINS", "STRSTARTS", "STRENDS")
+          .exists(isWord(t, _)) =>
+        val fn = next().asInstanceOf[TWord].s.toUpperCase
+        eatPunct("(")
+        val v = parseVarArg(fn); eatPunct(",")
+        val arg = parseStrArg(fn); eatPunct(")")
+        StrFuncE(fn, v, arg)
       case _ =>
-        val l = parseTerm()
+        val l = parseOperand()
         val op = next() match {
           case TPunct(p@("=" | "!=" | "<" | ">" | "<=" | ">=")) => p
           case other => sys.error(s"expected comparison operator, got $other")
         }
-        val r = parseTerm()
+        val r = parseOperand()
         Cmp(l, op, r)
+    }
+
+    /** Comparison operand: a term, or the STR/LANG accessor wrappers. */
+    private def parseOperand(): Term = peek match {
+      case Some(t) if isWord(t, "STR") || isWord(t, "LANG") =>
+        val fn = next().asInstanceOf[TWord].s.toUpperCase
+        eatPunct("(")
+        val v = parseVarArg(fn); eatPunct(")")
+        FTerm(fn, v)
+      case _ => parseTerm()
     }
   }
 
@@ -830,6 +923,8 @@ object Sparql {
       }
       require(aggs.nonEmpty, "GROUP BY without an aggregate projection")
       df = df.groupBy(q.groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      // HAVING scopes over the aggregated row (aliases included).
+      q.having.foreach(e => df = df.filter(exprCol(e, df)))
     }
     val projCols: Seq[String] =
       if (q.star) df.columns.toSeq.filterNot(isHidden)
@@ -859,6 +954,7 @@ object Sparql {
     var acc: Option[DataFrame] = None
     val filters = Seq.newBuilder[Expr]
     val antis = Seq.newBuilder[Seq[Pattern]]
+    val semis = Seq.newBuilder[Seq[Pattern]]
     val minuses = Seq.newBuilder[Seq[Pattern]]
     pats.foreach {
       case t: Triple => acc = Some(merge(acc, tripleDf(t, triples)))
@@ -880,6 +976,7 @@ object Sparql {
       case Union(groups) => acc = Some(merge(acc, unionGroups(groups, triples)))
       case Filter(e) => filters += e
       case NotExists(inner) => antis += inner
+      case Exists(inner) => semis += inner
       case Minus(inner) => minuses += inner
     }
     var df = acc.getOrElse(sys.error("empty group pattern"))
@@ -890,6 +987,13 @@ object Sparql {
         .intersect(ex.columns.filterNot(isMeta).toSet).toSeq
       require(shared.nonEmpty, "NOT EXISTS shares no variable with the group")
       df = df.join(ex.select(shared.map(col): _*), shared, "left_anti")
+    }
+    semis.result().foreach { inner =>
+      val ex = compileGroup(inner, triples)
+      val shared = df.columns.toSet
+        .intersect(ex.columns.filterNot(isMeta).toSet).toSeq
+      require(shared.nonEmpty, "EXISTS shares no variable with the group")
+      df = df.join(ex.select(shared.map(col): _*), shared, "left_semi")
     }
     minuses.result().foreach { inner =>
       val ex = compileGroup(inner, triples)
@@ -1133,17 +1237,45 @@ object Sparql {
       require(df.columns.contains(v + LangSuffix),
         s"LANGMATCHES over ?$v, which has no language metadata in scope")
       Bgp.langMatches(col(v + LangSuffix), range)
+    case Not(x) => !exprCol(x, df)
+    case And(l, r) => exprCol(l, df) && exprCol(r, df)
+    case Or(l, r) => exprCol(l, df) || exprCol(r, df)
+    case BoundE(v) => col(v).isNotNull
+    case IsIriE(v, pos) =>
+      require(df.columns.contains(v + IsIriSuffix),
+        s"isIRI/isLiteral over ?$v, which has no term metadata in scope")
+      val isIri = coalesce(col(v + IsIriSuffix), lit(false))
+      if (pos) isIri else (!isIri && col(v).isNotNull)
+    case StrFuncE("REGEX", v, re, flags) =>
+      // SPARQL REGEX is a partial match; the "i" flag maps to Java's
+      // inline (?i). Other flags are out of scope (error, not silence).
+      require(flags.forall(_ == 'i'), s"unsupported REGEX flags '$flags'")
+      col(v).rlike(if (flags.contains('i')) s"(?i)$re" else re)
+    case StrFuncE("CONTAINS", v, s, _) => col(v).contains(s)
+    case StrFuncE("STRSTARTS", v, s, _) => col(v).startsWith(s)
+    case StrFuncE("STRENDS", v, s, _) => col(v).endsWith(s)
+    case StrFuncE(fn, _, _, _) => sys.error(s"unsupported string fn $fn")
     case Cmp(l, op, r) =>
       def operand(t: Term): (Column, Boolean) = t match {
         case V(v) => (col(v), false)
         case I(i) => (lit(i), false)
         case L(lex, _, _, isNum) => (lit(lex), isNum)
+        case FTerm("STR", v) => (col(v), false)
+        case FTerm("LANG", v) =>
+          // LANG(?v) is "" for a tagless term, per the spec.
+          require(df.columns.contains(v + LangSuffix),
+            s"LANG over ?$v, which has no language metadata in scope")
+          (coalesce(col(v + LangSuffix), lit("")), false)
+        case FTerm(fn, _) => sys.error(s"unsupported accessor $fn")
       }
       val (lc, lNum) = operand(l)
       val (rc, rNum) = operand(r)
       val numericOp = op != "=" && op != "!="
+      // try_cast, not cast: under ANSI semantics (Spark 4 default) a
+      // non-numeric lexical must DROP the row (SPARQL's type-error
+      // rule), not abort the query.
       if (numericOp || lNum || rNum) {
-        val ld = lc.cast("double"); val rd = rc.cast("double")
+        val ld = lc.try_cast("double"); val rd = rc.try_cast("double")
         op match {
           case "=" => ld === rd
           case "!=" => ld =!= rd
@@ -1155,8 +1287,9 @@ object Sparql {
       } else {
         // var-to-var / string equality: numeric when both sides parse as
         // numbers, else lexical (see semantic notes).
-        val both = lc.cast("double").isNotNull && rc.cast("double").isNotNull
-        val cmp = when(both, lc.cast("double") === rc.cast("double"))
+        val both = lc.try_cast("double").isNotNull &&
+          rc.try_cast("double").isNotNull
+        val cmp = when(both, lc.try_cast("double") === rc.try_cast("double"))
           .otherwise(lc === rc)
         if (op == "=") cmp else !cmp
       }

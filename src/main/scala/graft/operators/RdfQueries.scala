@@ -203,6 +203,48 @@ object RdfQueries {
           |OFFSET 5 LIMIT 10""".stripMargin)
     },
 
+    // FILTER expression surface (SPARQL 1.1 §17): boolean connectives
+    // with standard precedence, BOUND over an OPTIONAL binding, REGEX
+    // (partial match) and STRENDS — one pushed-down boolean column per
+    // solution, nothing interpreted per row. Oracle: the same boolean
+    // over the left-join form.
+    "q223_sparql_filter_funcs" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(G.customers(s, dir),
+        """SELECT ?s ?name WHERE {
+          |  ?s <urn:p/name> ?name .
+          |  OPTIONAL { ?s <urn:p/vip> ?vip . }
+          |  FILTER((BOUND(?vip) && REGEX(?name, "1[0-9]$"))
+          |    || (!BOUND(?vip) && STRENDS(?name, "7")))
+          |}""".stripMargin)
+    },
+
+    // Positive FILTER EXISTS (left-semi), the LANG(?v) accessor in a
+    // plain comparison, and HAVING over an aggregate alias — the three
+    // remaining everyday SELECT constructs. HAVING(?cnt > 5) keeps 14
+    // of 25 nations at sf0.01 (real variance, not a tautology).
+    "q224_sparql_exists_having" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(G.customers(s, dir),
+        """SELECT ?nat (COUNT(?s) AS ?cnt) WHERE {
+          |  ?s <urn:p/inNation> ?nat .
+          |  ?s <urn:p/segment> ?seg .
+          |  FILTER(LANG(?seg) = "en")
+          |  FILTER EXISTS { ?s <urn:p/vip> ?v . }
+          |} GROUP BY ?nat HAVING(?cnt > 5)""".stripMargin)
+    },
+
+    // isLiteral over a closure-bound endpoint — the oracle-gated form
+    // of the r15 closureShape metadata fix: `p?`'s zero-length pairs
+    // include every literal term of the graph, and the filter must
+    // classify them as literals (the pre-fix code stamped every
+    // closure endpoint as an IRI).
+    "q225_sparql_is_literal" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(G.geo(s, dir),
+        """SELECT DISTINCT ?y WHERE {
+          |  ?x <urn:p/inRegion>? ?y .
+          |  FILTER(isLiteral(?y))
+          |}""".stripMargin)
+    },
+
     // P9: VALUES with UNDEF — null-pattern split join
     // (MultiAttributeDimension.java:38-43).
     "q18_values_undef" -> { (s, dir) =>
@@ -445,6 +487,32 @@ object RdfQueries {
         |  FROM sol GROUP BY 1)
         |SELECT nation, n, total_sz, avg_sz, min_seg, max_seg, segs, any_seg
         |FROM agg ORDER BY n DESC, nation ASC LIMIT 10 OFFSET 5""".stripMargin,
+    // q223: the same boolean over the LEFT-JOIN form (BOUND = vip row
+    // present); DuckDB regexp_matches is the partial match REGEX is.
+    "q223_sparql_filter_funcs" -> withTriples(
+      """SELECT n.s, n.o AS name
+        |FROM t n LEFT JOIN (SELECT s, o FROM t WHERE p = 'urn:p/vip') v
+        |  ON n.s = v.s
+        |WHERE n.p = 'urn:p/name'
+        |  AND ((v.o IS NOT NULL AND regexp_matches(n.o, '1[0-9]$'))
+        |    OR (v.o IS NULL AND n.o LIKE '%7'))""".stripMargin,
+      "t" -> G.sql.customers),
+    // q224: EXISTS = semi-join (IN), LANG = the oLang column, HAVING
+    // over the aggregate.
+    "q224_sparql_exists_having" -> withTriples(
+      """SELECT nat, cnt FROM (
+        |  SELECT n.o AS nat, COUNT(n.s) AS cnt
+        |  FROM t n JOIN t sg ON sg.s = n.s
+        |  WHERE n.p = 'urn:p/inNation' AND sg.p = 'urn:p/segment'
+        |    AND coalesce(sg.oLang, '') = 'en'
+        |    AND n.s IN (SELECT s FROM t WHERE p = 'urn:p/vip')
+        |  GROUP BY 1) WHERE cnt > 5""".stripMargin,
+      "t" -> G.sql.customers),
+    // q225: the literal terms of the graph — zero-length `p?` pairs are
+    // the only way a literal reaches ?y (inRegion objects are IRIs).
+    "q225_sparql_is_literal" -> withTriples(
+      """SELECT DISTINCT o AS y FROM t WHERE NOT oIsIri""".stripMargin,
+      "t" -> G.sql.geo),
     "q18_values_undef" -> withTriples(
       """SELECT s, segment, nation, matched_segment, matched_nation FROM (
         |  SELECT c.*, 'BUILDING' AS matched_segment,

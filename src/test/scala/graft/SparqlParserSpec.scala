@@ -789,6 +789,50 @@ class SparqlParserSpec extends SparkSpec {
       "two-hop literal endpoint lost its metadata")
   }
 
+  test("FILTER functions: precedence (&& over ||), !, BOUND, isIRI/" +
+    "isLiteral, REGEX flags, CONTAINS/STRSTARTS, STR/LANG accessors, " +
+    "positive EXISTS") {
+    import spark.implicits._
+    val g = Seq(
+      ("urn:i/1", "urn:p/name", "Alpha", false, "en"),
+      ("urn:i/1", "urn:p/link", "urn:i/2", true, null),
+      ("urn:i/2", "urn:p/name", "beta", false, null),
+      ("urn:i/3", "urn:p/name", "Gamma7", false, "cs"))
+      .toDF("s", "p", "o", "oIsIri", "oLang")
+      .withColumn("oDatatype", lit(null).cast("string"))
+    def ids(q: String) = rows(Sparql.select(g, q)).map(_.head).toSet
+    // && binds tighter than ||: (beta) || (Gamma7 && cs) — never
+    // ((beta || Gamma7) && cs), which would drop beta (lang null).
+    assert(ids("""SELECT ?s WHERE { ?s <urn:p/name> ?n .
+      | FILTER(?n = "beta" || ?n = "Gamma7" && LANG(?n) = "cs") }"""
+      .stripMargin) == Set("urn:i/2", "urn:i/3"))
+    // ! over BOUND with OPTIONAL.
+    assert(ids("""SELECT ?s WHERE { ?s <urn:p/name> ?n .
+      | OPTIONAL { ?s <urn:p/link> ?l . } FILTER(!BOUND(?l)) }"""
+      .stripMargin) == Set("urn:i/2", "urn:i/3"))
+    // isIRI over an object binding; isLiteral is its complement.
+    assert(ids("SELECT ?o WHERE { ?s <urn:p/link> ?o . FILTER(isIRI(?o)) }")
+      == Set("urn:i/2"))
+    assert(ids("SELECT ?o WHERE { ?s ?p ?o . FILTER(isLiteral(?o)) }")
+      == Set("Alpha", "beta", "Gamma7"))
+    // Case-insensitive REGEX flag; CONTAINS; STRSTARTS.
+    assert(ids("""SELECT ?n WHERE { ?s <urn:p/name> ?n .
+      | FILTER(REGEX(?n, "^ALPHA$", "i")) }""".stripMargin) == Set("Alpha"))
+    assert(ids("""SELECT ?n WHERE { ?s <urn:p/name> ?n .
+      | FILTER(CONTAINS(?n, "amma")) }""".stripMargin) == Set("Gamma7"))
+    assert(ids("""SELECT ?n WHERE { ?s <urn:p/name> ?n .
+      | FILTER(STRSTARTS(?n, "be")) }""".stripMargin) == Set("beta"))
+    // STR accessor in a comparison; LANG of a tagless term is "".
+    assert(ids("""SELECT ?n WHERE { ?s <urn:p/name> ?n .
+      | FILTER(STR(?n) = "beta") }""".stripMargin) == Set("beta"))
+    assert(ids("""SELECT ?n WHERE { ?s <urn:p/name> ?n .
+      | FILTER(LANG(?n) = "") }""".stripMargin) == Set("beta"))
+    // Positive EXISTS = semi-join on the shared variable.
+    assert(ids("""SELECT ?n WHERE { ?s <urn:p/name> ?n .
+      | FILTER EXISTS { ?s <urn:p/link> ?l . } }""".stripMargin)
+      == Set("Alpha"))
+  }
+
   test("ORDER BY / OFFSET / LIMIT slice deterministically under a " +
     "total order, and aggregates compute per group") {
     import spark.implicits._
