@@ -137,7 +137,13 @@ object ScaleProbe {
       "q222_sparql_modifiers",
       // q223/q224: predicate-sliced scans + a left join / semi-join +
       // pushed boolean columns — the FILTER surface is row-local.
-      "q223_sparql_filter_funcs", "q224_sparql_exists_having")
+      "q223_sparql_filter_funcs", "q224_sparql_exists_having",
+      // q226: two batch-sized sample windows + a ≤k·|strata| merge;
+      // q227: one broadcast-query scan of modality B + a per-qid window
+      // (|queries| fixed at corpus%50 — grows with the corpus, the
+      // documented brute-force eval regime; the IVF serve is the scale
+      // path).
+      "q226_bottomk_index", "q227_crossmodal_mate_rank")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -202,7 +208,9 @@ object ScaleProbe {
       "q220_sparql_minus" -> "customer",
       "q222_sparql_modifiers" -> "customer",
       "q223_sparql_filter_funcs" -> "customer",
-      "q224_sparql_exists_having" -> "customer").withDefault(_ => "documents")
+      "q224_sparql_exists_having" -> "customer",
+      "q227_crossmodal_mate_rank" -> "embeddings")
+      .withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet ++
       // q209 reads customer alongside orders — replicate both.
       (if (probes.contains("q209_bloom_index")) Set("customer") else Set())

@@ -563,6 +563,45 @@ object Corpus {
       .withColumnRenamed("_draw", "draw")
   }
 
+  /** Persist a [[bottomK]] per-stratum sample as a sign-once index —
+    * the living eval-set: the stored rows ARE the sample (payload
+    * columns included), and [[upsertBottomKIndex]] keeps it current as
+    * the corpus grows without ever re-reading what was already
+    * sampled. */
+  def writeBottomKIndex(docs: DataFrame, keyCol: String,
+                        stratumCol: String, k: Int, dir: String,
+                        salt: String = "bk:"): Unit =
+    bottomK(docs, keyCol, stratumCol, k, salt)
+      .write.mode("overwrite").parquet(dir)
+
+  /** Merge a new batch into a stored bottom-k sample index: the batch
+    * samples ALONE (one batch-sized window), unions with the ≤ k·|strata|
+    * stored rows, dedups on the key (a replayed row re-draws the SAME
+    * md5 ticket), and re-ranks per stratum — bottomK(A ∪ B) =
+    * bottomK(bottomK(A) ∪ bottomK(B)), the KMV merge law with payload
+    * rows attached. IDEMPOTENT under at-least-once replay — no batch
+    * ledger, the [[upsertKmvIndex]] argument verbatim — and the
+    * overwrite is the tmp-write + rename swap (one complete copy on
+    * disk at every instant). Handles the first batch (no index yet). */
+  def upsertBottomKIndex(batch: DataFrame, keyCol: String,
+                         stratumCol: String, k: Int, dir: String,
+                         salt: String = "bk:"): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+      val stored = spark.read.parquet(dir)
+      val bs = bottomK(batch, keyCol, stratumCol, k, salt)
+      val w = Window.partitionBy(col(stratumCol))
+        .orderBy(col("draw").asc, col(keyCol).asc)
+      val merged = stored.unionByName(bs)
+        .dropDuplicates(stratumCol, keyCol)
+        .withColumn("pick_rank", row_number().over(w).cast("long"))
+        .filter(col("pick_rank") <= k)
+      graft.sources.ShardStore.overwriteAtomic(merged, dir)
+    } else writeBottomKIndex(batch, keyCol, stratumCol, k, dir, salt)
+  }
+
   /** Deterministic WEIGHTED sampling without replacement — the
     * Efraimidis–Spirakis (2006) priority draw, the weighted complement
     * to [[bottomK]]: each key gets priority u^(1/w) (u uniform from the

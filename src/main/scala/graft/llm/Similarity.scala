@@ -1000,6 +1000,41 @@ object Similarity {
       .select(col("qid"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Cross-modal alignment audit — the CLIP-style retrieval eval run
+    * after any paired-modality embedding train (text↔image, audio↔
+    * transcript): for each query id in modality A, rank EVERY modality-B
+    * vector by exact cosine and report where the TRUE MATE (the same id
+    * in B) landed. Output: (qid, mate_rank) — recall@k is
+    * `mate_rank <= k` counted over queries, MRR is the mean of
+    * 1/mate_rank; both left to one aggregate so the per-query table
+    * stays joinable back to examples (the eval debugging loop).
+    *
+    * Unlike [[bruteForceKnn]] the self-id is NOT excluded — across
+    * modalities the same id IS the positive. Deterministic: exact
+    * double cosine, ties broken id-asc.
+    *
+    * Scale shape: one broadcast of the (sampled) query batch against a
+    * single scan of modality B, one per-qid window over |B| candidate
+    * rows — the eval baseline. At 100 TB the B side serves from an IVF
+    * index instead ([[ivfKnnIndexed]] with mate-rank capped at the
+    * probe depth — standard recall-at-probes reporting). */
+  def crossModalMateRank(a: DataFrame, b: DataFrame, idCol: String,
+                         vecCol: String): DataFrame = {
+    graft.functions.NativeExpressions.register(a.sparkSession)
+    val q = a.select(col(idCol).as("qid"), col(vecCol).as("_qv"),
+      norm(col(vecCol)).as("_qn"))
+    val c = b.select(col(idCol).as("_bid"), col(vecCol).as("_bv"),
+      norm(col(vecCol)).as("_bn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("_sim").desc, col("_bid").asc)
+    c.join(broadcast(q), lit(true))
+      .withColumn("_sim",
+        dot(col("_qv"), col("_bv")) / (col("_qn") * col("_bn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("_bid") === col("qid"))
+      .select(col("qid"), col("rank").as("mate_rank"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of two
     * ranked retrieval lists, integer-exact: each (qid, neighbor)
     * contributes `10⁶ div (c + rank)` per list it appears in, fused

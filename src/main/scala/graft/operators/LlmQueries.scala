@@ -829,6 +829,42 @@ object LlmQueries {
           .select(col("doc_id"), col("lang")), "doc_id", "lang", k = 20)
     },
 
+    // q101's sample maintained as a SIGN-ONCE INDEX: the corpus lands
+    // in two batches (doc_id parity), each sampled alone and merged by
+    // bottomK(A∪B) = bottomK(bottomK(A)∪bottomK(B)) — the KMV merge law
+    // with payload rows attached, idempotent under replay (a re-landed
+    // row re-draws the same md5 ticket and dedups on the key). Oracle:
+    // q101's one-shot SQL verbatim — the merged index must equal the
+    // full-corpus sample bit for bit.
+    "q226_bottomk_index" -> { (s, dir) =>
+      import s.implicits._
+      val d = t(s, dir, "documents").select($"doc_id", $"lang")
+      val idx = s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/q226_bk"
+      Corpus.writeBottomKIndex(d.filter($"doc_id" % 2 === 0),
+        "doc_id", "lang", k = 20, idx)
+      Corpus.upsertBottomKIndex(d.filter($"doc_id" % 2 =!= 0),
+        "doc_id", "lang", k = 20, idx)
+      s.read.parquet(idx)
+        .select($"doc_id", $"lang", $"draw", $"pick_rank")
+    },
+
+    // Cross-modal alignment audit (the CLIP retrieval eval): modality B
+    // is a deterministic lossy re-encode of the embeddings
+    // (floor(x·10)/10 per dimension — exact in double on any engine),
+    // every 50th vector queries, and each query reports where its TRUE
+    // MATE (same id in B) ranks under exact cosine. Self-id is NOT
+    // excluded — across modalities the same id IS the positive. The
+    // oracle replays the re-encode, every cosine, and the rank.
+    "q227_crossmodal_mate_rank" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val b = e.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 10) / 10).as("embedding"))
+      Similarity.crossModalMateRank(
+        e.filter(col("vec_id") % 50 === 0), b, "vec_id", "embedding")
+    },
+
     // Efraimidis–Spirakis weighted draw: q101's fixed-size per-stratum
     // sample, but longer documents weighted up (w = 1 + len/256 capped
     // at 8) — priority = max of w md5 tickets ≡ u^(1/w), the exact ES
@@ -2917,6 +2953,46 @@ object LlmQueries {
         |      ORDER BY draw ASC, doc_id ASC) AS pick_rank
         |  FROM d)
         |WHERE pick_rank <= 20""".stripMargin,
+    // q226: q101's one-shot bottom-k SQL verbatim — the merge law says
+    // the index built from two batches must equal the full-corpus
+    // sample bit for bit.
+    "q226_bottomk_index" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(list_transform(
+        |      string_split(substr(md5('bk:' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS draw
+        |  FROM documents)
+        |SELECT doc_id, lang, draw, pick_rank FROM (
+        |  SELECT doc_id, lang, draw,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY draw ASC, doc_id ASC) AS pick_rank
+        |  FROM d)
+        |WHERE pick_rank <= 20""".stripMargin,
+    // q227: the lossy re-encode (floor(x·10)/10 — exact double
+    // arithmetic), every cosine, and the mate's rank replayed.
+    "q227_crossmodal_mate_rank" ->
+      """WITH a AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |b AS (
+        |  SELECT vec_id AS bid,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> floor(x * 10) / 10) AS bv
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT a.qid, b.bid,
+        |    list_dot_product(a.qv, b.bv)
+        |      / (sqrt(list_dot_product(a.qv, a.qv))
+        |        * sqrt(list_dot_product(b.bv, b.bv))) AS sim
+        |  FROM a, b)
+        |SELECT qid, rank AS mate_rank FROM (
+        |  SELECT qid, bid,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, bid ASC) AS rank
+        |  FROM scored)
+        |WHERE bid = qid""".stripMargin,
     // q208: weights, the w md5 tickets per doc, the max-ticket ES
     // priority, and the per-lang rank — all integer, replayed exactly.
     "q208_weighted_sample" ->

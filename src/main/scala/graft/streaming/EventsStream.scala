@@ -801,6 +801,25 @@ object EventsStream {
       }
       .start()
 
+  /** Maintain a persisted bottom-k SAMPLE index (the living eval-set)
+    * from a stream: each micro-batch samples alone and merges by the
+    * bottomK(A∪B) = bottomK(bottomK(A)∪bottomK(B)) law
+    * ([[graft.llm.Corpus.upsertBottomKIndex]]). At-least-once is
+    * ENOUGH — a replayed row re-draws the same md5 ticket and dedups
+    * on the key, so no batch ledger is kept (the KMV argument with
+    * payload rows attached). */
+  def bottomKSampleSink(stream: DataFrame, keyCol: String,
+                        stratumCol: String, k: Int, dir: String,
+                        checkpointLoc: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointLoc)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.llm.Corpus.upsertBottomKIndex(batch, keyCol, stratumCol,
+          k, dir)
+      }
+      .start()
+
   /** Maintain a persisted Bloom membership index from a stream: each
     * micro-batch sets its own bits alone and unions them into the
     * stored set-bit table ([[graft.llm.Corpus.upsertBloomIndex]]).

@@ -874,6 +874,46 @@ class MediaStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming: bottom-k sample sink — merged index equals the " +
+    "one-shot sample; replayed batch is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("bksink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bksink-ck").toString
+    try {
+      val mem = MemoryStream[(String, Long)]
+      val q = graft.streaming.EventsStream.bottomKSampleSink(
+        mem.toDF().toDF("st", "key"), "key", "st", k = 5,
+        dir = s"$dir/idx", checkpointLoc = ckpt)
+      val b1 = (1 to 30).map(i => ("a", i.toLong))
+      val b2 = (31 to 80).map(i => ("a", i.toLong)) ++
+        (1 to 3).map(i => ("b", i.toLong))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      def picks(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("st"), col("key"), col("pick_rank")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val fromStream = picks(spark.read.parquet(s"$dir/idx"))
+      val oneShot = picks(graft.llm.Corpus.bottomK(
+        (b1 ++ b2).toDF("st", "key"), "key", "st", k = 5))
+      assert(fromStream == oneShot,
+        s"merged sample != one-shot: ${fromStream.diff(oneShot)}")
+      // Short stratum keeps everything it has.
+      assert(fromStream.count(_._1 == "b") == 3)
+      // At-least-once replay: same md5 tickets, key-dedup → no-op.
+      graft.llm.Corpus.upsertBottomKIndex(b2.toDF("st", "key"),
+        "key", "st", k = 5, s"$dir/idx")
+      assert(picks(spark.read.parquet(s"$dir/idx")) == oneShot,
+        "replayed batch changed the sample")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+
   test("streaming: search index sink shards per batch; serving equals " +
     "the one-shot scan and a replayed shard never double-counts") {
     import spark.implicits._
