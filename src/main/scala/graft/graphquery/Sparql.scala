@@ -61,6 +61,10 @@ object Sparql {
     * §9.1 PathAlternative). */
   final case class Alt(alts: Seq[Seq[Step]]) extends Verb
   final case class PVar(name: String) extends Verb
+  /** Negated property set `!p` / `!(p1|p2|…)` (SPARQL 1.1 §9.1
+    * PathNegatedPropertySet, forward members): one hop over any
+    * predicate NOT in the set. */
+  final case class Nps(iris: Seq[String]) extends Verb
 
   sealed trait Pattern
   final case class Triple(s: Term, v: Verb, o: Term) extends Pattern
@@ -585,7 +589,7 @@ object Sparql {
     }
 
     private def expandPath(s: Term, v: Verb, o: Term): Seq[Pattern] = v match {
-      case PVar(_) | Path(Seq(_)) | Alt(_) => Seq(Triple(s, v, o))
+      case PVar(_) | Path(Seq(_)) | Alt(_) | Nps(_) => Seq(Triple(s, v, o))
       case Path(steps) =>
         val mids = steps.init.indices.map { _ =>
           fresh += 1; V(s"_pv_$fresh")
@@ -625,6 +629,24 @@ object Sparql {
 
     private def parseVerb(): Verb = peek match {
       case Some(TVar(v)) if v.nonEmpty => next(); PVar(v)
+      case Some(TPunct("!")) =>
+        // Negated property set: !iri or !(iri1|iri2|…) — forward
+        // members only (an inverse member would need its own split per
+        // the spec and does not occur in practice here).
+        next()
+        def npsIri(): String = next() match {
+          case TIri(i) => i
+          case p: TPName => expand(p)
+          case t if isWord(t, "a") => RdfType
+          case other => sys.error(s"expected IRI in negated set, got $other")
+        }
+        if (tryPunct("(")) {
+          val iris = Seq.newBuilder[String]
+          iris += npsIri()
+          while (tryPunct("|")) iris += npsIri()
+          eatPunct(")")
+          Nps(iris.result())
+        } else Nps(Seq(npsIri()))
       // No leading-`a` shortcut: parseStepSeq already maps the word to
       // rdf:type and parses modifiers/sequence uniformly, so
       // `a/rdfs:subClassOf*`, `a+` and `a|<p>` all work (ADVICE r14).
@@ -1053,7 +1075,7 @@ object Sparql {
       case _ => ()
     }
     val (subjCol, objCol, p, forward, mod) = t.v match {
-      case PVar(_) => ("s", "o", None, true, ' ')
+      case PVar(_) | Nps(_) => ("s", "o", None, true, ' ')
       case Path(Seq(Step(iri, inv, m))) =>
         if (inv) ("o", "s", Some(iri), false, m)
         else ("s", "o", Some(iri), true, m)
@@ -1079,6 +1101,12 @@ object Sparql {
         closureShape(Bgp.pathZeroOrOne(triples, iri, "o"), iri, triples)
       case (Some(iri), _) => triples.filter(col("p") === iri)
       case (None, _) => triples
+    }
+    // Negated property set: one hop over any predicate NOT in the set —
+    // a pushed-down NOT-isin filter on the predicate column.
+    t.v match {
+      case Nps(iris) => df = df.filter(!col("p").isin(iris: _*))
+      case _ => ()
     }
     // ?x p ?x self-reference: constrain instead of double-binding.
     val selfRef = (t.s, t.o) match {

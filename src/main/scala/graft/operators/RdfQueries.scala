@@ -245,6 +245,15 @@ object RdfQueries {
           |}""".stripMargin)
     },
 
+    // Negated property set `!(p1|a)` (SPARQL 1.1 §9.1 NPS): one hop
+    // over any predicate NOT in the set — a pushed-down NOT-isin on
+    // the predicate column; `a` inside the set maps to rdf:type. Over
+    // geo this leaves exactly the inRegion edges.
+    "q228_sparql_negated_set" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(G.geo(s, dir),
+        """SELECT ?s ?o WHERE { ?s !(<urn:p/name>|a) ?o . }""")
+    },
+
     // P9: VALUES with UNDEF — null-pattern split join
     // (MultiAttributeDimension.java:38-43).
     "q18_values_undef" -> { (s, dir) =>
@@ -512,6 +521,12 @@ object RdfQueries {
     // the only way a literal reaches ?y (inRegion objects are IRIs).
     "q225_sparql_is_literal" -> withTriples(
       """SELECT DISTINCT o AS y FROM t WHERE NOT oIsIri""".stripMargin,
+      "t" -> G.sql.geo),
+    // q228: NPS = predicate NOT IN the set (bag — one row per matching
+    // triple).
+    "q228_sparql_negated_set" -> withTriples(
+      s"""SELECT s, o FROM t
+         |WHERE p NOT IN ('urn:p/name', '${G.T}')""".stripMargin,
       "t" -> G.sql.geo),
     "q18_values_undef" -> withTriples(
       """SELECT s, segment, nation, matched_segment, matched_nation FROM (

@@ -427,6 +427,21 @@ class LlmSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
       assert(codes(9002L) == codes(2L),
         "frozen codebook must re-sign identically")
+      // Compaction: serve is bit-stable, shards collapse to one base,
+      // and a replayed pre-horizon shard is dropped on read.
+      val q = e.filter(col("vec_id") % 100 === 0)
+      def serve() = Similarity.ivfPqKnnIndexed(q, "vec_id", "embedding",
+          dir, rerank = None, k = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val preCompact = serve()
+      Similarity.compactIvfPqShards(spark, dir)
+      assert(serve() == preCompact, "compacted codes serve differently")
+      assert(new java.io.File(s"$dir/codes").listFiles.map(_.getName)
+        .count(_.startsWith("batch_id=")) == 1, "codes did not collapse")
+      Similarity.writeIvfPqShard(batch, "vec_id", "embedding", dir,
+        batchId = 1L)
+      assert(serve() == preCompact,
+        "replayed pre-horizon shard changed serving")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }

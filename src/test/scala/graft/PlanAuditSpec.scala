@@ -85,7 +85,11 @@ class PlanAuditSpec extends SparkSpec {
       // total) — the q105 scalar shape.
       "q177_cusum_changepoints", "q180_contingency_lift",
       // q184 cross-joins SINGLE-ROW totals + the scalar KS max.
-      "q184_ks_drift")
+      "q184_ks_drift",
+      // q227 scans modality B against the broadcast query sample —
+      // q35's intended tiny-query NLJ (the documented brute-force eval
+      // regime; the IVF serve is the scale path).
+      "q227_crossmodal_mate_rank")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>

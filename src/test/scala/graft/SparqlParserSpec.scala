@@ -833,6 +833,18 @@ class SparqlParserSpec extends SparkSpec {
       == Set("Alpha"))
   }
 
+  test("negated property set: !<p> and !(p|a) hop over every predicate " +
+    "outside the set") {
+    val parsed = Sparql.select(broaderGraph,
+      """PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        |SELECT ?s ?o WHERE { ?s !skos:broader ?o . }""".stripMargin)
+    // Only the label triple is not a broader edge.
+    assert(rows(parsed) == Set(Seq("urn:x/d", "top")))
+    val both = Sparql.select(broaderGraph,
+      """SELECT ?s ?o WHERE { ?s !(<urn:p/label>|a) ?o . }""")
+    assert(rows(both).size == 4, "all broader edges pass the negated set")
+  }
+
   test("ORDER BY / OFFSET / LIMIT slice deterministically under a " +
     "total order, and aggregates compute per group") {
     import spark.implicits._
