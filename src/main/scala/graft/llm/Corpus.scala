@@ -152,6 +152,71 @@ object Corpus {
       .filter(col("rank") <= k)
   }
 
+  /** Reserved key carrying a Misra-Gries summary's accumulated spill
+    * mass: representing the error as a ROW makes the merge law pure
+    * addition (spills sum exactly like key counts across batches), so
+    * the `batch_id=` shard machinery and [[graft.sources.ShardStore]]
+    * compaction apply unchanged. */
+  val MgSpillKey = " __mg_spill"
+
+  /** One batch's MERGEABLE Misra-Gries summary (Agarwal et al. 2013,
+    * mergeable summaries): exact batch counts, reduced by subtracting
+    * the (m+1)-th largest count t from every key — ≤ m surviving
+    * (key, n) rows plus the [[MgSpillKey]] row holding t. Deterministic
+    * (count-desc, key-asc tie order) and hence engine-replayable, unlike
+    * the streaming-order-dependent textbook MG. Guarantees carried to
+    * any merge tree: for every reported key,
+    * `est ≤ true ≤ est + err_bound` with err_bound = Σ spills, and any
+    * key whose true count exceeds err_bound IS reported.
+    *
+    * Scale shape: one keyed count aggregate (map-side combined) + a
+    * distributed TakeOrdered of m+1 rows — the only windows run over
+    * those ≤ m+1 rows. No vocabulary-sized single partition anywhere. */
+  def mgSummary(df: DataFrame, keyCol: String, m: Int = 64): DataFrame =
+    mgFold(df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).cast("long").as("n")), m)
+
+  /** Reduce a (key, n) table that may already carry a [[MgSpillKey]]
+    * row: sum per key (addition is the merge), take the top m+1 real
+    * keys, subtract the (m+1)-th count, fold it into the spill row.
+    * A summary of summaries is itself a summary — the law ShardStore
+    * compaction and [[mgFromShards]] both lean on. */
+  def mgFold(counts: DataFrame, m: Int = 64): DataFrame = {
+    val summed = counts.groupBy(col("key")).agg(sum(col("n")).as("n"))
+    val base = summed.filter(col("key") === MgSpillKey)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("_base"))
+    val top = summed.filter(col("key") =!= MgSpillKey)
+      .orderBy(col("n").desc, col("key").asc).limit(m + 1)
+    val w = Window.orderBy(col("n").desc, col("key").asc) // ≤ m+1 rows
+    val ranked = top.withColumn("_r", row_number().over(w))
+    val t = ranked.agg(coalesce(max(when(col("_r") === m + 1, col("n"))),
+      lit(0L)).as("_t"))
+    ranked.filter(col("_r") <= m)
+      .crossJoin(broadcast(t))
+      .select(col("key"), (col("n") - col("_t")).as("n"))
+      .filter(col("n") > 0L)
+      .unionByName(base.crossJoin(broadcast(t))
+        .select(lit(MgSpillKey).as("key"), (col("_base") + col("_t")).as("n")))
+  }
+
+  /** Serve the heavy hitters from a `batch_id=`-sharded MG index
+    * ([[graft.streaming.EventsStream.mgIndexSink]]): sum the live
+    * shards per key, one final [[mgFold]] reduction, and report
+    * (key, est_n, err_bound) — est ≤ true ≤ est + err_bound for every
+    * reported key, and every key with true count > err_bound appears.
+    * Read cost ≤ |live batches|·(m+1) rows. */
+  def mgFromShards(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   m: Int = 64): DataFrame = {
+    val folded = mgFold(
+      graft.sources.ShardStore.live(spark, dir).select(col("key"), col("n")),
+      m)
+    val err = folded.filter(col("key") === MgSpillKey)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("_err"))
+    folded.filter(col("key") =!= MgSpillKey)
+      .crossJoin(broadcast(err))
+      .select(col("key"), col("n").as("est_n"), col("_err").as("err_bound"))
+  }
+
   /** Temperature-rebalanced sampling rates (the mC4/XLM-R multilingual
     * mixture device at α = 0.5): target share of stratum l ∝ √(its token
     * count), so low-resource strata are up-weighted relative to their

@@ -865,6 +865,31 @@ object LlmQueries {
         e.filter(col("vec_id") % 50 === 0), b, "vec_id", "embedding")
     },
 
+    // Mergeable Misra-Gries heavy-hitters INDEX (Agarwal et al. 2013):
+    // token counts land as two ≤ m+1-row batch summaries (exact counts
+    // minus the (m+1)-th largest; spill mass a reserved-key row so
+    // merging is pure addition), served with est ≤ true ≤ est+err and
+    // the every-key-above-err completeness guarantee. The q139 batch
+    // heavy-hitter has no incremental form; this is its streaming
+    // steady state. Oracle replays both reductions and the merge.
+    "q229_mg_index" -> { (s, dir) =>
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select($"doc_id", explode(TA.tokens($"text")).as("token"))
+      val idx = s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/q229_mg"
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      graft.streaming.EventsStream.writeHistShard(
+        Corpus.mgSummary(toks.filter($"doc_id" % 2 === 0), "token", 32),
+        batchId = 0L, dir = idx)
+      graft.streaming.EventsStream.writeHistShard(
+        Corpus.mgSummary(toks.filter($"doc_id" % 2 =!= 0), "token", 32),
+        batchId = 1L, dir = idx)
+      Corpus.mgFromShards(s, idx, 32).withColumnRenamed("key", "token")
+    },
+
     // Efraimidis–Spirakis weighted draw: q101's fixed-size per-stratum
     // sample, but longer documents weighted up (w = 1 + len/256 capped
     // at 8) — priority = max of w md5 tickets ≡ u^(1/w), the exact ES
@@ -2993,6 +3018,44 @@ object LlmQueries {
         |      ORDER BY sim DESC, bid ASC) AS rank
         |  FROM scored)
         |WHERE bid = qid""".stripMargin,
+    // q229: both batch reductions (count, 33rd-largest subtraction),
+    // the additive merge, and the final reduction replayed — all
+    // BIGINT, deterministic under the (n desc, token asc) tie order.
+    "q229_mg_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+        |    AS token
+        |  FROM documents),
+        |c0 AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+        |       WHERE doc_id % 2 = 0 GROUP BY 1),
+        |r0 AS (SELECT token, n,
+        |         ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS r
+        |       FROM c0),
+        |t0 AS (SELECT coalesce(max(CASE WHEN r = 33 THEN n END), 0) AS t
+        |       FROM r0),
+        |k0 AS (SELECT token, n - t0.t AS n FROM r0, t0
+        |       WHERE r <= 32 AND n - t0.t > 0),
+        |c1 AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+        |       WHERE doc_id % 2 != 0 GROUP BY 1),
+        |r1 AS (SELECT token, n,
+        |         ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS r
+        |       FROM c1),
+        |t1 AS (SELECT coalesce(max(CASE WHEN r = 33 THEN n END), 0) AS t
+        |       FROM r1),
+        |k1 AS (SELECT token, n - t1.t AS n FROM r1, t1
+        |       WHERE r <= 32 AND n - t1.t > 0),
+        |merged AS (
+        |  SELECT token, CAST(SUM(n) AS BIGINT) AS n FROM (
+        |    SELECT * FROM k0 UNION ALL SELECT * FROM k1) GROUP BY 1),
+        |rm AS (SELECT token, n,
+        |         ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS r
+        |       FROM merged),
+        |t2 AS (SELECT coalesce(max(CASE WHEN r = 33 THEN n END), 0) AS t
+        |       FROM rm)
+        |SELECT token, n - t2.t AS est_n,
+        |  t0.t + t1.t + t2.t AS err_bound
+        |FROM rm, t0, t1, t2
+        |WHERE r <= 32 AND n - t2.t > 0""".stripMargin,
     // q208: weights, the w md5 tickets per doc, the max-ticket ES
     // priority, and the per-lang rank — all integer, replayed exactly.
     "q208_weighted_sample" ->

@@ -962,6 +962,34 @@ object EventsStream {
     graft.sources.ShardStore.compact(spark, dir,
       _.groupBy(col("r"), col("c")).agg(sum(col("n")).as("n")))
 
+  /** Maintain a sharded MERGEABLE Misra-Gries heavy-hitters index from
+    * a stream: each micro-batch reduces to its own ≤ m+1-row summary
+    * ([[graft.llm.Corpus.mgSummary]] — exact batch counts minus the
+    * (m+1)-th largest, spill mass carried as a reserved-key ROW so the
+    * merge law is pure addition) landing in a `batch_id=` partition
+    * under dynamic overwrite. [[graft.llm.Corpus.mgFromShards]] serves
+    * (key, est_n, err_bound) mid-stream with the mergeable-summaries
+    * guarantee intact: est ≤ true ≤ est + err_bound, and every key
+    * with true count > err_bound is reported. */
+  def mgIndexSink(stream: DataFrame, keyCol: String, dir: String,
+                  checkpointLoc: String, m: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointLoc)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeHistShard(graft.llm.Corpus.mgSummary(batch, keyCol, m),
+          id, dir)
+      }
+      .start()
+
+  /** Fold all MG shards into one base summary — a summary of summaries
+    * is itself a summary ([[graft.llm.Corpus.mgFold]]), so serving
+    * bounds survive compaction unchanged. */
+  def compactMgIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, m: Int = 64): Unit =
+    graft.sources.ShardStore.compact(spark, dir,
+      graft.llm.Corpus.mgFold(_, m))
+
   /** Maintain a sharded QUANTILE-sketch index from a stream: each
     * micro-batch compacts to its own (v, w) summary
     * ([[graft.operators.RelationalQueries.quantileSketch]]) landing in

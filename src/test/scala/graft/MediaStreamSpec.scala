@@ -1310,6 +1310,57 @@ class MediaStreamSpec extends SparkSpec {
     new java.io.File(path).listFiles.toSeq.map(_.getName)
       .filter(_.startsWith("batch_id="))
 
+  test("streaming: mergeable Misra-Gries index — served estimates " +
+    "bracket true counts, heavy keys always reported, replay and " +
+    "compaction stable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("mgsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mgsink-ck").toString
+    try {
+      // Zipf-ish key stream: key j appears ~600/j times per wave.
+      def wave(seed: Int) = (1 to 20).flatMap(j =>
+        (1 to 600 / j).map(i => s"k$j"))
+      val b1 = wave(1); val b2 = wave(2) ++ (1 to 40).map(i => s"rare$i")
+      val mem = MemoryStream[String]
+      val q = graft.streaming.EventsStream.mgIndexSink(
+        mem.toDF().toDF("key"), "key", dir = s"$dir/idx",
+        checkpointLoc = ckpt, m = 8)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      val truth = (b1 ++ b2).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      def served() = graft.llm.Corpus.mgFromShards(spark, s"$dir/idx", 8)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val rows0 = served()
+      assert(rows0.nonEmpty)
+      val err = rows0.head._3
+      rows0.foreach { case (k, est, e) =>
+        assert(est <= truth(k) && truth(k) <= est + e,
+          s"$k: est $est, true ${truth(k)}, err $e")
+      }
+      // Completeness: every key with true count > err_bound is reported.
+      val reported = rows0.map(_._1).toSet
+      truth.filter(_._2 > err).keys.foreach(k =>
+        assert(reported(k), s"heavy key $k (n=${truth(k)}) missing, err $err"))
+      // Replayed batch overwrites its own shard — serve unchanged.
+      graft.streaming.EventsStream.writeHistShard(
+        graft.llm.Corpus.mgSummary(b2.toDF("key"), "key", 8),
+        batchId = 1L, dir = s"$dir/idx")
+      assert(served().toSet == rows0.toSet, "replayed shard drifted")
+      // Compaction: a summary of summaries is a summary — same serve.
+      graft.streaming.EventsStream.compactMgIndex(spark, s"$dir/idx", 8)
+      assert(served().toSet == rows0.toSet, "compaction changed serving")
+      assert(batchDirs(s"$dir/idx").size == 1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+
   test("shard compaction: cms base fold bit-identical; replayed " +
     "pre-horizon shard dropped; partition count collapses") {
     import spark.implicits._
