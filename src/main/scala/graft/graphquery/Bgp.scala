@@ -135,8 +135,18 @@ object Bgp {
     * (2^20-length paths at the default) bounds the degenerate case.
     */
   def pathPlus(t: DataFrame, p: String, as: String,
-               maxRounds: Int = 20): DataFrame = {
-    var acc = t.filter(col("p") === p).select(col("s"), col("o"))
+               maxRounds: Int = 20): DataFrame =
+    pathPlusEdges(t.filter(col("p") === p).select(col("s"), col("o")),
+      maxRounds).select(col("s"), col("o").as(as))
+
+  /** The pointer-doubling fixpoint over an ARBITRARY (s, o) edge set —
+    * what lets GROUPED property paths close: `(p/q)+` is this fixpoint
+    * over the composite p⨝q relation, `(p|q)+` over the unioned edge
+    * sets. Same O(log depth) round structure and lazy-checkpoint
+    * discipline as the single-predicate form (which now delegates
+    * here). */
+  def pathPlusEdges(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    var acc = edges.select(col("s"), col("o"))
       .distinct().localCheckpoint(false)
     var size = acc.count()
     var rounds = 0
@@ -152,7 +162,7 @@ object Bgp {
       size = n
       rounds += 1
     }
-    acc.select(col("s"), col("o").as(as))
+    acc.select(col("s"), col("o"))
   }
 
   /** FILTER NOT EXISTS {?s <p> ?anything} as a left-anti join. */

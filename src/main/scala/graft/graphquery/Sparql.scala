@@ -66,6 +66,16 @@ object Sparql {
     * predicate NOT in the set. */
   final case class Nps(iris: Seq[String]) extends Verb
 
+  /** Grouped property-path tree — used only when parentheses appear
+    * (`(p/q)+`, `^(p|q)`, `(p/(q|r))?`): plain step sequences keep
+    * lowering to [[Path]]/[[Alt]] so their existing plan shapes (mid
+    * variables, pushed predicate slices) are untouched. */
+  sealed trait PElem
+  final case class PAtom(iri: String, inverse: Boolean, mod: Char) extends PElem
+  final case class PGrp(alts: Seq[Seq[PElem]], inverse: Boolean,
+                        mod: Char) extends PElem
+  final case class TreePath(elems: Seq[PElem]) extends Verb
+
   sealed trait Pattern
   final case class Triple(s: Term, v: Verb, o: Term) extends Pattern
   final case class Optional(inner: Seq[Pattern]) extends Pattern
@@ -589,7 +599,8 @@ object Sparql {
     }
 
     private def expandPath(s: Term, v: Verb, o: Term): Seq[Pattern] = v match {
-      case PVar(_) | Path(Seq(_)) | Alt(_) | Nps(_) => Seq(Triple(s, v, o))
+      case PVar(_) | Path(Seq(_)) | Alt(_) | Nps(_) | TreePath(_) =>
+        Seq(Triple(s, v, o))
       case Path(steps) =>
         val mids = steps.init.indices.map { _ =>
           fresh += 1; V(s"_pv_$fresh")
@@ -601,31 +612,54 @@ object Sparql {
         }
     }
 
-    /** One `/`-joined step sequence, each step carrying its optional `^`
-      * inversion and `+`/`*` postfix. */
-    private def parseStepSeq(): Seq[Step] = {
-      val steps = Seq.newBuilder[Step]
+    /** Optional postfix modifier. `p?` tokenizes as an empty-named
+      * variable (the tokenizer's ?name rule) — unambiguous here: a bare
+      * `?` is not legal SPARQL anywhere a modifier can appear. */
+    private def parseMod(): Char =
+      if (tryPunct("+")) '+'
+      else if (tryPunct("*")) '*'
+      else if (peek.contains(TVar(""))) { next(); '?' }
+      else ' '
+
+    /** One `/`-joined path-element sequence: atoms (IRI/`a` with `^`
+      * inversion and a postfix modifier) and PARENTHESIZED groups
+      * (`(alt|alt)` with their own inversion/modifier — the grouped
+      * forms `(p/q)+` etc.). */
+    private def parseElemSeq(): Seq[PElem] = {
+      val out = Seq.newBuilder[PElem]
       var more = true
       while (more) {
         val inv = tryPunct("^")
-        val iri = next() match {
-          case TIri(i) => i
-          case p: TPName => expand(p)
-          case t if isWord(t, "a") => RdfType
-          case other => sys.error(s"expected predicate IRI, got $other")
+        peek match {
+          case Some(TPunct("(")) =>
+            next()
+            val alts = Seq.newBuilder[Seq[PElem]]
+            alts += parseElemSeq()
+            while (tryPunct("|")) alts += parseElemSeq()
+            eatPunct(")")
+            out += PGrp(alts.result(), inv, parseMod())
+          case _ =>
+            val iri = next() match {
+              case TIri(i) => i
+              case p: TPName => expand(p)
+              case t if isWord(t, "a") => RdfType
+              case other => sys.error(s"expected predicate IRI, got $other")
+            }
+            out += PAtom(iri, inv, parseMod())
         }
-        // `p?` tokenizes as an empty-named variable (the tokenizer's
-        // ?name rule) — unambiguous here: a bare `?` is not legal
-        // SPARQL anywhere a modifier can appear.
-        val mod = if (tryPunct("+")) '+'
-          else if (tryPunct("*")) '*'
-          else if (peek.contains(TVar(""))) { next(); '?' }
-          else ' '
-        steps += Step(iri, inv, mod)
         more = tryPunct("/")
       }
-      steps.result()
+      out.result()
     }
+
+    /** Lower a pure-atom sequence to the classical [[Step]] list (so
+      * plain paths keep their existing expansion/plan shapes); None
+      * when a group is present. */
+    private def lowerSteps(elems: Seq[PElem]): Option[Seq[Step]] =
+      if (elems.forall(_.isInstanceOf[PAtom]))
+        Some(elems.map { case PAtom(i, v, m) => Step(i, v, m)
+          case _ => sys.error("unreachable") })
+      else None
 
     private def parseVerb(): Verb = peek match {
       case Some(TVar(v)) if v.nonEmpty => next(); PVar(v)
@@ -647,17 +681,23 @@ object Sparql {
           eatPunct(")")
           Nps(iris.result())
         } else Nps(Seq(npsIri()))
-      // No leading-`a` shortcut: parseStepSeq already maps the word to
+      // No leading-`a` shortcut: parseElemSeq already maps the word to
       // rdf:type and parses modifiers/sequence uniformly, so
       // `a/rdfs:subClassOf*`, `a+` and `a|<p>` all work (ADVICE r14).
       case _ =>
-        val first = parseStepSeq()
+        val first = parseElemSeq()
         if (peek.contains(TPunct("|"))) {
-          val alts = Seq.newBuilder[Seq[Step]]
+          val alts = Seq.newBuilder[Seq[PElem]]
           alts += first
-          while (tryPunct("|")) alts += parseStepSeq()
-          Alt(alts.result())
-        } else Path(first)
+          while (tryPunct("|")) alts += parseElemSeq()
+          val all = alts.result()
+          if (all.forall(a => lowerSteps(a).isDefined))
+            Alt(all.map(a => lowerSteps(a).get))
+          else TreePath(Seq(PGrp(all, inverse = false, mod = ' ')))
+        } else lowerSteps(first) match {
+          case Some(steps) => Path(steps)
+          case None => TreePath(first)
+        }
     }
 
     private def parseTerm(): Term = next() match {
@@ -1076,6 +1116,7 @@ object Sparql {
     }
     val (subjCol, objCol, p, forward, mod) = t.v match {
       case PVar(_) | Nps(_) => ("s", "o", None, true, ' ')
+      case TreePath(_) => ("s", "o", None, true, 'T')
       case Path(Seq(Step(iri, inv, m))) =>
         if (inv) ("o", "s", Some(iri), false, m)
         else ("s", "o", Some(iri), true, m)
@@ -1100,6 +1141,13 @@ object Sparql {
       case (Some(iri), '?') =>
         closureShape(Bgp.pathZeroOrOne(triples, iri, "o"), iri, triples)
       case (Some(iri), _) => triples.filter(col("p") === iri)
+      // Grouped path tree: the composite (s, o) pair relation — joins,
+      // unions, and edge-set fixpoints per group — reshaped like the
+      // closures (endpoint metadata restored the same way).
+      case (None, 'T') =>
+        closureShape(
+          pathPairs(t.v.asInstanceOf[TreePath].elems, triples),
+          "(path)", triples)
       case (None, _) => triples
     }
     // Negated property set: one hop over any predicate NOT in the set —
@@ -1209,6 +1257,45 @@ object Sparql {
       }
       compileGroup(pats, triples).select(keep.map(col): _*)
     }.reduce(_ unionByName _)
+  }
+
+  /** The (s, o) pair relation of a grouped path tree (SPARQL 1.1 §9.1
+    * full PathElt grammar): atoms are predicate slices (or their
+    * closures), sequences are o=s join chains, group alternation is
+    * the bag union, and a group's `+`/`*`/`?` modifier runs
+    * [[Bgp.pathPlusEdges]] — the pointer-doubling fixpoint — over the
+    * COMPOSITE edge set (the zero-length row set is the whole graph's
+    * terms, as for single-predicate closures). Inversion anywhere is a
+    * column swap. Closured relations are sets (distinct); plain
+    * sequences/alternations keep bag multiplicity, matching the
+    * unparenthesized forms. */
+  private def pathPairs(elems: Seq[PElem], triples: DataFrame): DataFrame = {
+    def nodes = triples.select(col("s"))
+      .unionByName(triples.select(col("o").as("s"))).distinct()
+      .select(col("s"), col("s").as("o"))
+    def swap(df: DataFrame, inv: Boolean): DataFrame =
+      if (inv) df.select(col("o").as("s"), col("s").as("o")) else df
+    def modded(base: DataFrame, mod: Char): DataFrame = mod match {
+      case '+' => Bgp.pathPlusEdges(base)
+      case '*' => Bgp.pathPlusEdges(base).unionByName(nodes).distinct()
+      case '?' => base.select(col("s"), col("o"))
+        .unionByName(nodes).distinct()
+      case _ => base
+    }
+    def elemPairs(e: PElem): DataFrame = e match {
+      case PAtom(iri, inv, mod) =>
+        swap(modded(triples.filter(col("p") === iri)
+          .select(col("s"), col("o")), mod), inv)
+      case PGrp(alts, inv, mod) =>
+        swap(modded(alts.map(seqPairs).reduce(_ unionByName _), mod), inv)
+    }
+    def seqPairs(seq: Seq[PElem]): DataFrame =
+      seq.map(elemPairs).reduce { (a, b) =>
+        a.join(b.select(col("s").as("_m"), col("o").as("_o2")),
+            col("o") === col("_m"))
+          .select(col("s"), col("_o2").as("o"))
+      }
+    seqPairs(elems)
   }
 
   /** VALUES with UNDEF: the [[Bgp.values]] null-pattern split, extended

@@ -245,6 +245,18 @@ object RdfQueries {
           |}""".stripMargin)
     },
 
+    // GROUPED path closure `(p/p)+` (SPARQL 1.1 §9.1 full PathElt
+    // grammar): the fixpoint runs over the COMPOSITE two-hop edge set
+    // (pathPlusEdges — pointer doubling on e⨝e), so the result is the
+    // EVEN-distance ancestors — inexpressible by any ungrouped path.
+    // Oracle: recursive CTE over the explicitly composed 2-hop edges.
+    "q230_sparql_grouped_path" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(parentGraph(s, dir),
+        """SELECT ?s ?anc WHERE {
+          |  ?s (<urn:p/parent>/<urn:p/parent>)+ ?anc .
+          |}""".stripMargin)
+    },
+
     // Negated property set `!(p1|a)` (SPARQL 1.1 §9.1 NPS): one hop
     // over any predicate NOT in the set — a pushed-down NOT-isin on
     // the predicate column; `a` inside the set maps to rdf:type. Over
@@ -522,6 +534,19 @@ object RdfQueries {
     "q225_sparql_is_literal" -> withTriples(
       """SELECT DISTINCT o AS y FROM t WHERE NOT oIsIri""".stripMargin,
       "t" -> G.sql.geo),
+    // q230: the recursive closure of the COMPOSED 2-hop edge set.
+    "q230_sparql_grouped_path" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'urn:c/' || c_custkey AS s,
+        |         'urn:c/' || (c_custkey // 2) AS o
+        |  FROM customer WHERE c_custkey > 1),
+        |e2 AS (
+        |  SELECT a.s, b.o FROM e a JOIN e b ON a.o = b.s),
+        |tc AS (
+        |  SELECT DISTINCT s, o FROM e2
+        |  UNION
+        |  SELECT t.s, e2.o FROM tc t JOIN e2 ON t.o = e2.s)
+        |SELECT s, o AS anc FROM tc""".stripMargin,
     // q228: NPS = predicate NOT IN the set (bag — one row per matching
     // triple).
     "q228_sparql_negated_set" -> withTriples(

@@ -833,6 +833,52 @@ class SparqlParserSpec extends SparkSpec {
       == Set("Alpha"))
   }
 
+  test("grouped paths: (p|q)+ closes over the unioned edge set, " +
+    "^(p/p) swaps the composite, (p/p)? adds reflexive pairs, and " +
+    "plain paths still lower to their classical plans") {
+    val broader = "http://www.w3.org/2004/02/skos/core#broader"
+    // (broader|label)+ — the closure over BOTH edge kinds reaches the
+    // literal "top" from every chain member.
+    val alt = Sparql.select(broaderGraph,
+      """PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        |SELECT ?s ?o WHERE { ?s (skos:broader|<urn:p/label>)+ ?o . }"""
+        .stripMargin)
+    val edges = broaderGraph.filter(col("p").isin(broader, "urn:p/label"))
+      .select(col("s"), col("o"))
+    assert(rows(alt) == rows(Bgp.pathPlusEdges(edges)))
+    assert(rows(alt).contains(Seq("urn:x/a", "top")))
+    // ^(p/p): the inverse of the composite 2-hop relation.
+    val inv = Sparql.select(broaderGraph,
+      """PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        |SELECT ?s ?o WHERE { ?s ^(skos:broader/skos:broader) ?o . }"""
+        .stripMargin)
+    // two-hop pairs: a→c (chain), a→d (diamond a→c→d), b→d.
+    assert(rows(inv) == Set(Seq("urn:x/c", "urn:x/a"),
+      Seq("urn:x/d", "urn:x/a"), Seq("urn:x/d", "urn:x/b")))
+    // (p/p)?: the composite pairs plus every term's reflexive row.
+    val opt = Sparql.select(broaderGraph,
+      """PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        |SELECT ?s ?o WHERE { ?s (skos:broader/skos:broader)? ?o . }"""
+        .stripMargin)
+    assert(rows(opt).contains(Seq("urn:x/a", "urn:x/c")))
+    assert(rows(opt).contains(Seq("top", "top")))
+    assert(!rows(opt).contains(Seq("urn:x/a", "urn:x/b")),
+      "(p/p)? must not contain single hops")
+    // (p/p)+ on the chain: even-distance ancestors only.
+    val even = Sparql.select(broaderGraph,
+      """PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        |SELECT ?s ?o WHERE { ?s (skos:broader/skos:broader)+ ?o . }"""
+        .stripMargin)
+    assert(!rows(even).contains(Seq("urn:x/a", "urn:x/b")),
+      "odd-distance pair leaked into the even closure")
+    assert(rows(even).contains(Seq("urn:x/a", "urn:x/c")))
+    // Ungrouped paths still parse to the classical lowered forms.
+    assert(Sparql.parse(
+      "SELECT ?s WHERE { ?s <urn:p/a>/<urn:p/b> ?o . }")
+      .where.collect { case t: Sparql.Triple => t }.size == 2,
+      "plain sequences must keep expanding to mid-var triples")
+  }
+
   test("negated property set: !<p> and !(p|a) hop over every predicate " +
     "outside the set") {
     val parsed = Sparql.select(broaderGraph,
