@@ -1778,17 +1778,10 @@ object Corpus {
   def bpeForms(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
     bpeCore(docs, textCol, rounds)._2
 
-  private def bpeCore(docs: DataFrame, textCol: String,
-                      rounds: Int): (DataFrame, DataFrame) = {
-    import graft.Checkpoints.CutOps
-    val words = docs
-      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    var forms = words.select(col("w"), col("freq"),
-      expr("regexp_extract_all(w, '.', 0)").as("toks"))
-      .cutLineageEager()
-    val mergeState =
+  /** The greedy left-to-right merge state machine (see [[bpeTrain]]'s
+    * scaladoc) over columns `toks`, `_a` (lhs), `_b` (rhs) — shared by
+    * the training loop and the frozen-tokenizer application. */
+  private val bpeMergeState =
       """aggregate(
         |  toks,
         |  'N',
@@ -1806,6 +1799,17 @@ object Corpus {
         |  s -> CASE WHEN substring(s, 1, 1) = 'P'
         |    THEN concat(substring(s, 2), chr(1), _a)
         |    ELSE substring(s, 2) END)""".stripMargin
+
+  private def bpeCore(docs: DataFrame, textCol: String,
+                      rounds: Int): (DataFrame, DataFrame) = {
+    import graft.Checkpoints.CutOps
+    val words = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var forms = words.select(col("w"), col("freq"),
+      expr("regexp_extract_all(w, '.', 0)").as("toks"))
+      .cutLineageEager()
     val out = Seq.newBuilder[DataFrame]
     for (r <- 1 to rounds) {
       val pairs = forms.filter(size(col("toks")) >= 2)
@@ -1822,12 +1826,72 @@ object Corpus {
       forms = forms
         .crossJoin(broadcast(
           top.select(col("lhs").as("_a"), col("rhs").as("_b"))))
-        .withColumn("_m", expr(mergeState))
+        .withColumn("_m", expr(bpeMergeState))
         .select(col("w"), col("freq"),
           expr("filter(split(_m, chr(1)), x -> x <> '')").as("toks"))
         .cutLineageEager()
     }
     (out.result().reduce(_ unionByName _), forms)
+  }
+
+  /** Persist the trained BPE tokenizer: `merges/` — the ordered merge
+    * list, which IS the model (applying it left to right reproduces the
+    * encoder for ANY word, seen or not) — and `forms/`, the training
+    * vocabulary's encoder table (the known-word fast path / audit
+    * table). Sign once; [[bpeEncodeIndexed]] tokenizes every later
+    * batch under the frozen tokenizer without re-reading the training
+    * corpus — the fixed-tokenizer contract every pretraining pipeline
+    * runs under. */
+  def writeBpeModel(docs: DataFrame, textCol: String, dir: String,
+                    rounds: Int = 3): Unit = {
+    val (merges, forms) = bpeCore(docs, textCol, rounds)
+    merges.write.mode("overwrite").parquet(s"$dir/merges")
+    forms.write.mode("overwrite").parquet(s"$dir/forms")
+  }
+
+  /** Apply a FROZEN ordered merge list to a distinct-word table
+    * (w → toks): character split, then one map-only re-segmentation
+    * pass per merge — the canonical greedy application, identical for
+    * training words (reproducing their stored forms) and unseen words
+    * (the serving-side fallback textbook BPE defines). The merge list
+    * is model-sized (collected driver-side, broadcast as literals). */
+  private def applyBpeMerges(words: DataFrame,
+                             merges: Seq[(String, String)]): DataFrame = {
+    var forms = words.select(col("w"),
+      expr("regexp_extract_all(w, '.', 0)").as("toks"))
+    for ((l, r) <- merges) {
+      forms = forms
+        .withColumn("_a", lit(l)).withColumn("_b", lit(r))
+        .withColumn("_m", expr(bpeMergeState))
+        .select(col("w"),
+          expr("filter(split(_m, chr(1)), x -> x <> '')").as("toks"))
+    }
+    forms
+  }
+
+  /** Per-doc fertility of a NEW batch under a STORED tokenizer
+    * ([[writeBpeModel]]): the batch's DISTINCT words re-segment by the
+    * frozen merge list (segmentation paid once per distinct word,
+    * never per occurrence), then one per-doc aggregate — the
+    * [[bpeFertility]] report served without touching the training
+    * corpus. Unseen words segment by the same greedy application, so
+    * a drifted batch is measured, not crashed on. */
+  def bpeEncodeIndexed(docs: DataFrame, idCol: String, textCol: String,
+                       dir: String): DataFrame = {
+    val spark = docs.sparkSession
+    val merges = spark.read.parquet(s"$dir/merges")
+      .orderBy(col("round").asc).collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+    val dw = docs.select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val forms = applyBpeMerges(dw.select(col("w")).distinct(), merges)
+    dw.join(forms.select(col("w"), size(col("toks")).as("_nt")), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("_nt")).cast("long").as("n_bpe_tokens"))
+      .withColumn("bpe_per_word_ppm",
+        expr("n_bpe_tokens * 1000000L div n_words"))
   }
 
   /** Tokenizer fertility under the TRAINED vocab — the serving-side

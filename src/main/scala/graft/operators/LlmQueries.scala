@@ -1439,6 +1439,32 @@ object LlmQueries {
         rounds = 3)
     },
 
+    // The FROZEN tokenizer served from storage (the fixed-tokenizer
+    // contract every pretraining pipeline runs under): the model trains
+    // on the EVEN docs only and persists its ordered merge list; the
+    // ODD docs then encode under the stored merges — distinct words
+    // re-segment by the canonical greedy application (identical for
+    // seen and unseen words), one pass per merge, never per occurrence.
+    // Oracle: the training replay restricted to even docs + the same
+    // merge application chained over the odd vocabulary.
+    "q231_bpe_indexed" -> { (s, dir) =>
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(6)
+      val idx = s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + s"/q231_bpe_$key"
+      val marker = s"q231bpe_$key"
+      if (!s.catalog.tableExists(marker)) {
+        Corpus.writeBpeModel(d.filter($"doc_id" % 2 === 0), "text",
+          idx, rounds = 3)
+        s.emptyDataFrame.createOrReplaceTempView(marker)
+      }
+      Corpus.bpeEncodeIndexed(d.filter($"doc_id" % 2 =!= 0),
+        "doc_id", "text", idx)
+    },
+
     // EXACT set-similarity self-join at Jaccard ≥ 0.8 via PPJoin prefix
     // filtering (Dedup.setSimJoin) — the exact complement to the
     // MinHash family. The oracle is BRUTE FORCE pair enumeration, so
@@ -1788,9 +1814,8 @@ object LlmQueries {
     * pending prefix, chr(1)-joined emitted symbols, pending lhs flushed
     * by the finish CASE).
     */
-  private def bpeChainSql(rounds: Int): String = {
-    val reduceM =
-      """list_reduce(list_prepend('N', toks), (s, t) -> CASE
+  private val bpeReduceM =
+    """list_reduce(list_prepend('N', toks), (s, t) -> CASE
         |      WHEN substr(s, 1, 1) = 'P' AND t = rhs
         |        THEN 'N' || substr(s, 2) || chr(1) || lhs || rhs
         |      WHEN t = lhs
@@ -1800,6 +1825,9 @@ object LlmQueries {
         |          THEN substr(s, 2) || chr(1) || lhs
         |          ELSE substr(s, 2) END || chr(1) || t
         |    END)""".stripMargin
+
+  private def bpeChainSql(rounds: Int, trainWhere: String = ""): String = {
+    val reduceM = bpeReduceM
     val roundCtes = (1 to rounds).map { r =>
       s"""p$r AS (
          |  SELECT toks[i] AS lhs, toks[i + 1] AS rhs,
@@ -1818,7 +1846,7 @@ object LlmQueries {
     s"""WITH wds AS (
        |  SELECT t AS w, count(*) AS freq FROM (
        |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
-       |    FROM documents)
+       |    FROM documents $trainWhere)
        |  WHERE t <> '' GROUP BY 1),
        |f0 AS (SELECT w, freq, regexp_extract_all(w, '.') AS toks FROM wds),
        |$roundCtes""".stripMargin
@@ -1849,7 +1877,41 @@ object LlmQueries {
        |FROM dw JOIN f$rounds USING (w)
        |GROUP BY doc_id""".stripMargin
 
+  /** q231: the q192 training replay RESTRICTED to even docs, then the
+    * stored merges applied in order over the ODD vocabulary (g-chain —
+    * the same list_reduce machine per round) and the per-doc fertility
+    * aggregate of the odd docs. */
+  private def bpeIndexedOracleSql(rounds: Int): String = {
+    val gCtes = (1 to rounds).map { r =>
+      s"""g$r AS (
+         |  SELECT w, list_filter(string_split(
+         |    CASE WHEN substr(m, 1, 1) = 'P' THEN substr(m, 2) || chr(1) || lhs
+         |         ELSE substr(m, 2) END, chr(1)), x -> x <> '') AS toks
+         |  FROM (SELECT w, lhs, rhs, $bpeReduceM AS m FROM g${r - 1}, t$r))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""${bpeChainSql(rounds, "WHERE doc_id % 2 = 0")},
+       |dw AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |    FROM documents WHERE doc_id % 2 != 0)
+       |  WHERE w <> ''),
+       |g0 AS (
+       |  SELECT w, regexp_extract_all(w, '.') AS toks FROM (
+       |    SELECT DISTINCT w FROM dw)),
+       |$gCtes
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(toks)) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(len(toks)) * 1000000 // count(*) AS BIGINT)
+       |    AS bpe_per_word_ppm
+       |FROM dw JOIN g$rounds USING (w)
+       |GROUP BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q231_bpe_indexed" -> bpeIndexedOracleSql(3),
     "q30_text_stats" ->
       s"""SELECT doc_id, n_tokens, n_chars_nospace,
          |  CAST(n_chars_nospace AS DOUBLE) / n_tokens AS avg_token_len,

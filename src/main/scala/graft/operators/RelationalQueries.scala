@@ -1484,6 +1484,33 @@ object RelationalQueries {
     // sort or percent_rank window — one broadcast summary row + a
     // map-only array lookup per event. Oracle replays sketch AND
     // per-row cumulative rank digit for digit.
+    // q213's percentile feature PER KEY: each event_type's sketch packs
+    // into its own binary-search timeline, rows attach by a keyed
+    // equi-join — per-language/per-service normalization with no
+    // per-key sort of the fact stream and no scalar broadcast. Oracle
+    // replays the grouped sketch and every per-row keyed rank.
+    "q232_grouped_normalize" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"event_id", $"event_type",
+        (dec($"value") * 100).cast("long").as("cents"))
+      quantileNormalizeByKey(ev, "event_type", "cents",
+        quantileSketchByKey(ev, "event_type", "event_id", "cents"))
+        .select($"event_id", $"event_type", $"cents", $"rank_ppm")
+    },
+
+    // One-pass column profile over orders (a tenth of o_custkey
+    // nullified so the null counter measures something): row/null
+    // counts, lexical min/max, and the KMV distinct estimate per
+    // column from ONE scan — the naive profile pays a COUNT(DISTINCT)
+    // shuffle per column. Oracle replays every md5 slot.
+    "q233_column_profile" -> { (s, dir) =>
+      val o = t(s, dir, "orders").withColumn("o_custkey",
+        when(col("o_orderkey") % 10 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey")))
+      columnProfile(o, Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority"))
+    },
+
     "q213_quantile_normalize" -> { (s, dir) =>
       import s.implicits._
       val ev = t(s, dir, "events")
@@ -1836,6 +1863,72 @@ object RelationalQueries {
         s"coalesce(asof_probe(_tl, cast($valueCol as bigint)), 0L)" +
           " * 1000000L div _n"))
       .drop("_tl", "_n")
+  }
+
+  /** [[quantileNormalize]] PER KEY — the per-language/per-service
+    * percentile feature: each key's (v, w) summary packs into ITS OWN
+    * sorted `asof_probe` timeline (≤ buckets·capacity entries), rows
+    * join their key's summary by an ordinary keyed equi-join (|keys|
+    * summary rows — no scalar broadcast, no cross join), and the
+    * per-row rank lookup stays the codegen'd binary search. NO per-key
+    * total order of the fact stream anywhere — the window that builds
+    * each cum table is keyed and summary-sized. */
+  def quantileNormalizeByKey(df: DataFrame, keyCol: String,
+                             valueCol: String,
+                             sketch: DataFrame): DataFrame = {
+    graft.functions.NativeExpressions.register(df.sparkSession)
+    val byV = sketch.groupBy(col(keyCol), col("v"))
+      .agg(sum(col("w")).as("w"))
+    val wc = Window.partitionBy(col(keyCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val summary = byV.withColumn("_cum", sum(col("w")).over(wc))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("v").as("_t"),
+          col("_cum").as("_v")))).as("_tl"),
+        sum(col("w")).as("_n"))
+    df.join(summary, Seq(keyCol))
+      .withColumn("rank_ppm", expr(
+        s"coalesce(asof_probe(_tl, cast($valueCol as bigint)), 0L)" +
+          " * 1000000L div _n"))
+      .drop("_tl", "_n")
+  }
+
+  /** One-pass column profile — the data-quality staple run before any
+    * ingest is trusted: per listed column, row count, null count,
+    * lexical min/max, and a KMV distinct ESTIMATE (k smallest md5
+    * draws — the q175 device, engine-replayable digit for digit).
+    * Exactly ONE scan of the table (a column-struct explode), one
+    * (column)-keyed aggregate, and one per-column bottom-k window over
+    * the DEDUPED (column, hash) pairs — cost independent of any
+    * column's cardinality, where the naive per-column
+    * COUNT(DISTINCT) profile pays a full shuffle per column. */
+  def columnProfile(df: DataFrame, cols: Seq[String], k: Int = 64,
+                    salt: String = "prof:"): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    val rows = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column"), col(c).cast("string").as("_v"))): _*))
+      .as("_p")).select(col("_p.column").as("column"), col("_p._v").as("_v"))
+    val stats = rows.groupBy(col("column"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_v").isNull, 1L).otherwise(0L)).as("n_null"),
+        min(col("_v")).as("min_lex"), max(col("_v")).as("max_lex"))
+    val w = Window.partitionBy(col("column")).orderBy(col("_h").asc)
+    val slots = rows.filter(col("_v").isNotNull)
+      .select(col("column"), graft.llm.Corpus.hashU32(col("_v"), salt)
+        .as("_h"))
+      .distinct()
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= k)
+    val est = slots.groupBy(col("column"))
+      .agg(count(lit(1)).as("_nk"), max(col("_h")).as("_hk"))
+      .select(col("column"),
+        when(col("_nk") < k, col("_nk"))
+          .otherwise(expr(s"${k - 1}L * 4294967296L div greatest(_hk, 1L)"))
+          .cast("long").as("n_distinct_est"))
+    stats.join(est, Seq("column"), "left")
+      .select(col("column"), col("n_rows"), col("n_null"),
+        coalesce(col("n_distinct_est"), lit(0L)).as("n_distinct_est"),
+        col("min_lex"), col("max_lex"))
   }
 
   /** CUSUM change-point alarm (Page 1954) over an ordered integer
@@ -4143,6 +4236,74 @@ object RelationalQueries {
     // q213: the q206 sketch replay (single build, no halves) + a
     // correlated cumulative-weight rank per event over the ≤1k-row
     // summary.
+    // q232: q213's rank replay with every stage KEYED by event_type —
+    // buckets per (type, bk), summaries per type, per-row correlated
+    // rank within the row's type.
+    "q232_grouped_normalize" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    list_reduce(list_transform(
+        |      string_split(substr(md5('qk:' || CAST(event_id AS VARCHAR)), 1, 8), ''),
+        |      ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) % 16 AS bk
+        |  FROM events),
+        |rk AS (
+        |  SELECT event_type, bk, v, event_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type, bk
+        |      ORDER BY v, event_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type, bk) AS BIGINT)
+        |      AS nb
+        |  FROM src),
+        |sk AS (
+        |  SELECT event_type, v, LEAST((nb + 63) // 64, nb - rn + 1) AS w
+        |  FROM rk WHERE (rn - 1) % ((nb + 63) // 64) = 0),
+        |byv AS (SELECT event_type, v, CAST(SUM(w) AS BIGINT) AS w
+        |        FROM sk GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(SUM(w) AS BIGINT) AS nt
+        |      FROM byv GROUP BY 1)
+        |SELECT s.event_id, s.event_type, s.v AS cents,
+        |  CAST((SELECT COALESCE(CAST(SUM(b.w) AS BIGINT), 0) FROM byv b
+        |        WHERE b.event_type = s.event_type AND b.v <= s.v)
+        |    * 1000000 // n.nt AS BIGINT) AS rank_ppm
+        |FROM src s JOIN n ON n.event_type = s.event_type""".stripMargin,
+
+    // q233: per-column stats + the KMV bottom-64 distinct estimate,
+    // every md5 slot replayed.
+    "q233_column_profile" -> {
+      def colBlock(name: String, vExpr: String): String =
+        s"""SELECT '$name' AS "column", n_rows, n_null, n_distinct_est,
+           |  min_lex, max_lex FROM
+           |(SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN $vExpr IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  MIN($vExpr) AS min_lex, MAX($vExpr) AS max_lex FROM o),
+           |(SELECT CAST(CASE WHEN nk < 64 THEN nk
+           |    ELSE 63 * 4294967296 // greatest(hk, 1) END AS BIGINT)
+           |    AS n_distinct_est
+           | FROM (SELECT COUNT(*) AS nk, MAX(h) AS hk FROM (
+           |   SELECT h FROM (
+           |     SELECT DISTINCT list_reduce(list_transform(
+           |       string_split(substr(md5('prof:' || $vExpr), 1, 8), ''),
+           |       ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)),
+           |       (a, b) -> a * 16 + b) AS h
+           |     FROM o WHERE $vExpr IS NOT NULL)
+           |   ORDER BY h LIMIT 64)))""".stripMargin
+      s"""WITH o AS (
+         |  SELECT CAST(o_orderkey AS VARCHAR) AS k1,
+         |    CASE WHEN o_orderkey % 10 = 0 THEN NULL
+         |         ELSE CAST(o_custkey AS VARCHAR) END AS k2,
+         |    o_orderstatus AS k3, o_orderpriority AS k4
+         |  FROM orders)
+         |${colBlock("o_orderkey", "k1")}
+         |UNION ALL
+         |${colBlock("o_custkey", "k2")}
+         |UNION ALL
+         |${colBlock("o_orderstatus", "k3")}
+         |UNION ALL
+         |${colBlock("o_orderpriority", "k4")}""".stripMargin
+    },
+
     "q213_quantile_normalize" ->
       """WITH src AS (
         |  SELECT event_id,

@@ -1947,6 +1947,48 @@ class LlmSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("frozen BPE tokenizer: stored merges reproduce training forms " +
+    "and segment UNSEEN words by the same greedy application") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpemodel").toString
+    try {
+      // Train on "aa"×3 + "ab": round 1 merges (a,a) → aa, round 2
+      // merges (a,b) → ab.
+      val train = Seq((1L, "aa aa aa ab")).toDF("doc_id", "text")
+      Corpus.writeBpeModel(train, "text", dir, rounds = 2)
+      val merges = spark.read.parquet(s"$dir/merges")
+        .orderBy($"round").collect()
+        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+      assert(merges.toSeq == Seq(("a", "a"), ("a", "b")))
+      // Unseen words: "aab" → [aa, b] (greedy left-to-right, merge 2
+      // no longer applies after merge 1 consumed the 'a'); "ba" →
+      // [b, a] (no pair matches). Seen word "ab" → [ab].
+      val enc = Corpus.bpeEncodeIndexed(
+        Seq((9L, "aab ba ab")).toDF("doc_id", "text"),
+        "doc_id", "text", dir).collect()
+      assert(enc.length == 1)
+      val r = enc(0)
+      assert(r.getLong(1) == 3 && r.getLong(2) == 5 &&
+        r.getLong(3) == 1666666L, s"got ${r.toSeq}")
+      // Serving the TRAINING corpus from the stored model equals the
+      // inline fertility report bit for bit.
+      val docs = graft.Tables.t(spark, sf, "documents")
+        .select($"doc_id", $"text").filter($"doc_id" < 200)
+      val dir2 = java.nio.file.Files.createTempDirectory("bpemodel2").toString
+      try {
+        Corpus.writeBpeModel(docs, "text", dir2, rounds = 3)
+        def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+          .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+          .toSet
+        assert(rows(Corpus.bpeEncodeIndexed(docs, "doc_id", "text", dir2))
+          == rows(Corpus.bpeFertility(docs, "doc_id", "text", rounds = 3)),
+          "stored-model encode diverged from inline fertility")
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir2))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("k-fold assignment: per-stratum fold sizes within one, every " +
     "row assigned exactly once, repartition-independent") {
     import spark.implicits._

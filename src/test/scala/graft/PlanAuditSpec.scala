@@ -89,7 +89,11 @@ class PlanAuditSpec extends SparkSpec {
       // q227 scans modality B against the broadcast query sample —
       // q35's intended tiny-query NLJ (the documented brute-force eval
       // regime; the IVF serve is the scale path).
-      "q227_crossmodal_mate_rank")
+      "q227_crossmodal_mate_rank",
+      // q229 cross-joins two SINGLE-ROW aggregates (the (m+1)-th-count
+      // subtraction and the spill total) over ≤ m+1-row summaries —
+      // the q105 scalar-broadcast shape.
+      "q229_mg_index")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>

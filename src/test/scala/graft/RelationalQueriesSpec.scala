@@ -1368,4 +1368,42 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(values.count(_ < v2) <= t2 + e2 &&
       values.count(_ <= v2) >= t2 - e2)
   }
+
+  test("grouped quantile normalize: ranks come from the ROW'S key's " +
+    "distribution, never a neighbor's") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Key a: values 1..100; key b: values 1000..1099 plus ONE value 50.
+    // 50 is mid-pack for a (~50%) but bottom-of-pack for b (<2%).
+    val df = ((1 to 100).map(i => ("a", i.toLong, i.toLong)) ++
+      (1 to 100).map(i => ("b", 200L + i, 999L + i)) ++
+      Seq(("b", 999L, 50L))).toDF("k", "id", "v")
+    val sk = RelationalQueries.quantileSketchByKey(df, "k", "id", "v",
+      buckets = 4, capacity = 64)
+    val out = RelationalQueries.quantileNormalizeByKey(df, "k", "v", sk)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val rankA50 = out.find(x => x._1 == "a" && x._2 == 50L).get._3
+    val rankB50 = out.find(x => x._1 == "b" && x._2 == 999L).get._3
+    assert(rankA50 > 400000L && rankA50 < 600000L,
+      s"a's 50 should be mid-pack, got $rankA50")
+    assert(rankB50 < 50000L, s"b's 50 should be bottom, got $rankB50")
+    // Totality: every row gets a rank in [0, 1e6].
+    assert(out.length == df.count() &&
+      out.forall(x => x._3 >= 0L && x._3 <= 1000000L))
+  }
+
+  test("column profile: exact small-cardinality estimates, null and " +
+    "lexical stats") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "x"), (2L, "y"), (3L, null), (4L, "x"), (5L, null))
+      .toDF("id", "s")
+    val prof = RelationalQueries.columnProfile(df, Seq("id", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5))).toMap
+    // Below k the KMV estimate is EXACT (slot count).
+    assert(prof("id") == ((5L, 0L, 5L, "1", "5")))
+    assert(prof("s") == ((5L, 2L, 2L, "x", "y")))
+  }
 }
