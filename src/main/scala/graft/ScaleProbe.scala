@@ -143,7 +143,14 @@ object ScaleProbe {
       // (|queries| fixed at corpus%50 — grows with the corpus, the
       // documented brute-force eval regime; the IVF serve is the scale
       // path).
-      "q226_bottomk_index", "q227_crossmodal_mate_rank")
+      "q226_bottomk_index", "q227_crossmodal_mate_rank",
+      // q229: per-batch summaries are ≤ m+1 rows after one keyed count
+      // each — the serve reads |batches|·(m+1) rows; q231's sf1 row
+      // includes the one-time model TRAIN on its dir (the q218 note);
+      // q232 is one keyed sketch window + a keyed join + a map; q233 is
+      // one struct-explode scan + a keyed agg + a 64-slot window.
+      "q229_mg_index", "q231_bpe_indexed", "q232_grouped_normalize",
+      "q233_column_profile")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -209,7 +216,9 @@ object ScaleProbe {
       "q222_sparql_modifiers" -> "customer",
       "q223_sparql_filter_funcs" -> "customer",
       "q224_sparql_exists_having" -> "customer",
-      "q227_crossmodal_mate_rank" -> "embeddings")
+      "q227_crossmodal_mate_rank" -> "embeddings",
+      "q232_grouped_normalize" -> "events",
+      "q233_column_profile" -> "orders")
       .withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet ++
       // q209 reads customer alongside orders — replicate both.

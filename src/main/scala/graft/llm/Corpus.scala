@@ -1204,13 +1204,34 @@ object Corpus {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/docs"))) {
-      val batchIds = graft.Checkpoints.cutEager(
+      val batchIds0 = graft.Checkpoints.cutEager(
         batch.select(col(idCol).as("_id")).distinct())
+      // Bloom fast path (the X200 gate applied to ingest): the corpus
+      // of stored doc ids is signed into `docs_bloom/` (set-union
+      // upserts — idempotent, replay-safe); the batch probes those
+      // broadcast bits map-only, and ONLY bloom-positive ids reach the
+      // ownership semi-join. In the common no-re-ingest batch the gate
+      // empties the candidate set and the corpus-sized docs read is
+      // skipped entirely — without it every micro-batch paid a 2-col
+      // scan of every ownership shard. One-sided: a false positive
+      // costs one exact probe; a miss is impossible.
+      val bloomDir = s"$dir/docs_bloom"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(bloomDir)))
+        writeBloomIndex(
+          graft.sources.ShardStore.live(spark, s"$dir/docs")
+            .select(col("_id")), "_id", bloomDir, mBits = DocsBloomBits)
+      val batchIds = graft.Checkpoints.cutEager(
+        bloomProbe(spark.read.parquet(bloomDir), batchIds0, "_id",
+          mBits = DocsBloomBits)
+          .filter(col("bloom_positive") === 1L)
+          .select(col("_id")))
       val owned = graft.sources.ShardStore.live(spark, s"$dir/docs")
         .filter(col("batch_id").cast("long") =!= batchId)
-      val touched = owned.join(batchIds, Seq("_id"), "left_semi")
-        .select(col("batch_id").cast("long")).distinct()
-        .collect().map(_.getLong(0))
+      val touched =
+        if (batchIds.isEmpty) Array.empty[Long]
+        else owned.join(batchIds, Seq("_id"), "left_semi")
+          .select(col("batch_id").cast("long")).distinct()
+          .collect().map(_.getLong(0))
       if (touched.nonEmpty) {
         val tSet = touched.toSeq
         // Materialize every survivor BEFORE deleting the touched
@@ -1249,7 +1270,16 @@ object Corpus {
       }
     }
     writeSearchIndexShard(batch, idCol, textCol, dir, batchId, buckets)
+    // Sign the batch's ids into the gate for future upserts (set union
+    // — idempotent under replay).
+    upsertBloomIndex(batch.select(col(idCol).as("_id")), "_id",
+      s"$dir/docs_bloom", mBits = DocsBloomBits)
   }
+
+  /** Bit width of the doc-ownership Bloom gate (1M bits ≈ 128 KB
+    * broadcast — size for the expected doc-id cardinality; a saturated
+    * filter stays CORRECT, it just stops saving the exact scan). */
+  private val DocsBloomBits: Int = 1 << 20
 
   /** Fold the search index's shards into one base shard per table —
     * postings re-land partitioned by `_tb` (identity fold: one row per

@@ -1912,11 +1912,21 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("_v").isNull, 1L).otherwise(0L)).as("n_null"),
         min(col("_v")).as("min_lex"), max(col("_v")).as("max_lex"))
+    // Two-phase bottom-k: a (column, hash-salt)-keyed partial rank
+    // prunes to ≤ 32·k candidates per column BEFORE the per-column
+    // global rank — the global window then sorts bounded rows instead
+    // of one task sorting a column's whole distinct cardinality (the
+    // single-task trap the 10× probe surfaced at 4.6×).
+    val wPre = Window.partitionBy(col("column"), col("_sb"))
+      .orderBy(col("_h").asc)
     val w = Window.partitionBy(col("column")).orderBy(col("_h").asc)
     val slots = rows.filter(col("_v").isNotNull)
       .select(col("column"), graft.llm.Corpus.hashU32(col("_v"), salt)
         .as("_h"))
       .distinct()
+      .withColumn("_sb", pmod(col("_h"), lit(32)))
+      .withColumn("_pr", row_number().over(wPre))
+      .filter(col("_pr") <= k)
       .withColumn("_r", row_number().over(w))
       .filter(col("_r") <= k)
     val est = slots.groupBy(col("column"))
