@@ -1132,7 +1132,14 @@ object Corpus {
     * contract: per-query cost is (terms' buckets) + (1-row stats), not
     * a corpus scan, while scores stay BIT-EQUAL to the scan
     * ([[bm25TopK]]) because tf/dl/df/N/T are the same integers
-    * wherever they are read from. */
+    * wherever they are read from.
+    *
+    * CONTRACT — EACH DOC ID LANDS EXACTLY ONCE across batches: this
+    * writer never retires an earlier copy, so re-ingesting a document
+    * in a later batch leaves its old postings live and silently
+    * double-counts df/N/Σdl. A corpus that re-crawls or edits
+    * documents MUST ingest through [[upsertSearchIndexShard]]
+    * (or `searchIndexSink(upsert = true)`). */
   def writeSearchIndexShard(batch: DataFrame, idCol: String,
                             textCol: String, dir: String, batchId: Long,
                             buckets: Int = 32,
