@@ -101,6 +101,12 @@ object Sparql {
   final case class LangMatchesE(v: String, range: String) extends Expr
   final case class Cmp(l: Term, op: String, r: Term) extends Expr
   final case class ConstBool(b: Boolean) extends Expr
+  /** BIND value expressions beyond the boolean flag: CONCAT over
+    * literals/vars/STR(?v) accessors, a plain var/literal copy, and the
+    * IRI(...) constructor (which stamps the bound variable's term
+    * metadata as an IRI — the SPARQL IRI-minting idiom). */
+  final case class BindConcat(parts: Seq[Term], asIri: Boolean = false)
+    extends Expr
   final case class Not(e: Expr) extends Expr
   final case class And(l: Expr, r: Expr) extends Expr
   final case class Or(l: Expr, r: Expr) extends Expr
@@ -726,8 +732,40 @@ object Sparql {
     private def parseTermOrBool(): Expr = peek match {
       case Some(TWord(w)) if w.equalsIgnoreCase("true") => next(); ConstBool(true)
       case Some(TWord(w)) if w.equalsIgnoreCase("false") => next(); ConstBool(false)
-      case _ => sys.error(s"BIND supports boolean literals (the reference's " +
-        s"only BIND form, FdpMeasure.java:56); got $peek")
+      case Some(t) if isWord(t, "IRI") || isWord(t, "URI") =>
+        next(); eatPunct("(")
+        val inner = parseTermOrBool() match {
+          case BindConcat(parts, _) => parts
+          case other => sys.error(s"IRI() wraps CONCAT/STR/var, got $other")
+        }
+        eatPunct(")")
+        BindConcat(inner, asIri = true)
+      case Some(t) if isWord(t, "CONCAT") =>
+        next(); eatPunct("(")
+        val parts = Seq.newBuilder[Term]
+        parts += parseBindPart()
+        while (tryPunct(",")) parts += parseBindPart()
+        eatPunct(")")
+        BindConcat(parts.result())
+      case Some(t) if isWord(t, "STR") =>
+        BindConcat(Seq(parseBindPart()))
+      case Some(TVar(v)) if v.nonEmpty =>
+        next(); BindConcat(Seq(V(v)))
+      case Some(TStr(_)) =>
+        BindConcat(Seq(parseTerm()))
+      case _ => sys.error(s"unsupported BIND expression at $peek " +
+        "(supported: true/false, ?var, \"lit\", STR(?v), CONCAT(...), " +
+        "IRI(CONCAT(...)))")
+    }
+
+    private def parseBindPart(): Term = peek match {
+      case Some(t) if isWord(t, "STR") =>
+        next(); eatPunct("(")
+        val v = parseVarArg("STR"); eatPunct(")")
+        FTerm("STR", v)
+      case Some(TVar(v)) if v.nonEmpty => next(); V(v)
+      case Some(TStr(_)) => parseTerm()
+      case other => sys.error(s"unsupported CONCAT argument $other")
     }
 
     /** FILTER expression grammar with the standard precedence:
@@ -1024,6 +1062,21 @@ object Sparql {
       case Bind(ConstBool(b), as) =>
         acc = Some(acc.getOrElse(sys.error("BIND before any pattern"))
           .withColumn(as, lit(b)))
+      case Bind(BindConcat(parts, asIri), as) =>
+        val base = acc.getOrElse(sys.error("BIND before any pattern"))
+        val pieces = parts.map {
+          case L(lex, _, _, _) => lit(lex)
+          case V(v) => col(v)
+          case FTerm("STR", v) => col(v)
+          case other => sys.error(s"unsupported CONCAT piece $other")
+        }
+        val value = if (pieces.length == 1) pieces.head else concat(pieces: _*)
+        // Term metadata so CONSTRUCT reproduces the minted term: IRI()
+        // marks an IRI, a bare CONCAT/copy binds a plain literal.
+        acc = Some(base.withColumn(as, value)
+          .withColumn(as + IsIriSuffix, lit(asIri))
+          .withColumn(as + LangSuffix, lit(null).cast("string"))
+          .withColumn(as + DtSuffix, lit(null).cast("string")))
       case Bind(e, _) => sys.error(s"unsupported BIND expression $e")
       case Optional(inner) =>
         val innerDf = compileGroup(inner, triples)

@@ -266,6 +266,19 @@ object RdfQueries {
         """SELECT ?s ?o WHERE { ?s !(<urn:p/name>|a) ?o . }""")
     },
 
+    // BIND value expressions (the SPARQL key-minting idiom): CONCAT
+    // over STR(?v) accessors and literals binds a derived column —
+    // compiled to one concat projection, no per-row interpretation.
+    // (IRI(CONCAT(...)) additionally stamps IRI term metadata —
+    // CONSTRUCT-gated in SparqlParserSpec.)
+    "q234_sparql_bind_concat" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(G.customers(s, dir),
+        """SELECT ?s ?n ?key WHERE {
+          |  ?s <urn:p/inNation> ?n .
+          |  BIND(CONCAT(STR(?s), "|", STR(?n)) AS ?key)
+          |}""".stripMargin)
+    },
+
     // P9: VALUES with UNDEF — null-pattern split join
     // (MultiAttributeDimension.java:38-43).
     "q18_values_undef" -> { (s, dir) =>
@@ -553,6 +566,11 @@ object RdfQueries {
       s"""SELECT s, o FROM t
          |WHERE p NOT IN ('urn:p/name', '${G.T}')""".stripMargin,
       "t" -> G.sql.geo),
+    // q234: the minted key is plain string concatenation.
+    "q234_sparql_bind_concat" -> withTriples(
+      """SELECT s, o AS n, s || '|' || o AS key FROM t
+        |WHERE p = 'urn:p/inNation'""".stripMargin,
+      "t" -> G.sql.customers),
     "q18_values_undef" -> withTriples(
       """SELECT s, segment, nation, matched_segment, matched_nation FROM (
         |  SELECT c.*, 'BUILDING' AS matched_segment,

@@ -1511,6 +1511,22 @@ object RelationalQueries {
         "o_orderpriority"))
     },
 
+    // Per-key winsorization at [p05, p95] off the grouped sketch — the
+    // outlier clip every feature pipeline runs, with both bounds
+    // sketch-served (no per-key sort) and the clip a single map.
+    // Oracle replays the grouped sketch, both percentile picks, and
+    // every clipped value.
+    "q235_winsorize" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"event_id", $"event_type",
+        (dec($"value") * 100).cast("long").as("cents"))
+      winsorizeByKey(ev, "event_type", "cents",
+        quantileSketchByKey(ev, "event_type", "event_id", "cents"),
+        lowPct = 5, highPct = 95)
+        .select($"event_id", $"event_type", $"cents", $"lo_v", $"hi_v",
+          $"clipped")
+    },
+
     "q213_quantile_normalize" -> { (s, dir) =>
       import s.implicits._
       val ev = t(s, dir, "events")
@@ -1891,6 +1907,36 @@ object RelationalQueries {
         s"coalesce(asof_probe(_tl, cast($valueCol as bigint)), 0L)" +
           " * 1000000L div _n"))
       .drop("_tl", "_n")
+  }
+
+  /** Percentile WINSORIZATION per key off a [[quantileSketchByKey]]
+    * summary — the outlier-clipping feature prep (clip each value into
+    * its key's [p`lowPct`, p`highPct`] band): both bounds come from the
+    * sketch's cumulative-crossing pick (the [[quantileReportByKey]]
+    * rule at arbitrary percentiles), attach by a broadcastable |keys|-
+    * row join, and the clip is one map — no per-key sort of the facts,
+    * rank error inherits the sketch bound. Output adds
+    * (lo_v, hi_v, clipped). */
+  def winsorizeByKey(df: DataFrame, keyCol: String, valueCol: String,
+                     sketch: DataFrame, lowPct: Int = 1,
+                     highPct: Int = 99): DataFrame = {
+    require(0 <= lowPct && lowPct < highPct && highPct <= 100,
+      s"bad percentile band [$lowPct, $highPct]")
+    val byV = sketch.groupBy(col(keyCol), col("v"))
+      .agg(sum(col("w")).as("w"))
+    val wc = Window.partitionBy(col(keyCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nTot = byV.groupBy(col(keyCol)).agg(sum(col("w")).as("_n"))
+    val bounds = byV.withColumn("_cum", sum(col("w")).over(wc))
+      .join(nTot, Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(min(when(col("_cum") * 100L >= col("_n") * lowPct, col("v")))
+          .as("lo_v"),
+        min(when(col("_cum") * 100L >= col("_n") * highPct, col("v")))
+          .as("hi_v"))
+    df.join(broadcast(bounds), Seq(keyCol))
+      .withColumn("clipped",
+        greatest(col("lo_v"), least(col("hi_v"), col(valueCol))))
   }
 
   /** One-pass column profile — the data-quality staple run before any
@@ -4313,6 +4359,45 @@ object RelationalQueries {
          |UNION ALL
          |${colBlock("o_orderpriority", "k4")}""".stripMargin
     },
+
+    // q235: q232's keyed sketch replay + the two percentile picks +
+    // the clip.
+    "q235_winsorize" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    list_reduce(list_transform(
+        |      string_split(substr(md5('qk:' || CAST(event_id AS VARCHAR)), 1, 8), ''),
+        |      ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) % 16 AS bk
+        |  FROM events),
+        |rk AS (
+        |  SELECT event_type, bk, v, event_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type, bk
+        |      ORDER BY v, event_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type, bk) AS BIGINT)
+        |      AS nb
+        |  FROM src),
+        |sk AS (
+        |  SELECT event_type, v, LEAST((nb + 63) // 64, nb - rn + 1) AS w
+        |  FROM rk WHERE (rn - 1) % ((nb + 63) // 64) = 0),
+        |byv AS (SELECT event_type, v, CAST(SUM(w) AS BIGINT) AS w
+        |        FROM sk GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(SUM(w) AS BIGINT) AS nt
+        |      FROM byv GROUP BY 1),
+        |cum AS (
+        |  SELECT event_type, v,
+        |    SUM(w) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM byv),
+        |b AS (
+        |  SELECT c.event_type,
+        |    MIN(CASE WHEN c.cum * 100 >= n.nt * 5 THEN c.v END) AS lo_v,
+        |    MIN(CASE WHEN c.cum * 100 >= n.nt * 95 THEN c.v END) AS hi_v
+        |  FROM cum c JOIN n USING (event_type) GROUP BY 1)
+        |SELECT s.event_id, s.event_type, s.v AS cents, b.lo_v, b.hi_v,
+        |  GREATEST(b.lo_v, LEAST(b.hi_v, s.v)) AS clipped
+        |FROM src s JOIN b USING (event_type)""".stripMargin,
 
     "q213_quantile_normalize" ->
       """WITH src AS (

@@ -1392,6 +1392,28 @@ class RelationalQueriesSpec extends SparkSpec {
       out.forall(x => x._3 >= 0L && x._3 <= 1000000L))
   }
 
+  test("winsorize: values clip into their OWN key's percentile band") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Key a: 1..100 with outliers ±10000; key b: 1000..1099.
+    val df = ((1 to 100).map(i => ("a", i.toLong, i.toLong)) ++
+      Seq(("a", 900L, 10000L), ("a", 901L, -10000L)) ++
+      (1 to 100).map(i => ("b", 200L + i, 999L + i))).toDF("k", "id", "v")
+    val sk = RelationalQueries.quantileSketchByKey(df, "k", "id", "v",
+      buckets = 4, capacity = 64)
+    val out = RelationalQueries.winsorizeByKey(df, "k", "v", sk,
+      lowPct = 5, highPct = 95)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Long]("clipped"))
+      .toMap
+    // a's outliers clip into a's band, not b's.
+    val a900 = out(("a", 900L)); val a901 = out(("a", 901L))
+    assert(a900 < 110L && a900 > 80L, s"high outlier clipped to $a900")
+    assert(a901 >= 1L && a901 < 20L, s"low outlier clipped to $a901")
+    // b's values are untouched (inside their own band).
+    assert(out(("b", 250L)) == 1049L)
+  }
+
   test("column profile: exact small-cardinality estimates, null and " +
     "lexical stats") {
     import spark.implicits._

@@ -879,6 +879,38 @@ class SparqlParserSpec extends SparkSpec {
       "plain sequences must keep expanding to mid-var triples")
   }
 
+  test("BIND expressions: CONCAT/STR copy values; IRI() mints a term " +
+    "that CONSTRUCTs as an IRI") {
+    import spark.implicits._
+    val g = Seq(("urn:i/1", "urn:p/name", "alpha", false))
+      .toDF("s", "p", "o", "oIsIri")
+      .withColumn("oLang", lit(null).cast("string"))
+      .withColumn("oDatatype", lit(null).cast("string"))
+    val sel = Sparql.select(g,
+      """SELECT ?n ?tag ?copy WHERE {
+        |  ?s <urn:p/name> ?n .
+        |  BIND(CONCAT("v:", STR(?n)) AS ?tag)
+        |  BIND(?n AS ?copy)
+        |}""".stripMargin).collect()
+    assert(sel.length == 1 &&
+      sel(0).getString(1) == "v:alpha" && sel(0).getString(2) == "alpha")
+    // IRI(CONCAT(...)) → the constructed object is an IRI term.
+    val minted = Sparql.construct(g,
+      """CONSTRUCT { ?s <urn:p/minted> ?m } WHERE {
+        |  ?s <urn:p/name> ?n .
+        |  BIND(IRI(CONCAT("urn:m/", STR(?n))) AS ?m)
+        |}""".stripMargin).collect()
+    assert(minted.length == 1)
+    assert(minted(0).getString(2) == "urn:m/alpha" &&
+      minted(0).getBoolean(3), s"minted term lost IRI-ness: ${minted(0)}")
+    // A plain CONCAT bind constructs as a literal.
+    val lit0 = Sparql.construct(g,
+      """CONSTRUCT { ?s <urn:p/tag> ?t } WHERE {
+        |  ?s <urn:p/name> ?n . BIND(CONCAT("v:", STR(?n)) AS ?t)
+        |}""".stripMargin).collect()
+    assert(!lit0(0).getBoolean(3), "plain CONCAT must bind a literal")
+  }
+
   test("negated property set: !<p> and !(p|a) hop over every predicate " +
     "outside the set") {
     val parsed = Sparql.select(broaderGraph,
