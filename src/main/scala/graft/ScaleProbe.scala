@@ -150,7 +150,10 @@ object ScaleProbe {
       // q232 is one keyed sketch window + a keyed join + a map; q233 is
       // one struct-explode scan + a keyed agg + a 64-slot window.
       "q229_mg_index", "q231_bpe_indexed", "q232_grouped_normalize",
-      "q233_column_profile")
+      "q233_column_profile",
+      // q234 is one predicate slice + a concat projection; q235 is the
+      // q232 sketch + a broadcast bounds join + a map.
+      "q234_sparql_bind_concat", "q235_winsorize")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -218,7 +221,9 @@ object ScaleProbe {
       "q224_sparql_exists_having" -> "customer",
       "q227_crossmodal_mate_rank" -> "embeddings",
       "q232_grouped_normalize" -> "events",
-      "q233_column_profile" -> "orders")
+      "q233_column_profile" -> "orders",
+      "q234_sparql_bind_concat" -> "customer",
+      "q235_winsorize" -> "events")
       .withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet ++
       // q209 reads customer alongside orders — replicate both.

@@ -1035,6 +1035,40 @@ object Similarity {
       .select(col("qid"), col("rank").as("mate_rank"))
   }
 
+  /** [[crossModalMateRank]] served from a persisted IVF index of
+    * modality B — the at-scale form the brute-force eval's scaladoc
+    * promises: each query probes its `nprobe` nearest lists and the
+    * mate's rank is computed WITHIN the probed candidates
+    * (recall-at-probes reporting — the standard production metric).
+    * A mate outside the probed lists reports `mate_rank = NULL` (a
+    * probe miss, counted against recall), never a wrong rank.
+    * Output: (qid, mate_rank) with one row per query — left join
+    * against the per-query candidate ranks keeps misses visible. */
+  def crossModalMateRankIndexed(queries: DataFrame, idCol: String,
+                                vecCol: String, dir: String,
+                                nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.NativeExpressions.register(spark)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val probed = nearest(queries, centroids, idCol, vecCol,
+      "qid", "_qv", "_qn", keep = nprobe)
+      .cutLineageEager()
+    val cids = probed.select(col("_cid").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val lists = graft.sources.ShardStore.live(spark, s"$dir/lists")
+      .filter(col("_cid").isin(cids: _*))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("_sim").desc, col("neighbor_id").asc)
+    val ranked = probed.join(lists, Seq("_cid"))
+      .withColumn("_sim",
+        dot(col("_qv"), col("_v")) / (col("_qn") * col("_cn2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("neighbor_id") === col("qid"))
+      .select(col("qid"), col("rank").as("mate_rank"))
+    queries.select(col(idCol).as("qid"))
+      .join(ranked, Seq("qid"), "left")
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of two
     * ranked retrieval lists, integer-exact: each (qid, neighbor)
     * contributes `10⁶ div (c + rank)` per list it appears in, fused

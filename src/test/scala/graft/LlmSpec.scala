@@ -447,6 +447,46 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("cross-modal mate rank: indexed serve agrees with brute force " +
+    "at full probe depth; shallow probes report misses as NULL") {
+    val e = graft.Tables.t(spark, sf, "embeddings")
+    val b = e.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 10) / 10).as("embedding"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("xmodal").toString
+    try {
+      Similarity.writeIvfIndex(b, "vec_id", "embedding", dir,
+        centroidEvery = 8)
+      val brute = Similarity.crossModalMateRank(q, b, "vec_id", "embedding")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // Full probe depth = every list probed → candidate set is the
+      // whole corpus → identical ranks.
+      val nLists = spark.read.parquet(s"$dir/centroids").count().toInt
+      val full = Similarity.crossModalMateRankIndexed(q, "vec_id",
+          "embedding", dir, nprobe = nLists)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+      assert(full.forall { case (k, v) => v.contains(brute(k)) },
+        s"full-depth indexed ranks diverge: $full vs $brute")
+      // Shallow probes: every query still reports; a non-null rank is
+      // computed within a candidate SUBSET, so it never exceeds the
+      // brute rank; misses are NULL, not wrong numbers.
+      val shallow = Similarity.crossModalMateRankIndexed(q, "vec_id",
+          "embedding", dir, nprobe = 1)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+      assert(shallow.keySet == brute.keySet, "a query row went missing")
+      shallow.foreach {
+        case (k, Some(r)) => assert(r <= brute(k),
+          s"candidate-subset rank $r exceeds global ${brute(k)} for $k")
+        case _ => ()
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("embedding near-dup: bucket-join candidates, no all-pairs join") {
     val df = LlmQueries.queries("q42_embedding_neardup")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
