@@ -868,6 +868,45 @@ object Dedup {
         .filter(col("_id") =!= col("_owner"))
         .select(col("_id"), col("_pos")), spanTokens))
 
+  /** Span-level LOSS MASK — the non-destructive twin of
+    * [[exciseRepeatedIntervals]]: instead of cutting the duplicated
+    * intervals out of the text, emit the per-token mask a trainer
+    * applies at LOSS time (masked = 1 for every position covered by a
+    * maximal repeated interval), so tokenization and byte offsets stay
+    * aligned with the ORIGINAL document — the form pipelines that must
+    * preserve offsets (alignment supervision, citation spans) use
+    * where the cut form re-tokenizes. `keepCanonical = true` exempts
+    * each duplicated window's owner document (the
+    * [[exciseKeepCanonical]] policy), so exactly one unmasked copy of
+    * every duplicated passage survives corpus-wide.
+    *
+    * Output: one row per token — (idCol, pos, token, masked).
+    * Consistency law with the cut forms (sbt-asserted): the unmasked
+    * tokens re-joined in position order equal the corresponding
+    * `clean_text`, and the masked count equals `n_removed`.
+    * Same scale shape as the excision family: interval-bounded
+    * explodes, a (doc, pos) left join, per-row work bounded by doc
+    * length. */
+  def maskRepeatedIntervals(docs: DataFrame, idCol: String,
+                            textCol: String, spanTokens: Int = 8,
+                            minDocs: Int = 2,
+                            keepCanonical: Boolean = false): DataFrame = {
+    val inst0 = dupInstances(docs, idCol, textCol, spanTokens, minDocs)
+    val inst = if (keepCanonical) inst0.filter(col("_id") =!= col("_owner"))
+      else inst0
+    val intervals = islandsOf(inst.select(col("_id"), col("_pos")),
+      spanTokens)
+    val covered = intervals.select(col("_id"),
+        explode(sequence(col("start_pos"), col("end_pos") - 1)).as("_pos"))
+      .withColumn("_m", lit(1L))
+    docs.select(col(idCol).as("_id"),
+        posexplode(TextAnalysis.tokens(col(textCol)))
+          .as(Seq("_pos", "token")))
+      .join(covered, Seq("_id", "_pos"), "left")
+      .select(col("_id").as(idCol), col("_pos").as("pos"), col("token"),
+        coalesce(col("_m"), lit(0L)).as("masked"))
+  }
+
   /** The cut + rebuild shared by the excision forms: covered positions
     * explode from the INTERVAL rows (interval-bounded, never
     * corpus-width), the token stream anti-joins them on (doc, pos), and

@@ -660,6 +660,22 @@ object LlmQueries {
       Dedup.exciseKeepCanonical(corpus, "doc_id", "text")
     },
 
+    // The LOSS-MASK twin of q210 over the same banner+copy corpus:
+    // instead of cutting, every token reports its masked flag — the
+    // offset-preserving form (the trainer zeroes masked positions at
+    // loss time; tokenization stays aligned with the original bytes).
+    // Oracle: q210's island/coverage chain emitting per-position flags.
+    "q236_span_loss_mask" -> { (s, dir) =>
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("cookie policy accept terms privacy notice all rights "),
+            col("text")))
+          .otherwise(col("text")).as("text"))
+      val corpus = base.unionByName(base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.maskRepeatedIntervals(corpus, "doc_id", "text")
+    },
+
     // OOV scoring against the corpus's own top-100 unigram vocabulary —
     // the garbled-text signal when no external vocab is in the loop.
     // Vocabulary is a TakeOrdered (100 rows) broadcast into an
@@ -3596,6 +3612,54 @@ object LlmQueries {
         |SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
         |  t.n_tokens, t.n_tokens - COALESCE(a.n_kept, 0) AS n_removed
         |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // q236: q210's chain up to the covered-position set, emitting
+    // per-position flags instead of the cut.
+    "q236_span_loss_mask" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN 'cookie policy accept terms privacy notice all rights ' || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM docs2
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM docs2 WHERE doc_id % 20 = 0),
+        |tk0 AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM corpus),
+        |sp AS (
+        |  SELECT doc_id, g.i - 1 AS pos,
+        |    array_to_string(tk[g.i:g.i+7], ' ') AS s
+        |  FROM tk0, LATERAL UNNEST(generate_series(1, len(tk) - 7)) AS g(i)),
+        |dup AS (
+        |  SELECT s FROM (SELECT DISTINCT doc_id, s FROM sp)
+        |  GROUP BY s HAVING count(*) >= 2),
+        |inst AS (SELECT doc_id, pos FROM sp WHERE s IN (SELECT s FROM dup)),
+        |lg AS (
+        |  SELECT doc_id, pos,
+        |    LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM inst),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM lg),
+        |iv AS (
+        |  SELECT doc_id, min(pos) AS s0, max(pos) + 8 AS e0
+        |  FROM isl GROUP BY doc_id, island),
+        |cov AS (
+        |  SELECT doc_id, g.p AS pos
+        |  FROM iv, LATERAL UNNEST(generate_series(s0, e0 - 1)) AS g(p)),
+        |toks AS (
+        |  SELECT doc_id, g.i - 1 AS pos, tk[g.i] AS token
+        |  FROM tk0, LATERAL UNNEST(generate_series(1, len(tk))) AS g(i))
+        |SELECT t.doc_id, t.pos, t.token,
+        |  CAST(CASE WHEN c.pos IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |    AS masked
+        |FROM toks t LEFT JOIN cov c
+        |  ON c.doc_id = t.doc_id AND c.pos = t.pos""".stripMargin,
 
     // q212: q210's chain with the owner exemption — a duplicated
     // window's instances cut everywhere EXCEPT the min-doc-id owner.

@@ -2029,6 +2029,57 @@ class LlmSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("loss mask ≡ excision: unmasked tokens rebuild the clean text, " +
+    "masked counts equal n_removed, for BOTH policies") {
+    import spark.implicits._
+    val base = graft.Tables.t(spark, sf, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" < 300)
+    val banner = base.select($"doc_id",
+      when($"doc_id" % 5 === 0,
+        concat(lit("cookie policy accept terms privacy notice all rights "),
+          $"text")).otherwise($"text").as("text"))
+    val corpus = banner.unionByName(banner.filter($"doc_id" % 20 === 0)
+      .select(($"doc_id" + 1000000).as("doc_id"), $"text"))
+    for (canonical <- Seq(false, true)) {
+      val cut = (if (canonical)
+        Dedup.exciseKeepCanonical(corpus, "doc_id", "text")
+      else Dedup.exciseRepeatedIntervals(corpus, "doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3)))
+        .toMap
+      val mask = Dedup.maskRepeatedIntervals(corpus, "doc_id", "text",
+          keepCanonical = canonical)
+        .collect().map(r => (r.getLong(0), r.getInt(1).toLong,
+          r.getString(2), r.getLong(3)))
+      val byDoc = mask.groupBy(_._1)
+      byDoc.foreach { case (doc, rows) =>
+        val rebuilt = rows.filter(_._4 == 0L).sortBy(_._2)
+          .map(_._3).mkString(" ")
+        assert(rebuilt == cut(doc)._1,
+          s"policy=$canonical doc $doc: mask-rebuild != clean_text")
+        assert(rows.count(_._4 == 1L) == cut(doc)._2,
+          s"policy=$canonical doc $doc: masked count != n_removed")
+      }
+      // Whole-copy pairs: under cut-all BOTH sides fully masked; under
+      // keep-canonical the owner keeps its body unmasked.
+      val copies = byDoc.keys.filter(_ >= 1000000L)
+      assert(copies.nonEmpty)
+      copies.foreach { c =>
+        assert(byDoc(c).forall(_._4 == 1L) == true || !canonical ||
+          byDoc(c).forall(_._4 == 1L),
+          s"copy $c not fully masked under keep-canonical")
+      }
+      if (canonical)
+        copies.foreach(c => assert(byDoc(c).forall(_._4 == 1L)))
+      else {
+        // cut-all: original AND copy of a pair both fully masked
+        copies.foreach { c =>
+          assert(byDoc(c).forall(_._4 == 1L))
+          assert(byDoc(c - 1000000L).forall(_._4 == 1L))
+        }
+      }
+    }
+  }
+
   test("k-fold assignment: per-stratum fold sizes within one, every " +
     "row assigned exactly once, repartition-independent") {
     import spark.implicits._
