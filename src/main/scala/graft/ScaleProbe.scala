@@ -152,8 +152,10 @@ object ScaleProbe {
       "q229_mg_index", "q231_bpe_indexed", "q232_grouped_normalize",
       "q233_column_profile",
       // q234 is one predicate slice + a concat projection; q235 is the
-      // q232 sketch + a broadcast bounds join + a map.
-      "q234_sparql_bind_concat", "q235_winsorize")
+      // q232 sketch + a broadcast bounds join + a map; q236 is the q210
+      // skeleton with the cut replaced by a (doc,pos) left join.
+      "q234_sparql_bind_concat", "q235_winsorize",
+      "q236_span_loss_mask")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
