@@ -1131,11 +1131,18 @@ object Sparql {
                           triples: DataFrame): DataFrame = {
     val dfs = groups.map(g => compileGroup(g, triples))
     val allCols = dfs.flatMap(_.columns).distinct
+    // The pad type for a variable ABSENT from a branch is the type of
+    // whichever branch BINDS it (first binder wins) — most variables
+    // are string-typed term lexicals, but BIND(true/false) binds a
+    // boolean column, and padding it as string would type-mismatch the
+    // unionByName on an otherwise valid query.
+    val padType: Map[String, org.apache.spark.sql.types.DataType] =
+      dfs.flatMap(_.schema.fields.map(f => f.name -> f.dataType))
+        .groupBy(_._1).map { case (n, ts) => n -> ts.head._2 }
     dfs.map { d =>
       d.select(allCols.map(c =>
         if (d.columns.contains(c)) col(c)
-        else if (c.endsWith(IsIriSuffix)) lit(null).cast("boolean").as(c)
-        else lit(null).cast("string").as(c)): _*)
+        else lit(null).cast(padType(c)).as(c)): _*)
     }.reduce(_ unionByName _)
   }
 

@@ -652,9 +652,10 @@ object Corpus {
                          stratumCol: String, k: Int, dir: String,
                          salt: String = "bk:"): Unit = {
     val spark = batch.sparkSession
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+    // Recover a half-swapped previous overwrite before deciding
+    // merge-vs-initialize — a bare exists() would read the crash
+    // window as "no index yet" and drop the accumulated sample.
+    if (graft.sources.ShardStore.existsRecovered(spark, dir)) {
       val stored = spark.read.parquet(dir)
       val bs = bottomK(batch, keyCol, stratumCol, k, salt)
       val w = Window.partitionBy(col(stratumCol))
@@ -1196,7 +1197,10 @@ object Corpus {
     *     the surviving `docs/` rows, ownership rows dropped. Rewrite
     *     cost ∝ the touched shards, not the index (the
     *     [[graft.operators.RelationalQueries.upsertScd2Index]]
-    *     touched-bucket discipline);
+    *     touched-bucket discipline), and the rewrite is DURABLE-FIRST:
+    *     survivors stage complete on disk before any live partition is
+    *     deleted, under [[retireDocs]]'s marker protocol — a crash at
+    *     any point loses nothing and [[recoverSearchIndex]] resumes it;
     *  3. the new batch lands as its own shard via
     *     [[writeSearchIndexShard]].
     * Replay-idempotent: a redelivered batch finds zero collisions
@@ -1208,79 +1212,210 @@ object Corpus {
                              textCol: String, dir: String, batchId: Long,
                              buckets: Int = 32): Unit = {
     val spark = batch.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/docs"))) {
-      val batchIds0 = graft.Checkpoints.cutEager(
-        batch.select(col(idCol).as("_id")).distinct())
-      // Bloom fast path (the X200 gate applied to ingest): the corpus
-      // of stored doc ids is signed into `docs_bloom/` (set-union
-      // upserts — idempotent, replay-safe); the batch probes those
-      // broadcast bits map-only, and ONLY bloom-positive ids reach the
-      // ownership semi-join. In the common no-re-ingest batch the gate
-      // empties the candidate set and the corpus-sized docs read is
-      // skipped entirely — without it every micro-batch paid a 2-col
-      // scan of every ownership shard. One-sided: a false positive
-      // costs one exact probe; a miss is impossible.
-      val bloomDir = s"$dir/docs_bloom"
-      if (!fs.exists(new org.apache.hadoop.fs.Path(bloomDir)))
-        writeBloomIndex(
-          graft.sources.ShardStore.live(spark, s"$dir/docs")
-            .select(col("_id")), "_id", bloomDir, mBits = DocsBloomBits)
-      val batchIds = graft.Checkpoints.cutEager(
-        bloomProbe(spark.read.parquet(bloomDir), batchIds0, "_id",
-          mBits = DocsBloomBits)
-          .filter(col("bloom_positive") === 1L)
-          .select(col("_id")))
-      val owned = graft.sources.ShardStore.live(spark, s"$dir/docs")
-        .filter(col("batch_id").cast("long") =!= batchId)
-      val touched =
-        if (batchIds.isEmpty) Array.empty[Long]
-        else owned.join(batchIds, Seq("_id"), "left_semi")
-          .select(col("batch_id").cast("long")).distinct()
-          .collect().map(_.getLong(0))
-      if (touched.nonEmpty) {
-        val tSet = touched.toSeq
-        // Materialize every survivor BEFORE deleting the touched
-        // partitions — the write after the delete must not re-read them.
-        val keptDocs = graft.Checkpoints.cutEager(
-          graft.sources.ShardStore.live(spark, s"$dir/docs")
-            .filter(col("batch_id").cast("long").isin(tSet: _*))
-            .join(batchIds, Seq("_id"), "left_anti"))
-        val keptPosts = graft.Checkpoints.cutEager(
-          graft.sources.ShardStore.live(spark, s"$dir/postings")
-            .filter(col("batch_id").cast("long").isin(tSet: _*))
-            .join(batchIds, Seq("_id"), "left_anti"))
-        val keptStats = graft.Checkpoints.cutEager(
-          keptDocs.groupBy(col("batch_id"))
-            .agg(count(lit(1)).cast("long").as("n_docs"),
-              sum(col("dl")).as("total_len"))
-            .select(col("n_docs"), col("total_len"), col("batch_id")))
-        // Explicit partition deletes, not dynamic overwrite: a touched
-        // shard whose every posting in some bucket was retired would
-        // otherwise keep that stale bucket (dynamic overwrite only
-        // replaces partitions the output still has rows for).
-        tSet.foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(
-            s"$dir/postings/batch_id=$b"), true)
-          fs.delete(new org.apache.hadoop.fs.Path(
-            s"$dir/stats/batch_id=$b"), true)
-          fs.delete(new org.apache.hadoop.fs.Path(
-            s"$dir/docs/batch_id=$b"), true)
-        }
-        keptPosts.write.mode("append")
-          .partitionBy("batch_id", "_tb").parquet(s"$dir/postings")
-        keptStats.write.mode("append")
-          .partitionBy("batch_id").parquet(s"$dir/stats")
-        keptDocs.write.mode("append")
-          .partitionBy("batch_id").parquet(s"$dir/docs")
-      }
-    }
+    retireDocs(spark, batch.select(col(idCol).as("_id")).distinct(),
+      dir, excludeBatch = Some(batchId))
     writeSearchIndexShard(batch, idCol, textCol, dir, batchId, buckets)
     // Sign the batch's ids into the gate for future upserts (set union
     // — idempotent under replay).
     upsertBloomIndex(batch.select(col(idCol).as("_id")), "_id",
       s"$dir/docs_bloom", mBits = DocsBloomBits)
+  }
+
+  /** PURE doc retirement — the takedown/GDPR half of the lifecycle
+    * [[upsertSearchIndexShard]] could not express: delete these ids
+    * from the index, land NOTHING in their place. Runs the upsert's
+    * steps 1–2 verbatim (bloom-gated candidate set, touched-shard
+    * durable rewrite) without step 3, and signs nothing into the bloom
+    * — a deleted id may be re-ingested later, and the filter is
+    * one-sided (its stale positive bits cost one exact probe, never
+    * correctness). Deleting an absent id no-ops (the bloom gate or the
+    * ownership semi-join empties the touched set); a replayed delete is
+    * idempotent for the same reason. After this, [[bm25FromIndex]]
+    * serves exactly the surviving docs — df/N/Σdl all shrink, because
+    * every moment is a sum over stored rows. */
+  def deleteDocs(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 ids: DataFrame, idCol: String): Unit =
+    retireDocs(spark, ids.select(col(idCol).as("_id")).distinct(),
+      dir, excludeBatch = None)
+
+  /** Retire `idsRaw` from every shard that owns them — the shared core
+    * of [[upsertSearchIndexShard]] (retire-then-replace) and
+    * [[deleteDocs]] (retire only).
+    *
+    * DURABILITY (the r15 `weak`): the touched-shard rewrite must
+    * survive a crash at ANY point, yet the survivors' only source is
+    * the very partitions being replaced. The discipline is
+    * durable-first staging with a two-marker commit protocol under
+    * `dir/_upsert_tmp` (underscore-prefixed — invisible to parquet
+    * discovery):
+    *
+    *  1. STAGE: survivors (docs, postings, recomputed per-shard stats)
+    *     are written COMPLETE to the staging path, plus a `_touched`
+    *     file naming every touched shard id; then the `_staged` marker.
+    *     A crash before `_staged` deletes nothing — the live index is
+    *     untouched and the partial staging is swept on the next entry.
+    *  2. DELETE: the touched `batch_id=` partitions are dropped from
+    *     all three tables; then the `_deleted` marker. A crash in here
+    *     redoes the deletes idempotently — staging still holds every
+    *     survivor, because no rename has happened yet.
+    *  3. SWAP: each staged `batch_id=` directory renames into its
+    *     table (atomic per directory). A crash mid-swap resumes: a
+    *     shard still in staging renames in; one already renamed is
+    *     live and absent from staging. Staging is deleted last — its
+    *     absence IS the committed state.
+    *
+    * Every entry point ([[retireDocs]] itself, [[bm25FromIndex]],
+    * [[compactSearchIndex]]) first runs [[recoverSearchIndex]], which
+    * replays the protocol from the markers — so the index is never
+    * served or rewritten from a half-swapped state. At every instant a
+    * complete copy of every surviving row exists on durable storage;
+    * the executor-local `localCheckpoint` blocks the old form relied on
+    * are no longer load-bearing. */
+  private def retireDocs(spark: org.apache.spark.sql.SparkSession,
+                         idsRaw: DataFrame, dir: String,
+                         excludeBatch: Option[Long]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Complete an interrupted previous rewrite FIRST: its staged
+    // survivors may be the only copy of the touched shards' kept rows.
+    recoverSearchIndex(spark, dir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/docs"))) return
+    val batchIds0 = graft.Checkpoints.cutEager(idsRaw)
+    // Bloom fast path (the X200 gate applied to ingest): the corpus
+    // of stored doc ids is signed into `docs_bloom/` (set-union
+    // upserts — idempotent, replay-safe); the batch probes those
+    // broadcast bits map-only, and ONLY bloom-positive ids reach the
+    // ownership semi-join. In the common no-collision batch the gate
+    // empties the candidate set and the corpus-sized docs read is
+    // skipped entirely — without it every micro-batch paid a 2-col
+    // scan of every ownership shard. One-sided: a false positive
+    // costs one exact probe; a miss is impossible.
+    val bloomDir = s"$dir/docs_bloom"
+    if (!graft.sources.ShardStore.existsRecovered(spark, bloomDir))
+      writeBloomIndex(
+        graft.sources.ShardStore.live(spark, s"$dir/docs")
+          .select(col("_id")), "_id", bloomDir, mBits = DocsBloomBits)
+    val batchIds = graft.Checkpoints.cutEager(
+      bloomProbe(spark.read.parquet(bloomDir), batchIds0, "_id",
+        mBits = DocsBloomBits)
+        .filter(col("bloom_positive") === 1L)
+        .select(col("_id")))
+    val ownedAll = graft.sources.ShardStore.live(spark, s"$dir/docs")
+    val owned = excludeBatch match {
+      // A replayed batch must not collide with its own first delivery.
+      case Some(b) => ownedAll.filter(col("batch_id").cast("long") =!= b)
+      case None => ownedAll
+    }
+    val touched =
+      if (batchIds.isEmpty) Array.empty[Long]
+      else owned.join(batchIds, Seq("_id"), "left_semi")
+        .select(col("batch_id").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+    if (touched.isEmpty) return
+    val tSet = touched.toSeq
+    def kept(table: String): DataFrame =
+      graft.sources.ShardStore.live(spark, s"$dir/$table")
+        .filter(col("batch_id").cast("long").isin(tSet: _*))
+        .join(batchIds, Seq("_id"), "left_anti")
+    // Phase 1 — STAGE: survivors land complete and durable before any
+    // live partition is touched. Stats recompute from the STAGED docs
+    // (one read of rows already on disk — consistent by construction).
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/_upsert_tmp")
+    fs.delete(stage, true)
+    kept("docs").write.partitionBy("batch_id")
+      .parquet(s"$dir/_upsert_tmp/docs")
+    kept("postings").write.partitionBy("batch_id", "_tb")
+      .parquet(s"$dir/_upsert_tmp/postings")
+    spark.read.parquet(s"$dir/_upsert_tmp/docs")
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("dl")).as("total_len"))
+      .select(col("n_docs"), col("total_len"), col("batch_id"))
+      .write.partitionBy("batch_id").parquet(s"$dir/_upsert_tmp/stats")
+    val tf = fs.create(new org.apache.hadoop.fs.Path(stage, "_touched"))
+    tf.write(tSet.mkString("\n").getBytes("UTF-8"))
+    tf.close()
+    crashIf("pre-staged")
+    fs.createNewFile(new org.apache.hadoop.fs.Path(stage, "_staged"))
+    crashIf("post-staged")
+    // Phases 2–3 share the crash-replay path.
+    finishRetire(spark, dir, tSet)
+  }
+
+  private val RetireTables = Seq("postings", "stats", "docs")
+
+  /** Test-only crash injection for the retire protocol: the LlmSpec
+    * gate drives a real upsert into each documented crash state
+    * ("pre-staged", "post-staged", "post-delete", "mid-swap") and
+    * verifies [[recoverSearchIndex]] restores a consistent index. Never
+    * set outside tests. */
+  private[graft] var retireFailpoint: Option[String] = None
+  private def crashIf(point: String): Unit =
+    if (retireFailpoint.contains(point))
+      throw new RuntimeException(s"injected crash at $point")
+
+  /** Phases 2–3 of [[retireDocs]]'s protocol — also the crash-replay
+    * path [[recoverSearchIndex]] resumes from the `_staged` marker. */
+  private def finishRetire(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, touched: Seq[Long]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/_upsert_tmp")
+    // Phase 2 — DELETE the touched partitions. Explicit partition
+    // deletes, not dynamic overwrite: a touched shard whose every
+    // posting in some bucket was retired would otherwise keep that
+    // stale bucket. Idempotent, and safe to redo until the first
+    // rename: staging still holds every survivor.
+    if (!fs.exists(new org.apache.hadoop.fs.Path(stage, "_deleted"))) {
+      touched.foreach { b =>
+        RetireTables.foreach { t =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$dir/$t/batch_id=$b"), true)
+        }
+      }
+      fs.createNewFile(new org.apache.hadoop.fs.Path(stage, "_deleted"))
+    }
+    crashIf("post-delete")
+    // Phase 3 — SWAP each staged shard directory in (atomic renames;
+    // a resumed swap skips the ones already moved — they are exactly
+    // the ones absent from staging).
+    RetireTables.foreach { t =>
+      val src = new org.apache.hadoop.fs.Path(stage, t)
+      if (fs.exists(src))
+        fs.listStatus(src).toSeq
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("batch_id="))
+          .foreach { s =>
+            fs.rename(s.getPath,
+              new org.apache.hadoop.fs.Path(s"$dir/$t/${s.getPath.getName}"))
+          }
+      crashIf(s"post-swap-$t")
+    }
+    fs.delete(stage, true)
+  }
+
+  /** Crash recovery for the [[retireDocs]] protocol: replay an
+    * interrupted rewrite from its markers, or sweep a pre-commit
+    * staging attempt. Idle cost is ONE existence check, so every
+    * serve/maintenance entry point runs it. */
+  def recoverSearchIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/_upsert_tmp")
+    if (!fs.exists(stage)) return
+    if (!fs.exists(new org.apache.hadoop.fs.Path(stage, "_staged"))) {
+      // Crash mid-staging: nothing was deleted yet — the live index is
+      // intact and the partial staging is garbage.
+      fs.delete(stage, true)
+      return
+    }
+    val in = fs.open(new org.apache.hadoop.fs.Path(stage, "_touched"))
+    val touched =
+      try new String(in.readAllBytes(), "UTF-8")
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong)
+      finally in.close()
+    finishRetire(spark, dir, touched)
   }
 
   /** Bit width of the doc-ownership Bloom gate (1M bits ≈ 128 KB
@@ -1296,12 +1431,27 @@ object Corpus {
     * are dropped by [[bm25FromIndex]]'s live view. */
   def compactSearchIndex(spark: org.apache.spark.sql.SparkSession,
                          dir: String): Unit = {
+    // Never fold a half-swapped rewrite: resume it first.
+    recoverSearchIndex(spark, dir)
     graft.sources.ShardStore.compact(spark, s"$dir/postings",
       extraPartCols = Seq("_tb"))
     graft.sources.ShardStore.compact(spark, s"$dir/stats",
       _.agg(sum(col("n_docs")).cast("long").as("n_docs"),
         sum(col("total_len")).cast("long").as("total_len")))
     graft.sources.ShardStore.compact(spark, s"$dir/docs")
+  }
+
+  /** [[compactSearchIndex]] behind the shard-count trigger: fold only
+    * when the live postings shard count exceeds `maxShards` (one
+    * directory listing when below — safe to call every micro-batch;
+    * `searchIndexSink(autoCompact = n)` does). All three tables compact
+    * together so their horizons stay coherent. */
+  def compactSearchIndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, maxShards: Int): Unit = {
+    require(maxShards >= 1, "maxShards must be >= 1")
+    if (graft.sources.ShardStore.liveStreamShardCount(
+        spark, s"$dir/postings") > maxShards)
+      compactSearchIndex(spark, dir)
   }
 
   /** BM25 top-k served purely from a [[writeSearchIndexShard]] index:
@@ -1328,6 +1478,10 @@ object Corpus {
                     buckets: Int = 32): DataFrame = {
     require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9_]+")),
       "terms must be plain tokens")
+    // Serve-side crash recovery (one FS existence check when idle): a
+    // rewrite interrupted mid-protocol is resumed before reading, so
+    // queries never see a half-swapped shard state.
+    recoverSearchIndex(spark, dir)
     val st = graft.sources.ShardStore.live(spark, s"$dir/stats")
       .agg(sum(col("n_docs")).cast("long").as("_n"),
         sum(col("total_len")).cast("long").as("_t"))
@@ -1533,10 +1687,9 @@ object Corpus {
   def upsertKmvIndex(batch: DataFrame, keyCol: String, stratumCol: String,
                      k: Int, dir: String, salt: String = "kmv:",
                      saltBuckets: Int = 16): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(
-      batch.sparkSession.sessionState.newHadoopConf())
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+    // existsRecovered, not exists: restore a half-swapped overwrite
+    // before reading the window as "no index yet".
+    if (graft.sources.ShardStore.existsRecovered(batch.sparkSession, dir))
       mergeKmvIndex(batch, keyCol, stratumCol, k, dir, salt, saltBuckets)
     else writeKmvIndex(batch, keyCol, stratumCol, k, dir, salt, saltBuckets)
   }
@@ -1665,9 +1818,9 @@ object Corpus {
                        k: Int = 4, mBits: Int = 65536,
                        salt: String = "bf"): Unit = {
     val spark = batch.sparkSession
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+    // existsRecovered, not exists: restore a half-swapped overwrite
+    // before reading the window as "no index yet".
+    if (graft.sources.ShardStore.existsRecovered(spark, dir)) {
       val stored = spark.read.parquet(dir)
       val merged = stored
         .unionByName(bloomPositions(batch, keyCol, k, mBits, salt))

@@ -72,12 +72,23 @@ object ShardStore {
   /** The LIVE rows of a sharded table: base shard + post-horizon
     * shards. With no marker (never compacted) or no `batch_id` column
     * (a non-sharded layout like `writeIvfIndex`) this is the plain
-    * read — zero behavior change until the first [[compact]]. */
+    * read — zero behavior change until the first [[compact]].
+    *
+    * With NO marker, rows at `batch_id < 0` are DROPPED: negative ids
+    * are reserved for compaction bases ([[compact]] writes the base
+    * BEFORE its marker), so an unmarked negative shard can only be a
+    * base orphaned by a first-compaction crash between the base's
+    * write commit and the `_meta/` marker creation — serving it
+    * alongside the original shards would double-count every folded
+    * row. The marked case already excludes orphans: a base from a
+    * LATER crashed compaction is negative (not `> h`) and not `b`. */
   def live(spark: SparkSession, dir: String): DataFrame = {
     val df = spark.read.parquet(dir)
     readMeta(spark, dir) match {
       case Some(Meta(h, b)) if df.columns.contains("batch_id") =>
         df.filter(col("batch_id") === b || col("batch_id") > h)
+      case None if df.columns.contains("batch_id") =>
+        df.filter(col("batch_id") >= 0)
       case _ => df
     }
   }
@@ -111,6 +122,11 @@ object ShardStore {
     val target = new Path(dir)
     val tmp = new Path(dir + "__tmp")
     val old = new Path(dir + "__old")
+    // A previous overwrite may have crashed between its renames,
+    // leaving `dir` absent with the complete copies at __old/__tmp —
+    // restore BEFORE the cleanup deletes, or the accumulated index is
+    // silently replaced by this batch alone.
+    recoverOverwrite(spark, dir)
     fs.delete(tmp, true)
     fs.delete(old, true)
     df.write.mode("overwrite").parquet(tmp.toString)
@@ -118,6 +134,41 @@ object ShardStore {
     fs.rename(tmp, target)
     fs.delete(old, true)
   }
+
+  /** Crash recovery for [[overwriteAtomic]]: if `dir` is ABSENT but a
+    * complete copy survives at `dir__tmp` (fully written — `_SUCCESS`
+    * present — meaning the crash hit between the two renames) or at
+    * `dir__old` (the displaced previous copy), rename it back into
+    * place. Upsert callers MUST route their "does the index exist yet?"
+    * check through this (they do, via [[existsRecovered]]): a bare
+    * `fs.exists` would read the half-swapped state as "no index yet"
+    * and silently reinitialize from the current batch alone, and the
+    * next overwrite's cleanup would then delete the stranded
+    * accumulated copy. Returns whether `dir` exists afterwards. */
+  def recoverOverwrite(spark: SparkSession, dir: String): Boolean = {
+    val fs = fsOf(spark, dir)
+    val target = new Path(dir)
+    val tmp = new Path(dir + "__tmp")
+    val old = new Path(dir + "__old")
+    if (!fs.exists(target)) {
+      if (fs.exists(new Path(tmp, "_SUCCESS"))) {
+        fs.rename(tmp, target)   // newer complete copy: finish the swap
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        fs.rename(old, target)   // roll back to the previous copy
+        fs.delete(tmp, true)
+      }
+    }
+    fs.exists(target)
+  }
+
+  /** The exists-check every [[overwriteAtomic]]-maintained index's
+    * upsert path uses to decide merge-vs-initialize: recover a
+    * half-swapped overwrite first, then report whether a non-empty
+    * index is on disk. */
+  def existsRecovered(spark: SparkSession, dir: String): Boolean =
+    recoverOverwrite(spark, dir) &&
+      fsOf(spark, dir).listStatus(new Path(dir)).nonEmpty
 
   /** Fold every live shard up to the current maximum batch id into one
     * base shard under the family's merge law, record the new horizon,
@@ -134,7 +185,15 @@ object ShardStore {
     val oldB = old.map(_.base)
     val ids = shardIds(spark, dir)
     val liveStream = ids.filter(i => i >= 0 && i > oldH)
-    if (liveStream.isEmpty) return None
+    if (liveStream.isEmpty) {
+      // Nothing to fold — but a PREVIOUS compact may have crashed
+      // between its marker creation and its delete sweep, leaving dead
+      // folded partitions (reads never see them; storage does). Sweep
+      // them here so a no-op compact on an idle table still reclaims
+      // the dead directories, as the lifecycle contract promises.
+      old.foreach { m => sweepStale(spark, dir, m.horizon, m.base) }
+      return None
+    }
     val hNew = liveStream.max
     val bNew = -(hNew + 2)
     val cur = live(spark, dir)
@@ -153,9 +212,45 @@ object ShardStore {
     val fs = fsOf(spark, dir)
     fs.mkdirs(new Path(dir, "_meta"))
     fs.createNewFile(new Path(dir, s"_meta/h${hNew}_b$bNew"))
-    (shardIds(spark, dir).toSet - bNew)
-      .filter(i => (i >= 0 && i <= hNew) || i < 0)
-      .foreach(i => fs.delete(new Path(dir, s"batch_id=$i"), true))
+    sweepStale(spark, dir, hNew, bNew)
     Some(Meta(hNew, bNew))
+  }
+
+  /** The compaction TRIGGER the lifecycle was missing: fold only when
+    * the live post-horizon shard count exceeds `maxShards`, otherwise
+    * touch nothing (one directory listing — safe to call every
+    * micro-batch; the sinks' `autoCompact` knob does exactly that).
+    * The threshold is the read-amplification bound an operator
+    * accepts: serving reads scan ≤ `maxShards` stream shards plus one
+    * base between compactions, and compaction cost amortizes to
+    * 1/maxShards of the fold per batch. Returns the new state when a
+    * fold ran, None when below threshold. */
+  def compactIfNeeded(spark: SparkSession, dir: String, maxShards: Int,
+                      fold: DataFrame => DataFrame = identity,
+                      extraPartCols: Seq[String] = Nil): Option[Meta] = {
+    require(maxShards >= 1, "maxShards must be >= 1")
+    if (liveStreamShardCount(spark, dir) > maxShards)
+      compact(spark, dir, fold, extraPartCols)
+    else None
+  }
+
+  /** Live post-horizon stream shards on disk — the read-amplification
+    * count [[compactIfNeeded]] thresholds on. One directory listing;
+    * multi-table indexes (the search index) threshold on one table and
+    * compact all coherently. */
+  def liveStreamShardCount(spark: SparkSession, dir: String): Int = {
+    val oldH = readMeta(spark, dir).map(_.horizon).getOrElse(Long.MinValue)
+    shardIds(spark, dir).count(i => i >= 0 && i > oldH)
+  }
+
+  /** Delete every partition the live view at (horizon, base) can never
+    * read: folded stream shards (`0 ≤ id ≤ horizon`) and superseded or
+    * orphaned negative bases (`id < 0, id ≠ base`). */
+  private def sweepStale(spark: SparkSession, dir: String,
+                         horizon: Long, base: Long): Unit = {
+    val fs = fsOf(spark, dir)
+    (shardIds(spark, dir).toSet - base)
+      .filter(i => (i >= 0 && i <= horizon) || i < 0)
+      .foreach(i => fs.delete(new Path(dir, s"batch_id=$i"), true))
   }
 }

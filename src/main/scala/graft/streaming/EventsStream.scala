@@ -853,7 +853,8 @@ object EventsStream {
     * semi-join per batch plus a rewrite of only the touched shards. */
   def searchIndexSink(docs: DataFrame, idCol: String, textCol: String,
                       dir: String, checkpointLoc: String,
-                      buckets: Int = 32, upsert: Boolean = false)
+                      buckets: Int = 32, upsert: Boolean = false,
+                      autoCompact: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointLoc)
@@ -864,6 +865,9 @@ object EventsStream {
         else
           graft.llm.Corpus.writeSearchIndexShard(batch, idCol, textCol,
             dir, batchId, buckets)
+        if (autoCompact > 0)
+          graft.llm.Corpus.compactSearchIndexIfNeeded(
+            batch.sparkSession, dir, autoCompact)
       }
       .start()
 
@@ -891,13 +895,30 @@ object EventsStream {
   /** Maintain a sharded histogram index from a stream: `binsOf` reduces
     * each micro-batch to its (bin, n) rows, [[writeHistShard]] lands
     * them exactly-once. */
+  /** The sharded sinks' `autoCompact` knob: when `maxShards > 0` and
+    * the live stream-shard count at `dir` exceeds it, run `doCompact`
+    * — the trigger the compaction lifecycle was otherwise missing (a
+    * week-old stream would decay until an operator intervened). Below
+    * threshold the cost is one directory listing per micro-batch; at
+    * threshold the fold amortizes to 1/maxShards of itself per batch. */
+  private def maybeCompact(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, maxShards: Int)
+                          (doCompact: => Unit): Unit =
+    if (maxShards > 0 && graft.sources.ShardStore
+        .liveStreamShardCount(spark, dir) > maxShards)
+      doCompact
+
   def histIndexSink(stream: DataFrame, binsOf: DataFrame => DataFrame,
-                    dir: String, checkpointLoc: String)
+                    dir: String, checkpointLoc: String,
+                    autoCompact: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointLoc)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         writeHistShard(binsOf(batch), id, dir)
+        maybeCompact(batch.sparkSession, dir, autoCompact) {
+          compactHistIndex(batch.sparkSession, dir)
+        }
       }
       .start()
 
@@ -933,7 +954,7 @@ object EventsStream {
     * own shard rather than merge again). */
   def cmsIndexSink(stream: DataFrame, keyCol: String, dir: String,
                    checkpointLoc: String, depth: Int = 4, width: Int = 256,
-                   salt: String = "cms")
+                   salt: String = "cms", autoCompact: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointLoc)
@@ -941,6 +962,9 @@ object EventsStream {
         writeHistShard(
           graft.llm.Corpus.cmsBuild(batch, keyCol, depth, width, salt),
           id, dir)
+        maybeCompact(batch.sparkSession, dir, autoCompact) {
+          compactCmsIndex(batch.sparkSession, dir)
+        }
       }
       .start()
 
@@ -972,13 +996,16 @@ object EventsStream {
     * guarantee intact: est ≤ true ≤ est + err_bound, and every key
     * with true count > err_bound is reported. */
   def mgIndexSink(stream: DataFrame, keyCol: String, dir: String,
-                  checkpointLoc: String, m: Int = 64)
+                  checkpointLoc: String, m: Int = 64, autoCompact: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointLoc)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         writeHistShard(graft.llm.Corpus.mgSummary(batch, keyCol, m),
           id, dir)
+        maybeCompact(batch.sparkSession, dir, autoCompact) {
+          compactMgIndex(batch.sparkSession, dir, m)
+        }
       }
       .start()
 
@@ -998,7 +1025,8 @@ object EventsStream {
     * overwrite is again the replay guard. */
   def quantileIndexSink(stream: DataFrame, idCol: String, valueCol: String,
                         dir: String, checkpointLoc: String,
-                        buckets: Int = 16, capacity: Int = 64)
+                        buckets: Int = 16, capacity: Int = 64,
+                        autoCompact: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointLoc)
@@ -1006,6 +1034,9 @@ object EventsStream {
         writeHistShard(graft.operators.RelationalQueries
           .quantileSketch(batch, idCol, valueCol, buckets, capacity),
           id, dir)
+        maybeCompact(batch.sparkSession, dir, autoCompact) {
+          compactQuantileIndexShards(batch.sparkSession, dir)
+        }
       }
       .start()
 
@@ -1039,7 +1070,8 @@ object EventsStream {
   def groupedQuantileIndexSink(stream: DataFrame, keyCol: String,
                                idCol: String, valueCol: String,
                                dir: String, checkpointLoc: String,
-                               buckets: Int = 16, capacity: Int = 64)
+                               buckets: Int = 16, capacity: Int = 64,
+                               autoCompact: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointLoc)
@@ -1048,6 +1080,9 @@ object EventsStream {
           .quantileSketchByKey(batch, keyCol, idCol, valueCol,
             buckets, capacity),
           id, dir)
+        maybeCompact(batch.sparkSession, dir, autoCompact) {
+          compactGroupedQuantileIndexShards(batch.sparkSession, dir, keyCol)
+        }
       }
       .start()
 
@@ -1080,12 +1115,16 @@ object EventsStream {
     * vectors). [[graft.llm.Similarity.ivfKnnIndexed]] serves queries
     * mid-stream, partition-pruned to the probed lists. */
   def vectorIndexSink(vectors: DataFrame, idCol: String, vecCol: String,
-                      dir: String, checkpointLoc: String)
+                      dir: String, checkpointLoc: String,
+                      autoCompact: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpointLoc)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.llm.Similarity.writeIvfShard(batch, idCol, vecCol, dir, id)
+        maybeCompact(batch.sparkSession, s"$dir/lists", autoCompact) {
+          graft.llm.Similarity.compactIvfShards(batch.sparkSession, dir)
+        }
       }
       .start()
 
@@ -1098,13 +1137,17 @@ object EventsStream {
     * curation filters the log; the benchmark corpus is never re-read. */
   def decontamSink(docs: DataFrame, idCol: String, textCol: String,
                    idxDir: String, outDir: String, checkpointLoc: String,
-                   spanTokens: Int = 8, k: Int = 4, mBits: Int = 1 << 20)
+                   spanTokens: Int = 8, k: Int = 4, mBits: Int = 1 << 20,
+                   autoCompact: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointLoc)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         writeHistShard(graft.llm.Corpus.decontamProbe(batch, idCol,
           textCol, idxDir, spanTokens, k, mBits), id, outDir)
+        maybeCompact(batch.sparkSession, outDir, autoCompact) {
+          compactDecontamLog(batch.sparkSession, outDir)
+        }
       }
       .start()
 

@@ -1987,6 +1987,118 @@ class LlmSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("search index durability: a crash at EVERY retire-protocol " +
+    "point loses nothing — recovery serves a consistent state and the " +
+    "retried upsert restores the full corpus") {
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" < 300)
+    val terms = Seq("spark", "merge", "vector")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def scanOf(cur: org.apache.spark.sql.DataFrame) =
+      rows(Corpus.bm25TopK(cur, "doc_id", "text", terms, topK = 10))
+    // The re-crawl batch: every 10th doc with changed text. All its
+    // ids live in shard 0 (they are even), so the retire touches a
+    // shard holding many UNRELATED survivors — the rows the old
+    // delete-before-durable-append window could lose.
+    val mod = docs.filter($"doc_id" % 10 === 0)
+      .withColumn("text", concat($"text", lit(" merge merge vector")))
+    val afterRetire = docs.filter($"doc_id" % 10 =!= 0)
+    val afterUpsert = afterRetire.unionByName(mod)
+    for (point <- Seq("pre-staged", "post-staged", "post-delete",
+        "post-swap-postings", "post-swap-stats", "post-swap-docs")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("searchcrash").toString
+      try {
+        Corpus.upsertSearchIndexShard(docs.filter($"doc_id" % 2 === 0),
+          "doc_id", "text", dir, batchId = 0L, buckets = 8)
+        Corpus.upsertSearchIndexShard(docs.filter($"doc_id" % 2 =!= 0),
+          "doc_id", "text", dir, batchId = 1L, buckets = 8)
+        Corpus.retireFailpoint = Some(point)
+        val thrown = intercept[RuntimeException] {
+          Corpus.upsertSearchIndexShard(mod, "doc_id", "text", dir,
+            batchId = 2L, buckets = 8)
+        }
+        assert(thrown.getMessage.contains(point))
+        Corpus.retireFailpoint = None
+        // Serve after the crash: bm25FromIndex runs recovery first, so
+        // the state must be CONSISTENT — the full pre-upsert view when
+        // the crash hit before the _staged commit point, the
+        // retire-complete view after it. Never a half-swapped hybrid,
+        // and never a lost survivor.
+        val served = rows(Corpus.bm25FromIndex(spark, dir, "doc_id",
+          terms, topK = 10, buckets = 8))
+        if (point == "pre-staged")
+          assert(served == scanOf(docs),
+            s"$point: pre-commit crash must leave the old view intact")
+        else
+          assert(served == scanOf(afterRetire),
+            s"$point: recovery must complete the committed retire")
+        // The streaming retry re-delivers the batch: the final serve
+        // equals a fresh scan of the CURRENT versions.
+        Corpus.upsertSearchIndexShard(mod, "doc_id", "text", dir,
+          batchId = 2L, buckets = 8)
+        assert(rows(Corpus.bm25FromIndex(spark, dir, "doc_id", terms,
+          topK = 10, buckets = 8)) == scanOf(afterUpsert),
+          s"$point: retried upsert did not restore the full corpus")
+      } finally {
+        Corpus.retireFailpoint = None
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(dir))
+      }
+    }
+  }
+
+  test("deleteDocs: retire-without-replacement serves exactly the " +
+    "survivors; absent-id and replayed deletes no-op; a deleted doc " +
+    "re-ingests cleanly") {
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" < 300)
+    val dir = java.nio.file.Files
+      .createTempDirectory("searchdel").toString
+    val terms = Seq("spark", "merge", "vector")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def serve() = rows(Corpus.bm25FromIndex(spark, dir, "doc_id", terms,
+      topK = 10, buckets = 8))
+    def scanOf(cur: org.apache.spark.sql.DataFrame) =
+      rows(Corpus.bm25TopK(cur, "doc_id", "text", terms, topK = 10))
+    try {
+      Corpus.upsertSearchIndexShard(docs.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", dir, batchId = 0L, buckets = 8)
+      Corpus.upsertSearchIndexShard(docs.filter($"doc_id" % 2 =!= 0),
+        "doc_id", "text", dir, batchId = 1L, buckets = 8)
+      val dead = docs.filter($"doc_id" % 7 === 0).select($"doc_id")
+      val survivors = docs.filter($"doc_id" % 7 =!= 0)
+      Corpus.deleteDocs(spark, dir, dead, "doc_id")
+      assert(serve() == scanOf(survivors),
+        "delete left stale postings live")
+      // The corpus moments shrink WITH the docs — N is a sum over
+      // stored rows, so takedowns must not leave ghost mass behind.
+      val n = graft.sources.ShardStore.live(spark, s"$dir/stats")
+        .agg(sum($"n_docs")).as[Long].collect().head
+      assert(n == survivors.count(), s"stats N=$n after delete")
+      // Deleting an absent id no-ops; replaying the delete no-ops.
+      Corpus.deleteDocs(spark, dir, Seq(99999999L).toDF("doc_id"),
+        "doc_id")
+      Corpus.deleteDocs(spark, dir, dead, "doc_id")
+      assert(serve() == scanOf(survivors),
+        "absent-id or replayed delete changed serving")
+      // A deleted doc may RETURN (re-crawl after takedown reversal):
+      // the bloom gate was deliberately left signed, so the upsert
+      // pays one exact probe and lands the doc fresh.
+      val back = docs.filter($"doc_id" % 7 === 0)
+        .withColumn("text", concat($"text", lit(" vector spark")))
+      Corpus.upsertSearchIndexShard(back, "doc_id", "text", dir,
+        batchId = 5L, buckets = 8)
+      assert(serve() == scanOf(survivors.unionByName(back)),
+        "re-ingested previously-deleted doc not served")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("frozen BPE tokenizer: stored merges reproduce training forms " +
     "and segment UNSEEN words by the same greedy application") {
     import spark.implicits._
