@@ -1212,6 +1212,17 @@ object Corpus {
                              textCol: String, dir: String, batchId: Long,
                              buckets: Int = 32): Unit = {
     val spark = batch.sparkSession
+    // Replay of a batch the compaction horizon already FOLDED is a
+    // full no-op, not just a dropped re-land: batch ids are monotone,
+    // so `batchId <= horizon` proves this delivery's first copy is
+    // inside the base shard. Running the retire here would cut the
+    // batch's own docs OUT of the base while the live view drops the
+    // re-landed replacement — the one ordering (sink compacts, then
+    // crashes before the checkpoint commit) where retire-then-rewrite
+    // loses data. Skip entirely; the ledger (the marker) already
+    // accounts for this batch.
+    if (graft.sources.ShardStore.readMeta(spark, s"$dir/docs")
+        .exists(batchId <= _.horizon)) return
     retireDocs(spark, batch.select(col(idCol).as("_id")).distinct(),
       dir, excludeBatch = Some(batchId))
     writeSearchIndexShard(batch, idCol, textCol, dir, batchId, buckets)
@@ -1322,11 +1333,15 @@ object Corpus {
     // (one read of rows already on disk — consistent by construction).
     val stage = new org.apache.hadoop.fs.Path(s"$dir/_upsert_tmp")
     fs.delete(stage, true)
-    kept("docs").write.partitionBy("batch_id")
+    val keptDocs = kept("docs")
+    keptDocs.write.partitionBy("batch_id")
       .parquet(s"$dir/_upsert_tmp/docs")
     kept("postings").write.partitionBy("batch_id", "_tb")
       .parquet(s"$dir/_upsert_tmp/postings")
-    spark.read.parquet(s"$dir/_upsert_tmp/docs")
+    // Explicit schema: a fully-retired shard stages ZERO survivors,
+    // and schema inference cannot read an empty parquet directory.
+    spark.read.schema(keptDocs.schema)
+      .parquet(s"$dir/_upsert_tmp/docs")
       .groupBy(col("batch_id"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("dl")).as("total_len"))

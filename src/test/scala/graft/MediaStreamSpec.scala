@@ -1506,4 +1506,203 @@ class MediaStreamSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("shard store crash windows: unmarked orphan base dropped from " +
+    "the live view; idle compact sweeps stale partitions") {
+    import spark.implicits._
+    val ES = graft.streaming.EventsStream
+    val dir = java.nio.file.Files.createTempDirectory("orphan").toString
+    try {
+      val bs = Seq(
+        (1 to 40).map(i => (i % 11).toLong),
+        (20 to 90).map(i => (i % 11).toLong))
+      def hist(b: Seq[Long]) = b.toDF("v")
+        .groupBy(($"v" % 4).as("bin")).agg(count(lit(1)).as("n"))
+      bs.zipWithIndex.foreach { case (b, i) =>
+        ES.writeHistShard(hist(b), batchId = i.toLong, dir = s"$dir/idx") }
+      def served() = ES.histFromShards(spark, s"$dir/idx").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exp = hist(bs.flatten).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(served() == exp)
+      // FIRST-compaction crash between the base shard's write commit
+      // and the _meta marker: a negative base partition exists with NO
+      // marker pointing at it. The live view must drop it — negative
+      // ids are reserved for bases — or every folded row double-counts.
+      ES.writeHistShard(hist(bs.flatten), batchId = -3L, dir = s"$dir/idx")
+      assert(batchDirs(s"$dir/idx").toSet ==
+        Set("batch_id=0", "batch_id=1", "batch_id=-3"))
+      assert(served() == exp, "unmarked orphan base double-counted")
+      // The re-run compaction folds the SAME live view and commits the
+      // marker; serving is unchanged and the orphan id is reused.
+      ES.compactHistIndex(spark, s"$dir/idx")
+      assert(served() == exp)
+      assert(batchDirs(s"$dir/idx") == Seq("batch_id=-3"))
+      // A replayed pre-horizon batch re-lands its (dead) partition.
+      // An idle compact — nothing new to fold — must still sweep it:
+      // the crash-window storage-leak contract.
+      ES.writeHistShard(hist(bs(0)), batchId = 0L, dir = s"$dir/idx")
+      assert(batchDirs(s"$dir/idx").toSet ==
+        Set("batch_id=0", "batch_id=-3"))
+      ES.compactHistIndex(spark, s"$dir/idx")
+      assert(batchDirs(s"$dir/idx") == Seq("batch_id=-3"),
+        "idle compact did not sweep the stale partition")
+      assert(served() == exp)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("overwriteAtomic crash recovery: a half-swapped index (target " +
+    "missing, complete copy at __old or __tmp) is restored instead of " +
+    "silently reinitialized") {
+    import spark.implicits._
+    val C = graft.llm.Corpus
+    val root = java.nio.file.Files.createTempDirectory("owrec").toString
+    val dir = s"$root/idx"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def picks() = spark.read.parquet(dir)
+      .select($"st", $"key").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    try {
+      val b1 = (1L to 30L).map(k => ("a", k)) ++
+        (1L to 3L).map(k => ("b", k))
+      val b2 = (31L to 60L).map(k => ("a", k))
+      C.upsertBottomKIndex(b1.toDF("st", "key"), "key", "st", k = 5, dir)
+      // Crash between overwriteAtomic's two renames: target gone, the
+      // accumulated copy stranded at __old. The next upsert must
+      // RESTORE and merge — not read "no index yet" and reinit from
+      // the batch alone (which would also delete __old at cleanup).
+      assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+        new org.apache.hadoop.fs.Path(dir + "__old")))
+      C.upsertBottomKIndex(b2.toDF("st", "key"), "key", "st", k = 5, dir)
+      val expected = C.bottomK((b1 ++ b2).toDF("st", "key"),
+        "key", "st", k = 5).select($"st", $"key").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(picks() == expected,
+        "accumulated sample lost across the __old crash window")
+      // The short stratum's rows came from b1 ONLY — proof the stored
+      // copy was merged, not rebuilt from b2.
+      assert(picks().count(_._1 == "b") == 3)
+      // The other window: crash AFTER the new copy renamed to __tmp's
+      // completion but BEFORE the final rename — __tmp is complete
+      // (_SUCCESS present) and newer; recovery must prefer it.
+      val s12 = picks()
+      assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+        new org.apache.hadoop.fs.Path(dir + "__tmp")))
+      assert(graft.sources.ShardStore.recoverOverwrite(spark, dir))
+      assert(picks() == s12, "complete __tmp copy not restored")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__tmp")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("sink autoCompact: the sharded index folds exactly when the " +
+    "live shard count crosses the threshold; serving stays bit-equal; " +
+    "below threshold untouched") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ES = graft.streaming.EventsStream
+    val dir = java.nio.file.Files.createTempDirectory("autocomp").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("autocomp-ck").toString
+    try {
+      val mem = MemoryStream[Long]
+      val q = ES.histIndexSink(mem.toDF().toDF("v"),
+        b => b.groupBy(($"v" % 4).as("bin")).agg(count(lit(1)).as("n")),
+        s"$dir/idx", s"$ckpt/a", autoCompact = 2)
+      val bs = Seq(
+        (1 to 40).map(_.toLong), (20 to 90).map(_.toLong),
+        (5 to 55).map(_.toLong), (100 to 130).map(_.toLong))
+      // Two batches: at or below threshold — no marker, no fold.
+      bs.take(2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      assert(graft.sources.ShardStore.readMeta(spark, s"$dir/idx").isEmpty,
+        "compacted below threshold")
+      // Third batch crosses (3 > 2): the sink folds ONCE, in-band.
+      mem.addData(bs(2): _*); q.processAllAvailable()
+      val m = graft.sources.ShardStore.readMeta(spark, s"$dir/idx")
+      assert(m.isDefined && m.get.horizon == 2L,
+        s"threshold crossing did not compact: $m")
+      assert(batchDirs(s"$dir/idx") == Seq(s"batch_id=${m.get.base}"))
+      // Fourth batch lands as a fresh stream shard — no re-fold.
+      mem.addData(bs(3): _*); q.processAllAvailable()
+      q.stop()
+      assert(graft.sources.ShardStore.readMeta(spark, s"$dir/idx") == m)
+      assert(batchDirs(s"$dir/idx").toSet ==
+        Set(s"batch_id=${m.get.base}", "batch_id=3"))
+      val served = ES.histFromShards(spark, s"$dir/idx").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exp = bs.flatten.toDF("v")
+        .groupBy(($"v" % 4).as("bin")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(served == exp, "autoCompact changed the served histogram")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+
+  test("streaming re-crawl: searchIndexSink(upsert = true) retires old " +
+    "doc versions batch by batch; serve equals the current-version " +
+    "scan; autoCompact folds the index mid-stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val C = graft.llm.Corpus
+    val dir = java.nio.file.Files.createTempDirectory("recrawl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("recrawl-ck").toString
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.EventsStream.searchIndexSink(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        dir = s"$dir/idx", checkpointLoc = s"$ckpt/q", buckets = 8,
+        upsert = true, autoCompact = 2)
+      val terms = Seq("spark", "merge", "vector")
+      def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      def serve() = rows(C.bm25FromIndex(spark, s"$dir/idx", "doc_id",
+        terms, topK = 10, buckets = 8))
+      def scanOf(cur: Seq[(Long, String)]) = rows(C.bm25TopK(
+        cur.toDF("doc_id", "text"), "doc_id", "text", terms, topK = 10))
+      val b0 = Seq((1L, "spark merge spark vector data"),
+        (2L, "merge vector vector"))
+      val b1 = Seq((1L, "spark rewritten entirely"),      // re-crawl of 1
+        (3L, "vector spark merge all three now"))
+      val b2 = Seq((2L, "vector only now"),               // re-crawl of 2
+        (4L, "spark spark merge"))
+      mem.addData(b0: _*); q.processAllAvailable()
+      assert(serve() == scanOf(b0))
+      mem.addData(b1: _*); q.processAllAvailable()
+      val cur1 = Seq(b1.head, b0(1)) ++ b1.tail
+      assert(serve() == scanOf(cur1),
+        "streamed re-crawl left the old version live")
+      // Batch 2 retires doc 2 — shard 0's LAST doc, so the whole
+      // shard 0 disappears (2 live shards, below threshold).
+      mem.addData(b2: _*); q.processAllAvailable()
+      val cur2 = Seq(b1.head, b2.head, b1(1), b2(1))
+      assert(serve() == scanOf(cur2),
+        "streamed re-crawl of a shard's last doc diverged")
+      // Batch 3 lands the third live shard, crossing autoCompact=2:
+      // the sink folds all three tables coherently.
+      val b3 = Seq((5L, "merge data spark"))
+      mem.addData(b3: _*); q.processAllAvailable()
+      q.stop()
+      val cur3 = cur2 ++ b3
+      assert(serve() == scanOf(cur3),
+        "upsert + autoCompact diverged from the current-version scan")
+      val meta = graft.sources.ShardStore.readMeta(spark, s"$dir/idx/stats")
+      assert(meta.exists(_.horizon == 3L),
+        s"autoCompact never folded the search index: $meta")
+      // At-least-once replay of the last batch AFTER its fold: the
+      // horizon guard makes the whole upsert a no-op — without it the
+      // retire would cut the batch's own docs out of the base while
+      // the live view drops the re-landed replacement.
+      C.upsertSearchIndexShard(b3.toDF("doc_id", "text"), "doc_id",
+        "text", s"$dir/idx", batchId = 3L, buckets = 8)
+      assert(serve() == scanOf(cur3), "replayed folded batch drifted")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
 }
