@@ -96,6 +96,13 @@ object Sparql {
     * nothing is removed (the spec's disjoint-domain rule — the
     * difference from FILTER NOT EXISTS). */
   final case class Minus(inner: Seq[Pattern]) extends Pattern
+  /** `GRAPH <iri> {…}` / `GRAPH ?g {…}` (SPARQL 1.1 §13.3): scope the
+    * inner group to one named graph (a pushable `g = iri` partition
+    * filter) or to EVERY named graph with `?g` bound to its name —
+    * the graph column rides each triple pattern as an ordinary
+    * variable binding, so self-joins inside one `GRAPH ?g` block
+    * equate the graph through the join itself. */
+  final case class GraphPat(g: Term, inner: Seq[Pattern]) extends Pattern
 
   sealed trait Expr
   final case class LangMatchesE(v: String, range: String) extends Expr
@@ -139,7 +146,9 @@ object Sparql {
                          groupBy: Seq[String], limit: Option[Int],
                          orderBy: Seq[(String, Boolean)] = Nil,
                          offset: Option[Int] = None,
-                         having: Option[Expr] = None)
+                         having: Option[Expr] = None,
+                         from: Seq[String] = Nil,
+                         fromNamed: Seq[String] = Nil)
 
   /** CONSTRUCT query: a triple template instantiated once per WHERE
     * solution. LIMIT (when present) bounds the solution sequence before
@@ -406,6 +415,22 @@ object Sparql {
           eatPunct(")")
         case _ => done = true
       }
+      // Dataset clause (SPARQL 1.1 §13.2): FROM merges the listed
+      // graphs into the query's default graph; FROM NAMED restricts
+      // the graphs GRAPH can see. Present at all → the clause REPLACES
+      // the supplied dataset (no FROM NAMED with a FROM = empty named
+      // set, and vice versa).
+      val fromB = Seq.newBuilder[String]
+      val fromNamedB = Seq.newBuilder[String]
+      while (tryWord("FROM")) {
+        val named = tryWord("NAMED")
+        val iri = next() match {
+          case TIri(i) => i
+          case p: TPName => expand(p)
+          case other => sys.error(s"expected <iri> after FROM, got $other")
+        }
+        if (named) fromNamedB += iri else fromB += iri
+      }
       eatWord("WHERE")
       val where = parseGroup()
       var groupBy = Seq.empty[String]
@@ -430,7 +455,7 @@ object Sparql {
         else more = false
       }
       Query(distinct, star, proj.result(), where, groupBy, limit,
-        orderBy, offset, having)
+        orderBy, offset, having, fromB.result(), fromNamedB.result())
     }
 
     private def parseAsVar(): String = next() match {
@@ -492,6 +517,15 @@ object Sparql {
             next(); pats += parseValues()
           case Some(t) if isWord(t, "MINUS") =>
             next(); pats += Minus(parseGroup())
+          case Some(t) if isWord(t, "GRAPH") =>
+            next()
+            val g = next() match {
+              case TVar(v) => V(v)
+              case TIri(i) => I(i)
+              case p: TPName => I(expand(p))
+              case other => sys.error(s"expected ?var or <iri> after GRAPH, got $other")
+            }
+            pats += GraphPat(g, parseGroup())
           case Some(TPunct("{")) =>
             // Subselect `{ SELECT … }`, a `{A} UNION {B}` chain, or an
             // inline group (spliced).
@@ -872,8 +906,45 @@ object Sparql {
   /** Compile + run: returns a DataFrame with one column per projected
     * variable. `triples` must carry the canonical schema.
     */
-  def select(triples: DataFrame, query: String): DataFrame =
-    compileQuery(parse(query), triples)
+  def select(triples: DataFrame, query: String): DataFrame = {
+    val q = parse(query)
+    require(q.from.isEmpty && q.fromNamed.isEmpty,
+      "FROM/FROM NAMED need a dataset — use selectDataset")
+    compileQuery(q, triples, noNamed(triples))
+  }
+
+  /** Compile + run over an RDF DATASET: `dataset` is the canonical
+    * triple schema plus a `g` column naming each row's graph (null =
+    * the default graph) — exactly [[Bgp.dataset]]'s layout. Graph
+    * membership stays a pushable column filter end to end:
+    * `GRAPH <iri>` compiles to `g = iri` (partition-prunable when the
+    * store partitions by `g`), `GRAPH ?g` binds `g` as an ordinary
+    * variable column, and a FROM/FROM NAMED clause REPLACES the
+    * dataset per SPARQL 1.1 §13.2 (FROM graphs merge into the default
+    * graph; only FROM NAMED graphs stay visible to GRAPH — with a
+    * dataset clause present but no FROM NAMED, the named set is
+    * empty, and vice versa). */
+  def selectDataset(dataset: DataFrame, query: String): DataFrame = {
+    val q = parse(query)
+    val hasClause = q.from.nonEmpty || q.fromNamed.nonEmpty
+    val dflt =
+      if (!hasClause) dataset.filter(col("g").isNull).drop("g")
+      else if (q.from.nonEmpty)
+        dataset.filter(col("g").isin(q.from: _*)).drop("g")
+      else dataset.where(lit(false)).drop("g")
+    val named =
+      if (!hasClause) dataset.filter(col("g").isNotNull)
+      else if (q.fromNamed.nonEmpty)
+        dataset.filter(col("g").isin(q.fromNamed: _*))
+      else dataset.where(lit(false))
+    compileQuery(q, dflt, named)
+  }
+
+  /** The empty named-graph store for single-graph entry points: GRAPH
+    * over it matches nothing (the spec's behavior for a dataset with
+    * no named graphs). */
+  private def noNamed(triples: DataFrame): DataFrame =
+    triples.where(lit(false)).withColumn("g", lit(null).cast("string"))
 
   /** Parse a SPARQL CONSTRUCT string into the AST. */
   def parseConstruct(query: String): ConstructQuery =
@@ -884,7 +955,8 @@ object Sparql {
     * `limit(1)` — one short-circuiting job, no full materialization.
     * Driver-scalar by design, like [[scalar]]. */
   def ask(triples: DataFrame, query: String): Boolean =
-    !compileGroup(new P(tokenize(query)).parseAskWhere(), triples)
+    !compileGroup(new P(tokenize(query)).parseAskWhere(), triples,
+        noNamed(triples))
       .limit(1).isEmpty
 
   /** SPARQL DESCRIBE <iri>…: the concise bounded description SPARQL
@@ -927,7 +999,7 @@ object Sparql {
 
   private def compileConstruct(cq: ConstructQuery,
                                triples: DataFrame): DataFrame = {
-    var sol = compileGroup(cq.where, triples)
+    var sol = compileGroup(cq.where, triples, noNamed(triples))
     cq.limit.foreach(n => sol = sol.limit(n))
     val cols = sol.columns.toSet
     val nullStr = lit(null).cast("string")
@@ -982,8 +1054,10 @@ object Sparql {
     if (rows.isEmpty || rows(0).isNullAt(0)) default else rows(0).getString(0)
   }
 
-  private def compileQuery(q: Query, triples: DataFrame): DataFrame = {
-    var df = compileGroup(q.where, triples)
+  private def compileQuery(q: Query, triples: DataFrame,
+                           named: DataFrame,
+                           gVar: Option[String] = None): DataFrame = {
+    var df = compileGroup(q.where, triples, named, gVar)
     // Aggregation (COUNT/SUM/MIN/MAX/AVG/GROUP_CONCAT/SAMPLE
     // projections) — one hash aggregate. Numeric aggregates cast the
     // lexical binding to double (non-numeric values null out, which
@@ -1050,14 +1124,32 @@ object Sparql {
     * textual order; FILTER and FILTER NOT EXISTS apply at group end
     * (SPARQL scopes filters to the whole group).
     */
-  private def compileGroup(pats: Seq[Pattern], triples: DataFrame): DataFrame = {
+  private def compileGroup(pats: Seq[Pattern], triples: DataFrame,
+                           named: DataFrame,
+                           gVar: Option[String] = None): DataFrame = {
     var acc: Option[DataFrame] = None
     val filters = Seq.newBuilder[Expr]
     val antis = Seq.newBuilder[Seq[Pattern]]
     val semis = Seq.newBuilder[Seq[Pattern]]
     val minuses = Seq.newBuilder[Seq[Pattern]]
     pats.foreach {
-      case t: Triple => acc = Some(merge(acc, tripleDf(t, triples)))
+      case t: Triple => acc = Some(merge(acc, tripleDf(t, triples, gVar)))
+      case GraphPat(gTerm, inner) =>
+        val sub = gTerm match {
+          // GRAPH <iri>: the inner group over one named graph — a
+          // pushed `g = iri` filter, then ordinary compilation (path
+          // closures included: they run over the already-scoped slice).
+          case I(iri) =>
+            compileGroup(inner, named.filter(col("g") === iri).drop("g"),
+              named)
+          // GRAPH ?g: the inner group over the WHOLE named store with
+          // the graph name bound as a variable column on every triple
+          // pattern — joins inside the group equate ?g, so each
+          // solution stays within one graph without enumerating graphs.
+          case V(gv) => compileGroup(inner, named, named, Some(gv))
+          case other => sys.error(s"GRAPH term must be ?var or <iri>, got $other")
+        }
+        acc = Some(merge(acc, sub))
       case Values(vars, rows) => acc = Some(mergeValues(acc, vars, rows, triples))
       case Bind(ConstBool(b), as) =>
         acc = Some(acc.getOrElse(sys.error("BIND before any pattern"))
@@ -1079,7 +1171,7 @@ object Sparql {
           .withColumn(as + DtSuffix, lit(null).cast("string")))
       case Bind(e, _) => sys.error(s"unsupported BIND expression $e")
       case Optional(inner) =>
-        val innerDf = compileGroup(inner, triples)
+        val innerDf = compileGroup(inner, triples, named, gVar)
         // Boolean BINDs in the optional body materialize false when the
         // optional does not match (see the scaladoc's semantic notes).
         val flagVars = inner.collect { case Bind(ConstBool(_), as) => as }
@@ -1087,8 +1179,10 @@ object Sparql {
         acc = Some(flagVars.foldLeft(joined) { (d, f) =>
           d.withColumn(f, coalesce(col(f), lit(false)))
         })
-      case SubSelect(sub) => acc = Some(merge(acc, compileQuery(sub, triples)))
-      case Union(groups) => acc = Some(merge(acc, unionGroups(groups, triples)))
+      case SubSelect(sub) =>
+        acc = Some(merge(acc, compileQuery(sub, triples, named, gVar)))
+      case Union(groups) =>
+        acc = Some(merge(acc, unionGroups(groups, triples, named, gVar)))
       case Filter(e) => filters += e
       case NotExists(inner) => antis += inner
       case Exists(inner) => semis += inner
@@ -1097,21 +1191,21 @@ object Sparql {
     var df = acc.getOrElse(sys.error("empty group pattern"))
     filters.result().foreach(e => df = df.filter(exprCol(e, df)))
     antis.result().foreach { inner =>
-      val ex = compileGroup(inner, triples)
+      val ex = compileGroup(inner, triples, named, gVar)
       val shared = df.columns.toSet
         .intersect(ex.columns.filterNot(isMeta).toSet).toSeq
       require(shared.nonEmpty, "NOT EXISTS shares no variable with the group")
       df = df.join(ex.select(shared.map(col): _*), shared, "left_anti")
     }
     semis.result().foreach { inner =>
-      val ex = compileGroup(inner, triples)
+      val ex = compileGroup(inner, triples, named, gVar)
       val shared = df.columns.toSet
         .intersect(ex.columns.filterNot(isMeta).toSet).toSeq
       require(shared.nonEmpty, "EXISTS shares no variable with the group")
       df = df.join(ex.select(shared.map(col): _*), shared, "left_semi")
     }
     minuses.result().foreach { inner =>
-      val ex = compileGroup(inner, triples)
+      val ex = compileGroup(inner, triples, named, gVar)
       val shared = df.columns.toSet
         .intersect(ex.columns.filterNot(isMeta).toSet).toSeq
       // Spec rule (§8.3): a MINUS solution with NO shared variable
@@ -1128,8 +1222,9 @@ object Sparql {
     * pushed-predicate plans, exactly [[altDf]]'s device generalized
     * from path alternatives to full group patterns. */
   private def unionGroups(groups: Seq[Seq[Pattern]],
-                          triples: DataFrame): DataFrame = {
-    val dfs = groups.map(g => compileGroup(g, triples))
+                          triples: DataFrame, named: DataFrame,
+                          gVar: Option[String] = None): DataFrame = {
+    val dfs = groups.map(g => compileGroup(g, triples, named, gVar))
     val allCols = dfs.flatMap(_.columns).distinct
     // The pad type for a variable ABSENT from a branch is the type of
     // whichever branch BINDS it (first binder wins) — most variables
@@ -1169,9 +1264,22 @@ object Sparql {
     * predicates become pushed-down filters on `p`; object-bound variables
     * carry a hidden `<v>__lang` column so LANGMATCHES can see the tag.
     */
-  private def tripleDf(t: Triple, triples: DataFrame): DataFrame = {
+  private def tripleDf(t: Triple, triples: DataFrame,
+                       gVar: Option[String] = None): DataFrame = {
     t.v match {
-      case Alt(alts) => return altDf(t, alts, triples)
+      case Alt(alts) => return altDf(t, alts, triples, gVar)
+      case _ => ()
+    }
+    // Path closures are per-graph fixpoints; inside `GRAPH ?g` the
+    // store is the UNION of all named graphs, and a closure over it
+    // would hop across graph boundaries. Scope with `GRAPH <iri>`
+    // (where the slice is pre-filtered and closures run unchanged).
+    def noClosureInGraphVar(): Unit = gVar.foreach(gv => sys.error(
+      s"property-path closures inside GRAPH ?$gv are not supported — " +
+        "scope the graph with GRAPH <iri>"))
+    t.v match {
+      case Path(Seq(Step(_, _, m))) if m != ' ' => noClosureInGraphVar()
+      case TreePath(_) => noClosureInGraphVar()
       case _ => ()
     }
     val (subjCol, objCol, p, forward, mod) = t.v match {
@@ -1263,6 +1371,10 @@ object Sparql {
     }
     t.s match { case V(x) => iriMeta(x); case _ => () }
     t.v match { case PVar(x) => iriMeta(x); case _ => () }
+    // Inside `GRAPH ?g`: the row's graph name binds as an ordinary
+    // variable column (an IRI by the dataset model), so group joins
+    // equate the graph and the projection can expose it.
+    gVar.foreach { gv => add(gv, col("g")); iriMeta(gv) }
     df.select(sels.result(): _*)
   }
 
@@ -1302,11 +1414,12 @@ object Sparql {
     * one union of per-alternative pushed-predicate plans, no closure
     * unless an alternative carries its own `+`/`*`. */
   private def altDf(t: Triple, alts: Seq[Seq[Step]],
-                    triples: DataFrame): DataFrame = {
+                    triples: DataFrame,
+                    gVar: Option[String] = None): DataFrame = {
     val endpoints = Seq(t.s, t.o).collect { case V(x) => x }.distinct
     require(endpoints.nonEmpty,
       "path alternation needs at least one variable endpoint")
-    val keep = endpoints.flatMap(x =>
+    val keep = (endpoints ++ gVar).flatMap(x =>
       Seq(x, x + LangSuffix, x + IsIriSuffix, x + DtSuffix))
     alts.zipWithIndex.map { case (steps, ai) =>
       val mids = steps.init.indices.map(i => V(s"_alt${ai}_$i"))
@@ -1315,7 +1428,8 @@ object Sparql {
         val to = if (i == steps.length - 1) t.o else mids(i)
         Triple(from, Path(Seq(st)), to)
       }
-      compileGroup(pats, triples).select(keep.map(col): _*)
+      compileGroup(pats, triples, noNamed(triples), gVar)
+        .select(keep.map(col): _*)
     }.reduce(_ unionByName _)
   }
 

@@ -1315,6 +1315,44 @@ object LlmQueries {
         nprobe = 4, shortlist = 50)
     },
 
+    // The recall-vs-nprobe tuning table for the DEPLOYED index (q218's
+    // persisted IVF+PQ): per-query recall_ppm against brute force at
+    // nprobe ∈ {1,2,4,8}, each with and without the exact rerank —
+    // the operating curve an operator reads before picking nprobe at
+    // 100 TB (q85 gives the same table for plain IVF; this one prices
+    // the PQ compression and the rerank's repair of it). Shares q218's
+    // build-if-absent index (same key and marker); the eight serves
+    // are probe-pruned partition reads, and the brute-force side is
+    // computed once behind a lineage cut.
+    "q238_ivfpq_recall_vs_nprobe" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      val idx = s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + s"/q218_ivfpq_$key"
+      val marker = s"q218idx_$key"
+      if (!s.catalog.tableExists(marker)) {
+        Similarity.writeIvfPqIndex(e, "vec_id", "embedding", idx,
+          m = 8, dim = 64, centroidEvery = 64, pqCentroidEvery = 8,
+          trainCap = 256)
+        s.emptyDataFrame.createOrReplaceTempView(marker)
+      }
+      val qs = e.filter(col("vec_id") % 200 === 0)
+      val exact = Similarity.bruteForceKnn(e, qs, "vec_id", "embedding",
+        k = 10).localCheckpoint()
+      (for {
+        np <- Seq(1, 2, 4, 8)
+        rer <- Seq(false, true)
+      } yield Similarity.annRecall(exact,
+          Similarity.ivfPqKnnIndexed(qs, "vec_id", "embedding", idx,
+            rerank = if (rer) Some(e) else None, k = 10, nprobe = np,
+            shortlist = 50), k = 10)
+        .withColumn("nprobe", lit(np))
+        .withColumn("reranked", lit(rer))
+      ).reduce(_ unionByName _)
+    },
+
     // Fuzzy vocabulary pairs (Levenshtein ≤ 2) by SymSpell
     // symmetric-delete blocking: deletion-variant equi-join + exact
     // levenshtein verify — equals the all-pairs scan (the oracle IS the
@@ -4297,6 +4335,146 @@ object LlmQueries {
          |      AS rank
          |  FROM rer)
          |WHERE rank <= 10""".stripMargin
+    },
+
+    // q238: q218's full IVF+PQ replay with the probe depth kept to 8
+    // and PER-NPROBE ranking — candidates carry their list's probe
+    // rank (each corpus vector sits in exactly one rn=1 list, so the
+    // rank is unique per candidate), the ADC scores compute ONCE, and
+    // each (nprobe, reranked) cell re-ranks the prefix prn <= nprobe.
+    // Brute-force side is q85's cosine chain at the %200 query sample.
+    "q238_ivfpq_recall_vs_nprobe" -> {
+      def assignSql(subsTable: String, cTable: String, name: String): String =
+        s"""$name AS (
+           |  SELECT vec_id, sub, cid FROM (
+           |    SELECT sv.vec_id, sv.sub, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+           |        (list_dot_product(sv.sv, sv.sv)
+           |         - 2.0 * list_dot_product(sv.sv, c.cv)
+           |         + list_dot_product(c.cv, c.cv)) ASC, c.cid ASC) AS rn
+           |    FROM $subsTable sv JOIN $cTable c ON c.sub = sv.sub) WHERE rn = 1)"""
+          .stripMargin
+      def updateSql(aTable: String, name: String): String =
+        s"""$name AS (
+           |  SELECT sub, cid, list(m ORDER BY pos) AS cv FROM (
+           |    SELECT a.sub, a.cid, g.pos, round(avg(sv.sv[g.pos]), 6) AS m
+           |    FROM $aTable a JOIN tsubs sv
+           |      ON sv.vec_id = a.vec_id AND sv.sub = a.sub,
+           |      LATERAL UNNEST(generate_series(1, 8)) AS g(pos)
+           |    GROUP BY 1, 2, 3)
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH emb AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id % 200 = 0),
+         |bscored AS (
+         |  SELECT q.qid, e.vec_id AS neighbor_id,
+         |    list_dot_product(q.qv, e.v)
+         |      / (sqrt(list_dot_product(q.qv, q.qv))
+         |        * sqrt(list_dot_product(e.v, e.v))) AS sim
+         |  FROM q, emb e WHERE e.vec_id != q.qid),
+         |btop AS (
+         |  SELECT qid, neighbor_id FROM (
+         |    SELECT qid, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC)
+         |        AS rank
+         |    FROM bscored)
+         |  WHERE rank <= 10),
+         |coarse AS (
+         |  SELECT vec_id AS ccid, v AS cv FROM emb WHERE vec_id % 64 = 0),
+         |csim AS (
+         |  SELECT e.vec_id, c.ccid,
+         |    list_dot_product(e.v, c.cv)
+         |      / (sqrt(list_dot_product(e.v, e.v))
+         |        * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+         |  FROM emb e, coarse c),
+         |assignedc AS (
+         |  SELECT vec_id, ccid FROM (
+         |    SELECT vec_id, ccid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, ccid ASC) AS rn
+         |    FROM csim) WHERE rn = 1),
+         |probed AS (
+         |  SELECT vec_id AS qid, ccid, rn AS prn FROM (
+         |    SELECT vec_id, ccid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, ccid ASC) AS rn
+         |    FROM csim WHERE vec_id % 200 = 0) WHERE rn <= 8),
+         |cand AS (
+         |  SELECT p.qid, p.prn, a.vec_id AS neighbor_id
+         |  FROM probed p JOIN assignedc a USING (ccid)
+         |  WHERE a.vec_id != p.qid),
+         |rate AS (
+         |  SELECT least(1000000, 256000000 // count(*)) AS ppm FROM emb),
+         |trn AS (
+         |  SELECT vec_id, v FROM emb, rate
+         |  WHERE list_reduce(list_transform(
+         |      string_split(substr(md5('pqtrain:' || CAST(vec_id AS VARCHAR)), 1, 8), ''),
+         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+         |      (a, b) -> a * 16 + b) * 1000000 < ppm * 4294967296),
+         |subs AS (
+         |  SELECT vec_id, s.sub,
+         |    list_slice(v, s.sub * 8 + 1, s.sub * 8 + 8) AS sv
+         |  FROM emb, (SELECT unnest(generate_series(0, 7)) AS sub) s),
+         |tsubs AS (
+         |  SELECT vec_id, s.sub,
+         |    list_slice(v, s.sub * 8 + 1, s.sub * 8 + 8) AS sv
+         |  FROM trn, (SELECT unnest(generate_series(0, 7)) AS sub) s),
+         |c0 AS (
+         |  SELECT sub, vec_id AS cid, sv AS cv FROM tsubs WHERE vec_id % 8 = 0),
+         |${assignSql("tsubs", "c0", "a0")},
+         |${updateSql("a0", "c1")},
+         |${assignSql("tsubs", "c1", "a1")},
+         |${updateSql("a1", "c2")},
+         |${assignSql("subs", "c2", "a2")},
+         |recon AS (
+         |  SELECT a.vec_id, flatten(list(c.cv ORDER BY a.sub)) AS rv
+         |  FROM a2 a JOIN c2 c ON c.sub = a.sub AND c.cid = a.cid
+         |  GROUP BY 1),
+         |scored AS (
+         |  SELECT cand.qid, cand.prn, q.qv, cand.neighbor_id,
+         |    list_dot_product(q.qv, q.qv) - 2.0 * list_dot_product(q.qv, r.rv)
+         |      + list_dot_product(r.rv, r.rv) AS d
+         |  FROM cand JOIN q ON q.qid = cand.qid
+         |  JOIN recon r ON r.vec_id = cand.neighbor_id),
+         |nps AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+         |adcr AS (
+         |  SELECT s.qid, n.nprobe, s.qv, s.neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY s.qid, n.nprobe
+         |      ORDER BY s.d ASC, s.neighbor_id ASC) AS rn
+         |  FROM scored s JOIN nps n ON s.prn <= n.nprobe),
+         |atop AS (SELECT qid, nprobe, neighbor_id FROM adcr WHERE rn <= 10),
+         |rer AS (
+         |  SELECT s.qid, s.nprobe, s.neighbor_id,
+         |    list_dot_product(s.qv, s.qv) - 2.0 * list_dot_product(s.qv, e.v)
+         |      + list_dot_product(e.v, e.v) AS de
+         |  FROM (SELECT * FROM adcr WHERE rn <= 50) s
+         |  JOIN emb e ON e.vec_id = s.neighbor_id),
+         |rtop AS (
+         |  SELECT qid, nprobe, neighbor_id FROM (
+         |    SELECT qid, nprobe, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qid, nprobe
+         |        ORDER BY de ASC, neighbor_id ASC) AS rank
+         |    FROM rer)
+         |  WHERE rank <= 10),
+         |approx AS (
+         |  SELECT qid, nprobe, false AS reranked, neighbor_id FROM atop
+         |  UNION ALL
+         |  SELECT qid, nprobe, true AS reranked, neighbor_id FROM rtop),
+         |hits AS (
+         |  SELECT a.qid, a.nprobe, a.reranked, count(*) AS n_hits
+         |  FROM btop b JOIN approx a
+         |    ON a.qid = b.qid AND a.neighbor_id = b.neighbor_id
+         |  GROUP BY 1, 2, 3),
+         |grid AS (
+         |  SELECT q.qid, n.nprobe, r.reranked
+         |  FROM (SELECT DISTINCT qid FROM q) q, nps n,
+         |    (SELECT unnest([false, true]) AS reranked) r)
+         |SELECT g.qid, COALESCE(h.n_hits, 0) AS n_hits,
+         |  (COALESCE(h.n_hits, 0) * 1000000) // 10 AS recall_ppm,
+         |  g.nprobe, g.reranked
+         |FROM grid g LEFT JOIN hits h
+         |  ON h.qid = g.qid AND h.nprobe = g.nprobe
+         |    AND h.reranked = g.reranked""".stripMargin
     },
 
     // q126: the same integer chain — floor(sqrt) is IEEE-exact on both

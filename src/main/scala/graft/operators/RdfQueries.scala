@@ -410,10 +410,47 @@ object RdfQueries {
           |}""".stripMargin)
       g.select(NTriples.line(col("s"), col("p"), col("o"),
         col("oIsIri"), col("oLang"), col("oDatatype")).as("line"))
+    },
+
+    // GRAPH / FROM / FROM NAMED (SPARQL 1.1 §13) over a two-graph
+    // dataset: FROM <geo> builds the default graph (the bare name
+    // pattern), FROM NAMED restricts what GRAPH sees, `GRAPH ?g`
+    // binds the graph name as a variable (inNation lives only in the
+    // cust graph, so ?g proves the binding), and `GRAPH <geo>` scopes
+    // a second pattern to one named graph — with the ?nation join
+    // crossing graphs. Graph membership stays a pushed `g` filter the
+    // whole way (partition-prunable when the store partitions by g).
+    "q237_sparql_graph_dataset" -> { (s, dir) =>
+      val ds = Bgp.dataset(
+        "urn:graph/geo" -> G.geo(s, dir),
+        "urn:graph/cust" -> G.customers(s, dir))
+      graft.graphquery.Sparql.selectDataset(ds,
+        """SELECT ?g ?s ?nation ?nname ?reg
+          |FROM <urn:graph/geo>
+          |FROM NAMED <urn:graph/cust>
+          |FROM NAMED <urn:graph/geo>
+          |WHERE {
+          |  ?nation <urn:p/name> ?nname .
+          |  FILTER(LANGMATCHES(LANG(?nname), "en"))
+          |  GRAPH ?g { ?s <urn:p/inNation> ?nation . }
+          |  GRAPH <urn:graph/geo> { ?nation <urn:p/inRegion> ?reg . }
+          |}""".stripMargin)
     }
   )
 
   val oracles: Map[String, String] = Map(
+    // q237: the default-graph name pattern is a geo scan; GRAPH ?g can
+    // only bind the cust graph (no other named graph holds inNation);
+    // the GRAPH <geo> pattern is a second geo join.
+    "q237_sparql_graph_dataset" -> withTriples(
+      """SELECT 'urn:graph/cust' AS g, c.s AS s, c.o AS nation,
+        |       n.o AS nname, r.o AS reg
+        |FROM cust c
+        |JOIN geo n ON n.s = c.o AND n.p = 'urn:p/name'
+        |  AND (lower(n.oLang) = 'en' OR lower(n.oLang) LIKE 'en-%')
+        |JOIN geo r ON r.s = c.o AND r.p = 'urn:p/inRegion'
+        |WHERE c.p = 'urn:p/inNation'""".stripMargin,
+      "geo" -> G.sql.geo, "cust" -> G.sql.customers),
     "q14_ntriples_render" -> withTriples(
       s"""SELECT ${NTriples.lineSql} AS line FROM (
          |  SELECT * FROM t

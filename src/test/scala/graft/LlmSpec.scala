@@ -390,6 +390,45 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("IVF+PQ recall vs nprobe: reranked recall non-decreasing in " +
+    "probe depth; exact rerank never loses to ADC-only at any depth") {
+    val e = graft.Tables.t(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") % 20 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_recall").toString
+    try {
+      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", dir,
+        centroidEvery = 8, pqCentroidEvery = 8)
+      val exact = Similarity.bruteForceKnn(e, q, "vec_id", "embedding",
+        k = 10).localCheckpoint()
+      val probes = Seq(1, 2, 4, 8)
+      // Σ n_hits over all queries = mean recall up to the constant
+      // |q|·k — integer, so the curve compares exactly.
+      val table = (for { np <- probes; rer <- Seq(false, true) } yield
+        (np, rer) -> Similarity.annRecall(exact,
+            Similarity.ivfPqKnnIndexed(q, "vec_id", "embedding", dir,
+              rerank = if (rer) Some(e) else None, k = 10, nprobe = np),
+            k = 10)
+          .agg(sum(col("n_hits"))).collect()(0).getLong(0)).toMap
+      // The RERANKED curve must be non-decreasing: deeper probes can
+      // only widen the exact-reranked candidate pool. The ADC-only
+      // curve is NOT asserted monotone — more probes admit more
+      // quantization-error impostors into the codes-only top-10 (the
+      // sf0.001 fixture demonstrably dips at nprobe=8), which is
+      // precisely what the q238 tuning table exists to expose.
+      val reranked = probes.map(np => table((np, true)))
+      assert(reranked.zip(reranked.tail).forall { case (a, b) => a <= b },
+        s"reranked recall not monotone in nprobe: $reranked")
+      assert(reranked.last > 0, "zero recall at nprobe=8 with rerank")
+      probes.foreach { np =>
+        assert(table((np, true)) >= table((np, false)),
+          s"exact rerank lost to ADC-only at nprobe=$np: " +
+            s"${table((np, true))} < ${table((np, false))}")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("IVF+PQ shard ingest: frozen books, replayed shard is a no-op") {
     val e = graft.Tables.t(spark, sf, "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_shard").toString

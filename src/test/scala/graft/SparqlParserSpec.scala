@@ -951,6 +951,66 @@ class SparqlParserSpec extends SparkSpec {
       r.getDouble(2) == 2.0 && r.getString(3) == "1|3" &&
       r.getString(4) == "1", s"got ${r.toSeq}")
   }
+
+  test("GRAPH / FROM / FROM NAMED: the dataset clause replaces the " +
+    "dataset; GRAPH <iri> scopes; GRAPH ?g binds the graph name and " +
+    "joins stay within one graph") {
+    import spark.implicits._
+    val ds = Seq(
+      (null, "urn:i/a", "urn:p/k", "default"),
+      ("urn:gr/1", "urn:i/a", "urn:p/k", "one"),
+      ("urn:gr/1", "urn:i/a", "urn:p/l", "uno"),
+      ("urn:gr/2", "urn:i/a", "urn:p/k", "two"))
+      .toDF("g", "s", "p", "o")
+      .withColumn("oIsIri", lit(false))
+      .withColumn("oLang", lit(null).cast("string"))
+      .withColumn("oDatatype", lit(null).cast("string"))
+    // Parser: FROM collects into the default-graph list, FROM NAMED
+    // into the named list, GRAPH into the pattern tree.
+    val q = Sparql.parse(
+      """SELECT ?x FROM <urn:gr/1> FROM NAMED <urn:gr/2>
+        |WHERE { GRAPH ?g { ?s <urn:p/k> ?x } }""".stripMargin)
+    assert(q.from == Seq("urn:gr/1") && q.fromNamed == Seq("urn:gr/2"))
+    assert(q.where.collect {
+      case Sparql.GraphPat(Sparql.V("g"), inner) => inner.length }.head == 1)
+    def vals(sql: String) = Sparql.selectDataset(ds, sql).collect()
+      .map(_.toSeq.mkString(",")).toSet
+    // No dataset clause: the default graph is the g-null rows only.
+    assert(vals("SELECT ?x WHERE { <urn:i/a> <urn:p/k> ?x }") ==
+      Set("default"))
+    // GRAPH <iri>: one named graph, a pushed g = iri filter.
+    assert(vals(
+      "SELECT ?x WHERE { GRAPH <urn:gr/1> { <urn:i/a> <urn:p/k> ?x } }") ==
+      Set("one"))
+    // GRAPH ?g: ?g binds per named graph, and the two patterns join
+    // WITHIN a graph — gr/2 has no :l triple, so only gr/1 survives
+    // (a cross-graph mix of gr/2's k with gr/1's l would be wrong).
+    assert(vals(
+      """SELECT ?g ?x ?y WHERE {
+        |  GRAPH ?g { <urn:i/a> <urn:p/k> ?x . <urn:i/a> <urn:p/l> ?y }
+        |}""".stripMargin) == Set("urn:gr/1,one,uno"))
+    // FROM replaces the dataset: the default graph is the FROM merge...
+    assert(vals(
+      "SELECT ?x FROM <urn:gr/2> WHERE { <urn:i/a> <urn:p/k> ?x }") ==
+      Set("two"))
+    // ...and with no FROM NAMED the named set is EMPTY (not "all").
+    assert(vals(
+      """SELECT ?x FROM <urn:gr/2>
+        |WHERE { GRAPH ?g { <urn:i/a> <urn:p/k> ?x } }""".stripMargin)
+      .isEmpty)
+    // FROM NAMED restricts what GRAPH sees.
+    assert(vals(
+      """SELECT ?g ?x FROM NAMED <urn:gr/2>
+        |WHERE { GRAPH ?g { <urn:i/a> <urn:p/k> ?x } }""".stripMargin) ==
+      Set("urn:gr/2,two"))
+    // Closures inside GRAPH ?g would hop across graph boundaries —
+    // refused, with GRAPH <iri> as the documented scope-first path.
+    val err = intercept[RuntimeException] {
+      Sparql.selectDataset(ds,
+        "SELECT ?x WHERE { GRAPH ?g { <urn:i/a> <urn:p/k>+ ?x } }")
+    }
+    assert(err.getMessage.contains("GRAPH"))
+  }
 }
 
 /** The verbatim MultiAttributeDimension attribute query text
