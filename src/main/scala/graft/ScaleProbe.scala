@@ -155,7 +155,13 @@ object ScaleProbe {
       // q232 sketch + a broadcast bounds join + a map; q236 is the q210
       // skeleton with the cut replaced by a (doc,pos) left join.
       "q234_sparql_bind_concat", "q235_winsorize",
-      "q236_span_loss_mask")
+      "q236_span_loss_mask",
+      // Round-16 additions: q237 is three predicate-sliced scans (one
+      // per GRAPH scope) + two equi-joins — the g filter is pushed, so
+      // the named-graph machinery adds no stage; q238 is 8 probe-pruned
+      // serves + ONE brute-force side (checkpointed) — run it together
+      // with q218 so the shared index build is paid on q218's row.
+      "q237_sparql_graph_dataset", "q238_ivfpq_recall_vs_nprobe")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -225,7 +231,9 @@ object ScaleProbe {
       "q232_grouped_normalize" -> "events",
       "q233_column_profile" -> "orders",
       "q234_sparql_bind_concat" -> "customer",
-      "q235_winsorize" -> "events")
+      "q235_winsorize" -> "events",
+      "q237_sparql_graph_dataset" -> "customer",
+      "q238_ivfpq_recall_vs_nprobe" -> "embeddings")
       .withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet ++
       // q209 reads customer alongside orders — replicate both.
@@ -324,6 +332,17 @@ object ScaleProbe {
           col("label"))
       }).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     }
+    // q237 reads the geo graph (nation/region) beside the replicated
+    // customer table. The dims stay constant-size by design — they are
+    // the broadcast side of every BGP join, and a 10× corpus does not
+    // grow a country list — so they copy verbatim.
+    if (probes.contains("q237_sparql_graph_dataset"))
+      Seq("nation", "region").foreach { tbl =>
+        if (!reuse || !new java.io.File(s"$outDir/$tbl.parquet").exists())
+          spark.read.parquet(s"$sf01/$tbl.parquet")
+            .write.mode("overwrite").parquet(s"$outDir/$tbl.parquet")
+      }
+
     // warmup (codegen) at the small scale, unrecorded
     probes.foreach(q =>
       SparkEntry.queries(q)(spark, sf01).write.format("noop")

@@ -962,6 +962,83 @@ object Similarity {
     }
   }
 
+  /** ONE-PASS serve of the whole (nprobe × {ADC-only, exact-rerank})
+    * grid over a [[writeIvfPqIndex]] index — the recall-tuning table's
+    * serving shape. Eight independent [[ivfPqKnnIndexed]] calls would
+    * probe, partition-read, and reconstruct eight times; the grid
+    * probes ONCE at max(nprobes) keeping each list's probe rank, runs
+    * the ADC reconstruction ONCE over the union of probed lists, and
+    * derives every cell by re-ranking the `probe rank <= nprobe`
+    * prefix (an 8-row broadcast non-equi join + one (qid, nprobe)
+    * window; the rerank side is one broadcast semi-join against the
+    * raw table for ALL cells together). Per-query cost is the
+    * max-nprobe serve, not the sum over cells.
+    * Output: (qid, rank, neighbor_id, nprobe, reranked). */
+  def ivfPqKnnGrid(queries: DataFrame, idCol: String, vecCol: String,
+                   dir: String, rerank: DataFrame, k: Int = 10,
+                   nprobes: Seq[Int] = Seq(1, 2, 4, 8),
+                   shortlist: Int = 50): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    graft.functions.NativeExpressions.register(spark)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val maxProbe = nprobes.max
+    // nearest()'s probe pass with the probe RANK kept — the rank is
+    // what lets one ADC pass serve every nprobe prefix.
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("_csim").desc, col("_cid").asc)
+    val probed = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("_qv"),
+        norm(col(vecCol)).as("_qn"))
+      .join(broadcast(centroids.select(col("_cid"), col("_cv"), col("_cn"))))
+      .withColumn("_csim", dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+      .withColumn("_pr", row_number().over(wProbe))
+      .filter(col("_pr") <= maxProbe)
+      .select(col("qid"), col("_qv"), col("_cid"), col("_pr"))
+      .cutLineageEager() // feeds both the cid set and the ADC join
+    val cids = probed.select(col("_cid").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val recon = graft.sources.ShardStore.live(spark, s"$dir/codes")
+      .filter(col("_cid").isin(cids: _*))
+      .select(col(idCol).as("_vid"), col("_cid").cast("long").as("_cid"),
+        posexplode(col("codes")).as(Seq("_sub", "_code")))
+      .join(broadcast(codebook.withColumnRenamed("_cid", "_code")),
+        Seq("_sub", "_code"))
+      .groupBy(col("_vid"), col("_cid"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("_sub"), col("_cv")))),
+        s => s.getField("_cv"))).as("_rv"))
+    val adc = probed.join(recon, Seq("_cid"))
+      .filter(col("_vid") =!= col("qid"))
+      .withColumn("_d",
+        dot(col("_qv"), col("_qv")) - lit(2.0) * dot(col("_qv"), col("_rv"))
+          + dot(col("_rv"), col("_rv")))
+    val wCell = Window.partitionBy(col("qid"), col("nprobe"))
+      .orderBy(col("_d").asc, col("_vid").asc)
+    val ranked = adc
+      .join(broadcast(nprobes.toDF("nprobe")), col("_pr") <= col("nprobe"))
+      .withColumn("_rn", row_number().over(wCell))
+    val adcTop = ranked.filter(col("_rn") <= k)
+      .select(col("qid"), col("_rn").as("rank"),
+        col("_vid").as("neighbor_id"), col("nprobe"),
+        lit(false).as("reranked"))
+    val cand = ranked.filter(col("_rn") <= shortlist)
+      .select(col("qid"), col("nprobe"), col("_qv"), col("_vid"))
+    val wExact = Window.partitionBy(col("qid"), col("nprobe"))
+      .orderBy(col("_de").asc, col("_vid").asc)
+    val rerTop = rerank.select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+      .join(broadcast(cand), Seq("_vid"))
+      .withColumn("_de",
+        dot(col("_qv"), col("_qv")) - lit(2.0) * dot(col("_qv"), col("_v"))
+          + dot(col("_v"), col("_v")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("_vid").as("neighbor_id"),
+        col("nprobe"), lit(true).as("reranked"))
+    adcTop.unionByName(rerTop)
+  }
+
   /** LSH-bucketed ANN: same-bucket candidates from L tables, union,
     * exact cosine rerank to top-k. Output: (qid, rank, neighbor_id, sim).
     */

@@ -1338,19 +1338,27 @@ object LlmQueries {
           trainCap = 256)
         s.emptyDataFrame.createOrReplaceTempView(marker)
       }
+      import s.implicits._
       val qs = e.filter(col("vec_id") % 200 === 0)
       val exact = Similarity.bruteForceKnn(e, qs, "vec_id", "embedding",
         k = 10).localCheckpoint()
-      (for {
-        np <- Seq(1, 2, 4, 8)
-        rer <- Seq(false, true)
-      } yield Similarity.annRecall(exact,
-          Similarity.ivfPqKnnIndexed(qs, "vec_id", "embedding", idx,
-            rerank = if (rer) Some(e) else None, k = 10, nprobe = np,
-            shortlist = 50), k = 10)
-        .withColumn("nprobe", lit(np))
-        .withColumn("reranked", lit(rer))
-      ).reduce(_ unionByName _)
+      val grid = Similarity.ivfPqKnnGrid(qs, "vec_id", "embedding", idx,
+        rerank = e, k = 10, nprobes = Seq(1, 2, 4, 8), shortlist = 50)
+      val hits = exact.select(col("qid"), col("neighbor_id"))
+        .join(grid, Seq("qid", "neighbor_id"))
+        .groupBy(col("qid"), col("nprobe"), col("reranked"))
+        .agg(count(lit(1)).as("n_hits"))
+      // Every (query, nprobe, reranked) cell reports — zero-hit cells
+      // included. The cell axes are 8-row local relations (the q105
+      // scalar-broadcast class).
+      exact.select(col("qid")).distinct()
+        .crossJoin(broadcast(Seq(1, 2, 4, 8).toDF("nprobe")))
+        .crossJoin(broadcast(Seq(false, true).toDF("reranked")))
+        .join(hits, Seq("qid", "nprobe", "reranked"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          expr("(coalesce(n_hits, 0L) * 1000000L) div 10").as("recall_ppm"),
+          col("nprobe"), col("reranked"))
     },
 
     // Fuzzy vocabulary pairs (Levenshtein ≤ 2) by SymSpell

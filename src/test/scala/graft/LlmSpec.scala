@@ -401,14 +401,31 @@ class LlmSpec extends SparkSpec {
       val exact = Similarity.bruteForceKnn(e, q, "vec_id", "embedding",
         k = 10).localCheckpoint()
       val probes = Seq(1, 2, 4, 8)
+      // The LAW tying the one-pass grid to the plain serve: every
+      // (nprobe, reranked) cell of ivfPqKnnGrid is EXACTLY the rows an
+      // independent ivfPqKnnIndexed call at that configuration returns.
+      val grid = Similarity.ivfPqKnnGrid(q, "vec_id", "embedding", dir,
+        rerank = e, k = 10, nprobes = probes).collect()
+        .map(r => (r.getInt(3), r.getBoolean(4)) ->
+          (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      for { np <- probes; rer <- Seq(false, true) } {
+        val solo = Similarity.ivfPqKnnIndexed(q, "vec_id", "embedding",
+            dir, rerank = if (rer) Some(e) else None, k = 10, nprobe = np)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+          .toSet
+        assert(grid((np, rer)) == solo,
+          s"grid cell (nprobe=$np, rerank=$rer) diverges from the " +
+            s"independent serve: extra=${grid((np, rer)).diff(solo).take(3)} " +
+            s"missing=${solo.diff(grid((np, rer))).take(3)}")
+      }
       // Σ n_hits over all queries = mean recall up to the constant
       // |q|·k — integer, so the curve compares exactly.
+      val exactSet = exact.collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
       val table = (for { np <- probes; rer <- Seq(false, true) } yield
-        (np, rer) -> Similarity.annRecall(exact,
-            Similarity.ivfPqKnnIndexed(q, "vec_id", "embedding", dir,
-              rerank = if (rer) Some(e) else None, k = 10, nprobe = np),
-            k = 10)
-          .agg(sum(col("n_hits"))).collect()(0).getLong(0)).toMap
+        (np, rer) -> grid((np, rer))
+          .count { case (qid, _, nid) => exactSet((qid, nid)) }.toLong).toMap
       // The RERANKED curve must be non-decreasing: deeper probes can
       // only widen the exact-reranked candidate pool. The ADC-only
       // curve is NOT asserted monotone — more probes admit more

@@ -93,7 +93,12 @@ class PlanAuditSpec extends SparkSpec {
       // q229 cross-joins two SINGLE-ROW aggregates (the (m+1)-th-count
       // subtraction and the spill total) over ≤ m+1-row summaries —
       // the q105 scalar-broadcast shape.
-      "q229_mg_index")
+      "q229_mg_index",
+      // q238: the grid's nprobe-prefix tagging is an 8-row broadcast
+      // non-equi join (probe_rank <= nprobe), and the report's cell
+      // axes are 8-row/2-row broadcast relations — the q105 class;
+      // the ADC/rerank joins themselves stay keyed equi-joins.
+      "q238_ivfpq_recall_vs_nprobe")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
