@@ -412,6 +412,19 @@ object RdfQueries {
         col("oIsIri"), col("oLang"), col("oDatatype")).as("line"))
     },
 
+    // N-Quads sink (RDF 1.1) — the DATASET twin of q14's N-Triples
+    // renderer: named-graph rows carry the graph label before the
+    // terminator, default-graph (null g) rows degrade to plain
+    // N-Triples statements per the spec. Exercises IRIs, @lang,
+    // ^^datatype and both graph slots; same codegen'd-builtins
+    // renderer, no UDF.
+    "q239_nquads_render" -> { (s, dir) =>
+      val ds = G.geo(s, dir).withColumn("g", lit(null).cast("string"))
+        .unionByName(Bgp.dataset("urn:graph/cust" -> G.customers(s, dir)))
+      ds.select(NTriples.quadLine(col("s"), col("p"), col("o"),
+        col("oIsIri"), col("oLang"), col("oDatatype"), col("g")).as("line"))
+    },
+
     // GRAPH / FROM / FROM NAMED (SPARQL 1.1 §13) over a two-graph
     // dataset: FROM <geo> builds the default graph (the bare name
     // pattern), FROM NAMED restricts what GRAPH sees, `GRAPH ?g`
@@ -439,6 +452,14 @@ object RdfQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q239: the quad renderer replayed — the triple body is q14's
+    // renderer, the graph slot appends only for non-null g.
+    "q239_nquads_render" -> withTriples(
+      s"""SELECT ${NTriples.quadLineSql} AS line FROM (
+         |  SELECT *, CAST(NULL AS VARCHAR) AS g FROM geo
+         |  UNION ALL
+         |  SELECT *, 'urn:graph/cust' AS g FROM cust)""".stripMargin,
+      "geo" -> G.sql.geo, "cust" -> G.sql.customers),
     // q237: the default-graph name pattern is a geo scan; GRAPH ?g can
     // only bind the cust graph (no other named graph holds inNation);
     // the GRAPH <geo> pattern is a second geo join.

@@ -49,6 +49,20 @@ object NTriples {
                oLang: Column, oDatatype: Column): Column =
     concat(line(s, p, o, oIsIri, oLang, oDatatype), lit("\r\n"))
 
+  /** One N-Quads line (RDF 1.1 N-Quads) — the DATASET sink matching
+    * [[graft.graphquery.Sparql.selectDataset]]'s input layout: the
+    * triple statement with the graph label before the terminator; a
+    * null `g` (default-graph row) renders as a plain N-Triples
+    * statement, per the spec's optional graph slot. Same codegen'd
+    * builtins as [[line]].
+    */
+  def quadLine(s: Column, p: Column, o: Column, oIsIri: Column,
+               oLang: Column, oDatatype: Column, g: Column): Column =
+    concat(lit("<"), s, lit("> <"), p, lit("> "),
+      objectTerm(o, oIsIri, oLang, oDatatype),
+      when(g.isNotNull, concat(lit(" <"), g, lit(">"))).otherwise(lit("")),
+      lit(" ."))
+
   /** DuckDB SQL mirror of [[line]] over columns named
     * (s, p, o, oIsIri, oLang, oDatatype) — used by oracle queries.
     */
@@ -66,5 +80,25 @@ object NTriples {
        |               WHEN oDatatype IS NOT NULL THEN '^^<' || oDatatype || '>'
        |               ELSE '' END
        |END || ' .'""".stripMargin
+  }
+
+  /** DuckDB SQL mirror of [[quadLine]] over (s, p, o, oIsIri, oLang,
+    * oDatatype, g). */
+  val quadLineSql: String = {
+    val esc = "replace(replace(replace(replace(replace(o," +
+      " '\\', '\\\\')," +
+      " '\"', '\\\"')," +
+      " chr(10), '\\n')," +
+      " chr(13), '\\r')," +
+      " chr(9), '\\t')"
+    s"""'<' || s || '> <' || p || '> ' ||
+       |CASE WHEN oIsIri THEN '<' || o || '>'
+       |     ELSE '"' || $esc || '"' ||
+       |          CASE WHEN oLang IS NOT NULL THEN '@' || oLang
+       |               WHEN oDatatype IS NOT NULL THEN '^^<' || oDatatype || '>'
+       |               ELSE '' END
+       |END ||
+       |CASE WHEN g IS NOT NULL THEN ' <' || g || '>' ELSE '' END || ' .'"""
+      .stripMargin
   }
 }

@@ -1010,6 +1010,22 @@ class SparqlParserSpec extends SparkSpec {
         "SELECT ?x WHERE { GRAPH ?g { <urn:i/a> <urn:p/k>+ ?x } }")
     }
     assert(err.getMessage.contains("GRAPH"))
+    // The at-scale contract: over a g-PARTITIONED store, GRAPH <iri>
+    // reaches the scan as a partition filter — one named graph's
+    // directory is read, not the dataset.
+    val dir = java.nio.file.Files.createTempDirectory("sparqlds").toString
+    try {
+      ds.write.partitionBy("g").parquet(s"$dir/quads")
+      val stored = spark.read.parquet(s"$dir/quads")
+      val scoped = Sparql.selectDataset(stored,
+        "SELECT ?x WHERE { GRAPH <urn:gr/1> { <urn:i/a> <urn:p/k> ?x } }")
+      assert(scoped.collect().map(_.getString(0)).toSet == Set("one"))
+      val plan = scoped.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[.*g".r.findFirstIn(plan).isDefined,
+        s"GRAPH <iri> did not partition-prune the g-partitioned store:\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 }
 
