@@ -915,7 +915,11 @@ object Sparql {
 
   /** Compile + run over an RDF DATASET: `dataset` is the canonical
     * triple schema plus a `g` column naming each row's graph (null =
-    * the default graph) — exactly [[Bgp.dataset]]'s layout. Graph
+    * the default graph) — exactly [[Bgp.dataset]]'s layout. This is
+    * the reference's per-query dataset construction
+    * (DcatAp11ToCkanBatch.java:631,647 `dataset.addDefaultGraph(...)`
+    * over the Metadata/Codelists SingleGraphDataUnits) expressed as
+    * the standard FROM/FROM NAMED clause over one column. Graph
     * membership stays a pushable column filter end to end:
     * `GRAPH <iri>` compiles to `g = iri` (partition-prunable when the
     * store partitions by `g`), `GRAPH ?g` binds `g` as an ordinary
@@ -959,6 +963,14 @@ object Sparql {
         noNamed(triples))
       .limit(1).isEmpty
 
+  /** [[ask]] over a dataset ([[selectDataset]]'s layout): GRAPH
+    * patterns see the named graphs, bare patterns the default graph. */
+  def askDataset(dataset: DataFrame, query: String): Boolean =
+    !compileGroup(new P(tokenize(query)).parseAskWhere(),
+        dataset.filter(col("g").isNull).drop("g"),
+        dataset.filter(col("g").isNotNull))
+      .limit(1).isEmpty
+
   /** SPARQL DESCRIBE <iri>…: the concise bounded description SPARQL
     * engines conventionally return — every triple whose subject OR
     * (IRI-)object is a listed resource — as a canonical-schema triples
@@ -995,11 +1007,21 @@ object Sparql {
     * no metadata constructs as a plain literal.
     */
   def construct(triples: DataFrame, query: String): DataFrame =
-    compileConstruct(parseConstruct(query), triples)
+    compileConstruct(parseConstruct(query), triples, noNamed(triples))
 
-  private def compileConstruct(cq: ConstructQuery,
-                               triples: DataFrame): DataFrame = {
-    var sol = compileGroup(cq.where, triples, noNamed(triples))
+  /** [[construct]] over a dataset ([[selectDataset]]'s layout): GRAPH
+    * patterns in the WHERE clause see the named graphs, bare patterns
+    * the default graph; the template still instantiates plain triples
+    * (render a dataset with [[graft.rdf.NTriples.quadLine]] instead
+    * when the GRAPH provenance must survive serialization). */
+  def constructDataset(dataset: DataFrame, query: String): DataFrame =
+    compileConstruct(parseConstruct(query),
+      dataset.filter(col("g").isNull).drop("g"),
+      dataset.filter(col("g").isNotNull))
+
+  private def compileConstruct(cq: ConstructQuery, triples: DataFrame,
+                               named: DataFrame): DataFrame = {
+    var sol = compileGroup(cq.where, triples, named)
     cq.limit.foreach(n => sol = sol.limit(n))
     val cols = sol.columns.toSet
     val nullStr = lit(null).cast("string")

@@ -412,6 +412,25 @@ object RdfQueries {
         col("oIsIri"), col("oLang"), col("oDatatype")).as("line"))
     },
 
+    // CONSTRUCT over a DATASET: GRAPH-scoped WHERE patterns join
+    // across two named graphs, the template mints a NEW predicate
+    // linking their endpoints, and the constructed graph renders
+    // through the proven q14/q190 N-Triples path — the
+    // extract-across-graphs-then-emit shape of a catalog pipeline.
+    "q240_sparql_construct_dataset" -> { (s, dir) =>
+      val ds = Bgp.dataset(
+        "urn:graph/geo" -> G.geo(s, dir),
+        "urn:graph/cust" -> G.customers(s, dir))
+      val g = graft.graphquery.Sparql.constructDataset(ds,
+        """CONSTRUCT { ?s <urn:p/homeRegion> ?reg . }
+          |WHERE {
+          |  GRAPH <urn:graph/cust> { ?s <urn:p/inNation> ?n . }
+          |  GRAPH <urn:graph/geo> { ?n <urn:p/inRegion> ?reg . }
+          |}""".stripMargin)
+      g.select(NTriples.line(col("s"), col("p"), col("o"),
+        col("oIsIri"), col("oLang"), col("oDatatype")).as("line"))
+    },
+
     // N-Quads sink (RDF 1.1) — the DATASET twin of q14's N-Triples
     // renderer: named-graph rows carry the graph label before the
     // terminator, default-graph (null g) rows degrade to plain
@@ -452,6 +471,15 @@ object RdfQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q240: the cross-graph join (each GRAPH scope is one predicate
+    // slice of its graph), the minted triple, RDF set semantics
+    // (DISTINCT — every template instantiation is IRI-only here).
+    "q240_sparql_construct_dataset" -> withTriples(
+      """SELECT DISTINCT
+        |  '<' || c.s || '> <urn:p/homeRegion> <' || r.o || '> .' AS line
+        |FROM cust c JOIN geo r ON r.s = c.o
+        |WHERE c.p = 'urn:p/inNation' AND r.p = 'urn:p/inRegion'""".stripMargin,
+      "geo" -> G.sql.geo, "cust" -> G.sql.customers),
     // q239: the quad renderer replayed — the triple body is q14's
     // renderer, the graph slot appends only for non-null g.
     "q239_nquads_render" -> withTriples(

@@ -116,7 +116,8 @@ object ShardStore {
     * leaves both, recoverable by renaming either back. As a bonus the
     * plan may read `dir` lazily while writing (the target differs), so
     * callers no longer need an eager lineage cut before the write. */
-  def overwriteAtomic(df: DataFrame, dir: String): Unit = {
+  def overwriteAtomic(df: DataFrame, dir: String,
+                      partitionBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val fs = fsOf(spark, dir)
     val target = new Path(dir)
@@ -129,7 +130,9 @@ object ShardStore {
     recoverOverwrite(spark, dir)
     fs.delete(tmp, true)
     fs.delete(old, true)
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
+      .parquet(tmp.toString)
     if (fs.exists(target)) fs.rename(target, old)
     fs.rename(tmp, target)
     fs.delete(old, true)
@@ -241,6 +244,54 @@ object ShardStore {
   def liveStreamShardCount(spark: SparkSession, dir: String): Int = {
     val oldH = readMeta(spark, dir).map(_.horizon).getOrElse(Long.MinValue)
     shardIds(spark, dir).count(i => i >= 0 && i > oldH)
+  }
+
+  /** Small-files compaction for ANY plain parquet table directory —
+    * the operational decay mode the `batch_id=` lifecycle does not
+    * cover: a long-lived append sink (or a heavily over-partitioned
+    * one-shot write) leaves the table file-open-bound long before it
+    * is byte-bound, and at 100 TB a scan of 10⁶ kilobyte files loses
+    * to the same bytes in 10³ files by orders of magnitude. Rewrites
+    * the table into ~ceil(bytes / targetBytes) files through the
+    * [[overwriteAtomic]] swap: rows bit-identical, at every instant
+    * one COMPLETE copy on disk, a crash at any point recovered by
+    * [[recoverOverwrite]] on the next touch. `partitionKeep` preserves
+    * a partitioned layout (rows cluster by the keys before the write,
+    * so each partition directory's files merge within the partition
+    * and partition pruning survives). Returns (filesBefore,
+    * filesAfter), or None when the table is already at or below the
+    * target file count — safe to call on a schedule. For
+    * `batch_id=`-sharded INDEX stores use [[compact]] instead: this
+    * form folds no merge law and keeps every row.
+    */
+  def compactTable(spark: SparkSession, dir: String,
+                   targetBytes: Long = 128L << 20,
+                   partitionKeep: Seq[String] = Nil): Option[(Int, Int)] = {
+    if (!recoverOverwrite(spark, dir)) return None
+    val fs = fsOf(spark, dir)
+    def files(): (Int, Long) = {
+      val it = fs.listFiles(new Path(dir), true)
+      var n = 0
+      var bytes = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) {
+          n += 1; bytes += f.getLen
+        }
+      }
+      (n, bytes)
+    }
+    val (nBefore, bytes) = files()
+    val targetFiles =
+      math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    if (nBefore <= targetFiles) return None
+    val df = spark.read.parquet(dir)
+    val packed =
+      if (partitionKeep.isEmpty) df.repartition(targetFiles)
+      else df.repartition(targetFiles,
+        partitionKeep.map(org.apache.spark.sql.functions.col): _*)
+    overwriteAtomic(packed, dir, partitionKeep)
+    Some((nBefore, files()._1))
   }
 
   /** Delete every partition the live view at (horizon, base) can never

@@ -1599,6 +1599,64 @@ class MediaStreamSpec extends SparkSpec {
     }
   }
 
+  test("compactTable: small files collapse to the byte-target count, " +
+    "rows bit-identical, partitioned layout preserved, crash window " +
+    "recovered, at-target tables untouched") {
+    import spark.implicits._
+    val SS = graft.sources.ShardStore
+    val root = java.nio.file.Files.createTempDirectory("ctab").toString
+    val dir = s"$root/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(d: String): Int = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(d), true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    def rows(d: String) = spark.read.parquet(d).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    try {
+      // 12 micro-appends -> at least 12 files (the streaming decay mode).
+      (0 until 12).foreach { i =>
+        Seq((i.toLong, s"v$i")).toDF("k", "v")
+          .write.mode("append").parquet(dir) }
+      val before = rows(dir)
+      assert(parquetFiles(dir) >= 12)
+      val Some((nb, na)) = SS.compactTable(spark, dir, targetBytes = 1L << 30)
+      assert(nb >= 12 && na == 1, s"expected 1 file, got $nb -> $na")
+      assert(rows(dir) == before, "compaction changed the rows")
+      // Already at target: no-op.
+      assert(SS.compactTable(spark, dir, targetBytes = 1L << 30).isEmpty)
+      // Crash between the swap renames: target missing, copy at __old.
+      assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+        new org.apache.hadoop.fs.Path(dir + "__old")))
+      assert(SS.compactTable(spark, dir, targetBytes = 1L << 30).isEmpty)
+      assert(rows(dir) == before, "crash recovery lost the table")
+      // Partitioned layout: files merge WITHIN partitions, the
+      // partition dirs survive, and pruning still reaches the scan.
+      val pdir = s"$root/p"
+      (0 until 6).foreach { i =>
+        Seq((i.toLong, s"v$i", i % 2)).toDF("k", "v", "side")
+          .write.mode("append").partitionBy("side").parquet(pdir) }
+      val pBefore = spark.read.parquet(pdir).collect()
+        .map(r => r.toSeq.toString).toSet
+      val Some((pb, pa)) =
+        SS.compactTable(spark, pdir, targetBytes = 1L << 30,
+          partitionKeep = Seq("side"))
+      assert(pb >= 6 && pa == 2, s"expected one file per side, got $pb -> $pa")
+      assert(spark.read.parquet(pdir).collect()
+        .map(r => r.toSeq.toString).toSet == pBefore)
+      val plan = spark.read.parquet(pdir).filter($"side" === 1)
+        .queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[.*side".r.findFirstIn(plan).isDefined,
+        s"partition pruning lost after compaction:\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("sink autoCompact: the sharded index folds exactly when the " +
     "live shard count crosses the threshold; serving stays bit-equal; " +
     "below threshold untouched") {

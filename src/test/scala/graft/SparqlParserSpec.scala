@@ -1010,6 +1010,13 @@ class SparqlParserSpec extends SparkSpec {
         "SELECT ?x WHERE { GRAPH ?g { <urn:i/a> <urn:p/k>+ ?x } }")
     }
     assert(err.getMessage.contains("GRAPH"))
+    // askDataset: GRAPH sees the named graphs, bare patterns the
+    // default graph — and the probe short-circuits like ask.
+    assert(Sparql.askDataset(ds,
+      "ASK { GRAPH <urn:gr/2> { <urn:i/a> <urn:p/k> ?x } }"))
+    assert(!Sparql.askDataset(ds,
+      "ASK { GRAPH <urn:gr/2> { <urn:i/a> <urn:p/l> ?x } }"))
+    assert(Sparql.askDataset(ds, "ASK { <urn:i/a> <urn:p/k> ?x }"))
     // The at-scale contract: over a g-PARTITIONED store, GRAPH <iri>
     // reaches the scan as a partition filter — one named graph's
     // directory is read, not the dataset.
