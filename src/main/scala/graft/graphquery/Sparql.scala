@@ -933,9 +933,14 @@ object Sparql {
     val hasClause = q.from.nonEmpty || q.fromNamed.nonEmpty
     val dflt =
       if (!hasClause) dataset.filter(col("g").isNull).drop("g")
-      else if (q.from.nonEmpty)
-        dataset.filter(col("g").isin(q.from: _*)).drop("g")
-      else dataset.where(lit(false)).drop("g")
+      else if (q.from.nonEmpty) {
+        val merged = dataset.filter(col("g").isin(q.from: _*)).drop("g")
+        // SPARQL 1.1 §13.2: the default graph is the RDF MERGE (a SET)
+        // of the FROM graphs — a triple present in two of them (or a
+        // graph listed twice) contributes ONE row. A single FROM graph
+        // is a set already; keep its plan distinct-free.
+        if (q.from.distinct.size > 1) merged.distinct() else merged
+      } else dataset.where(lit(false)).drop("g")
     val named =
       if (!hasClause) dataset.filter(col("g").isNotNull)
       else if (q.fromNamed.nonEmpty)

@@ -1180,6 +1180,13 @@ object Corpus {
     write(postings, Seq("batch_id", "_tb"), s"$dir/postings")
     write(stats, Seq("batch_id"), s"$dir/stats")
     write(docRows, Seq("batch_id"), s"$dir/docs")
+    // Schema anchors (one FS existence check per table after the first
+    // batch): [[deleteDocs]] can retire the LAST doc, and a table with
+    // zero partitions left must still read as an empty index instead
+    // of failing schema inference.
+    Seq("postings" -> postings, "stats" -> stats, "docs" -> docRows)
+      .foreach { case (t, df) =>
+        graft.sources.ShardStore.writeSchemaAnchor(df, s"$dir/$t") }
   }
 
   /** [[writeSearchIndexShard]] that is CORRECT UNDER RE-INGESTION — the
@@ -1212,6 +1219,11 @@ object Corpus {
                              textCol: String, dir: String, batchId: Long,
                              buckets: Int = 32): Unit = {
     val spark = batch.sparkSession
+    // Heal BEFORE consulting the horizon: a crash between the three
+    // per-table compacts leaves the docs marker lagging the postings
+    // one, and the guard below would read the stale (or missing) docs
+    // horizon and run the retire against an incoherent shard layout.
+    recoverSearchIndex(spark, dir)
     // Replay of a batch the compaction horizon already FOLDED is a
     // full no-op, not just a dropped re-land: batch ids are monotone,
     // so `batchId <= horizon` proves this delivery's first copy is
@@ -1418,19 +1430,27 @@ object Corpus {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new org.apache.hadoop.fs.Path(s"$dir/_upsert_tmp")
-    if (!fs.exists(stage)) return
-    if (!fs.exists(new org.apache.hadoop.fs.Path(stage, "_staged"))) {
-      // Crash mid-staging: nothing was deleted yet — the live index is
-      // intact and the partial staging is garbage.
-      fs.delete(stage, true)
-      return
+    if (fs.exists(stage)) {
+      if (!fs.exists(new org.apache.hadoop.fs.Path(stage, "_staged"))) {
+        // Crash mid-staging: nothing was deleted yet — the live index
+        // is intact and the partial staging is garbage.
+        fs.delete(stage, true)
+      } else {
+        val in = fs.open(new org.apache.hadoop.fs.Path(stage, "_touched"))
+        val touched =
+          try new String(in.readAllBytes(), "UTF-8")
+            .split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong)
+          finally in.close()
+        finishRetire(spark, dir, touched)
+      }
     }
-    val in = fs.open(new org.apache.hadoop.fs.Path(stage, "_touched"))
-    val touched =
-      try new String(in.readAllBytes(), "UTF-8")
-        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong)
-      finally in.close()
-    finishRetire(spark, dir, touched)
+    // Heal a PARTIAL three-table compaction (crash between the
+    // per-table folds): unequal marker horizons break the retire
+    // path's docs↔postings shard coherence — re-run the common-horizon
+    // folds to convergence. Idle cost: three _meta listings.
+    val hs = RetireTables.map(t =>
+      graft.sources.ShardStore.readMeta(spark, s"$dir/$t").map(_.horizon))
+    if (hs.distinct.size > 1) compactSearchTables(spark, dir)
   }
 
   /** Bit width of the doc-ownership Bloom gate (1M bits ≈ 128 KB
@@ -1446,14 +1466,40 @@ object Corpus {
     * are dropped by [[bm25FromIndex]]'s live view. */
   def compactSearchIndex(spark: org.apache.spark.sql.SparkSession,
                          dir: String): Unit = {
-    // Never fold a half-swapped rewrite: resume it first.
+    // Never fold a half-swapped rewrite: resume it first (this also
+    // heals a previous PARTIAL three-table compaction).
     recoverSearchIndex(spark, dir)
-    graft.sources.ShardStore.compact(spark, s"$dir/postings",
-      extraPartCols = Seq("_tb"))
-    graft.sources.ShardStore.compact(spark, s"$dir/stats",
+    compactSearchTables(spark, dir)
+  }
+
+  /** The three per-table folds at ONE COMMON horizon. The retire path
+    * keys a doc's postings/stats off the `batch_id` shard its DOCS
+    * ownership row lives in, so the three tables must agree on which
+    * shards are folded: a crash between per-table compacts would
+    * otherwise leave a doc's ownership in a live positive shard while
+    * its postings sit inside a base (or vice versa), and the
+    * touched-shard rewrite would silently miss them — postings
+    * double-count (or an incomplete takedown) with no error. The
+    * common horizon is max over tables of (marker horizon, live
+    * positive ids): every table folds or marker-advances to it, in a
+    * fixed order, and [[recoverSearchIndex]] re-runs this to
+    * convergence if a crash lands between the folds. */
+  private def compactSearchTables(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String): Unit = {
+    val SS = graft.sources.ShardStore
+    val target = RetireTables.map { t =>
+      val d = s"$dir/$t"
+      (SS.shardIds(spark, d).filter(_ >= 0) :+
+        SS.readMeta(spark, d).map(_.horizon).getOrElse(Long.MinValue)).max
+    }.max
+    if (target == Long.MinValue) return
+    SS.compact(spark, s"$dir/postings", extraPartCols = Seq("_tb"),
+      toHorizon = Some(target))
+    SS.compact(spark, s"$dir/stats",
       _.agg(sum(col("n_docs")).cast("long").as("n_docs"),
-        sum(col("total_len")).cast("long").as("total_len")))
-    graft.sources.ShardStore.compact(spark, s"$dir/docs")
+        sum(col("total_len")).cast("long").as("total_len")),
+      toHorizon = Some(target))
+    SS.compact(spark, s"$dir/docs", toHorizon = Some(target))
   }
 
   /** [[compactSearchIndex]] behind the shard-count trigger: fold only
@@ -1462,12 +1508,10 @@ object Corpus {
     * `searchIndexSink(autoCompact = n)` does). All three tables compact
     * together so their horizons stay coherent. */
   def compactSearchIndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
-                                 dir: String, maxShards: Int): Unit = {
-    require(maxShards >= 1, "maxShards must be >= 1")
-    if (graft.sources.ShardStore.liveStreamShardCount(
-        spark, s"$dir/postings") > maxShards)
+                                 dir: String, maxShards: Int): Unit =
+    if (graft.sources.ShardStore.aboveShardThreshold(
+        spark, s"$dir/postings", maxShards))
       compactSearchIndex(spark, dir)
-  }
 
   /** BM25 top-k served purely from a [[writeSearchIndexShard]] index:
     * the terms' token-bucket predicate CONSTANT-FOLDS

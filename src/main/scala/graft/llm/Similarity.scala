@@ -275,25 +275,52 @@ object Similarity {
     */
   private def nearest(df: DataFrame, centroids: DataFrame, idCol: String,
                       vecCol: String, id: String, vec: String, nrm: String,
-                      keep: Int): DataFrame = {
+                      keep: Int,
+                      rankCol: Option[String] = None): DataFrame = {
     val scored = df
       .select(col(idCol).as(id), col(vecCol).as(vec),
         norm(col(vecCol)).as(nrm))
       .join(broadcast(centroids.select(col("_cid"), col("_cv"), col("_cn"))))
       .withColumn("_csim", dot(col(vec), col("_cv")) / (col(nrm) * col("_cn")))
-    if (keep == 1)
+    if (keep == 1) {
+      require(rankCol.isEmpty, "rankCol needs the windowed keep>1 branch")
       // argmax with deterministic smaller-cid tie-break, one agg pass.
       scored.groupBy(col(id))
         .agg(first(col(vec)).as(vec), first(col(nrm)).as(nrm),
           (-max(struct(col("_csim"), -col("_cid"))).getField("col2"))
             .as("_cid"))
-    else {
+    } else {
       val w = Window.partitionBy(col(id))
         .orderBy(col("_csim").desc, col("_cid").asc)
       scored.withColumn("_cr", row_number().over(w))
         .filter(col("_cr") <= keep)
-        .select(col(id), col(vec), col(nrm), col("_cid"))
+        .select(Seq(col(id), col(vec), col(nrm), col("_cid")) ++
+          rankCol.map(r => col("_cr").as(r)): _*)
     }
+  }
+
+  /** The probed-lists ADC reconstruction shared by [[ivfPqKnnIndexed]]
+    * and [[ivfPqKnnGrid]]: read ONLY the probed `_cid=` code
+    * partitions (isin partition filter), decode against the broadcast
+    * codebook, one (vector, list) reconstructed row each.
+    * Partition-column type inference can read `_cid` back as int —
+    * cast to the centroid table's long before the join. The codebook's
+    * own `_cid` is the CODE id; rename it before joining so the coarse
+    * list id keeps the name. */
+  private def reconProbed(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, idCol: String,
+                          cids: Array[Long]): DataFrame = {
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    graft.sources.ShardStore.live(spark, s"$dir/codes")
+      .filter(col("_cid").isin(cids.toIndexedSeq: _*))
+      .select(col(idCol).as("_vid"), col("_cid").cast("long").as("_cid"),
+        posexplode(col("codes")).as(Seq("_sub", "_code")))
+      .join(broadcast(codebook.withColumnRenamed("_cid", "_code")),
+        Seq("_sub", "_code"))
+      .groupBy(col("_vid"), col("_cid"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("_sub"), col("_cv")))),
+        s => s.getField("_cv"))).as("_rv"))
   }
 
   /** Top-k exact-cosine rerank of (probed ⋈ lists) candidates. */
@@ -913,26 +940,12 @@ object Similarity {
     val spark = queries.sparkSession
     graft.functions.NativeExpressions.register(spark)
     val centroids = spark.read.parquet(s"$dir/centroids")
-    val codebook = spark.read.parquet(s"$dir/codebook")
     val probed = nearest(queries, centroids, idCol, vecCol,
       "qid", "_qv", "_qn", keep = nprobe)
       .cutLineageEager() // probes feed both the cid set and the join
     val cids = probed.select(col("_cid").cast("long")).distinct()
       .collect().map(_.getLong(0))
-    // Partition-column type inference can read `_cid` back as int —
-    // cast to the centroid table's long before the join (the
-    // ivfKnnIndexed note). The codebook's own `_cid` is the CODE id;
-    // rename it before joining so the coarse list id keeps the name.
-    val recon = graft.sources.ShardStore.live(spark, s"$dir/codes")
-      .filter(col("_cid").isin(cids: _*))
-      .select(col(idCol).as("_vid"), col("_cid").cast("long").as("_cid"),
-        posexplode(col("codes")).as(Seq("_sub", "_code")))
-      .join(broadcast(codebook.withColumnRenamed("_cid", "_code")),
-        Seq("_sub", "_code"))
-      .groupBy(col("_vid"), col("_cid"))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("_sub"), col("_cv")))),
-        s => s.getField("_cv"))).as("_rv"))
+    val recon = reconProbed(spark, dir, idCol, cids)
     val wAdc = Window.partitionBy(col("qid"))
       .orderBy(col("_d").asc, col("_vid").asc)
     val adc = probed.join(recon, Seq("_cid"))
@@ -982,33 +995,16 @@ object Similarity {
     import spark.implicits._
     graft.functions.NativeExpressions.register(spark)
     val centroids = spark.read.parquet(s"$dir/centroids")
-    val codebook = spark.read.parquet(s"$dir/codebook")
     val maxProbe = nprobes.max
     // nearest()'s probe pass with the probe RANK kept — the rank is
     // what lets one ADC pass serve every nprobe prefix.
-    val wProbe = Window.partitionBy(col("qid"))
-      .orderBy(col("_csim").desc, col("_cid").asc)
-    val probed = queries
-      .select(col(idCol).as("qid"), col(vecCol).as("_qv"),
-        norm(col(vecCol)).as("_qn"))
-      .join(broadcast(centroids.select(col("_cid"), col("_cv"), col("_cn"))))
-      .withColumn("_csim", dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
-      .withColumn("_pr", row_number().over(wProbe))
-      .filter(col("_pr") <= maxProbe)
+    val probed = nearest(queries, centroids, idCol, vecCol,
+      "qid", "_qv", "_qn", keep = maxProbe, rankCol = Some("_pr"))
       .select(col("qid"), col("_qv"), col("_cid"), col("_pr"))
       .cutLineageEager() // feeds both the cid set and the ADC join
     val cids = probed.select(col("_cid").cast("long")).distinct()
       .collect().map(_.getLong(0))
-    val recon = graft.sources.ShardStore.live(spark, s"$dir/codes")
-      .filter(col("_cid").isin(cids: _*))
-      .select(col(idCol).as("_vid"), col("_cid").cast("long").as("_cid"),
-        posexplode(col("codes")).as(Seq("_sub", "_code")))
-      .join(broadcast(codebook.withColumnRenamed("_cid", "_code")),
-        Seq("_sub", "_code"))
-      .groupBy(col("_vid"), col("_cid"))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("_sub"), col("_cv")))),
-        s => s.getField("_cv"))).as("_rv"))
+    val recon = reconProbed(spark, dir, idCol, cids)
     val adc = probed.join(recon, Seq("_cid"))
       .filter(col("_vid") =!= col("qid"))
       .withColumn("_d",

@@ -85,6 +85,28 @@ object LlmQueries {
     * 20th+10 a one-token perturbation (+2000000). One definition so the
     * four gates (and their oracles' `corpus` CTE) can never diverge.
     */
+  /** q218/q238 share ONE persisted IVF+PQ index per data dir, built
+    * once per session behind a dir-keyed marker (the q187 discipline —
+    * bench rows measure SERVING; a fresh JVM re-signs over stale
+    * files; two data dirs never share an index). Both queries' DuckDB
+    * oracles hardcode exactly these parameters (%64 coarse seeds, %8
+    * PQ seeds, m=8, trainCap 256), so the build lives in one place. */
+  private def ivfPqIndexFor(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(6)
+    val idx = s.conf.get("spark.sql.warehouse.dir")
+      .stripSuffix("/") + s"/q218_ivfpq_$key"
+    val marker = s"q218idx_$key"
+    if (!s.catalog.tableExists(marker)) {
+      Similarity.writeIvfPqIndex(t(s, dir, "embeddings"), "vec_id",
+        "embedding", idx, m = 8, dim = 64, centroidEvery = 64,
+        pqCentroidEvery = 8, trainCap = 256)
+      s.emptyDataFrame.createOrReplaceTempView(marker)
+    }
+    idx
+  }
+
   private def dupInjectedCorpus(d: DataFrame): DataFrame = {
     val exact = d.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
@@ -1298,18 +1320,7 @@ object LlmQueries {
     // share an index.
     "q218_ivfpq_indexed" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(6)
-      val idx = s.conf.get("spark.sql.warehouse.dir")
-        .stripSuffix("/") + s"/q218_ivfpq_$key"
-      val marker = s"q218idx_$key"
-      if (!s.catalog.tableExists(marker)) {
-        Similarity.writeIvfPqIndex(e, "vec_id", "embedding", idx,
-          m = 8, dim = 64, centroidEvery = 64, pqCentroidEvery = 8,
-          trainCap = 256)
-        s.emptyDataFrame.createOrReplaceTempView(marker)
-      }
+      val idx = ivfPqIndexFor(s, dir)
       Similarity.ivfPqKnnIndexed(e.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", idx, rerank = Some(e), k = 10,
         nprobe = 4, shortlist = 50)
@@ -1326,18 +1337,7 @@ object LlmQueries {
     // computed once behind a lineage cut.
     "q238_ivfpq_recall_vs_nprobe" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(6)
-      val idx = s.conf.get("spark.sql.warehouse.dir")
-        .stripSuffix("/") + s"/q218_ivfpq_$key"
-      val marker = s"q218idx_$key"
-      if (!s.catalog.tableExists(marker)) {
-        Similarity.writeIvfPqIndex(e, "vec_id", "embedding", idx,
-          m = 8, dim = 64, centroidEvery = 64, pqCentroidEvery = 8,
-          trainCap = 256)
-        s.emptyDataFrame.createOrReplaceTempView(marker)
-      }
+      val idx = ivfPqIndexFor(s, dir)
       import s.implicits._
       val qs = e.filter(col("vec_id") % 200 === 0)
       val exact = Similarity.bruteForceKnn(e, qs, "vec_id", "embedding",

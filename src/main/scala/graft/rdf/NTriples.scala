@@ -63,42 +63,34 @@ object NTriples {
       when(g.isNotNull, concat(lit(" <"), g, lit(">"))).otherwise(lit("")),
       lit(" ."))
 
+  /** The `<s> <p> object` body shared by [[lineSql]] and
+    * [[quadLineSql]] — ONE copy of the escape chain and object-term
+    * CASE, so an escaping fix cannot drift between the two renderers.
+    * Lines must not begin with `|`: callers interpolate this into
+    * their own stripMargin strings, which would eat it. */
+  private val tripleBodySql: String = {
+    val esc = "replace(replace(replace(replace(replace(o," +
+      " '\\', '\\\\')," +
+      " '\"', '\\\"')," +
+      " chr(10), '\\n')," +
+      " chr(13), '\\r')," +
+      " chr(9), '\\t')"
+    s"""'<' || s || '> <' || p || '> ' ||
+       |CASE WHEN oIsIri THEN '<' || o || '>'
+       |     ELSE '"' || $esc || '"' ||
+       |          CASE WHEN oLang IS NOT NULL THEN '@' || oLang
+       |               WHEN oDatatype IS NOT NULL THEN '^^<' || oDatatype || '>'
+       |               ELSE '' END
+       |END""".stripMargin
+  }
+
   /** DuckDB SQL mirror of [[line]] over columns named
     * (s, p, o, oIsIri, oLang, oDatatype) — used by oracle queries.
     */
-  val lineSql: String = {
-    val esc = "replace(replace(replace(replace(replace(o," +
-      " '\\', '\\\\')," +
-      " '\"', '\\\"')," +
-      " chr(10), '\\n')," +
-      " chr(13), '\\r')," +
-      " chr(9), '\\t')"
-    s"""'<' || s || '> <' || p || '> ' ||
-       |CASE WHEN oIsIri THEN '<' || o || '>'
-       |     ELSE '"' || $esc || '"' ||
-       |          CASE WHEN oLang IS NOT NULL THEN '@' || oLang
-       |               WHEN oDatatype IS NOT NULL THEN '^^<' || oDatatype || '>'
-       |               ELSE '' END
-       |END || ' .'""".stripMargin
-  }
+  val lineSql: String = s"$tripleBodySql || ' .'"
 
   /** DuckDB SQL mirror of [[quadLine]] over (s, p, o, oIsIri, oLang,
     * oDatatype, g). */
-  val quadLineSql: String = {
-    val esc = "replace(replace(replace(replace(replace(o," +
-      " '\\', '\\\\')," +
-      " '\"', '\\\"')," +
-      " chr(10), '\\n')," +
-      " chr(13), '\\r')," +
-      " chr(9), '\\t')"
-    s"""'<' || s || '> <' || p || '> ' ||
-       |CASE WHEN oIsIri THEN '<' || o || '>'
-       |     ELSE '"' || $esc || '"' ||
-       |          CASE WHEN oLang IS NOT NULL THEN '@' || oLang
-       |               WHEN oDatatype IS NOT NULL THEN '^^<' || oDatatype || '>'
-       |               ELSE '' END
-       |END ||
-       |CASE WHEN g IS NOT NULL THEN ' <' || g || '>' ELSE '' END || ' .'"""
-      .stripMargin
-  }
+  val quadLineSql: String = tripleBodySql +
+    " ||\nCASE WHEN g IS NOT NULL THEN ' <' || g || '>' ELSE '' END || ' .'"
 }

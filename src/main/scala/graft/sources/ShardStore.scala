@@ -83,7 +83,17 @@ object ShardStore {
     * row. The marked case already excludes orphans: a base from a
     * LATER crashed compaction is negative (not `> h`) and not `b`. */
   def live(spark: SparkSession, dir: String): DataFrame = {
-    val df = spark.read.parquet(dir)
+    val df =
+      try spark.read.parquet(dir)
+      catch {
+        // A table whose every shard was retired ([[graft.llm.Corpus]]
+        // deleteDocs taking down the last doc) has no data files left
+        // and schema inference fails — serve the EMPTY view off the
+        // schema anchor instead of bricking the index.
+        case e: org.apache.spark.sql.AnalysisException
+          if fsOf(spark, dir).exists(new Path(dir, "_schema")) =>
+            return spark.read.parquet(s"$dir/_schema").where(lit(false))
+      }
     readMeta(spark, dir) match {
       case Some(Meta(h, b)) if df.columns.contains("batch_id") =>
         df.filter(col("batch_id") === b || col("batch_id") > h)
@@ -93,7 +103,29 @@ object ShardStore {
     }
   }
 
-  private def shardIds(spark: SparkSession, dir: String): Seq[Long] = {
+  /** Write the 1-row all-null SCHEMA ANCHOR under `dir/_schema` (an
+    * underscore path — invisible to partition discovery) if absent.
+    * What keeps a sharded table READABLE at zero live shards: parquet
+    * schema inference needs at least one footer, and a table whose
+    * every partition was retired has none. Writers that can ever reach
+    * the empty state (the search index's retire path) call this once
+    * per table; one FS existence check per call afterwards. The
+    * anchor's rows are never served — [[live]] reads it only behind
+    * `WHERE false`. */
+  def writeSchemaAnchor(sample: DataFrame, dir: String): Unit = {
+    val spark = sample.sparkSession
+    val fs = fsOf(spark, dir)
+    val p = new Path(dir, "_schema")
+    if (fs.exists(p)) return
+    val schema = org.apache.spark.sql.types.StructType(
+      sample.schema.fields.map(_.copy(nullable = true)))
+    val row = org.apache.spark.sql.Row(schema.fields.map(_ => null)
+      .toIndexedSeq: _*)
+    spark.createDataFrame(java.util.List.of(row), schema)
+      .write.mode("overwrite").parquet(p.toString)
+  }
+
+  private[graft] def shardIds(spark: SparkSession, dir: String): Seq[Long] = {
     val fs = fsOf(spark, dir)
     val p = new Path(dir)
     if (!fs.exists(p)) Seq.empty
@@ -182,13 +214,14 @@ object ShardStore {
     * the new state, or None when there was nothing to fold. */
   def compact(spark: SparkSession, dir: String,
               fold: DataFrame => DataFrame = identity,
-              extraPartCols: Seq[String] = Nil): Option[Meta] = {
+              extraPartCols: Seq[String] = Nil,
+              toHorizon: Option[Long] = None): Option[Meta] = {
     val old = readMeta(spark, dir)
     val oldH = old.map(_.horizon).getOrElse(Long.MinValue)
     val oldB = old.map(_.base)
     val ids = shardIds(spark, dir)
     val liveStream = ids.filter(i => i >= 0 && i > oldH)
-    if (liveStream.isEmpty) {
+    if (liveStream.isEmpty && toHorizon.forall(_ <= oldH)) {
       // Nothing to fold — but a PREVIOUS compact may have crashed
       // between its marker creation and its delete sweep, leaving dead
       // folded partitions (reads never see them; storage does). Sweep
@@ -197,7 +230,23 @@ object ShardStore {
       old.foreach { m => sweepStale(spark, dir, m.horizon, m.base) }
       return None
     }
-    val hNew = liveStream.max
+    if (liveStream.isEmpty) {
+      // toHorizon ADVANCE with nothing to fold: the caller is aligning
+      // this table's horizon to a sibling's (the multi-table coherence
+      // contract — e.g. a search-index batch whose postings were all
+      // empty). The folded data stays in the EXISTING base; only the
+      // marker moves, so later replays of ids ≤ toHorizon drop on read.
+      val hNew = toHorizon.get
+      val bKeep = oldB.getOrElse(-(hNew + 2)) // no base: point at an absent id
+      val fs = fsOf(spark, dir)
+      fs.mkdirs(new Path(dir, "_meta"))
+      fs.createNewFile(new Path(dir, s"_meta/h${hNew}_b$bKeep"))
+      sweepStale(spark, dir, hNew, bKeep)
+      return Some(Meta(hNew, bKeep))
+    }
+    val hNew = toHorizon.getOrElse(liveStream.max)
+    require(hNew >= liveStream.max,
+      s"toHorizon $hNew is below the live shard max ${liveStream.max}")
     val bNew = -(hNew + 2)
     val cur = live(spark, dir)
     val folded = graft.Checkpoints.cutEager(
@@ -230,11 +279,19 @@ object ShardStore {
     * fold ran, None when below threshold. */
   def compactIfNeeded(spark: SparkSession, dir: String, maxShards: Int,
                       fold: DataFrame => DataFrame = identity,
-                      extraPartCols: Seq[String] = Nil): Option[Meta] = {
-    require(maxShards >= 1, "maxShards must be >= 1")
-    if (liveStreamShardCount(spark, dir) > maxShards)
+                      extraPartCols: Seq[String] = Nil): Option[Meta] =
+    if (aboveShardThreshold(spark, dir, maxShards))
       compact(spark, dir, fold, extraPartCols)
     else None
+
+  /** THE trigger predicate — one implementation shared by
+    * [[compactIfNeeded]], the streaming sinks' `autoCompact` wrapper,
+    * and the search index's multi-table trigger (which thresholds on
+    * one table and compacts all coherently). */
+  def aboveShardThreshold(spark: SparkSession, dir: String,
+                          maxShards: Int): Boolean = {
+    require(maxShards >= 1, "maxShards must be >= 1")
+    liveStreamShardCount(spark, dir) > maxShards
   }
 
   /** Live post-horizon stream shards on disk — the read-amplification

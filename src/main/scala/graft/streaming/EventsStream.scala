@@ -905,7 +905,7 @@ object EventsStream {
                            dir: String, maxShards: Int)
                           (doCompact: => Unit): Unit =
     if (maxShards > 0 && graft.sources.ShardStore
-        .liveStreamShardCount(spark, dir) > maxShards)
+        .aboveShardThreshold(spark, dir, maxShards))
       doCompact
 
   def histIndexSink(stream: DataFrame, binsOf: DataFrame => DataFrame,

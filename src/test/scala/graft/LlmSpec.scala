@@ -2155,6 +2155,92 @@ class LlmSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("full takedown: deleting EVERY doc leaves a servable EMPTY " +
+    "index (no schema-inference brick); re-ingest revives it") {
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" < 120)
+    val dir = java.nio.file.Files
+      .createTempDirectory("searchwipe").toString
+    val terms = Seq("spark", "merge", "vector")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def serve() = rows(Corpus.bm25FromIndex(spark, dir, "doc_id", terms,
+      topK = 10, buckets = 8))
+    try {
+      Corpus.upsertSearchIndexShard(docs, "doc_id", "text", dir,
+        batchId = 0L, buckets = 8)
+      assert(serve().nonEmpty)
+      // Retire EVERYTHING: every table loses its last partition.
+      Corpus.deleteDocs(spark, dir, docs.select($"doc_id"), "doc_id")
+      assert(serve().isEmpty, "wiped index served rows")
+      // Maintenance entry points stay callable on the empty index.
+      Corpus.compactSearchIndex(spark, dir)
+      Corpus.recoverSearchIndex(spark, dir)
+      assert(serve().isEmpty)
+      // Revival: a fresh batch lands and serves alone.
+      val back = docs.filter($"doc_id" < 40)
+      Corpus.upsertSearchIndexShard(back, "doc_id", "text", dir,
+        batchId = 3L, buckets = 8)
+      assert(serve() == rows(Corpus.bm25TopK(back, "doc_id", "text",
+        terms, topK = 10)), "revived index diverges from the scan")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("three-table compaction coherence: a crash between per-table " +
+    "folds heals on the next entry, and the retire path stays correct " +
+    "across the healed base") {
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" < 200)
+    val dir = java.nio.file.Files
+      .createTempDirectory("searchcoh").toString
+    val terms = Seq("spark", "merge", "vector")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def serve() = rows(Corpus.bm25FromIndex(spark, dir, "doc_id", terms,
+      topK = 10, buckets = 8))
+    def scanOf(cur: org.apache.spark.sql.DataFrame) =
+      rows(Corpus.bm25TopK(cur, "doc_id", "text", terms, topK = 10))
+    try {
+      Corpus.upsertSearchIndexShard(docs.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", dir, batchId = 0L, buckets = 8)
+      Corpus.upsertSearchIndexShard(docs.filter($"doc_id" % 2 =!= 0),
+        "doc_id", "text", dir, batchId = 1L, buckets = 8)
+      // Simulated crash: compactSearchIndex died after folding ONLY
+      // postings — docs/stats still live as positive shards, so a
+      // doc's ownership row and its postings now disagree on layout.
+      graft.sources.ShardStore.compact(spark, s"$dir/postings",
+        extraPartCols = Seq("_tb"))
+      val pm = graft.sources.ShardStore.readMeta(spark, s"$dir/postings")
+      assert(pm.isDefined && graft.sources.ShardStore
+        .readMeta(spark, s"$dir/docs").isEmpty, "crash setup wrong")
+      // Re-ingest a doc that lives in batch 0. WITHOUT the heal, the
+      // retire keys off docs shard 0, finds no live postings there
+      // (they folded into the base), and the old copy's postings stay
+      // live — df/tf double-count forever.
+      val redone = docs.filter($"doc_id" === 42)
+        .withColumn("text", concat($"text", lit(" vector vector spark")))
+      Corpus.upsertSearchIndexShard(redone, "doc_id", "text", dir,
+        batchId = 2L, buckets = 8)
+      val cur = docs.filter($"doc_id" =!= 42).unionByName(redone)
+      assert(serve() == scanOf(cur),
+        "partial compaction + re-ingest double-counted the old copy")
+      // The heal converged the horizons.
+      val hs = Seq("postings", "stats", "docs").map(t =>
+        graft.sources.ShardStore.readMeta(spark, s"$dir/$t")
+          .map(_.horizon))
+      assert(hs.distinct.size == 1 && hs.head.isDefined,
+        s"horizons not healed: $hs")
+      // And a doc living in the healed BASE deletes cleanly too.
+      Corpus.deleteDocs(spark, dir, Seq(44L).toDF("doc_id"), "doc_id")
+      assert(serve() == scanOf(cur.filter($"doc_id" =!= 44)),
+        "takedown inside the healed base left postings live")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("frozen BPE tokenizer: stored merges reproduce training forms " +
     "and segment UNSEEN words by the same greedy application") {
     import spark.implicits._

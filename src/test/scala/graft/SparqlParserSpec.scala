@@ -960,6 +960,8 @@ class SparqlParserSpec extends SparkSpec {
       (null, "urn:i/a", "urn:p/k", "default"),
       ("urn:gr/1", "urn:i/a", "urn:p/k", "one"),
       ("urn:gr/1", "urn:i/a", "urn:p/l", "uno"),
+      ("urn:gr/1", "urn:i/a", "urn:p/m", "shared"),
+      ("urn:gr/2", "urn:i/a", "urn:p/m", "shared"),
       ("urn:gr/2", "urn:i/a", "urn:p/k", "two"))
       .toDF("g", "s", "p", "o")
       .withColumn("oIsIri", lit(false))
@@ -1003,6 +1005,13 @@ class SparqlParserSpec extends SparkSpec {
       """SELECT ?g ?x FROM NAMED <urn:gr/2>
         |WHERE { GRAPH ?g { <urn:i/a> <urn:p/k> ?x } }""".stripMargin) ==
       Set("urn:gr/2,two"))
+    // Multi-graph FROM is the RDF MERGE — a set: the triple present in
+    // BOTH graphs contributes ONE solution, not two.
+    assert(Sparql.selectDataset(ds,
+      """SELECT ?x FROM <urn:gr/1> FROM <urn:gr/2>
+        |WHERE { <urn:i/a> <urn:p/m> ?x }""".stripMargin)
+      .collect().length == 1,
+      "FROM merge duplicated a triple present in two graphs")
     // Closures inside GRAPH ?g would hop across graph boundaries —
     // refused, with GRAPH <iri> as the documented scope-first path.
     val err = intercept[RuntimeException] {
