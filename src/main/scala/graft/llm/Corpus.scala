@@ -1177,9 +1177,17 @@ object Corpus {
           case None => spark.conf.unset(key)
         }
       }
+    // Write order is load-bearing: STATS LAST, as the batch's commit
+    // record. A batch id present in `stats/` proves its postings and
+    // docs writes completed (a crash mid-batch leaves no stats shard,
+    // and the stream's replay re-lands all three) — which is what lets
+    // [[compactSearchTables]] treat stats ids as the set of COMPLETE
+    // batches when computing the common fold horizon. Folding a
+    // partial batch would let the replay guard skip its redelivery
+    // while its docs/stats never existed.
     write(postings, Seq("batch_id", "_tb"), s"$dir/postings")
-    write(stats, Seq("batch_id"), s"$dir/stats")
     write(docRows, Seq("batch_id"), s"$dir/docs")
+    write(stats, Seq("batch_id"), s"$dir/stats")
     // Schema anchors (one FS existence check per table after the first
     // batch): [[deleteDocs]] can retire the LAST doc, and a table with
     // zero partitions left must still read as an empty index instead
@@ -1236,7 +1244,7 @@ object Corpus {
     if (graft.sources.ShardStore.readMeta(spark, s"$dir/docs")
         .exists(batchId <= _.horizon)) return
     retireDocs(spark, batch.select(col(idCol).as("_id")).distinct(),
-      dir, excludeBatch = Some(batchId))
+      dir, excludeBatch = Some(batchId), alreadyRecovered = true)
     writeSearchIndexShard(batch, idCol, textCol, dir, batchId, buckets)
     // Sign the batch's ids into the gate for future upserts (set union
     // — idempotent under replay).
@@ -1296,12 +1304,16 @@ object Corpus {
     * are no longer load-bearing. */
   private def retireDocs(spark: org.apache.spark.sql.SparkSession,
                          idsRaw: DataFrame, dir: String,
-                         excludeBatch: Option[Long]): Unit = {
+                         excludeBatch: Option[Long],
+                         alreadyRecovered: Boolean = false): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Complete an interrupted previous rewrite FIRST: its staged
     // survivors may be the only copy of the touched shards' kept rows.
-    recoverSearchIndex(spark, dir)
+    // (Skipped when the caller just ran it — the upsert path recovers
+    // before consulting the replay-horizon guard, and nothing between
+    // that and here can re-interrupt.)
+    if (!alreadyRecovered) recoverSearchIndex(spark, dir)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/docs"))) return
     val batchIds0 = graft.Checkpoints.cutEager(idsRaw)
     // Bloom fast path (the X200 gate applied to ingest): the corpus
@@ -1487,11 +1499,18 @@ object Corpus {
   private def compactSearchTables(spark: org.apache.spark.sql.SparkSession,
                                   dir: String): Unit = {
     val SS = graft.sources.ShardStore
-    val target = RetireTables.map { t =>
-      val d = s"$dir/$t"
-      (SS.shardIds(spark, d).filter(_ >= 0) :+
-        SS.readMeta(spark, d).map(_.horizon).getOrElse(Long.MinValue)).max
-    }.max
+    // COMPLETE batches only: stats is written LAST per batch (the
+    // commit record — see [[writeSearchIndexShard]]), so a positive id
+    // counts toward the horizon only once it appears in `stats/`. A
+    // postings-only shard from a batch that crashed mid-write stays a
+    // LIVE stream shard above the horizon (ids > toHorizon are never
+    // folded), to be overwritten in place when the stream replays the
+    // batch — folding it would let the replay guard skip the
+    // redelivery while its docs/stats never landed.
+    val target = (SS.shardIds(spark, s"$dir/stats").filter(_ >= 0) ++
+      RetireTables.map(t =>
+        SS.readMeta(spark, s"$dir/$t").map(_.horizon)
+          .getOrElse(Long.MinValue))).max
     if (target == Long.MinValue) return
     SS.compact(spark, s"$dir/postings", extraPartCols = Seq("_tb"),
       toHorizon = Some(target))

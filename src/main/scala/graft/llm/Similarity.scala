@@ -282,8 +282,7 @@ object Similarity {
         norm(col(vecCol)).as(nrm))
       .join(broadcast(centroids.select(col("_cid"), col("_cv"), col("_cn"))))
       .withColumn("_csim", dot(col(vec), col("_cv")) / (col(nrm) * col("_cn")))
-    if (keep == 1) {
-      require(rankCol.isEmpty, "rankCol needs the windowed keep>1 branch")
+    if (keep == 1 && rankCol.isEmpty) {
       // argmax with deterministic smaller-cid tie-break, one agg pass.
       scored.groupBy(col(id))
         .agg(first(col(vec)).as(vec), first(col(nrm)).as(nrm),

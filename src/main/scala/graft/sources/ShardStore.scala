@@ -89,9 +89,15 @@ object ShardStore {
         // A table whose every shard was retired ([[graft.llm.Corpus]]
         // deleteDocs taking down the last doc) has no data files left
         // and schema inference fails — serve the EMPTY view off the
-        // schema anchor instead of bricking the index.
+        // schema anchor instead of bricking the index. ONLY the
+        // inference failure routes here: any other AnalysisException
+        // (schema conflicts, type mismatches across partitions) is a
+        // real error that must surface, not an empty view.
         case e: org.apache.spark.sql.AnalysisException
-          if fsOf(spark, dir).exists(new Path(dir, "_schema")) =>
+          if (Option(e.getCondition).contains("UNABLE_TO_INFER_SCHEMA") ||
+              e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+              e.getMessage.contains("Unable to infer schema")) &&
+            fsOf(spark, dir).exists(new Path(dir, "_schema")) =>
             return spark.read.parquet(s"$dir/_schema").where(lit(false))
       }
     readMeta(spark, dir) match {
@@ -221,7 +227,14 @@ object ShardStore {
     val oldB = old.map(_.base)
     val ids = shardIds(spark, dir)
     val liveStream = ids.filter(i => i >= 0 && i > oldH)
-    if (liveStream.isEmpty && toHorizon.forall(_ <= oldH)) {
+    // The horizon this run establishes. With toHorizon (the
+    // multi-table coherence contract): fold ONLY shards at or below
+    // it — ids ABOVE it stay live stream shards (they belong to
+    // batches the caller has not accounted complete; a replay will
+    // overwrite them in place). Without it: everything live folds.
+    val hNew = toHorizon.getOrElse(
+      if (liveStream.isEmpty) Long.MinValue else liveStream.max)
+    if (hNew <= oldH) {
       // Nothing to fold — but a PREVIOUS compact may have crashed
       // between its marker creation and its delete sweep, leaving dead
       // folded partitions (reads never see them; storage does). Sweep
@@ -230,25 +243,28 @@ object ShardStore {
       old.foreach { m => sweepStale(spark, dir, m.horizon, m.base) }
       return None
     }
-    if (liveStream.isEmpty) {
-      // toHorizon ADVANCE with nothing to fold: the caller is aligning
-      // this table's horizon to a sibling's (the multi-table coherence
-      // contract — e.g. a search-index batch whose postings were all
-      // empty). The folded data stays in the EXISTING base; only the
-      // marker moves, so later replays of ids ≤ toHorizon drop on read.
-      val hNew = toHorizon.get
-      val bKeep = oldB.getOrElse(-(hNew + 2)) // no base: point at an absent id
+    val bNew = -(hNew + 2)
+    val foldable = liveStream.filter(_ <= hNew)
+    val baseHasData = oldB.exists(ids.contains)
+    if (foldable.isEmpty && !baseHasData) {
+      // Horizon ADVANCE over an empty table (no stream shard at or
+      // below the target, no existing base): nothing can be lost —
+      // the marker alone moves, pointing at the (absent, hence empty)
+      // new base id, so later replays of ids ≤ hNew drop on read.
       val fs = fsOf(spark, dir)
       fs.mkdirs(new Path(dir, "_meta"))
-      fs.createNewFile(new Path(dir, s"_meta/h${hNew}_b$bKeep"))
-      sweepStale(spark, dir, hNew, bKeep)
-      return Some(Meta(hNew, bKeep))
+      fs.createNewFile(new Path(dir, s"_meta/h${hNew}_b$bNew"))
+      sweepStale(spark, dir, hNew, bNew)
+      return Some(Meta(hNew, bNew))
     }
-    val hNew = toHorizon.getOrElse(liveStream.max)
-    require(hNew >= liveStream.max,
-      s"toHorizon $hNew is below the live shard max ${liveStream.max}")
-    val bNew = -(hNew + 2)
+    // The fold input: the base plus stream shards AT OR BELOW the new
+    // horizon (negative base ids always pass the ≤ filter). When only
+    // the base exists (pure alignment), this RE-LANDS the base at the
+    // new reserved id — never a marker pointing at a base with a
+    // foreign horizon's id, which would desync sibling tables folding
+    // to -(h+2) and break the retire path's cross-table batch_id keying.
     val cur = live(spark, dir)
+      .filter(col("batch_id").cast("long") <= hNew)
     val folded = graft.Checkpoints.cutEager(
       fold(cur.drop("batch_id")).withColumn("batch_id", lit(bNew)))
     val key = "spark.sql.sources.partitionOverwriteMode"
@@ -326,21 +342,28 @@ object ShardStore {
                    partitionKeep: Seq[String] = Nil): Option[(Int, Int)] = {
     if (!recoverOverwrite(spark, dir)) return None
     val fs = fsOf(spark, dir)
-    def files(): (Int, Long) = {
+    def files(): (Int, Long, Int) = {
       val it = fs.listFiles(new Path(dir), true)
       var n = 0
       var bytes = 0L
+      val leafDirs = scala.collection.mutable.Set[String]()
       while (it.hasNext) {
         val f = it.next()
         if (f.getPath.getName.endsWith(".parquet")) {
           n += 1; bytes += f.getLen
+          leafDirs += f.getPath.getParent.toString
         }
       }
-      (n, bytes)
+      (n, bytes, leafDirs.size)
     }
-    val (nBefore, bytes) = files()
-    val targetFiles =
-      math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val (nBefore, bytes, leafDirs) = files()
+    // A partitioned layout can never drop below one file per leaf
+    // partition directory — the no-op floor is max(byte target, leaf
+    // count), or every scheduled run would rewrite the whole table
+    // while changing nothing.
+    val targetFiles = math.max(
+      math.max(1L, (bytes + targetBytes - 1) / targetBytes),
+      if (partitionKeep.isEmpty) 1L else leafDirs.toLong).toInt
     if (nBefore <= targetFiles) return None
     val df = spark.read.parquet(dir)
     val packed =

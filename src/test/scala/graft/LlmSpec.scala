@@ -2241,6 +2241,98 @@ class LlmSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("asymmetric compaction: an EMPTY batch (stats-only shard) " +
+    "re-lands every sibling base at the common horizon's id — takedown " +
+    "of an old doc still finds its postings") {
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" < 150)
+    val dir = java.nio.file.Files
+      .createTempDirectory("searchasym").toString
+    val terms = Seq("spark", "merge", "vector")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def serve() = rows(Corpus.bm25FromIndex(spark, dir, "doc_id", terms,
+      topK = 10, buckets = 8))
+    def scanOf(cur: org.apache.spark.sql.DataFrame) =
+      rows(Corpus.bm25TopK(cur, "doc_id", "text", terms, topK = 10))
+    try {
+      Corpus.upsertSearchIndexShard(docs, "doc_id", "text", dir,
+        batchId = 0L, buckets = 8)
+      Corpus.compactSearchIndex(spark, dir)
+      // An EMPTY micro-batch: postings/docs land no partition, stats
+      // lands its 1-row (n_docs = 0) commit record — the tables'
+      // shard sets now DISAGREE.
+      Corpus.upsertSearchIndexShard(docs.limit(0), "doc_id", "text",
+        dir, batchId = 1L, buckets = 8)
+      Corpus.compactSearchIndex(spark, dir)
+      // Coherence: one horizon AND one base id across all three —
+      // a marker keeping a stale base id would break the retire
+      // path's cross-table batch_id keying.
+      val metas = Seq("postings", "stats", "docs").map(t =>
+        graft.sources.ShardStore.readMeta(spark, s"$dir/$t").get)
+      assert(metas.map(_.horizon).distinct.size == 1 &&
+        metas.map(_.base).distinct.size == 1,
+        s"asymmetric compaction desynced the tables: $metas")
+      // The takedown of a pre-compaction doc must find its postings
+      // inside the re-landed base.
+      Corpus.deleteDocs(spark, dir, Seq(42L).toDF("doc_id"), "doc_id")
+      assert(serve() == scanOf(docs.filter($"doc_id" =!= 42)),
+        "takedown missed postings after an asymmetric compaction")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("partial batch write: a postings-only shard (crash before the " +
+    "stats commit record) is NOT folded; the replay guard lets the " +
+    "redelivery complete the batch") {
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" < 150)
+    val dir = java.nio.file.Files
+      .createTempDirectory("searchpart").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val terms = Seq("spark", "merge", "vector")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def serve() = rows(Corpus.bm25FromIndex(spark, dir, "doc_id", terms,
+      topK = 10, buckets = 8))
+    def scanOf(cur: org.apache.spark.sql.DataFrame) =
+      rows(Corpus.bm25TopK(cur, "doc_id", "text", terms, topK = 10))
+    try {
+      val old = docs.filter($"doc_id" >= 60)
+      val b2 = docs.filter($"doc_id" < 60)
+      Corpus.upsertSearchIndexShard(old.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", dir, batchId = 0L, buckets = 8)
+      Corpus.upsertSearchIndexShard(old.filter($"doc_id" % 2 =!= 0),
+        "doc_id", "text", dir, batchId = 1L, buckets = 8)
+      // Simulate a crash inside batch 2's write AFTER postings landed
+      // but BEFORE docs/stats (the write order makes stats the commit
+      // record): write the full batch, then delete its docs/stats.
+      Corpus.upsertSearchIndexShard(b2, "doc_id", "text", dir,
+        batchId = 2L, buckets = 8)
+      Seq("docs", "stats").foreach(t => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$dir/$t/batch_id=2"), true))
+      // An out-of-band compaction between the crash and the replay
+      // must NOT count the partial batch: stats never committed id 2,
+      // so the horizon stays at 1 and the orphan postings shard stays
+      // a live stream shard above it.
+      Corpus.compactSearchIndex(spark, dir)
+      val hs = Seq("postings", "stats", "docs").map(t =>
+        graft.sources.ShardStore.readMeta(spark, s"$dir/$t").get.horizon)
+      assert(hs.forall(_ == 1L),
+        s"partial batch poisoned the fold horizon: $hs")
+      // The stream replays batch 2: the guard (horizon 1 < 2) lets it
+      // through, the dynamic overwrite re-lands all three shards.
+      Corpus.upsertSearchIndexShard(b2, "doc_id", "text", dir,
+        batchId = 2L, buckets = 8)
+      assert(serve() == scanOf(old.unionByName(b2)),
+        "replayed partial batch did not complete the index")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("frozen BPE tokenizer: stored merges reproduce training forms " +
     "and segment UNSEEN words by the same greedy application") {
     import spark.implicits._
