@@ -1652,6 +1652,12 @@ class MediaStreamSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert("PartitionFilters: \\[.*side".r.findFirstIn(plan).isDefined,
         s"partition pruning lost after compaction:\n$plan")
+      // Scheduled re-run: the no-op floor accounts for the partitioned
+      // layout (one file per leaf dir is the minimum) — an
+      // already-compacted table must NOT be rewritten forever.
+      assert(SS.compactTable(spark, pdir, targetBytes = 1L << 30,
+        partitionKeep = Seq("side")).isEmpty,
+        "scheduled re-run rewrote an already-compacted partitioned table")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
