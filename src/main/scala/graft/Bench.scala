@@ -108,11 +108,19 @@ object Bench {
       s"%.${d}f".formatLocal(java.util.Locale.ROOT, v)
     // runs is part of the record: each value is a min-of-`runs`, and
     // cross-round comparisons are only apples-to-apples at equal runs.
+    // Field ORDER is load-bearing: the driver keeps only the last ~2000
+    // chars of output, and at 240 queries no per-query encoding fits that
+    // budget — the line WILL be front-truncated. r16 put runs/load/dirty
+    // at the head and they were truncated out of the official artifact,
+    // defeating the self-adjudication they were added for. queries go
+    // first (losing the alphabetically-early rows, which every other
+    // artifact also records), and total/runs/load/dirty trail so they
+    // always survive tail capture.
     def jsonLine(q: Double => String,
                  key: String => String = identity): String = {
       val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + q(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(3)(total)},"unit":"sec","runs":$runs,"load":{"pre":${fmt(2)(loadPre)},"max":${fmt(2)(loadMax)},"post":${fmt(2)(loadPost)},"javas":[$javasPre,$javasPost],"dirty":$dirty},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","queries":$qs,"sf":"$sfDir","value":${fmt(3)(total)},"unit":"sec","runs":$runs,"load":{"pre":${fmt(2)(loadPre)},"max":${fmt(2)(loadMax)},"post":${fmt(2)(loadPost)},"javas":[$javasPre,$javasPost],"dirty":$dirty}}"""
     }
     // The driver parses this line out of a 2000-char output tail — full
     // 9-decimal doubles overflowed it at 59 queries and silently zeroed

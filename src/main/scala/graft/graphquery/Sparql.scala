@@ -935,10 +935,16 @@ object Sparql {
       if (!hasClause) dataset.filter(col("g").isNull).drop("g")
       else if (q.from.nonEmpty) {
         val merged = dataset.filter(col("g").isin(q.from: _*)).drop("g")
-        // SPARQL 1.1 §13.2: the default graph is the RDF MERGE (a SET)
-        // of the FROM graphs — a triple present in two of them (or a
-        // graph listed twice) contributes ONE row. A single FROM graph
-        // is a set already; keep its plan distinct-free.
+        // SPARQL 1.1 §13.2: the default graph is the RDF MERGE of the
+        // FROM graphs. For GROUND triples merge = set union, so a
+        // triple present in two of them (or a graph listed twice)
+        // contributes ONE row. Strictly, RDF merge also standardizes
+        // BLANK NODES apart per source graph; this store keeps terms
+        // as opaque strings, so identical `_:` labels from different
+        // FROM graphs unify instead. Ground-triples (or per-graph
+        // unique blank labels, which any skolemizing loader produces)
+        // is the documented assumption. A single FROM graph is a set
+        // already; keep its plan distinct-free.
         if (q.from.distinct.size > 1) merged.distinct() else merged
       } else dataset.where(lit(false)).drop("g")
     val named =

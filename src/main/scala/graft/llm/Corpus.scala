@@ -157,7 +157,7 @@ object Corpus {
     * addition (spills sum exactly like key counts across batches), so
     * the `batch_id=` shard machinery and [[graft.sources.ShardStore]]
     * compaction apply unchanged. */
-  val MgSpillKey = " __mg_spill"
+  val MgSpillKey = "\u0000__mg_spill"
 
   /** One batch's MERGEABLE Misra-Gries summary (Agarwal et al. 2013,
     * mergeable summaries): exact batch counts, reduced by subtracting
@@ -1225,7 +1225,8 @@ object Corpus {
     * CURRENT doc versions bit for bit. */
   def upsertSearchIndexShard(batch: DataFrame, idCol: String,
                              textCol: String, dir: String, batchId: Long,
-                             buckets: Int = 32): Unit = {
+                             buckets: Int = 32): Unit =
+    indexLock(dir).synchronized {
     val spark = batch.sparkSession
     // Heal BEFORE consulting the horizon: a crash between the three
     // per-table compacts leaves the docs marker lagging the postings
@@ -1241,15 +1242,16 @@ object Corpus {
     // crashes before the checkpoint commit) where retire-then-rewrite
     // loses data. Skip entirely; the ledger (the marker) already
     // accounts for this batch.
-    if (graft.sources.ShardStore.readMeta(spark, s"$dir/docs")
-        .exists(batchId <= _.horizon)) return
-    retireDocs(spark, batch.select(col(idCol).as("_id")).distinct(),
-      dir, excludeBatch = Some(batchId), alreadyRecovered = true)
-    writeSearchIndexShard(batch, idCol, textCol, dir, batchId, buckets)
-    // Sign the batch's ids into the gate for future upserts (set union
-    // — idempotent under replay).
-    upsertBloomIndex(batch.select(col(idCol).as("_id")), "_id",
-      s"$dir/docs_bloom", mBits = DocsBloomBits)
+    if (!graft.sources.ShardStore.readMeta(spark, s"$dir/docs")
+        .exists(batchId <= _.horizon)) {
+      retireDocs(spark, batch.select(col(idCol).as("_id")).distinct(),
+        dir, excludeBatch = Some(batchId), alreadyRecovered = true)
+      writeSearchIndexShard(batch, idCol, textCol, dir, batchId, buckets)
+      // Sign the batch's ids into the gate for future upserts (set union
+      // — idempotent under replay).
+      upsertBloomIndex(batch.select(col(idCol).as("_id")), "_id",
+        s"$dir/docs_bloom", mBits = DocsBloomBits)
+    }
   }
 
   /** PURE doc retirement — the takedown/GDPR half of the lifecycle
@@ -1269,6 +1271,32 @@ object Corpus {
     retireDocs(spark, ids.select(col(idCol).as("_id")).distinct(),
       dir, excludeBatch = None)
 
+  /** Per-index JVM monitors serializing the retire / recovery /
+    * compaction protocol within one driver. Without this, a serve
+    * ([[bm25FromIndex]] → [[recoverSearchIndex]]) overlapping an
+    * in-flight [[retireDocs]] still STAGING would read `_upsert_tmp`
+    * without `_staged`, conclude "crashed pre-commit", and delete the
+    * writer's staging out from under it — the writer then commits
+    * `_staged` over incomplete survivors and finishRetire deletes live
+    * partitions, losing rows. Serve-mid-stream in one SparkSession (the
+    * advertised pattern) is exactly this JVM, so a per-dir monitor
+    * closes it. Reentrant (upsert → recover → retire nest on the same
+    * monitor). Cross-PROCESS overlap is covered by the staging lease
+    * below; cross-process concurrent WRITERS on one index are not
+    * supported (single-writer per index, the standard sink contract). */
+  private val indexLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def indexLock(dir: String): Object =
+    indexLocks.computeIfAbsent(dir, _ => new Object)
+
+  /** Cross-process writer lease TTL on `_upsert_tmp/_writing`: a
+    * recovery in ANOTHER process leaves an unstaged `_upsert_tmp`
+    * alone while its lease file is younger than this (a live writer is
+    * mid-staging), and sweeps it once older (the writer crashed).
+    * A writer that outlives its own lease aborts at the commit check
+    * instead of committing over swept staging. Test hook only. */
+  private[graft] var stagingLeaseTtlMs: Long = 60L * 60 * 1000L
+
   /** Retire `idsRaw` from every shard that owns them — the shared core
     * of [[upsertSearchIndexShard]] (retire-then-replace) and
     * [[deleteDocs]] (retire only).
@@ -1280,11 +1308,15 @@ object Corpus {
     * `dir/_upsert_tmp` (underscore-prefixed — invisible to parquet
     * discovery):
     *
-    *  1. STAGE: survivors (docs, postings, recomputed per-shard stats)
-    *     are written COMPLETE to the staging path, plus a `_touched`
-    *     file naming every touched shard id; then the `_staged` marker.
-    *     A crash before `_staged` deletes nothing — the live index is
-    *     untouched and the partial staging is swept on the next entry.
+    *  1. STAGE: a `_writing` lease lands first (so recovery can tell a
+    *     LIVE writer's staging from a dead one's — see [[indexLock]] /
+    *     [[stagingLeaseTtlMs]]), then survivors (docs, postings,
+    *     recomputed per-shard stats) are written COMPLETE to the
+    *     staging path, plus a `_touched` file naming every touched
+    *     shard id; then — after re-checking the lease — the `_staged`
+    *     marker. A crash before `_staged` deletes nothing — the live
+    *     index is untouched and the orphaned staging is swept once its
+    *     lease goes stale (or overwritten by the retried rewrite).
     *  2. DELETE: the touched `batch_id=` partitions are dropped from
     *     all three tables; then the `_deleted` marker. A crash in here
     *     redoes the deletes idempotently — staging still holds every
@@ -1305,7 +1337,15 @@ object Corpus {
   private def retireDocs(spark: org.apache.spark.sql.SparkSession,
                          idsRaw: DataFrame, dir: String,
                          excludeBatch: Option[Long],
-                         alreadyRecovered: Boolean = false): Unit = {
+                         alreadyRecovered: Boolean = false): Unit =
+    indexLock(dir).synchronized {
+      retireDocsLocked(spark, idsRaw, dir, excludeBatch, alreadyRecovered)
+    }
+
+  private def retireDocsLocked(spark: org.apache.spark.sql.SparkSession,
+                               idsRaw: DataFrame, dir: String,
+                               excludeBatch: Option[Long],
+                               alreadyRecovered: Boolean): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Complete an interrupted previous rewrite FIRST: its staged
@@ -1357,6 +1397,14 @@ object Corpus {
     // (one read of rows already on disk — consistent by construction).
     val stage = new org.apache.hadoop.fs.Path(s"$dir/_upsert_tmp")
     fs.delete(stage, true)
+    // Writer lease FIRST: marks this staging as owned by a live writer
+    // so a recovery in another process leaves it alone (same-JVM
+    // overlap is already excluded by [[indexLock]]). Content is the
+    // wall-clock start, for humans; freshness is judged by mtime.
+    fs.mkdirs(stage)
+    val wl = fs.create(new org.apache.hadoop.fs.Path(stage, "_writing"))
+    wl.write(java.time.Instant.now().toString.getBytes("UTF-8"))
+    wl.close()
     val keptDocs = kept("docs")
     keptDocs.write.partitionBy("batch_id")
       .parquet(s"$dir/_upsert_tmp/docs")
@@ -1375,6 +1423,17 @@ object Corpus {
     tf.write(tSet.mkString("\n").getBytes("UTF-8"))
     tf.close()
     crashIf("pre-staged")
+    // Commit check: the lease must still be ours. A cross-process
+    // recovery that deemed this staging stale (writer outlived
+    // [[stagingLeaseTtlMs]]) swept it — committing `_staged` now would
+    // bless incomplete survivors and finishRetire would delete live
+    // partitions. Abort instead: nothing has been deleted, the live
+    // index is intact, and a retried upsert redoes the staging.
+    if (!fs.exists(new org.apache.hadoop.fs.Path(stage, "_writing")))
+      throw new IllegalStateException(
+        s"$dir: staging lease lost (swept by concurrent recovery after " +
+          s"outliving ${stagingLeaseTtlMs}ms) — retire aborted pre-commit; " +
+          "retry the operation")
     fs.createNewFile(new org.apache.hadoop.fs.Path(stage, "_staged"))
     crashIf("post-staged")
     // Phases 2–3 share the crash-replay path.
@@ -1435,18 +1494,34 @@ object Corpus {
 
   /** Crash recovery for the [[retireDocs]] protocol: replay an
     * interrupted rewrite from its markers, or sweep a pre-commit
-    * staging attempt. Idle cost is ONE existence check, so every
-    * serve/maintenance entry point runs it. */
+    * staging attempt whose writer is provably dead. Idle cost is TWO
+    * existence checks (staging dir, `_compacting` marker), so every
+    * serve/maintenance entry point runs it. Serialized per dir against
+    * an active rewrite via [[indexLock]] (same JVM) and the
+    * [[stagingLeaseTtlMs]] lease on `_upsert_tmp/_writing` (cross
+    * process): a FRESH lease means a live writer is mid-staging — the
+    * live index is intact and staging is the writer's, so recovery
+    * leaves it alone rather than destroying it. */
   def recoverSearchIndex(spark: org.apache.spark.sql.SparkSession,
-                         dir: String): Unit = {
+                         dir: String): Unit = indexLock(dir).synchronized {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new org.apache.hadoop.fs.Path(s"$dir/_upsert_tmp")
     if (fs.exists(stage)) {
       if (!fs.exists(new org.apache.hadoop.fs.Path(stage, "_staged"))) {
-        // Crash mid-staging: nothing was deleted yet — the live index
-        // is intact and the partial staging is garbage.
-        fs.delete(stage, true)
+        // No commit marker: either a writer crashed mid-staging
+        // (nothing was deleted yet — the live index is intact and the
+        // partial staging is garbage), or a writer in ANOTHER process
+        // is staging right now. The lease file distinguishes them:
+        // sweep only when it is absent (pre-lease crash window or
+        // legacy layout) or stale past the TTL.
+        val lease = new org.apache.hadoop.fs.Path(stage, "_writing")
+        val liveWriter =
+          try fs.exists(lease) &&
+            System.currentTimeMillis() -
+              fs.getFileStatus(lease).getModificationTime < stagingLeaseTtlMs
+          catch { case _: java.io.FileNotFoundException => false }
+        if (!liveWriter) fs.delete(stage, true)
       } else {
         val in = fs.open(new org.apache.hadoop.fs.Path(stage, "_touched"))
         val touched =
@@ -1459,10 +1534,13 @@ object Corpus {
     // Heal a PARTIAL three-table compaction (crash between the
     // per-table folds): unequal marker horizons break the retire
     // path's docs↔postings shard coherence — re-run the common-horizon
-    // folds to convergence. Idle cost: three _meta listings.
-    val hs = RetireTables.map(t =>
-      graft.sources.ShardStore.readMeta(spark, s"$dir/$t").map(_.horizon))
-    if (hs.distinct.size > 1) compactSearchTables(spark, dir)
+    // folds to convergence. Gated behind the `_compacting` marker
+    // [[compactSearchTables]] holds across its folds (one existence
+    // check when idle, vs the three per-table _meta listings the heal
+    // itself costs), so a serve path pays FS listings only when a
+    // compaction actually died mid-protocol.
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_compacting")))
+      compactSearchTables(spark, dir)
   }
 
   /** Bit width of the doc-ownership Bloom gate (1M bits ≈ 128 KB
@@ -1477,7 +1555,7 @@ object Corpus {
     * with stream lifetime. Replayed pre-horizon batches re-land but
     * are dropped by [[bm25FromIndex]]'s live view. */
   def compactSearchIndex(spark: org.apache.spark.sql.SparkSession,
-                         dir: String): Unit = {
+                         dir: String): Unit = indexLock(dir).synchronized {
     // Never fold a half-swapped rewrite: resume it first (this also
     // heals a previous PARTIAL three-table compaction).
     recoverSearchIndex(spark, dir)
@@ -1497,7 +1575,24 @@ object Corpus {
     * fixed order, and [[recoverSearchIndex]] re-runs this to
     * convergence if a crash lands between the folds. */
   private def compactSearchTables(spark: org.apache.spark.sql.SparkSession,
-                                  dir: String): Unit = {
+                                  dir: String): Unit =
+    indexLock(dir).synchronized {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // In-flight marker held across the three folds: a crash between
+      // them leaves it on disk, and [[recoverSearchIndex]] re-runs this
+      // to convergence exactly when it is present — the serve path's
+      // cheap gate for the horizon heal. Deleted only AFTER the folds
+      // complete (no try/finally: an exception must leave the marker,
+      // that is the whole point).
+      val marker = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
+      fs.createNewFile(marker)
+      compactSearchTablesFolds(spark, dir)
+      fs.delete(marker, false)
+    }
+
+  private def compactSearchTablesFolds(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val SS = graft.sources.ShardStore
     // COMPLETE batches only: stats is written LAST per batch (the
     // commit record — see [[writeSearchIndexShard]]), so a positive id
@@ -1556,9 +1651,11 @@ object Corpus {
                     buckets: Int = 32): DataFrame = {
     require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9_]+")),
       "terms must be plain tokens")
-    // Serve-side crash recovery (one FS existence check when idle): a
+    // Serve-side crash recovery (two FS existence checks when idle): a
     // rewrite interrupted mid-protocol is resumed before reading, so
-    // queries never see a half-swapped shard state.
+    // queries never see a half-swapped shard state; an ACTIVE rewrite
+    // (same JVM via indexLock, cross-process via the staging lease) is
+    // left to its writer.
     recoverSearchIndex(spark, dir)
     val st = graft.sources.ShardStore.live(spark, s"$dir/stats")
       .agg(sum(col("n_docs")).cast("long").as("_n"),

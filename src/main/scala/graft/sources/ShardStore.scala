@@ -180,7 +180,20 @@ object ShardStore {
     * complete copy survives at `dir__tmp` (fully written — `_SUCCESS`
     * present — meaning the crash hit between the two renames) or at
     * `dir__old` (the displaced previous copy), rename it back into
-    * place. Upsert callers MUST route their "does the index exist yet?"
+    * place.
+    *
+    * `_SUCCESS` DEPENDENCY: completeness of `__tmp` is judged by the
+    * committer's `_SUCCESS` marker. Under
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` a fully
+    * written swap is indistinguishable from a partial one, so recovery
+    * conservatively rolls back to `__old` — correct data, just the
+    * pre-rewrite copy (a crashed compactTable redoes its fold on the
+    * next trigger; an upsert sink replays the batch). Preferring a
+    * marker-less `__tmp` when `__old` is absent would be WRONG: that
+    * state also arises when the very FIRST overwrite of a new dir
+    * crashes mid-write, and restoring its partial output would serve
+    * truncated data as if complete. Keep the marker enabled (Spark's
+    * default) for stores maintained by this protocol. Upsert callers MUST route their "does the index exist yet?"
     * check through this (they do, via [[existsRecovered]]): a bare
     * `fs.exists` would read the half-swapped state as "no index yet"
     * and silently reinitialize from the current batch alone, and the

@@ -2106,6 +2106,58 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("staging lease: recovery leaves a LIVE writer's unstaged " +
+    "_upsert_tmp alone (serve-mid-stream must not destroy an active " +
+    "rewrite's staging) and sweeps it once the lease is stale") {
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" < 150)
+    val dir = java.nio.file.Files
+      .createTempDirectory("searchlease").toString
+    val terms = Seq("spark", "merge", "vector")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def serve() = rows(Corpus.bm25FromIndex(spark, dir, "doc_id", terms,
+      topK = 10, buckets = 8))
+    def scanOf(cur: org.apache.spark.sql.DataFrame) =
+      rows(Corpus.bm25TopK(cur, "doc_id", "text", terms, topK = 10))
+    try {
+      Corpus.upsertSearchIndexShard(docs, "doc_id", "text", dir,
+        batchId = 0L, buckets = 8)
+      // Simulate a writer in ANOTHER process mid-staging: fresh
+      // `_writing` lease, partial staging content, no `_staged`.
+      val stage = new java.io.File(dir, "_upsert_tmp")
+      assert(stage.mkdirs())
+      assert(new java.io.File(stage, "_writing").createNewFile())
+      assert(new java.io.File(stage, "docs").mkdirs())
+      // A serve overlapping the staging: recovery must NOT sweep the
+      // live writer's staging (the r16 reader-destroys-writer race),
+      // and serving reads the intact live index (staging is invisible
+      // to discovery either way).
+      assert(serve() == scanOf(docs), "serve diverged mid-staging")
+      assert(stage.exists, "recovery destroyed a live writer's staging")
+      // Once the lease is STALE (writer provably dead), the orphaned
+      // pre-commit staging is garbage and the next entry sweeps it.
+      val ttl = Corpus.stagingLeaseTtlMs
+      try {
+        Corpus.stagingLeaseTtlMs = 0L
+        Corpus.recoverSearchIndex(spark, dir)
+      } finally Corpus.stagingLeaseTtlMs = ttl
+      assert(!stage.exists, "stale pre-commit staging not swept")
+      assert(serve() == scanOf(docs), "sweep disturbed the live index")
+      // The real protocol still ends clean: an upsert through the
+      // locked path leaves no staging behind.
+      val redone = docs.filter($"doc_id" === 42)
+        .withColumn("text", concat($"text", lit(" vector vector")))
+      Corpus.upsertSearchIndexShard(redone, "doc_id", "text", dir,
+        batchId = 1L, buckets = 8)
+      assert(!stage.exists)
+      assert(serve() ==
+        scanOf(docs.filter($"doc_id" =!= 42).unionByName(redone)))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("deleteDocs: retire-without-replacement serves exactly the " +
     "survivors; absent-id and replayed deletes no-op; a deleted doc " +
     "re-ingests cleanly") {
@@ -2211,6 +2263,10 @@ class LlmSpec extends SparkSpec {
       // Simulated crash: compactSearchIndex died after folding ONLY
       // postings — docs/stats still live as positive shards, so a
       // doc's ownership row and its postings now disagree on layout.
+      // A real crash inside compactSearchTables leaves the
+      // `_compacting` marker it creates before the folds — recovery's
+      // cheap gate for the horizon heal — so the simulation places it.
+      new java.io.File(dir, "_compacting").createNewFile()
       graft.sources.ShardStore.compact(spark, s"$dir/postings",
         extraPartCols = Seq("_tb"))
       val pm = graft.sources.ShardStore.readMeta(spark, s"$dir/postings")
