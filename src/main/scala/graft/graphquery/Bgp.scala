@@ -144,25 +144,39 @@ object Bgp {
     * over the composite p⨝q relation, `(p|q)+` over the unioned edge
     * sets. Same O(log depth) round structure and lazy-checkpoint
     * discipline as the single-predicate form (which now delegates
-    * here). */
-  def pathPlusEdges(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
-    var acc = edges.select(col("s"), col("o"))
+    * here).
+    *
+    * `keyCols` PARTITIONS the closure: each round's self-join equates
+    * the key columns alongside the o=s hop, so paths never cross a key
+    * boundary and the result keeps the keys. This is what makes
+    * closures inside `GRAPH ?g` per-graph (key = the g column — the
+    * fixpoint runs independently in every named graph WITHOUT
+    * enumerating graphs driver-side: one keyed self-join per round,
+    * all graphs at once, skew handled by AQE like any other composite
+    * join key). Empty keys = the plain single-relation closure. */
+  def pathPlusEdges(edges: DataFrame, maxRounds: Int = 20,
+                    keyCols: Seq[String] = Nil): DataFrame = {
+    val out = keyCols ++ Seq("s", "o")
+    var acc = edges.select(out.map(col): _*)
       .distinct().localCheckpoint(false)
     var size = acc.count()
     var rounds = 0
     var fixed = size == 0
     while (!fixed && rounds < maxRounds) {
-      val doubled = acc
-        .join(acc.select(col("s").as("_m"), col("o").as("_o2")),
-          col("o") === col("_m"))
-        .select(col("s"), col("_o2").as("o"))
+      val right = acc.select(keyCols.map(k => col(k).as(s"_k$k")) ++
+        Seq(col("s").as("_m"), col("o").as("_o2")): _*)
+      val cond = keyCols.foldLeft(col("o") === col("_m")) {
+        (c, k) => c && col(k) === col(s"_k$k")
+      }
+      val doubled = acc.join(right, cond)
+        .select(keyCols.map(col) ++ Seq(col("s"), col("_o2").as("o")): _*)
       acc = acc.unionByName(doubled).distinct().localCheckpoint(false)
       val n = acc.count()
       fixed = n == size
       size = n
       rounds += 1
     }
-    acc.select(col("s"), col("o"))
+    acc.select(out.map(col): _*)
   }
 
   /** FILTER NOT EXISTS {?s <p> ?anything} as a left-anti join. */

@@ -316,7 +316,11 @@ object Sparql {
       parseGroup()
     }
 
-    def parseDescribeIris(): Seq[String] = {
+    def parseDescribeIris(): Seq[String] = parseDescribe()._1
+
+    /** DESCRIBE with an optional dataset clause:
+      * (iris, FROM graphs, FROM NAMED graphs). */
+    def parseDescribe(): (Seq[String], Seq[String], Seq[String]) = {
       parsePrefixes()
       eatWord("DESCRIBE")
       val iris = Seq.newBuilder[String]
@@ -326,10 +330,21 @@ object Sparql {
         case Some(p: TPName) => next(); iris += expand(p)
         case _ => more = false
       }
+      val fromB = Seq.newBuilder[String]
+      val fromNamedB = Seq.newBuilder[String]
+      while (tryWord("FROM")) {
+        val named = tryWord("NAMED")
+        val iri = next() match {
+          case TIri(i) => i
+          case p: TPName => expand(p)
+          case other => sys.error(s"expected <iri> after FROM, got $other")
+        }
+        if (named) fromNamedB += iri else fromB += iri
+      }
       val out = iris.result()
       require(out.nonEmpty, "DESCRIBE needs at least one IRI " +
         "(variable DESCRIBE is not supported)")
-      out
+      (out, fromB.result(), fromNamedB.result())
     }
 
     private def parsePrefixes(): Unit =
@@ -996,6 +1011,46 @@ object Sparql {
       .distinct()
   }
 
+  /** [[describe]] over a dataset ([[selectDataset]]'s quad layout) —
+    * the fourth dataset twin alongside select/ask/construct: the
+    * concise bounded description of the named IRIs (outbound triples
+    * plus inbound IRI edges), drawn from the query's dataset and
+    * returned as QUADS (a `g` column, null for default-graph rows) so
+    * graph provenance survives — render with
+    * [[graft.rdf.NTriples.quadLine]]. Dataset clause per SPARQL 1.1
+    * §13.2: FROM graphs merge into the output's DEFAULT graph (their
+    * rows describe under g = null; ground-triples merge caveat as
+    * [[selectDataset]]), FROM NAMED graphs contribute under their own
+    * names, and with NO clause the supplied dataset stands (default
+    * rows plus every named graph — a description spanning graphs keeps
+    * each triple under the graph that asserts it). Graph scoping stays
+    * a pushed `g` filter — partition-prunable over a g-partitioned
+    * store, like every other dataset entry point. */
+  def describeDataset(dataset: DataFrame, query: String): DataFrame = {
+    val (iris, from, fromNamed) = new P(tokenize(query)).parseDescribe()
+    val hasClause = from.nonEmpty || fromNamed.nonEmpty
+    val nullG = lit(null).cast("string")
+    val dflt =
+      if (!hasClause) dataset.filter(col("g").isNull)
+      else if (from.nonEmpty)
+        dataset.filter(col("g").isin(from: _*))
+          .withColumn("g", nullG)
+      else dataset.where(lit(false))
+    val named =
+      if (!hasClause) dataset.filter(col("g").isNotNull)
+      else if (fromNamed.nonEmpty)
+        dataset.filter(col("g").isin(fromNamed: _*))
+      else dataset.where(lit(false))
+    // One distinct realizes both RDF set semantics and the FROM merge
+    // (merged rows all carry g = null, so duplicates collapse there).
+    dflt.unionByName(named)
+      .filter(col("s").isin(iris: _*) ||
+        (col("oIsIri") && col("o").isin(iris: _*)))
+      .select(col("g"), col("s"), col("p"), col("o"), col("oIsIri"),
+        col("oLang"), col("oDatatype"))
+      .distinct()
+  }
+
   /** Compile + run a CONSTRUCT: returns the constructed graph as a
     * canonical-schema triples DataFrame (s, p, o, oIsIri, oLang,
     * oDatatype) — the same relation [[graft.rdf.DerivedGraph]] produces
@@ -1303,18 +1358,6 @@ object Sparql {
       case Alt(alts) => return altDf(t, alts, triples, gVar)
       case _ => ()
     }
-    // Path closures are per-graph fixpoints; inside `GRAPH ?g` the
-    // store is the UNION of all named graphs, and a closure over it
-    // would hop across graph boundaries. Scope with `GRAPH <iri>`
-    // (where the slice is pre-filtered and closures run unchanged).
-    def noClosureInGraphVar(): Unit = gVar.foreach(gv => sys.error(
-      s"property-path closures inside GRAPH ?$gv are not supported — " +
-        "scope the graph with GRAPH <iri>"))
-    t.v match {
-      case Path(Seq(Step(_, _, m))) if m != ' ' => noClosureInGraphVar()
-      case TreePath(_) => noClosureInGraphVar()
-      case _ => ()
-    }
     val (subjCol, objCol, p, forward, mod) = t.v match {
       case PVar(_) | Nps(_) => ("s", "o", None, true, ' ')
       case TreePath(_) => ("s", "o", None, true, 'T')
@@ -1323,32 +1366,54 @@ object Sparql {
         else ("s", "o", Some(iri), true, m)
       case _ => sys.error("multi-step path must be pre-expanded")
     }
+    // Inside `GRAPH ?g` closures run PER GRAPH: the store is the union
+    // of all named graphs, so the g column threads through every edge
+    // set, reflexive-node set, and fixpoint join key — paths never hop
+    // a graph boundary, graphs are never enumerated driver-side, and
+    // the closure rows keep g for the binding below. Scoping with
+    // `GRAPH <iri>` keeps its cheaper shape (the slice is pre-filtered
+    // and the key list is empty).
+    val gKey = gVar.map(_ => "g").toSeq
+    def edgesOf(iri: String): DataFrame = triples
+      .filter(col("p") === iri)
+      .select(gKey.map(col) ++ Seq(col("s"), col("o")): _*)
+    // Zero-length pairs per SPARQL: every term of the queried graph
+    // reaches itself — per graph when keyed (a term present in two
+    // named graphs yields one reflexive row in each).
+    def zeroNodes: DataFrame = triples
+      .select(gKey.map(col) :+ col("s"): _*)
+      .unionByName(triples.select(gKey.map(col) :+ col("o").as("s"): _*))
+      .distinct()
+      .select(gKey.map(col) ++ Seq(col("s"), col("s").as("o")): _*)
     var df = (p, mod) match {
-      // `p+` / `p*` / `p?`: the [[Bgp.pathPlus]]/[[Bgp.pathStar]]/
-      // [[Bgp.pathZeroOrOne]] distributed closures (pointer doubling —
-      // O(log depth) self-join rounds; `?` needs no fixpoint at all),
-      // reshaped into the triple-table layout so every binding/filter
-      // case below applies unchanged (inverse mods included: the
-      // closure of ^p is the swap of the closure of p, which is exactly
-      // what the subjCol/objCol swap already does). Endpoint TERM
-      // metadata is restored from the graph's object-position rows
-      // (zero-length `*`/`?` pairs include literal terms — see
-      // [[closureShape]]); lang/datatype still do not survive a
-      // transitive hop of length ≥ 1 by RDF construction.
+      // `p+` / `p*` / `p?`: the [[Bgp.pathPlusEdges]] distributed
+      // closure (pointer doubling — O(log depth) self-join rounds; `?`
+      // needs no fixpoint at all), reshaped into the triple-table
+      // layout so every binding/filter case below applies unchanged
+      // (inverse mods included: the closure of ^p is the swap of the
+      // closure of p, which is exactly what the subjCol/objCol swap
+      // already does). Endpoint TERM metadata is restored from the
+      // graph's object-position rows (zero-length `*`/`?` pairs
+      // include literal terms — see [[closureShape]]); lang/datatype
+      // still do not survive a transitive hop of length ≥ 1 by RDF
+      // construction.
       case (Some(iri), '+') =>
-        closureShape(Bgp.pathPlus(triples, iri, "o"), iri, triples)
+        closureShape(Bgp.pathPlusEdges(edgesOf(iri), keyCols = gKey),
+          iri, triples, gKey)
       case (Some(iri), '*') =>
-        closureShape(Bgp.pathStar(triples, iri, "o"), iri, triples)
+        closureShape(Bgp.pathPlusEdges(edgesOf(iri), keyCols = gKey)
+          .unionByName(zeroNodes).distinct(), iri, triples, gKey)
       case (Some(iri), '?') =>
-        closureShape(Bgp.pathZeroOrOne(triples, iri, "o"), iri, triples)
+        closureShape(edgesOf(iri).unionByName(zeroNodes).distinct(),
+          iri, triples, gKey)
       case (Some(iri), _) => triples.filter(col("p") === iri)
       // Grouped path tree: the composite (s, o) pair relation — joins,
       // unions, and edge-set fixpoints per group — reshaped like the
       // closures (endpoint metadata restored the same way).
       case (None, 'T') =>
         closureShape(
-          pathPairs(t.v.asInstanceOf[TreePath].elems, triples),
-          "(path)", triples)
+          pathPairs(t.v.asInstanceOf[TreePath].elems, triples, gKey),
+          "(path)", triples, gKey)
       case (None, _) => triples
     }
     // Negated property set: one hop over any predicate NOT in the set —
@@ -1426,7 +1491,8 @@ object Sparql {
     * a lexical form used BOTH as an IRI and as a literal resolves to
     * its IRI reading. */
   private def closureShape(cl: DataFrame, iri: String,
-                           triples: DataFrame): DataFrame = {
+                           triples: DataFrame,
+                           keyCols: Seq[String] = Nil): DataFrame = {
     val meta = triples
       .select(col("o").as("_t"), col("oIsIri").as("_ii"),
         col("oLang").as("_lg"), col("oDatatype").as("_dt"))
@@ -1434,10 +1500,13 @@ object Sparql {
       .agg(max(struct(col("_ii"), col("_lg"), col("_dt"))).as("_m"))
       .select(col("_t"), col("_m._ii").as("_ii"),
         col("_m._lg").as("_lg"), col("_m._dt").as("_dt"))
+    // keyCols (the g column of a GRAPH ?g closure) pass through; the
+    // metadata key stays the lexical form over the whole queried slice
+    // (same cross-reading caveat as the single-graph form).
     cl.join(meta, cl("o") === meta("_t"), "left")
-      .select(cl("s"), lit(iri).as("p"), cl("o"),
+      .select(keyCols.map(cl(_)) ++ Seq(cl("s"), lit(iri).as("p"), cl("o"),
         coalesce(col("_ii"), lit(true)).as("oIsIri"),
-        col("_lg").as("oLang"), col("_dt").as("oDatatype"))
+        col("_lg").as("oLang"), col("_dt").as("oDatatype")): _*)
   }
 
   /** Path alternation `a|b|…` (SPARQL 1.1 PathAlternative): each
@@ -1476,31 +1545,44 @@ object Sparql {
     * column swap. Closured relations are sets (distinct); plain
     * sequences/alternations keep bag multiplicity, matching the
     * unparenthesized forms. */
-  private def pathPairs(elems: Seq[PElem], triples: DataFrame): DataFrame = {
-    def nodes = triples.select(col("s"))
-      .unionByName(triples.select(col("o").as("s"))).distinct()
-      .select(col("s"), col("s").as("o"))
+  private def pathPairs(elems: Seq[PElem], triples: DataFrame,
+                        keyCols: Seq[String] = Nil): DataFrame = {
+    // keyCols = Seq("g") inside GRAPH ?g: every pair relation keeps
+    // its graph, every composition join and fixpoint equates it — the
+    // whole tree evaluates per graph in one pass.
+    val pair = keyCols.map(col) ++ Seq(col("s"), col("o"))
+    def nodes = triples.select(keyCols.map(col) :+ col("s"): _*)
+      .unionByName(triples.select(keyCols.map(col) :+ col("o").as("s"): _*))
+      .distinct()
+      .select(keyCols.map(col) ++ Seq(col("s"), col("s").as("o")): _*)
     def swap(df: DataFrame, inv: Boolean): DataFrame =
-      if (inv) df.select(col("o").as("s"), col("s").as("o")) else df
+      if (inv) df.select(
+        keyCols.map(col) ++ Seq(col("o").as("s"), col("s").as("o")): _*)
+      else df
     def modded(base: DataFrame, mod: Char): DataFrame = mod match {
-      case '+' => Bgp.pathPlusEdges(base)
-      case '*' => Bgp.pathPlusEdges(base).unionByName(nodes).distinct()
-      case '?' => base.select(col("s"), col("o"))
+      case '+' => Bgp.pathPlusEdges(base, keyCols = keyCols)
+      case '*' => Bgp.pathPlusEdges(base, keyCols = keyCols)
+        .unionByName(nodes).distinct()
+      case '?' => base.select(pair: _*)
         .unionByName(nodes).distinct()
       case _ => base
     }
     def elemPairs(e: PElem): DataFrame = e match {
       case PAtom(iri, inv, mod) =>
         swap(modded(triples.filter(col("p") === iri)
-          .select(col("s"), col("o")), mod), inv)
+          .select(pair: _*), mod), inv)
       case PGrp(alts, inv, mod) =>
         swap(modded(alts.map(seqPairs).reduce(_ unionByName _), mod), inv)
     }
     def seqPairs(seq: Seq[PElem]): DataFrame =
       seq.map(elemPairs).reduce { (a, b) =>
-        a.join(b.select(col("s").as("_m"), col("o").as("_o2")),
-            col("o") === col("_m"))
-          .select(col("s"), col("_o2").as("o"))
+        val right = b.select(keyCols.map(k => col(k).as(s"_k$k")) ++
+          Seq(col("s").as("_m"), col("o").as("_o2")): _*)
+        val cond = keyCols.foldLeft(col("o") === col("_m")) {
+          (c, k) => c && col(k) === col(s"_k$k")
+        }
+        a.join(right, cond)
+          .select(keyCols.map(col) ++ Seq(col("s"), col("_o2").as("o")): _*)
       }
     seqPairs(elems)
   }

@@ -467,6 +467,35 @@ object RdfQueries {
           |  GRAPH ?g { ?s <urn:p/inNation> ?nation . }
           |  GRAPH <urn:graph/geo> { ?nation <urn:p/inRegion> ?reg . }
           |}""".stripMargin)
+    },
+
+    // Per-graph `p+` closure inside GRAPH ?g — the one SPARQL construct
+    // r16 refused. Two named graphs hold DIFFERENT parent forests over
+    // the SAME customer nodes (div 2 vs div 3), so a fixpoint that
+    // hopped graph boundaries would mint ancestor pairs neither forest
+    // contains on its own. The g column rides the pointer-doubling
+    // join keys end-to-end ([[Bgp.pathPlusEdges]] keyCols): one keyed
+    // self-join per round closes ALL graphs at once — graphs are never
+    // enumerated driver-side, which is what makes `GRAPH ?g { p+ }`
+    // viable over a million named graphs at 100 TB. Oracle: one
+    // recursive CTE per graph, unioned under its graph label.
+    "q241_sparql_graph_closure" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val nullStr = lit(null).cast("string")
+      def forest(div: Int) = c.filter(col("c_custkey") >= div)
+        .select(
+          concat(lit("urn:c/"), col("c_custkey")).as("s"),
+          lit("urn:p/parent").as("p"),
+          concat(lit("urn:c/"), expr(s"c_custkey div $div")).as("o"),
+          lit(true).as("oIsIri"), nullStr.as("oLang"),
+          nullStr.as("oDatatype"))
+      val ds = Bgp.dataset(
+        "urn:graph/half" -> forest(2),
+        "urn:graph/third" -> forest(3))
+      graft.graphquery.Sparql.selectDataset(ds,
+        """SELECT ?g ?s ?anc WHERE {
+          |  GRAPH ?g { ?s <urn:p/parent>+ ?anc . }
+          |}""".stripMargin)
     }
   )
 
@@ -488,6 +517,27 @@ object RdfQueries {
          |  UNION ALL
          |  SELECT *, 'urn:graph/cust' AS g FROM cust)""".stripMargin,
       "geo" -> G.sql.geo, "cust" -> G.sql.customers),
+    // q241: one recursive CTE per named graph — the per-graph truth a
+    // boundary-hopping fixpoint could not reproduce (the forests share
+    // nodes, so cross-graph paths exist and would surface as extra
+    // pairs under some graph label).
+    "q241_sparql_graph_closure" ->
+      """WITH RECURSIVE
+        |eh AS (SELECT 'urn:c/' || c_custkey AS s,
+        |              'urn:c/' || (c_custkey // 2) AS o
+        |       FROM customer WHERE c_custkey >= 2),
+        |et AS (SELECT 'urn:c/' || c_custkey AS s,
+        |              'urn:c/' || (c_custkey // 3) AS o
+        |       FROM customer WHERE c_custkey >= 3),
+        |th AS (SELECT s, o FROM eh
+        |       UNION
+        |       SELECT t.s, e.o FROM th t JOIN eh e ON t.o = e.s),
+        |tt AS (SELECT s, o FROM et
+        |       UNION
+        |       SELECT t.s, e.o FROM tt t JOIN et e ON t.o = e.s)
+        |SELECT 'urn:graph/half' AS g, s, o AS anc FROM th
+        |UNION ALL
+        |SELECT 'urn:graph/third' AS g, s, o AS anc FROM tt""".stripMargin,
     // q237: the default-graph name pattern is a geo scan; GRAPH ?g can
     // only bind the cust graph (no other named graph holds inNation);
     // the GRAPH <geo> pattern is a second geo join.

@@ -1012,13 +1012,41 @@ class SparqlParserSpec extends SparkSpec {
         |WHERE { <urn:i/a> <urn:p/m> ?x }""".stripMargin)
       .collect().length == 1,
       "FROM merge duplicated a triple present in two graphs")
-    // Closures inside GRAPH ?g would hop across graph boundaries —
-    // refused, with GRAPH <iri> as the documented scope-first path.
-    val err = intercept[RuntimeException] {
-      Sparql.selectDataset(ds,
-        "SELECT ?x WHERE { GRAPH ?g { <urn:i/a> <urn:p/k>+ ?x } }")
-    }
-    assert(err.getMessage.contains("GRAPH"))
+    // Closures inside GRAPH ?g run PER GRAPH (r16 refused these): the
+    // fixpoint threads g through its join keys, so a path can never
+    // hop a graph boundary. Fixture: h1 holds a→b→c, h2 holds b→d —
+    // any boundary hop would let a reach d.
+    val hier = Seq(
+      ("urn:h/1", "urn:i/a", "urn:p/x", "urn:i/b"),
+      ("urn:h/1", "urn:i/b", "urn:p/x", "urn:i/c"),
+      ("urn:h/2", "urn:i/b", "urn:p/x", "urn:i/d"))
+      .toDF("g", "s", "p", "o")
+      .withColumn("oIsIri", lit(true))
+      .withColumn("oLang", lit(null).cast("string"))
+      .withColumn("oDatatype", lit(null).cast("string"))
+    def hvals(sql: String) = Sparql.selectDataset(hier, sql).collect()
+      .map(_.toSeq.mkString(",")).toSet
+    assert(hvals(
+      "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s <urn:p/x>+ ?o } }") == Set(
+      "urn:h/1,urn:i/a,urn:i/b", "urn:h/1,urn:i/a,urn:i/c",
+      "urn:h/1,urn:i/b,urn:i/c", "urn:h/2,urn:i/b,urn:i/d"),
+      "p+ inside GRAPH ?g leaked across a graph boundary")
+    // `*`'s zero-length pairs are per graph too: `a` is not a term of
+    // h2, so it reflects (and closes) only under h1.
+    assert(hvals(
+      "SELECT ?g ?o WHERE { GRAPH ?g { <urn:i/a> <urn:p/x>* ?o } }") ==
+      Set("urn:h/1,urn:i/a", "urn:h/1,urn:i/b", "urn:h/1,urn:i/c"),
+      "p* zero-length pairs not graph-scoped")
+    // Grouped-path trees compose per graph as well: (x/x) within h1
+    // gives a⇒c; a cross-graph composition (a→b in h1, b→d in h2)
+    // would wrongly surface a⇒d.
+    assert(hvals("SELECT ?g ?o WHERE { GRAPH ?g { " +
+      "<urn:i/a> (<urn:p/x>/<urn:p/x>)+ ?o } }") ==
+      Set("urn:h/1,urn:i/c"),
+      "grouped path inside GRAPH ?g composed across graphs")
+    // GRAPH <iri> keeps its pre-filtered closure path.
+    assert(hvals("SELECT ?o WHERE { GRAPH <urn:h/1> { " +
+      "<urn:i/a> <urn:p/x>+ ?o } }") == Set("urn:i/b", "urn:i/c"))
     // askDataset: GRAPH sees the named graphs, bare patterns the
     // default graph — and the probe short-circuits like ask.
     assert(Sparql.askDataset(ds,
@@ -1042,6 +1070,44 @@ class SparqlParserSpec extends SparkSpec {
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
+  }
+
+  test("describeDataset: the fourth dataset twin — quads out with " +
+    "graph provenance, inbound edges found across graphs, dataset " +
+    "clause scopes per §13.2") {
+    import spark.implicits._
+    val ds = Seq(
+      (null, "urn:i/r", "urn:p/d", "zero"), // default graph: outbound
+      ("urn:d/1", "urn:i/r", "urn:p/a", "one"), // named 1: outbound
+      ("urn:d/2", "urn:i/x", "urn:p/b", "urn:i/r"), // named 2: inbound
+      ("urn:d/2", "urn:i/x", "urn:p/c", "other"), // named 2: unrelated
+      ("urn:d/1", "urn:i/y", "urn:p/c", "urn:i/z")) // named 1: unrelated
+      .toDF("g", "s", "p", "o")
+      .withColumn("oIsIri", col("o").startsWith("urn:i/"))
+      .withColumn("oLang", lit(null).cast("string"))
+      .withColumn("oDatatype", lit(null).cast("string"))
+    def rows(q: String) = Sparql.describeDataset(ds, q).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    // No clause: the whole dataset contributes — the subject's
+    // outbound triples in the default graph and named 1, plus the
+    // inbound IRI edge asserted by named 2, each under ITS OWN g.
+    assert(rows("DESCRIBE <urn:i/r>") == Set(
+      (null, "urn:i/r", "urn:p/d", "zero"),
+      ("urn:d/1", "urn:i/r", "urn:p/a", "one"),
+      ("urn:d/2", "urn:i/x", "urn:p/b", "urn:i/r")),
+      "unscoped describe must span graphs with provenance")
+    // FROM NAMED: only the named graph's triples surface, under its g
+    // — the default graph is empty with a clause present.
+    assert(rows("DESCRIBE <urn:i/r> FROM NAMED <urn:d/1>") == Set(
+      ("urn:d/1", "urn:i/r", "urn:p/a", "one")))
+    // FROM: the graph merges into the output's DEFAULT graph (g null)
+    // — named 2's inbound edge describes as a default-graph triple.
+    assert(rows("DESCRIBE <urn:i/r> FROM <urn:d/2>") == Set(
+      (null, "urn:i/x", "urn:p/b", "urn:i/r")))
+    // The literal-only lexical twin of the IRI never matches inbound
+    // (oIsIri gates), and an unknown IRI describes to the empty graph.
+    assert(rows("DESCRIBE <urn:i/zzz>").isEmpty)
   }
 }
 
