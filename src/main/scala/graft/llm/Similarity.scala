@@ -1034,6 +1034,47 @@ object Similarity {
     adcTop.unionByName(rerTop)
   }
 
+  /** An operating point picked off the recall grid. */
+  final case class NprobeChoice(nprobe: Int, reranked: Boolean,
+                                meanRecallPpm: Long, met: Boolean)
+
+  /** The operator knob the recall-vs-nprobe table exists to set, made
+    * mechanical: given the [[ivfPqKnnGrid]] audit output joined to
+    * recall (the q238 table — per-query rows carrying `nprobe`,
+    * `reranked`, `recall_ppm`), return the CHEAPEST {nprobe, rerank}
+    * cell whose MEAN recall meets `recallTargetPpm`.
+    *
+    * Cost order: probe depth first, ADC-only before reranked at equal
+    * depth — every +nprobe multiplies the partition-pruned list read
+    * (the corpus-side cost), while the rerank adds only a
+    * shortlist-sized exact-distance join (query-side). A DEGENERATE
+    * target above every cell's recall returns the best-recall cell
+    * (ties toward deepest + reranked) with `met = false` — the caller
+    * sees the grid cannot reach the target instead of silently getting
+    * the deepest cell as if it did.
+    *
+    * Driver-side by design: the per-cell aggregate collapses the table
+    * to one row per grid cell (|nprobes| × 2 — an 8-row collect for
+    * the q238 axes), the bounded-metadata class every other index
+    * probe uses. The documented ADC-only recall dip at deep probes is
+    * handled naturally — the scan just skips cells below target,
+    * whatever their depth. */
+  def tuneNprobe(grid: DataFrame, recallTargetPpm: Long): NprobeChoice = {
+    val cells = grid
+      .groupBy(col("nprobe"), col("reranked"))
+      .agg(avg(col("recall_ppm")).cast("long").as("_r"))
+      .collect()
+      .map(r => (r.getInt(0), r.getBoolean(1), r.getLong(2)))
+    require(cells.nonEmpty, "empty recall grid")
+    cells.sortBy { case (np, rr, _) => (np, rr) }
+      .find { case (_, _, r) => r >= recallTargetPpm } match {
+      case Some((np, rr, r)) => NprobeChoice(np, rr, r, met = true)
+      case None =>
+        val (np, rr, r) = cells.maxBy { case (np2, rr2, r2) => (r2, np2, rr2) }
+        NprobeChoice(np, rr, r, met = false)
+    }
+  }
+
   /** LSH-bucketed ANN: same-bucket candidates from L tables, union,
     * exact cosine rerank to top-k. Output: (qid, rank, neighbor_id, sim).
     */

@@ -1168,6 +1168,40 @@ class LlmSpec extends SparkSpec {
     assert(partial == Map(1L -> (1L, 500000L), 2L -> (0L, 0L)))
   }
 
+  test("tuneNprobe: cheapest {nprobe, rerank} cell meeting the recall " +
+    "target, ADC dip skipped naturally; unreachable target returns " +
+    "the best cell flagged unmet") {
+    import spark.implicits._
+    // A synthetic q238-shaped grid (two queries per cell). Cell means:
+    // (1,adc)=550k (1,rr)=700k (2,adc)=700k (2,rr)=800k
+    // (4,adc)=600k [the documented deep-probe ADC dip] (4,rr)=900k
+    // (8,adc)=600k (8,rr)=950k.
+    val grid = Seq(
+      (1, false, 500000L), (1, false, 600000L),
+      (1, true, 700000L), (1, true, 700000L),
+      (2, false, 800000L), (2, false, 600000L),
+      (2, true, 900000L), (2, true, 700000L),
+      (4, false, 700000L), (4, false, 500000L),
+      (4, true, 900000L), (4, true, 900000L),
+      (8, false, 600000L), (8, false, 600000L),
+      (8, true, 1000000L), (8, true, 900000L))
+      .toDF("nprobe", "reranked", "recall_ppm")
+    // 500k: the shallowest ADC-only cell already meets it.
+    assert(Similarity.tuneNprobe(grid, 500000L) ==
+      Similarity.NprobeChoice(1, false, 550000L, met = true))
+    // 700k: nprobe=1 ADC misses; the SAME depth reranked meets it —
+    // cheaper than probing 2 lists (depth dominates cost).
+    assert(Similarity.tuneNprobe(grid, 700000L) ==
+      Similarity.NprobeChoice(1, true, 700000L, met = true))
+    // 820k: (2,rr)=800k and the dipped (4,adc)=600k both miss — the
+    // scan lands on (4,rr) without special-casing the dip.
+    assert(Similarity.tuneNprobe(grid, 820000L) ==
+      Similarity.NprobeChoice(4, true, 900000L, met = true))
+    // Degenerate target above every cell: best-recall cell, unmet.
+    assert(Similarity.tuneNprobe(grid, 990000L) ==
+      Similarity.NprobeChoice(8, true, 950000L, met = false))
+  }
+
   test("winnowing: window minima, sub-k self-coverage, shared-substring hit") {
     import spark.implicits._
     // 8 tokens, k=4, w=4: 5 k-gram hashes, full windows at positions 0-1

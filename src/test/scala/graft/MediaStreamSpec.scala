@@ -1769,4 +1769,87 @@ class MediaStreamSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
     }
   }
+
+  test("scheduled maintenance composition: the full janitor loop " +
+    "(recover + compactIfNeeded + compactTable) twice back-to-back on " +
+    "a live mid-stream index — serving bit-identical, second pass a " +
+    "no-op end-to-end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val C = graft.llm.Corpus
+    val SS = graft.sources.ShardStore
+    val dir = java.nio.file.Files.createTempDirectory("janitor").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("janitor-ck").toString
+    try {
+      // Surface 1: the three-table search index, maintained by the
+      // upsert sink (autoCompact OFF — the janitor owns compaction).
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.EventsStream.searchIndexSink(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        dir = s"$dir/idx", checkpointLoc = s"$ckpt/q", buckets = 8,
+        upsert = true)
+      // Surface 2: a plain parquet dir accreting small files (the
+      // compactTable target an operator schedules alongside).
+      (0 until 12).foreach(i => Seq((i.toLong, s"row $i"))
+        .toDF("id", "payload").coalesce(1)
+        .write.mode("append").parquet(s"$dir/plain"))
+      val plainRows = spark.read.parquet(s"$dir/plain")
+        .collect().map(_.toSeq).toSet
+      val terms = Seq("spark", "merge", "vector")
+      def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      def serve() = rows(C.bm25FromIndex(spark, s"$dir/idx", "doc_id",
+        terms, topK = 10, buckets = 8))
+      def scanOf(cur: Seq[(Long, String)]) = rows(C.bm25TopK(
+        cur.toDF("doc_id", "text"), "doc_id", "text", terms, topK = 10))
+      // Four micro-batches (one a re-crawl) → 4 live shards.
+      val batches = Seq(
+        Seq((1L, "spark merge spark vector data"), (2L, "merge vector")),
+        Seq((3L, "vector spark merge all")),
+        Seq((1L, "spark rewritten entirely"), (4L, "spark spark merge")),
+        Seq((5L, "merge data spark vector")))
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val cur = Seq(batches(2)(0), batches(0)(1), batches(1)(0),
+        batches(2)(1), batches(3)(0))
+      val served0 = serve()
+      assert(served0 == scanOf(cur))
+      // The cron body: every maintenance entry point, in the order an
+      // operator's janitor would run them.
+      def janitor(): Unit = {
+        C.recoverSearchIndex(spark, s"$dir/idx")
+        C.compactSearchIndexIfNeeded(spark, s"$dir/idx", maxShards = 2)
+        SS.compactTable(spark, s"$dir/plain")
+      }
+      def snapshot(): Set[(String, Long, Long)] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(dir))
+          .map(f => (f.getPath, f.length, f.lastModified)).toSet
+      }
+      // Pass 1 does real work: folds the 4 index shards, collapses the
+      // 12 plain files — with serving and rows bit-identical across it.
+      janitor()
+      assert(serve() == served0, "janitor pass 1 changed serving")
+      assert(spark.read.parquet(s"$dir/plain").collect()
+        .map(_.toSeq).toSet == plainRows, "compactTable changed rows")
+      assert(SS.readMeta(spark, s"$dir/idx/stats").exists(_.horizon == 3L),
+        "janitor never folded the index")
+      // Pass 2 immediately after: the contract a schedule relies on —
+      // a converged store is left byte-for-byte untouched (no rewrite
+      // churn, no marker flapping), and serving still agrees.
+      val before = snapshot()
+      janitor()
+      assert(snapshot() == before,
+        "second janitor pass touched a converged store")
+      assert(serve() == served0)
+      // The stream keeps working against the compacted store.
+      val b4 = Seq((6L, "vector vector spark"))
+      mem.addData(b4: _*); q.processAllAvailable(); q.stop()
+      assert(serve() == scanOf(cur ++ b4),
+        "post-janitor batch diverged from the scan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
 }
