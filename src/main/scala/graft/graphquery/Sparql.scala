@@ -156,6 +156,14 @@ object Sparql {
   final case class ConstructQuery(template: Seq[Triple],
                                   where: Seq[Pattern], limit: Option[Int])
 
+  /** Minimal SPARQL UPDATE operations (SPARQL 1.1 Update §3.1) —
+    * ground-quad inserts/deletes plus the pattern form whose WHERE is
+    * its own delete template. */
+  sealed trait UpdateOp
+  final case class InsertData(quads: Seq[Pattern]) extends UpdateOp
+  final case class DeleteData(quads: Seq[Pattern]) extends UpdateOp
+  final case class DeleteWhere(pattern: Seq[Pattern]) extends UpdateOp
+
   // ---------------------------------------------------------- tokenizer
   private val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
@@ -314,6 +322,26 @@ object Sparql {
       // Both `ASK { … }` and the explicit `ASK WHERE { … }` spelling.
       tryWord("WHERE")
       parseGroup()
+    }
+
+    /** `;`-separated sequence of INSERT DATA / DELETE DATA /
+      * DELETE WHERE operations (SPARQL 1.1 Update §3.1, the
+      * ground-data + pattern-delete subset). */
+    def parseUpdateOps(): Seq[UpdateOp] = {
+      parsePrefixes()
+      val ops = Seq.newBuilder[UpdateOp]
+      var more = true
+      while (more) {
+        if (tryWord("INSERT")) {
+          eatWord("DATA"); ops += InsertData(parseGroup())
+        } else if (tryWord("DELETE")) {
+          if (tryWord("DATA")) ops += DeleteData(parseGroup())
+          else { eatWord("WHERE"); ops += DeleteWhere(parseGroup()) }
+        } else sys.error(
+          s"expected INSERT DATA / DELETE DATA / DELETE WHERE, got $peek")
+        more = tryPunct(";") && peek.nonEmpty // trailing ; allowed
+      }
+      ops.result()
     }
 
     def parseDescribeIris(): Seq[String] = parseDescribe()._1
@@ -1049,6 +1077,206 @@ object Sparql {
       .select(col("g"), col("s"), col("p"), col("o"), col("oIsIri"),
         col("oLang"), col("oDatatype"))
       .distinct()
+  }
+
+  // ------------------------------------------------------------- UPDATE
+
+  private val QuadCols =
+    Seq("g", "s", "p", "o", "oIsIri", "oLang", "oDatatype")
+  private def quadSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("g", StringType), StructField("s", StringType),
+      StructField("p", StringType), StructField("o", StringType),
+      StructField("oIsIri", BooleanType), StructField("oLang", StringType),
+      StructField("oDatatype", StringType)))
+  }
+
+  /** Parse a SPARQL UPDATE string into its operation sequence. */
+  def parseUpdate(text: String): Seq[UpdateOp] =
+    new P(tokenize(text)).parseUpdateOps()
+
+  /** Minimal SPARQL UPDATE (SPARQL 1.1 Update §3.1) against a parquet
+    * QUAD STORE in [[selectDataset]]'s layout (g null = default graph)
+    * — the mutation surface the read-side dataset twins invite:
+    *
+    *  - `INSERT DATA { triples [GRAPH <iri> { triples }] }` — ground
+    *    quads union in under RDF set semantics (already-present quads
+    *    do not duplicate).
+    *  - `DELETE DATA { … }` — ground quads anti-join out; absent quads
+    *    no-op per the spec.
+    *  - `DELETE WHERE { quad patterns }` — the pattern is both WHERE
+    *    and template: solutions compile through the [[selectDataset]]
+    *    machinery (GRAPH <iri>/GRAPH ?g scoping included), each quad
+    *    pattern instantiates per solution exactly like CONSTRUCT, and
+    *    the instantiated quads anti-join out of the store.
+    *
+    * `;`-separated operations apply sequentially, each seeing its
+    * predecessor's effect. Every operation commits through
+    * [[graft.sources.ShardStore.overwriteAtomic]] — one complete copy
+    * of the store exists on disk at every instant, and a crash rolls
+    * back to the pre-operation state (recovered on the next touch).
+    * `partitionBy = Seq("g")` keeps a graph-partitioned layout (and
+    * GRAPH scoping partition-prunable) across updates.
+    *
+    * Scale note (deliberate, documented): each operation rewrites the
+    * store — the atomic-swap contract — so this is the
+    * ADMINISTRATIVE update path (codelist loads, takedowns, catalog
+    * patches), not a high-frequency write path; a production
+    * write-heavy store would stage per-batch deltas like the
+    * `batch_id=` index families and fold on compaction. The reference
+    * never mutates a store at all (its writes are file/HTTP sinks), so
+    * this whole surface is beyond-parity.
+    *
+    * Restrictions (honest errors, per the minimal subset): DATA blocks
+    * hold only GROUND triples (no variables, no blank nodes, GRAPH
+    * with a concrete IRI); DELETE WHERE holds only triple patterns and
+    * GRAPH blocks (no FILTER/OPTIONAL/paths — the UPDATE grammar's
+    * QuadPattern), with plain-IRI or variable predicates. */
+  def update(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+             text: String, partitionBy: Seq[String] = Nil): Unit =
+    parseUpdate(text).foreach { op =>
+      val store = readQuadStore(spark, storeDir)
+      val next = op match {
+        case InsertData(quads) =>
+          val nq = groundQuads(spark, quads)
+          store.unionByName(antiQuads(nq, store))
+        case DeleteData(quads) =>
+          antiQuads(store, groundQuads(spark, quads))
+        case DeleteWhere(pats) =>
+          antiQuads(store, deleteWhereQuads(store, pats))
+      }
+      graft.sources.ShardStore.overwriteAtomic(
+        next.select(QuadCols.map(col): _*), storeDir, partitionBy)
+    }
+
+  /** The store as a canonical quad DataFrame; an absent store is the
+    * empty dataset (INSERT DATA bootstraps it). Routes through
+    * [[graft.sources.ShardStore.existsRecovered]] so a crashed
+    * previous update is healed before reading. */
+  private def readQuadStore(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): DataFrame =
+    if (graft.sources.ShardStore.existsRecovered(spark, dir))
+      spark.read.parquet(dir).select(QuadCols.map(col): _*)
+    else spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      quadSchema)
+
+  /** Rows of `left` matching NO `right` quad — null-safe on every
+    * column (absent lang/datatype and the default graph's null g all
+    * compare as values). One equi-shaped anti-join; Catalyst plans the
+    * `<=>` conjunction as a hash join on the null-safe keys. */
+  private def antiQuads(left: DataFrame, right: DataFrame): DataFrame = {
+    val r = right.select(QuadCols.map(c => col(c).as(s"_r_$c")): _*)
+    val cond = QuadCols.map(c => col(c) <=> col(s"_r_$c")).reduce(_ && _)
+    left.join(r, cond, "left_anti")
+  }
+
+  /** A DATA block's ground quads as a DataFrame (driver-built — the
+    * block is literal update text, bounded by the statement size). */
+  private def groundQuads(spark: org.apache.spark.sql.SparkSession,
+                          pats: Seq[Pattern]): DataFrame = {
+    def quad(g: Option[String], tr: Triple): org.apache.spark.sql.Row = {
+      val s = tr.s match {
+        case I(iri) => iri
+        case other => sys.error(s"DATA subject must be an IRI, got $other")
+      }
+      val p = tr.v match {
+        case Path(Seq(Step(iri, false, ' '))) => iri
+        case other => sys.error(s"DATA predicate must be a plain IRI, got $other")
+      }
+      val (o, isIri, lang, dt) = tr.o match {
+        case I(iri) => (iri, true, null, null)
+        case L(lex, lg, d, _) => (lex, false, lg.orNull, d.orNull)
+        case other => sys.error(s"DATA object must be ground, got $other")
+      }
+      org.apache.spark.sql.Row(g.orNull, s, p, o, isIri, lang, dt)
+    }
+    val rows = pats.flatMap {
+      case tr: Triple => Seq(quad(None, tr))
+      case GraphPat(I(g), inner) => inner.map {
+        case tr: Triple => quad(Some(g), tr)
+        case other => sys.error(s"GRAPH block in DATA holds only triples, got $other")
+      }
+      case GraphPat(g, _) =>
+        sys.error(s"GRAPH in DATA needs a concrete IRI, got $g")
+      case other =>
+        sys.error(s"INSERT/DELETE DATA holds only ground triples, got $other")
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, quadSchema).distinct()
+  }
+
+  /** DELETE WHERE's doomed-quad set: compile the pattern against the
+    * store's default/named split (the [[selectDataset]] machinery —
+    * GRAPH ?g binds, GRAPH <iri> prunes), then instantiate every quad
+    * pattern per solution exactly like a CONSTRUCT template, with the
+    * graph slot from the pattern's context (bare = default graph). */
+  private def deleteWhereQuads(store: DataFrame,
+                               pats: Seq[Pattern]): DataFrame = {
+    val quadPats: Seq[(Option[Term], Triple)] = pats.flatMap {
+      case tr: Triple => Seq((Option.empty[Term], tr))
+      case GraphPat(g, inner) => inner.map {
+        case tr: Triple => (Some(g): Option[Term], tr)
+        case other => sys.error(
+          s"DELETE WHERE GRAPH block holds only triple patterns, got $other")
+      }
+      case other => sys.error(
+        s"DELETE WHERE holds only quad patterns, got $other")
+    }
+    quadPats.foreach { case (_, tr) => tr.v match {
+      case PVar(_) | Path(Seq(Step(_, false, ' '))) => ()
+      case other => sys.error(
+        s"DELETE WHERE predicates must be plain IRIs or variables, got $other")
+    }}
+    val sol = compileGroup(pats,
+      store.filter(col("g").isNull).drop("g"),
+      store.filter(col("g").isNotNull))
+    val cols = sol.columns.toSet
+    val nullStr = lit(null).cast("string")
+    def bound(x: String, pos: String): Column = {
+      require(cols(x), s"DELETE WHERE $pos variable ?$x is not bound")
+      col(x)
+    }
+    val parts = quadPats.map { case (gt, Triple(ts, tv, to)) =>
+      val gc = gt match {
+        case None => nullStr
+        case Some(I(iri)) => lit(iri).cast("string")
+        case Some(V(gv)) => bound(gv, "graph").cast("string")
+        case Some(other) => sys.error(s"bad GRAPH term $other")
+      }
+      val sc = ts match {
+        case V(x) => bound(x, "subject")
+        case I(iri) => lit(iri)
+        case _: L | _: FTerm => sys.error("bad DELETE WHERE subject")
+      }
+      val pc = tv match {
+        case PVar(x) => bound(x, "predicate")
+        case Path(Seq(Step(iri, false, ' '))) => lit(iri)
+        case other => sys.error(s"unreachable predicate $other")
+      }
+      val (oc, oIri, oLang, oDt) = to match {
+        case V(x) =>
+          (bound(x, "object"),
+            if (cols(x + IsIriSuffix)) coalesce(col(x + IsIriSuffix), lit(false))
+            else lit(false),
+            if (cols(x + LangSuffix)) col(x + LangSuffix) else nullStr,
+            if (cols(x + DtSuffix)) col(x + DtSuffix) else nullStr)
+        case I(iri) => (lit(iri), lit(true), nullStr, nullStr)
+        case L(lex, lang, dt, _) =>
+          (lit(lex), lit(false),
+            lang.map(l => lit(l).cast("string")).getOrElse(nullStr),
+            dt.map(d => lit(d).cast("string")).getOrElse(nullStr))
+        case _: FTerm => sys.error("bad DELETE WHERE object")
+      }
+      sol.select(gc.as("g"), sc.cast("string").as("s"),
+          pc.cast("string").as("p"), oc.cast("string").as("o"),
+          oIri.as("oIsIri"), oLang.as("oLang"), oDt.as("oDatatype"))
+        .filter(col("s").isNotNull && col("p").isNotNull &&
+          col("o").isNotNull)
+    }
+    require(parts.nonEmpty, "empty DELETE WHERE pattern")
+    parts.reduce(_ unionByName _).distinct()
   }
 
   /** Compile + run a CONSTRUCT: returns the constructed graph as a

@@ -496,6 +496,50 @@ object RdfQueries {
         """SELECT ?g ?s ?anc WHERE {
           |  GRAPH ?g { ?s <urn:p/parent>+ ?anc . }
           |}""".stripMargin)
+    },
+
+    // SPARQL UPDATE (minimal §3.1 subset — beyond-parity: the
+    // reference never mutates a store): a quad store materializes
+    // fresh, then a `;`-sequence runs INSERT DATA (default + named
+    // graph, @lang + ^^typed literals), DELETE DATA (one ground quad),
+    // and DELETE WHERE (the pattern is its own template — a two-step
+    // within-GRAPH join erasing every triple of nation-7 customers).
+    // Each op commits through the overwriteAtomic swap (one complete
+    // copy on disk at every instant); the final store renders through
+    // the proven q239 N-Quads path. Oracle: DuckDB replays the three
+    // ops as set algebra over the same derived graphs.
+    "q242_sparql_update" -> { (s, dir) =>
+      val root = new org.apache.hadoop.fs.Path(
+        s"/tmp/graft_q242_${math.abs(dir.hashCode)}")
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(root, true) // updates mutate: rebuild fresh per run
+      val store = s"$root/quads"
+      Bgp.dataset(
+        "urn:graph/cust" -> G.customers(s, dir),
+        "urn:graph/geo" -> G.geo(s, dir))
+        .write.parquet(store)
+      graft.graphquery.Sparql.update(s, store,
+        """INSERT DATA {
+          |  <urn:i/audit> <urn:p/status> "patched"@en .
+          |  GRAPH <urn:graph/cust> {
+          |    <urn:i/audit> <urn:p/passes> "2"^^<http://www.w3.org/2001/XMLSchema#integer> .
+          |  }
+          |} ;
+          |DELETE DATA {
+          |  GRAPH <urn:graph/geo> {
+          |    <urn:g/nation/3> <urn:p/inRegion> <urn:g/region/1> .
+          |  }
+          |} ;
+          |DELETE WHERE {
+          |  GRAPH <urn:graph/cust> {
+          |    ?s <urn:p/inNation> <urn:g/nation/7> .
+          |    ?s ?p ?o .
+          |  }
+          |}""".stripMargin)
+      s.read.parquet(store)
+        .select(NTriples.quadLine(col("s"), col("p"), col("o"),
+          col("oIsIri"), col("oLang"), col("oDatatype"), col("g"))
+          .as("line"))
     }
   )
 
@@ -538,6 +582,30 @@ object RdfQueries {
         |SELECT 'urn:graph/half' AS g, s, o AS anc FROM th
         |UNION ALL
         |SELECT 'urn:graph/third' AS g, s, o AS anc FROM tt""".stripMargin,
+    // q242: the three UPDATE ops as set algebra — cust minus every
+    // nation-7 customer's triples, geo minus the one ground quad, plus
+    // the two inserted rows (one default-graph, one named) — rendered
+    // through the same quadLine replay q239 gates.
+    "q242_sparql_update" -> withTriples(
+      s"""SELECT ${NTriples.quadLineSql} AS line FROM (
+         |  SELECT s, p, o, oIsIri, oLang, oDatatype,
+         |         'urn:graph/cust' AS g FROM cust
+         |  WHERE s NOT IN (SELECT 'urn:g/customer/' || c_custkey
+         |                  FROM customer WHERE c_nationkey = 7)
+         |  UNION ALL
+         |  SELECT s, p, o, oIsIri, oLang, oDatatype,
+         |         'urn:graph/geo' AS g FROM geo
+         |  WHERE NOT (s = 'urn:g/nation/3' AND p = 'urn:p/inRegion'
+         |             AND o = 'urn:g/region/1')
+         |  UNION ALL
+         |  SELECT 'urn:i/audit', 'urn:p/status', 'patched', false,
+         |         'en', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+         |  UNION ALL
+         |  SELECT 'urn:i/audit', 'urn:p/passes', '2', false,
+         |         CAST(NULL AS VARCHAR),
+         |         'http://www.w3.org/2001/XMLSchema#integer',
+         |         'urn:graph/cust')""".stripMargin,
+      "geo" -> G.sql.geo, "cust" -> G.sql.customers),
     // q237: the default-graph name pattern is a geo scan; GRAPH ?g can
     // only bind the cust graph (no other named graph holds inNation);
     // the GRAPH <geo> pattern is a second geo join.

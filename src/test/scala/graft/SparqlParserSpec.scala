@@ -1109,6 +1109,58 @@ class SparqlParserSpec extends SparkSpec {
     // (oIsIri gates), and an unknown IRI describes to the empty graph.
     assert(rows("DESCRIBE <urn:i/zzz>").isEmpty)
   }
+
+  test("SPARQL UPDATE: set-semantics INSERT DATA (store bootstrap " +
+    "included), no-op absent DELETE DATA, DELETE WHERE as its own " +
+    "template with GRAPH ?g binding the doomed quads' graph slot") {
+    val dir = java.nio.file.Files.createTempDirectory("sparqlupd")
+      .toString + "/quads"
+    def all() = Sparql.selectDataset(
+      spark.read.parquet(dir),
+      "SELECT ?g ?s ?p ?o WHERE { { ?s ?p ?o } UNION " +
+        "{ GRAPH ?g { ?s ?p ?o } } }").collect()
+      .map(_.toSeq.mkString(",")).toSet
+    try {
+      // Bootstrap: INSERT DATA on an absent store creates it.
+      Sparql.update(spark, dir,
+        """INSERT DATA {
+          |  <urn:i/a> <urn:p/k> "v"@en .
+          |  GRAPH <urn:d/1> { <urn:i/a> <urn:p/k> <urn:i/b> .
+          |                    <urn:i/b> <urn:p/k> <urn:i/c> . }
+          |}""".stripMargin)
+      val s0 = all()
+      assert(s0 == Set("null,urn:i/a,urn:p/k,v",
+        "urn:d/1,urn:i/a,urn:p/k,urn:i/b",
+        "urn:d/1,urn:i/b,urn:p/k,urn:i/c"))
+      // RDF set semantics: replaying the same INSERT adds nothing —
+      // and a mixed op only lands the genuinely new quad.
+      Sparql.update(spark, dir,
+        """INSERT DATA { <urn:i/a> <urn:p/k> "v"@en .
+          |  GRAPH <urn:d/2> { <urn:i/x> <urn:p/n> "7" . } }""".stripMargin)
+      assert(all() == s0 + "urn:d/2,urn:i/x,urn:p/n,7",
+        "re-inserted quad duplicated or new quad dropped")
+      // DELETE DATA: absent quads no-op (wrong graph, wrong lang),
+      // present ground quads go — in one ;-sequenced statement.
+      Sparql.update(spark, dir,
+        """DELETE DATA { GRAPH <urn:d/2> { <urn:i/a> <urn:p/k> <urn:i/b> . } } ;
+          |DELETE DATA { <urn:i/a> <urn:p/k> "v" . } ;
+          |DELETE DATA { GRAPH <urn:d/2> { <urn:i/x> <urn:p/n> "7" . } }"""
+          .stripMargin)
+      assert(all() == s0,
+        "DELETE DATA matched a quad it should not have (graph or lang)")
+      // DELETE WHERE: the pattern is its own template; GRAPH ?g
+      // instantiates the doomed quads under their OWN graph, and the
+      // default-graph row (never matched by GRAPH ?g) survives.
+      Sparql.update(spark, dir,
+        "DELETE WHERE { GRAPH ?g { ?s <urn:p/k> ?o . } }")
+      assert(all() == Set("null,urn:i/a,urn:p/k,v"),
+        "DELETE WHERE over GRAPH ?g missed a graph or hit the default")
+      // And the bare-pattern form scopes to the default graph only.
+      Sparql.update(spark, dir, "DELETE WHERE { ?s ?p ?o . }")
+      assert(all().isEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir).getParentFile)
+  }
 }
 
 /** The verbatim MultiAttributeDimension attribute query text
