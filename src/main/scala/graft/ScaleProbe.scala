@@ -161,7 +161,14 @@ object ScaleProbe {
       // the named-graph machinery adds no stage; q238 is 8 probe-pruned
       // serves + ONE brute-force side (checkpointed) — run it together
       // with q218 so the shared index build is paid on q218's row.
-      "q237_sparql_graph_dataset", "q238_ivfpq_recall_vs_nprobe")
+      "q237_sparql_graph_dataset", "q238_ivfpq_recall_vs_nprobe",
+      // Round-17 additions: q241 is the per-graph pointer-doubling
+      // closure — depth stays ~log₂(custkey range) as the forest grows
+      // (the replica shifts keys, adding TREES not depth), so rounds
+      // are constant and each round is one keyed self-join ∝ closure
+      // size; q242 is three store rewrites (the documented per-op
+      // cost), each a scan + anti-join ∝ store size.
+      "q241_sparql_graph_closure", "q242_sparql_update")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -233,7 +240,9 @@ object ScaleProbe {
       "q234_sparql_bind_concat" -> "customer",
       "q235_winsorize" -> "events",
       "q237_sparql_graph_dataset" -> "customer",
-      "q238_ivfpq_recall_vs_nprobe" -> "embeddings")
+      "q238_ivfpq_recall_vs_nprobe" -> "embeddings",
+      "q241_sparql_graph_closure" -> "customer",
+      "q242_sparql_update" -> "customer")
       .withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet ++
       // q209 reads customer alongside orders — replicate both.
@@ -336,7 +345,8 @@ object ScaleProbe {
     // customer table. The dims stay constant-size by design — they are
     // the broadcast side of every BGP join, and a 10× corpus does not
     // grow a country list — so they copy verbatim.
-    if (probes.contains("q237_sparql_graph_dataset"))
+    if (probes.exists(Set("q237_sparql_graph_dataset",
+        "q242_sparql_update")))
       Seq("nation", "region").foreach { tbl =>
         if (!reuse || !new java.io.File(s"$outDir/$tbl.parquet").exists())
           spark.read.parquet(s"$sf01/$tbl.parquet")

@@ -1287,7 +1287,10 @@ object Corpus {
   private val indexLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def indexLock(dir: String): Object =
-    indexLocks.computeIfAbsent(dir, _ => new Object)
+    // Path-normalized key (trailing/doubled slashes) so two spellings
+    // of one index share a monitor.
+    indexLocks.computeIfAbsent(
+      new org.apache.hadoop.fs.Path(dir).toString, _ => new Object)
 
   /** Cross-process writer lease TTL on `_upsert_tmp/_writing`: a
     * recovery in ANOTHER process leaves an unstaged `_upsert_tmp`
