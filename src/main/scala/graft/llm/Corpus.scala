@@ -156,7 +156,12 @@ object Corpus {
     * mass: representing the error as a ROW makes the merge law pure
     * addition (spills sum exactly like key counts across batches), so
     * the `batch_id=` shard machinery and [[graft.sources.ShardStore]]
-    * compaction apply unchanged. */
+    * compaction apply unchanged. ON-DISK FORMAT: this sentinel is
+    * written into every persisted MG shard — changing its VALUE would
+    * invalidate existing stores (their old spill rows would compete as
+    * real keys and the served error bound would understate). The r17
+    * change from a raw 0x00 source byte to the escape below is
+    * value-identical, so stored shards are unaffected. */
   val MgSpillKey = "\u0000__mg_spill"
 
   /** One batch's MERGEABLE Misra-Gries summary (Agarwal et al. 2013,
@@ -1226,13 +1231,15 @@ object Corpus {
   def upsertSearchIndexShard(batch: DataFrame, idCol: String,
                              textCol: String, dir: String, batchId: Long,
                              buckets: Int = 32): Unit =
-    indexLock(dir).synchronized {
+    withWriterLock(dir) {
     val spark = batch.sparkSession
     // Heal BEFORE consulting the horizon: a crash between the three
     // per-table compacts leaves the docs marker lagging the postings
     // one, and the guard below would read the stale (or missing) docs
     // horizon and run the retire against an incoherent shard layout.
+    // The explicit desync belt also covers marker-less legacy states.
     recoverSearchIndex(spark, dir)
+    healDesyncedHorizons(spark, dir)
     // Replay of a batch the compaction horizon already FOLDED is a
     // full no-op, not just a dropped re-land: batch ids are monotone,
     // so `batchId <= horizon` proves this delivery's first copy is
@@ -1271,25 +1278,57 @@ object Corpus {
     retireDocs(spark, ids.select(col(idCol).as("_id")).distinct(),
       dir, excludeBatch = None)
 
-  /** Per-index JVM monitors serializing the retire / recovery /
-    * compaction protocol within one driver. Without this, a serve
+  /** Two-level per-index serialization (keys path-normalized so two
+    * spellings of one dir share a lock). Without it, a serve
     * ([[bm25FromIndex]] → [[recoverSearchIndex]]) overlapping an
     * in-flight [[retireDocs]] still STAGING would read `_upsert_tmp`
     * without `_staged`, conclude "crashed pre-commit", and delete the
     * writer's staging out from under it — the writer then commits
     * `_staged` over incomplete survivors and finishRetire deletes live
-    * partitions, losing rows. Serve-mid-stream in one SparkSession (the
-    * advertised pattern) is exactly this JVM, so a per-dir monitor
-    * closes it. Reentrant (upsert → recover → retire nest on the same
-    * monitor). Cross-PROCESS overlap is covered by the staging lease
-    * below; cross-process concurrent WRITERS on one index are not
-    * supported (single-writer per index, the standard sink contract). */
-  private val indexLocks =
+    * partitions, losing rows.
+    *
+    * `writerLock` — a reentrant mutex held for a WHOLE mutating
+    * operation (upsert / delete / compaction): writers never
+    * interleave in one JVM, and a recovery-triggered heal never folds
+    * shards a live writer is mid-rewrite on.
+    *
+    * `recoveryLock` — a monitor held only around recovery decisions
+    * and the retire COMMIT section (lease re-check → `_staged` →
+    * finishRetire — all FS metadata ops, milliseconds): a serve's
+    * recovery can never sweep or replay concurrently with a commit,
+    * yet serves do NOT stall behind the long Spark staging writes —
+    * during staging the live index is untouched and recovery leaves
+    * fresh-leased staging alone, so there is nothing to serialize.
+    * Lock order is always writerLock → recoveryLock (writers take both
+    * in that order; recovery takes writerLock only via tryLock, for
+    * the horizon heal), so the pair cannot deadlock.
+    *
+    * Cross-PROCESS overlap is covered by the `_writing` staging lease:
+    * a reader in another process sweeps unstaged staging only once the
+    * lease has gone [[stagingLeaseTtlMs]] stale; the lease is
+    * REFRESHED after every staged table write (so a long rewrite never
+    * outlives it — no sweep-retry livelock) and re-checked with the
+    * staging manifest inside the commit section, so a writer whose
+    * staging WAS swept aborts pre-commit instead of deleting live
+    * partitions. The residual cross-process window is a writer pausing
+    * longer than the TTL between its final refresh and `_staged` —
+    * microseconds of driver code under a 1-hour TTL, documented rather
+    * than closable on rename-only filesystems. Cross-process
+    * concurrent WRITERS on one index are not supported (single-writer
+    * per index, the standard sink contract). */
+  private val writerLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantLock]()
+  private def writerLock(dir: String) =
+    writerLocks.computeIfAbsent(
+      new org.apache.hadoop.fs.Path(dir).toString,
+      _ => new java.util.concurrent.locks.ReentrantLock)
+  private def withWriterLock[T](dir: String)(body: => T): T = {
+    val l = writerLock(dir); l.lock(); try body finally l.unlock()
+  }
+  private val recoveryLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def indexLock(dir: String): Object =
-    // Path-normalized key (trailing/doubled slashes) so two spellings
-    // of one index share a monitor.
-    indexLocks.computeIfAbsent(
+  private def recoveryLock(dir: String): Object =
+    recoveryLocks.computeIfAbsent(
       new org.apache.hadoop.fs.Path(dir).toString, _ => new Object)
 
   /** Cross-process writer lease TTL on `_upsert_tmp/_writing`: a
@@ -1312,8 +1351,8 @@ object Corpus {
     * discovery):
     *
     *  1. STAGE: a `_writing` lease lands first (so recovery can tell a
-    *     LIVE writer's staging from a dead one's — see [[indexLock]] /
-    *     [[stagingLeaseTtlMs]]), then survivors (docs, postings,
+    *     LIVE writer's staging from a dead one's — see [[writerLock]] /
+    *     [[stagingLeaseTtlMs]]; refreshed after every staged write), then survivors (docs, postings,
     *     recomputed per-shard stats) are written COMPLETE to the
     *     staging path, plus a `_touched` file naming every touched
     *     shard id; then — after re-checking the lease — the `_staged`
@@ -1341,7 +1380,7 @@ object Corpus {
                          idsRaw: DataFrame, dir: String,
                          excludeBatch: Option[Long],
                          alreadyRecovered: Boolean = false): Unit =
-    indexLock(dir).synchronized {
+    withWriterLock(dir) {
       retireDocsLocked(spark, idsRaw, dir, excludeBatch, alreadyRecovered)
     }
 
@@ -1356,7 +1395,16 @@ object Corpus {
     // (Skipped when the caller just ran it — the upsert path recovers
     // before consulting the replay-horizon guard, and nothing between
     // that and here can re-interrupt.)
-    if (!alreadyRecovered) recoverSearchIndex(spark, dir)
+    if (!alreadyRecovered) {
+      recoverSearchIndex(spark, dir)
+      // Write paths also heal MARKER-LESS horizon desync (a partial
+      // compaction predating the `_compacting` protocol, or an
+      // out-of-band per-table fold): the retire keys off docs shard
+      // ids, so it must never run against an incoherent layout. Three
+      // _meta listings per RETIRE — the serve path stays at its two
+      // existence checks.
+      healDesyncedHorizons(spark, dir)
+    }
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/docs"))) return
     val batchIds0 = graft.Checkpoints.cutEager(idsRaw)
     // Bloom fast path (the X200 gate applied to ingest): the corpus
@@ -1402,17 +1450,25 @@ object Corpus {
     fs.delete(stage, true)
     // Writer lease FIRST: marks this staging as owned by a live writer
     // so a recovery in another process leaves it alone (same-JVM
-    // overlap is already excluded by [[indexLock]]). Content is the
-    // wall-clock start, for humans; freshness is judged by mtime.
+    // overlap is already excluded by the lock pair). Content is the
+    // wall-clock start, for humans; freshness is judged by mtime, so
+    // it refreshes after every staged table write — a rewrite that
+    // takes hours never goes stale mid-staging.
     fs.mkdirs(stage)
-    val wl = fs.create(new org.apache.hadoop.fs.Path(stage, "_writing"))
+    val lease = new org.apache.hadoop.fs.Path(stage, "_writing")
+    val wl = fs.create(lease)
     wl.write(java.time.Instant.now().toString.getBytes("UTF-8"))
     wl.close()
+    def refreshLease(): Unit =
+      try fs.setTimes(lease, System.currentTimeMillis(), -1)
+      catch { case _: java.io.IOException => () } // swept — commit aborts
     val keptDocs = kept("docs")
     keptDocs.write.partitionBy("batch_id")
       .parquet(s"$dir/_upsert_tmp/docs")
+    refreshLease()
     kept("postings").write.partitionBy("batch_id", "_tb")
       .parquet(s"$dir/_upsert_tmp/postings")
+    refreshLease()
     // Explicit schema: a fully-retired shard stages ZERO survivors,
     // and schema inference cannot read an empty parquet directory.
     spark.read.schema(keptDocs.schema)
@@ -1422,25 +1478,34 @@ object Corpus {
         sum(col("dl")).as("total_len"))
       .select(col("n_docs"), col("total_len"), col("batch_id"))
       .write.partitionBy("batch_id").parquet(s"$dir/_upsert_tmp/stats")
+    refreshLease()
     val tf = fs.create(new org.apache.hadoop.fs.Path(stage, "_touched"))
     tf.write(tSet.mkString("\n").getBytes("UTF-8"))
     tf.close()
-    crashIf("pre-staged")
-    // Commit check: the lease must still be ours. A cross-process
-    // recovery that deemed this staging stale (writer outlived
-    // [[stagingLeaseTtlMs]]) swept it — committing `_staged` now would
-    // bless incomplete survivors and finishRetire would delete live
-    // partitions. Abort instead: nothing has been deleted, the live
-    // index is intact, and a retried upsert redoes the staging.
-    if (!fs.exists(new org.apache.hadoop.fs.Path(stage, "_writing")))
-      throw new IllegalStateException(
-        s"$dir: staging lease lost (swept by concurrent recovery after " +
-          s"outliving ${stagingLeaseTtlMs}ms) — retire aborted pre-commit; " +
-          "retry the operation")
-    fs.createNewFile(new org.apache.hadoop.fs.Path(stage, "_staged"))
-    crashIf("post-staged")
-    // Phases 2–3 share the crash-replay path.
-    finishRetire(spark, dir, tSet)
+    // COMMIT SECTION — under the recovery monitor, so a same-JVM serve
+    // can never sweep or replay between the check and the commit.
+    // Commit check: the lease AND manifest must still be ours. A
+    // cross-process recovery that deemed this staging stale (writer
+    // paused past [[stagingLeaseTtlMs]] despite the refreshes) swept
+    // it — committing `_staged` now would bless incomplete survivors
+    // and finishRetire would delete live partitions. Abort instead:
+    // nothing has been deleted, the live index is intact, and a
+    // retried upsert redoes the staging.
+    recoveryLock(dir).synchronized {
+      crashIf("pre-staged")
+      if (!fs.exists(lease) ||
+          !fs.exists(new org.apache.hadoop.fs.Path(stage, "_touched"))) {
+        fs.delete(stage, true) // drop any half-recreated staging dir
+        throw new IllegalStateException(
+          s"$dir: staging lease lost (swept by a concurrent recovery " +
+            s"after outliving ${stagingLeaseTtlMs}ms) — retire aborted " +
+            "pre-commit; retry the operation")
+      }
+      fs.createNewFile(new org.apache.hadoop.fs.Path(stage, "_staged"))
+      crashIf("post-staged")
+      // Phases 2–3 share the crash-replay path.
+      finishRetire(spark, dir, tSet)
+    }
   }
 
   private val RetireTables = Seq("postings", "stats", "docs")
@@ -1500,38 +1565,44 @@ object Corpus {
     * staging attempt whose writer is provably dead. Idle cost is TWO
     * existence checks (staging dir, `_compacting` marker), so every
     * serve/maintenance entry point runs it. Serialized per dir against
-    * an active rewrite via [[indexLock]] (same JVM) and the
+    * an active rewrite via the writerLock/recoveryLock pair (same JVM)
+    * and the
     * [[stagingLeaseTtlMs]] lease on `_upsert_tmp/_writing` (cross
     * process): a FRESH lease means a live writer is mid-staging — the
     * live index is intact and staging is the writer's, so recovery
     * leaves it alone rather than destroying it. */
   def recoverSearchIndex(spark: org.apache.spark.sql.SparkSession,
-                         dir: String): Unit = indexLock(dir).synchronized {
+                         dir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new org.apache.hadoop.fs.Path(s"$dir/_upsert_tmp")
-    if (fs.exists(stage)) {
-      if (!fs.exists(new org.apache.hadoop.fs.Path(stage, "_staged"))) {
-        // No commit marker: either a writer crashed mid-staging
-        // (nothing was deleted yet — the live index is intact and the
-        // partial staging is garbage), or a writer in ANOTHER process
-        // is staging right now. The lease file distinguishes them:
-        // sweep only when it is absent (pre-lease crash window or
-        // legacy layout) or stale past the TTL.
-        val lease = new org.apache.hadoop.fs.Path(stage, "_writing")
-        val liveWriter =
-          try fs.exists(lease) &&
-            System.currentTimeMillis() -
-              fs.getFileStatus(lease).getModificationTime < stagingLeaseTtlMs
-          catch { case _: java.io.FileNotFoundException => false }
-        if (!liveWriter) fs.delete(stage, true)
-      } else {
-        val in = fs.open(new org.apache.hadoop.fs.Path(stage, "_touched"))
-        val touched =
-          try new String(in.readAllBytes(), "UTF-8")
-            .split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong)
-          finally in.close()
-        finishRetire(spark, dir, touched)
+    // A fresh `_writing` lease = a writer in ANOTHER process is
+    // mid-staging (same-JVM writers hold writerLock and commit under
+    // recoveryLock, so they are never observed mid-decision here).
+    def liveWriterLease(): Boolean = {
+      val lease = new org.apache.hadoop.fs.Path(stage, "_writing")
+      try fs.exists(lease) &&
+        System.currentTimeMillis() -
+          fs.getFileStatus(lease).getModificationTime < stagingLeaseTtlMs
+      catch { case _: java.io.FileNotFoundException => false }
+    }
+    recoveryLock(dir).synchronized {
+      if (fs.exists(stage)) {
+        if (!fs.exists(new org.apache.hadoop.fs.Path(stage, "_staged"))) {
+          // No commit marker: either a writer crashed mid-staging
+          // (nothing was deleted yet — the live index is intact and
+          // the partial staging is garbage), or a live writer is
+          // staging right now. Sweep only the provably-dead case
+          // (lease absent — pre-lease crash window — or TTL-stale).
+          if (!liveWriterLease()) fs.delete(stage, true)
+        } else {
+          val in = fs.open(new org.apache.hadoop.fs.Path(stage, "_touched"))
+          val touched =
+            try new String(in.readAllBytes(), "UTF-8")
+              .split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong)
+            finally in.close()
+          finishRetire(spark, dir, touched)
+        }
       }
     }
     // Heal a PARTIAL three-table compaction (crash between the
@@ -1541,9 +1612,32 @@ object Corpus {
     // [[compactSearchTables]] holds across its folds (one existence
     // check when idle, vs the three per-table _meta listings the heal
     // itself costs), so a serve path pays FS listings only when a
-    // compaction actually died mid-protocol.
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_compacting")))
-      compactSearchTables(spark, dir)
+    // compaction actually died mid-protocol. The heal is a WRITE: it
+    // must not fold shards out from under an active writer, so it
+    // requires the writer lock (tryLock — if a same-JVM writer is
+    // busy, its own entry heals under that lock) and skips while a
+    // cross-process writer's lease is fresh (that writer's next entry
+    // heals; the marker persists until someone does).
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_compacting"))) {
+      val wl = writerLock(dir)
+      if (wl.tryLock()) {
+        try { if (!liveWriterLease()) compactSearchTables(spark, dir) }
+        finally wl.unlock()
+      }
+    }
+  }
+
+  /** Write-path belt for horizon coherence: heal ANY unequal marker
+    * horizons across the three tables (a partial compaction predating
+    * the `_compacting` marker protocol, or an out-of-band per-table
+    * fold), marker or not. Three `_meta` listings — called from retire
+    * and upsert entries only, never from serves. Caller must hold the
+    * writer lock. */
+  private def healDesyncedHorizons(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String): Unit = {
+    val hs = RetireTables.map(t =>
+      graft.sources.ShardStore.readMeta(spark, s"$dir/$t").map(_.horizon))
+    if (hs.distinct.size > 1) compactSearchTables(spark, dir)
   }
 
   /** Bit width of the doc-ownership Bloom gate (1M bits ≈ 128 KB
@@ -1558,7 +1652,7 @@ object Corpus {
     * with stream lifetime. Replayed pre-horizon batches re-land but
     * are dropped by [[bm25FromIndex]]'s live view. */
   def compactSearchIndex(spark: org.apache.spark.sql.SparkSession,
-                         dir: String): Unit = indexLock(dir).synchronized {
+                         dir: String): Unit = withWriterLock(dir) {
     // Never fold a half-swapped rewrite: resume it first (this also
     // heals a previous PARTIAL three-table compaction).
     recoverSearchIndex(spark, dir)
@@ -1579,7 +1673,7 @@ object Corpus {
     * convergence if a crash lands between the folds. */
   private def compactSearchTables(spark: org.apache.spark.sql.SparkSession,
                                   dir: String): Unit =
-    indexLock(dir).synchronized {
+    withWriterLock(dir) {
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       // In-flight marker held across the three folds: a crash between
@@ -1657,8 +1751,9 @@ object Corpus {
     // Serve-side crash recovery (two FS existence checks when idle): a
     // rewrite interrupted mid-protocol is resumed before reading, so
     // queries never see a half-swapped shard state; an ACTIVE rewrite
-    // (same JVM via indexLock, cross-process via the staging lease) is
-    // left to its writer.
+    // (same JVM via the lock pair, cross-process via the staging
+    // lease) is left to its writer — serves do not stall behind a
+    // writer's staging, only behind its millisecond commit section.
     recoverSearchIndex(spark, dir)
     val st = graft.sources.ShardStore.live(spark, s"$dir/stats")
       .agg(sum(col("n_docs")).cast("long").as("_n"),

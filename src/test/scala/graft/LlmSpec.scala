@@ -2331,6 +2331,52 @@ class LlmSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("marker-less horizon desync (legacy / out-of-band per-table " +
+    "fold): the WRITE path heals before retiring, with no _compacting " +
+    "marker to gate on") {
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" < 200)
+    val dir = java.nio.file.Files
+      .createTempDirectory("searchlegacy").toString
+    val terms = Seq("spark", "merge", "vector")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def serve() = rows(Corpus.bm25FromIndex(spark, dir, "doc_id", terms,
+      topK = 10, buckets = 8))
+    def scanOf(cur: org.apache.spark.sql.DataFrame) =
+      rows(Corpus.bm25TopK(cur, "doc_id", "text", terms, topK = 10))
+    try {
+      Corpus.upsertSearchIndexShard(docs.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", dir, batchId = 0L, buckets = 8)
+      Corpus.upsertSearchIndexShard(docs.filter($"doc_id" % 2 =!= 0),
+        "doc_id", "text", dir, batchId = 1L, buckets = 8)
+      // An OUT-OF-BAND fold of one table only — no `_compacting`
+      // marker anywhere (the pre-r17 crash layout, or an operator
+      // compacting a single table by hand).
+      graft.sources.ShardStore.compact(spark, s"$dir/postings",
+        extraPartCols = Seq("_tb"))
+      // Serving a desynced store is still correct (each table holds
+      // every row exactly once)...
+      assert(serve() == scanOf(docs), "desynced store mis-served")
+      // ...and the next WRITE heals the layout before keying its
+      // touched-shard rewrite off docs shard ids.
+      val redone = docs.filter($"doc_id" === 42)
+        .withColumn("text", concat($"text", lit(" vector vector spark")))
+      Corpus.upsertSearchIndexShard(redone, "doc_id", "text", dir,
+        batchId = 2L, buckets = 8)
+      val cur = docs.filter($"doc_id" =!= 42).unionByName(redone)
+      assert(serve() == scanOf(cur),
+        "marker-less desync let the re-ingest double-count")
+      val hs = Seq("postings", "stats", "docs").map(t =>
+        graft.sources.ShardStore.readMeta(spark, s"$dir/$t")
+          .map(_.horizon))
+      assert(hs.distinct.size == 1 && hs.head.isDefined,
+        s"write path did not heal the marker-less desync: $hs")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("asymmetric compaction: an EMPTY batch (stats-only shard) " +
     "re-lands every sibling base at the common horizon's id — takedown " +
     "of an old doc still finds its postings") {
