@@ -341,6 +341,12 @@ object Sparql {
           s"expected INSERT DATA / DELETE DATA / DELETE WHERE, got $peek")
         more = tryPunct(";") && peek.nonEmpty // trailing ; allowed
       }
+      // A mutation parser must be STRICT about trailing input: a
+      // missing ';' between two operations would otherwise silently
+      // drop every later op (e.g. the DELETE half of a patch) while
+      // the earlier ones commit.
+      require(peek.isEmpty,
+        s"expected ';' before the next update operation, got $peek")
       ops.result()
     }
 
@@ -1083,14 +1089,13 @@ object Sparql {
 
   private val QuadCols =
     Seq("g", "s", "p", "o", "oIsIri", "oLang", "oDatatype")
-  private def quadSchema: org.apache.spark.sql.types.StructType = {
-    import org.apache.spark.sql.types._
-    StructType(Seq(
-      StructField("g", StringType), StructField("s", StringType),
-      StructField("p", StringType), StructField("o", StringType),
-      StructField("oIsIri", BooleanType), StructField("oLang", StringType),
-      StructField("oDatatype", StringType)))
-  }
+  // The canonical triple schema ([[graft.rdf.Turtle.schema]]) with the
+  // graph slot prepended — ONE definition of the on-disk field types.
+  private def quadSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.StringType) +:
+        graft.rdf.Turtle.schema.fields)
 
   /** Parse a SPARQL UPDATE string into its operation sequence. */
   def parseUpdate(text: String): Seq[UpdateOp] =
@@ -1134,8 +1139,29 @@ object Sparql {
     * GRAPH blocks (no FILTER/OPTIONAL/paths — the UPDATE grammar's
     * QuadPattern), with plain-IRI or variable predicates. */
   def update(spark: org.apache.spark.sql.SparkSession, storeDir: String,
-             text: String, partitionBy: Seq[String] = Nil): Unit =
-    parseUpdate(text).foreach { op =>
+             text: String, partitionBy: Seq[String] = Nil): Unit = {
+    val ops = parseUpdate(text)
+    // Validate EVERY operation's structure before the first commit:
+    // all the subset's restrictions (ground DATA, quad-pattern-only
+    // DELETE WHERE) are driver-checkable, so a request that is going
+    // to fail on op N must fail before op 1 mutates the store —
+    // all-or-nothing for statically ill-formed input. (A DELETE WHERE
+    // whose variables fail to bind still surfaces at apply time; that
+    // depends on the compiled store, not the statement.)
+    ops.foreach {
+      case InsertData(quads) => groundRows(quads)
+      case DeleteData(quads) => groundRows(quads)
+      case DeleteWhere(pats) => deleteWherePats(pats)
+    }
+    // Serialize same-JVM updates per store; concurrent cross-process
+    // updates on one store are NOT supported (single-writer, the same
+    // contract every overwriteAtomic-maintained index documents) —
+    // two unserialized read-swap cycles would silently lose one delta.
+    val lock = storeLocks.computeIfAbsent(
+      new org.apache.hadoop.fs.Path(storeDir).toString,
+      _ => new java.util.concurrent.locks.ReentrantLock)
+    lock.lock()
+    try ops.foreach { op =>
       val store = readQuadStore(spark, storeDir)
       val next = op match {
         case InsertData(quads) =>
@@ -1148,7 +1174,11 @@ object Sparql {
       }
       graft.sources.ShardStore.overwriteAtomic(
         next.select(QuadCols.map(col): _*), storeDir, partitionBy)
-    }
+    } finally lock.unlock()
+  }
+
+  private val storeLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantLock]()
 
   /** The store as a canonical quad DataFrame; an absent store is the
     * empty dataset (INSERT DATA bootstraps it). Routes through
@@ -1176,6 +1206,15 @@ object Sparql {
     * block is literal update text, bounded by the statement size). */
   private def groundQuads(spark: org.apache.spark.sql.SparkSession,
                           pats: Seq[Pattern]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(groundRows(pats).asJava, quadSchema).distinct()
+  }
+
+  /** The ground-quad rows of a DATA block — also the STRUCTURAL
+    * validator [[update]] runs over every operation before its first
+    * commit (throws on variables, literal subjects, non-IRI GRAPH
+    * names, path predicates). */
+  private def groundRows(pats: Seq[Pattern]): Seq[org.apache.spark.sql.Row] = {
     def quad(g: Option[String], tr: Triple): org.apache.spark.sql.Row = {
       val s = tr.s match {
         case I(iri) => iri
@@ -1192,7 +1231,7 @@ object Sparql {
       }
       org.apache.spark.sql.Row(g.orNull, s, p, o, isIri, lang, dt)
     }
-    val rows = pats.flatMap {
+    pats.flatMap {
       case tr: Triple => Seq(quad(None, tr))
       case GraphPat(I(g), inner) => inner.map {
         case tr: Triple => quad(Some(g), tr)
@@ -1203,8 +1242,6 @@ object Sparql {
       case other =>
         sys.error(s"INSERT/DELETE DATA holds only ground triples, got $other")
     }
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(rows.asJava, quadSchema).distinct()
   }
 
   /** DELETE WHERE's doomed-quad set: compile the pattern against the
@@ -1212,8 +1249,10 @@ object Sparql {
     * GRAPH ?g binds, GRAPH <iri> prunes), then instantiate every quad
     * pattern per solution exactly like a CONSTRUCT template, with the
     * graph slot from the pattern's context (bare = default graph). */
-  private def deleteWhereQuads(store: DataFrame,
-                               pats: Seq[Pattern]): DataFrame = {
+  /** DELETE WHERE's quad patterns with their graph contexts — also the
+    * STRUCTURAL validator [[update]] runs before its first commit
+    * (throws on non-quad patterns and path predicates). */
+  private def deleteWherePats(pats: Seq[Pattern]): Seq[(Option[Term], Triple)] = {
     val quadPats: Seq[(Option[Term], Triple)] = pats.flatMap {
       case tr: Triple => Seq((Option.empty[Term], tr))
       case GraphPat(g, inner) => inner.map {
@@ -1229,6 +1268,12 @@ object Sparql {
       case other => sys.error(
         s"DELETE WHERE predicates must be plain IRIs or variables, got $other")
     }}
+    quadPats
+  }
+
+  private def deleteWhereQuads(store: DataFrame,
+                               pats: Seq[Pattern]): DataFrame = {
+    val quadPats = deleteWherePats(pats)
     val sol = compileGroup(pats,
       store.filter(col("g").isNull).drop("g"),
       store.filter(col("g").isNotNull))

@@ -1447,21 +1447,29 @@ object Corpus {
     // live partition is touched. Stats recompute from the STAGED docs
     // (one read of rows already on disk — consistent by construction).
     val stage = new org.apache.hadoop.fs.Path(s"$dir/_upsert_tmp")
-    fs.delete(stage, true)
-    // Writer lease FIRST: marks this staging as owned by a live writer
-    // so a recovery in another process leaves it alone (same-JVM
-    // overlap is already excluded by the lock pair). Content is the
-    // wall-clock start, for humans; freshness is judged by mtime, so
-    // it refreshes after every staged table write — a rewrite that
-    // takes hours never goes stale mid-staging.
-    fs.mkdirs(stage)
     val lease = new org.apache.hadoop.fs.Path(stage, "_writing")
-    val wl = fs.create(lease)
-    wl.write(java.time.Instant.now().toString.getBytes("UTF-8"))
-    wl.close()
+    // Refresh = REWRITE the lease file (never fs.setTimes: Hadoop's
+    // default setTimes is a silent no-op and object stores like S3A
+    // inherit it — a refresh that doesn't move mtime would reopen the
+    // sweep-retry livelock on exactly the deployments the TTL serves).
+    // A full PUT bumps mtime on every FileSystem. Failure is
+    // swallowed: a swept lease makes the commit check abort cleanly.
+    def writeLease(): Unit = {
+      val out = fs.create(lease, true)
+      out.write(java.time.Instant.now().toString.getBytes("UTF-8"))
+      out.close()
+    }
     def refreshLease(): Unit =
-      try fs.setTimes(lease, System.currentTimeMillis(), -1)
-      catch { case _: java.io.IOException => () } // swept — commit aborts
+      try writeLease() catch { case _: java.io.IOException => () }
+    // Stage reset + writer lease land under the recovery monitor: a
+    // same-JVM serve must never observe the directory existing without
+    // its lease (it would read that as a dead writer's garbage and
+    // sweep, wasting the whole staging). Milliseconds of FS metadata.
+    recoveryLock(dir).synchronized {
+      fs.delete(stage, true)
+      fs.mkdirs(stage)
+      writeLease()
+    }
     val keptDocs = kept("docs")
     keptDocs.write.partitionBy("batch_id")
       .parquet(s"$dir/_upsert_tmp/docs")

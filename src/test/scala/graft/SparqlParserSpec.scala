@@ -1158,6 +1158,22 @@ class SparqlParserSpec extends SparkSpec {
       // And the bare-pattern form scopes to the default graph only.
       Sparql.update(spark, dir, "DELETE WHERE { ?s ?p ?o . }")
       assert(all().isEmpty)
+      // STRICT sequencing: a missing ';' between ops must error loudly
+      // (a lax parser would commit the first op and silently drop the
+      // rest — e.g. the DELETE half of a patch), and the error must
+      // arrive BEFORE anything commits.
+      val s1 = all()
+      intercept[RuntimeException] { Sparql.update(spark, dir,
+        """INSERT DATA { <urn:i/q> <urn:p/k> "x" . }
+          |DELETE DATA { <urn:i/q> <urn:p/k> "x" . }""".stripMargin) }
+      assert(all() == s1, "malformed update mutated the store")
+      // ALL-OR-NOTHING static validation: op 2 is ill-formed (variable
+      // in DATA), so op 1 must not have committed either.
+      intercept[RuntimeException] { Sparql.update(spark, dir,
+        """INSERT DATA { <urn:i/q> <urn:p/k> "x" . } ;
+          |DELETE DATA { <urn:i/q> ?p "x" . }""".stripMargin) }
+      assert(all() == s1,
+        "statically ill-formed op sequence partially applied")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(dir).getParentFile)
   }
