@@ -156,6 +156,12 @@ object Sparql {
   final case class ConstructQuery(template: Seq[Triple],
                                   where: Seq[Pattern], limit: Option[Int])
 
+  /** DESCRIBE query: explicit IRIs and/or variables (the latter need a
+    * WHERE clause binding them), with an optional dataset clause. */
+  final case class DescribeQuery(iris: Seq[String], vars: Seq[String],
+                                 from: Seq[String], fromNamed: Seq[String],
+                                 where: Seq[Pattern])
+
   /** Minimal SPARQL UPDATE operations (SPARQL 1.1 Update §3.1) —
     * ground-quad inserts/deletes plus the pattern form whose WHERE is
     * its own delete template. */
@@ -350,18 +356,19 @@ object Sparql {
       ops.result()
     }
 
-    def parseDescribeIris(): Seq[String] = parseDescribe()._1
-
-    /** DESCRIBE with an optional dataset clause:
-      * (iris, FROM graphs, FROM NAMED graphs). */
-    def parseDescribe(): (Seq[String], Seq[String], Seq[String]) = {
+    /** DESCRIBE: explicit IRIs and/or variables, optional dataset
+      * clause, optional WHERE group (required when variables appear —
+      * it is what binds them). */
+    def parseDescribe(): DescribeQuery = {
       parsePrefixes()
       eatWord("DESCRIBE")
       val iris = Seq.newBuilder[String]
+      val vars = Seq.newBuilder[String]
       var more = true
       while (more) peek match {
         case Some(TIri(i)) => next(); iris += i
         case Some(p: TPName) => next(); iris += expand(p)
+        case Some(TVar(v)) => next(); vars += v
         case _ => more = false
       }
       val fromB = Seq.newBuilder[String]
@@ -375,10 +382,14 @@ object Sparql {
         }
         if (named) fromNamedB += iri else fromB += iri
       }
-      val out = iris.result()
-      require(out.nonEmpty, "DESCRIBE needs at least one IRI " +
-        "(variable DESCRIBE is not supported)")
-      (out, fromB.result(), fromNamedB.result())
+      val where = if (tryWord("WHERE")) parseGroup() else Nil
+      val q = DescribeQuery(iris.result(), vars.result(),
+        fromB.result(), fromNamedB.result(), where)
+      require(q.iris.nonEmpty || q.vars.nonEmpty,
+        "DESCRIBE needs at least one IRI or variable")
+      require(q.vars.isEmpty || q.where.nonEmpty,
+        "DESCRIBE with variables needs a WHERE clause binding them")
+      q
     }
 
     private def parsePrefixes(): Unit =
@@ -1037,13 +1048,58 @@ object Sparql {
     * DF. One pushed-down disjunction filter over the scan; set
     * semantics via distinct. */
   def describe(triples: DataFrame, query: String): DataFrame = {
-    val iris = new P(tokenize(query)).parseDescribeIris()
-    triples.filter(col("s").isin(iris: _*) ||
-        (col("oIsIri") && col("o").isin(iris: _*)))
-      .select(col("s"), col("p"), col("o"), col("oIsIri"),
+    val d = new P(tokenize(query)).parseDescribe()
+    require(d.from.isEmpty && d.fromNamed.isEmpty,
+      "dataset clauses need describeDataset (a quad store)")
+    val body = if (d.vars.isEmpty) {
+      // IRI-only fast path: the resource set is a statement-sized
+      // literal list — pushed isin filters, no join.
+      triples.filter(col("s").isin(d.iris: _*) ||
+        (col("oIsIri") && col("o").isin(d.iris: _*)))
+    } else {
+      // Variable DESCRIBE (SPARQL 1.1 §16.4.3): the WHERE solutions'
+      // IRI bindings are the resource set — kept DISTRIBUTED (two
+      // semi-joins), never collected, since a pattern can bind
+      // corpus-scale many resources.
+      val rs = describeResources(d, triples, noNamed(triples))
+      semiDescribe(triples, rs)
+    }
+    body.select(col("s"), col("p"), col("o"), col("oIsIri"),
         col("oLang"), col("oDatatype"))
       .distinct()
   }
+
+  /** The resource set of a [[DescribeQuery]] — explicit IRIs plus each
+    * variable's non-null IRI bindings from the WHERE solutions (a
+    * literal binding describes to nothing: it can never be a subject
+    * and the inbound match is gated on oIsIri). One column `_r`. */
+  private def describeResources(d: DescribeQuery, dflt: DataFrame,
+                                named: DataFrame): DataFrame = {
+    val spark = dflt.sparkSession
+    import spark.implicits._
+    val sol =
+      if (d.vars.isEmpty) null else compileGroup(d.where, dflt, named)
+    val varSets = d.vars.map { v =>
+      require(sol.columns.contains(v),
+        s"DESCRIBE variable ?$v is not bound by the WHERE clause")
+      val isIri =
+        if (sol.columns.contains(v + IsIriSuffix))
+          coalesce(col(v + IsIriSuffix), lit(true))
+        else lit(true)
+      sol.filter(col(v).isNotNull && isIri).select(col(v).as("_r"))
+    }
+    val iriSet =
+      if (d.iris.isEmpty) Nil else Seq(d.iris.toDF("_r"))
+    (iriSet ++ varSets).reduce(_ unionByName _).distinct()
+  }
+
+  /** All rows describing any resource in `rs` (`_r`): subject match
+    * plus inbound IRI-object match — two left-semi joins, bag-unioned
+    * (the caller's final distinct realizes set semantics). */
+  private def semiDescribe(rows: DataFrame, rs: DataFrame): DataFrame =
+    rows.join(rs, rows("s") === rs("_r"), "left_semi")
+      .unionByName(rows.filter(col("oIsIri"))
+        .join(rs, rows("o") === rs("_r"), "left_semi"))
 
   /** [[describe]] over a dataset ([[selectDataset]]'s quad layout) —
     * the fourth dataset twin alongside select/ask/construct: the
@@ -1061,26 +1117,35 @@ object Sparql {
     * a pushed `g` filter — partition-prunable over a g-partitioned
     * store, like every other dataset entry point. */
   def describeDataset(dataset: DataFrame, query: String): DataFrame = {
-    val (iris, from, fromNamed) = new P(tokenize(query)).parseDescribe()
-    val hasClause = from.nonEmpty || fromNamed.nonEmpty
+    val d = new P(tokenize(query)).parseDescribe()
+    val hasClause = d.from.nonEmpty || d.fromNamed.nonEmpty
     val nullG = lit(null).cast("string")
     val dflt =
       if (!hasClause) dataset.filter(col("g").isNull)
-      else if (from.nonEmpty)
-        dataset.filter(col("g").isin(from: _*))
+      else if (d.from.nonEmpty)
+        dataset.filter(col("g").isin(d.from: _*))
           .withColumn("g", nullG)
       else dataset.where(lit(false))
     val named =
       if (!hasClause) dataset.filter(col("g").isNotNull)
-      else if (fromNamed.nonEmpty)
-        dataset.filter(col("g").isin(fromNamed: _*))
+      else if (d.fromNamed.nonEmpty)
+        dataset.filter(col("g").isin(d.fromNamed: _*))
       else dataset.where(lit(false))
+    val scoped = dflt.unionByName(named)
+    val body = if (d.vars.isEmpty) {
+      scoped.filter(col("s").isin(d.iris: _*) ||
+        (col("oIsIri") && col("o").isin(d.iris: _*)))
+    } else {
+      // Variable DESCRIBE over the dataset: the WHERE evaluates
+      // against the clause-scoped dataset (bare patterns = default
+      // graph, GRAPH = the named set), then the bound resources
+      // describe across that same scope.
+      val rs = describeResources(d, dflt.drop("g"), named)
+      semiDescribe(scoped, rs)
+    }
     // One distinct realizes both RDF set semantics and the FROM merge
     // (merged rows all carry g = null, so duplicates collapse there).
-    dflt.unionByName(named)
-      .filter(col("s").isin(iris: _*) ||
-        (col("oIsIri") && col("o").isin(iris: _*)))
-      .select(col("g"), col("s"), col("p"), col("o"), col("oIsIri"),
+    body.select(col("g"), col("s"), col("p"), col("o"), col("oIsIri"),
         col("oLang"), col("oDatatype"))
       .distinct()
   }

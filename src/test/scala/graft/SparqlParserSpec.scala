@@ -1108,6 +1108,59 @@ class SparqlParserSpec extends SparkSpec {
     // The literal-only lexical twin of the IRI never matches inbound
     // (oIsIri gates), and an unknown IRI describes to the empty graph.
     assert(rows("DESCRIBE <urn:i/zzz>").isEmpty)
+    // VARIABLE DESCRIBE (§16.4.3): the WHERE binds the resource set —
+    // ?o ranges over named-2's objects; its IRI binding (urn:i/r)
+    // describes across the whole dataset, its literal binding
+    // ("other") describes to nothing.
+    assert(rows(
+      "DESCRIBE ?o WHERE { GRAPH <urn:d/2> { <urn:i/x> ?p ?o } }") ==
+      Set((null, "urn:i/r", "urn:p/d", "zero"),
+        ("urn:d/1", "urn:i/r", "urn:p/a", "one"),
+        ("urn:d/2", "urn:i/x", "urn:p/b", "urn:i/r")),
+      "variable DESCRIBE missed a binding's description or described a literal")
+    // The dataset clause scopes BOTH the WHERE and the description.
+    assert(rows(
+      """DESCRIBE ?o FROM NAMED <urn:d/2>
+        |WHERE { GRAPH <urn:d/2> { <urn:i/x> ?p ?o } }""".stripMargin) ==
+      Set(("urn:d/2", "urn:i/x", "urn:p/b", "urn:i/r")))
+    // Mixed IRI + variable lists union their resource sets.
+    assert(rows(
+      "DESCRIBE <urn:i/y> ?o WHERE { GRAPH <urn:d/2> { <urn:i/x> ?p ?o } }")
+      .exists(_._2 == "urn:i/y"))
+    // Errors stay loud: a var without WHERE, and an unbound var.
+    intercept[RuntimeException](rows("DESCRIBE ?o"))
+    intercept[RuntimeException](rows(
+      "DESCRIBE ?nope WHERE { <urn:i/x> <urn:p/b> ?o }"))
+  }
+
+  test("variable DESCRIBE, single-graph form: WHERE-bound IRIs " +
+    "describe with inbound edges; the IRI-only form keeps its pushed " +
+    "isin path") {
+    import spark.implicits._
+    val g = Seq(
+      ("urn:i/a", "urn:p/in", "urn:i/n1", true),
+      ("urn:i/b", "urn:p/in", "urn:i/n2", true),
+      ("urn:i/n1", "urn:p/name", "North", false),
+      ("urn:i/n2", "urn:p/name", "South", false),
+      ("urn:i/root", "urn:p/has", "urn:i/n1", true))
+      .toDF("s", "p", "o", "oIsIri")
+      .withColumn("oLang", lit(null).cast("string"))
+      .withColumn("oDatatype", lit(null).cast("string"))
+    val out = Sparql.describe(g,
+      "DESCRIBE ?n WHERE { <urn:i/a> <urn:p/in> ?n }").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // n binds to n1 only: its outbound name, its inbound edges from
+    // BOTH a and root — n2's rows never surface.
+    assert(out == Set(
+      ("urn:i/n1", "urn:p/name", "North"),
+      ("urn:i/a", "urn:p/in", "urn:i/n1"),
+      ("urn:i/root", "urn:p/has", "urn:i/n1")))
+    // Plan shape: the IRI-only form must stay a pushed filter (no
+    // join), the variable form is two semi-joins.
+    val iriPlan = Sparql.describe(g, "DESCRIBE <urn:i/n1>")
+      .queryExecution.executedPlan.toString
+    assert(!iriPlan.contains("Join"),
+      s"IRI-only DESCRIBE grew a join:\n$iriPlan")
   }
 
   test("SPARQL UPDATE: set-semantics INSERT DATA (store bootstrap " +
