@@ -498,6 +498,30 @@ object RdfQueries {
           |}""".stripMargin)
     },
 
+    // Variable DESCRIBE over a dataset (SPARQL 1.1 §16.4.3 + §13):
+    // the WHERE binds ?n to one customer's nation inside the cust
+    // graph; the description spans BOTH named graphs — the nation's
+    // outbound geo triples AND every inbound inNation edge — each
+    // quad under the graph that asserts it, rendered through the q239
+    // N-Quads path. The resource set stays distributed (two
+    // semi-joins); the oracle replays it as a disjunctive join.
+    "q243_sparql_describe" -> { (s, dir) =>
+      val ds = Bgp.dataset(
+        "urn:graph/geo" -> G.geo(s, dir),
+        "urn:graph/cust" -> G.customers(s, dir))
+      graft.graphquery.Sparql.describeDataset(ds,
+        """DESCRIBE ?n
+          |FROM NAMED <urn:graph/geo> FROM NAMED <urn:graph/cust>
+          |WHERE {
+          |  GRAPH <urn:graph/cust> {
+          |    <urn:g/customer/7> <urn:p/inNation> ?n .
+          |  }
+          |}""".stripMargin)
+        .select(NTriples.quadLine(col("s"), col("p"), col("o"),
+          col("oIsIri"), col("oLang"), col("oDatatype"), col("g"))
+          .as("line"))
+    },
+
     // SPARQL UPDATE (minimal §3.1 subset — beyond-parity: the
     // reference never mutates a store): a quad store materializes
     // fresh, then a `;`-sequence runs INSERT DATA (default + named
@@ -582,6 +606,23 @@ object RdfQueries {
         |SELECT 'urn:graph/half' AS g, s, o AS anc FROM th
         |UNION ALL
         |SELECT 'urn:graph/third' AS g, s, o AS anc FROM tt""".stripMargin,
+    // q243: the described resource is customer 7's nation; the
+    // description = every quad (under its own graph) whose subject is
+    // that nation or whose IRI object is — the same disjunction the
+    // engine runs as two semi-joins.
+    "q243_sparql_describe" -> withTriples(
+      s"""SELECT DISTINCT ${NTriples.quadLineSql} AS line FROM (
+         |  SELECT q.g, q.s, q.p, q.o, q.oIsIri, q.oLang, q.oDatatype
+         |  FROM (
+         |    SELECT s, p, o, oIsIri, oLang, oDatatype,
+         |           'urn:graph/geo' AS g FROM geo
+         |    UNION ALL
+         |    SELECT s, p, o, oIsIri, oLang, oDatatype,
+         |           'urn:graph/cust' AS g FROM cust) q,
+         |    (SELECT 'urn:g/nation/' || c_nationkey AS n
+         |     FROM customer WHERE c_custkey = 7) r
+         |  WHERE q.s = r.n OR (q.oIsIri AND q.o = r.n))""".stripMargin,
+      "geo" -> G.sql.geo, "cust" -> G.sql.customers),
     // q242: the three UPDATE ops as set algebra — cust minus every
     // nation-7 customer's triples, geo minus the one ground quad, plus
     // the two inserted rows (one default-graph, one named) — rendered
