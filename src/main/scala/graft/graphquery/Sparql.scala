@@ -169,6 +169,12 @@ object Sparql {
   final case class InsertData(quads: Seq[Pattern]) extends UpdateOp
   final case class DeleteData(quads: Seq[Pattern]) extends UpdateOp
   final case class DeleteWhere(pattern: Seq[Pattern]) extends UpdateOp
+  /** The §3.1.3 modify form — `DELETE {tpl} INSERT {tpl} WHERE {pat}`
+    * (either template may be absent): both templates instantiate
+    * against the PRE-update store's WHERE solutions; deletes apply
+    * before inserts. */
+  final case class Modify(deleteTpl: Seq[Pattern], insertTpl: Seq[Pattern],
+                          where: Seq[Pattern]) extends UpdateOp
 
   // ---------------------------------------------------------- tokenizer
   private val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -339,12 +345,27 @@ object Sparql {
       var more = true
       while (more) {
         if (tryWord("INSERT")) {
-          eatWord("DATA"); ops += InsertData(parseGroup())
+          // INSERT DATA {quads} | INSERT {tpl} WHERE {pat}
+          if (tryWord("DATA")) ops += InsertData(parseGroup())
+          else {
+            val tpl = parseGroup()
+            eatWord("WHERE")
+            ops += Modify(Nil, tpl, parseGroup())
+          }
         } else if (tryWord("DELETE")) {
+          // DELETE DATA {quads} | DELETE WHERE {pat} |
+          // DELETE {tpl} [INSERT {tpl}] WHERE {pat}
           if (tryWord("DATA")) ops += DeleteData(parseGroup())
-          else { eatWord("WHERE"); ops += DeleteWhere(parseGroup()) }
+          else if (tryWord("WHERE")) ops += DeleteWhere(parseGroup())
+          else {
+            val del = parseGroup()
+            val ins = if (tryWord("INSERT")) parseGroup() else Nil
+            eatWord("WHERE")
+            ops += Modify(del, ins, parseGroup())
+          }
         } else sys.error(
-          s"expected INSERT DATA / DELETE DATA / DELETE WHERE, got $peek")
+          "expected INSERT [DATA] / DELETE [DATA|WHERE] update " +
+            s"operation, got $peek")
         more = tryPunct(";") && peek.nonEmpty // trailing ; allowed
       }
       // A mutation parser must be STRICT about trailing input: a
@@ -1180,6 +1201,10 @@ object Sparql {
     *    machinery (GRAPH <iri>/GRAPH ?g scoping included), each quad
     *    pattern instantiates per solution exactly like CONSTRUCT, and
     *    the instantiated quads anti-join out of the store.
+    *  - `DELETE {tpl} INSERT {tpl} WHERE {pat}` (§3.1.3 modify, either
+    *    template optional) — both templates instantiate against the
+    *    PRE-update store's solutions; deletes apply before inserts,
+    *    so a quad matched by both survives, per the spec.
     *
     * `;`-separated operations apply sequentially, each seeing its
     * predecessor's effect. Every operation commits through
@@ -1216,7 +1241,13 @@ object Sparql {
     ops.foreach {
       case InsertData(quads) => groundRows(quads)
       case DeleteData(quads) => groundRows(quads)
-      case DeleteWhere(pats) => deleteWherePats(pats)
+      case DeleteWhere(pats) => quadTemplate(pats)
+      case Modify(del, ins, where) =>
+        require(del.nonEmpty || ins.nonEmpty,
+          "modify needs a DELETE or INSERT template")
+        require(where.nonEmpty, "modify needs a non-empty WHERE")
+        if (del.nonEmpty) quadTemplate(del)
+        if (ins.nonEmpty) quadTemplate(ins)
     }
     // Serialize same-JVM updates per store; concurrent cross-process
     // updates on one store are NOT supported (single-writer, the same
@@ -1236,6 +1267,16 @@ object Sparql {
           antiQuads(store, groundQuads(spark, quads))
         case DeleteWhere(pats) =>
           antiQuads(store, deleteWhereQuads(store, pats))
+        case Modify(del, ins, where) =>
+          // §3.1.3: BOTH templates instantiate against the PRE-update
+          // store's solutions; deletes apply before inserts (so a quad
+          // both deleted and re-inserted survives).
+          val afterDel =
+            if (del.isEmpty) store
+            else antiQuads(store, instantiateQuads(store, where, del))
+          if (ins.isEmpty) afterDel
+          else afterDel.unionByName(
+            antiQuads(instantiateQuads(store, where, ins), afterDel))
       }
       graft.sources.ShardStore.overwriteAtomic(
         next.select(QuadCols.map(col): _*), storeDir, partitionBy)
@@ -1317,35 +1358,41 @@ object Sparql {
   /** DELETE WHERE's quad patterns with their graph contexts — also the
     * STRUCTURAL validator [[update]] runs before its first commit
     * (throws on non-quad patterns and path predicates). */
-  private def deleteWherePats(pats: Seq[Pattern]): Seq[(Option[Term], Triple)] = {
+  private def quadTemplate(pats: Seq[Pattern]): Seq[(Option[Term], Triple)] = {
     val quadPats: Seq[(Option[Term], Triple)] = pats.flatMap {
       case tr: Triple => Seq((Option.empty[Term], tr))
       case GraphPat(g, inner) => inner.map {
         case tr: Triple => (Some(g): Option[Term], tr)
         case other => sys.error(
-          s"DELETE WHERE GRAPH block holds only triple patterns, got $other")
+          s"UPDATE quad template GRAPH block holds only triples, got $other")
       }
       case other => sys.error(
-        s"DELETE WHERE holds only quad patterns, got $other")
+        s"UPDATE quad template holds only quad patterns, got $other")
     }
     quadPats.foreach { case (_, tr) => tr.v match {
       case PVar(_) | Path(Seq(Step(_, false, ' '))) => ()
       case other => sys.error(
-        s"DELETE WHERE predicates must be plain IRIs or variables, got $other")
+        s"UPDATE template predicates must be plain IRIs or variables, got $other")
     }}
     quadPats
   }
 
-  private def deleteWhereQuads(store: DataFrame,
-                               pats: Seq[Pattern]): DataFrame = {
-    val quadPats = deleteWherePats(pats)
-    val sol = compileGroup(pats,
+  /** Instantiate a quad TEMPLATE once per solution of `where` over the
+    * store — the CONSTRUCT projection generalized with a graph slot
+    * (bare = default graph, GRAPH <iri> = that graph, GRAPH ?g = the
+    * solution's binding). Shared by DELETE WHERE (template == pattern)
+    * and the §3.1.3 modify form's two templates. */
+  private def instantiateQuads(store: DataFrame, where: Seq[Pattern],
+                               tpl: Seq[Pattern]): DataFrame = {
+    val quadPats = quadTemplate(tpl)
+    val sol = compileGroup(where,
       store.filter(col("g").isNull).drop("g"),
       store.filter(col("g").isNotNull))
     val cols = sol.columns.toSet
     val nullStr = lit(null).cast("string")
     def bound(x: String, pos: String): Column = {
-      require(cols(x), s"DELETE WHERE $pos variable ?$x is not bound")
+      require(cols(x),
+        s"UPDATE template $pos variable ?$x is not bound by the WHERE")
       col(x)
     }
     val parts = quadPats.map { case (gt, Triple(ts, tv, to)) =>
@@ -1358,7 +1405,7 @@ object Sparql {
       val sc = ts match {
         case V(x) => bound(x, "subject")
         case I(iri) => lit(iri)
-        case _: L | _: FTerm => sys.error("bad DELETE WHERE subject")
+        case _: L | _: FTerm => sys.error("bad UPDATE template subject")
       }
       val pc = tv match {
         case PVar(x) => bound(x, "predicate")
@@ -1377,7 +1424,7 @@ object Sparql {
           (lit(lex), lit(false),
             lang.map(l => lit(l).cast("string")).getOrElse(nullStr),
             dt.map(d => lit(d).cast("string")).getOrElse(nullStr))
-        case _: FTerm => sys.error("bad DELETE WHERE object")
+        case _: FTerm => sys.error("bad UPDATE template object")
       }
       sol.select(gc.as("g"), sc.cast("string").as("s"),
           pc.cast("string").as("p"), oc.cast("string").as("o"),
@@ -1385,9 +1432,13 @@ object Sparql {
         .filter(col("s").isNotNull && col("p").isNotNull &&
           col("o").isNotNull)
     }
-    require(parts.nonEmpty, "empty DELETE WHERE pattern")
+    require(parts.nonEmpty, "empty UPDATE quad template")
     parts.reduce(_ unionByName _).distinct()
   }
+
+  private def deleteWhereQuads(store: DataFrame,
+                               pats: Seq[Pattern]): DataFrame =
+    instantiateQuads(store, pats, pats)
 
   /** Compile + run a CONSTRUCT: returns the constructed graph as a
     * canonical-schema triples DataFrame (s, p, o, oIsIri, oLang,

@@ -498,6 +498,36 @@ object RdfQueries {
           |}""".stripMargin)
     },
 
+    // The §3.1.3 MODIFY form — DELETE {tpl} INSERT {tpl} WHERE {pat}:
+    // every nation-5 customer is "rehomed" in one statement — the old
+    // inNation edge deletes, a new edge plus an audit literal insert,
+    // both templates instantiated from the SAME pre-update solutions.
+    // Oracle: the rewrite as set algebra (cust minus the matched
+    // edges, plus two minted quads per matched customer).
+    "q244_sparql_modify" -> { (s, dir) =>
+      val root = new org.apache.hadoop.fs.Path(
+        s"/tmp/graft_q244_${math.abs(dir.hashCode)}")
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(root, true) // updates mutate: rebuild fresh per run
+      val store = s"$root/quads"
+      Bgp.dataset(
+        "urn:graph/cust" -> G.customers(s, dir),
+        "urn:graph/geo" -> G.geo(s, dir))
+        .write.parquet(store)
+      graft.graphquery.Sparql.update(s, store,
+        """DELETE { GRAPH <urn:graph/cust> {
+          |  ?s <urn:p/inNation> <urn:g/nation/5> . } }
+          |INSERT { GRAPH <urn:graph/cust> {
+          |  ?s <urn:p/inNation> <urn:g/nation/0> .
+          |  ?s <urn:p/rehomed> "true" . } }
+          |WHERE { GRAPH <urn:graph/cust> {
+          |  ?s <urn:p/inNation> <urn:g/nation/5> . } }""".stripMargin)
+      s.read.parquet(store)
+        .select(NTriples.quadLine(col("s"), col("p"), col("o"),
+          col("oIsIri"), col("oLang"), col("oDatatype"), col("g"))
+          .as("line"))
+    },
+
     // Variable DESCRIBE over a dataset (SPARQL 1.1 §16.4.3 + §13):
     // the WHERE binds ?n to one customer's nation inside the cust
     // graph; the description spans BOTH named graphs — the nation's
@@ -606,6 +636,28 @@ object RdfQueries {
         |SELECT 'urn:graph/half' AS g, s, o AS anc FROM th
         |UNION ALL
         |SELECT 'urn:graph/third' AS g, s, o AS anc FROM tt""".stripMargin,
+    // q244: the modify as set algebra — cust quads minus the matched
+    // nation-5 edges, plus the two inserted quads per matched
+    // customer; geo untouched.
+    "q244_sparql_modify" -> withTriples(
+      s"""SELECT ${NTriples.quadLineSql} AS line FROM (
+         |  SELECT s, p, o, oIsIri, oLang, oDatatype,
+         |         'urn:graph/cust' AS g FROM cust
+         |  WHERE NOT (p = 'urn:p/inNation' AND o = 'urn:g/nation/5')
+         |  UNION ALL
+         |  SELECT s, p, o, oIsIri, oLang, oDatatype,
+         |         'urn:graph/geo' AS g FROM geo
+         |  UNION ALL
+         |  SELECT 'urn:g/customer/' || c_custkey, 'urn:p/inNation',
+         |         'urn:g/nation/0', true, CAST(NULL AS VARCHAR),
+         |         CAST(NULL AS VARCHAR), 'urn:graph/cust'
+         |  FROM customer WHERE c_nationkey = 5
+         |  UNION ALL
+         |  SELECT 'urn:g/customer/' || c_custkey, 'urn:p/rehomed',
+         |         'true', false, CAST(NULL AS VARCHAR),
+         |         CAST(NULL AS VARCHAR), 'urn:graph/cust'
+         |  FROM customer WHERE c_nationkey = 5)""".stripMargin,
+      "geo" -> G.sql.geo, "cust" -> G.sql.customers),
     // q243: the described resource is customer 7's nation; the
     // description = every quad (under its own graph) whose subject is
     // that nation or whose IRI object is — the same disjunction the

@@ -1230,6 +1230,74 @@ class SparqlParserSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(dir).getParentFile)
   }
+
+  test("SPARQL UPDATE modify (§3.1.3): DELETE/INSERT templates " +
+    "instantiate from the SAME pre-update solutions, deletes apply " +
+    "first, INSERT-only and DELETE-only forms work") {
+    val dir = java.nio.file.Files.createTempDirectory("sparqlmod")
+      .toString + "/quads"
+    def all() = Sparql.selectDataset(
+      spark.read.parquet(dir),
+      "SELECT ?g ?s ?p ?o WHERE { { ?s ?p ?o } UNION " +
+        "{ GRAPH ?g { ?s ?p ?o } } }").collect()
+      .map(_.toSeq.mkString(",")).toSet
+    try {
+      Sparql.update(spark, dir,
+        """INSERT DATA { GRAPH <urn:d/1> {
+          |  <urn:i/a> <urn:p/state> "old" .
+          |  <urn:i/b> <urn:p/state> "old" .
+          |  <urn:i/b> <urn:p/keep> "yes" . } }""".stripMargin)
+      // Rewrite every state=old to state=new in one modify: both
+      // templates see the same pre-update solution set.
+      Sparql.update(spark, dir,
+        """DELETE { GRAPH <urn:d/1> { ?s <urn:p/state> "old" . } }
+          |INSERT { GRAPH <urn:d/1> { ?s <urn:p/state> "new" .
+          |                           ?s <urn:p/audited> "true" . } }
+          |WHERE { GRAPH <urn:d/1> { ?s <urn:p/state> "old" . } }"""
+          .stripMargin)
+      assert(all() == Set(
+        "urn:d/1,urn:i/a,urn:p/state,new",
+        "urn:d/1,urn:i/a,urn:p/audited,true",
+        "urn:d/1,urn:i/b,urn:p/state,new",
+        "urn:d/1,urn:i/b,urn:p/audited,true",
+        "urn:d/1,urn:i/b,urn:p/keep,yes"),
+        "modify did not rewrite exactly the matched quads")
+      // Delete-before-insert: a quad matched by BOTH templates
+      // survives (the spec's ordering rule).
+      Sparql.update(spark, dir,
+        """DELETE { GRAPH <urn:d/1> { ?s <urn:p/keep> ?v . } }
+          |INSERT { GRAPH <urn:d/1> { ?s <urn:p/keep> ?v . } }
+          |WHERE { GRAPH <urn:d/1> { ?s <urn:p/keep> ?v . } }"""
+          .stripMargin)
+      assert(all().contains("urn:d/1,urn:i/b,urn:p/keep,yes"),
+        "delete-then-insert dropped a quad both templates matched")
+      // INSERT-only modify mints into ANOTHER graph from bindings.
+      Sparql.update(spark, dir,
+        """INSERT { GRAPH <urn:d/log> { ?s <urn:p/seen> "1" . } }
+          |WHERE { GRAPH <urn:d/1> { ?s <urn:p/audited> "true" . } }"""
+          .stripMargin)
+      assert(all().count(_.startsWith("urn:d/log,")) == 2)
+      // DELETE-only modify: WHERE joins two patterns, template deletes
+      // only one of them.
+      Sparql.update(spark, dir,
+        """DELETE { GRAPH <urn:d/1> { ?s <urn:p/audited> "true" . } }
+          |WHERE { GRAPH <urn:d/1> { ?s <urn:p/audited> "true" .
+          |                          ?s <urn:p/keep> "yes" . } }"""
+          .stripMargin)
+      assert(!all().contains("urn:d/1,urn:i/b,urn:p/audited,true") &&
+        all().contains("urn:d/1,urn:i/a,urn:p/audited,true"),
+        "delete-only modify scoped wrong")
+      // Static validation: a template var the WHERE does not bind
+      // errors before anything commits.
+      val s0 = all()
+      intercept[RuntimeException] { Sparql.update(spark, dir,
+        """INSERT DATA { <urn:i/x> <urn:p/k> "v" . } ;
+          |DELETE { GRAPH <urn:d/1> { ?s ?p ?o . } } WHERE { }"""
+          .stripMargin) }
+      assert(all() == s0, "ill-formed modify partially applied")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir).getParentFile)
+  }
 }
 
 /** The verbatim MultiAttributeDimension attribute query text
