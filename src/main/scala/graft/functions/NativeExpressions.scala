@@ -419,7 +419,19 @@ object NativeExpressions {
     "parse_num_prefix" -> (args => ParseNumPrefixExpr(Cast(args.head, StringType))),
     "url_encode" -> (args => UrlEncodeExpr(Cast(args.head, StringType))),
     "date_iri" -> (args => DateIriExpr(Cast(args.head, StringType))),
-    "rolling_hash" -> (args => RollingHashExpr(Cast(args.head, StringType))))
+    "rolling_hash" -> (args => RollingHashExpr(Cast(args.head, StringType))),
+    // nt_parse(line, 'skolemPrefix'): the N-Triples/N-Quads statement
+    // kernel (graft.rdf.NtParse). The prefix must be a string literal —
+    // it is folded into the generated code once, not evaluated per row.
+    "nt_parse" -> (args => {
+      val prefix = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(u: UTF8String, StringType) =>
+          u.toString
+        case other => sys.error(
+          s"nt_parse skolem prefix must be a string literal, got $other")
+      }
+      graft.rdf.NtParse.NtParseExpr(Cast(args.head, StringType), prefix)
+    }))
 
   /** SparkSessionExtensions injection — lets a cluster deployment enable
     * every native function with

@@ -552,6 +552,39 @@ object RdfQueries {
           .as("line"))
     },
 
+    // X246 — the N-Quads SOURCE, gated as a full render -> write ->
+    // parse round trip through a real text file: the derived graphs
+    // (IRI objects, @lang and ^^typed literals, named + default
+    // graphs) plus q14's escape-torture notes (quote, backslash,
+    // newline, tab) render via quadLine, land on disk as N-Quads,
+    // and come back through the splittable line reader. The oracle
+    // replays the EXPECTED quads directly from parquet — equality
+    // proves parse ∘ render = id on every term kind the store can
+    // hold. Line-oriented format = zero cross-line state = the one
+    // RDF serialization that scans at 100 TB.
+    "q245_nquads_source" -> { (s, dir) =>
+      val root = new org.apache.hadoop.fs.Path(
+        s"/tmp/graft_q245_${math.abs(dir.hashCode)}")
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(root, true)
+      val r = t(s, dir, "region")
+      val nullStr = lit(null).cast("string")
+      val notes = r.select(
+        lit("urn:graph/notes").as("g"),
+        concat(lit("urn:g/region/"), col("r_regionkey")).as("s"),
+        lit("urn:p/note").as("p"),
+        concat(lit("say \""), col("r_name"), lit("\"\nback\\slash\ttab")).as("o"),
+        lit(false).as("oIsIri"), nullStr.as("oLang"), nullStr.as("oDatatype"))
+      val quads = G.geo(s, dir).withColumn("g", nullStr)
+        .unionByName(G.customers(s, dir).withColumn("g", lit("urn:graph/cust")))
+        .select("g", "s", "p", "o", "oIsIri", "oLang", "oDatatype")
+        .unionByName(notes)
+      quads.select(NTriples.quadLine(col("s"), col("p"), col("o"),
+        col("oIsIri"), col("oLang"), col("oDatatype"), col("g")).as("value"))
+        .write.text(s"$root/dump")
+      NTriples.readQuads(s, s"$root/dump")
+    },
+
     // SPARQL UPDATE (minimal §3.1 subset — beyond-parity: the
     // reference never mutates a store): a quad store materializes
     // fresh, then a `;`-sequence runs INSERT DATA (default + named
@@ -598,6 +631,23 @@ object RdfQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q245: the reader's output must equal the quads that were
+    // rendered — replayed here straight from parquet, never touching
+    // the text file (the file IS the Spark side's render+parse path).
+    "q245_nquads_source" -> withTriples(
+      """SELECT CAST(NULL AS VARCHAR) AS g, s, p, o, oIsIri, oLang,
+        |       oDatatype FROM geo
+        |UNION ALL
+        |SELECT 'urn:graph/cust', s, p, o, oIsIri, oLang, oDatatype
+        |FROM cust
+        |UNION ALL
+        |SELECT 'urn:graph/notes', 'urn:g/region/' || r_regionkey,
+        |       'urn:p/note',
+        |       'say "' || r_name || '"' || chr(10) || 'back\slash' ||
+        |         chr(9) || 'tab',
+        |       false, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |FROM region""".stripMargin,
+      "geo" -> G.sql.geo, "cust" -> G.sql.customers),
     // q240: the cross-graph join (each GRAPH scope is one predicate
     // slice of its graph), the minted triple, RDF set semantics
     // (DISTINCT — every template instantiation is IRI-only here).
