@@ -1,0 +1,138 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Learned text classification for corpus curation — the quality/
+  * language/domain filter stage of a training-data pipeline, as a
+  * closed-form model that trains and serves entirely as DataFrame
+  * plans (no driver-side iteration, no float nondeterminism).
+  *
+  * The model is multinomial Naive Bayes with Laplace smoothing, BIT-
+  * QUANTIZED: every log₂ in the decision function is floored to an
+  * integer "band" (`floor(log2 x)` = `length(bin(x)) - 1`, the same
+  * cross-engine integer-log discipline as the surprisal family). For
+  * document d with per-token counts n_dt over vocabulary V, positive/
+  * negative token totals T1/T0 and doc counts N1/N0:
+  *
+  * {{{
+  *   score(d) = [band(N1) - band(N0)]                  // class prior
+  *            + Σ_t n_dt · (band(c1_t + 1) - band(c0_t + 1))
+  *            + n_d · [band(T0 + V) - band(T1 + V)]    // normalizers
+  *   predict positive ⇔ score(d) > 0
+  * }}}
+  *
+  * which is exactly the NB log-likelihood ratio with each log₂ term
+  * quantized to whole bits. Tokens unseen in training have
+  * band(1) − band(1) = 0 — they fall out of the sum, so serving needs
+  * no vocabulary closure. Everything is integer arithmetic: the same
+  * scores reproduce bit-for-bit in any engine (the DuckDB oracle
+  * replays the whole train+serve), and quantization costs little in
+  * practice — NB decisions hinge on accumulated evidence over many
+  * tokens, not sub-bit weight precision.
+  *
+  * Scale shape: TRAINING is one explode + one token-keyed aggregate
+  * (vocab-sized output) + two scalar aggregates — a single corpus
+  * pass, no iteration (this is the reason to ship NB rather than a
+  * gradient-trained linear model: the closed form needs no k-pass GD
+  * loop over 100 TB). SERVING is one token-keyed equi-join of the
+  * exploded corpus against the model (model tables are vocab-sized —
+  * AQE broadcasts real-world ones; a pathological vocab degrades to a
+  * shuffle hash join, never a BNLJ) + one per-doc aggregate.
+  */
+object Classify {
+
+  /** floor(log₂ c) of a POSITIVE integral column, as the codegen'd
+    * builtin chain `length(bin(c)) - 1` (mirrors DuckDB verbatim). */
+  private def band(c: Column): Column = (length(bin(c)) - lit(1)).cast("long")
+
+  private def bandL(x: Long): Long = {
+    require(x > 0, s"band of non-positive $x")
+    63L - java.lang.Long.numberOfLeadingZeros(x)
+  }
+
+  /** A trained model: vocab-sized (token, weight-in-bits) table plus
+    * the two scalar terms. `perTokenBias` joins the two normalizer
+    * logs (applied once per TOKEN OCCURRENCE), `prior` the class
+    * priors (applied once per doc). */
+  final case class NbModel(weights: DataFrame, perTokenBias: Long,
+                           prior: Long)
+
+  /** Train on `docs` where `pos` marks the positive class. One corpus
+    * pass; errors loudly if either class is empty (an NB prior over
+    * zero docs is undefined — a silent 0 would misclassify
+    * everything). */
+  def nbTrain(docs: DataFrame, textCol: String, pos: Column): NbModel = {
+    val tok = docs.select(pos.as("_pos"),
+      explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+    val cls = tok.groupBy(col("_t")).agg(
+      sum(when(col("_pos"), 1L).otherwise(0L)).as("_c1"),
+      sum(when(col("_pos"), 0L).otherwise(1L)).as("_c0"))
+    val weights = cls.select(col("_t"),
+      (band(col("_c1") + 1) - band(col("_c0") + 1)).as("_w"))
+    // Bounded driver-side scalars: token totals, vocab size, doc
+    // counts (the same metadata-collect pattern as the index stats).
+    // Class counts validate FIRST — on an empty/one-class corpus the
+    // loud require must fire before the token aggregate's null sums.
+    val n = docs.agg(
+      sum(when(pos, 1L).otherwise(0L)),
+      sum(when(pos, 0L).otherwise(1L))).head
+    require(!n.isNullAt(0) && n.getLong(0) > 0 && n.getLong(1) > 0,
+      s"NB needs both classes non-empty, got pos=${n.get(0)} neg=${n.get(1)}")
+    val c = cls.agg(sum("_c1"), sum("_c0"), count(lit(1))).head
+    val (t1, t0, v) = (c.getLong(0), c.getLong(1), c.getLong(2))
+    NbModel(weights,
+      perTokenBias = bandL(t0 + v) - bandL(t1 + v),
+      prior = bandL(n.getLong(0)) - bandL(n.getLong(1)))
+  }
+
+  /** Score documents: (idCol, n_tokens, score) with
+    * `predicted ⇔ score > 0`. Token occurrences join the model
+    * directly (Σ over occurrences ≡ Σ n_dt·w — no per-doc-token
+    * pre-aggregate needed); unseen tokens coalesce to weight 0. */
+  def nbScore(docs: DataFrame, idCol: String, textCol: String,
+              model: NbModel): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+    tok.join(model.weights, Seq("_t"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("_w"), lit(0L))).as("_sumw"))
+      .select(col(idCol), col("n_tokens"),
+        (lit(model.prior) + col("_sumw") +
+          col("n_tokens") * lit(model.perTokenBias)).as("score"))
+  }
+
+  /** The DuckDB replay of train+serve over a `documents`-shaped table
+    * — one copy of the banding/smoothing algebra, shared by every
+    * oracle that gates this classifier. `posSql` is a boolean SQL
+    * expression over the table's columns (e.g. "lang = 'en'").
+    * Produces (doc_id, n_tokens, score). */
+  def nbScoreSql(table: String, posSql: String): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, ($posSql) AS pos,
+       |         unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |  FROM $table),
+       |cls AS (
+       |  SELECT t,
+       |         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c0
+       |  FROM tok GROUP BY 1),
+       |w AS (
+       |  SELECT t, (length(bin(c1 + 1)) - 1) - (length(bin(c0 + 1)) - 1) AS w
+       |  FROM cls),
+       |consts AS (
+       |  SELECT (length(bin(sum(c0) + count(*))) - 1)
+       |       - (length(bin(sum(c1) + count(*))) - 1) AS ptb
+       |  FROM cls),
+       |prior AS (
+       |  SELECT (length(bin(sum(CASE WHEN ($posSql) THEN 1 ELSE 0 END))) - 1)
+       |       - (length(bin(sum(CASE WHEN ($posSql) THEN 0 ELSE 1 END))) - 1)
+       |         AS pr
+       |  FROM $table)
+       |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(pr + sum(coalesce(w.w, 0)) + count(*) * ptb AS BIGINT)
+       |         AS score
+       |FROM tok LEFT JOIN w USING (t) CROSS JOIN consts CROSS JOIN prior
+       |GROUP BY tok.doc_id, pr, ptb""".stripMargin
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
-import graft.llm.{Corpus, Dedup, Similarity, TextAnalysis => TA}
+import graft.llm.{Classify, Corpus, Dedup, Similarity, TextAnalysis => TA}
 
 /** LLM-training-data pipeline queries over `documents` / `embeddings`:
   * text analysis, language ID, exact + MinHash-LSH dedup, SimHash,
@@ -117,6 +117,21 @@ object LlmQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X249 — learned corpus-curation classifier: bit-quantized
+    // multinomial Naive Bayes (closed form — ONE corpus pass to train,
+    // no GD iteration), trained here as a language-ID model (positive
+    // class = lang 'en') and self-scored; the gated output is the
+    // confusion matrix + per-cell score mass. All-integer banding
+    // makes the full train+serve replayable in DuckDB.
+    "q248_nb_classifier" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val model = Classify.nbTrain(d, "text", col("lang") === "en")
+      Classify.nbScore(d, "doc_id", "text", model)
+        .join(d.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          Seq("doc_id"))
+        .groupBy(col("is_en"), (col("score") > 0).as("predicted_en"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score"))
+    },
     // Tokenize + quality metrics (map-only at any scale).
     "q30_text_stats" -> { (s, dir) =>
       val d = t(s, dir, "documents")
@@ -1973,6 +1988,16 @@ object LlmQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q248: the whole NB train+serve replays in SQL (Classify keeps
+    // ONE copy of the banding algebra for all callers); sums cast to
+    // BIGINT — DuckDB's HUGEINT sum would hash-mismatch.
+    "q248_nb_classifier" ->
+      s"""WITH scored AS (${Classify.nbScoreSql("documents", "lang = 'en'")})
+         |SELECT d.lang = 'en' AS is_en, s.score > 0 AS predicted_en,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(s.score) AS BIGINT) AS sum_score
+         |FROM scored s JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
     "q231_bpe_indexed" -> bpeIndexedOracleSql(3),
     "q30_text_stats" ->
       s"""SELECT doc_id, n_tokens, n_chars_nospace,

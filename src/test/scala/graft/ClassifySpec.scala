@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Classify
+
+/** X249 — bit-quantized multinomial NB. The tiny-corpus cases are
+  * hand-computed from the model definition (every band on paper), so
+  * they pin the ALGEBRA; q248's DuckDB oracle pins the cross-engine
+  * replay at corpus scale.
+  */
+class ClassifySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val train = Seq(
+    ("p1", "a a b", true),
+    ("p2", "a c", true),
+    ("n1", "b b c", false)).toDF("doc_id", "text", "pos")
+
+  // Hand computation: c1 = {a:3, b:1, c:1}, c0 = {a:0, b:2, c:1},
+  // T1 = 5, T0 = 3, V = 3, N1 = 2, N0 = 1.
+  //   w_a = band(4) - band(1) = 2        w_b = band(2) - band(3) = 0
+  //   w_c = band(2) - band(2) = 0
+  //   perTokenBias = band(6) - band(8) = 2 - 3 = -1
+  //   prior = band(2) - band(1) = 1
+  test("weights, biases, and scores match the hand computation") {
+    val m = Classify.nbTrain(train, "text", col("pos"))
+    assert(m.perTokenBias == -1L && m.prior == 1L)
+    val w = m.weights.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w == Map("a" -> 2L, "b" -> 0L, "c" -> 0L))
+    val scores = Classify.nbScore(train, "doc_id", "text", m)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // p1: 1 + 2·2 + 3·(-1) = 2;  p2: 1 + 2 + 2·(-1) = 1;
+    // n1: 1 + 0 + 3·(-1) = -2.
+    assert(scores == Map("p1" -> (3L, 2L), "p2" -> (2L, 1L),
+      "n1" -> (3L, -2L)))
+  }
+
+  test("unseen tokens carry zero weight — serving needs no vocab closure") {
+    val m = Classify.nbTrain(train, "text", col("pos"))
+    val out = Classify.nbScore(
+      Seq(("x1", "z z")).toDF("doc_id", "text"), "doc_id", "text", m)
+      .collect().head
+    // 1 + 0 + 2·(-1) = -1 → negative, from priors/normalizers alone.
+    assert(out.getLong(1) == 2L && out.getLong(2) == -1L)
+  }
+
+  test("an empty class is a loud error, not a silent zero prior") {
+    intercept[IllegalArgumentException] {
+      Classify.nbTrain(train.filter(col("pos")), "text", col("pos"))
+    }
+  }
+}
