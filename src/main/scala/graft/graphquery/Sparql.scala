@@ -176,6 +176,33 @@ object Sparql {
   final case class Modify(deleteTpl: Seq[Pattern], insertTpl: Seq[Pattern],
                           where: Seq[Pattern]) extends UpdateOp
 
+  /** Graph-management forms (SPARQL 1.1 Update §3.2). */
+  /** `LOAD [SILENT] <doc> [INTO GRAPH <g>]` — doc is a file/dfs IRI of
+    * an N-Triples or N-Quads document, read via the distributed
+    * [[graft.rdf.NTriples.readQuads]] source. */
+  final case class Load(doc: String, into: Option[String],
+                        silent: Boolean) extends UpdateOp
+  sealed trait GraphTarget
+  final case class OneGraph(iri: String) extends GraphTarget
+  case object DefaultGraph extends GraphTarget
+  case object AllNamed extends GraphTarget
+  case object AllGraphs extends GraphTarget
+  /** `CLEAR`/`DROP [SILENT] (GRAPH <g> | DEFAULT | NAMED | ALL)`. In a
+    * quad table there is no empty-graph registry, so DROP ≡ CLEAR
+    * (both remove the graph's quads); kept distinct for the §3.2.2
+    * error contract. */
+  final case class Clear(target: GraphTarget, silent: Boolean,
+                         drop: Boolean) extends UpdateOp
+  /** `CREATE [SILENT] GRAPH <g>` — graphs exist implicitly here; the
+    * non-silent form still errors if the graph already holds quads,
+    * per §3.2.3. */
+  final case class Create(graph: String, silent: Boolean) extends UpdateOp
+  /** `ADD`/`COPY`/`MOVE [SILENT] src TO dst` where each side is
+    * `DEFAULT` (None) or `[GRAPH] <iri>` (Some). */
+  final case class GraphXfer(kind: String, src: Option[String],
+                             dst: Option[String],
+                             silent: Boolean) extends UpdateOp
+
   // ---------------------------------------------------------- tokenizer
   private val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
@@ -363,9 +390,30 @@ object Sparql {
             eatWord("WHERE")
             ops += Modify(del, ins, parseGroup())
           }
+        } else if (tryWord("LOAD")) {
+          val silent = tryWord("SILENT")
+          val doc = iriArg("LOAD")
+          val into =
+            if (tryWord("INTO")) { eatWord("GRAPH"); Some(iriArg("INTO GRAPH")) }
+            else None
+          ops += Load(doc, into, silent)
+        } else if (tryWord("CLEAR")) {
+          ops += parseClearDrop(drop = false)
+        } else if (tryWord("DROP")) {
+          ops += parseClearDrop(drop = true)
+        } else if (tryWord("CREATE")) {
+          val silent = tryWord("SILENT")
+          eatWord("GRAPH")
+          ops += Create(iriArg("CREATE GRAPH"), silent)
+        } else if (tryWord("ADD")) {
+          ops += parseXfer("ADD")
+        } else if (tryWord("COPY")) {
+          ops += parseXfer("COPY")
+        } else if (tryWord("MOVE")) {
+          ops += parseXfer("MOVE")
         } else sys.error(
-          "expected INSERT [DATA] / DELETE [DATA|WHERE] update " +
-            s"operation, got $peek")
+          "expected an update operation (INSERT/DELETE/LOAD/CLEAR/DROP/" +
+            s"CREATE/ADD/COPY/MOVE), got $peek")
         more = tryPunct(";") && peek.nonEmpty // trailing ; allowed
       }
       // A mutation parser must be STRICT about trailing input: a
@@ -375,6 +423,39 @@ object Sparql {
       require(peek.isEmpty,
         s"expected ';' before the next update operation, got $peek")
       ops.result()
+    }
+
+    /** A plain or prefixed IRI argument of a graph-management form. */
+    private def iriArg(ctx: String): String = next() match {
+      case TIri(i) => i
+      case p: TPName => expand(p)
+      case other => sys.error(s"expected <iri> in $ctx, got $other")
+    }
+
+    /** `(GRAPH <g> | DEFAULT | NAMED | ALL)` after CLEAR/DROP. */
+    private def parseClearDrop(drop: Boolean): Clear = {
+      val silent = tryWord("SILENT")
+      val target =
+        if (tryWord("GRAPH")) OneGraph(iriArg(if (drop) "DROP" else "CLEAR"))
+        else if (tryWord("DEFAULT")) DefaultGraph
+        else if (tryWord("NAMED")) AllNamed
+        else if (tryWord("ALL")) AllGraphs
+        else sys.error(s"expected GRAPH <iri> | DEFAULT | NAMED | ALL, got $peek")
+      Clear(target, silent, drop)
+    }
+
+    /** `[SILENT] (DEFAULT | [GRAPH] <iri>) TO (DEFAULT | [GRAPH] <iri>)`
+      * — the GraphOrDefault operands of ADD/COPY/MOVE (§3.2.5-7); the
+      * GRAPH keyword is optional per the grammar. */
+    private def parseXfer(kind: String): GraphXfer = {
+      val silent = tryWord("SILENT")
+      def side(): Option[String] =
+        if (tryWord("DEFAULT")) None
+        else { tryWord("GRAPH"); Some(iriArg(kind)) }
+      val src = side()
+      eatWord("TO")
+      val dst = side()
+      GraphXfer(kind, src, dst, silent)
     }
 
     /** DESCRIBE: explicit IRIs and/or variables, optional dataset
@@ -1173,11 +1254,11 @@ object Sparql {
 
   // ------------------------------------------------------------- UPDATE
 
-  private val QuadCols =
+  private[graphquery] val QuadCols =
     Seq("g", "s", "p", "o", "oIsIri", "oLang", "oDatatype")
   // The canonical triple schema ([[graft.rdf.Turtle.schema]]) with the
   // graph slot prepended — ONE definition of the on-disk field types.
-  private def quadSchema: org.apache.spark.sql.types.StructType =
+  private[graphquery] def quadSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("g",
         org.apache.spark.sql.types.StringType) +:
@@ -1205,6 +1286,16 @@ object Sparql {
     *    template optional) — both templates instantiate against the
     *    PRE-update store's solutions; deletes apply before inserts,
     *    so a quad matched by both survives, per the spec.
+    *  - Graph management (§3.2): `LOAD [SILENT] <doc> [INTO GRAPH <g>]`
+    *    (the doc read by the DISTRIBUTED N-Triples/N-Quads source —
+    *    a 100 TB dump parallelizes, it does not stream through the
+    *    driver), `CLEAR`/`DROP [SILENT] (GRAPH <g>|DEFAULT|NAMED|ALL)`
+    *    (DROP ≡ CLEAR in a quad table — no empty-graph registry),
+    *    `CREATE [SILENT] GRAPH <g>` (no-op except the §3.2.3
+    *    already-exists error), and `ADD`/`COPY`/`MOVE [SILENT] src TO
+    *    dst`. SILENT converts any op failure (absent doc, malformed
+    *    statement, missing graph) into success-with-no-change; the
+    *    atomic-swap commit guarantees "no change" exactly.
     *
     * `;`-separated operations apply sequentially, each seeing its
     * predecessor's effect. Every operation commits through
@@ -1217,11 +1308,11 @@ object Sparql {
     * Scale note (deliberate, documented): each operation rewrites the
     * store — the atomic-swap contract — so this is the
     * ADMINISTRATIVE update path (codelist loads, takedowns, catalog
-    * patches), not a high-frequency write path; a production
-    * write-heavy store would stage per-batch deltas like the
-    * `batch_id=` index families and fold on compaction. The reference
-    * never mutates a store at all (its writes are file/HTTP sinks), so
-    * this whole surface is beyond-parity.
+    * patches), not a high-frequency write path; the write-heavy twin
+    * is [[DeltaStore]] — same grammar and semantics, O(statement)
+    * delta shards folded on compaction. The reference never mutates a
+    * store at all (its writes are file/HTTP sinks), so this whole
+    * surface is beyond-parity.
     *
     * Restrictions (honest errors, per the minimal subset): DATA blocks
     * hold only GROUND triples (no variables, no blank nodes, GRAPH
@@ -1248,6 +1339,8 @@ object Sparql {
         require(where.nonEmpty, "modify needs a non-empty WHERE")
         if (del.nonEmpty) quadTemplate(del)
         if (ins.nonEmpty) quadTemplate(ins)
+      case GraphXfer(_, src, dst, _) if src == dst => () // no-op by spec
+      case _: Load | _: Clear | _: Create | _: GraphXfer => () // parse-valid
     }
     // Serialize same-JVM updates per store; concurrent cross-process
     // updates on one store are NOT supported (single-writer, the same
@@ -1259,31 +1352,125 @@ object Sparql {
     lock.lock()
     try ops.foreach { op =>
       val store = readQuadStore(spark, storeDir)
-      val next = op match {
-        case InsertData(quads) =>
-          val nq = groundQuads(spark, quads)
-          store.unionByName(antiQuads(nq, store))
-        case DeleteData(quads) =>
-          antiQuads(store, groundQuads(spark, quads))
-        case DeleteWhere(pats) =>
-          antiQuads(store, deleteWhereQuads(store, pats))
-        case Modify(del, ins, where) =>
-          // §3.1.3: BOTH templates instantiate against the PRE-update
-          // store's solutions; deletes apply before inserts (so a quad
-          // both deleted and re-inserted survives).
-          val afterDel =
-            if (del.isEmpty) store
-            else antiQuads(store, instantiateQuads(store, where, del))
-          if (ins.isEmpty) afterDel
-          else afterDel.unionByName(
-            antiQuads(instantiateQuads(store, where, ins), afterDel))
+      val silent = op match {
+        case Load(_, _, s) => s
+        case Clear(_, s, _) => s
+        case Create(_, s) => s
+        case GraphXfer(_, _, _, s) => s
+        case _ => false
       }
-      graft.sources.ShardStore.overwriteAtomic(
-        next.select(QuadCols.map(col): _*), storeDir, partitionBy)
+      try {
+        val next = applyOp(spark, store, op)
+        // `next eq store` marks a provable no-op (CREATE, self-ADD):
+        // skip the store rewrite entirely.
+        if (!(next eq store))
+          graft.sources.ShardStore.overwriteAtomic(
+            next.select(QuadCols.map(col): _*), storeDir, partitionBy)
+      } catch {
+        // §3.2: SILENT graph-management ops always succeed — a failed
+        // op (absent document, malformed load, missing graph) leaves
+        // the store unchanged (overwriteAtomic only swaps on success;
+        // stray __tmp is healed by the next recovery pass).
+        case _: Exception if silent => ()
+      }
     } finally lock.unlock()
   }
 
-  private val storeLocks = new java.util.concurrent.ConcurrentHashMap[
+  /** One update operation's resulting store (administrative path —
+    * the caller rewrites the store with the result). Returns `cur` BY
+    * REFERENCE (eq) for provable no-ops so the caller can skip the
+    * rewrite. */
+  private def applyOp(spark: org.apache.spark.sql.SparkSession,
+                      cur: DataFrame, op: UpdateOp): DataFrame = op match {
+    case InsertData(quads) =>
+      val nq = groundQuads(spark, quads)
+      cur.unionByName(antiQuads(nq, cur))
+    case DeleteData(quads) =>
+      antiQuads(cur, groundQuads(spark, quads))
+    case DeleteWhere(pats) =>
+      antiQuads(cur, deleteWhereQuads(cur, pats))
+    case Modify(del, ins, where) =>
+      // §3.1.3: BOTH templates instantiate against the PRE-update
+      // store's solutions; deletes apply before inserts (so a quad
+      // both deleted and re-inserted survives).
+      val afterDel =
+        if (del.isEmpty) cur
+        else antiQuads(cur, instantiateQuads(cur, where, del))
+      if (ins.isEmpty) afterDel
+      else afterDel.unionByName(
+        antiQuads(instantiateQuads(cur, where, ins), afterDel))
+
+    case Load(doc, into, _) =>
+      val incoming = loadQuads(spark, doc, into)
+      cur.unionByName(antiQuads(incoming, cur))
+    case Clear(target, silent, drop) =>
+      target match {
+        case OneGraph(i) =>
+          // §3.2.2/§3.2.4: CLEAR/DROP of an absent named graph is an
+          // error unless SILENT. One limit-1 existence probe.
+          if (!silent)
+            require(!cur.filter(col("g") <=> lit(i)).isEmpty,
+              s"${if (drop) "DROP" else "CLEAR"} GRAPH: no graph <$i> in store")
+          cur.filter(!(col("g") <=> lit(i)))
+        case DefaultGraph => cur.filter(col("g").isNotNull)
+        case AllNamed => cur.filter(col("g").isNull)
+        case AllGraphs => cur.limit(0)
+      }
+    case Create(g, silent) =>
+      // Graphs exist implicitly in a quad table; CREATE only enforces
+      // the §3.2.3 already-exists error (non-silent).
+      if (!silent)
+        require(cur.filter(col("g") <=> lit(g)).isEmpty,
+          s"CREATE GRAPH: graph <$g> already exists")
+      cur
+    case GraphXfer(kind, src, dst, silent) =>
+      if (src == dst) cur // §3.2.5-7: same-graph transfer is a no-op
+      else {
+        def inSide(r: Option[String]): Column =
+          r.map(i => col("g") <=> lit(i)).getOrElse(col("g").isNull)
+        val srcRows = cur.filter(inSide(src))
+        // An absent named SOURCE graph fails the operation: loudly by
+        // default, as a WHOLE-OP no-op under SILENT — proceeding with
+        // an empty source would still clear the destination (COPY/
+        // MOVE), which is exactly what SILENT must not do. The default
+        // graph always exists (possibly empty), so src=None skips the
+        // probe.
+        if (src.isDefined && srcRows.isEmpty) {
+          if (silent) cur
+          else sys.error(s"$kind: no graph <${src.get}> in store")
+        } else {
+          val relabeled = srcRows.withColumn("g",
+            dst.map(i => lit(i).cast("string"))
+              .getOrElse(lit(null).cast("string")))
+          kind match {
+            case "ADD" => cur.unionByName(antiQuads(relabeled, cur))
+            case "COPY" => cur.filter(!inSide(dst)).unionByName(relabeled)
+            case "MOVE" =>
+              cur.filter(!inSide(dst) && !inSide(src)).unionByName(relabeled)
+            case other => sys.error(s"unknown transfer $other")
+          }
+        }
+      }
+  }
+
+  /** LOAD's document scan: a `file:` IRI maps to its filesystem path;
+    * any other scheme (hdfs:, s3a:, …) passes through to the Hadoop
+    * FS layer verbatim; the distributed N-Triples/N-Quads source does
+    * the parse. `INTO GRAPH <g>` rehomes EVERY loaded statement into
+    * the destination graph (the document is loaded "into that graph",
+    * §3.2.1 — quad labels in an N-Quads document are overridden). */
+  private[graphquery] def loadQuads(spark: org.apache.spark.sql.SparkSession,
+                        doc: String, into: Option[String]): DataFrame = {
+    val path =
+      if (doc.startsWith("file:")) new java.net.URI(doc).getPath
+      else doc
+    val q = graft.rdf.NTriples.readQuads(spark, path)
+    val homed = into.map(i => q.withColumn("g", lit(i).cast("string")))
+      .getOrElse(q)
+    homed.select(QuadCols.map(col): _*)
+  }
+
+  private[graphquery] val storeLocks = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.locks.ReentrantLock]()
 
   /** The store as a canonical quad DataFrame; an absent store is the
@@ -1302,7 +1489,7 @@ object Sparql {
     * column (absent lang/datatype and the default graph's null g all
     * compare as values). One equi-shaped anti-join; Catalyst plans the
     * `<=>` conjunction as a hash join on the null-safe keys. */
-  private def antiQuads(left: DataFrame, right: DataFrame): DataFrame = {
+  private[graphquery] def antiQuads(left: DataFrame, right: DataFrame): DataFrame = {
     val r = right.select(QuadCols.map(c => col(c).as(s"_r_$c")): _*)
     val cond = QuadCols.map(c => col(c) <=> col(s"_r_$c")).reduce(_ && _)
     left.join(r, cond, "left_anti")
@@ -1310,7 +1497,7 @@ object Sparql {
 
   /** A DATA block's ground quads as a DataFrame (driver-built — the
     * block is literal update text, bounded by the statement size). */
-  private def groundQuads(spark: org.apache.spark.sql.SparkSession,
+  private[graphquery] def groundQuads(spark: org.apache.spark.sql.SparkSession,
                           pats: Seq[Pattern]): DataFrame = {
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(groundRows(pats).asJava, quadSchema).distinct()
@@ -1320,7 +1507,7 @@ object Sparql {
     * validator [[update]] runs over every operation before its first
     * commit (throws on variables, literal subjects, non-IRI GRAPH
     * names, path predicates). */
-  private def groundRows(pats: Seq[Pattern]): Seq[org.apache.spark.sql.Row] = {
+  private[graphquery] def groundRows(pats: Seq[Pattern]): Seq[org.apache.spark.sql.Row] = {
     def quad(g: Option[String], tr: Triple): org.apache.spark.sql.Row = {
       val s = tr.s match {
         case I(iri) => iri
@@ -1358,7 +1545,7 @@ object Sparql {
   /** DELETE WHERE's quad patterns with their graph contexts — also the
     * STRUCTURAL validator [[update]] runs before its first commit
     * (throws on non-quad patterns and path predicates). */
-  private def quadTemplate(pats: Seq[Pattern]): Seq[(Option[Term], Triple)] = {
+  private[graphquery] def quadTemplate(pats: Seq[Pattern]): Seq[(Option[Term], Triple)] = {
     val quadPats: Seq[(Option[Term], Triple)] = pats.flatMap {
       case tr: Triple => Seq((Option.empty[Term], tr))
       case GraphPat(g, inner) => inner.map {
@@ -1382,7 +1569,7 @@ object Sparql {
     * (bare = default graph, GRAPH <iri> = that graph, GRAPH ?g = the
     * solution's binding). Shared by DELETE WHERE (template == pattern)
     * and the §3.1.3 modify form's two templates. */
-  private def instantiateQuads(store: DataFrame, where: Seq[Pattern],
+  private[graphquery] def instantiateQuads(store: DataFrame, where: Seq[Pattern],
                                tpl: Seq[Pattern]): DataFrame = {
     val quadPats = quadTemplate(tpl)
     val sol = compileGroup(where,
@@ -1436,7 +1623,7 @@ object Sparql {
     parts.reduce(_ unionByName _).distinct()
   }
 
-  private def deleteWhereQuads(store: DataFrame,
+  private[graphquery] def deleteWhereQuads(store: DataFrame,
                                pats: Seq[Pattern]): DataFrame =
     instantiateQuads(store, pats, pats)
 

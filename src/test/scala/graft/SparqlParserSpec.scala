@@ -1298,6 +1298,134 @@ class SparqlParserSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(dir).getParentFile)
   }
+
+  // ------------------------------------------- §3.2 graph management
+
+  test("SPARQL UPDATE LOAD: the distributed N-Quads source feeds the " +
+    "store; INTO GRAPH rehomes; SILENT turns a missing doc into a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("sparqlload")
+    val dir = s"$root/quads"
+    def all() = Sparql.selectDataset(
+      spark.read.parquet(dir),
+      "SELECT ?g ?s ?p ?o WHERE { { ?s ?p ?o } UNION " +
+        "{ GRAPH ?g { ?s ?p ?o } } }").collect()
+      .map(_.toSeq.mkString(",")).toSet
+    val doc = root.resolve("dump.nq")
+    java.nio.file.Files.write(doc, java.util.Arrays.asList(
+      "<urn:i/a> <urn:p/k> \"v\"@en .",
+      "<urn:i/b> <urn:p/k> <urn:i/c> <urn:d/src> ."))
+    try {
+      Sparql.update(spark, dir,
+        "INSERT DATA { <urn:i/seed> <urn:p/k> \"s\" . }")
+      val seed = all()
+      // LOAD keeps the document's own graph labels (N-Quads).
+      Sparql.update(spark, dir, s"LOAD <file:$doc>")
+      assert(all() == seed + "null,urn:i/a,urn:p/k,v" +
+        "urn:d/src,urn:i/b,urn:p/k,urn:i/c")
+      // INTO GRAPH overrides every statement's graph slot; replaying
+      // the same doc into a new graph adds only the rehomed copies.
+      Sparql.update(spark, dir, s"LOAD <file:$doc> INTO GRAPH <urn:d/in>")
+      assert(all() == seed + "null,urn:i/a,urn:p/k,v" +
+        "urn:d/src,urn:i/b,urn:p/k,urn:i/c" +
+        "urn:d/in,urn:i/a,urn:p/k,v" + "urn:d/in,urn:i/b,urn:p/k,urn:i/c")
+      // Missing document: loud by default (store untouched),
+      // swallowed under SILENT.
+      val before = all()
+      intercept[Exception] {
+        Sparql.update(spark, dir, s"LOAD <file:$root/absent.nq>")
+      }
+      assert(all() == before, "failed LOAD mutated the store")
+      Sparql.update(spark, dir, s"LOAD SILENT <file:$root/absent.nq>")
+      assert(all() == before)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
+  test("SPARQL UPDATE CLEAR/DROP/CREATE: graph targets, the §3.2 " +
+    "absent-graph and already-exists error contracts, SILENT") {
+    val root = java.nio.file.Files.createTempDirectory("sparqlclear")
+    val dir = s"$root/quads"
+    def all() = Sparql.selectDataset(
+      spark.read.parquet(dir),
+      "SELECT ?g ?s WHERE { { ?s ?p ?o } UNION " +
+        "{ GRAPH ?g { ?s ?p ?o } } }").collect()
+      .map(_.toSeq.mkString(",")).toSet
+    try {
+      Sparql.update(spark, dir,
+        """INSERT DATA { <urn:i/d0> <urn:p/k> "v" .
+          |  GRAPH <urn:d/1> { <urn:i/a> <urn:p/k> "1" . }
+          |  GRAPH <urn:d/2> { <urn:i/b> <urn:p/k> "2" . } }""".stripMargin)
+      // CREATE: implicit graphs — error only when it already exists.
+      Sparql.update(spark, dir, "CREATE GRAPH <urn:d/new>")
+      intercept[Exception] {
+        Sparql.update(spark, dir, "CREATE GRAPH <urn:d/1>")
+      }
+      Sparql.update(spark, dir, "CREATE SILENT GRAPH <urn:d/1>")
+      // CLEAR GRAPH removes exactly that graph's quads.
+      Sparql.update(spark, dir, "CLEAR GRAPH <urn:d/1>")
+      assert(all() == Set("null,urn:i/d0", "urn:d/2,urn:i/b"))
+      // CLEAR of a now-absent graph errors, unless SILENT.
+      intercept[Exception] {
+        Sparql.update(spark, dir, "CLEAR GRAPH <urn:d/1>")
+      }
+      Sparql.update(spark, dir, "DROP SILENT GRAPH <urn:d/1>")
+      // CLEAR DEFAULT leaves named graphs; DROP ALL empties the store
+      // but keeps it servable.
+      Sparql.update(spark, dir, "CLEAR DEFAULT")
+      assert(all() == Set("urn:d/2,urn:i/b"))
+      Sparql.update(spark, dir, "DROP ALL")
+      assert(all().isEmpty)
+      // CLEAR NAMED: rebuild, then only the default survives.
+      Sparql.update(spark, dir,
+        """INSERT DATA { <urn:i/d0> <urn:p/k> "v" .
+          |  GRAPH <urn:d/1> { <urn:i/a> <urn:p/k> "1" . } } ;
+          |CLEAR NAMED""".stripMargin)
+      assert(all() == Set("null,urn:i/d0"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
+  test("SPARQL UPDATE ADD/COPY/MOVE: set-semantics merge, " +
+    "dst-replacing copy, src-removing move, self-transfer no-op, " +
+    "absent-source error contract") {
+    val root = java.nio.file.Files.createTempDirectory("sparqlxfer")
+    val dir = s"$root/quads"
+    def all() = Sparql.selectDataset(
+      spark.read.parquet(dir),
+      "SELECT ?g ?s ?o WHERE { { ?s ?p ?o } UNION " +
+        "{ GRAPH ?g { ?s ?p ?o } } }").collect()
+      .map(_.toSeq.mkString(",")).toSet
+    try {
+      Sparql.update(spark, dir,
+        """INSERT DATA { <urn:i/d> <urn:p/k> "d" .
+          |  GRAPH <urn:d/1> { <urn:i/a> <urn:p/k> "1" .
+          |                    <urn:i/d> <urn:p/k> "d" . }
+          |  GRAPH <urn:d/2> { <urn:i/b> <urn:p/k> "2" . } }""".stripMargin)
+      // ADD DEFAULT TO <d/2>: merge (set semantics — the shared quad
+      // does not duplicate when re-added).
+      Sparql.update(spark, dir, "ADD DEFAULT TO GRAPH <urn:d/2>")
+      assert(all() == Set("null,urn:i/d,d", "urn:d/1,urn:i/a,1",
+        "urn:d/1,urn:i/d,d", "urn:d/2,urn:i/b,2", "urn:d/2,urn:i/d,d"))
+      Sparql.update(spark, dir, "ADD DEFAULT TO GRAPH <urn:d/2>")
+      assert(all().size == 5, "re-ADD duplicated quads")
+      // COPY replaces the destination wholesale.
+      Sparql.update(spark, dir, "COPY GRAPH <urn:d/1> TO GRAPH <urn:d/2>")
+      assert(all() == Set("null,urn:i/d,d", "urn:d/1,urn:i/a,1",
+        "urn:d/1,urn:i/d,d", "urn:d/2,urn:i/a,1", "urn:d/2,urn:i/d,d"))
+      // MOVE: source gone, destination replaced; GRAPH keyword is
+      // optional on either side per the grammar.
+      Sparql.update(spark, dir, "MOVE <urn:d/1> TO DEFAULT")
+      assert(all() == Set("null,urn:i/a,1", "null,urn:i/d,d",
+        "urn:d/2,urn:i/a,1", "urn:d/2,urn:i/d,d"))
+      // Self-transfer: explicit no-op, even for a missing graph.
+      Sparql.update(spark, dir, "MOVE GRAPH <urn:d/9> TO GRAPH <urn:d/9>")
+      // Absent named source errors (default-graph source never does).
+      intercept[Exception] {
+        Sparql.update(spark, dir, "COPY GRAPH <urn:d/9> TO DEFAULT")
+      }
+      Sparql.update(spark, dir, "COPY SILENT GRAPH <urn:d/9> TO DEFAULT")
+      assert(all() == Set("null,urn:i/a,1", "null,urn:i/d,d",
+        "urn:d/2,urn:i/a,1", "urn:d/2,urn:i/d,d"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
 }
 
 /** The verbatim MultiAttributeDimension attribute query text
