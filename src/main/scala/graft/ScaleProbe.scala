@@ -168,7 +168,19 @@ object ScaleProbe {
       // are constant and each round is one keyed self-join ∝ closure
       // size; q242 is three store rewrites (the documented per-op
       // cost), each a scan + anti-join ∝ store size.
-      "q241_sparql_graph_closure", "q242_sparql_update")
+      "q241_sparql_graph_closure", "q242_sparql_update",
+      // q245 is a render→write→parse round trip: both sides are
+      // embarrassingly parallel line work (the parse kernel holds no
+      // cross-line state), so wall should track the dump size ÷ cores;
+      // q247 is the DELTA update path over the same base q242 rewrites
+      // — its update phase is O(statement), so the q247:q242 ratio at
+      // 10× is the whole point of the layout (the row also pays one
+      // compact + serve, both ∝ store, keeping the probe honest).
+      "q245_nquads_source", "q247_sparql_update_delta",
+      // q248 rides the token-suffix replica like the BPE family: corpus
+      // 10× AND vocab ~10× — train's token-keyed aggregate and serve's
+      // model join both grow, the shape every NB deployment has.
+      "q248_nb_classifier")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -242,7 +254,9 @@ object ScaleProbe {
       "q237_sparql_graph_dataset" -> "customer",
       "q238_ivfpq_recall_vs_nprobe" -> "embeddings",
       "q241_sparql_graph_closure" -> "customer",
-      "q242_sparql_update" -> "customer")
+      "q242_sparql_update" -> "customer",
+      "q245_nquads_source" -> "customer",
+      "q247_sparql_update_delta" -> "customer")
       .withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet ++
       // q209 reads customer alongside orders — replicate both.
@@ -346,7 +360,8 @@ object ScaleProbe {
     // the broadcast side of every BGP join, and a 10× corpus does not
     // grow a country list — so they copy verbatim.
     if (probes.exists(Set("q237_sparql_graph_dataset",
-        "q242_sparql_update")))
+        "q242_sparql_update", "q245_nquads_source",
+        "q247_sparql_update_delta")))
       Seq("nation", "region").foreach { tbl =>
         if (!reuse || !new java.io.File(s"$outDir/$tbl.parquet").exists())
           spark.read.parquet(s"$sf01/$tbl.parquet")

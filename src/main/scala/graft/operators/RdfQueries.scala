@@ -585,6 +585,115 @@ object RdfQueries {
       NTriples.readQuads(s, s"$root/dump")
     },
 
+    // X250 — the distributed MANY-DOCUMENT Turtle source: one .ttl
+    // descriptor per region (prefixes, `;` continuation, @lang +
+    // ^^typed literals, an anonymous blank node) written to disk,
+    // parsed one-task-per-document, each doc landing in its own named
+    // graph with file-scoped skolemized bnodes. The catalog-harvest
+    // shape: thousands of small descriptors parallelize by FILE
+    // (Turtle's grammar is whole-document — the line-splittable path
+    // is X246's N-Quads). The region dim is driver-collected to write
+    // the fixture docs — bounded by design, like every dim edge here.
+    "q249_turtle_many" -> { (s, dir) =>
+      val root = java.nio.file.Paths.get(
+        s"/tmp/graft_q249_${math.abs(dir.hashCode)}")
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      java.nio.file.Files.createDirectories(root.resolve("docs"))
+      t(s, dir, "region").select("r_regionkey", "r_name").collect()
+        .foreach { r =>
+          val k = r.get(0).toString
+          java.nio.file.Files.write(
+            root.resolve(s"docs/region_$k.ttl"),
+            s"""@prefix p: <urn:p/> .
+               |<urn:g/region/$k> p:name "${r.getString(1)}"@en ;
+               |    p:order "$k"^^<http://www.w3.org/2001/XMLSchema#integer> .
+               |[] p:inDoc <urn:g/region/$k> .
+               |""".stripMargin.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+        }
+      graft.rdf.Turtle.readMany(s, s"$root/docs")
+    },
+
+    // X248 — the write-heavy DELTA-STAGED update path: the exact q242
+    // op sequence (INSERT DATA / DELETE DATA / DELETE WHERE) lands as
+    // O(statement)-sized delta shards over a pre-existing base (never
+    // a store rewrite), gets compacted mid-query (fold into base +
+    // drop deltas), and serves the SAME final state the administrative
+    // path produces — so this reuses q242's set-algebra oracle
+    // verbatim. At 100 TB this is the difference between a
+    // one-statement patch costing O(statement) and costing a full
+    // store rewrite.
+    "q247_sparql_update_delta" -> { (s, dir) =>
+      val root = new org.apache.hadoop.fs.Path(
+        s"/tmp/graft_q247_${math.abs(dir.hashCode)}")
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(root, true)
+      val store = s"$root/quads"
+      Bgp.dataset(
+        "urn:graph/cust" -> G.customers(s, dir),
+        "urn:graph/geo" -> G.geo(s, dir))
+        .write.parquet(s"$store/base")
+      graft.graphquery.DeltaStore.update(s, store,
+        """INSERT DATA {
+          |  <urn:i/audit> <urn:p/status> "patched"@en .
+          |  GRAPH <urn:graph/cust> {
+          |    <urn:i/audit> <urn:p/passes> "2"^^<http://www.w3.org/2001/XMLSchema#integer> .
+          |  }
+          |} ;
+          |DELETE DATA {
+          |  GRAPH <urn:graph/geo> {
+          |    <urn:g/nation/3> <urn:p/inRegion> <urn:g/region/1> .
+          |  }
+          |} ;
+          |DELETE WHERE {
+          |  GRAPH <urn:graph/cust> {
+          |    ?s <urn:p/inNation> <urn:g/nation/7> .
+          |    ?s ?p ?o .
+          |  }
+          |}""".stripMargin)
+      graft.graphquery.DeltaStore.compact(s, store)
+      graft.graphquery.DeltaStore.serve(s, store)
+        .select(NTriples.quadLine(col("s"), col("p"), col("o"),
+          col("oIsIri"), col("oLang"), col("oDatatype"), col("g"))
+          .as("line"))
+    },
+
+    // X247 — SPARQL 1.1 Update §3.2 graph management, end-to-end: a
+    // derived N-Triples document (rendered by the proven q14 sink
+    // path) LOADs INTO a named graph through the X246 distributed
+    // source, ADD merges it into the default graph, MOVE rehomes the
+    // geo graph wholesale, and DROP removes the staging graph — the
+    // default-graph copy made by ADD survives, proving ADD copies
+    // rather than aliases. Final state renders through the q239
+    // N-Quads path; the oracle replays the whole sequence as set
+    // algebra (notes under NULL g, cust untouched, geo relabeled).
+    "q246_sparql_graph_mgmt" -> { (s, dir) =>
+      val root = new org.apache.hadoop.fs.Path(
+        s"/tmp/graft_q246_${math.abs(dir.hashCode)}")
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(root, true)
+      val store = s"$root/quads"
+      Bgp.dataset(
+        "urn:graph/cust" -> G.customers(s, dir),
+        "urn:graph/geo" -> G.geo(s, dir))
+        .write.parquet(store)
+      val r = t(s, dir, "region")
+      r.select(NTriples.line(
+        concat(lit("urn:g/region/"), col("r_regionkey")),
+        lit("urn:p/note"), col("r_name"), lit(false),
+        lit(null).cast("string"), lit(null).cast("string")).as("value"))
+        .write.text(s"$root/dump")
+      graft.graphquery.Sparql.update(s, store,
+        s"""LOAD <file:$root/dump> INTO GRAPH <urn:graph/loaded> ;
+           |ADD GRAPH <urn:graph/loaded> TO DEFAULT ;
+           |MOVE GRAPH <urn:graph/geo> TO GRAPH <urn:graph/geo2> ;
+           |DROP GRAPH <urn:graph/loaded>""".stripMargin)
+      s.read.parquet(store)
+        .select(NTriples.quadLine(col("s"), col("p"), col("o"),
+          col("oIsIri"), col("oLang"), col("oDatatype"), col("g"))
+          .as("line"))
+    },
+
     // SPARQL UPDATE (minimal §3.1 subset — beyond-parity: the
     // reference never mutates a store): a quad store materializes
     // fresh, then a `;`-sequence runs INSERT DATA (default + named
@@ -647,6 +756,46 @@ object RdfQueries {
         |         chr(9) || 'tab',
         |       false, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
         |FROM region""".stripMargin,
+      "geo" -> G.sql.geo, "cust" -> G.sql.customers),
+    // q249: three expected rows per region document — the @lang name,
+    // the typed order literal, and the skolemized anonymous bnode
+    // (parser counter starts at b1, file-scoped by construction).
+    "q249_turtle_many" ->
+      """SELECT 'region_' || r_regionkey || '.ttl' AS g,
+        |       'urn:g/region/' || r_regionkey AS s, 'urn:p/name' AS p,
+        |       r_name AS o, false AS oIsIri, 'en' AS oLang,
+        |       CAST(NULL AS VARCHAR) AS oDatatype
+        |FROM region
+        |UNION ALL
+        |SELECT 'region_' || r_regionkey || '.ttl',
+        |       'urn:g/region/' || r_regionkey, 'urn:p/order',
+        |       CAST(r_regionkey AS VARCHAR), false, CAST(NULL AS VARCHAR),
+        |       'http://www.w3.org/2001/XMLSchema#integer'
+        |FROM region
+        |UNION ALL
+        |SELECT 'region_' || r_regionkey || '.ttl',
+        |       'urn:bnode:region_' || r_regionkey || '.ttl:b1',
+        |       'urn:p/inDoc', 'urn:g/region/' || r_regionkey, true,
+        |       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |FROM region""".stripMargin,
+    // q246: the four-op §3.2 sequence as set algebra — region notes
+    // land in the DEFAULT graph (LOAD INTO a staging graph + ADD to
+    // default + DROP of the staging graph nets exactly that), geo's
+    // rows relabel to geo2 (MOVE), cust is untouched.
+    "q246_sparql_graph_mgmt" -> withTriples(
+      s"""SELECT ${NTriples.quadLineSql} AS line FROM (
+         |  SELECT 'urn:g/region/' || r_regionkey AS s, 'urn:p/note' AS p,
+         |         r_name AS o, false AS oIsIri,
+         |         CAST(NULL AS VARCHAR) AS oLang,
+         |         CAST(NULL AS VARCHAR) AS oDatatype,
+         |         CAST(NULL AS VARCHAR) AS g
+         |  FROM region
+         |  UNION ALL
+         |  SELECT s, p, o, oIsIri, oLang, oDatatype,
+         |         'urn:graph/cust' AS g FROM cust
+         |  UNION ALL
+         |  SELECT s, p, o, oIsIri, oLang, oDatatype,
+         |         'urn:graph/geo2' AS g FROM geo)""".stripMargin,
       "geo" -> G.sql.geo, "cust" -> G.sql.customers),
     // q240: the cross-graph join (each GRAPH scope is one predicate
     // slice of its graph), the minted triple, RDF set semantics
@@ -725,30 +874,14 @@ object RdfQueries {
          |     FROM customer WHERE c_custkey = 7) r
          |  WHERE q.s = r.n OR (q.oIsIri AND q.o = r.n))""".stripMargin,
       "geo" -> G.sql.geo, "cust" -> G.sql.customers),
+    // q247: the delta path converges to the administrative path's
+    // state on the same script by contract — same oracle as q242.
+    "q247_sparql_update_delta" -> q242Oracle,
     // q242: the three UPDATE ops as set algebra — cust minus every
     // nation-7 customer's triples, geo minus the one ground quad, plus
     // the two inserted rows (one default-graph, one named) — rendered
     // through the same quadLine replay q239 gates.
-    "q242_sparql_update" -> withTriples(
-      s"""SELECT ${NTriples.quadLineSql} AS line FROM (
-         |  SELECT s, p, o, oIsIri, oLang, oDatatype,
-         |         'urn:graph/cust' AS g FROM cust
-         |  WHERE s NOT IN (SELECT 'urn:g/customer/' || c_custkey
-         |                  FROM customer WHERE c_nationkey = 7)
-         |  UNION ALL
-         |  SELECT s, p, o, oIsIri, oLang, oDatatype,
-         |         'urn:graph/geo' AS g FROM geo
-         |  WHERE NOT (s = 'urn:g/nation/3' AND p = 'urn:p/inRegion'
-         |             AND o = 'urn:g/region/1')
-         |  UNION ALL
-         |  SELECT 'urn:i/audit', 'urn:p/status', 'patched', false,
-         |         'en', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
-         |  UNION ALL
-         |  SELECT 'urn:i/audit', 'urn:p/passes', '2', false,
-         |         CAST(NULL AS VARCHAR),
-         |         'http://www.w3.org/2001/XMLSchema#integer',
-         |         'urn:graph/cust')""".stripMargin,
-      "geo" -> G.sql.geo, "cust" -> G.sql.customers),
+    "q242_sparql_update" -> q242Oracle,
     // q237: the default-graph name pattern is a geo scan; GRAPH ?g can
     // only bind the cust graph (no other named graph holds inNation);
     // the GRAPH <geo> pattern is a second geo join.
@@ -1016,4 +1149,27 @@ object RdfQueries {
         |WHERE n.p = 'urn:p/name'
         |  AND (lower(n.oLang) = 'en' OR lower(n.oLang) LIKE 'en-%')""".stripMargin)
   )
+
+  /** Shared by q242 (administrative path) and q247 (delta path): both
+    * run the same three-op script, so both must land on this state. */
+  private lazy val q242Oracle: String = withTriples(
+    s"""SELECT ${NTriples.quadLineSql} AS line FROM (
+       |  SELECT s, p, o, oIsIri, oLang, oDatatype,
+       |         'urn:graph/cust' AS g FROM cust
+       |  WHERE s NOT IN (SELECT 'urn:g/customer/' || c_custkey
+       |                  FROM customer WHERE c_nationkey = 7)
+       |  UNION ALL
+       |  SELECT s, p, o, oIsIri, oLang, oDatatype,
+       |         'urn:graph/geo' AS g FROM geo
+       |  WHERE NOT (s = 'urn:g/nation/3' AND p = 'urn:p/inRegion'
+       |             AND o = 'urn:g/region/1')
+       |  UNION ALL
+       |  SELECT 'urn:i/audit', 'urn:p/status', 'patched', false,
+       |         'en', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+       |  UNION ALL
+       |  SELECT 'urn:i/audit', 'urn:p/passes', '2', false,
+       |         CAST(NULL AS VARCHAR),
+       |         'http://www.w3.org/2001/XMLSchema#integer',
+       |         'urn:graph/cust')""".stripMargin,
+    "geo" -> G.sql.geo, "cust" -> G.sql.customers)
 }

@@ -321,4 +321,48 @@ object Turtle {
       java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
     spark.createDataFrame(parseTriples(text).asJava, schema)
   }
+
+  /** Distributed MANY-DOCUMENT Turtle source (X250). Turtle's grammar
+    * is whole-document (prefix declarations scope to the file, `;`/`,`
+    * lists continue statements), so unlike N-Triples (X246 — splits by
+    * LINE) the parallel unit here is the FILE: one task parses one
+    * document, which is exactly the catalog-harvest shape — thousands
+    * of small .ttl descriptors, not one giant dump (a giant dump
+    * should be N-Quads; this source refuses nothing but will
+    * single-task it, documented).
+    *
+    * Returns the QUAD schema with `g` = the document's file name (last
+    * path segment): each document lands in its own named graph, so the
+    * result feeds [[graft.graphquery.Sparql.selectDataset]] /
+    * provenance-keeping sinks directly. Blank nodes are document-
+    * scoped per the RDF data model: labels skolemize under
+    * `urn:bnode:<fileName>:` — two documents' `[]` nodes can never
+    * merge, and the IRIs are deterministic across runs (file NAME, not
+    * the run-dependent full path). A malformed document fails loudly
+    * with its file name.
+    */
+  def readMany(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val docs = spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("src"), col("value"))
+      .as[(String, String)]
+    docs.flatMap { case (src, text) =>
+      val name = src.substring(src.lastIndexOf('/') + 1)
+      def skolem(v: String): String =
+        if (v.startsWith("_:")) s"urn:bnode:$name:${v.stripPrefix("_:")}"
+        else v
+      val rows =
+        try parseTriples(text)
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(
+            s"malformed Turtle document $name: ${e.getMessage}", e)
+        }
+      rows.map { r =>
+        (name, skolem(r.getString(0)), r.getString(1),
+          if (r.getBoolean(3)) skolem(r.getString(2)) else r.getString(2),
+          r.getBoolean(3), r.getString(4), r.getString(5))
+      }
+    }.toDF("g", "s", "p", "o", "oIsIri", "oLang", "oDatatype")
+  }
 }
