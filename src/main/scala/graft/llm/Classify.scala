@@ -103,6 +103,70 @@ object Classify {
           col("n_tokens") * lit(model.perTokenBias)).as("score"))
   }
 
+  /** Persist a trained model: vocab-sized weights parquet + a one-row
+    * constants table, swapped atomically so a serving stream never
+    * reads a half-written model. */
+  def saveModel(model: NbModel, dir: String): Unit = {
+    val spark = model.weights.sparkSession
+    graft.sources.ShardStore.overwriteAtomic(model.weights, s"$dir/weights")
+    import spark.implicits._
+    graft.sources.ShardStore.overwriteAtomic(
+      Seq((model.perTokenBias, model.prior)).toDF("perTokenBias", "prior"),
+      s"$dir/consts")
+  }
+
+  /** Load a [[saveModel]]-persisted model (healing a half-swapped
+    * write first, like every overwriteAtomic-maintained store). */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                dir: String): NbModel = {
+    require(graft.sources.ShardStore.existsRecovered(spark, s"$dir/consts"),
+      s"no NB model at $dir")
+    val c = spark.read.parquet(s"$dir/consts").head
+    NbModel(spark.read.parquet(s"$dir/weights"),
+      c.getAs[Long]("perTokenBias"), c.getAs[Long]("prior"))
+  }
+
+  /** Operating-point table for a scored, labeled corpus — the
+    * classifier twin of the ANN recall-vs-nprobe grid: every DISTINCT
+    * score is a candidate threshold θ (the standard ROC construction —
+    * between two observed scores every θ behaves identically), with
+    * integer confusion counts and F1 in ppm for `predict ⇔ score > θ`.
+    *
+    * Scale shape: one doc-level aggregate collapses the corpus to
+    * score-cardinality-sized rows (quantized integer scores cluster
+    * hard), then ONE global cumulative window over those rows. The
+    * window is single-partition by construction but its input is the
+    * distinct-score table, not the corpus — the same bounded-summary
+    * discipline as the quantile/histogram families.
+    */
+  def thresholdSweep(scored: DataFrame, scoreCol: String,
+                     label: Column): DataFrame = {
+    val perScore = scored.groupBy(col(scoreCol).as("threshold"))
+      .agg(sum(when(label, 1L).otherwise(0L)).as("_p"),
+        sum(when(label, 0L).otherwise(1L)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("threshold").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val totals = perScore.agg(sum("_p"), sum("_n")).head
+    val (allP, allN) = (totals.getLong(0), totals.getLong(1))
+    // predict positive ⇔ score > θ: everything STRICTLY above this row.
+    perScore
+      .withColumn("tp", coalesce(sum(col("_p")).over(w), lit(0L)))
+      .withColumn("fp", coalesce(sum(col("_n")).over(w), lit(0L)))
+      .select(col("threshold"), col("tp"), col("fp"),
+        (lit(allP) - col("tp")).as("fn"),
+        (lit(allN) - col("fp")).as("tn"))
+      .withColumn("f1_ppm",
+        expr("2 * tp * 1000000 div (2 * tp + fp + fn)"))
+  }
+
+  /** Mechanical operating-point pick off the sweep: the threshold
+    * maximizing F1; ties break to the HIGHEST threshold (strictest
+    * filter at equal quality). Bounded collect — one row. */
+  def tuneThreshold(sweep: DataFrame): Long =
+    sweep.orderBy(col("f1_ppm").desc, col("threshold").desc)
+      .select(col("threshold").cast("long")).head.getLong(0)
+
   /** The DuckDB replay of train+serve over a `documents`-shaped table
     * — one copy of the banding/smoothing algebra, shared by every
     * oracle that gates this classifier. `posSql` is a boolean SQL

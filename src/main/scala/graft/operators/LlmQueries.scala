@@ -117,6 +117,21 @@ object LlmQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X251 — the classifier's operating-point table (the q238
+    // recall-grid pattern for a learned filter): every distinct score
+    // is a candidate threshold, integer confusion counts + F1 ppm per
+    // row — the number an operator sets before unleashing the filter
+    // on a corpus. One corpus-collapsing aggregate, then a cumulative
+    // window over the score-cardinality-sized summary.
+    "q250_nb_threshold" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val model = Classify.nbTrain(d, "text", col("lang") === "en")
+      val scored = Classify.nbScore(d, "doc_id", "text", model)
+        .join(d.select(col("doc_id"), (col("lang") === "en").as("_is_en")),
+          Seq("doc_id"))
+      Classify.thresholdSweep(scored, "score", col("_is_en"))
+    },
+
     // X249 — learned corpus-curation classifier: bit-quantized
     // multinomial Naive Bayes (closed form — ONE corpus pass to train,
     // no GD iteration), trained here as a language-ID model (positive
@@ -1988,6 +2003,33 @@ object LlmQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q250: scored corpus → per-score class counts → one cumulative
+    // window (strictly-above = predicted positive) → integer F1 ppm.
+    "q250_nb_threshold" ->
+      s"""WITH scored AS (${Classify.nbScoreSql("documents", "lang = 'en'")}),
+         |lab AS (
+         |  SELECT s.score, d.lang = 'en' AS pos
+         |  FROM scored s JOIN documents d USING (doc_id)),
+         |per AS (
+         |  SELECT score AS threshold,
+         |         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         |         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n
+         |  FROM lab GROUP BY 1),
+         |cum AS (
+         |  SELECT threshold,
+         |         coalesce(CAST(sum(p) OVER (ORDER BY threshold DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS BIGINT), 0) AS tp,
+         |         coalesce(CAST(sum(n) OVER (ORDER BY threshold DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS BIGINT), 0) AS fp
+         |  FROM per),
+         |tot AS (SELECT CAST(sum(p) AS BIGINT) AS ap,
+         |               CAST(sum(n) AS BIGINT) AS an FROM per)
+         |SELECT threshold, tp, fp, ap - tp AS fn, an - fp AS tn,
+         |       CAST(2 * tp * 1000000 // (2 * tp + fp + (ap - tp))
+         |         AS BIGINT) AS f1_ppm
+         |FROM cum CROSS JOIN tot""".stripMargin,
     // q248: the whole NB train+serve replays in SQL (Classify keeps
     // ONE copy of the banding algebra for all callers); sums cast to
     // BIGINT — DuckDB's HUGEINT sum would hash-mismatch.

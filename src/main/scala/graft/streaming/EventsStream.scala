@@ -1151,6 +1151,30 @@ object EventsStream {
       }
       .start()
 
+  /** Streaming classifier gate: each micro-batch of documents scores
+    * against a [[graft.llm.Classify.saveModel]]-persisted NB model
+    * (frozen-model serving — the stream NEVER retrains; scoring is one
+    * token-keyed join against the vocab-sized weights + a per-doc
+    * aggregate) and the per-doc score log lands in a `batch_id=`
+    * partition under dynamic overwrite, so a replayed batch overwrites
+    * exactly its own rows. Downstream curation filters the log by the
+    * operating threshold ([[graft.llm.Classify.tuneThreshold]]). */
+  def classifySink(docs: DataFrame, idCol: String, textCol: String,
+                   modelDir: String, outDir: String, checkpointLoc: String,
+                   autoCompact: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointLoc)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val m = graft.llm.Classify.loadModel(batch.sparkSession, modelDir)
+        writeHistShard(
+          graft.llm.Classify.nbScore(batch, idCol, textCol, m), id, outDir)
+        maybeCompact(batch.sparkSession, outDir, autoCompact) {
+          graft.sources.ShardStore.compact(batch.sparkSession, outDir)
+        }
+      }
+      .start()
+
   /** Fold the [[decontamSink]] admission log's shards into one base
     * shard (identity fold — the log rows just re-land) so a long-lived
     * ingest gate's log stays one-partition-plus-live instead of one

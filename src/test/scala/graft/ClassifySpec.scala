@@ -51,4 +51,25 @@ class ClassifySpec extends SparkSpec {
       Classify.nbTrain(train.filter(col("pos")), "text", col("pos"))
     }
   }
+
+  // Scores on the training corpus: p1 → 2, p2 → 1, n1 → -2 (labels
+  // T, T, F). Candidate thresholds = distinct scores, predict ⇔ > θ:
+  //   θ=2:  tp=0 fp=0 fn=2 tn=1  f1 = 0
+  //   θ=1:  tp=1 fp=0 fn=1 tn=1  f1 = 2e6/3 = 666666
+  //   θ=-2: tp=2 fp=0 fn=0 tn=1  f1 = 1e6
+  test("threshold sweep matches the hand ROC; tuneThreshold picks the " +
+    "F1-max (highest θ on ties)") {
+    val m = Classify.nbTrain(train, "text", col("pos"))
+    val scored = Classify.nbScore(train, "doc_id", "text", m)
+      .join(train.select("doc_id", "pos"), Seq("doc_id"))
+    val sweep = Classify.thresholdSweep(scored, "score", col("pos"))
+    val got = sweep.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    assert(got == Map(
+      2L -> (0L, 0L, 2L, 1L, 0L),
+      1L -> (1L, 0L, 1L, 1L, 666666L),
+      -2L -> (2L, 0L, 0L, 1L, 1000000L)))
+    assert(Classify.tuneThreshold(sweep) == -2L)
+  }
 }

@@ -1224,6 +1224,54 @@ class MediaStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming: classifier gate — frozen-model scores equal the " +
+    "batch form; replayed batch overwrites in place") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("clsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("clsink-ck").toString
+    try {
+      val train = Seq(("p1", "good clean prose text", true),
+        ("p2", "clean text", true),
+        ("n1", "spam spam buy buy", false)).toDF("doc_id", "text", "pos")
+      val model = graft.llm.Classify.nbTrain(train, "text", col("pos"))
+      graft.llm.Classify.saveModel(model, s"$dir/model")
+      val mem = MemoryStream[(String, String)]
+      val q = graft.streaming.EventsStream.classifySink(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        modelDir = s"$dir/model", outDir = s"$dir/log",
+        checkpointLoc = ckpt)
+      val b1 = Seq(("d1", "clean prose text here"), ("d2", "buy spam now"))
+      val b2 = Seq(("d3", "totally unseen tokens everywhere"))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[String]("doc_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("score"))).toSet
+      val got = rows(spark.read.parquet(s"$dir/log")
+        .select("doc_id", "n_tokens", "score"))
+      val exp = rows(graft.llm.Classify.nbScore(
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text",
+        graft.llm.Classify.loadModel(spark, s"$dir/model")))
+      assert(got == exp, s"streamed score log diverged:\n$got\n$exp")
+      // Replayed batch: its shard overwrites itself, no duplicates.
+      graft.streaming.EventsStream.writeHistShard(
+        graft.llm.Classify.nbScore(b2.toDF("doc_id", "text"),
+          "doc_id", "text",
+          graft.llm.Classify.loadModel(spark, s"$dir/model")),
+        batchId = 1L, dir = s"$dir/log")
+      assert(rows(spark.read.parquet(s"$dir/log")
+        .select("doc_id", "n_tokens", "score")) == exp,
+        "replayed score batch duplicated rows")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+
   test("streaming: quantile index sink — merged shards equal the " +
     "per-batch batch sketches; replayed shard overwrites in place") {
     import spark.implicits._
