@@ -118,7 +118,7 @@ object DeltaStore {
       case InsertData(q) => Sparql.groundRows(q)
       case DeleteData(q) => Sparql.groundRows(q)
       case DeleteWhere(p) => Sparql.quadTemplate(p)
-      case Modify(del, ins, where) =>
+      case Modify(del, ins, where, _, _, _) =>
         require(del.nonEmpty || ins.nonEmpty,
           "modify needs a DELETE or INSERT template")
         require(where.nonEmpty, "modify needs a non-empty WHERE")
@@ -164,12 +164,14 @@ object DeltaStore {
       case InsertData(q) => (Sparql.groundQuads(spark, q), none)
       case DeleteData(q) => (none, Sparql.groundQuads(spark, q))
       case DeleteWhere(p) => (none, Sparql.deleteWhereQuads(cur, p))
-      case Modify(del, ins, where) =>
+      case Modify(del, ins, where, u, un, wg) =>
         // Both templates instantiate from the SAME pre-update
         // solutions; within one delta the fold ranks add over
         // tombstone — the delete-before-insert survival rule.
-        (if (ins.isEmpty) none else Sparql.instantiateQuads(cur, where, ins),
-         if (del.isEmpty) none else Sparql.instantiateQuads(cur, where, del))
+        (if (ins.isEmpty) none
+         else Sparql.instantiateQuads(cur, where, ins, u, un, wg),
+         if (del.isEmpty) none
+         else Sparql.instantiateQuads(cur, where, del, u, un, wg))
       case Load(doc, into, _) =>
         (Sparql.loadQuads(spark, doc, into), none)
       case Clear(target, silent, drop) =>

@@ -169,12 +169,18 @@ object Sparql {
   final case class InsertData(quads: Seq[Pattern]) extends UpdateOp
   final case class DeleteData(quads: Seq[Pattern]) extends UpdateOp
   final case class DeleteWhere(pattern: Seq[Pattern]) extends UpdateOp
-  /** The §3.1.3 modify form — `DELETE {tpl} INSERT {tpl} WHERE {pat}`
-    * (either template may be absent): both templates instantiate
-    * against the PRE-update store's WHERE solutions; deletes apply
-    * before inserts. */
+  /** The §3.1.3 modify form — `DELETE {tpl} INSERT {tpl} [USING
+    * [NAMED] <g>]* WHERE {pat}` (either template may be absent): both
+    * templates instantiate against the PRE-update store's WHERE
+    * solutions; deletes apply before inserts. USING/USING NAMED build
+    * the dataset the WHERE matches against (FROM/FROM NAMED semantics
+    * — §13.2 replacement); the TEMPLATES always apply to the store
+    * itself. */
   final case class Modify(deleteTpl: Seq[Pattern], insertTpl: Seq[Pattern],
-                          where: Seq[Pattern]) extends UpdateOp
+                          where: Seq[Pattern],
+                          using: Seq[String] = Nil,
+                          usingNamed: Seq[String] = Nil,
+                          withGraph: Option[String] = None) extends UpdateOp
 
   /** Graph-management forms (SPARQL 1.1 Update §3.2). */
   /** `LOAD [SILENT] <doc> [INTO GRAPH <g>]` — doc is a file/dfs IRI of
@@ -344,9 +350,39 @@ object Sparql {
     def parseConstructQuery(): ConstructQuery = {
       parsePrefixes()
       eatWord("CONSTRUCT")
-      val template = parseTemplate()
-      eatWord("WHERE")
-      val where = parseGroup()
+      // §10.1 `CONSTRUCT WHERE { … }` shortcut: the pattern is its own
+      // template. The spec restricts the group to a TriplesTemplate —
+      // plain triple patterns only (no FILTER/OPTIONAL/GRAPH/paths),
+      // enforced here so the template stays instantiable.
+      val (template, where) =
+        if (tryWord("WHERE")) {
+          val w = parseGroup()
+          val tris = w.map {
+            case t: Triple if (t.v match {
+              case PVar(_) | Path(Seq(Step(_, false, ' '))) => true
+              case _ => false
+            }) => t
+            case other => sys.error(
+              s"CONSTRUCT WHERE allows only plain triple patterns, got $other")
+          }
+          // Multi-step paths desugar into fresh `_pv_N` join variables
+          // BEFORE this check sees them — their presence means the
+          // source pattern was a path, which the §10.1 shortcut
+          // grammar (TriplesTemplate) excludes.
+          tris.foreach { t =>
+            Seq(t.s, t.o).foreach {
+              case V(x) if x.startsWith("_pv_") => sys.error(
+                "CONSTRUCT WHERE allows only plain triple patterns " +
+                  "(property path found)")
+              case _ => ()
+            }
+          }
+          (tris, w)
+        } else {
+          val tpl = parseTemplate()
+          eatWord("WHERE")
+          (tpl, parseGroup())
+        }
       val limit =
         if (tryWord("LIMIT")) Some(next() match {
           case TNum(s) => s.toInt
@@ -371,25 +407,41 @@ object Sparql {
       val ops = Seq.newBuilder[UpdateOp]
       var more = true
       while (more) {
+        // `WITH <g>` (§3.1.3) prefixes only the modify forms: bare
+        // template quads AND (absent a USING clause) bare WHERE
+        // patterns scope to <g> instead of the default graph.
+        val withG =
+          if (tryWord("WITH")) Some(iriArg("WITH"))
+          else None
         if (tryWord("INSERT")) {
-          // INSERT DATA {quads} | INSERT {tpl} WHERE {pat}
-          if (tryWord("DATA")) ops += InsertData(parseGroup())
-          else {
+          // INSERT DATA {quads} | INSERT {tpl} [USING…] WHERE {pat}
+          if (tryWord("DATA")) {
+            require(withG.isEmpty, "WITH applies only to modify forms")
+            ops += InsertData(parseGroup())
+          } else {
             val tpl = parseGroup()
+            val (u, un) = parseUsing()
             eatWord("WHERE")
-            ops += Modify(Nil, tpl, parseGroup())
+            ops += Modify(Nil, tpl, parseGroup(), u, un, withG)
           }
         } else if (tryWord("DELETE")) {
           // DELETE DATA {quads} | DELETE WHERE {pat} |
-          // DELETE {tpl} [INSERT {tpl}] WHERE {pat}
-          if (tryWord("DATA")) ops += DeleteData(parseGroup())
-          else if (tryWord("WHERE")) ops += DeleteWhere(parseGroup())
-          else {
+          // DELETE {tpl} [INSERT {tpl}] [USING…] WHERE {pat}
+          if (tryWord("DATA")) {
+            require(withG.isEmpty, "WITH applies only to modify forms")
+            ops += DeleteData(parseGroup())
+          } else if (tryWord("WHERE")) {
+            require(withG.isEmpty, "WITH applies only to modify forms")
+            ops += DeleteWhere(parseGroup())
+          } else {
             val del = parseGroup()
             val ins = if (tryWord("INSERT")) parseGroup() else Nil
+            val (u, un) = parseUsing()
             eatWord("WHERE")
-            ops += Modify(del, ins, parseGroup())
+            ops += Modify(del, ins, parseGroup(), u, un, withG)
           }
+        } else if (withG.isDefined) {
+          sys.error("WITH must be followed by a DELETE/INSERT modify form")
         } else if (tryWord("LOAD")) {
           val silent = tryWord("SILENT")
           val doc = iriArg("LOAD")
@@ -423,6 +475,18 @@ object Sparql {
       require(peek.isEmpty,
         s"expected ';' before the next update operation, got $peek")
       ops.result()
+    }
+
+    /** `(USING [NAMED] <iri>)*` between a modify's templates and its
+      * WHERE — returns (using, usingNamed). */
+    private def parseUsing(): (Seq[String], Seq[String]) = {
+      val u = Seq.newBuilder[String]
+      val un = Seq.newBuilder[String]
+      while (tryWord("USING")) {
+        if (tryWord("NAMED")) un += iriArg("USING NAMED")
+        else u += iriArg("USING")
+      }
+      (u.result(), un.result())
     }
 
     /** A plain or prefixed IRI argument of a graph-management form. */
@@ -1333,7 +1397,7 @@ object Sparql {
       case InsertData(quads) => groundRows(quads)
       case DeleteData(quads) => groundRows(quads)
       case DeleteWhere(pats) => quadTemplate(pats)
-      case Modify(del, ins, where) =>
+      case Modify(del, ins, where, _, _, _) =>
         require(del.nonEmpty || ins.nonEmpty,
           "modify needs a DELETE or INSERT template")
         require(where.nonEmpty, "modify needs a non-empty WHERE")
@@ -1389,16 +1453,17 @@ object Sparql {
       antiQuads(cur, groundQuads(spark, quads))
     case DeleteWhere(pats) =>
       antiQuads(cur, deleteWhereQuads(cur, pats))
-    case Modify(del, ins, where) =>
+    case Modify(del, ins, where, u, un, wg) =>
       // §3.1.3: BOTH templates instantiate against the PRE-update
       // store's solutions; deletes apply before inserts (so a quad
-      // both deleted and re-inserted survives).
+      // both deleted and re-inserted survives). USING/USING NAMED
+      // scope only the WHERE's dataset.
       val afterDel =
         if (del.isEmpty) cur
-        else antiQuads(cur, instantiateQuads(cur, where, del))
+        else antiQuads(cur, instantiateQuads(cur, where, del, u, un, wg))
       if (ins.isEmpty) afterDel
       else afterDel.unionByName(
-        antiQuads(instantiateQuads(cur, where, ins), afterDel))
+        antiQuads(instantiateQuads(cur, where, ins, u, un, wg), afterDel))
 
     case Load(doc, into, _) =>
       val incoming = loadQuads(spark, doc, into)
@@ -1570,11 +1635,36 @@ object Sparql {
     * solution's binding). Shared by DELETE WHERE (template == pattern)
     * and the §3.1.3 modify form's two templates. */
   private[graphquery] def instantiateQuads(store: DataFrame, where: Seq[Pattern],
-                               tpl: Seq[Pattern]): DataFrame = {
+                               tpl: Seq[Pattern],
+                               using: Seq[String] = Nil,
+                               usingNamed: Seq[String] = Nil,
+                               withGraph: Option[String] = None): DataFrame = {
     val quadPats = quadTemplate(tpl)
-    val sol = compileGroup(where,
-      store.filter(col("g").isNull).drop("g"),
-      store.filter(col("g").isNotNull))
+    // USING / USING NAMED build the dataset the WHERE matches against
+    // (FROM / FROM NAMED §13.2 replacement semantics — same merge +
+    // ground-triples caveat as selectDataset); absent, the WHERE sees
+    // the store's own default/named split — except under WITH, whose
+    // graph substitutes for the default graph on the WHERE side (a
+    // USING clause overrides WITH for the WHERE, per §3.1.3). The
+    // TEMPLATE always applies to the store, with WITH's graph as the
+    // bare template quads' destination.
+    val hasClause = using.nonEmpty || usingNamed.nonEmpty
+    val dfltView =
+      if (hasClause) {
+        if (using.nonEmpty) {
+          val merged = store.filter(col("g").isin(using: _*)).drop("g")
+          if (using.distinct.size > 1) merged.distinct() else merged
+        } else store.where(lit(false)).drop("g")
+      } else withGraph match {
+        case Some(wg) => store.filter(col("g") <=> lit(wg)).drop("g")
+        case None => store.filter(col("g").isNull).drop("g")
+      }
+    val namedView =
+      if (!hasClause) store.filter(col("g").isNotNull)
+      else if (usingNamed.nonEmpty)
+        store.filter(col("g").isin(usingNamed: _*))
+      else store.where(lit(false))
+    val sol = compileGroup(where, dfltView, namedView)
     val cols = sol.columns.toSet
     val nullStr = lit(null).cast("string")
     def bound(x: String, pos: String): Column = {
@@ -1584,7 +1674,10 @@ object Sparql {
     }
     val parts = quadPats.map { case (gt, Triple(ts, tv, to)) =>
       val gc = gt match {
-        case None => nullStr
+        // Bare template quads land in WITH's graph when present
+        // (§3.1.3), else the default graph.
+        case None => withGraph.map(wg => lit(wg).cast("string"))
+          .getOrElse(nullStr)
         case Some(I(iri)) => lit(iri).cast("string")
         case Some(V(gv)) => bound(gv, "graph").cast("string")
         case Some(other) => sys.error(s"bad GRAPH term $other")
@@ -1720,7 +1813,8 @@ object Sparql {
 
   private def compileQuery(q: Query, triples: DataFrame,
                            named: DataFrame,
-                           gVar: Option[String] = None): DataFrame = {
+                           gVar: Option[String] = None,
+                           keepMeta: Boolean = false): DataFrame = {
     var df = compileGroup(q.where, triples, named, gVar)
     // Aggregation (COUNT/SUM/MIN/MAX/AVG/GROUP_CONCAT/SAMPLE
     // projections) — one hash aggregate. Numeric aggregates cast the
@@ -1771,7 +1865,17 @@ object Sparql {
         case ProjCount(_, _, as) => as
         case ProjAgg(_, _, _, as, _) => as
       }
-    var out = df.select(projCols.map(col): _*)
+    // keepMeta (the W3C result serializers): carry each projected
+    // variable's term-metadata columns through projection and
+    // modifiers. DISTINCT then compares TERMS, not lexical forms —
+    // "a"@en and "a"@cs stay distinct solutions, which is the spec's
+    // semantics (the plain path keeps its historical value-distinct
+    // behavior for the oracle-gated queries).
+    val metaCols =
+      if (!keepMeta) Seq.empty[String]
+      else projCols.flatMap(v => Seq(v + IsIriSuffix, v + LangSuffix,
+        v + DtSuffix)).filter(df.columns.contains)
+    var out = df.select((projCols ++ metaCols).map(col): _*)
     if (q.distinct) out = out.distinct()
     // Solution modifiers in SPARQL algebra order: ORDER BY, then
     // OFFSET skips, then LIMIT takes. Ties within equal sort keys are
@@ -2273,5 +2377,111 @@ object Sparql {
           .otherwise(lc === rc)
         if (op == "=") cmp else !cmp
       }
+  }
+
+  // ------------------------------------------------ W3C result formats
+  // SPARQL 1.1 Query Results CSV/TSV (W3C REC sparql11-results-csv-tsv)
+  // and JSON (sparql11-results-json) serializers — the interop surface
+  // a SELECT endpoint actually emits. Each returns (header, lines):
+  // the header is one driver-side string (var list / the JSON "head"
+  // element), the body a DataFrame of one string per SOLUTION built
+  // from codegen'd builtins — serializing a billion-solution result is
+  // the same distributed scan as the query itself. Term kinds come
+  // from the projected variables' metadata columns (compileQuery
+  // keepMeta): a variable with no metadata column was only ever bound
+  // in an IRI position (subject/graph) and serializes as an IRI;
+  // present-but-null metadata (BIND/VALUES-minted) means plain
+  // literal, matching CONSTRUCT's rule; aggregate aliases are plain
+  // literals.
+
+  /** Solutions with metadata + ordered projected names + per-name
+    * no-meta default (true = IRI). */
+  private def metaSolutions(query: String, dflt: DataFrame,
+                            named: DataFrame)
+      : (Seq[(String, Boolean)], DataFrame) = {
+    val q = parse(query)
+    val sol = compileQuery(q, dflt, named, None, keepMeta = true)
+    val names: Seq[(String, Boolean)] =
+      if (q.star) sol.columns.toSeq.filterNot(isHidden).map(_ -> true)
+      else q.proj.map {
+        case ProjVar(v) => v -> true
+        case ProjCount(_, _, as) => as -> false
+        case ProjAgg(_, _, _, as, _) => as -> false
+      }
+    (names, sol)
+  }
+
+  private def termParts(sol: DataFrame, v: String, iriDefault: Boolean)
+      : (Column, Column, Column) = {
+    val cols = sol.columns.toSet
+    val nullStr = lit(null).cast("string")
+    val isIri =
+      if (cols(v + IsIriSuffix)) coalesce(col(v + IsIriSuffix), lit(false))
+      else lit(iriDefault)
+    val lang = if (cols(v + LangSuffix)) col(v + LangSuffix) else nullStr
+    val dt = if (cols(v + DtSuffix)) col(v + DtSuffix) else nullStr
+    (isIri, lang, dt)
+  }
+
+  /** TSV results (terms in N-Triples syntax, unbound = empty field).
+    * Returns (header line `?a\t?b`, one `line` per solution). */
+  def selectTsv(triples: DataFrame, query: String): (String, DataFrame) =
+    tsvOf(query, triples, noNamed(triples))
+
+  /** [[selectTsv]] over a dataset ([[selectDataset]]'s layout). */
+  def selectTsvDataset(dataset: DataFrame, query: String): (String, DataFrame) =
+    tsvOf(query, dataset.filter(col("g").isNull).drop("g"),
+      dataset.filter(col("g").isNotNull))
+
+  private def tsvOf(query: String, dflt: DataFrame,
+                    named: DataFrame): (String, DataFrame) = {
+    val (names, sol) = metaSolutions(query, dflt, named)
+    val fields = names.map { case (v, d) =>
+      val (isIri, lang, dt) = termParts(sol, v, d)
+      when(col(v).isNull, lit(""))
+        .otherwise(graft.rdf.NTriples.objectTerm(col(v), isIri, lang, dt))
+    }
+    (names.map("?" + _._1).mkString("\t"),
+      sol.select(concat_ws("\t", fields: _*).as("line")))
+  }
+
+  /** CSV results (plain lexical forms — IRIs bare, literals without
+    * quoting/lang/datatype markers — RFC 4180 field quoting; unbound =
+    * empty field). Returns (header line, one `line` per solution). */
+  def selectCsv(triples: DataFrame, query: String): (String, DataFrame) = {
+    val (names, sol) = metaSolutions(query, triples, noNamed(triples))
+    def rfc4180(c: Column): Column =
+      when(c.rlike("[,\"\n\r]"),
+        concat(lit("\""), replace(c, lit("\""), lit("\"\"")), lit("\"")))
+        .otherwise(c)
+    val fields = names.map { case (v, _) =>
+      when(col(v).isNull, lit("")).otherwise(rfc4180(col(v)))
+    }
+    (names.map(_._1).mkString(","),
+      sol.select(concat_ws(",", fields: _*).as("line")))
+  }
+
+  /** JSON results: (the document's `{"head":…` prefix, one BINDINGS
+    * object per solution). The full W3C document is the header +
+    * `"results":{"bindings":[` + the lines joined by `,` + `]}}` —
+    * kept as line-framed pieces so a billion-solution result streams
+    * instead of building one driver-side document. Unbound variables
+    * are omitted from their binding object per the spec. */
+  def selectJsonBindings(triples: DataFrame, query: String)
+      : (String, DataFrame) = {
+    val (names, sol) = metaSolutions(query, triples, noNamed(triples))
+    val head = "{\"head\":{\"vars\":[" +
+      names.map("\"" + _._1 + "\"").mkString(",") + "]}}"
+    val fields = names.map { case (v, d) =>
+      val (isIri, lang, dt) = termParts(sol, v, d)
+      when(col(v).isNotNull, struct(
+        when(isIri, lit("uri")).otherwise(lit("literal")).as("type"),
+        col(v).cast("string").as("value"),
+        when(!isIri, lang).otherwise(lit(null).cast("string"))
+          .as("xml:lang"),
+        when(!isIri, dt).otherwise(lit(null).cast("string"))
+          .as("datatype"))).as(v)
+    }
+    (head, sol.select(to_json(struct(fields: _*)).as("line")))
   }
 }

@@ -585,6 +585,27 @@ object RdfQueries {
       NTriples.readQuads(s, s"$root/dump")
     },
 
+    // X256 — the W3C SPARQL Results TSV serializer over a real SELECT:
+    // geo's mixed term kinds (IRIs, @lang + plain literals) plus q14's
+    // escape-torture notes stream through the codegen'd term renderer;
+    // the oracle rebuilds every line from the same objectTermSql
+    // mirror, so term syntax AND the escape chain are gated
+    // end-to-end. (CSV/JSON variants are exact-string sbt-gated.)
+    "q251_sparql_tsv" -> { (s, dir) =>
+      val r = t(s, dir, "region")
+      val nullStr = lit(null).cast("string")
+      val notes = r.select(
+        concat(lit("urn:g/region/"), col("r_regionkey")).as("s"),
+        lit("urn:p/note").as("p"),
+        concat(lit("say \""), col("r_name"), lit("\"\nback\\slash\ttab")).as("o"),
+        lit(false).as("oIsIri"), nullStr.as("oLang"), nullStr.as("oDatatype"))
+      val (header, lines) = graft.graphquery.Sparql.selectTsv(
+        G.geo(s, dir).unionByName(notes),
+        "SELECT ?s ?o WHERE { ?s ?p ?o . }")
+      require(header == "?s\t?o", s"unexpected TSV header: $header")
+      lines
+    },
+
     // X250 — the distributed MANY-DOCUMENT Turtle source: one .ttl
     // descriptor per region (prefixes, `;` continuation, @lang +
     // ^^typed literals, an anonymous blank node) written to disk,
@@ -757,6 +778,22 @@ object RdfQueries {
         |       false, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
         |FROM region""".stripMargin,
       "geo" -> G.sql.geo, "cust" -> G.sql.customers),
+    // q251: every geo + note triple as a TSV solution row — the
+    // subject in IRI brackets, the object through the SAME
+    // objectTermSql mirror the N-Triples renderers share.
+    "q251_sparql_tsv" -> withTriples(
+      s"""SELECT '<' || s || '>' || chr(9) || ${NTriples.objectTermSql}
+         |  AS line
+         |FROM (
+         |  SELECT * FROM geo
+         |  UNION ALL
+         |  SELECT 'urn:g/region/' || r_regionkey AS s, 'urn:p/note' AS p,
+         |         'say "' || r_name || '"' || chr(10) || 'back\\slash' ||
+         |           chr(9) || 'tab' AS o,
+         |         false AS oIsIri, CAST(NULL AS VARCHAR) AS oLang,
+         |         CAST(NULL AS VARCHAR) AS oDatatype
+         |  FROM region)""".stripMargin,
+      "geo" -> G.sql.geo),
     // q249: three expected rows per region document — the @lang name,
     // the typed order literal, and the skolemized anonymous bnode
     // (parser counter starts at b1, file-scoped by construction).

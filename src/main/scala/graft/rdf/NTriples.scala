@@ -68,21 +68,27 @@ object NTriples {
     * CASE, so an escaping fix cannot drift between the two renderers.
     * Lines must not begin with `|`: callers interpolate this into
     * their own stripMargin strings, which would eat it. */
-  private val tripleBodySql: String = {
+  /** DuckDB SQL mirror of [[objectTerm]] over (o, oIsIri, oLang,
+    * oDatatype) — shared by the line renderers below and the TSV
+    * result-format oracle (ONE copy of the escape chain). Must not
+    * begin with `|` (interpolated into stripMargin strings). */
+  val objectTermSql: String = {
     val esc = "replace(replace(replace(replace(replace(o," +
       " '\\', '\\\\')," +
       " '\"', '\\\"')," +
       " chr(10), '\\n')," +
       " chr(13), '\\r')," +
       " chr(9), '\\t')"
-    s"""'<' || s || '> <' || p || '> ' ||
-       |CASE WHEN oIsIri THEN '<' || o || '>'
+    s"""CASE WHEN oIsIri THEN '<' || o || '>'
        |     ELSE '"' || $esc || '"' ||
        |          CASE WHEN oLang IS NOT NULL THEN '@' || oLang
        |               WHEN oDatatype IS NOT NULL THEN '^^<' || oDatatype || '>'
        |               ELSE '' END
        |END""".stripMargin
   }
+
+  private val tripleBodySql: String =
+    s"'<' || s || '> <' || p || '> ' ||\n$objectTermSql"
 
   /** DuckDB SQL mirror of [[line]] over columns named
     * (s, p, o, oIsIri, oLang, oDatatype) — used by oracle queries.

@@ -57,6 +57,10 @@ class DeltaStoreSpec extends SparkSpec {
         |INSERT { GRAPH <urn:d/2> { ?s <urn:p/n> ?o .
         |                           ?s <urn:p/seen> "y" . } }
         |WHERE { GRAPH <urn:d/2> { ?s <urn:p/n> ?o . } }""".stripMargin,
+      // USING-scoped modify through the delta path.
+      """DELETE { ?s <urn:p/k> "v"@en . }
+        |USING <urn:d/2>
+        |WHERE { ?s <urn:p/seen> "y" . }""".stripMargin,
       // graph management through the delta path.
       """CLEAR DEFAULT ;
         |COPY GRAPH <urn:d/2> TO GRAPH <urn:d/3> ;

@@ -1299,6 +1299,117 @@ class SparqlParserSpec extends SparkSpec {
       new java.io.File(dir).getParentFile)
   }
 
+  test("CONSTRUCT WHERE shortcut (§10.1): the pattern is its own " +
+    "template; non-triple patterns are rejected") {
+    val geo = G.geo(spark, sf)
+    val shortcut = Sparql.construct(geo,
+      "CONSTRUCT WHERE { ?s <urn:p/inRegion> ?r . }")
+    val explicit = Sparql.construct(geo,
+      """CONSTRUCT { ?s <urn:p/inRegion> ?r . }
+        |WHERE { ?s <urn:p/inRegion> ?r . }""".stripMargin)
+    assert(rows(shortcut) == rows(explicit) && shortcut.count() > 0)
+    intercept[RuntimeException] {
+      Sparql.construct(geo,
+        "CONSTRUCT WHERE { ?s <urn:p/a>/<urn:p/b> ?o . }")
+    }
+    intercept[RuntimeException] {
+      Sparql.construct(geo,
+        "CONSTRUCT WHERE { ?s ?p ?o . FILTER(?p = \"x\") }")
+    }
+  }
+
+  test("SPARQL UPDATE USING / USING NAMED: the WHERE's dataset is the " +
+    "clause's (replacement semantics), templates still hit the store") {
+    val root = java.nio.file.Files.createTempDirectory("sparqlusing")
+    val dir = s"$root/quads"
+    def all() = Sparql.selectDataset(
+      spark.read.parquet(dir),
+      "SELECT ?g ?s ?p WHERE { { ?s ?p ?o } UNION " +
+        "{ GRAPH ?g { ?s ?p ?o } } }").collect()
+      .map(_.toSeq.mkString(",")).toSet
+    try {
+      Sparql.update(spark, dir,
+        """INSERT DATA {
+          |  <urn:i/a> <urn:p/keep> "1" .
+          |  <urn:i/b> <urn:p/keep> "1" .
+          |  <urn:i/c> <urn:p/keep> "1" .
+          |  GRAPH <urn:d/src1> { <urn:i/a> <urn:p/flag> "x" . }
+          |  GRAPH <urn:d/src2> { <urn:i/b> <urn:p/flag> "x" . } }"""
+          .stripMargin)
+      // USING <src1>: the WHERE's bare pattern reads src1 as its
+      // default graph — only ?s=a binds; the DELETE template hits the
+      // STORE's default graph.
+      Sparql.update(spark, dir,
+        """DELETE { ?s <urn:p/keep> "1" . }
+          |USING <urn:d/src1>
+          |WHERE { ?s <urn:p/flag> "x" . }""".stripMargin)
+      assert(all() == Set("null,urn:i/b,urn:p/keep", "null,urn:i/c,urn:p/keep",
+        "urn:d/src1,urn:i/a,urn:p/flag", "urn:d/src2,urn:i/b,urn:p/flag"))
+      // Replacement semantics: with a clause present, the store's real
+      // default graph is INVISIBLE to a bare WHERE pattern.
+      Sparql.update(spark, dir,
+        """INSERT { ?s <urn:p/u> "y" . }
+          |USING <urn:d/src1>
+          |WHERE { ?s <urn:p/keep> "1" . }""".stripMargin)
+      assert(all().size == 4, "bare WHERE saw the store's default graph " +
+        "despite a USING clause")
+      // USING NAMED <src2>: GRAPH ?g can only see src2.
+      Sparql.update(spark, dir,
+        """DELETE { ?s <urn:p/keep> "1" . }
+          |USING NAMED <urn:d/src2>
+          |WHERE { GRAPH ?g { ?s <urn:p/flag> "x" . } }""".stripMargin)
+      assert(all() == Set("null,urn:i/c,urn:p/keep",
+        "urn:d/src1,urn:i/a,urn:p/flag", "urn:d/src2,urn:i/b,urn:p/flag"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
+  test("SPARQL UPDATE WITH <g>: bare templates AND bare WHERE patterns " +
+    "scope to <g>; USING overrides the WHERE side; non-modify forms " +
+    "reject WITH") {
+    val root = java.nio.file.Files.createTempDirectory("sparqlwith")
+    val dir = s"$root/quads"
+    def all() = Sparql.selectDataset(
+      spark.read.parquet(dir),
+      "SELECT ?g ?s ?p WHERE { { ?s ?p ?o } UNION " +
+        "{ GRAPH ?g { ?s ?p ?o } } }").collect()
+      .map(_.toSeq.mkString(",")).toSet
+    try {
+      Sparql.update(spark, dir,
+        """INSERT DATA {
+          |  <urn:i/a> <urn:p/keep> "1" .
+          |  GRAPH <urn:d/w> { <urn:i/a> <urn:p/keep> "1" .
+          |                    <urn:i/a> <urn:p/flag> "x" . }
+          |  GRAPH <urn:d/o> { <urn:i/a> <urn:p/sel> "y" . } }""".stripMargin)
+      // WHERE's bare pattern reads <urn:d/w>; the bare DELETE template
+      // removes from <urn:d/w> — the REAL default graph's copy stays.
+      Sparql.update(spark, dir,
+        """WITH <urn:d/w>
+          |DELETE { ?s <urn:p/keep> "1" . }
+          |WHERE { ?s <urn:p/flag> "x" . }""".stripMargin)
+      assert(all() == Set("null,urn:i/a,urn:p/keep",
+        "urn:d/w,urn:i/a,urn:p/flag", "urn:d/o,urn:i/a,urn:p/sel"))
+      // WITH + INSERT: the minted quad lands IN <urn:d/w>.
+      Sparql.update(spark, dir,
+        """WITH <urn:d/w>
+          |INSERT { ?s <urn:p/new> "n" . }
+          |WHERE { ?s <urn:p/flag> "x" . }""".stripMargin)
+      assert(all().contains("urn:d/w,urn:i/a,urn:p/new"))
+      // USING overrides the WHERE side (reads <urn:d/o>), while the
+      // template still lands in WITH's graph.
+      Sparql.update(spark, dir,
+        """WITH <urn:d/w>
+          |INSERT { ?s <urn:p/viaUsing> "u" . }
+          |USING <urn:d/o>
+          |WHERE { ?s <urn:p/sel> "y" . }""".stripMargin)
+      assert(all().contains("urn:d/w,urn:i/a,urn:p/viaUsing"))
+      // WITH on non-modify forms is a loud parse error.
+      intercept[RuntimeException] { Sparql.update(spark, dir,
+        "WITH <urn:d/w> INSERT DATA { <urn:i/z> <urn:p/k> \"v\" . }") }
+      intercept[RuntimeException] { Sparql.update(spark, dir,
+        "WITH <urn:d/w> CLEAR DEFAULT") }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
   // ------------------------------------------- §3.2 graph management
 
   test("SPARQL UPDATE LOAD: the distributed N-Quads source feeds the " +
