@@ -424,6 +424,8 @@ object NativeExpressions {
     // kernel (graft.rdf.NtParse). The prefix must be a string literal —
     // it is folded into the generated code once, not evaluated per row.
     "nt_parse" -> (args => {
+      require(args.length == 2,
+        s"nt_parse takes (line, 'skolemPrefix'), got ${args.length} args")
       val prefix = args(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(u: UTF8String, StringType) =>
           u.toString

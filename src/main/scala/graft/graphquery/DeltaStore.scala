@@ -26,19 +26,23 @@ import org.apache.spark.sql.functions._
   * swept by the next writer; a reader never sees a partial delta.
   *
   * Serve-time fold ([[serve]]): presence of a quad = its LAST op is an
-  * add, or it is in the base and untouched. One hash aggregate over
-  * the deltas keyed by the full quad (`max(struct(delta_id, op))` —
-  * within one statement add outranks tombstone, which is exactly the
-  * §3.1.3 delete-before-insert survival rule) + one anti-join against
-  * the base. Serve cost grows with the DELTA pile, which is what
-  * [[compact]] bounds: fold deltas ≤ horizon into the base through the
-  * [[graft.sources.ShardStore.overwriteAtomic]] swap, then drop them —
-  * idempotent under a crash at any point (re-applying folded deltas to
-  * the already-folded base is a fixpoint: the anti-join removes the
-  * touched rows the adds put back).
+  * add, or it is in the base and untouched/uncovered. One hash
+  * aggregate over the quad-op deltas (`max(struct(delta_id, op))` —
+  * within one statement add outranks tombstone, the §3.1.3
+  * delete-before-insert survival rule) + one anti-join against the
+  * base, plus a statement-count-bounded GRAPH-op cover list (CLEAR/
+  * DROP/COPY/MOVE tombstones are O(1) rows, never store-sized). Serve
+  * cost grows with the DELTA pile, which is what [[compact]] bounds:
+  * fold deltas ≤ horizon into the base through the
+  * [[graft.sources.ShardStore.overwriteAtomic]] swap; physical delta
+  * deletion is DEFERRED one compact cycle (`_horizon` marker) so a
+  * concurrent serve's pinned file listing stays readable — re-folding
+  * retained deltas is a fixpoint.
   *
   * Same single-writer contract as every overwriteAtomic-maintained
-  * index here; concurrent serves are safe at every instant.
+  * index here; concurrent serves are safe given compactions spaced
+  * further apart than the longest-running query (the deferred-vacuum
+  * retention contract).
   * DELETE WHERE / modify / CLEAR / ADD/COPY/MOVE compile their
   * solutions against the CURRENT folded view, so tombstones are exact
   * quads — the fold never re-runs a pattern.
@@ -86,20 +90,56 @@ object DeltaStore {
       .parquet(live.map(i => s"$dir/delta/delta_id=$i"): _*))
   }
 
-  /** The folded view: base minus touched quads, plus quads whose LAST
-    * op is an add. `upTo` bounds the deltas folded (compaction's
-    * horizon); None folds everything committed. */
+  /** The folded view: base minus touched/covered quads, plus quads
+    * whose LAST op survives. `upTo` bounds the deltas folded
+    * (compaction's horizon); None folds everything committed.
+    *
+    * Two tombstone kinds fold together:
+    *  - QUAD ops (op 0 = delete, 1 = add): one hash aggregate
+    *    `max(struct(delta_id, op))` per touched quad — within one
+    *    statement add outranks tombstone (the §3.1.3
+    *    delete-before-insert survival rule).
+    *  - GRAPH ops (op 2 — CLEAR/DROP and the clear half of COPY/MOVE,
+    *    O(1) rows each: scope in the `s` slot, target graph in `g`):
+    *    a row is COVERED by the latest graph op matching its graph;
+    *    base rows die under any cover, a quad add survives iff its
+    *    delta_id ≥ the cover (≥, not >: COPY/MOVE clear and re-add in
+    *    the SAME statement). The graph-op list is statement-count-
+    *    bounded (and compaction clears it), carried as ONE collected
+    *    array on a 1-row broadcast — the whitelisted scalar-broadcast
+    *    pattern, no per-row join.
+    */
   private def folded(spark: SparkSession, dir: String,
                      upTo: Option[Long] = None): DataFrame =
     deltaDf(spark, dir, upTo) match {
       case None => baseDf(spark, dir)
       case Some(d) =>
-        val last = d.groupBy(QuadCols.map(col): _*)
-          .agg(max(struct(col("delta_id"), col("op"))).as("_m"))
         val base = baseDf(spark, dir)
-        Sparql.antiQuads(base, last.select(QuadCols.map(col): _*))
-          .unionByName(last.filter(col("_m.op") === 1)
-            .select(QuadCols.map(col): _*))
+        val qops = d.filter(col("op") <= 1)
+        val gops = d.filter(col("op") === 2)
+          .agg(collect_list(struct(col("s").as("scope"), col("g"),
+            col("delta_id").cast("long").as("id"))).as("_gops"))
+        def withCov(df: DataFrame): DataFrame =
+          df.crossJoin(broadcast(gops)).withColumn("_cov",
+            aggregate(col("_gops"), lit(-1L), (acc, x) =>
+              greatest(acc, when(
+                x.getField("scope") === "all" ||
+                  (x.getField("scope") === "named" && col("g").isNotNull) ||
+                  (x.getField("scope") === "default" && col("g").isNull) ||
+                  (x.getField("scope") === "graph" &&
+                    (col("g") <=> x.getField("g"))),
+                x.getField("id")).otherwise(lit(-1L)))))
+            .drop("_gops")
+        val last = qops.groupBy(QuadCols.map(col): _*)
+          .agg(max(struct(col("delta_id").cast("long").as("delta_id"),
+            col("op"))).as("_m"))
+        val base2 = withCov(
+          Sparql.antiQuads(base, last.select(QuadCols.map(col): _*)))
+          .filter(col("_cov") === -1L)
+        val adds2 = withCov(last).filter(col("_m.op") === 1 &&
+          col("_m.delta_id") >= col("_cov"))
+        base2.select(QuadCols.map(col): _*)
+          .unionByName(adds2.select(QuadCols.map(col): _*))
     }
 
   /** Current store contents (the read surface — feed it to
@@ -160,10 +200,17 @@ object DeltaStore {
                         op: UpdateOp): Unit = {
     val cur = folded(spark, dir)
     val none = emptyQuads(spark)
-    val (adds, dels): (DataFrame, DataFrame) = op match {
-      case InsertData(q) => (Sparql.groundQuads(spark, q), none)
-      case DeleteData(q) => (none, Sparql.groundQuads(spark, q))
-      case DeleteWhere(p) => (none, Sparql.deleteWhereQuads(cur, p))
+    val noClear = Seq.empty[(String, Option[String])]
+    // clears: ("graph", Some(iri)) | ("default"|"named"|"all", None) —
+    // each ONE op=2 row in the delta, never a store-sized tombstone
+    // set (the O(statement) contract holds for CLEAR/DROP too; the
+    // adds of COPY/MOVE are O(source graph), which is the data
+    // actually moving).
+    val (adds, dels, clears): (DataFrame, DataFrame,
+        Seq[(String, Option[String])]) = op match {
+      case InsertData(q) => (Sparql.groundQuads(spark, q), none, noClear)
+      case DeleteData(q) => (none, Sparql.groundQuads(spark, q), noClear)
+      case DeleteWhere(p) => (none, Sparql.deleteWhereQuads(cur, p), noClear)
       case Modify(del, ins, where, u, un, wg) =>
         // Both templates instantiate from the SAME pre-update
         // solutions; within one delta the fold ranks add over
@@ -171,21 +218,22 @@ object DeltaStore {
         (if (ins.isEmpty) none
          else Sparql.instantiateQuads(cur, where, ins, u, un, wg),
          if (del.isEmpty) none
-         else Sparql.instantiateQuads(cur, where, del, u, un, wg))
+         else Sparql.instantiateQuads(cur, where, del, u, un, wg),
+         noClear)
       case Load(doc, into, _) =>
-        (Sparql.loadQuads(spark, doc, into), none)
+        (Sparql.loadQuads(spark, doc, into), none, noClear)
       case Clear(target, silent, drop) =>
-        val doomed = target match {
+        val scope = target match {
           case OneGraph(i) =>
             if (!silent)
               require(!cur.filter(col("g") <=> lit(i)).isEmpty,
                 s"${if (drop) "DROP" else "CLEAR"} GRAPH: no graph <$i> in store")
-            cur.filter(col("g") <=> lit(i))
-          case DefaultGraph => cur.filter(col("g").isNull)
-          case AllNamed => cur.filter(col("g").isNotNull)
-          case AllGraphs => cur
+            ("graph", Some(i))
+          case DefaultGraph => ("default", None)
+          case AllNamed => ("named", None)
+          case AllGraphs => ("all", None)
         }
-        (none, doomed)
+        (none, none, Seq(scope))
       case Create(g, silent) =>
         if (!silent)
           require(cur.filter(col("g") <=> lit(g)).isEmpty,
@@ -195,6 +243,8 @@ object DeltaStore {
         if (src == dst) return
         def inSide(r: Option[String]) =
           r.map(i => col("g") <=> lit(i)).getOrElse(col("g").isNull)
+        def scopeOf(r: Option[String]) =
+          r.map(i => ("graph", Some(i))).getOrElse(("default", None))
         val srcRows = cur.filter(inSide(src))
         if (src.isDefined && srcRows.isEmpty) {
           if (silent) return
@@ -205,31 +255,80 @@ object DeltaStore {
             .getOrElse(lit(null).cast("string")))
           .select(QuadCols.map(col): _*)
         kind match {
-          case "ADD" => (relabeled, none)
-          case "COPY" => (relabeled, cur.filter(inSide(dst)))
+          case "ADD" => (relabeled, none, noClear)
+          case "COPY" => (relabeled, none, Seq(scopeOf(dst)))
           case "MOVE" =>
-            (relabeled, cur.filter(inSide(dst) || inSide(src)))
+            (relabeled, none, Seq(scopeOf(dst), scopeOf(src)))
           case other => sys.error(s"unknown transfer $other")
         }
     }
     val fs = fsOf(spark, dir)
-    val id = deltaIds(spark, dir).lastOption.getOrElse(-1L) + 1
+    // Monotonic ids across compactions: folded deltas eventually
+    // delete, but the horizon marker keeps their ids retired forever —
+    // id reuse would let a fresh delta fall inside the next compact's
+    // deferred-delete range before surviving a grace cycle.
+    val id = math.max(deltaIds(spark, dir).lastOption.getOrElse(-1L),
+      readHorizon(spark, dir)) + 1
     val tmp = new Path(s"$dir/delta/_tmp_$id")
     val fin = new Path(s"$dir/delta/delta_id=$id")
+    import scala.jdk.CollectionConverters._
+    val opSchema = org.apache.spark.sql.types.StructType(
+      Sparql.quadSchema.fields :+ org.apache.spark.sql.types.StructField(
+        "op", org.apache.spark.sql.types.IntegerType))
+    val clearRows = spark.createDataFrame(
+      clears.map { case (scope, g) => org.apache.spark.sql.Row(
+        g.orNull, scope, null, null, null, null, null, 2) }.asJava, opSchema)
     val rows = adds.select(QuadCols.map(col): _*).withColumn("op", lit(1))
       .unionByName(dels.select(QuadCols.map(col): _*)
         .withColumn("op", lit(0)))
+      .unionByName(clearRows)
     rows.write.mode("overwrite").parquet(tmp.toString)
     require(fs.rename(tmp, fin), s"delta publish rename failed: $fin")
   }
 
-  /** Fold all committed deltas into the base and drop them. Crash-safe
-    * at every point: the base swap is [[graft.sources.ShardStore
-    * .overwriteAtomic]]; a crash between the swap and the delta
-    * deletes re-applies the folded deltas on the next serve — a no-op
-    * by construction (their adds are already in the base, their
-    * tombstones already absent). Deltas landing AFTER the horizon
-    * listing are untouched. No-op when no deltas exist. */
+  private def horizonPath(dir: String) = new Path(s"$dir/_horizon")
+
+  /** Last compaction's fold horizon (-1 before the first compact). */
+  private def readHorizon(spark: SparkSession, dir: String): Long = {
+    val fs = fsOf(spark, dir)
+    val p = horizonPath(dir)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeHorizon(spark: SparkSession, dir: String, h: Long): Unit = {
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(s"$dir/_horizon__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(h.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(horizonPath(dir), false)
+    require(fs.rename(tmp, horizonPath(dir)),
+      s"horizon marker rename failed: $dir")
+  }
+
+  /** Fold all committed deltas into the base; physically DELETE only
+    * deltas already folded by the PREVIOUS compact (the `_horizon`
+    * marker) — a vacuum-style grace period of one full compact cycle,
+    * so a concurrent serve whose plan pinned the delta listing keeps
+    * readable files. Re-folding retained-but-folded deltas is a
+    * fixpoint (quad ops: their adds are already in the base, their
+    * tombstones already absent; graph ops: any base row a retained
+    * graph-op covers was re-established by a retained quad-add with a
+    * HIGHER id — fold order guarantees it — and ascending-id deletion
+    * removes the suppressor before its re-adder, so even a mid-delete
+    * listing folds correctly). Operators should space compactions
+    * further apart than their longest-running query — the same
+    * retention contract every deferred-vacuum table format documents.
+    * Crash-safe at every point: base swap via overwriteAtomic; a crash
+    * before the deletes or the marker write just retries the grace
+    * cycle. No-op when no deltas exist. */
   def compact(spark: SparkSession, dir: String,
               partitionBy: Seq[String] = Nil): Unit = {
     val lock = Sparql.storeLocks.computeIfAbsent(
@@ -239,13 +338,15 @@ object DeltaStore {
     try {
       val ids = deltaIds(spark, dir)
       if (ids.isEmpty) return
-      val horizon = ids.last
+      val hPrev = readHorizon(spark, dir)
+      val hNew = ids.last
       graft.sources.ShardStore.overwriteAtomic(
-        folded(spark, dir, Some(horizon)), s"$dir/base", partitionBy)
+        folded(spark, dir, Some(hNew)), s"$dir/base", partitionBy)
       val fs = fsOf(spark, dir)
-      ids.filter(_ <= horizon).foreach { i =>
+      ids.filter(_ <= hPrev).sorted.foreach { i =>
         fs.delete(new Path(s"$dir/delta/delta_id=$i"), true)
       }
+      if (hNew > hPrev) writeHorizon(spark, dir, hNew)
     } finally lock.unlock()
   }
 }

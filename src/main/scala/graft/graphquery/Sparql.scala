@@ -1403,7 +1403,6 @@ object Sparql {
         require(where.nonEmpty, "modify needs a non-empty WHERE")
         if (del.nonEmpty) quadTemplate(del)
         if (ins.nonEmpty) quadTemplate(ins)
-      case GraphXfer(_, src, dst, _) if src == dst => () // no-op by spec
       case _: Load | _: Clear | _: Create | _: GraphXfer => () // parse-valid
     }
     // Serialize same-JVM updates per store; concurrent cross-process
@@ -1529,7 +1528,16 @@ object Sparql {
     val path =
       if (doc.startsWith("file:")) new java.net.URI(doc).getPath
       else doc
-    val q = graft.rdf.NTriples.readQuads(spark, path)
+    // Skolem prefix derived from the DOCUMENT IRI: `_:b1` in two
+    // different loaded documents stays two resources (blank-node
+    // labels are document-scoped in the RDF data model — a shared
+    // default prefix would conflate them under set semantics), while
+    // re-LOADing the same document stays idempotent.
+    val docTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(doc.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val q = graft.rdf.NTriples.readQuads(spark, path,
+      skolemPrefix = s"urn:bnode:$docTag:")
     val homed = into.map(i => q.withColumn("g", lit(i).cast("string")))
       .getOrElse(q)
     homed.select(QuadCols.map(col): _*)
@@ -2448,8 +2456,17 @@ object Sparql {
   /** CSV results (plain lexical forms — IRIs bare, literals without
     * quoting/lang/datatype markers — RFC 4180 field quoting; unbound =
     * empty field). Returns (header line, one `line` per solution). */
-  def selectCsv(triples: DataFrame, query: String): (String, DataFrame) = {
-    val (names, sol) = metaSolutions(query, triples, noNamed(triples))
+  def selectCsv(triples: DataFrame, query: String): (String, DataFrame) =
+    csvOf(query, triples, noNamed(triples))
+
+  /** [[selectCsv]] over a dataset ([[selectDataset]]'s layout). */
+  def selectCsvDataset(dataset: DataFrame, query: String): (String, DataFrame) =
+    csvOf(query, dataset.filter(col("g").isNull).drop("g"),
+      dataset.filter(col("g").isNotNull))
+
+  private def csvOf(query: String, dflt: DataFrame,
+                    named: DataFrame): (String, DataFrame) = {
+    val (names, sol) = metaSolutions(query, dflt, named)
     def rfc4180(c: Column): Column =
       when(c.rlike("[,\"\n\r]"),
         concat(lit("\""), replace(c, lit("\""), lit("\"\"")), lit("\"")))
@@ -2468,8 +2485,19 @@ object Sparql {
     * instead of building one driver-side document. Unbound variables
     * are omitted from their binding object per the spec. */
   def selectJsonBindings(triples: DataFrame, query: String)
-      : (String, DataFrame) = {
-    val (names, sol) = metaSolutions(query, triples, noNamed(triples))
+      : (String, DataFrame) =
+    jsonOf(query, triples, noNamed(triples))
+
+  /** [[selectJsonBindings]] over a dataset ([[selectDataset]]'s
+    * layout). */
+  def selectJsonBindingsDataset(dataset: DataFrame, query: String)
+      : (String, DataFrame) =
+    jsonOf(query, dataset.filter(col("g").isNull).drop("g"),
+      dataset.filter(col("g").isNotNull))
+
+  private def jsonOf(query: String, dflt: DataFrame,
+                     named: DataFrame): (String, DataFrame) = {
+    val (names, sol) = metaSolutions(query, dflt, named)
     val head = "{\"head\":{\"vars\":[" +
       names.map("\"" + _._1 + "\"").mkString(",") + "]}}"
     val fields = names.map { case (v, d) =>

@@ -58,16 +58,22 @@ object Classify {
   final case class NbModel(weights: DataFrame, perTokenBias: Long,
                            prior: Long)
 
-  /** Train on `docs` where `pos` marks the positive class. One corpus
-    * pass; errors loudly if either class is empty (an NB prior over
-    * zero docs is undefined — a silent 0 would misclassify
-    * everything). */
+  /** Train on `docs` where `pos` marks the positive class. Two corpus
+    * passes — the doc-count scan and the token aggregate — and no
+    * ITERATION (the closed form is why this ships instead of a k-pass
+    * gradient loop at 100 TB). The token aggregate is materialized
+    * once (vocab-sized `localCheckpoint`): without it, the returned
+    * weights plan would re-run the corpus explode+aggregate inside
+    * EVERY downstream serve join. Errors loudly if either class is
+    * empty (an NB prior over zero docs is undefined — a silent 0
+    * would misclassify everything). */
   def nbTrain(docs: DataFrame, textCol: String, pos: Column): NbModel = {
     val tok = docs.select(pos.as("_pos"),
       explode(TextAnalysis.tokens(col(textCol))).as("_t"))
     val cls = tok.groupBy(col("_t")).agg(
       sum(when(col("_pos"), 1L).otherwise(0L)).as("_c1"),
       sum(when(col("_pos"), 0L).otherwise(1L)).as("_c0"))
+      .localCheckpoint()
     val weights = cls.select(col("_t"),
       (band(col("_c1") + 1) - band(col("_c0") + 1)).as("_w"))
     // Bounded driver-side scalars: token totals, vocab size, doc
@@ -144,18 +150,21 @@ object Classify {
     val perScore = scored.groupBy(col(scoreCol).as("threshold"))
       .agg(sum(when(label, 1L).otherwise(0L)).as("_p"),
         sum(when(label, 0L).otherwise(1L)).as("_n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("threshold").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val totals = perScore.agg(sum("_p"), sum("_n")).head
-    val (allP, allN) = (totals.getLong(0), totals.getLong(1))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("threshold").desc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    // Class totals as a whole-frame window over the SAME summary rows
+    // — one plan, one corpus pass (an eager totals collect would
+    // recompute the corpus aggregate a second time).
+    val all = W.orderBy(col("threshold").desc)
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     // predict positive ⇔ score > θ: everything STRICTLY above this row.
     perScore
       .withColumn("tp", coalesce(sum(col("_p")).over(w), lit(0L)))
       .withColumn("fp", coalesce(sum(col("_n")).over(w), lit(0L)))
-      .select(col("threshold"), col("tp"), col("fp"),
-        (lit(allP) - col("tp")).as("fn"),
-        (lit(allN) - col("fp")).as("tn"))
+      .withColumn("fn", sum(col("_p")).over(all) - col("tp"))
+      .withColumn("tn", sum(col("_n")).over(all) - col("fp"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"))
       .withColumn("f1_ppm",
         expr("2 * tp * 1000000 div (2 * tp + fp + fn)"))
   }

@@ -635,6 +635,39 @@ object RdfQueries {
       graft.rdf.Turtle.readMany(s, s"$root/docs")
     },
 
+    // X248+X247 composed — q246's LOAD/ADD/MOVE/DROP sequence through
+    // the DELTA path: the graph-management ops fold as O(1) cover
+    // tombstones (never store-sized deltas), a mid-query compact
+    // exercises the graph-op fold into the base, and the served state
+    // must equal the administrative path's — q246's own oracle.
+    "q252_graph_mgmt_delta" -> { (s, dir) =>
+      val root = new org.apache.hadoop.fs.Path(
+        s"/tmp/graft_q252_${math.abs(dir.hashCode)}")
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(root, true)
+      val store = s"$root/quads"
+      Bgp.dataset(
+        "urn:graph/cust" -> G.customers(s, dir),
+        "urn:graph/geo" -> G.geo(s, dir))
+        .write.parquet(s"$store/base")
+      val r = t(s, dir, "region")
+      r.select(NTriples.line(
+        concat(lit("urn:g/region/"), col("r_regionkey")),
+        lit("urn:p/note"), col("r_name"), lit(false),
+        lit(null).cast("string"), lit(null).cast("string")).as("value"))
+        .write.text(s"$root/dump")
+      graft.graphquery.DeltaStore.update(s, store,
+        s"""LOAD <file:$root/dump> INTO GRAPH <urn:graph/loaded> ;
+           |ADD GRAPH <urn:graph/loaded> TO DEFAULT ;
+           |MOVE GRAPH <urn:graph/geo> TO GRAPH <urn:graph/geo2> ;
+           |DROP GRAPH <urn:graph/loaded>""".stripMargin)
+      graft.graphquery.DeltaStore.compact(s, store)
+      graft.graphquery.DeltaStore.serve(s, store)
+        .select(NTriples.quadLine(col("s"), col("p"), col("o"),
+          col("oIsIri"), col("oLang"), col("oDatatype"), col("g"))
+          .as("line"))
+    },
+
     // X248 — the write-heavy DELTA-STAGED update path: the exact q242
     // op sequence (INSERT DATA / DELETE DATA / DELETE WHERE) lands as
     // O(statement)-sized delta shards over a pre-existing base (never
@@ -819,21 +852,12 @@ object RdfQueries {
     // land in the DEFAULT graph (LOAD INTO a staging graph + ADD to
     // default + DROP of the staging graph nets exactly that), geo's
     // rows relabel to geo2 (MOVE), cust is untouched.
-    "q246_sparql_graph_mgmt" -> withTriples(
-      s"""SELECT ${NTriples.quadLineSql} AS line FROM (
-         |  SELECT 'urn:g/region/' || r_regionkey AS s, 'urn:p/note' AS p,
-         |         r_name AS o, false AS oIsIri,
-         |         CAST(NULL AS VARCHAR) AS oLang,
-         |         CAST(NULL AS VARCHAR) AS oDatatype,
-         |         CAST(NULL AS VARCHAR) AS g
-         |  FROM region
-         |  UNION ALL
-         |  SELECT s, p, o, oIsIri, oLang, oDatatype,
-         |         'urn:graph/cust' AS g FROM cust
-         |  UNION ALL
-         |  SELECT s, p, o, oIsIri, oLang, oDatatype,
-         |         'urn:graph/geo2' AS g FROM geo)""".stripMargin,
-      "geo" -> G.sql.geo, "cust" -> G.sql.customers),
+    "q246_sparql_graph_mgmt" -> q246Oracle,
+    // q252: the DELTA path on the same four-op sequence converges to
+    // the same state by contract — same oracle as q246, with the
+    // graph-management ops folding as O(1) tombstones instead of
+    // store rewrites.
+    "q252_graph_mgmt_delta" -> q246Oracle,
     // q240: the cross-graph join (each GRAPH scope is one predicate
     // slice of its graph), the minted triple, RDF set semantics
     // (DISTINCT — every template instantiation is IRI-only here).
@@ -1208,5 +1232,25 @@ object RdfQueries {
        |         CAST(NULL AS VARCHAR),
        |         'http://www.w3.org/2001/XMLSchema#integer',
        |         'urn:graph/cust')""".stripMargin,
+    "geo" -> G.sql.geo, "cust" -> G.sql.customers)
+
+  /** Shared by q246 (administrative path) and q252 (delta path): both
+    * run the same LOAD/ADD/MOVE/DROP sequence, so both must land on
+    * this state — notes in the default graph, geo relabeled to geo2,
+    * cust untouched. */
+  private lazy val q246Oracle: String = withTriples(
+    s"""SELECT ${NTriples.quadLineSql} AS line FROM (
+       |  SELECT 'urn:g/region/' || r_regionkey AS s, 'urn:p/note' AS p,
+       |         r_name AS o, false AS oIsIri,
+       |         CAST(NULL AS VARCHAR) AS oLang,
+       |         CAST(NULL AS VARCHAR) AS oDatatype,
+       |         CAST(NULL AS VARCHAR) AS g
+       |  FROM region
+       |  UNION ALL
+       |  SELECT s, p, o, oIsIri, oLang, oDatatype,
+       |         'urn:graph/cust' AS g FROM cust
+       |  UNION ALL
+       |  SELECT s, p, o, oIsIri, oLang, oDatatype,
+       |         'urn:graph/geo2' AS g FROM geo)""".stripMargin,
     "geo" -> G.sql.geo, "cust" -> G.sql.customers)
 }

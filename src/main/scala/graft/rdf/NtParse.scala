@@ -122,14 +122,25 @@ object NtParse {
     }
 
     /** `_:label`; cursor past the label. Label charset is lenient
-      * (any run of non-whitespace), which accepts every generator's
-      * output incl. the W3C test suite's dotted labels. */
+      * (any run of chars that cannot start the NEXT token), which
+      * accepts every generator's output incl. the W3C suite's dotted
+      * labels — BUT the grammar says a '.' cannot END a label, which
+      * is what makes minimal-whitespace statements like
+      * `_:s <p> _:o.` parse: trailing dots are given back as the
+      * statement terminator. '<' and '"' open the next term and stop
+      * the scan too. */
     def bnodeLabel(): String = {
       if (pos + 1 >= s.length || s.charAt(pos) != '_' ||
           s.charAt(pos + 1) != ':') return fail
       val start = pos + 2
       var i = start
-      while (i < s.length && s.charAt(i) != ' ' && s.charAt(i) != '\t') i += 1
+      while (i < s.length && {
+        val c = s.charAt(i)
+        c != ' ' && c != '\t' && c != '<' && c != '"'
+      }) i += 1
+      // Trailing '.'s terminate the statement, not the label (the
+      // BLANK_NODE_LABEL grammar allows dots medially only).
+      while (i > start && s.charAt(i - 1) == '.') i -= 1
       if (i == start) return fail
       pos = i
       s.substring(start, i)
@@ -167,20 +178,25 @@ object NtParse {
       sb.toString
     }
 
-    /** `@lang` tag per LANGTAG: `[a-zA-Z]+('-'[a-zA-Z0-9]+)*`. */
+    /** `@lang` tag, STRUCTURALLY per LANGTAG
+      * `[a-zA-Z]+('-'[a-zA-Z0-9]+)*` — a trailing `-` or empty subtag
+      * (`en-`, `en--us`) is malformed, not silently accepted (it would
+      * round-trip into non-conformant output downstream). */
     def langTag(): String = {
       pos += 1 // '@'
       val start = pos
-      while (pos < s.length && {
-        val c = s.charAt(pos)
-        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-          (c >= '0' && c <= '9') || c == '-'
-      }) pos += 1
+      def alpha(c: Char) =
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+      def alnum(c: Char) = alpha(c) || (c >= '0' && c <= '9')
+      while (pos < s.length && alpha(s.charAt(pos))) pos += 1
       if (pos == start) return fail
-      val tag = s.substring(start, pos)
-      val c0 = tag.charAt(0)
-      if (c0 == '-' || (c0 >= '0' && c0 <= '9')) return fail
-      tag
+      while (pos < s.length && s.charAt(pos) == '-') {
+        pos += 1
+        val sub = pos
+        while (pos < s.length && alnum(s.charAt(pos))) pos += 1
+        if (pos == sub) return fail
+      }
+      s.substring(start, pos)
     }
   }
 

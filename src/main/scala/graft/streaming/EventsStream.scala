@@ -1162,11 +1162,14 @@ object EventsStream {
   def classifySink(docs: DataFrame, idCol: String, textCol: String,
                    modelDir: String, outDir: String, checkpointLoc: String,
                    autoCompact: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // Frozen model = load ONCE at sink start (recovery probe + consts
+    // collect), not per micro-batch; the weights plan re-reads its
+    // parquet lazily per batch, which is the cheap part.
+    val m = graft.llm.Classify.loadModel(docs.sparkSession, modelDir)
     docs.writeStream
       .option("checkpointLocation", checkpointLoc)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val m = graft.llm.Classify.loadModel(batch.sparkSession, modelDir)
         writeHistShard(
           graft.llm.Classify.nbScore(batch, idCol, textCol, m), id, outDir)
         maybeCompact(batch.sparkSession, outDir, autoCompact) {
@@ -1174,6 +1177,7 @@ object EventsStream {
         }
       }
       .start()
+  }
 
   /** Fold the [[decontamSink]] admission log's shards into one base
     * shard (identity fold — the log rows just re-land) so a long-lived

@@ -72,23 +72,55 @@ class DeltaStoreSpec extends SparkSpec {
   }
 
   test("compaction folds deltas into the base without changing the " +
-    "served contents; a second compact is a no-op; updates continue " +
-    "on the compacted store") {
+    "served contents; physical deletion is deferred ONE compact cycle " +
+    "(vacuum grace); ids stay monotonic; updates continue") {
     val (_, delta, root) = bothPaths(Seq(script1,
       "DELETE WHERE { GRAPH ?g { ?s <urn:p/k> ?o . } }"))
+    def deltaDirs = new java.io.File(s"$delta/delta").listFiles()
+      .filter(_.getName.startsWith("delta_id=")).map(_.getName).sorted
     val before = rows(DeltaStore.serve(spark, delta))
+    val preCompactDirs = deltaDirs
     DeltaStore.compact(spark, delta)
     assert(rows(DeltaStore.serve(spark, delta)) == before,
       "compaction changed served contents")
     assert(new java.io.File(s"$delta/base").exists())
-    assert(!new java.io.File(s"$delta/delta").listFiles()
-      .exists(_.getName.startsWith("delta_id=")), "deltas not dropped")
-    DeltaStore.compact(spark, delta) // no deltas: must not touch base
+    // Grace period: folded deltas survive this compact (a concurrent
+    // serve's pinned listing must stay readable) and re-fold as a
+    // no-op; the SECOND compact physically removes them.
+    assert(deltaDirs.sameElements(preCompactDirs),
+      "first compact deleted deltas inside the grace period")
+    DeltaStore.compact(spark, delta)
+    assert(deltaDirs.isEmpty, "second compact left folded deltas behind")
     assert(rows(DeltaStore.serve(spark, delta)) == before)
-    // Post-compact updates land as fresh deltas over the new base.
+    // Post-compact updates land as fresh deltas with MONOTONIC ids
+    // (an id below the horizon would die in the next deferred sweep
+    // before its grace cycle).
     DeltaStore.update(spark, delta,
       "INSERT DATA { <urn:i/new> <urn:p/k> \"n\" . }")
     assert(rows(DeltaStore.serve(spark, delta)).size == before.size + 1)
+    val newId = deltaDirs.head.stripPrefix("delta_id=").toLong
+    val horizon = preCompactDirs.last.stripPrefix("delta_id=").toLong
+    assert(newId > horizon, s"delta id $newId reused a retired id ≤ $horizon")
+    // And the fresh delta survives the next compact's deferred sweep.
+    DeltaStore.compact(spark, delta)
+    assert(rows(DeltaStore.serve(spark, delta)).size == before.size + 1)
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
+  test("graph-management tombstones are O(1) rows, never store-sized") {
+    val (_, delta, root) = bothPaths(Seq(script1))
+    DeltaStore.update(spark, delta, "CLEAR ALL")
+    val lastDir = new java.io.File(s"$delta/delta").listFiles()
+      .filter(_.getName.startsWith("delta_id=")).map(_.getName).sorted.last
+    val rowsInClear = spark.read
+      .parquet(s"$delta/delta/$lastDir").count()
+    assert(rowsInClear == 1L,
+      s"CLEAR ALL wrote $rowsInClear tombstone rows, expected 1")
+    assert(rows(DeltaStore.serve(spark, delta)).isEmpty)
+    // A post-clear insert resurrects cleanly over the graph tombstone.
+    DeltaStore.update(spark, delta,
+      "INSERT DATA { GRAPH <urn:d/1> { <urn:i/a> <urn:p/k> <urn:i/b> . } }")
+    assert(rows(DeltaStore.serve(spark, delta)).size == 1)
     org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
 

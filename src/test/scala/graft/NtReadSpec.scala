@@ -140,6 +140,30 @@ class NtReadSpec extends SparkSpec {
     assert(NTriples.readTriples(spark, quad.toString, strict = false).count() == 0)
   }
 
+  test("minimal whitespace: a bnode label gives trailing dots back as " +
+    "the terminator (W3C minimal_whitespace)") {
+    val lines = Seq(
+      "_:s <urn:p/a> _:o.",
+      "_:s2 <urn:p/a> _:o.2.") // dots are legal INSIDE a label
+    val back = NTriples.readQuads(spark, tmpFile(lines).toString)
+    assert(asSet(back) == Set(
+      Seq(null, "urn:bnode:s", "urn:p/a", "urn:bnode:o", true, null, null),
+      Seq(null, "urn:bnode:s2", "urn:p/a", "urn:bnode:o.2", true, null, null)))
+  }
+
+  test("LANGTAG grammar is enforced structurally: trailing or empty " +
+    "subtags are malformed, multi-subtag tags parse") {
+    val good = Seq("<urn:s/1> <urn:p/a> \"v\"@en-Latn-x2 .")
+    assert(asSet(NTriples.readQuads(spark, tmpFile(good).toString)) ==
+      Set(Seq(null, "urn:s/1", "urn:p/a", "v", false, "en-Latn-x2", null)))
+    val bad = Seq(
+      "<urn:s/1> <urn:p/a> \"v\"@en- .",
+      "<urn:s/1> <urn:p/a> \"v\"@en--us .",
+      "<urn:s/1> <urn:p/a> \"v\"@7en .")
+    assert(NTriples.readQuads(spark, tmpFile(bad).toString,
+      strict = false).count() == 0)
+  }
+
   test("IRIREF rejects raw spaces and control chars (no silent mis-split)") {
     val bad = Seq("<urn:s/with space> <urn:p/a> <urn:o/1> .")
     assert(NTriples.readQuads(spark, tmpFile(bad).toString,

@@ -1448,6 +1448,24 @@ class SparqlParserSpec extends SparkSpec {
       assert(all() == before, "failed LOAD mutated the store")
       Sparql.update(spark, dir, s"LOAD SILENT <file:$root/absent.nq>")
       assert(all() == before)
+      // Blank nodes are DOCUMENT-scoped: the same _:b1 label in two
+      // loaded documents skolemizes to two distinct resources.
+      val docA = root.resolve("bn_a.nq")
+      val docB = root.resolve("bn_b.nq")
+      java.nio.file.Files.write(docA, java.util.Arrays.asList(
+        "_:b1 <urn:p/bn> \"a\" ."))
+      java.nio.file.Files.write(docB, java.util.Arrays.asList(
+        "_:b1 <urn:p/bn> \"b\" ."))
+      Sparql.update(spark, dir, s"LOAD <file:$docA> ; LOAD <file:$docB>")
+      val bnSubjects = Sparql.selectDataset(spark.read.parquet(dir),
+        "SELECT ?s WHERE { ?s <urn:p/bn> ?o . }")
+        .collect().map(_.getString(0)).toSet
+      assert(bnSubjects.size == 2,
+        s"cross-document blank nodes conflated: $bnSubjects")
+      // Re-LOADing the same document stays set-idempotent.
+      val n = all().size
+      Sparql.update(spark, dir, s"LOAD <file:$docA>")
+      assert(all().size == n, "re-LOAD duplicated skolemized quads")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
 

@@ -75,6 +75,24 @@ class SparqlResultsSpec extends SparkSpec {
         """"name":{"type":"literal","value":"plain"}}"""))
   }
 
+  test("dataset twins: GRAPH-scoped solutions serialize with the same " +
+    "term rules") {
+    import scala.jdk.CollectionConverters._
+    val quadSchema = StructType(StructField("g", StringType) +: tripleSchema.fields)
+    val ds = spark.createDataFrame(Seq(
+      Row(null, "urn:s/1", "urn:p/v", "dflt", false, null, null),
+      Row("urn:d/1", "urn:s/1", "urn:p/v", "named", false, "en", null)).asJava,
+      quadSchema)
+    val q = """SELECT ?v WHERE { GRAPH <urn:d/1> { ?s <urn:p/v> ?v . } }"""
+    val (_, tsv) = Sparql.selectTsvDataset(ds, q)
+    assert(tsv.collect().map(_.getString(0)).toSet == Set("\"named\"@en"))
+    val (_, csv) = Sparql.selectCsvDataset(ds, q)
+    assert(csv.collect().map(_.getString(0)).toSet == Set("named"))
+    val (_, json) = Sparql.selectJsonBindingsDataset(ds, q)
+    assert(json.collect().map(_.getString(0)).toSet ==
+      Set("""{"v":{"type":"literal","value":"named","xml:lang":"en"}}"""))
+  }
+
   test("DISTINCT under kept metadata compares TERMS: same lexical form " +
     "with different lang tags stays two solutions") {
     val graph = g(
