@@ -2495,6 +2495,51 @@ object Sparql {
     jsonOf(query, dataset.filter(col("g").isNull).drop("g"),
       dataset.filter(col("g").isNotNull))
 
+  /** XML results (sparql11-results-xml): (the document's prolog +
+    * `<head>` + `<results>` opener, one `<result>` element per
+    * solution). Close the document with `</results></sparql>` — a
+    * constant, kept out so a billion-solution result stays
+    * line-framed. Unbound variables omit their binding element. */
+  def selectXml(triples: DataFrame, query: String): (String, DataFrame) =
+    xmlOf(query, triples, noNamed(triples))
+
+  /** [[selectXml]] over a dataset ([[selectDataset]]'s layout). */
+  def selectXmlDataset(dataset: DataFrame, query: String)
+      : (String, DataFrame) =
+    xmlOf(query, dataset.filter(col("g").isNull).drop("g"),
+      dataset.filter(col("g").isNotNull))
+
+  private def xmlOf(query: String, dflt: DataFrame,
+                    named: DataFrame): (String, DataFrame) = {
+    val (names, sol) = metaSolutions(query, dflt, named)
+    // XML escape: & first (it would re-escape the others), then < >
+    // for content, plus " for the attribute positions.
+    def xesc(c: Column): Column =
+      Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;", "\"" -> "&quot;")
+        .foldLeft(c) { case (acc, (f, t)) => replace(acc, lit(f), lit(t)) }
+    val head = "<?xml version=\"1.0\"?>\n" +
+      "<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">" +
+      "<head>" +
+      names.map(n => s"""<variable name="${n._1}"/>""").mkString +
+      "</head><results>"
+    val fields = names.map { case (v, d) =>
+      val (isIri, lang, dt) = termParts(sol, v, d)
+      when(col(v).isNotNull, concat(
+        lit(s"""<binding name="$v">"""),
+        when(isIri, concat(lit("<uri>"), xesc(col(v)), lit("</uri>")))
+          .otherwise(concat(lit("<literal"),
+            when(lang.isNotNull,
+              concat(lit(" xml:lang=\""), xesc(lang), lit("\"")))
+              .when(dt.isNotNull,
+                concat(lit(" datatype=\""), xesc(dt), lit("\"")))
+              .otherwise(lit("")),
+            lit(">"), xesc(col(v)), lit("</literal>"))),
+        lit("</binding>"))).otherwise(lit(""))
+    }
+    (head, sol.select(concat(
+      lit("<result>") +: fields :+ lit("</result>"): _*).as("line")))
+  }
+
   private def jsonOf(query: String, dflt: DataFrame,
                      named: DataFrame): (String, DataFrame) = {
     val (names, sol) = metaSolutions(query, dflt, named)

@@ -606,6 +606,27 @@ object RdfQueries {
       lines
     },
 
+    // X257 — the Turtle SINK: geo plus q14's escape-torture notes
+    // render as canonical subject blocks (sorted `;`/`,` lists, `a`
+    // shorthand, p:-prefix compaction where PN_LOCAL-safe, N-Triples
+    // escapes in literal bodies). The oracle rebuilds every block with
+    // the same string algebra — two ordered string_aggs — so the
+    // grouping, ordering, compaction, and escape chain are all gated.
+    "q253_turtle_render" -> { (s, dir) =>
+      val r = t(s, dir, "region")
+      val nullStr = lit(null).cast("string")
+      val notes = r.select(
+        concat(lit("urn:g/region/"), col("r_regionkey")).as("s"),
+        lit("urn:p/note").as("p"),
+        concat(lit("say \""), col("r_name"), lit("\"\nback\\slash\ttab")).as("o"),
+        lit(false).as("oIsIri"), nullStr.as("oLang"), nullStr.as("oDatatype"))
+      val (header, blocks) = graft.rdf.Turtle.render(
+        G.geo(s, dir).unionByName(notes), Seq("p" -> "urn:p/"))
+      require(header == "@prefix p: <urn:p/> .",
+        s"unexpected Turtle header: $header")
+      blocks
+    },
+
     // X250 — the distributed MANY-DOCUMENT Turtle source: one .ttl
     // descriptor per region (prefixes, `;` continuation, @lang +
     // ^^typed literals, an anonymous blank node) written to disk,
@@ -811,6 +832,39 @@ object RdfQueries {
         |       false, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
         |FROM region""".stripMargin,
       "geo" -> G.sql.geo, "cust" -> G.sql.customers),
+    // q253: the Turtle sink replayed as string algebra — subjects stay
+    // <urn:g/…> (locals carry '/', not PN_LOCAL-safe), predicates
+    // compress to p:, object terms ride the shared objectTermSql
+    // mirror, and the two ordered string_aggs replay the sorted
+    // `,`/`;` lists.
+    "q253_turtle_render" -> withTriples(
+      "SELECT st || ' ' || body || ' .' AS block FROM bl",
+      "geo" -> G.sql.geo,
+      "r" ->
+        s"""SELECT DISTINCT '<' || s || '>' AS st,
+           |  CASE WHEN p = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+           |         THEN 'a'
+           |       WHEN p LIKE 'urn:p/%' AND
+           |            regexp_matches(substr(p, 7), '^[A-Za-z0-9_-]+$$')
+           |         THEN 'p:' || substr(p, 7)
+           |       ELSE '<' || p || '>' END AS pt,
+           |  ${NTriples.objectTermSql} AS ot
+           |FROM (
+           |  SELECT * FROM geo
+           |  UNION ALL
+           |  SELECT 'urn:g/region/' || r_regionkey AS s, 'urn:p/note' AS p,
+           |         'say "' || r_name || '"' || chr(10) || 'back\\slash' ||
+           |           chr(9) || 'tab' AS o,
+           |         false AS oIsIri, CAST(NULL AS VARCHAR) AS oLang,
+           |         CAST(NULL AS VARCHAR) AS oDatatype
+           |  FROM region)""".stripMargin,
+      "po" ->
+        """SELECT st, pt, string_agg(ot, ' , ' ORDER BY ot) AS objs
+          |FROM r GROUP BY st, pt""".stripMargin,
+      "bl" ->
+        """SELECT st, string_agg(pt || ' ' || objs,
+          |  ' ;' || chr(10) || '  ' ORDER BY pt || ' ' || objs) AS body
+          |FROM po GROUP BY st""".stripMargin),
     // q251: every geo + note triple as a TSV solution row — the
     // subject in IRI brackets, the object through the SAME
     // objectTermSql mirror the N-Triples renderers share.

@@ -322,6 +322,78 @@ object Turtle {
     spark.createDataFrame(parseTriples(text).asJava, schema)
   }
 
+  /** Turtle SINK (X257) — the parser's write twin, for publishing
+    * derived graphs in the serialization catalogs actually ship.
+    * Returns (prefix header, one string per SUBJECT BLOCK): the full
+    * document is the header + blocks joined by blank lines, kept
+    * line-framed so a corpus-sized graph streams out as a distributed
+    * scan instead of a driver-side document build.
+    *
+    * Rendering is CANONICAL (deterministic bytes for a given graph):
+    * objects sort lexically within their predicate (`,` lists),
+    * predicate lines sort within their subject (`;` continuation),
+    * `rdf:type` renders as `a`. IRIs compress under the caller's
+    * prefix map when the local part is conservatively PN_LOCAL-safe
+    * (`[A-Za-z0-9_-]+` — anything else stays `<…>`, which is always
+    * valid); literal bodies reuse the N-Triples escape chain (legal
+    * Turtle). Everything is codegen'd builtins + two keyed aggregates
+    * ((s,p) then s) — no driver assembly, no UDF.
+    */
+  def render(triples: DataFrame,
+             prefixes: Seq[(String, String)] = Nil): (String, DataFrame) =
+    (prefixHeader(prefixes), blocksOf(triples, prefixes, Nil)
+      .select(org.apache.spark.sql.functions.col("block")))
+
+  /** TriG SINK (X258) — [[render]]'s DATASET twin over the quad schema
+    * (g null = default graph): returns (prefix header, one (g, block)
+    * row per graph+subject). Document assembly is framing only: for
+    * each named graph emit `<g> {`, its blocks, `}`; default-graph
+    * blocks emit bare — the blocks themselves stay distributed and
+    * graph-partitionable (write `.partitionBy("g")` and each graph's
+    * section is one directory). Same canonical ordering, prefix
+    * compaction, and escape rules as [[render]]. */
+  def renderTrig(quads: DataFrame,
+                 prefixes: Seq[(String, String)] = Nil): (String, DataFrame) =
+    (prefixHeader(prefixes), blocksOf(quads, prefixes, Seq("g")))
+
+  private def prefixHeader(prefixes: Seq[(String, String)]): String =
+    prefixes.map { case (p, ns) => s"@prefix $p: <$ns> ." }.mkString("\n")
+
+  /** Shared block builder: canonical subject blocks, optionally keyed
+    * by extra grouping columns (TriG's `g`). */
+  private def blocksOf(rows: DataFrame, prefixes: Seq[(String, String)],
+                       extraKeys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def compactIri(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      prefixes.foldLeft(concat(lit("<"), c, lit(">"))) {
+        case (acc, (p, ns)) =>
+          val local = substring(c, ns.length + 1, Int.MaxValue)
+          when(c.startsWith(ns) && local.rlike("^[A-Za-z0-9_-]+$"),
+            concat(lit(p + ":"), local)).otherwise(acc)
+      }
+    val rdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    val oTerm = when(col("oIsIri"), compactIri(col("o")))
+      .otherwise(concat(lit("\""), NTriples.escape(col("o")), lit("\""),
+        when(col("oLang").isNotNull, concat(lit("@"), col("oLang")))
+          .when(col("oDatatype").isNotNull,
+            concat(lit("^^"), compactIri(col("oDatatype"))))
+          .otherwise(lit(""))))
+    val pTerm = when(col("p") === rdfType, lit("a"))
+      .otherwise(compactIri(col("p")))
+    val keys = extraKeys.map(col)
+    rows
+      .select((keys :+ compactIri(col("s")).as("_s")) ++
+        Seq(pTerm.as("_p"), oTerm.as("_o")): _*)
+      .groupBy(keys ++ Seq(col("_s"), col("_p")): _*)
+      .agg(array_join(sort_array(collect_set(col("_o"))), " , ").as("_objs"))
+      .select((keys :+ col("_s")) :+
+        concat(col("_p"), lit(" "), col("_objs")).as("_po"): _*)
+      .groupBy(keys :+ col("_s"): _*)
+      .agg(array_join(sort_array(collect_list(col("_po"))), " ;\n  ").as("_body"))
+      .select(keys :+
+        concat(col("_s"), lit(" "), col("_body"), lit(" .")).as("block"): _*)
+  }
+
   /** Distributed MANY-DOCUMENT Turtle source (X250). Turtle's grammar
     * is whole-document (prefix declarations scope to the file, `;`/`,`
     * lists continue statements), so unlike N-Triples (X246 — splits by

@@ -75,6 +75,32 @@ class SparqlResultsSpec extends SparkSpec {
         """"name":{"type":"literal","value":"plain"}}"""))
   }
 
+  test("XML results: uri/literal binding elements, xml:lang/datatype " +
+    "attributes, XML escaping, unbound omission") {
+    val graph = g(
+      Row("urn:s/1", "urn:p/name", "a<b>&\"c\"", false, "cs", null),
+      Row("urn:s/1", "urn:p/size", "4", false, null, xsdInt),
+      Row("urn:s/2", "urn:p/name", "plain", false, null, null))
+    val (head, lines) = Sparql.selectXml(graph,
+      """SELECT ?s ?name ?size WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  OPTIONAL { ?s <urn:p/size> ?size . }
+        |}""".stripMargin)
+    assert(head ==
+      "<?xml version=\"1.0\"?>\n" +
+        "<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">" +
+        "<head><variable name=\"s\"/><variable name=\"name\"/>" +
+        "<variable name=\"size\"/></head><results>")
+    assert(lines.collect().map(_.getString(0)).toSet == Set(
+      "<result><binding name=\"s\"><uri>urn:s/1</uri></binding>" +
+        "<binding name=\"name\"><literal xml:lang=\"cs\">" +
+        "a&lt;b&gt;&amp;&quot;c&quot;</literal></binding>" +
+        s"""<binding name="size"><literal datatype="$xsdInt">4""" +
+        "</literal></binding></result>",
+      "<result><binding name=\"s\"><uri>urn:s/2</uri></binding>" +
+        "<binding name=\"name\"><literal>plain</literal></binding></result>"))
+  }
+
   test("dataset twins: GRAPH-scoped solutions serialize with the same " +
     "term rules") {
     import scala.jdk.CollectionConverters._

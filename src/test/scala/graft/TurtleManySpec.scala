@@ -63,6 +63,66 @@ class TurtleManySpec extends SparkSpec {
       false, null, null)))
   }
 
+  test("Turtle sink: canonical blocks, prefix compaction only when " +
+    "PN_LOCAL-safe, `a` shorthand, set-semantics object lists — and " +
+    "the parser reads its own output back") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("s", StringType), StructField("p", StringType),
+      StructField("o", StringType), StructField("oIsIri", BooleanType),
+      StructField("oLang", StringType), StructField("oDatatype", StringType)))
+    val rdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    val triples = spark.createDataFrame(Seq(
+      Row("urn:x/1", "urn:p/name", "say \"hi\"\ttab", false, "en", null),
+      Row("urn:x/1", "urn:p/name", "ahoj", false, "cs", null),
+      Row("urn:x/1", rdfType, "urn:p/Thing", true, null, null),
+      // duplicate triple — the `,` list must dedup (RDF set semantics)
+      Row("urn:x/1", rdfType, "urn:p/Thing", true, null, null),
+      // '/' in the local part: NOT PN_LOCAL-safe, stays <...>
+      Row("urn:x/1", "urn:p/ref", "urn:x/sub/2", true, null, null)).asJava,
+      schema)
+    val (header, blocks) = Turtle.render(triples,
+      Seq("p" -> "urn:p/", "x" -> "urn:x/"))
+    assert(header == "@prefix p: <urn:p/> .\n@prefix x: <urn:x/> .")
+    val block = blocks.collect().map(_.getString(0)).toSeq
+    assert(block == Seq(
+      "x:1 a p:Thing ;\n  p:name \"ahoj\"@cs , \"say \\\"hi\\\"\\ttab\"@en ;\n" +
+        "  p:ref <urn:x/sub/2> ."))
+    // Round trip: the driver parser reads the sink's document back to
+    // the exact triple set (minus the duplicate).
+    val doc = header + "\n\n" + block.mkString("\n\n")
+    val back = Turtle.parseTriples(doc).map(_.toSeq).toSet
+    assert(back == triples.collect().map(_.toSeq).toSet)
+  }
+
+  test("TriG sink: per-graph subject blocks with the same canonical " +
+    "rules; default graph rows carry g = null") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("g", StringType),
+      StructField("s", StringType), StructField("p", StringType),
+      StructField("o", StringType), StructField("oIsIri", BooleanType),
+      StructField("oLang", StringType), StructField("oDatatype", StringType)))
+    val quads = spark.createDataFrame(Seq(
+      Row(null, "urn:x/1", "urn:p/v", "dflt", false, null, null),
+      Row("urn:d/1", "urn:x/1", "urn:p/v", "b", false, null, null),
+      Row("urn:d/1", "urn:x/1", "urn:p/v", "a", false, null, null),
+      Row("urn:d/2", "urn:x/2", "urn:p/v", "c", false, null, null)).asJava,
+      schema)
+    val (header, blocks) = Turtle.renderTrig(quads, Seq("p" -> "urn:p/",
+      "x" -> "urn:x/"))
+    assert(header == "@prefix p: <urn:p/> .\n@prefix x: <urn:x/> .")
+    val got = blocks.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      (null, "x:1 p:v \"dflt\" ."),
+      ("urn:d/1", "x:1 p:v \"a\" , \"b\" ."),
+      ("urn:d/2", "x:2 p:v \"c\" .")))
+  }
+
   test("a malformed document fails loudly WITH its file name") {
     val d = dir(
       "ok.ttl" -> "<urn:s/1> <urn:p/a> \"v\" .",
