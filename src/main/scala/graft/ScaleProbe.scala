@@ -180,7 +180,13 @@ object ScaleProbe {
       // q248 rides the token-suffix replica like the BPE family: corpus
       // 10× AND vocab ~10× — train's token-keyed aggregate and serve's
       // model join both grow, the shape every NB deployment has.
-      "q248_nb_classifier")
+      "q248_nb_classifier",
+      // q250 adds the sweep on top of q248's train+serve: the window
+      // input is the DISTINCT-score summary, so the extra cost over
+      // q248 should stay ~flat as the corpus grows; q252 is q247's
+      // shape with graph-op tombstones in the fold (the O(1) cover
+      // list must not change the compact/serve scaling).
+      "q250_nb_threshold", "q252_graph_mgmt_delta")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -256,7 +262,8 @@ object ScaleProbe {
       "q241_sparql_graph_closure" -> "customer",
       "q242_sparql_update" -> "customer",
       "q245_nquads_source" -> "customer",
-      "q247_sparql_update_delta" -> "customer")
+      "q247_sparql_update_delta" -> "customer",
+      "q252_graph_mgmt_delta" -> "customer")
       .withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet ++
       // q209 reads customer alongside orders — replicate both.
@@ -361,7 +368,7 @@ object ScaleProbe {
     // grow a country list — so they copy verbatim.
     if (probes.exists(Set("q237_sparql_graph_dataset",
         "q242_sparql_update", "q245_nquads_source",
-        "q247_sparql_update_delta")))
+        "q247_sparql_update_delta", "q252_graph_mgmt_delta")))
       Seq("nation", "region").foreach { tbl =>
         if (!reuse || !new java.io.File(s"$outDir/$tbl.parquet").exists())
           spark.read.parquet(s"$sf01/$tbl.parquet")

@@ -1,7 +1,7 @@
 package graft.graphquery
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The WRITE-HEAVY SPARQL UPDATE path — the delta-staged layout the
@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   * store makes every UPDATE statement cost O(statement), not O(store):
   *
   * {{{
-  *   dir/base/               quad parquet (may be absent = empty)
-  *   dir/delta/delta_id=N/   one dir per committed STATEMENT:
-  *                           quad cols + op (1 = add, 0 = tombstone)
+  *   dir/base | dir/base_v<N>   quad parquet (absent = empty); version
+  *                              pointed at by the _base_v marker —
+  *                              compaction writes a FRESH version and
+  *                              flips the pointer, never renaming a
+  *                              live base's files
+  *   dir/delta/delta_id=N/      one dir per committed STATEMENT:
+  *                              quad cols + op (1 = add, 0 = quad
+  *                              tombstone, 2 = graph-cover tombstone)
   * }}}
   *
   * Commit protocol: a statement's (adds, tombstones) write to
@@ -33,11 +38,12 @@ import org.apache.spark.sql.functions._
   * base, plus a statement-count-bounded GRAPH-op cover list (CLEAR/
   * DROP/COPY/MOVE tombstones are O(1) rows, never store-sized). Serve
   * cost grows with the DELTA pile, which is what [[compact]] bounds:
-  * fold deltas ≤ horizon into the base through the
-  * [[graft.sources.ShardStore.overwriteAtomic]] swap; physical delta
-  * deletion is DEFERRED one compact cycle (`_horizon` marker) so a
-  * concurrent serve's pinned file listing stays readable — re-folding
-  * retained deltas is a fixpoint.
+  * fold deltas ≤ horizon into a FRESH base version and flip the
+  * `_base_v` pointer (never renaming a live base's files), with
+  * physical deletion of old versions AND folded deltas DEFERRED one
+  * compact cycle (`_horizon` marker) so a concurrent serve's pinned
+  * file listing stays readable — re-folding retained deltas is a
+  * fixpoint.
   *
   * Same single-writer contract as every overwriteAtomic-maintained
   * index here; concurrent serves are safe given compactions spaced
@@ -61,10 +67,55 @@ object DeltaStore {
       java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       Sparql.quadSchema)
 
-  private def baseDf(spark: SparkSession, dir: String): DataFrame =
-    if (graft.sources.ShardStore.existsRecovered(spark, s"$dir/base"))
-      spark.read.parquet(s"$dir/base").select(QuadCols.map(col): _*)
+  // ------------------------------------------------- versioned base
+  // The base is VERSIONED (`base` = version 0, the init/legacy layout;
+  // `base_v<N>` thereafter), with a `_base_v` pointer marker: compact
+  // writes the NEXT version into a fresh directory and flips the
+  // pointer, so a concurrent serve pinned on the previous version's
+  // file paths keeps reading intact files — an in-place swap would
+  // RENAME them away, which no retention period can fix. Old versions
+  // (≤ current - 1) are swept on the NEXT compact, the same one-cycle
+  // grace as the deltas.
+
+  private def baseVersion(spark: SparkSession, dir: String): Long = {
+    val fs = fsOf(spark, dir)
+    val p = new Path(s"$dir/_base_v")
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def basePath(dir: String, v: Long): String =
+    if (v == 0L) s"$dir/base" else s"$dir/base_v$v"
+
+  private def writeBaseVersion(spark: SparkSession, dir: String,
+                               v: Long): Unit = {
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(s"$dir/_base_v__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(new Path(s"$dir/_base_v"), false)
+    require(fs.rename(tmp, new Path(s"$dir/_base_v")),
+      s"base version marker rename failed: $dir")
+  }
+
+  private def baseDf(spark: SparkSession, dir: String): DataFrame = {
+    val v = baseVersion(spark, dir)
+    val path = basePath(dir, v)
+    // Version 0 may have been written by overwriteAtomic-era code —
+    // keep its half-swap heal; versioned dirs are write-once.
+    val exists =
+      if (v == 0L) graft.sources.ShardStore.existsRecovered(spark, path)
+      else fsOf(spark, dir).exists(new Path(path))
+    if (exists) spark.read.parquet(path).select(QuadCols.map(col): _*)
     else emptyQuads(spark)
+  }
 
   /** Committed delta ids, ascending (dir listing — `_tmp_*` orphans
     * and anything else non-matching are ignored). */
@@ -105,9 +156,9 @@ object DeltaStore {
     *    base rows die under any cover, a quad add survives iff its
     *    delta_id ≥ the cover (≥, not >: COPY/MOVE clear and re-add in
     *    the SAME statement). The graph-op list is statement-count-
-    *    bounded (and compaction clears it), carried as ONE collected
-    *    array on a 1-row broadcast — the whitelisted scalar-broadcast
-    *    pattern, no per-row join.
+    *    bounded (and compaction clears it) — collected to the driver
+    *    and COMPILED into the cover expression: pure codegen'd
+    *    conditionals, no join of any kind.
     */
   private def folded(spark: SparkSession, dir: String,
                      upTo: Option[Long] = None): DataFrame =
@@ -116,28 +167,34 @@ object DeltaStore {
       case Some(d) =>
         val base = baseDf(spark, dir)
         val qops = d.filter(col("op") <= 1)
+        // The graph-op cover list is statement-count-bounded by
+        // construction (one row per CLEAR/DROP/COPY/MOVE since the
+        // last compact) — collect it to the driver and COMPILE it into
+        // the cover expression: pure codegen'd conditionals, no
+        // cross join, and the common all-quad-ops case pays nothing
+        // (cov folds to the -1 literal).
         val gops = d.filter(col("op") === 2)
-          .agg(collect_list(struct(col("s").as("scope"), col("g"),
-            col("delta_id").cast("long").as("id"))).as("_gops"))
-        def withCov(df: DataFrame): DataFrame =
-          df.crossJoin(broadcast(gops)).withColumn("_cov",
-            aggregate(col("_gops"), lit(-1L), (acc, x) =>
-              greatest(acc, when(
-                x.getField("scope") === "all" ||
-                  (x.getField("scope") === "named" && col("g").isNotNull) ||
-                  (x.getField("scope") === "default" && col("g").isNull) ||
-                  (x.getField("scope") === "graph" &&
-                    (col("g") <=> x.getField("g"))),
-                x.getField("id")).otherwise(lit(-1L)))))
-            .drop("_gops")
+          .select(col("s"), col("g"), col("delta_id").cast("long"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val cov: Column = gops.foldLeft(lit(-1L)) {
+          case (acc, (scope, g, id)) =>
+            val covers = scope match {
+              case "all" => lit(true)
+              case "named" => col("g").isNotNull
+              case "default" => col("g").isNull
+              case "graph" => col("g") <=> lit(g)
+              case other => sys.error(s"unknown cover scope $other")
+            }
+            greatest(acc, when(covers, lit(id)).otherwise(lit(-1L)))
+        }
         val last = qops.groupBy(QuadCols.map(col): _*)
           .agg(max(struct(col("delta_id").cast("long").as("delta_id"),
             col("op"))).as("_m"))
-        val base2 = withCov(
-          Sparql.antiQuads(base, last.select(QuadCols.map(col): _*)))
-          .filter(col("_cov") === -1L)
-        val adds2 = withCov(last).filter(col("_m.op") === 1 &&
-          col("_m.delta_id") >= col("_cov"))
+        val base2 = Sparql.antiQuads(base,
+            last.select(QuadCols.map(col): _*))
+          .filter(cov === -1L)
+        val adds2 = last.filter(col("_m.op") === 1 &&
+          col("_m.delta_id") >= cov)
         base2.select(QuadCols.map(col): _*)
           .unionByName(adds2.select(QuadCols.map(col): _*))
     }
@@ -326,9 +383,12 @@ object DeltaStore {
     * listing folds correctly). Operators should space compactions
     * further apart than their longest-running query — the same
     * retention contract every deferred-vacuum table format documents.
-    * Crash-safe at every point: base swap via overwriteAtomic; a crash
-    * before the deletes or the marker write just retries the grace
-    * cycle. No-op when no deltas exist. */
+    * Crash-safe at every point: the fresh base version is unpointed
+    * until the marker flips (a crashed attempt is swept by the next
+    * compact); a crash before the sweeps or the horizon write just
+    * retries the grace cycle. No-op when no deltas exist — an idle
+    * store may retain one superseded base version until the next
+    * compaction with actual work. */
   def compact(spark: SparkSession, dir: String,
               partitionBy: Seq[String] = Nil): Unit = {
     val lock = Sparql.storeLocks.computeIfAbsent(
@@ -338,11 +398,34 @@ object DeltaStore {
     try {
       val ids = deltaIds(spark, dir)
       if (ids.isEmpty) return
+      val fs = fsOf(spark, dir)
       val hPrev = readHorizon(spark, dir)
       val hNew = ids.last
-      graft.sources.ShardStore.overwriteAtomic(
-        folded(spark, dir, Some(hNew)), s"$dir/base", partitionBy)
-      val fs = fsOf(spark, dir)
+      // Versioned base flip: write the fold into a FRESH directory and
+      // swing the pointer — never rename the live base's files out
+      // from under a pinned reader. A crashed previous attempt left an
+      // unpointed base_v dir; sweep it first (single writer holds the
+      // lock, nothing points at it).
+      val v = baseVersion(spark, dir)
+      val vNew = v + 1
+      fs.delete(new Path(basePath(dir, vNew)), true)
+      val w = folded(spark, dir, Some(hNew)).write.mode("overwrite")
+      (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
+        .parquet(basePath(dir, vNew))
+      writeBaseVersion(spark, dir, vNew)
+      // Grace sweeps — everything readers could have pinned BEFORE the
+      // previous compact: base versions ≤ v-1 and deltas ≤ the
+      // previous horizon (ascending, so a mid-delete listing loses a
+      // cover before the adds that outrank it).
+      fs.listStatus(new Path(dir)).foreach { st =>
+        val n = st.getPath.getName
+        val ver =
+          if (n == "base") Some(0L)
+          else if (n.startsWith("base_v"))
+            n.stripPrefix("base_v").toLongOption
+          else None
+        if (ver.exists(_ < v)) fs.delete(st.getPath, true)
+      }
       ids.filter(_ <= hPrev).sorted.foreach { i =>
         fs.delete(new Path(s"$dir/delta/delta_id=$i"), true)
       }

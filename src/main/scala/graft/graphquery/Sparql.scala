@@ -2402,6 +2402,12 @@ object Sparql {
   // literal, matching CONSTRUCT's rule; aggregate aliases are plain
   // literals.
 
+  /** A quad store's (default graph, named graphs) split — the
+    * dataset-layout rule in ONE place for the serializer twins. */
+  private def splitDataset(dataset: DataFrame): (DataFrame, DataFrame) =
+    (dataset.filter(col("g").isNull).drop("g"),
+      dataset.filter(col("g").isNotNull))
+
   /** Solutions with metadata + ordered projected names + per-name
     * no-meta default (true = IRI). */
   private def metaSolutions(query: String, dflt: DataFrame,
@@ -2438,8 +2444,7 @@ object Sparql {
 
   /** [[selectTsv]] over a dataset ([[selectDataset]]'s layout). */
   def selectTsvDataset(dataset: DataFrame, query: String): (String, DataFrame) =
-    tsvOf(query, dataset.filter(col("g").isNull).drop("g"),
-      dataset.filter(col("g").isNotNull))
+    { val (d, n) = splitDataset(dataset); tsvOf(query, d, n) }
 
   private def tsvOf(query: String, dflt: DataFrame,
                     named: DataFrame): (String, DataFrame) = {
@@ -2461,8 +2466,7 @@ object Sparql {
 
   /** [[selectCsv]] over a dataset ([[selectDataset]]'s layout). */
   def selectCsvDataset(dataset: DataFrame, query: String): (String, DataFrame) =
-    csvOf(query, dataset.filter(col("g").isNull).drop("g"),
-      dataset.filter(col("g").isNotNull))
+    { val (d, n) = splitDataset(dataset); csvOf(query, d, n) }
 
   private def csvOf(query: String, dflt: DataFrame,
                     named: DataFrame): (String, DataFrame) = {
@@ -2492,8 +2496,7 @@ object Sparql {
     * layout). */
   def selectJsonBindingsDataset(dataset: DataFrame, query: String)
       : (String, DataFrame) =
-    jsonOf(query, dataset.filter(col("g").isNull).drop("g"),
-      dataset.filter(col("g").isNotNull))
+    { val (d, n) = splitDataset(dataset); jsonOf(query, d, n) }
 
   /** XML results (sparql11-results-xml): (the document's prolog +
     * `<head>` + `<results>` opener, one `<result>` element per
@@ -2506,8 +2509,7 @@ object Sparql {
   /** [[selectXml]] over a dataset ([[selectDataset]]'s layout). */
   def selectXmlDataset(dataset: DataFrame, query: String)
       : (String, DataFrame) =
-    xmlOf(query, dataset.filter(col("g").isNull).drop("g"),
-      dataset.filter(col("g").isNotNull))
+    { val (d, n) = splitDataset(dataset); xmlOf(query, d, n) }
 
   private def xmlOf(query: String, dflt: DataFrame,
                     named: DataFrame): (String, DataFrame) = {

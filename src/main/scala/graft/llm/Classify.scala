@@ -61,30 +61,40 @@ object Classify {
   /** Train on `docs` where `pos` marks the positive class. Two corpus
     * passes — the doc-count scan and the token aggregate — and no
     * ITERATION (the closed form is why this ships instead of a k-pass
-    * gradient loop at 100 TB). The token aggregate is materialized
-    * once (vocab-sized `localCheckpoint`): without it, the returned
-    * weights plan would re-run the corpus explode+aggregate inside
-    * EVERY downstream serve join. Errors loudly if either class is
+    * gradient loop at 100 TB). The token aggregate is persisted once
+    * (vocab-sized, lineage kept — executor loss recomputes): without
+    * it, the returned weights plan would re-run the corpus
+    * explode+aggregate inside EVERY downstream serve join; long-lived
+    * serving goes through [[saveModel]]/[[loadModel]] instead of this
+    * in-memory handle. Errors loudly if either class is
     * empty (an NB prior over zero docs is undefined — a silent 0
     * would misclassify everything). */
   def nbTrain(docs: DataFrame, textCol: String, pos: Column): NbModel = {
-    val tok = docs.select(pos.as("_pos"),
-      explode(TextAnalysis.tokens(col(textCol))).as("_t"))
-    val cls = tok.groupBy(col("_t")).agg(
-      sum(when(col("_pos"), 1L).otherwise(0L)).as("_c1"),
-      sum(when(col("_pos"), 0L).otherwise(1L)).as("_c0"))
-      .localCheckpoint()
-    val weights = cls.select(col("_t"),
-      (band(col("_c1") + 1) - band(col("_c0") + 1)).as("_w"))
-    // Bounded driver-side scalars: token totals, vocab size, doc
-    // counts (the same metadata-collect pattern as the index stats).
     // Class counts validate FIRST — on an empty/one-class corpus the
-    // loud require must fire before the token aggregate's null sums.
+    // loud require must fire before any token-aggregate work runs.
     val n = docs.agg(
       sum(when(pos, 1L).otherwise(0L)),
       sum(when(pos, 0L).otherwise(1L))).head
     require(!n.isNullAt(0) && n.getLong(0) > 0 && n.getLong(1) > 0,
       s"NB needs both classes non-empty, got pos=${n.get(0)} neg=${n.get(1)}")
+    val tok = docs.select(pos.as("_pos"),
+      explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+    // persist (not localCheckpoint): the vocab-sized aggregate is
+    // reused by the weights plan and the totals collect without
+    // re-running the corpus explode, while keeping its LINEAGE — an
+    // executor loss recomputes the lost blocks instead of killing the
+    // model permanently (localCheckpoint's documented failure mode,
+    // fatal under dynamic allocation). Long-lived serving should go
+    // through saveModel/loadModel (stable parquet) rather than hold
+    // this in-memory handle.
+    val cls = tok.groupBy(col("_t")).agg(
+      sum(when(col("_pos"), 1L).otherwise(0L)).as("_c1"),
+      sum(when(col("_pos"), 0L).otherwise(1L)).as("_c0"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val weights = cls.select(col("_t"),
+      (band(col("_c1") + 1) - band(col("_c0") + 1)).as("_w"))
+    // Bounded driver-side scalars: token totals, vocab size (this
+    // collect also materializes the persisted aggregate).
     val c = cls.agg(sum("_c1"), sum("_c0"), count(lit(1))).head
     val (t1, t0, v) = (c.getLong(0), c.getLong(1), c.getLong(2))
     NbModel(weights,

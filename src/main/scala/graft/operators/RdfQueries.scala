@@ -627,6 +627,36 @@ object RdfQueries {
       blocks
     },
 
+    // X250∘X237 composed — the HARVEST pipeline a catalog aggregator
+    // actually runs: many small Turtle descriptors parse one-task-per-
+    // document into per-file named graphs (X250), and the SPARQL
+    // dataset front end queries straight over them — GRAPH ?g binds
+    // each descriptor's provenance with no glue code between source
+    // and query. Oracle: the region replay with the file-name graphs.
+    "q254_turtle_harvest" -> { (s, dir) =>
+      val root = java.nio.file.Paths.get(
+        s"/tmp/graft_q254_${math.abs(dir.hashCode)}")
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      java.nio.file.Files.createDirectories(root.resolve("docs"))
+      t(s, dir, "region").select("r_regionkey", "r_name").collect()
+        .foreach { r =>
+          val k = r.get(0).toString
+          java.nio.file.Files.write(
+            root.resolve(s"docs/region_$k.ttl"),
+            s"""@prefix p: <urn:p/> .
+               |<urn:g/region/$k> p:name "${r.getString(1)}"@en ;
+               |    p:order "$k"^^<http://www.w3.org/2001/XMLSchema#integer> .
+               |""".stripMargin.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+        }
+      graft.graphquery.Sparql.selectDataset(
+        graft.rdf.Turtle.readMany(s, s"$root/docs"),
+        """SELECT ?g ?s ?name ?ord WHERE {
+          |  GRAPH ?g { ?s <urn:p/name> ?name .
+          |             ?s <urn:p/order> ?ord . }
+          |}""".stripMargin)
+    },
+
     // X250 — the distributed MANY-DOCUMENT Turtle source: one .ttl
     // descriptor per region (prefixes, `;` continuation, @lang +
     // ^^typed literals, an anonymous blank node) written to disk,
@@ -881,6 +911,13 @@ object RdfQueries {
          |         CAST(NULL AS VARCHAR) AS oDatatype
          |  FROM region)""".stripMargin,
       "geo" -> G.sql.geo),
+    // q254: each region descriptor's name+order under its file-name
+    // graph — the harvest join replayed from the region table.
+    "q254_turtle_harvest" ->
+      """SELECT 'region_' || r_regionkey || '.ttl' AS g,
+        |       'urn:g/region/' || r_regionkey AS s,
+        |       r_name AS name, CAST(r_regionkey AS VARCHAR) AS ord
+        |FROM region""".stripMargin,
     // q249: three expected rows per region document — the @lang name,
     // the typed order literal, and the skolemized anonymous bnode
     // (parser counter starts at b1, file-scoped by construction).

@@ -134,9 +134,12 @@ object NtParse {
           s.charAt(pos + 1) != ':') return fail
       val start = pos + 2
       var i = start
+      // Stops: whitespace, the next term's opener, or a comment —
+      // '#' is not PN_CHARS, and `_:o.#note` must parse like
+      // `<urn:o>.#note` does.
       while (i < s.length && {
         val c = s.charAt(i)
-        c != ' ' && c != '\t' && c != '<' && c != '"'
+        c != ' ' && c != '\t' && c != '<' && c != '"' && c != '#'
       }) i += 1
       // Trailing '.'s terminate the statement, not the label (the
       // BLANK_NODE_LABEL grammar allows dots medially only).

@@ -367,8 +367,10 @@ object Turtle {
     def compactIri(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       prefixes.foldLeft(concat(lit("<"), c, lit(">"))) {
         case (acc, (p, ns)) =>
+          // PN_LOCAL may not START with '-' (first char is PN_CHARS_U
+          // or a digit) — a leading dash must stay in <…> form.
           val local = substring(c, ns.length + 1, Int.MaxValue)
-          when(c.startsWith(ns) && local.rlike("^[A-Za-z0-9_-]+$"),
+          when(c.startsWith(ns) && local.rlike("^[A-Za-z0-9_][A-Za-z0-9_-]*$"),
             concat(lit(p + ":"), local)).otherwise(acc)
       }
     val rdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"

@@ -1162,14 +1162,23 @@ object EventsStream {
   def classifySink(docs: DataFrame, idCol: String, textCol: String,
                    modelDir: String, outDir: String, checkpointLoc: String,
                    autoCompact: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    // Frozen model = load ONCE at sink start (recovery probe + consts
-    // collect), not per micro-batch; the weights plan re-reads its
-    // parquet lazily per batch, which is the cheap part.
-    val m = graft.llm.Classify.loadModel(docs.sparkSession, modelDir)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointLoc)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // Model loads PER BATCH, deliberately: a once-at-start load
+        // would pin the weights parquet's file listing for the
+        // stream's lifetime, so an operator republishing the model via
+        // saveModel's atomic swap would crash the stream on deleted
+        // paths instead of being picked up. The per-batch cost is one
+        // recovery probe + a one-row consts read — noise against any
+        // real micro-batch — and a republish is picked up at the next
+        // batch boundary. (saveModel swaps weights then consts as two
+        // atomic renames; a load racing the narrow inter-swap window
+        // can pair new weights with the old scalar biases for ONE
+        // batch — republish with the stream paused to exclude even
+        // that.)
+        val m = graft.llm.Classify.loadModel(batch.sparkSession, modelDir)
         writeHistShard(
           graft.llm.Classify.nbScore(batch, idCol, textCol, m), id, outDir)
         maybeCompact(batch.sparkSession, outDir, autoCompact) {
@@ -1177,7 +1186,6 @@ object EventsStream {
         }
       }
       .start()
-  }
 
   /** Fold the [[decontamSink]] admission log's shards into one base
     * shard (identity fold — the log rows just re-land) so a long-lived

@@ -83,7 +83,10 @@ class DeltaStoreSpec extends SparkSpec {
     DeltaStore.compact(spark, delta)
     assert(rows(DeltaStore.serve(spark, delta)) == before,
       "compaction changed served contents")
-    assert(new java.io.File(s"$delta/base").exists())
+    // Compaction writes a fresh VERSIONED base dir (never renaming a
+    // live base's files away from a pinned reader).
+    assert(new java.io.File(delta).listFiles()
+      .exists(f => f.getName == "base" || f.getName.startsWith("base_v")))
     // Grace period: folded deltas survive this compact (a concurrent
     // serve's pinned listing must stay readable) and re-fold as a
     // no-op; the SECOND compact physically removes them.

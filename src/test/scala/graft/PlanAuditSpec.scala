@@ -41,12 +41,6 @@ class PlanAuditSpec extends SparkSpec {
       // q142 cross-joins a SINGLE-ROW aggregate (the session total) —
       // the q105/q115 scalar-broadcast shape.
       "q142_session_percentiles",
-      // q247/q252 serve the delta store: the fold cross-joins ONE
-      // collected row (the statement-count-bounded graph-tombstone
-      // cover list — DeltaStore.folded) — the scalar-broadcast shape;
-      // the quad-op anti-join stays a keyed (null-safe) equi-join and
-      // stays audited.
-      "q247_sparql_update_delta", "q252_graph_mgmt_delta",
       // q158 cross-joins the SINGLE-ROW corpus token total — the same
       // scalar-broadcast shape; both count joins stay keyed equi-joins.
       "q158_pmi_collocations",
