@@ -41,9 +41,11 @@ import org.apache.spark.sql.functions._
   * fold deltas ≤ horizon into a FRESH base version and flip the
   * `_base_v` pointer (never renaming a live base's files), with
   * physical deletion of old versions AND folded deltas DEFERRED one
-  * compact cycle (`_horizon` marker) so a concurrent serve's pinned
-  * file listing stays readable — re-folding retained deltas is a
-  * fixpoint.
+  * compact cycle. Serve reads ONLY deltas above the `_horizon` — the
+  * folded ones are inside the pointed base, so a reader's pinned
+  * listing (one base version + the unfolded suffix) survives a full
+  * compact cycle by construction; the pinned-serve spec case proves
+  * it by executing a pre-compaction plan after the compact.
   *
   * Same single-writer contract as every overwriteAtomic-maintained
   * index here; concurrent serves are safe given compactions spaced
@@ -129,9 +131,9 @@ object DeltaStore {
       .sorted
   }
 
-  private def deltaDf(spark: SparkSession, dir: String,
+  private def deltaDf(spark: SparkSession, dir: String, above: Long,
                       upTo: Option[Long]): Option[DataFrame] = {
-    val ids = deltaIds(spark, dir)
+    val ids = deltaIds(spark, dir).filter(_ > above)
     val live = upTo.map(h => ids.filter(_ <= h)).getOrElse(ids)
     if (live.isEmpty) None
     // Read the delta dirs explicitly (basePath recovers delta_id as a
@@ -162,7 +164,15 @@ object DeltaStore {
     */
   private def folded(spark: SparkSession, dir: String,
                      upTo: Option[Long] = None): DataFrame =
-    deltaDf(spark, dir, upTo) match {
+    // Only deltas ABOVE the horizon are read: everything at or below
+    // it is already inside the pointed base version, so re-reading the
+    // retained copies would (a) waste work and (b) PIN soon-to-be-
+    // swept files into reader plans — the failure the versioned base
+    // exists to prevent. (One crash window still double-applies: a
+    // compact that flipped the base pointer but died before the
+    // horizon write; re-applying folded deltas is a fixpoint, so the
+    // view stays correct until the retried compact heals the marker.)
+    deltaDf(spark, dir, readHorizon(spark, dir), upTo) match {
       case None => baseDf(spark, dir)
       case Some(d) =>
         val base = baseDf(spark, dir)

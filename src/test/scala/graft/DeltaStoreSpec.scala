@@ -110,6 +110,26 @@ class DeltaStoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
 
+  test("a serve plan PINNED before a compaction still collects after " +
+    "it — the versioned base + delta grace cycle, demonstrated") {
+    val (_, delta, root) = bothPaths(Seq(script1))
+    // Give the store a real base (compact #1) plus fresh deltas on top.
+    DeltaStore.compact(spark, delta)
+    DeltaStore.update(spark, delta,
+      "INSERT DATA { <urn:i/late> <urn:p/k> \"l\" . } ; " +
+        "CLEAR GRAPH <urn:d/2>")
+    val expected = rows(DeltaStore.serve(spark, delta))
+    // Pin a plan NOW (file listings resolve at plan build), then
+    // compact — which flips the base version and defers all physical
+    // deletion one cycle — and only then execute the pinned plan.
+    val pinned = DeltaStore.serve(spark, delta)
+    DeltaStore.compact(spark, delta)
+    assert(rows(pinned) == expected,
+      "compaction broke a concurrently pinned serve plan")
+    assert(rows(DeltaStore.serve(spark, delta)) == expected)
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
   test("graph-management tombstones are O(1) rows, never store-sized") {
     val (_, delta, root) = bothPaths(Seq(script1))
     DeltaStore.update(spark, delta, "CLEAR ALL")
