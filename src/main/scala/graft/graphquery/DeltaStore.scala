@@ -410,23 +410,32 @@ object DeltaStore {
       if (ids.isEmpty) return
       val fs = fsOf(spark, dir)
       val hPrev = readHorizon(spark, dir)
-      val hNew = ids.last
-      // Versioned base flip: write the fold into a FRESH directory and
-      // swing the pointer — never rename the live base's files out
-      // from under a pinned reader. A crashed previous attempt left an
-      // unpointed base_v dir; sweep it first (single writer holds the
-      // lock, nothing points at it).
       val v = baseVersion(spark, dir)
-      val vNew = v + 1
-      fs.delete(new Path(basePath(dir, vNew)), true)
-      val w = folded(spark, dir, Some(hNew)).write.mode("overwrite")
-      (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
-        .parquet(basePath(dir, vNew))
-      writeBaseVersion(spark, dir, vNew)
+      // Nothing NEW above the horizon → sweep-only tick: retire the
+      // grace-period leftovers (old base versions, folded deltas)
+      // without rewriting the base — a scheduled janitor must not pay
+      // a full store rewrite on a converged store, and once the
+      // leftovers are gone the next tick is a byte-identical no-op.
+      val freshWork = ids.exists(_ > hPrev)
+      if (freshWork) {
+        // Versioned base flip: write the fold into a FRESH directory
+        // and swing the pointer — never rename the live base's files
+        // out from under a pinned reader. A crashed previous attempt
+        // left an unpointed base_v dir; sweep it first (single writer
+        // holds the lock, nothing points at it).
+        val vNew = v + 1
+        fs.delete(new Path(basePath(dir, vNew)), true)
+        val w = folded(spark, dir, Some(ids.last)).write.mode("overwrite")
+        (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
+          .parquet(basePath(dir, vNew))
+        writeBaseVersion(spark, dir, vNew)
+      }
       // Grace sweeps — everything readers could have pinned BEFORE the
-      // previous compact: base versions ≤ v-1 and deltas ≤ the
-      // previous horizon (ascending, so a mid-delete listing loses a
-      // cover before the adds that outrank it).
+      // previous compact: base versions BELOW the PRE-flip version `v`
+      // (a version superseded by THIS tick's flip must survive one
+      // more cycle for its pinned readers) and deltas ≤ the previous
+      // horizon (ascending, so a mid-delete listing loses a cover
+      // before the adds that outrank it).
       fs.listStatus(new Path(dir)).foreach { st =>
         val n = st.getPath.getName
         val ver =
@@ -439,7 +448,7 @@ object DeltaStore {
       ids.filter(_ <= hPrev).sorted.foreach { i =>
         fs.delete(new Path(s"$dir/delta/delta_id=$i"), true)
       }
-      if (hNew > hPrev) writeHorizon(spark, dir, hNew)
+      if (freshWork && ids.last > hPrev) writeHorizon(spark, dir, ids.last)
     } finally lock.unlock()
   }
 }

@@ -1861,35 +1861,62 @@ class MediaStreamSpec extends SparkSpec {
         batches(2)(1), batches(3)(0))
       val served0 = serve()
       assert(served0 == scanOf(cur))
+      // Surface 3: a delta quad store with pending statements (the
+      // janitor owns its compaction too). Its convergence cadence
+      // differs by design — fold tick, then a sweep-only tick retiring
+      // the grace-period leftovers, THEN byte-identical — so it gets
+      // its own snapshot scope below.
+      graft.graphquery.DeltaStore.update(spark, s"$dir/quads",
+        """INSERT DATA { <urn:i/a> <urn:p/k> "1" .
+          |  GRAPH <urn:d/1> { <urn:i/b> <urn:p/k> "2" . } } ;
+          |DELETE DATA { <urn:i/a> <urn:p/k> "1" . }""".stripMargin)
+      val quadRows = graft.graphquery.DeltaStore
+        .serve(spark, s"$dir/quads").collect().map(_.toSeq).toSet
       // The cron body: every maintenance entry point, in the order an
       // operator's janitor would run them.
       def janitor(): Unit = {
         C.recoverSearchIndex(spark, s"$dir/idx")
         C.compactSearchIndexIfNeeded(spark, s"$dir/idx", maxShards = 2)
         SS.compactTable(spark, s"$dir/plain")
+        graft.graphquery.DeltaStore.compact(spark, s"$dir/quads")
       }
-      def snapshot(): Set[(String, Long, Long)] = {
+      def snapshotOf(root: String): Set[(String, Long, Long)] = {
         def walk(f: java.io.File): Seq[java.io.File] =
           if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-        walk(new java.io.File(dir))
+        walk(new java.io.File(root))
           .map(f => (f.getPath, f.length, f.lastModified)).toSet
       }
+      def snapshot(): Set[(String, Long, Long)] =
+        snapshotOf(dir).filterNot(_._1.startsWith(s"$dir/quads"))
+      def quadServe() = graft.graphquery.DeltaStore
+        .serve(spark, s"$dir/quads").collect().map(_.toSeq).toSet
       // Pass 1 does real work: folds the 4 index shards, collapses the
-      // 12 plain files — with serving and rows bit-identical across it.
+      // 12 plain files, folds the quad deltas into a base version —
+      // with serving and rows bit-identical across it.
       janitor()
       assert(serve() == served0, "janitor pass 1 changed serving")
       assert(spark.read.parquet(s"$dir/plain").collect()
         .map(_.toSeq).toSet == plainRows, "compactTable changed rows")
       assert(SS.readMeta(spark, s"$dir/idx/stats").exists(_.horizon == 3L),
         "janitor never folded the index")
+      assert(quadServe() == quadRows, "janitor pass 1 changed the quad store")
       // Pass 2 immediately after: the contract a schedule relies on —
-      // a converged store is left byte-for-byte untouched (no rewrite
-      // churn, no marker flapping), and serving still agrees.
+      // the converged stores are left byte-for-byte untouched (no
+      // rewrite churn, no marker flapping) and serving still agrees.
+      // The delta store's pass 2 is its sweep-only tick (retiring
+      // grace-period leftovers, never rewriting the base); pass 3 must
+      // leave it byte-identical too.
       val before = snapshot()
       janitor()
       assert(snapshot() == before,
         "second janitor pass touched a converged store")
       assert(serve() == served0)
+      assert(quadServe() == quadRows)
+      val quadsBefore = snapshotOf(s"$dir/quads")
+      janitor()
+      assert(snapshotOf(s"$dir/quads") == quadsBefore,
+        "third janitor pass touched the converged quad store")
+      assert(quadServe() == quadRows)
       // The stream keeps working against the compacted store.
       val b4 = Seq((6L, "vector vector spark"))
       mem.addData(b4: _*); q.processAllAvailable(); q.stop()
