@@ -124,6 +124,24 @@ object Sparql {
   /** REGEX/CONTAINS/STRSTARTS/STRENDS(?v, "arg"[, "flags"]). */
   final case class StrFuncE(fn: String, v: String, arg: String,
                             flags: String = "") extends Expr
+  /** Numeric arithmetic over value expressions (X260): `+ - * /`
+    * with SPARQL's type-error rule — a non-numeric operand makes the
+    * expression error, so FILTER drops the row and BIND leaves the
+    * variable unbound (compiled as try_cast-to-double chains, whose
+    * NULLs are exactly that rule). Division by zero is likewise a
+    * type error (guarded to NULL, never an ANSI abort). */
+  final case class Arith(l: Expr, op: String, r: Expr) extends Expr
+  /** SPARQL string/term function in VALUE position (X260): STRLEN /
+    * SUBSTR / REPLACE / UCASE / LCASE / CONCAT / STR / IRI / DATATYPE
+    * over full value-expression arguments. Plain CONCAT/IRI shapes
+    * over term parts keep folding to [[BindConcat]] (their existing
+    * plan and metadata path); this node carries the general forms. */
+  final case class ValueCall(fn: String, args: Seq[Expr]) extends Expr
+  /** Comparison over full VALUE EXPRESSIONS ([[Cmp]] stays for plain
+    * term operands): numeric when either side is numeric-kind
+    * (arithmetic, STRLEN, a numeric literal), lexical otherwise —
+    * string-kind ordering is codepoint order on both engines. */
+  final case class CmpE(l: Expr, op: String, r: Expr) extends Expr
 
   /** Expression-context operand wrappers: STR(?v) (lexical form) and
     * LANG(?v) (language tag, "" when absent) — only ever constructed
@@ -308,7 +326,7 @@ object Sparql {
           out += TWord(word); i = j
         }
       }
-      else if ("{}();,.*=/[]+|".contains(c)) { out += TPunct(c.toString); i += 1 }
+      else if ("{}();,.*=/[]+|-".contains(c)) { out += TPunct(c.toString); i += 1 }
       else sys.error(s"unexpected character '$c' at offset $i")
     }
     out.result()
@@ -2483,8 +2501,10 @@ object Sparql {
   }
 
   /** JSON results: (the document's `{"head":…` prefix, one BINDINGS
-    * object per solution). The full W3C document is the header +
-    * `"results":{"bindings":[` + the lines joined by `,` + `]}}` —
+    * object per solution). The header is an OPEN fragment ending in
+    * `},` — like the XML serializer's open `<results>` framing — so
+    * the full W3C document is exactly the header +
+    * `"results":{"bindings":[` + the lines joined by `,` + `]}}`,
     * kept as line-framed pieces so a billion-solution result streams
     * instead of building one driver-side document. Unbound variables
     * are omitted from their binding object per the spec. */
@@ -2546,7 +2566,7 @@ object Sparql {
                      named: DataFrame): (String, DataFrame) = {
     val (names, sol) = metaSolutions(query, dflt, named)
     val head = "{\"head\":{\"vars\":[" +
-      names.map("\"" + _._1 + "\"").mkString(",") + "]}}"
+      names.map("\"" + _._1 + "\"").mkString(",") + "]},"
     val fields = names.map { case (v, d) =>
       val (isIri, lang, dt) = termParts(sol, v, d)
       when(col(v).isNotNull, struct(

@@ -120,26 +120,86 @@ object Classify {
   }
 
   /** Persist a trained model: vocab-sized weights parquet + a one-row
-    * constants table, swapped atomically so a serving stream never
-    * reads a half-written model. */
+    * constants table, published as one immutable VERSION directory
+    * (`v<N>/weights` + `v<N>/consts`) behind a single `_model_v`
+    * pointer flip. One marker governs BOTH tables, so a load racing a
+    * republish (the streaming gate loads per batch) can never pair one
+    * generation's weights with another's prior/perTokenBias — the
+    * failure mode of the previous two-rename layout. Version dirs are
+    * write-once; versions ≤ N−2 (and, from the second versioned
+    * publish on, the pre-versioned legacy layout) are swept at publish
+    * time — the one-version grace keeps a reader pinned on the
+    * previous pointer value serving intact files, the same retention
+    * discipline as DeltaStore's versioned base. */
   def saveModel(model: NbModel, dir: String): Unit = {
     val spark = model.weights.sparkSession
-    graft.sources.ShardStore.overwriteAtomic(model.weights, s"$dir/weights")
     import spark.implicits._
-    graft.sources.ShardStore.overwriteAtomic(
-      Seq((model.perTokenBias, model.prior)).toDF("perTokenBias", "prior"),
-      s"$dir/consts")
+    val fs = fsOf(spark, dir)
+    val next = modelVersion(spark, dir).getOrElse(0L) + 1L
+    // A previous publish may have crashed after writing v<next> but
+    // before the pointer flip — the dir is unreferenced, overwrite it.
+    fs.delete(new hPath(s"$dir/v$next"), true)
+    model.weights.write.parquet(s"$dir/v$next/weights")
+    Seq((model.perTokenBias, model.prior)).toDF("perTokenBias", "prior")
+      .write.parquet(s"$dir/v$next/consts")
+    writeModelVersion(spark, dir, next)
+    (1L until next - 1L).foreach(v =>
+      fs.delete(new hPath(s"$dir/v$v"), true))
+    if (next >= 2L) {
+      fs.delete(new hPath(s"$dir/weights"), true)
+      fs.delete(new hPath(s"$dir/consts"), true)
+    }
   }
 
-  /** Load a [[saveModel]]-persisted model (healing a half-swapped
-    * write first, like every overwriteAtomic-maintained store). */
+  /** Load a [[saveModel]]-persisted model: one pointer read pins one
+    * immutable version directory (weights and consts from the SAME
+    * generation by construction). Pre-versioned layouts fall back to
+    * the legacy paths with their half-swap heal. */
   def loadModel(spark: org.apache.spark.sql.SparkSession,
                 dir: String): NbModel = {
-    require(graft.sources.ShardStore.existsRecovered(spark, s"$dir/consts"),
-      s"no NB model at $dir")
-    val c = spark.read.parquet(s"$dir/consts").head
-    NbModel(spark.read.parquet(s"$dir/weights"),
+    val (weightsDir, constsDir) = modelVersion(spark, dir) match {
+      case Some(v) => (s"$dir/v$v/weights", s"$dir/v$v/consts")
+      case None =>
+        require(
+          graft.sources.ShardStore.existsRecovered(spark, s"$dir/consts"),
+          s"no NB model at $dir")
+        (s"$dir/weights", s"$dir/consts")
+    }
+    val c = spark.read.parquet(constsDir).head
+    NbModel(spark.read.parquet(weightsDir),
       c.getAs[Long]("perTokenBias"), c.getAs[Long]("prior"))
+  }
+
+  private type hPath = org.apache.hadoop.fs.Path
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    new hPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def modelVersion(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Option[Long] = {
+    val fs = fsOf(spark, dir)
+    val p = new hPath(s"$dir/_model_v")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def writeModelVersion(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, v: Long): Unit = {
+    val fs = fsOf(spark, dir)
+    val tmp = new hPath(s"$dir/_model_v__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(new hPath(s"$dir/_model_v"), false)
+    require(fs.rename(tmp, new hPath(s"$dir/_model_v")),
+      s"model version marker rename failed: $dir")
   }
 
   /** Operating-point table for a scored, labeled corpus — the
@@ -176,7 +236,14 @@ object Classify {
       .withColumn("tn", sum(col("_n")).over(all) - col("fp"))
       .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"))
       .withColumn("f1_ppm",
-        expr("2 * tp * 1000000 div (2 * tp + fp + fn)"))
+        // 2tp+fp+fn = 0 ⇔ a zero-positive corpus at its strictest
+        // threshold (tp=fn=0, fp=0): integer div would throw under
+        // ANSI (or yield NULL otherwise, and tuneThreshold would
+        // order by a nullable column) — define F1 = 0 there (no true
+        // positives ⇒ no harmonic mean to take). CaseWhen evaluates
+        // lazily, so the guarded branch never divides by zero.
+        when(expr("2 * tp + fp + fn") === lit(0L), lit(0L))
+          .otherwise(expr("2 * tp * 1000000 div (2 * tp + fp + fn)")))
   }
 
   /** Mechanical operating-point pick off the sweep: the threshold

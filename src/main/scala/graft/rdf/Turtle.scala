@@ -405,24 +405,28 @@ object Turtle {
     * should be N-Quads; this source refuses nothing but will
     * single-task it, documented).
     *
-    * Returns the QUAD schema with `g` = the document's file name (last
-    * path segment): each document lands in its own named graph, so the
-    * result feeds [[graft.graphquery.Sparql.selectDataset]] /
-    * provenance-keeping sinks directly. Blank nodes are document-
-    * scoped per the RDF data model: labels skolemize under
-    * `urn:bnode:<fileName>:` — two documents' `[]` nodes can never
-    * merge, and the IRIs are deterministic across runs (file NAME, not
-    * the run-dependent full path). A malformed document fails loudly
-    * with its file name.
+    * Returns the QUAD schema with `g` = the document's path RELATIVE
+    * to the input root (for a flat directory that is just the file
+    * name): each document lands in its own named graph, so the result
+    * feeds [[graft.graphquery.Sparql.selectDataset]] /
+    * provenance-keeping sinks directly. The relative path — not the
+    * bare basename — is the key so two `a.ttl` files in different
+    * subdirectories stay distinct graphs; it is still deterministic
+    * across runs (relative to the INPUT root, not the run-dependent
+    * absolute location). Blank nodes are document-scoped per the RDF
+    * data model: labels skolemize under `urn:bnode:<relativePath>:` —
+    * two documents' `[]` nodes can never merge. A malformed document
+    * fails loudly with its file name.
     */
   def readMany(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, input_file_name}
+    val rootPath = inputRoot(spark, path)
     val docs = spark.read.option("wholetext", "true").text(path)
       .select(input_file_name().as("src"), col("value"))
       .as[(String, String)]
     docs.flatMap { case (src, text) =>
-      val name = src.substring(src.lastIndexOf('/') + 1)
+      val name = relativeName(src, rootPath)
       def skolem(v: String): String =
         if (v.startsWith("_:")) s"urn:bnode:$name:${v.stripPrefix("_:")}"
         else v
@@ -438,5 +442,44 @@ object Turtle {
           r.getBoolean(3), r.getString(4), r.getString(5))
       }
     }.toDF("g", "s", "p", "o", "oIsIri", "oLang", "oDatatype")
+  }
+
+  /** The qualified, glob-free root of an input `path` — the deepest
+    * ancestor with no glob metacharacters: a directory input names
+    * itself; a file or glob input names its parent. Graph labels key
+    * off paths RELATIVE to this root, so they stay deterministic when
+    * the tree moves but distinct when basenames collide across
+    * subdirectories. */
+  private def inputRoot(spark: SparkSession, path: String): String = {
+    import org.apache.hadoop.fs.Path
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Glob metacharacters anywhere in the remaining PREFIX (not just
+    // the leaf — `dir/*/a.ttl` globs a middle segment) push the root
+    // one level up.
+    def globFree(p: Path): Path =
+      if (p == null) new Path("/")
+      else if (p.toString.exists("*?{}[]".contains(_))) globFree(p.getParent)
+      else p
+    val base = globFree(hp)
+    val dir =
+      try { if (fs.getFileStatus(base).isFile) base.getParent else base }
+      catch { case _: java.io.FileNotFoundException => base.getParent }
+    fs.makeQualified(dir).toUri.getPath
+  }
+
+  /** `src` (an `input_file_name` URI) relative to [[inputRoot]];
+    * falls back to the basename if the file sits outside the root
+    * (symlinked trees) — never empty. */
+  private def relativeName(src: String, rootPath: String): String = {
+    val p =
+      try new java.net.URI(src).getPath
+      catch { case _: java.net.URISyntaxException => src }
+    if (p != null && p.startsWith(rootPath + "/"))
+      p.substring(rootPath.length + 1)
+    else {
+      val raw = if (p == null) src else p
+      raw.substring(raw.lastIndexOf('/') + 1)
+    }
   }
 }

@@ -1168,16 +1168,16 @@ object EventsStream {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // Model loads PER BATCH, deliberately: a once-at-start load
         // would pin the weights parquet's file listing for the
-        // stream's lifetime, so an operator republishing the model via
-        // saveModel's atomic swap would crash the stream on deleted
-        // paths instead of being picked up. The per-batch cost is one
-        // recovery probe + a one-row consts read — noise against any
-        // real micro-batch — and a republish is picked up at the next
-        // batch boundary. (saveModel swaps weights then consts as two
-        // atomic renames; a load racing the narrow inter-swap window
-        // can pair new weights with the old scalar biases for ONE
-        // batch — republish with the stream paused to exclude even
-        // that.)
+        // stream's lifetime, so an operator republishing the model
+        // would crash the stream on swept paths instead of being
+        // picked up. The per-batch cost is one pointer read + a
+        // one-row consts read — noise against any real micro-batch —
+        // and a republish is picked up at the next batch boundary.
+        // saveModel publishes weights+consts as ONE immutable version
+        // dir behind a single _model_v pointer flip, so a load racing
+        // a republish reads a consistent generation by construction
+        // (and the one-version sweep grace keeps the just-superseded
+        // files intact for a load already past the pointer).
         val m = graft.llm.Classify.loadModel(batch.sparkSession, modelDir)
         writeHistShard(
           graft.llm.Classify.nbScore(batch, idCol, textCol, m), id, outDir)

@@ -72,4 +72,79 @@ class ClassifySpec extends SparkSpec {
       -2L -> (2L, 0L, 0L, 1L, 1000000L)))
     assert(Classify.tuneThreshold(sweep) == -2L)
   }
+
+  test("saveModel/loadModel: single-pointer versioned publish — a " +
+    "republish swaps weights AND consts as one generation; the " +
+    "just-superseded version survives one cycle for pinned readers") {
+    val dir = java.nio.file.Files.createTempDirectory("nbmodel").toString
+    try {
+      val m1 = Classify.nbTrain(train, "text", col("pos"))
+      Classify.saveModel(m1, dir)
+      val l1 = Classify.loadModel(spark, dir)
+      assert(l1.perTokenBias == m1.perTokenBias && l1.prior == m1.prior)
+      // Pin version 1's file paths, then republish a DIFFERENT model.
+      val pinnedWeights = l1.weights
+      val train2 = train.union(Seq(("p3", "a a a a", true))
+        .toDF("doc_id", "text", "pos"))
+      val m2 = Classify.nbTrain(train2, "text", col("pos"))
+      Classify.saveModel(m2, dir)
+      val l2 = Classify.loadModel(spark, dir)
+      assert(l2.perTokenBias == m2.perTokenBias && l2.prior == m2.prior)
+      assert(l2.weights.collect().map(r =>
+        r.getString(0) -> r.getLong(1)).toMap ==
+        m2.weights.collect().map(r =>
+          r.getString(0) -> r.getLong(1)).toMap)
+      // One-version grace: the pre-republish plan still EXECUTES.
+      assert(pinnedWeights.count() == 3L)
+      // Third publish sweeps v1.
+      Classify.saveModel(m1, dir)
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v1")))
+      assert(Classify.loadModel(spark, dir).prior == m1.prior)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+    }
+  }
+
+  test("loadModel falls back to the pre-versioned legacy layout") {
+    val dir = java.nio.file.Files.createTempDirectory("nblegacy").toString
+    try {
+      val m = Classify.nbTrain(train, "text", col("pos"))
+      graft.sources.ShardStore.overwriteAtomic(m.weights, s"$dir/weights")
+      graft.sources.ShardStore.overwriteAtomic(
+        Seq((m.perTokenBias, m.prior)).toDF("perTokenBias", "prior"),
+        s"$dir/consts")
+      val l = Classify.loadModel(spark, dir)
+      assert(l.perTokenBias == m.perTokenBias && l.prior == m.prior)
+      // A versioned publish over a legacy store: first publish keeps
+      // the legacy copy (grace), the second sweeps it.
+      Classify.saveModel(m, dir)
+      Classify.saveModel(m, dir)
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/weights")))
+      assert(Classify.loadModel(spark, dir).prior == m.prior)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+    }
+  }
+
+  // thresholdSweep accepts arbitrary scored input (nbTrain guards its
+  // OWN flow, not this one): a zero-positive corpus hits 2tp+fp+fn=0
+  // at the strictest threshold — f1_ppm must be 0 there, not NULL
+  // (tuneThreshold orders by it).
+  test("zero-positive corpus: f1_ppm is 0 everywhere, never NULL, and " +
+    "tuneThreshold still picks deterministically") {
+    val scored = Seq(("a", 5L, false), ("b", 3L, false), ("c", 3L, false))
+      .toDF("doc_id", "score", "pos")
+    val sweep = Classify.thresholdSweep(scored, "score", col("pos"))
+    val rows = sweep.collect()
+    assert(rows.forall(!_.isNullAt(5)), "f1_ppm must never be NULL")
+    assert(rows.forall(_.getLong(5) == 0L))
+    // Ties on f1=0 break to the highest threshold (strictest filter).
+    assert(Classify.tuneThreshold(sweep) == 5L)
+  }
 }

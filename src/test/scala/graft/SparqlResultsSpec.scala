@@ -66,13 +66,22 @@ class SparqlResultsSpec extends SparkSpec {
         |  ?s <urn:p/name> ?name .
         |  OPTIONAL { ?s <urn:p/size> ?size . }
         |}""".stripMargin)
-    assert(head == "{\"head\":{\"vars\":[\"s\",\"name\",\"size\"]}}")
-    assert(lines.collect().map(_.getString(0)).toSet == Set(
+    assert(head == "{\"head\":{\"vars\":[\"s\",\"name\",\"size\"]},")
+    val collected = lines.collect().map(_.getString(0))
+    assert(collected.toSet == Set(
       """{"s":{"type":"uri","value":"urn:s/1"},""" +
         """"name":{"type":"literal","value":"jmeno","xml:lang":"cs"},""" +
         s""""size":{"type":"literal","value":"4","datatype":"$xsdInt"}}""",
       """{"s":{"type":"uri","value":"urn:s/2"},""" +
         """"name":{"type":"literal","value":"plain"}}"""))
+    // The documented assembly — header + "results":{"bindings":[ +
+    // lines joined by , + ]}} — must be one VALID JSON document.
+    val document = head + "\"results\":{\"bindings\":[" +
+      collected.mkString(",") + "]}}"
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(document)
+    assert(parsed.get("head").get("vars").size() == 3)
+    assert(parsed.get("results").get("bindings").size() == 2)
   }
 
   test("XML results: uri/literal binding elements, xml:lang/datatype " +

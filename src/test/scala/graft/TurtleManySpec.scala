@@ -123,6 +123,24 @@ class TurtleManySpec extends SparkSpec {
       ("urn:d/2", "x:2 p:v \"c\" .")))
   }
 
+  test("same basename in two subdirectories: distinct graphs AND " +
+    "distinct bnode skolem scopes (keyed by root-relative path)") {
+    val d = Files.createTempDirectory("ttlcoll")
+    Files.createDirectories(d.resolve("sub1"))
+    Files.createDirectories(d.resolve("sub2"))
+    Files.write(d.resolve("sub1/a.ttl"),
+      "[] <urn:p/v> \"1\" .".getBytes(StandardCharsets.UTF_8))
+    Files.write(d.resolve("sub2/a.ttl"),
+      "[] <urn:p/v> \"2\" .".getBytes(StandardCharsets.UTF_8))
+    val got = Turtle.readMany(spark, s"$d/*/a.ttl").collect()
+      .toSet.map((r: Row) => r.toSeq)
+    assert(got == Set(
+      Seq("sub1/a.ttl", "urn:bnode:sub1/a.ttl:b1", "urn:p/v", "1",
+        false, null, null),
+      Seq("sub2/a.ttl", "urn:bnode:sub2/a.ttl:b1", "urn:p/v", "2",
+        false, null, null)))
+  }
+
   test("a malformed document fails loudly WITH its file name") {
     val d = dir(
       "ok.ttl" -> "<urn:s/1> <urn:p/a> \"v\" .",
