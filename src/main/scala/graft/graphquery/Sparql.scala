@@ -1010,40 +1010,115 @@ object Sparql {
     private def parseTermOrBool(): Expr = peek match {
       case Some(TWord(w)) if w.equalsIgnoreCase("true") => next(); ConstBool(true)
       case Some(TWord(w)) if w.equalsIgnoreCase("false") => next(); ConstBool(false)
-      case Some(t) if isWord(t, "IRI") || isWord(t, "URI") =>
-        next(); eatPunct("(")
-        val inner = parseTermOrBool() match {
-          case BindConcat(parts, _) => parts
-          case other => sys.error(s"IRI() wraps CONCAT/STR/var, got $other")
-        }
-        eatPunct(")")
-        BindConcat(inner, asIri = true)
-      case Some(t) if isWord(t, "CONCAT") =>
-        next(); eatPunct("(")
-        val parts = Seq.newBuilder[Term]
-        parts += parseBindPart()
-        while (tryPunct(",")) parts += parseBindPart()
-        eatPunct(")")
-        BindConcat(parts.result())
-      case Some(t) if isWord(t, "STR") =>
-        BindConcat(Seq(parseBindPart()))
-      case Some(TVar(v)) if v.nonEmpty =>
-        next(); BindConcat(Seq(V(v)))
-      case Some(TStr(_)) =>
-        BindConcat(Seq(parseTerm()))
-      case _ => sys.error(s"unsupported BIND expression at $peek " +
-        "(supported: true/false, ?var, \"lit\", STR(?v), CONCAT(...), " +
-        "IRI(CONCAT(...)))")
+      case _ => parseValueExpr()
     }
 
-    private def parseBindPart(): Term = peek match {
-      case Some(t) if isWord(t, "STR") =>
+    // ------------------------------------------------ value expressions
+    // X260: additive < multiplicative < unary < primary, with plain
+    // CONCAT/IRI/term shapes FOLDING to the legacy BindConcat node so
+    // their established plan and metadata paths stay untouched.
+
+    private def leaf(t: Term): Expr = BindConcat(Seq(t))
+
+    private def parseValueExpr(): Expr = {
+      var e = parseValueMul()
+      var go = true
+      while (go) peek match {
+        case Some(TPunct(op @ ("+" | "-"))) =>
+          next(); e = Arith(e, op, parseValueMul())
+        case Some(TNum(s)) if s.startsWith("-") || s.startsWith("+") =>
+          // `?x -1`: the tokenizer folds a sign directly before digits
+          // into the numeral (SPARQL's own grammar quirk) — unfold it
+          // back into operator + positive operand.
+          next(); e = Arith(e, s.take(1), leaf(L(s.drop(1), isNum = true)))
+        case _ => go = false
+      }
+      e
+    }
+
+    private def parseValueMul(): Expr = {
+      var e = parseValueUnary()
+      var go = true
+      while (go) peek match {
+        case Some(TPunct(op @ ("*" | "/"))) =>
+          next(); e = Arith(e, op, parseValueUnary())
+        case _ => go = false
+      }
+      e
+    }
+
+    private def parseValueUnary(): Expr = peek match {
+      case Some(TPunct("(")) =>
+        next(); val e = parseValueExpr(); eatPunct(")"); e
+      case Some(TPunct("-")) =>
+        next(); Arith(leaf(L("0", isNum = true)), "-", parseValueUnary())
+      case _ => parseValuePrimary()
+    }
+
+    private def parseValuePrimary(): Expr = peek match {
+      case Some(t) if isWord(t, "IRI") || isWord(t, "URI") =>
         next(); eatPunct("(")
-        val v = parseVarArg("STR"); eatPunct(")")
-        FTerm("STR", v)
-      case Some(TVar(v)) if v.nonEmpty => next(); V(v)
-      case Some(TStr(_)) => parseTerm()
-      case other => sys.error(s"unsupported CONCAT argument $other")
+        val inner = parseValueExpr()
+        eatPunct(")")
+        inner match {
+          case BindConcat(parts, _) => BindConcat(parts, asIri = true)
+          case other => ValueCall("IRI", Seq(other))
+        }
+      case Some(t) if isWord(t, "CONCAT") =>
+        next(); eatPunct("(")
+        val args = Seq.newBuilder[Expr]
+        args += parseValueExpr()
+        while (tryPunct(",")) args += parseValueExpr()
+        eatPunct(")")
+        val as = args.result()
+        // All-term-part CONCAT folds to the legacy node (one concat
+        // projection, same AST the pre-X260 parser built).
+        val parts = as.map {
+          case BindConcat(Seq(p), false) => Some(p)
+          case _ => None
+        }
+        if (parts.forall(_.isDefined)) BindConcat(parts.map(_.get))
+        else ValueCall("CONCAT", as)
+      case Some(t) if isWord(t, "STR") =>
+        // STR(?v) keeps its legacy FTerm leaf (comparison/CONCAT
+        // operand); STR(<any value expr>) is the general call.
+        val save = pos
+        next(); eatPunct("(")
+        peek match {
+          case Some(TVar(v)) if { next(); tryPunct(")") } => leaf(FTerm("STR", v))
+          case _ =>
+            pos = save; next(); eatPunct("(")
+            val e = parseValueExpr(); eatPunct(")")
+            ValueCall("STR", Seq(e))
+        }
+      case Some(t) if isWord(t, "LANG") =>
+        next(); eatPunct("(")
+        val v = parseVarArg("LANG"); eatPunct(")")
+        leaf(FTerm("LANG", v))
+      case Some(t) if isWord(t, "DATATYPE") =>
+        next(); eatPunct("(")
+        val v = parseVarArg("DATATYPE"); eatPunct(")")
+        ValueCall("DATATYPE", Seq(leaf(V(v))))
+      case Some(t) if Seq("STRLEN", "UCASE", "LCASE").exists(isWord(t, _)) =>
+        val fn = next().asInstanceOf[TWord].s.toUpperCase
+        eatPunct("(")
+        val e = parseValueExpr(); eatPunct(")")
+        ValueCall(fn, Seq(e))
+      case Some(t) if isWord(t, "SUBSTR") =>
+        next(); eatPunct("(")
+        val src = parseValueExpr(); eatPunct(",")
+        val from = parseValueExpr()
+        val len = if (tryPunct(",")) Some(parseValueExpr()) else None
+        eatPunct(")")
+        ValueCall("SUBSTR", Seq(src, from) ++ len)
+      case Some(t) if isWord(t, "REPLACE") =>
+        next(); eatPunct("(")
+        val src = parseValueExpr(); eatPunct(",")
+        val pat = parseValueExpr(); eatPunct(",")
+        val rep = parseValueExpr(); eatPunct(")")
+        ValueCall("REPLACE", Seq(src, pat, rep))
+      case Some(TVar(v)) if v.nonEmpty => next(); leaf(V(v))
+      case _ => leaf(parseTerm())
     }
 
     /** FILTER expression grammar with the standard precedence:
@@ -1065,8 +1140,46 @@ object Sparql {
 
     private def parseUnaryExpr(): Expr =
       if (tryPunct("!")) Not(parseUnaryExpr())
-      else if (tryPunct("(")) { val e = parseExpr(); eatPunct(")"); e }
+      else if (peek.contains(TPunct("("))) {
+        // '(' is ambiguous: boolean grouping `(?a > 1 || ?b < 2)` vs a
+        // parenthesized VALUE `(?a + 1) * 2 > 4`. Try boolean first;
+        // when that fails, or a value/comparison operator FOLLOWS the
+        // closing paren, backtrack and reparse as a comparison over
+        // value expressions (pos is the only parser state expressions
+        // touch, so the rewind is complete).
+        val save = pos
+        val asBool =
+          try {
+            next(); val e = parseExpr(); eatPunct(")")
+            val continues = peek.exists {
+              case TPunct(p) => Seq("+", "-", "*", "/", "=", "!=",
+                "<", ">", "<=", ">=").contains(p)
+              case TNum(s) => s.startsWith("-") || s.startsWith("+")
+              case _ => false
+            }
+            if (continues) None else Some(e)
+          } catch { case _: Exception => None }
+        asBool.getOrElse { pos = save; parseComparison() }
+      }
       else parsePrimaryExpr()
+
+    /** `valueExpr op valueExpr` — the relational production. Plain
+      * term operands keep emitting the legacy [[Cmp]] node (its
+      * documented mixed-type heuristics); anything with arithmetic or
+      * a value function compiles through [[CmpE]]. */
+    private def parseComparison(): Expr = {
+      val l = parseValueExpr()
+      val op = next() match {
+        case TPunct(p@("=" | "!=" | "<" | ">" | "<=" | ">=")) => p
+        case other => sys.error(s"expected comparison operator, got $other")
+      }
+      val r = parseValueExpr()
+      (l, r) match {
+        case (BindConcat(Seq(a), false), BindConcat(Seq(b), false)) =>
+          Cmp(a, op, b)
+        case _ => CmpE(l, op, r)
+      }
+    }
 
     private def parseVarArg(fn: String): String = next() match {
       case TVar(x) => x
@@ -1112,24 +1225,7 @@ object Sparql {
         val v = parseVarArg(fn); eatPunct(",")
         val arg = parseStrArg(fn); eatPunct(")")
         StrFuncE(fn, v, arg)
-      case _ =>
-        val l = parseOperand()
-        val op = next() match {
-          case TPunct(p@("=" | "!=" | "<" | ">" | "<=" | ">=")) => p
-          case other => sys.error(s"expected comparison operator, got $other")
-        }
-        val r = parseOperand()
-        Cmp(l, op, r)
-    }
-
-    /** Comparison operand: a term, or the STR/LANG accessor wrappers. */
-    private def parseOperand(): Term = peek match {
-      case Some(t) if isWord(t, "STR") || isWord(t, "LANG") =>
-        val fn = next().asInstanceOf[TWord].s.toUpperCase
-        eatPunct("(")
-        val v = parseVarArg(fn); eatPunct(")")
-        FTerm(fn, v)
-      case _ => parseTerm()
+      case _ => parseComparison()
     }
   }
 
@@ -1948,19 +2044,29 @@ object Sparql {
       case Bind(ConstBool(b), as) =>
         acc = Some(acc.getOrElse(sys.error("BIND before any pattern"))
           .withColumn(as, lit(b)))
-      case Bind(BindConcat(parts, asIri), as) =>
+      case Bind(e @ BindConcat(parts, asIri), as) =>
         val base = acc.getOrElse(sys.error("BIND before any pattern"))
-        val pieces = parts.map {
-          case L(lex, _, _, _) => lit(lex)
-          case V(v) => col(v)
-          case FTerm("STR", v) => col(v)
-          case other => sys.error(s"unsupported CONCAT piece $other")
-        }
-        val value = if (pieces.length == 1) pieces.head else concat(pieces: _*)
         // Term metadata so CONSTRUCT reproduces the minted term: IRI()
-        // marks an IRI, a bare CONCAT/copy binds a plain literal.
-        acc = Some(base.withColumn(as, value)
-          .withColumn(as + IsIriSuffix, lit(asIri))
+        // (or a bare IRI copy) marks an IRI, a bare CONCAT/copy binds
+        // a plain literal.
+        val iriTerm = asIri ||
+          (parts match { case Seq(I(_)) => true; case _ => false })
+        acc = Some(base.withColumn(as, strVal(e, base))
+          .withColumn(as + IsIriSuffix, lit(iriTerm))
+          .withColumn(as + LangSuffix, lit(null).cast("string"))
+          .withColumn(as + DtSuffix, lit(null).cast("string")))
+      case Bind(e @ (_: Arith | _: ValueCall), as) =>
+        // X260 value expressions: arithmetic binds the canonical
+        // numeric lexical form (unbound on type error — the row
+        // SURVIVES with a NULL binding, per §10.1's error semantics);
+        // string functions bind plain literals; IRI(expr) mints a term.
+        val base = acc.getOrElse(sys.error("BIND before any pattern"))
+        val iriTerm = e match {
+          case ValueCall("IRI", _) => true
+          case _ => false
+        }
+        acc = Some(base.withColumn(as, strVal(e, base))
+          .withColumn(as + IsIriSuffix, lit(iriTerm))
           .withColumn(as + LangSuffix, lit(null).cast("string"))
           .withColumn(as + DtSuffix, lit(null).cast("string")))
       case Bind(e, _) => sys.error(s"unsupported BIND expression $e")
@@ -2341,8 +2447,125 @@ object Sparql {
     }
   }
 
+  // ------------------------------------------- value-expression compile
+  // X260. Numeric contexts compile through DOUBLE with try_cast (a
+  // non-numeric operand → NULL = SPARQL's type error: FILTER drops the
+  // row, BIND leaves the variable unbound). String contexts compile to
+  // codegen'd builtins over the lexical forms.
+
+  /** A term in value position: var column, literal/IRI constant, or
+    * the STR/LANG accessor wrappers. */
+  private def termVal(t: Term, df: DataFrame): Column = t match {
+    case V(v) => col(v)
+    case I(i) => lit(i)
+    case L(lex, _, _, _) => lit(lex)
+    case FTerm("STR", v) => col(v)
+    case FTerm("LANG", v) =>
+      require(df.columns.contains(v + LangSuffix),
+        s"LANG over ?$v, which has no language metadata in scope")
+      coalesce(col(v + LangSuffix), lit(""))
+    case FTerm(fn, _) => sys.error(s"unsupported accessor $fn")
+  }
+
+  /** Static kind of a value expression: 'n' numeric, 's' string,
+    * 'a' any (a plain term — typed by its comparison partner). */
+  private def kindOf(e: Expr): Char = e match {
+    case Arith(_, _, _) => 'n'
+    case ValueCall("STRLEN", _) => 'n'
+    case ValueCall(_, _) => 's'
+    case BindConcat(Seq(L(_, _, _, true)), _) => 'n'
+    case BindConcat(parts, _) if parts.length > 1 => 's'
+    case _ => 'a'
+  }
+
+  /** Numeric value (DoubleType; NULL = type error). */
+  private def numVal(e: Expr, df: DataFrame): Column = e match {
+    case Arith(l, op, r) =>
+      val lc = numVal(l, df); val rc = numVal(r, df)
+      op match {
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        // Division by zero is a SPARQL type error on the integer/
+        // decimal types this engine models — NULL, never an ANSI abort
+        // and never an escaping Infinity.
+        case "/" => when(rc === lit(0d), lit(null).cast("double"))
+          .otherwise(lc / rc)
+        case other => sys.error(s"unknown arithmetic operator $other")
+      }
+    case ValueCall("STRLEN", Seq(a)) => length(strVal(a, df)).cast("double")
+    case other => strVal(other, df).try_cast("double")
+  }
+
+  /** Canonical lexical form of a computed numeric: integral values
+    * print as integers (both engines' integer arithmetic), others as
+    * shortest-roundtrip doubles. */
+  private def lexNum(d: Column): Column = {
+    val asL = d.try_cast("long")
+    when(d.isNull, lit(null).cast("string"))
+      .when(asL.isNotNull && asL.cast("double") === d, asL.cast("string"))
+      .otherwise(d.cast("string"))
+  }
+
+  /** String (lexical) value of a value expression. */
+  private def strVal(e: Expr, df: DataFrame): Column = e match {
+    case BindConcat(parts, _) =>
+      val pieces = parts.map(termVal(_, df))
+      if (pieces.length == 1) pieces.head else concat(pieces: _*)
+    case a: Arith => lexNum(numVal(a, df))
+    case ValueCall("STRLEN", _) => lexNum(numVal(e, df))
+    case ValueCall("UCASE", Seq(a)) => upper(strVal(a, df))
+    case ValueCall("LCASE", Seq(a)) => lower(strVal(a, df))
+    case ValueCall("SUBSTR", a +: rest) =>
+      val src = strVal(a, df)
+      val from = numVal(rest.head, df).try_cast("int")
+      val len = if (rest.length > 1) numVal(rest(1), df).try_cast("int")
+        else length(src)
+      src.substr(from, len)
+    case ValueCall("REPLACE", Seq(a, p, r)) =>
+      // SPARQL REPLACE is regex-based and global — regexp_replace
+      // matches both (a DuckDB oracle needs its 'g' flag).
+      regexp_replace(strVal(a, df), strVal(p, df), strVal(r, df))
+    case ValueCall("CONCAT", args) =>
+      // Spark concat is NULL if any argument is NULL — exactly the
+      // spec's error propagation.
+      concat(args.map(strVal(_, df)): _*)
+    case ValueCall("STR", Seq(a)) => strVal(a, df)
+    case ValueCall("IRI", Seq(a)) => strVal(a, df)
+    case ValueCall("DATATYPE", Seq(BindConcat(Seq(V(v)), _))) =>
+      // DATATYPE(?v): xsd:string for a plain literal, rdf:langString
+      // for a tagged one, the stored datatype otherwise. An IRI — or a
+      // variable with no literal metadata in scope, which was only
+      // ever bound in IRI positions — is a type error → NULL.
+      if (!df.columns.contains(v + DtSuffix)) lit(null).cast("string")
+      else when(coalesce(col(v + IsIriSuffix), lit(false)),
+          lit(null).cast("string"))
+        .when(col(v + LangSuffix).isNotNull,
+          lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
+        .when(col(v + DtSuffix).isNotNull, col(v + DtSuffix))
+        .when(col(v).isNotNull,
+          lit("http://www.w3.org/2001/XMLSchema#string"))
+        .otherwise(lit(null).cast("string"))
+    case ValueCall(fn, _) => sys.error(s"unsupported value function $fn")
+    case other => sys.error(s"not a value expression: $other")
+  }
+
   private def exprCol(e: Expr, df: DataFrame): Column = e match {
     case ConstBool(b) => lit(b)
+    case CmpE(l, op, r) =>
+      val numeric = kindOf(l) == 'n' || kindOf(r) == 'n'
+      val lc = if (numeric) numVal(l, df) else strVal(l, df)
+      val rc = if (numeric) numVal(r, df) else strVal(r, df)
+      op match {
+        case "=" => lc === rc
+        case "!=" => lc =!= rc
+        case "<" => lc < rc
+        case ">" => lc > rc
+        case "<=" => lc <= rc
+        case ">=" => lc >= rc
+      }
+    case v @ (_: Arith | _: ValueCall | _: BindConcat) =>
+      sys.error(s"value expression in boolean position: $v")
     case LangMatchesE(v, range) =>
       require(df.columns.contains(v + LangSuffix),
         s"LANGMATCHES over ?$v, which has no language metadata in scope")

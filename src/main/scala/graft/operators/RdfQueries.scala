@@ -279,6 +279,28 @@ object RdfQueries {
           |}""".stripMargin)
     },
 
+    // X260: the SPARQL value-expression surface — numeric arithmetic
+    // (precedence, parens, division) and STRLEN/SUBSTR/REPLACE/UCASE/
+    // LCASE/DATATYPE in BIND and FILTER, all compiled to codegen'd
+    // builtins over the term columns; try_cast NULL chains implement
+    // the spec's type-error drop/unbind rule, so a 100 TB corpus pays
+    // one projection, no UDF, no per-row interpreter.
+    "q255_sparql_expr_surface" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(G.customers(s, dir),
+        """SELECT ?s ?name ?len ?tail3 ?head8 ?ckey ?klen ?dt WHERE {
+          |  ?s <urn:p/name> ?name .
+          |  ?s <urn:p/acctbal> ?bal .
+          |  BIND(STRLEN(?name) - 9 AS ?len)
+          |  BIND(SUBSTR(?name, STRLEN(?name) - 2) AS ?tail3)
+          |  BIND(UCASE(SUBSTR(?name, 1, 8)) AS ?head8)
+          |  BIND(REPLACE(?name, "Customer#0*", "c") AS ?ckey)
+          |  BIND(STRLEN(REPLACE(?name, "Customer#0*", "c")) * 3 - 1 AS ?klen)
+          |  BIND(DATATYPE(?bal) AS ?dt)
+          |  FILTER(?bal * 2 >= 1000 && (?bal - 100) / 2 > -4000
+          |         && SUBSTR(?name, 17, 1) != "0")
+          |}""".stripMargin)
+    },
+
     // P9: VALUES with UNDEF — null-pattern split join
     // (MultiAttributeDimension.java:38-43).
     "q18_values_undef" -> { (s, dir) =>
@@ -1198,6 +1220,25 @@ object RdfQueries {
       s"""SELECT s, o FROM t
          |WHERE p NOT IN ('urn:p/name', '${G.T}')""".stripMargin,
       "t" -> G.sql.geo),
+    // q255: every value function replayed on the lexical forms; the
+    // numeric FILTERs via CAST AS DOUBLE (the engine's try_cast twin —
+    // the fixture's acctbal strings all parse); regexp_replace needs
+    // DuckDB's 'g' flag to match SPARQL/Spark's replace-all.
+    "q255_sparql_expr_surface" -> withTriples(
+      """SELECT n.s AS s, n.o AS name,
+        |  CAST(length(n.o) - 9 AS VARCHAR) AS len,
+        |  substr(n.o, length(n.o) - 2) AS tail3,
+        |  upper(substr(n.o, 1, 8)) AS head8,
+        |  regexp_replace(n.o, 'Customer#0*', 'c', 'g') AS ckey,
+        |  CAST(length(regexp_replace(n.o, 'Customer#0*', 'c', 'g')) * 3 - 1
+        |       AS VARCHAR) AS klen,
+        |  b.oDatatype AS dt
+        |FROM t n JOIN t b ON n.s = b.s
+        |WHERE n.p = 'urn:p/name' AND b.p = 'urn:p/acctbal'
+        |  AND CAST(b.o AS DOUBLE) * 2 >= 1000
+        |  AND (CAST(b.o AS DOUBLE) - 100) / 2 > -4000
+        |  AND substr(n.o, 17, 1) <> '0'""".stripMargin,
+      "t" -> G.sql.customers),
     // q234: the minted key is plain string concatenation.
     "q234_sparql_bind_concat" -> withTriples(
       """SELECT s, o AS n, s || '|' || o AS key FROM t

@@ -1555,6 +1555,120 @@ class SparqlParserSpec extends SparkSpec {
         "urn:d/2,urn:i/a,1", "urn:d/2,urn:i/d,d"))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
+
+  // ------------------------------------------------ X260 value exprs
+
+  private def exprGraph: DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("urn:x/1", "urn:p/name", "alpha", false, null, null),
+      ("urn:x/1", "urn:p/size", "8", false, null,
+        "http://www.w3.org/2001/XMLSchema#integer"),
+      ("urn:x/2", "urn:p/name", "Beta", false, "en", null),
+      ("urn:x/2", "urn:p/size", "3", false, null,
+        "http://www.w3.org/2001/XMLSchema#integer"),
+      ("urn:x/3", "urn:p/name", "urn:other/3", true, null, null),
+      ("urn:x/3", "urn:p/size", "big", false, null, null))
+      .toDF("s", "p", "o", "oIsIri", "oLang", "oDatatype")
+  }
+
+  test("X260 arithmetic: precedence, parens, unary minus, division; " +
+    "BIND binds canonical lexical forms") {
+    val got = Sparql.select(exprGraph,
+      """SELECT ?s ?a ?b ?c WHERE {
+        |  ?s <urn:p/size> ?n .
+        |  BIND(?n + 2 * 10 AS ?a)
+        |  BIND((?n + 2) * 10 AS ?b)
+        |  BIND(0 - ?n / 2 AS ?c)
+        |  FILTER(?n * 3 >= 9)
+        |}""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    // size=8 → a=28, b=100, c=-4; size=3 → a=23, b=50, c=-1.5;
+    // size="big" → type error: FILTER drops the row.
+    assert(got == Set(
+      ("urn:x/1", "28", "100", "-4"),
+      ("urn:x/2", "23", "50", "-1.5")))
+  }
+
+  test("X260 type-error rule: BIND over a non-number leaves the var " +
+    "UNBOUND but keeps the row; division by zero likewise") {
+    val got = Sparql.select(exprGraph,
+      """SELECT ?s ?dbl ?z WHERE {
+        |  ?s <urn:p/size> ?n .
+        |  BIND(?n * 2 AS ?dbl)
+        |  BIND(?n / 0 AS ?z)
+        |}""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("urn:x/1", "16", null),
+      ("urn:x/2", "6", null),
+      ("urn:x/3", null, null)))
+  }
+
+  test("X260 string functions: STRLEN/SUBSTR/REPLACE/UCASE/LCASE in " +
+    "BIND and FILTER; string-kind comparison is lexical") {
+    val got = Sparql.select(exprGraph,
+      """SELECT ?s ?len ?up ?cut ?rep WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  BIND(STRLEN(?name) AS ?len)
+        |  BIND(UCASE(?name) AS ?up)
+        |  BIND(LCASE(SUBSTR(?name, 1, 3)) AS ?cut)
+        |  BIND(REPLACE(?name, "a+", "_") AS ?rep)
+        |  FILTER(STRLEN(?name) > 4 && UCASE(?name) != ?name)
+        |}""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSet
+    // alpha: len 5, ALPHA, alp, _lph_ ("a+" global); Beta: len 4 →
+    // dropped; urn:other/3: len 11, UCASE != self → kept.
+    assert(got == Set(
+      ("urn:x/1", "5", "ALPHA", "alp", "_lph_"),
+      ("urn:x/3", "11", "URN:OTHER/3", "urn", "urn:other/3")))
+  }
+
+  test("X260 DATATYPE: stored datatype, rdf:langString for tagged, " +
+    "xsd:string for plain, type error (unbound) for an IRI") {
+    val got = Sparql.select(exprGraph,
+      """SELECT ?s ?dt WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  BIND(DATATYPE(?name) AS ?dt)
+        |}""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("urn:x/1", "http://www.w3.org/2001/XMLSchema#string"),
+      ("urn:x/2", "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"),
+      ("urn:x/3", null)))
+    val typed = Sparql.select(exprGraph,
+      """SELECT ?s WHERE {
+        |  ?s <urn:p/size> ?n .
+        |  FILTER(DATATYPE(?n) = <http://www.w3.org/2001/XMLSchema#integer>)
+        |}""".stripMargin).collect().map(_.getString(0)).toSet
+    assert(typed == Set("urn:x/1", "urn:x/2"))
+  }
+
+  test("X260 boolean/value paren disambiguation: grouped booleans " +
+    "still parse; arithmetic groups backtrack correctly") {
+    val both = Sparql.select(exprGraph,
+      """SELECT ?s WHERE {
+        |  ?s <urn:p/size> ?n .
+        |  FILTER((?n > 5 || STRLEN(?n) = 3) && (?n + 1) * 2 >= 8)
+        |}""".stripMargin).collect().map(_.getString(0)).toSet
+    // 8: 8>5 true, (8+1)*2=18 ≥ 8 → keep. 3: 3>5 false, STRLEN("3")=1
+    // ≠ 3 → drop. "big": both comparisons type-error → drop.
+    assert(both == Set("urn:x/1"))
+  }
+
+  test("X260 CONCAT/IRI folds: general args compile; legacy shapes " +
+    "keep their metadata path") {
+    val got = Sparql.select(exprGraph,
+      """SELECT ?s ?k WHERE {
+        |  ?s <urn:p/size> ?n .
+        |  BIND(CONCAT("n", STR(?n), "-", STRLEN(?n) * 2) AS ?k)
+        |}""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("urn:x/1", "n8-2"), ("urn:x/2", "n3-2"),
+      ("urn:x/3", "nbig-6")))
+  }
 }
 
 /** The verbatim MultiAttributeDimension attribute query text
