@@ -47,10 +47,12 @@ import org.apache.spark.sql.functions._
   * compact cycle by construction; the pinned-serve spec case proves
   * it by executing a pre-compaction plan after the compact.
   *
-  * Same single-writer contract as every overwriteAtomic-maintained
-  * index here; concurrent serves are safe given compactions spaced
-  * further apart than the longest-running query (the deferred-vacuum
-  * retention contract).
+  * Single-writer per store, ENFORCED (not just documented): same-JVM
+  * writers serialize on `Sparql.storeLocks`; cross-process writers on
+  * the `_writer` TTL lease ([[writerLeaseTtlMs]]) — the id allocation
+  * (`max + 1`) is the collision point the lease closes. Concurrent
+  * serves are safe given compactions spaced further apart than the
+  * longest-running query (the deferred-vacuum retention contract).
   * DELETE WHERE / modify / CLEAR / ADD/COPY/MOVE compile their
   * solutions against the CURRENT folded view, so tombstones are exact
   * quads — the fold never re-runs a pattern.
@@ -63,6 +65,91 @@ object DeltaStore {
 
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---------------------------------------- cross-process writer lease
+  // The same discipline the search index's `_writing` staging lease
+  // proved (Corpus.scala): the in-JVM storeLocks mutex cannot see a
+  // second PROCESS, and two processes allocating `max + 1` ids would
+  // stage into the SAME `_tmp_<id>` dir — corruption, not just a lost
+  // race. The `_writer` lease makes the single-writer contract
+  // enforced: a second writer with a fresh lease fails loudly; a lease
+  // older than the TTL is a crashed writer's — swept and taken over.
+  // The lease is REFRESHED after every committed statement, so a long
+  // update script never outlives it; the residual window (two
+  // processes acquiring within one FS metadata round-trip on a
+  // rename-only filesystem) matches the search index's documented
+  // contract. A writer crash blocks other PROCESSES for at most one
+  // TTL — the recovery-latency/safety tradeoff every file lease makes.
+
+  /** Cross-process writer lease TTL on `$dir/_writer`. Test hook. */
+  private[graft] var writerLeaseTtlMs: Long = 60L * 60 * 1000L
+
+  private def leasePath(dir: String) = new Path(s"$dir/_writer")
+
+  private def leaseToken(fs: org.apache.hadoop.fs.FileSystem,
+                         p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+
+  /** Acquire the store's writer lease; returns the unique token.
+    * Fails loudly while another process's lease is fresh. */
+  private def acquireLease(spark: SparkSession, dir: String): String = {
+    val fs = fsOf(spark, dir)
+    val p = leasePath(dir)
+    fs.mkdirs(new Path(dir))
+    if (fs.exists(p)) {
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(p).getModificationTime
+      require(age > writerLeaseTtlMs,
+        s"$dir: another process holds the writer lease ($p, " +
+          s"age ${age}ms ≤ TTL ${writerLeaseTtlMs}ms) — this store is " +
+          "single-writer; retry after the holder finishes or its lease " +
+          "expires")
+      fs.delete(p, false) // crashed writer's stale lease
+    }
+    val token = java.util.UUID.randomUUID().toString
+    // create(overwrite = false): a concurrent acquisition tie loses
+    // LOUDLY (FileAlreadyExists) instead of silently double-writing.
+    val out = fs.create(p, false)
+    try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    token
+  }
+
+  /** Refresh = full rewrite (mtime moves on every FileSystem, incl.
+    * object stores whose setTimes is a no-op). Requires the lease to
+    * still be ours — a takeover after a false-stale sweep aborts HERE,
+    * before the next statement publishes. */
+  private def refreshLease(spark: SparkSession, dir: String,
+                           token: String): Unit = {
+    val fs = fsOf(spark, dir)
+    checkLease(spark, dir, token)
+    val out = fs.create(leasePath(dir), true)
+    try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def checkLease(spark: SparkSession, dir: String,
+                         token: String): Unit = {
+    val held = leaseToken(fsOf(spark, dir), leasePath(dir))
+    if (!held.contains(token))
+      throw new IllegalStateException(
+        s"$dir: writer lease lost (held=${held.getOrElse("<none>")}) — " +
+          "a concurrent process swept it as stale; aborting before " +
+          "publishing anything further; retry the operation")
+  }
+
+  private def releaseLease(spark: SparkSession, dir: String,
+                           token: String): Unit = {
+    val fs = fsOf(spark, dir)
+    if (leaseToken(fs, leasePath(dir)).contains(token))
+      fs.delete(leasePath(dir), false)
+  }
 
   private def emptyQuads(spark: SparkSession): DataFrame =
     spark.createDataFrame(
@@ -238,24 +325,32 @@ object DeltaStore {
       _ => new java.util.concurrent.locks.ReentrantLock)
     lock.lock()
     try {
-      val fs = fsOf(spark, dir)
-      val root = new Path(s"$dir/delta")
-      fs.mkdirs(root)
-      // Sweep crashed writers' invisible staging dirs.
-      fs.listStatus(root).foreach { st =>
-        if (st.getPath.getName.startsWith("_tmp_")) fs.delete(st.getPath, true)
-      }
-      ops.foreach { op =>
-        val silent = op match {
-          case Load(_, _, s) => s
-          case Clear(_, s, _) => s
-          case Create(_, s) => s
-          case GraphXfer(_, _, _, s) => s
-          case _ => false
+      val token = acquireLease(spark, dir)
+      try {
+        val fs = fsOf(spark, dir)
+        val root = new Path(s"$dir/delta")
+        fs.mkdirs(root)
+        // Sweep crashed writers' invisible staging dirs (ours is the
+        // only live lease — anything staged belongs to a dead writer).
+        fs.listStatus(root).foreach { st =>
+          if (st.getPath.getName.startsWith("_tmp_")) fs.delete(st.getPath, true)
         }
-        try commitOne(spark, dir, op)
-        catch { case _: Exception if silent => () }
-      }
+        ops.foreach { op =>
+          val silent = op match {
+            case Load(_, _, s) => s
+            case Clear(_, s, _) => s
+            case Create(_, s) => s
+            case GraphXfer(_, _, _, s) => s
+            case _ => false
+          }
+          try commitOne(spark, dir, op, token)
+          catch { case _: Exception if silent => () }
+          // Keep the lease fresh across a long script: one rewrite per
+          // committed statement, so the TTL bounds writer SILENCE, not
+          // script length.
+          refreshLease(spark, dir, token)
+        }
+      } finally releaseLease(spark, dir, token)
     } finally lock.unlock()
   }
 
@@ -264,7 +359,7 @@ object DeltaStore {
     * sees its predecessors' effects exactly like the administrative
     * path. */
   private def commitOne(spark: SparkSession, dir: String,
-                        op: UpdateOp): Unit = {
+                        op: UpdateOp, token: String): Unit = {
     val cur = folded(spark, dir)
     val none = emptyQuads(spark)
     val noClear = Seq.empty[(String, Option[String])]
@@ -336,7 +431,11 @@ object DeltaStore {
     // deferred-delete range before surviving a grace cycle.
     val id = math.max(deltaIds(spark, dir).lastOption.getOrElse(-1L),
       readHorizon(spark, dir)) + 1
-    val tmp = new Path(s"$dir/delta/_tmp_$id")
+    // Token-suffixed staging: even if two processes ever reached here
+    // with the same id (a lease-takeover race), their staging dirs
+    // cannot collide and the loser's PUBLISH rename fails loudly on
+    // the existing target.
+    val tmp = new Path(s"$dir/delta/_tmp_${id}_$token")
     val fin = new Path(s"$dir/delta/delta_id=$id")
     import scala.jdk.CollectionConverters._
     val opSchema = org.apache.spark.sql.types.StructType(
@@ -350,6 +449,11 @@ object DeltaStore {
         .withColumn("op", lit(0)))
       .unionByName(clearRows)
     rows.write.mode("overwrite").parquet(tmp.toString)
+    // Publish gate: the lease must still be ours — a writer whose
+    // lease was swept as stale (paused past the TTL) aborts HERE with
+    // only an invisible staging dir on disk, never a half-trusted
+    // delta.
+    checkLease(spark, dir, token)
     require(fs.rename(tmp, fin), s"delta publish rename failed: $fin")
   }
 
@@ -406,6 +510,16 @@ object DeltaStore {
       _ => new java.util.concurrent.locks.ReentrantLock)
     lock.lock()
     try {
+      val token = acquireLease(spark, dir)
+      try compactLocked(spark, dir, partitionBy, token)
+      finally releaseLease(spark, dir, token)
+    } finally lock.unlock()
+  }
+
+  private def compactLocked(spark: SparkSession, dir: String,
+                            partitionBy: Seq[String],
+                            token: String): Unit = {
+    {
       val ids = deltaIds(spark, dir)
       if (ids.isEmpty) return
       val fs = fsOf(spark, dir)
@@ -428,6 +542,10 @@ object DeltaStore {
         val w = folded(spark, dir, Some(ids.last)).write.mode("overwrite")
         (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
           .parquet(basePath(dir, vNew))
+        // Pointer-flip gate: the fold was a long Spark job — if the
+        // lease was swept meanwhile, the fresh base_v dir is unpointed
+        // garbage (the next compact sweeps it) and nothing published.
+        checkLease(spark, dir, token)
         writeBaseVersion(spark, dir, vNew)
       }
       // Grace sweeps — everything readers could have pinned BEFORE the
@@ -449,6 +567,26 @@ object DeltaStore {
         fs.delete(new Path(s"$dir/delta/delta_id=$i"), true)
       }
       if (freshWork && ids.last > hPrev) writeHorizon(spark, dir, ids.last)
-    } finally lock.unlock()
+    }
+  }
+
+  /** Auto-compact TRIGGER (the X236 one-listing threshold discipline,
+    * now uniform across every store family): fold only when the
+    * UNFOLDED delta suffix — deltas above the horizon, the rows
+    * [[serve]] actually re-reads per query — exceeds `maxDeltas`;
+    * below it, one directory listing plus one marker read, never a
+    * base rewrite. The threshold is the read-amplification bound an
+    * operator accepts between janitor ticks: serve scans ≤ `maxDeltas`
+    * statement deltas plus one base. Retained-but-folded deltas (the
+    * grace copies) don't count — they are inside the pointed base and
+    * serve never reads them. Returns whether a compact ran. */
+  def compactIfNeeded(spark: SparkSession, dir: String,
+                      maxDeltas: Int = 8,
+                      partitionBy: Seq[String] = Nil): Boolean = {
+    require(maxDeltas >= 1, "maxDeltas must be >= 1")
+    val h = readHorizon(spark, dir)
+    if (deltaIds(spark, dir).count(_ > h) > maxDeltas) {
+      compact(spark, dir, partitionBy); true
+    } else false
   }
 }

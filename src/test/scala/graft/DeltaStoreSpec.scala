@@ -199,4 +199,75 @@ class DeltaStoreSpec extends SparkSpec {
     assert(nDeltas == n0, "failed op committed a delta")
     org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
+
+  test("compactIfNeeded: below threshold is a pure listing no-op; " +
+    "crossing folds exactly once; the pinned-serve contract holds " +
+    "across the triggered fold") {
+    val root = java.nio.file.Files.createTempDirectory("deltaauto")
+    val delta = s"$root/store"
+    try {
+      Seq(
+        "INSERT DATA { <urn:i/a> <urn:p/k> \"1\" . }",
+        "INSERT DATA { <urn:i/b> <urn:p/k> \"2\" . }",
+        "INSERT DATA { <urn:i/c> <urn:p/k> \"3\" . }")
+        .foreach(DeltaStore.update(spark, delta, _))
+      val served = rows(DeltaStore.serve(spark, delta))
+      // 3 live deltas ≤ 5 → no-op: no base version, no horizon marker.
+      assert(!DeltaStore.compactIfNeeded(spark, delta, maxDeltas = 5))
+      assert(!new java.io.File(s"$delta/base_v1").exists() &&
+        !new java.io.File(s"$delta/_horizon").exists(),
+        "below-threshold trigger must not touch the store")
+      // Pin a plan, cross the threshold: 3 > 2 → one fold.
+      val pinned = DeltaStore.serve(spark, delta)
+      assert(DeltaStore.compactIfNeeded(spark, delta, maxDeltas = 2))
+      assert(new java.io.File(s"$delta/base_v1").exists())
+      assert(rows(DeltaStore.serve(spark, delta)) == served)
+      assert(rows(pinned) == served,
+        "pre-trigger pinned plan must still execute (one-cycle grace)")
+      // Converged: the suffix is folded, so the trigger is quiet again.
+      assert(!DeltaStore.compactIfNeeded(spark, delta, maxDeltas = 2))
+      assert(rows(DeltaStore.serve(spark, delta)) == served)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
+  test("cross-process writer lease: a fresh foreign lease blocks " +
+    "loudly; a stale one is swept and taken over; the lease releases " +
+    "after the script") {
+    val root = java.nio.file.Files.createTempDirectory("deltalease")
+    val delta = s"$root/store"
+    val leaseFile = new java.io.File(s"$delta/_writer")
+    try {
+      DeltaStore.update(spark, delta,
+        "INSERT DATA { <urn:i/a> <urn:p/k> \"1\" . }")
+      assert(!leaseFile.exists(), "lease must release after the script")
+      // Another PROCESS's fresh lease → this writer must not touch the
+      // store (same-JVM storeLocks can't see it; the file can).
+      java.nio.file.Files.createDirectories(leaseFile.getParentFile.toPath)
+      java.nio.file.Files.write(leaseFile.toPath,
+        "someone-else".getBytes("UTF-8"))
+      val e = intercept[IllegalArgumentException] {
+        DeltaStore.update(spark, delta,
+          "INSERT DATA { <urn:i/b> <urn:p/k> \"2\" . }")
+      }
+      assert(e.getMessage.contains("writer lease"), e.getMessage)
+      assert(new java.io.File(s"$delta/delta").listFiles()
+        .count(_.getName.startsWith("delta_id=")) == 1,
+        "blocked writer must not commit")
+      // Same foreign lease, aged past the TTL → crashed writer: swept,
+      // taken over, ids stay monotonic.
+      val ttl = DeltaStore.writerLeaseTtlMs
+      DeltaStore.writerLeaseTtlMs = -1L
+      try DeltaStore.update(spark, delta,
+        "INSERT DATA { <urn:i/b> <urn:p/k> \"2\" . }")
+      finally DeltaStore.writerLeaseTtlMs = ttl
+      assert(!leaseFile.exists())
+      assert(rows(DeltaStore.serve(spark, delta)).map(_(3)) ==
+        Set("1", "2"))
+      // compact holds + releases the lease too.
+      DeltaStore.compact(spark, delta)
+      assert(!leaseFile.exists())
+      assert(rows(DeltaStore.serve(spark, delta)).map(_(3)) ==
+        Set("1", "2"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
 }
