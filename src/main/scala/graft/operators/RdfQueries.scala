@@ -649,6 +649,53 @@ object RdfQueries {
       blocks
     },
 
+    // X261 — the TriG SOURCE, gated as a round trip through its own
+    // sink (X258): region-derived quads render to canonical TriG
+    // blocks, assemble into a document (driver-side — the region dim
+    // is bounded, like every fixture write here), and readManyTrig
+    // must hand back the IDENTICAL quad set — graph labels from the
+    // document's own blocks, default graph as null — vs a direct
+    // DuckDB quad replay. Completes the source/sink symmetry:
+    // N-Triples ✓✓, N-Quads ✓✓, Turtle ✓✓, TriG ✓✓.
+    "q256_trig_roundtrip" -> { (s, dir) =>
+      val root = java.nio.file.Paths.get(
+        s"/tmp/graft_q256_${math.abs(dir.hashCode)}")
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      java.nio.file.Files.createDirectories(root.resolve("docs"))
+      val r = t(s, dir, "region")
+      val nullStr = lit(null).cast("string")
+      val gs = concat(lit("urn:d/"), col("r_regionkey"))
+      val ss = concat(lit("urn:g/region/"), col("r_regionkey"))
+      val quads = r.select(nullStr.as("g"), ss.as("s"),
+          lit("urn:p/name").as("p"), col("r_name").as("o"),
+          lit(false).as("oIsIri"), lit("en").as("oLang"),
+          nullStr.as("oDatatype"))
+        .unionByName(r.select(gs.as("g"), ss.as("s"),
+          lit("urn:p/order").as("p"),
+          col("r_regionkey").cast("string").as("o"),
+          lit(false).as("oIsIri"), nullStr.as("oLang"),
+          lit("http://www.w3.org/2001/XMLSchema#integer").as("oDatatype")))
+        .unionByName(r.select(gs.as("g"), ss.as("s"),
+          lit("urn:p/world").as("p"), lit("urn:w/all").as("o"),
+          lit(true).as("oIsIri"), nullStr.as("oLang"),
+          nullStr.as("oDatatype")))
+      val (header, blocks) = graft.rdf.Turtle.renderTrig(quads,
+        Seq("p" -> "urn:p/"))
+      val collected = blocks.collect()
+      val sb = new StringBuilder(header + "\n")
+      collected.filter(_.isNullAt(0))
+        .foreach(b => sb.append(b.getString(1)).append("\n"))
+      collected.filterNot(_.isNullAt(0)).groupBy(_.getString(0)).toSeq
+        .sortBy(_._1).foreach { case (g, bs) =>
+          sb.append(s"<$g> {\n")
+          bs.foreach(b => sb.append(b.getString(1)).append("\n"))
+          sb.append("}\n")
+        }
+      java.nio.file.Files.write(root.resolve("docs/world.trig"),
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      graft.rdf.Turtle.readManyTrig(s, s"$root/docs")
+    },
+
     // X250∘X237 composed — the HARVEST pipeline a catalog aggregator
     // actually runs: many small Turtle descriptors parse one-task-per-
     // document into per-file named graphs (X250), and the SPARQL
@@ -884,6 +931,26 @@ object RdfQueries {
         |       false, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
         |FROM region""".stripMargin,
       "geo" -> G.sql.geo, "cust" -> G.sql.customers),
+    // q256: the TriG round trip's quad set replayed directly — the
+    // Spark side must reproduce exactly these rows AFTER passing
+    // through its own sink text and parser.
+    "q256_trig_roundtrip" ->
+      """SELECT CAST(NULL AS VARCHAR) AS g,
+        |       'urn:g/region/' || r_regionkey AS s,
+        |       'urn:p/name' AS p, r_name AS o, false AS oIsIri,
+        |       'en' AS oLang, CAST(NULL AS VARCHAR) AS oDatatype
+        |FROM region
+        |UNION ALL
+        |SELECT 'urn:d/' || r_regionkey, 'urn:g/region/' || r_regionkey,
+        |       'urn:p/order', CAST(r_regionkey AS VARCHAR), false,
+        |       CAST(NULL AS VARCHAR),
+        |       'http://www.w3.org/2001/XMLSchema#integer'
+        |FROM region
+        |UNION ALL
+        |SELECT 'urn:d/' || r_regionkey, 'urn:g/region/' || r_regionkey,
+        |       'urn:p/world', 'urn:w/all', true, CAST(NULL AS VARCHAR),
+        |       CAST(NULL AS VARCHAR)
+        |FROM region""".stripMargin,
     // q253: the Turtle sink replayed as string algebra — subjects stay
     // <urn:g/…> (locals carry '/', not PN_LOCAL-safe), predicates
     // compress to p:, object terms ride the shared objectTermSql

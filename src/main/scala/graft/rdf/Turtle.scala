@@ -28,10 +28,14 @@ object Turtle {
   private case class Term(value: String, isIri: Boolean,
                           lang: String = null, datatype: String = null)
 
-  private class Parser(input: String) {
+  private class Parser(input: String, trig: Boolean = false) {
     private var pos = 0
     private var blankCounter = 0
     private var base: String = null
+    // TriG (X261): the graph label of the enclosing block — null for
+    // default-graph statements; every triple records it at emission so
+    // nested bnodes and collections inherit their block's graph.
+    private var curGraph: String = null
     // Well-known fallbacks: input.ttl:19 uses dcat: without declaring it
     // (the fixture is technically invalid Turtle); @prefix decls override.
     private val prefixes = collection.mutable.Map[String, String](
@@ -42,7 +46,7 @@ object Turtle {
       "dcat" -> "http://www.w3.org/ns/dcat#",
       "dcterms" -> "http://purl.org/dc/terms/",
       "foaf" -> "http://xmlns.com/foaf/0.1/")
-    val triples = collection.mutable.ArrayBuffer[(Term, Term, Term)]()
+    val triples = collection.mutable.ArrayBuffer[(Term, Term, Term, String)]()
 
     private def ws(): Unit = {
       while (pos < input.length) {
@@ -203,10 +207,10 @@ object Turtle {
         val first = Term(RDF + "first", isIri = true)
         val rest = Term(RDF + "rest", isIri = true)
         for (i <- items.indices) {
-          triples += ((cells(i), first, items(i)))
+          triples += ((cells(i), first, items(i), curGraph))
           triples += ((cells(i), rest,
             if (i == items.length - 1) Term(RDF + "nil", isIri = true)
-            else cells(i + 1)))
+            else cells(i + 1), curGraph))
         }
         cells.head
       }
@@ -252,7 +256,7 @@ object Turtle {
         var moreObjects = true
         while (moreObjects) {
           val o = term()
-          triples += ((subject, p, o))
+          triples += ((subject, p, o, curGraph))
           if (peek() == ',') { pos += 1 } else moreObjects = false
         }
         if (peek() == ';') {
@@ -296,12 +300,53 @@ object Turtle {
         } else if (startsKeyword("BASE")) {
           pos += "BASE".length
           base = iriRef()
+        } else if (trig && startsKeyword("GRAPH")) {
+          // TriG: `GRAPH <g> { … }` — the explicit keyword form.
+          pos += "GRAPH".length
+          wrappedGraph(graphLabel())
+        } else if (trig && peek() == '{') {
+          // TriG: `{ … }` — an explicit default-graph block.
+          wrappedGraph(null)
         } else {
+          val save = pos
           val s = term()
-          predicateObjectList(s)
-          expect('.')
+          if (trig && peek() == '{')
+            // TriG triplesOrGraph: `<g> { … }` — a label, not a subject.
+            wrappedGraph({ pos = save; graphLabel() })
+          else {
+            predicateObjectList(s)
+            expect('.')
+          }
         }
       }
+    }
+
+    /** TriG graph label: an IRI, prefixed name, or blank-node label —
+      * never a literal or `[...]` property list. */
+    private def graphLabel(): String = peek() match {
+      case '<' => iriRef()
+      case c if c == '"' || c == '\'' || c == '[' || c == '(' =>
+        sys.error(s"a graph label must be an IRI or blank-node label, at $pos")
+      case _ =>
+        val t = bareToken()
+        if (t.startsWith("_:")) t else { pos -= t.length; pname() }
+    }
+
+    /** TriG wrappedGraph: `{ triples* }` with the final '.' optional
+      * before '}' (the grammar's triplesBlock). */
+    private def wrappedGraph(g: String): Unit = {
+      expect('{')
+      val prev = curGraph
+      curGraph = g
+      while (peek() != '}') {
+        val s = term()
+        predicateObjectList(s)
+        if (peek() == '.') pos += 1
+        else require(peek() == '}',
+          s"expected '.' or '}' in graph block at $pos")
+      }
+      expect('}')
+      curGraph = prev
     }
   }
 
@@ -309,8 +354,22 @@ object Turtle {
   def parseTriples(text: String): Seq[Row] = {
     val p = new Parser(text)
     p.parse()
-    p.triples.toSeq.map { case (s, pr, o) =>
+    p.triples.toSeq.map { case (s, pr, o, _) =>
       Row(s.value, pr.value, o.value, o.isIri, o.lang, o.datatype)
+    }
+  }
+
+  /** Parse TriG text into quad tuples `(g, s, p, o, oIsIri, oLang,
+    * oDatatype)` — g = null for default-graph statements (bare
+    * triples, `{…}` blocks); `<g> {…}` / `GRAPH <g> {…}` / `_:g {…}`
+    * label their block's triples (X261). Everything Turtle allows is
+    * allowed inside a block (lists, collections, nested bnodes — they
+    * inherit the block's graph). */
+  def parseQuads(text: String): Seq[Row] = {
+    val p = new Parser(text, trig = true)
+    p.parse()
+    p.triples.toSeq.map { case (s, pr, o, g) =>
+      Row(g, s.value, pr.value, o.value, o.isIri, o.lang, o.datatype)
     }
   }
 
@@ -440,6 +499,47 @@ object Turtle {
         (name, skolem(r.getString(0)), r.getString(1),
           if (r.getBoolean(3)) skolem(r.getString(2)) else r.getString(2),
           r.getBoolean(3), r.getString(4), r.getString(5))
+      }
+    }.toDF("g", "s", "p", "o", "oIsIri", "oLang", "oDatatype")
+  }
+
+  /** Distributed MANY-DOCUMENT TriG source (X261 — [[renderTrig]]'s
+    * reading twin, completing the source/sink symmetry: N-Triples ✓✓,
+    * N-Quads ✓✓, Turtle ✓✓, TriG ✓✓). Same parallel unit as
+    * [[readMany]] — TriG is a whole-document grammar, so one task
+    * parses one document — but the graph column comes from the
+    * DOCUMENT'S OWN named-graph blocks, not the file: `<g> {…}` rows
+    * carry g, bare/`{…}` statements land in the default graph
+    * (g = null), and two documents naming the same graph MERGE into it
+    * (RDF dataset semantics — per-file provenance is [[readMany]]'s
+    * job). Blank nodes still skolemize per document
+    * (`urn:bnode:<relativePath>:`), across ALL of a document's blocks
+    * — TriG scopes labels to the document, not the block. A malformed
+    * document fails loudly with its file name.
+    */
+  def readManyTrig(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val rootPath = inputRoot(spark, path)
+    val docs = spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("src"), col("value"))
+      .as[(String, String)]
+    docs.flatMap { case (src, text) =>
+      val name = relativeName(src, rootPath)
+      def skolem(v: String): String =
+        if (v != null && v.startsWith("_:"))
+          s"urn:bnode:$name:${v.stripPrefix("_:")}"
+        else v
+      val rows =
+        try parseQuads(text)
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(
+            s"malformed TriG document $name: ${e.getMessage}", e)
+        }
+      rows.map { r =>
+        (skolem(r.getString(0)), skolem(r.getString(1)), r.getString(2),
+          if (r.getBoolean(4)) skolem(r.getString(3)) else r.getString(3),
+          r.getBoolean(4), r.getString(5), r.getString(6))
       }
     }.toDF("g", "s", "p", "o", "oIsIri", "oLang", "oDatatype")
   }

@@ -141,6 +141,91 @@ class TurtleManySpec extends SparkSpec {
         false, null, null)))
   }
 
+  // ------------------------------------------------- X261 TriG source
+
+  test("TriG grammar: every label form, default-graph bare triples and " +
+    "{} blocks, optional final '.', nested bnodes inherit the graph") {
+    val quads = Turtle.parseQuads(
+      """@prefix p: <urn:p/> .
+        |<urn:s/0> p:v "dflt" .
+        |{ <urn:s/0> p:v "block" . }
+        |<urn:g/1> { <urn:s/1> p:v "one" ; p:w "w" . }
+        |GRAPH <urn:g/2> { <urn:s/2> p:v "two" }
+        |_:g { <urn:s/3> p:v "three" . }
+        |p:g4 { <urn:s/4> p:anon [ p:in "nested" ] . }
+        |""".stripMargin)
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(quads.contains((null, "urn:s/0", "urn:p/v", "dflt")))
+    assert(quads.contains((null, "urn:s/0", "urn:p/v", "block")))
+    assert(quads.contains(("urn:g/1", "urn:s/1", "urn:p/v", "one")))
+    assert(quads.contains(("urn:g/1", "urn:s/1", "urn:p/w", "w")))
+    assert(quads.contains(("urn:g/2", "urn:s/2", "urn:p/v", "two")))
+    assert(quads.contains(("_:g", "urn:s/3", "urn:p/v", "three")))
+    // The nested bnode's own triple lands INSIDE the labeled graph.
+    val nested = quads.filter(_._1 == "urn:p/g4")
+    assert(nested.size == 2 &&
+      nested.exists(q => q._3 == "urn:p/in" && q._4 == "nested"))
+  }
+
+  test("readManyTrig: documents' own graph labels (merged across " +
+    "files), default graph = null, per-document bnode skolems") {
+    val d = dir(
+      "a.trig" -> """@prefix p: <urn:p/> .
+                    |<urn:s/a> p:v "da" .
+                    |<urn:g/shared> { <urn:s/a> p:v "ga" . }
+                    |_:x { <urn:s/a> p:bn _:x . }""".stripMargin,
+      "b.trig" -> """@prefix p: <urn:p/> .
+                    |<urn:g/shared> { <urn:s/b> p:v "gb" . }
+                    |_:x { <urn:s/b> p:bn _:x . }""".stripMargin)
+    val got = Turtle.readManyTrig(spark, d.toString).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(got == Set(
+      (null, "urn:s/a", "urn:p/v", "da"),
+      ("urn:g/shared", "urn:s/a", "urn:p/v", "ga"),
+      ("urn:g/shared", "urn:s/b", "urn:p/v", "gb"),
+      // _:x skolemizes per DOCUMENT — graph labels and objects alike —
+      // so the two files' [] graphs can never merge.
+      ("urn:bnode:a.trig:x", "urn:s/a", "urn:p/bn", "urn:bnode:a.trig:x"),
+      ("urn:bnode:b.trig:x", "urn:s/b", "urn:p/bn", "urn:bnode:b.trig:x")))
+  }
+
+  test("TriG round trip: the parser reads renderTrig's own sink output " +
+    "back to the identical quad set") {
+    import scala.jdk.CollectionConverters._
+    val quadSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.StringType) +: Turtle.schema.fields)
+    val original = Seq(
+      Row(null, "urn:x/1", "urn:p/v", "d\"quote\nline", false, null, null),
+      Row(null, "urn:x/1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "urn:t/T", true, null, null),
+      Row("urn:d/1", "urn:x/1", "urn:p/v", "jmeno", false, "cs", null),
+      Row("urn:d/1", "urn:x/2", "urn:p/n",
+        "4", false, null, "http://www.w3.org/2001/XMLSchema#integer"),
+      Row("urn:d/2", "urn:x/2", "urn:p/v", "urn:x/1", true, null, null))
+    val quads = spark.createDataFrame(original.asJava, quadSchema)
+    val (header, blocks) = Turtle.renderTrig(quads, Seq("p" -> "urn:p/"))
+    val collected = blocks.collect()
+    val sb = new StringBuilder(header + "\n")
+    collected.filter(_.isNullAt(0))
+      .foreach(r => sb.append(r.getString(1)).append("\n"))
+    collected.filterNot(_.isNullAt(0)).groupBy(_.getString(0)).toSeq
+      .sortBy(_._1).foreach { case (g, rs) =>
+        sb.append(s"<$g> {\n")
+        rs.foreach(r => sb.append(r.getString(1)).append("\n"))
+        sb.append("}\n")
+      }
+    val back = Turtle.parseQuads(sb.toString)
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getBoolean(4), r.getString(5), r.getString(6)))
+      .toSet
+    assert(back == original.map(r => (r.getString(0), r.getString(1),
+      r.getString(2), r.getString(3), r.getBoolean(4), r.getString(5),
+      r.getString(6))).toSet)
+  }
+
   test("a malformed document fails loudly WITH its file name") {
     val d = dir(
       "ok.ttl" -> "<urn:s/1> <urn:p/a> \"v\" .",
