@@ -1927,4 +1927,97 @@ class MediaStreamSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
     }
   }
+
+  test("Maintenance.runAll: ONE call on a mixed tree classifies every " +
+    "store family and runs its recover/threshold-compact; second pass " +
+    "no-op; nested-partition shards are skipped, not guessed at") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val C = graft.llm.Corpus
+    val SS = graft.sources.ShardStore
+    val M = graft.sources.Maintenance
+    val dir = java.nio.file.Files.createTempDirectory("runall").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("runall-ck").toString
+    try {
+      // Family 1: three-table search index (4 live shards, no sink
+      // auto-compact — the janitor owns it).
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.EventsStream.searchIndexSink(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        dir = s"$dir/stores/idx", checkpointLoc = s"$ckpt/q", buckets = 8,
+        upsert = true)
+      Seq(
+        Seq((1L, "spark merge spark vector data"), (2L, "merge vector")),
+        Seq((3L, "vector spark merge all")),
+        Seq((4L, "spark spark merge")),
+        Seq((5L, "merge data spark vector"))
+      ).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      def serve() = C.bm25FromIndex(spark, s"$dir/stores/idx", "doc_id",
+        Seq("spark", "vector"), topK = 10, buckets = 8)
+        .collect().map(_.toSeq).toSet
+      // Family 2: delta quad store with pending statements.
+      graft.graphquery.DeltaStore.update(spark, s"$dir/stores/quads",
+        "INSERT DATA { <urn:i/a> <urn:p/k> \"1\" . } ; " +
+          "INSERT DATA { <urn:i/b> <urn:p/k> \"2\" . }")
+      def quadServe() = graft.graphquery.DeltaStore
+        .serve(spark, s"$dir/stores/quads").collect().map(_.toSeq).toSet
+      // Family 3: flat batch_id-sharded store (5 shards).
+      (0L until 5L).foreach(i => graft.streaming.EventsStream
+        .writeHistShard(Seq((i, i * 10)).toDF("k", "v"), i,
+          s"$dir/stores/hist"))
+      def histRows() = SS.live(spark, s"$dir/stores/hist")
+        .select("k", "v").collect().map(_.toSeq).toSet
+      // Family 4: plain parquet dir accreting small files.
+      (0 until 8).foreach(i => Seq((i.toLong, s"row $i"))
+        .toDF("id", "payload").coalesce(1)
+        .write.mode("append").parquet(s"$dir/stores/plain"))
+      // Family 5 (must be SKIPPED): shards with a nested partition
+      // level — a generic identity compact would mix layouts.
+      Seq((0L, 1L, "a"), (0L, 2L, "b")).toDF("batch_id", "k", "v")
+        .write.partitionBy("batch_id", "k")
+        .parquet(s"$dir/stores/nested")
+      val (s0, q0, h0) = (serve(), quadServe(), histRows())
+      val plain0 = spark.read.parquet(s"$dir/stores/plain")
+        .collect().map(_.toSeq).toSet
+      val nested0 = spark.read.parquet(s"$dir/stores/nested")
+        .collect().map(_.toSeq).toSet
+
+      val rep = M.runAll(spark, Seq(dir), maxShards = 2, maxDeltas = 1)
+      assert(rep.searchIndexes == Seq(s"$dir/stores/idx"))
+      assert(rep.deltaStores == Seq(s"$dir/stores/quads"))
+      assert(rep.shardStores == Seq(s"$dir/stores/hist"))
+      assert(rep.plainTables == Seq(s"$dir/stores/plain"))
+      assert(rep.skipped.map(_._1) == Seq(s"$dir/stores/nested"))
+      // Real work happened: index folded, hist folded, plain packed,
+      // delta store grew a base version — with serving unchanged.
+      assert(SS.readMeta(spark, s"$dir/stores/idx/stats")
+        .exists(_.horizon == 3L), "runAll never folded the index")
+      assert(SS.readMeta(spark, s"$dir/stores/hist")
+        .exists(_.horizon == 4L), "runAll never folded the hist shards")
+      assert(new java.io.File(s"$dir/stores/quads/base_v1").exists())
+      assert(serve() == s0 && quadServe() == q0 && histRows() == h0)
+      assert(spark.read.parquet(s"$dir/stores/plain")
+        .collect().map(_.toSeq).toSet == plain0)
+      assert(spark.read.parquet(s"$dir/stores/nested")
+        .collect().map(_.toSeq).toSet == nested0)
+
+      // Delta store's documented cadence: pass 2 is its sweep-only
+      // grace tick; from pass 3 on the whole tree is byte-identical.
+      M.runAll(spark, Seq(dir), maxShards = 2, maxDeltas = 1)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      def snapshot() = walk(new java.io.File(dir))
+        .map(f => (f.getPath, f.length, f.lastModified)).toSet
+      val before = snapshot()
+      val rep3 = M.runAll(spark, Seq(dir), maxShards = 2, maxDeltas = 1)
+      assert(snapshot() == before,
+        "a third runAll pass touched a converged tree")
+      assert(rep3.skipped.map(_._1) == Seq(s"$dir/stores/nested"))
+      assert(serve() == s0 && quadServe() == q0 && histRows() == h0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
 }
