@@ -142,6 +142,15 @@ object Sparql {
     * (arithmetic, STRLEN, a numeric literal), lexical otherwise —
     * string-kind ordering is codepoint order on both engines. */
   final case class CmpE(l: Expr, op: String, r: Expr) extends Expr
+  /** Boolean string tests over full value-expression arguments
+    * (X265) — CONTAINS/STRSTARTS/STRENDS beyond the legacy
+    * (?var, "literal") shapes, which keep folding to [[StrFuncE]]. */
+  final case class BoolCall(fn: String, args: Seq[Expr]) extends Expr
+  /** `expr [NOT] IN (e1, e2, …)` (X265) — the spec's chained-equality
+    * shorthand; each element compares under [[CmpE]]'s kind rule.
+    * An empty list is the spec's constant false (true when negated). */
+  final case class InE(e: Expr, list: Seq[Expr],
+                       negated: Boolean) extends Expr
 
   /** Expression-context operand wrappers: STR(?v) (lexical form) and
     * LANG(?v) (language tag, "" when absent) — only ever constructed
@@ -1099,11 +1108,33 @@ object Sparql {
         next(); eatPunct("(")
         val v = parseVarArg("DATATYPE"); eatPunct(")")
         ValueCall("DATATYPE", Seq(leaf(V(v))))
-      case Some(t) if Seq("STRLEN", "UCASE", "LCASE").exists(isWord(t, _)) =>
+      case Some(t) if Seq("STRLEN", "UCASE", "LCASE", "ABS", "ROUND",
+          "CEIL", "FLOOR").exists(isWord(t, _)) =>
         val fn = next().asInstanceOf[TWord].s.toUpperCase
         eatPunct("(")
         val e = parseValueExpr(); eatPunct(")")
         ValueCall(fn, Seq(e))
+      case Some(t) if isWord(t, "IF") =>
+        // IF(boolean, then, else) — the condition parses on the BOOLEAN
+        // grammar (comparisons, && || !), the branches as values.
+        next(); eatPunct("(")
+        val c = parseExpr(); eatPunct(",")
+        val a = parseValueExpr(); eatPunct(",")
+        val b = parseValueExpr(); eatPunct(")")
+        ValueCall("IF", Seq(c, a, b))
+      case Some(t) if isWord(t, "COALESCE") =>
+        next(); eatPunct("(")
+        val args = Seq.newBuilder[Expr]
+        args += parseValueExpr()
+        while (tryPunct(",")) args += parseValueExpr()
+        eatPunct(")")
+        ValueCall("COALESCE", args.result())
+      case Some(t) if isWord(t, "STRBEFORE") || isWord(t, "STRAFTER") =>
+        val fn = next().asInstanceOf[TWord].s.toUpperCase
+        eatPunct("(")
+        val a = parseValueExpr(); eatPunct(",")
+        val b = parseValueExpr(); eatPunct(")")
+        ValueCall(fn, Seq(a, b))
       case Some(t) if isWord(t, "SUBSTR") =>
         next(); eatPunct("(")
         val src = parseValueExpr(); eatPunct(",")
@@ -1169,6 +1200,10 @@ object Sparql {
       * a value function compiles through [[CmpE]]. */
     private def parseComparison(): Expr = {
       val l = parseValueExpr()
+      if (tryWord("IN")) return parseInList(l, negated = false)
+      if (peek.exists(isWord(_, "NOT"))) {
+        next(); eatWord("IN"); return parseInList(l, negated = true)
+      }
       val op = next() match {
         case TPunct(p@("=" | "!=" | "<" | ">" | "<=" | ">=")) => p
         case other => sys.error(s"expected comparison operator, got $other")
@@ -1179,6 +1214,17 @@ object Sparql {
           Cmp(a, op, b)
         case _ => CmpE(l, op, r)
       }
+    }
+
+    private def parseInList(l: Expr, negated: Boolean): Expr = {
+      eatPunct("(")
+      val items = Seq.newBuilder[Expr]
+      if (!tryPunct(")")) {
+        items += parseValueExpr()
+        while (tryPunct(",")) items += parseValueExpr()
+        eatPunct(")")
+      }
+      InE(l, items.result(), negated)
     }
 
     private def parseVarArg(fn: String): String = next() match {
@@ -1220,11 +1266,18 @@ object Sparql {
         StrFuncE("REGEX", v, re, flags)
       case Some(t) if Seq("CONTAINS", "STRSTARTS", "STRENDS")
           .exists(isWord(t, _)) =>
+        // Full value-expression arguments (X265); the legacy
+        // (?var, "literal") shape keeps folding to its StrFuncE node.
         val fn = next().asInstanceOf[TWord].s.toUpperCase
         eatPunct("(")
-        val v = parseVarArg(fn); eatPunct(",")
-        val arg = parseStrArg(fn); eatPunct(")")
-        StrFuncE(fn, v, arg)
+        val a = parseValueExpr(); eatPunct(",")
+        val b = parseValueExpr(); eatPunct(")")
+        (a, b) match {
+          case (BindConcat(Seq(V(v)), false),
+                BindConcat(Seq(L(lex, None, None, false)), false)) =>
+            StrFuncE(fn, v, lex)
+          case _ => BoolCall(fn, Seq(a, b))
+        }
       case _ => parseComparison()
     }
   }
@@ -2471,7 +2524,11 @@ object Sparql {
     * 'a' any (a plain term — typed by its comparison partner). */
   private def kindOf(e: Expr): Char = e match {
     case Arith(_, _, _) => 'n'
-    case ValueCall("STRLEN", _) => 'n'
+    case ValueCall("STRLEN" | "ABS" | "ROUND" | "CEIL" | "FLOOR", _) => 'n'
+    case ValueCall("IF", Seq(_, a, b)) =>
+      if (kindOf(a) == 'n' && kindOf(b) == 'n') 'n' else 's'
+    case ValueCall("COALESCE", args) =>
+      if (args.nonEmpty && args.forall(kindOf(_) == 'n')) 'n' else 's'
     case ValueCall(_, _) => 's'
     case BindConcat(Seq(L(_, _, _, true)), _) => 'n'
     case BindConcat(parts, _) if parts.length > 1 => 's'
@@ -2494,6 +2551,18 @@ object Sparql {
         case other => sys.error(s"unknown arithmetic operator $other")
       }
     case ValueCall("STRLEN", Seq(a)) => length(strVal(a, df)).cast("double")
+    case ValueCall("ABS", Seq(a)) => abs(numVal(a, df))
+    // XPath fn:round — nearest, ties toward +∞ (floor(x + 0.5)), NOT
+    // Spark's away-from-zero HALF_UP; DuckDB oracles mirror the floor
+    // form verbatim.
+    case ValueCall("ROUND", Seq(a)) =>
+      floor(numVal(a, df) + lit(0.5)).cast("double")
+    case ValueCall("CEIL", Seq(a)) => ceil(numVal(a, df)).cast("double")
+    case ValueCall("FLOOR", Seq(a)) => floor(numVal(a, df)).cast("double")
+    case ValueCall("IF", Seq(c, a, b)) =>
+      when(exprCol(c, df), numVal(a, df)).otherwise(numVal(b, df))
+    case ValueCall("COALESCE", args) if args.nonEmpty =>
+      coalesce(args.map(numVal(_, df)): _*)
     case other => strVal(other, df).try_cast("double")
   }
 
@@ -2513,7 +2582,26 @@ object Sparql {
       val pieces = parts.map(termVal(_, df))
       if (pieces.length == 1) pieces.head else concat(pieces: _*)
     case a: Arith => lexNum(numVal(a, df))
-    case ValueCall("STRLEN", _) => lexNum(numVal(e, df))
+    case ValueCall("STRLEN" | "ABS" | "ROUND" | "CEIL" | "FLOOR", _) =>
+      lexNum(numVal(e, df))
+    case ValueCall("IF", Seq(c, a, b)) =>
+      when(exprCol(c, df), strVal(a, df)).otherwise(strVal(b, df))
+    case ValueCall("COALESCE", args) if args.nonEmpty =>
+      coalesce(args.map(strVal(_, df)): _*)
+    case ValueCall("STRBEFORE", Seq(a, b)) =>
+      // §17.4.3.4: "" when there is no match; error (NULL) only when
+      // an argument is itself unbound/error.
+      val sa = strVal(a, df); val sb = strVal(b, df)
+      val i = call_function("locate", sb, sa)
+      when(sa.isNull || sb.isNull, lit(null).cast("string"))
+        .when(i > 0, sa.substr(lit(1), i - lit(1)))
+        .otherwise(lit(""))
+    case ValueCall("STRAFTER", Seq(a, b)) =>
+      val sa = strVal(a, df); val sb = strVal(b, df)
+      val i = call_function("locate", sb, sa)
+      when(sa.isNull || sb.isNull, lit(null).cast("string"))
+        .when(i > 0, sa.substr(i + length(sb), length(sa)))
+        .otherwise(lit(""))
     case ValueCall("UCASE", Seq(a)) => upper(strVal(a, df))
     case ValueCall("LCASE", Seq(a)) => lower(strVal(a, df))
     case ValueCall("SUBSTR", a +: rest) =>
@@ -2564,6 +2652,24 @@ object Sparql {
         case "<=" => lc <= rc
         case ">=" => lc >= rc
       }
+    case BoolCall(fn, Seq(a, b)) =>
+      val sa = strVal(a, df); val sb = strVal(b, df)
+      fn match {
+        case "CONTAINS" => sa.contains(sb)
+        case "STRSTARTS" => sa.startsWith(sb)
+        case "STRENDS" => sa.endsWith(sb)
+        case other => sys.error(s"unsupported boolean function $other")
+      }
+    case BoolCall(fn, args) =>
+      sys.error(s"$fn takes 2 arguments, got ${args.length}")
+    case InE(e0, list, negated) =>
+      // Chained equality under the CmpE kind rule, element by element.
+      val hit = list.map { r =>
+        if (kindOf(e0) == 'n' || kindOf(r) == 'n')
+          numVal(e0, df) === numVal(r, df)
+        else strVal(e0, df) === strVal(r, df)
+      }.reduceOption(_ || _).getOrElse(lit(false))
+      if (negated) !hit else hit
     case v @ (_: Arith | _: ValueCall | _: BindConcat) =>
       sys.error(s"value expression in boolean position: $v")
     case LangMatchesE(v, range) =>

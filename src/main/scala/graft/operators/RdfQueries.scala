@@ -301,6 +301,29 @@ object RdfQueries {
           |}""".stripMargin)
     },
 
+    // X265: the rest of the expression library — IF/COALESCE branches,
+    // STRBEFORE/STRAFTER, XPath-rounding numerics (ROUND = floor(x+.5),
+    // ties toward +∞ on both engines), IN/NOT IN chained equality, and
+    // CONTAINS over computed arguments; still all codegen'd builtins.
+    "q257_sparql_expr_library" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(G.customers(s, dir),
+        """SELECT ?s ?cat ?pfx ?knum ?kbal ?r ?viptag WHERE {
+          |  ?s <urn:p/name> ?name .
+          |  ?s <urn:p/acctbal> ?bal .
+          |  OPTIONAL { ?s <urn:p/vip> ?vip . }
+          |  BIND(IF(?bal >= 5000, "high", "low") AS ?cat)
+          |  BIND(STRBEFORE(?name, "#") AS ?pfx)
+          |  BIND(STRAFTER(?name, "#") AS ?knum)
+          |  BIND(FLOOR(?bal / 1000) AS ?kbal)
+          |  BIND(ROUND(?bal) AS ?r)
+          |  BIND(COALESCE(?vip, "no") AS ?viptag)
+          |  FILTER(CEIL(?bal / 1000) <= 10 && ABS(?bal) >= 0
+          |         && ?cat IN ("high", "low")
+          |         && ?s NOT IN (<urn:g/customer/1>, <urn:g/customer/2>)
+          |         && CONTAINS(STRAFTER(?name, "#"), "1"))
+          |}""".stripMargin)
+    },
+
     // P9: VALUES with UNDEF — null-pattern split join
     // (MultiAttributeDimension.java:38-43).
     "q18_values_undef" -> { (s, dir) =>
@@ -1305,6 +1328,36 @@ object RdfQueries {
         |  AND CAST(b.o AS DOUBLE) * 2 >= 1000
         |  AND (CAST(b.o AS DOUBLE) - 100) / 2 > -4000
         |  AND substr(n.o, 17, 1) <> '0'""".stripMargin,
+      "t" -> G.sql.customers),
+    // q257: the X265 library replayed — IF as CASE, STRBEFORE/STRAFTER
+    // as strpos+substr with the spec's empty-string no-match, ROUND as
+    // the shared floor(x+0.5) form, COALESCE over the vip left join.
+    "q257_sparql_expr_library" -> withTriples(
+      """SELECT n.s AS s,
+        |  CASE WHEN CAST(b.o AS DOUBLE) >= 5000
+        |       THEN 'high' ELSE 'low' END AS cat,
+        |  CASE WHEN strpos(n.o, '#') > 0
+        |       THEN substr(n.o, 1, strpos(n.o, '#') - 1)
+        |       ELSE '' END AS pfx,
+        |  CASE WHEN strpos(n.o, '#') > 0
+        |       THEN substr(n.o, strpos(n.o, '#') + 1)
+        |       ELSE '' END AS knum,
+        |  CAST(CAST(floor(CAST(b.o AS DOUBLE) / 1000) AS BIGINT)
+        |       AS VARCHAR) AS kbal,
+        |  CAST(CAST(floor(CAST(b.o AS DOUBLE) + 0.5) AS BIGINT)
+        |       AS VARCHAR) AS r,
+        |  coalesce(v.o, 'no') AS viptag
+        |FROM t n
+        |JOIN t b ON n.s = b.s AND b.p = 'urn:p/acctbal'
+        |LEFT JOIN (SELECT s, o FROM t WHERE p = 'urn:p/vip') v
+        |  ON n.s = v.s
+        |WHERE n.p = 'urn:p/name'
+        |  AND ceil(CAST(b.o AS DOUBLE) / 1000) <= 10
+        |  AND abs(CAST(b.o AS DOUBLE)) >= 0
+        |  AND (CASE WHEN CAST(b.o AS DOUBLE) >= 5000
+        |        THEN 'high' ELSE 'low' END) IN ('high', 'low')
+        |  AND n.s NOT IN ('urn:g/customer/1', 'urn:g/customer/2')
+        |  AND contains(substr(n.o, strpos(n.o, '#') + 1), '1')""".stripMargin,
       "t" -> G.sql.customers),
     // q234: the minted key is plain string concatenation.
     "q234_sparql_bind_concat" -> withTriples(

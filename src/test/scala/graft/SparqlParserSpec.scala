@@ -1658,6 +1658,75 @@ class SparqlParserSpec extends SparkSpec {
     assert(both == Set("urn:x/1"))
   }
 
+  test("X265 IF/COALESCE: boolean condition on the full grammar, " +
+    "value branches; COALESCE over an OPTIONAL-unbound var") {
+    val got = Sparql.select(exprGraph,
+      """SELECT ?s ?cat ?n2 WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  OPTIONAL { ?s <urn:p/size> ?n . FILTER(?n > 4) }
+        |  BIND(IF(STRLEN(?name) > 5 || BOUND(?n), "long-or-sized", "short")
+        |       AS ?cat)
+        |  BIND(COALESCE(?n, "none") AS ?n2)
+        |}""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // x/1: name len 5, but ?n=8 bound → long-or-sized/8. x/2: len 4,
+    // ?n dropped by inner filter (3 ≤ 4) → short/none. x/3: len 11 →
+    // long-or-sized, ?n="big" type-errors out of the inner FILTER →
+    // none.
+    assert(got == Set(
+      ("urn:x/1", "long-or-sized", "8"),
+      ("urn:x/2", "short", "none"),
+      ("urn:x/3", "long-or-sized", "none")))
+  }
+
+  test("X265 STRBEFORE/STRAFTER: match, no-match empty string, and " +
+    "numeric ABS/ROUND/CEIL/FLOOR lexical forms") {
+    val got = Sparql.select(exprGraph,
+      """SELECT ?s ?b ?a ?miss ?r ?f WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  ?s <urn:p/size> ?n .
+        |  BIND(STRBEFORE(?name, "t") AS ?b)
+        |  BIND(STRAFTER(?name, "t") AS ?a)
+        |  BIND(STRAFTER(?name, "zzz") AS ?miss)
+        |  BIND(ROUND(?n / 2 - 1) AS ?r)
+        |  BIND(FLOOR(0 - ?n / 2) AS ?f)
+        |  FILTER(ABS(0 - ?n) = ?n && CEIL(?n / 4) <= 2)
+        |}""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5))).toSet
+    // x/1 (alpha, 8): ceil(2)=2 keep; b="", a="a"? alpha: first 't'?
+    // none → b/a both from no-match... alpha has no 't': b="", a="".
+    // round(8/2-1)=3, floor(-4)=-4.
+    // x/2 (Beta, 3): ceil(0.75)=1 keep; Beta: t at pos 3 → b="Be",
+    // a="a". round(0.5)=1 (ties toward +∞: floor(1.0)=1),
+    // floor(-1.5)=-2. x/3: "big" type-errors the FILTER → dropped.
+    assert(got == Set(
+      ("urn:x/1", "", "", "", "3", "-4"),
+      ("urn:x/2", "Be", "a", "", "1", "-2")))
+  }
+
+  test("X265 IN / NOT IN and generalized CONTAINS over expressions") {
+    val in = Sparql.select(exprGraph,
+      """SELECT ?s WHERE {
+        |  ?s <urn:p/size> ?n .
+        |  FILTER(?n IN ("8", "big"))
+        |}""".stripMargin).collect().map(_.getString(0)).toSet
+    assert(in == Set("urn:x/1", "urn:x/3"))
+    val notIn = Sparql.select(exprGraph,
+      """SELECT ?s WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  FILTER(?s NOT IN (<urn:x/2>) && ?name IN ())
+        |}""".stripMargin)
+    // empty IN list = constant false → no rows.
+    assert(notIn.collect().isEmpty)
+    val contains = Sparql.select(exprGraph,
+      """SELECT ?s WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  FILTER(CONTAINS(LCASE(?name), STRAFTER("x:bet", ":")))
+        |}""".stripMargin).collect().map(_.getString(0)).toSet
+    assert(contains == Set("urn:x/2"))
+  }
+
   test("X260 CONCAT/IRI folds: general args compile; legacy shapes " +
     "keep their metadata path") {
     val got = Sparql.select(exprGraph,
