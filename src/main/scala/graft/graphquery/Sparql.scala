@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   * compiles it to one declarative DataFrame plan over the canonical
   * triples schema (s, p, o, oIsIri, oLang, oDatatype).
   *
+  * Beyond the reference's 34 shapes, the expression surface covers what
+  * hand-written SPARQL hits in practice (X260/X265/X266): numeric
+  * arithmetic with precedence/parens/unary minus, STRLEN/SUBSTR/
+  * REPLACE/UCASE/LCASE/CONCAT/STR/IRI/DATATYPE, IF/COALESCE,
+  * STRBEFORE/STRAFTER, ABS/ROUND/CEIL/FLOOR, `[NOT] IN`, CONTAINS/
+  * STRSTARTS/STRENDS over computed arguments — in FILTER, BIND, select
+  * expressions `(expr AS ?v)`, and aggregate arguments. Type errors
+  * follow the spec via try_cast NULL chains (FILTER drops the row,
+  * BIND/aggregates leave it unbound / out of the aggregate); everything
+  * compiles to codegen'd builtins.
+  *
   * Compilation is Spark-first: each triple pattern is a pushed-down
   * predicate filter over the triples scan, patterns merge by equi-join on
   * shared variables (Catalyst reorders/broadcasts), OPTIONAL is a left
@@ -621,12 +632,46 @@ object Sparql {
       val distinct = tryWord("DISTINCT")
       var star = false
       val proj = Seq.newBuilder[ProjElem]
+      // X266 desugar: select expressions `(expr AS ?v)` and aggregate
+      // ARGUMENTS beyond a plain variable (`SUM(?a * ?b)`) become
+      // hidden trailing BINDs appended to the WHERE group — evaluated
+      // per solution BEFORE any grouping, which is the spec's
+      // evaluation order for aggregate inputs. Hidden names start
+      // with '_' so they never leak into `SELECT *` or keepMeta.
+      val exprBinds = Seq.newBuilder[Pattern]
+      var exprN = 0
+      def exprVar(e: Expr): String = {
+        exprN += 1
+        val n = s"_ex_$exprN"
+        exprBinds += Bind(e, n)
+        n
+      }
+      def aggArg(fn: String): String = parseValueExpr() match {
+        case BindConcat(Seq(V(v)), false) => v // plain var: legacy path
+        case e => exprVar(e)
+      }
+      val aggSet = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
+        "GROUP_CONCAT")
       var done = false
       while (!done) peek match {
         case Some(TPunct("*")) => next(); star = true
         case Some(TVar(v)) => next(); proj += ProjVar(v)
         case Some(TPunct("(")) =>
           next()
+          val isAgg = peek.exists {
+            case TWord(w) => aggSet.contains(w.toUpperCase) &&
+              pos + 1 < toks.length && toks(pos + 1) == TPunct("(")
+            case _ => false
+          }
+          if (!isAgg) {
+            // General select expression: `(expr AS ?v)`.
+            val e = parseValueExpr()
+            eatWord("AS")
+            val as = parseAsVar()
+            exprBinds += Bind(e, as)
+            proj += ProjVar(as)
+            eatPunct(")")
+          } else {
           val fn = next() match {
             case TWord(w) => w.toUpperCase
             case other => sys.error(s"expected aggregate name, got $other")
@@ -636,24 +681,24 @@ object Sparql {
           fn match {
             case "COUNT" =>
               val of = peek match {
-                case Some(TVar(v)) => next(); Some(v)
+                // A bare var only when ')' follows — `COUNT(?n * 2)`
+                // is an expression argument, not a var.
+                case Some(TVar(v)) if pos + 1 < toks.length &&
+                    toks(pos + 1) == TPunct(")") => next(); Some(v)
                 case Some(TPunct("*")) => next(); None
-                case other => sys.error(s"expected ?var or * in COUNT, got $other")
+                // COUNT(expr): counts non-error evaluations — the
+                // hidden bind's NULLs (type errors/unbound) fall out
+                // of count() exactly as the spec drops them.
+                case _ => Some(exprVar(parseValueExpr()))
               }
               eatPunct(")"); eatWord("AS")
               proj += ProjCount(of, dist, parseAsVar())
             case "SUM" | "MIN" | "MAX" | "AVG" | "SAMPLE" =>
-              val of = next() match {
-                case TVar(v) => v
-                case other => sys.error(s"expected ?var in $fn, got $other")
-              }
+              val of = aggArg(fn)
               eatPunct(")"); eatWord("AS")
               proj += ProjAgg(fn, of, dist, parseAsVar())
             case "GROUP_CONCAT" =>
-              val of = next() match {
-                case TVar(v) => v
-                case other => sys.error(s"expected ?var in GROUP_CONCAT, got $other")
-              }
+              val of = aggArg(fn)
               val sep = if (tryPunct(";")) {
                 eatWord("SEPARATOR"); eatPunct("=")
                 next() match {
@@ -666,6 +711,7 @@ object Sparql {
             case other => sys.error(s"unsupported aggregate $other")
           }
           eatPunct(")")
+          }
         case _ => done = true
       }
       // Dataset clause (SPARQL 1.1 §13.2): FROM merges the listed
@@ -685,7 +731,10 @@ object Sparql {
         if (named) fromNamedB += iri else fromB += iri
       }
       eatWord("WHERE")
-      val where = parseGroup()
+      // X266: the hidden select-expression / aggregate-argument BINDs
+      // append AFTER the whole group, so they see every binding
+      // (including each other, in projection order).
+      val where = parseGroup() ++ exprBinds.result()
       var groupBy = Seq.empty[String]
       var limit = Option.empty[Int]
       var offset = Option.empty[Int]

@@ -143,8 +143,16 @@ object Classify {
     Seq((model.perTokenBias, model.prior)).toDF("perTokenBias", "prior")
       .write.parquet(s"$dir/v$next/consts")
     writeModelVersion(spark, dir, next)
-    (1L until next - 1L).foreach(v =>
-      fs.delete(new hPath(s"$dir/v$v"), true))
+    // One listing, exact sweep: every version dir ≤ next-2 goes
+    // (including stragglers a crashed earlier publish left behind) —
+    // not a 1..next counting loop, which would cost O(publishes) FS
+    // calls per publish on a long-lived model dir.
+    fs.listStatus(new hPath(dir)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") &&
+          n.drop(1).toLongOption.exists(_ <= next - 2))
+        fs.delete(st.getPath, true)
+    }
     if (next >= 2L) {
       fs.delete(new hPath(s"$dir/weights"), true)
       fs.delete(new hPath(s"$dir/consts"), true)

@@ -324,6 +324,27 @@ object RdfQueries {
           |}""".stripMargin)
     },
 
+    // X266: select expressions `(expr AS ?v)` and aggregates over full
+    // VALUE arguments — `SUM(FLOOR(?bal) * 2)`, `COUNT(STRLEN(?vip))`,
+    // `MAX(STRAFTER(...))`, `GROUP_CONCAT(SUBSTR(...))` — desugared to
+    // hidden pre-aggregation BINDs (the spec's evaluation order), so
+    // the plan stays ONE hash aggregate over a projection. SUM keeps
+    // INTEGRAL doubles (FLOOR first) so both engines sum exactly —
+    // fractional double sums are order-dependent and un-oracle-able.
+    "q258_sparql_agg_exprs" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(G.customers(s, dir),
+        """SELECT ?nat (SUM(FLOOR(?bal) * 2) AS ?dblsum)
+          |       (COUNT(STRLEN(?vip)) AS ?vips)
+          |       (MAX(STRAFTER(?name, "#")) AS ?maxkey)
+          |       (GROUP_CONCAT(SUBSTR(?name, 10); SEPARATOR="|") AS ?keys)
+          |WHERE {
+          |  ?s <urn:p/inNation> ?nat .
+          |  ?s <urn:p/acctbal> ?bal .
+          |  ?s <urn:p/name> ?name .
+          |  OPTIONAL { ?s <urn:p/vip> ?vip . }
+          |} GROUP BY ?nat""".stripMargin)
+    },
+
     // P9: VALUES with UNDEF — null-pattern split join
     // (MultiAttributeDimension.java:38-43).
     "q18_values_undef" -> { (s, dir) =>
@@ -1358,6 +1379,25 @@ object RdfQueries {
         |        THEN 'high' ELSE 'low' END) IN ('high', 'low')
         |  AND n.s NOT IN ('urn:g/customer/1', 'urn:g/customer/2')
         |  AND contains(substr(n.o, strpos(n.o, '#') + 1), '1')""".stripMargin,
+      "t" -> G.sql.customers),
+    // q258: the aggregate-over-expression replay — FLOOR keeps the sum
+    // integral (exact in double on both engines), COUNT over the vip
+    // STRLEN counts non-null evaluations, GROUP_CONCAT sorts values
+    // (the engine's documented determinism rule).
+    "q258_sparql_agg_exprs" -> withTriples(
+      """SELECT nat.o AS nat,
+        |  SUM(floor(CAST(b.o AS DOUBLE)) * 2) AS dblsum,
+        |  COUNT(v.o) AS vips,
+        |  MAX(substr(n.o, strpos(n.o, '#') + 1)) AS maxkey,
+        |  string_agg(substr(n.o, 10), '|'
+        |             ORDER BY substr(n.o, 10)) AS keys
+        |FROM t nat
+        |JOIN t b ON nat.s = b.s AND b.p = 'urn:p/acctbal'
+        |JOIN t n ON nat.s = n.s AND n.p = 'urn:p/name'
+        |LEFT JOIN (SELECT s, o FROM t WHERE p = 'urn:p/vip') v
+        |  ON nat.s = v.s
+        |WHERE nat.p = 'urn:p/inNation'
+        |GROUP BY nat.o""".stripMargin,
       "t" -> G.sql.customers),
     // q234: the minted key is plain string concatenation.
     "q234_sparql_bind_concat" -> withTriples(

@@ -1727,6 +1727,43 @@ class SparqlParserSpec extends SparkSpec {
     assert(contains == Set("urn:x/2"))
   }
 
+  test("X266 select expressions: (expr AS ?v) binds per solution; " +
+    "expressions may reference earlier select expressions") {
+    val got = Sparql.select(exprGraph,
+      """SELECT ?s (?n * 2 AS ?dbl) (UCASE(SUBSTR(?name, 1, 2)) AS ?u)
+        |       (?dbl + 1 AS ?dbl1) WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  ?s <urn:p/size> ?n .
+        |}""".stripMargin)
+    assert(got.columns.toSeq == Seq("s", "dbl", "u", "dbl1"),
+      "projection must be exactly the select list, no hidden leaks")
+    val rows = got.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), r.getString(3))).toSet
+    assert(rows == Set(
+      ("urn:x/1", "16", "AL", "17"),
+      ("urn:x/2", "6", "BE", "7"),
+      ("urn:x/3", null, "UR", null)))
+  }
+
+  test("X266 aggregates over expressions: SUM/COUNT/MAX/GROUP_CONCAT " +
+    "take full value arguments; type errors fall out per spec") {
+    val got = Sparql.select(exprGraph,
+      """SELECT (SUM(?n * 2) AS ?t) (COUNT(?n * 2) AS ?c)
+        |       (MAX(LCASE(?name)) AS ?m)
+        |       (GROUP_CONCAT(SUBSTR(?name, 1, 1); SEPARATOR="|") AS ?i)
+        |WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  ?s <urn:p/size> ?n .
+        |}""".stripMargin).collect().head
+    // sizes 8, 3, "big": SUM over 16+6 (big type-errors to NULL and
+    // falls out), COUNT(expr) counts the 2 non-error evaluations,
+    // MAX lexical over {alpha, beta, urn:other/3}, initials sorted.
+    assert(got.getDouble(0) == 22.0)
+    assert(got.getLong(1) == 2L)
+    assert(got.getString(2) == "urn:other/3")
+    assert(got.getString(3) == "B|a|u")
+  }
+
   test("X260 CONCAT/IRI folds: general args compile; legacy shapes " +
     "keep their metadata path") {
     val got = Sparql.select(exprGraph,
