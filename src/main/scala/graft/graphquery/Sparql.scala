@@ -182,7 +182,10 @@ object Sparql {
   final case class Query(distinct: Boolean, star: Boolean,
                          proj: Seq[ProjElem], where: Seq[Pattern],
                          groupBy: Seq[String], limit: Option[Int],
-                         orderBy: Seq[(String, Boolean)] = Nil,
+                         // X267: order keys are full VALUE EXPRESSIONS
+                         // (a plain var rides as its BindConcat leaf);
+                         // they evaluate over the PROJECTED solutions.
+                         orderBy: Seq[(Expr, Boolean)] = Nil,
                          offset: Option[Int] = None,
                          having: Option[Expr] = None,
                          from: Seq[String] = Nil,
@@ -357,6 +360,24 @@ object Sparql {
     private var pos = 0
     private val prefixes = scala.collection.mutable.Map[String, String]()
     private var fresh = 0
+
+    // X266/X267 select-context desugar state for the SELECT currently
+    // being parsed: hidden pre-group BINDs (select expressions,
+    // aggregate arguments) and hidden HAVING aggregates. Saved and
+    // restored around nested subselects so scopes never mix.
+    private var ctxBinds = Seq.newBuilder[Pattern]
+    private var ctxAggs = Seq.newBuilder[ProjElem]
+    private var ctxN = 0
+    private var ctxInHaving = false
+    private val aggWords = Set("COUNT", "SUM", "MIN", "MAX", "AVG",
+      "SAMPLE", "GROUP_CONCAT")
+
+    private def exprVar(e: Expr): String = {
+      ctxN += 1
+      val n = s"_ex_$ctxN"
+      ctxBinds += Bind(e, n)
+      n
+    }
 
     private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
     private def next(): Tok = { val t = toks(pos); pos += 1; t }
@@ -629,29 +650,27 @@ object Sparql {
 
     private def parseSelect(): Query = {
       eatWord("SELECT")
-      val distinct = tryWord("DISTINCT")
-      var star = false
-      val proj = Seq.newBuilder[ProjElem]
       // X266 desugar: select expressions `(expr AS ?v)` and aggregate
       // ARGUMENTS beyond a plain variable (`SUM(?a * ?b)`) become
       // hidden trailing BINDs appended to the WHERE group — evaluated
       // per solution BEFORE any grouping, which is the spec's
       // evaluation order for aggregate inputs. Hidden names start
       // with '_' so they never leak into `SELECT *` or keepMeta.
-      val exprBinds = Seq.newBuilder[Pattern]
-      var exprN = 0
-      def exprVar(e: Expr): String = {
-        exprN += 1
-        val n = s"_ex_$exprN"
-        exprBinds += Bind(e, n)
-        n
-      }
+      // Context is parser-level (HAVING aggregates register from
+      // inside the expression grammar) — save/restore for subselects.
+      val savedCtx = (ctxBinds, ctxAggs, ctxN, ctxInHaving)
+      ctxBinds = Seq.newBuilder[Pattern]
+      ctxAggs = Seq.newBuilder[ProjElem]
+      ctxN = 0
+      ctxInHaving = false
+      val distinct = tryWord("DISTINCT")
+      var star = false
+      val proj = Seq.newBuilder[ProjElem]
       def aggArg(fn: String): String = parseValueExpr() match {
         case BindConcat(Seq(V(v)), false) => v // plain var: legacy path
         case e => exprVar(e)
       }
-      val aggSet = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
-        "GROUP_CONCAT")
+      val aggSet = aggWords
       var done = false
       while (!done) peek match {
         case Some(TPunct("*")) => next(); star = true
@@ -668,7 +687,7 @@ object Sparql {
             val e = parseValueExpr()
             eatWord("AS")
             val as = parseAsVar()
-            exprBinds += Bind(e, as)
+            ctxBinds += Bind(e, as)
             proj += ProjVar(as)
             eatPunct(")")
           } else {
@@ -731,14 +750,11 @@ object Sparql {
         if (named) fromNamedB += iri else fromB += iri
       }
       eatWord("WHERE")
-      // X266: the hidden select-expression / aggregate-argument BINDs
-      // append AFTER the whole group, so they see every binding
-      // (including each other, in projection order).
-      val where = parseGroup() ++ exprBinds.result()
+      val whereRaw = parseGroup()
       var groupBy = Seq.empty[String]
       var limit = Option.empty[Int]
       var offset = Option.empty[Int]
-      var orderBy = Seq.empty[(String, Boolean)]
+      var orderBy = Seq.empty[(Expr, Boolean)]
       def num(after: String): Int = next() match {
         case TNum(s) => s.toInt
         case other => sys.error(s"expected number after $after, got $other")
@@ -749,15 +765,31 @@ object Sparql {
         if (tryWord("GROUP")) { eatWord("BY"); groupBy = parseVarList() }
         else if (tryWord("GROUPBY")) groupBy = parseVarList()
         else if (tryWord("HAVING")) {
-          eatPunct("("); having = Some(parseExpr()); eatPunct(")")
+          // X267: aggregates are legal inside the HAVING expression —
+          // the flag routes AGG( words in value position to hidden
+          // ProjAgg registration (compiled in the same hash aggregate,
+          // referenced by alias, never projected).
+          eatPunct("(")
+          ctxInHaving = true
+          having = Some(parseExpr())
+          ctxInHaving = false
+          eatPunct(")")
         }
         else if (tryWord("ORDER")) { eatWord("BY"); orderBy = parseOrderConds() }
         else if (tryWord("LIMIT")) limit = Some(num("LIMIT"))
         else if (tryWord("OFFSET")) offset = Some(num("OFFSET"))
         else more = false
       }
-      Query(distinct, star, proj.result(), where, groupBy, limit,
+      // X266: the hidden select-expression / aggregate-argument BINDs
+      // append AFTER the whole group, so they see every binding
+      // (including each other, in projection order); hidden HAVING
+      // aggregates join the projection list (filtered from output).
+      val q = Query(distinct, star, proj.result() ++ ctxAggs.result(),
+        whereRaw ++ ctxBinds.result(), groupBy, limit,
         orderBy, offset, having, fromB.result(), fromNamedB.result())
+      ctxBinds = savedCtx._1; ctxAggs = savedCtx._2
+      ctxN = savedCtx._3; ctxInHaving = savedCtx._4
+      q
     }
 
     private def parseAsVar(): String = next() match {
@@ -765,20 +797,28 @@ object Sparql {
       case other => sys.error(s"expected ?var after AS, got $other")
     }
 
-    /** `ORDER BY (ASC(?v) | DESC(?v) | ?v)+` — true = ascending. */
-    private def parseOrderConds(): Seq[(String, Boolean)] = {
-      val out = Seq.newBuilder[(String, Boolean)]
+    /** `ORDER BY (ASC(expr) | DESC(expr) | ?v | (expr) | fn(...))+` —
+      * true = ascending. X267: keys are full value expressions; a
+      * bare word key must be a known value function followed by `(`
+      * so the LIMIT/OFFSET/HAVING keywords still end the list. */
+    private def parseOrderConds(): Seq[(Expr, Boolean)] = {
+      val valueFnWords = Set("STRLEN", "SUBSTR", "REPLACE", "UCASE",
+        "LCASE", "CONCAT", "STR", "IRI", "URI", "DATATYPE", "LANG",
+        "IF", "COALESCE", "STRBEFORE", "STRAFTER", "ABS", "ROUND",
+        "CEIL", "FLOOR")
+      val out = Seq.newBuilder[(Expr, Boolean)]
       var more = true
       while (more) peek match {
-        case Some(TVar(v)) if v.nonEmpty => next(); out += ((v, true))
+        case Some(TVar(v)) if v.nonEmpty => next(); out += ((leaf(V(v)), true))
         case Some(t) if isWord(t, "ASC") || isWord(t, "DESC") =>
           val asc = isWord(t, "ASC"); next(); eatPunct("(")
-          val v = next() match {
-            case TVar(x) => x
-            case other => sys.error(s"expected ?var in ASC/DESC, got $other")
-          }
+          out += ((parseValueExpr(), asc))
           eatPunct(")")
-          out += ((v, asc))
+        case Some(TPunct("(")) =>
+          next(); out += ((parseValueExpr(), true)); eatPunct(")")
+        case Some(TWord(w)) if valueFnWords.contains(w.toUpperCase) &&
+            pos + 1 < toks.length && toks(pos + 1) == TPunct("(") =>
+          out += ((parseValueExpr(), true))
         case _ => more = false
       }
       val r = out.result()
@@ -1114,6 +1154,34 @@ object Sparql {
     }
 
     private def parseValuePrimary(): Expr = peek match {
+      // X267: inside HAVING, aggregate calls are value expressions —
+      // each registers a hidden ProjAgg/ProjCount (same hash
+      // aggregate, alias-referenced, never projected) and reads as
+      // its alias variable here.
+      case Some(TWord(w)) if ctxInHaving &&
+          aggWords.contains(w.toUpperCase) &&
+          pos + 1 < toks.length && toks(pos + 1) == TPunct("(") =>
+        val fn = next().asInstanceOf[TWord].s.toUpperCase
+        eatPunct("(")
+        val dist = tryWord("DISTINCT")
+        val of: Option[String] = fn match {
+          case "COUNT" => peek match {
+            case Some(TPunct("*")) => next(); None
+            case Some(TVar(v)) if pos + 1 < toks.length &&
+                toks(pos + 1) == TPunct(")") => next(); Some(v)
+            case _ => Some(exprVar(parseValueExpr()))
+          }
+          case _ => Some(parseValueExpr() match {
+            case BindConcat(Seq(V(v)), false) => v
+            case e => exprVar(e)
+          })
+        }
+        eatPunct(")")
+        ctxN += 1
+        val as = s"_hv_$ctxN"
+        ctxAggs += (if (fn == "COUNT") ProjCount(of, dist, as)
+                    else ProjAgg(fn, of.get, dist, as))
+        leaf(V(as))
       case Some(t) if isWord(t, "IRI") || isWord(t, "URI") =>
         next(); eatPunct("(")
         val inner = parseValueExpr()
@@ -2088,7 +2156,7 @@ object Sparql {
         case ProjVar(v) => v
         case ProjCount(_, _, as) => as
         case ProjAgg(_, _, _, as, _) => as
-      }
+      }.filterNot(isHidden) // X267: hidden HAVING aggregates stay out
     // keepMeta (the W3C result serializers): carry each projected
     // variable's term-metadata columns through projection and
     // modifiers. DISTINCT then compares TERMS, not lexical forms —
@@ -2099,14 +2167,48 @@ object Sparql {
       if (!keepMeta) Seq.empty[String]
       else projCols.flatMap(v => Seq(v + IsIriSuffix, v + LangSuffix,
         v + DtSuffix)).filter(df.columns.contains)
-    var out = df.select((projCols ++ metaCols).map(col): _*)
-    if (q.distinct) out = out.distinct()
+    // X267 ORDER BY keys: a plain PROJECTED var orders its column
+    // directly (native type — the historical behavior); everything
+    // else (expressions, unprojected vars) computes a hidden key
+    // column — over the FULL pre-projection scope (SPARQL's ORDER BY
+    // precedes projection in the algebra), except under DISTINCT,
+    // where keys attach after dedup and may only reference projected
+    // variables (unprojected refs error loudly — the spec's own
+    // DISTINCT restriction; pre-distinct keys would change
+    // distinctness). Numeric-kind expressions order numerically,
+    // string-kind lexically; keys drop after the sort.
+    def obKey(e: Expr, d: DataFrame): Column =
+      if (kindOf(e) == 'n') numVal(e, d) else strVal(e, d)
+    val hiddenKeys = q.orderBy.zipWithIndex.filter {
+      case ((BindConcat(Seq(V(v)), false), _), _) => !projCols.contains(v)
+      case _ => true
+    }
+    var out =
+      if (q.distinct || hiddenKeys.isEmpty)
+        df.select((projCols ++ metaCols).map(col): _*)
+      else df.select((projCols ++ metaCols).map(col) ++
+        hiddenKeys.map { case ((e, _), i) =>
+          obKey(e, df).as(s"_ob_$i") }: _*)
+    if (q.distinct) {
+      out = out.distinct()
+      out = hiddenKeys.foldLeft(out) { case (d, ((e, _), i)) =>
+        d.withColumn(s"_ob_$i", obKey(e, d))
+      }
+    }
     // Solution modifiers in SPARQL algebra order: ORDER BY, then
     // OFFSET skips, then LIMIT takes. Ties within equal sort keys are
     // engine-order — give a total order when composing with a slice.
-    if (q.orderBy.nonEmpty)
-      out = out.orderBy(q.orderBy.map { case (v, asc) =>
-        if (asc) col(v).asc else col(v).desc }: _*)
+    if (q.orderBy.nonEmpty) {
+      val sortKeys = q.orderBy.zipWithIndex.map {
+        case ((BindConcat(Seq(V(v)), false), asc), _)
+            if projCols.contains(v) =>
+          if (asc) col(v).asc else col(v).desc
+        case ((_, asc), i) =>
+          if (asc) col(s"_ob_$i").asc else col(s"_ob_$i").desc
+      }
+      out = out.orderBy(sortKeys: _*)
+        .drop(hiddenKeys.map { case (_, i) => s"_ob_$i" }: _*)
+    }
     q.offset.foreach(n => out = out.offset(n))
     q.limit.foreach(n => out = out.limit(n))
     out

@@ -345,6 +345,23 @@ object RdfQueries {
           |} GROUP BY ?nat""".stripMargin)
     },
 
+    // X267: HAVING over aggregate expressions (hidden aggregates in
+    // the same hash aggregate) + ORDER BY over a value expression with
+    // LIMIT — the deterministic top-k gate: DESC(?tot / 100) is
+    // monotone in ?tot (IEEE division by a positive constant), the
+    // ?nat tie-break totalizes the order, so the LIMIT 10 SET is
+    // engine-independent.
+    "q259_sparql_having_order" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(G.customers(s, dir),
+        """SELECT ?nat (SUM(FLOOR(?bal)) AS ?tot) WHERE {
+          |  ?s <urn:p/inNation> ?nat .
+          |  ?s <urn:p/acctbal> ?bal .
+          |} GROUP BY ?nat
+          |HAVING(COUNT(*) >= 10 && SUM(FLOOR(?bal)) > 0)
+          |ORDER BY DESC(?tot / 100) ?nat
+          |LIMIT 10""".stripMargin)
+    },
+
     // P9: VALUES with UNDEF — null-pattern split join
     // (MultiAttributeDimension.java:38-43).
     "q18_values_undef" -> { (s, dir) =>
@@ -1398,6 +1415,19 @@ object RdfQueries {
         |  ON nat.s = v.s
         |WHERE nat.p = 'urn:p/inNation'
         |GROUP BY nat.o""".stripMargin,
+      "t" -> G.sql.customers),
+    // q259: HAVING + ordered top-k replay — ORDER BY tot DESC is the
+    // same ordering as the engine's DESC(tot/100) (monotone), and the
+    // nat tie-break makes the LIMIT 10 set exact.
+    "q259_sparql_having_order" -> withTriples(
+      """SELECT nat.o AS nat, SUM(floor(CAST(b.o AS DOUBLE))) AS tot
+        |FROM t nat
+        |JOIN t b ON nat.s = b.s AND b.p = 'urn:p/acctbal'
+        |WHERE nat.p = 'urn:p/inNation'
+        |GROUP BY nat.o
+        |HAVING COUNT(*) >= 10 AND SUM(floor(CAST(b.o AS DOUBLE))) > 0
+        |ORDER BY tot DESC, nat
+        |LIMIT 10""".stripMargin,
       "t" -> G.sql.customers),
     // q234: the minted key is plain string concatenation.
     "q234_sparql_bind_concat" -> withTriples(

@@ -1764,6 +1764,61 @@ class SparqlParserSpec extends SparkSpec {
     assert(got.getString(3) == "B|a|u")
   }
 
+  test("X267 HAVING over aggregate expressions: hidden aggregates " +
+    "compile into the same hash aggregate and never project") {
+    import spark.implicits._
+    val g = Seq(
+      ("urn:a/1", "urn:p/grp", "g1"), ("urn:a/1", "urn:p/n", "4"),
+      ("urn:a/2", "urn:p/grp", "g1"), ("urn:a/2", "urn:p/n", "10"),
+      ("urn:a/3", "urn:p/grp", "g2"), ("urn:a/3", "urn:p/n", "2"))
+      .toDF("s", "p", "o")
+      .withColumn("oIsIri", org.apache.spark.sql.functions.lit(false))
+      .withColumn("oLang", org.apache.spark.sql.functions.lit(null)
+        .cast("string"))
+      .withColumn("oDatatype", org.apache.spark.sql.functions.lit(null)
+        .cast("string"))
+    val got = Sparql.select(g,
+      """SELECT ?grp WHERE {
+        |  ?s <urn:p/grp> ?grp .
+        |  ?s <urn:p/n> ?n .
+        |} GROUP BY ?grp
+        |HAVING(SUM(?n * 2) > 20 && COUNT(*) >= 2)""".stripMargin)
+    assert(got.columns.toSeq == Seq("grp"),
+      "hidden HAVING aggregates must not project")
+    // g1: sum(2n)=28 > 20 and count 2 ✓; g2: 4 ≤ 20 ✗.
+    assert(got.collect().map(_.getString(0)).toSet == Set("g1"))
+    // The select-list aggregate and the HAVING aggregate coexist.
+    val both = Sparql.select(g,
+      """SELECT ?grp (COUNT(*) AS ?c) WHERE {
+        |  ?s <urn:p/grp> ?grp .
+        |  ?s <urn:p/n> ?n .
+        |} GROUP BY ?grp
+        |HAVING(MAX(STRLEN(?n)) < 2)""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // g1 has "10" (len 2) → out; g2 max len 1 → kept.
+    assert(both == Set(("g2", 1L)))
+  }
+
+  test("X267 ORDER BY expressions: numeric keys order numerically, " +
+    "attach post-DISTINCT, and drop from the output") {
+    val got = Sparql.select(exprGraph,
+      """SELECT ?s ?n WHERE {
+        |  ?s <urn:p/size> ?n .
+        |} ORDER BY DESC(?n * 1) ?s LIMIT 2""".stripMargin)
+    assert(got.columns.toSeq == Seq("s", "n"))
+    // numeric ordering: 8, 3, then "big" (type error → NULL sorts
+    // first DESC? Spark NULLs sort LAST in desc) — top-2 = 8, 3.
+    assert(got.collect().map(r => (r.getString(0), r.getString(1)))
+      .toSeq == Seq(("urn:x/1", "8"), ("urn:x/2", "3")))
+    // A bare function key and a parenthesized arithmetic key parse.
+    val lex = Sparql.select(exprGraph,
+      """SELECT ?s WHERE { ?s <urn:p/name> ?name . }
+        |ORDER BY STRLEN(?name) LIMIT 1""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    // shortest name: Beta (4) < alpha (5) < urn:other/3 (11).
+    assert(lex == Seq("urn:x/2"))
+  }
+
   test("X260 CONCAT/IRI folds: general args compile; legacy shapes " +
     "keep their metadata path") {
     val got = Sparql.select(exprGraph,
