@@ -664,6 +664,11 @@ object Sparql {
       ctxN = 0
       ctxInHaving = false
       val distinct = tryWord("DISTINCT")
+      // X268: REDUCED *permits* duplicate elimination but never
+      // requires it (§18.2.2.4) — the bag passthrough is a conforming
+      // implementation AND the oracle-able one (cardinalities match a
+      // plain SQL replay exactly).
+      if (!distinct) tryWord("REDUCED")
       var star = false
       val proj = Seq.newBuilder[ProjElem]
       def aggArg(fn: String): String = parseValueExpr() match {
@@ -1246,12 +1251,21 @@ object Sparql {
         while (tryPunct(",")) args += parseValueExpr()
         eatPunct(")")
         ValueCall("COALESCE", args.result())
-      case Some(t) if isWord(t, "STRBEFORE") || isWord(t, "STRAFTER") =>
+      case Some(t) if isWord(t, "STRBEFORE") || isWord(t, "STRAFTER") ||
+          isWord(t, "STRLANG") || isWord(t, "STRDT") =>
         val fn = next().asInstanceOf[TWord].s.toUpperCase
         eatPunct("(")
         val a = parseValueExpr(); eatPunct(",")
         val b = parseValueExpr(); eatPunct(")")
         ValueCall(fn, Seq(a, b))
+      case Some(t) if Seq("MD5", "SHA1", "SHA256", "SHA384", "SHA512")
+          .exists(isWord(t, _)) =>
+        // §17.4.4.5-4.9 hash functions over the lexical form —
+        // lowercase hex on both engines.
+        val fn = next().asInstanceOf[TWord].s.toUpperCase
+        eatPunct("(")
+        val e = parseValueExpr(); eatPunct(")")
+        ValueCall(fn, Seq(e))
       case Some(t) if isWord(t, "SUBSTR") =>
         next(); eatPunct("(")
         val src = parseValueExpr(); eatPunct(",")
@@ -2259,6 +2273,22 @@ object Sparql {
           .withColumn(as + IsIriSuffix, lit(iriTerm))
           .withColumn(as + LangSuffix, lit(null).cast("string"))
           .withColumn(as + DtSuffix, lit(null).cast("string")))
+      case Bind(ValueCall("STRLANG", Seq(a, l)), as) =>
+        // X268: mint a language-tagged literal — the tag may be any
+        // value expression (per-row tags are legal; metadata columns
+        // are per-row anyway).
+        val base = acc.getOrElse(sys.error("BIND before any pattern"))
+        acc = Some(base.withColumn(as, strVal(a, base))
+          .withColumn(as + IsIriSuffix, lit(false))
+          .withColumn(as + LangSuffix, strVal(l, base))
+          .withColumn(as + DtSuffix, lit(null).cast("string")))
+      case Bind(ValueCall("STRDT", Seq(a, d)), as) =>
+        // X268: mint a typed literal.
+        val base = acc.getOrElse(sys.error("BIND before any pattern"))
+        acc = Some(base.withColumn(as, strVal(a, base))
+          .withColumn(as + IsIriSuffix, lit(false))
+          .withColumn(as + LangSuffix, lit(null).cast("string"))
+          .withColumn(as + DtSuffix, strVal(d, base)))
       case Bind(e @ (_: Arith | _: ValueCall), as) =>
         // X260 value expressions: arithmetic binds the canonical
         // numeric lexical form (unbound on type error — the row
@@ -2771,6 +2801,16 @@ object Sparql {
       concat(args.map(strVal(_, df)): _*)
     case ValueCall("STR", Seq(a)) => strVal(a, df)
     case ValueCall("IRI", Seq(a)) => strVal(a, df)
+    case ValueCall("MD5", Seq(a)) => md5(strVal(a, df))
+    case ValueCall("SHA1", Seq(a)) => sha1(strVal(a, df))
+    case ValueCall("SHA256", Seq(a)) => sha2(strVal(a, df), 256)
+    case ValueCall("SHA384", Seq(a)) => sha2(strVal(a, df), 384)
+    case ValueCall("SHA512", Seq(a)) => sha2(strVal(a, df), 512)
+    // STRLANG/STRDT: the lexical form in value position; the term
+    // metadata they mint is stamped by the BIND compile (where the
+    // bound variable's hidden lang/dt columns live).
+    case ValueCall("STRLANG", Seq(a, _)) => strVal(a, df)
+    case ValueCall("STRDT", Seq(a, _)) => strVal(a, df)
     case ValueCall("DATATYPE", Seq(BindConcat(Seq(V(v)), _))) =>
       // DATATYPE(?v): xsd:string for a plain literal, rdf:langString
       // for a tagged one, the stored datatype otherwise. An IRI — or a

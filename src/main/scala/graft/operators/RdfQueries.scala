@@ -362,6 +362,26 @@ object RdfQueries {
           |LIMIT 10""".stripMargin)
     },
 
+    // X268: hash functions (lowercase hex on both engines) and
+    // STRLANG/STRDT term minting, gated THROUGH the TSV serializer so
+    // the minted metadata — not just the lexical form — is compared:
+    // one line per customer with a tagged name, a typed balance, and
+    // two digest terms.
+    "q260_sparql_hash_mint" -> { (s, dir) =>
+      val (_, lines) = graft.graphquery.Sparql.selectTsv(
+        G.customers(s, dir),
+        """SELECT ?t ?d ?h ?h2 WHERE {
+          |  ?s <urn:p/name> ?name .
+          |  ?s <urn:p/acctbal> ?bal .
+          |  BIND(STRLANG(?name, "x-kl") AS ?t)
+          |  BIND(STRDT(STR(?bal),
+          |       <http://www.w3.org/2001/XMLSchema#decimal>) AS ?d)
+          |  BIND(MD5(CONCAT(?name, "|", STR(?bal))) AS ?h)
+          |  BIND(SHA256(?name) AS ?h2)
+          |}""".stripMargin)
+      lines
+    },
+
     // P9: VALUES with UNDEF — null-pattern split join
     // (MultiAttributeDimension.java:38-43).
     "q18_values_undef" -> { (s, dir) =>
@@ -1428,6 +1448,18 @@ object RdfQueries {
         |HAVING COUNT(*) >= 10 AND SUM(floor(CAST(b.o AS DOUBLE))) > 0
         |ORDER BY tot DESC, nat
         |LIMIT 10""".stripMargin,
+      "t" -> G.sql.customers),
+    // q260: the TSV line rebuilt by hand — tagged/typed term syntax +
+    // DuckDB's own md5/sha256 (both engines emit lowercase hex).
+    "q260_sparql_hash_mint" -> withTriples(
+      """SELECT '"' || n.o || '"@x-kl' || chr(9) ||
+        |  '"' || b.o ||
+        |  '"^^<http://www.w3.org/2001/XMLSchema#decimal>' || chr(9) ||
+        |  '"' || md5(n.o || '|' || b.o) || '"' || chr(9) ||
+        |  '"' || sha256(n.o) || '"' AS line
+        |FROM t n
+        |JOIN t b ON n.s = b.s AND b.p = 'urn:p/acctbal'
+        |WHERE n.p = 'urn:p/name'""".stripMargin,
       "t" -> G.sql.customers),
     // q234: the minted key is plain string concatenation.
     "q234_sparql_bind_concat" -> withTriples(

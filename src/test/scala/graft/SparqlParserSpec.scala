@@ -1819,6 +1819,48 @@ class SparqlParserSpec extends SparkSpec {
     assert(lex == Seq("urn:x/2"))
   }
 
+  test("X268 hash functions match MessageDigest; REDUCED parses as a " +
+    "bag passthrough") {
+    def hex(alg: String, s: String): String =
+      java.security.MessageDigest.getInstance(alg)
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = Sparql.select(exprGraph,
+      """SELECT REDUCED ?s ?m ?s1 ?s2 WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  BIND(MD5(?name) AS ?m)
+        |  BIND(SHA1(?name) AS ?s1)
+        |  BIND(SHA256(?name) AS ?s2)
+        |}""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    assert(got.length == 3, "REDUCED must keep the bag")
+    val alpha = got.find(_._1 == "urn:x/1").get
+    assert(alpha._2 == hex("MD5", "alpha"))
+    assert(alpha._3 == hex("SHA-1", "alpha"))
+    assert(alpha._4 == hex("SHA-256", "alpha"))
+  }
+
+  test("X268 STRLANG/STRDT mint term metadata: CONSTRUCT reproduces " +
+    "the tagged/typed terms; TSV serializes them") {
+    val minted = Sparql.construct(exprGraph,
+      """CONSTRUCT { ?s <urn:p/t> ?t . ?s <urn:p/d> ?d . } WHERE {
+        |  ?s <urn:p/size> ?n .
+        |  BIND(STRLANG(STR(?n), "x-kl") AS ?t)
+        |  BIND(STRDT(STR(?n), <urn:dt/num>) AS ?d)
+        |}""".stripMargin).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(4),
+        r.getString(5))).toSet
+    assert(minted.contains(("urn:p/t", "8", "x-kl", null)))
+    assert(minted.contains(("urn:p/d", "8", null, "urn:dt/num")))
+    val (_, tsv) = Sparql.selectTsv(exprGraph,
+      """SELECT ?t WHERE {
+        |  ?s <urn:p/size> ?n .
+        |  BIND(STRLANG(STR(?n), "x-kl") AS ?t)
+        |  FILTER(?n = 8)
+        |}""".stripMargin)
+    assert(tsv.collect().map(_.getString(0)).toSeq == Seq("\"8\"@x-kl"))
+  }
+
   test("X260 CONCAT/IRI folds: general args compile; legacy shapes " +
     "keep their metadata path") {
     val got = Sparql.select(exprGraph,
