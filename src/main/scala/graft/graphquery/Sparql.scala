@@ -403,7 +403,13 @@ object Sparql {
 
     def parseQuery(): Query = {
       parsePrefixes()
-      parseSelect()
+      val q = parseSelect()
+      // Anything left over is a malformed modifier the loop could not
+      // consume (`ORDER BY COUNT(?x)` with a typo'd aggregate, stray
+      // text after LIMIT) — silence here would DROP it silently.
+      require(pos >= toks.length,
+        s"trailing tokens after query: ${toks.drop(pos).take(5)}")
+      q
     }
 
     def parseConstructQuery(): ConstructQuery = {
@@ -767,8 +773,8 @@ object Sparql {
       var having = Option.empty[Expr]
       var more = true
       while (more) {
-        if (tryWord("GROUP")) { eatWord("BY"); groupBy = parseVarList() }
-        else if (tryWord("GROUPBY")) groupBy = parseVarList()
+        if (tryWord("GROUP")) { eatWord("BY"); groupBy = parseGroupByConds() }
+        else if (tryWord("GROUPBY")) groupBy = parseGroupByConds()
         else if (tryWord("HAVING")) {
           // X267: aggregates are legal inside the HAVING expression —
           // the flag routes AGG( words in value position to hidden
@@ -780,7 +786,17 @@ object Sparql {
           ctxInHaving = false
           eatPunct(")")
         }
-        else if (tryWord("ORDER")) { eatWord("BY"); orderBy = parseOrderConds() }
+        else if (tryWord("ORDER")) {
+          eatWord("BY")
+          // X267: aggregate calls are legal ORDER BY keys on grouped
+          // queries (`ORDER BY DESC(COUNT(?x))`) — same hidden-ProjAgg
+          // registration as HAVING; the key columns live on the
+          // aggregated frame, which is exactly the scope the
+          // non-DISTINCT key path evaluates over.
+          ctxInHaving = true
+          orderBy = parseOrderConds()
+          ctxInHaving = false
+        }
         else if (tryWord("LIMIT")) limit = Some(num("LIMIT"))
         else if (tryWord("OFFSET")) offset = Some(num("OFFSET"))
         else more = false
@@ -821,7 +837,8 @@ object Sparql {
           eatPunct(")")
         case Some(TPunct("(")) =>
           next(); out += ((parseValueExpr(), true)); eatPunct(")")
-        case Some(TWord(w)) if valueFnWords.contains(w.toUpperCase) &&
+        case Some(TWord(w)) if (valueFnWords.contains(w.toUpperCase) ||
+            (ctxInHaving && aggWords.contains(w.toUpperCase))) &&
             pos + 1 < toks.length && toks(pos + 1) == TPunct("(") =>
           out += ((parseValueExpr(), true))
         case _ => more = false
@@ -829,6 +846,38 @@ object Sparql {
       val r = out.result()
       require(r.nonEmpty, "ORDER BY with no conditions")
       r
+    }
+
+    /** X268: GROUP BY conditions — plain vars, `(expr AS ?v)` (the
+      * alias is projectable like any group key), and bare
+      * `(expr)`/`fn(...)` keys (grouped on a hidden binding — the
+      * spec makes un-aliased expression keys non-projectable, which
+      * the hidden name enforces by construction). Expression keys
+      * desugar to pre-group hidden BINDs like every X266 expression. */
+    private def parseGroupByConds(): Seq[String] = {
+      val keyFnWords = Set("STRLEN", "SUBSTR", "REPLACE", "UCASE",
+        "LCASE", "CONCAT", "STR", "IRI", "URI", "DATATYPE", "LANG",
+        "IF", "COALESCE", "STRBEFORE", "STRAFTER", "ABS", "ROUND",
+        "CEIL", "FLOOR", "MD5", "SHA1", "SHA256", "SHA384", "SHA512")
+      val vs = Seq.newBuilder[String]
+      var more = true
+      while (more) peek match {
+        case Some(TVar(v)) => next(); vs += v
+        case Some(TPunct("(")) =>
+          next()
+          val e = parseValueExpr()
+          // With AS: the alias is a projectable group key. Without:
+          // grouped on a hidden (non-projectable) binding.
+          val as = if (tryWord("AS")) parseAsVar() else exprVar(e)
+          if (!as.startsWith("_")) ctxBinds += Bind(e, as)
+          eatPunct(")")
+          vs += as
+        case Some(TWord(w)) if keyFnWords.contains(w.toUpperCase) &&
+            pos + 1 < toks.length && toks(pos + 1) == TPunct("(") =>
+          vs += exprVar(parseValueExpr())
+        case _ => more = false
+      }
+      vs.result()
     }
 
     private def parseVarList(): Seq[String] = {

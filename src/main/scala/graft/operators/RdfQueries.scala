@@ -382,6 +382,17 @@ object RdfQueries {
       lines
     },
 
+    // X268: GROUP BY over an expression key — the BANDING idiom
+    // (`FLOOR(?bal / 1000)` buckets), grouped on the aliased key and
+    // still ONE projection + one hash aggregate after the desugar.
+    "q261_sparql_group_expr" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(G.customers(s, dir),
+        """SELECT ?band (COUNT(*) AS ?n)
+          |       (SUM(FLOOR(?bal)) AS ?mass) WHERE {
+          |  ?s <urn:p/acctbal> ?bal .
+          |} GROUP BY (FLOOR(?bal / 1000) AS ?band)""".stripMargin)
+    },
+
     // P9: VALUES with UNDEF — null-pattern split join
     // (MultiAttributeDimension.java:38-43).
     "q18_values_undef" -> { (s, dir) =>
@@ -1460,6 +1471,16 @@ object RdfQueries {
         |FROM t n
         |JOIN t b ON n.s = b.s AND b.p = 'urn:p/acctbal'
         |WHERE n.p = 'urn:p/name'""".stripMargin,
+      "t" -> G.sql.customers),
+    // q261: the banding replay — group key as the same canonical
+    // integral lexical form.
+    "q261_sparql_group_expr" -> withTriples(
+      """SELECT CAST(CAST(floor(CAST(o AS DOUBLE) / 1000) AS BIGINT)
+        |            AS VARCHAR) AS band,
+        |       COUNT(*) AS n,
+        |       SUM(floor(CAST(o AS DOUBLE))) AS mass
+        |FROM t WHERE p = 'urn:p/acctbal'
+        |GROUP BY 1""".stripMargin,
       "t" -> G.sql.customers),
     // q234: the minted key is plain string concatenation.
     "q234_sparql_bind_concat" -> withTriples(

@@ -1817,6 +1817,14 @@ class SparqlParserSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     // shortest name: Beta (4) < alpha (5) < urn:other/3 (11).
     assert(lex == Seq("urn:x/2"))
+    // Aggregate ORDER BY keys on a grouped query — same hidden
+    // registration as HAVING, never projected.
+    val agg = Sparql.select(exprGraph,
+      """SELECT ?p WHERE { ?s ?p ?o . }
+        |GROUP BY ?p ORDER BY DESC(COUNT(*)) ?p LIMIT 1""".stripMargin)
+    assert(agg.columns.toSeq == Seq("p"))
+    // name and size both appear 3× — the ?p tie-break picks name.
+    assert(agg.collect().map(_.getString(0)).toSeq == Seq("urn:p/name"))
   }
 
   test("X268 hash functions match MessageDigest; REDUCED parses as a " +
@@ -1859,6 +1867,23 @@ class SparqlParserSpec extends SparkSpec {
         |  FILTER(?n = 8)
         |}""".stripMargin)
     assert(tsv.collect().map(_.getString(0)).toSeq == Seq("\"8\"@x-kl"))
+  }
+
+  test("X268 GROUP BY expressions: (expr AS ?v) is a projectable key; " +
+    "a bare expression key groups but cannot project") {
+    val got = Sparql.select(exprGraph,
+      """SELECT ?k (COUNT(*) AS ?c) WHERE {
+        |  ?s <urn:p/name> ?name .
+        |} GROUP BY (STRLEN(?name) / 4 AS ?k)""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // lens 5, 4, 11 → /4 = 1.25, 1, 2.75.
+    assert(got == Set(("1.25", 1L), ("1", 1L), ("2.75", 1L)))
+    val bare = Sparql.select(exprGraph,
+      """SELECT (COUNT(*) AS ?c) WHERE {
+        |  ?s ?p ?o .
+        |} GROUP BY UCASE(?p)""".stripMargin).collect()
+      .map(_.getLong(0)).toSet
+    assert(bare == Set(3L), "two predicates, 3 triples each")
   }
 
   test("X260 CONCAT/IRI folds: general args compile; legacy shapes " +
