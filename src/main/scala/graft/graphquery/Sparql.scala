@@ -162,6 +162,14 @@ object Sparql {
     * An empty list is the spec's constant false (true when negated). */
   final case class InE(e: Expr, list: Seq[Expr],
                        negated: Boolean) extends Expr
+  /** `EXISTS {…}` EMBEDDED in a compound FILTER expression (X269) —
+    * `FILTER(EXISTS {…} || …)`, `!EXISTS {…} && …`. The whole-filter
+    * forms keep compiling to left-semi/anti joins ([[Exists]]/
+    * [[NotExists]], the cheaper plan); an embedded occurrence compiles
+    * to a boolean flag column: one DISTINCT-on-shared-vars left outer
+    * join per occurrence, so solutions never multiply. FILTER-only
+    * (a value position or HAVING rejects loudly). */
+  final case class ExistsE(inner: Seq[Pattern]) extends Expr
 
   /** Expression-context operand wrappers: STR(?v) (lexical form) and
     * LANG(?v) (language tag, "" when absent) — only ever constructed
@@ -1418,6 +1426,10 @@ object Sparql {
     }
 
     private def parsePrimaryExpr(): Expr = peek match {
+      case Some(t) if isWord(t, "EXISTS") =>
+        next(); ExistsE(parseGroup())
+      case Some(t) if isWord(t, "NOT") =>
+        next(); eatWord("EXISTS"); Not(ExistsE(parseGroup()))
       case Some(t) if isWord(t, "LANGMATCHES") =>
         next(); eatPunct("("); eatWord("LANG"); eatPunct("(")
         val v = parseVarArg("LANG")
@@ -2366,13 +2378,45 @@ object Sparql {
         acc = Some(merge(acc, compileQuery(sub, triples, named, gVar)))
       case Union(groups) =>
         acc = Some(merge(acc, unionGroups(groups, triples, named, gVar)))
+      // A filter that IS a (negated) EXISTS lowers to the semi/anti
+      // join — identical semantics to the flag path, cheaper plan.
+      case Filter(ExistsE(inner)) => semis += inner
+      case Filter(Not(ExistsE(inner))) => antis += inner
       case Filter(e) => filters += e
       case NotExists(inner) => antis += inner
       case Exists(inner) => semis += inner
       case Minus(inner) => minuses += inner
     }
     var df = acc.getOrElse(sys.error("empty group pattern"))
-    filters.result().foreach(e => df = df.filter(exprCol(e, df)))
+    filters.result().foreach { e =>
+      // X269: rewrite embedded EXISTS {…} occurrences into boolean
+      // flag columns (one distinct-keyed left outer join each — the
+      // flag is true/NULL, read back through BOUND), filter, drop.
+      var flagN = 0
+      var flagged = df
+      def walk(x: Expr): Expr = x match {
+        case ExistsE(inner) =>
+          flagN += 1
+          val name = s"_exists_$flagN"
+          val ex = compileGroup(inner, triples, named, gVar)
+          val shared = flagged.columns.toSet
+            .intersect(ex.columns.filterNot(isMeta).toSet).toSeq
+          require(shared.nonEmpty,
+            "EXISTS shares no variable with the group")
+          flagged = flagged.join(
+            ex.select(shared.map(col): _*).distinct()
+              .withColumn(name, lit(true)),
+            shared, "left_outer")
+          BoundE(name)
+        case Not(a) => Not(walk(a))
+        case And(l, r) => And(walk(l), walk(r))
+        case Or(l, r) => Or(walk(l), walk(r))
+        case other => other
+      }
+      val e2 = walk(e)
+      df = flagged.filter(exprCol(e2, flagged))
+        .drop((1 to flagN).map(i => s"_exists_$i"): _*)
+    }
     antis.result().foreach { inner =>
       val ex = compileGroup(inner, triples, named, gVar)
       val shared = df.columns.toSet
@@ -2910,6 +2954,9 @@ object Sparql {
         else strVal(e0, df) === strVal(r, df)
       }.reduceOption(_ || _).getOrElse(lit(false))
       if (negated) !hit else hit
+    case _: ExistsE =>
+      sys.error("EXISTS is FILTER-only (compiled to a join flag " +
+        "there); it cannot appear in BIND/HAVING value positions")
     case v @ (_: Arith | _: ValueCall | _: BindConcat) =>
       sys.error(s"value expression in boolean position: $v")
     case LangMatchesE(v, range) =>

@@ -393,6 +393,19 @@ object RdfQueries {
           |} GROUP BY (FLOOR(?bal / 1000) AS ?band)""".stripMargin)
     },
 
+    // X269: EXISTS embedded in a compound FILTER — compiled to a
+    // distinct-keyed left-outer flag join (solutions never multiply),
+    // disjoined with an ordinary string test; the whole-filter forms
+    // keep their semi/anti-join plans.
+    "q262_sparql_exists_expr" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(G.customers(s, dir),
+        """SELECT ?s ?name WHERE {
+          |  ?s <urn:p/name> ?name .
+          |  FILTER(EXISTS { ?s <urn:p/vip> ?v . }
+          |         || STRENDS(?name, "1"))
+          |}""".stripMargin)
+    },
+
     // P9: VALUES with UNDEF — null-pattern split join
     // (MultiAttributeDimension.java:38-43).
     "q18_values_undef" -> { (s, dir) =>
@@ -1481,6 +1494,15 @@ object RdfQueries {
         |       SUM(floor(CAST(o AS DOUBLE))) AS mass
         |FROM t WHERE p = 'urn:p/acctbal'
         |GROUP BY 1""".stripMargin,
+      "t" -> G.sql.customers),
+    // q262: the embedded-EXISTS disjunction replayed as EXISTS OR LIKE.
+    "q262_sparql_exists_expr" -> withTriples(
+      """SELECT n.s AS s, n.o AS name
+        |FROM t n
+        |WHERE n.p = 'urn:p/name'
+        |  AND (EXISTS (SELECT 1 FROM t v
+        |               WHERE v.s = n.s AND v.p = 'urn:p/vip')
+        |       OR n.o LIKE '%1')""".stripMargin,
       "t" -> G.sql.customers),
     // q234: the minted key is plain string concatenation.
     "q234_sparql_bind_concat" -> withTriples(

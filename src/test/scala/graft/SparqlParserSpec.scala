@@ -1886,6 +1886,43 @@ class SparqlParserSpec extends SparkSpec {
     assert(bare == Set(3L), "two predicates, 3 triples each")
   }
 
+  test("X269 embedded EXISTS: compound FILTER disjunction/negation; " +
+    "whole-filter forms still lower to semi/anti joins") {
+    // size exists for all three; lang metadata only on Beta.
+    val got = Sparql.select(exprGraph,
+      """SELECT ?s WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  FILTER(EXISTS { ?s <urn:p/size> ?n . FILTER(?n > 4) }
+        |         || STRSTARTS(?name, "B"))
+        |}""".stripMargin).collect().map(_.getString(0)).toSet
+    // x/1: size 8 > 4 ✓; x/2: size 3 fails but name "Beta" starts B ✓;
+    // x/3: size "big" type-errors, name no B ✗.
+    assert(got == Set("urn:x/1", "urn:x/2"))
+    val neg = Sparql.select(exprGraph,
+      """SELECT ?s WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  FILTER(NOT EXISTS { ?s <urn:p/size> ?n . FILTER(?n > 4) }
+        |         && STRLEN(?name) < 10)
+        |}""".stripMargin).collect().map(_.getString(0)).toSet
+    assert(neg == Set("urn:x/2"))
+    // Solutions never multiply through the flag join (three names,
+    // each with exactly one row even with multi-row EXISTS matches).
+    val bag = Sparql.select(exprGraph,
+      """SELECT ?s WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  FILTER(EXISTS { ?s ?p ?o . } || ?name = "zzz")
+        |}""".stripMargin).collect()
+    assert(bag.length == 3, s"flag join multiplied rows: ${bag.length}")
+    // EXISTS in a value position is a loud error, not a wrong answer.
+    intercept[Exception] {
+      Sparql.select(exprGraph,
+        """SELECT ?s WHERE {
+          |  ?s <urn:p/name> ?name .
+          |  BIND(IF(EXISTS { ?s <urn:p/size> ?n . }, "y", "n") AS ?f)
+          |}""".stripMargin).collect()
+    }
+  }
+
   test("X260 CONCAT/IRI folds: general args compile; legacy shapes " +
     "keep their metadata path") {
     val got = Sparql.select(exprGraph,
