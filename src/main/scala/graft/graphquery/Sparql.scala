@@ -1170,7 +1170,16 @@ object Sparql {
     private def parseTermOrBool(): Expr = peek match {
       case Some(TWord(w)) if w.equalsIgnoreCase("true") => next(); ConstBool(true)
       case Some(TWord(w)) if w.equalsIgnoreCase("false") => next(); ConstBool(false)
-      case _ => parseValueExpr()
+      case _ =>
+        // X270: BIND takes BOOLEAN expressions too (`?bal >= 5000 AS
+        // ?flag`, `!BOUND(?x) && … AS ?f`). Try the boolean grammar
+        // first; a bare value (`?n`, `STRLEN(?x)`, `?a * 2`) fails its
+        // mandatory comparison and falls back to the value grammar —
+        // pos is the only state expressions touch, so the rewind is
+        // complete.
+        val save = pos
+        try parseExpr()
+        catch { case _: Exception => pos = save; parseValueExpr() }
     }
 
     // ------------------------------------------------ value expressions
@@ -1449,6 +1458,13 @@ object Sparql {
         next(); eatPunct("(")
         val v = parseVarArg("isLiteral"); eatPunct(")")
         IsIriE(v, positive = false)
+      case Some(t) if isWord(t, "isNumeric") =>
+        // X270: true iff the value parses as a number — the engine's
+        // lexical-numeric reading of §17.4.2.4 (terms are stored by
+        // lexical form; a numeric-typed literal always parses).
+        next(); eatPunct("(")
+        val e = parseValueExpr(); eatPunct(")")
+        BoolCall("ISNUMERIC", Seq(e))
       case Some(t) if isWord(t, "REGEX") =>
         next(); eatPunct("(")
         val v = parseVarArg("REGEX"); eatPunct(",")
@@ -2364,6 +2380,23 @@ object Sparql {
           .withColumn(as + IsIriSuffix, lit(iriTerm))
           .withColumn(as + LangSuffix, lit(null).cast("string"))
           .withColumn(as + DtSuffix, lit(null).cast("string")))
+      case Bind(e @ (_: Cmp | _: CmpE | _: And | _: Or | _: Not |
+          _: BoundE | _: IsIriE | _: StrFuncE | _: LangMatchesE |
+          _: BoolCall | _: InE), as) =>
+        // X270: boolean expressions bind xsd:boolean literals; a NULL
+        // (type error) leaves the variable unbound, per §10.1 — note
+        // this differs from BIND(true/false), whose OPTIONAL-branch
+        // false-materialization is the reference's documented quirk.
+        val base = acc.getOrElse(sys.error("BIND before any pattern"))
+        val c = exprCol(e, base)
+        acc = Some(base
+          .withColumn(as, when(c.isNull, lit(null).cast("string"))
+            .when(c, lit("true")).otherwise(lit("false")))
+          .withColumn(as + IsIriSuffix, lit(false))
+          .withColumn(as + LangSuffix, lit(null).cast("string"))
+          .withColumn(as + DtSuffix,
+            when(c.isNull, lit(null).cast("string"))
+              .otherwise(lit("http://www.w3.org/2001/XMLSchema#boolean"))))
       case Bind(e, _) => sys.error(s"unsupported BIND expression $e")
       case Optional(inner) =>
         val innerDf = compileGroup(inner, triples, named, gVar)
@@ -2936,6 +2969,7 @@ object Sparql {
         case "<=" => lc <= rc
         case ">=" => lc >= rc
       }
+    case BoolCall("ISNUMERIC", Seq(a)) => numVal(a, df).isNotNull
     case BoolCall(fn, Seq(a, b)) =>
       val sa = strVal(a, df); val sb = strVal(b, df)
       fn match {

@@ -406,6 +406,18 @@ object RdfQueries {
           |}""".stripMargin)
     },
 
+    // X270: boolean BIND — comparisons, connectives, IN, isNumeric —
+    // minting xsd:boolean literals per row (one when-chain projection).
+    "q263_sparql_bool_bind" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(G.customers(s, dir),
+        """SELECT ?s ?rich ?neg ?edge WHERE {
+          |  ?s <urn:p/acctbal> ?bal .
+          |  BIND(?bal >= 5000 AS ?rich)
+          |  BIND(isNumeric(?bal) && ?bal < 0 AS ?neg)
+          |  BIND(FLOOR(?bal / 1000) IN (0, 9) AS ?edge)
+          |}""".stripMargin)
+    },
+
     // P9: VALUES with UNDEF — null-pattern split join
     // (MultiAttributeDimension.java:38-43).
     "q18_values_undef" -> { (s, dir) =>
@@ -1503,6 +1515,17 @@ object RdfQueries {
         |  AND (EXISTS (SELECT 1 FROM t v
         |               WHERE v.s = n.s AND v.p = 'urn:p/vip')
         |       OR n.o LIKE '%1')""".stripMargin,
+      "t" -> G.sql.customers),
+    // q263: the boolean binds replayed as CASE chains.
+    "q263_sparql_bool_bind" -> withTriples(
+      """SELECT s,
+        |  CASE WHEN CAST(o AS DOUBLE) >= 5000
+        |       THEN 'true' ELSE 'false' END AS rich,
+        |  CASE WHEN CAST(o AS DOUBLE) < 0
+        |       THEN 'true' ELSE 'false' END AS neg,
+        |  CASE WHEN floor(CAST(o AS DOUBLE) / 1000) IN (0, 9)
+        |       THEN 'true' ELSE 'false' END AS edge
+        |FROM t WHERE p = 'urn:p/acctbal'""".stripMargin,
       "t" -> G.sql.customers),
     // q234: the minted key is plain string concatenation.
     "q234_sparql_bind_concat" -> withTriples(

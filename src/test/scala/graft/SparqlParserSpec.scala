@@ -1923,6 +1923,36 @@ class SparqlParserSpec extends SparkSpec {
     }
   }
 
+  test("X270 boolean BIND: comparisons/connectives bind xsd:boolean " +
+    "literals, type errors leave the var unbound; isNumeric") {
+    val got = Sparql.select(exprGraph,
+      """SELECT ?s ?big ?num ?weird WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  ?s <urn:p/size> ?n .
+        |  BIND(?n >= 4 AS ?big)
+        |  BIND(isNumeric(?n) && !isNumeric(?name) AS ?num)
+        |  BIND(?n * 2 > 5 && STRSTARTS(?name, "a") AS ?weird)
+        |}""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    // x/1 (alpha, 8): big=true, num=true, weird=true.
+    // x/2 (Beta, 3): big=false, num=true, weird=false.
+    // x/3 (urn:other/3, "big"): ?n >= 4 type-errors → unbound;
+    //   isNumeric("big")=false → num=false; weird: null && false =
+    //   false (three-valued AND short-circuits on the false leg).
+    assert(got == Set(
+      ("urn:x/1", "true", "true", "true"),
+      ("urn:x/2", "false", "true", "false"),
+      ("urn:x/3", null, "false", "false")))
+    // The minted boolean is a typed literal (CONSTRUCT sees the dt).
+    val minted = Sparql.construct(exprGraph,
+      """CONSTRUCT { ?s <urn:p/big> ?big } WHERE {
+        |  ?s <urn:p/size> ?n . BIND(?n >= 4 AS ?big)
+        |}""".stripMargin).collect()
+      .filter(_.getString(2) == "true").map(_.getString(5)).toSet
+    assert(minted == Set("http://www.w3.org/2001/XMLSchema#boolean"))
+  }
+
   test("X260 CONCAT/IRI folds: general args compile; legacy shapes " +
     "keep their metadata path") {
     val got = Sparql.select(exprGraph,
