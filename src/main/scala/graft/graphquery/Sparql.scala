@@ -1324,6 +1324,16 @@ object Sparql {
         val a = parseValueExpr(); eatPunct(",")
         val b = parseValueExpr(); eatPunct(")")
         ValueCall(fn, Seq(a, b))
+      case Some(t) if Seq("YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
+          "SECONDS").exists(isWord(t, _)) =>
+        // §17.4.5 date/time accessors over the canonical xsd:date /
+        // xsd:dateTime LEXICAL forms (the terms this store holds) —
+        // codegen'd regex extraction, identical in DuckDB; a
+        // non-date value is a type error (empty extract → NULL).
+        val fn = next().asInstanceOf[TWord].s.toUpperCase
+        eatPunct("(")
+        val e = parseValueExpr(); eatPunct(")")
+        ValueCall(fn, Seq(e))
       case Some(t) if Seq("MD5", "SHA1", "SHA256", "SHA384", "SHA512")
           .exists(isWord(t, _)) =>
         // §17.4.4.5-4.9 hash functions over the lexical form —
@@ -2831,7 +2841,9 @@ object Sparql {
     * 'a' any (a plain term — typed by its comparison partner). */
   private def kindOf(e: Expr): Char = e match {
     case Arith(_, _, _) => 'n'
-    case ValueCall("STRLEN" | "ABS" | "ROUND" | "CEIL" | "FLOOR", _) => 'n'
+    case ValueCall("STRLEN" | "ABS" | "ROUND" | "CEIL" | "FLOOR" |
+        "YEAR" | "MONTH" | "DAY" | "HOURS" | "MINUTES" | "SECONDS",
+        _) => 'n'
     case ValueCall("IF", Seq(_, a, b)) =>
       if (kindOf(a) == 'n' && kindOf(b) == 'n') 'n' else 's'
     case ValueCall("COALESCE", args) =>
@@ -2870,6 +2882,19 @@ object Sparql {
       when(exprCol(c, df), numVal(a, df)).otherwise(numVal(b, df))
     case ValueCall("COALESCE", args) if args.nonEmpty =>
       coalesce(args.map(numVal(_, df)): _*)
+    case ValueCall(fn @ ("YEAR" | "MONTH" | "DAY" | "HOURS" |
+        "MINUTES" | "SECONDS"), Seq(a)) =>
+      val pat = fn match {
+        case "YEAR" => "^(-?\\d{4,})-"
+        case "MONTH" => "^-?\\d{4,}-(\\d{2})-"
+        case "DAY" => "^-?\\d{4,}-\\d{2}-(\\d{2})"
+        case "HOURS" => "T(\\d{2}):"
+        case "MINUTES" => "T\\d{2}:(\\d{2})"
+        case "SECONDS" => "T\\d{2}:\\d{2}:(\\d{2}(?:\\.\\d+)?)"
+      }
+      // regexp_extract yields "" on no match on both engines —
+      // try_cast turns that into the type-error NULL.
+      regexp_extract(strVal(a, df), pat, 1).try_cast("double")
     case other => strVal(other, df).try_cast("double")
   }
 
@@ -2889,7 +2914,8 @@ object Sparql {
       val pieces = parts.map(termVal(_, df))
       if (pieces.length == 1) pieces.head else concat(pieces: _*)
     case a: Arith => lexNum(numVal(a, df))
-    case ValueCall("STRLEN" | "ABS" | "ROUND" | "CEIL" | "FLOOR", _) =>
+    case ValueCall("STRLEN" | "ABS" | "ROUND" | "CEIL" | "FLOOR" |
+        "YEAR" | "MONTH" | "DAY" | "HOURS" | "MINUTES" | "SECONDS", _) =>
       lexNum(numVal(e, df))
     case ValueCall("IF", Seq(c, a, b)) =>
       when(exprCol(c, df), strVal(a, df)).otherwise(strVal(b, df))

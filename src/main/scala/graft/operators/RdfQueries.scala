@@ -418,6 +418,29 @@ object RdfQueries {
           |}""".stripMargin)
     },
 
+    // X271: datetime accessors over xsd:date lexical forms — the
+    // reporting idiom (year/quarter keys minted from date literals),
+    // regex extraction identical in both engines.
+    "q264_sparql_datetime" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val nullStr = lit(null).cast("string")
+      val dates = o.select(
+        concat(lit("urn:ord/"), col("o_orderkey")).as("s"),
+        lit("urn:p/odate").as("p"),
+        col("o_orderdate").cast("string").as("o"),
+        lit(false).as("oIsIri"), nullStr.as("oLang"),
+        lit("http://www.w3.org/2001/XMLSchema#date").as("oDatatype"))
+      graft.graphquery.Sparql.select(dates,
+        """SELECT ?s ?y ?m (CONCAT(STR(?y), "-Q",
+          |                        STR(CEIL(MONTH(?dt) / 3))) AS ?q)
+          |WHERE {
+          |  ?s <urn:p/odate> ?dt .
+          |  BIND(YEAR(?dt) AS ?y)
+          |  BIND(MONTH(?dt) AS ?m)
+          |  FILTER(YEAR(?dt) >= 1996 && DAY(?dt) <= 15)
+          |}""".stripMargin)
+    },
+
     // P9: VALUES with UNDEF — null-pattern split join
     // (MultiAttributeDimension.java:38-43).
     "q18_values_undef" -> { (s, dir) =>
@@ -1527,6 +1550,24 @@ object RdfQueries {
         |       THEN 'true' ELSE 'false' END AS edge
         |FROM t WHERE p = 'urn:p/acctbal'""".stripMargin,
       "t" -> G.sql.customers),
+    // q264: the accessor replay — same regex extracts over the date
+    // strings, the same canonical integer lexical forms.
+    "q264_sparql_datetime" ->
+      """SELECT 'urn:ord/' || o_orderkey AS s,
+        |  CAST(CAST(regexp_extract(CAST(o_orderdate AS VARCHAR),
+        |    '^(-?\d{4,})-', 1) AS BIGINT) AS VARCHAR) AS y,
+        |  CAST(CAST(regexp_extract(CAST(o_orderdate AS VARCHAR),
+        |    '^-?\d{4,}-(\d{2})-', 1) AS BIGINT) AS VARCHAR) AS m,
+        |  CAST(CAST(regexp_extract(CAST(o_orderdate AS VARCHAR),
+        |    '^(-?\d{4,})-', 1) AS BIGINT) AS VARCHAR) || '-Q' ||
+        |  CAST(CAST(ceil(CAST(regexp_extract(CAST(o_orderdate AS VARCHAR),
+        |    '^-?\d{4,}-(\d{2})-', 1) AS DOUBLE) / 3) AS BIGINT)
+        |    AS VARCHAR) AS q
+        |FROM orders
+        |WHERE CAST(regexp_extract(CAST(o_orderdate AS VARCHAR),
+        |    '^(-?\d{4,})-', 1) AS BIGINT) >= 1996
+        |  AND CAST(regexp_extract(CAST(o_orderdate AS VARCHAR),
+        |    '^-?\d{4,}-\d{2}-(\d{2})', 1) AS BIGINT) <= 15""".stripMargin,
     // q234: the minted key is plain string concatenation.
     "q234_sparql_bind_concat" -> withTriples(
       """SELECT s, o AS n, s || '|' || o AS key FROM t

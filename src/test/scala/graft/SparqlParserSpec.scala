@@ -1953,6 +1953,35 @@ class SparqlParserSpec extends SparkSpec {
     assert(minted == Set("http://www.w3.org/2001/XMLSchema#boolean"))
   }
 
+  test("X271 datetime accessors: date and dateTime lexical forms, " +
+    "fractional seconds, non-dates type-error to unbound") {
+    import spark.implicits._
+    val g = Seq(
+      ("urn:e/1", "urn:p/at", "2024-03-07T09:05:02.5+01:00"),
+      ("urn:e/2", "urn:p/at", "1999-12-31"),
+      ("urn:e/3", "urn:p/at", "not a date"))
+      .toDF("s", "p", "o")
+      .withColumn("oIsIri", org.apache.spark.sql.functions.lit(false))
+      .withColumn("oLang", org.apache.spark.sql.functions.lit(null)
+        .cast("string"))
+      .withColumn("oDatatype", org.apache.spark.sql.functions.lit(null)
+        .cast("string"))
+    val got = Sparql.select(g,
+      """SELECT ?s ?y ?mo ?d ?h ?mi ?sec WHERE {
+        |  ?s <urn:p/at> ?t .
+        |  BIND(YEAR(?t) AS ?y) BIND(MONTH(?t) AS ?mo)
+        |  BIND(DAY(?t) AS ?d) BIND(HOURS(?t) AS ?h)
+        |  BIND(MINUTES(?t) AS ?mi) BIND(SECONDS(?t) AS ?sec)
+        |}""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5),
+        r.getString(6))).toSet
+    assert(got == Set(
+      ("urn:e/1", "2024", "3", "7", "9", "5", "2.5"),
+      ("urn:e/2", "1999", "12", "31", null, null, null),
+      ("urn:e/3", null, null, null, null, null, null)))
+  }
+
   test("X260 CONCAT/IRI folds: general args compile; legacy shapes " +
     "keep their metadata path") {
     val got = Sparql.select(exprGraph,
