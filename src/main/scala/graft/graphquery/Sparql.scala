@@ -1297,7 +1297,7 @@ object Sparql {
         val v = parseVarArg("DATATYPE"); eatPunct(")")
         ValueCall("DATATYPE", Seq(leaf(V(v))))
       case Some(t) if Seq("STRLEN", "UCASE", "LCASE", "ABS", "ROUND",
-          "CEIL", "FLOOR").exists(isWord(t, _)) =>
+          "CEIL", "FLOOR", "ENCODE_FOR_URI").exists(isWord(t, _)) =>
         val fn = next().asInstanceOf[TWord].s.toUpperCase
         eatPunct("(")
         val e = parseValueExpr(); eatPunct(")")
@@ -2953,6 +2953,17 @@ object Sparql {
       concat(args.map(strVal(_, df)): _*)
     case ValueCall("STR", Seq(a)) => strVal(a, df)
     case ValueCall("IRI", Seq(a)) => strVal(a, df)
+    case ValueCall("ENCODE_FOR_URI", Seq(a)) =>
+      // §17.4.3.12 percent-encodes every UTF-8 byte outside RFC 3986's
+      // unreserved set [A-Za-z0-9._~-], uppercase hex. url_encode is
+      // the form-encoding variant — three deviations, each patched:
+      // space→'+' (must be %20), '*' kept (must be %2A), '~'→%7E
+      // (must stay). Input '+'/' '/'*' are already encoded by then, so
+      // the replacements can't collide.
+      Seq("+" -> "%20", "*" -> "%2A", "%7E" -> "~")
+        .foldLeft(url_encode(strVal(a, df))) { case (acc, (f, t)) =>
+          replace(acc, lit(f), lit(t))
+        }
     case ValueCall("MD5", Seq(a)) => md5(strVal(a, df))
     case ValueCall("SHA1", Seq(a)) => sha1(strVal(a, df))
     case ValueCall("SHA256", Seq(a)) => sha2(strVal(a, df), 256)

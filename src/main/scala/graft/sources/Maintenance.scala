@@ -77,8 +77,19 @@ object Maintenance {
         search += dir
       } else if (has("delta") || has("_horizon") || has("_base_v") ||
         dirNames.exists(n => n == "base" || n.startsWith("base_v"))) {
-        graft.graphquery.DeltaStore.compactIfNeeded(spark, dir, maxDeltas)
-        delta += dir
+        // A BUSY store (another process's fresh writer lease) is not a
+        // broken one: report and move on — one live writer must never
+        // abort the whole cron sweep. Real failures still propagate.
+        try {
+          graft.graphquery.DeltaStore.compactIfNeeded(spark, dir, maxDeltas)
+          delta += dir
+        } catch {
+          case e: IllegalArgumentException
+              if e.getMessage != null &&
+                e.getMessage.contains("writer lease") =>
+            skipped += dir -> ("delta store busy (live writer lease) — " +
+              "left for the next tick")
+        }
       } else if (dirNames.exists(_.startsWith("batch_id="))) {
         val nested = children.filter(st => st.isDirectory &&
             st.getPath.getName.startsWith("batch_id="))

@@ -2015,6 +2015,26 @@ class MediaStreamSpec extends SparkSpec {
         "a third runAll pass touched a converged tree")
       assert(rep3.skipped.map(_._1) == Seq(s"$dir/stores/nested"))
       assert(serve() == s0 && quadServe() == q0 && histRows() == h0)
+      // A BUSY delta store (another process's fresh writer lease) is
+      // reported and skipped — never aborting the whole cron sweep —
+      // and everything else still gets its maintenance. Fresh work
+      // first, so the threshold trigger actually reaches the lease
+      // acquisition (a converged store short-circuits on the listing).
+      graft.graphquery.DeltaStore.update(spark, s"$dir/stores/quads",
+        "INSERT DATA { <urn:i/c> <urn:p/k> \"3\" . } ; " +
+          "INSERT DATA { <urn:i/d> <urn:p/k> \"4\" . }")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/stores/quads/_writer"),
+        "someone-else".getBytes("UTF-8"))
+      try {
+        val rep4 = M.runAll(spark, Seq(dir), maxShards = 2, maxDeltas = 1)
+        assert(rep4.skipped.exists { case (p, why) =>
+          p == s"$dir/stores/quads" && why.contains("busy")
+        }, s"busy delta store not reported skipped: ${rep4.skipped}")
+        assert(rep4.searchIndexes.nonEmpty && rep4.plainTables.nonEmpty,
+          "busy store must not abort the rest of the sweep")
+      } finally java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$dir/stores/quads/_writer"))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))

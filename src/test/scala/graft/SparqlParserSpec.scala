@@ -1982,6 +1982,29 @@ class SparqlParserSpec extends SparkSpec {
       ("urn:e/3", null, null, null, null, null, null)))
   }
 
+  test("X271 ENCODE_FOR_URI: RFC 3986 unreserved set kept, everything " +
+    "else percent-encoded uppercase, UTF-8 multibyte included") {
+    import spark.implicits._
+    val g = Seq(
+      ("urn:u/1", "urn:p/v", "Los Angeles"),
+      ("urn:u/2", "urn:p/v", "~*a/b?c=d"),
+      ("urn:u/3", "urn:p/v", "A-Z_0.9~ž"))
+      .toDF("s", "p", "o")
+      .withColumn("oIsIri", org.apache.spark.sql.functions.lit(false))
+      .withColumn("oLang", org.apache.spark.sql.functions.lit(null)
+        .cast("string"))
+      .withColumn("oDatatype", org.apache.spark.sql.functions.lit(null)
+        .cast("string"))
+    val got = Sparql.select(g,
+      """SELECT ?s (ENCODE_FOR_URI(?v) AS ?e) WHERE {
+        |  ?s <urn:p/v> ?v .
+        |}""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got("urn:u/1") == "Los%20Angeles")
+    assert(got("urn:u/2") == "~%2Aa%2Fb%3Fc%3Dd")
+    assert(got("urn:u/3") == "A-Z_0.9~%C5%BE")
+  }
+
   test("X260 CONCAT/IRI folds: general args compile; legacy shapes " +
     "keep their metadata path") {
     val got = Sparql.select(exprGraph,
