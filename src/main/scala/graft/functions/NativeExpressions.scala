@@ -118,6 +118,52 @@ object NativeExpressions {
       java.net.URLEncoder.encode(str.replace(' ', '-'), "UTF-8"))
   }
 
+  /** X271 kernel: SPARQL §17.4.3.12 ENCODE_FOR_URI — strict RFC 3986
+    * percent-encoding: unreserved `[A-Za-z0-9._~-]` pass through,
+    * every other UTF-8 BYTE becomes `%XX` uppercase. Deliberately
+    * distinct from [[urlEncode]], the reference's form-encoding key
+    * minting (space→dash, `*` kept, `~` encoded) — that one owns the
+    * `url_encode` registry name, so resolving ENCODE_FOR_URI through
+    * it would silently inherit the wrong semantics. */
+  def encodeForUri(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val str = s.toString
+    def unreserved(c: Char): Boolean =
+      (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '.' || c == '_' || c == '~' ||
+        c == '-'
+    var i = 0
+    var safe = true
+    while (safe && i < str.length) { safe = unreserved(str.charAt(i)); i += 1 }
+    if (safe) return s
+    val bytes = str.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length * 3)
+    var j = 0
+    while (j < bytes.length) {
+      val b = bytes(j) & 0xff
+      if (b < 0x80 && unreserved(b.toChar)) sb.append(b.toChar)
+      else {
+        sb.append('%')
+        sb.append(Character.toUpperCase(Character.forDigit(b >> 4, 16)))
+        sb.append(Character.toUpperCase(Character.forDigit(b & 0xf, 16)))
+      }
+      j += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  case class EncodeForUriExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      encodeForUri(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.NativeExpressions.encodeForUri($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "encode_for_uri"
+  }
+
   case class UrlEncodeExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
     override def nullSafeEval(input: Any): Any =
@@ -418,6 +464,8 @@ object NativeExpressions {
     "asof_probe" -> (args => AsofProbeExpr(args(0), args(1))),
     "parse_num_prefix" -> (args => ParseNumPrefixExpr(Cast(args.head, StringType))),
     "url_encode" -> (args => UrlEncodeExpr(Cast(args.head, StringType))),
+    "encode_for_uri" ->
+      (args => EncodeForUriExpr(Cast(args.head, StringType))),
     "date_iri" -> (args => DateIriExpr(Cast(args.head, StringType))),
     "rolling_hash" -> (args => RollingHashExpr(Cast(args.head, StringType))),
     // nt_parse(line, 'skolemPrefix'): the N-Triples/N-Quads statement

@@ -197,7 +197,13 @@ object Sparql {
                          offset: Option[Int] = None,
                          having: Option[Expr] = None,
                          from: Seq[String] = Nil,
-                         fromNamed: Seq[String] = Nil)
+                         fromNamed: Seq[String] = Nil,
+                         // X272: the trailing `VALUES ?v {…}` block
+                         // (§10.2.2) — joined with the QUERY's
+                         // solutions (post-aggregation), not the
+                         // pattern's, which is the clause's difference
+                         // from an in-group VALUES.
+                         postValues: Option[Values] = None)
 
   /** CONSTRUCT query: a triple template instantiated once per WHERE
     * solution. LIMIT (when present) bounds the solution sequence before
@@ -779,6 +785,7 @@ object Sparql {
         case other => sys.error(s"expected number after $after, got $other")
       }
       var having = Option.empty[Expr]
+      var postValues = Option.empty[Values]
       var more = true
       while (more) {
         if (tryWord("GROUP")) { eatWord("BY"); groupBy = parseGroupByConds() }
@@ -807,6 +814,7 @@ object Sparql {
         }
         else if (tryWord("LIMIT")) limit = Some(num("LIMIT"))
         else if (tryWord("OFFSET")) offset = Some(num("OFFSET"))
+        else if (tryWord("VALUES")) postValues = Some(parseValues())
         else more = false
       }
       // X266: the hidden select-expression / aggregate-argument BINDs
@@ -815,7 +823,8 @@ object Sparql {
       // aggregates join the projection list (filtered from output).
       val q = Query(distinct, star, proj.result() ++ ctxAggs.result(),
         whereRaw ++ ctxBinds.result(), groupBy, limit,
-        orderBy, offset, having, fromB.result(), fromNamedB.result())
+        orderBy, offset, having, fromB.result(), fromNamedB.result(),
+        postValues)
       ctxBinds = savedCtx._1; ctxAggs = savedCtx._2
       ctxN = savedCtx._3; ctxInHaving = savedCtx._4
       q
@@ -2251,6 +2260,12 @@ object Sparql {
       // HAVING scopes over the aggregated row (aliases included).
       q.having.foreach(e => df = df.filter(exprCol(e, df)))
     }
+    // X272: the trailing VALUES block joins the QUERY's solutions —
+    // post-aggregation, aliases included — via the same null-pattern
+    // split join as the in-group form.
+    q.postValues.foreach { case Values(vars, rows) =>
+      df = mergeValues(Some(df), vars, rows, df)
+    }
     val projCols: Seq[String] =
       if (q.star) df.columns.toSeq.filterNot(isHidden)
       else q.proj.map {
@@ -2954,16 +2969,15 @@ object Sparql {
     case ValueCall("STR", Seq(a)) => strVal(a, df)
     case ValueCall("IRI", Seq(a)) => strVal(a, df)
     case ValueCall("ENCODE_FOR_URI", Seq(a)) =>
-      // §17.4.3.12 percent-encodes every UTF-8 byte outside RFC 3986's
-      // unreserved set [A-Za-z0-9._~-], uppercase hex. url_encode is
-      // the form-encoding variant — three deviations, each patched:
-      // space→'+' (must be %20), '*' kept (must be %2A), '~'→%7E
-      // (must stay). Input '+'/' '/'*' are already encoded by then, so
-      // the replacements can't collide.
-      Seq("+" -> "%20", "*" -> "%2A", "%7E" -> "~")
-        .foldLeft(url_encode(strVal(a, df))) { case (acc, (f, t)) =>
-          replace(acc, lit(f), lit(t))
-        }
+      // §17.4.3.12 — the dedicated native kernel (exact RFC 3986
+      // percent-encoding). NOT Spark's url_encode: that name resolves
+      // through the function REGISTRY, where this engine's own
+      // reference-parity url_encode (space→dash key minting) shadows
+      // the builtin depending on session history — the one thing a
+      // compiled expression must never depend on. Registration is an
+      // idempotent registry put.
+      graft.functions.NativeExpressions.register(df.sparkSession)
+      call_function("encode_for_uri", strVal(a, df))
     case ValueCall("MD5", Seq(a)) => md5(strVal(a, df))
     case ValueCall("SHA1", Seq(a)) => sha1(strVal(a, df))
     case ValueCall("SHA256", Seq(a)) => sha2(strVal(a, df), 256)

@@ -441,6 +441,19 @@ object RdfQueries {
           |}""".stripMargin)
     },
 
+    // X272: the trailing VALUES block — parameterizing a FINISHED
+    // query (the federation/template idiom): joins the post-
+    // aggregation solutions, so the counts are per-group regardless
+    // of the parameter list.
+    "q265_sparql_post_values" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(G.customers(s, dir),
+        """SELECT ?nat (COUNT(*) AS ?n) WHERE {
+          |  ?s <urn:p/inNation> ?nat .
+          |} GROUP BY ?nat
+          |VALUES ?nat { <urn:g/nation/1> <urn:g/nation/5>
+          |              <urn:g/nation/19> }""".stripMargin)
+    },
+
     // P9: VALUES with UNDEF — null-pattern split join
     // (MultiAttributeDimension.java:38-43).
     "q18_values_undef" -> { (s, dir) =>
@@ -1568,6 +1581,15 @@ object RdfQueries {
         |    '^(-?\d{4,})-', 1) AS BIGINT) >= 1996
         |  AND CAST(regexp_extract(CAST(o_orderdate AS VARCHAR),
         |    '^-?\d{4,}-\d{2}-(\d{2})', 1) AS BIGINT) <= 15""".stripMargin,
+    // q265: per-group counts restricted to the parameter list (the
+    // post-aggregation join can't change within-group counts).
+    "q265_sparql_post_values" -> withTriples(
+      """SELECT o AS nat, COUNT(*) AS n FROM t
+        |WHERE p = 'urn:p/inNation'
+        |  AND o IN ('urn:g/nation/1', 'urn:g/nation/5',
+        |            'urn:g/nation/19')
+        |GROUP BY o""".stripMargin,
+      "t" -> G.sql.customers),
     // q234: the minted key is plain string concatenation.
     "q234_sparql_bind_concat" -> withTriples(
       """SELECT s, o AS n, s || '|' || o AS key FROM t

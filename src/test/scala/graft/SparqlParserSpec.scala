@@ -2005,6 +2005,23 @@ class SparqlParserSpec extends SparkSpec {
     assert(got("urn:u/3") == "A-Z_0.9~%C5%BE")
   }
 
+  test("X272 trailing VALUES: joins the query's solutions — " +
+    "post-aggregation, aliases included, UNDEF wildcards") {
+    val plain = Sparql.select(exprGraph,
+      """SELECT ?s ?n WHERE { ?s <urn:p/size> ?n . }
+        |VALUES ?n { "8" "big" }""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(plain == Set(("urn:x/1", "8"), ("urn:x/3", "big")))
+    // Post-aggregation: the VALUES var is an aggregate ALIAS.
+    val agg = Sparql.select(exprGraph,
+      """SELECT ?p (COUNT(*) AS ?c) WHERE { ?s ?p ?o . }
+        |GROUP BY ?p
+        |VALUES (?p ?c) { (<urn:p/name> 3) (<urn:p/size> UNDEF) }"""
+        .stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(agg == Set(("urn:p/name", 3L), ("urn:p/size", 3L)))
+  }
+
   test("X260 CONCAT/IRI folds: general args compile; legacy shapes " +
     "keep their metadata path") {
     val got = Sparql.select(exprGraph,
