@@ -200,6 +200,26 @@ class DeltaStoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
 
+  test("X260+ expressions flow through UPDATE WHERE clauses — " +
+    "identical through the administrative and delta paths") {
+    val (_, _, root) = bothPaths(Seq(
+      """INSERT DATA {
+        |  <urn:i/a> <urn:p/n> "2" . <urn:i/b> <urn:p/n> "5" .
+        |  <urn:i/c> <urn:p/n> "9" . <urn:i/d> <urn:p/n> "nope" .
+        |}""".stripMargin,
+      // Arithmetic + string functions + IF in the modify WHERE: only
+      // rows with 2n > 8 and a numeric lexical survive the delete;
+      // the insert mints a banded key per deleted row.
+      """DELETE { ?s <urn:p/n> ?o . }
+        |INSERT { ?s <urn:p/band> ?b . }
+        |WHERE {
+        |  ?s <urn:p/n> ?o .
+        |  FILTER(?o * 2 > 8 && isNumeric(?o))
+        |  BIND(IF(?o >= 9, "high", "mid") AS ?b)
+        |}""".stripMargin))
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
   test("compactIfNeeded: below threshold is a pure listing no-op; " +
     "crossing folds exactly once; the pinned-serve contract holds " +
     "across the triggered fold") {
