@@ -186,7 +186,13 @@ object ScaleProbe {
       // q248 should stay ~flat as the corpus grows; q252 is q247's
       // shape with graph-op tombstones in the fold (the O(1) cover
       // list must not change the compact/serve scaling).
-      "q250_nb_threshold", "q252_graph_mgmt_delta")
+      "q250_nb_threshold", "q252_graph_mgmt_delta",
+      // Round-18 additions: q255 is the X260 expression surface — one
+      // self-join + a when-chain/regex projection, so wall should be
+      // scan-bound and flat-parallel; q262 adds the embedded-EXISTS
+      // flag join (distinct + left outer on the shared key) to the
+      // same shape — its ratio vs q255 prices that join at scale.
+      "q255_sparql_expr_surface", "q262_sparql_exists_expr")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -263,7 +269,9 @@ object ScaleProbe {
       "q242_sparql_update" -> "customer",
       "q245_nquads_source" -> "customer",
       "q247_sparql_update_delta" -> "customer",
-      "q252_graph_mgmt_delta" -> "customer")
+      "q252_graph_mgmt_delta" -> "customer",
+      "q255_sparql_expr_surface" -> "customer",
+      "q262_sparql_exists_expr" -> "customer")
       .withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet ++
       // q209 reads customer alongside orders — replicate both.
