@@ -2022,6 +2022,35 @@ class SparqlParserSpec extends SparkSpec {
     assert(agg == Set(("urn:p/name", 3L), ("urn:p/size", 3L)))
   }
 
+  test("X260+ expressions compose with GRAPH-scoped dataset queries: " +
+    "arithmetic FILTER and BIND inside GRAPH ?g") {
+    import scala.jdk.CollectionConverters._
+    val quadSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.StringType) +:
+        graft.rdf.Turtle.schema.fields)
+    val ds = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row("urn:d/1", "urn:s/1", "urn:p/n", "4",
+        false, null, null),
+      org.apache.spark.sql.Row("urn:d/1", "urn:s/2", "urn:p/n", "1",
+        false, null, null),
+      org.apache.spark.sql.Row("urn:d/2", "urn:s/3", "urn:p/n", "9",
+        false, null, null),
+      org.apache.spark.sql.Row(null, "urn:s/4", "urn:p/n", "7",
+        false, null, null)).asJava, quadSchema)
+    val got = Sparql.selectDataset(ds,
+      """SELECT ?g ?s ?d WHERE {
+        |  GRAPH ?g { ?s <urn:p/n> ?n .
+        |             FILTER(?n * 2 >= 8)
+        |             BIND(?n - 1 AS ?d) }
+        |}""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // default-graph row invisible to GRAPH ?g; 1*2 < 8 dropped.
+    assert(got == Set(
+      ("urn:d/1", "urn:s/1", "3"),
+      ("urn:d/2", "urn:s/3", "8")))
+  }
+
   test("X260 CONCAT/IRI folds: general args compile; legacy shapes " +
     "keep their metadata path") {
     val got = Sparql.select(exprGraph,
