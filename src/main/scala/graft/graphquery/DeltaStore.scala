@@ -113,12 +113,34 @@ object DeltaStore {
       fs.delete(p, false) // crashed writer's stale lease
     }
     val token = java.util.UUID.randomUUID().toString
-    // create(overwrite = false): a concurrent acquisition tie loses
-    // LOUDLY (FileAlreadyExists) instead of silently double-writing.
-    val out = fs.create(p, false)
+    createLeaseFile(fs, p, dir, token)
+    token
+  }
+
+  /** create(overwrite = false): a concurrent acquisition tie — two
+    * processes both passing the stale check and racing delete+create —
+    * loses LOUDLY instead of silently double-writing, surfaced as the
+    * same "writer lease" IllegalArgumentException the fresh-lease
+    * reject throws, so [[graft.sources.Maintenance.runAll]]'s
+    * busy-skip reports a takeover tie as busy rather than aborting
+    * the whole janitor sweep. Test hook (the tie itself cannot be
+    * staged deterministically from outside). */
+  private[graft] def createLeaseFile(fs: org.apache.hadoop.fs.FileSystem,
+                                     p: Path, dir: String,
+                                     token: String): Unit = {
+    val out =
+      try fs.create(p, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalArgumentException(
+            s"$dir: another process holds the writer lease ($p, " +
+              "acquired concurrently during a stale-lease takeover) — " +
+              "this store is single-writer; retry after the holder " +
+              "finishes or its lease expires")
+      }
     try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    token
   }
 
   /** Refresh = full rewrite (mtime moves on every FileSystem, incl.

@@ -162,13 +162,16 @@ object Sparql {
     * An empty list is the spec's constant false (true when negated). */
   final case class InE(e: Expr, list: Seq[Expr],
                        negated: Boolean) extends Expr
-  /** `EXISTS {…}` EMBEDDED in a compound FILTER expression (X269) —
-    * `FILTER(EXISTS {…} || …)`, `!EXISTS {…} && …`. The whole-filter
-    * forms keep compiling to left-semi/anti joins ([[Exists]]/
-    * [[NotExists]], the cheaper plan); an embedded occurrence compiles
-    * to a boolean flag column: one DISTINCT-on-shared-vars left outer
-    * join per occurrence, so solutions never multiply. FILTER-only
-    * (a value position or HAVING rejects loudly). */
+  /** `EXISTS {…}` EMBEDDED in a compound boolean expression (X269/
+    * X274) — `FILTER(EXISTS {…} || …)`, `HAVING(… && EXISTS {…})`,
+    * `BIND(EXISTS {…} AS ?f)`. The whole-filter forms keep compiling
+    * to left-semi/anti joins ([[Exists]]/[[NotExists]], the cheaper
+    * plan); an embedded occurrence compiles to a boolean flag column:
+    * one DISTINCT-on-shared-vars left outer join per occurrence, so
+    * solutions never multiply. In HAVING the join runs on the
+    * AGGREGATED frame, correlated on the group keys the inner pattern
+    * shares. Only a VALUE position deeper than the boolean skeleton
+    * (e.g. inside IF(…)) still rejects loudly. */
   final case class ExistsE(inner: Seq[Pattern]) extends Expr
 
   /** Expression-context operand wrappers: STR(?v) (lexical form) and
@@ -186,6 +189,18 @@ object Sparql {
     * is the lexical minimum — both replayable by any engine. */
   final case class ProjAgg(fn: String, of: String, distinct: Boolean,
                            as: String, sep: String = " ") extends ProjElem
+
+  /** X273: a general select expression `(expr AS ?v)` in a GROUPED
+    * query — evaluated POST-aggregation over the group keys and
+    * aggregate aliases (§18.2's Extend sits after Grouping/HAVING in
+    * the algebra, so `SELECT (UCASE(?nat) AS ?x) … GROUP BY ?nat`
+    * upper-cases the KEY, and `(SUM(?bal)/100 AS ?k)` divides the
+    * aggregate — neither is expressible as a pre-group BIND). The
+    * parser lowers this to the historical pre-group trailing BIND
+    * when the query has no grouping, so ungrouped plans are
+    * unchanged. Expressions evaluate in projection order and may
+    * reference earlier aliases. */
+  final case class ProjExpr(expr: Expr, as: String) extends ProjElem
 
   final case class Query(distinct: Boolean, star: Boolean,
                          proj: Seq[ProjElem], where: Seq[Pattern],
@@ -391,6 +406,27 @@ object Sparql {
       val n = s"_ex_$ctxN"
       ctxBinds += Bind(e, n)
       n
+    }
+
+    /** Snapshot the select-context desugar state for a SPECULATIVE
+      * parse. `pos = save` alone rolls back the cursor but not the
+      * ctxBinds/ctxAggs side effects an abandoned branch registered —
+      * e.g. `HAVING((SUM(?x) + 1) * 2 > 4)`'s failed boolean attempt
+      * would leave an orphan hidden ProjAgg that the hash aggregate
+      * computes and discards (wasted work, alias-counter drift).
+      * Builders are rebuilt after `result()` so the Builder contract's
+      * contents-undefined-after-result clause can't bite. */
+    private def snapCtx(): (Seq[Pattern], Seq[ProjElem], Int) = {
+      val b = ctxBinds.result(); val a = ctxAggs.result()
+      ctxBinds = Seq.newBuilder[Pattern]; ctxBinds ++= b
+      ctxAggs = Seq.newBuilder[ProjElem]; ctxAggs ++= a
+      (b, a, ctxN)
+    }
+
+    private def restoreCtx(s: (Seq[Pattern], Seq[ProjElem], Int)): Unit = {
+      ctxBinds = Seq.newBuilder[Pattern]; ctxBinds ++= s._1
+      ctxAggs = Seq.newBuilder[ProjElem]; ctxAggs ++= s._2
+      ctxN = s._3
     }
 
     private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
@@ -707,22 +743,29 @@ object Sparql {
               pos + 1 < toks.length && toks(pos + 1) == TPunct("(")
             case _ => false
           }
-          if (!isAgg) {
-            // General select expression: `(expr AS ?v)`.
-            val e = parseValueExpr()
+          // X273: `(expr AS ?v)` parses with aggregate calls routed to
+          // hidden ProjAggs (the HAVING device) so `(SUM(?bal)/100 AS
+          // ?k)` works; the node lands as ProjExpr (placement decided
+          // at Query build). A whole-expression aggregate `(AGG(…) AS
+          // ?v)` keeps its legacy ProjCount/ProjAgg fast path — same
+          // plan shape the pre-X273 compiler built.
+          def parseSelectExpr(): Unit = {
+            val wasHaving = ctxInHaving
+            ctxInHaving = true
+            val e = try parseValueExpr() finally { ctxInHaving = wasHaving }
             eatWord("AS")
             val as = parseAsVar()
-            ctxBinds += Bind(e, as)
-            proj += ProjVar(as)
+            proj += ProjExpr(e, as)
             eatPunct(")")
-          } else {
+          }
+          def parseLegacyAgg(): ProjElem = {
           val fn = next() match {
             case TWord(w) => w.toUpperCase
             case other => sys.error(s"expected aggregate name, got $other")
           }
           eatPunct("(")
           val dist = tryWord("DISTINCT")
-          fn match {
+          val elem = fn match {
             case "COUNT" =>
               val of = peek match {
                 // A bare var only when ')' follows — `COUNT(?n * 2)`
@@ -736,11 +779,11 @@ object Sparql {
                 case _ => Some(exprVar(parseValueExpr()))
               }
               eatPunct(")"); eatWord("AS")
-              proj += ProjCount(of, dist, parseAsVar())
+              ProjCount(of, dist, parseAsVar())
             case "SUM" | "MIN" | "MAX" | "AVG" | "SAMPLE" =>
               val of = aggArg(fn)
               eatPunct(")"); eatWord("AS")
-              proj += ProjAgg(fn, of, dist, parseAsVar())
+              ProjAgg(fn, of, dist, parseAsVar())
             case "GROUP_CONCAT" =>
               val of = aggArg(fn)
               val sep = if (tryPunct(";")) {
@@ -751,10 +794,25 @@ object Sparql {
                 }
               } else " "
               eatPunct(")"); eatWord("AS")
-              proj += ProjAgg(fn, of, dist, parseAsVar(), sep)
+              ProjAgg(fn, of, dist, parseAsVar(), sep)
             case other => sys.error(s"unsupported aggregate $other")
           }
           eatPunct(")")
+          elem
+          }
+          if (!isAgg) parseSelectExpr()
+          else {
+            // `(AGG(…)` may still be a LARGER expression — `(SUM(?b)
+            // / 100 AS ?k)` fails the legacy parse at its AS and
+            // reparses as a general expression. proj only mutates
+            // AFTER the legacy parse fully succeeds, so the rewind is
+            // proj-clean; snapCtx rolls back any hidden binds the
+            // abandoned attempt registered.
+            val save = pos
+            val ctxSave = snapCtx()
+            try proj += parseLegacyAgg()
+            catch { case _: Exception =>
+              pos = save; restoreCtx(ctxSave); parseSelectExpr() }
           }
         case _ => done = true
       }
@@ -817,11 +875,29 @@ object Sparql {
         else if (tryWord("VALUES")) postValues = Some(parseValues())
         else more = false
       }
-      // X266: the hidden select-expression / aggregate-argument BINDs
-      // append AFTER the whole group, so they see every binding
-      // (including each other, in projection order); hidden HAVING
+      // X266: the hidden aggregate-argument BINDs append AFTER the
+      // whole group, so they see every binding; hidden HAVING/select
       // aggregates join the projection list (filtered from output).
-      val q = Query(distinct, star, proj.result() ++ ctxAggs.result(),
+      // X273 placement: in a GROUPED query (explicit GROUP BY, or any
+      // aggregate — visible or hidden — which implies the one-group
+      // aggregation), select expressions stay ProjExpr and evaluate
+      // post-aggregation; otherwise they lower to the historical
+      // pre-group trailing BINDs, in projection order, unchanged from
+      // the pre-X273 compiler.
+      val projRaw = proj.result()
+      val hiddenAggs = ctxAggs.result()
+      val grouped = groupBy.nonEmpty ||
+        (projRaw ++ hiddenAggs).exists {
+          case _: ProjCount | _: ProjAgg => true
+          case _ => false
+        }
+      val projFinal =
+        if (grouped) projRaw ++ hiddenAggs
+        else projRaw.map {
+          case ProjExpr(e, as) => ctxBinds += Bind(e, as); ProjVar(as)
+          case other => other
+        } ++ hiddenAggs
+      val q = Query(distinct, star, projFinal,
         whereRaw ++ ctxBinds.result(), groupBy, limit,
         orderBy, offset, having, fromB.result(), fromNamedB.result(),
         postValues)
@@ -930,6 +1006,16 @@ object Sparql {
             next(); pats += parseValues()
           case Some(t) if isWord(t, "MINUS") =>
             next(); pats += Minus(parseGroup())
+          case Some(t) if isWord(t, "SERVICE") =>
+            // Federation (§SERVICE) is deliberately out of scope: this
+            // is a single-engine library — a remote endpoint call per
+            // solution group has no sound distributed compilation here.
+            // Loud documented contract, not a parse surprise: LOAD the
+            // remote graph into the store and query it locally.
+            sys.error("SERVICE (SPARQL federation) is not supported: " +
+              "this engine evaluates one dataset; LOAD the remote " +
+              "graph into the store (or register it as a named graph) " +
+              "and query it locally")
           case Some(t) if isWord(t, "GRAPH") =>
             next()
             val g = next() match {
@@ -1183,12 +1269,14 @@ object Sparql {
         // X270: BIND takes BOOLEAN expressions too (`?bal >= 5000 AS
         // ?flag`, `!BOUND(?x) && … AS ?f`). Try the boolean grammar
         // first; a bare value (`?n`, `STRLEN(?x)`, `?a * 2`) fails its
-        // mandatory comparison and falls back to the value grammar —
-        // pos is the only state expressions touch, so the rewind is
-        // complete.
+        // mandatory comparison and falls back to the value grammar.
+        // The rewind restores the ctx desugar state alongside pos (an
+        // abandoned branch may have registered hidden BINDs/aggs).
         val save = pos
+        val ctxSave = snapCtx()
         try parseExpr()
-        catch { case _: Exception => pos = save; parseValueExpr() }
+        catch { case _: Exception =>
+          pos = save; restoreCtx(ctxSave); parseValueExpr() }
     }
 
     // ------------------------------------------------ value expressions
@@ -1392,9 +1480,11 @@ object Sparql {
         // parenthesized VALUE `(?a + 1) * 2 > 4`. Try boolean first;
         // when that fails, or a value/comparison operator FOLLOWS the
         // closing paren, backtrack and reparse as a comparison over
-        // value expressions (pos is the only parser state expressions
-        // touch, so the rewind is complete).
+        // value expressions. The rewind restores the ctx desugar state
+        // too — a HAVING aggregate the abandoned branch registered
+        // must not survive as an orphan hidden ProjAgg.
         val save = pos
+        val ctxSave = snapCtx()
         val asBool =
           try {
             next(); val e = parseExpr(); eatPunct(")")
@@ -1406,7 +1496,7 @@ object Sparql {
             }
             if (continues) None else Some(e)
           } catch { case _: Exception => None }
-        asBool.getOrElse { pos = save; parseComparison() }
+        asBool.getOrElse { pos = save; restoreCtx(ctxSave); parseComparison() }
       }
       else parsePrimaryExpr()
 
@@ -2255,10 +2345,35 @@ object Sparql {
           concat_ws(sep, array_sort(
             if (dist) collect_set(col(v)) else collect_list(col(v)))).as(as)
       }
-      require(aggs.nonEmpty, "GROUP BY without an aggregate projection")
-      df = df.groupBy(q.groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      if (aggs.isEmpty && q.proj.exists(_.isInstanceOf[ProjExpr])) {
+        // X273: GROUP BY with select expressions over the keys and no
+        // aggregate at all — one solution per group, keys only (the
+        // same hash aggregate as groupBy().agg(), spelled distinct).
+        require(q.groupBy.nonEmpty, "aggregate-free grouping needs keys")
+        df = df.select(q.groupBy.map(col): _*).distinct()
+      } else {
+        require(aggs.nonEmpty, "GROUP BY without an aggregate projection")
+        df = df.groupBy(q.groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      }
       // HAVING scopes over the aggregated row (aliases included).
-      q.having.foreach(e => df = df.filter(exprCol(e, df)))
+      // X274: embedded EXISTS{…} occurrences compile as flag joins on
+      // the AGGREGATED frame (correlated on whichever group keys the
+      // inner pattern shares) — the X269 device moved one algebra
+      // level up.
+      q.having.foreach { e =>
+        val (e2, flagged, flags) =
+          rewriteExists(e, df, triples, named, gVar, "_hx_")
+        df = flagged.filter(exprCol(e2, flagged)).drop(flags: _*)
+      }
+    }
+    // X273: select expressions extend the (aggregated) frame AFTER
+    // HAVING, in projection order — each sees group keys, aggregate
+    // aliases, and every earlier alias, which is §18.2.4's Extend
+    // scope. On an ungrouped query this arm is empty (the parser
+    // lowered ProjExpr to pre-group BINDs).
+    q.proj.foreach {
+      case ProjExpr(e, as) => df = extendWithValue(df, e, as)
+      case _ => ()
     }
     // X272: the trailing VALUES block joins the QUERY's solutions —
     // post-aggregation, aliases included — via the same null-pattern
@@ -2272,6 +2387,7 @@ object Sparql {
         case ProjVar(v) => v
         case ProjCount(_, _, as) => as
         case ProjAgg(_, _, _, as, _) => as
+        case ProjExpr(_, as) => as
       }.filterNot(isHidden) // X267: hidden HAVING aggregates stay out
     // keepMeta (the W3C result serializers): carry each projected
     // variable's term-metadata columns through projection and
@@ -2405,6 +2521,25 @@ object Sparql {
           .withColumn(as + IsIriSuffix, lit(iriTerm))
           .withColumn(as + LangSuffix, lit(null).cast("string"))
           .withColumn(as + DtSuffix, lit(null).cast("string")))
+      case Bind(e, as) if containsExists(e) =>
+        // X274: BIND(EXISTS{…} AS ?f) — and any NOT/&&/|| combination
+        // over one — compiles each EXISTS to a flag join against the
+        // bindings so far, then binds the xsd:boolean literal. EXISTS
+        // itself is total (true/false, never a type error), so only a
+        // sibling boolean operand can contribute the unbound NULL.
+        val base = acc.getOrElse(sys.error("BIND before any pattern"))
+        val (e2, flagged, flags) =
+          rewriteExists(e, base, triples, named, gVar, "_bx_")
+        val c = exprCol(e2, flagged)
+        acc = Some(flagged
+          .withColumn(as, when(c.isNull, lit(null).cast("string"))
+            .when(c, lit("true")).otherwise(lit("false")))
+          .withColumn(as + IsIriSuffix, lit(false))
+          .withColumn(as + LangSuffix, lit(null).cast("string"))
+          .withColumn(as + DtSuffix,
+            when(c.isNull, lit(null).cast("string"))
+              .otherwise(lit("http://www.w3.org/2001/XMLSchema#boolean")))
+          .drop(flags: _*))
       case Bind(e @ (_: Cmp | _: CmpE | _: And | _: Or | _: Not |
           _: BoundE | _: IsIriE | _: StrFuncE | _: LangMatchesE |
           _: BoolCall | _: InE), as) =>
@@ -2450,30 +2585,9 @@ object Sparql {
       // X269: rewrite embedded EXISTS {…} occurrences into boolean
       // flag columns (one distinct-keyed left outer join each — the
       // flag is true/NULL, read back through BOUND), filter, drop.
-      var flagN = 0
-      var flagged = df
-      def walk(x: Expr): Expr = x match {
-        case ExistsE(inner) =>
-          flagN += 1
-          val name = s"_exists_$flagN"
-          val ex = compileGroup(inner, triples, named, gVar)
-          val shared = flagged.columns.toSet
-            .intersect(ex.columns.filterNot(isMeta).toSet).toSeq
-          require(shared.nonEmpty,
-            "EXISTS shares no variable with the group")
-          flagged = flagged.join(
-            ex.select(shared.map(col): _*).distinct()
-              .withColumn(name, lit(true)),
-            shared, "left_outer")
-          BoundE(name)
-        case Not(a) => Not(walk(a))
-        case And(l, r) => And(walk(l), walk(r))
-        case Or(l, r) => Or(walk(l), walk(r))
-        case other => other
-      }
-      val e2 = walk(e)
-      df = flagged.filter(exprCol(e2, flagged))
-        .drop((1 to flagN).map(i => s"_exists_$i"): _*)
+      val (e2, flagged, flags) =
+        rewriteExists(e, df, triples, named, gVar, "_exists_")
+      df = flagged.filter(exprCol(e2, flagged)).drop(flags: _*)
     }
     antis.result().foreach { inner =>
       val ex = compileGroup(inner, triples, named, gVar)
@@ -2499,6 +2613,81 @@ object Sparql {
         df = df.join(ex.select(shared.map(col): _*), shared, "left_anti")
     }
     df
+  }
+
+  /** X269/X274: rewrite each embedded `EXISTS {…}` inside a boolean
+    * expression into a BOUND test of a flag column joined onto `df0` —
+    * one distinct-keyed left outer join per occurrence (the flag is
+    * true/NULL). Shared by FILTER (X269), HAVING, and BIND (X274): the
+    * same device works on the raw group frame and on the aggregated
+    * frame, where the correlation keys are whichever group keys the
+    * inner pattern shares. Returns the rewritten expression, the
+    * flagged frame, and the flag columns to drop once the expression
+    * has been consumed. The walk covers the boolean skeleton
+    * (NOT/AND/OR); EXISTS nested deeper — inside an IF(…) value
+    * position — keeps the loud [[exprCol]] reject. */
+  private def rewriteExists(e: Expr, df0: DataFrame, triples: DataFrame,
+                            named: DataFrame, gVar: Option[String],
+                            prefix: String): (Expr, DataFrame, Seq[String]) = {
+    var flagN = 0
+    var flagged = df0
+    def walk(x: Expr): Expr = x match {
+      case ExistsE(inner) =>
+        flagN += 1
+        val name = s"$prefix$flagN"
+        val ex = compileGroup(inner, triples, named, gVar)
+        val shared = flagged.columns.toSet
+          .intersect(ex.columns.filterNot(isMeta).toSet).toSeq
+        require(shared.nonEmpty,
+          "EXISTS shares no variable with the group")
+        flagged = flagged.join(
+          ex.select(shared.map(col): _*).distinct()
+            .withColumn(name, lit(true)),
+          shared, "left_outer")
+        BoundE(name)
+      case Not(a) => Not(walk(a))
+      case And(l, r) => And(walk(l), walk(r))
+      case Or(l, r) => Or(walk(l), walk(r))
+      case other => other
+    }
+    val e2 = walk(e)
+    (e2, flagged, (1 to flagN).map(i => s"$prefix$i"))
+  }
+
+  private def containsExists(e: Expr): Boolean = e match {
+    case _: ExistsE => true
+    case Not(a) => containsExists(a)
+    case And(l, r) => containsExists(l) || containsExists(r)
+    case Or(l, r) => containsExists(l) || containsExists(r)
+    case _ => false
+  }
+
+  /** X273: bind a value expression as a column plus term metadata on
+    * an (aggregated) frame — the generic BIND compile's stamping,
+    * factored for the post-aggregation Extend step. */
+  private def extendWithValue(df0: DataFrame, e: Expr,
+                              as: String): DataFrame = e match {
+    case ValueCall("STRLANG", Seq(a, l)) =>
+      df0.withColumn(as, strVal(a, df0))
+        .withColumn(as + IsIriSuffix, lit(false))
+        .withColumn(as + LangSuffix, strVal(l, df0))
+        .withColumn(as + DtSuffix, lit(null).cast("string"))
+    case ValueCall("STRDT", Seq(a, d)) =>
+      df0.withColumn(as, strVal(a, df0))
+        .withColumn(as + IsIriSuffix, lit(false))
+        .withColumn(as + LangSuffix, lit(null).cast("string"))
+        .withColumn(as + DtSuffix, strVal(d, df0))
+    case _ =>
+      val iriTerm = e match {
+        case ValueCall("IRI", _) => true
+        case BindConcat(_, true) => true
+        case BindConcat(Seq(I(_)), _) => true
+        case _ => false
+      }
+      df0.withColumn(as, strVal(e, df0))
+        .withColumn(as + IsIriSuffix, lit(iriTerm))
+        .withColumn(as + LangSuffix, lit(null).cast("string"))
+        .withColumn(as + DtSuffix, lit(null).cast("string"))
   }
 
   /** `{A} UNION {B}…`: each group compiles to its own plan; branches
@@ -3040,8 +3229,9 @@ object Sparql {
       }.reduceOption(_ || _).getOrElse(lit(false))
       if (negated) !hit else hit
     case _: ExistsE =>
-      sys.error("EXISTS is FILTER-only (compiled to a join flag " +
-        "there); it cannot appear in BIND/HAVING value positions")
+      sys.error("EXISTS here sits in a VALUE position (e.g. inside " +
+        "IF(…)) — it is supported only in the boolean skeleton of " +
+        "FILTER/HAVING/BIND, where it compiles to a join flag")
     case v @ (_: Arith | _: ValueCall | _: BindConcat) =>
       sys.error(s"value expression in boolean position: $v")
     case LangMatchesE(v, range) =>
@@ -3140,6 +3330,9 @@ object Sparql {
         case ProjVar(v) => v -> true
         case ProjCount(_, _, as) => as -> false
         case ProjAgg(_, _, _, as, _) => as -> false
+        // ProjExpr stamps its own metadata columns, so the no-meta
+        // default is never consulted; false = plain literal anyway.
+        case ProjExpr(_, as) => as -> false
       }
     (names, sol)
   }

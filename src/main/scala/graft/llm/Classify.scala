@@ -162,17 +162,40 @@ object Classify {
   /** Load a [[saveModel]]-persisted model: one pointer read pins one
     * immutable version directory (weights and consts from the SAME
     * generation by construction). Pre-versioned layouts fall back to
-    * the legacy paths with their half-swap heal. */
+    * the legacy paths with their half-swap heal.
+    *
+    * [[writeModelVersion]] flips the pointer via delete-then-rename,
+    * so a reader can land in the instant where `_model_v` is absent
+    * while version directories exist (and the legacy paths were swept
+    * at the second publish) — a naive miss here would crash a serving
+    * stream mid-republish. Heal: re-read the pointer once (the rename
+    * is sub-millisecond), then fall back to the HIGHEST complete
+    * version directory (write-once, so the newest one listed is a
+    * consistent generation), and only then try the legacy layout. */
   def loadModel(spark: org.apache.spark.sql.SparkSession,
                 dir: String): NbModel = {
-    val (weightsDir, constsDir) = modelVersion(spark, dir) match {
-      case Some(v) => (s"$dir/v$v/weights", s"$dir/v$v/consts")
-      case None =>
-        require(
-          graft.sources.ShardStore.existsRecovered(spark, s"$dir/consts"),
-          s"no NB model at $dir")
-        (s"$dir/weights", s"$dir/consts")
-    }
+    val (weightsDir, constsDir) =
+      modelVersion(spark, dir).orElse(modelVersion(spark, dir)) match {
+        case Some(v) => (s"$dir/v$v/weights", s"$dir/v$v/consts")
+        case None =>
+          val fs = fsOf(spark, dir)
+          val latest =
+            if (!fs.exists(new hPath(dir))) None
+            else fs.listStatus(new hPath(dir)).iterator
+              .map(_.getPath.getName)
+              .filter(_.startsWith("v"))
+              .flatMap(_.drop(1).toLongOption)
+              .toSeq.sorted(Ordering[Long].reverse)
+              .find(v => fs.exists(new hPath(s"$dir/v$v/consts/_SUCCESS")))
+          latest match {
+            case Some(v) => (s"$dir/v$v/weights", s"$dir/v$v/consts")
+            case None =>
+              require(
+                graft.sources.ShardStore.existsRecovered(spark, s"$dir/consts"),
+                s"no NB model at $dir")
+              (s"$dir/weights", s"$dir/consts")
+          }
+      }
     val c = spark.read.parquet(constsDir).head
     NbModel(spark.read.parquet(weightsDir),
       c.getAs[Long]("perTokenBias"), c.getAs[Long]("prior"))

@@ -454,6 +454,66 @@ object RdfQueries {
           |              <urn:g/nation/19> }""".stripMargin)
     },
 
+    // X273: select expressions over GROUP BY keys and aggregate
+    // ALIASES, evaluated post-aggregation (§18.2's Extend order) —
+    // `UCASE/STRAFTER` transform the group KEY, `FLOOR(?tot / 100)`
+    // derives from a previously-aliased aggregate. Still one hash
+    // aggregate + one post-agg projection — the desugar splits
+    // placement, not the plan count.
+    "q266_sparql_select_expr_postagg" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(G.customers(s, dir),
+        """SELECT (CONCAT("NAT:", UCASE(STRAFTER(?nat, "urn:g/"))) AS ?x)
+          |       (SUM(FLOOR(?bal)) AS ?tot)
+          |       (FLOOR(?tot / 100) AS ?k)
+          |       (COUNT(*) AS ?n)
+          |WHERE {
+          |  ?s <urn:p/inNation> ?nat .
+          |  ?s <urn:p/acctbal> ?bal .
+          |} GROUP BY ?nat""".stripMargin)
+    },
+
+    // X274: EXISTS embedded in a HAVING conjunction — the X269 flag
+    // join moved one algebra level up, correlated on the group key
+    // the inner pattern shares with the AGGREGATED frame (nations
+    // keeping a 9900+ customer).
+    "q267_sparql_having_exists" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(G.customers(s, dir),
+        """SELECT ?nat (COUNT(*) AS ?n) WHERE {
+          |  ?s <urn:p/inNation> ?nat .
+          |} GROUP BY ?nat
+          |HAVING(COUNT(*) >= 5 && EXISTS { ?v <urn:p/inNation> ?nat .
+          |                                 ?v <urn:p/acctbal> ?b .
+          |                                 FILTER(?b >= 9900) })""".stripMargin)
+    },
+
+    // X274: EXISTS in BIND value positions — minting xsd:boolean
+    // membership flags per row (the labeling idiom), one flag join per
+    // occurrence; the second BIND composes !EXISTS with an ordinary
+    // string test.
+    "q268_sparql_bind_exists" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(G.customers(s, dir),
+        """SELECT ?s ?isvip ?loner WHERE {
+          |  ?s <urn:p/name> ?name .
+          |  BIND(EXISTS { ?s <urn:p/vip> ?v . } AS ?isvip)
+          |  BIND(!EXISTS { ?s <urn:p/vip> ?v . }
+          |       && STRENDS(?name, "3") AS ?loner)
+          |}""".stripMargin)
+    },
+
+    // X271 oracle closure: ENCODE_FOR_URI over a BOUNDED fixture —
+    // the appended tail exercises space, reserved punctuation, and one
+    // multibyte char (UTF-8 byte-wise %-encoding); DuckDB replays it
+    // as a finite replace() chain because the fixture controls the
+    // charset (names are [A-Za-z0-9#] by construction). Multibyte
+    // hand-vectors beyond the fixture stay sbt-gated.
+    "q269_sparql_encode_uri" -> { (s, dir) =>
+      graft.graphquery.Sparql.select(G.customers(s, dir),
+        """SELECT ?s ?enc WHERE {
+          |  ?s <urn:p/name> ?name .
+          |  BIND(ENCODE_FOR_URI(CONCAT(?name, " a/b?c#d[e]é")) AS ?enc)
+          |}""".stripMargin)
+    },
+
     // P9: VALUES with UNDEF — null-pattern split join
     // (MultiAttributeDimension.java:38-43).
     "q18_values_undef" -> { (s, dir) =>
@@ -1589,6 +1649,56 @@ object RdfQueries {
         |  AND o IN ('urn:g/nation/1', 'urn:g/nation/5',
         |            'urn:g/nation/19')
         |GROUP BY o""".stripMargin,
+      "t" -> G.sql.customers),
+    // q266: the post-aggregation Extend replayed — key transforms and
+    // the aggregate-alias derivation on the grouped relation; FLOOR
+    // keeps ?k integral so the canonical lexical form is exact.
+    "q266_sparql_select_expr_postagg" -> withTriples(
+      """SELECT 'NAT:' || upper(substr(nat.o, 7)) AS x,
+        |  SUM(floor(CAST(b.o AS DOUBLE))) AS tot,
+        |  CAST(CAST(floor(SUM(floor(CAST(b.o AS DOUBLE))) / 100)
+        |       AS BIGINT) AS VARCHAR) AS k,
+        |  COUNT(*) AS n
+        |FROM t nat
+        |JOIN t b ON nat.s = b.s AND b.p = 'urn:p/acctbal'
+        |WHERE nat.p = 'urn:p/inNation'
+        |GROUP BY nat.o""".stripMargin,
+      "t" -> G.sql.customers),
+    // q267: HAVING-EXISTS replayed as a correlated EXISTS over the
+    // grouped subquery.
+    "q267_sparql_having_exists" -> withTriples(
+      """SELECT g.nat AS nat, g.n AS n
+        |FROM (SELECT o AS nat, COUNT(*) AS n FROM t
+        |      WHERE p = 'urn:p/inNation' GROUP BY o) g
+        |WHERE g.n >= 5
+        |  AND EXISTS (SELECT 1 FROM t v JOIN t b ON v.s = b.s
+        |              WHERE v.p = 'urn:p/inNation' AND v.o = g.nat
+        |                AND b.p = 'urn:p/acctbal'
+        |                AND CAST(b.o AS DOUBLE) >= 9900)""".stripMargin,
+      "t" -> G.sql.customers),
+    // q268: the BIND-EXISTS flags replayed as CASE over (NOT) EXISTS.
+    "q268_sparql_bind_exists" -> withTriples(
+      """SELECT n.s AS s,
+        |  CASE WHEN EXISTS (SELECT 1 FROM t v
+        |                    WHERE v.s = n.s AND v.p = 'urn:p/vip')
+        |       THEN 'true' ELSE 'false' END AS isvip,
+        |  CASE WHEN NOT EXISTS (SELECT 1 FROM t v
+        |                        WHERE v.s = n.s AND v.p = 'urn:p/vip')
+        |        AND n.o LIKE '%3'
+        |       THEN 'true' ELSE 'false' END AS loner
+        |FROM t n WHERE n.p = 'urn:p/name'""".stripMargin,
+      "t" -> G.sql.customers),
+    // q269: the bounded-charset percent-encoding replay — names are
+    // [A-Za-z0-9#] by construction, the appended tail adds the chars
+    // under test, so a finite replace chain IS the exact oracle
+    // (uppercase hex per RFC 3986; é = UTF-8 C3 A9, byte-wise).
+    "q269_sparql_encode_uri" -> withTriples(
+      """SELECT s,
+        |  replace(replace(replace(replace(replace(replace(replace(
+        |    replace(o || ' a/b?c#d[e]é',
+        |    '%', '%25'), ' ', '%20'), '/', '%2F'), '?', '%3F'),
+        |    '#', '%23'), '[', '%5B'), ']', '%5D'), 'é', '%C3%A9') AS enc
+        |FROM t WHERE p = 'urn:p/name'""".stripMargin,
       "t" -> G.sql.customers),
     // q234: the minted key is plain string concatenation.
     "q234_sparql_bind_concat" -> withTriples(

@@ -108,6 +108,39 @@ class ClassifySpec extends SparkSpec {
     }
   }
 
+  test("loadModel heals the pointer-flip window: a reader landing " +
+    "between _model_v delete and rename serves the newest complete " +
+    "version instead of crashing") {
+    val dir = java.nio.file.Files.createTempDirectory("nbwindow").toString
+    try {
+      val m1 = Classify.nbTrain(train, "text", col("pos"))
+      Classify.saveModel(m1, dir)
+      Classify.saveModel(m1, dir) // second publish sweeps the legacy paths
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      // Simulate the delete-then-rename window: pointer gone, version
+      // dirs intact, no legacy layout to fall back to.
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_model_v"), false)
+      val healed = Classify.loadModel(spark, dir)
+      assert(healed.perTokenBias == m1.perTokenBias &&
+        healed.prior == m1.prior)
+      // An INCOMPLETE newest version (crashed publish, no _SUCCESS on
+      // consts) is skipped in favor of the last complete one.
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/v9/weights"))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/v9/consts"))
+      val healed2 = Classify.loadModel(spark, dir)
+      assert(healed2.prior == m1.prior)
+      // Empty dir with neither pointer, versions, nor legacy → loud.
+      val empty = java.nio.file.Files.createTempDirectory("nbnone").toString
+      intercept[IllegalArgumentException] {
+        Classify.loadModel(spark, empty)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+    }
+  }
+
   test("loadModel falls back to the pre-versioned legacy layout") {
     val dir = java.nio.file.Files.createTempDirectory("nblegacy").toString
     try {

@@ -290,4 +290,29 @@ class DeltaStoreSpec extends SparkSpec {
         Set("1", "2"))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
+
+  test("takeover TIE surfaces as the busy 'writer lease' error the " +
+    "janitor skips, not a raw FileAlreadyExistsException") {
+    // Two processes can both pass the stale check and race
+    // delete+create; the loser's create(overwrite=false) must
+    // translate to the same IllegalArgumentException('writer lease')
+    // the fresh-lease reject throws — Maintenance.runAll's busy-skip
+    // keys on that, and a raw FS exception would abort a whole sweep.
+    val root = java.nio.file.Files.createTempDirectory("deltatie")
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$root/store/_writer")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      DeltaStore.createLeaseFile(fs, p, s"$root/store", "winner")
+      val e = intercept[IllegalArgumentException] {
+        DeltaStore.createLeaseFile(fs, p, s"$root/store", "loser")
+      }
+      assert(e.getMessage.contains("writer lease"), e.getMessage)
+      // The winner's token is intact — the loser never wrote.
+      val in = fs.open(p)
+      val held = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      assert(held == "winner")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
 }

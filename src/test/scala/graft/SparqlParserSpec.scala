@@ -2062,6 +2062,139 @@ class SparqlParserSpec extends SparkSpec {
     assert(got == Set(("urn:x/1", "n8-2"), ("urn:x/2", "n3-2"),
       ("urn:x/3", "nbig-6")))
   }
+
+  test("X273 select expressions over group keys evaluate POST-" +
+    "aggregation; aggregate aliases are referencable") {
+    // UCASE over the group KEY (?p), and ?k derived from the ?tot
+    // aggregate ALIAS — both only expressible after aggregation.
+    val got = Sparql.select(exprGraph,
+      """SELECT (UCASE(STRAFTER(?p, "urn:p/")) AS ?x)
+        |       (COUNT(*) AS ?n)
+        |       (SUM(STRLEN(?o)) AS ?tot)
+        |       (?tot * 10 + 1 AS ?k)
+        |WHERE { ?s ?p ?o . } GROUP BY ?p""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getString(3))).toSet
+    // names: alpha(5) Beta(4) urn:other/3(11) → 20; sizes: 8,3,big →
+    // 1+1+3 = 5.
+    assert(got == Set(("NAME", 3L, 20.0, "201"), ("SIZE", 3L, 5.0, "51")))
+    // A whole-expression aggregate inside a LARGER expression — the
+    // legacy fast path backtracks cleanly into the general grammar.
+    val div = Sparql.select(exprGraph,
+      """SELECT ?p (SUM(STRLEN(?o)) / 2 AS ?half)
+        |WHERE { ?s ?p ?o . } GROUP BY ?p""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(div == Set(("urn:p/name", "10"), ("urn:p/size", "2.5")))
+    // Ungrouped queries keep the historical pre-group BIND lowering:
+    // expressions see per-solution bindings and reference each other.
+    val ungrouped = Sparql.select(exprGraph,
+      """SELECT ?s (STRLEN(?o) AS ?l) (?l + 1 AS ?l1)
+        |WHERE { ?s <urn:p/name> ?o . }""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(ungrouped == Set(("urn:x/1", "5", "6"), ("urn:x/2", "4", "5"),
+      ("urn:x/3", "11", "12")))
+  }
+
+  test("X273 aggregate-free GROUP BY with select expressions: one " +
+    "solution per group (keys only)") {
+    val got = Sparql.select(exprGraph,
+      """SELECT (CONCAT("P:", UCASE(STRAFTER(?p, "urn:p/"))) AS ?x)
+        |WHERE { ?s ?p ?o . } GROUP BY ?p""".stripMargin).collect()
+      .map(_.getString(0)).toSet
+    assert(got == Set("P:NAME", "P:SIZE"))
+  }
+
+  test("X274 EXISTS in HAVING: flag join on the AGGREGATED frame, " +
+    "correlated on the group key") {
+    // Groups = predicates; keep those with >= 3 rows AND a witness
+    // object of length > 4 under the same predicate.
+    val got = Sparql.select(exprGraph,
+      """SELECT ?p (COUNT(*) AS ?n) WHERE {
+        |  ?s ?p ?o .
+        |} GROUP BY ?p
+        |HAVING(COUNT(*) >= 3 && EXISTS { ?v ?p ?w .
+        |                                 FILTER(STRLEN(?w) > 4) })""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // name: objects alpha(5)/Beta(4)/urn:other/3(11) → witness ✓;
+    // size: 8/3/big all ≤ 4 chars → no witness.
+    assert(got == Set(("urn:p/name", 3L)))
+    // Negated: the complement group survives.
+    val neg = Sparql.select(exprGraph,
+      """SELECT ?p (COUNT(*) AS ?n) WHERE {
+        |  ?s ?p ?o .
+        |} GROUP BY ?p
+        |HAVING(!EXISTS { ?v ?p ?w . FILTER(STRLEN(?w) > 4) })""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(neg == Set(("urn:p/size", 3L)))
+  }
+
+  test("X274 EXISTS in BIND: mints total xsd:boolean flags; composes " +
+    "with ! and && ; solutions never multiply") {
+    val got = Sparql.select(exprGraph,
+      """SELECT ?s ?has ?lone WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  BIND(EXISTS { ?s <urn:p/size> ?n . FILTER(?n > 4) } AS ?has)
+        |  BIND(!EXISTS { ?s <urn:p/size> ?n . FILTER(?n > 4) }
+        |       && STRLEN(?name) < 10 AS ?lone)
+        |}""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.length == 3, s"flag join multiplied rows: ${got.length}")
+    assert(got.toSet == Set(
+      ("urn:x/1", "true", "false"),
+      ("urn:x/2", "false", "true"),
+      ("urn:x/3", "false", "false")))
+    // The minted flag carries the xsd:boolean datatype.
+    val minted = Sparql.construct(exprGraph,
+      """CONSTRUCT { ?s <urn:p/has> ?has } WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  BIND(EXISTS { ?s <urn:p/size> ?n . } AS ?has)
+        |}""".stripMargin).collect()
+      .map(_.getString(5)).toSet
+    assert(minted == Set("http://www.w3.org/2001/XMLSchema#boolean"))
+    // Value positions deeper than the boolean skeleton still reject.
+    intercept[Exception] {
+      Sparql.select(exprGraph,
+        """SELECT ?s WHERE {
+          |  ?s <urn:p/name> ?name .
+          |  BIND(IF(EXISTS { ?s <urn:p/size> ?n . }, "y", "n") AS ?f)
+          |}""".stripMargin).collect()
+    }
+  }
+
+  test("SERVICE rejects loudly with the documented single-engine " +
+    "contract, not a parse surprise") {
+    val e = intercept[Exception] {
+      Sparql.select(exprGraph,
+        """SELECT ?s WHERE {
+          |  ?s <urn:p/name> ?name .
+          |  SERVICE <http://example.org/sparql> { ?s ?p ?o . }
+          |}""".stripMargin)
+    }
+    assert(e.getMessage.contains("SERVICE") &&
+      e.getMessage.contains("not supported"), e.getMessage)
+  }
+
+  test("X273 speculative-parse rollback: an abandoned boolean parse " +
+    "leaves no orphan hidden aggregates in the plan") {
+    // HAVING((SUM(?n) + 1) * 2 > 4): the '(' tries the boolean grammar
+    // first, registers SUM as a hidden agg, fails at '*', backtracks.
+    // Without ctx rollback the orphan _hv_ agg stays in the aggregate
+    // (wasted work) — with it, exactly TWO aggregate expressions
+    // remain (the projected count + the real HAVING sum).
+    val df = Sparql.select(exprGraph,
+      """SELECT ?p (COUNT(*) AS ?n) WHERE {
+        |  ?s ?p ?o .
+        |} GROUP BY ?p
+        |HAVING((SUM(STRLEN(?o)) + 1) * 2 > 4)""".stripMargin)
+    val aggExprs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.length
+    }
+    assert(aggExprs.nonEmpty && aggExprs.head <= 3,
+      s"orphan hidden aggregate in plan: $aggExprs")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("urn:p/name", 3L), ("urn:p/size", 3L)))
+  }
 }
 
 /** The verbatim MultiAttributeDimension attribute query text

@@ -49,10 +49,12 @@ def test_suites():
 
 def check(qnames, suites, keys, files):
     errs = []
-    # A survey gate may cite the short qNN id or the full key; accept a
-    # unique prefix match (ids are unique by construction).
+    # A survey gate may cite the short qNN id or the full key. Match the
+    # NUMERIC id exactly (k == q or k.startswith(q + "_")): a bare
+    # startswith would let a truncated/typo'd token like "q25" ride on
+    # q255_*/q257_* and pass the drift check silently.
     for q in sorted(qnames):
-        if not any(k == q or k.startswith(q) for k in keys):
+        if not any(k == q or k.startswith(q + "_") for k in keys):
             errs.append(f"SURVEY gate cites {q} but no such "
                         f"SparkEntry.queries key exists")
     for s in sorted(suites):
