@@ -170,8 +170,10 @@ object Sparql {
     * one DISTINCT-on-shared-vars left outer join per occurrence, so
     * solutions never multiply. In HAVING the join runs on the
     * AGGREGATED frame, correlated on the group keys the inner pattern
-    * shares. Only a VALUE position deeper than the boolean skeleton
-    * (e.g. inside IF(…)) still rejects loudly. */
+    * shares. IF conditions are boolean positions too (X276 —
+    * `IF(EXISTS {…}, a, b)` in FILTER/BIND/HAVING, nested or under a
+    * comparison); only a genuine VALUE position (an EXISTS fed to a
+    * string/numeric function) still rejects loudly. */
   final case class ExistsE(inner: Seq[Pattern]) extends Expr
 
   /** Expression-context operand wrappers: STR(?v) (lexical form) and
@@ -1431,6 +1433,15 @@ object Sparql {
         eatPunct("(")
         val e = parseValueExpr(); eatPunct(")")
         ValueCall(fn, Seq(e))
+      case Some(t) if isWord(t, "TZ") || isWord(t, "TIMEZONE") =>
+        // §17.4.5.7/8 — timezone accessors over the dateTime lexical
+        // form: TZ yields the designator as a simple literal ("" when
+        // absent), TIMEZONE its xsd:dayTimeDuration form (absent tz =
+        // type error). Codegen'd regex chains, identical in DuckDB.
+        val fn = next().asInstanceOf[TWord].s.toUpperCase
+        eatPunct("(")
+        val e = parseValueExpr(); eatPunct(")")
+        ValueCall(fn, Seq(e))
       case Some(t) if Seq("MD5", "SHA1", "SHA256", "SHA384", "SHA512")
           .exists(isWord(t, _)) =>
         // §17.4.4.5-4.9 hash functions over the lexical form —
@@ -2477,6 +2488,37 @@ object Sparql {
         }
         acc = Some(merge(acc, sub))
       case Values(vars, rows) => acc = Some(mergeValues(acc, vars, rows, triples))
+      // X274/X276: FIRST — any BIND whose expression embeds an EXISTS
+      // (boolean skeleton or IF condition) routes through the flag-join
+      // rewrite below; the shape cases that follow would otherwise
+      // reach the compile-stage EXISTS reject.
+      case Bind(e, as) if containsExists(e) =>
+        // BIND(EXISTS{…} AS ?f) — and any NOT/&&/|| combination over
+        // one — compiles each EXISTS to a flag join against the
+        // bindings so far, then binds the xsd:boolean literal. EXISTS
+        // itself is total (true/false, never a type error), so only a
+        // sibling boolean operand can contribute the unbound NULL.
+        // X276: an IF whose condition holds the EXISTS binds a VALUE
+        // instead — same flag join, value-bind stamping.
+        val base = acc.getOrElse(sys.error("BIND before any pattern"))
+        val (e2, flagged, flags) =
+          rewriteExists(e, base, triples, named, gVar, "_bx_")
+        acc = Some(e2 match {
+          case v @ (_: ValueCall | _: Arith | _: BindConcat) =>
+            extendWithValue(flagged, v, as).drop(flags: _*)
+          case b =>
+            val c = exprCol(b, flagged)
+            flagged
+              .withColumn(as, when(c.isNull, lit(null).cast("string"))
+                .when(c, lit("true")).otherwise(lit("false")))
+              .withColumn(as + IsIriSuffix, lit(false))
+              .withColumn(as + LangSuffix, lit(null).cast("string"))
+              .withColumn(as + DtSuffix,
+                when(c.isNull, lit(null).cast("string"))
+                  .otherwise(
+                    lit("http://www.w3.org/2001/XMLSchema#boolean")))
+              .drop(flags: _*)
+        })
       case Bind(ConstBool(b), as) =>
         acc = Some(acc.getOrElse(sys.error("BIND before any pattern"))
           .withColumn(as, lit(b)))
@@ -2521,25 +2563,6 @@ object Sparql {
           .withColumn(as + IsIriSuffix, lit(iriTerm))
           .withColumn(as + LangSuffix, lit(null).cast("string"))
           .withColumn(as + DtSuffix, lit(null).cast("string")))
-      case Bind(e, as) if containsExists(e) =>
-        // X274: BIND(EXISTS{…} AS ?f) — and any NOT/&&/|| combination
-        // over one — compiles each EXISTS to a flag join against the
-        // bindings so far, then binds the xsd:boolean literal. EXISTS
-        // itself is total (true/false, never a type error), so only a
-        // sibling boolean operand can contribute the unbound NULL.
-        val base = acc.getOrElse(sys.error("BIND before any pattern"))
-        val (e2, flagged, flags) =
-          rewriteExists(e, base, triples, named, gVar, "_bx_")
-        val c = exprCol(e2, flagged)
-        acc = Some(flagged
-          .withColumn(as, when(c.isNull, lit(null).cast("string"))
-            .when(c, lit("true")).otherwise(lit("false")))
-          .withColumn(as + IsIriSuffix, lit(false))
-          .withColumn(as + LangSuffix, lit(null).cast("string"))
-          .withColumn(as + DtSuffix,
-            when(c.isNull, lit(null).cast("string"))
-              .otherwise(lit("http://www.w3.org/2001/XMLSchema#boolean")))
-          .drop(flags: _*))
       case Bind(e @ (_: Cmp | _: CmpE | _: And | _: Or | _: Not |
           _: BoundE | _: IsIriE | _: StrFuncE | _: LangMatchesE |
           _: BoolCall | _: InE), as) =>
@@ -2648,6 +2671,14 @@ object Sparql {
       case Not(a) => Not(walk(a))
       case And(l, r) => And(walk(l), walk(r))
       case Or(l, r) => Or(walk(l), walk(r))
+      // X276: IF's CONDITION is a boolean position — descend, so
+      // `IF(EXISTS {…}, a, b)` works in FILTER/BIND/HAVING, including
+      // under comparisons (`IF(EXISTS {…}, 1, 2) = 1`) and nested IFs.
+      // An EXISTS anywhere else in value space passes through to the
+      // loud exprCol/strVal reject.
+      case ValueCall("IF", Seq(c, a, b)) =>
+        ValueCall("IF", Seq(walk(c), walk(a), walk(b)))
+      case CmpE(l, op, r) => CmpE(walk(l), op, walk(r))
       case other => other
     }
     val e2 = walk(e)
@@ -2659,6 +2690,7 @@ object Sparql {
     case Not(a) => containsExists(a)
     case And(l, r) => containsExists(l) || containsExists(r)
     case Or(l, r) => containsExists(l) || containsExists(r)
+    case ValueCall("IF", args) => args.exists(containsExists)
     case _ => false
   }
 
@@ -3167,6 +3199,29 @@ object Sparql {
       // idempotent registry put.
       graft.functions.NativeExpressions.register(df.sparkSession)
       call_function("encode_for_uri", strVal(a, df))
+    case ValueCall("TZ", Seq(a)) =>
+      // §17.4.5.8: the timezone designator as a simple literal — ""
+      // when the (valid) dateTime carries none; a non-date operand is
+      // a type error → NULL.
+      val sa = strVal(a, df)
+      when(sa.isNull || !sa.rlike("^-?\\d{4,}-\\d{2}-\\d{2}"),
+        lit(null).cast("string"))
+        .otherwise(regexp_extract(sa, "(Z|[+-]\\d{2}:\\d{2})$", 1))
+    case ValueCall("TIMEZONE", Seq(a)) =>
+      // §17.4.5.7: the offset as an xsd:dayTimeDuration lexical form
+      // ("Z"/+00:00 → PT0S, -08:00 → -PT8H, +05:30 → PT5H30M); a
+      // dateTime WITHOUT a timezone is a type error per the spec.
+      val sa = strVal(a, df)
+      val tz = regexp_extract(sa, "(Z|[+-]\\d{2}:\\d{2})$", 1)
+      val h = regexp_extract(tz, "^[+-](\\d{2}):", 1).try_cast("int")
+      val m = regexp_extract(tz, ":(\\d{2})$", 1).try_cast("int")
+      when(sa.isNull || tz === "", lit(null).cast("string"))
+        .when(tz === "Z" || (h === 0 && m === 0), lit("PT0S"))
+        .otherwise(concat(
+          when(tz.startsWith("-"), lit("-")).otherwise(lit("")),
+          lit("PT"),
+          when(h > 0, concat(h.cast("string"), lit("H"))).otherwise(lit("")),
+          when(m > 0, concat(m.cast("string"), lit("M"))).otherwise(lit(""))))
     case ValueCall("MD5", Seq(a)) => md5(strVal(a, df))
     case ValueCall("SHA1", Seq(a)) => sha1(strVal(a, df))
     case ValueCall("SHA256", Seq(a)) => sha2(strVal(a, df), 256)
@@ -3229,9 +3284,9 @@ object Sparql {
       }.reduceOption(_ || _).getOrElse(lit(false))
       if (negated) !hit else hit
     case _: ExistsE =>
-      sys.error("EXISTS here sits in a VALUE position (e.g. inside " +
-        "IF(…)) — it is supported only in the boolean skeleton of " +
-        "FILTER/HAVING/BIND, where it compiles to a join flag")
+      sys.error("EXISTS here sits in a genuine VALUE position — it is " +
+        "supported in the boolean skeleton of FILTER/HAVING/BIND and " +
+        "in IF conditions, where it compiles to a join flag")
     case v @ (_: Arith | _: ValueCall | _: BindConcat) =>
       sys.error(s"value expression in boolean position: $v")
     case LangMatchesE(v, range) =>

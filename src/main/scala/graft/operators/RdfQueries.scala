@@ -514,6 +514,32 @@ object RdfQueries {
           |}""".stripMargin)
     },
 
+    // X277: timezone accessors — TZ (the designator, "" when absent)
+    // and TIMEZONE (the xsd:dayTimeDuration form, absent = type
+    // error), over dateTime terms minted with four deterministic
+    // offsets; regex chains identical in DuckDB.
+    "q270_sparql_tz" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val nullStr = lit(null).cast("string")
+      val tzSfx = expr(
+        """CASE CAST(o_orderkey % 4 AS INT)
+          |  WHEN 0 THEN 'Z' WHEN 1 THEN '+05:30'
+          |  WHEN 2 THEN '-08:00' ELSE '' END""".stripMargin)
+      val dates = o.select(
+        concat(lit("urn:ord/"), col("o_orderkey")).as("s"),
+        lit("urn:p/at").as("p"),
+        concat(col("o_orderdate").cast("string"), lit("T12:00:00"),
+          tzSfx).as("o"),
+        lit(false).as("oIsIri"), nullStr.as("oLang"),
+        lit("http://www.w3.org/2001/XMLSchema#dateTime").as("oDatatype"))
+      graft.graphquery.Sparql.select(dates,
+        """SELECT ?s ?tz ?dur WHERE {
+          |  ?s <urn:p/at> ?t .
+          |  BIND(TZ(?t) AS ?tz)
+          |  BIND(TIMEZONE(?t) AS ?dur)
+          |}""".stripMargin)
+    },
+
     // P9: VALUES with UNDEF — null-pattern split join
     // (MultiAttributeDimension.java:38-43).
     "q18_values_undef" -> { (s, dir) =>
@@ -1700,6 +1726,40 @@ object RdfQueries {
         |    '#', '%23'), '[', '%5B'), ']', '%5D'), 'é', '%C3%A9') AS enc
         |FROM t WHERE p = 'urn:p/name'""".stripMargin,
       "t" -> G.sql.customers),
+    // q270: the accessor replay — SAME regex extraction + duration
+    // CASE chain over the same minted dateTime strings.
+    "q270_sparql_tz" ->
+      """SELECT s,
+        |  CASE WHEN regexp_matches(o, '^-?\d{4,}-\d{2}-\d{2}')
+        |       THEN regexp_extract(o, '(Z|[+-]\d{2}:\d{2})$', 1)
+        |       ELSE NULL END AS tz,
+        |  CASE WHEN tze = '' THEN NULL
+        |       WHEN tze = 'Z' OR (TRY_CAST(hh AS INT) = 0
+        |                          AND TRY_CAST(mm AS INT) = 0)
+        |         THEN 'PT0S'
+        |       ELSE (CASE WHEN tze LIKE '-%' THEN '-' ELSE '' END)
+        |         || 'PT'
+        |         || (CASE WHEN TRY_CAST(hh AS INT) > 0
+        |             THEN CAST(TRY_CAST(hh AS INT) AS VARCHAR) || 'H'
+        |             ELSE '' END)
+        |         || (CASE WHEN TRY_CAST(mm AS INT) > 0
+        |             THEN CAST(TRY_CAST(mm AS INT) AS VARCHAR) || 'M'
+        |             ELSE '' END)
+        |  END AS dur
+        |FROM (
+        |  SELECT s, o,
+        |    regexp_extract(o, '(Z|[+-]\d{2}:\d{2})$', 1) AS tze,
+        |    regexp_extract(regexp_extract(o, '(Z|[+-]\d{2}:\d{2})$', 1),
+        |                   '^[+-](\d{2}):', 1) AS hh,
+        |    regexp_extract(regexp_extract(o, '(Z|[+-]\d{2}:\d{2})$', 1),
+        |                   ':(\d{2})$', 1) AS mm
+        |  FROM (
+        |    SELECT 'urn:ord/' || o_orderkey AS s,
+        |      CAST(o_orderdate AS VARCHAR) || 'T12:00:00' ||
+        |      CASE CAST(o_orderkey % 4 AS INT)
+        |        WHEN 0 THEN 'Z' WHEN 1 THEN '+05:30'
+        |        WHEN 2 THEN '-08:00' ELSE '' END AS o
+        |    FROM orders))""".stripMargin,
     // q234: the minted key is plain string concatenation.
     "q234_sparql_bind_concat" -> withTriples(
       """SELECT s, o AS n, s || '|' || o AS key FROM t

@@ -1913,12 +1913,22 @@ class SparqlParserSpec extends SparkSpec {
         |  FILTER(EXISTS { ?s ?p ?o . } || ?name = "zzz")
         |}""".stripMargin).collect()
     assert(bag.length == 3, s"flag join multiplied rows: ${bag.length}")
-    // EXISTS in a value position is a loud error, not a wrong answer.
+    // X276: IF's condition is a boolean position — EXISTS works there.
+    val iff = Sparql.select(exprGraph,
+      """SELECT ?s ?f WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  BIND(IF(EXISTS { ?s <urn:p/size> ?n . FILTER(?n > 4) },
+        |          "y", "n") AS ?f)
+        |}""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(iff == Set(("urn:x/1", "y"), ("urn:x/2", "n"),
+      ("urn:x/3", "n")))
+    // EXISTS in a genuine value position stays a loud error.
     intercept[Exception] {
       Sparql.select(exprGraph,
         """SELECT ?s WHERE {
           |  ?s <urn:p/name> ?name .
-          |  BIND(IF(EXISTS { ?s <urn:p/size> ?n . }, "y", "n") AS ?f)
+          |  BIND(STRLEN(EXISTS { ?s <urn:p/size> ?n . }) AS ?f)
           |}""".stripMargin).collect()
     }
   }
@@ -2151,14 +2161,45 @@ class SparqlParserSpec extends SparkSpec {
         |}""".stripMargin).collect()
       .map(_.getString(5)).toSet
     assert(minted == Set("http://www.w3.org/2001/XMLSchema#boolean"))
-    // Value positions deeper than the boolean skeleton still reject.
-    intercept[Exception] {
-      Sparql.select(exprGraph,
-        """SELECT ?s WHERE {
-          |  ?s <urn:p/name> ?name .
-          |  BIND(IF(EXISTS { ?s <urn:p/size> ?n . }, "y", "n") AS ?f)
-          |}""".stripMargin).collect()
-    }
+    // X276: IF-condition EXISTS inside a FILTER comparison too.
+    val cmp = Sparql.select(exprGraph,
+      """SELECT ?s WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  FILTER(IF(EXISTS { ?s <urn:p/size> ?n . FILTER(?n > 4) },
+        |            1, 2) = 1)
+        |}""".stripMargin).collect().map(_.getString(0)).toSet
+    assert(cmp == Set("urn:x/1"))
+  }
+
+  test("X277 TZ/TIMEZONE: designator and dayTimeDuration forms, " +
+    "absent-tz and non-date edges") {
+    import spark.implicits._
+    val g = Seq(
+      ("urn:e/1", "2024-03-07T09:00:00Z"),
+      ("urn:e/2", "2024-03-07T09:00:00+00:00"),
+      ("urn:e/3", "2024-03-07T09:00:00-08:00"),
+      ("urn:e/4", "2024-03-07T09:00:00+05:30"),
+      ("urn:e/5", "2024-03-07T09:00:00"),
+      ("urn:e/6", "not a date"))
+      .map { case (s, o) => (s, "urn:p/at", o) }.toDF("s", "p", "o")
+      .withColumn("oIsIri", org.apache.spark.sql.functions.lit(false))
+      .withColumn("oLang",
+        org.apache.spark.sql.functions.lit(null).cast("string"))
+      .withColumn("oDatatype",
+        org.apache.spark.sql.functions.lit(null).cast("string"))
+    val got = Sparql.select(g,
+      """SELECT ?s ?tz ?dur WHERE {
+        |  ?s <urn:p/at> ?t .
+        |  BIND(TZ(?t) AS ?tz) BIND(TIMEZONE(?t) AS ?dur)
+        |}""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("urn:e/1", "Z", "PT0S"),
+      ("urn:e/2", "+00:00", "PT0S"),
+      ("urn:e/3", "-08:00", "-PT8H"),
+      ("urn:e/4", "+05:30", "PT5H30M"),
+      ("urn:e/5", "", null),     // TZ = "" per spec; TIMEZONE = error
+      ("urn:e/6", null, null)))  // non-date: both type-error
   }
 
   test("SERVICE rejects loudly with the documented single-engine " +
