@@ -192,7 +192,16 @@ object ScaleProbe {
       // scan-bound and flat-parallel; q262 adds the embedded-EXISTS
       // flag join (distinct + left outer on the shared key) to the
       // same shape — its ratio vs q255 prices that join at scale.
-      "q255_sparql_expr_surface", "q262_sparql_exists_expr")
+      "q255_sparql_expr_surface", "q262_sparql_exists_expr",
+      // Round-19 additions: q266 is one hash aggregate + a post-agg
+      // Extend projection (group-cardinality-sized — free at any
+      // corpus size); q267 adds the HAVING flag join on the AGGREGATED
+      // frame (distinct + left outer on the group key — both join
+      // sides are group-sized after the aggregate; only the witness
+      // scan grows with the corpus); q268 is two row-level flag joins
+      // — the X269 shape doubled, pricing the per-occurrence cost.
+      "q266_sparql_select_expr_postagg", "q267_sparql_having_exists",
+      "q268_sparql_bind_exists")
       .filter(q => nameFilter.isEmpty || nameFilter.exists(q.contains))
 
     // Only materialize the replica tables the selected probes read — a
@@ -271,7 +280,10 @@ object ScaleProbe {
       "q247_sparql_update_delta" -> "customer",
       "q252_graph_mgmt_delta" -> "customer",
       "q255_sparql_expr_surface" -> "customer",
-      "q262_sparql_exists_expr" -> "customer")
+      "q262_sparql_exists_expr" -> "customer",
+      "q266_sparql_select_expr_postagg" -> "customer",
+      "q267_sparql_having_exists" -> "customer",
+      "q268_sparql_bind_exists" -> "customer")
       .withDefault(_ => "documents")
     val needed = probes.map(tableFor).toSet ++
       // q209 reads customer alongside orders — replicate both.
