@@ -17,6 +17,33 @@ import org.apache.spark.sql.SparkSession
   * compile of the 128-slot minhash aggregate alone is ~10 s).
   */
 object Bench {
+
+  /** Best (minimum) recorded seconds per SHORT query id (`qNN`) across
+    * every `BENCH_r*.json` in `dir` — the band-guard history. The
+    * driver's artifacts hold the bench's JSON line ESCAPED inside a
+    * `"tail"` string (`\"q33\":38.7`), so the regex accepts an optional
+    * backslash before each quote; it also reads the bare form the bench
+    * itself emits. min-over-rounds means past contention spikes never
+    * poison the bar. Extracted for the unit gate — a silently-empty
+    * history would disable the guard without failing anything. */
+  private[graft] def benchHistory(dir: java.io.File): Map[String, Double] = {
+    val rx = """\\?"(q\d+)[A-Za-z0-9_]*\\?":([0-9]+\.?[0-9]*)""".r
+    val files = Option(dir.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+    val acc = scala.collection.mutable.Map[String, Double]()
+    files.foreach { f =>
+      val txt = try scala.io.Source.fromFile(f).mkString
+        catch { case _: Throwable => "" }
+      rx.findAllMatchIn(txt).foreach { m =>
+        val v = m.group(2).toDouble
+        if (v > 0)
+          acc.updateWith(m.group(1))(o => Some(o.fold(v)(math.min(_, v))))
+      }
+    }
+    acc.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -174,24 +201,7 @@ object Bench {
     // whole-attempt retry above owns), and every re-run is annotated
     // was/now/bar in the artifact — a reader no longer needs a quiet
     // box to adjudicate a spike.
-    def history(): Map[String, Double] = {
-      val rx = """"(q\d+)[A-Za-z0-9_]*":([0-9]+\.?[0-9]*)""".r
-      val files = Option(new java.io.File(".").listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      val acc = scala.collection.mutable.Map[String, Double]()
-      files.foreach { f =>
-        val txt = try scala.io.Source.fromFile(f).mkString
-          catch { case _: Throwable => "" }
-        rx.findAllMatchIn(txt).foreach { m =>
-          val v = m.group(2).toDouble
-          if (v > 0)
-            acc.updateWith(m.group(1))(o => Some(o.fold(v)(math.min(_, v))))
-        }
-      }
-      acc.toMap
-    }
-    val hist = history()
+    val hist = benchHistory(new java.io.File("."))
     val bars: Map[String, Double] = merged.flatMap { case (n, _) =>
       hist.get(short(n)).map(h => n -> math.max(h * 3, 1.0))
     }.toMap

@@ -21,15 +21,21 @@ import org.apache.spark.sql.functions._
   * triples schema (s, p, o, oIsIri, oLang, oDatatype).
   *
   * Beyond the reference's 34 shapes, the expression surface covers what
-  * hand-written SPARQL hits in practice (X260/X265/X266): numeric
+  * hand-written SPARQL hits in practice (X260/X265–X277): numeric
   * arithmetic with precedence/parens/unary minus, STRLEN/SUBSTR/
   * REPLACE/UCASE/LCASE/CONCAT/STR/IRI/DATATYPE, IF/COALESCE,
-  * STRBEFORE/STRAFTER, ABS/ROUND/CEIL/FLOOR, `[NOT] IN`, CONTAINS/
-  * STRSTARTS/STRENDS over computed arguments — in FILTER, BIND, select
-  * expressions `(expr AS ?v)`, and aggregate arguments. Type errors
-  * follow the spec via try_cast NULL chains (FILTER drops the row,
-  * BIND/aggregates leave it unbound / out of the aggregate); everything
-  * compiles to codegen'd builtins.
+  * STRBEFORE/STRAFTER, ABS/ROUND/CEIL/FLOOR, MD5/SHA*, STRLANG/STRDT,
+  * ENCODE_FOR_URI, YEAR…SECONDS + TZ/TIMEZONE, isNumeric, `[NOT] IN`,
+  * CONTAINS/STRSTARTS/STRENDS over computed arguments — in FILTER,
+  * BIND (boolean and value), select expressions `(expr AS ?v)`
+  * (evaluated POST-aggregation over group keys and aggregate aliases
+  * when the query groups), aggregate arguments, HAVING, ORDER BY, and
+  * GROUP BY keys; EXISTS embeds in FILTER/HAVING/BIND boolean
+  * skeletons and IF conditions via distinct-keyed flag joins. Type
+  * errors follow the spec via try_cast NULL chains (FILTER drops the
+  * row, BIND/aggregates leave it unbound / out of the aggregate);
+  * everything compiles to codegen'd builtins. SERVICE (federation) is
+  * a documented loud reject: LOAD the remote graph and query locally.
   *
   * Compilation is Spark-first: each triple pattern is a pushed-down
   * predicate filter over the triples scan, patterns merge by equi-join on
@@ -3388,7 +3394,10 @@ object Sparql {
         // ProjExpr stamps its own metadata columns, so the no-meta
         // default is never consulted; false = plain literal anyway.
         case ProjExpr(_, as) => as -> false
-      }
+      // Hidden aliases (X267's `_hv_` HAVING/ORDER BY aggregates) are
+      // computed but never projected — compileQuery drops them, so a
+      // serializer emitting them would reference a missing column.
+      }.filterNot { case (n, _) => isHidden(n) }
     (names, sol)
   }
 

@@ -138,4 +138,23 @@ class SparqlResultsSpec extends SparkSpec {
     assert(lines.collect().map(_.getString(0)).toSet ==
       Set("\"a\"@en", "\"a\"@cs"))
   }
+
+  test("serializers with HAVING aggregates: hidden X267 aliases stay " +
+    "out of the emitted columns") {
+    // HAVING(SUM(...)) registers a hidden _hv_ aggregate that is
+    // computed but never projected — the serializer's name list must
+    // skip it (it would otherwise reference a dropped column).
+    val graph = g(
+      Row("urn:s/1", "urn:p/size", "4", false, null, xsdInt),
+      Row("urn:s/1", "urn:p/size", "5", false, null, xsdInt),
+      Row("urn:s/2", "urn:p/size", "1", false, null, xsdInt))
+    val (header, lines) = Sparql.selectTsv(graph,
+      """SELECT ?s (COUNT(*) AS ?n) WHERE {
+        |  ?s <urn:p/size> ?v .
+        |} GROUP BY ?s
+        |HAVING(SUM(?v) > 3)""".stripMargin)
+    assert(header == "?s\t?n")
+    assert(lines.collect().map(_.getString(0)).toSet ==
+      Set("<urn:s/1>\t\"2\""))
+  }
 }
