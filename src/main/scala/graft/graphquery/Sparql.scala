@@ -1439,6 +1439,22 @@ object Sparql {
         eatPunct("(")
         val e = parseValueExpr(); eatPunct(")")
         ValueCall(fn, Seq(e))
+      case Some(t) if isWord(t, "NOW") =>
+        // §17.4.5.1 — every NOW() in a query returns the SAME instant,
+        // and which instant is implementation-defined. This engine
+        // pins it to the `graft.sparql.now` session conf (loud error
+        // when unset): a 100 TB backfill re-run must reproduce
+        // bit-identical outputs, so the query instant is an INPUT, not
+        // wall clock.
+        next(); eatPunct("("); eatPunct(")")
+        ValueCall("NOW", Nil)
+      case Some(t) if Seq("UUID", "STRUUID", "RAND", "BNODE")
+          .exists(isWord(t, _)) =>
+        val fn = next().asInstanceOf[TWord].s.toUpperCase
+        sys.error(s"$fn() is nondeterministic and not supported: this " +
+          "engine's outputs are replayable by contract. Deterministic " +
+          "alternatives: MD5/SHA256 over row keys (stable ids), the " +
+          "hash-split operators (sampling), skolem IRIs via IRI(CONCAT(…))")
       case Some(t) if isWord(t, "TZ") || isWord(t, "TIMEZONE") =>
         // §17.4.5.7/8 — timezone accessors over the dateTime lexical
         // form: TZ yields the designator as a simple literal ("" when
@@ -3205,6 +3221,19 @@ object Sparql {
       // idempotent registry put.
       graft.functions.NativeExpressions.register(df.sparkSession)
       call_function("encode_for_uri", strVal(a, df))
+    case ValueCall("NOW", Nil) =>
+      // One pinned instant per session conf — see the parser note. The
+      // lexical form feeds the X271/X277 accessors (YEAR(NOW()) etc.)
+      // and comparisons like any dateTime term.
+      val now = df.sparkSession.conf.getOption("graft.sparql.now")
+        .getOrElse(sys.error(
+          "NOW() needs the query-execution instant pinned: set the " +
+            "session conf graft.sparql.now to an xsd:dateTime lexical " +
+            "form (e.g. 1996-06-30T00:00:00Z) — this engine's runs are " +
+            "reproducible by contract, so the instant is an input"))
+      require(now.matches("-?\\d{4,}-\\d{2}-\\d{2}T.*"),
+        s"graft.sparql.now is not an xsd:dateTime lexical form: $now")
+      lit(now)
     case ValueCall("TZ", Seq(a)) =>
       // §17.4.5.8: the timezone designator as a simple literal — ""
       // when the (valid) dateTime carries none; a non-date operand is

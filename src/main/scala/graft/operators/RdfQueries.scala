@@ -540,6 +540,29 @@ object RdfQueries {
           |}""".stripMargin)
     },
 
+    // X278: NOW() under the pinned query instant — one instant per
+    // query by §17.4.5.1 (which instant is implementation-defined;
+    // this engine makes it an INPUT via the graft.sparql.now conf, so
+    // a backfill re-run reproduces bit-identical output). Composes
+    // with the datetime accessors and lexical dateTime comparison.
+    "q271_sparql_now_pinned" -> { (s, dir) =>
+      s.conf.set("graft.sparql.now", "1996-06-30T12:30:00Z")
+      val o = t(s, dir, "orders")
+      val nullStr = lit(null).cast("string")
+      val dates = o.select(
+        concat(lit("urn:ord/"), col("o_orderkey")).as("s"),
+        lit("urn:p/odate").as("p"),
+        col("o_orderdate").cast("string").as("o"),
+        lit(false).as("oIsIri"), nullStr.as("oLang"),
+        lit("http://www.w3.org/2001/XMLSchema#date").as("oDatatype"))
+      graft.graphquery.Sparql.select(dates,
+        """SELECT ?s ?d (YEAR(NOW()) AS ?asof_y) (MONTH(NOW()) AS ?asof_m)
+          |WHERE {
+          |  ?s <urn:p/odate> ?d .
+          |  FILTER(?d < NOW() && YEAR(?d) = YEAR(NOW()))
+          |}""".stripMargin)
+    },
+
     // P9: VALUES with UNDEF — null-pattern split join
     // (MultiAttributeDimension.java:38-43).
     "q18_values_undef" -> { (s, dir) =>
@@ -1760,6 +1783,19 @@ object RdfQueries {
         |        WHEN 0 THEN 'Z' WHEN 1 THEN '+05:30'
         |        WHEN 2 THEN '-08:00' ELSE '' END AS o
         |    FROM orders))""".stripMargin,
+    // q271: the pinned-instant replay — the same constant, the same
+    // lexical comparison and regex year/month extraction.
+    "q271_sparql_now_pinned" ->
+      """SELECT 'urn:ord/' || o_orderkey AS s,
+        |  CAST(o_orderdate AS VARCHAR) AS d,
+        |  CAST(CAST(regexp_extract('1996-06-30T12:30:00Z',
+        |    '^(-?\d{4,})-', 1) AS BIGINT) AS VARCHAR) AS asof_y,
+        |  CAST(CAST(regexp_extract('1996-06-30T12:30:00Z',
+        |    '^-?\d{4,}-(\d{2})-', 1) AS BIGINT) AS VARCHAR) AS asof_m
+        |FROM orders
+        |WHERE CAST(o_orderdate AS VARCHAR) < '1996-06-30T12:30:00Z'
+        |  AND regexp_extract(CAST(o_orderdate AS VARCHAR),
+        |        '^(-?\d{4,})-', 1) = '1996'""".stripMargin,
     // q234: the minted key is plain string concatenation.
     "q234_sparql_bind_concat" -> withTriples(
       """SELECT s, o AS n, s || '|' || o AS key FROM t

@@ -2202,6 +2202,33 @@ class SparqlParserSpec extends SparkSpec {
       ("urn:e/6", null, null)))  // non-date: both type-error
   }
 
+  test("X278 NOW(): pinned query instant — same value everywhere in " +
+    "the query, loud when unpinned; nondeterministic builtins reject") {
+    spark.conf.set("graft.sparql.now", "2024-03-07T09:05:02Z")
+    try {
+      val got = Sparql.select(exprGraph,
+        """SELECT ?s ?now ?y ?same WHERE {
+          |  ?s <urn:p/size> ?n .
+          |  BIND(NOW() AS ?now)
+          |  BIND(YEAR(NOW()) AS ?y)
+          |  BIND(NOW() = NOW() AS ?same)
+          |}""".stripMargin).collect()
+        .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+      assert(got == Set(("2024-03-07T09:05:02Z", "2024", "true")))
+    } finally spark.conf.unset("graft.sparql.now")
+    val e = intercept[Exception] {
+      Sparql.select(exprGraph,
+        "SELECT ?s WHERE { ?s <urn:p/size> ?n . BIND(NOW() AS ?t) }")
+        .collect()
+    }
+    assert(e.getMessage.contains("graft.sparql.now"), e.getMessage)
+    val u = intercept[Exception] {
+      Sparql.select(exprGraph,
+        "SELECT ?s WHERE { ?s <urn:p/size> ?n . BIND(UUID() AS ?u) }")
+    }
+    assert(u.getMessage.contains("nondeterministic"), u.getMessage)
+  }
+
   test("SERVICE rejects loudly with the documented single-engine " +
     "contract, not a parse surprise") {
     val e = intercept[Exception] {
