@@ -19,27 +19,38 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Best (minimum) recorded seconds per SHORT query id (`qNN`) across
-    * every `BENCH_r*.json` in `dir` — the band-guard history. The
-    * driver's artifacts hold the bench's JSON line ESCAPED inside a
-    * `"tail"` string (`\"q33\":38.7`), so the regex accepts an optional
-    * backslash before each quote; it also reads the bare form the bench
-    * itself emits. min-over-rounds means past contention spikes never
-    * poison the bar. Extracted for the unit gate — a silently-empty
-    * history would disable the guard without failing anything. */
-  private[graft] def benchHistory(dir: java.io.File): Map[String, Double] = {
+    * every `BENCH_r*.json` in `dir` RECORDED AT THE SAME SCALE FACTOR
+    * (`sfName`, the sf dir's basename) — the band-guard history. An
+    * sf-blind history misfires both ways: benching a bigger sf would
+    * flag everything (wasted re-runs + misleading annotations), a
+    * smaller one disarms the guard silently. The driver's artifacts
+    * hold the bench's JSON line ESCAPED inside a `"tail"` string
+    * (`\"q33\":38.7`), so the regex accepts an optional backslash
+    * before each quote; it also reads the bare form the bench itself
+    * emits. min-over-rounds means past contention spikes never poison
+    * the bar. Extracted for the unit gate — a silently-empty history
+    * would disable the guard without failing anything. */
+  private[graft] def benchHistory(dir: java.io.File,
+                                  sfName: String): Map[String, Double] = {
     val rx = """\\?"(q\d+)[A-Za-z0-9_]*\\?":([0-9]+\.?[0-9]*)""".r
     val files = Option(dir.listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
     val acc = scala.collection.mutable.Map[String, Double]()
     files.foreach { f =>
-      val txt = try scala.io.Source.fromFile(f).mkString
+      val txt = try scala.util.Using.resource(
+        scala.io.Source.fromFile(f))(_.mkString)
         catch { case _: Throwable => "" }
-      rx.findAllMatchIn(txt).foreach { m =>
-        val v = m.group(2).toDouble
-        if (v > 0)
-          acc.updateWith(m.group(1))(o => Some(o.fold(v)(math.min(_, v))))
-      }
+      // Accept both quote forms of the artifact's sf field
+      // (`/sf0.1"` bare, `/sf0.1\"` escaped); note "/sf0.1" is not a
+      // substring of "/sf0.01" or "/sf1", so the anchor suffices.
+      val sameSf = txt.contains(s"/$sfName\"") || txt.contains(s"/$sfName\\")
+      if (sameSf)
+        rx.findAllMatchIn(txt).foreach { m =>
+          val v = m.group(2).toDouble
+          if (v > 0)
+            acc.updateWith(m.group(1))(o => Some(o.fold(v)(math.min(_, v))))
+        }
     }
     acc.toMap
   }
@@ -201,7 +212,8 @@ object Bench {
     // whole-attempt retry above owns), and every re-run is annotated
     // was/now/bar in the artifact — a reader no longer needs a quiet
     // box to adjudicate a spike.
-    val hist = benchHistory(new java.io.File("."))
+    val hist = benchHistory(new java.io.File("."),
+      new java.io.File(sfDir).getName)
     val bars: Map[String, Double] = merged.flatMap { case (n, _) =>
       hist.get(short(n)).map(h => n -> math.max(h * 3, 1.0))
     }.toMap
@@ -242,10 +254,23 @@ object Bench {
       s"%.${d}f".formatLocal(java.util.Locale.ROOT, v)
     // Outlier re-runs ride the artifact (trailing, usually empty): a
     // residual `now` still above its bar is the reader's signal that
-    // even the re-run was contended — annotated, never silent.
-    val requeriedJson = requeried.map { case (n, (was, now)) =>
-      s""""${short(n)}":{"was":${fmt(1)(was)},"now":${fmt(1)(now)},"bar":${fmt(1)(bars(n))}}"""
-    }.mkString("{", ",", "}")
+    // even the re-run was contended — annotated, never silent. Capped
+    // at the 6 worst by was/bar ratio (+ an overflow count): the
+    // driver keeps only a ~2000-char output tail, and an unbounded
+    // annotation block would displace query entries from it —
+    // shrinking the very history the guard reads, exactly in the
+    // contended rounds that need it.
+    val requeriedJson = {
+      val ranked = requeried.toSeq
+        .sortBy { case (n, (was, _)) => -(was / bars(n)) }
+      val kept = ranked.take(6).map { case (n, (was, now)) =>
+        s""""${short(n)}":{"was":${fmt(1)(was)},"now":${fmt(1)(now)},"bar":${fmt(1)(bars(n))}}"""
+      }
+      val more =
+        if (ranked.size > 6) Seq(s""""more":${ranked.size - 6}""")
+        else Seq.empty
+      (kept ++ more).mkString("{", ",", "}")
+    }
     // runs is part of the record: each value is a min-of-`runs`, and
     // cross-round comparisons are only apples-to-apples at equal runs.
     // Field ORDER is load-bearing: the driver keeps only the last ~2000

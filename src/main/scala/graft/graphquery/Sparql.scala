@@ -2390,12 +2390,15 @@ object Sparql {
       }
       // HAVING scopes over the aggregated row (aliases included).
       // X274: embedded EXISTS{…} occurrences compile as flag joins on
-      // the AGGREGATED frame (correlated on whichever group keys the
-      // inner pattern shares) — the X269 device moved one algebra
-      // level up.
+      // the AGGREGATED frame — correlated on the GROUP KEYS ONLY: per
+      // §18.2.4 the select-alias Extend happens AFTER HAVING, so a
+      // variable inside the EXISTS pattern that happens to share an
+      // aggregate alias's name is FRESH, not a correlation on the
+      // count column (which would silently drop groups).
       q.having.foreach { e =>
         val (e2, flagged, flags) =
-          rewriteExists(e, df, triples, named, gVar, "_hx_")
+          rewriteExists(e, df, triples, named, gVar, "_hx_",
+            correlatable = Some(q.groupBy.toSet))
         df = flagged.filter(exprCol(e2, flagged)).drop(flags: _*)
       }
     }
@@ -2529,62 +2532,21 @@ object Sparql {
           case v @ (_: ValueCall | _: Arith | _: BindConcat) =>
             extendWithValue(flagged, v, as).drop(flags: _*)
           case b =>
-            val c = exprCol(b, flagged)
-            flagged
-              .withColumn(as, when(c.isNull, lit(null).cast("string"))
-                .when(c, lit("true")).otherwise(lit("false")))
-              .withColumn(as + IsIriSuffix, lit(false))
-              .withColumn(as + LangSuffix, lit(null).cast("string"))
-              .withColumn(as + DtSuffix,
-                when(c.isNull, lit(null).cast("string"))
-                  .otherwise(
-                    lit("http://www.w3.org/2001/XMLSchema#boolean")))
+            extendWithBoolean(flagged, exprCol(b, flagged), as)
               .drop(flags: _*)
         })
       case Bind(ConstBool(b), as) =>
         acc = Some(acc.getOrElse(sys.error("BIND before any pattern"))
           .withColumn(as, lit(b)))
-      case Bind(e @ BindConcat(parts, asIri), as) =>
+      case Bind(e @ (_: BindConcat | _: Arith | _: ValueCall), as) =>
+        // X260/X268 value BINDs — ONE stamping path shared with the
+        // post-aggregation Extend ([[extendWithValue]]: value column +
+        // term metadata, incl. the IRI-mint detection and the
+        // STRLANG/STRDT tagged/typed-literal cases), so the metadata
+        // rules can never diverge between BIND and grouped-select
+        // placement.
         val base = acc.getOrElse(sys.error("BIND before any pattern"))
-        // Term metadata so CONSTRUCT reproduces the minted term: IRI()
-        // (or a bare IRI copy) marks an IRI, a bare CONCAT/copy binds
-        // a plain literal.
-        val iriTerm = asIri ||
-          (parts match { case Seq(I(_)) => true; case _ => false })
-        acc = Some(base.withColumn(as, strVal(e, base))
-          .withColumn(as + IsIriSuffix, lit(iriTerm))
-          .withColumn(as + LangSuffix, lit(null).cast("string"))
-          .withColumn(as + DtSuffix, lit(null).cast("string")))
-      case Bind(ValueCall("STRLANG", Seq(a, l)), as) =>
-        // X268: mint a language-tagged literal — the tag may be any
-        // value expression (per-row tags are legal; metadata columns
-        // are per-row anyway).
-        val base = acc.getOrElse(sys.error("BIND before any pattern"))
-        acc = Some(base.withColumn(as, strVal(a, base))
-          .withColumn(as + IsIriSuffix, lit(false))
-          .withColumn(as + LangSuffix, strVal(l, base))
-          .withColumn(as + DtSuffix, lit(null).cast("string")))
-      case Bind(ValueCall("STRDT", Seq(a, d)), as) =>
-        // X268: mint a typed literal.
-        val base = acc.getOrElse(sys.error("BIND before any pattern"))
-        acc = Some(base.withColumn(as, strVal(a, base))
-          .withColumn(as + IsIriSuffix, lit(false))
-          .withColumn(as + LangSuffix, lit(null).cast("string"))
-          .withColumn(as + DtSuffix, strVal(d, base)))
-      case Bind(e @ (_: Arith | _: ValueCall), as) =>
-        // X260 value expressions: arithmetic binds the canonical
-        // numeric lexical form (unbound on type error — the row
-        // SURVIVES with a NULL binding, per §10.1's error semantics);
-        // string functions bind plain literals; IRI(expr) mints a term.
-        val base = acc.getOrElse(sys.error("BIND before any pattern"))
-        val iriTerm = e match {
-          case ValueCall("IRI", _) => true
-          case _ => false
-        }
-        acc = Some(base.withColumn(as, strVal(e, base))
-          .withColumn(as + IsIriSuffix, lit(iriTerm))
-          .withColumn(as + LangSuffix, lit(null).cast("string"))
-          .withColumn(as + DtSuffix, lit(null).cast("string")))
+        acc = Some(extendWithValue(base, e, as))
       case Bind(e @ (_: Cmp | _: CmpE | _: And | _: Or | _: Not |
           _: BoundE | _: IsIriE | _: StrFuncE | _: LangMatchesE |
           _: BoolCall | _: InE), as) =>
@@ -2593,15 +2555,7 @@ object Sparql {
         // this differs from BIND(true/false), whose OPTIONAL-branch
         // false-materialization is the reference's documented quirk.
         val base = acc.getOrElse(sys.error("BIND before any pattern"))
-        val c = exprCol(e, base)
-        acc = Some(base
-          .withColumn(as, when(c.isNull, lit(null).cast("string"))
-            .when(c, lit("true")).otherwise(lit("false")))
-          .withColumn(as + IsIriSuffix, lit(false))
-          .withColumn(as + LangSuffix, lit(null).cast("string"))
-          .withColumn(as + DtSuffix,
-            when(c.isNull, lit(null).cast("string"))
-              .otherwise(lit("http://www.w3.org/2001/XMLSchema#boolean"))))
+        acc = Some(extendWithBoolean(base, exprCol(e, base), as))
       case Bind(e, _) => sys.error(s"unsupported BIND expression $e")
       case Optional(inner) =>
         val innerDf = compileGroup(inner, triples, named, gVar)
@@ -2673,7 +2627,9 @@ object Sparql {
     * position — keeps the loud [[exprCol]] reject. */
   private def rewriteExists(e: Expr, df0: DataFrame, triples: DataFrame,
                             named: DataFrame, gVar: Option[String],
-                            prefix: String): (Expr, DataFrame, Seq[String]) = {
+                            prefix: String,
+                            correlatable: Option[Set[String]] = None)
+      : (Expr, DataFrame, Seq[String]) = {
     var flagN = 0
     var flagged = df0
     def walk(x: Expr): Expr = x match {
@@ -2682,7 +2638,8 @@ object Sparql {
         val name = s"$prefix$flagN"
         val ex = compileGroup(inner, triples, named, gVar)
         val shared = flagged.columns.toSet
-          .intersect(ex.columns.filterNot(isMeta).toSet).toSeq
+          .intersect(ex.columns.filterNot(isMeta).toSet)
+          .filter(c => correlatable.forall(_.contains(c))).toSeq
         require(shared.nonEmpty,
           "EXISTS shares no variable with the group")
         flagged = flagged.join(
@@ -2707,18 +2664,40 @@ object Sparql {
     (e2, flagged, (1 to flagN).map(i => s"$prefix$i"))
   }
 
+  /** Mirror of [[rewriteExists]]'s walk — the two MUST descend the
+    * same shapes, or an EXISTS-bearing BIND slips past the flag-join
+    * route into the generic compile and its loud reject. */
   private def containsExists(e: Expr): Boolean = e match {
     case _: ExistsE => true
     case Not(a) => containsExists(a)
     case And(l, r) => containsExists(l) || containsExists(r)
     case Or(l, r) => containsExists(l) || containsExists(r)
+    case CmpE(l, _, r) => containsExists(l) || containsExists(r)
     case ValueCall("IF", args) => args.exists(containsExists)
     case _ => false
   }
 
-  /** X273: bind a value expression as a column plus term metadata on
-    * an (aggregated) frame — the generic BIND compile's stamping,
-    * factored for the post-aggregation Extend step. */
+  /** Bind a BOOLEAN expression's result as an xsd:boolean literal
+    * (NULL = type error = unbound, per §10.1) — the one stamping path
+    * for X270 boolean BINDs and the X274 EXISTS-flag binds. */
+  private def extendWithBoolean(df0: DataFrame, c: Column,
+                                as: String): DataFrame =
+    df0.withColumn(as, when(c.isNull, lit(null).cast("string"))
+        .when(c, lit("true")).otherwise(lit("false")))
+      .withColumn(as + IsIriSuffix, lit(false))
+      .withColumn(as + LangSuffix, lit(null).cast("string"))
+      .withColumn(as + DtSuffix,
+        when(c.isNull, lit(null).cast("string"))
+          .otherwise(lit("http://www.w3.org/2001/XMLSchema#boolean")))
+
+  /** Bind a VALUE expression as a column plus term metadata — the ONE
+    * stamping path shared by group-pattern BINDs (X260/X268) and the
+    * post-aggregation Extend step (X273): IRI() (or a bare IRI copy)
+    * marks an IRI term, STRLANG/STRDT mint tagged/typed literals (the
+    * tag/datatype may be any value expression — metadata columns are
+    * per-row anyway), everything else binds a plain literal whose
+    * lexical form follows [[strVal]] (arithmetic = canonical numeric
+    * form, unbound on type error per §10.1). */
   private def extendWithValue(df0: DataFrame, e: Expr,
                               as: String): DataFrame = e match {
     case ValueCall("STRLANG", Seq(a, l)) =>
@@ -3245,12 +3224,15 @@ object Sparql {
     case ValueCall("TIMEZONE", Seq(a)) =>
       // §17.4.5.7: the offset as an xsd:dayTimeDuration lexical form
       // ("Z"/+00:00 → PT0S, -08:00 → -PT8H, +05:30 → PT5H30M); a
-      // dateTime WITHOUT a timezone is a type error per the spec.
+      // dateTime WITHOUT a timezone is a type error per the spec —
+      // and so is a NON-dateTime operand (same shape guard as TZ:
+      // "hello+05:30" must not mint a duration).
       val sa = strVal(a, df)
       val tz = regexp_extract(sa, "(Z|[+-]\\d{2}:\\d{2})$", 1)
       val h = regexp_extract(tz, "^[+-](\\d{2}):", 1).try_cast("int")
       val m = regexp_extract(tz, ":(\\d{2})$", 1).try_cast("int")
-      when(sa.isNull || tz === "", lit(null).cast("string"))
+      when(sa.isNull || tz === "" ||
+          !sa.rlike("^-?\\d{4,}-\\d{2}-\\d{2}"), lit(null).cast("string"))
         .when(tz === "Z" || (h === 0 && m === 0), lit("PT0S"))
         .otherwise(concat(
           when(tz.startsWith("-"), lit("-")).otherwise(lit("")),
@@ -3282,6 +3264,14 @@ object Sparql {
           lit("http://www.w3.org/2001/XMLSchema#string"))
         .otherwise(lit(null).cast("string"))
     case ValueCall(fn, _) => sys.error(s"unsupported value function $fn")
+    // A rewritten EXISTS flag reaching a VALUE position (an IF's
+    // then/else branch, a function argument) — keep the tailored
+    // message; the raw node name would point at an internal column
+    // the user never wrote.
+    case BoundE(_) | _: ExistsE =>
+      sys.error("EXISTS here sits in a genuine VALUE position — it is " +
+        "supported in the boolean skeleton of FILTER/HAVING/BIND and " +
+        "in IF conditions, where it compiles to a join flag")
     case other => sys.error(s"not a value expression: $other")
   }
 

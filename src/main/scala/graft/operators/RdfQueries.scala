@@ -1756,7 +1756,9 @@ object RdfQueries {
         |  CASE WHEN regexp_matches(o, '^-?\d{4,}-\d{2}-\d{2}')
         |       THEN regexp_extract(o, '(Z|[+-]\d{2}:\d{2})$', 1)
         |       ELSE NULL END AS tz,
-        |  CASE WHEN tze = '' THEN NULL
+        |  CASE WHEN tze = ''
+        |         OR NOT regexp_matches(o, '^-?\d{4,}-\d{2}-\d{2}')
+        |       THEN NULL
         |       WHEN tze = 'Z' OR (TRY_CAST(hh AS INT) = 0
         |                          AND TRY_CAST(mm AS INT) = 0)
         |         THEN 'PT0S'

@@ -2136,6 +2136,17 @@ class SparqlParserSpec extends SparkSpec {
         |HAVING(!EXISTS { ?v ?p ?w . FILTER(STRLEN(?w) > 4) })""".stripMargin)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(neg == Set(("urn:p/size", 3L)))
+    // An inner variable that HAPPENS to share an aggregate alias's
+    // name is FRESH, not a correlation (§18.2.4: the alias Extend
+    // follows HAVING) — correlating on the count column would
+    // silently drop every group here.
+    val fresh = Sparql.select(exprGraph,
+      """SELECT ?p (COUNT(*) AS ?n) WHERE {
+        |  ?s ?p ?o .
+        |} GROUP BY ?p
+        |HAVING(COUNT(*) >= 3 && EXISTS { ?v ?p ?n . })""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(fresh == Set(("urn:p/name", 3L), ("urn:p/size", 3L)))
   }
 
   test("X274 EXISTS in BIND: mints total xsd:boolean flags; composes " +
@@ -2169,6 +2180,28 @@ class SparqlParserSpec extends SparkSpec {
         |            1, 2) = 1)
         |}""".stripMargin).collect().map(_.getString(0)).toSet
     assert(cmp == Set("urn:x/1"))
+    // …and the same shape in BIND (the containsExists gate must
+    // descend comparisons exactly like the rewrite walk does).
+    val bcmp = Sparql.select(exprGraph,
+      """SELECT ?s ?f WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  BIND(IF(EXISTS { ?s <urn:p/size> ?n . FILTER(?n > 4) },
+        |          1, 2) = 1 AS ?f)
+        |}""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(bcmp == Set(("urn:x/1", "true"), ("urn:x/2", "false"),
+      ("urn:x/3", "false")))
+    // An EXISTS in a VALUE branch of IF rejects loudly (at parse —
+    // the value grammar has no EXISTS production; the strVal BoundE
+    // reject is the compile-stage backstop).
+    intercept[Exception] {
+      Sparql.select(exprGraph,
+        """SELECT ?s WHERE {
+          |  ?s <urn:p/name> ?name .
+          |  FILTER(IF(?name = "alpha",
+          |            EXISTS { ?s <urn:p/size> ?n . }, "n") = "y")
+          |}""".stripMargin).collect()
+    }
   }
 
   test("X277 TZ/TIMEZONE: designator and dayTimeDuration forms, " +
