@@ -2408,7 +2408,13 @@ object Sparql {
     // scope. On an ungrouped query this arm is empty (the parser
     // lowered ProjExpr to pre-group BINDs).
     q.proj.foreach {
-      case ProjExpr(e, as) => df = extendWithValue(df, e, as)
+      case ProjExpr(e, as) =>
+        // §18.2.1's in-scope rule: the alias must be FRESH — silently
+        // overwriting a group key or aggregate alias would corrupt the
+        // very columns later expressions read.
+        require(!df.columns.contains(as),
+          s"select expression rebinds in-scope variable ?$as")
+        df = extendWithValue(df, e, as)
       case _ => ()
     }
     // X272: the trailing VALUES block joins the QUERY's solutions —

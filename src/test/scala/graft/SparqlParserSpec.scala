@@ -2105,6 +2105,16 @@ class SparqlParserSpec extends SparkSpec {
       ("urn:x/3", "11", "12")))
   }
 
+  test("X273 rebinding an in-scope variable in a select expression " +
+    "is a loud error (§18.2.1), not a silent overwrite") {
+    val e = intercept[Exception] {
+      Sparql.select(exprGraph,
+        """SELECT (UCASE(?p) AS ?p) (COUNT(*) AS ?n)
+          |WHERE { ?s ?p ?o . } GROUP BY ?p""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("rebinds"), e.getMessage)
+  }
+
   test("X273 aggregate-free GROUP BY with select expressions: one " +
     "solution per group (keys only)") {
     val got = Sparql.select(exprGraph,
