@@ -2723,10 +2723,23 @@ object Sparql {
         case BindConcat(Seq(I(_)), _) => true
         case _ => false
       }
-      df0.withColumn(as, strVal(e, df0))
+      // Functions whose RESULT carries a specific datatype (§17.4.5):
+      // NOW() mints xsd:dateTime, TIMEZONE() xsd:dayTimeDuration —
+      // stamped when the value is non-NULL (a type error stays a
+      // typeless unbound).
+      val v = strVal(e, df0)
+      val dt = e match {
+        case ValueCall("NOW", Nil) =>
+          lit("http://www.w3.org/2001/XMLSchema#dateTime")
+        case ValueCall("TIMEZONE", _) =>
+          when(v.isNull, lit(null).cast("string")).otherwise(
+            lit("http://www.w3.org/2001/XMLSchema#dayTimeDuration"))
+        case _ => lit(null).cast("string")
+      }
+      df0.withColumn(as, v)
         .withColumn(as + IsIriSuffix, lit(iriTerm))
         .withColumn(as + LangSuffix, lit(null).cast("string"))
-        .withColumn(as + DtSuffix, lit(null).cast("string"))
+        .withColumn(as + DtSuffix, dt)
   }
 
   /** `{A} UNION {B}…`: each group compiles to its own plan; branches

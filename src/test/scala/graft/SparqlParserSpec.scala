@@ -2258,6 +2258,18 @@ class SparqlParserSpec extends SparkSpec {
           |}""".stripMargin).collect()
         .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
       assert(got == Set(("2024-03-07T09:05:02Z", "2024", "true")))
+      // NOW() mints an xsd:dateTime term; TIMEZONE a dayTimeDuration.
+      val dts = Sparql.construct(exprGraph,
+        """CONSTRUCT { ?s <urn:p/asof> ?t . ?s <urn:p/off> ?z } WHERE {
+          |  ?s <urn:p/size> ?n .
+          |  BIND(NOW() AS ?t)
+          |  BIND(TIMEZONE(NOW()) AS ?z)
+          |}""".stripMargin).collect()
+        .map(r => (r.getString(1), r.getString(5))).toSet
+      assert(dts == Set(
+        ("urn:p/asof", "http://www.w3.org/2001/XMLSchema#dateTime"),
+        ("urn:p/off", "http://www.w3.org/2001/XMLSchema#dayTimeDuration")),
+        dts.toString)
     } finally spark.conf.unset("graft.sparql.now")
     val e = intercept[Exception] {
       Sparql.select(exprGraph,
