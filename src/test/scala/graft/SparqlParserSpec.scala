@@ -2105,6 +2105,20 @@ class SparqlParserSpec extends SparkSpec {
       ("urn:x/3", "11", "12")))
   }
 
+  test("X273 post-agg select expressions compose through subselects: " +
+    "the alias joins the outer group like any variable") {
+    val got = Sparql.select(exprGraph,
+      """SELECT ?s ?name ?c2 WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  { SELECT ?s (COUNT(*) AS ?c) (?c * 2 AS ?c2)
+        |    WHERE { ?s ?p ?o . } GROUP BY ?s }
+        |}""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("urn:x/1", "alpha", "4"), ("urn:x/2", "Beta", "4"),
+      ("urn:x/3", "urn:other/3", "4")))
+  }
+
   test("X273 rebinding an in-scope variable in a select expression " +
     "is a loud error (§18.2.1), not a silent overwrite") {
     val e = intercept[Exception] {
