@@ -402,8 +402,8 @@ object Sparql {
     // being parsed: hidden pre-group BINDs (select expressions,
     // aggregate arguments) and hidden HAVING aggregates. Saved and
     // restored around nested subselects so scopes never mix.
-    private var ctxBinds = Seq.newBuilder[Pattern]
-    private var ctxAggs = Seq.newBuilder[ProjElem]
+    private var ctxBinds = Vector.empty[Pattern]
+    private var ctxAggs = Vector.empty[ProjElem]
     private var ctxN = 0
     private var ctxInHaving = false
     private val aggWords = Set("COUNT", "SUM", "MIN", "MAX", "AVG",
@@ -412,7 +412,7 @@ object Sparql {
     private def exprVar(e: Expr): String = {
       ctxN += 1
       val n = s"_ex_$ctxN"
-      ctxBinds += Bind(e, n)
+      ctxBinds :+= Bind(e, n)
       n
     }
 
@@ -422,18 +422,16 @@ object Sparql {
       * e.g. `HAVING((SUM(?x) + 1) * 2 > 4)`'s failed boolean attempt
       * would leave an orphan hidden ProjAgg that the hash aggregate
       * computes and discards (wasted work, alias-counter drift).
-      * Builders are rebuilt after `result()` so the Builder contract's
-      * contents-undefined-after-result clause can't bite. */
-    private def snapCtx(): (Seq[Pattern], Seq[ProjElem], Int) = {
-      val b = ctxBinds.result(); val a = ctxAggs.result()
-      ctxBinds = Seq.newBuilder[Pattern]; ctxBinds ++= b
-      ctxAggs = Seq.newBuilder[ProjElem]; ctxAggs ++= a
-      (b, a, ctxN)
-    }
+      * The ctx state is held in immutable Vectors, so a snapshot is an
+      * O(1) reference copy — the paren-backtrack path calls this per
+      * parenthesized subexpression, and builder-materializing here was
+      * quadratic on deeply/sequentially parenthesized expressions. */
+    private def snapCtx(): (Vector[Pattern], Vector[ProjElem], Int) =
+      (ctxBinds, ctxAggs, ctxN)
 
-    private def restoreCtx(s: (Seq[Pattern], Seq[ProjElem], Int)): Unit = {
-      ctxBinds = Seq.newBuilder[Pattern]; ctxBinds ++= s._1
-      ctxAggs = Seq.newBuilder[ProjElem]; ctxAggs ++= s._2
+    private def restoreCtx(s: (Vector[Pattern], Vector[ProjElem], Int)): Unit = {
+      ctxBinds = s._1
+      ctxAggs = s._2
       ctxN = s._3
     }
 
@@ -723,8 +721,8 @@ object Sparql {
       // Context is parser-level (HAVING aggregates register from
       // inside the expression grammar) — save/restore for subselects.
       val savedCtx = (ctxBinds, ctxAggs, ctxN, ctxInHaving)
-      ctxBinds = Seq.newBuilder[Pattern]
-      ctxAggs = Seq.newBuilder[ProjElem]
+      ctxBinds = Vector.empty
+      ctxAggs = Vector.empty
       ctxN = 0
       ctxInHaving = false
       val distinct = tryWord("DISTINCT")
@@ -893,7 +891,7 @@ object Sparql {
       // pre-group trailing BINDs, in projection order, unchanged from
       // the pre-X273 compiler.
       val projRaw = proj.result()
-      val hiddenAggs = ctxAggs.result()
+      val hiddenAggs = ctxAggs
       val grouped = groupBy.nonEmpty ||
         (projRaw ++ hiddenAggs).exists {
           case _: ProjCount | _: ProjAgg => true
@@ -901,18 +899,64 @@ object Sparql {
         }
       val projFinal =
         if (grouped) projRaw ++ hiddenAggs
-        else projRaw.map {
-          case ProjExpr(e, as) => ctxBinds += Bind(e, as); ProjVar(as)
-          case other => other
-        } ++ hiddenAggs
+        else {
+          // §18.2.1 freshness on the UNGROUPED path too: the lowering
+          // to a trailing BIND would otherwise withColumn-overwrite a
+          // variable the WHERE group binds (`SELECT ?name (UCASE(?name)
+          // AS ?name)`) or an earlier projected name — mirror the
+          // grouped path's require BEFORE the silent rewrite.
+          lazy val whereScope = scopeVars(whereRaw)
+          val seen = scala.collection.mutable.Set[String]()
+          projRaw.foreach {
+            case ProjVar(v) => seen += v
+            case ProjCount(_, _, as) => seen += as
+            case ProjAgg(_, _, _, as, _) => seen += as
+            case ProjExpr(_, _) => ()
+          }
+          projRaw.map {
+            case ProjExpr(e, as) =>
+              require(!whereScope.contains(as) && !seen.contains(as),
+                s"select expression rebinds in-scope variable ?$as")
+              seen += as
+              ctxBinds :+= Bind(e, as); ProjVar(as)
+            case other => other
+          } ++ hiddenAggs
+        }
       val q = Query(distinct, star, projFinal,
-        whereRaw ++ ctxBinds.result(), groupBy, limit,
+        whereRaw ++ ctxBinds, groupBy, limit,
         orderBy, offset, having, fromB.result(), fromNamedB.result(),
         postValues)
       ctxBinds = savedCtx._1; ctxAggs = savedCtx._2
       ctxN = savedCtx._3; ctxInHaving = savedCtx._4
       q
     }
+
+    /** Variables a group pattern can bind (SPARQL 1.1 §18.2.1
+      * in-scope): triple terms (incl. variable predicates and GRAPH
+      * names), BIND/VALUES targets, subselect projections, both UNION
+      * branches, OPTIONAL bodies. FILTER / MINUS / (NOT) EXISTS bind
+      * nothing outward. Used by the ungrouped select-expression
+      * lowering's rebind guard. */
+    private def scopeVars(ps: Seq[Pattern]): Set[String] = ps.flatMap {
+      case Triple(s, v, o) =>
+        Seq(s, o).collect { case V(x) => x } ++
+          (v match { case PVar(x) => Seq(x); case _ => Nil })
+      case Bind(_, as) => Seq(as)
+      case Values(vars, _) => vars
+      case Optional(inner) => scopeVars(inner)
+      case Union(gs) => gs.flatMap(g => scopeVars(g))
+      case GraphPat(g, inner) =>
+        (g match { case V(x) => Seq(x); case _ => Nil }) ++ scopeVars(inner)
+      case SubSelect(sub) =>
+        if (sub.star) scopeVars(sub.where).filterNot(isHidden)
+        else sub.proj.collect {
+          case ProjVar(x) => x
+          case ProjCount(_, _, as) => as
+          case ProjAgg(_, _, _, as, _) => as
+          case ProjExpr(_, as) => as
+        }.toSet
+      case _: Filter | _: Minus | _: NotExists | _: Exists => Nil
+    }.toSet
 
     private def parseAsVar(): String = next() match {
       case TVar(v) => v
@@ -970,7 +1014,7 @@ object Sparql {
           // With AS: the alias is a projectable group key. Without:
           // grouped on a hidden (non-projectable) binding.
           val as = if (tryWord("AS")) parseAsVar() else exprVar(e)
-          if (!as.startsWith("_")) ctxBinds += Bind(e, as)
+          if (!as.startsWith("_")) ctxBinds :+= Bind(e, as)
           eatPunct(")")
           vs += as
         case Some(TWord(w)) if keyFnWords.contains(w.toUpperCase) &&
@@ -1355,8 +1399,8 @@ object Sparql {
         eatPunct(")")
         ctxN += 1
         val as = s"_hv_$ctxN"
-        ctxAggs += (if (fn == "COUNT") ProjCount(of, dist, as)
-                    else ProjAgg(fn, of.get, dist, as))
+        ctxAggs :+= (if (fn == "COUNT") ProjCount(of, dist, as)
+                     else ProjAgg(fn, of.get, dist, as))
         leaf(V(as))
       case Some(t) if isWord(t, "IRI") || isWord(t, "URI") =>
         next(); eatPunct("(")
@@ -2646,12 +2690,28 @@ object Sparql {
         val shared = flagged.columns.toSet
           .intersect(ex.columns.filterNot(isMeta).toSet)
           .filter(c => correlatable.forall(_.contains(c))).toSeq
-        require(shared.nonEmpty,
-          "EXISTS shares no variable with the group")
-        flagged = flagged.join(
-          ex.select(shared.map(col): _*).distinct()
-            .withColumn(name, lit(true)),
-          shared, "left_outer")
+        if (shared.isEmpty && correlatable.isDefined) {
+          // HAVING: an EXISTS sharing no GROUP KEY is UNCORRELATED —
+          // per-group truth equals global truth (covers the implicit
+          // one-group aggregation, whose key set is empty by
+          // construction, and alias-only name overlaps, which §18.2.4
+          // makes fresh variables). Probe non-emptiness once (limit 1,
+          // broadcast) through a constant-key left join so an empty
+          // pattern yields flag=NULL (false), keeping the BOUND
+          // device uniform.
+          val k = name + "_k"
+          flagged = flagged.withColumn(k, lit(1)).join(
+            broadcast(ex.limit(1).select(lit(1).as(k),
+              lit(true).as(name))),
+            Seq(k), "left_outer").drop(k)
+        } else {
+          require(shared.nonEmpty,
+            "EXISTS shares no variable with the group")
+          flagged = flagged.join(
+            ex.select(shared.map(col): _*).distinct()
+              .withColumn(name, lit(true)),
+            shared, "left_outer")
+        }
         BoundE(name)
       case Not(a) => Not(walk(a))
       case And(l, r) => And(walk(l), walk(r))
@@ -2659,10 +2719,13 @@ object Sparql {
       // X276: IF's CONDITION is a boolean position — descend, so
       // `IF(EXISTS {…}, a, b)` works in FILTER/BIND/HAVING, including
       // under comparisons (`IF(EXISTS {…}, 1, 2) = 1`) and nested IFs.
-      // An EXISTS anywhere else in value space passes through to the
-      // loud exprCol/strVal reject.
+      // The then/else branches are VALUE positions: do NOT descend —
+      // an EXISTS there passes through untouched to the loud
+      // exprCol/strVal reject (no speculative flag joins built first).
+      // containsExists still descends all three args so the BIND
+      // dispatch keeps routing such shapes here for that reject.
       case ValueCall("IF", Seq(c, a, b)) =>
-        ValueCall("IF", Seq(walk(c), walk(a), walk(b)))
+        ValueCall("IF", Seq(walk(c), a, b))
       case CmpE(l, op, r) => CmpE(walk(l), op, walk(r))
       case other => other
     }

@@ -59,6 +59,30 @@ class BenchGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("sf anchor tolerates trailing separators — a round recorded " +
+    "with SPARK_GRAFT_SF_DIR=/path/sf0.1/ stays in the history") {
+    withDir { d =>
+      // Bare form with a trailing slash in the recorded sf path.
+      write(d, "BENCH_r10.json",
+        """{"queries":{"q33":2.0},"sf":"/root/testdata/sf0.1/"}""")
+      // Escaped tail form with a trailing slash.
+      write(d, "BENCH_r11.json",
+        """{"tail": "\"q187\":2.1},\"sf\":\"/root/testdata/sf0.1/\",\"value\":9"}""")
+      val h = Bench.benchHistory(d, "sf0.1")
+      assert(h.get("q33").contains(2.0), h)
+      assert(h.get("q187").contains(2.1), h)
+      // Still sf-scoped: neither lands in the sf0.01 view.
+      assert(Bench.benchHistory(d, "sf0.01").isEmpty)
+    }
+  }
+
+  test("bandBar: 2x the history best, floored at 1 s") {
+    assert(Bench.bandBar(2.5) == 5.0)
+    assert(Bench.bandBar(0.2) == 1.0)   // sub-second rows jitter
+    assert(Bench.bandBar(0.5) == 1.0)
+    assert(Bench.bandBar(10.0) == 20.0)
+  }
+
   test("empty dir / unreadable files yield an empty history (guard " +
     "disabled, never crashing the bench)") {
     withDir { d =>

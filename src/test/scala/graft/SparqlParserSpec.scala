@@ -2129,6 +2129,84 @@ class SparqlParserSpec extends SparkSpec {
     assert(e.getMessage.contains("rebinds"), e.getMessage)
   }
 
+  test("X273 UNGROUPED rebind guard: the BIND lowering must not " +
+    "silently overwrite a WHERE-bound or projected variable") {
+    // `?name` is bound by the WHERE group — §18.2.1 makes the alias
+    // illegal; pre-guard this silently overwrote the binding.
+    val e1 = intercept[Exception] {
+      Sparql.select(exprGraph,
+        """SELECT ?name (UCASE(?name) AS ?name)
+          |WHERE { ?s <urn:p/name> ?name . }""".stripMargin).collect()
+    }
+    assert(e1.getMessage.contains("rebinds"), e1.getMessage)
+    // Two select expressions colliding on one alias.
+    val e2 = intercept[Exception] {
+      Sparql.select(exprGraph,
+        """SELECT (UCASE(?name) AS ?x) (LCASE(?name) AS ?x)
+          |WHERE { ?s <urn:p/name> ?name . }""".stripMargin).collect()
+    }
+    assert(e2.getMessage.contains("rebinds"), e2.getMessage)
+    // An alias colliding with a variable bound only inside OPTIONAL /
+    // a UNION branch is still a rebind (those bind in-scope too).
+    val e3 = intercept[Exception] {
+      Sparql.select(exprGraph,
+        """SELECT (STRLEN(?name) AS ?vip) WHERE {
+          |  ?s <urn:p/name> ?name .
+          |  OPTIONAL { ?s <urn:p/vip> ?vip . }
+          |}""".stripMargin).collect()
+    }
+    assert(e3.getMessage.contains("rebinds"), e3.getMessage)
+    // FRESH aliases keep working, including chained references.
+    val ok = Sparql.select(exprGraph,
+      """SELECT ?name (UCASE(?name) AS ?up)
+        |WHERE { ?s <urn:p/name> ?name . }""".stripMargin).collect()
+    assert(ok.length == 3)
+  }
+
+  test("X274 UNCORRELATED EXISTS in HAVING: legal on the implicit " +
+    "one-group aggregation and on explicit GROUP BY (global probe)") {
+    // Implicit grouping (aggregate, no GROUP BY): the group-key set is
+    // empty, so every EXISTS is uncorrelated — per-group truth is
+    // global truth. Pre-fix this threw 'EXISTS shares no variable
+    // with the group'.
+    val one = Sparql.select(exprGraph,
+      """SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o . }
+        |HAVING(COUNT(*) > 0 && EXISTS { ?a <urn:p/size> ?c })"""
+        .stripMargin).collect()
+    assert(one.map(_.get(0).toString).toSeq == Seq("6"), one.toSeq)
+    // A non-matching probe empties the (single) group.
+    val none = Sparql.select(exprGraph,
+      """SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o . }
+        |HAVING(COUNT(*) > 0 && EXISTS { ?a <urn:p/absent> ?c })"""
+        .stripMargin).collect()
+    assert(none.isEmpty, none.toSeq)
+    // Explicit GROUP BY + an EXISTS sharing no group key: same global
+    // probe, applied to every group alike.
+    val grouped = Sparql.select(exprGraph,
+      """SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o . }
+        |GROUP BY ?p
+        |HAVING(EXISTS { ?a <urn:p/size> ?c })""".stripMargin).collect()
+    assert(grouped.length == 2, grouped.toSeq)
+    val groupedNone = Sparql.select(exprGraph,
+      """SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o . }
+        |GROUP BY ?p
+        |HAVING(EXISTS { ?a <urn:p/absent> ?c })""".stripMargin).collect()
+    assert(groupedNone.isEmpty, groupedNone.toSeq)
+  }
+
+  test("X276 EXISTS in an IF VALUE branch stays a loud reject (no " +
+    "speculative flag joins built first)") {
+    val e = intercept[Exception] {
+      Sparql.select(exprGraph,
+        """SELECT ?s WHERE {
+          |  ?s <urn:p/name> ?name .
+          |  FILTER(IF(?name = "alpha",
+          |            EXISTS { ?s <urn:p/size> ?n . }, false))
+          |}""".stripMargin).collect()
+    }
+    assert(e != null)
+  }
+
   test("X273 aggregate-free GROUP BY with select expressions: one " +
     "solution per group (keys only)") {
     val got = Sparql.select(exprGraph,
