@@ -26,8 +26,14 @@ object PlanDump {
       case Some(fn) =>
         println(s"=== $q")
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
-        println(plan.linesIterator
-          .filter(l => interesting.exists(l.contains)).mkString("\n"))
+        val hits = plan.linesIterator
+          .filter(l => interesting.exists(l.contains)).toSeq
+        // Multi-stage queries (dedup CC, SPARQL closures) end on a
+        // checkpointed RDD scan with none of the tokens above — show
+        // the plan head instead of an empty (and alarming) block.
+        if (hits.nonEmpty) println(hits.mkString("\n"))
+        else println(plan.linesIterator.take(8)
+          .mkString("(no shuffle/join/scan tokens — plan head)\n", "\n", ""))
     }
     spark.stop()
   }
