@@ -2642,15 +2642,20 @@ object Sparql {
       val ex = compileGroup(inner, triples, named, gVar)
       val shared = df.columns.toSet
         .intersect(ex.columns.filterNot(isMeta).toSet).toSeq
-      require(shared.nonEmpty, "NOT EXISTS shares no variable with the group")
-      df = df.join(ex.select(shared.map(col): _*), shared, "left_anti")
+      // UNCORRELATED (no shared variable): per-row truth is global
+      // truth — the spec's §8.1.1 semantics, not an error. Same
+      // broadcast limit-1 probe device as [[rewriteExists]].
+      df =
+        if (shared.isEmpty) constProbe(df, ex, semi = false)
+        else df.join(ex.select(shared.map(col): _*), shared, "left_anti")
     }
     semis.result().foreach { inner =>
       val ex = compileGroup(inner, triples, named, gVar)
       val shared = df.columns.toSet
         .intersect(ex.columns.filterNot(isMeta).toSet).toSeq
-      require(shared.nonEmpty, "EXISTS shares no variable with the group")
-      df = df.join(ex.select(shared.map(col): _*), shared, "left_semi")
+      df =
+        if (shared.isEmpty) constProbe(df, ex, semi = true)
+        else df.join(ex.select(shared.map(col): _*), shared, "left_semi")
     }
     minuses.result().foreach { inner =>
       val ex = compileGroup(inner, triples, named, gVar)
@@ -2662,6 +2667,19 @@ object Sparql {
         df = df.join(ex.select(shared.map(col): _*), shared, "left_anti")
     }
     df
+  }
+
+  /** Non-emptiness probe for an UNCORRELATED (no shared variable)
+    * top-level `FILTER [NOT] EXISTS`: semi/anti-join the frame against
+    * a broadcast limit-1 slice of the pattern's solutions on a
+    * constant key — per-row truth equals global truth (§8.1.1), with
+    * no driver-side action and no plan bigger than one row. */
+  private def constProbe(df0: DataFrame, ex: DataFrame,
+                         semi: Boolean): DataFrame = {
+    val k = "_cp_k"
+    df0.withColumn(k, lit(1)).join(
+      broadcast(ex.limit(1).select(lit(1).as(k))),
+      Seq(k), if (semi) "left_semi" else "left_anti").drop(k)
   }
 
   /** X269/X274: rewrite each embedded `EXISTS {…}` inside a boolean
@@ -2690,12 +2708,13 @@ object Sparql {
         val shared = flagged.columns.toSet
           .intersect(ex.columns.filterNot(isMeta).toSet)
           .filter(c => correlatable.forall(_.contains(c))).toSeq
-        if (shared.isEmpty && correlatable.isDefined) {
-          // HAVING: an EXISTS sharing no GROUP KEY is UNCORRELATED —
-          // per-group truth equals global truth (covers the implicit
-          // one-group aggregation, whose key set is empty by
-          // construction, and alias-only name overlaps, which §18.2.4
-          // makes fresh variables). Probe non-emptiness once (limit 1,
+        if (shared.isEmpty) {
+          // UNCORRELATED: an EXISTS sharing no variable with the frame
+          // (no group key in HAVING — incl. the implicit one-group
+          // aggregation, whose key set is empty by construction, and
+          // alias-only name overlaps, which §18.2.4 makes fresh; no
+          // binding at all in FILTER/BIND) — per-row truth equals
+          // global truth. Probe non-emptiness once (limit 1,
           // broadcast) through a constant-key left join so an empty
           // pattern yields flag=NULL (false), keeping the BOUND
           // device uniform.
@@ -2705,8 +2724,6 @@ object Sparql {
               lit(true).as(name))),
             Seq(k), "left_outer").drop(k)
         } else {
-          require(shared.nonEmpty,
-            "EXISTS shares no variable with the group")
           flagged = flagged.join(
             ex.select(shared.map(col): _*).distinct()
               .withColumn(name, lit(true)),
@@ -2719,13 +2736,20 @@ object Sparql {
       // X276: IF's CONDITION is a boolean position — descend, so
       // `IF(EXISTS {…}, a, b)` works in FILTER/BIND/HAVING, including
       // under comparisons (`IF(EXISTS {…}, 1, 2) = 1`) and nested IFs.
-      // The then/else branches are VALUE positions: do NOT descend —
-      // an EXISTS there passes through untouched to the loud
-      // exprCol/strVal reject (no speculative flag joins built first).
-      // containsExists still descends all three args so the BIND
-      // dispatch keeps routing such shapes here for that reject.
+      // The then/else branches are VALUE positions: descend ONLY into
+      // a nested IF there (whose own condition is again boolean, so
+      // `IF(?c, IF(EXISTS {…}, a, b), z)` keeps working); any other
+      // EXISTS-bearing branch shape passes through untouched to the
+      // loud exprCol/strVal reject (no speculative flag joins built
+      // first). containsExists still descends all three args so the
+      // BIND dispatch keeps routing such shapes here for that reject.
       case ValueCall("IF", Seq(c, a, b)) =>
-        ValueCall("IF", Seq(walk(c), a, b))
+        def branch(x: Expr): Expr = x match {
+          case ValueCall("IF", Seq(c2, a2, b2)) =>
+            ValueCall("IF", Seq(walk(c2), branch(a2), branch(b2)))
+          case other => other
+        }
+        ValueCall("IF", Seq(walk(c), branch(a), branch(b)))
       case CmpE(l, op, r) => CmpE(walk(l), op, walk(r))
       case other => other
     }
@@ -2733,9 +2757,15 @@ object Sparql {
     (e2, flagged, (1 to flagN).map(i => s"$prefix$i"))
   }
 
-  /** Mirror of [[rewriteExists]]'s walk — the two MUST descend the
-    * same shapes, or an EXISTS-bearing BIND slips past the flag-join
-    * route into the generic compile and its loud reject. */
+  /** Near-mirror of [[rewriteExists]]'s walk, with ONE deliberate
+    * asymmetry: this detector descends ALL THREE IF arguments, while
+    * the walk rewrites only IF conditions (and nested IFs reached
+    * through branches). The superset is load-bearing — an EXISTS in
+    * an IF VALUE branch must still route the whole BIND/FILTER to
+    * rewriteExists so it reaches the loud exprCol/strVal reject there,
+    * instead of slipping into the generic compile path. Shrinking this
+    * to the walk's exact shapes, or widening the walk to these, both
+    * break documented behavior (see the X276 case's comment). */
   private def containsExists(e: Expr): Boolean = e match {
     case _: ExistsE => true
     case Not(a) => containsExists(a)

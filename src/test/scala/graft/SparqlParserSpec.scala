@@ -2194,6 +2194,68 @@ class SparqlParserSpec extends SparkSpec {
     assert(groupedNone.isEmpty, groupedNone.toSeq)
   }
 
+  test("UNCORRELATED top-level FILTER EXISTS / NOT EXISTS: global " +
+    "non-emptiness probe (§8.1.1), not an error") {
+    // EXISTS over a matching disjoint pattern keeps every solution.
+    val keep = Sparql.select(exprGraph,
+      """SELECT ?s WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  FILTER EXISTS { ?a <urn:p/size> ?c . }
+        |}""".stripMargin).collect()
+    assert(keep.length == 3, keep.toSeq)
+    // EXISTS over a non-matching pattern empties the solution set.
+    val drop = Sparql.select(exprGraph,
+      """SELECT ?s WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  FILTER EXISTS { ?a <urn:p/absent> ?c . }
+        |}""".stripMargin).collect()
+    assert(drop.isEmpty, drop.toSeq)
+    // NOT EXISTS: the mirror pair.
+    val keepN = Sparql.select(exprGraph,
+      """SELECT ?s WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  FILTER NOT EXISTS { ?a <urn:p/absent> ?c . }
+        |}""".stripMargin).collect()
+    assert(keepN.length == 3, keepN.toSeq)
+    val dropN = Sparql.select(exprGraph,
+      """SELECT ?s WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  FILTER NOT EXISTS { ?a <urn:p/size> ?c . }
+        |}""".stripMargin).collect()
+    assert(dropN.isEmpty, dropN.toSeq)
+    // Embedded (compound-FILTER) and BIND forms take the same probe.
+    val comp = Sparql.select(exprGraph,
+      """SELECT ?s WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  FILTER(EXISTS { ?a <urn:p/size> ?c . } && STRLEN(?name) < 6)
+        |}""".stripMargin).collect()
+    assert(comp.length == 2, comp.toSeq)   // "alpha", "Beta"
+    val bind = Sparql.select(exprGraph,
+      """SELECT ?s ?f WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  BIND(EXISTS { ?a <urn:p/absent> ?c . } AS ?f)
+        |}""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(bind.map(_._2) == Set("false"), bind)
+  }
+
+  test("X276 nested IF in a VALUE branch keeps its EXISTS condition " +
+    "(the walk descends through branch IFs)") {
+    val got = Sparql.select(exprGraph,
+      """SELECT ?s ?r WHERE {
+        |  ?s <urn:p/name> ?name .
+        |  BIND(IF(STRLEN(?name) < 6,
+        |          IF(EXISTS { ?s <urn:p/size> ?n . FILTER(?n > 4) },
+        |             "y", "n"),
+        |          "long") AS ?r)
+        |}""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // x/1 alpha(5): inner IF, size 8 > 4 → "y"; x/2 Beta(4): size 3 →
+    // "n"; x/3 urn:other/3(11): outer else → "long".
+    assert(got == Set(("urn:x/1", "y"), ("urn:x/2", "n"),
+      ("urn:x/3", "long")))
+  }
+
   test("X276 EXISTS in an IF VALUE branch stays a loud reject (no " +
     "speculative flag joins built first)") {
     val e = intercept[Exception] {
