@@ -235,26 +235,44 @@ object Bench {
     }.toMap
     val requeried =
       scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    // r20 verdict item #2 (the quiet-lane ask): rows still above their
+    // bar after the first re-run get ONE more settled pass — the r20
+    // driver artifact's single q100 residue was exactly a first re-run
+    // that landed 9.0 vs a 7.0 bar while the box load was still
+    // draining; a second pass behind settle() is the in-process form of
+    // the solo-JVM lane (same JVM, warm codegen, but a fresh load
+    // window), bounded to 2 passes × 10 rows so a genuinely regressed
+    // query still surfaces in `over` rather than being re-rolled
+    // forever.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_REQUERY_PASSES", "2").toInt
     val results: Seq[(String, Double)] = {
-      val outliers = merged.filter { case (n, v) => bars.get(n).exists(v > _) }
-      if (outliers.isEmpty) merged
-      else {
-        println(s"BENCH WARN: ${outliers.size} queries above their " +
-          "2x-history bar — re-running the worst (max 10)")
-        settle()
-        val redo = outliers.sortBy { case (n, v) => -(v / bars(n)) }
-          .take(10).map(_._1).toSet
-        merged.map { case (n, v) =>
-          if (!redo(n)) n -> v
-          else {
-            hygiene()
-            val again = (1 to runs).map(_ => run(n)).min
-            val now = math.min(v, again)
-            requeried(n) = (v, now)
-            n -> now
+      var cur = merged
+      var pass = 0
+      var done = false
+      while (!done && pass < passes) {
+        val outliers = cur.filter { case (n, v) => bars.get(n).exists(v > _) }
+        if (outliers.isEmpty) done = true
+        else {
+          pass += 1
+          println(s"BENCH WARN: ${outliers.size} queries above their " +
+            s"2x-history bar — re-running the worst (max 10), pass $pass")
+          settle()
+          val redo = outliers.sortBy { case (n, v) => -(v / bars(n)) }
+            .take(10).map(_._1).toSet
+          cur = cur.map { case (n, v) =>
+            if (!redo(n)) n -> v
+            else {
+              hygiene()
+              val again = (1 to runs).map(_ => run(n)).min
+              val now = math.min(v, again)
+              // `was` stays the FIRST recorded value across passes.
+              requeried(n) = (requeried.get(n).map(_._1).getOrElse(v), now)
+              n -> now
+            }
           }
         }
       }
+      cur
     }
     val total = results.map(_._2).sum
     val (loadPre, loadMax, loadPost) =
