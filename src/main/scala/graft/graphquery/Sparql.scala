@@ -904,8 +904,13 @@ object Sparql {
           // to a trailing BIND would otherwise withColumn-overwrite a
           // variable the WHERE group binds (`SELECT ?name (UCASE(?name)
           // AS ?name)`) or an earlier projected name — mirror the
-          // grouped path's require BEFORE the silent rewrite.
-          lazy val whereScope = scopeVars(whereRaw)
+          // grouped path's require BEFORE the silent rewrite. Trailing
+          // VALUES variables are in scope too (r20 ADVICE): `SELECT
+          // (expr AS ?x) … VALUES ?x {…}` would otherwise lower to a
+          // BIND that the post-VALUES join on ?x then silently
+          // re-filters — loud reject, like every other rebind shape.
+          lazy val whereScope = scopeVars(whereRaw) ++
+            postValues.map(_.vars).getOrElse(Nil)
           val seen = scala.collection.mutable.Set[String]()
           projRaw.foreach {
             case ProjVar(v) => seen += v

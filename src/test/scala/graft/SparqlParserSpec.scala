@@ -2161,6 +2161,23 @@ class SparqlParserSpec extends SparkSpec {
       """SELECT ?name (UCASE(?name) AS ?up)
         |WHERE { ?s <urn:p/name> ?name . }""".stripMargin).collect()
     assert(ok.length == 3)
+    // r20 ADVICE: a trailing VALUES variable is in scope too — the
+    // alias would otherwise lower to a BIND that the post-VALUES join
+    // on ?x then silently re-filters.
+    val e4 = intercept[Exception] {
+      Sparql.select(exprGraph,
+        """SELECT (UCASE(?name) AS ?x)
+          |WHERE { ?s <urn:p/name> ?name . }
+          |VALUES ?x { "ALPHA" }""".stripMargin).collect()
+    }
+    assert(e4.getMessage.contains("rebinds"), e4.getMessage)
+    // A trailing VALUES on a DIFFERENT variable stays legal alongside
+    // a select expression.
+    val ok2 = Sparql.select(exprGraph,
+      """SELECT ?name (UCASE(?name) AS ?up)
+        |WHERE { ?s <urn:p/name> ?name . }
+        |VALUES ?name { "alpha" }""".stripMargin).collect()
+    assert(ok2.length == 1, ok2.mkString("; "))
   }
 
   test("X274 UNCORRELATED EXISTS in HAVING: legal on the implicit " +
