@@ -2151,8 +2151,13 @@ object Corpus {
                               idCol: String, textCol: String,
                               spanTokens: Int = 8, k: Int = 4,
                               mBits: Int = 1 << 20): DataFrame = {
-    val benchW = windowHashes(bench, idCol, textCol, spanTokens)
-      .select(col("_wh")).distinct()
+    // Materialized once (r21): the bench window set feeds BOTH the bloom
+    // build and the exact verify side — without the cut each consumer
+    // re-runs the bench tokenize+window tower (two extra Generate+Window
+    // towers in the q215 plan). Benchmark-sized by construction.
+    val benchW = graft.Checkpoints.cutEager(
+      windowHashes(bench, idCol, textCol, spanTokens)
+        .select(col("_wh")).distinct())
     decontamCore(windowHashes(corpus, idCol, textCol, spanTokens),
       benchW, bloomPositions(benchW, "_wh", k, mBits), idCol, k, mBits)
   }
@@ -2169,15 +2174,24 @@ object Corpus {
   private def decontamCore(corpusW: DataFrame, benchW: DataFrame,
                            bloom: DataFrame, idCol: String, k: Int,
                            mBits: Int): DataFrame = {
+    // Materialized once (r21): three consumers below (the bloom probe's
+    // distinct hashes, the per-doc contaminated counts, the per-doc
+    // totals) would otherwise each re-run the corpus tokenize+window
+    // tower — the q215 plan carried THREE Generate+Window towers over
+    // the corpus scan, the dominant at-scale cost of the gate. The
+    // checkpoint rows are compact (id + window hash) and spill instead
+    // of pinning memory; the streaming probe path shares this (its
+    // corpus is a micro-batch, where the cut is cheap).
+    val cw = graft.Checkpoints.cutEagerSpill(corpusW)
     val candidates = bloomProbe(bloom,
-        corpusW.select(col("_wh")).distinct(), "_wh", k, mBits)
+        cw.select(col("_wh")).distinct(), "_wh", k, mBits)
       .filter(col("bloom_positive") === 1L)
     // The exact verify — removes bloom false positives; its input is
     // survivors only, which is the whole point of the gate.
     val confirmed = candidates.join(benchW, Seq("_wh"), "left_semi")
-    val perDoc = corpusW.join(confirmed, Seq("_wh"), "left_semi")
+    val perDoc = cw.join(confirmed, Seq("_wh"), "left_semi")
       .groupBy(col("_id")).agg(count(lit(1)).as("n_contaminated"))
-    corpusW.groupBy(col("_id")).agg(count(lit(1)).as("n_windows"))
+    cw.groupBy(col("_id")).agg(count(lit(1)).as("n_windows"))
       .join(perDoc, Seq("_id"), "left")
       .select(col("_id").as(idCol), col("n_windows"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
