@@ -1118,12 +1118,17 @@ object Dedup {
       .select(col("d1"), col("d2"))
     val ids = cand.select(col("d1").as("_id"))
       .union(cand.select(col("d2").as("_id"))).distinct()
+    // Materialized once (r21): three consumers (sizes, both inter-join
+    // sides) would otherwise each re-run the chunk tower + semi-join +
+    // distinct over the corpus; candidate-pruned rows are small by the
+    // frequency cap, so the checkpoint is cheap.
     val sh = TextAnalysis.tokenChunkRows(docs, idCol, textCol, k, stride = 1)
       .filter(col("_n_toks") === k || col("_pos") === 0)
       .select(col("_id"), col("_chunk"))
       .join(ids, Seq("_id"), "left_semi")
       .select(col("_id"), unhex(md5(col("_chunk"))).as("_sh"))
       .distinct()
+      .cutLineageEagerSpill()
     val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_sz"))
     val inter = cand
       .join(sh.select(col("_id").as("d1"), col("_sh")), Seq("d1"))
@@ -1171,10 +1176,14 @@ object Dedup {
       .select(col("_id"), col("_chunk"))
       .join(ids, Seq("_id"), "left_semi")
       .distinct()
+    // Materialized once (r21): four consumers (the signature aggregate,
+    // sizes, both inter-join sides) would otherwise each re-run the
+    // chunk tower + semi-join + distinct; pair-pruned rows are small.
     val hashed = grams.select(col("_id"),
       conv(substring(md5(col("_chunk")), 1, 8), 16, 10).cast("long").as("_h1"),
       conv(substring(md5(col("_chunk")), 9, 8), 16, 10).cast("long").as("_h2"),
       unhex(md5(col("_chunk"))).as("_sh"))
+      .cutLineageEagerSpill()
     val mins = (0 until slots).map(i =>
       min(col("_h1") + lit(i.toLong) * col("_h2")).as(s"_m$i"))
     val sigs = hashed.groupBy(col("_id")).agg(mins.head, mins.tail: _*)
