@@ -442,6 +442,12 @@ object Dedup {
     val dfreq = tokRows.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
     val w = Window.partitionBy(col("_id"))
       .orderBy(col("_df").asc, col("_t").asc)
+    // Materialized once (r21): the candidate self-join evaluates BOTH
+    // sides — without the cut the document-frequency aggregation and
+    // the rarest-first prefix window tower run twice (broadcast and
+    // stream sides of a self-join do not share exchanges). Prefix rows
+    // are the `|T| − ⌈t·|T|⌉ + 1` head of each doc's token list —
+    // strictly smaller than the token stream.
     val prefixes = tokRows.join(dfreq, Seq("_t"))
       .withColumn("_rn", row_number().over(w))
       .join(toks.select(col("_id"), col("_sz")), Seq("_id"))
@@ -450,6 +456,7 @@ object Dedup {
         col("_sz") - expr(s"($thresholdPpm * _sz + 999999L) div 1000000L")
           + lit(1L))
       .select(col("_id"), col("_t"))
+      .cutLineageEagerSpill()
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a._t") === col("b._t") && col("a._id") < col("b._id"))
       .select(col("a._id").as("d1"), col("b._id").as("d2"))
