@@ -25,6 +25,13 @@ object PlanDump {
           SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
       case Some(fn) =>
         println(s"=== $q")
+        // SPARK_GRAFT_PLAN_FULL=1: emit the untruncated
+        // .explain("formatted") text (the plans/rNN deliverable format)
+        // instead of the condensed interesting-lines view.
+        if (sys.env.get("SPARK_GRAFT_PLAN_FULL").contains("1")) {
+          println(fn(spark, sf).queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        } else {
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
         val hits = plan.linesIterator
           .filter(l => interesting.exists(l.contains)).toSeq
@@ -34,6 +41,7 @@ object PlanDump {
         if (hits.nonEmpty) println(hits.mkString("\n"))
         else println(plan.linesIterator.take(8)
           .mkString("(no shuffle/join/scan tokens — plan head)\n", "\n", ""))
+        }
     }
     spark.stop()
   }
