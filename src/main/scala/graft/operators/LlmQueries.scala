@@ -1005,36 +1005,29 @@ object LlmQueries {
     // mass, near-dup pair count — long-form (metric, value), all BIGINT.
     "q100_corpus_report" -> { (s, dir) =>
       val d = t(s, dir, "documents")
-      // ONE corpus scan yields all five table metrics (r21; previously a
-      // second full-text pass computed the three text metrics separately
-      // — at 100 TB every extra corpus scan per dashboard metric is the
-      // cost): the fingerprint groupBy carries per-group gate/token
-      // partial sums, and a second (tiny: one row per distinct fp group)
-      // aggregation rolls them up globally. Map-side partial aggregation
-      // keeps the shuffle at one row per fp group per mapper.
-      val tableAgg = d
-        .groupBy(TA.fingerprint(col("text")).as("fp"))
-        .agg(count(lit(1)).as("_n"),
+      // One corpus scan yields the three text metrics; one fp groupBy
+      // yields both fingerprint metrics (6 branch scans → 3 jobs — at
+      // 100 TB re-reading the corpus per dashboard metric is the cost).
+      val textAgg = d.agg(
+          count(lit(1)).as("n_docs"),
           sum(when(TA.corpusGateFlags(col("text")).getField("keep"), 1L)
-            .otherwise(0L)).as("_gate"),
-          sum(TA.tokenCount(col("text"))).cast("long").as("_toks"))
+            .otherwise(0L)).as("gate_survivors"),
+          sum(TA.tokenCount(col("text"))).cast("long").as("total_tokens"))
+        .selectExpr("stack(3, 'n_docs', n_docs, " +
+          "'gate_survivors', gate_survivors, " +
+          "'total_tokens', total_tokens) AS (metric, value)")
+      val fpAgg = d.select(TA.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(count(lit(1)).as("_n"))
         // count(fp), not count(*): the oracle's count(DISTINCT fp) is
         // null-excluding, so a null-text doc's null-fp group must not
-        // inflate the distinct count (it still counts toward dup mass
-        // and the doc/gate/token sums, matching the oracle's
-        // null-inclusive GROUP BY).
-        .agg(sum(col("_n")).as("n_docs"),
-          sum(col("_gate")).as("gate_survivors"),
-          sum(col("_toks")).as("total_tokens"),
-          count(col("fp")).as("distinct_fps"),
+        // inflate the distinct count (it still counts toward dup mass,
+        // matching the oracle's null-inclusive GROUP BY).
+        .agg(count(col("fp")).as("distinct_fps"),
           coalesce(sum(when(col("_n") > 1, col("_n"))), lit(0L))
             .as("dup_docs"))
-        .selectExpr("stack(5, 'n_docs', n_docs, " +
-          "'gate_survivors', gate_survivors, " +
-          "'total_tokens', total_tokens, " +
-          "'distinct_fingerprints', distinct_fps, " +
+        .selectExpr("stack(2, 'distinct_fingerprints', distinct_fps, " +
           "'exact_dup_docs', dup_docs) AS (metric, value)")
-      tableAgg
+      textAgg.unionByName(fpAgg)
         .unionByName(Dedup.minhashNearDups(d, "doc_id", "text")
           .agg(count(lit(1)).as("value"))
           .select(lit("near_dup_pairs").as("metric"), col("value")))
